@@ -22,10 +22,11 @@ object SparkEntry {
     * The stage-2 "join & widen" spine (SURVEY §3.3) over the events table.
     */
   def entry(spark: SparkSession): DataFrame =
-    Queries.stage2Spine(spark, "/root/testdata/sf0.001")
+    QueriesFresco.stage2Spine(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueriesFresco.queries ++ Map(
     // --- scans / filters / projections -------------------------------
     "q_scan_filter_project" -> (Queries.scanFilterProject _),
     "q_csv_roundtrip" -> (Queries.csvRoundtrip _),
@@ -56,7 +57,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = QueriesFresco.oracles ++ Map(
     "q_scan_filter_project" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
          FROM lineitem WHERE l_quantity > 25 AND l_shipdate IS NOT NULL""",
@@ -328,7 +329,4 @@ private[graft] object Queries {
     events(s, dir).select(col("event_id"),
       Fresco.clip(col("value") - 50.0, 0.0, 100.0).as("clipped"))
 
-  /** Placeholder until the stage-2 spine lands in batch 2. */
-  def stage2Spine(s: SparkSession, dir: String): DataFrame =
-    joinInterval(s, dir)
 }
