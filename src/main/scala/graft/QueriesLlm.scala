@@ -1,0 +1,299 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+import graft.dedup.Dedup
+import graft.similarity.Vectors
+
+/** LLM-training-data pipeline queries over `documents` / `embeddings`:
+  * text analysis, exact + fuzzy dedup, SimHash, and similarity search.
+  * Every hash is md5-derived (TextAnalysis.hash60) so the DuckDB
+  * oracles reproduce results bit-for-bit.
+  */
+private[graft] object QueriesLlm {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val Stopwords = Seq("the", "a")
+  private val LangMarkers = Seq(
+    "en" -> Seq("the", "a"), "de" -> Seq("der", "die"),
+    "es" -> Seq("el", "la"), "fr" -> Seq("le", "les"))
+  private val MinhashK = 8
+  private val JaccardThreshold = 0.5
+
+  // --- text analysis ---------------------------------------------------
+
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val metrics = TextAnalysis.qualityMetrics(col("text"), Stopwords)
+      .map { case (name, c) => c.as(name) }
+    t(s, dir, "documents").select(col("doc_id") +: metrics: _*)
+  }
+
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val scores = TextAnalysis.langScores(col("text"), LangMarkers)
+    t(s, dir, "documents").select(
+      col("doc_id") +: scores.map { case (n, c) => c.as(n) } :+
+        TextAnalysis.langPredict(scores).as("predicted"): _*)
+  }
+
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.hash60(lower(col("text"))).as("h60"))
+
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("content_md5"))
+
+  // --- dedup -----------------------------------------------------------
+
+  /** Documents with synthetic duplicates injected (every 5th doc is
+    * repeated under a shifted id) so exact dedup has real work.
+    */
+  private def dupDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.unionByName(d.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000))
+  }
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(dupDocs(s, dir))
+
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(t(s, dir, "documents"), JaccardThreshold)
+
+  def minhashSig(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(t(s, dir, "documents"), MinhashK)
+
+  def dedupFuzzy(s: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzy(t(s, dir, "documents"), JaccardThreshold, MinhashK)
+
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(t(s, dir, "documents"))
+
+  // --- similarity search ----------------------------------------------
+
+  def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Vectors.cosineTopK(emb, emb.filter(col("vec_id") < 5), 10)
+  }
+
+  def annLsh(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"),
+      Vectors.lshBucket(Vectors.toDouble(col("embedding")), 8, 64)
+        .as("bucket"))
+
+  def annTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Vectors.annTopK(emb, emb.filter(col("vec_id") < 5), 5, 4, 64)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_count" -> (tokenCount _),
+    "q_text_quality" -> (textQuality _),
+    "q_lang_id" -> (langId _),
+    "q_fingerprint" -> (fingerprint _),
+    "q_multimodal_meta" -> (multimodalMeta _),
+    "q_dedup_exact" -> (dedupExact _),
+    "q_jaccard_pairs" -> (jaccardPairs _),
+    "q_minhash_sig" -> (minhashSig _),
+    "q_dedup_fuzzy" -> (dedupFuzzy _),
+    "q_simhash" -> (simhash _),
+    "q_cosine_topk" -> (cosineTopK _),
+    "q_ann_lsh" -> (annLsh _),
+    "q_ann_topk" -> (annTopK _))
+
+  // --- oracles ---------------------------------------------------------
+
+  /** Portable 60-bit md5 hash in DuckDB. */
+  private def h60Sql(x: String): String =
+    s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+
+  /** Distinct 5-gram shingle CTE body. */
+  private val ShinglesCte =
+    """sh AS (SELECT doc_id, list_distinct([substr(text, i, 5)
+      |  for i in generate_series(1, greatest(len(text)-4, 0))]) AS s
+      |  FROM documents)""".stripMargin
+
+  private def minhashSql(i: Int): String = {
+    val (a, b) = (Dedup.hashA(i), Dedup.hashB(i))
+    s"""coalesce(list_min(list_transform(s,
+       |  x -> ($a * (${h60Sql("x")} % 2147483647) + $b) % 2147483647)),
+       |  2147483647) AS mh_$i""".stripMargin
+  }
+
+  /** Sequential left-fold dot product over 1-based DuckDB lists. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce([$a[i+1] * $b[i+1]
+       |  for i in generate_series(0, 63)], (x, y) -> x + y)""".stripMargin
+
+  private def planeSql(i: Int): String =
+    s"CAST((${i}*64 + d) * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 - 0.5"
+
+  private def bucketSql(v: String): String =
+    (0 until 8).map { i =>
+      s"""CASE WHEN list_reduce([$v[d+1] * (${planeSql(i)})
+         |  for d in generate_series(0, 63)], (x, y) -> x + y) > 0.0
+         |  THEN ${1L << i} ELSE 0 END""".stripMargin
+    }.mkString("(", " + ", ")")
+
+  private def bucket4Sql(v: String): String =
+    (0 until 4).map { i =>
+      s"""CASE WHEN list_reduce([$v[d+1] * (${planeSql(i)})
+         |  for d in generate_series(0, 63)], (x, y) -> x + y) > 0.0
+         |  THEN ${1L << i} ELSE 0 END""".stripMargin
+    }.mkString("(", " + ", ")")
+
+  val oracles: Map[String, String] = Map(
+    "q_token_count" ->
+      """SELECT doc_id, len(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens
+         FROM documents""",
+    "q_text_quality" ->
+      """SELECT doc_id, len(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(len(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) /
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
+           CAST(len(list_filter(string_split(text, ' '),
+             x -> x = 'the' OR x = 'a')) AS DOUBLE) /
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
+         FROM documents""",
+    "q_lang_id" ->
+      """WITH s AS (
+           SELECT doc_id,
+             len(list_filter(string_split(text, ' '),
+               x -> x = 'the' OR x = 'a')) AS score_en,
+             len(list_filter(string_split(text, ' '),
+               x -> x = 'der' OR x = 'die')) AS score_de,
+             len(list_filter(string_split(text, ' '),
+               x -> x = 'el' OR x = 'la')) AS score_es,
+             len(list_filter(string_split(text, ' '),
+               x -> x = 'le' OR x = 'les')) AS score_fr
+           FROM documents)
+         SELECT doc_id, score_en, score_de, score_es, score_fr,
+           CASE WHEN greatest(score_en, score_de, score_es, score_fr) = 0
+                  THEN 'und'
+                WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+                WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
+                WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+                ELSE 'fr' END AS predicted
+         FROM s""",
+    "q_fingerprint" ->
+      s"""SELECT doc_id, md5(lower(text)) AS fp,
+            ${h60Sql("lower(text)")} AS h60
+          FROM documents""",
+    "q_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5
+         FROM documents""",
+    "q_dedup_exact" ->
+      """WITH dup AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0)
+         SELECT md5(lower(text)) AS fp, min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+         FROM dup GROUP BY 1""",
+    "q_jaccard_pairs" ->
+      s"""WITH $ShinglesCte,
+          inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+          pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM inv a JOIN inv b
+              ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+          SELECT doc_a, doc_b,
+            CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+          FROM pairs
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5""",
+    "q_minhash_sig" ->
+      s"""WITH $ShinglesCte
+          SELECT doc_id,
+            ${(0 until MinhashK).map(minhashSql).mkString(", ")}
+          FROM sh""",
+    "q_dedup_fuzzy" ->
+      s"""WITH $ShinglesCte,
+          sig AS (SELECT doc_id,
+            ${(0 until MinhashK).map(minhashSql).mkString(", ")}
+            FROM sh),
+          bands AS (
+            ${(0 until MinhashK / 2).map(j =>
+              s"SELECT doc_id, $j AS band, mh_${2 * j} * 2147483647 + mh_${2 * j + 1} AS bsig FROM sig")
+              .mkString(" UNION ALL ")}),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bsig = b.bsig
+                AND a.doc_id < b.doc_id),
+          scored AS (
+            SELECT doc_a, doc_b,
+              len(list_intersect(sa.s, sb.s)) AS inter,
+              len(sa.s) AS n_a, len(sb.s) AS n_b
+            FROM cand
+            JOIN sh sa ON sa.doc_id = doc_a
+            JOIN sh sb ON sb.doc_id = doc_b)
+          SELECT doc_a, doc_b,
+            CAST(inter AS DOUBLE) / (n_a + n_b - inter) AS jaccard
+          FROM scored
+          WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.5""",
+    "q_simhash" ->
+      s"""WITH toks AS (
+            SELECT doc_id, ${h60Sql("t")} AS h
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                  FROM documents)),
+          v AS (SELECT doc_id,
+            ${(0 until 28).map(b =>
+              s"sum((((h >> $b) % 2) * 2) - 1) AS v_$b").mkString(", ")}
+            FROM toks GROUP BY doc_id)
+          SELECT doc_id, CAST(${(0 until 28).map(b =>
+            s"CASE WHEN v_$b > 0 THEN ${1L << b} ELSE 0 END")
+            .mkString(" + ")} AS BIGINT) AS simhash
+          FROM v""",
+    "q_cosine_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+          scored AS (
+            SELECT query_id, vec_id,
+              round(${dotSql("qe", "e")} /
+                (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("e", "e")})),
+                6) AS cos
+            FROM v, q WHERE vec_id <> query_id),
+          r AS (SELECT query_id, vec_id, cos,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) AS rank
+            FROM scored)
+          SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 10""",
+    "q_ann_lsh" ->
+      s"""SELECT vec_id, ${bucketSql("e")} AS bucket
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)""",
+    "q_ann_topk" ->
+      s"""WITH v AS (SELECT vec_id, e, ${bucket4Sql("e")} AS bucket
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)),
+          q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM v
+            WHERE vec_id < 5),
+          scored AS (
+            SELECT query_id, vec_id,
+              round(${dotSql("qe", "e")} /
+                (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("e", "e")})),
+                6) AS cos
+            FROM v JOIN q USING (bucket) WHERE vec_id <> query_id),
+          r AS (SELECT query_id, vec_id, cos,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) AS rank
+            FROM scored)
+          SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5"""
+  ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
+}

@@ -1,0 +1,164 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Deduplication operators for training-data pipelines, all designed
+  * for the 100 TB regime:
+  *
+  *  - exact: hash-groupBy on a content fingerprint — one shuffle on the
+  *    md5 key, no driver-side state.
+  *  - n-gram Jaccard: inverted-index self-join on shingles (explode →
+  *    join on shingle → pair-count). Exact, and scales as the classic
+  *    candidate-pair join; a true O(n²) all-pairs comparison is never
+  *    materialized — only pairs sharing ≥1 shingle meet.
+  *  - MinHash + LSH: k portable hash functions over shingles (array
+  *    `transform` + `array_min`, zero UDFs), banded into b buckets;
+  *    candidate pairs meet only inside a bucket (the standard
+  *    shingle→minhash→band→bucket-join pipeline). Verification with
+  *    exact Jaccard happens only on candidates.
+  *  - SimHash: term-frequency-weighted bit votes via explode +
+  *    one hash-aggregate per document.
+  *
+  * All hashes derive from md5 (TextAnalysis.hash60) so results are
+  * engine-portable and oracle-checkable.
+  */
+object Dedup {
+
+  /** MinHash parameters: k permutations `(a_i·h + b_i) mod p` over the
+    * 60-bit content hash reduced mod p (p = 2^31 − 1, prime). All
+    * arithmetic stays < 2^62 — exact in any 64-bit engine.
+    */
+  val P: Long = 2147483647L
+  def hashA(i: Int): Long = 2L * i + 3L
+  def hashB(i: Int): Long = 101L * i + 17L
+
+  /** Exact dedup: group by fingerprint, keep the minimal doc id as the
+    * canonical representative plus the duplicate count. Deterministic
+    * (unlike bare `dropDuplicates`, whose surviving row is arbitrary).
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame =
+    docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).cast("long").as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Distinct-shingle sets per document (the Jaccard universe). */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      array_distinct(TextAnalysis.shingles(col(textCol), n)).as("sh"))
+
+  /** Exact n-gram Jaccard near-duplicate pairs via inverted-index join:
+    * explode distinct shingles, self-join on the shingle, count common
+    * shingles per (a,b) pair, then `J = |∩| / (|a| + |b| − |∩|)`.
+    * Emits pairs with `J ≥ threshold`, `doc_a < doc_b`.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   n: Int = 5): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val sizes = sets.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val inv = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+    val pairs = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a",
+        "n_sh" -> "n_a")), "doc_a")
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b",
+        "n_sh" -> "n_b")), "doc_b")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"),
+        col("jaccard"))
+  }
+
+  /** One MinHash value: `min over shingles of (a·(h60(s) mod p) + b) mod p`.
+    * Empty shingle set → p (sentinel larger than any hash).
+    */
+  def minhashCol(sh: Column, i: Int): Column = {
+    val mapped = transform(sh, s =>
+      (lit(hashA(i)) * (TextAnalysis.hash60(s) % P) + hashB(i)) % P)
+    coalesce(array_min(mapped), lit(P)).cast("long")
+  }
+
+  /** MinHash signatures: doc_id + k minhash columns `mh_0..mh_{k-1}`. */
+  def minhashSignatures(docs: DataFrame, k: Int,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        n: Int = 5): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val cols = col("doc_id") +:
+      (0 until k).map(i => minhashCol(col("sh"), i).as(s"mh_$i"))
+    sets.select(cols: _*)
+  }
+
+  /** LSH banding: rows of r minhashes each; a pair is a candidate iff
+    * it agrees on ALL r values of at least one band. Band signature is
+    * packed into one long (`mh_{rj}·p + mh_{rj+1}` for r = 2 —
+    * < 2^62, exact).
+    */
+  def lshCandidates(sig: DataFrame, k: Int, r: Int = 2): DataFrame = {
+    require(k % r == 0, s"k=$k must be divisible by band width r=$r")
+    val bands = (0 until k / r).map { j =>
+      val packed = (0 until r)
+        .map(o => col(s"mh_${j * r + o}"))
+        .reduce((a, b) => a * P + b)
+      sig.select(col("doc_id"), lit(j).as("band"), packed.as("bsig"))
+    }.reduce(_ unionByName _)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Fuzzy dedup, end to end: MinHash-LSH candidates verified with
+    * exact Jaccard — the 100 TB path (only same-bucket pairs are ever
+    * compared; LSH recall is tunable via k and r).
+    */
+  def fuzzy(docs: DataFrame, threshold: Double, k: Int = 8, r: Int = 2,
+            idCol: String = "doc_id", textCol: String = "text",
+            n: Int = 5): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val sizes = sets.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val cand = lshCandidates(minhashSignatures(docs, k, idCol, textCol, n),
+      k, r)
+    // exact Jaccard only on candidates: |∩| via array_intersect after a
+    // broadcast-friendly join back to the shingle sets
+    cand
+      .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")),
+        "doc_a")
+      .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")),
+        "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"),
+        col("jaccard"))
+  }
+
+  /** SimHash (term-frequency-weighted, `bits`-bit, default 28 so the
+    * per-bit extraction stays in exact integer range): explode tokens,
+    * one hash-aggregate per doc summing ±1 votes per bit, then pack.
+    * One shuffle on doc_id.
+    */
+  def simhash(docs: DataFrame, bits: Int = 28, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", TextAnalysis.hash60(col("tok")))
+    val votes = (0 until bits).map { b =>
+      sum(shiftright(col("h"), b) % 2 * 2 - 1).as(s"v_$b")
+    }
+    val packed = (0 until bits).map { b =>
+      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, document
+  * fingerprinting, shingling, and portable content hashing.
+  *
+  * Everything is built from codegen'd built-in expressions (split /
+  * higher-order functions / md5) — no UDFs — so a 100 TB corpus scan
+  * stays a single whole-stage-codegen pass with full column pruning.
+  *
+  * Cross-engine determinism: content hashes are derived from md5 hex
+  * (bit-identical everywhere) rather than engine-private hash functions
+  * (Spark xxhash64 / DuckDB hash), so oracle checks can reproduce them.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (single-space corpus convention). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Portable 60-bit content hash: first 15 hex chars of md5, as long.
+    * Max value 16^15−1 < 2^60 — no sign/overflow issues in any engine.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Lower-cased md5 document fingerprint (exact-dedup key). */
+  def fingerprint(text: Column): Column = md5(lower(text))
+
+  /** Character n-gram shingles (default 5-gram), as an array column.
+    * `sequence` + `transform` keep it inside codegen; empty array for
+    * texts shorter than n.
+    */
+  def shingles(text: Column, n: Int = 5): Column = {
+    val t = text.cast("string")
+    transform(
+      sequence(lit(1), greatest(length(t) - (n - 1), lit(0))),
+      i => substring(t, i, lit(n)))
+  }
+
+  /** Token-level quality metrics: character count, token count, average
+    * token length, ratio of tokens found in `stopwords`.
+    */
+  def qualityMetrics(text: Column,
+                     stopwords: Seq[String]): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTokens = size(toks)
+    val sw = stopwords.map(lit(_))
+    val nStop = size(filter(toks, t => sw.map(t === _).reduce(_ || _)))
+    Seq(
+      "n_chars" -> length(text).cast("long"),
+      "n_tokens" -> nTokens.cast("long"),
+      "avg_token_len" ->
+        (length(regexp_replace(text, " ", "")).cast("double") /
+          nTokens.cast("double")),
+      "stopword_ratio" ->
+        (nStop.cast("double") / nTokens.cast("double")))
+  }
+
+  /** Marker-word language-ID heuristic: count hits per language's
+    * marker set; predict the first language (in `markers` order) with
+    * the maximal count, 'und' when all counts are zero. Deterministic
+    * priority order makes ties reproducible.
+    */
+  def langScores(text: Column,
+                 markers: Seq[(String, Seq[String])]): Seq[(String, Column)] =
+    markers.map { case (lang, words) =>
+      val toks = tokens(text)
+      val ws = words.map(lit(_))
+      s"score_$lang" ->
+        size(filter(toks, t => ws.map(t === _).reduce(_ || _))).cast("long")
+    }
+
+  def langPredict(scores: Seq[(String, Column)]): Column = {
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((name, score), els) =>
+      when(score === maxScore && maxScore > 0,
+        lit(name.stripPrefix("score_"))).otherwise(els)
+    }
+  }
+}

@@ -1,0 +1,98 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`), built on
+  * higher-order functions — zero UDFs, so the distance math inlines
+  * into whole-stage codegen.
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set
+  * against the corpus — a map-only scan, no shuffle, linear in corpus
+  * size. The LSH path buckets vectors by random-hyperplane signs so
+  * candidate generation is a bucket-equi-join (shuffle on a narrow key)
+  * instead of an O(n·q) scan; at 100 TB only the bucketed variant runs.
+  */
+object Vectors {
+
+  /** float[] → double[] up front, so every subsequent fold is pure
+    * double arithmetic (deterministic and oracle-reproducible).
+    */
+  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential-fold dot product (left-to-right, bit-deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity of two double[] columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self excluded). Queries are broadcast; ranking is
+    * one window per query partition. `cos` is rounded to 6 decimals so
+    * independent engines rank identically.
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("v"))
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component: plane i,
+    * dimension d → a double in [−0.5, 0.5). Pure integer arithmetic
+    * (Knuth multiplicative hash mod a prime) so any engine reproduces
+    * it exactly. All intermediates < 2^62.
+    */
+  def hyperplane(i: Int, dims: Int): Column =
+    transform(sequence(lit(0), lit(dims - 1)), d =>
+      ((lit(i.toLong * dims) + d) * 2654435761L % 1000003L)
+        .cast("double") / 1000003.0 - 0.5)
+
+  /** Random-hyperplane LSH bucket id: bit i set iff dot(v, plane_i) > 0.
+    * Vectors in the same bucket are ANN candidates.
+    */
+  def lshBucket(v: Column, planes: Int, dims: Int): Column =
+    (0 until planes).map { i =>
+      when(dot(v, hyperplane(i, dims)) > 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucketed ANN top-k: same output shape as [[cosineTopK]] but only
+    * same-bucket pairs are scored — the scale path.
+    */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int,
+              dims: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes, dims))
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), planes, dims))
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+}
