@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.functions.Fresco
+import graft.io.Sinks
+import graft.multimodal.Multimodal
+import graft.streaming.Streams
+
+/** Sink, streaming, and multimodal queries (SURVEY.md §2.1/§2.9 +
+  * LLM-pipeline extensions). Sink queries write to a scratch dir then
+  * read back, so the oracle checks the full write→read contract.
+  */
+private[graft] object QueriesIo {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def scratch(dir: String, name: String): String =
+    s"/tmp/graft_${name}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+
+  private def tableName(dir: String, name: String): String =
+    s"${name}_${math.abs(dir.hashCode).toString}"
+
+  // --- sinks -----------------------------------------------------------
+
+  /** S9/S10/A1/T4: month-partitioned parquet sink, read back. */
+  def partitionedSink(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "part_sink")
+    val df = events(s, dir).select(col("event_id"), col("value"),
+      Fresco.monthKey(col("ts")).as("ym"))
+    Sinks.writePartitioned(df, path, Seq("ym"))
+    s.read.parquet(path).select("event_id", "value", "ym")
+  }
+
+  /** S11: monthly merge+dedup sink — two overlapping batches, result
+    * must be the exact distinct union.
+    */
+  def mergeDedupSink(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "merge_sink")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val all = events(s, dir).select(col("event_id"), col("event_type"),
+      col("value"), Fresco.monthKey(col("ts")).as("ym"),
+      dayofmonth(col("ts")).as("day"))
+    val batch1 = all.filter(col("day") <= 15).drop("day")
+    val batch2 = all.filter(col("day") >= 10).drop("day")
+    Sinks.mergeDedup(s, batch1, path, "ym")
+    Sinks.mergeDedup(s, batch2, path, "ym")
+    s.read.parquet(path).select("event_id", "event_type", "value", "ym")
+  }
+
+  /** S5: record-count-bounded parquet split, read back losslessly. */
+  def splitSink(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "split_sink")
+    Sinks.writeParquetSplit(
+      events(s, dir).select("event_id", "value"), path, 1000L)
+    s.read.parquet(path).select("event_id", "value")
+  }
+
+  // --- streaming -------------------------------------------------------
+
+  /** T1/T7: watermarked tumbling-window streaming aggregation
+    * (AvailableNow catch-up over the file source, memory sink).
+    */
+  def streamTumbling(s: SparkSession, dir: String): DataFrame =
+    Streams.runToTable(
+      Streams.tumblingAgg(Streams.eventsStream(s, dir)),
+      tableName(dir, "strm_tumbling"), OutputMode.Complete())
+
+  /** Sliding-window variant (12 h / 6 h). */
+  def streamSliding(s: SparkSession, dir: String): DataFrame =
+    Streams.runToTable(
+      Streams.slidingAgg(Streams.eventsStream(s, dir)),
+      tableName(dir, "strm_sliding"), OutputMode.Complete())
+
+  /** Stateful per-user streaming aggregate. */
+  def streamUserStats(s: SparkSession, dir: String): DataFrame =
+    Streams.runToTable(
+      Streams.userStats(Streams.eventsStream(s, dir)),
+      tableName(dir, "strm_user"), OutputMode.Complete())
+
+  // --- multimodal ------------------------------------------------------
+
+  /** Binary payload + per-partition (stub) decode to typed metadata. */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMeta(
+      Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text"))
+
+  /** Frame-sampling plumbing: every 7th of 30 synthetic frames. */
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text"),
+      nFrames = 30, step = 7)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_partitioned_sink" -> (partitionedSink _),
+    "q_merge_dedup_sink" -> (mergeDedupSink _),
+    "q_split_sink" -> (splitSink _),
+    "q_stream_tumbling" -> (streamTumbling _),
+    "q_stream_sliding" -> (streamSliding _),
+    "q_stream_user_stats" -> (streamUserStats _),
+    "q_media_meta" -> (mediaMeta _),
+    "q_frame_sample" -> (frameSample _))
+
+  val oracles: Map[String, String] = Map(
+    "q_partitioned_sink" ->
+      """SELECT event_id, value, strftime(ts, '%Y_%m') AS ym FROM events""",
+    "q_merge_dedup_sink" ->
+      """SELECT DISTINCT event_id, event_type, value,
+           strftime(ts, '%Y_%m') AS ym
+         FROM events""",
+    "q_split_sink" ->
+      "SELECT event_id, value FROM events",
+    "q_stream_tumbling" ->
+      """WITH b AS (
+           SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP))
+                    // 21600000000) * 21600000000) AS w_start,
+                  event_type,
+                  CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+           FROM events)
+         SELECT w_start, w_start + INTERVAL 6 HOUR AS w_end, event_type,
+                count(*) AS n, sum(cents) AS sum_cents
+         FROM b GROUP BY 1, 2, 3""",
+    "q_stream_sliding" ->
+      """WITH b AS (
+           SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP))
+                    // 21600000000) * 21600000000
+                    - k * 21600000000) AS w_start,
+                  event_type
+           FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+         SELECT w_start, w_start + INTERVAL 12 HOUR AS w_end, event_type,
+                count(*) AS n
+         FROM b GROUP BY 1, 2, 3""",
+    "q_stream_user_stats" ->
+      """SELECT user_id, count(*) AS n,
+           max(CAST(round(value * 100.0, 0) AS BIGINT)) AS max_cents
+         FROM events GROUP BY 1""",
+    "q_media_meta" ->
+      """SELECT doc_id AS media_id,
+           CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'jpeg'
+                WHEN octet_length(encode(text)) % 3 = 1 THEN 'png'
+                ELSE 'webp' END AS format,
+           CAST(16 + octet_length(encode(text)) % 640 AS INT) AS width,
+           CAST(16 + (octet_length(encode(text)) // 7) % 480 AS INT)
+             AS height,
+           octet_length(encode(text)) AS n_bytes
+         FROM documents""",
+    "q_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_no
+         FROM documents
+         CROSS JOIN (SELECT unnest([0, 7, 14, 21, 28]) AS f)"""
+  ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
+}

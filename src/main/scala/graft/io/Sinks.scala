@@ -1,0 +1,81 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Readers and sinks re-expressing the reference's IO surface
+  * (SURVEY.md §2.1) in Spark's partition-directory idiom:
+  *
+  *  - S1/S2: permissive all-string CSV scan + column-wise coercion
+  *    (never `inferSchema`; the reference's semantics are "strings
+  *    first, null-on-error coercion")
+  *  - S5: splitter via `maxRecordsPerFile` (no custom chunking code)
+  *  - S9: snappy parquet sink (Spark default codec)
+  *  - S10/A1/A2: partitioned append/overwrite sinks — directory-per-key
+  *    replaces the reference's append-to-single-file
+  *  - S11: monthly merge + dedup — union + dropDuplicates + dynamic
+  *    partition overwrite
+  *  - T4: idempotent month rerun via dynamic partition overwrite (only
+  *    the partitions present in the new data are replaced)
+  */
+object Sinks {
+
+  /** S1/S2 — conte-etl-step-2-processor.py:1196-1302: read CSV with an
+    * explicit all-StringType schema, PERMISSIVE mode; caller casts.
+    */
+  def readCsvAllString(spark: SparkSession, path: String,
+                       columns: Seq[String]): DataFrame =
+    spark.read
+      .schema(StructType(columns.map(StructField(_, StringType,
+        nullable = true))))
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("encoding", "ISO-8859-1") // S1: latin1 accepts any byte
+      .csv(path)
+
+  /** S5 — utils/split_parquet_files_to_smaller_files.py:47-143: bound
+    * output file size by record count; Spark does the chunking.
+    */
+  def writeParquetSplit(df: DataFrame, path: String,
+                        maxRecordsPerFile: Long): Unit =
+    df.write.option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite").parquet(path)
+
+  /** S9/S10/A1/A2 + T4 — partitioned sink with dynamic overwrite:
+    * rerunning a month replaces exactly that month's partitions
+    * (conte-etl-step-2-processor.py:363-368's skip-if-exists, made
+    * idempotent instead of skipped).
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** S11 — transform_conte_ts_data.py:1032-1049: merge new rows into an
+    * existing monthly store with dedup. Union + dropDuplicates + dynamic
+    * partition overwrite of only the touched months.
+    */
+  def mergeDedup(spark: SparkSession, incoming: DataFrame, path: String,
+                 partitionCol: String): Unit = {
+    val merged =
+      if (new java.io.File(path).exists()) {
+        val existing = spark.read.parquet(path)
+        // only months present in the incoming batch are rewritten;
+        // restrict the union to those partitions (partition pruning
+        // keeps the read cheap at scale)
+        val touched = incoming.select(partitionCol).distinct()
+        existing.join(broadcast(touched), Seq(partitionCol), "left_semi")
+          .unionByName(incoming).dropDuplicates()
+      } else incoming.dropDuplicates()
+    writePartitioned(merged, path, Seq(partitionCol))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for training-data pipelines: media
+  * payloads ride as opaque `binary` columns with a typed metadata
+  * struct; decode / feature-extraction runs per-partition so a real
+  * codec library would be initialized once per task, not per row.
+  *
+  * The actual byte decoding is a STUB — image/audio codecs are not in
+  * this environment — replaced by a deterministic fake that derives
+  * plausible metadata from the byte stream. Everything around it
+  * (schema, partitioning, batch iteration, frame-sampling shape) is
+  * real Spark plumbing a codec drop-in would inherit unchanged.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to every payload. */
+  val MediaMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType), StructField("width", IntegerType),
+    StructField("height", IntegerType), StructField("n_bytes", LongType)))
+
+  /** Wrap a text/binary source as (id, payload) media rows. */
+  def attachPayload(df: DataFrame, idCol: String,
+                    contentCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      encode(col(contentCol).cast("string"), "UTF-8").as("payload"))
+
+  /** STUB decoder — deterministic fake standing in for an image codec.
+    * A real implementation would replace `fakeDecode` with e.g. a JNI
+    * JPEG decode; the mapPartitions batching, output schema, and
+    * per-task amortization are what matters to the pipeline.
+    */
+  private def fakeDecode(payload: Array[Byte]): (String, Int, Int, Long) = {
+    val n = payload.length
+    // ??? real codec goes here; fake derives metadata from content
+    val fmt = if (n % 3 == 0) "jpeg" else if (n % 3 == 1) "png" else "webp"
+    val width = 16 + (n % 640)
+    val height = 16 + ((n / 7) % 480)
+    (fmt, width, height, n.toLong)
+  }
+
+  private val DecodedSchema = StructType(
+    StructField("media_id", LongType) +: MediaMetaSchema.fields.toSeq)
+
+  /** Decode payloads per-partition into the typed metadata schema. */
+  def decodeMeta(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(DecodedSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      // per-task codec init would happen here, once
+      rows.map { r =>
+        val (fmt, w, h, n) = fakeDecode(r.getAs[Array[Byte]]("payload"))
+        Row(r.getLong(0), fmt, w, h, n)
+      }
+    }(enc)
+  }
+
+  /** Frame-sampling shape: emit every `step`-th synthetic frame index
+    * per media row (a video decoder would emit real frame payloads).
+    * posexplode keeps (media, frame_no) lineage for downstream joins.
+    */
+  def sampleFrames(media: DataFrame, nFrames: Int, step: Int): DataFrame =
+    media.select(col("media_id"),
+        posexplode(sequence(lit(0), lit(nFrames - 1), lit(step)))
+          .as(Seq("pos", "frame_no")))
+      .select(col("media_id"), col("frame_no").cast("long").as("frame_no"))
+}

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.9): the reference's
+  * polling/signal-file incremental semantics (T1–T7) restated as file
+  * source + checkpoint + watermark.
+  *
+  *  - T1 (directory polling): `readStream` file source with
+  *    `Trigger.AvailableNow` — catch-up batch over whatever arrived.
+  *  - T3 (processed-set idempotency): the file-source checkpoint tracks
+  *    consumed files; no JSON tracker.
+  *  - T6 (backpressure): `maxFilesPerTrigger`.
+  *  - T7 (late data): `withWatermark` bounds state; the reference
+  *    silently drops out-of-interval samples, a watermark drops
+  *    out-of-window ones.
+  *
+  * All sinks here are memory tables (driver-side correctness checks at
+  * sf0.01); production would `writeStream.format("parquet")` with the
+  * same plans.
+  */
+object Streams {
+
+  /** events.parquet schema for the streaming source (TIMESTAMP(NANOS)
+    * read as long via the legacy conf, converted after load).
+    */
+  private val EventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over the events table. The file source needs a
+    * directory (arriving-files semantics), so the single test file is
+    * staged into a scratch dir once.
+    */
+  def eventsStream(spark: SparkSession, dir: String,
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val reader = spark.readStream.schema(EventsRawSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n)) // T6
+    reader.parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming DataFrame to completion (AvailableNow) into a
+    * memory sink and return the result table.
+    */
+  def runToTable(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** T7: watermarked tumbling-window aggregation (6 h windows, 1 h
+    * watermark). Value sums are exact integer cents so results are
+    * engine-portable.
+    */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100.0, 0).cast("long")).as("sum_cents"))
+      .select(col("window.start").as("w_start"),
+        col("window.end").as("w_end"), col("event_type"), col("n"),
+        col("sum_cents"))
+
+  /** Sliding-window variant (12 h window, 6 h slide): each event lands
+    * in exactly two windows.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "12 hours", "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"),
+        col("window.end").as("w_end"), col("event_type"), col("n"))
+
+  /** Stateful per-user aggregate via streaming state (complete mode):
+    * running max/count per user.
+    */
+  def userStats(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        max(round(col("value") * 100.0, 0).cast("long")).as("max_cents"))
+
+  /** Custom-state operator (T2/T3-style dedup-and-track semantics):
+    * mapGroupsWithState keeping a running (count, maxCents) per user.
+    * Exercised by the test suite; production streams would emit updates
+    * per micro-batch.
+    */
+  def userStatsCustomState(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"),
+        round(col("value") * 100.0, 0).cast("long").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          val (n0, m0) = state.getOption.getOrElse((0L, Long.MinValue))
+          var n = n0; var m = m0
+          rows.foreach { case (_, c) => n += 1; if (c > m) m = c }
+          state.update((n, m))
+          (user, n, m)
+      }
+      .toDF("user_id", "n", "max_cents")
+  }
+}
