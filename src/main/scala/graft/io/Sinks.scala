@@ -21,8 +21,16 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object Sinks {
 
+  /** The reference's `errors='coerce'` semantics: malformed values
+    * become null instead of failing the job (Spark 4 ANSI mode would
+    * throw on a plain cast).
+    */
+  def coerce(c: org.apache.spark.sql.Column, to: String):
+      org.apache.spark.sql.Column = c.try_cast(to)
+
   /** S1/S2 — conte-etl-step-2-processor.py:1196-1302: read CSV with an
-    * explicit all-StringType schema, PERMISSIVE mode; caller casts.
+    * explicit all-StringType schema, PERMISSIVE mode; caller casts
+    * (via [[coerce]] for null-on-error columns).
     */
   def readCsvAllString(spark: SparkSession, path: String,
                        columns: Seq[String]): DataFrame =

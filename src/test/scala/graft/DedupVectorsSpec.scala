@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.similarity.Vectors
+
+/** Invariants for dedup + similarity operators. */
+class DedupVectorsSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+      (2L, "the quick brown fox jumps over the lazy cat"), // near dup
+      (3L, "completely different content with other words"),
+      (4L, "the quick brown fox jumps over the lazy dog")) // exact dup of 0
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup: canonical id is min, copies counted") {
+    val r = Dedup.exact(docs).collect()
+      .map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(r(0L) === 3L, "doc 0/1/4 collapse to canonical 0 with 3 copies")
+    assert(r(2L) === 1L && r(3L) === 1L)
+  }
+
+  test("jaccard pairs: identical docs have J=1; threshold respected") {
+    val pairs = Dedup.jaccardPairs(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    assert(pairs((0L, 4L)) === 1.0)
+    assert(pairs.contains((0L, 2L)), "near-dup above threshold")
+    assert(pairs.values.forall(_ >= 0.5))
+    assert(pairs.keys.forall { case (a, b) => a < b })
+    assert(!pairs.keys.exists { case (a, b) => b == 3L || a == 3L },
+      "unrelated doc never pairs")
+  }
+
+  test("minhash: identical docs get identical signatures") {
+    val sig = Dedup.minhashSignatures(docs, 8).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    assert(sig(0L) === sig(1L))
+    assert(sig(0L) === sig(4L))
+    assert(sig(0L) !== sig(3L))
+  }
+
+  test("fuzzy dedup: subset of exact jaccard pairs, finds exact dups") {
+    val exact = Dedup.jaccardPairs(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fuzzy = Dedup.fuzzy(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fuzzy.subsetOf(exact), "LSH candidates verified by true Jaccard")
+    assert(fuzzy.contains((0L, 1L)), "identical docs always collide in LSH")
+  }
+
+  test("simhash: identical docs equal, near dups close in Hamming") {
+    val sh = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) === sh(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(2L)) < hamming(sh(0L), sh(3L)),
+      "near dup closer than unrelated doc")
+  }
+
+  private lazy val vecs = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)), // identical to 0
+      (2L, Array(0.9f, 0.1f, 0.0f)), // close to 0
+      (3L, Array(0.0f, 0.0f, 1.0f))) // orthogonal to 0
+      .toDF("vec_id", "embedding")
+  }
+
+  test("cosine top-k: identical vector ranks first, orthogonal last") {
+    val r = Vectors.cosineTopK(vecs, vecs.filter(col("vec_id") === 0), 3)
+      .collect().sortBy(_.getAs[Long]("rank"))
+    assert(r.map(_.getAs[Long]("vec_id")).toSeq === Seq(1L, 2L, 3L))
+    assert(r.head.getAs[Double]("cos") === 1.0)
+    assert(r.last.getAs[Double]("cos") === 0.0)
+  }
+
+  test("lsh buckets: identical vectors land in the same bucket") {
+    val b = vecs.select(col("vec_id"),
+      Vectors.lshBucket(Vectors.toDouble(col("embedding")), 8, 3)
+        .as("bucket")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) === b(1L))
+  }
+
+  test("ann top-k: same-bucket identical vector is retrieved") {
+    val r = Vectors.annTopK(vecs, vecs.filter(col("vec_id") === 0), 2,
+      planes = 4, dims = 3).collect()
+    assert(r.map(_.getAs[Long]("vec_id")).contains(1L))
+  }
+}

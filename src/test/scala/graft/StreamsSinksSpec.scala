@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.io.Sinks
+import graft.streaming.Streams
+
+/** Streaming-vs-batch equivalence and sink behavior. */
+class StreamsSinksSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def batchEvents = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  test("streaming tumbling agg == batch equivalent") {
+    val streamed = Streams.runToTable(
+      Streams.tumblingAgg(Streams.eventsStream(spark, sfDir)),
+      "spec_tumbling", OutputMode.Complete())
+    val batch = Streams.tumblingAgg(batchEvents)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("mapGroupsWithState custom state == batch groupBy") {
+    val streamed = Streams.runToTable(
+      Streams.userStatsCustomState(Streams.eventsStream(spark, sfDir)),
+      "spec_custom_state", OutputMode.Update())
+    val batch = Streams.userStats(batchEvents)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("writeParquetSplit bounds records per file") {
+    val dir = Files.createTempDirectory("graft_split").toString
+    Sinks.writeParquetSplit(batchEvents.select("event_id"), dir, 100L)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 10, s"1000 rows / 100 per file: ${files.length}")
+    assert(spark.read.parquet(dir).count() === 1000)
+  }
+
+  test("writePartitioned: dynamic overwrite touches only present months") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dyn").toString
+    val v1 = Seq((1L, "2024_01"), (2L, "2024_02")).toDF("id", "ym")
+    Sinks.writePartitioned(v1, dir, Seq("ym"))
+    // rerun with only January data changed
+    val v2 = Seq((10L, "2024_01")).toDF("id", "ym")
+    Sinks.writePartitioned(v2, dir, Seq("ym"))
+    val back = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[String]("ym") -> r.getAs[Long]("id")).toMap
+    assert(back === Map("2024_01" -> 10L, "2024_02" -> 2L),
+      "February partition must survive the January rerun")
+  }
+
+  test("mergeDedup: overlapping batches yield the distinct union") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_merge").toString + "/store"
+    val b1 = Seq((1L, "2024_01"), (2L, "2024_01")).toDF("id", "ym")
+    val b2 = Seq((2L, "2024_01"), (3L, "2024_01")).toDF("id", "ym")
+    Sinks.mergeDedup(spark, b1, dir, "ym")
+    Sinks.mergeDedup(spark, b2, dir, "ym")
+    val ids = spark.read.parquet(dir).select("id").collect()
+      .map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("readCsvAllString: permissive strings-first read, null-on-coerce") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_csv").toString
+    Seq(("1", "x"), ("notanumber", "y")).toDF("a", "b")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val back = Sinks.readCsvAllString(spark, dir, Seq("a", "b"))
+      .select(Sinks.coerce(col("a"), "long").as("a"), col("b"))
+    val rows = back.collect().map(r =>
+      (if (r.isNullAt(0)) null else r.getLong(0), r.getString(1))).toSet
+    assert(rows === Set((1L, "x"), (null, "y")),
+      "bad numerics coerce to null, row is kept")
+  }
+}
