@@ -119,11 +119,13 @@ private[graft] object QueriesLlm {
   private def h60Sql(x: String): String =
     s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
 
-  /** Distinct 5-gram shingle CTE body. */
+  /** Distinct word-trigram shingle CTE body. */
   private val ShinglesCte =
-    """sh AS (SELECT doc_id, list_distinct([substr(text, i, 5)
-      |  for i in generate_series(1, greatest(len(text)-4, 0))]) AS s
-      |  FROM documents)""".stripMargin
+    """sh AS (SELECT doc_id, list_distinct(
+      |  [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |   for i in generate_series(1, greatest(len(w)-2, 0))]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+      |        FROM documents))""".stripMargin
 
   private def minhashSql(i: Int): String = {
     val (a, b) = (Dedup.hashA(i), Dedup.hashB(i))

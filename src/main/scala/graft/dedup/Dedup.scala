@@ -9,10 +9,9 @@ import graft.functions.TextAnalysis
   *
   *  - exact: hash-groupBy on a content fingerprint — one shuffle on the
   *    md5 key, no driver-side state.
-  *  - n-gram Jaccard: inverted-index self-join on shingles (explode →
-  *    join on shingle → pair-count). Exact, and scales as the classic
-  *    candidate-pair join; a true O(n²) all-pairs comparison is never
-  *    materialized — only pairs sharing ≥1 shingle meet.
+  *  - n-gram Jaccard: prefix-filtered inverted-index self-join over
+  *    word shingles (PPJoin-style). Exact, with no O(n²) stage — only
+  *    pairs sharing a globally-rare prefix shingle are ever compared.
   *  - MinHash + LSH: k portable hash functions over shingles (array
   *    `transform` + `array_min`, zero UDFs), banded into b buckets;
   *    candidate pairs meet only inside a bucket (the standard
@@ -44,56 +43,88 @@ object Dedup {
       .agg(min(col(idCol)).cast("long").as("canonical_id"),
         count(lit(1)).as("n_copies"))
 
-  /** Distinct-shingle sets per document (the Jaccard universe). */
+  /** Distinct word-n-gram shingle sets per document (the Jaccard
+    * universe). Word shingles, not character shingles — see
+    * TextAnalysis.wordShingles for the scale rationale.
+    */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
                   n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      array_distinct(TextAnalysis.shingles(col(textCol), n)).as("sh"))
+      array_distinct(TextAnalysis.wordShingles(col(textCol), n)).as("sh"))
 
-  /** Exact n-gram Jaccard near-duplicate pairs via inverted-index join:
-    * explode distinct shingles, self-join on the shingle, count common
-    * shingles per (a,b) pair, then `J = |∩| / (|a| + |b| − |∩|)`.
-    * Emits pairs with `J ≥ threshold`, `doc_a < doc_b`.
+  /** Exact n-gram Jaccard near-duplicate pairs with PPJoin-style
+    * prefix filtering.
+    *
+    * A naive inverted-index self-join explodes on frequent shingles
+    * (every pair sharing "the a" meets → ~O(n²) intermediate). Instead,
+    * only each document's prefix — its `|d| − ⌈t·|d|⌉ + 1` globally
+    * rarest shingles — is indexed. Completeness: if `J(a,b) ≥ t` then
+    * `|∩| ≥ t·|a|`; were the prefixes disjoint from ∩, all common
+    * shingles would sit in the `⌈t·|a|⌉ − 1 < t·|a|` suffix —
+    * contradiction. So every qualifying pair shares a prefix shingle,
+    * and rarest-first ordering keeps prefix collisions (and the join)
+    * small. Candidates are then verified with exact `array_intersect`.
+    *
+    * Shuffle profile at scale: one groupBy (shingle frequency), one
+    * join (frequency back to postings), one window (per-doc rank), one
+    * self-join on the pruned prefix index, two hash joins back to the
+    * (compact) shingle-array table — all key-partitioned, nothing
+    * driver-side, no O(n²) stage.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
-                   n: Int = 5): DataFrame = {
+                   n: Int = 3): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, n)
-    val sizes = sets.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val inv = sets.select(col("doc_id"), explode(col("sh")).as("s"))
-    val pairs = inv.as("a").join(inv.as("b"),
+    val inv = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s"))
+    val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "s")
+    val prefix = inv.join(freq, "s")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select("doc_id", "s")
+    val cand = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a",
-        "n_sh" -> "n_a")), "doc_a")
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b",
-        "n_sh" -> "n_b")), "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_a",
+        "sh" -> "sh_a")), "doc_a")
+      .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_b",
+        "sh" -> "sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")))
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"),
         col("jaccard"))
   }
 
-  /** One MinHash value: `min over shingles of (a·(h60(s) mod p) + b) mod p`.
-    * Empty shingle set → p (sentinel larger than any hash).
+  /** One MinHash value over pre-hashed shingles:
+    * `min over h of (a·h + b) mod p`, `h = h60(s) mod p`.
+    * Empty set → p (sentinel larger than any hash).
     */
-  def minhashCol(sh: Column, i: Int): Column = {
-    val mapped = transform(sh, s =>
-      (lit(hashA(i)) * (TextAnalysis.hash60(s) % P) + hashB(i)) % P)
+  def minhashCol(hashed: Column, i: Int): Column = {
+    val mapped = transform(hashed, h =>
+      (lit(hashA(i)) * h + hashB(i)) % P)
     coalesce(array_min(mapped), lit(P)).cast("long")
   }
 
-  /** MinHash signatures: doc_id + k minhash columns `mh_0..mh_{k-1}`. */
+  /** MinHash signatures: doc_id + k minhash columns `mh_0..mh_{k-1}`.
+    * The md5-derived base hash is computed once per shingle and reused
+    * by all k permutations (k× fewer md5 evaluations).
+    */
   def minhashSignatures(docs: DataFrame, k: Int,
                         idCol: String = "doc_id", textCol: String = "text",
-                        n: Int = 5): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, n)
+                        n: Int = 3): DataFrame = {
+    val hashed = shingleSets(docs, idCol, textCol, n)
+      .select(col("doc_id"),
+        transform(col("sh"), s => TextAnalysis.hash60(s) % P).as("hs"))
     val cols = col("doc_id") +:
-      (0 until k).map(i => minhashCol(col("sh"), i).as(s"mh_$i"))
-    sets.select(cols: _*)
+      (0 until k).map(i => minhashCol(col("hs"), i).as(s"mh_$i"))
+    hashed.select(cols: _*)
   }
 
   /** LSH banding: rows of r minhashes each; a pair is a candidate iff
@@ -122,7 +153,7 @@ object Dedup {
     */
   def fuzzy(docs: DataFrame, threshold: Double, k: Int = 8, r: Int = 2,
             idCol: String = "doc_id", textCol: String = "text",
-            n: Int = 5): DataFrame = {
+            n: Int = 3): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, n)
     val sizes = sets.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val cand = lshCandidates(minhashSignatures(docs, k, idCol, textCol, n),

@@ -40,6 +40,20 @@ object TextAnalysis {
       i => substring(t, i, lit(n)))
   }
 
+  /** Word n-gram shingles (default trigram): space-joined runs of n
+    * consecutive tokens. The dedup default — on natural text, unrelated
+    * documents almost never share a word n-gram, so inverted-index
+    * joins stay near-linear (character shingles collide on any shared
+    * vocabulary and degrade toward O(n²) candidates).
+    */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val w = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
+      i => concat_ws(" ",
+        (0 until n).map(o => element_at(w, i + o)): _*))
+  }
+
   /** Token-level quality metrics: character count, token count, average
     * token length, ratio of tokens found in `stopwords`.
     */
