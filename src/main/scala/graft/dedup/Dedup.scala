@@ -74,7 +74,10 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
                    n: Int = 3): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, n)
+    // the shingle table feeds four DAG branches (freq, prefix, and the
+    // two verification joins); cache it rather than re-shingling — the
+    // production-scale equivalent is materializing it to a table
+    val sets = shingleSets(docs, idCol, textCol, n).cache()
     val inv = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("s"))
     val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))
@@ -84,9 +87,19 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <=
         col("n_sh") - ceil(col("n_sh") * threshold) + 1)
-      .select("doc_id", "s")
+      .select("doc_id", "s", "n_sh", "rn")
+    // PPJoin pruning on top of the prefix match:
+    //  - length filter: J ≥ t requires t·max(|a|,|b|) ≤ min(|a|,|b|)
+    //  - positional filter: remaining-suffix overlap bound
+    //    1 + min(|a|−pos_a, |b|−pos_b) must reach the required overlap
+    //    α = ⌈t/(1+t)·(|a|+|b|)⌉; the pair's first common prefix
+    //    shingle maximizes the bound, so any-match-passes is complete
+    val a = col("a.n_sh"); val b = col("b.n_sh")
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          greatest(a, b) * threshold <= least(a, b) &&
+          least(a - col("a.rn"), b - col("b.rn")) + 1 >=
+            ceil((a + b) * (threshold / (1 + threshold))))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
@@ -154,10 +167,13 @@ object Dedup {
   def fuzzy(docs: DataFrame, threshold: Double, k: Int = 8, r: Int = 2,
             idCol: String = "doc_id", textCol: String = "text",
             n: Int = 3): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, n)
+    // signatures and shingle sets are each consumed by several DAG
+    // branches (band fan-out, self-join sides, verification joins);
+    // cache both — at production scale these are materialized tables
+    val sets = shingleSets(docs, idCol, textCol, n).cache()
     val sizes = sets.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val cand = lshCandidates(minhashSignatures(docs, k, idCol, textCol, n),
-      k, r)
+    val cand = lshCandidates(
+      minhashSignatures(docs, k, idCol, textCol, n).cache(), k, r)
     // exact Jaccard only on candidates: |∩| via array_intersect after a
     // broadcast-friendly join back to the shingle sets
     cand
