@@ -98,6 +98,15 @@ private[graft] object QueriesLlm {
     Vectors.annTopK(emb, emb.filter(col("vec_id") < 5), 5, 4, 64)
   }
 
+  def embedNearDup(s: SparkSession, dir: String): DataFrame =
+    Vectors.cosineNearDupPairs(t(s, dir, "embeddings"), 0.45, 8, 64)
+
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Vectors.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+      emb.filter(col("vec_id") < 16), 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_count" -> (tokenCount _),
     "q_text_quality" -> (textQuality _),
@@ -111,7 +120,9 @@ private[graft] object QueriesLlm {
     "q_simhash" -> (simhash _),
     "q_cosine_topk" -> (cosineTopK _),
     "q_ann_lsh" -> (annLsh _),
-    "q_ann_topk" -> (annTopK _))
+    "q_ann_topk" -> (annTopK _),
+    "q_embed_neardup" -> (embedNearDup _),
+    "q_ivf_topk" -> (ivfTopK _))
 
   // --- oracles ---------------------------------------------------------
 
@@ -281,6 +292,46 @@ private[graft] object QueriesLlm {
     "q_ann_lsh" ->
       s"""SELECT vec_id, ${bucketSql("e")} AS bucket
           FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)""",
+    "q_embed_neardup" ->
+      s"""WITH v AS (SELECT vec_id, e, ${bucketSql("e")} AS bucket
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings))
+          SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+            round(${dotSql("a.e", "b.e")} /
+              (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")})),
+              6) AS cos
+          FROM v a JOIN v b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE round(${dotSql("a.e", "b.e")} /
+              (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")})),
+              6) >= 0.45""",
+    "q_ivf_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          cen AS (SELECT vec_id AS centroid_id, e AS ce FROM v
+            WHERE vec_id < 16),
+          ass AS (
+            SELECT vec_id, e, centroid_id,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY ccos DESC, centroid_id) AS rn
+            FROM (SELECT v.vec_id, v.e, cen.centroid_id,
+                    round(${dotSql("v.e", "cen.ce")} /
+                      (sqrt(${dotSql("v.e", "v.e")}) *
+                       sqrt(${dotSql("cen.ce", "cen.ce")})), 6) AS ccos
+                  FROM v CROSS JOIN cen)),
+          c AS (SELECT vec_id, e, centroid_id AS cluster FROM ass
+            WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, e AS qe, cluster FROM c
+            WHERE vec_id < 5),
+          scored AS (
+            SELECT query_id, c.vec_id,
+              round(${dotSql("qe", "c.e")} /
+                (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("c.e", "c.e")})),
+                6) AS cos
+            FROM c JOIN q USING (cluster) WHERE c.vec_id <> query_id),
+          r AS (SELECT query_id, vec_id, cos,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) AS rank
+            FROM scored)
+          SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5""",
     "q_ann_topk" ->
       s"""WITH v AS (SELECT vec_id, e, ${bucket4Sql("e")} AS bucket
             FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)),

@@ -72,6 +72,69 @@ object Vectors {
       when(dot(v, hyperplane(i, dims)) > 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Embedding-cosine near-duplicate pairs via LSH blocking: only
+    * same-bucket pairs are scored (vectors with cosine → 1 agree on
+    * every hyperplane sign with high probability). Returns `doc_a <
+    * doc_b` pairs with rounded cosine ≥ threshold.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double, planes: Int,
+                         dims: Int, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes, dims))
+    c.as("a").join(c.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** IVF-style clustering with deterministic centroids (a fixed id
+    * prefix of the corpus stands in for trained k-means centers — at
+    * production scale the assignment/probe machinery is identical, only
+    * the centroid table changes). Each vector goes to its highest-
+    * cosine centroid; ties break on the smaller centroid id.
+    */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val v = vectors.select(col("vec_id"), col("v"))
+    val cen = centroids.select(col("vec_id").as("centroid_id"),
+      col("v").as("cv"))
+    val scored = v.join(broadcast(cen))
+      .select(col("vec_id"), col("v"), col("centroid_id"),
+        round(cosine(col("v"), col("cv")), 6).as("ccos"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("centroid_id").as("cluster"))
+  }
+
+  /** IVF top-k with nprobe=1: queries search only their own cluster's
+    * inverted list. The cluster equi-join replaces the full-corpus scan.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              k: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    def prep(df: DataFrame) = df.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("v"))
+    val cen = prep(centroids)
+    val c = ivfAssign(prep(corpus), cen)
+    val q = ivfAssign(prep(queries), cen)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("cluster"))
+    val scored = c.join(broadcast(q), "cluster")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Bucketed ANN top-k: same output shape as [[cosineTopK]] but only
     * same-bucket pairs are scored — the scale path.
     */
