@@ -1,0 +1,84 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression,
+  Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
+  FloatType}
+
+/** Native fused cosine similarity over two `array<double>` columns.
+  *
+  * The composed built-in form (`aggregate(zip_with(a,b,*)) /
+  * (sqrt(...)·sqrt(...))`) walks each array four times and materializes
+  * an intermediate product array per row; this expression is one pass,
+  * zero allocations, and participates in whole-stage codegen via
+  * [[doGenCode]] — the preferred shape for a 100 TB ANN scan.
+  *
+  * Accumulation order matches `Vectors.cosine`'s sequential left folds
+  * exactly (dot, |a|², |b|² each accumulate in index order; result =
+  * dot / (√na · √nb)), so the two implementations are bit-identical and
+  * interchangeable under the DuckDB oracle.
+  */
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  // accepts array<double> and array<float> children (floats are
+  // widened per element, identical to cast-then-fold); no
+  // ExpectsInputTypes — that trait is private[sql] in Spark 4 and the
+  // library constructs inputs type-correctly
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_cosine"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (fx, fy) = (isFloat(left), isFloat(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      def get(arr: String, fl: Boolean) =
+        if (fl) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${get(a, isFloat(left))};
+         |  double $y = ${get(b, isFloat(right))};
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot /
+         |  (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarityExpr =
+    copy(left = newLeft, right = newRight)
+}

@@ -27,9 +27,22 @@ object Vectors {
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Cosine similarity of two double[] columns. */
-  def cosine(a: Column, b: Column): Column =
+  /** Cosine similarity via composed built-ins (four array walks).
+    * Bit-identical to [[cosine]]; kept as the pure-built-in reference.
+    */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Cosine similarity of two double[] columns — fused single-pass
+    * native expression with whole-stage codegen
+    * (graft.plans.CosineSimilarityExpr); accumulation order matches
+    * [[cosineHof]] exactly.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.plans.CosineSimilarityExpr(
+      Bridge.expression(a), Bridge.expression(b)))
+  }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self excluded). Queries are broadcast; ranking is
