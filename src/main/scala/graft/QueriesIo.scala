@@ -99,6 +99,18 @@ private[graft] object QueriesIo {
       Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text"),
       nFrames = 30, step = 7)
 
+  /** Salted skew-join: events fact × user dimension, 8 salts; result
+    * must equal the plain join (salting only reshapes the shuffle).
+    */
+  def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.etl.SkewJoin.saltedJoin(
+      events(s, dir).select("event_id", "user_id", "value"),
+      dim, "user_id", col("event_id"), 8)
+      .select("event_id", "user_id", "value", "c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_partitioned_sink" -> (partitionedSink _),
     "q_merge_dedup_sink" -> (mergeDedupSink _),
@@ -107,7 +119,8 @@ private[graft] object QueriesIo {
     "q_stream_sliding" -> (streamSliding _),
     "q_stream_user_stats" -> (streamUserStats _),
     "q_media_meta" -> (mediaMeta _),
-    "q_frame_sample" -> (frameSample _))
+    "q_frame_sample" -> (frameSample _),
+    "q_salted_join" -> (saltedJoin _))
 
   val oracles: Map[String, String] = Map(
     "q_partitioned_sink" ->
@@ -155,6 +168,9 @@ private[graft] object QueriesIo {
     "q_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_no
          FROM documents
-         CROSS JOIN (SELECT unnest([0, 7, 14, 21, 28]) AS f)"""
+         CROSS JOIN (SELECT unnest([0, 7, 14, 21, 28]) AS f)""",
+    "q_salted_join" ->
+      """SELECT event_id, user_id, value, c_mktsegment
+         FROM events JOIN customer ON user_id = c_custkey"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

@@ -1,0 +1,35 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for large joins (SURVEY §4 posture): when one join
+  * key carries a disproportionate share of fact rows, a plain shuffle
+  * join sends that key's entire volume to a single reducer. Salting
+  * splits each key into `nSalts` sub-keys — the fact side picks a salt
+  * deterministically from a row-unique column, the dimension side is
+  * replicated across all salts — restoring even reducer load at the
+  * cost of an `nSalts`× dim replication (cheap when dim ≪ fact).
+  *
+  * AQE's skew-join handling covers sort-merge cases automatically;
+  * this explicit form is for deliberate control (e.g. a known hot key
+  * at 100 TB) and for joins AQE cannot split.
+  */
+object SkewJoin {
+
+  /** Inner equi-join `fact.key == dim.key`, salted `nSalts` ways.
+    *
+    * @param saltSource a fact column with per-row variety (an id or
+    *                   hash source); the salt is `pmod(hash(src), n)`
+    *                   so it is deterministic and reproducible.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltSource: Column, nSalts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(saltSource.cast("long"), lit(nSalts.toLong)))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(nSalts.toLong - 1))))
+    saltedFact.join(saltedDim, Seq(key, "__salt"), "inner")
+      .drop("__salt")
+  }
+}
