@@ -51,7 +51,12 @@ object SparkEntry {
     "q_intersect_keys" -> (Queries.intersectKeys _),
     // --- scalar functions ----------------------------------------------
     "q_safe_div" -> (Queries.safeDivQ _),
-    "q_clip" -> (Queries.clipQ _)
+    "q_clip" -> (Queries.clipQ _),
+    // --- beyond-reference analytics ------------------------------------
+    "q_session_window" -> (Queries.sessionWindow _),
+    "q_rollup" -> (Queries.rollupAgg _),
+    "q_json_extract" -> (Queries.jsonExtract _),
+    "q_asof_join" -> (Queries.asofJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -137,7 +142,43 @@ object SparkEntry {
     "q_clip" ->
       """SELECT event_id,
                 greatest(0.0, least(100.0, value - 50.0)) AS clipped
-         FROM events"""
+         FROM events""",
+    "q_session_window" ->
+      """WITH o AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                  CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) -
+                         lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                           OVER (PARTITION BY user_id ORDER BY ts)
+                         > 3600000000 THEN 1 ELSE 0 END AS brk
+           FROM events),
+         s AS (
+           SELECT user_id, ts,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o)
+         SELECT user_id, min(ts) AS s_start,
+                max(ts) + INTERVAL 1 HOUR AS s_end,
+                count(*) AS n
+         FROM s GROUP BY user_id, sid""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_json_extract" ->
+      """SELECT event_id,
+                CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+         FROM events""",
+    "q_asof_join" ->
+      """WITH j AS (
+           SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+                  row_number() OVER (PARTITION BY e.event_id
+                    ORDER BY o.o_orderdate DESC, o.o_orderkey) AS rn
+           FROM events e JOIN orders o
+             ON e.user_id = o.o_custkey
+               AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP))
+         SELECT event_id, user_id, o_orderkey, o_orderdate
+         FROM j WHERE rn = 1"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }
 
@@ -329,5 +370,45 @@ private[graft] object Queries {
   def clipQ(s: SparkSession, dir: String): DataFrame =
     events(s, dir).select(col("event_id"),
       Fresco.clip(col("value") - 50.0, 0.0, 100.0).as("clipped"))
+
+  /** Session windows (1 h gap) — beyond-reference analytics surface;
+    * the streaming form is the same expression under a watermark.
+    */
+  def sessionWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("n"))
+
+  /** Rollup (hierarchical subtotals) over lineitem flags. */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+
+  /** JSON field extraction from the events props column. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  /** As-of join (composition b of the custom-operator preference
+    * order): each event matches the latest order of its user with
+    * `o_orderdate <= ts` — equi-join + interval filter + rank-1.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      col("ts").cast("timestamp_ntz").as("ts"))
+    val w = Window.partitionBy("event_id")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+    ev.join(t(s, dir, "orders"),
+        col("user_id") === col("o_custkey") &&
+          col("o_orderdate") <= col("ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+  }
 
 }
