@@ -1,0 +1,31 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+import org.apache.spark.sql.graft.Bridge
+
+/** Public API for the [[TopKPerKeyPlan]] custom operator. */
+object TopK {
+
+  /** Register the planner strategy once per session. */
+  def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.exists(_ eq TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+
+  /** Top `k` rows per `keys` group under `order` (use `col.desc` /
+    * `col.asc` Columns; bare Columns default to ascending). One
+    * shuffle on the keys, bounded heaps instead of a partition sort.
+    */
+  def perKey(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+             k: Int): DataFrame = {
+    val spark = df.sparkSession
+    ensureStrategy(spark)
+    val orderExprs = order.map(c => Bridge.expression(c) match {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    })
+    Bridge.ofRows(spark, TopKPerKeyPlan(keys.map(Bridge.expression),
+      orderExprs, k, Bridge.logicalPlan(df)))
+  }
+}

@@ -44,10 +44,25 @@ object Vectors {
       Bridge.expression(a), Bridge.expression(b)))
   }
 
+  /** Shared ranking tail: prune to k rows per query with the custom
+    * bounded-heap operator (no partition sort), then rank only the
+    * k·queries survivors with a (now tiny) window.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val pruned = graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+      Seq(col("cos").desc, col("vec_id")), k)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    pruned.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("vec_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
-    * corpus vectors (self excluded). Queries are broadcast; ranking is
-    * one window per query partition. `cos` is rounded to 6 decimals so
-    * independent engines rank identically.
+    * corpus vectors (self excluded). Queries are broadcast — a
+    * map-only scan — and the top-k selection is the bounded-heap
+    * operator. `cos` is rounded to 6 decimals so independent engines
+    * rank identically.
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                  idCol: String = "vec_id",
@@ -59,12 +74,7 @@ object Vectors {
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qv"), col("v")), 6).as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cos"),
-        col("rank").cast("long").as("rank"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane component: plane i,
@@ -140,12 +150,7 @@ object Vectors {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qv"), col("v")), 6).as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cos"),
-        col("rank").cast("long").as("rank"))
+    rankTopK(scored, k)
   }
 
   /** Bucketed ANN top-k: same output shape as [[cosineTopK]] but only
@@ -164,11 +169,6 @@ object Vectors {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qv"), col("v")), 6).as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cos"),
-        col("rank").cast("long").as("rank"))
+    rankTopK(scored, k)
   }
 }

@@ -1,15 +1,28 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Minimal accessor for the `private[sql]` Column ↔ Expression
-  * converters — the supported seam for plugging custom Catalyst
-  * expressions into the public Column API (same route
-  * SparkSessionExtensions-registered functions take internally).
+/** Minimal accessor for the `private[sql]` Column ↔ Expression ↔
+  * LogicalPlan seams — the same route SparkSessionExtensions-
+  * registered functions and strategies take internally.
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager Column → catalyst Expression conversion (the lazy
+    * ColumnNodeExpression wrapper stays Unevaluable inside custom
+    * logical nodes, so convert up front).
+    */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  def logicalPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.plans.TopK
+
+/** The custom TopKPerKey operator must agree with the window
+  * composition exactly and avoid the full partition sort.
+  */
+class TopKSpec extends SparkSpec {
+
+  private def events = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id"), col("value"))
+  }
+
+  test("topKPerKey == window row_number composition") {
+    val viaTopK = TopK.perKey(events, Seq(col("user_id")),
+      Seq(col("value").desc, col("event_id")), 3)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("value").desc, col("event_id"))
+    val viaWindow = events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    assert(viaTopK.count() === viaWindow.count())
+    assert(viaTopK.exceptAll(viaWindow).count() === 0)
+    assert(viaWindow.exceptAll(viaTopK).count() === 0)
+  }
+
+  test("k larger than group size returns whole groups") {
+    val all = TopK.perKey(events, Seq(col("user_id")),
+      Seq(col("event_id")), 1000000)
+    assert(all.count() === events.count())
+  }
+
+  test("plan: one exchange, no Sort operator") {
+    val plan = TopK.perKey(events, Seq(col("user_id")),
+      Seq(col("value").desc), 3).queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Sort "), s"no partition sort expected:\n$plan")
+  }
+}
