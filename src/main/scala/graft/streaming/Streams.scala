@@ -98,6 +98,23 @@ object Streams {
       .agg(count(lit(1)).as("n"),
         max(round(col("value") * 100.0, 0).cast("long")).as("max_cents"))
 
+  /** The reference's full incremental lifecycle (T1+T3+S11+T4) as one
+    * stream: arriving files are merged into a partitioned store with
+    * dedup per micro-batch via foreachBatch — checkpointed, idempotent
+    * under restart, no signal files.
+    */
+  def incrementalMergeDedup(stream: DataFrame, storePath: String,
+                            partitionCol: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.io.Sinks.mergeDedup(batch.sparkSession, batch, storePath,
+          partitionCol)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Custom-state operator (T2/T3-style dedup-and-track semantics):
     * mapGroupsWithState keeping a running (count, maxCents) per user.
     * Exercised by the test suite; production streams would emit updates

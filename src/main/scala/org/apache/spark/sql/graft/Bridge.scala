@@ -25,4 +25,21 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Apply a SparkSessionExtensions bundle to an already-running
+    * session (builder-time `.withExtensions` is ignored by
+    * `getOrCreate` when a session exists): registers injected
+    * functions on the live registry and appends injected planner
+    * strategies to `experimental.extraStrategies`.
+    */
+  def applyExtensions(spark: SparkSession,
+                      ext: org.apache.spark.sql.SparkSessionExtensions)
+                     : Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    ext.registerFunctions(cs.sessionState.functionRegistry)
+    val fresh = ext.buildPlannerStrategies(cs)
+      .filterNot(s => cs.experimental.extraStrategies.exists(_ eq s))
+    cs.experimental.extraStrategies =
+      cs.experimental.extraStrategies ++ fresh
+  }
 }
