@@ -82,3 +82,58 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CosineSimilarityExpr =
     copy(left = newLeft, right = newRight)
 }
+
+/** Native fused dot product — same contract as [[CosineSimilarityExpr]]
+  * (sequential accumulation, float widening) without the norms; used by
+  * the LSH bucketing hot loop (`planes` dots per row).
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dot"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (fx, fy) = (isFloat(left), isFloat(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      def get(arr: String, fl: Boolean) =
+        if (fl) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ${get(a, isFloat(left))} * ${get(b, isFloat(right))};
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}

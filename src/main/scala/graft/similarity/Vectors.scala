@@ -21,9 +21,20 @@ object Vectors {
     */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Sequential-fold dot product (left-to-right, bit-deterministic). */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product via composed built-ins — the
+    * pure-built-in reference implementation, bit-identical to [[dot]].
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  /** Sequential dot product (left-to-right, bit-deterministic) —
+    * fused native expression, stays in whole-stage codegen.
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.plans.DotProductExpr(
+      Bridge.expression(a), Bridge.expression(b)))
+  }
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
@@ -31,7 +42,7 @@ object Vectors {
     * Bit-identical to [[cosine]]; kept as the pure-built-in reference.
     */
   def cosineHof(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
   /** Cosine similarity of two double[] columns — fused single-pass
     * native expression with whole-stage codegen
@@ -77,15 +88,17 @@ object Vectors {
     rankTopK(scored, k)
   }
 
-  /** Deterministic pseudo-random hyperplane component: plane i,
-    * dimension d → a double in [−0.5, 0.5). Pure integer arithmetic
-    * (Knuth multiplicative hash mod a prime) so any engine reproduces
-    * it exactly. All intermediates < 2^62.
+  /** Deterministic pseudo-random hyperplane: plane i, dimension d → a
+    * double in [−0.5, 0.5). Pure integer arithmetic (Knuth
+    * multiplicative hash mod a prime) evaluated once in Scala — IEEE
+    * gives any engine computing the same formula the identical double,
+    * so the literal array is oracle-safe and costs nothing per row.
     */
   def hyperplane(i: Int, dims: Int): Column =
-    transform(sequence(lit(0), lit(dims - 1)), d =>
-      ((lit(i.toLong * dims) + d) * 2654435761L % 1000003L)
-        .cast("double") / 1000003.0 - 0.5)
+    array((0 until dims).map { d =>
+      lit(((i.toLong * dims + d) * 2654435761L % 1000003L).toDouble
+        / 1000003.0 - 0.5)
+    }: _*)
 
   /** Random-hyperplane LSH bucket id: bit i set iff dot(v, plane_i) > 0.
     * Vectors in the same bucket are ANN candidates.
