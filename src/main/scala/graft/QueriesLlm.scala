@@ -28,7 +28,8 @@ private[graft] object QueriesLlm {
   def tokenCount(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
-      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+      TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
 
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     val metrics = TextAnalysis.qualityMetrics(col("text"), Stopwords)
@@ -170,7 +171,9 @@ private[graft] object QueriesLlm {
   val oracles: Map[String, String] = Map(
     "q_token_count" ->
       """SELECT doc_id, len(text) AS n_chars,
-           len(string_split(text, ' ')) AS n_tokens
+           len(string_split(text, ' ')) AS n_tokens,
+           len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)) AS n_bpe_tokens
          FROM documents""",
     "q_text_quality" ->
       """SELECT doc_id, len(text) AS n_chars,

@@ -20,6 +20,14 @@ object TextAnalysis {
   /** Whitespace tokenization (single-space corpus convention). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** BPE-style subword-ish token count: letter runs, single digits,
+    * and single punctuation marks each count as one token (a portable
+    * RE2/Java-common subset of GPT-2's pre-tokenizer regex).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text.cast("string"),
+      lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0))).cast("long")
+
   /** Portable 60-bit content hash: first 15 hex chars of md5, as long.
     * Max value 16^15−1 < 2^60 — no sign/overflow issues in any engine.
     */
