@@ -13,15 +13,9 @@ import graft.etl.{Stage1, Stage2}
   */
 private[graft] object QueriesFresco {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  import Tables.t
 
-  /** events.parquet is TIMESTAMP(NANOS); read nanos as long, convert. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  import Tables.events
 
   // ---------------------------------------------------------------------
   // Scalar-function queries (F7, F8, F10, F11, F12)

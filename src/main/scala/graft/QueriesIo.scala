@@ -14,14 +14,9 @@ import graft.streaming.Streams
   */
 private[graft] object QueriesIo {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  import Tables.t
 
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  import Tables.events
 
   private def scratch(dir: String, name: String): String =
     s"/tmp/graft_${name}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"

@@ -13,8 +13,7 @@ import graft.similarity.Vectors
   */
 private[graft] object QueriesLlm {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  import Tables.t
 
   private val Stopwords = Seq("the", "a")
   private val LangMarkers = Seq(

@@ -15,9 +15,6 @@ import graft.functions.Fresco
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
-
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The stage-2 "join & widen" spine (SURVEY §3.3) over the events table.
     */
@@ -184,21 +181,7 @@ object SparkEntry {
 
 /** Query implementations, one per SURVEY §2 operator (see map above). */
 private[graft] object Queries {
-  import SparkEntry.{t => _}
-
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
-
-  /** The events table is written with TIMESTAMP(NANOS), which Spark's
-    * TimestampType (micros) rejects outright. Read nanos as long
-    * (legacy conf) and convert; the underlying values are micro-precision
-    * so the conversion is lossless.
-    */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  import Tables.{t, events}
 
   /** S3 parquet scan + P1 pruning + predicate pushdown. */
   def scanFilterProject(s: SparkSession, dir: String): DataFrame =
