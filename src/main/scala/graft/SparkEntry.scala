@@ -194,7 +194,6 @@ private[graft] object Queries {
     * CSV, reads it back with an explicit all-StringType schema, casts.
     */
   def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
     val tmp = s"/tmp/graft_csv_roundtrip_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     t(s, dir, "orders")
@@ -202,17 +201,15 @@ private[graft] object Queries {
       .option("header", "true").option("timestampFormat", fmt)
       .option("timestampNTZFormat", fmt) // o_orderdate reads as TIMESTAMP_NTZ
       .csv(tmp)
-    val allString = StructType(Seq("o_orderkey", "o_custkey",
-      "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
-      .map(StructField(_, StringType, nullable = true)))
-    s.read.schema(allString)
-      .option("header", "true").option("mode", "PERMISSIVE")
-      .csv(tmp)
+    graft.io.Sinks.readCsvAllString(s, tmp,
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
       .select(
-        col("o_orderkey").cast("long"),
-        col("o_custkey").cast("long"),
+        graft.io.Sinks.coerce(col("o_orderkey"), "long").as("o_orderkey"),
+        graft.io.Sinks.coerce(col("o_custkey"), "long").as("o_custkey"),
         col("o_orderstatus"),
-        col("o_totalprice").cast("double"),
+        graft.io.Sinks.coerce(col("o_totalprice"), "double")
+          .as("o_totalprice"),
         try_to_timestamp(col("o_orderdate"), lit(fmt)).as("o_orderdate"),
         col("o_orderpriority"))
   }
