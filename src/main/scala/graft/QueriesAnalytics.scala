@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytics-breadth queries: ranking windows, scalar function
+  * families, and sketches. Function choices are restricted to the
+  * cross-engine-deterministic subset (no libm-divergent transcendentals
+  * in oracle-gated queries; sketches get the rows-only gate).
+  */
+private[graft] object QueriesAnalytics {
+
+  import Tables.{t, events}
+
+  /** rank / dense_rank / ntile / lead over a deterministic order. */
+  def rankFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      rank().over(w).cast("long").as("rnk"),
+      dense_rank().over(w).cast("long").as("drnk"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      lead(col("o_orderkey"), 1).over(w).as("next_key"))
+  }
+
+  /** String function family over part names. */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_name")).as("up"),
+      lower(col("p_brand")).as("lo"),
+      length(col("p_type")).cast("long").as("type_len"),
+      substring(col("p_name"), 1, 5).as("prefix5"),
+      trim(col("p_name")).as("trimmed"),
+      lpad(col("p_brand"), 12, "_").as("padded"),
+      replace(col("p_type"), lit(" "), lit("-")).as("dashed"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("joined"),
+      reverse(col("p_name")).as("rev"),
+      instr(col("p_name"), "a").cast("long").as("first_a"))
+
+  /** Datetime extraction family (cross-engine-stable fields only). */
+  def datetimeFuncs(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      col("event_id"),
+      year(col("ts")).cast("long").as("y"),
+      month(col("ts")).cast("long").as("m"),
+      dayofmonth(col("ts")).cast("long").as("d"),
+      hour(col("ts")).cast("long").as("h"),
+      minute(col("ts")).cast("long").as("mi"),
+      second(col("ts")).cast("long").as("sec"),
+      date_trunc("day", col("ts")).as("day_start"),
+      unix_micros(col("ts")).as("epoch_us"))
+
+  /** Math function family (IEEE-exact subset). */
+  def mathFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      abs(col("l_quantity") - 25.0).as("a"),
+      ceil(col("l_extendedprice") / 100.0).cast("long").as("c"),
+      floor(col("l_extendedprice") / 100.0).cast("long").as("f"),
+      round(col("l_tax") * 100.0, 1).as("r"),
+      sqrt(col("l_quantity")).as("sq"),
+      signum(col("l_discount") - 0.05).as("sgn"),
+      pmod(col("l_orderkey"), lit(7L)).as("m7"))
+
+  /** Sketches: approximate distinct counts and quantiles — inherently
+    * engine-specific, so gated rows-only (no oracle entry).
+    */
+  def approxStats(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).groupBy("event_type").agg(
+      approx_count_distinct(col("user_id")).as("approx_users"),
+      percentile_approx(col("value"), lit(0.5), lit(1000))
+        .as("approx_median"),
+      count(lit(1)).as("n"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rank_funcs" -> (rankFuncs _),
+    "q_string_funcs" -> (stringFuncs _),
+    "q_datetime_funcs" -> (datetimeFuncs _),
+    "q_math_funcs" -> (mathFuncs _),
+    "q_approx_stats" -> (approxStats _))
+
+  val oracles: Map[String, String] = Map(
+    // q_approx_stats intentionally omitted → driver rows-only check
+    "q_rank_funcs" ->
+      """SELECT o_orderkey, o_custkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile,
+           lead(o_orderkey, 1) OVER w AS next_key
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey)""",
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+           upper(p_name) AS up, lower(p_brand) AS lo,
+           len(p_type) AS type_len,
+           substr(p_name, 1, 5) AS prefix5,
+           trim(p_name) AS trimmed,
+           lpad(p_brand, 12, '_') AS padded,
+           replace(p_type, ' ', '-') AS dashed,
+           concat_ws('|', p_brand, p_type) AS joined,
+           reverse(p_name) AS rev,
+           instr(p_name, 'a') AS first_a
+         FROM part""",
+    "q_datetime_funcs" ->
+      """SELECT event_id,
+           year(ts) AS y, month(ts) AS m, day(ts) AS d,
+           hour(ts) AS h, minute(ts) AS mi,
+           CAST(extract(second FROM ts) AS BIGINT) AS sec,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS epoch_us
+         FROM events""",
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+           abs(l_quantity - 25.0) AS a,
+           CAST(ceil(l_extendedprice / 100.0) AS BIGINT) AS c,
+           CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS f,
+           round(l_tax * 100.0, 1) AS r,
+           sqrt(l_quantity) AS sq,
+           CASE WHEN l_discount - 0.05 > 0 THEN 1.0
+                WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS sgn,
+           l_orderkey % 7 AS m7
+         FROM lineitem"""
+  ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
+}

@@ -23,7 +23,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesFresco.queries ++ QueriesLlm.queries ++ QueriesIo.queries ++ Map(
+    QueriesFresco.queries ++ QueriesLlm.queries ++ QueriesIo.queries ++
+    QueriesAnalytics.queries ++ Map(
     // --- scans / filters / projections -------------------------------
     "q_scan_filter_project" -> (Queries.scanFilterProject _),
     "q_csv_roundtrip" -> (Queries.csvRoundtrip _),
@@ -60,7 +61,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    QueriesFresco.oracles ++ QueriesLlm.oracles ++ QueriesIo.oracles ++ Map(
+    QueriesFresco.oracles ++ QueriesLlm.oracles ++ QueriesIo.oracles ++
+    QueriesAnalytics.oracles ++ Map(
     "q_scan_filter_project" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
          FROM lineitem WHERE l_quantity > 25 AND l_shipdate IS NOT NULL""",
