@@ -75,15 +75,90 @@ private[graft] object QueriesAnalytics {
         .as("approx_median"),
       count(lit(1)).as("n"))
 
+  /** Collapsing pivot (groupBy().pivot() with a static column list —
+    * the aggregating cousin of the reference's F13 non-collapsing
+    * pivot). Exact integer cents keep it engine-portable.
+    */
+  def pivotAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("cents", round(col("value") * 100.0, 0).cast("long"))
+      .groupBy("user_id")
+      .pivot("event_type",
+        Seq("click", "view", "purchase", "error", "signup"))
+      .sum("cents")
+
+  /** Array function family over tokenized text. */
+  def arrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(toks).cast("long").as("n"),
+      array_join(slice(toks, 1, 3), ",").as("first3"),
+      array_contains(toks, "spark").as("has_spark"),
+      array_position(toks, "data").cast("long").as("data_pos"),
+      array_join(array_sort(array_distinct(slice(toks, 1, 10))), ",")
+        .as("sorted10"),
+      element_at(toks, -1).as("last_tok"))
+  }
+
+  /** Left-anti join (beyond the reference's join surface). */
+  def antiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part").filter(col("p_size") > 40),
+        col("l_partkey") === col("p_partkey"), "left_anti")
+      .select("l_orderkey", "l_partkey", "l_linenumber")
+
+  /** EXCEPT set difference on month keys. */
+  def exceptKeys(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(date_format(col("l_shipdate"), "yyyy_MM").as("ym"))
+      .except(t(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy_MM").as("ym")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rank_funcs" -> (rankFuncs _),
     "q_string_funcs" -> (stringFuncs _),
     "q_datetime_funcs" -> (datetimeFuncs _),
     "q_math_funcs" -> (mathFuncs _),
-    "q_approx_stats" -> (approxStats _))
+    "q_approx_stats" -> (approxStats _),
+    "q_pivot_agg" -> (pivotAgg _),
+    "q_array_funcs" -> (arrayFuncs _),
+    "q_anti_join" -> (antiJoin _),
+    "q_except_keys" -> (exceptKeys _))
 
   val oracles: Map[String, String] = Map(
     // q_approx_stats intentionally omitted → driver rows-only check
+    "q_pivot_agg" ->
+      """SELECT user_id,
+           sum(CASE WHEN event_type = 'click' THEN cents END) AS click,
+           sum(CASE WHEN event_type = 'view' THEN cents END) AS view,
+           sum(CASE WHEN event_type = 'purchase' THEN cents END) AS purchase,
+           sum(CASE WHEN event_type = 'error' THEN cents END) AS error,
+           sum(CASE WHEN event_type = 'signup' THEN cents END) AS signup
+         FROM (SELECT user_id, event_type,
+                 CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+               FROM events)
+         GROUP BY user_id""",
+    "q_array_funcs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents)
+         SELECT doc_id, len(w) AS n,
+           array_to_string(w[1:3], ',') AS first3,
+           list_contains(w, 'spark') AS has_spark,
+           CAST(coalesce(list_position(w, 'data'), 0) AS BIGINT)
+             AS data_pos,
+           array_to_string(list_sort(list_distinct(w[1:10])), ',')
+             AS sorted10,
+           w[-1] AS last_tok
+         FROM d""",
+    "q_anti_join" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+         WHERE l_partkey NOT IN
+           (SELECT p_partkey FROM part WHERE p_size > 40)""",
+    "q_except_keys" ->
+      """SELECT strftime(l_shipdate, '%Y_%m') AS ym FROM lineitem
+         EXCEPT
+         SELECT strftime(o_orderdate, '%Y_%m') AS ym FROM orders""",
     "q_rank_funcs" ->
       """SELECT o_orderkey, o_custkey,
            rank() OVER w AS rnk,
