@@ -107,6 +107,16 @@ private[graft] object QueriesLlm {
       emb.filter(col("vec_id") < 16), 5)
   }
 
+  /** End-to-end corpus curation: quality gate → exact dedup → near-dup
+    * removal (greedy smallest-id survivor).
+    */
+  def curation(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Curation.curate(
+      t(s, dir, "documents").select("doc_id", "text", "lang"),
+      minChars = 100, maxStopwordRatio = 0.3, stopwords = Stopwords,
+      jaccardThreshold = JaccardThreshold)
+      .select("doc_id", "lang", "n_chars")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_count" -> (tokenCount _),
     "q_text_quality" -> (textQuality _),
@@ -122,7 +132,8 @@ private[graft] object QueriesLlm {
     "q_ann_lsh" -> (annLsh _),
     "q_ann_topk" -> (annTopK _),
     "q_embed_neardup" -> (embedNearDup _),
-    "q_ivf_topk" -> (ivfTopK _))
+    "q_ivf_topk" -> (ivfTopK _),
+    "q_curation" -> (curation _))
 
   // --- oracles ---------------------------------------------------------
 
@@ -168,6 +179,33 @@ private[graft] object QueriesLlm {
     }.mkString("(", " + ", ")")
 
   val oracles: Map[String, String] = Map(
+    "q_curation" ->
+      """WITH q AS (
+           SELECT doc_id, text, lang, len(text) AS n_chars
+           FROM documents
+           WHERE len(text) >= 100
+             AND CAST(len(list_filter(string_split(text, ' '),
+                   x -> x = 'the' OR x = 'a')) AS DOUBLE) /
+                 CAST(len(string_split(text, ' ')) AS DOUBLE) <= 0.3),
+         canon AS (
+           SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(lower(text))),
+         qd AS (SELECT q.* FROM q JOIN canon USING (doc_id)),
+         sh AS (SELECT doc_id, list_distinct(
+             [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+              for i in generate_series(1, greatest(len(w)-2, 0))]) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM qd)),
+         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         jac AS (
+           SELECT da, db FROM pairs
+           JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = da
+           JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = db
+           WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5)
+         SELECT doc_id, lang, n_chars FROM qd
+         WHERE doc_id NOT IN (SELECT db FROM jac)""",
     "q_token_count" ->
       """SELECT doc_id, len(text) AS n_chars,
            len(string_split(text, ' ')) AS n_tokens,
