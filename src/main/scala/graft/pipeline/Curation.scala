@@ -30,9 +30,12 @@ object Curation {
         col("stopword_ratio") <= maxStopwordRatio)
 
     // exact dedup: survivors are each fingerprint's minimal doc_id
+    // (quality feeds three DAG branches — cache it; the production
+    // analogue is a materialized quality-filtered table)
+    quality.cache()
     val canonical = Dedup.exact(quality)
       .select(col("canonical_id").as("doc_id"))
-    val exactDeduped = quality.join(canonical, "doc_id")
+    val exactDeduped = quality.join(canonical, "doc_id").cache()
 
     // near-dup removal: drop the larger id of every qualifying pair
     val pairs =
