@@ -115,7 +115,54 @@ private[graft] object QueriesAnalytics {
       .except(t(s, dir, "orders")
         .select(date_format(col("o_orderdate"), "yyyy_MM").as("ym")))
 
+  /** CUBE: all grouping combinations with sub/grand totals. */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+
+  /** Frame-spec window: per-user running sum over exact cents. */
+  def runningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .withColumn("cents", round(col("value") * 100.0, 0).cast("long"))
+      .select(col("event_id"), col("user_id"),
+        sum(col("cents")).over(w).as("running_cents"))
+  }
+
+  /** min_by / max_by with a unique composite ordering key. */
+  def minmaxBy(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("k",
+        round(col("value") * 100.0, 0).cast("long") * 1000000L +
+          col("event_id"))
+      .groupBy("event_type")
+      .agg(max_by(col("event_id"), col("k")).as("top_event"),
+        min_by(col("event_id"), col("k")).as("bottom_event"))
+
+  /** Unpivot (melt) three measure columns into long format. */
+  def unpivotQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").unpivot(
+      Array(col("l_orderkey"), col("l_linenumber")),
+      Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+      "metric", "val")
+
+  /** Exact interpolated median per group (integral doubles, so the
+    * interpolation arithmetic is engine-portable).
+    */
+  def medianQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        count(lit(1)).as("n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cube" -> (cubeAgg _),
+    "q_running_sum" -> (runningSum _),
+    "q_minmax_by" -> (minmaxBy _),
+    "q_unpivot" -> (unpivotQ _),
+    "q_median" -> (medianQ _),
     "q_rank_funcs" -> (rankFuncs _),
     "q_string_funcs" -> (stringFuncs _),
     "q_datetime_funcs" -> (datetimeFuncs _),
@@ -128,6 +175,38 @@ private[graft] object QueriesAnalytics {
 
   val oracles: Map[String, String] = Map(
     // q_approx_stats intentionally omitted → driver rows-only check
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q_running_sum" ->
+      """SELECT event_id, user_id,
+           sum(CAST(round(value * 100.0, 0) AS BIGINT)) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS running_cents
+         FROM events""",
+    "q_minmax_by" ->
+      """SELECT event_type,
+           arg_max(event_id,
+             CAST(round(value * 100.0, 0) AS BIGINT) * 1000000 + event_id)
+             AS top_event,
+           arg_min(event_id,
+             CAST(round(value * 100.0, 0) AS BIGINT) * 1000000 + event_id)
+             AS bottom_event
+         FROM events GROUP BY event_type""",
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                l_quantity AS val FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+         FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""",
+    "q_median" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty, count(*) AS n
+         FROM lineitem GROUP BY l_returnflag""",
     "q_pivot_agg" ->
       """SELECT user_id,
            sum(CASE WHEN event_type = 'click' THEN cents END) AS click,
