@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Vectors
+
+/** Micro-benchmark for the native fused expressions vs the composed
+  * higher-order-function forms (`sbt "runMain graft.MicroBench"`).
+  * Not part of the driver contract.
+  */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.build("graft-microbench")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 500)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    def pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+
+    def time(label: String)(body: => Long): Unit = {
+      body // warm
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"$label%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+    }
+    time("fused") {
+      pairs.select(Vectors.cosine(col("qv"), col("v")).as("c"))
+        .filter(col("c") > 2.0).count() // count() keeps all rows scored
+    }
+    time("hof") {
+      pairs.select(Vectors.cosineHof(col("qv"), col("v")).as("c"))
+        .filter(col("c") > 2.0).count()
+    }
+    spark.stop()
+  }
+}
