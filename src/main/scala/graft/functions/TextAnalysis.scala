@@ -43,9 +43,13 @@ object TextAnalysis {
     */
   def shingles(text: Column, n: Int = 5): Column = {
     val t = text.cast("string")
-    transform(
-      sequence(lit(1), greatest(length(t) - (n - 1), lit(0))),
-      i => substring(t, i, lit(n)))
+    val cnt = length(t) - (n - 1)
+    // sequence(1, 0) is DESCENDING [1,0] in Spark, not empty — guard
+    // short inputs explicitly (DuckDB's generate_series(1,0) IS empty,
+    // so the guard is also what keeps the oracle semantics aligned)
+    when(cnt >= 1,
+      transform(sequence(lit(1), cnt), i => substring(t, i, lit(n))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Word n-gram shingles (default trigram): space-joined runs of n
@@ -56,10 +60,13 @@ object TextAnalysis {
     */
   def wordShingles(text: Column, n: Int = 3): Column = {
     val w = tokens(text)
-    transform(
-      sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
-      i => concat_ws(" ",
-        (0 until n).map(o => element_at(w, i + o)): _*))
+    val cnt = size(w) - (n - 1)
+    // see shingles: sequence(1, 0) is descending in Spark, and the
+    // out-of-range element_at would throw under ANSI mode
+    when(cnt >= 1,
+      transform(sequence(lit(1), cnt), i => concat_ws(" ",
+        (0 until n).map(o => element_at(w, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Token-level quality metrics: character count, token count, average

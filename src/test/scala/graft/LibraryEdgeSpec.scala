@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.etl.Stage1
+import graft.functions.TextAnalysis
+import graft.multimodal.Multimodal
+
+/** Edge behavior of library surfaces not exercised by the oracle gate. */
+class LibraryEdgeSpec extends SparkSpec {
+
+  test("P3: Stage1 fails fast on missing required columns") {
+    import spark.implicits._
+    val bad = Seq(("j1", "n1")).toDF("jobID", "node") // no counters/ts
+    val e = intercept[IllegalArgumentException](Stage1.cpu(bad))
+    assert(e.getMessage.contains("missing required columns"))
+  }
+
+  test("hash60 stays within 60 bits and is stable") {
+    import spark.implicits._
+    val vals = Seq("a", "b", "", "the quick fox", "éü")
+      .toDF("x").select(TextAnalysis.hash60(col("x")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(vals.forall(h => h >= 0 && h < (1L << 60)))
+    val again = Seq("a").toDF("x")
+      .select(TextAnalysis.hash60(col("x"))).head().getLong(0)
+    assert(again === vals.head, "deterministic across evaluations")
+  }
+
+  test("wordShingles: short text yields empty set, no failure") {
+    import spark.implicits._
+    val sh = Seq("one two", "", "a b c").toDF("text")
+      .select(TextAnalysis.wordShingles(col("text"), 3).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(sh(0).isEmpty && sh(1).isEmpty)
+    assert(sh(2) === Seq("a b c"))
+  }
+
+  test("multimodal decode is deterministic and schema-stable") {
+    import spark.implicits._
+    val media = Multimodal.attachPayload(
+      Seq((1L, "hello world")).toDF("id", "content"), "id", "content")
+    val out1 = Multimodal.decodeMeta(media).collect()
+    val out2 = Multimodal.decodeMeta(media).collect()
+    assert(out1 === out2)
+    val r = out1.head
+    assert(r.getAs[Long]("n_bytes") === 11L)
+    assert(Seq("jpeg", "png", "webp").contains(r.getAs[String]("format")))
+    assert(r.getAs[Int]("width") >= 16 && r.getAs[Int]("height") >= 16)
+  }
+
+  test("walltime parser rejects negatives inside H:MM:SS gracefully") {
+    import spark.implicits._
+    // malformed-but-colon-shaped inputs must not throw under ANSI mode
+    val out = Seq("1:xx:00", ":::", "1:2:3:4:5").toDF("x")
+      .select(graft.functions.Fresco.walltimeToSeconds(col("x")))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(out(0) === null) // unparseable minute -> null arithmetic
+    assert(out(1) === null)
+    assert(out(2) === null) // 5 parts -> no branch -> null
+  }
+}
