@@ -157,7 +157,32 @@ private[graft] object QueriesAnalytics {
       .agg(percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
         count(lit(1)).as("n"))
 
+  /** Statistical moments from exact integer sums (engine-portable:
+    * the FP division happens once, on identical integers, instead of
+    * in an order-dependent streaming accumulation).
+    */
+  def statsMoments(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("c", round(col("value") * 100.0, 0).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+      .select(col("event_type"), col("n"), col("s"),
+        (col("s").cast("double") / col("n").cast("double")).as("mean_cents"),
+        ((col("ss").cast("double") -
+          col("s").cast("double") * col("s").cast("double") /
+            col("n").cast("double")) /
+          (col("n").cast("double") - 1.0)).as("var_cents"))
+
+  /** Fixed-width histogram via integer bucketing. */
+  def histogram(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(floor(col("value") / 50.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_moments" -> (statsMoments _),
+    "q_histogram" -> (histogram _),
     "q_cube" -> (cubeAgg _),
     "q_running_sum" -> (runningSum _),
     "q_minmax_by" -> (minmaxBy _),
@@ -175,6 +200,21 @@ private[graft] object QueriesAnalytics {
 
   val oracles: Map[String, String] = Map(
     // q_approx_stats intentionally omitted → driver rows-only check
+    "q_stats_moments" ->
+      """WITH b AS (SELECT event_type,
+             CAST(round(value * 100.0, 0) AS BIGINT) AS c FROM events),
+         a AS (SELECT event_type, count(*) AS n, sum(c) AS s,
+             sum(c * c) AS ss FROM b GROUP BY event_type)
+         SELECT event_type, n, CAST(s AS BIGINT) AS s,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+           (CAST(ss AS DOUBLE) -
+            CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
+             (CAST(n AS DOUBLE) - 1.0) AS var_cents
+         FROM a""",
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           count(*) AS n
+         FROM events GROUP BY 1""",
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus,
            sum(l_quantity) AS sum_qty, count(*) AS n
