@@ -49,8 +49,16 @@ object Dedup {
     */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
                   n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      array_distinct(TextAnalysis.wordShingles(col(textCol), n)).as("sh"))
+    // shingling is CPU-heavy per-row work (higher-order functions are
+    // interpreted); spread it across the cluster even when the input
+    // arrives in few partitions (e.g. one big parquet row group) — the
+    // row shuffle is trivial next to the compute it parallelizes
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("w"))
+      .select(col("doc_id"),
+        array_distinct(TextAnalysis.wordShinglesOf(col("w"), n)).as("sh"))
 
   /** Exact n-gram Jaccard near-duplicate pairs with PPJoin-style
     * prefix filtering.

@@ -59,7 +59,17 @@ object TextAnalysis {
     * vocabulary and degrade toward O(n²) candidates).
     */
   def wordShingles(text: Column, n: Int = 3): Column = {
-    val w = tokens(text)
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.plans.WordShinglesExpr(
+      Bridge.expression(tokens(text)), n))
+  }
+
+  /** Word shingles from an already-materialized token array. Prefer
+    * projecting `tokens(text)` into its own column first — a token
+    * expression inlined here is re-evaluated for every element_at
+    * reference inside the (interpreted) lambda, an n·|d|× blowup.
+    */
+  def wordShinglesOf(w: Column, n: Int): Column = {
     val cnt = size(w) - (n - 1)
     // see shingles: sequence(1, 0) is descending in Spark, and the
     // out-of-range element_at would throw under ANSI mode
