@@ -81,6 +81,15 @@ private[graft] object QueriesIo {
       Streams.userStats(Streams.eventsStream(s, dir)),
       tableName(dir, "strm_user"), OutputMode.Complete())
 
+  /** Watermarked stream-stream inner join (purchase × prior-hour
+    * clicks per user).
+    */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame =
+    Streams.runToTable(
+      Streams.purchaseClickJoin(Streams.eventsStream(s, dir),
+        Streams.eventsStream(s, dir)),
+      tableName(dir, "strm_join"), OutputMode.Append())
+
   // --- multimodal ------------------------------------------------------
 
   /** Binary payload + per-partition (stub) decode to typed metadata. */
@@ -115,7 +124,8 @@ private[graft] object QueriesIo {
     "q_stream_user_stats" -> (streamUserStats _),
     "q_media_meta" -> (mediaMeta _),
     "q_frame_sample" -> (frameSample _),
-    "q_salted_join" -> (saltedJoin _))
+    "q_salted_join" -> (saltedJoin _),
+    "q_stream_join" -> (streamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
     "q_partitioned_sink" ->
@@ -166,6 +176,12 @@ private[graft] object QueriesIo {
          CROSS JOIN (SELECT unnest([0, 7, 14, 21, 28]) AS f)""",
     "q_salted_join" ->
       """SELECT event_id, user_id, value, c_mktsegment
-         FROM events JOIN customer ON user_id = c_custkey"""
+         FROM events JOIN customer ON user_id = c_custkey""",
+    "q_stream_join" ->
+      """SELECT a.event_id AS buy_id, b.event_id AS click_id, a.user_id
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+         WHERE a.event_type = 'purchase' AND b.event_type = 'click'
+           AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

@@ -90,6 +90,27 @@ object Streams {
       .select(col("window.start").as("w_start"),
         col("window.end").as("w_end"), col("event_type"), col("n"))
 
+  /** Stream-stream inner join with watermarks and an event-time range
+    * condition: each purchase matches that user's clicks from the
+    * preceding hour. Both sides carry watermarks so the join state is
+    * bounded; inner matches emit as they arrive (append mode).
+    */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val buys = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id"),
+        col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", "1 hour")
+    val cls = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    buys.join(cls,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("buy_ts"))
+      .select(col("buy_id"), col("click_id"), col("user_id"))
+  }
+
   /** Stateful per-user aggregate via streaming state (complete mode):
     * running max/count per user.
     */
