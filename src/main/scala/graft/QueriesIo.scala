@@ -81,6 +81,12 @@ private[graft] object QueriesIo {
       Streams.userStats(Streams.eventsStream(s, dir)),
       tableName(dir, "strm_user"), OutputMode.Complete())
 
+  /** Watermarked streaming dedup (T3 idempotency, in-stream). */
+  def streamDedup(s: SparkSession, dir: String): DataFrame =
+    Streams.runToTable(
+      Streams.streamingDedup(Streams.eventsStream(s, dir)),
+      tableName(dir, "strm_dedup"), OutputMode.Append())
+
   /** Watermarked stream-stream inner join (purchase × prior-hour
     * clicks per user).
     */
@@ -125,7 +131,8 @@ private[graft] object QueriesIo {
     "q_media_meta" -> (mediaMeta _),
     "q_frame_sample" -> (frameSample _),
     "q_salted_join" -> (saltedJoin _),
-    "q_stream_join" -> (streamStreamJoin _))
+    "q_stream_join" -> (streamStreamJoin _),
+    "q_stream_dedup" -> (streamDedup _))
 
   val oracles: Map[String, String] = Map(
     "q_partitioned_sink" ->
@@ -182,6 +189,8 @@ private[graft] object QueriesIo {
          FROM events a JOIN events b
            ON a.user_id = b.user_id
          WHERE a.event_type = 'purchase' AND b.event_type = 'click'
-           AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts"""
+           AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts""",
+    "q_stream_dedup" ->
+      """SELECT DISTINCT event_id, event_type FROM events"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

@@ -90,6 +90,17 @@ object Streams {
       .select(col("window.start").as("w_start"),
         col("window.end").as("w_end"), col("event_type"), col("n"))
 
+  /** Streaming deduplication (T3's in-stream form): watermarked
+    * `dropDuplicates` on the event key — state for seen keys is
+    * dropped once the watermark passes, so memory stays bounded on an
+    * unbounded stream.
+    */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id", "ts")
+      .select(col("event_id"), col("event_type"))
+
   /** Stream-stream inner join with watermarks and an event-time range
     * condition: each purchase matches that user's clicks from the
     * preceding hour. Both sides carry watermarks so the join state is
