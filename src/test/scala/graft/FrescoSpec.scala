@@ -115,6 +115,15 @@ class FrescoSpec extends SparkSpec {
     assert(r === 10.0) // 1 MiB / 0.1 s
   }
 
+  test("F3 calculateRate: (cur-prev)/dt with zero-dt guard") {
+    import spark.implicits._
+    val r = Seq((10.0, 4.0, 2.0), (10.0, 4.0, 0.0))
+      .toDF("cur", "prev", "dt")
+      .select(Fresco.calculateRate(col("cur"), col("prev"), col("dt")))
+      .collect().map(_.getDouble(0))
+    assert(r === Array(3.0, 0.0))
+  }
+
   test("F13 pivotEvents: row count preserved, one non-null value per row") {
     import spark.implicits._
     val df = Seq(("cpuuser", 1.0), ("nfs", 2.0), ("cpuuser", 3.0),
