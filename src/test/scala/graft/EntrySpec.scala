@@ -1,0 +1,15 @@
+package graft
+
+/** The driver's flagship smoke contract: entry() returns rows. */
+class EntrySpec extends SparkSpec {
+  test("flagship entry produces rows with the 22-column contract") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.toSeq === graft.etl.Stage2.OutputColumns.map(_._1))
+    assert(df.count() > 0)
+  }
+  test("every query has either an oracle or a documented rows-only gate") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle === Set("q_approx_stats"),
+      s"unexpected oracle-less queries: $noOracle")
+  }
+}
