@@ -180,7 +180,32 @@ private[graft] object QueriesAnalytics {
       .groupBy(floor(col("value") / 50.0).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"))
 
+  /** Explicit GROUPING SETS (the general form of rollup/cube). */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.t(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+    s.sql("""SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty, count(*) AS n
+             FROM li_gs
+             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+  }
+
+  /** Map and struct machinery with deterministic scalar outputs. */
+  def complexTypes(s: SparkSession, dir: String): DataFrame = {
+    val m = map(lit("base"), col("value"), lit("double"), col("value") * 2.0)
+    val st = struct(col("event_type").as("t"), col("value").as("v"))
+    events(s, dir).select(
+      col("event_id"),
+      element_at(m, "base").as("base_v"),
+      element_at(m, "double").as("double_v"),
+      size(m).cast("long").as("m_size"),
+      array_join(map_keys(m), ",").as("m_keys"),
+      st.getField("t").as("s_type"),
+      st.getField("v").as("s_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_sets" -> (groupingSets _),
+    "q_complex_types" -> (complexTypes _),
     "q_stats_moments" -> (statsMoments _),
     "q_histogram" -> (histogram _),
     "q_cube" -> (cubeAgg _),
@@ -200,6 +225,16 @@ private[graft] object QueriesAnalytics {
 
   val oracles: Map[String, String] = Map(
     // q_approx_stats intentionally omitted → driver rows-only check
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    "q_complex_types" ->
+      """SELECT event_id, value AS base_v, value * 2.0 AS double_v,
+           CAST(2 AS BIGINT) AS m_size, 'base,double' AS m_keys,
+           event_type AS s_type, value AS s_value
+         FROM events""",
     "q_stats_moments" ->
       """WITH b AS (SELECT event_type,
              CAST(round(value * 100.0, 0) AS BIGINT) AS c FROM events),
