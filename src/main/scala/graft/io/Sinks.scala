@@ -55,11 +55,15 @@ object Sinks {
     * idempotent instead of skipped).
     */
   def writePartitioned(df: DataFrame, path: String,
-                       partitionCols: Seq[String]): Unit = {
+                       partitionCols: Seq[String],
+                       format: String = "parquet"): Unit = {
     val spark = df.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    try df.write.mode("overwrite").partitionBy(partitionCols: _*)
+      .format(format) // reference's daily sinks are CSV (S10); parquet default
+      .option("header", "true")
+      .save(path)
     finally prev match {
       case Some(v) =>
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
