@@ -7,10 +7,22 @@ columns, and compare values cell-by-cell.
 Usage: check.py SFDIR OUTDIR [query ...]
 """
 import json, os, sys, glob
+import math
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def cell(v):
+    """Canonical string per value — dtype-SENSITIVE like the driver's
+    value hash: int 163 != float 163.0 (DuckDB HUGEINT sums come back
+    float64 through pandas; the oracle must CAST ... AS BIGINT)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float) and math.isnan(v):
+        return "NULL"
+    return repr(v)
 
 
 def norm(df):
@@ -53,11 +65,12 @@ def main():
             continue
         bad = None
         for c in g.columns:
-            a, b = g[c], w[c]
-            neq = ~((a == b) | (a.isna() & b.isna()))
-            if neq.any():
-                i = neq.idxmax()
-                bad = (c, a[i], b[i], int(neq.sum()))
+            a = [cell(v) for v in g[c].tolist()]
+            b = [cell(v) for v in w[c].tolist()]
+            neq = [i for i, (x, y) in enumerate(zip(a, b)) if x != y]
+            if neq:
+                i = neq[0]
+                bad = (c, a[i], b[i], len(neq))
                 break
         if bad:
             c, av, bv, n = bad

@@ -151,7 +151,7 @@ private[graft] object QueriesIo {
                   CAST(round(value * 100.0, 0) AS BIGINT) AS cents
            FROM events)
          SELECT w_start, w_start + INTERVAL 6 HOUR AS w_end, event_type,
-                count(*) AS n, sum(cents) AS sum_cents
+                count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
          FROM b GROUP BY 1, 2, 3""",
     "q_stream_sliding" ->
       """WITH b AS (

@@ -330,7 +330,7 @@ private[graft] object QueriesLlm {
             FROM scored)
           SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 10""",
     "q_ann_lsh" ->
-      s"""SELECT vec_id, ${bucketSql("e")} AS bucket
+      s"""SELECT vec_id, CAST(${bucketSql("e")} AS BIGINT) AS bucket
           FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)""",
     "q_embed_neardup" ->
       s"""WITH v AS (SELECT vec_id, e, ${bucketSql("e")} AS bucket

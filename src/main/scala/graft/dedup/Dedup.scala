@@ -84,8 +84,17 @@ object Dedup {
                    n: Int = 3): DataFrame = {
     // the shingle table feeds four DAG branches (freq, prefix, and the
     // two verification joins); cache it rather than re-shingling — the
-    // production-scale equivalent is materializing it to a table
-    val sets = shingleSets(docs, idCol, textCol, n).cache()
+    // production-scale equivalent is materializing it to a table.
+    // Shingles are hashed to 60-bit longs ONCE up front: every
+    // downstream shuffle, join key, and verification array then moves
+    // 8-byte longs instead of n-gram strings (the round-2 bench's
+    // dominant constant factor). 60-bit hashing is collision-free in
+    // practice (birthday bound ~n²/2^61), so |∩| is unchanged.
+    val sets = shingleSets(docs, idCol, textCol, n)
+      .select(col("doc_id"),
+        array_distinct(transform(col("sh"),
+          s => TextAnalysis.hash60(s))).as("sh"))
+      .cache()
     val inv = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("s"))
     val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))
@@ -149,16 +158,17 @@ object Dedup {
   }
 
   /** LSH banding: rows of r minhashes each; a pair is a candidate iff
-    * it agrees on ALL r values of at least one band. Band signature is
-    * packed into one long (`mh_{rj}·p + mh_{rj+1}` for r = 2 —
-    * < 2^62, exact).
+    * it agrees on ALL r values of at least one band. The band signature
+    * is the struct of the band's r minhash values — exact for ANY r
+    * (arithmetic packing `a·p + b` overflows Long at r ≥ 3, where
+    * p^3 ≈ 9.9e27; struct equality has no such range limit and joins/
+    * shuffles on it hash the fields directly).
     */
   def lshCandidates(sig: DataFrame, k: Int, r: Int = 2): DataFrame = {
     require(k % r == 0, s"k=$k must be divisible by band width r=$r")
     val bands = (0 until k / r).map { j =>
-      val packed = (0 until r)
-        .map(o => col(s"mh_${j * r + o}"))
-        .reduce((a, b) => a * P + b)
+      val packed = struct(
+        (0 until r).map(o => col(s"mh_${j * r + o}").as(s"m_$o")): _*)
       sig.select(col("doc_id"), lit(j).as("band"), packed.as("bsig"))
     }.reduce(_ unionByName _)
     bands.as("a").join(bands.as("b"),

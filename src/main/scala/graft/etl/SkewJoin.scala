@@ -20,13 +20,17 @@ object SkewJoin {
   /** Inner equi-join `fact.key == dim.key`, salted `nSalts` ways.
     *
     * @param saltSource a fact column with per-row variety (an id or
-    *                   hash source); the salt is `pmod(hash(src), n)`
-    *                   so it is deterministic and reproducible.
+    *                   hash source); the salt is `pmod(xxhash64(src), n)`
+    *                   so it is deterministic, reproducible, uniform for
+    *                   any input type (string ids included), and — being
+    *                   a hash of a non-null-preserved input — never null
+    *                   (a null salt would silently drop fact rows from
+    *                   the inner join; xxhash64 hashes null to the seed).
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltSource: Column, nSalts: Int): DataFrame = {
     val saltedFact = fact.withColumn("__salt",
-      pmod(saltSource.cast("long"), lit(nSalts.toLong)))
+      pmod(xxhash64(saltSource), lit(nSalts.toLong)))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(nSalts.toLong - 1))))
     saltedFact.join(saltedDim, Seq(key, "__salt"), "inner")

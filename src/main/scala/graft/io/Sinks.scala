@@ -72,14 +72,45 @@ object Sinks {
     }
   }
 
+  /** Scheme-agnostic store-existence check through the Hadoop
+    * FileSystem API. `java.io.File` is local-FS-only: on `hdfs://` or
+    * `s3a://` it is always false, which would silently turn every
+    * S11 merge into an overwrite of the touched partitions.
+    */
+  private[io] def storeExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** S8 — utils/s3.py:35-93: the reference hand-rolls boto3 list/get/put
+    * with retry + backoff. On Spark the s3a connector owns that loop;
+    * this helper centralizes the equivalent tuning as documented Hadoop
+    * confs so every reader/sink in this module works on `s3a://` URIs
+    * unchanged. No credentials in code — the default provider chain
+    * (env/instance role) supplies them.
+    */
+  def s3aConf(spark: SparkSession,
+              endpoint: Option[String] = None,
+              maxRetries: Int = 5,
+              connectionTimeoutMs: Int = 60000): Unit = {
+    val c = spark.sparkContext.hadoopConfiguration
+    endpoint.foreach(c.set("fs.s3a.endpoint", _))
+    c.set("fs.s3a.attempts.maximum", maxRetries.toString)     // list/get/put retries
+    c.set("fs.s3a.retry.limit", maxRetries.toString)          // throttle retries
+    c.set("fs.s3a.connection.timeout", connectionTimeoutMs.toString)
+    c.set("fs.s3a.connection.maximum", "64")                  // parallel part uploads
+    c.set("fs.s3a.directory.marker.retention", "keep")        // avoid delete storms
+  }
+
   /** S11 — transform_conte_ts_data.py:1032-1049: merge new rows into an
     * existing monthly store with dedup. Union + dropDuplicates + dynamic
-    * partition overwrite of only the touched months.
+    * partition overwrite of only the touched months. Works on any
+    * Hadoop-supported URI scheme (file/hdfs/s3a) — see [[storeExists]].
     */
   def mergeDedup(spark: SparkSession, incoming: DataFrame, path: String,
                  partitionCol: String): Unit = {
     val merged =
-      if (new java.io.File(path).exists()) {
+      if (storeExists(spark, path)) {
         val existing = spark.read.parquet(path)
         // only months present in the incoming batch are rewritten;
         // restrict the union to those partitions (partition pruning

@@ -19,7 +19,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
   * Accumulation order matches `Vectors.cosine`'s sequential left folds
   * exactly (dot, |a|², |b|² each accumulate in index order; result =
   * dot / (√na · √nb)), so the two implementations are bit-identical and
-  * interchangeable under the DuckDB oracle.
+  * interchangeable under the DuckDB oracle — FOR equal-length arrays
+  * with non-null elements (the shapes this library constructs). Edge
+  * inputs diverge from the HOF form by design: unequal lengths fold
+  * over the common prefix (zip_with would null-pad), null elements read
+  * as 0.0 (zip_with propagates null into the sum), and empty or
+  * zero-norm vectors yield NaN in both forms. Callers needing the HOF
+  * edge semantics should use `Vectors.cosineHof`.
   */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
   extends BinaryExpression {

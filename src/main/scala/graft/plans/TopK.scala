@@ -16,6 +16,16 @@ object TopK {
   /** Top `k` rows per `keys` group under `order` (use `col.desc` /
     * `col.asc` Columns; bare Columns default to ascending). One
     * shuffle on the keys, bounded heaps instead of a partition sort.
+    *
+    * MEMORY CONTRACT (100 TB guard): each task holds one k-bounded
+    * heap per distinct key in its partition — O(keys-in-partition · k)
+    * rows, which is exactly the operator's output for that partition,
+    * never the input. This is the right bound when `keys · k` fits in
+    * executor memory (the usual top-k-per-group shape: output ≪
+    * input). For pathological cardinality (billions of keys × large
+    * k), raise `spark.sql.shuffle.partitions` so each task sees
+    * proportionally fewer keys — memory scales down linearly — or fall
+    * back to a `row_number` window, which sorts but spills.
     */
   def perKey(df: DataFrame, keys: Seq[Column], order: Seq[Column],
              k: Int): DataFrame = {

@@ -112,10 +112,28 @@ object Vectors {
     * same-bucket pairs are scored (vectors with cosine → 1 agree on
     * every hyperplane sign with high probability). Returns `doc_a <
     * doc_b` pairs with rounded cosine ≥ threshold.
+    *
+    * SIZING RULE (100 TB guard): `planes` bounds the bucket count at
+    * 2^planes, and the within-bucket self-join is quadratic in bucket
+    * population ≈ n / 2^planes. Keep per-bucket population ≤ ~1000 —
+    * i.e. `planes ≥ log2(n / 1000)`; a 1e9-vector corpus needs ≥ 20
+    * planes, not the 8 a small test uses. Pass `expectedCorpusSize` to
+    * have the rule enforced instead of remembered.
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double, planes: Int,
                          dims: Int, idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
+                         vecCol: String = "embedding",
+                         expectedCorpusSize: Option[Long] = None,
+                         targetBucketSize: Long = 1000L): DataFrame = {
+    expectedCorpusSize.foreach { n =>
+      val needed = math.ceil(
+        math.log(math.max(1.0, n.toDouble / targetBucketSize))
+          / math.log(2.0)).toInt
+      require(planes >= needed,
+        s"planes=$planes gives 2^$planes buckets; corpus of $n needs >= " +
+          s"$needed planes to keep ~$targetBucketSize vectors/bucket " +
+          "(the within-bucket join is quadratic in bucket population)")
+    }
     val c = corpus.select(col(idCol).as("vec_id"),
       toDouble(col(vecCol)).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes, dims))

@@ -7,9 +7,12 @@ class EntrySpec extends SparkSpec {
     assert(df.columns.toSeq === graft.etl.Stage2.OutputColumns.map(_._1))
     assert(df.count() > 0)
   }
-  test("every query has either an oracle or a documented rows-only gate") {
+  test("every query has an oracle (no rows-only gates remain)") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle === Set("q_approx_stats"),
+    assert(noOracle === Set.empty[String],
       s"unexpected oracle-less queries: $noOracle")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans === Set.empty[String],
+      s"oracles without a query: $orphans")
   }
 }
