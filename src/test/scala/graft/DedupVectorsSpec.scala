@@ -81,6 +81,31 @@ class DedupVectorsSpec extends SparkSpec {
     assert(r.last.getAs[Double]("cos") === 0.0)
   }
 
+  test("fuzzy dedup with r=4 bands (struct band sig, no long overflow)") {
+    // arithmetic packing a·p+b overflows Long at r >= 3; the struct
+    // band signature must keep exact agree-on-all-r semantics at r=4
+    val fuzzy = Dedup.fuzzy(docs, 0.5, k = 8, r = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fuzzy.contains((0L, 1L)), "identical docs collide in every band")
+    assert(fuzzy.contains((0L, 4L)))
+    assert(!fuzzy.exists { case (a, b) => a == 3L || b == 3L },
+      "unrelated doc never becomes a candidate pair")
+  }
+
+  test("cosineNearDupPairs enforces the plane-count sizing rule") {
+    // 1e6 vectors at target bucket 1000 need >= 10 planes; 4 is refused
+    val e = intercept[IllegalArgumentException] {
+      Vectors.cosineNearDupPairs(vecs, 0.9, planes = 4, dims = 3,
+        expectedCorpusSize = Some(1000000L))
+    }
+    assert(e.getMessage.contains("planes"))
+    // a compliant call runs: 4 vectors need 0 extra planes
+    val ok = Vectors.cosineNearDupPairs(vecs, 0.9, planes = 4, dims = 3,
+      expectedCorpusSize = Some(4L))
+    assert(ok.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .contains((0L, 1L)))
+  }
+
   test("lsh buckets: identical vectors land in the same bucket") {
     val b = vecs.select(col("vec_id"),
       Vectors.lshBucket(Vectors.toDouble(col("embedding")), 8, 3)

@@ -71,6 +71,49 @@ class StreamsSinksSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("mergeDedup: explicit file:// scheme URI still merges (Hadoop FS, " +
+    "not java.io.File)") {
+    import spark.implicits._
+    // java.io.File("file:///...").exists() is false, which silently
+    // turned the second merge into an overwrite — this is the
+    // regression test for the Hadoop FileSystem resolution
+    val dir = "file://" +
+      Files.createTempDirectory("graft_merge_uri").toString + "/store"
+    val b1 = Seq((1L, "2024_01"), (2L, "2024_01")).toDF("id", "ym")
+    val b2 = Seq((2L, "2024_01"), (3L, "2024_01")).toDF("id", "ym")
+    Sinks.mergeDedup(spark, b1, dir, "ym")
+    Sinks.mergeDedup(spark, b2, dir, "ym")
+    val ids = spark.read.parquet(dir).select("id").collect()
+      .map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L),
+      "batch-1 rows must survive the batch-2 merge through a scheme URI")
+  }
+
+  test("s3aConf sets retry/endpoint tuning on the Hadoop configuration") {
+    Sinks.s3aConf(spark, endpoint = Some("http://localhost:9000"),
+      maxRetries = 7)
+    val c = spark.sparkContext.hadoopConfiguration
+    assert(c.get("fs.s3a.endpoint") === "http://localhost:9000")
+    assert(c.get("fs.s3a.attempts.maximum") === "7")
+  }
+
+  test("tumbling(6h) counts compose into sliding(12h/6h) counts") {
+    // every sliding window [s, s+12h) is exactly the union of tumbling
+    // buckets s and s+6h — catches window-boundary bugs independently
+    // of the DuckDB oracle
+    val tumb = Streams.tumblingAgg(batchEvents)
+      .select(col("w_start"), col("event_type"), col("n").as("tn"))
+    val expected = tumb
+      .unionByName(tumb.select(
+        (col("w_start") - expr("INTERVAL 6 HOURS")).as("w_start"),
+        col("event_type"), col("tn")))
+      .groupBy("w_start", "event_type").agg(sum("tn").as("n"))
+    val slid = Streams.slidingAgg(batchEvents)
+      .select(col("w_start"), col("event_type"), col("n"))
+    assert(slid.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(slid).count() === 0)
+  }
+
   test("readCsvAllString: permissive strings-first read, null-on-coerce") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_csv").toString

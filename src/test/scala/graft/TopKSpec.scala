@@ -33,6 +33,18 @@ class TopKSpec extends SparkSpec {
     assert(all.count() === events.count())
   }
 
+  test("adversarial: 100k distinct keys stay within the heap-map " +
+    "memory contract") {
+    // memory is O(keys-in-partition · k) == the output size; 100k keys
+    // × k=2 must complete and return exactly top-2 per key
+    val wide = spark.range(300000L).select(
+      (col("id") % 100000L).as("k"), col("id").as("v"))
+    val top = TopK.perKey(wide, Seq(col("k")), Seq(col("v").desc), 2)
+    assert(top.count() === 200000L, "3 rows/key pruned to top 2")
+    val k0 = top.filter(col("k") === 0L).collect().map(_.getLong(1)).sorted
+    assert(k0.toSeq === Seq(100000L, 200000L), "top-2 of {0,100000,200000}")
+  }
+
   test("plan: one exchange, no Sort operator") {
     val plan = TopK.perKey(events, Seq(col("user_id")),
       Seq(col("value").desc), 3).queryExecution.executedPlan.toString
