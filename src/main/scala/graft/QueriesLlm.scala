@@ -43,6 +43,10 @@ private[graft] object QueriesLlm {
         TextAnalysis.langPredict(scores).as("predicted"): _*)
   }
 
+  /** Gopher-style repetition quality gates (top-n-gram dominance). */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionMetrics(t(s, dir, "documents"))
+
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"),
@@ -120,6 +124,7 @@ private[graft] object QueriesLlm {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_count" -> (tokenCount _),
     "q_text_quality" -> (textQuality _),
+    "q_repetition" -> (repetition _),
     "q_lang_id" -> (langId _),
     "q_fingerprint" -> (fingerprint _),
     "q_multimodal_meta" -> (multimodalMeta _),
@@ -221,6 +226,27 @@ private[graft] object QueriesLlm {
              x -> x = 'the' OR x = 'a')) AS DOUBLE) /
              CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
          FROM documents""",
+    "q_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+         u AS (SELECT doc_id, unnest(w) AS g FROM d),
+         uc AS (SELECT doc_id, g, count(*) AS c FROM u GROUP BY 1, 2),
+         ua AS (SELECT doc_id, max(c) AS top_uni,
+                  CAST(sum(c) AS BIGINT) AS n_uni, count(*) AS d_uni
+                FROM uc GROUP BY 1),
+         b AS (SELECT doc_id, unnest(list_transform(
+                 generate_series(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i + 1])) AS g
+               FROM d),
+         bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+         ba AS (SELECT doc_id, max(c) AS top_bi,
+                  CAST(sum(c) AS BIGINT) AS n_bi
+                FROM bc GROUP BY 1)
+         SELECT ua.doc_id, n_uni AS n_tokens,
+           CAST(d_uni AS DOUBLE) / n_uni AS ttr,
+           CAST(top_uni AS DOUBLE) / n_uni AS top_unigram_frac,
+           CAST(top_bi AS DOUBLE) / n_bi AS top_bigram_frac
+         FROM ua JOIN ba ON ua.doc_id = ba.doc_id""",
     "q_lang_id" ->
       """WITH s AS (
            SELECT doc_id,

@@ -98,6 +98,46 @@ object TextAnalysis {
         (nStop.cast("double") / nTokens.cast("double")))
   }
 
+  /** Gopher-style repetition metrics per document — the standard
+    * quality gates a training-data pipeline filters on (a doc whose
+    * most-frequent n-gram dominates is boilerplate/spam):
+    *
+    *  - `ttr`: type-token ratio (distinct/total tokens)
+    *  - `top_unigram_frac`: share of tokens taken by the most frequent
+    *    token
+    *  - `top_bigram_frac`: same for bigrams
+    *
+    * Shape: explode → two-level aggregate per n-gram order — two
+    * shuffles keyed on doc_id, partial aggregation map-side, no per-doc
+    * quadratic work (an array-only form would be O(|d|²) per doc).
+    * All outputs are exact-integer ratios → engine-portable doubles.
+    */
+  def repetitionMetrics(docs: org.apache.spark.sql.DataFrame,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"):
+      org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("w"))
+    def topFreq(grams: Column, out: String) =
+      toks.select(col("doc_id"), explode(grams).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          max(col("c")).as(s"top_$out"),
+          sum(col("c")).as(s"n_$out"),
+          count(lit(1)).as(s"d_$out"))
+    val uni = topFreq(col("w"), "uni")
+    val bi = topFreq(wordShinglesOf(col("w"), 2), "bi")
+    uni.join(bi, "doc_id")
+      .select(col("doc_id"),
+        col("n_uni").cast("long").as("n_tokens"),
+        (col("d_uni").cast("double") / col("n_uni").cast("double"))
+          .as("ttr"),
+        (col("top_uni").cast("double") / col("n_uni").cast("double"))
+          .as("top_unigram_frac"),
+        (col("top_bi").cast("double") / col("n_bi").cast("double"))
+          .as("top_bigram_frac"))
+  }
+
   /** Marker-word language-ID heuristic: count hits per language's
     * marker set; predict the first language (in `markers` order) with
     * the maximal count, 'und' when all counts are zero. Deterministic

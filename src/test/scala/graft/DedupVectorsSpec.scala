@@ -54,6 +54,16 @@ class DedupVectorsSpec extends SparkSpec {
     assert(fuzzy.contains((0L, 1L)), "identical docs always collide in LSH")
   }
 
+  test("repetition metrics: hand-checked ratios on a tiny doc") {
+    import spark.implicits._
+    val d = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val r = graft.functions.TextAnalysis.repetitionMetrics(d).collect().head
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    assert(r.getAs[Double]("ttr") === 0.5)               // {a, b} / 4
+    assert(r.getAs[Double]("top_unigram_frac") === 0.75) // "a" 3/4
+    assert(r.getAs[Double]("top_bigram_frac") === 2.0 / 3.0) // "a a" 2/3
+  }
+
   test("simhash: identical docs equal, near dups close in Hamming") {
     val sh = Dedup.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -2,10 +2,36 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Orchestration, Pipelines}
+import graft.pipeline.{Fetch, Orchestration, Pipelines}
 
 /** Orchestration protocol + end-to-end pipeline drivers. */
 class PipelineSpec extends SparkSpec {
+
+  test("S7 fetch step: idempotent, ordered, retried, atomically staged") {
+    val dir = Files.createTempDirectory("graft_fetch")
+    val staging = dir.resolve("staging").toString
+    val ps = new Orchestration.ProcessedSet(dir.resolve("done.txt").toString)
+    val remote = Map(
+      "b_v1_chunk2.csv" -> "2", "a.csv" -> "A", "b_v1_chunk1.csv" -> "1")
+    var fetchCalls = 0
+    def fetch(name: String): Array[Byte] = {
+      fetchCalls += 1
+      if (fetchCalls == 1) sys.error("transient network failure")
+      remote(name).getBytes("UTF-8")
+    }
+    val staged = Fetch.fetchNew(() => remote.keys.toSeq, fetch,
+      staging, ps, maxRetries = 3, baseDelayMs = 1L, sleep = _ => ())
+    // originals before chunked rewrites, chunks in numeric order (O2)
+    assert(staged === Seq("a.csv", "b_v1_chunk1.csv", "b_v1_chunk2.csv"))
+    assert(fetchCalls === 4, "first call failed, was retried")
+    assert(Files.readString(java.nio.file.Paths.get(staging, "a.csv"))
+      === "A")
+    // second pass: everything already in the processed set
+    val again = Fetch.fetchNew(() => remote.keys.toSeq, fetch,
+      staging, ps, sleep = _ => ())
+    assert(again.isEmpty, "refetch of processed files must be skipped")
+    assert(fetchCalls === 4)
+  }
 
   test("T2 signal protocol: complete clears ready+processing") {
     val dir = Files.createTempDirectory("graft_sig").toString

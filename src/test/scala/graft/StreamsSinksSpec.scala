@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import graft.io.Sinks
 import graft.streaming.Streams
 
@@ -95,6 +95,25 @@ class StreamsSinksSpec extends SparkSpec {
     val c = spark.sparkContext.hadoopConfiguration
     assert(c.get("fs.s3a.endpoint") === "http://localhost:9000")
     assert(c.get("fs.s3a.attempts.maximum") === "7")
+  }
+
+  test("T6 backpressure: maxFilesPerTrigger bounds files per micro-batch") {
+    val dir = Files.createTempDirectory("graft_bp").toString
+    batchEvents.select("event_id", "user_id").repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .groupBy().count()
+      .writeStream.format("memory").queryName("spec_bp")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val feeding = q.recentProgress.count(_.numInputRows > 0)
+    assert(feeding >= 3,
+      s"3 files at 1 file/trigger must take >= 3 micro-batches: $feeding")
+    assert(spark.table("spec_bp").collect().head.getLong(0) === 1000L,
+      "throttling must not drop rows")
   }
 
   test("tumbling(6h) counts compose into sliding(12h/6h) counts") {
