@@ -121,7 +121,23 @@ private[graft] object QueriesLlm {
       jaccardThreshold = JaccardThreshold)
       .select("doc_id", "lang", "n_chars")
 
+  /** Training-mixture rates: full src0, half src1, quarter src2,
+    * tenth src3; all other sources dropped.
+    */
+  private val MixRates = Map(
+    "src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)
+
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Curation
+      .stratifiedSample(t(s, dir, "documents"), MixRates)
+      .select("doc_id", "source")
+
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Curation.packSequences(t(s, dir, "documents"), 512)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stratified_sample" -> (stratifiedSample _),
+    "q_pack_sequences" -> (packSequences _),
     "q_token_count" -> (tokenCount _),
     "q_text_quality" -> (textQuality _),
     "q_repetition" -> (repetition _),
@@ -226,6 +242,25 @@ private[graft] object QueriesLlm {
              x -> x = 'the' OR x = 'a')) AS DOUBLE) /
              CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
          FROM documents""",
+    "q_stratified_sample" ->
+      s"""SELECT doc_id, source FROM documents
+          WHERE (source = 'src0' AND
+                   ${h60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 100)
+             OR (source = 'src1' AND
+                   ${h60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 50)
+             OR (source = 'src2' AND
+                   ${h60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 25)
+             OR (source = 'src3' AND
+                   ${h60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 10)""",
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)
+         SELECT doc_id, source, n_tokens,
+                (cum - n_tokens) // 512 AS seq_no
+         FROM c""",
     "q_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
                     FROM documents),

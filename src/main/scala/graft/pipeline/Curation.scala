@@ -19,6 +19,50 @@ import graft.functions.TextAnalysis
   */
 object Curation {
 
+  /** Deterministic stratified sampling by source — the data-mixing
+    * step that turns a raw corpus into a training mixture (e.g. web
+    * 50%, code 100%). Membership is decided by a portable md5-derived
+    * hash of the id, NOT `rand()`/`sample()`: the same row gets the
+    * same verdict on every engine, every rerun, every partitioning —
+    * reproducible mixtures are a hard requirement for training-data
+    * lineage. Map-only (no shuffle); rates are per-source keep
+    * fractions in [0, 1] at 1% granularity; unlisted sources drop.
+    */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Double],
+                       sourceCol: String = "source",
+                       idCol: String = "doc_id"): DataFrame = {
+    val pct = TextAnalysis.hash60(col(idCol).cast("string")) % 100
+    val keep = rates.foldLeft(lit(false)) { case (acc, (src, r)) =>
+      acc || (col(sourceCol) === src &&
+        pct < lit(math.round(r * 100).toInt))
+    }
+    docs.filter(keep)
+  }
+
+  /** Token-budget sequence packing: assign docs (per source, in
+    * deterministic id order) to consecutive training sequences of
+    * `tokenBudget` tokens — the batching step that fills fixed-length
+    * context windows. `seq_no` is the doc's starting token offset
+    * (prefix cumsum) divided by the budget: each doc belongs to the
+    * window its first token falls in, so a boundary-straddling doc
+    * overflows into the next window (concat-and-chunk semantics, as in
+    * GPT-style pretraining). Exact greedy repacking is an inherently
+    * sequential fold; this prefix-division rule is its deterministic,
+    * one-shuffle, cluster-parallel form.
+    */
+  def packSequences(docs: DataFrame, tokenBudget: Int,
+                    sourceCol: String = "source",
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol).orderBy(idCol)
+    docs.select(col(idCol), col(sourceCol),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col(sourceCol), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $tokenBudget").as("seq_no"))
+  }
+
   def curate(docs: DataFrame, minChars: Int, maxStopwordRatio: Double,
              stopwords: Seq[String], jaccardThreshold: Double,
              useLsh: Boolean = false): DataFrame = {

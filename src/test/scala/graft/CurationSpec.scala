@@ -25,6 +25,31 @@ class CurationSpec extends SparkSpec {
       "doc 1 exact-dup, doc 2 near-dup, doc 4 too short, doc 5 stopword spam")
   }
 
+  test("stratifiedSample: deterministic, rate-respecting, rerun-stable") {
+    import spark.implicits._
+    val d = (0L until 200L).map(i => (i, s"text $i", "web"))
+      .toDF("doc_id", "text", "source")
+    val r1 = Curation.stratifiedSample(d, Map("web" -> 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val r2 = Curation.stratifiedSample(d, Map("web" -> 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(r1 === r2, "same hash verdict on every run")
+    assert(r1.size > 60 && r1.size < 140, s"~50% of 200: ${r1.size}")
+    assert(Curation.stratifiedSample(d, Map("other" -> 1.0)).count() === 0,
+      "unlisted sources drop")
+  }
+
+  test("packSequences: prefix-offset window assignment") {
+    import spark.implicits._
+    // 4 docs x 4 tokens, budget 10: starting offsets 0,4,8,12 -> windows
+    // 0,0,0,1 (doc 3 straddles the boundary and stays in window 0)
+    val d = (1L to 4L).map(i => (i, "t t t t", "s")).toDF(
+      "doc_id", "text", "source")
+    val r = Curation.packSequences(d, 10).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("seq_no")).toMap
+    assert(r === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+  }
+
   test("curate with LSH variant keeps a subset of the exact survivors' complement") {
     val exact = Curation.curate(docs, 20, 0.5, Seq("the", "a"), 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
