@@ -142,6 +142,39 @@ private[graft] object QueriesAnalytics {
         sum(col("cents")).over(w).as("running_cents"))
   }
 
+  /** Time-RANGE window frame: per-user trailing-1-hour totals — the
+    * sessionized rate-metric shape (RANGE frames include ALL ties of
+    * the order value, so results are deterministic even at equal
+    * timestamps). Ordered by epoch micros: Spark's rangeBetween needs
+    * a numeric order column, and the integer bound is engine-portable.
+    */
+  def windowFrames(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-3600000000L, 0L)
+    events(s, dir)
+      .withColumn("cents", round(col("value") * 100.0, 0).cast("long"))
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"),
+        sum(col("cents")).over(w).as("cents_1h"),
+        count(lit(1)).over(w).cast("long").as("n_1h"))
+  }
+
+  /** Whole-partition frame navigation: first/last/nth value plus the
+    * distribution ranks (percent_rank, cume_dist — exact integer-ratio
+    * doubles, engine-portable) under a unique composite order.
+    */
+  def firstLast(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val whole = ord.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    events(s, dir).select(col("event_id"), col("user_id"),
+      first(col("event_type")).over(whole).as("first_type"),
+      last(col("event_type")).over(whole).as("last_type"),
+      nth_value(col("event_type"), 2).over(whole).as("second_type"),
+      percent_rank().over(ord).as("pct_rank"),
+      cume_dist().over(ord).as("cdist"))
+  }
+
   /** min_by / max_by with a unique composite ordering key. */
   def minmaxBy(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
@@ -221,6 +254,8 @@ private[graft] object QueriesAnalytics {
     "q_histogram" -> (histogram _),
     "q_cube" -> (cubeAgg _),
     "q_running_sum" -> (runningSum _),
+    "q_window_frames" -> (windowFrames _),
+    "q_first_last" -> (firstLast _),
     "q_minmax_by" -> (minmaxBy _),
     "q_unpivot" -> (unpivotQ _),
     "q_median" -> (medianQ _),
@@ -280,6 +315,29 @@ private[graft] object QueriesAnalytics {
              (PARTITION BY user_id ORDER BY ts, event_id
               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
          FROM events""",
+    "q_window_frames" ->
+      """SELECT event_id, user_id,
+           CAST(sum(cents) OVER w AS BIGINT) AS cents_1h,
+           count(*) OVER w AS n_1h
+         FROM (SELECT event_id, user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+               FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY us
+                      RANGE BETWEEN 3600000000 PRECEDING
+                        AND CURRENT ROW)""",
+    "q_first_last" ->
+      """SELECT event_id, user_id,
+           first_value(event_type) OVER whole AS first_type,
+           last_value(event_type) OVER whole AS last_type,
+           nth_value(event_type, 2) OVER whole AS second_type,
+           percent_rank() OVER ord AS pct_rank,
+           cume_dist() OVER ord AS cdist
+         FROM events
+         WINDOW ord AS (PARTITION BY user_id ORDER BY ts, event_id),
+                whole AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)""",
     "q_minmax_by" ->
       """SELECT event_type,
            arg_max(event_id,

@@ -33,4 +33,22 @@ class PlanRegressionSpec extends SparkSpec {
     val p = plan("q_cosine_topk")
     assert(p.contains("TopKPerKey"), p)
   }
+
+  test("jaccard pairs: no quadratic join operator anywhere in the plan") {
+    val p = plan("q_jaccard_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("stratified sample: map-only, zero exchanges") {
+    val p = plan("q_stratified_sample")
+    assert(!p.contains("Exchange"),
+      s"hash-based sampling must not shuffle:\n$p")
+  }
+
+  test("sequence packing: exactly one exchange (the per-source window)") {
+    val p = plan("q_pack_sequences")
+    assert("Exchange".r.findAllIn(p).size -
+      "BroadcastExchange".r.findAllIn(p).size === 1, p)
+  }
 }
