@@ -1,34 +1,21 @@
 #!/usr/bin/env python3
-"""Strict mimic of a hash-based comparator: sort columns by name, sort
-rows, then compare the full repr of every cell (dtype- and
-representation-sensitive, unlike pandas ==). Reports first diffs.
+"""Drill-down companion to check.py: same tables, same canonical cell
+contract (imported, so the two can't drift), but prints the first
+differing rows instead of a pass/fail line.
 
 Usage: strictdiff.py SFDIR OUTDIR query [query ...]
 """
-import json, os, sys, glob
+import json, os, sys
 import duckdb
-import math
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
-
-
-def cell_repr(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NULL"
-        return repr(v)
-    return repr(v)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check import TABLES, cell
 
 
 def rows_of(rel):
     cols = rel.columns
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for row in rel.fetchall():
-        out.append(tuple(cell_repr(row[i]) for i in order))
+    out = [tuple(cell(row[i]) for i in order) for row in rel.fetchall()]
     out.sort()
     return [cols[i] for i in order], out
 

@@ -6,30 +6,26 @@ object Bench {
     val spark = GraftSession.build("graft-bench")
     // absorb JVM/codegen/scheduler warmup outside any query's timing
     spark.range(1000000).selectExpr("sum(id)").collect()
-    // warm the parquet footers + OS page cache for the shared inputs so
-    // per-query numbers measure the plan, not who scans a cold file
-    // first; queries run in sorted order so round-over-round per-query
-    // comparisons see the same position effects
-    Seq("lineitem", "orders", "part", "customer", "documents",
-      "embeddings").foreach { t =>
-      try Tables.t(spark, sfDir, t).count()
-      catch { case _: Throwable => () }
-    }
-    try Tables.events(spark, sfDir).count()
-    catch { case _: Throwable => () }
     // two passes, report each query's MIN: one-time costs (codegen
     // compilation, broadcast/shuffle pool spin-up, streaming machinery
-    // init) land on whichever query happens to trigger them first, so a
-    // single pass mis-attributes seconds to arbitrary queries and makes
-    // round-over-round per-query comparisons noise-bound. The min of
-    // two runs is the steady-state cost of the PLAN — the number that
-    // actually predicts 100 TB behavior.
-    def pass(): Seq[(String, Double)] =
+    // init, cold file reads) land on whichever query happens to trigger
+    // them first, so a single pass mis-attributes seconds to arbitrary
+    // queries and makes round-over-round per-query comparisons
+    // noise-bound. The min of two runs is the steady-state cost of the
+    // PLAN — the number that actually predicts 100 TB behavior.
+    // clearCache() between passes: some operators .cache() internal
+    // tables (dedup shingles/signatures), and CacheManager would
+    // rewrite pass 2's identical plans to read pass 1's
+    // InMemoryRelation — pass 2 would then time a cache hit, not the
+    // plan. Clearing makes both passes do the full work.
+    def pass(): Seq[(String, Double)] = {
+      spark.catalog.clearCache()
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
+    }
     val (p1, p2) = (pass(), pass())
     val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

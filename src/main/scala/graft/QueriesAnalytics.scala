@@ -80,11 +80,16 @@ private[graft] object QueriesAnalytics {
         .as("approx_median"),
       percentile(col("value"), lit(0.5)).as("exact_median"),
       count(lit(1)).as("n"))
+      // tolerance sizing: approx_count_distinct's default rsd is 0.05,
+      // so a 5% gate would be ONE standard deviation — expected to fail
+      // ~1/3 of the time on fresh data. 25% (5 sigma) + 2 absolute
+      // still proves the sketch tracks reality while never failing on
+      // estimator variance; same reasoning for the quantile bound.
       .select(col("event_type"), col("n"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")).cast("double")
-          <= col("exact_users").cast("double") * 0.05).as("hll_ok"),
+          <= col("exact_users").cast("double") * 0.25 + 2.0).as("hll_ok"),
         (abs(col("approx_median") - col("exact_median"))
-          <= abs(col("exact_median")) * 0.05 + 0.5).as("med_ok"))
+          <= abs(col("exact_median")) * 0.10 + 1.0).as("med_ok"))
 
   /** Collapsing pivot (groupBy().pivot() with a static column list —
     * the aggregating cousin of the reference's F13 non-collapsing

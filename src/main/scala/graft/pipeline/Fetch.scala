@@ -39,14 +39,19 @@ object Fetch {
                sleep: Long => Unit = Thread.sleep): Seq[String] = {
     val staging = Paths.get(stagingDir)
     Files.createDirectories(staging)
-    val todo = Orchestration.orderFiles(
-      list().filterNot(processed.contains))
+    val done = processed.snapshot // one read, not one per candidate
+    val todo = Orchestration.orderFiles(list().filterNot(done))
     todo.map { name =>
+      // validate BEFORE the retry loop: a malformed name is a permanent
+      // error — retrying it just burns the full backoff schedule
+      val target = staging.resolve(name).normalize()
+      require(target.getParent == staging && !name.isEmpty,
+        s"remote entry '$name' is not a plain file name")
       Orchestration.retryWithBackoff(maxRetries, baseDelayMs, sleep) {
         val bytes = fetch(name)
-        val tmp = Files.createTempFile(staging, s".$name", ".part")
+        val tmp = Files.createTempFile(staging, "fetch", ".part")
         Files.write(tmp, bytes)
-        Files.move(tmp, staging.resolve(name),
+        Files.move(tmp, target,
           StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
         processed.add(name)

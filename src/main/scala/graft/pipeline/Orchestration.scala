@@ -60,6 +60,14 @@ object Orchestration {
       Files.exists(path) &&
         Files.readAllLines(path).asScala.contains(key)
 
+    /** One-shot read of the whole set — use this (not per-key
+      * [[contains]], which re-reads the file) when filtering a batch
+      * of candidates.
+      */
+    def snapshot: Set[String] =
+      if (Files.exists(path)) Files.readAllLines(path).asScala.toSet
+      else Set.empty
+
     def add(key: String): Unit = {
       Files.createDirectories(path.getParent)
       Files.writeString(path, s"$key\n",

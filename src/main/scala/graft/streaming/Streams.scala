@@ -33,6 +33,18 @@ object Streams {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Generic parquet file-source stream with optional T6 backpressure —
+    * the single wiring point every streaming entry (and the T6 spec)
+    * goes through.
+    */
+  def fileStream(spark: SparkSession, dir: String, schema: StructType,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n)) // T6
+    reader.parquet(dir)
+  }
+
   /** File-source stream over the events table. The file source needs a
     * directory (arriving-files semantics), so the single test file is
     * staged into a scratch dir once.
@@ -47,10 +59,7 @@ object Streams {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val reader = spark.readStream.schema(EventsRawSchema)
-    maxFilesPerTrigger.foreach(n =>
-      reader.option("maxFilesPerTrigger", n)) // T6
-    reader.parquet(staged.toString)
+    fileStream(spark, staged.toString, EventsRawSchema, maxFilesPerTrigger)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

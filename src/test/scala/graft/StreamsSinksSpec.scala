@@ -102,8 +102,8 @@ class StreamsSinksSpec extends SparkSpec {
     batchEvents.select("event_id", "user_id").repartition(3)
       .write.mode("overwrite").parquet(dir)
     val schema = spark.read.parquet(dir).schema
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Streams.fileStream(spark, dir, schema,
+        maxFilesPerTrigger = Some(1)) // the same wiring eventsStream uses
       .groupBy().count()
       .writeStream.format("memory").queryName("spec_bp")
       .outputMode(OutputMode.Complete())
