@@ -30,8 +30,20 @@ object TextAnalysis {
 
   /** Portable 60-bit content hash: first 15 hex chars of md5, as long.
     * Max value 16^15−1 < 2^60 — no sign/overflow issues in any engine.
+    * Fused native expression (digest bytes → long, no hex-string
+    * round-trip); bit-identical to [[hash60Hof]] and to the DuckDB
+    * oracle form `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`.
     */
-  def hash60(c: Column): Column =
+  def hash60(c: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.plans.Hash60Expr(
+      Bridge.expression(c.cast("string"))))
+  }
+
+  /** The pure-built-in composition [[hash60]] fuses — kept as the
+    * cross-implementation reference (Hash60Spec asserts equality).
+    */
+  def hash60Hof(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
   /** Lower-cased md5 document fingerprint (exact-dedup key). */

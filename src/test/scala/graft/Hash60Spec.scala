@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** The fused Hash60Expr must be bit-identical to the built-in
+  * composition (and therefore to the DuckDB oracle rule) on every
+  * input class: ascii, unicode, empty, long strings, numbers-as-text.
+  */
+class Hash60Spec extends SparkSpec {
+
+  test("native hash60 == conv(substr(md5)) composition, all input classes") {
+    import spark.implicits._
+    val inputs = Seq(
+      "", "a", "the quick brown fox", "héllo wörld ünïcode ✓",
+      "0", "-123456789", " leading and trailing ", "\ttabs\nnewlines",
+      "x" * 10000) ++ (0 until 1000).map(i => s"doc $i token$i")
+    val df = inputs.toDF("s").select(
+      TextAnalysis.hash60(col("s")).as("fused"),
+      TextAnalysis.hash60Hof(col("s")).as("composed"))
+    val rows = df.collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1),
+      s"divergence on some input: ${r.getLong(0)} vs ${r.getLong(1)}"))
+    // range contract: 60 bits, never negative
+    assert(rows.forall(r => r.getLong(0) >= 0L && r.getLong(0) < (1L << 60)))
+  }
+
+  test("native hash60 survives whole-stage codegen over a real table") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val both = docs.select(
+      TextAnalysis.hash60(col("text")).as("fused"),
+      TextAnalysis.hash60Hof(col("text")).as("composed"))
+    assert(both.filter(col("fused") =!= col("composed")).count() === 0)
+  }
+}
