@@ -117,6 +117,19 @@ private[graft] object QueriesAnalytics {
       element_at(toks, -1).as("last_tok"))
   }
 
+  /** Full outer join: per-user event stats × customer dimension —
+    * unmatched rows survive from BOTH sides with nulls opposite.
+    */
+  def fullOuter(s: SparkSession, dir: String): DataFrame = {
+    val stats = events(s, dir).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    stats.join(cust, col("user_id") === col("c_custkey"), "full_outer")
+      .select(col("user_id"), col("n_events"),
+        col("c_custkey"), col("c_mktsegment"))
+  }
+
   /** Left-anti join (beyond the reference's join surface). */
   def antiJoin(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -272,6 +285,7 @@ private[graft] object QueriesAnalytics {
     "q_pivot_agg" -> (pivotAgg _),
     "q_array_funcs" -> (arrayFuncs _),
     "q_anti_join" -> (antiJoin _),
+    "q_full_outer" -> (fullOuter _),
     "q_except_keys" -> (exceptKeys _))
 
   val oracles: Map[String, String] = Map(
@@ -392,6 +406,11 @@ private[graft] object QueriesAnalytics {
              AS sorted10,
            w[-1] AS last_tok
          FROM d""",
+    "q_full_outer" ->
+      """SELECT user_id, n_events, c_custkey, c_mktsegment
+         FROM (SELECT user_id, count(*) AS n_events
+               FROM events GROUP BY 1) e
+         FULL OUTER JOIN customer ON user_id = c_custkey""",
     "q_anti_join" ->
       """SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
          WHERE l_partkey NOT IN

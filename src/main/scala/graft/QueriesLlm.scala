@@ -47,6 +47,15 @@ private[graft] object QueriesLlm {
   def repetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionMetrics(t(s, dir, "documents"))
 
+  /** C4-style normalization + the fingerprint of the cleaned text
+    * (the usual dedup key: normalize first, then hash).
+    */
+  def textClean(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.cleanText(col("text")).as("clean"),
+      TextAnalysis.hash60(TextAnalysis.cleanText(col("text")))
+        .as("clean_h60"))
+
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"),
@@ -141,6 +150,7 @@ private[graft] object QueriesLlm {
     "q_token_count" -> (tokenCount _),
     "q_text_quality" -> (textQuality _),
     "q_repetition" -> (repetition _),
+    "q_text_clean" -> (textClean _),
     "q_lang_id" -> (langId _),
     "q_fingerprint" -> (fingerprint _),
     "q_multimodal_meta" -> (multimodalMeta _),
@@ -242,6 +252,13 @@ private[graft] object QueriesLlm {
              x -> x = 'the' OR x = 'a')) AS DOUBLE) /
              CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
          FROM documents""",
+    "q_text_clean" ->
+      s"""WITH c AS (
+            SELECT doc_id,
+              trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+            FROM documents)
+          SELECT doc_id, clean, ${h60Sql("clean")} AS clean_h60 FROM c""",
     "q_stratified_sample" ->
       s"""SELECT doc_id, source FROM documents
           WHERE (source = 'src0' AND

@@ -91,6 +91,15 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** C4-style text normalization for dedup keys and model input:
+    * lowercase, strip everything outside [a-z0-9 ], collapse runs of
+    * spaces, trim. Patterns stay in the regex subset Java and RE2
+    * treat identically, so the result is oracle-reproducible.
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** Token-level quality metrics: character count, token count, average
     * token length, ratio of tokens found in `stopwords`.
     */
