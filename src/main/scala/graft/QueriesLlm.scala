@@ -120,6 +120,13 @@ private[graft] object QueriesLlm {
       emb.filter(col("vec_id") < 16), 5)
   }
 
+  /** IVF with multi-probe (nprobe=2): the recall knob exercised. */
+  def ivfProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Vectors.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+      emb.filter(col("vec_id") < 16), 5, nprobe = 2)
+  }
+
   /** End-to-end corpus curation: quality gate → exact dedup → near-dup
     * removal (greedy smallest-id survivor).
     */
@@ -164,6 +171,7 @@ private[graft] object QueriesLlm {
     "q_ann_topk" -> (annTopK _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_ivf_topk" -> (ivfTopK _),
+    "q_ivf_probe" -> (ivfProbe _),
     "q_curation" -> (curation _))
 
   // --- oracles ---------------------------------------------------------
@@ -439,6 +447,35 @@ private[graft] object QueriesLlm {
             WHERE rn = 1),
           q AS (SELECT vec_id AS query_id, e AS qe, cluster FROM c
             WHERE vec_id < 5),
+          scored AS (
+            SELECT query_id, c.vec_id,
+              round(${dotSql("qe", "c.e")} /
+                (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("c.e", "c.e")})),
+                6) AS cos
+            FROM c JOIN q USING (cluster) WHERE c.vec_id <> query_id),
+          r AS (SELECT query_id, vec_id, cos,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) AS rank
+            FROM scored)
+          SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5""",
+    "q_ivf_probe" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          cen AS (SELECT vec_id AS centroid_id, e AS ce FROM v
+            WHERE vec_id < 16),
+          ass AS (
+            SELECT vec_id, e, centroid_id,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY ccos DESC, centroid_id) AS rn
+            FROM (SELECT v.vec_id, v.e, cen.centroid_id,
+                    round(${dotSql("v.e", "cen.ce")} /
+                      (sqrt(${dotSql("v.e", "v.e")}) *
+                       sqrt(${dotSql("cen.ce", "cen.ce")})), 6) AS ccos
+                  FROM v CROSS JOIN cen)),
+          c AS (SELECT vec_id, e, centroid_id AS cluster FROM ass
+            WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, e AS qe,
+                  centroid_id AS cluster
+                FROM ass WHERE rn <= 2 AND vec_id < 5),
           scored AS (
             SELECT query_id, c.vec_id,
               round(${dotSql("qe", "c.e")} /

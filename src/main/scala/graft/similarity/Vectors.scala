@@ -164,23 +164,46 @@ object Vectors {
       .select(col("vec_id"), col("v"), col("centroid_id").as("cluster"))
   }
 
-  /** IVF top-k with nprobe=1: queries search only their own cluster's
-    * inverted list. The cluster equi-join replaces the full-corpus scan.
+  /** Query-side multi-probe assignment: each query fans out to its
+    * `nprobe` highest-cosine centroids (ties break on smaller centroid
+    * id) — the standard IVF recall knob: higher nprobe scans more
+    * inverted lists for better recall at proportional cost.
+    */
+  private def ivfAssignProbes(vectors: DataFrame, centroids: DataFrame,
+                              nprobe: Int): DataFrame = {
+    val scored = vectors.join(broadcast(centroids.select(
+        col("vec_id").as("centroid_id"), col("v").as("cv"))))
+      .select(col("vec_id"), col("v"), col("centroid_id"),
+        round(cosine(col("v"), col("cv")), 6).as("ccos"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id"), col("v"), col("centroid_id").as("cluster"))
+  }
+
+  /** IVF top-k: corpus vectors live in their single nearest cluster's
+    * inverted list; each query probes its `nprobe` nearest clusters.
+    * The cluster equi-join replaces the full-corpus scan — cost scales
+    * with nprobe/nclusters of the corpus instead of all of it.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
               k: Int, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding", nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     def prep(df: DataFrame) = df.select(col(idCol).as("vec_id"),
       toDouble(col(vecCol)).as("v"))
     val cen = prep(centroids)
     val c = ivfAssign(prep(corpus), cen)
-    val q = ivfAssign(prep(queries), cen)
+    val q = ivfAssignProbes(prep(queries), cen, nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("cluster"))
     val scored = c.join(broadcast(q), "cluster")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qv"), col("v")), 6).as("cos"))
+    // no dedup needed: each corpus vector lives in exactly one cluster,
+    // so a (query, vec) pair meets at most once even with nprobe > 1
     rankTopK(scored, k)
   }
 

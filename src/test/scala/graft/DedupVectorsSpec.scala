@@ -123,6 +123,21 @@ class DedupVectorsSpec extends SparkSpec {
     assert(b(0L) === b(1L))
   }
 
+  test("ivf multi-probe: nprobe=2 recalls neighbors nprobe=1 misses") {
+    // centroids 0 (x-axis) and 3 (z-axis); corpus 0,1,2 cluster on 0,
+    // corpus 3 clusters on 3. A query near x probes cluster 0 first —
+    // nprobe=1 can never see vec 3, nprobe=2 finds it.
+    val cen = vecs.filter(col("vec_id").isin(0L, 3L))
+    val q = vecs.filter(col("vec_id") === 2L)
+    val p1 = Vectors.ivfTopK(vecs, q, cen, 3).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val p2 = Vectors.ivfTopK(vecs, q, cen, 3, nprobe = 2).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(p1.subsetOf(p2), "wider probe can only add candidates")
+    assert(!p1.contains(3L) && p2.contains(3L),
+      "the second probed cluster contributes its inverted list")
+  }
+
   test("ann top-k: same-bucket identical vector is retrieved") {
     val r = Vectors.annTopK(vecs, vecs.filter(col("vec_id") === 0), 2,
       planes = 4, dims = 3).collect()
