@@ -117,6 +117,16 @@ private[graft] object QueriesAnalytics {
       element_at(toks, -1).as("last_tok"))
   }
 
+  /** Aggregate-to-array: per-user sorted distinct event types, joined
+    * to a string (sorted so the array content is deterministic; joined
+    * because the comparator hashes scalars, not lists).
+    */
+  def collectTypes(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).groupBy("user_id")
+      .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
+        .as("types"),
+        count(lit(1)).as("n"))
+
   /** Full outer join: per-user event stats × customer dimension —
     * unmatched rows survive from BOTH sides with nulls opposite.
     */
@@ -286,6 +296,7 @@ private[graft] object QueriesAnalytics {
     "q_array_funcs" -> (arrayFuncs _),
     "q_anti_join" -> (antiJoin _),
     "q_full_outer" -> (fullOuter _),
+    "q_collect_types" -> (collectTypes _),
     "q_except_keys" -> (exceptKeys _))
 
   val oracles: Map[String, String] = Map(
@@ -406,6 +417,12 @@ private[graft] object QueriesAnalytics {
              AS sorted10,
            w[-1] AS last_tok
          FROM d""",
+    "q_collect_types" ->
+      """SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+             AS types,
+           count(*) AS n
+         FROM events GROUP BY user_id""",
     "q_full_outer" ->
       """SELECT user_id, n_events, c_custkey, c_mktsegment
          FROM (SELECT user_id, count(*) AS n_events

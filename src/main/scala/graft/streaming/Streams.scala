@@ -156,6 +156,31 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Threshold-crossing alerts via flatMapGroupsWithState: zero or
+    * many outputs per group per batch (mapGroupsWithState is locked to
+    * exactly one) — emit a row each time a user's running event count
+    * crosses a multiple of `every`. The state is one long per user;
+    * a watermark-less NoTimeout state matches the reference's
+    * forever-tracked processed-set semantics.
+    */
+  def countAlerts(events: DataFrame, every: Long = 10L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val before = state.getOption.getOrElse(0L)
+          val after = before + rows.size
+          state.update(after)
+          // one alert per multiple of `every` crossed in this batch
+          ((before / every + 1) to (after / every))
+            .map(k => (user, k * every)).iterator
+      }
+      .toDF("user_id", "milestone")
+  }
+
   /** Custom-state operator (T2/T3-style dedup-and-track semantics):
     * mapGroupsWithState keeping a running (count, maxCents) per user.
     * Exercised by the test suite; production streams would emit updates

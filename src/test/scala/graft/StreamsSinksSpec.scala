@@ -36,6 +36,25 @@ class StreamsSinksSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("flatMapGroupsWithState alerts == batch milestone computation") {
+    val streamed = Streams.runToTable(
+      Streams.countAlerts(Streams.eventsStream(spark, sfDir), every = 3L),
+      "spec_alerts", OutputMode.Append())
+    // batch equivalent: each user emits one row per multiple of 3
+    // reached by their total count
+    val batch = batchEvents.groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+      // guard: Spark's sequence(1, 0) is DESCENDING [1,0], not empty —
+      // a user with n < 3 would fabricate milestones in this reference
+      .filter(expr("n div 3") >= 1)
+      .select(col("user_id"),
+        explode(sequence(lit(1L), expr("n div 3"))).as("k"))
+      .select(col("user_id"), (col("k") * 3L).as("milestone"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("writeParquetSplit bounds records per file") {
     val dir = Files.createTempDirectory("graft_split").toString
     Sinks.writeParquetSplit(batchEvents.select("event_id"), dir, 100L)
