@@ -58,7 +58,8 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("w"))
       .select(col("doc_id"),
-        array_distinct(TextAnalysis.wordShinglesOf(col("w"), n)).as("sh"))
+        array_distinct(TextAnalysis.wordShinglesOfNative(col("w"), n))
+          .as("sh"))
 
   /** Exact n-gram Jaccard near-duplicate pairs with PPJoin-style
     * prefix filtering.
@@ -92,8 +93,7 @@ object Dedup {
     // practice (birthday bound ~n²/2^61), so |∩| is unchanged.
     val sets = shingleSets(docs, idCol, textCol, n)
       .select(col("doc_id"),
-        array_distinct(transform(col("sh"),
-          s => TextAnalysis.hash60(s))).as("sh"))
+        array_distinct(TextAnalysis.hash60Array(col("sh"))).as("sh"))
       .cache()
     val inv = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("s"))
@@ -151,7 +151,8 @@ object Dedup {
                         n: Int = 3): DataFrame = {
     val hashed = shingleSets(docs, idCol, textCol, n)
       .select(col("doc_id"),
-        transform(col("sh"), s => TextAnalysis.hash60(s) % P).as("hs"))
+        transform(TextAnalysis.hash60Array(col("sh")), h => h % P)
+          .as("hs"))
     val cols = col("doc_id") +:
       (0 until k).map(i => minhashCol(col("hs"), i).as(s"mh_$i"))
     hashed.select(cols: _*)

@@ -76,10 +76,29 @@ object TextAnalysis {
       Bridge.expression(tokens(text)), n))
   }
 
-  /** Word shingles from an already-materialized token array. Prefer
-    * projecting `tokens(text)` into its own column first — a token
-    * expression inlined here is re-evaluated for every element_at
-    * reference inside the (interpreted) lambda, an n·|d|× blowup.
+  /** Native word shingles from an already-materialized token array —
+    * the codegen'd form of [[wordShinglesOf]] (WordShinglesExpr; one
+    * generated loop over UTF8String slices). Use this on hot paths.
+    */
+  def wordShinglesOfNative(w: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.plans.WordShinglesExpr(Bridge.expression(w), n))
+  }
+
+  /** Array-level content hashing: `array<string>` → `array<long>` in
+    * one codegen loop (Hash60ArrayExpr) — element-identical to
+    * `transform(w, s => hash60(s))` without the interpreted lambda.
+    */
+  def hash60Array(w: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.plans.Hash60ArrayExpr(Bridge.expression(w)))
+  }
+
+  /** Word shingles from an already-materialized token array, as pure
+    * built-ins — kept as the cross-implementation reference for
+    * [[wordShinglesOfNative]]. A token expression inlined here is
+    * re-evaluated for every element_at reference inside the
+    * (interpreted) lambda, an n·|d|× blowup — project tokens first.
     */
   def wordShinglesOf(w: Column, n: Int): Column = {
     val cnt = size(w) - (n - 1)
@@ -147,7 +166,7 @@ object TextAnalysis {
           sum(col("c")).as(s"n_$out"),
           count(lit(1)).as(s"d_$out"))
     val uni = topFreq(col("w"), "uni")
-    val bi = topFreq(wordShinglesOf(col("w"), 2), "bi")
+    val bi = topFreq(wordShinglesOfNative(col("w"), 2), "bi")
     uni.join(bi, "doc_id")
       .select(col("doc_id"),
         col("n_uni").cast("long").as("n_tokens"),

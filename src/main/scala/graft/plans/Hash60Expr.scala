@@ -58,3 +58,51 @@ case class Hash60Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(
       newChild: Expression): Hash60Expr = copy(child = newChild)
 }
+
+/** Vectorized form: `array<string>` → `array<long>` in one generated
+  * loop. The composed alternative — `transform(arr, s => hash60(s))` —
+  * is an interpreted lambda that leaves whole-stage codegen and pays
+  * per-element closure dispatch; on the dedup paths the array is every
+  * document's shingle set, so the loop body runs |corpus| × |shingles|
+  * times.
+  */
+case class Hash60ArrayExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_hash60_array"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[
+      org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = Hash60.hashUtf8(arr.getUTF8String(i))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+      s"""
+         |int $n = $arr.numElements();
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = graft.plans.Hash60.hashUtf8($arr.getUTF8String($i));
+         |}
+         |${ev.value} = $ad.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Hash60ArrayExpr = copy(child = newChild)
+}

@@ -25,6 +25,26 @@ class Hash60Spec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) >= 0L && r.getLong(0) < (1L << 60)))
   }
 
+  test("hash60Array == transform(hash60) and native shingles == HOF " +
+    "shingles on a real table") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+    val cmp = docs.select(
+      TextAnalysis.hash60Array(TextAnalysis.wordShinglesOfNative(col("w"), 3))
+        .as("fused"),
+      transform(TextAnalysis.wordShinglesOf(col("w"), 3),
+        s => TextAnalysis.hash60Hof(s)).as("composed"))
+    assert(cmp.filter(col("fused") =!= col("composed")).count() === 0)
+    // short docs: fewer tokens than n -> both forms give empty arrays
+    import spark.implicits._
+    val tiny = Seq(Seq("a"), Seq.empty[String]).toDF("w")
+    val t = tiny.select(
+      size(TextAnalysis.wordShinglesOfNative(col("w"), 3)).as("a"),
+      size(TextAnalysis.wordShinglesOf(col("w"), 3)).as("b")).collect()
+    t.foreach(r => assert(r.getInt(0) === 0 && r.getInt(1) === 0))
+  }
+
   test("native hash60 survives whole-stage codegen over a real table") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
