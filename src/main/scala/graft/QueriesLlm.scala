@@ -94,6 +94,12 @@ private[graft] object QueriesLlm {
   def simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(t(s, dir, "documents"))
 
+  /** Decontamination: trigram overlap vs a small probe set. */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Dedup.contamination(d, d.filter(col("doc_id") < 5))
+  }
+
   // --- similarity search ----------------------------------------------
 
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
@@ -166,6 +172,7 @@ private[graft] object QueriesLlm {
     "q_minhash_sig" -> (minhashSig _),
     "q_dedup_fuzzy" -> (dedupFuzzy _),
     "q_simhash" -> (simhash _),
+    "q_contamination" -> (contamination _),
     "q_cosine_topk" -> (cosineTopK _),
     "q_ann_lsh" -> (annLsh _),
     "q_ann_topk" -> (annTopK _),
@@ -260,6 +267,12 @@ private[graft] object QueriesLlm {
              x -> x = 'the' OR x = 'a')) AS DOUBLE) /
              CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
          FROM documents""",
+    "q_contamination" ->
+      s"""WITH $ShinglesCte,
+          ps AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 5),
+          ds AS (SELECT doc_id, unnest(s) AS g FROM sh)
+          SELECT doc_id, count(*) AS n_hits
+          FROM ds JOIN ps USING (g) GROUP BY doc_id""",
     "q_text_clean" ->
       s"""WITH c AS (
             SELECT doc_id,

@@ -132,6 +132,24 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Benchmark decontamination: for each training doc, how many of its
+    * distinct word n-grams also appear in the probe corpus (eval/
+    * benchmark text). The standard pretraining hygiene gate — docs
+    * with hits get dropped or flagged. Probe shingles are broadcast
+    * (eval sets are tiny next to the corpus), so the scan of the
+    * training side is map-side: no corpus shuffle at 100 TB.
+    */
+  def contamination(docs: DataFrame, probes: DataFrame, n: Int = 3,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val d = shingleSets(docs, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val p = shingleSets(probes, idCol, textCol, n)
+      .select(explode(col("sh")).as("s")).distinct()
+    d.join(broadcast(p), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
   /** One MinHash value over pre-hashed shingles:
     * `min over h of (a·h + b) mod p`, `h = h60(s) mod p`.
     * Empty set → p (sentinel larger than any hash).
