@@ -276,8 +276,8 @@ private[graft] object QueriesLlm {
     "q_text_clean" ->
       s"""WITH c AS (
             SELECT doc_id,
-              trim(regexp_replace(regexp_replace(lower(text),
-                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+              trim(regexp_replace(lower(regexp_replace(text,
+                '[^A-Za-z0-9 ]', ' ', 'g')), ' +', ' ', 'g')) AS clean
             FROM documents)
           SELECT doc_id, clean, ${h60Sql("clean")} AS clean_h60 FROM c""",
     "q_stratified_sample" ->

@@ -111,13 +111,17 @@ object TextAnalysis {
   }
 
   /** C4-style text normalization for dedup keys and model input:
-    * lowercase, strip everything outside [a-z0-9 ], collapse runs of
-    * spaces, trim. Patterns stay in the regex subset Java and RE2
-    * treat identically, so the result is oracle-reproducible.
+    * strip everything outside [A-Za-z0-9 ], lowercase, collapse runs
+    * of spaces, trim. The strip happens BEFORE the lowercase on
+    * purpose: Java (full Unicode case mapping, 'İ' → "i̇") and
+    * RE2/utf8proc (simple mapping, 'İ' → 'i') disagree on some
+    * non-ASCII lowercasings, so lowering is only ever applied to pure
+    * ASCII — where every engine agrees — keeping the cleaned text and
+    * its fingerprint oracle-reproducible on any input.
     */
   def cleanText(text: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+      lower(regexp_replace(text, "[^A-Za-z0-9 ]", " ")), " +", " "))
 
   /** Token-level quality metrics: character count, token count, average
     * token length, ratio of tokens found in `stopwords`.

@@ -60,16 +60,26 @@ case class Hash60Expr(child: Expression) extends UnaryExpression {
 }
 
 /** Vectorized form: `array<string>` → `array<long>` in one generated
-  * loop. The composed alternative — `transform(arr, s => hash60(s))` —
-  * is an interpreted lambda that leaves whole-stage codegen and pays
+  * loop, element-identical to `transform(arr, s => hash60(s))`
+  * including null elements (null in → null out; the output type's
+  * containsNull mirrors the input's). The composed alternative is an
+  * interpreted lambda that leaves whole-stage codegen and pays
   * per-element closure dispatch; on the dedup paths the array is every
   * document's shingle set, so the loop body runs |corpus| × |shingles|
-  * times.
+  * times. The child must be `array<string>` (the library constructs
+  * inputs type-correctly — same posture as CosineSimilarityExpr).
   */
 case class Hash60ArrayExpr(child: Expression) extends UnaryExpression {
 
+  import org.apache.spark.sql.types.ArrayType
+
+  private def childContainsNull: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
   override def dataType: DataType =
-    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+    ArrayType(LongType, containsNull = childContainsNull)
 
   override def prettyName: String = "graft_hash60_array"
 
@@ -77,13 +87,15 @@ case class Hash60ArrayExpr(child: Expression) extends UnaryExpression {
     val arr = input.asInstanceOf[
       org.apache.spark.sql.catalyst.util.ArrayData]
     val n = arr.numElements()
-    val out = new Array[Long](n)
+    val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      out(i) = Hash60.hashUtf8(arr.getUTF8String(i))
+      if (!arr.isNullAt(i)) {
+        out(i) = Hash60.hashUtf8(arr.getUTF8String(i))
+      }
       i += 1
     }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext,
@@ -92,14 +104,16 @@ case class Hash60ArrayExpr(child: Expression) extends UnaryExpression {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val out = ctx.freshName("out")
-      val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+      val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
       s"""
          |int $n = $arr.numElements();
-         |long[] $out = new long[$n];
+         |Object[] $out = new Object[$n];
          |for (int $i = 0; $i < $n; $i++) {
-         |  $out[$i] = graft.plans.Hash60.hashUtf8($arr.getUTF8String($i));
+         |  if (!$arr.isNullAt($i)) {
+         |    $out[$i] = graft.plans.Hash60.hashUtf8($arr.getUTF8String($i));
+         |  }
          |}
-         |${ev.value} = $ad.toArrayData($out);
+         |${ev.value} = new $gad($out);
        """.stripMargin
     })
 

@@ -151,18 +151,11 @@ object Vectors {
     * the centroid table changes). Each vector goes to its highest-
     * cosine centroid; ties break on the smaller centroid id.
     */
-  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val v = vectors.select(col("vec_id"), col("v"))
-    val cen = centroids.select(col("vec_id").as("centroid_id"),
-      col("v").as("cv"))
-    val scored = v.join(broadcast(cen))
-      .select(col("vec_id"), col("v"), col("centroid_id"),
-        round(cosine(col("v"), col("cv")), 6).as("ccos"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("centroid_id").as("cluster"))
-  }
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    // single source of truth for the score/round/tie-break rules the
+    // DuckDB oracle mirrors — assignment IS the nprobe=1 probe
+    ivfAssignProbes(vectors.select(col("vec_id"), col("v")),
+      centroids, nprobe = 1)
 
   /** Query-side multi-probe assignment: each query fans out to its
     * `nprobe` highest-cosine centroids (ties break on smaller centroid

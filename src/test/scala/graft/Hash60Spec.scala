@@ -45,6 +45,18 @@ class Hash60Spec extends SparkSpec {
     t.foreach(r => assert(r.getInt(0) === 0 && r.getInt(1) === 0))
   }
 
+  test("hash60Array propagates null elements like the transform form") {
+    import spark.implicits._
+    val df = Seq(1).toDF("x").select(
+      TextAnalysis.hash60Array(
+        array(lit("a"), lit(null).cast("string"), lit("b"))).as("fused"),
+      transform(array(lit("a"), lit(null).cast("string"), lit("b")),
+        s => TextAnalysis.hash60Hof(s)).as("composed"))
+    val r = df.collect().head
+    assert(r.getSeq[Any](0) === r.getSeq[Any](1))
+    assert(r.getSeq[Any](0)(1) === null, "null in -> null out")
+  }
+
   test("native hash60 survives whole-stage codegen over a real table") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
