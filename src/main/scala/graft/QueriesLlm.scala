@@ -157,6 +157,23 @@ private[graft] object QueriesLlm {
   def packSequences(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Curation.packSequences(t(s, dir, "documents"), 512)
 
+  /** Capstone composition — the full raw-corpus → training-mixture
+    * flow: quality gate → exact dedup → near-dup removal → stratified
+    * source mixing → token-budget sequence packing, every stage the
+    * library's own operator.
+    */
+  def trainingMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val curated = graft.pipeline.Curation.curate(
+      docs.select("doc_id", "text", "lang"),
+      minChars = 100, maxStopwordRatio = 0.3, stopwords = Stopwords,
+      jaccardThreshold = JaccardThreshold)
+      .select("doc_id", "text")
+    val withSource = curated.join(docs.select("doc_id", "source"), "doc_id")
+    graft.pipeline.Curation.packSequences(
+      graft.pipeline.Curation.stratifiedSample(withSource, MixRates), 512)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stratified_sample" -> (stratifiedSample _),
     "q_pack_sequences" -> (packSequences _),
@@ -179,7 +196,8 @@ private[graft] object QueriesLlm {
     "q_embed_neardup" -> (embedNearDup _),
     "q_ivf_topk" -> (ivfTopK _),
     "q_ivf_probe" -> (ivfProbe _),
-    "q_curation" -> (curation _))
+    "q_curation" -> (curation _),
+    "q_training_mix" -> (trainingMix _))
 
   // --- oracles ---------------------------------------------------------
 
@@ -224,34 +242,64 @@ private[graft] object QueriesLlm {
          |  THEN ${1L << i} ELSE 0 END""".stripMargin
     }.mkString("(", " + ", ")")
 
+  /** The curation pipeline's CTE chain (quality gate → exact dedup →
+    * near-dup pairs), shared by q_curation and q_training_mix.
+    */
+  private val CurationCtes =
+    """q AS (
+         SELECT doc_id, text, lang, len(text) AS n_chars
+         FROM documents
+         WHERE len(text) >= 100
+           AND CAST(len(list_filter(string_split(text, ' '),
+                 x -> x = 'the' OR x = 'a')) AS DOUBLE) /
+               CAST(len(string_split(text, ' ')) AS DOUBLE) <= 0.3),
+       canon AS (
+         SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(lower(text))),
+       qd AS (SELECT q.* FROM q JOIN canon USING (doc_id)),
+       sh AS (SELECT doc_id, list_distinct(
+           [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, greatest(len(w)-2, 0))]) AS s
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM qd)),
+       inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       pairs AS (
+         SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       jac AS (
+         SELECT da, db FROM pairs
+         JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = da
+         JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = db
+         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5)"""
+
   val oracles: Map[String, String] = Map(
     "q_curation" ->
-      """WITH q AS (
-           SELECT doc_id, text, lang, len(text) AS n_chars
-           FROM documents
-           WHERE len(text) >= 100
-             AND CAST(len(list_filter(string_split(text, ' '),
-                   x -> x = 'the' OR x = 'a')) AS DOUBLE) /
-                 CAST(len(string_split(text, ' ')) AS DOUBLE) <= 0.3),
-         canon AS (
-           SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(lower(text))),
-         qd AS (SELECT q.* FROM q JOIN canon USING (doc_id)),
-         sh AS (SELECT doc_id, list_distinct(
-             [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-              for i in generate_series(1, greatest(len(w)-2, 0))]) AS s
-           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM qd)),
-         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
-         pairs AS (
-           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         jac AS (
-           SELECT da, db FROM pairs
-           JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = da
-           JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = db
-           WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5)
+      s"""WITH $CurationCtes
          SELECT doc_id, lang, n_chars FROM qd
          WHERE doc_id NOT IN (SELECT db FROM jac)""",
+    "q_training_mix" ->
+      s"""WITH $CurationCtes,
+         cur AS (SELECT doc_id FROM qd
+                 WHERE doc_id NOT IN (SELECT db FROM jac)),
+         ws AS (SELECT d.doc_id, d.source, d.text
+                FROM documents d JOIN cur USING (doc_id)),
+         samp AS (SELECT doc_id, source, text FROM ws
+           WHERE (source = 'src0' AND
+                    ${h60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 100)
+              OR (source = 'src1' AND
+                    ${h60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 50)
+              OR (source = 'src2' AND
+                    ${h60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 25)
+              OR (source = 'src3' AND
+                    ${h60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 10)),
+         tk AS (SELECT doc_id, source,
+                  len(string_split(text, ' ')) AS n_tokens FROM samp),
+         c AS (SELECT doc_id, source, n_tokens,
+                 CAST(sum(n_tokens) OVER (PARTITION BY source
+                   ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum FROM tk)
+         SELECT doc_id, source, n_tokens,
+                (cum - n_tokens) // 512 AS seq_no
+         FROM c""",
     "q_token_count" ->
       """SELECT doc_id, len(text) AS n_chars,
            len(string_split(text, ' ')) AS n_tokens,
