@@ -75,6 +75,12 @@ private[graft] object QueriesIo {
       Streams.slidingAgg(Streams.eventsStream(s, dir)),
       tableName(dir, "strm_sliding"), OutputMode.Complete())
 
+  /** Streaming session windows (1 h gap), complete-mode catch-up. */
+  def streamSession(s: SparkSession, dir: String): DataFrame =
+    Streams.runToTable(
+      Streams.sessionAgg(Streams.eventsStream(s, dir)),
+      tableName(dir, "strm_session"), OutputMode.Complete())
+
   /** Stateful per-user streaming aggregate. */
   def streamUserStats(s: SparkSession, dir: String): DataFrame =
     Streams.runToTable(
@@ -127,6 +133,7 @@ private[graft] object QueriesIo {
     "q_split_sink" -> (splitSink _),
     "q_stream_tumbling" -> (streamTumbling _),
     "q_stream_sliding" -> (streamSliding _),
+    "q_stream_session" -> (streamSession _),
     "q_stream_user_stats" -> (streamUserStats _),
     "q_media_meta" -> (mediaMeta _),
     "q_frame_sample" -> (frameSample _),
@@ -163,6 +170,23 @@ private[graft] object QueriesIo {
          SELECT w_start, w_start + INTERVAL 12 HOUR AS w_end, event_type,
                 count(*) AS n
          FROM b GROUP BY 1, 2, 3""",
+    "q_stream_session" ->
+      """WITH o AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                  CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) -
+                         lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                           OVER (PARTITION BY user_id ORDER BY ts)
+                         > 3600000000 THEN 1 ELSE 0 END AS brk
+           FROM events),
+         s AS (
+           SELECT user_id, ts,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o)
+         SELECT user_id, min(ts) AS s_start,
+                max(ts) + INTERVAL 1 HOUR AS s_end,
+                count(*) AS n
+         FROM s GROUP BY user_id, sid""",
     "q_stream_user_stats" ->
       """SELECT user_id, count(*) AS n,
            max(CAST(round(value * 100.0, 0) AS BIGINT)) AS max_cents

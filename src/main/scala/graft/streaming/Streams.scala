@@ -99,6 +99,19 @@ object Streams {
       .select(col("window.start").as("w_start"),
         col("window.end").as("w_end"), col("event_type"), col("n"))
 
+  /** Streaming session windows (1 h inactivity gap): the watermark
+    * both bounds state and lets Spark finalize sessions — merged
+    * dynamically as late events bridge gaps inside the watermark.
+    */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("n"))
+
   /** Streaming deduplication (T3's in-stream form): watermarked
     * `dropDuplicates` on the event key — state for seen keys is
     * dropped once the watermark passes, so memory stays bounded on an
