@@ -117,6 +117,13 @@ private[graft] object QueriesLlm {
     Vectors.annTopK(emb, emb.filter(col("vec_id") < 5), 5, 4, 64)
   }
 
+  /** Multiprobe LSH ANN: each query also searches 2 bit-flip buckets. */
+  def annMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Vectors.annTopK(emb, emb.filter(col("vec_id") < 5), 5, 4, 64,
+      probes = 3)
+  }
+
   def embedNearDup(s: SparkSession, dir: String): DataFrame =
     Vectors.cosineNearDupPairs(t(s, dir, "embeddings"), 0.45, 8, 64)
 
@@ -193,6 +200,7 @@ private[graft] object QueriesLlm {
     "q_cosine_topk" -> (cosineTopK _),
     "q_ann_lsh" -> (annLsh _),
     "q_ann_topk" -> (annTopK _),
+    "q_ann_multiprobe" -> (annMultiprobe _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_ivf_topk" -> (ivfTopK _),
     "q_ivf_probe" -> (ivfProbe _),
@@ -543,6 +551,25 @@ private[graft] object QueriesLlm {
                 (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("c.e", "c.e")})),
                 6) AS cos
             FROM c JOIN q USING (cluster) WHERE c.vec_id <> query_id),
+          r AS (SELECT query_id, vec_id, cos,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) AS rank
+            FROM scored)
+          SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5""",
+    "q_ann_multiprobe" ->
+      s"""WITH v AS (SELECT vec_id, e, ${bucket4Sql("e")} AS bucket
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)),
+          q0 AS (SELECT vec_id AS query_id, e AS qe, bucket AS b0 FROM v
+            WHERE vec_id < 5),
+          q AS (SELECT query_id, qe,
+                  unnest([b0, xor(b0, 1), xor(b0, 2)]) AS bucket
+                FROM q0),
+          scored AS (
+            SELECT query_id, vec_id,
+              round(${dotSql("qe", "e")} /
+                (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("e", "e")})),
+                6) AS cos
+            FROM v JOIN q USING (bucket) WHERE vec_id <> query_id),
           r AS (SELECT query_id, vec_id, cos,
             row_number() OVER (PARTITION BY query_id
               ORDER BY cos DESC, vec_id) AS rank

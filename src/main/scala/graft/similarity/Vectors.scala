@@ -201,17 +201,29 @@ object Vectors {
   }
 
   /** Bucketed ANN top-k: same output shape as [[cosineTopK]] but only
-    * same-bucket pairs are scored — the scale path.
+    * same-bucket pairs are scored — the scale path. `probes` > 1 turns
+    * on multiprobe LSH: each query also searches buckets differing in
+    * one hyperplane bit (buckets `b0 ^ 2^i` for the first probes−1
+    * planes) — the standard recall fix for near-duplicate vectors that
+    * land one sign-flip apart, at probes× the candidate cost instead
+    * of doubling the table count.
     */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int,
               dims: Int, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding", probes: Int = 1): DataFrame = {
+    require(probes >= 1 && probes <= planes,
+      s"probes must be in [1, planes=$planes], got $probes")
     val c = corpus.select(col(idCol).as("vec_id"),
       toDouble(col(vecCol)).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes, dims))
+    val b0 = lshBucket(col("qv"), planes, dims)
+    val probed = array(b0 +:
+      (0 until probes - 1).map(i => b0.bitwiseXOR(lit(1L << i))): _*)
     val q = queries.select(col(idCol).as("query_id"),
       toDouble(col(vecCol)).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), planes, dims))
+      .withColumn("bucket", explode(probed))
+    // no dedup: a corpus vector has ONE bucket and the probed buckets
+    // are pairwise distinct, so a (query, vec) pair meets at most once
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
