@@ -377,19 +377,19 @@ private[graft] object Queries {
 
   /** As-of join (composition b of the custom-operator preference
     * order): each event matches the latest order of its user with
-    * `o_orderdate <= ts` — equi-join + interval filter + rank-1.
+    * `o_orderdate <= ts` — equi-join + interval filter + top-1 per
+    * event via the bounded-heap TopKPerKey operator (same semantics as
+    * a rank-1 window including the tie-break, without sorting every
+    * event's full candidate list).
     */
   def asofJoin(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = events(s, dir).select(col("event_id"), col("user_id"),
       col("ts").cast("timestamp_ntz").as("ts"))
-    val w = Window.partitionBy("event_id")
-      .orderBy(col("o_orderdate").desc, col("o_orderkey"))
-    ev.join(t(s, dir, "orders"),
-        col("user_id") === col("o_custkey") &&
-          col("o_orderdate") <= col("ts"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val joined = ev.join(t(s, dir, "orders"),
+      col("user_id") === col("o_custkey") &&
+        col("o_orderdate") <= col("ts"))
+    graft.plans.TopK.perKey(joined, Seq(col("event_id")),
+      Seq(col("o_orderdate").desc, col("o_orderkey")), 1)
       .select("event_id", "user_id", "o_orderkey", "o_orderdate")
   }
 
