@@ -168,10 +168,11 @@ object Vectors {
         col("vec_id").as("centroid_id"), col("v").as("cv"))))
       .select(col("vec_id"), col("v"), col("centroid_id"),
         round(cosine(col("v"), col("cv")), 6).as("ccos"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nprobe)
+    // top-nprobe per vector via the bounded-heap operator — same
+    // (ccos desc, centroid_id) tie-break as a rank window, no sort of
+    // every vector's full centroid list
+    graft.plans.TopK.perKey(scored, Seq(col("vec_id")),
+      Seq(col("ccos").desc, col("centroid_id")), nprobe)
       .select(col("vec_id"), col("v"), col("centroid_id").as("cluster"))
   }
 
