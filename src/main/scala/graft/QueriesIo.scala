@@ -127,7 +127,21 @@ private[graft] object QueriesIo {
       .select("event_id", "user_id", "value", "c_mktsegment")
   }
 
+  /** Range-clustered layout sink: write with global range partitioning
+    * + within-file sort on user_id (file-level clustering for parquet
+    * min/max pruning), read back losslessly. RangeLayoutSpec asserts
+    * the per-file key ranges are actually disjoint.
+    */
+  def rangeLayout(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "range_layout")
+    Sinks.writeRangeLayout(
+      events(s, dir).select("event_id", "user_id", "event_type"),
+      path, Seq("user_id"), 8)
+    s.read.parquet(path).select("event_id", "user_id", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_layout" -> (rangeLayout _),
     "q_partitioned_sink" -> (partitionedSink _),
     "q_merge_dedup_sink" -> (mergeDedupSink _),
     "q_split_sink" -> (splitSink _),
@@ -142,6 +156,8 @@ private[graft] object QueriesIo {
     "q_stream_dedup" -> (streamDedup _))
 
   val oracles: Map[String, String] = Map(
+    "q_range_layout" ->
+      "SELECT event_id, user_id, event_type FROM events",
     "q_partitioned_sink" ->
       """SELECT event_id, value, strftime(ts, '%Y_%m') AS ym FROM events""",
     "q_merge_dedup_sink" ->

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
 import graft.dedup.Dedup
@@ -181,7 +181,67 @@ private[graft] object QueriesLlm {
       graft.pipeline.Curation.stratifiedSample(withSource, MixRates), 512)
   }
 
+  // --- PII / line dedup / lexical stats / quantization -----------------
+
+  /** Deterministic PII-bearing text derived from doc_id — the synthetic
+    * corpus contains no PII, so both engines graft the same emails,
+    * phones, and IPs onto each document before redacting.
+    */
+  private def piiSynth: Column = concat(
+    lit("contact u"), col("doc_id").cast("string"),
+    lit("@mail"), (col("doc_id") % 7).cast("string"),
+    lit(".org ip 10."), (col("doc_id") % 256).cast("string"),
+    lit(".3."), (col("doc_id") % 100).cast("string"),
+    lit(" call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+    lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+    lit(" "), col("text"))
+
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val counts = TextAnalysis.piiCounts(piiSynth)
+      .map { case (n, c) => c.as(n) }
+    t(s, dir, "documents").select(
+      col("doc_id") +: TextAnalysis.redactPii(piiSynth).as("clean") +:
+        counts: _*)
+  }
+
+  /** Documents re-lined into 3-token lines (the corpus is single-line;
+    * both engines derive identical line breaks), for line-level dedup.
+    */
+  private def linedDocs(s: SparkSession, dir: String): DataFrame = {
+    val w = TextAnalysis.tokens(col("text"))
+    val nLines = ceil(size(w) / lit(3.0)).cast("int")
+    t(s, dir, "documents").select(col("doc_id"),
+      array_join(transform(sequence(lit(0), nLines - 1),
+        i => concat_ws(" ", slice(w, i * 3 + 1, lit(3)))), "\n").as("text"))
+  }
+
+  def lineDedupQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.lineDedup(linedDocs(s, dir))
+
+  def vocab(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabulary(t(s, dir, "documents"), 100)
+
+  def tfidfQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidf(t(s, dir, "documents"))
+
+  def bigramLm(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLmScore(t(s, dir, "documents"))
+
+  def quantize(s: SparkSession, dir: String): DataFrame =
+    // codes serialized to one comparable string — the driver's compare
+    // sorts rows in pandas, where raw list cells are unhashable
+    Vectors.quantizeMinMax(t(s, dir, "embeddings"))
+      .select(col("vec_id"), col("vmin"), col("vmax"),
+        array_join(transform(col("codes"), _.cast("string")), ",")
+          .as("codes"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_redact" -> (piiRedact _),
+    "q_line_dedup" -> (lineDedupQ _),
+    "q_vocab" -> (vocab _),
+    "q_tfidf" -> (tfidfQ _),
+    "q_bigram_lm" -> (bigramLm _),
+    "q_quantize" -> (quantize _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_pack_sequences" -> (packSequences _),
     "q_token_count" -> (tokenCount _),
@@ -279,7 +339,94 @@ private[graft] object QueriesLlm {
          JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = db
          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5)"""
 
-  val oracles: Map[String, String] = Map(
+  /** The PII-synthesis expression in DuckDB (mirrors [[piiSynth]]). */
+  private val PiiSynthSql =
+    """'contact u' || CAST(doc_id AS VARCHAR) ||
+      '@mail' || CAST(doc_id % 7 AS VARCHAR) ||
+      '.org ip 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+      '.3.' || CAST(doc_id % 100 AS VARCHAR) ||
+      ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+      '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      ' ' || text"""
+
+  val oracles: Map[String, String] = {
+    val eRe = TextAnalysis.EmailPattern
+    val pRe = TextAnalysis.PhonePattern
+    val iRe = TextAnalysis.Ipv4Pattern
+    Map(
+    "q_pii_redact" ->
+      s"""WITH synth AS (SELECT doc_id, $PiiSynthSql AS s1 FROM documents),
+          s2 AS (SELECT doc_id, s1,
+              regexp_replace(s1, '$eRe', '<EMAIL>', 'g') AS t2 FROM synth),
+          s3 AS (SELECT doc_id, s1, t2,
+              regexp_replace(t2, '$pRe', '<PHONE>', 'g') AS t3 FROM s2)
+          SELECT doc_id,
+            regexp_replace(t3, '$iRe', '<IP>', 'g') AS clean,
+            len(regexp_extract_all(s1, '$eRe')) AS n_emails,
+            len(regexp_extract_all(t2, '$pRe')) AS n_phones,
+            len(regexp_extract_all(t3, '$iRe')) AS n_ips
+          FROM s3""",
+    "q_line_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+         lined AS (SELECT doc_id,
+             [array_to_string(w[i*3+1 : i*3+3], ' ')
+              for i in generate_series(0,
+                CAST(ceil(len(w) / 3.0) AS BIGINT) - 1)] AS ls
+           FROM toks),
+         flat AS (SELECT doc_id, unnest(list_transform(range(0, len(ls)),
+             i -> struct_pack(pos := i,
+                              line := ls[CAST(i + 1 AS BIGINT)]))) AS pl
+           FROM lined),
+         ln AS (SELECT doc_id, pl.pos AS pos, pl.line AS line FROM flat),
+         win AS (SELECT doc_id, pos, line, row_number()
+             OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM ln),
+         reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+                   AS text
+                 FROM win WHERE rn = 1 GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(reb.text, '') AS text
+         FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id""",
+    "q_vocab" ->
+      """SELECT word, count(*) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents)
+         GROUP BY word ORDER BY n DESC, word LIMIT 100""",
+    "q_tfidf" ->
+      """WITH tf AS (SELECT doc_id, word, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                 FROM documents)
+           GROUP BY doc_id, word),
+         idf AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT tf.doc_id, tf.word, tf.tf, idf.df,
+           round(CAST(tf.tf AS DOUBLE) *
+             ln(CAST(n.n_docs AS DOUBLE) / CAST(idf.df AS DOUBLE)), 6)
+             AS score
+         FROM tf JOIN idf USING (word), n""",
+    "q_bigram_lm" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+         gr AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+                  for i in generate_series(1, greatest(len(w) - 1, 0))])
+                  AS g FROM d),
+         cnt AS (SELECT g, count(*) AS c FROM gr GROUP BY g)
+         SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(c) AS BIGINT) AS score,
+           CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE) AS avg_count
+         FROM gr JOIN cnt USING (g) GROUP BY doc_id""",
+    "q_quantize" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         m AS (SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax
+               FROM e)
+         SELECT vec_id, vmin, vmax,
+           array_to_string(list_transform(v, x -> CASE WHEN vmax > vmin
+             THEN CAST(floor((x - vmin) / (vmax - vmin) * 255 + 0.5)
+                    AS BIGINT)
+             ELSE 0 END), ',') AS codes
+         FROM m""",
     "q_curation" ->
       s"""WITH $CurationCtes
          SELECT doc_id, lang, n_chars FROM qd
@@ -592,4 +739,5 @@ private[graft] object QueriesLlm {
             FROM scored)
           SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
+  }
 }

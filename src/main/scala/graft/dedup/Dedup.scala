@@ -226,6 +226,41 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** C4-style line-level dedup: across the whole corpus, every repeated
+    * line survives only at its first occurrence (ordered by doc id,
+    * then line position); documents are reassembled from their kept
+    * lines. Output: `(doc_id, text)` with `text = ''` when every line
+    * of a document was seen earlier elsewhere.
+    *
+    * Shape at 100 TB: lines are keyed by their 60-bit content hash (not
+    * the line string), so the winner aggregate and the membership join
+    * shuffle only `(long, long, int)` triples; the full line strings
+    * stay partition-local until per-document reassembly. One hash
+    * aggregate on the line hash (map-side combining collapses
+    * within-partition repeats), one join back, one per-doc aggregate —
+    * no windows, no corpus-wide sort. The winner rule is a plain
+    * `min(struct(doc_id, pos))`, which is associative — it spills and
+    * combines like any min.
+    */
+  def lineDedup(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", sep: String = "\n"): DataFrame = {
+    val lines = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+      .withColumn("h", TextAnalysis.hash60(col("line")))
+    val winners = lines.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("keep"))
+    val kept = lines.join(winners, "h")
+      .filter(struct(col("doc_id"), col("pos")) === col("keep"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        e => e.getField("line")), sep).as("text"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+  }
+
   /** SimHash (term-frequency-weighted, `bits`-bit, default 28 so the
     * per-bit extraction stays in exact integer range): explode tokens,
     * one hash-aggregate per doc summing ±1 votes per bit, then pack.

@@ -182,6 +182,104 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** PII patterns — a deliberately portable RE2/Java-common subset
+    * (character classes, bounded quantifiers, `\b`; no lookarounds), so
+    * the same pattern string runs in Spark, DuckDB, and RE2-based
+    * scanners. Order of application matters: emails first (their local
+    * parts contain digit/dot runs the looser patterns would shred),
+    * then phones, then IPs.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction for training corpora: replace emails, phone numbers,
+    * and IPv4 addresses with typed placeholder tokens. Pure
+    * `regexp_replace` composition — codegen'd, one pass per pattern,
+    * no UDF — so a corpus-wide redaction scan stays a single
+    * whole-stage-codegen projection.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
+
+  /** Per-document PII hit counts (audit/filter signal: drop or review
+    * documents above a PII-density threshold rather than only masking).
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" ->
+      size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long"),
+    "n_phones" ->
+      size(regexp_extract_all(regexp_replace(text, EmailPattern, "<EMAIL>"),
+        lit(PhonePattern), lit(0))).cast("long"),
+    "n_ips" ->
+      size(regexp_extract_all(
+        regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>"),
+        lit(Ipv4Pattern), lit(0))).cast("long"))
+
+  /** Corpus vocabulary: the `k` most frequent whitespace tokens, ties
+    * broken by token text so the cut is deterministic. Shape: explode →
+    * hash-aggregate (map-side partial) → global top-k
+    * (TakeOrderedAndProject — only k rows cross the final exchange, no
+    * full sort of the vocabulary).
+    */
+  def vocabulary(docs: org.apache.spark.sql.DataFrame, k: Int,
+                 textCol: String = "text"):
+      org.apache.spark.sql.DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(k)
+
+  /** TF-IDF per (document, term): `tf · ln(N / df)` with raw counts.
+    * Two hash aggregations (doc-term, then term) and one broadcast of
+    * the single-row corpus size — no window functions, no full sorts;
+    * at 100 TB the doc-term aggregate is the only big shuffle and it
+    * combines map-side. `ln` is a transcendental — engines may differ
+    * in the last ulp — so the score is rounded to 6 decimals (the
+    * library's standard cross-engine contract for non-exact doubles,
+    * same as the cosine scores).
+    */
+  def tfidf(docs: org.apache.spark.sql.DataFrame,
+            idCol: String = "doc_id", textCol: String = "text"):
+      org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df.crossJoin(broadcast(n))), "word")
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+          .as("score"))
+  }
+
+  /** Count-based bigram language-model score: each document scored by
+    * the summed corpus-wide frequency of its word bigrams (a cheap
+    * fluency/typicality signal — boilerplate scores high, garbled text
+    * scores low). Integer totals plus an exact-ratio mean, so the
+    * output is engine-portable. Shape: one bigram aggregate, one
+    * re-join on the bigram, one per-doc aggregate — all hash-based.
+    */
+  def bigramLmScore(docs: org.apache.spark.sql.DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text"):
+      org.apache.spark.sql.DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(wordShinglesOfNative(tokens(col(textCol)), 2)).as("g"))
+    val counts = grams.groupBy("g").agg(count(lit(1)).as("c"))
+    grams.join(counts, "g")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("c")).cast("long").as("score"))
+      .withColumn("avg_count",
+        col("score").cast("double") / col("n_bigrams").cast("double"))
+  }
+
   /** Marker-word language-ID heuristic: count hits per language's
     * marker set; predict the first language (in `markers` order) with
     * the maximal count, 'und' when all counts are zero. Deterministic

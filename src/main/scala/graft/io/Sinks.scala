@@ -72,6 +72,22 @@ object Sinks {
     }
   }
 
+  /** Range-clustered layout sink: globally range-partition on
+    * `keys` (one skew-aware sampled exchange), sort within each
+    * partition, and write one file per range. Downstream effect at
+    * 100 TB: every file covers a disjoint key range, so parquet
+    * min/max statistics prune whole files for key-range predicates,
+    * and merge/as-of readers see locally sorted runs — the poor-man's
+    * Z-order for the 1-D case. Content is unchanged (layout-only).
+    */
+  def writeRangeLayout(df: DataFrame, path: String, keys: Seq[String],
+                       numPartitions: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(numPartitions, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Scheme-agnostic store-existence check through the Hadoop
     * FileSystem API. `java.io.File` is local-FS-only: on `hdfs://` or
     * `s3a://` it is always false, which would silently turn every

@@ -55,6 +55,37 @@ object Vectors {
       Bridge.expression(a), Bridge.expression(b)))
   }
 
+  /** Per-vector min-max scalar quantization to `levels` integer codes
+    * (`levels = 255` ≈ int8): each component maps to
+    * `⌊(x − min) / (max − min) · levels + 0.5⌋`, with the per-vector
+    * `(vmin, vmax)` emitted for dequantization. A constant vector
+    * (max = min) quantizes to all-zero codes.
+    *
+    * This is the storage-side half of a 100 TB ANN index: 4-byte floats
+    * become 1-byte codes (plus two doubles per vector), cutting scan
+    * and shuffle bytes ~4× while `code/levels·(max−min)+min`
+    * reconstructs values to within half a step. Map-only (no shuffle),
+    * pure exact double arithmetic (+,−,·,/ and floor are all correctly
+    * rounded) — so codes are engine-portable, unlike anything built on
+    * transcendentals.
+    */
+  def quantizeMinMax(vectors: DataFrame, levels: Int = 255,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val v = toDouble(col(vecCol))
+    vectors
+      .select(col(idCol).as("vec_id"), v.as("v"))
+      .select(col("vec_id"),
+        array_min(col("v")).as("vmin"), array_max(col("v")).as("vmax"),
+        col("v"))
+      .select(col("vec_id"), col("vmin"), col("vmax"),
+        transform(col("v"), x =>
+          when(col("vmax") > col("vmin"),
+            floor((x - col("vmin")) / (col("vmax") - col("vmin"))
+              * levels + 0.5).cast("long"))
+            .otherwise(lit(0L))).as("codes"))
+  }
+
   /** Shared ranking tail: prune to k rows per query with the custom
     * bounded-heap operator (no partition sort), then rank only the
     * k·queries survivors with a (now tiny) window.

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+import graft.dedup.Dedup
+import graft.similarity.Vectors
+import graft.io.Sinks
+
+/** Invariants for the round-3 text-pipeline additions: PII redaction,
+  * line-level dedup, vocabulary/TF-IDF, bigram LM scoring, embedding
+  * quantization, and the range-clustered layout sink.
+  */
+class TextPipelineSpec extends SparkSpec {
+
+  test("redactPii masks emails, phones, and IPs; counts match") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "write bob.smith+x@sub.example.co.uk or call 555-867-5309"),
+      (1L, "server at 192.168.0.1 and 10.0.0.255 no pii after that"),
+      (2L, "plain text with digits 12345 and a dot. end"),
+      (3L, "a@b.io 1.2.3.4 111.222.333.4444")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id") +:
+      TextAnalysis.redactPii(col("text")).as("clean") +:
+      TextAnalysis.piiCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(0L)._1 === "write <EMAIL> or call <PHONE>")
+    assert(out(0L)._2 === 1L && out(0L)._3 === 1L && out(0L)._4 === 0L)
+    assert(out(1L)._1 === "server at <IP> and <IP> no pii after that")
+    assert(out(1L)._4 === 2L)
+    assert(out(2L)._1 === "plain text with digits 12345 and a dot. end",
+      "no false positives on plain text")
+    assert(out(2L)._2 + out(2L)._3 + out(2L)._4 === 0L)
+    assert(out(3L)._1.startsWith("<EMAIL> <IP>"),
+      "email and IP both masked when adjacent")
+  }
+
+  test("lineDedup keeps first occurrence, drops repeats, rebuilds docs") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "dup line\nunique a"),
+      (1L, "dup line\nunique b\ndup line"),
+      (2L, "dup line")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) === "dup line\nunique a",
+      "first occurrence (min doc, min pos) survives")
+    assert(out(1L) === "unique b", "both repeats removed from doc 1")
+    assert(out(2L) === "", "doc whose every line was seen earlier → empty")
+  }
+
+  test("lineDedup within-doc repeats keep only the earliest position") {
+    import spark.implicits._
+    val df = Seq((7L, "x\ny\nx\ny\nz")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(df).collect().head.getString(1)
+    assert(out === "x\ny\nz")
+  }
+
+  test("vocabulary: top-k by count with deterministic tie-break") {
+    import spark.implicits._
+    val df = Seq("b b b a a c c d").toDF("text")
+    val rows = TextAnalysis.vocabulary(df, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.head === ("b", 3L))
+    assert(rows.toSeq === Seq(("b", 3L), ("a", 2L), ("c", 2L)),
+      "ties broken by token text: 'a' before 'c', 'd' cut")
+  }
+
+  test("tfidf: ubiquitous terms score zero, rare terms score ln(N/df)") {
+    import spark.implicits._
+    val df = Seq((0L, "common rare"), (1L, "common other"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.tfidf(df).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows((0L, "common"))._3 === 0.0, "df = N → idf = ln(1) = 0")
+    assert(rows((0L, "rare")) === ((1L, 1L,
+      BigDecimal(math.log(2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)))
+  }
+
+  test("bigramLmScore: corpus-frequent bigrams raise the doc score") {
+    import spark.implicits._
+    val df = Seq((0L, "a b c"), (1L, "a b x")).toDF("doc_id", "text")
+    // bigrams: doc0 {a b, b c}, doc1 {a b, b x}; 'a b' occurs twice
+    val rows = TextAnalysis.bigramLmScore(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(0L) === ((2L, 3L)), "2 bigrams, score 2 + 1")
+    assert(rows(1L) === ((2L, 3L)))
+  }
+
+  test("quantizeMinMax: codes in range, reconstruction within half-step") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Seq(0.0f, 0.5f, 1.0f, 0.25f)),
+      (1L, Seq(3.0f, 3.0f, 3.0f, 3.0f))). // constant vector
+      toDF("vec_id", "embedding")
+    val out = Vectors.quantizeMinMax(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getSeq[Long](3))).toMap
+    val (mn, mx, codes) = out(0L)
+    assert(mn === 0.0 && mx === 1.0)
+    assert(codes === Seq(0L, 128L, 255L, 64L))
+    val step = (mx - mn) / 255.0
+    Seq(0.0, 0.5, 1.0, 0.25).zip(codes).foreach { case (x, c) =>
+      assert(math.abs(c * step + mn - x) <= step / 2.0 + 1e-12)
+    }
+    assert(out(1L)._3 === Seq(0L, 0L, 0L, 0L),
+      "constant vector quantizes to all zeros, no NaN/divide-by-zero")
+  }
+
+  test("writeRangeLayout: lossless, files cover disjoint key ranges") {
+    import spark.implicits._
+    val path = "/tmp/graft_test_range_layout"
+    val df = (0 until 1000).map(i => ((i * 7919) % 1000, i))
+      .toDF("k", "payload")
+    Sinks.writeRangeLayout(df, path, Seq("k"), 4)
+    val back = spark.read.parquet(path)
+    assert(back.count() === 1000)
+    assert(back.agg(sum("payload")).head.getLong(0) ===
+      (0 until 1000).map(_.toLong).sum)
+    val ranges = back
+      .select(input_file_name().as("f"), col("k"))
+      .groupBy("f").agg(min("k").as("lo"), max("k").as("hi"))
+      .collect().map(r => (r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(ranges.length > 1, "multiple range files written")
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"file ranges overlap: hi=$hi lo2=$lo2")
+      case _ =>
+    }
+  }
+}
