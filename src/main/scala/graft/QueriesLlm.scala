@@ -227,6 +227,14 @@ private[graft] object QueriesLlm {
   def bigramLm(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramLmScore(t(s, dir, "documents"))
 
+  /** Near-dup clusters: Jaccard pairs → connected components, every
+    * document labeled with its cluster's minimal member id.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Dedup.clusters(d, Dedup.jaccardPairs(d, JaccardThreshold))
+  }
+
   def quantize(s: SparkSession, dir: String): DataFrame =
     // codes serialized to one comparable string — the driver's compare
     // sorts rows in pandas, where raw list cells are unhashable
@@ -238,6 +246,7 @@ private[graft] object QueriesLlm {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pii_redact" -> (piiRedact _),
     "q_line_dedup" -> (lineDedupQ _),
+    "q_dedup_clusters" -> (dedupClusters _),
     "q_vocab" -> (vocab _),
     "q_tfidf" -> (tfidfQ _),
     "q_bigram_lm" -> (bigramLm _),
@@ -415,6 +424,31 @@ private[graft] object QueriesLlm {
            CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) /
              CAST(count(*) AS DOUBLE) AS avg_count
          FROM gr JOIN cnt USING (g) GROUP BY doc_id""",
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+          inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+          pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM inv a JOIN inv b
+              ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+          jac AS (SELECT doc_a, doc_b FROM pairs
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM jac
+                    UNION
+                    SELECT doc_b AS src, doc_a AS dst FROM jac),
+          reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+          SELECT d.doc_id,
+            CAST(least(d.doc_id, coalesce(min(r.dst), d.doc_id))
+              AS BIGINT) AS cluster_id
+          FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+          GROUP BY d.doc_id""",
     "q_quantize" ->
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

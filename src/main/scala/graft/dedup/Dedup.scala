@@ -226,6 +226,55 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Connected-components clustering of near-duplicate pairs — the step
+    * between pair generation ([[jaccardPairs]] / [[fuzzy]]) and survivor
+    * selection: transitively-linked documents form one cluster, labeled
+    * by the minimal member id. Output: `(doc_id, cluster_id)` for every
+    * id in `docs`; singletons label themselves.
+    *
+    * Algorithm: iterative min-label propagation. Each round joins the
+    * current labels across the (symmetrized) edge list and takes the
+    * minimum neighbor label; convergence in O(diameter) rounds —
+    * near-dup graphs are overwhelmingly tiny cliques, so 2-3 rounds in
+    * practice. Each round is one shuffle join + one hash aggregate,
+    * both partitioned on doc id; results are cached per round and the
+    * loop stops when no label changes (one cheap count per round —
+    * driver-side control flow only, never data). `maxIter` bounds
+    * pathological chains; the fixpoint check makes the common case
+    * cheap.
+    */
+  def clusters(docs: DataFrame, pairs: DataFrame,
+               idCol: String = "doc_id", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(
+        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    // localCheckpoint (not cache) each round: iterative self-reference
+    // otherwise grows the logical plan exponentially with the round count
+    var labels = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(idCol).cast("long").as("cluster_id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // each node pulls the min label over itself and its neighbors
+      val viaEdges = edges
+        .join(labels.withColumnsRenamed(
+          Map("doc_id" -> "dst", "cluster_id" -> "nbr")), "dst")
+        .select(col("src").as("doc_id"), col("nbr").as("cluster_id"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
+        "doc_id").filter(col("cluster_id") < col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** C4-style line-level dedup: across the whole corpus, every repeated
     * line survives only at its first occurrence (ordered by doc id,
     * then line position); documents are reassembled from their kept

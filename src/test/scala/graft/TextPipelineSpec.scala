@@ -109,6 +109,27 @@ class TextPipelineSpec extends SparkSpec {
       "constant vector quantizes to all zeros, no NaN/divide-by-zero")
   }
 
+  test("clusters: transitive pairs form one component, min-id labeled") {
+    import spark.implicits._
+    val docs = (0L to 6L).toDF("doc_id")
+    // components: {0,1,2} via chain 0-1,1-2; {4,5}; singletons 3, 6
+    val pairs = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("clusters: long chain converges within iteration bound") {
+    import spark.implicits._
+    val n = 12L
+    val docs = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i + 1, i)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.forall(_ === 0L), "whole chain collapses to min id")
+  }
+
   test("writeRangeLayout: lossless, files cover disjoint key ranges") {
     import spark.implicits._
     val path = "/tmp/graft_test_range_layout"
