@@ -249,10 +249,14 @@ object Dedup {
       .unionByName(
         pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
+    // iterate ONLY over nodes with at least one edge — near-dup
+    // endpoints are a sliver of the corpus, so every round's join and
+    // aggregate run on the sliver, not the full document set;
+    // singletons join back labeled with their own id at the end.
     // localCheckpoint (not cache) each round: iterative self-reference
     // otherwise grows the logical plan exponentially with the round count
-    var labels = docs.select(col(idCol).cast("long").as("doc_id"),
-      col(idCol).cast("long").as("cluster_id")).localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -272,7 +276,10 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
-    labels
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   /** C4-style line-level dedup: across the whole corpus, every repeated
