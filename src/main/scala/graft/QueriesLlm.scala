@@ -227,6 +227,13 @@ private[graft] object QueriesLlm {
   def bigramLm(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramLmScore(t(s, dir, "documents"))
 
+  /** Exact duplicated-substring spans over the dup-injected corpus
+    * (k = 8 token windows; injected full-document copies guarantee
+    * corpus-scale repeats alongside any natural ones).
+    */
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpans(dupDocs(s, dir), 8)
+
   /** Near-dup clusters: Jaccard pairs → connected components, every
     * document labeled with its cluster's minimal member id.
     */
@@ -247,6 +254,7 @@ private[graft] object QueriesLlm {
     "q_pii_redact" -> (piiRedact _),
     "q_line_dedup" -> (lineDedupQ _),
     "q_dedup_clusters" -> (dedupClusters _),
+    "q_dup_spans" -> (dupSpans _),
     "q_vocab" -> (vocab _),
     "q_tfidf" -> (tfidfQ _),
     "q_bigram_lm" -> (bigramLm _),
@@ -424,6 +432,37 @@ private[graft] object QueriesLlm {
            CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) /
              CAST(count(*) AS DOUBLE) AS avg_count
          FROM gr JOIN cnt USING (g) GROUP BY doc_id""",
+    "q_dup_spans" ->
+      s"""WITH dup AS (SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000, text FROM documents
+            WHERE doc_id % 5 = 0),
+          tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM dup),
+          wins AS (SELECT doc_id, unnest(list_transform(
+              generate_series(1, greatest(len(w) - 7, 0)),
+              i -> struct_pack(pos := i - 1,
+                h := ${h60Sql("array_to_string(w[i : i+7], ' ')")})))
+              AS pw
+            FROM tk),
+          ws AS (SELECT doc_id, pw.pos AS pos, pw.h AS h FROM wins),
+          dh AS (SELECT h FROM ws GROUP BY h HAVING count(*) >= 2),
+          ds AS (SELECT doc_id, pos FROM ws JOIN dh USING (h)),
+          m AS (SELECT doc_id, pos,
+              max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+            FROM ds),
+          sp AS (SELECT doc_id, pos,
+              CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END
+                AS ns
+            FROM m),
+          si AS (SELECT doc_id, pos,
+              sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS UNBOUNDED PRECEDING) AS span
+            FROM sp)
+          SELECT doc_id, min(pos) AS span_start,
+            max(pos) + 7 AS span_end,
+            max(pos) + 7 - min(pos) + 1 AS n_tokens
+          FROM si GROUP BY doc_id, span""",
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $ShinglesCte,
           inv AS (SELECT doc_id, unnest(s) AS g FROM sh),

@@ -317,6 +317,50 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
   }
 
+  /** Exact duplicated-substring spans (the "dedup training data" /
+    * suffix-style analysis, token granularity): every maximal token
+    * range of length ≥ `k` whose every `k`-token window also occurs
+    * elsewhere in the corpus (or again in the same document). Output:
+    * `(doc_id, span_start, span_end, n_tokens)` with 0-based inclusive
+    * token indices — the maximal intervals of tokens covered by
+    * duplicated windows (overlapping AND adjacent coverage merges, so
+    * each span is a contiguous cuttable range).
+    *
+    * Shape at 100 TB: k-token windows are hashed to 60-bit longs, so
+    * the frequency aggregate and the membership join move only longs;
+    * the only per-document work is one window function over that
+    * document's *duplicated* window starts (a sliver of the corpus) to
+    * merge overlaps — interval merging via running-max, one exchange
+    * keyed on doc id. No suffix array needed: a window hash aggregate
+    * finds the same repeats with two shuffles total.
+    */
+  def duplicateSpans(docs: DataFrame, k: Int = 8,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(TextAnalysis.wordShinglesOfNative(
+        TextAnalysis.tokens(col(textCol)), k)).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"),
+        TextAnalysis.hash60(col("g")).as("h"))
+    val dupHashes = wins.groupBy("h")
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select("h")
+    val dupStarts = wins.join(dupHashes, "h").select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prevMaxEnd = max(col("pos") + (k - 1))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    dupStarts
+      .withColumn("new_span",
+        when(prevMaxEnd.isNull || col("pos") > prevMaxEnd + 1, 1L)
+          .otherwise(0L))
+      .withColumn("span", sum(col("new_span")).over(w))
+      .groupBy("doc_id", "span")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens"))
+  }
+
   /** SimHash (term-frequency-weighted, `bits`-bit, default 28 so the
     * per-bit extraction stays in exact integer range): explode tokens,
     * one hash-aggregate per doc summing ±1 votes per bit, then pack.

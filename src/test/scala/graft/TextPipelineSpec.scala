@@ -130,6 +130,24 @@ class TextPipelineSpec extends SparkSpec {
     assert(out.values.forall(_ === 0L), "whole chain collapses to min id")
   }
 
+  test("duplicateSpans: repeated k-runs found, overlaps merged") {
+    import spark.implicits._
+    // shared run "c d e f" (k=3 → windows at 2..3 in doc0, 0..1 in doc1);
+    // doc0 also repeats "x y z" inside itself at positions 6 and 10
+    val docs = Seq(
+      (0L, "a b c d e f x y z q x y z"),
+      (1L, "c d e f other words here entirely"),
+      (2L, "nothing shared with anyone at all")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    // doc 0: 'c d e f' covers 2..5, its within-doc repeat 'x y z' covers
+    // 6..8 — adjacent coverage merges into one maximal range 2..8; the
+    // second 'x y z' site reports separately; doc 2 shares nothing
+    assert(spans === Set(
+      (0L, 2, 8, 7), (0L, 10, 12, 3), (1L, 0, 3, 4)))
+  }
+
   test("writeRangeLayout: lossless, files cover disjoint key ranges") {
     import spark.implicits._
     val path = "/tmp/graft_test_range_layout"
