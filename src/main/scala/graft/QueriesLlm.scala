@@ -242,6 +242,10 @@ private[graft] object QueriesLlm {
     Dedup.clusters(d, Dedup.jaccardPairs(d, JaccardThreshold))
   }
 
+  /** Johnson–Lindenstrauss random projection 64 → 8 dims. */
+  def randProject(s: SparkSession, dir: String): DataFrame =
+    Vectors.randomProject(t(s, dir, "embeddings"), 8, 64)
+
   def quantize(s: SparkSession, dir: String): DataFrame =
     // codes serialized to one comparable string — the driver's compare
     // sorts rows in pandas, where raw list cells are unhashable
@@ -259,6 +263,7 @@ private[graft] object QueriesLlm {
     "q_tfidf" -> (tfidfQ _),
     "q_bigram_lm" -> (bigramLm _),
     "q_quantize" -> (quantize _),
+    "q_rand_project" -> (randProject _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_pack_sequences" -> (packSequences _),
     "q_token_count" -> (tokenCount _),
@@ -432,6 +437,15 @@ private[graft] object QueriesLlm {
            CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) /
              CAST(count(*) AS DOUBLE) AS avg_count
          FROM gr JOIN cnt USING (g) GROUP BY doc_id""",
+    "q_rand_project" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                     FROM embeddings)
+          SELECT vec_id,
+            ${(0 until 8).map(i =>
+              s"""round(list_reduce([v[d+1] * (${planeSql(i)})
+                 for d in generate_series(0, 63)], (x, y) -> x + y), 6)
+                 AS p_$i""").mkString(", ")}
+          FROM e""",
     "q_dup_spans" ->
       s"""WITH dup AS (SELECT doc_id, text FROM documents
             UNION ALL

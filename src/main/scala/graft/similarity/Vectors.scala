@@ -131,6 +131,27 @@ object Vectors {
         / 1000003.0 - 0.5)
     }: _*)
 
+  /** Random-projection dimensionality reduction (Johnson–Lindenstrauss
+    * style): project each vector onto `outDims` deterministic
+    * pseudo-random hyperplanes (the same coefficient stream as
+    * [[lshBucket]], kept as real-valued projections instead of sign
+    * bits). At 100 TB this is the cheap first stage of an ANN
+    * cascade — distances are approximately preserved at a fraction of
+    * the dimensionality, so coarse search runs on `outDims` doubles
+    * (or their [[quantizeMinMax]] codes) and full vectors are read
+    * only for final re-ranking. Map-only, one codegen'd projection per
+    * output dim; values rounded to 6 decimals (fixed fold order) for
+    * cross-engine reproducibility.
+    */
+  def randomProject(vectors: DataFrame, outDims: Int, dims: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val v = toDouble(col(vecCol))
+    vectors.select(col(idCol).as("vec_id") +:
+      (0 until outDims).map(i =>
+        round(dot(v, hyperplane(i, dims)), 6).as(s"p_$i")): _*)
+  }
+
   /** Random-hyperplane LSH bucket id: bit i set iff dot(v, plane_i) > 0.
     * Vectors in the same bucket are ANN candidates.
     */

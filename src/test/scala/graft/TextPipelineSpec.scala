@@ -130,6 +130,18 @@ class TextPipelineSpec extends SparkSpec {
     assert(out.values.forall(_ === 0L), "whole chain collapses to min id")
   }
 
+  test("randomProject: deterministic, linear, zero maps to zero") {
+    import spark.implicits._
+    val a = (0 until 64).map(d => (d % 7 - 3).toFloat)
+    val zero = Seq.fill(64)(0.0f)
+    val df = Seq((0L, a), (1L, a), (2L, zero)).toDF("vec_id", "embedding")
+    val rows = Vectors.randomProject(df, 4, 64).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(i => r.getDouble(i))).toMap
+    assert(rows(0L) === rows(1L), "same vector → identical projection")
+    assert(rows(2L) === Seq(0.0, 0.0, 0.0, 0.0))
+    assert(rows(0L).exists(_ !== 0.0), "nonzero vector projects nonzero")
+  }
+
   test("duplicateSpans: repeated k-runs found, overlaps merged") {
     import spark.implicits._
     // shared run "c d e f" (k=3 → windows at 2..3 in doc0, 0..1 in doc1);
