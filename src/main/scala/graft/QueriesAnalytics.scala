@@ -275,7 +275,15 @@ private[graft] object QueriesAnalytics {
       st.getField("v").as("s_value"))
   }
 
+  /** Two-phase skew-safe distinct aggregation: distinct users and row
+    * counts per event_type without a single-reducer distinct set.
+    */
+  def skewAgg(s: SparkSession, dir: String): DataFrame =
+    graft.etl.SkewJoin.twoPhaseDistinct(
+      events(s, dir), "event_type", "user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_agg" -> (skewAgg _),
     "q_grouping_sets" -> (groupingSets _),
     "q_complex_types" -> (complexTypes _),
     "q_stats_moments" -> (statsMoments _),
@@ -300,6 +308,11 @@ private[graft] object QueriesAnalytics {
     "q_except_keys" -> (exceptKeys _))
 
   val oracles: Map[String, String] = Map(
+    "q_skew_agg" ->
+      """SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+           count(*) AS n_rows
+         FROM events GROUP BY 1""",
     "q_approx_stats" ->
       """SELECT event_type, count(*) AS n,
            count(DISTINCT user_id) AS exact_users,

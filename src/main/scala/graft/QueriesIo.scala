@@ -102,6 +102,36 @@ private[graft] object QueriesIo {
         Streams.eventsStream(s, dir)),
       tableName(dir, "strm_join"), OutputMode.Append())
 
+  /** Stream-static broadcast join: streaming events enriched with the
+    * customer dimension, aggregated per (segment, event_type).
+    */
+  def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    Streams.runToTable(
+      Streams.enrichedSegmentStats(Streams.eventsStream(s, dir), dim),
+      tableName(dir, "strm_enrich"), OutputMode.Complete())
+  }
+
+  /** Incremental aggregate store: per-event_type counts and cent sums
+    * folded in across two disjoint batches; must equal the one-shot
+    * aggregate over all data.
+    */
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "incr_agg")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val all = events(s, dir).select(col("event_type"),
+      round(col("value") * 100.0, 0).cast("long").as("cents"),
+      dayofmonth(col("ts")).as("day"))
+    def batchAgg(df: DataFrame): DataFrame = df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+    Sinks.mergeAggregate(s, batchAgg(all.filter(col("day") <= 15)),
+      path, Seq("event_type"))
+    Sinks.mergeAggregate(s, batchAgg(all.filter(col("day") >= 16)),
+      path, Seq("event_type"))
+    s.read.parquet(path).select("event_type", "n", "sum_cents")
+  }
+
   // --- multimodal ------------------------------------------------------
 
   /** Binary payload + per-partition (stub) decode to typed metadata. */
@@ -153,6 +183,8 @@ private[graft] object QueriesIo {
     "q_frame_sample" -> (frameSample _),
     "q_salted_join" -> (saltedJoin _),
     "q_stream_join" -> (streamStreamJoin _),
+    "q_stream_enrich" -> (streamEnrich _),
+    "q_incremental_agg" -> (incrementalAgg _),
     "q_stream_dedup" -> (streamDedup _))
 
   val oracles: Map[String, String] = Map(
@@ -230,6 +262,17 @@ private[graft] object QueriesIo {
            ON a.user_id = b.user_id
          WHERE a.event_type = 'purchase' AND b.event_type = 'click'
            AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts""",
+    "q_stream_enrich" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1, 2""",
+    "q_incremental_agg" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+         FROM events GROUP BY 1""",
     "q_stream_dedup" ->
       """SELECT DISTINCT event_id, event_type FROM events"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }

@@ -246,6 +246,19 @@ private[graft] object QueriesLlm {
   def randProject(s: SparkSession, dir: String): DataFrame =
     Vectors.randomProject(t(s, dir, "embeddings"), 8, 64)
 
+  /** Per-source quota cap: at most 5 docs per source, lowest ids win
+    * (bounded-heap TopKPerKey, no window sort).
+    */
+  def quotaSampleQ(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Curation.quotaSample(t(s, dir, "documents"), 5)
+      .select("doc_id", "source")
+
+  /** Deterministic Lloyd k-means over embeddings (k=8, one centroid
+    * update) — the semantic-clustering stage of SemDeDup-style dedup.
+    */
+  def kmeansQ(s: SparkSession, dir: String): DataFrame =
+    Vectors.kmeans(t(s, dir, "embeddings"), 8, 1)
+
   def quantize(s: SparkSession, dir: String): DataFrame =
     // codes serialized to one comparable string — the driver's compare
     // sorts rows in pandas, where raw list cells are unhashable
@@ -264,6 +277,8 @@ private[graft] object QueriesLlm {
     "q_bigram_lm" -> (bigramLm _),
     "q_quantize" -> (quantize _),
     "q_rand_project" -> (randProject _),
+    "q_quota_sample" -> (quotaSampleQ _),
+    "q_kmeans" -> (kmeansQ _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_pack_sequences" -> (packSequences _),
     "q_token_count" -> (tokenCount _),
@@ -314,6 +329,11 @@ private[graft] object QueriesLlm {
   private def dotSql(a: String, b: String): String =
     s"""list_reduce([$a[i+1] * $b[i+1]
        |  for i in generate_series(0, 63)], (x, y) -> x + y)""".stripMargin
+
+  /** Rounded cosine over 64-dim lists (mirrors Vectors.cosine + round 6). */
+  private def cosSql(a: String, b: String): String =
+    s"""round(${dotSql(a, b)} /
+       |  (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)""".stripMargin
 
   private def planeSql(i: Int): String =
     s"CAST((${i}*64 + d) * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 - 0.5"
@@ -446,6 +466,42 @@ private[graft] object QueriesLlm {
                  for d in generate_series(0, 63)], (x, y) -> x + y), 6)
                  AS p_$i""").mkString(", ")}
           FROM e""",
+    "q_quota_sample" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source, row_number()
+             OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 5""",
+    "q_kmeans" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                     FROM embeddings),
+          cen0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+          s0 AS (SELECT v.vec_id, v.e, cen0.cid,
+                   ${cosSql("v.e", "cen0.ce")} AS ccos
+                 FROM v CROSS JOIN cen0),
+          a0 AS (SELECT vec_id, e, cid FROM
+                  (SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY ccos DESC, cid) AS rn FROM s0)
+                 WHERE rn = 1),
+          qd AS (SELECT cid, d,
+                   CAST(floor(e[d+1] * 1000000.0 + 0.5) AS BIGINT) AS q
+                 FROM a0 CROSS JOIN
+                   (SELECT unnest(generate_series(0, 63)) AS d)),
+          su AS (SELECT cid, d, CAST(sum(q) AS BIGINT) AS s,
+                   count(*) AS cnt
+                 FROM qd GROUP BY 1, 2),
+          cen1 AS (SELECT cid,
+                     list((CAST(s AS DOUBLE) / cnt) / 1000000.0
+                       ORDER BY d) AS ce
+                   FROM su GROUP BY cid),
+          s1 AS (SELECT v.vec_id, cen1.cid,
+                   ${cosSql("v.e", "cen1.ce")} AS ccos
+                 FROM v CROSS JOIN cen1),
+          a1 AS (SELECT vec_id, cid, ccos FROM
+                  (SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY ccos DESC, cid) AS rn FROM s1)
+                 WHERE rn = 1)
+          SELECT vec_id, cid AS cluster, ccos AS cos FROM a1""",
     "q_dup_spans" ->
       s"""WITH dup AS (SELECT doc_id, text FROM documents
             UNION ALL

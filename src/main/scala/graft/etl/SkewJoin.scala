@@ -36,4 +36,24 @@ object SkewJoin {
     saltedFact.join(saltedDim, Seq(key, "__salt"), "inner")
       .drop("__salt")
   }
+
+  /** Two-phase skew-safe distinct aggregation: per `key`, the distinct
+    * count of `distinctCol` plus the total row count.
+    *
+    * `count(DISTINCT x)` on a skewed key is the classic 100 TB
+    * aggregation killer: the planner expands every row and funnels each
+    * hot key's full volume through one reducer holding its whole
+    * distinct set. The two-phase form shuffles on the *composite*
+    * `(key, x)` — cardinality spreads across all reducers, each partial
+    * is map-side combined — then merges tiny per-pair partials on
+    * `key`. Both shuffles are balanced regardless of key skew, and no
+    * reducer ever materializes a distinct set.
+    */
+  def twoPhaseDistinct(df: DataFrame, key: String,
+                       distinctCol: String): DataFrame =
+    df.groupBy(col(key), col(distinctCol))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("__n")).cast("long").as("n_rows"))
 }

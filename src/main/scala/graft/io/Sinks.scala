@@ -118,6 +118,31 @@ object Sinks {
     c.set("fs.s3a.directory.marker.retention", "keep")        // avoid delete storms
   }
 
+  /** Incremental aggregate-store maintenance (materialized-view
+    * update): fold a new batch's partial aggregate into a persistent
+    * per-key store by summing the stored partials with the batch's.
+    * The store schema is `keys ++ value columns`, every value column
+    * an algebraic partial (counts, sums — averages/rates derive at
+    * read time from their parts). This is the update rule that makes
+    * a 100 TB history affordable: each batch costs O(batch + keys),
+    * never O(history), and the store stays O(distinct keys). The
+    * merged result is localCheckpoint'ed before the overwrite so the
+    * write never reads the directory it is replacing.
+    */
+  def mergeAggregate(spark: SparkSession, batchAgg: DataFrame,
+                     path: String, keys: Seq[String]): Unit = {
+    val valueCols = batchAgg.columns.filterNot(keys.contains)
+    val merged =
+      if (storeExists(spark, path)) {
+        val aggs = valueCols.map(c => sum(col(c)).as(c))
+        spark.read.parquet(path).unionByName(batchAgg)
+          .groupBy(keys.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*)
+          .localCheckpoint()
+      } else batchAgg
+    merged.write.mode("overwrite").parquet(path)
+  }
+
   /** S11 — transform_conte_ts_data.py:1032-1049: merge new rows into an
     * existing monthly store with dedup. Union + dropDuplicates + dynamic
     * partition overwrite of only the touched months. Works on any

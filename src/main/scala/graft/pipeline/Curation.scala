@@ -39,6 +39,19 @@ object Curation {
     docs.filter(keep)
   }
 
+  /** Per-source quota cap: keep at most `cap` documents per source,
+    * lowest ids first — the "no domain may dominate the mixture" rule
+    * of corpus curation (cap a crawl's mega-domains before mixing).
+    * Runs on the bounded-heap TopKPerKey operator: one shuffle on the
+    * source key and O(sources · cap) task memory, instead of sorting
+    * every group under a `row_number` window. Deterministic because
+    * the id order is total.
+    */
+  def quotaSample(docs: DataFrame, cap: Int,
+                  sourceCol: String = "source",
+                  idCol: String = "doc_id"): DataFrame =
+    graft.plans.TopK.perKey(docs, Seq(col(sourceCol)), Seq(col(idCol)), cap)
+
   /** Token-budget sequence packing: assign docs (per source, in
     * deterministic id order) to consecutive training sequences of
     * `tokenBudget` tokens — the batching step that fills fixed-length

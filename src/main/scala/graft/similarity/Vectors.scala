@@ -152,6 +152,58 @@ object Vectors {
         round(dot(v, hyperplane(i, dims)), 6).as(s"p_$i")): _*)
   }
 
+  /** Deterministic Lloyd k-means over an embedding corpus — the
+    * clustering stage of semantic dedup (SemDeDup-style: cluster
+    * first, then near-dup search within clusters) and the trained-
+    * centroid source for [[ivfTopK]]. Init seeds centroids from the id
+    * prefix ([[ivfAssign]]'s convention); each iteration (a) assigns
+    * every vector to its highest-cosine centroid — a broadcast join
+    * against the k-row centroid table, rank 1 picked by the bounded-
+    * heap TopKPerKey operator, cosine rounded to 6 decimals with ties
+    * to the smaller centroid id — and (b) recomputes each centroid as
+    * the element-wise mean of its members. The mean sums integer-
+    * quantized components (`floor(x·1e6 + 0.5)` as long) so the
+    * reduction is exact and order-independent — deterministic across
+    * engines, runs, and partitionings, where a naive double sum is
+    * none of those. Scale shape: per iteration one broadcast join plus
+    * two balanced key shuffles ((cluster, dim), then cluster); the
+    * centroid table stays k rows and is localCheckpoint'ed so the plan
+    * does not grow with iterations. Returns (vec_id, cluster, cos).
+    */
+  def kmeans(vectors: DataFrame, k: Int, iters: Int,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val v = vectors.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("v"))
+    def assign(cen: DataFrame): DataFrame = {
+      val scored = v.join(broadcast(cen))
+        .select(col("vec_id"), col("v"), col("centroid_id"),
+          round(cosine(col("v"), col("cv")), 6).as("ccos"))
+      graft.plans.TopK.perKey(scored, Seq(col("vec_id")),
+        Seq(col("ccos").desc, col("centroid_id")), 1)
+    }
+    var cen = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+    for (_ <- 0 until iters) {
+      val parts = assign(cen)
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .select(col("centroid_id"), col("dim"),
+          floor(col("x") * 1000000.0 + 0.5).cast("long").as("q"))
+        .groupBy("centroid_id", "dim")
+        .agg(sum("q").as("s"), count(lit(1)).as("cnt"))
+      cen = parts.groupBy("centroid_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("s"), col("cnt")))),
+          m => (m.getField("s").cast("double") / m.getField("cnt"))
+            / 1000000.0).as("cv"))
+        .localCheckpoint()
+    }
+    assign(cen).select(col("vec_id"),
+      col("centroid_id").as("cluster"), col("ccos").as("cos"))
+  }
+
   /** Random-hyperplane LSH bucket id: bit i set iff dot(v, plane_i) > 0.
     * Vectors in the same bucket are ANN candidates.
     */

@@ -144,6 +144,20 @@ object Streams {
       .select(col("buy_id"), col("click_id"), col("user_id"))
   }
 
+  /** Stream-static enrichment join: the unbounded event stream joined
+    * to a bounded dimension table, then aggregated per (segment,
+    * event_type). The static side is broadcast to every micro-batch —
+    * no join state accumulates and no watermark is needed for the join
+    * itself (only the downstream aggregate holds state). This is the
+    * streaming analogue of J1's broadcast dimension join and the
+    * standard enrich-then-aggregate shape of a metrics pipeline.
+    */
+  def enrichedSegmentStats(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), "user_id")
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100.0, 0).cast("long")).as("sum_cents"))
+
   /** Stateful per-user aggregate via streaming state (complete mode):
     * running max/count per user.
     */

@@ -39,6 +39,19 @@ class CurationSpec extends SparkSpec {
       "unlisted sources drop")
   }
 
+  test("quotaSample: caps each source at `cap`, lowest ids survive") {
+    import spark.implicits._
+    val d = ((0L until 20L).map(i => (i, "t", "big")) ++
+      (100L until 103L).map(i => (i, "t", "small")))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.quotaSample(d, 5)
+      .select("doc_id", "source").collect()
+      .groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(0)).sorted.toSeq).toMap
+    assert(out("big") === (0L until 5L), "cap binds, min ids win")
+    assert(out("small") === Seq(100L, 101L, 102L), "under-cap kept whole")
+  }
+
   test("packSequences: prefix-offset window assignment") {
     import spark.implicits._
     // 4 docs x 4 tokens, budget 10: starting offsets 0,4,8,12 -> windows

@@ -143,4 +143,24 @@ class DedupVectorsSpec extends SparkSpec {
       planes = 4, dims = 3).collect()
     assert(r.map(_.getAs[Long]("vec_id")).contains(1L))
   }
+
+  test("kmeans: separated clusters recovered, centroids move, rerun-stable") {
+    import spark.implicits._
+    // seeds 0 (x-axis) and 1 (y-axis); 2-5 near x, 6-9 near y
+    val d = (Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f))) ++
+      (2L to 5L).map(i => (i, Array(0.9f, 0.1f + i * 0.01f))) ++
+      (6L to 9L).map(i => (i, Array(0.1f + i * 0.01f, 0.9f))))
+      .toDF("vec_id", "embedding")
+    def run() = Vectors.kmeans(d, 2, 2, vecCol = "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run()
+    assert((2L to 5L).forall(got(_) === 0L), "x-side joins cluster 0")
+    assert((6L to 9L).forall(got(_) === 1L), "y-side joins cluster 1")
+    assert(got === run(), "deterministic across reruns")
+    // iters=0 degenerates to assignment against the raw seeds
+    val raw = Vectors.kmeans(d, 2, 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(raw(0L) === 0L && raw(1L) === 1L, "seeds assign to themselves")
+  }
 }

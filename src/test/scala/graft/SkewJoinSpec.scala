@@ -18,4 +18,17 @@ class SkewJoinSpec extends SparkSpec {
     assert(salted.exceptAll(plain).count() === 0)
     assert(plain.exceptAll(salted).count() === 0)
   }
+
+  test("twoPhaseDistinct == direct count(DISTINCT) on a hot key") {
+    import spark.implicits._
+    // key "hot" carries 900 of 1000 rows across 30 distinct users
+    val df = (1L to 1000L).map(i =>
+      if (i <= 900) ("hot", i % 30) else (s"cold_${i % 5}", i % 7))
+      .toDF("k", "u")
+    val got = SkewJoin.twoPhaseDistinct(df, "k", "u")
+    val want = df.groupBy("k")
+      .agg(countDistinct("u").as("n_distinct"), count(lit(1)).as("n_rows"))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0)
+  }
 }

@@ -90,6 +90,33 @@ class StreamsSinksSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("mergeAggregate: batch partials fold to the one-shot aggregate") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_magg").toString + "/store"
+    val b1 = Seq(("a", 2L, 10L), ("b", 1L, 5L)).toDF("k", "n", "s")
+    val b2 = Seq(("a", 3L, 7L), ("c", 1L, 1L)).toDF("k", "n", "s")
+    Sinks.mergeAggregate(spark, b1, dir, Seq("k"))
+    Sinks.mergeAggregate(spark, b2, dir, Seq("k"))
+    val back = spark.read.parquet(dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Long]("s")))
+      .toMap
+    assert(back === Map("a" -> (5L, 17L), "b" -> (1L, 5L), "c" -> (1L, 1L)),
+      "stored partials and batch partials sum per key")
+  }
+
+  test("stream-static enrich join == batch equivalent") {
+    import spark.implicits._
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val streamed = Streams.runToTable(
+      Streams.enrichedSegmentStats(Streams.eventsStream(spark, sfDir), dim),
+      "spec_enrich", OutputMode.Complete())
+    val batch = Streams.enrichedSegmentStats(batchEvents, dim)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("mergeDedup: explicit file:// scheme URI still merges (Hadoop FS, " +
     "not java.io.File)") {
     import spark.implicits._
