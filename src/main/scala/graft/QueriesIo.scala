@@ -102,6 +102,18 @@ private[graft] object QueriesIo {
         Streams.eventsStream(s, dir)),
       tableName(dir, "strm_join"), OutputMode.Append())
 
+  /** Z-order clustered layout: events written sorted by the
+    * bit-interleaved (user_id, time) key, read back with the z key
+    * gated against an independent recomputation.
+    */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "zorder")
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("t_us"))
+    Sinks.writeZOrderLayout(ev, path, "user_id", "t_us", 8)
+    s.read.parquet(path).select("event_id", "user_id", "t_us", "z")
+  }
+
   /** Stream-static broadcast join: streaming events enriched with the
     * customer dimension, aggregated per (segment, event_type).
     */
@@ -183,11 +195,36 @@ private[graft] object QueriesIo {
     "q_frame_sample" -> (frameSample _),
     "q_salted_join" -> (saltedJoin _),
     "q_stream_join" -> (streamStreamJoin _),
+    "q_zorder_layout" -> (zorderLayout _),
     "q_stream_enrich" -> (streamEnrich _),
     "q_incremental_agg" -> (incrementalAgg _),
     "q_stream_dedup" -> (streamDedup _))
 
+  /** Bit-interleave of two 16-bit keys (mirrors Sinks.zOrderKey). */
+  private def zTermsSql(na: String, nb: String): String =
+    (0 until 16).map(i =>
+      s"((($na >> $i) & 1) << ${2 * i}) + ((($nb >> $i) & 1) << ${2 * i + 1})")
+      .mkString("(", " + ", ")")
+
   val oracles: Map[String, String] = Map(
+    "q_zorder_layout" ->
+      s"""WITH e AS (SELECT event_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us FROM events),
+         m AS (SELECT CAST(min(user_id) AS DOUBLE) AS amin,
+                 CAST(max(user_id) AS DOUBLE) AS amax,
+                 CAST(min(t_us) AS DOUBLE) AS bmin,
+                 CAST(max(t_us) AS DOUBLE) AS bmax FROM e),
+         n AS (SELECT event_id, user_id, t_us,
+                 CASE WHEN amax > amin THEN
+                   CAST(floor((CAST(user_id AS DOUBLE) - amin) * 65535.0
+                     / (amax - amin) + 0.5) AS BIGINT) ELSE 0 END AS na,
+                 CASE WHEN bmax > bmin THEN
+                   CAST(floor((CAST(t_us AS DOUBLE) - bmin) * 65535.0
+                     / (bmax - bmin) + 0.5) AS BIGINT) ELSE 0 END AS nb
+               FROM e CROSS JOIN m)
+         SELECT event_id, user_id, t_us,
+           ${zTermsSql("na", "nb")} AS z
+         FROM n""",
     "q_range_layout" ->
       "SELECT event_id, user_id, event_type FROM events",
     "q_partitioned_sink" ->

@@ -259,6 +259,12 @@ private[graft] object QueriesLlm {
   def kmeansQ(s: SparkSession, dir: String): DataFrame =
     Vectors.kmeans(t(s, dir, "embeddings"), 8, 1)
 
+  /** SemDeDup capstone: k-means blocking (k=16, one update) +
+    * within-cluster cosine near-dup removal at 0.45.
+    */
+  def semanticDedupQ(s: SparkSession, dir: String): DataFrame =
+    Vectors.semanticDedup(t(s, dir, "embeddings"), 16, 1, 0.45)
+
   def quantize(s: SparkSession, dir: String): DataFrame =
     // codes serialized to one comparable string — the driver's compare
     // sorts rows in pandas, where raw list cells are unhashable
@@ -279,6 +285,7 @@ private[graft] object QueriesLlm {
     "q_rand_project" -> (randProject _),
     "q_quota_sample" -> (quotaSampleQ _),
     "q_kmeans" -> (kmeansQ _),
+    "q_semantic_dedup" -> (semanticDedupQ _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_pack_sequences" -> (packSequences _),
     "q_token_count" -> (tokenCount _),
@@ -334,6 +341,37 @@ private[graft] object QueriesLlm {
   private def cosSql(a: String, b: String): String =
     s"""round(${dotSql(a, b)} /
        |  (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)""".stripMargin
+
+  /** Deterministic Lloyd k-means CTE chain (one centroid update,
+    * integer-quantized means) ending at `a1(vec_id, e, cid, ccos)` —
+    * mirrors [[graft.similarity.Vectors.kmeans]].
+    */
+  private def kmeansCtes(k: Int): String =
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cen0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $k),
+       |s0 AS (SELECT v.vec_id, v.e, cen0.cid,
+       |         ${cosSql("v.e", "cen0.ce")} AS ccos
+       |       FROM v CROSS JOIN cen0),
+       |a0 AS (SELECT vec_id, e, cid FROM
+       |        (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY ccos DESC, cid) AS rn FROM s0)
+       |       WHERE rn = 1),
+       |qd AS (SELECT cid, d,
+       |         CAST(floor(e[d+1] * 1000000.0 + 0.5) AS BIGINT) AS q
+       |       FROM a0 CROSS JOIN
+       |         (SELECT unnest(generate_series(0, 63)) AS d)),
+       |su AS (SELECT cid, d, CAST(sum(q) AS BIGINT) AS s, count(*) AS cnt
+       |       FROM qd GROUP BY 1, 2),
+       |cen1 AS (SELECT cid, list((CAST(s AS DOUBLE) / cnt) / 1000000.0
+       |           ORDER BY d) AS ce
+       |         FROM su GROUP BY cid),
+       |s1 AS (SELECT v.vec_id, v.e, cen1.cid,
+       |         ${cosSql("v.e", "cen1.ce")} AS ccos
+       |       FROM v CROSS JOIN cen1),
+       |a1 AS (SELECT vec_id, e, cid, ccos FROM
+       |        (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY ccos DESC, cid) AS rn FROM s1)
+       |       WHERE rn = 1)""".stripMargin
 
   private def planeSql(i: Int): String =
     s"CAST((${i}*64 + d) * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 - 0.5"
@@ -473,35 +511,16 @@ private[graft] object QueriesLlm {
            FROM documents)
          WHERE rn <= 5""",
     "q_kmeans" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
-                     FROM embeddings),
-          cen0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
-          s0 AS (SELECT v.vec_id, v.e, cen0.cid,
-                   ${cosSql("v.e", "cen0.ce")} AS ccos
-                 FROM v CROSS JOIN cen0),
-          a0 AS (SELECT vec_id, e, cid FROM
-                  (SELECT *, row_number() OVER (PARTITION BY vec_id
-                     ORDER BY ccos DESC, cid) AS rn FROM s0)
-                 WHERE rn = 1),
-          qd AS (SELECT cid, d,
-                   CAST(floor(e[d+1] * 1000000.0 + 0.5) AS BIGINT) AS q
-                 FROM a0 CROSS JOIN
-                   (SELECT unnest(generate_series(0, 63)) AS d)),
-          su AS (SELECT cid, d, CAST(sum(q) AS BIGINT) AS s,
-                   count(*) AS cnt
-                 FROM qd GROUP BY 1, 2),
-          cen1 AS (SELECT cid,
-                     list((CAST(s AS DOUBLE) / cnt) / 1000000.0
-                       ORDER BY d) AS ce
-                   FROM su GROUP BY cid),
-          s1 AS (SELECT v.vec_id, cen1.cid,
-                   ${cosSql("v.e", "cen1.ce")} AS ccos
-                 FROM v CROSS JOIN cen1),
-          a1 AS (SELECT vec_id, cid, ccos FROM
-                  (SELECT *, row_number() OVER (PARTITION BY vec_id
-                     ORDER BY ccos DESC, cid) AS rn FROM s1)
-                 WHERE rn = 1)
+      s"""WITH ${kmeansCtes(8)}
           SELECT vec_id, cid AS cluster, ccos AS cos FROM a1""",
+    "q_semantic_dedup" ->
+      s"""WITH ${kmeansCtes(16)},
+          p AS (SELECT b.vec_id AS db
+                FROM a1 a JOIN a1 b
+                  ON a.cid = b.cid AND a.vec_id < b.vec_id
+                WHERE ${cosSql("a.e", "b.e")} >= 0.45)
+          SELECT vec_id, cid AS cluster FROM a1
+          WHERE vec_id NOT IN (SELECT db FROM p)""",
     "q_dup_spans" ->
       s"""WITH dup AS (SELECT doc_id, text FROM documents
             UNION ALL

@@ -204,6 +204,35 @@ object Vectors {
       col("centroid_id").as("cluster"), col("ccos").as("cos"))
   }
 
+  /** SemDeDup-style semantic deduplication: [[kmeans]] clusters are
+    * the blocking key — near-duplicate pairs are searched only WITHIN
+    * each cluster, and the larger id of every pair with rounded cosine
+    * ≥ `threshold` is dropped. Returns the surviving (vec_id, cluster)
+    * rows.
+    *
+    * Scale shape: clustering replaces the all-pairs O(n²) scan with
+    * k · (n/k)² work — SIZING RULE: pick k ∝ n (e.g. n / 1000, the
+    * same per-bucket bound as [[cosineNearDupPairs]]) so within-
+    * cluster populations stay constant as the corpus grows. The
+    * within-cluster join shuffles once on the cluster id; pair
+    * scoring is the fused codegen cosine.
+    */
+  def semanticDedup(vectors: DataFrame, k: Int, iters: Int,
+                    threshold: Double, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val assigned = kmeans(vectors, k, iters, idCol, vecCol)
+      .select(col("vec_id"), col("cluster"))
+    val v = vectors.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("v"))
+    val cv = v.join(assigned, "vec_id")
+    val losers = cv.as("a").join(cv.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(round(cosine(col("a.v"), col("b.v")), 6) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned.join(losers, Seq("vec_id"), "left_anti")
+  }
+
   /** Random-hyperplane LSH bucket id: bit i set iff dot(v, plane_i) > 0.
     * Vectors in the same bucket are ANN candidates.
     */

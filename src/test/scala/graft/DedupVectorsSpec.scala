@@ -163,4 +163,13 @@ class DedupVectorsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(raw(0L) === 0L && raw(1L) === 1L, "seeds assign to themselves")
   }
+
+  test("semanticDedup: within-cluster near-dups drop, min id survives") {
+    // vecs: 0 and 1 identical (cos=1), 2 close to 0 (cos≈0.99),
+    // 3 orthogonal — clusters block, larger ids of close pairs drop
+    val out = Vectors.semanticDedup(vecs, 2, 1, threshold = 0.95)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out === Seq(0L, 3L),
+      "1 (exact dup of 0) and 2 (near dup of 0) drop; 0 and 3 survive")
+  }
 }

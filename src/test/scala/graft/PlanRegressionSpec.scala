@@ -51,4 +51,34 @@ class PlanRegressionSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size -
       "BroadcastExchange".r.findAllIn(p).size === 1, p)
   }
+
+  test("quota sample: bounded heap + one exchange, no window sort") {
+    val p = plan("q_quota_sample")
+    assert(p.contains("TopKPerKey"), p)
+    assert("Exchange".r.findAllIn(p).size -
+      "BroadcastExchange".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Window"), "no row_number window sort")
+  }
+
+  test("skew agg: composite-key two-phase, no distinct Expand") {
+    val p = plan("q_skew_agg")
+    assert(!p.contains("Expand"),
+      s"count(DISTINCT) expansion defeats the two-phase shape:\n$p")
+    assert("Exchange".r.findAllIn(p).size -
+      "BroadcastExchange".r.findAllIn(p).size === 2,
+      s"(key,distinct) shuffle then key shuffle:\n$p")
+  }
+
+  test("rand project: map-only, zero exchanges") {
+    val p = plan("q_rand_project")
+    assert(!p.contains("Exchange"),
+      s"projection against literal planes must not shuffle:\n$p")
+  }
+
+  test("kmeans: broadcast centroids + bounded-heap assignment") {
+    val p = plan("q_kmeans")
+    assert(p.contains("TopKPerKey"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }

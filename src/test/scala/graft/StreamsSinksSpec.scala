@@ -90,6 +90,37 @@ class StreamsSinksSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("writeZOrderLayout: lossless, disjoint file z ranges, 2-D locality") {
+    import spark.implicits._
+    val df = (for { a <- 0L until 32L; b <- 0L until 32L } yield (a, b))
+      .toDF("ka", "kb")
+    val dir = Files.createTempDirectory("graft_zorder").toString + "/store"
+    Sinks.writeZOrderLayout(df, dir, "ka", "kb", 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 1024)
+    assert(back.select("ka", "kb").exceptAll(df).count() === 0)
+    // every file covers a disjoint z range (that's what lets parquet
+    // min/max stats prune on either dimension)
+    val ranges = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        val r = spark.read.parquet(f.toString).agg(min("z"), max("z")).head
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1).toSeq
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2,
+        s"file z ranges overlap: $ranges")
+      case _ => ()
+    }
+    // Morton locality: the low-low quadrant sorts entirely before the
+    // high-high quadrant — z clusters both dimensions at once
+    val q00 = back.filter(col("ka") < 16 && col("kb") < 16)
+      .agg(max("z")).head.getLong(0)
+    val q11 = back.filter(col("ka") >= 16 && col("kb") >= 16)
+      .agg(min("z")).head.getLong(0)
+    assert(q00 < q11, "low-low quadrant must z-sort before high-high")
+  }
+
   test("mergeAggregate: batch partials fold to the one-shot aggregate") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_magg").toString + "/store"
