@@ -220,11 +220,13 @@ object Vectors {
   def semanticDedup(vectors: DataFrame, k: Int, iters: Int,
                     threshold: Double, idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
+    // cache: the assignment feeds both sides of the self-join AND the
+    // final anti-join — uncached, k-means re-runs three times
     val assigned = kmeans(vectors, k, iters, idCol, vecCol)
-      .select(col("vec_id"), col("cluster"))
+      .select(col("vec_id"), col("cluster")).cache()
     val v = vectors.select(col(idCol).as("vec_id"),
       toDouble(col(vecCol)).as("v"))
-    val cv = v.join(assigned, "vec_id")
+    val cv = v.join(assigned, "vec_id").cache()
     val losers = cv.as("a").join(cv.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col("a.vec_id") < col("b.vec_id"))
