@@ -59,6 +59,17 @@ private[graft] object QueriesIo {
     s.read.parquet(path).select("event_id", "value")
   }
 
+  /** Compaction: splinter events into many small files, bin-pack them
+    * back, read losslessly.
+    */
+  def compactSink(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "compact_sink")
+    Sinks.writeParquetSplit(
+      events(s, dir).select("event_id", "event_type", "value"), path, 500L)
+    Sinks.compact(s, path, 100000L)
+    s.read.parquet(path).select("event_id", "event_type", "value")
+  }
+
   // --- streaming -------------------------------------------------------
 
   /** T1/T7: watermarked tumbling-window streaming aggregation
@@ -187,6 +198,7 @@ private[graft] object QueriesIo {
     "q_partitioned_sink" -> (partitionedSink _),
     "q_merge_dedup_sink" -> (mergeDedupSink _),
     "q_split_sink" -> (splitSink _),
+    "q_compact_sink" -> (compactSink _),
     "q_stream_tumbling" -> (streamTumbling _),
     "q_stream_sliding" -> (streamSliding _),
     "q_stream_session" -> (streamSession _),
@@ -235,6 +247,8 @@ private[graft] object QueriesIo {
          FROM events""",
     "q_split_sink" ->
       "SELECT event_id, value FROM events",
+    "q_compact_sink" ->
+      "SELECT event_id, event_type, value FROM events",
     "q_stream_tumbling" ->
       """WITH b AS (
            SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP))

@@ -54,6 +54,7 @@ object SparkEntry {
     "q_session_window" -> (Queries.sessionWindow _),
     "q_rollup" -> (Queries.rollupAgg _),
     "q_json_extract" -> (Queries.jsonExtract _),
+    "q_range_join" -> (Queries.rangeJoin _),
     "q_asof_join" -> (Queries.asofJoin _)
   )
 
@@ -168,6 +169,13 @@ object SparkEntry {
       """SELECT event_id,
                 CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
          FROM events""",
+    "q_range_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+                n_nationkey, lo, hi
+         FROM lineitem
+         JOIN (SELECT n_nationkey, n_nationkey * 2.0 AS lo,
+                      n_nationkey * 2.0 + 3.0 AS hi FROM nation)
+           ON l_quantity BETWEEN lo AND hi""",
     "q_asof_join" ->
       """WITH j AS (
            SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
@@ -374,6 +382,23 @@ private[graft] object Queries {
   def jsonExtract(s: SparkSession, dir: String): DataFrame =
     events(s, dir).select(col("event_id"),
       get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  /** Key-less interval join via binning: lineitem quantities against
+    * overlapping value bands derived from nation — a pure BETWEEN
+    * join with no equi key, kept off the nested-loop path by
+    * [[graft.etl.RangeJoin.binned]].
+    */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val bands = t(s, dir, "nation").select(col("n_nationkey"),
+      (col("n_nationkey") * 2.0).as("lo"),
+      (col("n_nationkey") * 2.0 + 3.0).as("hi"))
+    graft.etl.RangeJoin.binned(
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity"),
+      bands, "l_quantity", "lo", "hi", binWidth = 4.0)
+      .select("l_orderkey", "l_linenumber", "l_quantity",
+        "n_nationkey", "lo", "hi")
+  }
 
   /** As-of join (composition b of the custom-operator preference
     * order): each event matches the latest order of its user with

@@ -88,6 +88,27 @@ object Sinks {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Small-file compaction (the splitter's inverse): rewrite a store
+    * into files of ~`targetRecordsPerFile` rows. Streaming and
+    * per-partition-overwrite sinks accrete small files; at 100 TB the
+    * resulting per-file open/seek overhead and NameNode/listing
+    * pressure dominate scan cost, so periodic bin-packing rewrites
+    * are standard table maintenance (Delta OPTIMIZE / Iceberg
+    * rewrite_data_files). Content is unchanged; the result is
+    * localCheckpoint'ed before overwriting the directory being read.
+    * Returns the rewritten file count.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetRecordsPerFile: Long): Int = {
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetRecordsPerFile)
+      .toInt)
+    df.repartition(files).localCheckpoint()
+      .write.mode("overwrite").parquet(path)
+    files
+  }
+
   /** Z-order key: min-max-normalize two numeric columns to 16-bit
     * grids and bit-interleave them into one 32-bit locality key.
     * Nearby (a, b) points get nearby z values, so sorting by z

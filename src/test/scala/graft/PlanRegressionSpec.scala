@@ -75,6 +75,13 @@ class PlanRegressionSpec extends SparkSpec {
       s"projection against literal planes must not shuffle:\n$p")
   }
 
+  test("range join: binned equi-join, not a nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"key-less interval join must bin, not scan all pairs:\n$p")
+  }
+
   test("kmeans: broadcast centroids + bounded-heap assignment") {
     val p = plan("q_kmeans")
     assert(p.contains("TopKPerKey"), p)

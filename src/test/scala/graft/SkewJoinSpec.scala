@@ -31,4 +31,20 @@ class SkewJoinSpec extends SparkSpec {
     assert(got.count() === want.count())
     assert(got.exceptAll(want).count() === 0)
   }
+
+  test("binned range join == plain BETWEEN join, any binWidth") {
+    import spark.implicits._
+    val pts = (0L until 500L).map(i => (i, (i % 97).toDouble))
+      .toDF("id", "p")
+    // overlapping, boundary-touching, and empty intervals
+    val iv = Seq((0L, 0.0, 10.0), (1L, 5.0, 5.0), (2L, 9.5, 20.0),
+      (3L, 200.0, 210.0)).toDF("iv_id", "lo", "hi")
+    val plain = pts.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+    for (w <- Seq(1.0, 3.0, 100.0)) {
+      val binned = etl.RangeJoin.binned(pts, iv, "p", "lo", "hi", w)
+      assert(binned.count() === plain.count(), s"binWidth=$w")
+      assert(binned.exceptAll(plain).count() === 0, s"binWidth=$w")
+      assert(plain.exceptAll(binned).count() === 0, s"binWidth=$w")
+    }
+  }
 }

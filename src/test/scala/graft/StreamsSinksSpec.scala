@@ -64,6 +64,18 @@ class StreamsSinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 1000)
   }
 
+  test("compact: bin-packs small files losslessly") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/store"
+    Sinks.writeParquetSplit(batchEvents.select("event_id"), dir, 50L)
+    def fileCount = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = fileCount
+    assert(before >= 20, s"1000 rows / 50 per file: $before")
+    Sinks.compact(spark, dir, 1000L)
+    assert(fileCount === 1, "1000 rows fit one target-size file")
+    assert(spark.read.parquet(dir).count() === 1000)
+  }
+
   test("writePartitioned: dynamic overwrite touches only present months") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_dyn").toString
