@@ -65,8 +65,8 @@ private[graft] object QueriesIo {
   def compactSink(s: SparkSession, dir: String): DataFrame = {
     val path = scratch(dir, "compact_sink")
     Sinks.writeParquetSplit(
-      events(s, dir).select("event_id", "event_type", "value"), path, 500L)
-    Sinks.compact(s, path, 100000L)
+      events(s, dir).select("event_id", "event_type", "value"), path, 2000L)
+    Sinks.compact(s, path, 1000000L)
     s.read.parquet(path).select("event_id", "event_type", "value")
   }
 

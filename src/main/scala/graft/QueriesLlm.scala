@@ -246,6 +246,21 @@ private[graft] object QueriesLlm {
   def randProject(s: SparkSession, dir: String): DataFrame =
     Vectors.randomProject(t(s, dir, "embeddings"), 8, 64)
 
+  /** Deterministic 90/5/5 train/valid/test assignment by id hash. */
+  def trainSplit(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Curation.assignSplits(t(s, dir, "documents"),
+      Seq("train" -> 90, "valid" -> 95), "test")
+      .select("doc_id", "split")
+
+  /** Dataset-card rollup: per-source corpus statistics. */
+  def corpusStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+          .as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        countDistinct("lang").as("n_langs"))
+
   /** Per-source quota cap: at most 5 docs per source, lowest ids win
     * (bounded-heap TopKPerKey, no window sort).
     */
@@ -286,6 +301,8 @@ private[graft] object QueriesLlm {
     "q_quota_sample" -> (quotaSampleQ _),
     "q_kmeans" -> (kmeansQ _),
     "q_semantic_dedup" -> (semanticDedupQ _),
+    "q_train_split" -> (trainSplit _),
+    "q_corpus_stats" -> (corpusStats _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_pack_sequences" -> (packSequences _),
     "q_token_count" -> (tokenCount _),
@@ -504,6 +521,20 @@ private[graft] object QueriesLlm {
                  for d in generate_series(0, 63)], (x, y) -> x + y), 6)
                  AS p_$i""").mkString(", ")}
           FROM e""",
+    "q_train_split" ->
+      s"""SELECT doc_id,
+            CASE WHEN ${h60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                   THEN 'train'
+                 WHEN ${h60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 95
+                   THEN 'valid'
+                 ELSE 'test' END AS split
+          FROM documents""",
+    "q_corpus_stats" ->
+      """SELECT source, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(len(text)) AS BIGINT) AS n_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         FROM documents GROUP BY 1""",
     "q_quota_sample" ->
       """SELECT doc_id, source FROM (
            SELECT doc_id, source, row_number()

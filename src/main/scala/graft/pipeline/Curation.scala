@@ -39,6 +39,27 @@ object Curation {
     docs.filter(keep)
   }
 
+  /** Deterministic train/valid/test assignment: each document's split
+    * is a pure function of the md5-derived hash of its id — the same
+    * document lands in the same split on every engine, rerun, and
+    * repartitioning, and membership never depends on row order or
+    * corpus size (adding documents never moves existing ones across
+    * splits — the property that keeps eval sets uncontaminated as a
+    * 100 TB corpus grows). `cuts` are cumulative percent upper bounds,
+    * e.g. `Seq("train" -> 90, "valid" -> 95)` + `rest = "test"`.
+    * Map-only, no shuffle.
+    */
+  def assignSplits(docs: DataFrame, cuts: Seq[(String, Int)], rest: String,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(cuts.map(_._2) == cuts.map(_._2).sorted,
+      s"cuts must be cumulative ascending: $cuts")
+    val pct = TextAnalysis.hash60(col(idCol).cast("string")) % 100
+    val split = cuts.foldRight(lit(rest): org.apache.spark.sql.Column) {
+      case ((name, cut), acc) => when(pct < cut, name).otherwise(acc)
+    }
+    docs.withColumn("split", split)
+  }
+
   /** Per-source quota cap: keep at most `cap` documents per source,
     * lowest ids first — the "no domain may dominate the mixture" rule
     * of corpus curation (cap a crawl's mega-domains before mixing).

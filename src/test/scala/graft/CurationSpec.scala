@@ -39,6 +39,26 @@ class CurationSpec extends SparkSpec {
       "unlisted sources drop")
   }
 
+  test("assignSplits: total, deterministic, stable under corpus growth") {
+    import spark.implicits._
+    val d1 = (0L until 100L).map(i => (i, "t")).toDF("doc_id", "text")
+    val d2 = (0L until 200L).map(i => (i, "t")).toDF("doc_id", "text")
+    val cuts = Seq("train" -> 90, "valid" -> 95)
+    def splits(d: org.apache.spark.sql.DataFrame) =
+      Curation.assignSplits(d, cuts, "test")
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s1 = splits(d1); val s2 = splits(d2)
+    assert(s1.forall { case (id, sp) => s2(id) == sp },
+      "growing the corpus never moves an existing doc across splits")
+    assert(s2.values.toSet.subsetOf(Set("train", "valid", "test")))
+    val frac = s2.values.count(_ == "train").toDouble / s2.size
+    assert(frac > 0.8 && frac < 0.98, s"~90% train: $frac")
+    intercept[IllegalArgumentException] {
+      Curation.assignSplits(d1, Seq("a" -> 95, "b" -> 90), "c")
+    }
+  }
+
   test("quotaSample: caps each source at `cap`, lowest ids survive") {
     import spark.implicits._
     val d = ((0L until 20L).map(i => (i, "t", "big")) ++
