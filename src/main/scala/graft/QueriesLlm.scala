@@ -94,6 +94,12 @@ private[graft] object QueriesLlm {
   def simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(t(s, dir, "documents"))
 
+  /** Directed containment pairs over the dup-injected corpus (full
+    * copies guarantee containment-1.0 pairs in both directions).
+    */
+  def containmentQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(dupDocs(s, dir), 0.8)
+
   /** Decontamination: trigram overlap vs a small probe set. */
   def contamination(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
@@ -314,6 +320,7 @@ private[graft] object QueriesLlm {
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_dedup_exact" -> (dedupExact _),
     "q_jaccard_pairs" -> (jaccardPairs _),
+    "q_containment_pairs" -> (containmentQ _),
     "q_minhash_sig" -> (minhashSig _),
     "q_dedup_fuzzy" -> (dedupFuzzy _),
     "q_simhash" -> (simhash _),
@@ -767,6 +774,26 @@ private[graft] object QueriesLlm {
           JOIN sizes sa ON sa.doc_id = doc_a
           JOIN sizes sb ON sb.doc_id = doc_b
           WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5""",
+    "q_containment_pairs" ->
+      s"""WITH dup AS (SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000, text FROM documents
+            WHERE doc_id % 5 = 0),
+          sh AS (SELECT doc_id, list_distinct(
+              [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+               for i in generate_series(1, greatest(len(w)-2, 0))]) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM dup)),
+          inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+          pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM inv a JOIN inv b
+              ON a.g = b.g AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2),
+          sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+          SELECT doc_a, doc_b,
+            CAST(inter AS DOUBLE) / sa.n AS containment
+          FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+          WHERE CAST(inter AS DOUBLE) / sa.n >= 0.8""",
     "q_minhash_sig" ->
       s"""WITH $ShinglesCte
           SELECT doc_id,

@@ -150,6 +150,53 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Directed shingle-containment pairs: `C(a→b) = |A∩B| / |A| ≥ t` —
+    * the asymmetric near-dup relation Jaccard misses. A short document
+    * quoted whole inside a long one has containment 1.0 but Jaccard
+    * |A|/|B| → 0, so symmetric dedup keeps both; containment is the
+    * right gate for quote/subset/boilerplate-inclusion detection.
+    *
+    * Scale shape mirrors [[jaccardPairs]]: only the CONTAINED side
+    * needs prefix pruning (if C ≥ t, a's `|A| − ⌈t·|A|⌉ + 1` rarest
+    * shingles must intersect A∩B — same argument as PPJoin; b is
+    * unconstrained, so its full inverted index is joined). Rarest-
+    * first ordering keeps prefix collisions small; exact
+    * `array_intersect` verifies candidates only.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       n: Int = 3): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, n)
+      .select(col("doc_id"),
+        array_distinct(TextAnalysis.hash60Array(col("sh"))).as("sh"))
+      .cache()
+    val inv = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s"))
+    val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "s")
+    val prefix = inv.join(freq, "s")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select(col("doc_id").as("doc_a"), col("s"))
+    val cand = prefix
+      .join(inv.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_a",
+        "sh" -> "sh_a")), "doc_a")
+      .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_b",
+        "sh" -> "sh_b")), "doc_b")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"),
+        col("containment"))
+  }
+
   /** One MinHash value over pre-hashed shingles:
     * `min over h of (a·h + b) mod p`, `h = h60(s) mod p`.
     * Empty set → p (sentinel larger than any hash).

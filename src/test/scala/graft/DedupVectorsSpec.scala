@@ -54,6 +54,24 @@ class DedupVectorsSpec extends SparkSpec {
     assert(fuzzy.contains((0L, 1L)), "identical docs always collide in LSH")
   }
 
+  test("containment: subset doc found even when Jaccard is tiny") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon"
+    val long = short + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = Seq((0L, short), (1L, long), (2L, "unrelated text entirely " +
+      "different tokens throughout")).toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(d, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(c.contains((0L, 1L)) && c((0L, 1L)) === 1.0,
+      "short doc fully contained in long doc")
+    assert(!c.contains((1L, 0L)),
+      "containment is directed — the long doc is not inside the short")
+    assert(!c.keys.exists { case (a, b) => a == 2L || b == 2L })
+    // and Jaccard at the same threshold misses the pair entirely
+    val j = Dedup.jaccardPairs(d, 0.9).count()
+    assert(j === 0L, "symmetric Jaccard cannot see the subset relation")
+  }
+
   test("repetition metrics: hand-checked ratios on a tiny doc") {
     import spark.implicits._
     val d = Seq((1L, "a a a b")).toDF("doc_id", "text")
