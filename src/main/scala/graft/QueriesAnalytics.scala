@@ -140,6 +140,17 @@ private[graft] object QueriesAnalytics {
         col("c_custkey"), col("c_mktsegment"))
   }
 
+  /** Left outer join: every event kept, dimension columns null where
+    * the user has no customer row (completes the join-type matrix:
+    * inner/semi/anti/full/left all oracle-gated).
+    */
+  def leftOuter(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(col("event_id"), col("user_id"))
+      .join(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"), "left_outer")
+      .select("event_id", "user_id", "c_mktsegment")
+
   /** Left-anti join (beyond the reference's join surface). */
   def antiJoin(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -304,10 +315,14 @@ private[graft] object QueriesAnalytics {
     "q_array_funcs" -> (arrayFuncs _),
     "q_anti_join" -> (antiJoin _),
     "q_full_outer" -> (fullOuter _),
+    "q_left_outer" -> (leftOuter _),
     "q_collect_types" -> (collectTypes _),
     "q_except_keys" -> (exceptKeys _))
 
   val oracles: Map[String, String] = Map(
+    "q_left_outer" ->
+      """SELECT event_id, user_id, c_mktsegment
+         FROM events LEFT JOIN customer ON user_id = c_custkey""",
     "q_skew_agg" ->
       """SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
