@@ -28,10 +28,30 @@ object Bench {
     }
     val (p1, p2) = (pass(), pass())
     val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = f"$v%.3f"
+    // the harness keeps only the LAST ~2000 chars of output, so the
+    // line is laid out tail-first: per-query map sorted FASTEST-FIRST
+    // (the slowest — most informative — queries land inside the kept
+    // window) and the headline total/unit/sf AFTER the map. JSON key
+    // order is semantically irrelevant; physical order decides what
+    // survives truncation.
+    val qs = results.sortBy(_._2).map { case (k, v) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"queries":$qs,"n_queries":${results.size},""" +
+      s""""metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}"""
+    println(line)
+    // full-precision copy in the repo so per-query numbers survive even
+    // when the captured tail clips the front of the line above
+    try {
+      val full = results.map { case (k, v) => s"\"$k\":$v" }
+        .mkString("{", ",", "}")
+      val p = java.nio.file.Paths.get("/root/repo/bench_local.json")
+      java.nio.file.Files.write(p,
+        (s"""{"metric":"total","value":$total,"unit":"sec",""" +
+          s""""n_queries":${results.size},"sf":"$sfDir",""" +
+          s""""queries":$full}""" + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // bench output is the contract; the file is best-effort
     spark.stop()
   }
 }

@@ -83,6 +83,11 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
                    n: Int = 3): DataFrame = {
+    // CACHE LIFETIME: the internal shingle cache stays registered until
+    // the caller materializes the result and clears it (the result must
+    // stay lazy — callers assert on its plan); long-lived sessions
+    // composing many dedup calls should spark.catalog.clearCache()
+    // between corpora or persist results to a table.
     // the shingle table feeds four DAG branches (freq, prefix, and the
     // two verification joins); cache it rather than re-shingling — the
     // production-scale equivalent is materializing it to a table.
@@ -166,6 +171,8 @@ object Dedup {
   def containmentPairs(docs: DataFrame, threshold: Double,
                        idCol: String = "doc_id", textCol: String = "text",
                        n: Int = 3): DataFrame = {
+    // CACHE LIFETIME: as in [[jaccardPairs]] — the shingle cache is
+    // owned by the session; clearCache() between corpora.
     val sets = shingleSets(docs, idCol, textCol, n)
       .select(col("doc_id"),
         array_distinct(TextAnalysis.hash60Array(col("sh"))).as("sh"))
@@ -323,6 +330,15 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // a silent exit via maxIter would return partially-propagated
+    // (wrong) cluster labels; fail loudly instead — a component with
+    // diameter > maxIter means the pair graph is pathological (a long
+    // chain), which callers should know about, not paper over
+    if (!converged)
+      throw new IllegalStateException(
+        s"label propagation did not converge within maxIter=$maxIter " +
+          "rounds; the near-dup graph has a component with diameter > " +
+          s"$maxIter — raise maxIter or investigate the pair generator")
     docs.select(col(idCol).cast("long").as("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -344,6 +360,16 @@ object Dedup {
     * no windows, no corpus-wide sort. The winner rule is a plain
     * `min(struct(doc_id, pos))`, which is associative — it spills and
     * combines like any min.
+    *
+    * COLLISION TRADE-OFF (same as [[jaccardPairs]], stated explicitly
+    * because here a collision DROPS data): lines are identified purely
+    * by their 60-bit hash, so two distinct lines colliding merge into
+    * one dedup key and the later one is silently removed. Birthday
+    * bound ≈ n²/2^61: negligible below ~1e8 distinct lines, but at
+    * ~1e12 (the 100 TB regime) expect ~1e5 collisions. If that loss
+    * rate matters, verify equality on the line string in the
+    * membership join (carry `line` through `winners` and compare) at
+    * the cost of shuffling strings instead of longs.
     */
   def lineDedup(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text", sep: String = "\n"): DataFrame = {
@@ -380,6 +406,13 @@ object Dedup {
     * merge overlaps — interval merging via running-max, one exchange
     * keyed on doc id. No suffix array needed: a window hash aggregate
     * finds the same repeats with two shuffles total.
+    *
+    * COLLISION TRADE-OFF: k-token windows are identified purely by
+    * their 60-bit hash; a collision marks a unique window as
+    * duplicated (a false-positive span — over-cutting, never data
+    * loss). Birthday bound ≈ n²/2^61 over distinct windows; at ~1e12
+    * windows expect ~1e5 spurious window marks. Verify on the window
+    * string in the membership join if over-cutting is unacceptable.
     */
   def duplicateSpans(docs: DataFrame, k: Int = 8,
                      idCol: String = "doc_id",

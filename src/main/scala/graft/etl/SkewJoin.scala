@@ -51,9 +51,14 @@ object SkewJoin {
     */
   def twoPhaseDistinct(df: DataFrame, key: String,
                        distinctCol: String): DataFrame =
+    // NULL handling matches count(DISTINCT x): the null group still
+    // flows through phase 1 (so n_rows counts every row) but is
+    // excluded from the distinct count — count(when(...)) skips the
+    // null-valued group exactly as count(DISTINCT) skips null inputs
     df.groupBy(col(key), col(distinctCol))
       .agg(count(lit(1)).as("__n"))
       .groupBy(col(key))
-      .agg(count(lit(1)).as("n_distinct"),
+      .agg(count(when(col(distinctCol).isNotNull, lit(1)))
+        .as("n_distinct"),
         sum(col("__n")).cast("long").as("n_rows"))
 }

@@ -232,7 +232,16 @@ object Vectors {
           col("a.vec_id") < col("b.vec_id"))
       .filter(round(cosine(col("a.v"), col("b.v")), 6) >= threshold)
       .select(col("b.vec_id").as("vec_id")).distinct()
-    assigned.join(losers, Seq("vec_id"), "left_anti")
+    // materialize the (small) survivor set eagerly so the internal
+    // caches can be released before returning — otherwise every call
+    // leaks two cached frames into executor memory for the session's
+    // lifetime (the survivors are a strict subset of the ids: tiny
+    // next to the cached vector table they replace)
+    val survivors = assigned.join(losers, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    cv.unpersist()
+    assigned.unpersist()
+    survivors
   }
 
   /** Random-hyperplane LSH bucket id: bit i set iff dot(v, plane_i) > 0.

@@ -32,6 +32,19 @@ class SkewJoinSpec extends SparkSpec {
     assert(got.exceptAll(want).count() === 0)
   }
 
+  test("twoPhaseDistinct ignores NULLs like count(DISTINCT)") {
+    import spark.implicits._
+    // per key: 2 non-null users + nulls; count(DISTINCT u) must be 2
+    // while n_rows still counts the null-valued rows
+    val df = Seq(("a", Some(1L)), ("a", Some(2L)), ("a", None),
+      ("a", None), ("b", None)).toDF("k", "u")
+    val got = SkewJoin.twoPhaseDistinct(df, "k", "u")
+    val want = df.groupBy("k")
+      .agg(countDistinct("u").as("n_distinct"), count(lit(1)).as("n_rows"))
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
   test("binned range join == plain BETWEEN join, any binWidth") {
     import spark.implicits._
     val pts = (0L until 500L).map(i => (i, (i % 97).toDouble))

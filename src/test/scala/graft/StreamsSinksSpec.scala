@@ -222,6 +222,25 @@ class StreamsSinksSpec extends SparkSpec {
     assert(expected.exceptAll(slid).count() === 0)
   }
 
+  test("session_window: event exactly gap after previous starts a NEW session") {
+    import spark.implicits._
+    // Spark sessions are half-open [start, last+gap): an event landing
+    // exactly at last+gap does NOT merge. The DuckDB oracles encode the
+    // same rule (break on diff >= gap); this pins the Spark side so the
+    // two can't silently diverge at the boundary.
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00") // +gap exactly
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 01:59:59") // inside gap
+    val ev = Seq((1L, t0), (1L, t1), (1L, t2)).toDF("user_id", "ts")
+    val sessions = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    assert(sessions.count() === 2,
+      "exact-gap event opens a session; the next in-gap event merges")
+    val ns = sessions.select("n").as[Long].collect().sorted
+    assert(ns === Array(1L, 2L))
+  }
+
   test("readCsvAllString: permissive strings-first read, null-on-coerce") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_csv").toString

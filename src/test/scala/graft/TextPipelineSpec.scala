@@ -130,6 +130,18 @@ class TextPipelineSpec extends SparkSpec {
     assert(out.values.forall(_ === 0L), "whole chain collapses to min id")
   }
 
+  test("clusters: throws instead of returning unconverged labels") {
+    import spark.implicits._
+    // diameter-9 chain cannot converge in 2 rounds — silent partial
+    // labels would pass the gate with wrong data; the contract is throw
+    val docs = (0L until 10L).toDF("doc_id")
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.clusters(docs, pairs, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("maxIter=2"))
+  }
+
   test("randomProject: deterministic, linear, zero maps to zero") {
     import spark.implicits._
     val a = (0 until 64).map(d => (d % 7 - 3).toFloat)
