@@ -28,7 +28,11 @@ object Bench {
     }
     val (p1, p2) = (pass(), pass())
     val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: f"$v%.3f" uses the default locale, and a
+    // comma-decimal locale (de_DE, fr_FR, ...) would emit "1,234" —
+    // invalid JSON. The bench line is machine-parsed, so pin ROOT.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // the harness keeps only the LAST ~2000 chars of output, so the
     // line is laid out tail-first: per-query map sorted FASTEST-FIRST
     // (the slowest — most informative — queries land inside the kept
@@ -46,7 +50,11 @@ object Bench {
     try {
       val full = results.map { case (k, v) => s"\"$k\":$v" }
         .mkString("{", ",", "}")
-      val p = java.nio.file.Paths.get("/root/repo/bench_local.json")
+      // resolve against the working directory (overridable via
+      // -Dgraft.bench.out) instead of a hardcoded machine layout
+      val p = java.nio.file.Paths.get(
+        sys.props.getOrElse("graft.bench.out",
+          s"${sys.props("user.dir")}/bench_local.json"))
       java.nio.file.Files.write(p,
         (s"""{"metric":"total","value":$total,"unit":"sec",""" +
           s""""n_queries":${results.size},"sf":"$sfDir",""" +

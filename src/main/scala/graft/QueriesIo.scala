@@ -275,7 +275,7 @@ private[graft] object QueriesIo {
                   CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) -
                          lag(epoch_us(CAST(ts AS TIMESTAMP)))
                            OVER (PARTITION BY user_id ORDER BY ts)
-                         >= 3600000000 THEN 1 ELSE 0 END AS brk
+                         > 3600000000 THEN 1 ELSE 0 END AS brk
            FROM events),
          s AS (
            SELECT user_id, ts,

@@ -149,7 +149,7 @@ object SparkEntry {
                   CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) -
                          lag(epoch_us(CAST(ts AS TIMESTAMP)))
                            OVER (PARTITION BY user_id ORDER BY ts)
-                         >= 3600000000 THEN 1 ELSE 0 END AS brk
+                         > 3600000000 THEN 1 ELSE 0 END AS brk
            FROM events),
          s AS (
            SELECT user_id, ts,
@@ -363,6 +363,11 @@ private[graft] object Queries {
 
   /** Session windows (1 h gap) — beyond-reference analytics surface;
     * the streaming form is the same expression under a watermark.
+    *
+    * Boundary rule (pinned by StreamsSinksSpec): Spark merges an event
+    * landing EXACTLY at last+gap into the running session — inclusive,
+    * not half-open. The DuckDB oracle therefore breaks only on
+    * diff > gap (strict), never >=.
     */
   def sessionWindow(s: SparkSession, dir: String): DataFrame =
     events(s, dir)

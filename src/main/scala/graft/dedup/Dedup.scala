@@ -367,19 +367,26 @@ object Dedup {
     * one dedup key and the later one is silently removed. Birthday
     * bound ≈ n²/2^61: negligible below ~1e8 distinct lines, but at
     * ~1e12 (the 100 TB regime) expect ~1e5 collisions. If that loss
-    * rate matters, verify equality on the line string in the
-    * membership join (carry `line` through `winners` and compare) at
-    * the cost of shuffling strings instead of longs.
+    * rate matters, pass `verifyExact = true`: the dedup key becomes
+    * `(hash, line)` so distinct colliding lines never merge, at the
+    * cost of shuffling strings instead of longs.
+    *
+    * `hashFn` is an injection seam for the collision spec (a constant
+    * hash makes every line collide); production callers leave the
+    * default.
     */
   def lineDedup(docs: DataFrame, idCol: String = "doc_id",
-                textCol: String = "text", sep: String = "\n"): DataFrame = {
+                textCol: String = "text", sep: String = "\n",
+                verifyExact: Boolean = false,
+                hashFn: Column => Column = TextAnalysis.hash60): DataFrame = {
     val lines = docs.select(col(idCol).as("doc_id"),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "line")))
-      .withColumn("h", TextAnalysis.hash60(col("line")))
-    val winners = lines.groupBy("h")
+      .withColumn("h", hashFn(col("line")))
+    val keyCols = if (verifyExact) Seq("h", "line") else Seq("h")
+    val winners = lines.groupBy(keyCols.map(col): _*)
       .agg(min(struct(col("doc_id"), col("pos"))).as("keep"))
-    val kept = lines.join(winners, "h")
+    val kept = lines.join(winners, keyCols)
       .filter(struct(col("doc_id"), col("pos")) === col("keep"))
     val rebuilt = kept.groupBy("doc_id")
       .agg(array_join(transform(

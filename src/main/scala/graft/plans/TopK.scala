@@ -26,9 +26,19 @@ object TopK {
     * k), raise `spark.sql.shuffle.partitions` so each task sees
     * proportionally fewer keys — memory scales down linearly — or fall
     * back to a `row_number` window, which sorts but spills.
+    *
+    * `maxKeysPerPartition` enforces that contract at runtime: a task
+    * that accumulates more distinct keys than the cap throws an
+    * explicit error (with the remediation above) instead of creeping
+    * toward an executor OOM that a retry would only repeat. The
+    * default (8M keys/task) is far above any sane per-task key load.
     */
+  val DefaultMaxKeysPerPartition: Long = 8000000L
+
   def perKey(df: DataFrame, keys: Seq[Column], order: Seq[Column],
-             k: Int): DataFrame = {
+             k: Int,
+             maxKeysPerPartition: Long = DefaultMaxKeysPerPartition)
+      : DataFrame = {
     val spark = df.sparkSession
     ensureStrategy(spark)
     val orderExprs = order.map(c => Bridge.expression(c) match {
@@ -36,6 +46,6 @@ object TopK {
       case e => SortOrder(e, Ascending)
     })
     Bridge.ofRows(spark, TopKPerKeyPlan(keys.map(Bridge.expression),
-      orderExprs, k, Bridge.logicalPlan(df)))
+      orderExprs, k, maxKeysPerPartition, Bridge.logicalPlan(df)))
   }
 }

@@ -27,14 +27,16 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy,
   * window sorts only keys·k rows).
   */
 case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder],
-                          k: Int, child: LogicalPlan) extends UnaryNode {
+                          k: Int, maxKeysPerPartition: Long,
+                          child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(
       newChild: LogicalPlan): TopKPerKeyPlan = copy(child = newChild)
 }
 
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
-                          k: Int, child: SparkPlan) extends UnaryExecNode {
+                          k: Int, maxKeysPerPartition: Long,
+                          child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
@@ -53,9 +55,26 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val heaps = scala.collection.mutable.LinkedHashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      val keyCap = maxKeysPerPartition
       iter.foreach { row =>
-        val pq = heaps.getOrElseUpdate(keyProj(row).copy(),
-          scala.collection.mutable.PriorityQueue.empty[InternalRow])
+        val key = keyProj(row) // reused buffer: copy only on insert
+        var pq = heaps.getOrElse(key, null)
+        if (pq == null) {
+          // fail LOUDLY before the heap map outgrows executor memory
+          // (there is no spill path) — the remediation is a config
+          // change, and an explicit error beats a task OOM that AQE
+          // retries into the same wall
+          if (heaps.size >= keyCap)
+            throw new IllegalStateException(
+              s"TopKPerKeyExec: more than $keyCap distinct keys in one " +
+                "partition (heap memory is O(keys*k) with no spill). " +
+                "Raise spark.sql.shuffle.partitions so each task sees " +
+                "fewer keys, raise maxKeysPerPartition if the memory " +
+                "is actually available, or use a row_number window " +
+                "(sorts but spills).")
+          pq = scala.collection.mutable.PriorityQueue.empty[InternalRow]
+          heaps.put(key.copy(), pq)
+        }
         if (pq.size < limit) {
           pq += row.copy()
         } else if (ordering.compare(row, pq.head) < 0) {
@@ -77,8 +96,8 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
   */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyPlan(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case TopKPerKeyPlan(keys, order, k, maxKeys, child) =>
+      TopKPerKeyExec(keys, order, k, maxKeys, planLater(child)) :: Nil
     case _ => Nil
   }
 }

@@ -216,6 +216,14 @@ object Vectors {
     * cluster populations stay constant as the corpus grows. The
     * within-cluster join shuffles once on the cluster id; pair
     * scoring is the fused codegen cosine.
+    *
+    * LIFETIME CONTRACT: the returned survivor set is materialized
+    * eagerly via `localCheckpoint` (so the internal caches can be
+    * released before returning). Checkpoint blocks live on the
+    * executors that computed them — under dynamic allocation, losing
+    * those executors makes the returned DataFrame unrecomputable
+    * later in the session. Consume (write/collect) the result before
+    * executors can be reclaimed, or persist it to storage first.
     */
   def semanticDedup(vectors: DataFrame, k: Int, iters: Int,
                     threshold: Double, idCol: String = "vec_id",

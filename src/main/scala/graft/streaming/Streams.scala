@@ -102,6 +102,10 @@ object Streams {
   /** Streaming session windows (1 h inactivity gap): the watermark
     * both bounds state and lets Spark finalize sessions — merged
     * dynamically as late events bridge gaps inside the watermark.
+    *
+    * Boundary rule (pinned by StreamsSinksSpec, batch == stream): an
+    * event exactly at last+gap MERGES into the running session —
+    * inclusive boundary. Oracles must break on diff > gap, never >=.
     */
   def sessionAgg(events: DataFrame): DataFrame =
     events

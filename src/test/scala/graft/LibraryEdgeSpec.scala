@@ -48,6 +48,30 @@ class LibraryEdgeSpec extends SparkSpec {
     assert(r.getAs[Int]("width") >= 16 && r.getAs[Int]("height") >= 16)
   }
 
+  test("multimodal decode: real PNG payloads take the javax.imageio path") {
+    import spark.implicits._
+    // render an actual 3x2 PNG in-memory: the magic-sniffed real-codec
+    // path must report the true pixel dimensions, not the stub's fake
+    val img = new java.awt.image.BufferedImage(
+      3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val media = Seq((42L, png)).toDF("media_id", "payload")
+    val r = Multimodal.decodeMeta(media).collect().head
+    assert(r.getAs[String]("format") === "png")
+    assert(r.getAs[Int]("width") === 3)
+    assert(r.getAs[Int]("height") === 2)
+    assert(r.getAs[Long]("n_bytes") === png.length.toLong)
+    // corrupt PNG (magic but truncated body) falls back to the stub
+    // instead of failing the task
+    val broken = png.take(12)
+    val media2 = Seq((43L, broken)).toDF("media_id", "payload")
+    val r2 = Multimodal.decodeMeta(media2).collect().head
+    assert(r2.getAs[Long]("n_bytes") === broken.length.toLong)
+  }
+
   test("walltime parser rejects negatives inside H:MM:SS gracefully") {
     import spark.implicits._
     // malformed-but-colon-shaped inputs must not throw under ANSI mode

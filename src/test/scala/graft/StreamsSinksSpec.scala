@@ -222,23 +222,34 @@ class StreamsSinksSpec extends SparkSpec {
     assert(expected.exceptAll(slid).count() === 0)
   }
 
-  test("session_window: event exactly gap after previous starts a NEW session") {
+  test("session_window: event exactly at last+gap MERGES into the session") {
     import spark.implicits._
-    // Spark sessions are half-open [start, last+gap): an event landing
-    // exactly at last+gap does NOT merge. The DuckDB oracles encode the
-    // same rule (break on diff >= gap); this pins the Spark side so the
-    // two can't silently diverge at the boundary.
+    // Spark's session_window merges an event landing EXACTLY at
+    // last+gap into the running session — the boundary is inclusive,
+    // not half-open (verified empirically: 00:00 / 01:00 / 01:59:59
+    // with a 1 h gap yield ONE session of 3). The DuckDB oracles
+    // encode the same rule — break only on diff > gap, never >= — so
+    // engine and oracle can't silently diverge at the boundary.
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
-    val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00") // +gap exactly
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00") // == last+gap
     val t2 = java.sql.Timestamp.valueOf("2024-01-01 01:59:59") // inside gap
     val ev = Seq((1L, t0), (1L, t1), (1L, t2)).toDF("user_id", "ts")
     val sessions = ev
       .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n"))
-    assert(sessions.count() === 2,
-      "exact-gap event opens a session; the next in-gap event merges")
+    assert(sessions.count() === 1,
+      "exact-boundary event extends the session (inclusive merge)")
     val ns = sessions.select("n").as[Long].collect().sorted
-    assert(ns === Array(1L, 2L))
+    assert(ns === Array(3L))
+    // streaming path must agree with batch at the same boundary
+    val dir = Files.createTempDirectory("graft_session_tie").toString
+    ev.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP").parquet(dir)
+    val streamed = Streams.runToTable(
+      Streams.sessionAgg(stream), "spec_session_tie", OutputMode.Complete())
+    assert(streamed.select("n").as[Long].collect().sorted === Array(3L),
+      "streaming sessionAgg must merge the exact-boundary event like batch")
   }
 
   test("readCsvAllString: permissive strings-first read, null-on-coerce") {

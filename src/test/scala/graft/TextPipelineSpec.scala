@@ -56,6 +56,24 @@ class TextPipelineSpec extends SparkSpec {
     assert(out === "x\ny\nz")
   }
 
+  test("lineDedup verifyExact: colliding hashes don't merge distinct lines") {
+    import spark.implicits._
+    // force a universal hash collision (every line hashes to 0):
+    // hash-only dedup merges the distinct lines; verifyExact keys on
+    // (hash, line) and keeps both
+    val df = Seq((0L, "alpha"), (1L, "bravo")).toDF("doc_id", "text")
+    val collide: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      _ => lit(0L)
+    val merged = Dedup.lineDedup(df, hashFn = collide).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged === Map(0L -> "alpha", 1L -> ""),
+      "hash-only mode silently drops the colliding later line")
+    val exact = Dedup.lineDedup(df, verifyExact = true, hashFn = collide)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(exact === Map(0L -> "alpha", 1L -> "bravo"),
+      "verifyExact compares the line itself, so a collision can't drop data")
+  }
+
   test("vocabulary: top-k by count with deterministic tie-break") {
     import spark.implicits._
     val df = Seq("b b b a a c c d").toDF("text")

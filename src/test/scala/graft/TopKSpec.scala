@@ -45,6 +45,25 @@ class TopKSpec extends SparkSpec {
     assert(k0.toSeq === Seq(100000L, 200000L), "top-2 of {0,100000,200000}")
   }
 
+  test("maxKeysPerPartition guard fails loudly on pathological " +
+    "key cardinality") {
+    // one partition, 100 distinct keys, cap of 10: the task must throw
+    // the explicit O(keys*k) contract error instead of growing the
+    // heap map unbounded toward an OOM
+    val wide = spark.range(100L).repartition(1)
+      .select(col("id").as("k"), col("id").as("v"))
+    val guarded = TopK.perKey(wide, Seq(col("k")), Seq(col("v")), 1,
+      maxKeysPerPartition = 10L)
+    val e = intercept[org.apache.spark.SparkException] { guarded.count() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("distinct keys in one partition")),
+      s"expected the TopKPerKeyExec guard message, got: $e")
+    // same data under the default cap still completes
+    assert(TopK.perKey(wide, Seq(col("k")), Seq(col("v")), 1).count() === 100L)
+  }
+
   test("plan: one exchange, no Sort operator") {
     val plan = TopK.perKey(events, Seq(col("user_id")),
       Seq(col("value").desc), 3).queryExecution.executedPlan.toString
