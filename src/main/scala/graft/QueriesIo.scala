@@ -86,10 +86,14 @@ private[graft] object QueriesIo {
       Streams.slidingAgg(Streams.eventsStream(s, dir)),
       tableName(dir, "strm_sliding"), OutputMode.Complete())
 
-  /** Streaming session windows (1 h gap), complete-mode catch-up. */
+  /** Streaming session windows (1 h gap), complete-mode catch-up.
+    * Reads the tie-staged source so the gate exercises the exact-gap
+    * merge boundary (see [[graft.Tables.SessionTie]]); the oracle
+    * unions the identical fixture rows.
+    */
   def streamSession(s: SparkSession, dir: String): DataFrame =
     Streams.runToTable(
-      Streams.sessionAgg(Streams.eventsStream(s, dir)),
+      Streams.sessionAgg(Streams.eventsWithSessionTieStream(s, dir)),
       tableName(dir, "strm_session"), OutputMode.Complete())
 
   /** Stateful per-user streaming aggregate. */
@@ -270,13 +274,16 @@ private[graft] object QueriesIo {
                 count(*) AS n
          FROM b GROUP BY 1, 2, 3""",
     "q_stream_session" ->
-      """WITH o AS (
-           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-                  CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) -
-                         lag(epoch_us(CAST(ts AS TIMESTAMP)))
+      s"""WITH ev AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+           UNION ALL
+           ${graft.Tables.SessionTie.sql}),
+         o AS (
+           SELECT user_id, ts,
+                  CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                            OVER (PARTITION BY user_id ORDER BY ts)
                          > 3600000000 THEN 1 ELSE 0 END AS brk
-           FROM events),
+           FROM ev),
          s AS (
            SELECT user_id, ts,
                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts

@@ -144,13 +144,16 @@ object SparkEntry {
                 greatest(0.0, least(100.0, value - 50.0)) AS clipped
          FROM events""",
     "q_session_window" ->
-      """WITH o AS (
-           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-                  CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) -
-                         lag(epoch_us(CAST(ts AS TIMESTAMP)))
+      s"""WITH ev AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+           UNION ALL
+           ${Tables.SessionTie.sql}),
+         o AS (
+           SELECT user_id, ts,
+                  CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                            OVER (PARTITION BY user_id ORDER BY ts)
                          > 3600000000 THEN 1 ELSE 0 END AS brk
-           FROM events),
+           FROM ev),
          s AS (
            SELECT user_id, ts,
                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts
@@ -368,9 +371,15 @@ private[graft] object Queries {
     * landing EXACTLY at last+gap into the running session — inclusive,
     * not half-open. The DuckDB oracle therefore breaks only on
     * diff > gap (strict), never >=.
+    *
+    * [[Tables.SessionTie]] is unioned in on both sides of the gate so
+    * the oracle comparison actually exercises the exact-gap boundary
+    * (the shipped data has no tie; without the fixture, gate-green
+    * could not tell `>` from `>=`).
     */
   def sessionWindow(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
+    events(s, dir).select(col("user_id"), col("ts"))
+      .unionByName(Tables.SessionTie.df(s))
       .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"),

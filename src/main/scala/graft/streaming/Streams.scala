@@ -63,6 +63,44 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Events stream with the [[graft.Tables.SessionTie]] boundary
+    * fixture staged as a SECOND arriving file — the streaming session
+    * gate gets an exact-gap tie the shipped data lacks, so the oracle
+    * comparison exercises the merge-at-boundary rule end-to-end
+    * through the file source. Separate staging dir from
+    * [[eventsStream]]: the other streaming gates must not see the
+    * fixture rows. The fixture timestamps sit after the real data's
+    * max event time, so they survive any watermark the real file can
+    * establish even if the two files land in different micro-batches.
+    */
+  def eventsWithSessionTieStream(spark: SparkSession,
+                                 dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_tie_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // the file source lists plain files, not directories: write the
+    // one-partition fixture to a scratch dir and move its part file up
+    val tmp = staged.resolve("_tie_tmp")
+    graft.Tables.SessionTie.rawDf(spark).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"no parquet part written under $tmp"))
+    }
+    java.nio.file.Files.move(part, staged.resolve("tie.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    fileStream(spark, staged.toString, EventsRawSchema, None)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Run a streaming DataFrame to completion (AvailableNow) into a
     * memory sink and return the result table.
     */
