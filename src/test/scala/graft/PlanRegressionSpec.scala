@@ -88,4 +88,16 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("except keys: distinct-before-except broadcasts the build side") {
+    // pre-distincting each side lets Catalyst broadcast the (tiny)
+    // distinct right side and anti-join map-side — the big table's
+    // raw rows never shuffle; the only shuffles carry distinct keys
+    val p = plan("q_except_keys")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"except should plan as a broadcast anti-join over distinct keys:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      s"one key-only shuffle per side, nothing else:\n$p")
+  }
 }

@@ -140,10 +140,13 @@ class TextPipelineSpec extends SparkSpec {
 
   test("clusters: long chain converges within iteration bound") {
     import spark.implicits._
-    val n = 12L
+    // a 100-node chain (diameter 99) under maxIter=12 only converges
+    // if pointer jumping gives O(log diameter) rounds — plain 1-hop
+    // propagation would need ~99 rounds and throw
+    val n = 100L
     val docs = (0L until n).toDF("doc_id")
     val pairs = (0L until n - 1).map(i => (i + 1, i)).toDF("doc_a", "doc_b")
-    val out = Dedup.clusters(docs, pairs).collect()
+    val out = Dedup.clusters(docs, pairs, maxIter = 12).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.values.forall(_ === 0L), "whole chain collapses to min id")
   }
