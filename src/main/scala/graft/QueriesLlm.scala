@@ -227,6 +227,28 @@ private[graft] object QueriesLlm {
   def vocab(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabulary(t(s, dir, "documents"), 100)
 
+  /** Misra–Gries heavy-hitters sketch vs exact top tokens. The sketch
+    * is ONE bounded-memory aggregate (≤ 2k counters per partial,
+    * map-side combinable) over the token stream; the gate checks the
+    * sketch's order-independent guarantee — every token with true
+    * frequency > n/(k+1) must be in the sketch — by joining the exact
+    * top-10 (whose counts far exceed n/501 on Zipfian text) against
+    * sketch membership. Counts in the output come from the exact side;
+    * sketch counts are merge-order-dependent and never compared.
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val mg = udaf(new graft.functions.HeavyHittersAgg(500),
+      org.apache.spark.sql.Encoders.STRING)
+    val sketch = toks.agg(mg(col("token")).as("mg"))
+    val top = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(10)
+    top.crossJoin(broadcast(sketch))
+      .select(col("token"), col("n"),
+        map_contains_key(col("mg"), col("token")).as("in_sketch"))
+  }
+
   def tfidfQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidf(t(s, dir, "documents"))
 
@@ -300,6 +322,7 @@ private[graft] object QueriesLlm {
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dup_spans" -> (dupSpans _),
     "q_vocab" -> (vocab _),
+    "q_heavy_hitters" -> (heavyHitters _),
     "q_tfidf" -> (tfidfQ _),
     "q_bigram_lm" -> (bigramLm _),
     "q_quantize" -> (quantize _),
@@ -495,6 +518,11 @@ private[graft] object QueriesLlm {
          FROM (SELECT unnest(string_split(text, ' ')) AS word
                FROM documents)
          GROUP BY word ORDER BY n DESC, word LIMIT 100""",
+    "q_heavy_hitters" ->
+      """SELECT token, count(*) AS n, TRUE AS in_sketch
+         FROM (SELECT unnest(string_split(text, ' ')) AS token
+               FROM documents)
+         GROUP BY token ORDER BY n DESC, token LIMIT 10""",
     "q_tfidf" ->
       """WITH tf AS (SELECT doc_id, word, count(*) AS tf
            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word

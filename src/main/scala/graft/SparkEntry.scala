@@ -28,6 +28,7 @@ object SparkEntry {
     // --- scans / filters / projections -------------------------------
     "q_scan_filter_project" -> (Queries.scanFilterProject _),
     "q_csv_roundtrip" -> (Queries.csvRoundtrip _),
+    "q_jsonl_roundtrip" -> (Queries.jsonlRoundtrip _),
     "q_dropna" -> (Queries.dropna _),
     "q_ts_parse" -> (Queries.tsParse _),
     // --- joins --------------------------------------------------------
@@ -70,6 +71,8 @@ object SparkEntry {
     "q_csv_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 o_orderdate, o_orderpriority FROM orders""",
+    "q_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents""",
     "q_dropna" ->
       """SELECT event_id, event_type, value AS v FROM events
          WHERE value >= 10 AND event_type IS NOT NULL""",
@@ -225,6 +228,24 @@ private[graft] object Queries {
           .as("o_totalprice"),
         try_to_timestamp(col("o_orderdate"), lit(fmt)).as("o_orderdate"),
         col("o_orderpriority"))
+  }
+
+  /** JSONL (newline-delimited JSON) sink + schema-first scan — the
+    * interchange format of LLM data pipelines, alongside the
+    * reference's CSV/parquet surface. Lossless round-trip of the
+    * documents table: write as JSONL, read back with an EXPLICIT
+    * schema — schema-on-read with no inference pass, which at 100 TB
+    * would otherwise scan the corpus twice.
+    */
+  def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp =
+      s"/tmp/graft_jsonl_roundtrip_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    t(s, dir, "documents").write.mode("overwrite").json(tmp)
+    s.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, " +
+        "n_chars LONG")
+      .json(tmp)
+      .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
   /** P3/P4: required-column presence + na.drop. A derived column is
