@@ -262,6 +262,13 @@ private[graft] object QueriesLlm {
   def dupSpans(s: SparkSession, dir: String): DataFrame =
     Dedup.duplicateSpans(dupDocs(s, dir), 8)
 
+  /** The spans APPLIED: duplicated ranges cut from every document of
+    * the same dup-injected corpus (injected full copies come back
+    * empty; partially-repeated documents keep their unique remainder).
+    */
+  def cutSpansQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.cutSpans(dupDocs(s, dir), 8)
+
   /** Near-dup clusters: Jaccard pairs → connected components, every
     * document labeled with its cluster's minimal member id.
     */
@@ -321,6 +328,7 @@ private[graft] object QueriesLlm {
     "q_line_dedup" -> (lineDedupQ _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dup_spans" -> (dupSpans _),
+    "q_cut_spans" -> (cutSpansQ _),
     "q_vocab" -> (vocab _),
     "q_heavy_hitters" -> (heavyHitters _),
     "q_tfidf" -> (tfidfQ _),
@@ -371,6 +379,40 @@ private[graft] object QueriesLlm {
       |   for i in generate_series(1, greatest(len(w)-2, 0))]) AS s
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w
       |        FROM documents))""".stripMargin
+
+  /** Shared CTE chain for the duplicated-substring oracles
+    * (`q_dup_spans`, `q_cut_spans`): dup-injected corpus → k=8 token
+    * windows with positions → corpus-duplicated window starts →
+    * overlap-merged span islands (`si`). Also exposes `dup` (the
+    * corpus) and `tk` (tokenized docs) for downstream CTEs.
+    */
+  private lazy val SpanCtes: String =
+    s"""dup AS (SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000, text FROM documents
+            WHERE doc_id % 5 = 0),
+          tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM dup),
+          wins AS (SELECT doc_id, unnest(list_transform(
+              generate_series(1, greatest(len(w) - 7, 0)),
+              i -> struct_pack(pos := i - 1,
+                h := ${h60Sql("array_to_string(w[i : i+7], ' ')")})))
+              AS pw
+            FROM tk),
+          ws AS (SELECT doc_id, pw.pos AS pos, pw.h AS h FROM wins),
+          dh AS (SELECT h FROM ws GROUP BY h HAVING count(*) >= 2),
+          ds AS (SELECT doc_id, pos FROM ws JOIN dh USING (h)),
+          m AS (SELECT doc_id, pos,
+              max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+            FROM ds),
+          sp AS (SELECT doc_id, pos,
+              CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END
+                AS ns
+            FROM m),
+          si AS (SELECT doc_id, pos,
+              sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS UNBOUNDED PRECEDING) AS span
+            FROM sp)"""
 
   private def minhashSql(i: Int): String = {
     val (a, b) = (Dedup.hashA(i), Dedup.hashB(i))
@@ -588,36 +630,28 @@ private[graft] object QueriesLlm {
           SELECT vec_id, cid AS cluster FROM a1
           WHERE vec_id NOT IN (SELECT db FROM p)""",
     "q_dup_spans" ->
-      s"""WITH dup AS (SELECT doc_id, text FROM documents
-            UNION ALL
-            SELECT doc_id + 10000, text FROM documents
-            WHERE doc_id % 5 = 0),
-          tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM dup),
-          wins AS (SELECT doc_id, unnest(list_transform(
-              generate_series(1, greatest(len(w) - 7, 0)),
-              i -> struct_pack(pos := i - 1,
-                h := ${h60Sql("array_to_string(w[i : i+7], ' ')")})))
-              AS pw
-            FROM tk),
-          ws AS (SELECT doc_id, pw.pos AS pos, pw.h AS h FROM wins),
-          dh AS (SELECT h FROM ws GROUP BY h HAVING count(*) >= 2),
-          ds AS (SELECT doc_id, pos FROM ws JOIN dh USING (h)),
-          m AS (SELECT doc_id, pos,
-              max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
-            FROM ds),
-          sp AS (SELECT doc_id, pos,
-              CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END
-                AS ns
-            FROM m),
-          si AS (SELECT doc_id, pos,
-              sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
-                ROWS UNBOUNDED PRECEDING) AS span
-            FROM sp)
+      s"""WITH $SpanCtes
           SELECT doc_id, min(pos) AS span_start,
             max(pos) + 7 AS span_end,
             max(pos) + 7 - min(pos) + 1 AS n_tokens
           FROM si GROUP BY doc_id, span""",
+    "q_cut_spans" ->
+      s"""WITH $SpanCtes,
+          spansq AS (SELECT doc_id, min(pos) AS s0, max(pos) + 7 AS s1
+            FROM si GROUP BY doc_id, span),
+          tks AS (SELECT doc_id, unnest(list_transform(
+              generate_series(1, len(w)),
+              i -> struct_pack(pos := i - 1, tok := w[i]))) AS pt
+            FROM tk),
+          tp AS (SELECT doc_id, pt.pos AS pos, pt.tok AS tok FROM tks),
+          keep AS (SELECT t.doc_id, t.pos, t.tok FROM tp t
+            WHERE NOT EXISTS (SELECT 1 FROM spansq s
+              WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.s0 AND s.s1)),
+          reb AS (SELECT doc_id,
+              string_agg(tok, ' ' ORDER BY pos) AS text
+            FROM keep GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(reb.text, '') AS text
+          FROM dup d LEFT JOIN reb ON d.doc_id = reb.doc_id""",
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $ShinglesCte,
           inv AS (SELECT doc_id, unnest(s) AS g FROM sh),

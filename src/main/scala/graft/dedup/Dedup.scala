@@ -468,6 +468,43 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("n_tokens"))
   }
 
+  /** Apply [[duplicateSpans]]: cut every duplicated span's tokens and
+    * reassemble each document from the survivors. Output `(doc_id,
+    * text)`; a document whose every token sits in a duplicated span
+    * (e.g. a full copy of another document) becomes `''`.
+    *
+    * SEMANTIC: removes ALL occurrences of a duplicated range,
+    * including the first — the conservative decontamination-style cut
+    * (contrast [[lineDedup]], which keeps the first occurrence).
+    * Keeping one occurrence at span granularity would need a global
+    * order over window occurrences, a corpus-wide sort this
+    * deliberately avoids.
+    *
+    * Shape at 100 TB: [[duplicateSpans]]' two narrow-key shuffles plus
+    * one broadcast-able anti-join — spans are a sliver of the corpus
+    * (only documents containing repeats), joined on doc id equality
+    * with the span range as a residual predicate (hash anti-join, not
+    * a nested loop) — and one per-doc reassembly aggregate.
+    */
+  def cutSpans(docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val spans = duplicateSpans(docs, k, idCol, textCol)
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(TextAnalysis.tokens(col(textCol)))
+        .as(Seq("pos", "tok")))
+    val kept = toks.join(spans,
+      toks("doc_id") === spans("doc_id") &&
+        toks("pos").between(spans("span_start"), spans("span_end")),
+      "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        e => e.getField("tok")), " ").as("text"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+  }
+
   /** SimHash (term-frequency-weighted, `bits`-bit, default 28 so the
     * per-bit extraction stays in exact integer range): explode tokens,
     * one hash-aggregate per doc summing ±1 votes per bit, then pack.

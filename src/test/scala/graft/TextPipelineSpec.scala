@@ -56,6 +56,29 @@ class TextPipelineSpec extends SparkSpec {
     assert(out === "x\ny\nz")
   }
 
+  test("cutSpans removes every occurrence of a duplicated run, keeps " +
+    "the unique remainder") {
+    import spark.implicits._
+    val run = (1 to 8).map(i => s"r$i").mkString(" ") // one k=8 window
+    val docs = Seq(
+      (0L, s"u1 u2 $run u3"),     // run + unique words
+      (1L, s"$run v1 v2 v3"),     // same run, other uniques
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")) // no repeats anywhere
+      .toDF("doc_id", "text")
+    val out = Dedup.cutSpans(docs, 8).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) === "u1 u2 u3", "both flanks survive, run cut")
+    assert(out(1L) === "v1 v2 v3",
+      "ALL occurrences cut, including the first (decontamination rule)")
+    assert(out(2L) === "w1 w2 w3 w4 w5 w6 w7 w8 w9",
+      "documents without duplicated windows pass through unchanged")
+    // a full-copy pair vanishes entirely
+    val copies = Seq((0L, run), (1L, run)).toDF("doc_id", "text")
+    val gone = Dedup.cutSpans(copies, 8).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gone === Map(0L -> "", 1L -> ""))
+  }
+
   test("lineDedup verifyExact: colliding hashes don't merge distinct lines") {
     import spark.implicits._
     // force a universal hash collision (every line hashes to 0):
