@@ -225,6 +225,38 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming heavy hitters: one Misra–Gries sketch per key kept as
+    * `mapGroupsWithState` state — the streaming form of
+    * [[graft.functions.HeavyHittersAgg]], which is mergeable precisely
+    * so it can live here. State per key is bounded at 2k counters
+    * forever (NoTimeout matches the reference's forever-tracked
+    * processed-set posture); each micro-batch folds its items into the
+    * sketch with the same reduce the batch UDAF uses, so the
+    * order-independent retention guarantee (true freq > n/(k+1) ⇒
+    * present) holds across any batch arrival order.
+    *
+    * Input: `(key string, item string)` columns. Output per update:
+    * `(key, sketch map<string,long>)`.
+    */
+  def heavyHittersByKey(items: DataFrame, k: Int): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val agg = new graft.functions.HeavyHittersAgg(k)
+    items.select(col("key").cast("string"), col("item").cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[Map[String, Long]]) =>
+          val next = rows.foldLeft(state.getOption.getOrElse(agg.zero)) {
+            case (acc, (_, item)) => agg.reduce(acc, item)
+          }
+          state.update(next)
+          (key, next)
+      }
+      .toDF("key", "sketch")
+  }
+
   /** Threshold-crossing alerts via flatMapGroupsWithState: zero or
     * many outputs per group per batch (mapGroupsWithState is locked to
     * exactly one) — emit a row each time a user's running event count

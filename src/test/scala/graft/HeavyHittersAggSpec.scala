@@ -39,6 +39,31 @@ class HeavyHittersAggSpec extends SparkSpec {
     }
   }
 
+  test("streaming mapGroupsWithState sketch honors the batch guarantee") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    // per-key streams: key A has a guaranteed-heavy item, key B is
+    // uniform; the streaming sketch must retain A's heavy item
+    val rows = (0 until 900).map(i => ("A", s"a_$i")) ++
+      Seq.fill(200)(("A", "HOT")) ++                  // n_A=1100, k=20 ->
+      (0 until 800).map(i => ("B", s"b_${i % 400}"))  // thresh ~52 < 200
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hh_stream").toString
+    rows.toDF("key", "item").repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("key STRING, item STRING").parquet(dir)
+    val out = graft.streaming.Streams
+      .runToTable(graft.streaming.Streams.heavyHittersByKey(stream, 20),
+        "spec_hh_stream", OutputMode.Update())
+    val sketches = out.collect()
+      .map(r => r.getString(0) -> r.getMap[String, Long](1)).toMap
+    assert(sketches("A").contains("HOT"),
+      s"guaranteed heavy item must survive streaming state: ${sketches("A")}")
+    assert(sketches("A").size <= 40 && sketches("B").size <= 40,
+      "state bounded at 2k counters per key")
+  }
+
   test("uniform stream: sketch stays bounded, no false guarantee") {
     val mg = F.udaf(new HeavyHittersAgg(10), Encoders.STRING)
     import spark.implicits._
