@@ -48,25 +48,37 @@ object Multimodal {
   private def isPng(p: Array[Byte]): Boolean =
     p.length >= 8 && java.util.Arrays.equals(p, 0, 8, PngMagic, 0, 8)
 
-  /** REAL decode path for PNG payloads via the JDK's `javax.imageio`
-    * (no external codec needed). Unreadable PNG bytes fall through to
-    * the stub rather than failing the pipeline — a corrupt payload in
-    * a 100 TB corpus must not kill the job.
+  // JPEG SOI marker + third magic byte
+  private def isJpeg(p: Array[Byte]): Boolean =
+    p.length >= 3 && p(0) == 0xFF.toByte && p(1) == 0xD8.toByte &&
+      p(2) == 0xFF.toByte
+
+  /** Magic-sniffed format for the REAL decode path, None → stub. */
+  private def sniff(p: Array[Byte]): Option[String] =
+    if (isPng(p)) Some("png")
+    else if (isJpeg(p)) Some("jpeg")
+    else None
+
+  /** REAL decode path for PNG/JPEG payloads via the JDK's
+    * `javax.imageio` (no external codec needed). Unreadable bytes fall
+    * through to the stub rather than failing the pipeline — a corrupt
+    * payload in a 100 TB corpus must not kill the job.
     */
-  private def pngDecode(payload: Array[Byte]): (String, Int, Int, Long) = {
+  private def imageioDecode(fmt: String, payload: Array[Byte])
+      : (String, Int, Int, Long) = {
     val img = try {
       javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     } catch { case _: java.io.IOException => null }
     if (img == null) fakeDecode(payload)
-    else ("png", img.getWidth, img.getHeight, payload.length.toLong)
+    else (fmt, img.getWidth, img.getHeight, payload.length.toLong)
   }
 
   private val DecodedSchema = StructType(
     StructField("media_id", LongType) +: MediaMetaSchema.fields.toSeq)
 
   /** Decode payloads per-partition into the typed metadata schema.
-    * PNG payloads (magic-sniffed) take the real `javax.imageio` path;
-    * other formats use the documented stub.
+    * PNG and JPEG payloads (magic-sniffed) take the real
+    * `javax.imageio` path; other formats use the documented stub.
     */
   def decodeMeta(media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -76,8 +88,10 @@ object Multimodal {
       // registry is JVM-global and lazily initialized on first read)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
-        val (fmt, w, h, n) =
-          if (isPng(payload)) pngDecode(payload) else fakeDecode(payload)
+        val (fmt, w, h, n) = sniff(payload) match {
+          case Some(f) => imageioDecode(f, payload)
+          case None => fakeDecode(payload)
+        }
         Row(r.getLong(0), fmt, w, h, n)
       }
     }(enc)

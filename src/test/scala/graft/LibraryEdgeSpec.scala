@@ -70,6 +70,14 @@ class LibraryEdgeSpec extends SparkSpec {
     val media2 = Seq((43L, broken)).toDF("media_id", "payload")
     val r2 = Multimodal.decodeMeta(media2).collect().head
     assert(r2.getAs[Long]("n_bytes") === broken.length.toLong)
+    // JPEG goes through the same real path
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jbos)
+    val jpg = jbos.toByteArray
+    val r3 = Multimodal.decodeMeta(
+      Seq((44L, jpg)).toDF("media_id", "payload")).collect().head
+    assert(r3.getAs[String]("format") === "jpeg")
+    assert(r3.getAs[Int]("width") === 3 && r3.getAs[Int]("height") === 2)
   }
 
   test("walltime parser rejects negatives inside H:MM:SS gracefully") {
