@@ -286,22 +286,21 @@ object Dedup {
     * by the minimal member id. Output: `(doc_id, cluster_id)` for every
     * id in `docs`; singletons label themselves.
     *
-    * Algorithm: iterative min-label propagation with POINTER JUMPING.
-    * Each round (a) joins the current labels across the (symmetrized)
-    * edge list and takes the minimum neighbor label, then (b)
-    * path-compresses: every node's label is re-mapped through the
-    * label-node's own label (Shiloach–Vishkin-style pointer doubling).
-    * Step (b) lets a label travel the distance ALREADY covered by its
-    * parent each round, so chains converge in O(log diameter) rounds
-    * instead of O(diameter) — near-dup graphs are overwhelmingly tiny
-    * cliques (1-2 rounds either way), but one pathological chain
-    * component would otherwise dominate the whole job's round count.
-    * Each round is two shuffle joins + one hash aggregate, all
-    * partitioned on doc id; results are checkpointed per round and the
-    * loop stops when no label changes (one cheap count per round —
-    * driver-side control flow only, never data). `maxIter` bounds
-    * pathological graphs; the fixpoint check makes the common case
-    * cheap.
+    * Algorithm: iterative min-label propagation with ADAPTIVE POINTER
+    * JUMPING. Each round (a) joins the current labels across the
+    * (symmetrized) edge list and takes the minimum neighbor label;
+    * from round 3 on it also (b) path-compresses: every node's label
+    * is re-mapped through the label-node's own label (Shiloach–
+    * Vishkin-style pointer doubling). Step (b) lets a label travel the
+    * distance ALREADY covered by its parent each round, so chains
+    * converge in O(log diameter) rounds instead of O(diameter) — while
+    * the overwhelmingly common case (tiny cliques, converged in 2
+    * pull-only rounds) never pays the compression join at all. Each
+    * round is 1-2 shuffle joins + one hash aggregate, all partitioned
+    * on doc id; results are checkpointed per round and the loop stops
+    * when no label changes (one cheap count per round — driver-side
+    * control flow only, never data). `maxIter` bounds pathological
+    * graphs; the fixpoint check makes the common case cheap.
     */
   def clusters(docs: DataFrame, pairs: DataFrame,
                idCol: String = "doc_id", maxIter: Int = 20): DataFrame = {
@@ -327,21 +326,28 @@ object Dedup {
         .select(col("src").as("doc_id"), col("nbr").as("cluster_id"))
       val pulled = labels.unionByName(viaEdges)
         .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
-      // pointer-jump: a node labeled L adopts L's own (already lower
-      // or equal) label. Labels are always member ids of the same
-      // component, so the jump stays inside the component and is
-      // monotone decreasing; the left join + coalesce is belt-and-
-      // braces (every label IS a node of `pulled` by construction).
-      // `pulled` is deliberately NOT checkpointed: the self-join's two
-      // sides share the aggregate's shuffle (exchange reuse), so the
-      // jump costs one extra in-round join, not an extra
-      // materialization job per round.
-      val lm = pulled.withColumnsRenamed(
-        Map("doc_id" -> "lbl", "cluster_id" -> "lbl_root"))
-      val next = pulled.join(lm, pulled("cluster_id") === lm("lbl"), "left")
-        .select(pulled("doc_id"),
-          coalesce(col("lbl_root"), pulled("cluster_id")).as("cluster_id"))
-        .localCheckpoint()
+      // pointer-jump from round 3 on: a node labeled L adopts L's own
+      // (already lower or equal) label. Labels are always member ids
+      // of the same component, so the jump stays inside the component
+      // and is monotone decreasing; the left join + coalesce is belt-
+      // and-braces (every label IS a node of `pulled` by
+      // construction). Near-dup graphs are overwhelmingly tiny cliques
+      // that converge in 2 pull-only rounds — those pay nothing; a
+      // graph still unconverged by round 3 has proven itself deep, and
+      // compression turns the remaining O(diameter) rounds into
+      // O(log diameter). `pulled` is deliberately NOT checkpointed in
+      // the jump: the self-join's two sides share the aggregate's
+      // shuffle (exchange reuse), so the jump costs one extra in-round
+      // join, not an extra materialization job per round.
+      val next = (if (i < 2) pulled
+      else {
+        val lm = pulled.withColumnsRenamed(
+          Map("doc_id" -> "lbl", "cluster_id" -> "lbl_root"))
+        pulled.join(lm, pulled("cluster_id") === lm("lbl"), "left")
+          .select(pulled("doc_id"),
+            coalesce(col("lbl_root"), pulled("cluster_id"))
+              .as("cluster_id"))
+      }).localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
         "doc_id").filter(col("cluster_id") < col("old")).limit(1).count()
       labels.unpersist()
