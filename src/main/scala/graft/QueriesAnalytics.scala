@@ -176,6 +176,25 @@ private[graft] object QueriesAnalytics {
         .select(date_format(col("o_orderdate"), "yyyy_MM").as("ym"))
         .distinct())
 
+  /** Bucket-checksum table diff ([[graft.etl.Reconcile]]): orders vs
+    * a drifted copy (keys ≡1 mod 1000 modified, ≡2 deleted, ≡3 also
+    * re-added under a shifted key). Only buckets whose checksums
+    * disagree are row-diffed; the result equals the direct
+    * full-outer diff the oracle computes.
+    */
+  def tableDiff(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val m = col("o_orderkey") % 1000
+    val b = a.filter(m =!= 2)
+      .withColumn("o_totalprice",
+        when(m === 1, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(a.filter(m === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+    graft.etl.Reconcile.diff(a, b, "o_orderkey", nBuckets = 256)
+  }
+
   /** CUBE: all grouping combinations with sub/grand totals. */
   def cubeAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -328,7 +347,8 @@ private[graft] object QueriesAnalytics {
     "q_full_outer" -> (fullOuter _),
     "q_left_outer" -> (leftOuter _),
     "q_collect_types" -> (collectTypes _),
-    "q_except_keys" -> (exceptKeys _))
+    "q_except_keys" -> (exceptKeys _),
+    "q_table_diff" -> (tableDiff _))
 
   val oracles: Map[String, String] = Map(
     "q_left_outer" ->
@@ -475,6 +495,15 @@ private[graft] object QueriesAnalytics {
       """SELECT strftime(l_shipdate, '%Y_%m') AS ym FROM lineitem
          EXCEPT
          SELECT strftime(o_orderdate, '%Y_%m') AS ym FROM orders""",
+    "q_table_diff" ->
+      """SELECT o_orderkey, 'only_left' AS diff_status FROM orders
+         WHERE o_orderkey % 1000 = 2
+         UNION ALL
+         SELECT o_orderkey + 100000000, 'only_right' FROM orders
+         WHERE o_orderkey % 1000 = 3
+         UNION ALL
+         SELECT o_orderkey, 'changed' FROM orders
+         WHERE o_orderkey % 1000 = 1""",
     "q_rank_funcs" ->
       """SELECT o_orderkey, o_custkey,
            rank() OVER w AS rnk,

@@ -159,6 +159,36 @@ private[graft] object QueriesIo {
     s.read.parquet(path).select("event_type", "n", "sum_cents")
   }
 
+  /** Incremental DISTINCT-count store: mergeable DataSketches HLL
+    * sketches per event_type folded in across two disjoint batches
+    * ([[Sinks.mergeDistinctSketch]]), plus a total row re-aggregated
+    * from the STORED sketches — the grain change a stored exact count
+    * cannot make. Estimates are gated as within-tolerance booleans
+    * the oracle expects TRUE (same posture as `q_approx_stats`).
+    */
+  def hllStore(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "hll_store")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val ev = events(s, dir)
+    Sinks.mergeDistinctSketch(s, ev.filter(col("event_id") % 2 === 0),
+      path, Seq("event_type"), "user_id")
+    Sinks.mergeDistinctSketch(s, ev.filter(col("event_id") % 2 =!= 0),
+      path, Seq("event_type"), "user_id")
+    val store = s.read.parquet(path)
+    val est = Sinks.distinctEstimate(store, Seq("event_type"))
+      .unionByName(Sinks.distinctEstimate(store, Seq.empty)
+        .withColumn("event_type", lit("__total__")))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_users"))
+      .unionByName(ev.agg(countDistinct("user_id").as("exact_users"))
+        .withColumn("event_type", lit("__total__")))
+    exact.join(est, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_distinct").cast("double") -
+          col("exact_users").cast("double"))
+          <= col("exact_users").cast("double") * 0.25 + 2.0).as("hll_ok"))
+  }
+
   // --- multimodal ------------------------------------------------------
 
   /** Binary payload + per-partition (stub) decode to typed metadata. */
@@ -214,6 +244,7 @@ private[graft] object QueriesIo {
     "q_zorder_layout" -> (zorderLayout _),
     "q_stream_enrich" -> (streamEnrich _),
     "q_incremental_agg" -> (incrementalAgg _),
+    "q_hll_store" -> (hllStore _),
     "q_stream_dedup" -> (streamDedup _))
 
   /** Bit-interleave of two 16-bit keys (mirrors Sinks.zOrderKey). */
@@ -332,6 +363,14 @@ private[graft] object QueriesIo {
              AS sum_cents
          FROM events GROUP BY 1""",
     "q_stream_dedup" ->
-      """SELECT DISTINCT event_id, event_type FROM events"""
+      """SELECT DISTINCT event_id, event_type FROM events""",
+    "q_hll_store" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+             AS exact_users, TRUE AS hll_ok
+         FROM events GROUP BY 1
+         UNION ALL
+         SELECT '__total__' AS event_type,
+                CAST(count(DISTINCT user_id) AS BIGINT), TRUE
+         FROM events"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

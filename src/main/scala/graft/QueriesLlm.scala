@@ -303,6 +303,24 @@ private[graft] object QueriesLlm {
     graft.pipeline.Curation.quotaSample(t(s, dir, "documents"), 5)
       .select("doc_id", "source")
 
+  /** Deterministic Efraimidis–Spirakis weighted sample (k=50): the
+    * training-mixture draw — sources src0-2 weighted 4×, src3-4
+    * weighted 2×, the rest 1×, reproducible across engines/reruns.
+    */
+  def weightedSampleQ(s: SparkSession, dir: String): DataFrame = {
+    val w = when(col("source").isin("src0", "src1", "src2"), 4.0)
+      .when(col("source").isin("src3", "src4"), 2.0)
+      .otherwise(1.0)
+    graft.pipeline.Curation.weightedSample(
+      t(s, dir, "documents").select("doc_id", "source"), w, 50)
+  }
+
+  /** Overlapping token-window chunking (window 32, stride 24) — the
+    * RAG / context-window preprocessing step, map-only.
+    */
+  def chunkDocsQ(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Curation.chunkDocuments(t(s, dir, "documents"), 32, 24)
+
   /** Deterministic Lloyd k-means over embeddings (k=8, one centroid
     * update) — the semantic-clustering stage of SemDeDup-style dedup.
     */
@@ -336,6 +354,8 @@ private[graft] object QueriesLlm {
     "q_quantize" -> (quantize _),
     "q_rand_project" -> (randProject _),
     "q_quota_sample" -> (quotaSampleQ _),
+    "q_weighted_sample" -> (weightedSampleQ _),
+    "q_chunk_docs" -> (chunkDocsQ _),
     "q_kmeans" -> (kmeansQ _),
     "q_semantic_dedup" -> (semanticDedupQ _),
     "q_train_split" -> (trainSplit _),
@@ -618,6 +638,33 @@ private[graft] object QueriesLlm {
              OVER (PARTITION BY source ORDER BY doc_id) AS rn
            FROM documents)
          WHERE rn <= 5""",
+    "q_weighted_sample" ->
+      s"""WITH s AS (
+           SELECT doc_id, source,
+                  CASE WHEN source IN ('src0', 'src1', 'src2') THEN 4.0
+                       WHEN source IN ('src3', 'src4') THEN 2.0
+                       ELSE 1.0 END AS w,
+                  (${h60Sql("CAST(doc_id AS VARCHAR)")} + 1)
+                    / 1152921504606846976.0 AS u
+           FROM documents)
+         SELECT doc_id, source FROM s
+         ORDER BY ln(u) / w DESC, doc_id LIMIT 50""",
+    "q_chunk_docs" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS n
+           FROM documents WHERE text IS NOT NULL),
+         c AS (
+           SELECT doc_id, toks, n,
+                  unnest(generate_series(0,
+                    CAST((n - 1) // 24 AS BIGINT))) AS i
+           FROM d)
+         SELECT doc_id, CAST(i AS INT) AS chunk_id,
+                array_to_string(
+                  list_slice(toks, i * 24 + 1, least(i * 24 + 32, n)),
+                  ' ') AS chunk_text,
+                CAST(least(32, n - i * 24) AS BIGINT) AS n_tokens
+         FROM c""",
     "q_kmeans" ->
       s"""WITH ${kmeansCtes(8)}
           SELECT vec_id, cid AS cluster, ccos AS cos FROM a1""",

@@ -35,6 +35,7 @@ object SparkEntry {
     "q_join_broadcast" -> (Queries.joinBroadcast _),
     "q_join_interval" -> (Queries.joinInterval _),
     "q_semi_join" -> (Queries.semiJoin _),
+    "q_bloom_join" -> (Queries.bloomJoin _),
     "q_out_of_range" -> (Queries.outOfRange _),
     // --- aggregations / grouping --------------------------------------
     "q_agg_minmax" -> (Queries.aggMinMax _),
@@ -93,6 +94,10 @@ object SparkEntry {
     "q_semi_join" ->
       """SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)""",
+    "q_bloom_join" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                              WHERE o_totalprice > 450000)""",
     "q_out_of_range" ->
       """SELECT o_orderkey,
                 CAST(sum(CASE WHEN l_shipdate < o_orderdate
@@ -296,6 +301,19 @@ private[graft] object Queries {
     t(s, dir, "lineitem")
       .join(broadcast(part), col("l_partkey") === col("p_partkey"),
         "left_semi")
+      .select("l_orderkey", "l_partkey", "l_linenumber")
+  }
+
+  /** Bloom-pruned semi join ([[graft.etl.BloomJoin]]): the dim key set
+    * is sketched once, the big side is pruned in its SCAN stage before
+    * any exchange, and the exact semi join rescues false positives —
+    * result equals the plain semi join, shuffle carries ≈ matches.
+    */
+  def bloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+    graft.etl.BloomJoin.semiJoin(
+      t(s, dir, "lineitem"), "l_orderkey", dim, "o_orderkey",
+      expectedItems = 1000000)
       .select("l_orderkey", "l_partkey", "l_linenumber")
   }
 

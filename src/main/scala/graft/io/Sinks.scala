@@ -215,6 +215,40 @@ object Sinks {
     merged.write.mode("overwrite").parquet(path)
   }
 
+  /** Incremental DISTINCT-COUNT store — the non-algebraic cousin of
+    * [[mergeAggregate]]. `count(DISTINCT x)` cannot be folded from
+    * stored partial counts, so the store keeps one mergeable
+    * DataSketches HLL sketch per key (a few KB each) and each batch
+    * unions its sketch in: O(batch + keys) per batch, never
+    * O(history), and re-aggregation across keys stays possible
+    * ([[distinctEstimate]] can union sketches upward to any coarser
+    * grain — the property a stored exact count loses).
+    */
+  def mergeDistinctSketch(spark: SparkSession, batch: DataFrame,
+                          path: String, keys: Seq[String],
+                          valueCol: String): Unit = {
+    val kc = keys.map(col)
+    val batchSk = batch.groupBy(kc: _*)
+      .agg(hll_sketch_agg(col(valueCol)).as("hll"))
+    val merged =
+      if (storeExists(spark, path)) {
+        spark.read.parquet(path).unionByName(batchSk)
+          .groupBy(kc: _*)
+          .agg(hll_union_agg(col("hll")).as("hll"))
+          .localCheckpoint()
+      } else batchSk
+    merged.write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-key distinct estimates from a [[mergeDistinctSketch]] store,
+    * plus optional roll-up: pass a key subset to union sketches up to
+    * the coarser grain before estimating.
+    */
+  def distinctEstimate(store: DataFrame, keys: Seq[String]): DataFrame =
+    store.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("hll")))
+        .as("approx_distinct"))
+
   /** S11 — transform_conte_ts_data.py:1032-1049: merge new rows into an
     * existing monthly store with dedup. Union + dropDuplicates + dynamic
     * partition overwrite of only the touched months. Works on any

@@ -60,6 +60,59 @@ object Curation {
     docs.withColumn("split", split)
   }
 
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis A-ES): each doc draws a uniform
+    * u ∈ (0, 1] from the md5-derived hash of its id and the k docs
+    * with the largest u^(1/w) win — equivalently the largest
+    * ln(u)/w, which avoids the pow. Higher-weight sources are
+    * proportionally likelier to survive, yet the outcome is a pure
+    * function of (id, weight): same sample on every engine, rerun,
+    * and partitioning — `rand()`-keyed weighted sampling is not
+    * reproducible across any of those. Map-only scoring + a bounded
+    * top-k (TakeOrdered, no full sort): the scan never shuffles.
+    *
+    * `weight` must be strictly positive for every row.
+    */
+  def weightedSample(docs: DataFrame, weight: org.apache.spark.sql.Column,
+                     k: Int, idCol: String = "doc_id"): DataFrame = {
+    // hash60 ∈ [0, 2^60); +1 → (0, 2^60] → u ∈ (0, 1], so ln(u) is
+    // finite and the all-zero hash cannot produce -inf
+    val u = (TextAnalysis.hash60(col(idCol).cast("string")) + 1L)
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    docs.withColumn("es_key", log(u) / weight)
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+      .drop("es_key")
+  }
+
+  /** Overlapping token-window chunking — the RAG / context-window
+    * preprocessing step: each document's whitespace tokens are cut
+    * into windows of `window` tokens every `stride` tokens (overlap =
+    * window − stride), re-joined as chunk text with a per-doc chunk
+    * ordinal and token count. Map-only (`explode` over a computed
+    * `sequence`, no shuffle); output size is input · window/stride, a
+    * deliberate, bounded duplication factor. A document shorter than
+    * one window yields exactly one (short) chunk; null text yields
+    * none.
+    */
+  def chunkDocuments(docs: DataFrame, window: Int, stride: Int,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col(idCol), col("toks"), col("n"),
+        explode(sequence(lit(0),
+          floor((col("n") - 1) / stride).cast("int"))).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("toks"), col("chunk_id") * stride + 1,
+          lit(window)), " ").as("chunk_text"),
+        least(lit(window), col("n") - col("chunk_id") * stride)
+          .cast("long").as("n_tokens"))
+  }
+
   /** Per-source quota cap: keep at most `cap` documents per source,
     * lowest ids first — the "no domain may dominate the mixture" rule
     * of corpus curation (cap a crawl's mega-domains before mixing).

@@ -83,6 +83,56 @@ class CurationSpec extends SparkSpec {
     assert(r === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
   }
 
+  test("weightedSample: deterministic, partition-invariant, weight-sensitive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = (0L until 400L).map(i =>
+      (i, if (i < 200) "heavy" else "light")).toDF("doc_id", "source")
+    val w = when(col("source") === "heavy", 50.0).otherwise(1.0)
+    val r1 = Curation.weightedSample(d, w, 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val r2 = Curation.weightedSample(d.repartition(13), w, 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(r1 === r2, "same draw regardless of partitioning")
+    assert(r1.size === 100)
+    val heavy = r1.count(_ < 200L)
+    // E[heavy kept] with w=50 vs 1 is near all 100; even 3 sigma off
+    // stays far above 80
+    assert(heavy > 80, s"50x-weighted source must dominate, got $heavy")
+  }
+
+  test("chunkDocuments: overlap, tail chunk, short doc, exact coverage") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"), // shorter than one window
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(d, window = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    // doc 1: starts 0,3,6,9 -> 4 chunks, last one is the 1-token tail
+    assert(out((1L, 0)) === ("w1 w2 w3 w4", 4L))
+    assert(out((1L, 1)) === ("w4 w5 w6 w7", 4L), "1-token overlap")
+    assert(out((1L, 2)) === ("w7 w8 w9 w10", 4L))
+    assert(out((1L, 3)) === ("w10", 1L), "tail chunk")
+    assert(out((2L, 0)) === ("a b c", 3L), "short doc = one short chunk")
+    assert(!out.keySet.exists(_._1 == 3L), "null text yields no chunks")
+    assert(out.size === 5)
+  }
+
+  test("chunkDocuments: stride == window means zero overlap, full cover") {
+    import spark.implicits._
+    val d = Seq((1L, (1 to 9).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = Curation.chunkDocuments(d, 4, 4)
+      .orderBy("chunk_id").collect()
+    assert(chunks.map(_.getString(2)).toSeq ===
+      Seq("w1 w2 w3 w4", "w5 w6 w7 w8", "w9"))
+    assert(chunks.map(_.getLong(3)).sum === 9L, "every token exactly once")
+  }
+
   test("curate with LSH variant keeps a subset of the exact survivors' complement") {
     val exact = Curation.curate(docs, 20, 0.5, Seq("the", "a"), 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet

@@ -100,4 +100,51 @@ class PlanRegressionSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
       s"one key-only shuffle per side, nothing else:\n$p")
   }
+
+  test("weighted sample: bounded global top-k, not a full sort") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must plan as a bounded top-k:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "no global sort shuffle")
+  }
+
+  test("chunk docs: map-only explode, zero exchanges") {
+    val p = plan("q_chunk_docs")
+    assert(!p.contains("Exchange"),
+      s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate"), "explode present")
+  }
+
+  test("bloom join: probe filter sits in the big side's scan stage") {
+    val p = plan("q_bloom_join")
+    // O(1) plan string: the probe prints its byte length, never the
+    // filter bits (Catalyst's own BloomFilterMightContain would embed
+    // a multi-KB hex literal in every explain/log line)
+    assert(p.contains("graft_bloom_contains"), p.take(800))
+    assert(p.length < 20000,
+      s"plan string must not embed the filter bits (${p.length} chars)")
+    // the probe Filter must appear BELOW the semi join in the plan
+    // tree — i.e. on the big side's scan branch, before any exchange
+    val lines = p.linesIterator.toSeq
+    val joinAt = lines.indexWhere(_.contains("LeftSemi"))
+    val probeAt = lines.indexWhere(_.contains("graft_bloom_contains"))
+    assert(joinAt >= 0 && probeAt > joinAt,
+      s"probe filter must be under the join (scan-side), not above it:\n$p")
+  }
+
+  test("table diff: checksum phase shuffles buckets, not rows") {
+    val a = Tables.t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val p = graft.etl.Reconcile
+      .changedBuckets(a, a, "o_orderkey", 256)
+      .queryExecution.executedPlan.toString
+    // partial_bit_xor before the exchange = map-side combine: every
+    // task emits at most nBuckets checksum rows, so the exchange (and
+    // everything above it) is O(nBuckets), independent of table size
+    assert(p.contains("partial_bit_xor"),
+      s"bucket checksums must partial-aggregate before the shuffle:\n$p")
+    assert(p.contains("partial_count"),
+      "row count rides the same partial aggregate")
+  }
 }
