@@ -195,6 +195,56 @@ private[graft] object QueriesAnalytics {
     graft.etl.Reconcile.diff(a, b, "o_orderkey", nBuckets = 256)
   }
 
+  /** CDC apply ([[graft.etl.Cdc]]): latest-wins merge of a versioned
+    * change stream into the orders snapshot — updates at v1, deletes
+    * at v1, inserts at v1, and v2 tombstones superseding half the v1
+    * updates (version ordering exercised). One bounded-heap pass.
+    */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val m = col("o_orderkey") % 1000
+    def ch(df: DataFrame, op: String, v: Long): DataFrame =
+      df.withColumn("op", lit(op)).withColumn("version", lit(v))
+    val changes =
+      ch(base.filter(m === 1).withColumn("o_totalprice",
+        col("o_totalprice") + 5.0), "U", 1L)
+      .unionByName(ch(base.filter(m === 2), "D", 1L))
+      .unionByName(ch(base.filter(m === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L),
+        "I", 1L))
+      // late tombstones beat the v1 updates on half the updated keys
+      .unionByName(ch(base.filter(col("o_orderkey") % 2000 === 1), "D", 2L))
+    graft.etl.Cdc.apply(base, changes, "o_orderkey")
+  }
+
+  /** Conversion funnel over events: per user the earliest view /
+    * click / purchase, strictly ordered — one partial-aggregated
+    * pass, then a single funnel-report row.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts")))
+          .as("t_purchase"))
+      .agg(
+        count(when(col("t_view").isNotNull, 1)).as("n_view"),
+        count(when(col("t_click") > col("t_view"), 1)).as("n_view_click"),
+        count(when(col("t_click") > col("t_view") &&
+          col("t_purchase") > col("t_click"), 1))
+          .as("n_view_click_purchase"))
+
+  /** ANALYZE-style column statistics ([[graft.etl.Analyze]]) over the
+    * orders snapshot: null count, exact NDV, min/max per column.
+    */
+  def columnStatsQ(s: SparkSession, dir: String): DataFrame =
+    graft.etl.Analyze.columnStats(
+      t(s, dir, "orders").select("o_orderkey", "o_custkey",
+        "o_totalprice"),
+      Seq("o_orderkey", "o_custkey", "o_totalprice"))
+
   /** CUBE: all grouping combinations with sub/grand totals. */
   def cubeAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -348,7 +398,10 @@ private[graft] object QueriesAnalytics {
     "q_left_outer" -> (leftOuter _),
     "q_collect_types" -> (collectTypes _),
     "q_except_keys" -> (exceptKeys _),
-    "q_table_diff" -> (tableDiff _))
+    "q_table_diff" -> (tableDiff _),
+    "q_cdc_apply" -> (cdcApply _),
+    "q_funnel" -> (funnel _),
+    "q_column_stats" -> (columnStatsQ _))
 
   val oracles: Map[String, String] = Map(
     "q_left_outer" ->
@@ -504,6 +557,48 @@ private[graft] object QueriesAnalytics {
          UNION ALL
          SELECT o_orderkey, 'changed' FROM orders
          WHERE o_orderkey % 1000 = 1""",
+    "q_cdc_apply" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_orderkey % 1000 <> 1 AND o_orderkey % 1000 <> 2
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_totalprice + 5.0 FROM orders
+         WHERE o_orderkey % 2000 = 1001
+         UNION ALL
+         SELECT o_orderkey + 100000000, o_custkey, o_totalprice
+         FROM orders WHERE o_orderkey % 1000 = 3""",
+    "q_funnel" ->
+      """WITH u AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+                  min(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+                  min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+           FROM events GROUP BY user_id)
+         SELECT count(CASE WHEN tv IS NOT NULL THEN 1 END) AS n_view,
+                count(CASE WHEN tc > tv THEN 1 END) AS n_view_click,
+                count(CASE WHEN tc > tv AND tp > tc THEN 1 END)
+                  AS n_view_click_purchase
+         FROM u""",
+    "q_column_stats" ->
+      """SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+                CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_nulls,
+                CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv,
+                CAST(min(o_orderkey) AS DOUBLE) AS min_v,
+                CAST(max(o_orderkey) AS DOUBLE) AS max_v FROM orders
+         UNION ALL
+         SELECT 'o_custkey', count(*),
+                CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+                CAST(count(DISTINCT o_custkey) AS BIGINT),
+                CAST(min(o_custkey) AS DOUBLE),
+                CAST(max(o_custkey) AS DOUBLE) FROM orders
+         UNION ALL
+         SELECT 'o_totalprice', count(*),
+                CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+                CAST(count(DISTINCT o_totalprice) AS BIGINT),
+                CAST(min(o_totalprice) AS DOUBLE),
+                CAST(max(o_totalprice) AS DOUBLE) FROM orders""",
     "q_rank_funcs" ->
       """SELECT o_orderkey, o_custkey,
            rank() OVER w AS rnk,

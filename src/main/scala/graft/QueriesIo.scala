@@ -189,6 +189,24 @@ private[graft] object QueriesIo {
           <= col("exact_users").cast("double") * 0.25 + 2.0).as("hll_ok"))
   }
 
+  /** Schema evolution across partition generations: v=1 files lack a
+    * column that v=2 files carry; `mergeSchema` unifies the read
+    * (missing columns null-fill) — the schema-drift posture a 100 TB
+    * lake accumulates over years of writers.
+    */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch(dir, "schema_evo")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    val orders = t(s, dir, "orders")
+    orders.select("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$tmp/v=1")
+    orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/v=2")
+    s.read.option("mergeSchema", "true").parquet(tmp)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("v").cast("long").as("v"))
+  }
+
   // --- multimodal ------------------------------------------------------
 
   /** Binary payload + per-partition (stub) decode to typed metadata. */
@@ -245,6 +263,7 @@ private[graft] object QueriesIo {
     "q_stream_enrich" -> (streamEnrich _),
     "q_incremental_agg" -> (incrementalAgg _),
     "q_hll_store" -> (hllStore _),
+    "q_schema_evolution" -> (schemaEvolution _),
     "q_stream_dedup" -> (streamDedup _))
 
   /** Bit-interleave of two 16-bit keys (mirrors Sinks.zOrderKey). */
@@ -364,6 +383,12 @@ private[graft] object QueriesIo {
          FROM events GROUP BY 1""",
     "q_stream_dedup" ->
       """SELECT DISTINCT event_id, event_type FROM events""",
+    "q_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE)
+             AS o_totalprice, CAST(1 AS BIGINT) AS v FROM orders
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_totalprice,
+                CAST(2 AS BIGINT) FROM orders""",
     "q_hll_store" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
              AS exact_users, TRUE AS hll_ok

@@ -321,6 +321,36 @@ private[graft] object QueriesLlm {
   def chunkDocsQ(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Curation.chunkDocuments(t(s, dir, "documents"), 32, 24)
 
+  /** Inverted-index build: token → document frequency + a bounded
+    * posting sample (the 10 lowest doc ids via the bounded-heap
+    * TopKPerKey — a full posting materialization at 100 TB shards by
+    * token range instead of collecting unbounded lists per key).
+    */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(col("doc_id"),
+      explode(array_distinct(TextAnalysis.tokens(col("text"))))
+        .as("token"))
+    val dfreq = toks.groupBy("token")
+      .agg(count(lit(1)).as("df")) // (doc, token) pairs are distinct
+    val postings = graft.plans.TopK.perKey(toks, Seq(col("token")),
+        Seq(col("doc_id")), 10)
+      .groupBy("token")
+      .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+        .as("postings"))
+    dfreq.join(postings, "token")
+  }
+
+  /** Vocabulary dictionary encoding: dense token ids in global
+    * sorted order via the range-partition + zipWithIndex path (no
+    * single-task `row_number` bottleneck).
+    */
+  def dictEncode(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(
+      explode(TextAnalysis.tokens(col("text"))).as("token"))
+    TextAnalysis.dictionaryEncode(toks, "token")
+      .withColumnsRenamed(Map("value" -> "token", "id" -> "token_id"))
+  }
+
   /** Deterministic Lloyd k-means over embeddings (k=8, one centroid
     * update) — the semantic-clustering stage of SemDeDup-style dedup.
     */
@@ -356,6 +386,8 @@ private[graft] object QueriesLlm {
     "q_quota_sample" -> (quotaSampleQ _),
     "q_weighted_sample" -> (weightedSampleQ _),
     "q_chunk_docs" -> (chunkDocsQ _),
+    "q_inverted_index" -> (invertedIndex _),
+    "q_dict_encode" -> (dictEncode _),
     "q_kmeans" -> (kmeansQ _),
     "q_semantic_dedup" -> (semanticDedupQ _),
     "q_train_split" -> (trainSplit _),
@@ -649,6 +681,21 @@ private[graft] object QueriesLlm {
            FROM documents)
          SELECT doc_id, source FROM s
          ORDER BY ln(u) / w DESC, doc_id LIMIT 50""",
+    "q_dict_encode" ->
+      """SELECT token, row_number() OVER (ORDER BY token) - 1
+             AS token_id
+         FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+               FROM documents WHERE text IS NOT NULL)""",
+    "q_inverted_index" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  unnest(list_distinct(string_split(text, ' '))) AS token
+           FROM documents)
+         SELECT token, CAST(count(*) AS BIGINT) AS df,
+                array_to_string(
+                  list_slice(list(doc_id ORDER BY doc_id), 1, 10),
+                  ',') AS postings
+         FROM tk GROUP BY token""",
     "q_chunk_docs" ->
       """WITH d AS (
            SELECT doc_id, string_split(text, ' ') AS toks,

@@ -29,6 +29,7 @@ object SparkEntry {
     "q_scan_filter_project" -> (Queries.scanFilterProject _),
     "q_csv_roundtrip" -> (Queries.csvRoundtrip _),
     "q_jsonl_roundtrip" -> (Queries.jsonlRoundtrip _),
+    "q_orc_roundtrip" -> (Queries.orcRoundtrip _),
     "q_dropna" -> (Queries.dropna _),
     "q_ts_parse" -> (Queries.tsParse _),
     // --- joins --------------------------------------------------------
@@ -54,6 +55,8 @@ object SparkEntry {
     "q_clip" -> (Queries.clipQ _),
     // --- beyond-reference analytics ------------------------------------
     "q_session_window" -> (Queries.sessionWindow _),
+    "q_sessionize" -> (Queries.sessionize _),
+    "q_resample" -> (Queries.resample _),
     "q_rollup" -> (Queries.rollupAgg _),
     "q_json_extract" -> (Queries.jsonExtract _),
     "q_range_join" -> (Queries.rangeJoin _),
@@ -74,6 +77,9 @@ object SparkEntry {
                 o_orderdate, o_orderpriority FROM orders""",
     "q_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+    "q_orc_roundtrip" ->
+      """SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+         FROM part""",
     "q_dropna" ->
       """SELECT event_id, event_type, value AS v FROM events
          WHERE value >= 10 AND event_type IS NOT NULL""",
@@ -176,6 +182,33 @@ object SparkEntry {
                 sum(l_quantity) AS sum_qty, count(*) AS n
          FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_sessionize" ->
+      """WITH o AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                  CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) -
+                         lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                           OVER (PARTITION BY user_id ORDER BY ts)
+                         > 3600000000 THEN 1 ELSE 0 END AS brk
+           FROM events)
+         SELECT event_id, user_id,
+                CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+         FROM o""",
+    "q_resample" ->
+      """WITH e AS (
+           SELECT event_type,
+                  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+           FROM events),
+         c AS (SELECT event_type, h, count(*) AS n FROM e GROUP BY 1, 2),
+         b AS (SELECT event_type, min(h) AS mn, max(h) AS mx
+               FROM e GROUP BY 1),
+         spine AS (
+           SELECT event_type,
+                  unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+           FROM b)
+         SELECT spine.event_type, spine.h, coalesce(c.n, 0) AS n
+         FROM spine LEFT JOIN c
+           ON spine.event_type = c.event_type AND spine.h = c.h""",
     "q_json_extract" ->
       """SELECT event_id,
                 CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
@@ -251,6 +284,20 @@ private[graft] object Queries {
         "n_chars LONG")
       .json(tmp)
       .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** ORC sink + scan round-trip — the third columnar/interchange
+    * format next to parquet and JSONL. ORC files are self-describing
+    * (schema in the footer), so the read needs no inference pass.
+    */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp =
+      s"/tmp/graft_orc_roundtrip_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val cols = Seq("p_partkey", "p_name", "p_brand", "p_size",
+      "p_retailprice")
+    t(s, dir, "part").select(cols.map(col): _*)
+      .write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp).select(cols.map(col): _*)
   }
 
   /** P3/P4: required-column presence + na.drop. A derived column is
@@ -424,6 +471,44 @@ private[graft] object Queries {
       .select(col("user_id"),
         col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("n"))
+
+  /** Per-event session LABELING (each event tagged with its session
+    * ordinal) — the assignment form of session windows: lag + gap
+    * comparison + running sum of breaks, one shuffle on the user key.
+    * Boundary rule matches `session_window` (strict `>`: an event
+    * exactly gap-apart merges).
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("brk",
+        when(unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(w) > 3600000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_no",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select("event_id", "user_id", "session_no")
+  }
+
+  /** Hourly resampling with gap fill: per event_type, a complete
+    * hourly spine from its min to max hour (built by exploding a
+    * computed `sequence` off the tiny per-type bounds row — never a
+    * driver loop), left-joined with observed counts, gaps as 0.
+    */
+  def resample(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"),
+      date_trunc("hour", col("ts")).as("h"))
+    val counts = ev.groupBy("event_type", "h")
+      .agg(count(lit(1)).as("n"))
+    val spine = ev.groupBy("event_type")
+      .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+    spine.join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 
   /** Rollup (hierarchical subtotals) over lineitem flags. */
   def rollupAgg(s: SparkSession, dir: String): DataFrame =

@@ -280,6 +280,38 @@ object TextAnalysis {
         col("score").cast("double") / col("n_bigrams").cast("double"))
   }
 
+  /** Dictionary encoding: dense ids 0..n-1 for the distinct values of
+    * a column, in global sorted order — the vocabulary-to-token-id
+    * assignment of a tokenizer build.
+    *
+    * The naive form (`row_number() OVER (ORDER BY value)`) funnels
+    * every distinct value through ONE task — a non-starter for a
+    * 100 TB-corpus vocabulary. This is the canonical legitimate RDD
+    * escape hatch instead: range-repartition + in-partition sort
+    * establish the global order ACROSS partitions, then
+    * `zipWithIndex` assigns contiguous ids per partition with offsets
+    * summed from a tiny per-partition count collect — no single-task
+    * bottleneck. The ids are a pure function of the distinct value
+    * set (global sorted rank), independent of partitioning or where
+    * range boundaries fall.
+    */
+  def dictionaryEncode(df: org.apache.spark.sql.DataFrame,
+                       valueCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.select(col(valueCol).cast("string").as("value"))
+      .filter(col("value").isNotNull).distinct()
+      .repartitionByRange(col("value"))
+      .sortWithinPartitions("value")
+    val indexed = sorted.rdd.map(_.getString(0)).zipWithIndex()
+      .map { case (v, i) => org.apache.spark.sql.Row(v, i) }
+    spark.createDataFrame(indexed,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** Marker-word language-ID heuristic: count hits per language's
     * marker set; predict the first language (in `markers` order) with
     * the maximal count, 'und' when all counts are zero. Deterministic

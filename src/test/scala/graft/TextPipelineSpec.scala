@@ -12,6 +12,43 @@ import graft.io.Sinks
   */
 class TextPipelineSpec extends SparkSpec {
 
+  test("dictionaryEncode: global sorted rank, partition-invariant") {
+    import spark.implicits._
+    val vals = scala.util.Random.shuffle((0 until 500).map(i => f"t$i%03d"))
+    val df = vals.map(Tuple1(_)).toDF("token")
+    val ids = TextAnalysis.dictionaryEncode(df.repartition(17), "token")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ids are exactly the sorted rank, regardless of input layout
+    assert(ids.size === 500)
+    vals.sorted.zipWithIndex.foreach { case (v, i) =>
+      assert(ids(v) === i.toLong, s"$v")
+    }
+    val ids2 = TextAnalysis.dictionaryEncode(df.repartition(3), "token")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ids === ids2, "same ids under any partitioning")
+    // duplicates and nulls: distinct first, nulls dropped
+    val withDups = (df.union(df)).union(
+      Seq(Tuple1(null.asInstanceOf[String])).toDF("token"))
+    assert(TextAnalysis.dictionaryEncode(withDups, "token").count() === 500)
+  }
+
+  test("sessionize labels agree with session_window aggregation") {
+    // the per-event labels' (user, session) group sizes must be the
+    // same multiset as q_session_window's per-session counts over the
+    // same data (minus the oracle fixture)
+    val dir = "/root/testdata/sf0.001"
+    val labeled = SparkEntry.queries("q_sessionize")(spark, dir)
+      .groupBy("user_id", "session_no").count()
+      .select("user_id", "count")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val agg = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        org.apache.spark.sql.functions.session_window(col("ts"), "1 hour"))
+      .count().select("user_id", "count")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(labeled === agg)
+  }
+
   test("redactPii masks emails, phones, and IPs; counts match") {
     import spark.implicits._
     val df = Seq(
