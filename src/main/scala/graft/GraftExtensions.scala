@@ -18,6 +18,8 @@ import graft.plans.{CosineSimilarityExpr, TopKStrategy}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    // rank-filter window pattern -> bounded-heap TopKPerKeyPlan
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName,

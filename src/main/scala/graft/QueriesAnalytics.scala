@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.etl.Quality
 
 /** Analytics-breadth queries: ranking windows, scalar function
   * families, and sketches. Function choices are restricted to the
@@ -245,6 +246,33 @@ private[graft] object QueriesAnalytics {
         "o_totalprice"),
       Seq("o_orderkey", "o_custkey", "o_totalprice"))
 
+  /** Data-quality expectations ([[graft.etl.Quality]]) over a
+    * deliberately corrupted orders view: injected null foreign keys,
+    * non-positive prices, duplicate order keys (via a unioned slice),
+    * and dangling customer references — one violation-count row per
+    * rule.
+    */
+  def dqChecks(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val k = col("o_orderkey")
+    val modified = orders.select(
+      k.as("o_orderkey"),
+      when(k % 700 === 3, lit(null).cast("long"))
+        .when(k % 800 === 7, col("o_custkey") + 10000000L)
+        .otherwise(col("o_custkey")).as("o_custkey"),
+      when(k % 900 === 5, -col("o_totalprice"))
+        .otherwise(col("o_totalprice")).as("o_totalprice"))
+    val corrupted = modified
+      .unionByName(orders.filter(k % 500 === 1)) // exact-key duplicates
+    Quality.validate(corrupted, Seq(
+      Quality.Check("custkey_not_null", col("o_custkey").isNotNull),
+      Quality.Check("price_positive", col("o_totalprice") > 0),
+      Quality.Unique("orderkey_unique", Seq("o_orderkey")),
+      Quality.InReference("custkey_in_customer", "o_custkey",
+        t(s, dir, "customer"), "c_custkey")))
+  }
+
   /** CUBE: all grouping combinations with sub/grand totals. */
   def cubeAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -400,6 +428,7 @@ private[graft] object QueriesAnalytics {
     "q_except_keys" -> (exceptKeys _),
     "q_table_diff" -> (tableDiff _),
     "q_cdc_apply" -> (cdcApply _),
+    "q_dq_checks" -> (dqChecks _),
     "q_funnel" -> (funnel _),
     "q_column_stats" -> (columnStatsQ _))
 
@@ -566,6 +595,33 @@ private[graft] object QueriesAnalytics {
          UNION ALL
          SELECT o_orderkey + 100000000, o_custkey, o_totalprice
          FROM orders WHERE o_orderkey % 1000 = 3""",
+    "q_dq_checks" ->
+      """WITH c AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 700 = 3 THEN NULL
+                       WHEN o_orderkey % 800 = 7 THEN o_custkey + 10000000
+                       ELSE o_custkey END AS o_custkey,
+                  CASE WHEN o_orderkey % 900 = 5 THEN -o_totalprice
+                       ELSE o_totalprice END AS o_totalprice
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+           WHERE o_orderkey % 500 = 1)
+         SELECT 'custkey_not_null' AS rule,
+                CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_violations FROM c
+         UNION ALL
+         SELECT 'price_positive',
+                CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)
+                  AS BIGINT) FROM c
+         UNION ALL
+         SELECT 'orderkey_unique',
+                CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+         FROM (SELECT o_orderkey, count(*) AS n FROM c GROUP BY 1)
+         UNION ALL
+         SELECT 'custkey_in_customer', CAST(count(*) AS BIGINT) FROM c
+         WHERE o_custkey IS NOT NULL
+           AND o_custkey NOT IN (SELECT c_custkey FROM customer)""",
     "q_funnel" ->
       """WITH u AS (
            SELECT user_id,

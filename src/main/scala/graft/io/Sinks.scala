@@ -165,7 +165,7 @@ object Sinks {
     * `s3a://` it is always false, which would silently turn every
     * S11 merge into an overwrite of the touched partitions.
     */
-  private[io] def storeExists(spark: SparkSession, path: String): Boolean = {
+  private[graft] def storeExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }

@@ -225,6 +225,35 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming CDC apply: versioned I/U/D change batches arriving as
+    * a file stream fold into a keyed snapshot store via
+    * [[graft.etl.Cdc.apply]] per micro-batch — the continuous-MERGE
+    * ingestion shape. Each batch costs one bounded-heap latest-wins
+    * pass over (store + batch); the store stays O(live keys).
+    * `Cdc.apply` is version-ordered and idempotent, so a replayed
+    * batch (restart without checkpoint cleanup) cannot corrupt the
+    * store.
+    */
+  def cdcApplyStream(changes: DataFrame, storePath: String,
+                     key: String): Unit = {
+    val q = changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val dataCols = batch.columns.filterNot(
+          Seq("op", "version").contains)
+        val base =
+          if (graft.io.Sinks.storeExists(spark, storePath))
+            spark.read.parquet(storePath)
+          else batch.select(dataCols.map(col): _*).limit(0)
+        graft.etl.Cdc.apply(base, batch, key)
+          .localCheckpoint() // never write over the store being read
+          .write.mode("overwrite").parquet(storePath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming heavy hitters: one Misra–Gries sketch per key kept as
     * `mapGroupsWithState` state — the streaming form of
     * [[graft.functions.HeavyHittersAgg]], which is mergeable precisely

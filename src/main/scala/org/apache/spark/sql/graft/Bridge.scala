@@ -41,5 +41,9 @@ object Bridge {
       .filterNot(s => cs.experimental.extraStrategies.exists(_ eq s))
     cs.experimental.extraStrategies =
       cs.experimental.extraStrategies ++ fresh
+    val freshRules = ext.buildOptimizerRules(cs)
+      .filterNot(r => cs.experimental.extraOptimizations.exists(_ eq r))
+    cs.experimental.extraOptimizations =
+      cs.experimental.extraOptimizations ++ freshRules
   }
 }

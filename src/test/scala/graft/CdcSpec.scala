@@ -50,6 +50,41 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  test("quality: per-rule violation counts, clean table all-zero") {
+    import spark.implicits._
+    import graft.etl.Quality
+    val dim = Seq(Tuple1(10L), Tuple1(20L)).toDF("ref")
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (10L, 1.0), (10L, -2.0), (20L, 3.0), (30L, 4.0), (null, 5.0))
+      .toDF("fk", "x")
+    val out = Quality.validate(df, Seq(
+      Quality.Check("x_positive", col("x") > 0),
+      Quality.Check("fk_not_null", col("fk").isNotNull),
+      Quality.Unique("fk_unique", Seq("fk")),
+      Quality.InReference("fk_in_dim", "fk", dim, "ref")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("x_positive") === 1L)
+    assert(out("fk_not_null") === 1L)
+    assert(out("fk_unique") === 1L, "two rows share fk=10")
+    assert(out("fk_in_dim") === 1L, "fk=30 dangles; null fk exempt")
+    val clean = Quality.validate(dim, Seq(
+      Quality.Check("pos", col("ref") > 0),
+      Quality.Unique("uniq", Seq("ref"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean.values.forall(_ == 0L))
+  }
+
+  test("quality: a null predicate result counts as a violation") {
+    import spark.implicits._
+    import graft.etl.Quality
+    val df = Seq[java.lang.Double](1.0, null, -1.0).map(Tuple1(_))
+      .toDF("x")
+    val out = Quality.validate(df,
+      Seq(Quality.Check("x_positive", col("x") > 0)))
+      .collect().head.getLong(1)
+    assert(out === 2L, "null > 0 is not TRUE, so it violates")
+  }
+
   test("analyze: nulls, ndv, min/max per column in one pass") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, java.lang.Double)](

@@ -23,6 +23,74 @@ class ExtensionsSpec extends SparkSpec {
       .exists(_ eq graft.plans.TopKStrategy))
   }
 
+  test("TopKRewriteRule: rank-filter window rewrites to the heap operator") {
+    import spark.implicits._
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    org.apache.spark.sql.graft.Bridge.applyExtensions(spark, ext)
+
+    val df = (0L until 1000L).map(i => (i % 20, i, (i * 37) % 101))
+      .toDF("grp", "id", "score")
+    df.createOrReplaceTempView("rank_src")
+    val q = spark.sql(
+      """SELECT grp, id, score FROM (
+           SELECT *, row_number() OVER
+             (PARTITION BY grp ORDER BY score DESC, id) AS rn
+           FROM rank_src)
+         WHERE rn <= 3""")
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("TopKPerKey"),
+      s"rank filter should rewrite to the bounded heap:\n$opt")
+    assert(!opt.contains("Window ") && !opt.contains("WindowGroupLimit"),
+      s"window AND its sorting group-limit pre-cap must be gone:\n$opt")
+    val phys = q.queryExecution.executedPlan.toString
+    assert(!phys.contains("Sort"),
+      s"no per-partition sort may survive the rewrite:\n$phys")
+    // results equal the un-rewritten window form
+    val expected = df.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("grp").orderBy(col("score").desc, col("id"))))
+      .filter(col("rn") <= 3).drop("rn")
+      .collect().map(_.toSeq).toSet
+    assert(q.collect().map(_.toSeq).toSet === expected)
+    assert(q.count() === 60)
+  }
+
+  test("TopKRewriteRule: keeps the window when rn is projected, " +
+    "rank() is used, or k is oversized") {
+    import spark.implicits._
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    org.apache.spark.sql.graft.Bridge.applyExtensions(spark, ext)
+    (0L until 100L).map(i => (i % 5, i)).toDF("grp", "id")
+      .createOrReplaceTempView("rank_src2")
+
+    val keepsRn = spark.sql(
+      """SELECT grp, id, rn FROM (
+           SELECT *, row_number() OVER
+             (PARTITION BY grp ORDER BY id) AS rn FROM rank_src2)
+         WHERE rn <= 3""")
+    assert(!keepsRn.queryExecution.optimizedPlan.toString
+      .contains("TopKPerKey"), "rn in output: operator emits no rank")
+    assert(keepsRn.count() === 15)
+
+    val rankTies = spark.sql(
+      """SELECT grp, id FROM (
+           SELECT *, rank() OVER
+             (PARTITION BY grp ORDER BY id) AS rn FROM rank_src2)
+         WHERE rn <= 3""")
+    assert(!rankTies.queryExecution.optimizedPlan.toString
+      .contains("TopKPerKey"), "rank() can exceed k rows on ties")
+
+    val bigK = spark.sql(
+      s"""SELECT grp, id FROM (
+           SELECT *, row_number() OVER
+             (PARTITION BY grp ORDER BY id) AS rn FROM rank_src2)
+         WHERE rn <= ${graft.plans.TopKRewriteRule.MaxK + 1}""")
+    assert(!bigK.queryExecution.optimizedPlan.toString
+      .contains("TopKPerKey"), "oversized k stays on the spilling sort")
+  }
+
   test("streaming incremental merge+dedup equals batch distinct") {
     val store = Files.createTempDirectory("graft_inc").toString + "/store"
     val stream = Streams.eventsStream(spark, "/root/testdata/sf0.001")

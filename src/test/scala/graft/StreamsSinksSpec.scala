@@ -205,6 +205,36 @@ class StreamsSinksSpec extends SparkSpec {
       "throttling must not drop rows")
   }
 
+  test("streaming CDC apply == one-shot batch Cdc.apply") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_cdc_src").toString
+    val store = Files.createTempDirectory("graft_cdc_store").toString +
+      "/snap"
+    // two change generations as separate files: v1 seeds, v2 mutates
+    val gen1 = Seq((1L, "a", "I", 1L), (2L, "b", "I", 1L),
+      (3L, "c", "I", 1L)).toDF("k", "v", "op", "version")
+    val gen2 = Seq((2L, "b2", "U", 2L), (3L, "c", "D", 2L),
+      (4L, "d", "I", 2L)).toDF("k", "v", "op", "version")
+    gen1.coalesce(1).write.mode("overwrite").parquet(s"$src/g=1")
+    gen2.coalesce(1).write.mode("overwrite").parquet(s"$src/g=2")
+    val schema = gen1.schema
+    // 1 file/trigger: the generations apply in separate micro-batches
+    Streams.cdcApplyStream(
+      Streams.fileStream(spark, s"$src/g=1", schema, Some(1))
+        .unionByName(Streams.fileStream(spark, s"$src/g=2", schema,
+          Some(1))),
+      store, "k")
+    val streamed = spark.read.parquet(store)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    import graft.etl.Cdc
+    val oneShot = Cdc.apply(gen1.select("k", "v").limit(0),
+        gen1.unionByName(gen2), "k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed === oneShot)
+    assert(streamed === Map(1L -> "a", 2L -> "b2", 4L -> "d"),
+      "update applied, delete dropped, insert present")
+  }
+
   test("tumbling(6h) counts compose into sliding(12h/6h) counts") {
     // every sliding window [s, s+12h) is exactly the union of tumbling
     // buckets s and s+6h — catches window-boundary bugs independently
