@@ -31,6 +31,26 @@ object MicroBench {
       pairs.select(Vectors.cosineHof(col("qv"), col("v")).as("c"))
         .filter(col("c") > 2.0).count()
     }
+
+    // top-10-per-key: full window sort vs bounded heap (the shape
+    // TopKRewriteRule targets). 5M rows / 100k groups, in-memory.
+    import spark.implicits._
+    val big = spark.range(5000000L)
+      .select((col("id") % 100000L).as("grp"), col("id"),
+        ((col("id") * 2654435761L) % 1000003L).as("score"))
+      .cache()
+    big.count() // materialize
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("score"), col("id"))
+    time("win-sort") {
+      big.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10).drop("rn").count()
+    }
+    time("heap-topk") {
+      graft.plans.TopK.perKey(big, Seq(col("grp")),
+        Seq(col("score"), col("id")), 10).count()
+    }
+    big.unpersist()
     spark.stop()
   }
 }
