@@ -214,6 +214,19 @@ private[graft] object QueriesIo {
     Multimodal.decodeMeta(
       Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text"))
 
+  /** Resize plumbing through the oracle gate: the documents payloads
+    * are text, so every row takes the deterministic passthrough
+    * branch (format sentinel, -1 dims, bytes unchanged — verified via
+    * md5). The REAL decode+rescale branch is pinned by
+    * LibraryEdgeSpec on in-memory PNGs.
+    */
+  def mediaResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeImages(
+      Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text"),
+      maxDim = 64)
+      .select(col("media_id"), col("format"), col("width"), col("height"),
+        md5(col("payload")).as("payload_md5"))
+
   /** Frame-sampling plumbing: every 7th of 30 synthetic frames. */
   def frameSample(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
@@ -264,6 +277,7 @@ private[graft] object QueriesIo {
     "q_incremental_agg" -> (incrementalAgg _),
     "q_hll_store" -> (hllStore _),
     "q_schema_evolution" -> (schemaEvolution _),
+    "q_media_resize" -> (mediaResize _),
     "q_stream_dedup" -> (streamDedup _))
 
   /** Bit-interleave of two 16-bit keys (mirrors Sinks.zOrderKey). */
@@ -383,6 +397,11 @@ private[graft] object QueriesIo {
          FROM events GROUP BY 1""",
     "q_stream_dedup" ->
       """SELECT DISTINCT event_id, event_type FROM events""",
+    "q_media_resize" ->
+      """SELECT doc_id AS media_id, 'passthrough' AS format,
+                CAST(-1 AS INT) AS width, CAST(-1 AS INT) AS height,
+                md5(text) AS payload_md5
+         FROM documents""",
     "q_schema_evolution" ->
       """SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE)
              AS o_totalprice, CAST(1 AS BIGINT) AS v FROM orders

@@ -97,6 +97,104 @@ object Multimodal {
     }(enc)
   }
 
+  private val ResizedSchema = StructType(Seq(
+    StructField("media_id", LongType), StructField("format", StringType),
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("payload", BinaryType)))
+
+  /** REAL image resize (PNG/JPEG via JDK imageio + Graphics2D): scale
+    * every decodable payload to fit within `maxDim` (aspect
+    * preserved), re-encoded as PNG — the thumbnailing/normalization
+    * step of an image training pipeline. Per-partition shape matches
+    * [[decodeMeta]]; undecodable payloads pass through unchanged with
+    * their original bytes and (-1, -1) dims so a corrupt row never
+    * kills the job and downstream can quarantine on the sentinel.
+    */
+  def resizeImages(media: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim > 0, s"maxDim must be positive: $maxDim")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(ResizedSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val img = sniff(payload) match {
+          case Some(_) =>
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+          case None => null
+        }
+        if (img == null) Row(r.getLong(0), "passthrough", -1, -1, payload)
+        else {
+          val scale = math.min(1.0,
+            maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+          val (w, h) = (math.max(1, (img.getWidth * scale).round.toInt),
+            math.max(1, (img.getHeight * scale).round.toInt))
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Row(r.getLong(0), "png", w, h, bos.toByteArray)
+        }
+      }
+    }(enc)
+  }
+
+  private val FeatureSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("mean_r", DoubleType), StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType),
+    StructField("luminance", DoubleType)))
+
+  /** REAL per-image feature extraction (mean RGB + BT.601 luminance)
+    * for decodable payloads — the cheap-feature stage before an
+    * embedding model (filter black frames, near-constant images,
+    * thumbnails). Undecodable payloads yield nulls, not failures.
+    */
+  def imageFeatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(FeatureSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val img = sniff(payload) match {
+          case Some(_) =>
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+          case None => null
+        }
+        if (img == null) Row(r.getLong(0), null, null, null, null)
+        else {
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF
+              sb += rgb & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          val n = img.getWidth.toLong * img.getHeight
+          val (mr, mg, mb) =
+            (sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+          Row(r.getLong(0), mr, mg, mb,
+            0.299 * mr + 0.587 * mg + 0.114 * mb)
+        }
+      }
+    }(enc)
+  }
+
   /** Frame-sampling shape: emit every `step`-th synthetic frame index
     * per media row (a video decoder would emit real frame payloads).
     * posexplode keeps (media, frame_no) lineage for downstream joins.

@@ -80,6 +80,62 @@ class LibraryEdgeSpec extends SparkSpec {
     assert(r3.getAs[Int]("width") === 3 && r3.getAs[Int]("height") === 2)
   }
 
+  test("multimodal resize: real downscale, aspect kept, corrupt passthrough") {
+    import spark.implicits._
+    // 8x4 solid blue PNG -> maxDim 4 must give 4x2
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(java.awt.Color.BLUE); g.fillRect(0, 0, 8, 4); g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val out = Multimodal.resizeImages(
+      Seq((1L, png), (2L, "not an image".getBytes))
+        .toDF("media_id", "payload"), maxDim = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val resized = out(1L)
+    assert(resized.getAs[String]("format") === "png")
+    assert(resized.getAs[Int]("width") === 4)
+    assert(resized.getAs[Int]("height") === 2)
+    // output is itself a decodable PNG of the claimed size
+    val round = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized.getAs[Array[Byte]]("payload")))
+    assert(round.getWidth === 4 && round.getHeight === 2)
+    // an image already under maxDim is not upscaled
+    val same = Multimodal.resizeImages(
+      Seq((3L, png)).toDF("media_id", "payload"), maxDim = 100)
+      .collect().head
+    assert(same.getAs[Int]("width") === 8 && same.getAs[Int]("height") === 4)
+    val passthrough = out(2L)
+    assert(passthrough.getAs[String]("format") === "passthrough")
+    assert(passthrough.getAs[Int]("width") === -1)
+    assert(passthrough.getAs[Array[Byte]]("payload")
+      .sameElements("not an image".getBytes))
+  }
+
+  test("multimodal features: mean RGB + luminance of a known image") {
+    import spark.implicits._
+    // half pure red, half pure blue, 2x2
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(0, 1, 0xFF0000)
+    img.setRGB(1, 0, 0x0000FF); img.setRGB(1, 1, 0x0000FF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val out = Multimodal.imageFeatures(
+      Seq((1L, bos.toByteArray), (2L, "text".getBytes))
+        .toDF("media_id", "payload"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val f = out(1L)
+    assert(f.getAs[Double]("mean_r") === 127.5)
+    assert(f.getAs[Double]("mean_g") === 0.0)
+    assert(f.getAs[Double]("mean_b") === 127.5)
+    assert(math.abs(f.getAs[Double]("luminance") -
+      (0.299 * 127.5 + 0.114 * 127.5)) < 1e-9)
+    assert(out(2L).isNullAt(1), "undecodable -> null features")
+  }
+
   test("walltime parser rejects negatives inside H:MM:SS gracefully") {
     import spark.implicits._
     // malformed-but-colon-shaped inputs must not throw under ANSI mode
