@@ -21,7 +21,9 @@ object PlanAudit {
       if (args.nonEmpty) args.toSeq
       else Seq("q_scan_filter_project", "q_stage2_spine", "q_join_broadcast",
         "q_window_lag", "q_stage1_nfs", "q_jaccard_pairs", "q_dedup_fuzzy",
-        "q_cosine_topk", "q_ann_topk", "q_month_split")
+        "q_cosine_topk", "q_ann_topk", "q_month_split",
+        "q_bloom_join", "q_table_diff", "q_cdc_apply", "q_weighted_sample",
+        "q_chunk_docs", "q_dq_checks", "q_sessionize", "q_resample")
     wanted.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n========== $name ==========")
