@@ -273,6 +273,30 @@ private[graft] object QueriesAnalytics {
         t(s, dir, "customer"), "c_custkey")))
   }
 
+  /** IQR outlier gate (robust-stats cleaning): per-group Tukey fences
+    * `[q1 − 1.5·IQR, q3 + 1.5·IQR]` over integer cents — quartile
+    * interpolation at .25/.75 of integers and the 1.5× products are
+    * EXACT in binary floating point, so the fence comparisons are
+    * engine-portable (same reasoning as the q_median parity). Fences
+    * are a tiny per-group table broadcast back onto the scan.
+    */
+  def outlierFilter(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"),
+      round(col("value") * 100.0, 0).cast("long").as("cents"))
+    val fences = ev.groupBy("event_type").agg(
+        percentile(col("cents"), lit(0.25)).as("q1"),
+        percentile(col("cents"), lit(0.75)).as("q3"))
+      .select(col("event_type"),
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+    ev.join(broadcast(fences), "event_type")
+      .groupBy("event_type").agg(
+        count(when(col("cents") >= col("lo") &&
+          col("cents") <= col("hi"), 1)).as("n_kept"),
+        count(when(col("cents") < col("lo") ||
+          col("cents") > col("hi"), 1)).as("n_outliers"))
+  }
+
   /** CUBE: all grouping combinations with sub/grand totals. */
   def cubeAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -429,6 +453,7 @@ private[graft] object QueriesAnalytics {
     "q_table_diff" -> (tableDiff _),
     "q_cdc_apply" -> (cdcApply _),
     "q_dq_checks" -> (dqChecks _),
+    "q_outlier_filter" -> (outlierFilter _),
     "q_funnel" -> (funnel _),
     "q_column_stats" -> (columnStatsQ _))
 
@@ -530,6 +555,23 @@ private[graft] object QueriesAnalytics {
       """SELECT l_returnflag,
            quantile_cont(l_quantity, 0.5) AS median_qty, count(*) AS n
          FROM lineitem GROUP BY l_returnflag""",
+    "q_outlier_filter" ->
+      """WITH e AS (
+           SELECT event_type,
+                  CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+           FROM events),
+         f AS (SELECT event_type,
+                 quantile_cont(cents, 0.25) AS q1,
+                 quantile_cont(cents, 0.75) AS q3
+               FROM e GROUP BY 1),
+         g AS (SELECT event_type, q1 - (q3 - q1) * 1.5 AS lo,
+                 q3 + (q3 - q1) * 1.5 AS hi FROM f)
+         SELECT e.event_type,
+                count(CASE WHEN cents >= lo AND cents <= hi THEN 1 END)
+                  AS n_kept,
+                count(CASE WHEN cents < lo OR cents > hi THEN 1 END)
+                  AS n_outliers
+         FROM e JOIN g USING (event_type) GROUP BY 1""",
     "q_pivot_agg" ->
       """SELECT user_id,
            CAST(sum(CASE WHEN event_type = 'click' THEN cents END)
