@@ -23,6 +23,10 @@ object Analyze {
                   exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty && cols.forall(df.columns.contains),
       s"columns not all present: $cols vs ${df.columns.toSeq}")
+    // names are spliced into a stack() SQL string (backtick-quoted
+    // identifiers + string literals) — keep to a safe charset
+    cols.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
+      s"column name must be [A-Za-z0-9_]+ for stats: '$c'"))
     val aggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),

@@ -76,8 +76,12 @@ object BloomJoin {
                dimKey: String, expectedItems: Long,
                fpp: Double = 0.01): DataFrame = {
     val bytes = buildFilter(dim, col(dimKey), expectedItems, fpp)
+    // alias the dim key so bigKey == dimKey (the common case for a
+    // shared key name) cannot make the join condition ambiguous
+    val dimKeys = dim.select(col(dimKey).as("__graft_bloom_dim_key"))
     big.filter(mightContain(bytes, col(bigKey)))
-      .join(dim.select(dimKey), col(bigKey) === col(dimKey), "left_semi")
+      .join(dimKeys, col(bigKey) === col("__graft_bloom_dim_key"),
+        "left_semi")
   }
 
   /** Deserialize a filter built by [[buildFilter]] (diagnostics /

@@ -33,6 +33,10 @@ object Quality {
   /** One row per rule: (rule, n_violations). */
   def validate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "no rules given")
+    // rule names are spliced into a stack() SQL string as identifiers
+    // and string literals — restrict to a safe charset up front
+    rules.foreach(r => require(r.name.matches("[A-Za-z0-9_]+"),
+      s"rule name must be [A-Za-z0-9_]+: '${r.name}'"))
     val checks = rules.collect { case c: Check => c }
     val spark = df.sparkSession
     import spark.implicits._

@@ -39,7 +39,7 @@ object Reconcile {
 
   private def checksums(df: DataFrame, key: String,
                         nBuckets: Int): DataFrame =
-    df.groupBy(bucketOf(key, nBuckets).as("bucket"))
+    df.groupBy(bucketOf(key, nBuckets).as("__graft_bucket"))
       .agg(bit_xor(rowHash(df, key)).as("cksum"),
         count(lit(1)).as("cnt"))
 
@@ -50,10 +50,10 @@ object Reconcile {
       .withColumnsRenamed(Map("cksum" -> "l_cksum", "cnt" -> "l_cnt"))
     val r = checksums(right, key, nBuckets)
       .withColumnsRenamed(Map("cksum" -> "r_cksum", "cnt" -> "r_cnt"))
-    l.join(r, Seq("bucket"), "full_outer")
+    l.join(r, Seq("__graft_bucket"), "full_outer")
       .filter(!(col("l_cksum") <=> col("r_cksum")) ||
         !(col("l_cnt") <=> col("r_cnt")))
-      .select("bucket")
+      .select("__graft_bucket")
   }
 
   /** Keys that differ between the snapshots, with how. Both inputs
@@ -66,8 +66,8 @@ object Reconcile {
     val changed = broadcast(changedBuckets(left, right, key, nBuckets))
 
     def slice(df: DataFrame, side: String): DataFrame =
-      df.withColumn("bucket", bucketOf(key, nBuckets))
-        .join(changed, Seq("bucket"), "left_semi")
+      df.withColumn("__graft_bucket", bucketOf(key, nBuckets))
+        .join(changed, Seq("__graft_bucket"), "left_semi")
         .select(col(key).as(s"${side}_key"),
           rowHash(df, key).as(s"${side}_hash"))
 

@@ -65,6 +65,15 @@ class BloomJoinSpec extends SparkSpec {
       "prefilter stage must be exchange-free (scan-side pruning)")
   }
 
+  test("semiJoin works when both sides share the same key name") {
+    import spark.implicits._
+    val sameName = dim.withColumnsRenamed(Map("dk" -> "k"))
+    val exact = big.join(sameName, Seq("k"), "left_semi").count()
+    val bloomed = BloomJoin.semiJoin(big, "k", sameName, "k",
+      expectedItems = 10000).count()
+    assert(bloomed === exact)
+  }
+
   test("null probe keys are dropped, like any null join key") {
     import spark.implicits._
     val withNulls = Seq(Some(7L), Some(3L), None)

@@ -42,6 +42,17 @@ class ReconcileSpec extends SparkSpec {
     assert(changed === 1, s"one drifted row lives in one bucket: $changed")
   }
 
+  test("diff: a user column named 'bucket' is still compared") {
+    import spark.implicits._
+    // internal bucketing must not shadow (and thereby exclude) a data
+    // column that happens to be called "bucket"
+    val l = Seq((1L, "x"), (2L, "y")).toDF("k", "bucket")
+    val r = Seq((1L, "x"), (2L, "CHANGED")).toDF("k", "bucket")
+    val out = Reconcile.diff(l, r, "k", 8)
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(out === Map(2L -> "changed"))
+  }
+
   test("diff: count catches the xor blind spot (even multiplicity)") {
     import spark.implicits._
     // same key twice on the left only: the two identical row hashes
