@@ -79,10 +79,10 @@ object Curation {
     // finite and the all-zero hash cannot produce -inf
     val u = (TextAnalysis.hash60(col(idCol).cast("string")) + 1L)
       .cast("double") / lit(1152921504606846976.0) // 2^60
-    docs.withColumn("es_key", log(u) / weight)
-      .orderBy(col("es_key").desc, col(idCol))
+    docs.withColumn("__graft_es_key", log(u) / weight)
+      .orderBy(col("__graft_es_key").desc, col(idCol))
       .limit(k)
-      .drop("es_key")
+      .drop("__graft_es_key")
   }
 
   /** Overlapping token-window chunking — the RAG / context-window
