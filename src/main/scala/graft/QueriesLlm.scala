@@ -315,6 +315,17 @@ private[graft] object QueriesLlm {
       t(s, dir, "documents").select("doc_id", "source"), w, 50)
   }
 
+  /** Weighted quota: best 3 ES draws per source (weights as in
+    * [[weightedSampleQ]]) — "cap every source, prefer the weighted".
+    */
+  def weightedQuotaQ(s: SparkSession, dir: String): DataFrame = {
+    val w = when(col("source").isin("src0", "src1", "src2"), 4.0)
+      .when(col("source").isin("src3", "src4"), 2.0)
+      .otherwise(1.0)
+    graft.pipeline.Curation.weightedQuotaSample(
+      t(s, dir, "documents").select("doc_id", "source"), w, 3)
+  }
+
   /** Overlapping token-window chunking (window 32, stride 24) — the
     * RAG / context-window preprocessing step, map-only.
     */
@@ -385,6 +396,7 @@ private[graft] object QueriesLlm {
     "q_rand_project" -> (randProject _),
     "q_quota_sample" -> (quotaSampleQ _),
     "q_weighted_sample" -> (weightedSampleQ _),
+    "q_weighted_quota" -> (weightedQuotaQ _),
     "q_chunk_docs" -> (chunkDocsQ _),
     "q_inverted_index" -> (invertedIndex _),
     "q_dict_encode" -> (dictEncode _),
@@ -696,6 +708,21 @@ private[graft] object QueriesLlm {
                   list_slice(list(doc_id ORDER BY doc_id), 1, 10),
                   ',') AS postings
          FROM tk GROUP BY token""",
+    "q_weighted_quota" ->
+      s"""WITH s AS (
+           SELECT doc_id, source,
+                  CASE WHEN source IN ('src0', 'src1', 'src2') THEN 4.0
+                       WHEN source IN ('src3', 'src4') THEN 2.0
+                       ELSE 1.0 END AS w,
+                  (${h60Sql("CAST(doc_id AS VARCHAR)")} + 1)
+                    / 1152921504606846976.0 AS u
+           FROM documents),
+         r AS (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY ln(u) / w DESC, doc_id) AS rn
+           FROM s)
+         SELECT doc_id, source FROM r WHERE rn <= 3""",
     "q_chunk_docs" ->
       """WITH d AS (
            SELECT doc_id, string_split(text, ' ') AS toks,

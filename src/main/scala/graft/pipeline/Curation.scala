@@ -85,6 +85,25 @@ object Curation {
       .drop("__graft_es_key")
   }
 
+  /** Weighted quota sampling: the per-key form of [[weightedSample]] —
+    * the k best Efraimidis–Spirakis draws within EACH key (e.g. "keep
+    * 10k docs per source, quality-weighted"). Same deterministic
+    * md5-hash draw; selection runs on the bounded-heap TopKPerKey
+    * (one shuffle on the key, O(keys·k) memory, no window sort).
+    */
+  def weightedQuotaSample(docs: DataFrame,
+                          weight: org.apache.spark.sql.Column, k: Int,
+                          keyCol: String = "source",
+                          idCol: String = "doc_id"): DataFrame = {
+    val u = (TextAnalysis.hash60(col(idCol).cast("string")) + 1L)
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    graft.plans.TopK.perKey(
+      docs.withColumn("__graft_es_key", log(u) / weight),
+      Seq(col(keyCol)),
+      Seq(col("__graft_es_key").desc, col(idCol)), k)
+      .drop("__graft_es_key")
+  }
+
   /** Overlapping token-window chunking — the RAG / context-window
     * preprocessing step: each document's whitespace tokens are cut
     * into windows of `window` tokens every `stride` tokens (overlap =

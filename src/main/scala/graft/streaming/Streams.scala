@@ -225,6 +225,36 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming approximate distinct per key: one DataSketches HLL
+    * sketch per key held as `mapGroupsWithState` state — bounded
+    * memory forever (≤ ~2.5 KB/key at lgK=12, rse ≈ 1.6%/√m) where
+    * exact streaming distinct would grow state with the value
+    * cardinality. The same sketch family the batch store
+    * (`Sinks.mergeDistinctSketch`) persists, so streaming state and
+    * stored batch partials are mutually mergeable. Input:
+    * `(key string, value long)`; output per update:
+    * `(key, approx_distinct)`.
+    */
+  def distinctByKey(items: DataFrame): DataFrame = {
+    import org.apache.datasketches.hll.HllSketch
+    import org.apache.datasketches.memory.Memory
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Byte], (String, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          val sk =
+            if (state.exists) HllSketch.heapify(Memory.wrap(state.get))
+            else new HllSketch(12)
+          rows.foreach(r => sk.update(r._2))
+          state.update(sk.toCompactByteArray)
+          (key, sk.getEstimate)
+      }
+      .toDF("key", "approx_distinct")
+  }
+
   /** Streaming CDC apply: versioned I/U/D change batches arriving as
     * a file stream fold into a keyed snapshot store via
     * [[graft.etl.Cdc.apply]] per micro-batch — the continuous-MERGE

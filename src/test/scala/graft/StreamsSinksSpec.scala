@@ -205,6 +205,42 @@ class StreamsSinksSpec extends SparkSpec {
       "throttling must not drop rows")
   }
 
+  test("streaming distinctByKey: HLL state tracks exact distinct within rse") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_hllstream").toString
+    // two files so the sketch state must carry across micro-batches;
+    // overlapping values per key prove union-not-sum semantics
+    val f1 = (0L until 3000L).map(i => (s"k${i % 3}", i % 400))
+      .toDF("key", "value")
+    val f2 = (0L until 3000L).map(i => (s"k${i % 3}", 300L + (i % 400)))
+      .toDF("key", "value")
+    f1.coalesce(1).write.mode("overwrite").parquet(s"$src/a")
+    f2.coalesce(1).write.mode("overwrite").parquet(s"$src/b")
+    val stream = Streams.fileStream(spark, s"$src/a", f1.schema, Some(1))
+      .unionByName(Streams.fileStream(spark, s"$src/b", f1.schema,
+        Some(1)))
+    val q = Streams.distinctByKey(stream)
+      .writeStream.format("memory").queryName("spec_hll_stream")
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the final (largest) update per key reflects the union: the
+    // estimate is monotone as the sketch accrues values
+    val est = spark.table("spec_hll_stream")
+      .groupBy("key").agg(max("approx_distinct").as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = f1.unionByName(f2).groupBy("key")
+      .agg(countDistinct("value").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(est(k) - n) <= n * 0.1 + 2,
+        s"key $k: est ${est(k)} vs exact $n (union across batches, " +
+          "not sum: a summed estimate would be ~2x)")
+      assert(est(k) <= n * 1.5,
+        s"key $k overlap must not double-count: ${est(k)} vs $n")
+    }
+  }
+
   test("streaming CDC apply == one-shot batch Cdc.apply") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_cdc_src").toString
