@@ -113,6 +113,18 @@ private[graft] object QueriesLlm {
     Vectors.cosineTopK(emb, emb.filter(col("vec_id") < 5), 10)
   }
 
+  /** Hard-negative mining: 5 most-similar-below-0.2 per query —
+    * informative contrastive negatives, latent positives excluded.
+    */
+  def hardNegativesQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Vectors.hardNegatives(emb, emb.filter(col("vec_id") < 5), 5, 0.2)
+  }
+
+  /** Deterministic contrastive negative sampling (3 draws/doc). */
+  def negativeSampleQ(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Curation.negativeSamples(t(s, dir, "documents"), 3)
+
   def annLsh(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(col("vec_id"),
       Vectors.lshBucket(Vectors.toDouble(col("embedding")), 8, 64)
@@ -421,6 +433,8 @@ private[graft] object QueriesLlm {
     "q_simhash" -> (simhash _),
     "q_contamination" -> (contamination _),
     "q_cosine_topk" -> (cosineTopK _),
+    "q_hard_negatives" -> (hardNegativesQ _),
+    "q_negative_sample" -> (negativeSampleQ _),
     "q_ann_lsh" -> (annLsh _),
     "q_ann_topk" -> (annTopK _),
     "q_ann_multiprobe" -> (annMultiprobe _),
@@ -1034,6 +1048,34 @@ private[graft] object QueriesLlm {
               ORDER BY cos DESC, vec_id) AS rank
             FROM scored)
           SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 10""",
+    "q_hard_negatives" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+          scored AS (
+            SELECT query_id, vec_id,
+              round(${dotSql("qe", "e")} /
+                (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("e", "e")})),
+                6) AS cos
+            FROM v, q WHERE vec_id <> query_id),
+          r AS (SELECT query_id, vec_id, cos,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) AS rank
+            FROM (SELECT * FROM scored WHERE cos < 0.2))
+          SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5""",
+    "q_negative_sample" ->
+      s"""WITH n AS (SELECT count(*) AS cnt FROM documents),
+          d AS (SELECT doc_id,
+                  unnest(generate_series(0, 2)) AS draw
+                FROM documents),
+          h AS (SELECT doc_id, draw,
+                  ${h60Sql("CAST(doc_id AS VARCHAR) || '#' || " +
+                    "CAST(draw AS VARCHAR)")} AS hv
+                FROM d)
+          SELECT doc_id, CAST(draw AS BIGINT) AS draw,
+                 CASE WHEN hv % cnt = doc_id
+                      THEN (hv % cnt + 1) % cnt
+                      ELSE hv % cnt END AS neg_id
+          FROM h, n""",
     "q_ann_lsh" ->
       s"""SELECT vec_id, CAST(${bucketSql("e")} AS BIGINT) AS bucket
           FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)""",

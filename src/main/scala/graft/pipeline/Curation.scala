@@ -104,6 +104,36 @@ object Curation {
       .drop("__graft_es_key")
   }
 
+  /** Deterministic uniform negative sampling for contrastive
+    * training: each doc draws `k` pseudo-random partner ids from
+    * `[0, corpusSize)` via the md5 hash of (id, draw ordinal) —
+    * reproducible across engines/reruns, unlike `rand()`. A
+    * self-draw steps to the next slot. Map-only apart from the 1-row
+    * corpus-count broadcast.
+    *
+    * ASSUMES contiguous ids `0..n-1` (the usual post-dictionary-
+    * encoding layout — see `TextAnalysis.dictionaryEncode`); with
+    * sparse ids, map ordinals back through the dictionary.
+    */
+  def negativeSamples(docs: DataFrame, k: Int,
+                      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val n = docs.select(count(lit(1)).as("__graft_n"))
+    val h = TextAnalysis.hash60(
+      concat(col(idCol).cast("string"), lit("#"),
+        col("draw").cast("string")))
+    docs.select(col(idCol))
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("__graft_n"),
+        explode(sequence(lit(0), lit(k - 1))).as("draw"))
+      .select(col(idCol), col("draw").cast("long").as("draw"),
+        (h % col("__graft_n")).as("__graft_neg0"), col("__graft_n"))
+      .select(col(idCol), col("draw"),
+        when(col("__graft_neg0") === col(idCol),
+          (col("__graft_neg0") + 1L) % col("__graft_n"))
+          .otherwise(col("__graft_neg0")).as("neg_id"))
+  }
+
   /** Overlapping token-window chunking — the RAG / context-window
     * preprocessing step: each document's whitespace tokens are cut
     * into windows of `window` tokens every `stride` tokens (overlap =

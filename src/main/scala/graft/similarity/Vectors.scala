@@ -119,6 +119,27 @@ object Vectors {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining (DPR/SimCSE-style): per query, the `k` MOST
+    * similar corpus vectors whose cosine stays BELOW `maxCos` —
+    * similar enough to be informative contrastive negatives, not so
+    * similar they are latent positives. Same broadcast + bounded-heap
+    * shape as [[cosineTopK]]; the ceiling filter runs before the heap
+    * so near-dups never occupy heap slots.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    maxCos: Double, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("v"))
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos"))
+      .filter(col("cos") < maxCos)
+    rankTopK(scored, k)
+  }
+
   /** Deterministic pseudo-random hyperplane: plane i, dimension d → a
     * double in [−0.5, 0.5). Pure integer arithmetic (Knuth
     * multiplicative hash mod a prime) evaluated once in Scala — IEEE

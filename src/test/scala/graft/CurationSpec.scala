@@ -133,6 +133,22 @@ class CurationSpec extends SparkSpec {
     assert(chunks.map(_.getLong(3)).sum === 9L, "every token exactly once")
   }
 
+  test("negativeSamples: k draws per doc, never self, deterministic") {
+    import spark.implicits._
+    val d = (0L until 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val rows = Curation.negativeSamples(d, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 400)
+    assert(rows.forall { case (id, _, neg) => neg != id },
+      "self-draws must re-step")
+    assert(rows.forall { case (_, _, neg) => neg >= 0 && neg < 100 },
+      "draws land in the id range")
+    val again = Curation.negativeSamples(d.repartition(7), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sorted.toSeq === again.sorted.toSeq,
+      "pure function of (id, draw, corpus size)")
+  }
+
   test("curate with LSH variant keeps a subset of the exact survivors' complement") {
     val exact = Curation.curate(docs, 20, 0.5, Seq("the", "a"), 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
