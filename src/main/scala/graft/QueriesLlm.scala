@@ -374,6 +374,17 @@ private[graft] object QueriesLlm {
       .withColumnsRenamed(Map("value" -> "token", "id" -> "token_id"))
   }
 
+  /** Tokenizer capstone: dictionary build + tokenize-to-ids (the
+    * sequence a packer would consume), ids in token order, OOV = -1.
+    */
+  def encodeTokensQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val dict = TextAnalysis.dictionaryEncode(
+      docs.select(explode(TextAnalysis.tokens(col("text"))).as("token")),
+      "token")
+    TextAnalysis.encodeTokens(docs, dict)
+  }
+
   /** Deterministic Lloyd k-means over embeddings (k=8, one centroid
     * update) — the semantic-clustering stage of SemDeDup-style dedup.
     */
@@ -412,6 +423,7 @@ private[graft] object QueriesLlm {
     "q_chunk_docs" -> (chunkDocsQ _),
     "q_inverted_index" -> (invertedIndex _),
     "q_dict_encode" -> (dictEncode _),
+    "q_encode_tokens" -> (encodeTokensQ _),
     "q_kmeans" -> (kmeansQ _),
     "q_semantic_dedup" -> (semanticDedupQ _),
     "q_train_split" -> (trainSplit _),
@@ -712,6 +724,26 @@ private[graft] object QueriesLlm {
              AS token_id
          FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS token
                FROM documents WHERE text IS NOT NULL)""",
+    "q_encode_tokens" ->
+      """WITH w0 AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE text IS NOT NULL),
+         tk0 AS (
+           SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(w)),
+             i -> struct_pack(pos := i - 1, tok := w[i]))) AS pw
+           FROM w0),
+         tk AS (SELECT doc_id, pw.pos AS pos, pw.tok AS token FROM tk0),
+         dict AS (
+           SELECT token, row_number() OVER (ORDER BY token) - 1 AS id
+           FROM (SELECT DISTINCT unnest(string_split(text, ' '))
+                   AS token
+                 FROM documents WHERE text IS NOT NULL)),
+         j AS (SELECT doc_id, pos, coalesce(id, -1) AS id
+               FROM tk LEFT JOIN dict USING (token))
+         SELECT doc_id,
+                string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids
+         FROM j GROUP BY doc_id""",
     "q_inverted_index" ->
       """WITH tk AS (
            SELECT doc_id,

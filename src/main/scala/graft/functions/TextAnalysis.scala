@@ -312,6 +312,31 @@ object TextAnalysis {
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
+  /** Tokenize-to-ids: map every document's token sequence through a
+    * dictionary from [[dictionaryEncode]] — the final tokenizer step
+    * before sequence packing. The dictionary (vocab ≪ corpus)
+    * broadcasts, so encoding is map-side: posexplode → broadcast join
+    * → per-doc ordered reassembly. Out-of-vocabulary tokens encode as
+    * −1 (the caller's UNK policy hook). Output: (idCol, ids) with ids
+    * as a comma-joined string in token order.
+    */
+  def encodeTokens(docs: org.apache.spark.sql.DataFrame,
+                   dict: org.apache.spark.sql.DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text"):
+      org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+    toks
+      .join(org.apache.spark.sql.functions.broadcast(
+        dict.withColumnsRenamed(Map("value" -> "token"))),
+        Seq("token"), "left")
+      .withColumn("id", coalesce(col("id"), lit(-1L)))
+      .groupBy(idCol)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("id")))),
+        x => x.getField("id").cast("string")), ",").as("ids"))
+  }
+
   /** Marker-word language-ID heuristic: count hits per language's
     * marker set; predict the first language (in `markers` order) with
     * the maximal count, 'und' when all counts are zero. Deterministic

@@ -49,6 +49,20 @@ class TextPipelineSpec extends SparkSpec {
     assert(labeled === agg)
   }
 
+  test("encodeTokens: ordered ids through the dictionary, OOV = -1") {
+    import spark.implicits._
+    val docs = Seq((1L, "b a c a"), (2L, "a zzz")).toDF("doc_id", "text")
+    // dictionary built from doc 1 only: 'zzz' is out-of-vocabulary
+    val dict = TextAnalysis.dictionaryEncode(
+      docs.filter(col("doc_id") === 1L)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token")),
+      "token") // a->0, b->1, c->2
+    val out = TextAnalysis.encodeTokens(docs, dict)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "1,0,2,0", "token order preserved, not sorted")
+    assert(out(2L) === "0,-1", "OOV encodes as -1")
+  }
+
   test("redactPii masks emails, phones, and IPs; counts match") {
     import spark.implicits._
     val df = Seq(
