@@ -431,12 +431,22 @@ private[graft] object Queries {
     a.unionByName(b)
   }
 
-  /** U4: key-space intersection. */
+  /** U4: key-space intersection.
+    *
+    * Each side is aggregated to distinct keys BEFORE the intersect
+    * (same rationale as [[QueriesAnalytics.exceptKeys]]): Spark plans
+    * INTERSECT DISTINCT as a join/aggregate over both full inputs, so
+    * without the pre-distinct the shuffle carries every row's
+    * formatted month string instead of the handful of distinct
+    * months. The pre-aggregate is map-side-combined.
+    */
   def intersectKeys(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .select(Fresco.monthKey(col("l_shipdate")).as("ym"))
+      .distinct()
       .intersect(
-        t(s, dir, "orders").select(Fresco.monthKey(col("o_orderdate")).as("ym")))
+        t(s, dir, "orders").select(Fresco.monthKey(col("o_orderdate")).as("ym"))
+          .distinct())
 
   /** F1: safe_division with zero-denominator guard. */
   def safeDivQ(s: SparkSession, dir: String): DataFrame =

@@ -16,6 +16,28 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
+  /** Query sets beyond this make the broadcast |corpus|×|queries| scan
+    * the wrong tool — each executor evaluates every (row, query) pair,
+    * and the broadcast itself approaches driver/executor memory. Same
+    * fail-loudly posture as [[graft.etl.BloomJoin.MaxExpectedItems]]:
+    * past the ceiling, use [[annTopK]] / [[ivfTopK]], which bucket the
+    * corpus so cost stays proportional to candidates, not pairs.
+    */
+  val MaxBruteForceQueries: Long = 100000L
+
+  /** Enforce the brute-force ceiling. The probe is bounded — a
+    * LocalLimit stops the scan at `MaxBruteForceQueries + 1` rows — so
+    * the check costs O(ceiling) regardless of the query set's true
+    * size.
+    */
+  private def requireBruteForceable(queries: DataFrame, op: String): Unit = {
+    val n = queries.limit(MaxBruteForceQueries.toInt + 1).count()
+    require(n <= MaxBruteForceQueries,
+      s"$op scans |corpus| x |queries| pairs and broadcasts the query " +
+        s"set: > $MaxBruteForceQueries query rows is the regime for " +
+        "annTopK/ivfTopK (bucketed candidates), not a brute-force scan")
+  }
+
   /** float[] → double[] up front, so every subsequent fold is pure
     * double arithmetic (deterministic and oracle-reproducible).
     */
@@ -109,6 +131,7 @@ object Vectors {
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                  idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame = {
+    requireBruteForceable(queries, "cosineTopK")
     val c = corpus.select(col(idCol).as("vec_id"),
       toDouble(col(vecCol)).as("v"))
     val q = queries.select(col(idCol).as("query_id"),
@@ -129,6 +152,7 @@ object Vectors {
   def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
                     maxCos: Double, idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
+    requireBruteForceable(queries, "hardNegatives")
     val c = corpus.select(col(idCol).as("vec_id"),
       toDouble(col(vecCol)).as("v"))
     val q = queries.select(col(idCol).as("query_id"),

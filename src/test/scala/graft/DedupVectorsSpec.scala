@@ -109,6 +109,24 @@ class DedupVectorsSpec extends SparkSpec {
     assert(r.last.getAs[Double]("cos") === 0.0)
   }
 
+  test("brute-force guard: oversized query set is refused with ANN hint") {
+    // a query set past MaxBruteForceQueries must throw before any
+    // broadcast is attempted, and the message must name the bucketed
+    // alternatives; the probe itself is a bounded limit+count
+    import spark.implicits._
+    val big = spark.range(Vectors.MaxBruteForceQueries + 1)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0f), lit(0.0f), lit(0.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Vectors.cosineTopK(vecs, big, 3)
+    }
+    assert(e.getMessage.contains("annTopK"))
+    val e2 = intercept[IllegalArgumentException] {
+      Vectors.hardNegatives(vecs, big, 3, maxCos = 0.9)
+    }
+    assert(e2.getMessage.contains("ivfTopK"))
+  }
+
   test("fuzzy dedup with r=4 bands (struct band sig, no long overflow)") {
     // arithmetic packing a·p+b overflows Long at r >= 3; the struct
     // band signature must keep exact agree-on-all-r semantics at r=4

@@ -101,6 +101,19 @@ class PlanRegressionSpec extends SparkSpec {
       s"one key-only shuffle per side, nothing else:\n$p")
   }
 
+  test("intersect keys: distinct-before-intersect broadcasts the build side") {
+    // same property as the EXCEPT guard: pre-distincting each side
+    // lets Catalyst broadcast the (tiny) distinct right side and
+    // semi-join map-side — the fact table's raw rows never shuffle;
+    // the only hash exchanges carry distinct month keys
+    val p = plan("q_intersect_keys")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"intersect should plan as a broadcast semi-join over distinct keys:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      s"one key-only shuffle per side, nothing else:\n$p")
+  }
+
   test("weighted sample: bounded global top-k, not a full sort") {
     val p = plan("q_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"),
