@@ -209,10 +209,23 @@ private[graft] object QueriesIo {
 
   // --- multimodal ------------------------------------------------------
 
-  /** Binary payload + per-partition (stub) decode to typed metadata. */
+  /** Binary payload + per-partition honest metadata probe. Two doc_id
+    * slices carry real container headers ([[Multimodal.WavFixture]] /
+    * [[Multimodal.FtypFixture]]) so the gate discriminates the WAV fmt
+    * parse (sample rate, channels) and the ftyp brand probe from the
+    * unknown fallback; the rest are UTF-8 text payloads, honestly
+    * reported as `format='unknown'` with null media fields. Image
+    * dimensions (imageio path) are pinned by LibraryEdgeSpec — PNG
+    * encoders aren't byte-stable across engines, so no image fixture
+    * can live in a cross-engine oracle.
+    */
   def mediaMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(
-      Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text"))
+      t(s, dir, "documents").select(
+        col("doc_id").cast("long").as("media_id"),
+        when(col("doc_id") % 7 === 0, lit(Multimodal.WavFixture))
+          .when(col("doc_id") % 7 === 1, lit(Multimodal.FtypFixture))
+          .otherwise(encode(col("text"), "UTF-8")).as("payload")))
 
   /** Resize plumbing through the oracle gate: the documents payloads
     * are text, so every row takes the deterministic passthrough
@@ -362,14 +375,17 @@ private[graft] object QueriesIo {
            max(CAST(round(value * 100.0, 0) AS BIGINT)) AS max_cents
          FROM events GROUP BY 1""",
     "q_media_meta" ->
-      """SELECT doc_id AS media_id,
-           CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'jpeg'
-                WHEN octet_length(encode(text)) % 3 = 1 THEN 'png'
-                ELSE 'webp' END AS format,
-           CAST(16 + octet_length(encode(text)) % 640 AS INT) AS width,
-           CAST(16 + (octet_length(encode(text)) // 7) % 480 AS INT)
-             AS height,
-           octet_length(encode(text)) AS n_bytes
+      s"""SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 7 = 0 THEN 'wav'
+                WHEN doc_id % 7 = 1 THEN 'mp4'
+                ELSE 'unknown' END AS format,
+           CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 44100 END AS INT)
+             AS sample_rate,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 2 END AS INT) AS channels,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN ${Multimodal.WavFixture.length}
+                WHEN doc_id % 7 = 1 THEN ${Multimodal.FtypFixture.length}
+                ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes
          FROM documents""",
     "q_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_no

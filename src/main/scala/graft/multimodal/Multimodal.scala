@@ -9,18 +9,28 @@ import org.apache.spark.sql.types._
   * struct; decode / feature-extraction runs per-partition so a real
   * codec library would be initialized once per task, not per row.
   *
-  * The actual byte decoding is a STUB — image/audio codecs are not in
-  * this environment — replaced by a deterministic fake that derives
-  * plausible metadata from the byte stream. Everything around it
-  * (schema, partitioning, batch iteration, frame-sampling shape) is
-  * real Spark plumbing a codec drop-in would inherit unchanged.
+  * Metadata extraction is honest per format: PNG/JPEG decode through
+  * the JDK's `javax.imageio` (true pixel dimensions); RIFF/WAV and
+  * ISO-BMFF (`ftyp`) payloads are probed by parsing their public
+  * container headers (sample rate / channels from the WAV fmt chunk,
+  * brand from the ftyp box); anything unsniffable reports
+  * `format='unknown'` with null media fields — never fabricated
+  * values. Full audio/video FRAME decoding still needs an external
+  * codec (not in this environment); the frame-sampling shape below is
+  * the plumbing such a codec would drop into.
   */
 object Multimodal {
 
-  /** Typed metadata carried next to every payload. */
+  /** Typed metadata carried next to every payload. Image fields
+    * (width/height) are null for non-image media; audio fields
+    * (sample_rate/channels) are null for images; all four are null
+    * when the payload is unsniffable.
+    */
   val MediaMetaSchema: StructType = StructType(Seq(
     StructField("format", StringType), StructField("width", IntegerType),
-    StructField("height", IntegerType), StructField("n_bytes", LongType)))
+    StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType), StructField("n_bytes", LongType)))
 
   /** Wrap a text/binary source as (id, payload) media rows. */
   def attachPayload(df: DataFrame, idCol: String,
@@ -28,19 +38,81 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("media_id"),
       encode(col(contentCol).cast("string"), "UTF-8").as("payload"))
 
-  /** STUB decoder — deterministic fake standing in for an image codec.
-    * A real implementation would replace `fakeDecode` with e.g. a JNI
-    * JPEG decode; the mapPartitions batching, output schema, and
-    * per-task amortization are what matters to the pipeline.
+  private def ascii(p: Array[Byte], off: Int, n: Int): String =
+    new String(p, off, n, java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def u16le(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xFF) | ((p(i + 1) & 0xFF) << 8)
+
+  private def u32le(p: Array[Byte], i: Int): Long =
+    u16le(p, i).toLong | (u16le(p, i + 2).toLong << 16)
+
+  private def u32be(p: Array[Byte], i: Int): Long =
+    ((p(i) & 0xFFL) << 24) | ((p(i + 1) & 0xFFL) << 16) |
+      ((p(i + 2) & 0xFFL) << 8) | (p(i + 3) & 0xFFL)
+
+  /** RIFF/WAV header probe (public format, RIFF 1991 spec): verifies
+    * the RIFF/WAVE signature, then walks the word-aligned chunk list
+    * to the `fmt ` chunk and returns (sampleRate, channels). None when
+    * the container structure is absent or truncated — a payload whose
+    * metadata can't actually be read reports nothing.
     */
-  private def fakeDecode(payload: Array[Byte]): (String, Int, Int, Long) = {
-    val n = payload.length
-    // ??? real codec goes here; fake derives metadata from content
-    val fmt = if (n % 3 == 0) "jpeg" else if (n % 3 == 1) "png" else "webp"
-    val width = 16 + (n % 640)
-    val height = 16 + ((n / 7) % 480)
-    (fmt, width, height, n.toLong)
+  private def probeWav(p: Array[Byte]): Option[(Int, Int)] = {
+    if (p.length < 12 || ascii(p, 0, 4) != "RIFF" ||
+      ascii(p, 8, 4) != "WAVE") return None
+    var off = 12
+    while (off + 8 <= p.length) {
+      val id = ascii(p, off, 4)
+      val size = u32le(p, off + 4)
+      if (id == "fmt ")
+        return if (size >= 16 && off + 8 + 8 <= p.length)
+          Some((u32le(p, off + 12).toInt, u16le(p, off + 10))) else None
+      if (size < 0 || size > p.length) return None
+      off += 8 + size.toInt + (size.toInt & 1)
+    }
+    None
   }
+
+  /** ISO-BMFF (MP4-family) header probe: a leading `ftyp` box whose
+    * declared big-endian size is self-consistent with the payload.
+    * Returns the format derived from the major brand (`M4A ` → m4a,
+    * anything else in the family → mp4). None when the box structure
+    * doesn't hold.
+    */
+  private def probeBmff(p: Array[Byte]): Option[String] = {
+    if (p.length < 12 || ascii(p, 4, 4) != "ftyp") return None
+    val size = u32be(p, 0)
+    if (size < 12 || size > p.length) return None
+    val brand = ascii(p, 8, 4)
+    if (!brand.forall(c => c >= ' ' && c < 127)) return None
+    Some(if (brand.toLowerCase.startsWith("m4a")) "m4a" else "mp4")
+  }
+
+  private def beBytes(v: Int): Array[Byte] = Array(
+    ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+    ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+  private def leBytes(v: Int, n: Int): Array[Byte] =
+    (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+
+  private def a(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Deterministic 44-byte PCM WAV header (44.1 kHz stereo 16-bit,
+    * zero-length data chunk) — a real, spec-conformant container for
+    * gates and specs to probe; byte-stable across engines and JDKs.
+    */
+  val WavFixture: Array[Byte] =
+    a("RIFF") ++ leBytes(36, 4) ++ a("WAVE") ++
+      a("fmt ") ++ leBytes(16, 4) ++ leBytes(1, 2) ++ leBytes(2, 2) ++
+      leBytes(44100, 4) ++ leBytes(176400, 4) ++ leBytes(4, 2) ++
+      leBytes(16, 2) ++ a("data") ++ leBytes(0, 4)
+
+  /** Deterministic 20-byte ISO-BMFF `ftyp` box (brand isom) — the
+    * minimal honest MP4-family container header.
+    */
+  val FtypFixture: Array[Byte] =
+    beBytes(20) ++ a("ftyp") ++ a("isom") ++ beBytes(0) ++ a("mp42")
 
   private val PngMagic: Array[Byte] =
     Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
@@ -59,26 +131,16 @@ object Multimodal {
     else if (isJpeg(p)) Some("jpeg")
     else None
 
-  /** REAL decode path for PNG/JPEG payloads via the JDK's
-    * `javax.imageio` (no external codec needed). Unreadable bytes fall
-    * through to the stub rather than failing the pipeline — a corrupt
-    * payload in a 100 TB corpus must not kill the job.
-    */
-  private def imageioDecode(fmt: String, payload: Array[Byte])
-      : (String, Int, Int, Long) = {
-    val img = try {
-      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-    } catch { case _: java.io.IOException => null }
-    if (img == null) fakeDecode(payload)
-    else (fmt, img.getWidth, img.getHeight, payload.length.toLong)
-  }
-
   private val DecodedSchema = StructType(
     StructField("media_id", LongType) +: MediaMetaSchema.fields.toSeq)
 
   /** Decode payloads per-partition into the typed metadata schema.
-    * PNG and JPEG payloads (magic-sniffed) take the real
-    * `javax.imageio` path; other formats use the documented stub.
+    * PNG/JPEG (magic-sniffed) decode via `javax.imageio` for true
+    * pixel dimensions — a payload that declares an image format but
+    * won't decode keeps its sniffed format with null dimensions (a
+    * corrupt row in a 100 TB corpus must not kill the job). WAV and
+    * ISO-BMFF metadata comes from their parsed container headers;
+    * everything else is `format='unknown'` with null media fields.
     */
   def decodeMeta(media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -87,12 +149,24 @@ object Multimodal {
       // per-task codec init would happen here, once (ImageIO's plugin
       // registry is JVM-global and lazily initialized on first read)
       rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        val (fmt, w, h, n) = sniff(payload) match {
-          case Some(f) => imageioDecode(f, payload)
-          case None => fakeDecode(payload)
+        val p = r.getAs[Array[Byte]]("payload")
+        val n = p.length.toLong
+        val meta: Seq[Any] = sniff(p) match {
+          case Some(fmt) =>
+            val img = try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(p))
+            catch { case _: java.io.IOException => null }
+            if (img == null) Seq(fmt, null, null, null, null, n)
+            else Seq(fmt, img.getWidth, img.getHeight, null, null, n)
+          case None => probeWav(p) match {
+            case Some((rate, ch)) => Seq("wav", null, null, rate, ch, n)
+            case None => probeBmff(p) match {
+              case Some(fmt) => Seq(fmt, null, null, null, null, n)
+              case None => Seq("unknown", null, null, null, null, n)
+            }
+          }
         }
-        Row(r.getLong(0), fmt, w, h, n)
+        Row.fromSeq(r.getLong(0) +: meta)
       }
     }(enc)
   }

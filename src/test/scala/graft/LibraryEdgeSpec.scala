@@ -35,7 +35,7 @@ class LibraryEdgeSpec extends SparkSpec {
     assert(sh(2) === Seq("a b c"))
   }
 
-  test("multimodal decode is deterministic and schema-stable") {
+  test("multimodal decode is deterministic and honest about unknowns") {
     import spark.implicits._
     val media = Multimodal.attachPayload(
       Seq((1L, "hello world")).toDF("id", "content"), "id", "content")
@@ -44,8 +44,34 @@ class LibraryEdgeSpec extends SparkSpec {
     assert(out1 === out2)
     val r = out1.head
     assert(r.getAs[Long]("n_bytes") === 11L)
-    assert(Seq("jpeg", "png", "webp").contains(r.getAs[String]("format")))
-    assert(r.getAs[Int]("width") >= 16 && r.getAs[Int]("height") >= 16)
+    // text bytes are not a media container: no fabricated metadata
+    assert(r.getAs[String]("format") === "unknown")
+    assert(r.isNullAt(r.fieldIndex("width")) &&
+      r.isNullAt(r.fieldIndex("height")) &&
+      r.isNullAt(r.fieldIndex("sample_rate")) &&
+      r.isNullAt(r.fieldIndex("channels")))
+  }
+
+  test("multimodal decode: WAV fmt chunk and ftyp brand are really parsed") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Multimodal.WavFixture),
+      (2L, Multimodal.FtypFixture),
+      // RIFF/WAVE signature but truncated before the fmt fields —
+      // the probe must refuse, not invent a sample rate
+      (3L, Multimodal.WavFixture.take(20)),
+      // ftyp whose declared box size exceeds the payload
+      (4L, Multimodal.FtypFixture.take(12))).toDF("media_id", "payload")
+    val rs = Multimodal.decodeMeta(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rs(1L).getAs[String]("format") === "wav")
+    assert(rs(1L).getAs[Int]("sample_rate") === 44100)
+    assert(rs(1L).getAs[Int]("channels") === 2)
+    assert(rs(1L).isNullAt(rs(1L).fieldIndex("width")))
+    assert(rs(2L).getAs[String]("format") === "mp4")
+    assert(rs(2L).isNullAt(rs(2L).fieldIndex("sample_rate")))
+    assert(rs(3L).getAs[String]("format") === "unknown")
+    assert(rs(4L).getAs[String]("format") === "unknown")
   }
 
   test("multimodal decode: real PNG payloads take the javax.imageio path") {
@@ -64,12 +90,16 @@ class LibraryEdgeSpec extends SparkSpec {
     assert(r.getAs[Int]("width") === 3)
     assert(r.getAs[Int]("height") === 2)
     assert(r.getAs[Long]("n_bytes") === png.length.toLong)
-    // corrupt PNG (magic but truncated body) falls back to the stub
-    // instead of failing the task
+    // corrupt PNG (magic but truncated body) keeps its declared
+    // format with null dimensions instead of failing the task or
+    // inventing values
     val broken = png.take(12)
     val media2 = Seq((43L, broken)).toDF("media_id", "payload")
     val r2 = Multimodal.decodeMeta(media2).collect().head
     assert(r2.getAs[Long]("n_bytes") === broken.length.toLong)
+    assert(r2.getAs[String]("format") === "png")
+    assert(r2.isNullAt(r2.fieldIndex("width")) &&
+      r2.isNullAt(r2.fieldIndex("height")))
     // JPEG goes through the same real path
     val jbos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "jpg", jbos)
