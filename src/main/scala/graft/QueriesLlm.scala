@@ -22,6 +22,17 @@ private[graft] object QueriesLlm {
   private val MinhashK = 8
   private val JaccardThreshold = 0.5
 
+  /** Ranked BPE merges fixture (training a merges table is offline;
+    * applying one is the engine's job). Multi-level merges (table ←
+    * tab+le ← ta+b ← t+a) and rank-over-position cases (er before or
+    * in "order") make the gate discriminate greedy lowest-rank-first
+    * semantics from naive left-to-right merging.
+    */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "a", "ta" -> "b", "l" -> "e", "tab" -> "le", "s" -> "c",
+    "sc" -> "a", "sca" -> "n", "e" -> "r", "o" -> "r", "q" -> "u",
+    "a" -> "g", "ag" -> "g", "s" -> "t", "r" -> "e", "a" -> "m")
+
   // --- text analysis ---------------------------------------------------
 
   def tokenCount(s: SparkSession, dir: String): DataFrame =
@@ -385,6 +396,13 @@ private[graft] object QueriesLlm {
     TextAnalysis.encodeTokens(docs, dict)
   }
 
+  /** Real-BPE tokenizer capstone: greedy merges-table subword split
+    * ([[TextAnalysis.bpeSubwords]]) → corpus subword dictionary →
+    * tokenize-to-ids, ids in subword order.
+    */
+  def encodeTokensBpeQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.encodeTokensBpe(t(s, dir, "documents"), BpeMerges)
+
   /** Deterministic Lloyd k-means over embeddings (k=8, one centroid
     * update) — the semantic-clustering stage of SemDeDup-style dedup.
     */
@@ -424,6 +442,7 @@ private[graft] object QueriesLlm {
     "q_inverted_index" -> (invertedIndex _),
     "q_dict_encode" -> (dictEncode _),
     "q_encode_tokens" -> (encodeTokensQ _),
+    "q_encode_tokens_bpe" -> (encodeTokensBpeQ _),
     "q_kmeans" -> (kmeansQ _),
     "q_semantic_dedup" -> (semanticDedupQ _),
     "q_train_split" -> (trainSplit _),
@@ -744,6 +763,65 @@ private[graft] object QueriesLlm {
          SELECT doc_id,
                 string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids
          FROM j GROUP BY doc_id""",
+    // Replays greedy lowest-rank-first BPE in SQL: the recursive CTE
+    // carries each distinct word's token-list state, one merge per
+    // step (rank*100000+i encodes lowest-rank-then-leftmost as a
+    // single argmin); terminal states are those with no merge left.
+    "q_encode_tokens_bpe" -> {
+      val keys = BpeMerges
+        .map { case (a, b) => s"'$a' || chr(1) || '$b'" }.mkString(", ")
+      val vals = BpeMerges.indices.mkString(", ")
+      s"""WITH RECURSIVE
+         rmap AS (SELECT map([$keys], [$vals]) AS rm),
+         w AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+               FROM documents WHERE text IS NOT NULL),
+         st AS (
+           SELECT word, list_transform(generate_series(1, length(word)),
+                                       i -> word[i]) AS toks
+           FROM w
+           UNION ALL
+           SELECT word,
+                  toks[1:bi-1] || [toks[bi] || toks[bi+1]] || toks[bi+2:]
+           FROM (SELECT word, toks,
+                   CASE WHEN pmin < 99999900000
+                        THEN CAST(pmin % 100000 AS INT) END AS bi
+                 FROM (SELECT word, toks,
+                         coalesce(list_min(list_transform(
+                           generate_series(1, len(toks) - 1),
+                           i -> coalesce(
+                                  rm[toks[i] || chr(1) || toks[i + 1]][1],
+                                  999999)::BIGINT * 100000 + i)),
+                           99999900000) AS pmin
+                       FROM st, rmap) q1) q2
+           WHERE bi IS NOT NULL),
+         bpe AS (
+           SELECT word, toks FROM st, rmap
+           WHERE coalesce(list_min(list_transform(
+                   generate_series(1, len(toks) - 1),
+                   i -> coalesce(rm[toks[i] || chr(1) || toks[i + 1]][1],
+                                 999999))), 999999) = 999999),
+         dict AS (
+           SELECT s AS token,
+                  CAST(row_number() OVER (ORDER BY s) - 1 AS BIGINT) AS id
+           FROM (SELECT DISTINCT unnest(toks) AS s FROM bpe)),
+         w0 AS (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents WHERE text IS NOT NULL),
+         dw0 AS (SELECT doc_id, unnest(list_transform(
+                   generate_series(1, len(ws)),
+                   i -> struct_pack(wpos := i, word := ws[i]))) AS pw
+                 FROM w0),
+         dw AS (SELECT doc_id, pw.wpos AS wpos, pw.word AS word FROM dw0),
+         ex0 AS (SELECT doc_id, wpos, unnest(list_transform(
+                   generate_series(1, len(toks)),
+                   j -> struct_pack(j := j, s := toks[j]))) AS ps
+                 FROM dw JOIN bpe USING (word)),
+         ex AS (SELECT doc_id, wpos, ps.j AS j, ps.s AS s FROM ex0),
+         ids AS (SELECT doc_id, wpos, j, d.id
+                 FROM ex JOIN dict d ON d.token = ex.s)
+         SELECT doc_id,
+                string_agg(CAST(id AS VARCHAR), ',' ORDER BY wpos, j) AS ids
+         FROM ids GROUP BY doc_id"""
+    },
     "q_inverted_index" ->
       """WITH tk AS (
            SELECT doc_id,

@@ -337,6 +337,42 @@ object TextAnalysis {
         x => x.getField("id").cast("string")), ",").as("ids"))
   }
 
+  /** Merges-table BPE subword sequence of a document, in order
+    * ([[graft.plans.BpeEncodeExpr]]): whitespace pre-tokenization,
+    * then greedy lowest-rank pair merging per word. Map-only and
+    * codegen'd — the real tokenizer step `bpeTokenCount` only
+    * estimates.
+    */
+  def bpeSubwords(text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.plans.BpeEncodeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text), merges))
+
+  /** BPE tokenize-to-ids: [[bpeSubwords]] per document, a dictionary
+    * built from the corpus's own subword inventory
+    * ([[dictionaryEncode]] — global sorted rank, engine-independent),
+    * and per-doc ordered reassembly. Same broadcast-join shape as
+    * [[encodeTokens]]; the subword vocabulary (≤ |chars| + |merges|)
+    * is always broadcastable.
+    */
+  def encodeTokensBpe(docs: org.apache.spark.sql.DataFrame,
+                      merges: Seq[(String, String)],
+                      idCol: String = "doc_id", textCol: String = "text"):
+      org.apache.spark.sql.DataFrame = {
+    val sub = docs.select(col(idCol),
+      posexplode(bpeSubwords(col(textCol), merges)).as(Seq("pos", "token")))
+    val dict = dictionaryEncode(sub.select(col("token")), "token")
+    sub
+      .join(org.apache.spark.sql.functions.broadcast(
+        dict.withColumnsRenamed(Map("value" -> "token"))),
+        Seq("token"), "left")
+      .withColumn("id", coalesce(col("id"), lit(-1L)))
+      .groupBy(idCol)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("id")))),
+        x => x.getField("id").cast("string")), ",").as("ids"))
+  }
+
   /** Marker-word language-ID heuristic: count hits per language's
     * marker set; predict the first language (in `markers` order) with
     * the maximal count, 'und' when all counts are zero. Deterministic

@@ -63,6 +63,45 @@ class TextPipelineSpec extends SparkSpec {
     assert(out(2L) === "0,-1", "OOV encodes as -1")
   }
 
+  test("bpeSubwords: greedy lowest-rank merges, leftmost ties, codegen") {
+    import spark.implicits._
+    val merges = Seq("t" -> "a", "ta" -> "b", "l" -> "e", "tab" -> "le",
+      "e" -> "r", "o" -> "r", "q" -> "q")
+    val docs = Seq(
+      (1L, "table"), // full merge chain: t+a, ta+b, l+e, tab+le
+      (2L, "order"), // (e,r) rank 4 beats (o,r) rank 5 despite position
+      (3L, "qqq"), // tied (q,q) pairs: leftmost merges first -> qq|q
+      (4L, "x"), (5L, "")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        array_join(TextAnalysis.bpeSubwords(col("text"), merges), "|")
+          .as("sub"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "table")
+    assert(out(2L) === "or|d|er",
+      "rank priority: er merges before or is considered at its turn")
+    assert(out(3L) === "qq|q", "tie broken leftmost")
+    assert(out(4L) === "x" && out(5L) === "")
+    // the projection must stay inside whole-stage codegen (a parquet
+    // scan, not a LocalTableScan, which skips codegen entirely)
+    val plan = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(TextAnalysis.bpeSubwords(col("text"), merges))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_bpe_encode"),
+      s"the '*' codegen marker must cover the BPE projection:\n$plan")
+    assert(plan.contains("graft_bpe_encode(7 merges"),
+      s"plan string must print merge count, not contents:\n$plan")
+  }
+
+  test("encodeTokensBpe: subword ids ordered within and across words") {
+    import spark.implicits._
+    val merges = Seq("a" -> "b")
+    val docs = Seq((1L, "abc ab")).toDF("doc_id", "text")
+    // subwords: ab,c,ab -> dict: ab->0, c->1
+    val out = TextAnalysis.encodeTokensBpe(docs, merges)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "0,1,0")
+  }
+
   test("redactPii masks emails, phones, and IPs; counts match") {
     import spark.implicits._
     val df = Seq(
