@@ -106,30 +106,37 @@ private[graft] object QueriesFresco {
       concat(lit("node"), col("l_suppkey") % 50).as("node"),
       date_format(col("l_shipdate"), "MM/dd/yyyy HH:mm:ss").as("timestamp")))
 
-  /** F6 memory GB: Stage1.mem → two FRESCO events per input row (U2). */
-  def stage1Mem(s: SparkSession, dir: String): DataFrame =
-    Stage1.mem(events(s, dir).select(
+  /** Raw mem.csv-shaped input synthesized from events. */
+  private def memRaw(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
       ((col("value") + 100.0) * 1.0e8).as("MemTotal"),
       (col("value") * 5.0e7).as("MemFree"),
       (col("value") * 1.0e7).as("FilePages"),
       concat(lit("jobID"), col("user_id")).as("jobID"),
       concat(lit("host"), col("user_id") % 10).as("node"),
-      date_format(col("ts"), "MM/dd/yyyy HH:mm:ss").as("timestamp")))
+      date_format(col("ts"), "MM/dd/yyyy HH:mm:ss").as("timestamp"))
+
+  /** F6 memory GB: Stage1.mem → two FRESCO events per input row (U2). */
+  def stage1Mem(s: SparkSession, dir: String): DataFrame =
+    Stage1.mem(memRaw(s, dir))
+
+  /** Raw llite.csv-shaped input synthesized from events (`event_id`
+    * rides along purely as the deterministic order tiebreak).
+    */
+  private def nfsRaw(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      (col("value") * 1.0e6).as("read_bytes"),
+      (col("value") * 5.0e5).as("write_bytes"),
+      concat(lit("jobID"), col("user_id")).as("jobID"),
+      concat(lit("n"), col("user_id") % 3).as("node"),
+      date_format(col("ts"), "MM/dd/yyyy HH:mm:ss").as("timestamp"),
+      col("event_id"))
 
   /** W1 + W1a: Stage1.nfs — per-(jobID,node) ordered lag deltas feeding
-    * the reference's quirky `(cum − delta)/dt` rate. `event_id` rides
-    * along purely as the deterministic order tiebreak.
+    * the reference's quirky `(cum − delta)/dt` rate.
     */
   def stage1Nfs(s: SparkSession, dir: String): DataFrame =
-    Stage1.nfs(
-      events(s, dir).select(
-        (col("value") * 1.0e6).as("read_bytes"),
-        (col("value") * 5.0e5).as("write_bytes"),
-        concat(lit("jobID"), col("user_id")).as("jobID"),
-        concat(lit("n"), col("user_id") % 3).as("node"),
-        date_format(col("ts"), "MM/dd/yyyy HH:mm:ss").as("timestamp"),
-        col("event_id")),
-      orderCols = Seq("__ts", "event_id"))
+    Stage1.nfs(nfsRaw(s, dir), orderCols = Seq("__ts", "event_id"))
 
   /** W1 standalone: integer-microsecond lag deltas (exact, no FP). */
   def windowLag(s: SparkSession, dir: String): DataFrame = {
@@ -209,6 +216,46 @@ private[graft] object QueriesFresco {
   def stage2Spine(s: SparkSession, dir: String): DataFrame =
     Stage2.joinAndWiden(frescoTs(s, dir), jobsTable(s, dir))
 
+  /** §3 lifecycle capstone: all four Stage-1 metric transforms → U1
+    * union → Stage-2 join & widen → S10 day key, as ONE logical plan —
+    * proving the spine composes with no per-stage materialization.
+    * cpu/block timestamps are rebased into the accounting month
+    * (integer-µs arithmetic both engines reproduce bit-identically) so
+    * the J2 interval filter actually selects; mem/nfs ride events
+    * exactly as their standalone gates do. Plan shape: scans + ONE
+    * hash exchange (the nfs window) + one broadcast join — zero extra
+    * exchanges vs the standalone stages (guarded in
+    * PlanRegressionSpec).
+    */
+  def etlMonth(s: SparkSession, dir: String): DataFrame = {
+    val Base = 1704067200000000L // 2024-01-01 00:00:00 UTC in µs
+    val Hour = 3600000000L
+    val Minute = 60000000L
+    val k = col("l_orderkey")
+    val rebased = date_format(
+      timestamp_micros(lit(Base) + (k % 240) * lit(Hour) +
+        col("l_linenumber") * lit(Minute)),
+      "MM/dd/yyyy HH:mm:ss")
+    val jid = concat(lit("jobID"), k % 300)
+    val node = concat(lit("node"), col("l_suppkey") % 50)
+    val cpu = Stage1.cpu(t(s, dir, "lineitem").select(
+      col("l_quantity").as("user"),
+      col("l_linenumber").cast("double").as("nice"),
+      (col("l_discount") * 100.0).as("system"),
+      (col("l_tax") * 100.0).as("idle"),
+      lit(1.0).as("iowait"), lit(0.0).as("irq"), lit(0.0).as("softirq"),
+      jid.as("jobID"), node.as("node"), rebased.as("timestamp")))
+    val block = Stage1.block(t(s, dir, "lineitem").select(
+      (col("l_quantity") * 1000.0).as("rd_sectors"),
+      col("l_extendedprice").as("wr_sectors"),
+      (col("l_linenumber").cast("double") * 10.0).as("rd_ticks"),
+      (col("l_discount") * 100.0).as("wr_ticks"),
+      jid.as("jobID"), node.as("node"), rebased.as("timestamp")))
+    val union = Stage1.unionAll(cpu, block, Stage1.mem(memRaw(s, dir)),
+      Stage1.nfs(nfsRaw(s, dir), orderCols = Seq("__ts", "event_id")))
+    Stage2.withDayKey(Stage2.joinAndWiden(union, jobsTable(s, dir)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jobid_norm" -> (jobidNorm _),
     "q_walltime" -> (walltime _),
@@ -220,7 +267,8 @@ private[graft] object QueriesFresco {
     "q_stage1_nfs" -> (stage1Nfs _),
     "q_window_lag" -> (windowLag _),
     "q_pivot" -> (pivot _),
-    "q_stage2_spine" -> (stage2Spine _))
+    "q_stage2_spine" -> (stage2Spine _),
+    "q_etl_month" -> (etlMonth _))
 
   // ---------------------------------------------------------------------
   // DuckDB oracles — independent SQL re-statements of the same semantics
@@ -375,6 +423,114 @@ private[graft] object QueriesFresco {
                 CASE WHEN ev = 'nfs' THEN value END AS value_nfs,
                 CASE WHEN ev = 'block' THEN value END AS value_block
          FROM e""",
+    // The §3 lifecycle in one statement: the four stage-1 CTEs are the
+    // standalone gates' SQL verbatim (uniform (key,host,ev,v,u,tstamp)
+    // shape), unioned and pushed through the spine's join+pivot with
+    // the real per-stream units and a day partition key.
+    "q_etl_month" ->
+      s"""WITH cpu AS (
+           SELECT 'JOB' || (l_orderkey % 300) AS key,
+                  'node' || (l_suppkey % 50) AS host,
+                  'cpuuser' AS ev,
+                  greatest(0.0, ${safeDivSql(
+        "l_quantity + CAST(l_linenumber AS DOUBLE)",
+        "l_quantity + CAST(l_linenumber AS DOUBLE) + l_discount*100.0 + l_tax*100.0 + 1.0 + 0.0 + 0.0")} * 100.0) AS v,
+                  'CPU %' AS u,
+                  make_timestamp(1704067200000000 +
+                    (l_orderkey % 240) * 3600000000 +
+                    l_linenumber * 60000000) AS tstamp
+           FROM lineitem),
+         blk AS (
+           SELECT 'JOB' || (l_orderkey % 300) AS key,
+                  'node' || (l_suppkey % 50) AS host,
+                  'block' AS ev,
+                  greatest(0.0, ${safeDivSql(
+        "(l_quantity*1000.0 + l_extendedprice) * 512.0",
+        "CAST(l_linenumber AS DOUBLE)*10.0 + l_discount*100.0")} / 1024.0 / 1024.0 / 1024.0) AS v,
+                  'GB/s' AS u,
+                  make_timestamp(1704067200000000 +
+                    (l_orderkey % 240) * 3600000000 +
+                    l_linenumber * 60000000) AS tstamp
+           FROM lineitem),
+         m AS (
+           SELECT 'JOB' || user_id AS key,
+                  'host' || (user_id % 10) AS host,
+                  greatest(0.0, (value + 100.0) * 1.0e8) AS mt,
+                  least(greatest(0.0, value * 5.0e7),
+                        greatest(0.0, (value + 100.0) * 1.0e8)) AS mf,
+                  greatest(0.0, value * 1.0e7) AS fp,
+                  strptime(strftime(ts, '%m/%d/%Y %H:%M:%S'),
+                           '%m/%d/%Y %H:%M:%S') AS tstamp
+           FROM events),
+         mem AS (
+           SELECT key, host, 'memused' AS ev,
+                  greatest(0.0, (mt - mf) / 1073741824.0) AS v,
+                  'GB' AS u, tstamp
+           FROM m
+           UNION ALL
+           SELECT key, host, 'memused_minus_diskcache',
+                  greatest(0.0, mt - mf - fp) / 1073741824.0, 'GB', tstamp
+           FROM m),
+         nraw AS (
+           SELECT value * 1.0e6 + value * 5.0e5 AS total,
+                  'JOB' || user_id AS key,
+                  'n' || (user_id % 3) AS host,
+                  strptime(strftime(ts, '%m/%d/%Y %H:%M:%S'),
+                           '%m/%d/%Y %H:%M:%S') AS tstamp,
+                  event_id
+           FROM events),
+         nfs AS (
+           SELECT key, host, 'nfs' AS ev,
+                  greatest(0.0, ${safeDivSql("total - byte_delta",
+        "greatest(0.1, dt)")} / 1024.0 / 1024.0) AS v,
+                  'MB/s' AS u, tstamp
+           FROM (SELECT key, host, tstamp,
+                   coalesce(total - lag(total) OVER w, 0.0) AS byte_delta,
+                   coalesce(epoch(tstamp) - epoch(lag(tstamp) OVER w), 0.0) AS dt,
+                   total
+                 FROM nraw
+                 WINDOW w AS (PARTITION BY key, host
+                              ORDER BY tstamp, event_id)) d),
+         allts AS (
+           SELECT * FROM cpu UNION ALL SELECT * FROM blk
+           UNION ALL SELECT * FROM mem UNION ALL SELECT * FROM nfs),
+         jobs AS (
+           SELECT 'JOB' || c_custkey AS jid,
+                  make_timestamp(1703980800000000 + c_custkey * 3600000000) AS qtime,
+                  make_timestamp(1704067200000000 + (c_custkey % 240) * 3600000000) AS jstart,
+                  make_timestamp(1704067200000000 + (c_custkey % 240) * 3600000000 + 1296000000000) AS jend,
+                  CAST((c_custkey % 48) + 1 AS DOUBLE) * 3600 + 0.0 * 60 + 0.0 AS timelimit,
+                  CAST((c_custkey % 4) + 1 AS DOUBLE) AS nhosts,
+                  CAST((c_custkey % 16) + 1 AS DOUBLE) AS ncores,
+                  'acct' || (c_custkey % 5) AS account,
+                  CASE WHEN c_custkey % 3 = 0 THEN 'standby'
+                       WHEN c_custkey % 3 = 1 THEN 'normal'
+                       ELSE 'debug' END AS queue,
+                  'job_' || c_custkey AS jobname,
+                  'user' || (c_custkey % 20) AS username,
+                  '[' || array_to_string(list_sort(list_distinct(
+                    regexp_extract_all('node' || (c_custkey % 30) || '/0+node' ||
+                      (c_custkey % 30) || '/1+node' || ((c_custkey + 5) % 30) || '/2',
+                      '([^/+]+)/', 1))), ', ') || ']' AS host_list,
+                  CASE WHEN c_custkey % 5 < 2 AND CAST(c_custkey % 2 AS VARCHAR) = '0' THEN 'COMPLETED'
+                       WHEN c_custkey % 5 < 2 THEN 'FAILED:' || CAST(c_custkey % 2 AS VARCHAR)
+                       WHEN c_custkey % 5 = 2 THEN 'ABORTED'
+                       WHEN c_custkey % 5 = 3 THEN 'STARTED'
+                       ELSE 'QUEUED' END AS exitcode
+           FROM customer)
+         SELECT tstamp AS time, qtime AS submit_time, jstart AS start_time,
+                jend AS end_time, timelimit, nhosts, ncores, account, queue,
+                host, jid, u AS unit, jobname, exitcode, host_list, username,
+                CASE WHEN ev = 'cpuuser' THEN v END AS value_cpuuser,
+                CASE WHEN ev = 'gpu_usage' THEN v END AS value_gpu_usage,
+                CASE WHEN ev = 'memused' THEN v END AS value_memused,
+                CASE WHEN ev = 'memused_minus_diskcache' THEN v END
+                  AS value_memused_minus_diskcache,
+                CASE WHEN ev = 'nfs' THEN v END AS value_nfs,
+                CASE WHEN ev = 'block' THEN v END AS value_block,
+                CAST(day(tstamp) AS INT) AS day
+         FROM allts JOIN jobs ON allts.key = jobs.jid
+         WHERE tstamp BETWEEN jstart AND jend""",
     "q_stage2_spine" ->
       """WITH ts AS (
            SELECT 'JOB' || user_id AS key,

@@ -101,6 +101,17 @@ class PlanRegressionSpec extends SparkSpec {
       s"one key-only shuffle per side, nothing else:\n$p")
   }
 
+  test("etl month: one window exchange, broadcast join, nothing extra") {
+    // the §3 lifecycle composed as ONE plan must cost exactly what its
+    // stages cost separately: the nfs window's hash exchange is the
+    // only shuffle; the accounting join stays broadcast
+    val p = plan("q_etl_month")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"only the nfs window may shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("intersect keys: distinct-before-intersect broadcasts the build side") {
     // same property as the EXCEPT guard: pre-distincting each side
     // lets Catalyst broadcast the (tiny) distinct right side and
