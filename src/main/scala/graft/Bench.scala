@@ -42,7 +42,16 @@ object Bench {
     val qs = results.sortBy(_._2).map { case (k, v) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // batch vs streaming subtotal: q_stream_* carry Structured
+    // Streaming's fixed micro-batch/state-store setup (~constant per
+    // query at any SF), so a round-over-round total comparison should
+    // weigh the batch subtotal — the part that actually scales with
+    // data — separately from streaming overhead.
+    val stream = results.filter(_._1.startsWith("q_stream_"))
     val line = s"""{"queries":$qs,"n_queries":${results.size},""" +
+      s""""batch_sec":${fmt(total - stream.map(_._2).sum)},""" +
+      s""""stream_sec":${fmt(stream.map(_._2).sum)},""" +
+      s""""n_stream":${stream.size},""" +
       s""""metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}"""
     println(line)
     // full-precision copy in the repo so per-query numbers survive even
@@ -58,6 +67,9 @@ object Bench {
       java.nio.file.Files.write(p,
         (s"""{"metric":"total","value":$total,"unit":"sec",""" +
           s""""n_queries":${results.size},"sf":"$sfDir",""" +
+          s""""batch_sec":${total - stream.map(_._2).sum},""" +
+          s""""stream_sec":${stream.map(_._2).sum},""" +
+          s""""n_stream":${stream.size},""" +
           s""""queries":$full}""" + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // bench output is the contract; the file is best-effort
     spark.stop()
