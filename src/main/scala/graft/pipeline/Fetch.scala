@@ -12,7 +12,8 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * batch read consumes.
   *
   * The transport is injected (`list`/`fetch` functions) so the step is
-  * testable without network egress and swappable for HTTP, S3 listing,
+  * testable without network egress and swappable for HTTP
+  * ([[HttpTransport]] is the shipped real implementation), S3 listing,
   * or a message queue; the durable parts — idempotency via
   * [[Orchestration.ProcessedSet]], deterministic ordering via
   * [[Orchestration.orderFiles]], bounded retry via
