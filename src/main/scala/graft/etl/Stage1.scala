@@ -83,8 +83,11 @@ object Stage1 {
   }
 
   /** Memory metric — transform_conte_ts_data.py:400-516: two FRESCO
-    * events (`memused`, `memused_minus_diskcache`) from one scan (U2 —
-    * one read, two projections, unionByName).
+    * events (`memused`, `memused_minus_diskcache`) per input row, from
+    * ONE scan (U2): the row explodes over a 2-element (Event, Value)
+    * array in a single map-only projection. The union-of-projections
+    * alternative plans two FileScans of the same source — double the
+    * read volume at 100 TB for byte-identical output.
     */
   def mem(raw: DataFrame): DataFrame = {
     val required = Seq("MemTotal", "MemFree", "FilePages", "jobID", "node",
@@ -92,8 +95,18 @@ object Stage1 {
     val df = cleanRaw(raw, required)
     val (used, usedMinusCache) =
       Fresco.memoryGB(col("MemTotal"), col("MemFree"), col("FilePages"))
-    fresco(df, "memused", used, "GB")
-      .unionByName(fresco(df, "memused_minus_diskcache", usedMinusCache, "GB"))
+    df.select(
+        Fresco.jobIdPrefix(col("jobID")).as("Job Id"),
+        col("node").as("Host"),
+        explode(array(
+          struct(lit("memused").as("Event"),
+            used.cast("double").as("Value")),
+          struct(lit("memused_minus_diskcache").as("Event"),
+            usedMinusCache.cast("double").as("Value")))).as("ev"),
+        col("__ts").as("Timestamp"))
+      .select(col("Job Id"), col("Host"),
+        col("ev.Event").as("Event"), col("ev.Value").as("Value"),
+        lit("GB").as("Units"), col("Timestamp"))
   }
 
   /** NFS metric — transform_conte_ts_data.py:520-627: per-(jobID,node)

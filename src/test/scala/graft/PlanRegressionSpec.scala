@@ -101,6 +101,16 @@ class PlanRegressionSpec extends SparkSpec {
       s"one key-only shuffle per side, nothing else:\n$p")
   }
 
+  test("stage-1 mem: both events from ONE scan, zero exchanges") {
+    // the two-projection union form reads the source twice; the
+    // explode form must keep a single FileScan and stay map-only
+    val p = plan("q_stage1_mem")
+    assert("FileScan parquet".r.findAllIn(p).size === 1,
+      s"memused + memused_minus_diskcache must share one scan:\n$p")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate"), "explode present")
+  }
+
   test("etl month: one window exchange, broadcast join, nothing extra") {
     // the §3 lifecycle composed as ONE plan must cost exactly what its
     // stages cost separately: the nfs window's hash exchange is the
