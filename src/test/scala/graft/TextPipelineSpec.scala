@@ -92,6 +92,53 @@ class TextPipelineSpec extends SparkSpec {
       s"plan string must print merge count, not contents:\n$plan")
   }
 
+  test("bpeSubwords: property — matches an independent reference over " +
+    "random words and merge tables") {
+    import spark.implicits._
+    // independent one-at-a-time greedy reference (list splice instead
+    // of the expression's in-place buffer), deterministic seed
+    def refBpe(word: String, merges: Seq[(String, String)]): List[String] = {
+      val rank = merges.zipWithIndex.groupBy(_._1)
+        .map { case (p, rs) => p -> rs.map(_._2).min }
+      @annotation.tailrec
+      def go(toks: List[String]): List[String] = {
+        val pairs = toks.zip(toks.drop(1)).zipWithIndex
+          .flatMap { case (p, i) => rank.get(p).map(r => (r, i)) }
+        if (pairs.isEmpty) toks
+        else {
+          val (_, i) = pairs.minBy { case (r, i) => (r, i) }
+          go(toks.take(i) ::: (toks(i) + toks(i + 1)) :: toks.drop(i + 2))
+        }
+      }
+      go(word.map(_.toString).toList)
+    }
+    val rng = new scala.util.Random(20260813L)
+    val alphabet = "abc"
+    def randWord(max: Int): String =
+      (0 until rng.nextInt(max + 1))
+        .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    for (trial <- 0 until 20) {
+      val vocabFragments =
+        (0 until 6).map(_ => randWord(3)).filter(_.nonEmpty)
+      val merges = (0 until 8).map { _ =>
+        val pick = () => vocabFragments(rng.nextInt(vocabFragments.size))
+        pick() -> pick()
+      }
+      val docs = (0 until 30)
+        .map(i => (i.toLong, Seq.fill(3)(randWord(8)).mkString(" ")))
+        .toDF("doc_id", "text")
+      val got = docs.select(col("doc_id"),
+          array_join(TextAnalysis.bpeSubwords(col("text"), merges), "|"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      docs.collect().foreach { r =>
+        val exp = r.getString(1).split(" ", -1)
+          .flatMap(w => refBpe(w, merges)).mkString("|")
+        assert(got(r.getLong(0)) === exp,
+          s"trial $trial merges=$merges text='${r.getString(1)}'")
+      }
+    }
+  }
+
   test("encodeTokensBpe: subword ids ordered within and across words") {
     import spark.implicits._
     val merges = Seq("a" -> "b")
