@@ -137,22 +137,46 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Broadcast ceiling for [[contamination]]'s probe shingle set —
+    * past it the probe side is too big to ship to every executor and
+    * the Bloom-prefiltered shuffle join takes over automatically.
+    */
+  val MaxBroadcastProbeShingles: Long = 2000000L
+
   /** Benchmark decontamination: for each training doc, how many of its
     * distinct word n-grams also appear in the probe corpus (eval/
     * benchmark text). The standard pretraining hygiene gate — docs
-    * with hits get dropped or flagged. Probe shingles are broadcast
-    * (eval sets are tiny next to the corpus), so the scan of the
-    * training side is map-side: no corpus shuffle at 100 TB.
+    * with hits get dropped or flagged.
+    *
+    * Probe shingles broadcast when the probe set is small (the normal
+    * case — eval suites are tiny next to the corpus), keeping the
+    * training-side scan map-only. Past `maxBroadcastShingles` the
+    * query degrades instead of OOMing (both strategies are correct —
+    * unlike the brute-force-similarity guard, there is nothing to
+    * refuse): a Bloom filter over hashed probe shingles prunes the
+    * corpus in its scan stage ([[graft.etl.BloomJoin]]) and the exact
+    * string join runs un-hinted, so the shuffle carries ≈ hits +
+    * fpp·|corpus shingles| rows, never the corpus.
     */
   def contamination(docs: DataFrame, probes: DataFrame, n: Int = 3,
-                    idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    idCol: String = "doc_id", textCol: String = "text",
+                    maxBroadcastShingles: Long =
+                      MaxBroadcastProbeShingles): DataFrame = {
     val d = shingleSets(docs, idCol, textCol, n)
       .select(col("doc_id"), explode(col("sh")).as("s"))
     val p = shingleSets(probes, idCol, textCol, n)
       .select(explode(col("sh")).as("s")).distinct()
-    d.join(broadcast(p), "s")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    val cap = math.min(maxBroadcastShingles, Int.MaxValue.toLong - 1)
+    val joined =
+      if (p.limit(cap.toInt + 1).count() <= cap) d.join(broadcast(p), "s")
+      else {
+        val filter = graft.etl.BloomJoin.buildFilter(
+          p, TextAnalysis.hash60(col("s")), expectedItems = p.count())
+        d.filter(graft.etl.BloomJoin.mightContain(
+            filter, TextAnalysis.hash60(col("s"))))
+          .join(p, "s") // exact join kills the Bloom false positives
+      }
+    joined.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 
   /** Directed shingle-containment pairs: `C(a→b) = |A∩B| / |A| ≥ t` —

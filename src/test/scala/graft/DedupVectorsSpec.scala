@@ -109,6 +109,24 @@ class DedupVectorsSpec extends SparkSpec {
     assert(r.last.getAs[Double]("cos") === 0.0)
   }
 
+  test("contamination: Bloom fallback path equals the broadcast path") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "pack my box with five dozen liquor jugs"),
+      (2L, "the quick brown fox sleeps all day long")).toDF("doc_id", "text")
+    val probes = Seq((100L, "quick brown fox")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaBroadcast = rows(Dedup.contamination(corpus, probes))
+    // ceiling 0 forces the Bloom-prefilter + un-hinted exact join path
+    val viaBloom = rows(Dedup.contamination(corpus, probes,
+      maxBroadcastShingles = 0L))
+    assert(viaBroadcast === viaBloom)
+    assert(viaBroadcast === Map(0L -> 1L, 2L -> 1L),
+      "docs 0 and 2 contain the probe trigram; doc 1 is clean")
+  }
+
   test("brute-force guard: oversized query set is refused with ANN hint") {
     // a query set past MaxBruteForceQueries must throw before any
     // broadcast is attempted, and the message must name the bucketed
