@@ -252,7 +252,13 @@ object TextAnalysis {
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(broadcast(df.crossJoin(broadcast(n))), "word")
+    // idf side joins UN-hinted (same posture as bigramLmScore): the
+    // vocabulary is unbounded on noisy corpora — typos/URLs make
+    // distinct "words" grow with corpus size — so forcing a broadcast
+    // is a 100 TB OOM; AQE still broadcasts at runtime when the
+    // aggregated side is actually small. Only the 1-row count is
+    // hint-broadcast.
+    tf.join(df.crossJoin(broadcast(n)), "word")
       .select(col("doc_id"), col("word"), col("tf"), col("df"),
         round(col("tf").cast("double") *
           log(col("n_docs").cast("double") / col("df").cast("double")), 6)
@@ -326,9 +332,13 @@ object TextAnalysis {
       org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col(idCol),
       posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+    // dict joins UN-hinted: a whitespace dictionary is the corpus
+    // vocabulary — unbounded on noisy text — so forcing a broadcast
+    // is a scale hazard; AQE broadcasts it at runtime when it's
+    // actually small. (encodeTokensBpe keeps its hint — a BPE vocab
+    // is provably ≤ |alphabet| + |merges|.)
     toks
-      .join(org.apache.spark.sql.functions.broadcast(
-        dict.withColumnsRenamed(Map("value" -> "token"))),
+      .join(dict.withColumnsRenamed(Map("value" -> "token")),
         Seq("token"), "left")
       .withColumn("id", coalesce(col("id"), lit(-1L)))
       .groupBy(idCol)
