@@ -389,7 +389,11 @@ object Vectors {
     val q = ivfAssignProbes(prep(queries), cen, nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("cluster"))
-    val scored = c.join(broadcast(q), "cluster")
+    // UN-hinted cluster equi-join: this is the documented remediation
+    // path for query sets too big to brute-force, so it must not force
+    // a broadcast itself — AQE broadcasts small query sets at runtime
+    // and hash-partitions both sides on the cluster key otherwise
+    val scored = c.join(q, "cluster")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qv"), col("v")), 6).as("cos"))
@@ -421,8 +425,11 @@ object Vectors {
       toDouble(col(vecCol)).as("qv"))
       .withColumn("bucket", explode(probed))
     // no dedup: a corpus vector has ONE bucket and the probed buckets
-    // are pairwise distinct, so a (query, vec) pair meets at most once
-    val scored = c.join(broadcast(q), "bucket")
+    // are pairwise distinct, so a (query, vec) pair meets at most once.
+    // UN-hinted bucket equi-join, same rationale as ivfTopK: the ANN
+    // paths are where oversized query sets are SENT — they must scale
+    // past the broadcast regime themselves
+    val scored = c.join(q, "bucket")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qv"), col("v")), 6).as("cos"))
