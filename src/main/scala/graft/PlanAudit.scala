@@ -23,7 +23,9 @@ object PlanAudit {
         "q_window_lag", "q_stage1_nfs", "q_jaccard_pairs", "q_dedup_fuzzy",
         "q_cosine_topk", "q_ann_topk", "q_month_split",
         "q_bloom_join", "q_table_diff", "q_cdc_apply", "q_weighted_sample",
-        "q_chunk_docs", "q_dq_checks", "q_sessionize", "q_resample")
+        "q_chunk_docs", "q_dq_checks", "q_sessionize", "q_resample",
+        "q_intersect_keys", "q_etl_month", "q_stage1_mem",
+        "q_encode_tokens_bpe", "q_tfidf", "q_ivf_topk")
     wanted.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n========== $name ==========")
