@@ -403,6 +403,22 @@ private[graft] object QueriesLlm {
   def encodeTokensBpeQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.encodeTokensBpe(t(s, dir, "documents"), BpeMerges)
 
+  private val BpeTrainMerges = 8
+
+  /** BPE TRAINING capstone: learn a ranked merges table from the
+    * corpus itself ([[TextAnalysis.learnBpeMerges]]). The oracle
+    * replays all training rounds as an unrolled chain of materialized
+    * CTEs — each round one recursive re-segmentation under the merges
+    * chosen so far plus one argmax.
+    */
+  def bpeTrainQ(s: SparkSession, dir: String): DataFrame = {
+    val merges = TextAnalysis.learnBpeMerges(
+      t(s, dir, "documents"), BpeTrainMerges)
+    import s.implicits._
+    merges.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("rank", "a", "b")
+  }
+
   /** Deterministic Lloyd k-means over embeddings (k=8, one centroid
     * update) — the semantic-clustering stage of SemDeDup-style dedup.
     */
@@ -443,6 +459,7 @@ private[graft] object QueriesLlm {
     "q_dict_encode" -> (dictEncode _),
     "q_encode_tokens" -> (encodeTokensQ _),
     "q_encode_tokens_bpe" -> (encodeTokensBpeQ _),
+    "q_bpe_train" -> (bpeTrainQ _),
     "q_kmeans" -> (kmeansQ _),
     "q_semantic_dedup" -> (semanticDedupQ _),
     "q_train_split" -> (trainSplit _),
@@ -627,6 +644,82 @@ private[graft] object QueriesLlm {
       '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
       ' ' || text"""
 
+  /** SQL replay of [[TextAnalysis.learnBpeMerges]]: the training loop
+    * unrolls into a chain of MATERIALIZED CTEs (materialization is
+    * load-bearing — each stage is referenced by every later stage, and
+    * inlining would re-evaluate the chain exponentially). Stage i:
+    * `seg_{i-1}` re-segments the word-frequency dictionary under the
+    * merges chosen so far (the same recursive min-rank-then-leftmost
+    * walk as the q_encode_tokens_bpe oracle, with the rank MAP built
+    * from the chosen-merge rows instead of literals), and `m_i` takes
+    * the argmax adjacent pair (count desc, then (a, b) — the query's
+    * exact tie-break) with the >= 2 stop rule as a HAVING.
+    */
+  private def bpeTrainOracleSql: String = {
+    val n = BpeTrainMerges
+    def segCte(i: Int): String =
+      if (i == 0)
+        """seg_0 AS MATERIALIZED (
+          SELECT w, cnt, list_transform(generate_series(1, length(w)),
+                                        x -> w[x]) AS toks
+          FROM wf)"""
+      else {
+        val mm = (1 to i)
+          .map(j => s"SELECT a, b, $j AS r FROM m_$j").mkString(" UNION ALL ")
+        s"""mm_$i AS MATERIALIZED ($mm),
+          rmap_$i AS MATERIALIZED (
+            SELECT map(list(a || chr(1) || b ORDER BY r),
+                       list(r ORDER BY r)) AS rm FROM mm_$i),
+          st_$i AS (
+            SELECT w, cnt, list_transform(generate_series(1, length(w)),
+                                          x -> w[x]) AS toks
+            FROM wf
+            UNION ALL
+            SELECT w, cnt,
+                   toks[1:bi-1] || [toks[bi] || toks[bi+1]] || toks[bi+2:]
+            FROM (SELECT w, cnt, toks,
+                    CASE WHEN pmin < 99999900000
+                         THEN CAST(pmin % 100000 AS INT) END AS bi
+                  FROM (SELECT w, cnt, toks,
+                          coalesce(list_min(list_transform(
+                            generate_series(1, len(toks) - 1),
+                            x -> coalesce(
+                                   rm[toks[x] || chr(1) || toks[x + 1]][1],
+                                   999999)::BIGINT * 100000 + x)),
+                            99999900000) AS pmin
+                        FROM st_$i, rmap_$i) q1) q2
+            WHERE bi IS NOT NULL),
+          seg_$i AS MATERIALIZED (
+            SELECT w, cnt, toks FROM st_$i, rmap_$i
+            WHERE coalesce(list_min(list_transform(
+                    generate_series(1, len(toks) - 1),
+                    x -> coalesce(rm[toks[x] || chr(1) || toks[x + 1]][1],
+                                  999999))), 999999) = 999999)"""
+      }
+    def mCte(i: Int): String =
+      s"""p_$i AS MATERIALIZED (
+        SELECT toks[x] AS a, toks[x+1] AS b, cnt
+        FROM seg_${i - 1},
+             LATERAL (SELECT unnest(generate_series(1, len(toks)-1)) AS x)
+        WHERE len(toks) >= 2),
+        m_$i AS MATERIALIZED (
+          SELECT a, b FROM p_$i GROUP BY a, b HAVING sum(cnt) >= 2
+          ORDER BY sum(cnt) DESC, a, b LIMIT 1)"""
+    val parts = Seq(
+      """wf AS MATERIALIZED (
+        SELECT w, count(*) AS cnt FROM (
+          SELECT unnest(string_split(text, ' ')) AS w
+          FROM documents WHERE text IS NOT NULL)
+        WHERE length(w) > 0 GROUP BY w)""",
+      segCte(0)) ++
+      (1 to n).flatMap(i =>
+        Seq(mCte(i)) ++ (if (i < n) Seq(segCte(i)) else Nil))
+    val finalSelect = (1 to n)
+      .map(j => s"SELECT CAST(${j - 1} AS BIGINT) AS rank, a, b FROM m_$j")
+      .mkString(" UNION ALL ")
+    "WITH RECURSIVE " + parts.mkString(", ") + " " + finalSelect
+  }
+
   val oracles: Map[String, String] = {
     val eRe = TextAnalysis.EmailPattern
     val pRe = TextAnalysis.PhonePattern
@@ -763,6 +856,7 @@ private[graft] object QueriesLlm {
          SELECT doc_id,
                 string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids
          FROM j GROUP BY doc_id""",
+    "q_bpe_train" -> bpeTrainOracleSql,
     // Replays greedy lowest-rank-first BPE in SQL: the recursive CTE
     // carries each distinct word's token-list state, one merge per
     // step (rank*100000+i encodes lowest-rank-then-leftmost as a

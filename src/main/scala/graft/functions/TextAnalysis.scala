@@ -358,6 +358,51 @@ object TextAnalysis {
       graft.plans.BpeEncodeExpr(
         org.apache.spark.sql.graft.Bridge.expression(text), merges))
 
+  /** Learn a BPE merges table from the corpus — the training side of
+    * [[bpeSubwords]] (Sennrich et al. 2016). ONE corpus scan builds
+    * the word-frequency dictionary; every training round then touches
+    * only distinct words (|vocab| ≪ corpus — the standard trick that
+    * makes BPE training cheap at scale). Each round re-segments the
+    * dictionary with the merges learned so far (the same codegen'd
+    * expression the apply path uses), sums adjacent-pair counts
+    * weighted by word frequency (map-side combined), and promotes the
+    * globally best pair — count desc, then lexicographic (a, b): a
+    * total order, so the learned table is deterministic and
+    * engine-portable. Stops early when no pair reaches
+    * `minPairCount` (merging a once-seen pair buys nothing). The
+    * per-round driver collect is ONE row (the k-means precedent),
+    * never data.
+    */
+  def learnBpeMerges(docs: org.apache.spark.sql.DataFrame, nMerges: Int,
+                     textCol: String = "text",
+                     minPairCount: Long = 2L): Seq[(String, String)] = {
+    require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
+    val words = docs
+      .select(explode(tokens(col(textCol).cast("string"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var stop = false
+    while (!stop && merges.size < nMerges) {
+      val best = words
+        .select(col("cnt"), bpeSubwords(col("w"), merges.toList).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("a"),
+            element_at(col("toks"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("pc"))
+        .filter(col("pc") >= minPairCount)
+        .orderBy(col("pc").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) stop = true
+      else merges += ((best(0).getString(0), best(0).getString(1)))
+    }
+    merges.toList
+  }
+
   /** BPE tokenize-to-ids: [[bpeSubwords]] per document, a dictionary
     * built from the corpus's own subword inventory
     * ([[dictionaryEncode]] — global sorted rank, engine-independent),

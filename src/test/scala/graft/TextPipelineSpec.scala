@@ -139,6 +139,30 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("learnBpeMerges: frequency-ranked merges, hand-checked; " +
+    "stop rule; apply round-trip") {
+    import spark.implicits._
+    // "ab" appears 5x (3 in doc1's abc + 2 standalone), "bc" 3x.
+    // round 1 must pick (a,b); round 2 sees abc -> [ab, c] so (ab, c)
+    // has count 3 and beats nothing else; round 3: "ab ab" words are
+    // single tokens now -> only pairs with count < 2 remain -> stop
+    val docs = Seq(
+      (1L, "abc abc abc ab ab"),
+      (2L, "xy")).toDF("doc_id", "text")
+    val merges = TextAnalysis.learnBpeMerges(docs, nMerges = 10)
+    assert(merges === Seq("a" -> "b", "ab" -> "c"),
+      "ranked by weighted pair frequency; (x,y) count 1 is below the " +
+        "stop threshold")
+    // applying the learned table reproduces whole-word tokens
+    val enc = docs.select(col("doc_id"),
+        array_join(TextAnalysis.bpeSubwords(col("text"), merges), "|"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(enc(1L) === "abc|abc|abc|ab|ab")
+    assert(enc(2L) === "x|y", "unmerged pair stays split")
+    // nMerges = 0 learns nothing
+    assert(TextAnalysis.learnBpeMerges(docs, 0) === Seq.empty)
+  }
+
   test("encodeTokensBpe: subword ids ordered within and across words") {
     import spark.implicits._
     val merges = Seq("a" -> "b")
