@@ -404,6 +404,19 @@ private[graft] object QueriesLlm {
     TextAnalysis.encodeTokensBpe(t(s, dir, "documents"), BpeMerges)
 
   private val BpeTrainMerges = 8
+  private val QsBuckets = 64
+
+  /** Quality-classifier inference: a deterministic fixed-point weights
+    * fixture over [[QsBuckets]] hash buckets (w10 = (bucket·37) mod 21
+    * − 10 ∈ [−10, 10], pure integer arithmetic both engines replay) →
+    * [[TextAnalysis.scoreLinearModel]].
+    */
+  def qualityScoreQ(s: SparkSession, dir: String): DataFrame = {
+    val weights = s.range(QsBuckets).select(col("id").as("bucket"),
+      ((col("id") * 37) % 21 - 10).as("w10"))
+    TextAnalysis.scoreLinearModel(t(s, dir, "documents"), weights,
+      nBuckets = QsBuckets, bias10 = 5L)
+  }
 
   /** BPE TRAINING capstone: learn a ranked merges table from the
     * corpus itself ([[TextAnalysis.learnBpeMerges]]). The oracle
@@ -460,6 +473,7 @@ private[graft] object QueriesLlm {
     "q_encode_tokens" -> (encodeTokensQ _),
     "q_encode_tokens_bpe" -> (encodeTokensBpeQ _),
     "q_bpe_train" -> (bpeTrainQ _),
+    "q_quality_score" -> (qualityScoreQ _),
     "q_kmeans" -> (kmeansQ _),
     "q_semantic_dedup" -> (semanticDedupQ _),
     "q_train_split" -> (trainSplit _),
@@ -857,6 +871,21 @@ private[graft] object QueriesLlm {
                 string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids
          FROM j GROUP BY doc_id""",
     "q_bpe_train" -> bpeTrainOracleSql,
+    // exact long sum of fixed-point weights; FP only at logit/sigmoid
+    "q_quality_score" ->
+      s"""WITH w AS (SELECT b AS bucket, (b * 37) % 21 - 10 AS w10
+                     FROM range($QsBuckets) t(b)),
+         tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE text IS NOT NULL),
+         bk AS (SELECT doc_id,
+                       ${h60Sql("token")} % $QsBuckets AS bucket FROM tk),
+         z AS (SELECT doc_id,
+                      CAST(sum(coalesce(w10, 0)) + 5 AS BIGINT) AS z10
+               FROM bk LEFT JOIN w USING (bucket) GROUP BY doc_id)
+         SELECT doc_id, CAST(z10 AS DOUBLE) / 10.0 AS logit,
+                round(1.0 / (1.0 + exp(-(CAST(z10 AS DOUBLE) / 10.0))), 6)
+                  AS prob
+         FROM z""",
     // Replays greedy lowest-rank-first BPE in SQL: the recursive CTE
     // carries each distinct word's token-list state, one merge per
     // step (rank*100000+i encodes lowest-rank-then-leftmost as a

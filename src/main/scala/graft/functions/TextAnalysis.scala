@@ -358,6 +358,41 @@ object TextAnalysis {
       graft.plans.BpeEncodeExpr(
         org.apache.spark.sql.graft.Bridge.expression(text), merges))
 
+  /** Linear text-classifier inference (fastText/CCNet-style quality
+    * scoring): hashed bag-of-words features against a weights table →
+    * per-doc logit and sigmoid probability. The hashing trick bounds
+    * the weights table at `nBuckets` rows regardless of vocabulary, so
+    * its broadcast is justified by construction (unlike a raw-vocab
+    * table). Weights are INTEGER fixed-point (`w10`, units of
+    * 1/`quantScale`): the per-doc sum is exact long arithmetic —
+    * order-independent, so engine-portable — and only the final
+    * logit→probability step touches floating point (sigmoid rounded
+    * to 6 decimals, the library's transcendental contract).
+    *
+    * @param weights (bucket: long, w10: long) — missing buckets score 0
+    */
+  def scoreLinearModel(docs: org.apache.spark.sql.DataFrame,
+                       weights: org.apache.spark.sql.DataFrame,
+                       nBuckets: Int, bias10: Long = 0L,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       quantScale: Double = 10.0):
+      org.apache.spark.sql.DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val tk = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("token"))
+    val bucketed = tk.select(col(idCol),
+      pmod(hash60(col("token")), lit(nBuckets.toLong)).as("bucket"))
+    bucketed
+      .join(org.apache.spark.sql.functions.broadcast(weights),
+        Seq("bucket"), "left")
+      .groupBy(idCol)
+      .agg((sum(coalesce(col("w10"), lit(0L))) + bias10).as("z10"))
+      .select(col(idCol),
+        (col("z10").cast("double") / quantScale).as("logit"))
+      .withColumn("prob",
+        round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 6))
+  }
+
   /** Learn a BPE merges table from the corpus — the training side of
     * [[bpeSubwords]] (Sennrich et al. 2016). ONE corpus scan builds
     * the word-frequency dictionary; every training round then touches

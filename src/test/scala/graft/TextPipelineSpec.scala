@@ -139,6 +139,20 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("scoreLinearModel: exact fixed-point logit, hand-checked sigmoid") {
+    import spark.implicits._
+    // nBuckets = 1 pins every token to bucket 0 (weight 2 tenths), so
+    // the logit is hand-computable: z10 = n_tokens * 2 + bias
+    val docs = Seq((1L, "a b c"), (2L, "a")).toDF("doc_id", "text")
+    val w = Seq((0L, 2L)).toDF("bucket", "w10")
+    val out = TextAnalysis.scoreLinearModel(docs, w, nBuckets = 1,
+        bias10 = 4L).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 === 1.0) // (3*2 + 4) / 10
+    assert(out(1L)._2 === 0.731059) // sigmoid(1.0) to 6 decimals
+    assert(out(2L)._1 === 0.6)
+  }
+
   test("learnBpeMerges: frequency-ranked merges, hand-checked; " +
     "stop rule; apply round-trip") {
     import spark.implicits._
