@@ -406,6 +406,20 @@ private[graft] object QueriesLlm {
   private val BpeTrainMerges = 8
   private val QsBuckets = 64
 
+  /** Tokenizer round trip: dictionary → encode → decode must be the
+    * identity on the (single-spaced, in-vocab-by-construction) corpus
+    * — the oracle is the RAW table, so a defect anywhere in
+    * dictionary ranking, id assembly, or decode ordering breaks the
+    * gate.
+    */
+  def decodeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val dict = TextAnalysis.dictionaryEncode(
+      docs.select(explode(TextAnalysis.tokens(col("text"))).as("token")),
+      "token")
+    TextAnalysis.decodeTokens(TextAnalysis.encodeTokens(docs, dict), dict)
+  }
+
   /** Quality-classifier inference: a deterministic fixed-point weights
     * fixture over [[QsBuckets]] hash buckets (w10 = (bucket·37) mod 21
     * − 10 ∈ [−10, 10], pure integer arithmetic both engines replay) →
@@ -474,6 +488,7 @@ private[graft] object QueriesLlm {
     "q_encode_tokens_bpe" -> (encodeTokensBpeQ _),
     "q_bpe_train" -> (bpeTrainQ _),
     "q_quality_score" -> (qualityScoreQ _),
+    "q_decode_roundtrip" -> (decodeRoundtrip _),
     "q_kmeans" -> (kmeansQ _),
     "q_semantic_dedup" -> (semanticDedupQ _),
     "q_train_split" -> (trainSplit _),
@@ -871,6 +886,10 @@ private[graft] object QueriesLlm {
                 string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids
          FROM j GROUP BY doc_id""",
     "q_bpe_train" -> bpeTrainOracleSql,
+    // the strongest kind of oracle: the round trip must reproduce the
+    // raw table verbatim
+    "q_decode_roundtrip" ->
+      "SELECT doc_id, text FROM documents WHERE text IS NOT NULL",
     // exact long sum of fixed-point weights; FP only at logit/sigmoid
     "q_quality_score" ->
       s"""WITH w AS (SELECT b AS bucket, (b * 37) % 21 - 10 AS w10

@@ -358,6 +358,30 @@ object TextAnalysis {
       graft.plans.BpeEncodeExpr(
         org.apache.spark.sql.graft.Bridge.expression(text), merges))
 
+  /** Inverse of [[encodeTokens]]: a comma-joined id sequence decodes
+    * back to whitespace-joined tokens through the dictionary (ids the
+    * dictionary lacks, e.g. the −1 OOV sentinel, decode to `unk`).
+    * Same shape as the encode side: posexplode → dictionary join
+    * (un-hinted — the dictionary is corpus vocabulary) → ordered
+    * per-doc reassembly. `decode(encode(docs))` over an in-vocab
+    * corpus is the identity on single-spaced text — the round-trip
+    * gate checks exactly that against the raw table.
+    */
+  def decodeTokens(encoded: org.apache.spark.sql.DataFrame,
+                   dict: org.apache.spark.sql.DataFrame,
+                   idCol: String = "doc_id", idsCol: String = "ids",
+                   unk: String = "<unk>"): org.apache.spark.sql.DataFrame =
+    encoded
+      .select(col(idCol),
+        posexplode(split(col(idsCol), ",")).as(Seq("pos", "sid")))
+      .select(col(idCol), col("pos"), col("sid").cast("long").as("id"))
+      .join(dict, Seq("id"), "left")
+      .groupBy(idCol)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"),
+          coalesce(col("value"), lit(unk)).as("tok")))),
+        x => x.getField("tok")), " ").as("text"))
+
   /** Linear text-classifier inference (fastText/CCNet-style quality
     * scoring): hashed bag-of-words features against a weights table →
     * per-doc logit and sigmoid probability. The hashing trick bounds

@@ -139,6 +139,20 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("decodeTokens: inverse of encodeTokens; OOV ids decode to unk") {
+    import spark.implicits._
+    val docs = Seq((1L, "b a c a"), (2L, "a zzz")).toDF("doc_id", "text")
+    val dict = TextAnalysis.dictionaryEncode(
+      docs.filter(col("doc_id") === 1L)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token")),
+      "token") // a->0, b->1, c->2; 'zzz' is OOV
+    val round = TextAnalysis.decodeTokens(
+        TextAnalysis.encodeTokens(docs, dict), dict)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(round(1L) === "b a c a", "in-vocab round trip is identity")
+    assert(round(2L) === "a <unk>", "OOV -1 decodes to the unk marker")
+  }
+
   test("scoreLinearModel: exact fixed-point logit, hand-checked sigmoid") {
     import spark.implicits._
     // nBuckets = 1 pins every token to bucket 0 (weight 2 tenths), so
