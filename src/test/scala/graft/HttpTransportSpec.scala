@@ -61,6 +61,19 @@ class HttpTransportSpec extends AnyFunSuite {
     }
   }
 
+  test("fetch follows a same-origin redirect (Redirect.NORMAL)") {
+    withServer { (server, base) =>
+      server.createContext("/data/moved.csv", (ex: HttpExchange) => {
+        ex.getResponseHeaders.add("Location", base + "here.csv")
+        respond(ex, 302, Array.empty)
+      })
+      server.createContext("/data/here.csv",
+        (ex: HttpExchange) => respond(ex, 200, "MOVED".getBytes("UTF-8")))
+      val t = new HttpTransport(base)
+      assert(new String(t.fetch("moved.csv"), "UTF-8") === "MOVED")
+    }
+  }
+
   test("fetchNew over HTTP: staged, retried through a 500, idempotent") {
     withServer { (server, base) =>
       server.createContext("/data/", (ex: HttpExchange) =>
