@@ -74,6 +74,44 @@ class LibraryEdgeSpec extends SparkSpec {
     assert(rs(4L).getAs[String]("format") === "unknown")
   }
 
+  test("multimodal decode never throws: fuzzed bytes and all fixture " +
+    "prefixes decode to honest rows") {
+    import spark.implicits._
+    // the 100 TB contract: a corrupt payload must never kill the task.
+    // Deterministic fuzz: random byte blobs (some starting with real
+    // magics) + EVERY prefix truncation of the WAV and ftyp fixtures.
+    val rng = new scala.util.Random(42)
+    val magics = Seq(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G'),
+      "RIFF".getBytes("US-ASCII"),
+      Array[Byte](0, 0, 0, 20) ++ "ftyp".getBytes("US-ASCII"),
+      Array.empty[Byte])
+    val fuzz = (0 until 40).map { i =>
+      val body = Array.fill(rng.nextInt(64))(rng.nextInt().toByte)
+      (i.toLong, magics(i % magics.size) ++ body)
+    }
+    val prefixes = (Multimodal.WavFixture.indices.map(n =>
+      Multimodal.WavFixture.take(n)) ++
+      Multimodal.FtypFixture.indices.map(n =>
+        Multimodal.FtypFixture.take(n)))
+      .zipWithIndex.map { case (p, i) => (1000L + i, p) }
+    val media = (fuzz ++ prefixes).toDF("media_id", "payload")
+    val rows = Multimodal.decodeMeta(media).collect()
+    assert(rows.length === fuzz.size + prefixes.size, "no row lost")
+    rows.foreach { r =>
+      val fmt = r.getAs[String]("format")
+      assert(fmt != null && fmt.nonEmpty)
+      // honesty: an 'unknown' payload never carries fabricated metadata
+      if (fmt == "unknown") {
+        assert(r.isNullAt(r.fieldIndex("width")) &&
+          r.isNullAt(r.fieldIndex("height")) &&
+          r.isNullAt(r.fieldIndex("sample_rate")) &&
+          r.isNullAt(r.fieldIndex("channels")), r.toString)
+      }
+      assert(r.getAs[Long]("n_bytes") >= 0L)
+    }
+  }
+
   test("multimodal decode: real PNG payloads take the javax.imageio path") {
     import spark.implicits._
     // render an actual 3x2 PNG in-memory: the magic-sniffed real-codec
