@@ -417,47 +417,241 @@ object TextAnalysis {
         round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 6))
   }
 
+  /** Distinct-word dictionaries beyond this exceed what the driver
+    * should hold for BPE training. Same fail-loudly posture as
+    * [[graft.similarity.Vectors.MaxBruteForceQueries]]: past the
+    * ceiling, raise `minWordCount` — pruning the long tail of
+    * once-seen noise words is standard trainer practice (HuggingFace
+    * tokenizers' `min_frequency`, SentencePiece's pruning) and is what
+    * bounds the dictionary of a 100 TB corpus.
+    */
+  val MaxBpeVocabWords: Int = 2000000
+
   /** Learn a BPE merges table from the corpus — the training side of
-    * [[bpeSubwords]] (Sennrich et al. 2016). ONE corpus scan builds
-    * the word-frequency dictionary; every training round then touches
-    * only distinct words (|vocab| ≪ corpus — the standard trick that
-    * makes BPE training cheap at scale). Each round re-segments the
-    * dictionary with the merges learned so far (the same codegen'd
-    * expression the apply path uses), sums adjacent-pair counts
-    * weighted by word frequency (map-side combined), and promotes the
-    * globally best pair — count desc, then lexicographic (a, b): a
-    * total order, so the learned table is deterministic and
-    * engine-portable. Stops early when no pair reaches
-    * `minPairCount` (merging a once-seen pair buys nothing). The
-    * per-round driver collect is ONE row (the k-means precedent),
-    * never data.
+    * [[bpeSubwords]] (Sennrich et al. 2016). ONE distributed corpus
+    * scan builds the word-frequency dictionary (|vocab| ≪ corpus — the
+    * standard trick that makes BPE training cheap at scale); the
+    * bounded dictionary is then trained DRIVER-LOCALLY with
+    * incremental pair-count maintenance, the reference trainer's
+    * design: each round pops the globally best pair from a
+    * lazily-invalidated heap and re-counts only the words that contain
+    * it, so round cost is proportional to the pair's support, not the
+    * vocabulary, and the Spark-job count is O(1) in `nMerges` (a 32k-
+    * merge production vocabulary is ~32k heap pops, not 32k Spark
+    * jobs).
+    *
+    * Semantics are EXACTLY the per-round full re-segmentation the
+    * oracle replays: best pair by (weighted count desc, then (a, b)
+    * UTF-8-bytewise ascending — Spark's and DuckDB's string order), a
+    * `minPairCount` stop rule, and greedy lowest-rank re-segmentation
+    * between rounds. Incremental application (merge only the newest
+    * pair's occurrences) equals full re-segmentation unless the new
+    * token's string collides with a component of an EARLIER rule — the
+    * one case where a fresh adjacency could activate a lower rank
+    * mid-walk; the trainer detects that collision and falls back to a
+    * full driver-local rebuild for that round, so the equivalence is
+    * unconditional, not assumed.
+    *
+    * Dictionary size is guarded by `maxVocab` (a bounded
+    * `limit(maxVocab+1)` collect, never an unbounded one): past the
+    * ceiling the call fails loudly with the remediation — raise
+    * `minWordCount` to prune the long tail, the standard practice that
+    * bounds any real corpus's dictionary.
     */
   def learnBpeMerges(docs: org.apache.spark.sql.DataFrame, nMerges: Int,
                      textCol: String = "text",
-                     minPairCount: Long = 2L): Seq[(String, String)] = {
+                     minPairCount: Long = 2L,
+                     minWordCount: Long = 1L,
+                     maxVocab: Int = MaxBpeVocabWords):
+      Seq[(String, String)] = {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
     val words = docs
       .select(explode(tokens(col(textCol).cast("string"))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
-    val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+      .filter(col("cnt") >= minWordCount)
+      .limit(maxVocab + 1)
+      .collect()
+    require(words.length <= maxVocab,
+      s"BPE training dictionary exceeds $maxVocab distinct words: " +
+        "raise minWordCount to prune the long tail (standard trainer " +
+        "practice - HF tokenizers' min_frequency) or raise maxVocab")
+    trainBpeDriver(
+      words.map(r => (r.getString(0), r.getLong(1))), nMerges, minPairCount)
+  }
+
+  /** UTF-8-bytewise string comparison — Spark `UTF8String` binary
+    * order and DuckDB's default collation, NOT Java's UTF-16 code-unit
+    * order (they differ for supplementary characters vs U+E000+).
+    */
+  private[graft] def utf8Compare(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Greedy lowest-rank-then-leftmost segmentation of one word —
+    * the driver-side twin of [[graft.plans.BpeEncodeExpr.encode]]
+    * (same U+0001 rank key, same code-point char split).
+    */
+  private[graft] def greedySegment(word: String,
+      ranks: java.util.HashMap[String, Integer]):
+      scala.collection.mutable.ArrayBuffer[String] = {
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      toks += word.substring(i, i + n)
+      i += n
+    }
+    var merging = toks.length > 1
+    while (merging) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var j = 0
+      while (j < toks.length - 1) {
+        val r = ranks.get(toks(j) + "\u0001" + toks(j + 1))
+        if (r != null && r < bestRank) { bestRank = r; bestIdx = j }
+        j += 1
+      }
+      if (bestIdx < 0) merging = false
+      else {
+        toks(bestIdx) = toks(bestIdx) + toks(bestIdx + 1)
+        toks.remove(bestIdx + 1)
+        merging = toks.length > 1
+      }
+    }
+    toks
+  }
+
+  /** The in-memory incremental trainer over a (word, count) dictionary.
+    * State: per-word segmentations, a pair→weighted-count map, a
+    * pair→word-index support set (verified on use, so stale entries are
+    * harmless), and a lazily-invalidated max-heap ordered by the
+    * query's exact total order. Each round is O(support of the chosen
+    * pair); a token-string collision with an earlier rule's component
+    * (the only case where incremental ≠ full re-segmentation) triggers
+    * a full rebuild for that round.
+    */
+  private[graft] def trainBpeDriver(dict: Array[(String, Long)], nMerges: Int,
+                             minPairCount: Long): Seq[(String, String)] = {
+    import scala.collection.mutable
+    type Pair = (String, String)
+    val segs = new Array[mutable.ArrayBuffer[String]](dict.length)
+    val wcnt = dict.map(_._2)
+    val pairCount = mutable.HashMap.empty[Pair, Long]
+    val pairWords = mutable.HashMap.empty[Pair, mutable.BitSet]
+    // count desc, then (a, b) UTF-8 ascending; entries carry the count
+    // they were pushed with and are discarded on pop if stale
+    val heap = new java.util.PriorityQueue[(Long, String, String)](64,
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(x: (Long, String, String),
+                    y: (Long, String, String)): Int = {
+          if (x._1 != y._1) java.lang.Long.compare(y._1, x._1)
+          else {
+            val ca = utf8Compare(x._2, y._2)
+            if (ca != 0) ca else utf8Compare(x._3, y._3)
+          }
+        }
+      })
+
+    def addPair(p: Pair, idx: Int, delta: Long): Unit = {
+      val nc = pairCount.getOrElse(p, 0L) + delta
+      if (nc <= 0L) pairCount.remove(p)
+      else {
+        pairCount(p) = nc
+        heap.add((nc, p._1, p._2))
+      }
+      if (delta > 0L)
+        pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += idx
+    }
+
+    def countWord(idx: Int, sign: Long): Unit = {
+      val s = segs(idx)
+      var j = 0
+      while (j < s.length - 1) {
+        addPair((s(j), s(j + 1)), idx, sign * wcnt(idx))
+        j += 1
+      }
+    }
+
+    def ranksOf(merges: Seq[Pair]): java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](merges.size * 2)
+      merges.zipWithIndex.foreach { case ((a, b), i) =>
+        m.putIfAbsent(a + "\u0001" + b, i)
+      }
+      m
+    }
+
+    def rebuild(merges: Seq[Pair]): Unit = {
+      pairCount.clear(); pairWords.clear(); heap.clear()
+      val ranks = ranksOf(merges)
+      var i = 0
+      while (i < dict.length) {
+        segs(i) = greedySegment(dict(i)._1, ranks)
+        countWord(i, 1L)
+        i += 1
+      }
+    }
+
+    rebuild(Nil)
+    val merges = mutable.ListBuffer.empty[Pair]
+    val components = mutable.HashSet.empty[String]
     var stop = false
     while (!stop && merges.size < nMerges) {
-      val best = words
-        .select(col("cnt"), bpeSubwords(col("w"), merges.toList).as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(col("cnt"), explode(transform(
-          sequence(lit(1), size(col("toks")) - 1),
-          i => struct(element_at(col("toks"), i).as("a"),
-            element_at(col("toks"), i + 1).as("b")))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum("cnt").as("pc"))
-        .filter(col("pc") >= minPairCount)
-        .orderBy(col("pc").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (best.isEmpty) stop = true
-      else merges += ((best(0).getString(0), best(0).getString(1)))
+      var best: Pair = null
+      var bestCnt = 0L
+      while (best == null && !heap.isEmpty) {
+        val (c, a, b) = heap.poll()
+        if (pairCount.get((a, b)).contains(c)) { best = (a, b); bestCnt = c }
+      }
+      if (best == null || bestCnt < minPairCount) stop = true
+      else {
+        merges += best
+        val (a, b) = best
+        val newTok = a + b
+        if (components.contains(newTok)) {
+          // a fresh (x, newTok)/(newTok, y) adjacency could match an
+          // earlier rule: incremental application would diverge from
+          // greedy re-segmentation, so rebuild from scratch this round
+          rebuild(merges.toList)
+        } else {
+          val support = pairWords.remove(best).getOrElse(mutable.BitSet.empty)
+          support.foreach { idx =>
+            val s = segs(idx)
+            var j = 0
+            var found = false
+            while (!found && j < s.length - 1) {
+              found = s(j) == a && s(j + 1) == b
+              j += 1
+            }
+            if (found) { // stale support entries scan and skip
+              countWord(idx, -1L)
+              var k = 0
+              while (k < s.length - 1) {
+                if (s(k) == a && s(k + 1) == b) {
+                  s(k) = newTok
+                  s.remove(k + 1)
+                }
+                // the merged token can never start a new (a, b) pair
+                // (newTok != a since b is non-empty), so advance
+                k += 1
+              }
+              countWord(idx, 1L)
+            }
+          }
+        }
+        components += a
+        components += b
+      }
     }
     merges.toList
   }

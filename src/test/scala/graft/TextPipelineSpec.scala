@@ -191,6 +191,160 @@ class TextPipelineSpec extends SparkSpec {
     assert(TextAnalysis.learnBpeMerges(docs, 0) === Seq.empty)
   }
 
+  test("learnBpeMerges: Spark-job count is independent of nMerges " +
+    "(driver-local incremental trainer, not one job per merge)") {
+    import spark.implicits._
+    val docs = (0 until 200)
+      .map(i => (i.toLong, s"ab${"c" * (i % 5)} abc ab ba cab"))
+      .toDF("doc_id", "text")
+    def countJobs(body: => Unit): Long = {
+      val n = new java.util.concurrent.atomic.AtomicLong(0L)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try body finally ()
+      // listener delivery is async: wait until the count stabilizes
+      var prev = -1L
+      var polls = 0
+      while (n.get() != prev && polls < 50) {
+        prev = n.get(); Thread.sleep(100); polls += 1
+      }
+      spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    TextAnalysis.learnBpeMerges(docs, 1) // warm-up outside the counters
+    val fewJobs = countJobs { TextAnalysis.learnBpeMerges(docs, 2) }
+    val manyJobs = countJobs { TextAnalysis.learnBpeMerges(docs, 12) }
+    assert(manyJobs === fewJobs,
+      "6x the merges must launch the same number of Spark jobs - the " +
+        "training rounds are driver-local")
+    assert(fewJobs <= 4L,
+      s"the dictionary build should be a handful of jobs, got $fewJobs")
+  }
+
+  test("trainBpeDriver: property — incremental pair counts match the " +
+    "per-round full re-segmentation reference") {
+    // reference: every round re-segments EVERY word with the greedy
+    // lowest-rank walk, counts adjacent pairs weighted by word count,
+    // and promotes (count desc, then (a, b)) with the stop rule — the
+    // form the oracle replays and the pre-r7 implementation ran
+    def refBpe(word: String, merges: Seq[(String, String)]): List[String] = {
+      val rank = merges.zipWithIndex.groupBy(_._1)
+        .map { case (p, rs) => p -> rs.map(_._2).min }
+      @annotation.tailrec
+      def go(toks: List[String]): List[String] = {
+        val pairs = toks.zip(toks.drop(1)).zipWithIndex
+          .flatMap { case (p, i) => rank.get(p).map(r => (r, i)) }
+        if (pairs.isEmpty) toks
+        else {
+          val (_, i) = pairs.minBy { case (r, j) => (r, j) }
+          go(toks.take(i) ::: (toks(i) + toks(i + 1)) :: toks.drop(i + 2))
+        }
+      }
+      go(word.map(_.toString).toList)
+    }
+    def refTrain(dict: Seq[(String, Long)], nMerges: Int,
+                 minPairCount: Long): Seq[(String, String)] = {
+      val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+      var stop = false
+      while (!stop && merges.size < nMerges) {
+        val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        dict.foreach { case (w, c) =>
+          val toks = refBpe(w, merges.toList)
+          toks.zip(toks.drop(1)).foreach(p => pc(p) = pc.getOrElse(p, 0L) + c)
+        }
+        val cands = pc.toSeq.filter(_._2 >= minPairCount)
+        if (cands.isEmpty) stop = true
+        else merges += cands.minBy { case ((a, b), c) => (-c, a, b) }._1
+      }
+      merges.toList
+    }
+    val rng = new scala.util.Random(20260813L)
+    for (trial <- 0 until 60) {
+      // the unary alphabet maximizes token-string reuse across rounds —
+      // the regime where incremental application could diverge
+      val alphabet = Seq("a", "ab", "abc")(trial % 3)
+      val dict = (0 until 30).map { _ =>
+        ((1 to 1 + rng.nextInt(8))
+          .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString,
+          1L + rng.nextInt(5))
+      }.groupBy(_._1).map { case (w, rows) => (w, rows.map(_._2).sum) }
+        .toArray
+      val exp = refTrain(dict.toSeq, 15, 2L)
+      val got = TextAnalysis.trainBpeDriver(dict, 15, 2L)
+      assert(got === exp, s"trial $trial dict=${dict.toSeq.sorted}")
+    }
+  }
+
+  test("greedySegment: driver twin of the codegen'd BpeEncodeExpr walk " +
+    "for arbitrary merge tables (duplicate pairs keep the first rank)") {
+    val rng = new scala.util.Random(41L)
+    def refBpe(word: String, merges: Seq[(String, String)]): List[String] = {
+      val rank = merges.zipWithIndex.groupBy(_._1)
+        .map { case (p, rs) => p -> rs.map(_._2).min }
+      @annotation.tailrec
+      def go(toks: List[String]): List[String] = {
+        val pairs = toks.zip(toks.drop(1)).zipWithIndex
+          .flatMap { case (p, i) => rank.get(p).map(r => (r, i)) }
+        if (pairs.isEmpty) toks
+        else {
+          val (_, i) = pairs.minBy { case (r, j) => (r, j) }
+          go(toks.take(i) ::: (toks(i) + toks(i + 1)) :: toks.drop(i + 2))
+        }
+      }
+      go(word.map(_.toString).toList)
+    }
+    for (trial <- 0 until 40) {
+      val frags = (0 until 6).map(_ =>
+        (1 to 1 + rng.nextInt(3)).map(_ => "ab" (rng.nextInt(2))).mkString)
+      val merges = (0 until 8).map { _ =>
+        (frags(rng.nextInt(frags.size)), frags(rng.nextInt(frags.size)))
+      }
+      val ranks = new java.util.HashMap[String, Integer]
+      merges.zipWithIndex.foreach { case ((a, b), i) =>
+        ranks.putIfAbsent(a + "\u0001" + b, i)
+      }
+      for (_ <- 0 until 20) {
+        val w = (0 until rng.nextInt(10)).map(_ => "ab" (rng.nextInt(2)))
+          .mkString
+        assert(TextAnalysis.greedySegment(w, ranks).toList ===
+          refBpe(w, merges), s"trial $trial word='$w' merges=$merges")
+      }
+    }
+  }
+
+  test("utf8Compare: UTF-8 bytewise order (Spark/DuckDB), not Java " +
+    "UTF-16 code-unit order") {
+    val bmp = "\uE000" // 3-byte UTF-8, but UTF-16 unit 0xE000
+    val supp = new String(Character.toChars(0x10000)) // 4-byte UTF-8
+    assert(TextAnalysis.utf8Compare(bmp, supp) < 0,
+      "code-point order: U+E000 < U+10000")
+    assert(bmp.compareTo(supp) > 0,
+      "Java disagrees here - the custom comparator is load-bearing")
+    assert(TextAnalysis.utf8Compare("ab", "ab") === 0)
+    assert(TextAnalysis.utf8Compare("ab", "abc") < 0)
+    assert(TextAnalysis.utf8Compare("b", "ab") > 0)
+  }
+
+  test("learnBpeMerges: vocab ceiling throws with remediation; " +
+    "minWordCount prunes the long tail") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb cc dd ee aa bb")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.learnBpeMerges(docs, 2, maxVocab = 3)
+    }
+    assert(e.getMessage.contains("minWordCount"),
+      "the failure must name the remediation")
+    // minWordCount = 2 drops the once-seen words: only 'aa' (2) and
+    // 'bb' (2) train, so the merges are (a,a) then (b,b)
+    val merges = TextAnalysis.learnBpeMerges(docs, 10, minWordCount = 2L)
+    assert(merges === Seq("a" -> "a", "b" -> "b"))
+  }
+
   test("encodeTokensBpe: subword ids ordered within and across words") {
     import spark.implicits._
     val merges = Seq("a" -> "b")
