@@ -157,6 +157,18 @@ object Dedup {
     * corpus in its scan stage ([[graft.etl.BloomJoin]]) and the exact
     * string join runs un-hinted, so the shuffle carries ≈ hits +
     * fpp·|corpus shingles| rows, never the corpus.
+    *
+    * The distinct probe-shingle set is persisted and counted ONCE:
+    * that single evaluation serves the broadcast-vs-Bloom decision,
+    * the Bloom sizing, and whichever join strategy wins (the Bloom
+    * build and the exact join read the cache, never re-running the
+    * distinct shuffle). CACHE LIFETIME: owned by the session, like
+    * [[jaccardPairs]]' shingle cache — `clearCache()` between corpora.
+    * The degraded path inherits
+    * [[graft.etl.BloomJoin.MaxExpectedItems]]: a probe set past THAT
+    * ceiling (5×10⁸ distinct shingles — no real eval suite) fails
+    * loudly in `buildFilter` rather than building an undersized
+    * filter.
     */
   def contamination(docs: DataFrame, probes: DataFrame, n: Int = 3,
                     idCol: String = "doc_id", textCol: String = "text",
@@ -166,12 +178,13 @@ object Dedup {
       .select(col("doc_id"), explode(col("sh")).as("s"))
     val p = shingleSets(probes, idCol, textCol, n)
       .select(explode(col("sh")).as("s")).distinct()
-    val cap = math.min(maxBroadcastShingles, Int.MaxValue.toLong - 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probeShingles = p.count()
     val joined =
-      if (p.limit(cap.toInt + 1).count() <= cap) d.join(broadcast(p), "s")
+      if (probeShingles <= maxBroadcastShingles) d.join(broadcast(p), "s")
       else {
         val filter = graft.etl.BloomJoin.buildFilter(
-          p, TextAnalysis.hash60(col("s")), expectedItems = p.count())
+          p, TextAnalysis.hash60(col("s")), expectedItems = probeShingles)
         d.filter(graft.etl.BloomJoin.mightContain(
             filter, TextAnalysis.hash60(col("s"))))
           .join(p, "s") // exact join kills the Bloom false positives

@@ -125,9 +125,14 @@ object Multimodal {
     p.length >= 3 && p(0) == 0xFF.toByte && p(1) == 0xD8.toByte &&
       p(2) == 0xFF.toByte
 
-  /** Magic-sniffed format for the REAL decode path, None → stub. */
+  /** Magic-sniffed format for the REAL decode path, None → stub.
+    * Null-safe: a null payload sniffs as nothing, so every decode
+    * entry point degrades to its unknown/passthrough row instead of
+    * NPE-killing the task (the corrupt-row contract).
+    */
   private def sniff(p: Array[Byte]): Option[String] =
-    if (isPng(p)) Some("png")
+    if (p == null) None
+    else if (isPng(p)) Some("png")
     else if (isJpeg(p)) Some("jpeg")
     else None
 
@@ -150,8 +155,12 @@ object Multimodal {
       // registry is JVM-global and lazily initialized on first read)
       rows.map { r =>
         val p = r.getAs[Array[Byte]]("payload")
-        val n = p.length.toLong
-        val meta: Seq[Any] = sniff(p) match {
+        // a null payload (e.g. encode() of a null document) is a data
+        // defect, not a task killer: unknown format, null n_bytes
+        val n: Any = if (p == null) null else p.length.toLong
+        val meta: Seq[Any] = if (p == null)
+          Seq("unknown", null, null, null, null, n)
+        else sniff(p) match {
           case Some(fmt) =>
             val img = try javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(p))
@@ -272,10 +281,75 @@ object Multimodal {
   /** Frame-sampling shape: emit every `step`-th synthetic frame index
     * per media row (a video decoder would emit real frame payloads).
     * posexplode keeps (media, frame_no) lineage for downstream joins.
+    * [[decodeFrames]] is the payload-bearing form of this shape, with
+    * the decoder injected as a [[FrameCodec]].
     */
   def sampleFrames(media: DataFrame, nFrames: Int, step: Int): DataFrame =
     media.select(col("media_id"),
         posexplode(sequence(lit(0), lit(nFrames - 1), lit(step)))
           .as(Seq("pos", "frame_no")))
       .select(col("media_id"), col("frame_no").cast("long").as("frame_no"))
+
+  /** The injected media-codec seam — the multimodal twin of
+    * [[graft.pipeline.Fetch.fetchNew]]'s `(list, fetch)` transport
+    * injection: `(payload, maxFrames) → frames`. A real video/audio
+    * decoder (not in this environment) drops in here exactly as
+    * [[graft.pipeline.HttpTransport]] drops into `Fetch`; the engine
+    * owns everything around the seam — schema, per-partition
+    * execution, frame lineage, step sampling — and those parts are
+    * real and tested. Implementations must return at most `maxFrames`
+    * frames, Nil for an undecodable (or null) payload, and must be
+    * serializable (they ship to executors).
+    */
+  type FrameCodec = (Array[Byte], Int) => Seq[Array[Byte]]
+
+  /** The shipped default codec: a decodable PNG/JPEG payload is a
+    * one-frame medium — the frame is the image re-encoded as PNG via
+    * the same `javax.imageio` path as [[resizeImages]]. Anything
+    * unsniffable or undecodable yields no frames.
+    */
+  val imageFrameCodec: FrameCodec = (payload, maxFrames) => {
+    val img = sniff(payload) match {
+      case Some(_) =>
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      case None => null
+    }
+    if (img == null || maxFrames < 1) Nil
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Seq(bos.toByteArray)
+    }
+  }
+
+  private val FrameSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("frame_no", LongType),
+    StructField("frame", BinaryType)))
+
+  /** Decode real frames through the injected `codec`, keeping every
+    * `step`-th one: (media_id, frame_no, frame) with `frame_no` the
+    * codec's frame index (0, step, 2·step, …) so lineage survives the
+    * sampling. Per-partition like [[decodeMeta]] — a real codec
+    * initializes once per task, not per row; a payload the codec
+    * rejects contributes no rows and kills nothing.
+    */
+  def decodeFrames(media: DataFrame, codec: FrameCodec, maxFrames: Int,
+                   step: Int = 1): DataFrame = {
+    require(maxFrames >= 0, s"maxFrames must be >= 0: $maxFrames")
+    require(step >= 1, s"step must be >= 1: $step")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(FrameSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val frames = codec(r.getAs[Array[Byte]]("payload"), maxFrames)
+        frames.iterator.zipWithIndex.collect {
+          case (f, i) if i % step == 0 =>
+            Row(r.getLong(0), i.toLong, f)
+        }
+      }
+    }(enc)
+  }
 }

@@ -53,12 +53,18 @@ final class HttpTransport(
   }
 
   /** Anchor hrefs of the index page that fully match `entryPattern`,
-    * de-duplicated in page order. [[Fetch.fetchNew]] re-orders them
-    * deterministically and rejects non-plain-file names.
+    * de-duplicated in page order. Hrefs containing '?', '#', or ':'
+    * are dropped unconditionally — query strings (Apache's "?C=N;O=D"
+    * column-sort links), fragments, and absolute/scheme URLs can never
+    * be plain directory entries, and under the permissive default
+    * pattern they would otherwise be staged as junk files.
+    * [[Fetch.fetchNew]] re-orders the survivors deterministically and
+    * rejects non-plain-file names.
     */
   def list(): Seq[String] = {
     val html = get(base, HttpResponse.BodyHandlers.ofString())
     HttpTransport.Href.findAllMatchIn(html).map(_.group(1))
+      .filterNot(h => h.exists(c => c == '?' || c == '#' || c == ':'))
       .filter(h => entryPattern.pattern.matcher(h).matches())
       .toSeq.distinct
   }

@@ -25,13 +25,21 @@ object Vectors {
     */
   val MaxBruteForceQueries: Long = 100000L
 
-  /** Enforce the brute-force ceiling. The probe is bounded — a
-    * LocalLimit stops the scan at `MaxBruteForceQueries + 1` rows — so
-    * the check costs O(ceiling) regardless of the query set's true
-    * size.
+  /** Enforce the brute-force ceiling. NOTE: when `knownCount` is
+    * empty this runs an EAGER Spark job at call time in an otherwise
+    * lazy API — the query plan is evaluated here for the guard and
+    * again by the actual join (a nondeterministic source could even
+    * pass the guard yet exceed the ceiling at join time). Callers with
+    * an expensive or nondeterministic query plan should pass
+    * `queryCount` (or cache/localCheckpoint the queries first). The
+    * probe itself is bounded — a LocalLimit stops the scan at
+    * `MaxBruteForceQueries + 1` rows — so it costs O(ceiling)
+    * regardless of the query set's true size.
     */
-  private def requireBruteForceable(queries: DataFrame, op: String): Unit = {
-    val n = queries.limit(MaxBruteForceQueries.toInt + 1).count()
+  private def requireBruteForceable(queries: DataFrame, op: String,
+                                    knownCount: Option[Long]): Unit = {
+    val n = knownCount.getOrElse(
+      queries.limit(MaxBruteForceQueries.toInt + 1).count())
     require(n <= MaxBruteForceQueries,
       s"$op scans |corpus| x |queries| pairs and broadcasts the query " +
         s"set: > $MaxBruteForceQueries query rows is the regime for " +
@@ -127,11 +135,16 @@ object Vectors {
     * map-only scan — and the top-k selection is the bounded-heap
     * operator. `cos` is rounded to 6 decimals so independent engines
     * rank identically.
+    *
+    * The ceiling guard runs one eager bounded count of `queries`
+    * unless `queryCount` supplies the size — pass it (or cache the
+    * queries) when the query plan is expensive to evaluate twice.
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                  idCol: String = "vec_id",
-                 vecCol: String = "embedding"): DataFrame = {
-    requireBruteForceable(queries, "cosineTopK")
+                 vecCol: String = "embedding",
+                 queryCount: Option[Long] = None): DataFrame = {
+    requireBruteForceable(queries, "cosineTopK", queryCount)
     val c = corpus.select(col(idCol).as("vec_id"),
       toDouble(col(vecCol)).as("v"))
     val q = queries.select(col(idCol).as("query_id"),
@@ -147,12 +160,14 @@ object Vectors {
     * similar enough to be informative contrastive negatives, not so
     * similar they are latent positives. Same broadcast + bounded-heap
     * shape as [[cosineTopK]]; the ceiling filter runs before the heap
-    * so near-dups never occupy heap slots.
+    * so near-dups never occupy heap slots. Same `queryCount` contract
+    * as [[cosineTopK]] — the guard's bounded count is eager.
     */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
                     maxCos: Double, idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
-    requireBruteForceable(queries, "hardNegatives")
+                    vecCol: String = "embedding",
+                    queryCount: Option[Long] = None): DataFrame = {
+    requireBruteForceable(queries, "hardNegatives", queryCount)
     val c = corpus.select(col(idCol).as("vec_id"),
       toDouble(col(vecCol)).as("v"))
     val q = queries.select(col(idCol).as("query_id"),

@@ -125,6 +125,13 @@ class DedupVectorsSpec extends SparkSpec {
     assert(viaBroadcast === viaBloom)
     assert(viaBroadcast === Map(0L -> 1L, 2L -> 1L),
       "docs 0 and 2 contain the probe trigram; doc 1 is clean")
+    // the probe's distinct shuffle is evaluated ONCE per call: the
+    // sizing count materializes a persisted set, and the exact join
+    // reads the cache instead of re-running the shuffle
+    val bloomPlan = Dedup.contamination(corpus, probes,
+      maxBroadcastShingles = 0L).queryExecution.executedPlan.toString
+    assert(bloomPlan.contains("InMemoryTableScan"),
+      s"degraded path must join the cached probe set:\n$bloomPlan")
   }
 
   test("brute-force guard: oversized query set is refused with ANN hint") {

@@ -44,6 +44,24 @@ class HttpTransportSpec extends AnyFunSuite {
     }
   }
 
+  test("list drops sort links, fragments, and absolute URLs even under " +
+    "the permissive default pattern") {
+    withServer { (server, base) =>
+      server.createContext("/data/", (ex: HttpExchange) => respond(ex, 200,
+        """<html><body><h1>Index of /data</h1>
+          |<a href="?C=N;O=D">Name</a> <a href="?C=M;O=A">Last modified</a>
+          |<a href="a.csv">a.csv</a>
+          |<a href="b.csv?download=1">b.csv</a>
+          |<a href="#top">top</a>
+          |<a href="http://example.com/x.csv">offsite</a>
+          |<a href="notes.txt">notes.txt</a>
+          |</body></html>""".stripMargin.getBytes("UTF-8")))
+      val t = new HttpTransport(base) // default AnyEntry pattern
+      assert(t.list() === Seq("a.csv", "notes.txt"),
+        "'?'/'#'/':' hrefs can never be plain directory entries")
+    }
+  }
+
   test("fetch demands HTTP 200 and a non-empty body") {
     withServer { (server, base) =>
       server.createContext("/data/ok.csv",

@@ -204,6 +204,75 @@ class LibraryEdgeSpec extends SparkSpec {
     assert(out(2L).isNullAt(1), "undecodable -> null features")
   }
 
+  test("multimodal decode: null payload rows degrade, never NPE") {
+    import spark.implicits._
+    val media = Seq((1L, "x".getBytes), (2L, null))
+      .toDF("media_id", "payload")
+    val meta = Multimodal.decodeMeta(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val nullRow = meta(2L)
+    assert(nullRow.getAs[String]("format") === "unknown")
+    assert(nullRow.isNullAt(nullRow.fieldIndex("n_bytes")),
+      "absent payload is not a 0-byte payload")
+    assert(nullRow.isNullAt(nullRow.fieldIndex("width")) &&
+      nullRow.isNullAt(nullRow.fieldIndex("sample_rate")))
+    // resize and features take the same degradation path
+    val resized = Multimodal.resizeImages(media, maxDim = 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(resized(2L).getAs[String]("format") === "passthrough")
+    val feats = Multimodal.imageFeatures(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(feats(2L).isNullAt(1))
+  }
+
+  test("decodeFrames: a synthetic codec drives the injected seam — " +
+    "lineage, step sampling, frame cap, rejects contribute nothing") {
+    import spark.implicits._
+    // synthetic codec: each 2-byte chunk of the payload is a 'frame';
+    // payloads starting with 'X' (and nulls) are undecodable
+    val chunker: Multimodal.FrameCodec = (p, maxFrames) =>
+      if (p == null || p.isEmpty || p(0) == 'X'.toByte) Nil
+      else p.grouped(2).take(maxFrames).map(_.toArray).toSeq
+    val media = Seq(
+      (1L, "abcdefgh".getBytes("UTF-8")), // 4 frames
+      (2L, "Xbroken!".getBytes("UTF-8")), // rejected
+      (3L, null)) // null payload: no rows, no NPE
+      .toDF("media_id", "payload")
+    val all = Multimodal.decodeFrames(media, chunker, maxFrames = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        new String(r.getAs[Array[Byte]]("frame"), "UTF-8")))
+    assert(all.toSet === Set((1L, 0L, "ab"), (1L, 1L, "cd"),
+      (1L, 2L, "ef"), (1L, 3L, "gh")),
+      "codec frames carry (media, frame_no) lineage; rejects vanish")
+    // step sampling keeps the codec's frame indices, not a re-ranking
+    val stepped = Multimodal.decodeFrames(media, chunker,
+      maxFrames = 10, step = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stepped === Set((1L, 0L), (1L, 2L)))
+    // the codec's maxFrames contract bounds output
+    val capped = Multimodal.decodeFrames(media, chunker, maxFrames = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(capped === Set(0L, 1L, 2L))
+  }
+
+  test("decodeFrames: the default image codec emits one decodable " +
+    "PNG frame per decodable image") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq((1L, bos.toByteArray), (2L, "noise".getBytes))
+      .toDF("media_id", "payload")
+    val frames = Multimodal.decodeFrames(media,
+      Multimodal.imageFrameCodec, maxFrames = 5).collect()
+    assert(frames.length === 1, "undecodable payload emits no frame")
+    assert(frames.head.getLong(0) === 1L && frames.head.getLong(1) === 0L)
+    val round = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      frames.head.getAs[Array[Byte]]("frame")))
+    assert(round.getWidth === 3 && round.getHeight === 2)
+  }
+
   test("walltime parser rejects negatives inside H:MM:SS gracefully") {
     import spark.implicits._
     // malformed-but-colon-shaped inputs must not throw under ANSI mode

@@ -181,4 +181,24 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("partial_count"),
       "row count rides the same partial aggregate")
   }
+
+  test("quality score: hashed weights table broadcasts (bounded by " +
+    "nBuckets by construction), corpus side never shuffles for the join") {
+    val p = plan("q_quality_score")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the nBuckets-bounded weights table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"a shuffled join would move the corpus for a fixed-size dim:\n$p")
+  }
+
+  test("bpe encode: subword dictionary join broadcasts (vocab bounded " +
+    "by |chars| + |merges| by construction)") {
+    val p = plan("q_encode_tokens_bpe")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded subword vocabulary must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus tokens must not shuffle against a bounded dict:\n$p")
+    assert(p.contains("graft_bpe_encode"),
+      "the codegen'd expression, not an HOF/UDF, tokenizes the corpus")
+  }
 }
