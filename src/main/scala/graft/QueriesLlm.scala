@@ -446,6 +446,33 @@ private[graft] object QueriesLlm {
       .toDF("rank", "a", "b")
   }
 
+  /** Non-ASCII round-trip fixture: 2-byte (e-acute), 3-byte (CJK), and
+    * 4-byte (emoji) UTF-8 sequences, so the byte-level gate covers
+    * every UTF-8 width class beyond the corpus's ASCII text.
+    */
+  private val ByteBpeSuffix =
+    " caf\u00e9 \u65e5\u672c\u8a9e \ud83d\ude00"
+
+  /** BYTE-LEVEL BPE round-trip capstone: learn byte-level merges on
+    * the corpus itself (non-ASCII suffix appended so multi-byte UTF-8
+    * is really exercised), encode every document over the GPT-2 byte
+    * alphabet, decode back, and compare against the raw table — the
+    * no-OOV claim as an oracle: decode(encode(x)) must be
+    * byte-identical for EVERY input, which no word-level `<unk>` path
+    * can promise.
+    */
+  def byteBpeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), concat(col("text"),
+        lit(ByteBpeSuffix)).as("text"))
+    val merges = TextAnalysis.learnBpeMerges(docs, BpeTrainMerges,
+      byteLevel = true)
+    docs.select(col("doc_id"),
+      TextAnalysis.bpeDecodeBytes(
+        TextAnalysis.bpeSubwordsBytes(col("text"), merges)).as("text"))
+  }
+
   /** Deterministic Lloyd k-means over embeddings (k=8, one centroid
     * update) — the semantic-clustering stage of SemDeDup-style dedup.
     */
@@ -487,6 +514,7 @@ private[graft] object QueriesLlm {
     "q_encode_tokens" -> (encodeTokensQ _),
     "q_encode_tokens_bpe" -> (encodeTokensBpeQ _),
     "q_bpe_train" -> (bpeTrainQ _),
+    "q_byte_bpe_roundtrip" -> (byteBpeRoundtrip _),
     "q_quality_score" -> (qualityScoreQ _),
     "q_decode_roundtrip" -> (decodeRoundtrip _),
     "q_kmeans" -> (kmeansQ _),
@@ -890,6 +918,11 @@ private[graft] object QueriesLlm {
     // raw table verbatim
     "q_decode_roundtrip" ->
       "SELECT doc_id, text FROM documents WHERE text IS NOT NULL",
+    // byte-level no-OOV: the round trip through learned byte merges
+    // must be byte-identical even with multi-byte UTF-8 appended
+    "q_byte_bpe_roundtrip" ->
+      s"""SELECT doc_id, text || '$ByteBpeSuffix' AS text
+          FROM documents WHERE text IS NOT NULL""",
     // exact long sum of fixed-point weights; FP only at logit/sigmoid
     "q_quality_score" ->
       s"""WITH w AS (SELECT b AS bucket, (b * 37) % 21 - 10 AS w10

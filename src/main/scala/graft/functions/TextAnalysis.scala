@@ -358,6 +358,27 @@ object TextAnalysis {
       graft.plans.BpeEncodeExpr(
         org.apache.spark.sql.graft.Bridge.expression(text), merges))
 
+  /** BYTE-LEVEL merges-table BPE ([[graft.plans.ByteBpeEncodeExpr]]):
+    * the GPT-2 byte-to-unicode alphabet, word-boundary spaces encoded
+    * into the following word's symbols. Nothing is ever OOV — the
+    * `<unk>`/−1 fallbacks of the word-level paths are unreachable
+    * here — and [[bpeDecodeBytes]] inverts it byte-exactly for ANY
+    * input text and ANY merges table (merges affect compression only).
+    */
+  def bpeSubwordsBytes(text: Column,
+                       merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.plans.ByteBpeEncodeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text), merges))
+
+  /** Inverse of [[bpeSubwordsBytes]]: symbol tokens → bytes → UTF-8
+    * text. Codegen'd, map-only.
+    */
+  def bpeDecodeBytes(toks: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.plans.ByteBpeDecodeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(toks)))
+
   /** Inverse of [[encodeTokens]]: a comma-joined id sequence decodes
     * back to whitespace-joined tokens through the dictionary (ids the
     * dictionary lacks, e.g. the −1 OOV sentinel, decode to `unk`).
@@ -462,7 +483,8 @@ object TextAnalysis {
                      textCol: String = "text",
                      minPairCount: Long = 2L,
                      minWordCount: Long = 1L,
-                     maxVocab: Int = MaxBpeVocabWords):
+                     maxVocab: Int = MaxBpeVocabWords,
+                     byteLevel: Boolean = false):
       Seq[(String, String)] = {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
     require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
@@ -477,8 +499,14 @@ object TextAnalysis {
       s"BPE training dictionary exceeds $maxVocab distinct words: " +
         "raise minWordCount to prune the long tail (standard trainer " +
         "practice - HF tokenizers' min_frequency) or raise maxVocab")
-    trainBpeDriver(
-      words.map(r => (r.getString(0), r.getLong(1))), nMerges, minPairCount)
+    // byte-level training runs the same trainer over the GPT-2 symbol
+    // alphabet (the mapping is injective, so counts carry over); the
+    // learned pairs are symbol strings for [[bpeSubwordsBytes]]
+    val dict = words.map { r =>
+      val w = r.getString(0)
+      (if (byteLevel) graft.plans.BpeBytes.symbols(w) else w, r.getLong(1))
+    }
+    trainBpeDriver(dict, nMerges, minPairCount)
   }
 
   /** UTF-8-bytewise string comparison — Spark `UTF8String` binary

@@ -345,6 +345,59 @@ class TextPipelineSpec extends SparkSpec {
     assert(merges === Seq("a" -> "a", "b" -> "b"))
   }
 
+  test("byte-level BPE: decode(encode(x)) is the identity for any " +
+    "text and any merges — nothing is OOV") {
+    import spark.implicits._
+    val rng = new scala.util.Random(99L)
+    def randText(): String = (0 until rng.nextInt(12)).map { _ =>
+      rng.nextInt(6) match {
+        case 0 => " "
+        case 1 => ('a' + rng.nextInt(26)).toChar.toString
+        case 2 => "\u00e9" // 2-byte UTF-8
+        case 3 => "\u65e5" // 3-byte
+        case 4 => new String(Character.toChars(0x1F600 + rng.nextInt(16)))
+        case _ => ('0' + rng.nextInt(10)).toChar.toString
+      }
+    }.mkString
+    // edges: empty, pure/leading/trailing/doubled spaces — the space
+    // is ENCODED (leading-space convention), so all must survive
+    val texts = Seq("", " ", "  ", " a", "a ", "a  b") ++
+      (0 until 40).map(_ => randText())
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.learnBpeMerges(docs, 6, byteLevel = true)
+    for (m <- Seq(merges, Nil)) {
+      val round = docs.select(col("doc_id"),
+          TextAnalysis.bpeDecodeBytes(
+            TextAnalysis.bpeSubwordsBytes(col("text"), m)).as("rt"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(round(i.toLong) === t,
+          s"round trip must be byte-exact (merges=${m.size}, i=$i)")
+      }
+    }
+  }
+
+  test("byte-level BPE: the symbol table is a bijection and learned " +
+    "merges actually compress") {
+    import graft.plans.BpeBytes
+    assert(BpeBytes.byteToChar.distinct.length === 256)
+    (0 until 256).foreach { b =>
+      assert(BpeBytes.charToByte(BpeBytes.byteToChar(b)) === b.toByte)
+    }
+    import spark.implicits._
+    val docs = (0 until 50).map(i => (i.toLong, "abab abab baba"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.learnBpeMerges(docs, 8, byteLevel = true)
+    assert(merges.nonEmpty, "byte-level training must find merges")
+    val sizes = docs.limit(1).select(
+        size(TextAnalysis.bpeSubwordsBytes(col("text"), merges)).as("n"),
+        size(TextAnalysis.bpeSubwordsBytes(col("text"), Nil)).as("n0"))
+      .collect().head
+    assert(sizes.getInt(0) < sizes.getInt(1),
+      "merged token stream must be shorter than the raw symbol stream")
+  }
+
   test("encodeTokensBpe: subword ids ordered within and across words") {
     import spark.implicits._
     val merges = Seq("a" -> "b")
