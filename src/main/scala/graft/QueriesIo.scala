@@ -246,6 +246,22 @@ private[graft] object QueriesIo {
       Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text"),
       nFrames = 30, step = 7)
 
+  /** The injected codec seam under the oracle gate: the byte-chunking
+    * codec shards every (ASCII text) payload into 32-byte frames,
+    * `decodeFrames` keeps frames 0 and 2 of the first four — so the
+    * DuckDB oracle can replay the whole path with substr arithmetic,
+    * which no image/audio codec's output would permit. Frame payloads
+    * come back as text for the value compare.
+    */
+  def mediaChunks(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFrames(
+      Multimodal.attachPayload(
+        t(s, dir, "documents").filter(col("text").isNotNull),
+        "doc_id", "text"),
+      Multimodal.byteChunkCodec(32), maxFrames = 4, step = 2)
+      .select(col("media_id"), col("frame_no"),
+        decode(col("frame"), "UTF-8").as("chunk"))
+
   /** Salted skew-join: events fact × user dimension, 8 salts; result
     * must equal the plain join (salting only reshapes the shuffle).
     */
@@ -283,6 +299,7 @@ private[graft] object QueriesIo {
     "q_stream_user_stats" -> (streamUserStats _),
     "q_media_meta" -> (mediaMeta _),
     "q_frame_sample" -> (frameSample _),
+    "q_media_chunks" -> (mediaChunks _),
     "q_salted_join" -> (saltedJoin _),
     "q_stream_join" -> (streamStreamJoin _),
     "q_zorder_layout" -> (zorderLayout _),
@@ -391,6 +408,14 @@ private[graft] object QueriesIo {
       """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_no
          FROM documents
          CROSS JOIN (SELECT unnest([0, 7, 14, 21, 28]) AS f)""",
+    // replays the 32-byte chunking codec + step-2 sampling of the
+    // first 4 frames with substr arithmetic (ASCII text: byte = char)
+    "q_media_chunks" ->
+      """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_no,
+           substr(text, f * 32 + 1, 32) AS chunk
+         FROM documents
+         CROSS JOIN (SELECT unnest([0, 2]) AS f)
+         WHERE text IS NOT NULL AND length(text) > f * 32""",
     "q_salted_join" ->
       """SELECT event_id, user_id, value, c_mktsegment
          FROM events JOIN customer ON user_id = c_custkey""",

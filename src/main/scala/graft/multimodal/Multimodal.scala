@@ -324,6 +324,18 @@ object Multimodal {
     }
   }
 
+  /** Library chunking codec: fixed-size byte frames of the payload —
+    * blob sharding for transport/storage, and the oracle-gateable
+    * [[FrameCodec]] (text payloads chunk to byte-exact substrings, so
+    * a SQL oracle can replay it, unlike image re-encoding).
+    */
+  def byteChunkCodec(chunkBytes: Int): FrameCodec = {
+    require(chunkBytes >= 1, s"chunkBytes must be >= 1: $chunkBytes")
+    (p, maxFrames) =>
+      if (p == null || p.isEmpty) Nil
+      else p.grouped(chunkBytes).take(maxFrames).toSeq
+  }
+
   private val FrameSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("frame_no", LongType),

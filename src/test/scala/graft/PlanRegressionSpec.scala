@@ -201,4 +201,18 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("graft_bpe_encode"),
       "the codegen'd expression, not an HOF/UDF, tokenizes the corpus")
   }
+
+  test("byte bpe round trip: map-only — encode and decode are fused " +
+    "projections, zero joins, zero exchanges") {
+    val p = plan("q_byte_bpe_roundtrip")
+    assert(!p.contains("Exchange"), s"no shuffle in a pure projection:\n$p")
+    assert(p.contains("graft_byte_bpe_decode") &&
+      p.contains("graft_byte_bpe_encode"), p)
+  }
+
+  test("media chunks: per-partition codec, zero exchanges") {
+    val p = plan("q_media_chunks")
+    assert(!p.contains("Exchange"),
+      s"the codec seam must not shuffle payloads:\n$p")
+  }
 }
