@@ -21,6 +21,13 @@ private[graft] object QueriesLlm {
     "es" -> Seq("el", "la"), "fr" -> Seq("le", "les"))
   private val MinhashK = 8
   private val JaccardThreshold = 0.5
+  /** CCNet gate: src0-src2 is the "trusted" slice the bigram LM trains
+    * on; the fixed cross-entropy cuts are placed inside the observed
+    * sf0.001-sf0.1 score range so all three buckets populate.
+    */
+  private val PerplexityRefSources = Seq("src0", "src1", "src2")
+  private val PerplexityHeadMax = 3.40
+  private val PerplexityMiddleMax = 3.47
 
   /** Ranked BPE merges fixture (training a merges table is offline;
     * applying one is the engine's job). Multi-level merges (table ←
@@ -247,6 +254,16 @@ private[graft] object QueriesLlm {
   def lineDedupQ(s: SparkSession, dir: String): DataFrame =
     Dedup.lineDedup(linedDocs(s, dir))
 
+  /** Re-lined docs with every line echoed (text ⧺ '\n' ⧺ text), so
+    * intra-doc dedup has real within-document repeats to collapse.
+    */
+  private def echoedDocs(s: SparkSession, dir: String): DataFrame =
+    linedDocs(s, dir).select(col("doc_id"),
+      concat(col("text"), lit("\n"), col("text")).as("text"))
+
+  def intraDocDedupQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.intraDocLineDedup(echoedDocs(s, dir))
+
   def vocab(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabulary(t(s, dir, "documents"), 100)
 
@@ -309,6 +326,28 @@ private[graft] object QueriesLlm {
     graft.pipeline.Curation.assignSplits(t(s, dir, "documents"),
       Seq("train" -> 90, "valid" -> 95), "test")
       .select("doc_id", "split")
+
+  /** Leakage-safe 90/5/5 split: near-dup clusters (Jaccard ≥ 0.5 →
+    * connected components) assigned whole to a split, so no pair of
+    * near-duplicates ever straddles the train/eval boundary.
+    */
+  def leakageSplitQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.pipeline.Curation.leakageSafeSplit(d,
+      Dedup.jaccardPairs(d, JaccardThreshold),
+      Seq("train" -> 90, "valid" -> 95), "test")
+  }
+
+  /** CCNet-style perplexity buckets: bigram LM trained on the
+    * src0-src2 reference slice scores the whole corpus; fixed
+    * cross-entropy thresholds split head/middle/tail.
+    */
+  def perplexityQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    TextAnalysis.perplexityFilter(d,
+      d.filter(col("source").isin(PerplexityRefSources: _*)),
+      headMax = PerplexityHeadMax, middleMax = PerplexityMiddleMax)
+  }
 
   /** Dataset-card rollup: per-source corpus statistics. */
   def corpusStats(s: SparkSession, dir: String): DataFrame =
@@ -503,6 +542,9 @@ private[graft] object QueriesLlm {
     "q_heavy_hitters" -> (heavyHitters _),
     "q_tfidf" -> (tfidfQ _),
     "q_bigram_lm" -> (bigramLm _),
+    "q_intradoc_dedup" -> (intraDocDedupQ _),
+    "q_perplexity" -> (perplexityQ _),
+    "q_leakage_split" -> (leakageSplitQ _),
     "q_quantize" -> (quantize _),
     "q_rand_project" -> (randProject _),
     "q_quota_sample" -> (quotaSampleQ _),
@@ -562,6 +604,38 @@ private[graft] object QueriesLlm {
       |   for i in generate_series(1, greatest(len(w)-2, 0))]) AS s
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w
       |        FROM documents))""".stripMargin
+
+  /** Shared CTE chain for the near-dup clustering oracles
+    * (`q_dedup_clusters`, `q_leakage_split`): trigram shingles →
+    * Jaccard ≥ 0.5 pairs → symmetric edge set → recursive reachability
+    * → `cl` (every document labeled with its component's minimal
+    * member id). Requires `WITH RECURSIVE`.
+    */
+  private lazy val ClusterCtes: String =
+    s"""$ShinglesCte,
+       inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         FROM inv a JOIN inv b
+           ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+       jac AS (SELECT doc_a, doc_b FROM pairs
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM jac
+                 UNION
+                 SELECT doc_b AS src, doc_a AS dst FROM jac),
+       reach(src, dst) AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       cl AS (SELECT d.doc_id,
+           CAST(least(d.doc_id, coalesce(min(r.dst), d.doc_id))
+             AS BIGINT) AS cluster_id
+         FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         GROUP BY d.doc_id)"""
 
   /** Shared CTE chain for the duplicated-substring oracles
     * (`q_dup_spans`, `q_cut_spans`): dup-injected corpus → k=8 token
@@ -814,6 +888,66 @@ private[graft] object QueriesLlm {
                  FROM win WHERE rn = 1 GROUP BY doc_id)
          SELECT d.doc_id, coalesce(reb.text, '') AS text
          FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id""",
+    "q_intradoc_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+         lined AS (SELECT doc_id,
+             [array_to_string(w[i*3+1 : i*3+3], ' ')
+              for i in generate_series(0,
+                CAST(ceil(len(w) / 3.0) AS BIGINT) - 1)] AS ls
+           FROM toks),
+         echoed AS (SELECT doc_id,
+             array_to_string(ls, chr(10)) || chr(10) ||
+               array_to_string(ls, chr(10)) AS text
+           FROM lined),
+         el AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+                FROM echoed),
+         flat AS (SELECT doc_id, unnest(list_transform(range(0, len(ls)),
+             i -> struct_pack(pos := i,
+                              line := ls[CAST(i + 1 AS BIGINT)]))) AS pl
+           FROM el),
+         ln AS (SELECT doc_id, pl.pos AS pos, pl.line AS line FROM flat),
+         firsts AS (SELECT doc_id, line, min(pos) AS pos FROM ln
+                    GROUP BY doc_id, line)
+         SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+         FROM firsts GROUP BY doc_id""",
+    "q_perplexity" -> {
+      val refs = PerplexityRefSources.map(s => s"'$s'").mkString(", ")
+      val xent = """round(-CAST(agg.s AS DOUBLE) /
+                     (CAST(agg.n_bigrams AS DOUBLE) * 1000000.0), 6)"""
+      s"""WITH refd AS (SELECT string_split(text, ' ') AS w
+                        FROM documents WHERE source IN ($refs)),
+          rg AS (SELECT unnest([w[i] || ' ' || w[i+1]
+                   for i in generate_series(1, greatest(len(w) - 1, 0))])
+                   AS g FROM refd),
+          c2 AS (SELECT g, count(*) AS c2 FROM rg GROUP BY g),
+          cx AS (SELECT w1, count(*) AS ctx
+                 FROM (SELECT unnest(w[1:len(w)-1]) AS w1 FROM refd)
+                 GROUP BY w1),
+          v AS (SELECT count(DISTINCT t) AS v
+                FROM (SELECT unnest(w) AS t FROM refd)),
+          dg AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+                   for i in generate_series(1, greatest(len(w) - 1, 0))])
+                   AS g
+                 FROM (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents)),
+          dq AS (SELECT doc_id,
+              CAST(round((ln(2 * coalesce(c2.c2, 0) + 1)
+                  - ln(2 * coalesce(cx.ctx, 0) + v.v)) * 1000000)
+                AS BIGINT) AS lq
+            FROM dg LEFT JOIN c2 USING (g)
+              LEFT JOIN cx ON split_part(dg.g, ' ', 1) = cx.w1, v),
+          agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lq) AS s
+                  FROM dq GROUP BY doc_id)
+          SELECT d.doc_id,
+            coalesce(agg.n_bigrams, 0) AS n_bigrams,
+            $xent AS xent,
+            CASE WHEN agg.n_bigrams IS NULL THEN 'unscored'
+                 WHEN $xent <= $PerplexityHeadMax THEN 'head'
+                 WHEN $xent <= $PerplexityMiddleMax THEN 'middle'
+                 ELSE 'tail' END AS bucket
+          FROM documents d LEFT JOIN agg USING (doc_id)"""
+    },
     "q_vocab" ->
       """SELECT word, count(*) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS word
@@ -1073,30 +1207,17 @@ private[graft] object QueriesLlm {
           SELECT d.doc_id, coalesce(reb.text, '') AS text
           FROM dup d LEFT JOIN reb ON d.doc_id = reb.doc_id""",
     "q_dedup_clusters" ->
-      s"""WITH RECURSIVE $ShinglesCte,
-          inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
-          pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-            FROM inv a JOIN inv b
-              ON a.g = b.g AND a.doc_id < b.doc_id
-            GROUP BY 1, 2),
-          sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-          jac AS (SELECT doc_a, doc_b FROM pairs
-            JOIN sizes sa ON sa.doc_id = doc_a
-            JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
-          edges AS (SELECT doc_a AS src, doc_b AS dst FROM jac
-                    UNION
-                    SELECT doc_b AS src, doc_a AS dst FROM jac),
-          reach(src, dst) AS (
-            SELECT src, dst FROM edges
-            UNION
-            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-          SELECT d.doc_id,
-            CAST(least(d.doc_id, coalesce(min(r.dst), d.doc_id))
-              AS BIGINT) AS cluster_id
-          FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-          GROUP BY d.doc_id""",
+      s"""WITH RECURSIVE $ClusterCtes
+          SELECT doc_id, cluster_id FROM cl""",
+    "q_leakage_split" ->
+      s"""WITH RECURSIVE $ClusterCtes
+          SELECT doc_id, cluster_id,
+            CASE WHEN ${h60Sql("CAST(cluster_id AS VARCHAR)")} % 100 < 90
+                   THEN 'train'
+                 WHEN ${h60Sql("CAST(cluster_id AS VARCHAR)")} % 100 < 95
+                   THEN 'valid'
+                 ELSE 'test' END AS split
+          FROM cl""",
     "q_quantize" ->
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -460,6 +460,37 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
   }
 
+  /** INTRA-document line dedup: within each document, keep only the
+    * first occurrence of every distinct line, preserving original
+    * line order — the within-page half of boilerplate removal
+    * (repeated nav bars, cookie banners, chat-log echoes), the
+    * complement of corpus-level [[lineDedup]] which arbitrates across
+    * documents. A line repeated in MANY documents survives once per
+    * document here; run both when the corpus needs both guarantees.
+    *
+    * Shape at 100 TB: one hash aggregate keyed `(doc_id, line)` — the
+    * key carries the doc id, so unlike [[lineDedup]] no corpus-global
+    * line key ever forms and per-key cardinality is bounded by a
+    * single document's line count — then one per-doc aggregate to
+    * reassemble. Map-side combining collapses within-partition
+    * repeats before the shuffle. No windows, no joins, no sort wider
+    * than one document's lines. Null text drops the document (split
+    * of NULL explodes to nothing), matching [[lineDedup]]'s contract.
+    */
+  def intraDocLineDedup(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        sep: String = "\n"): DataFrame = {
+    val lines = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    lines.groupBy(col("doc_id"), col("line"))
+      .agg(min(col("pos")).as("pos"))
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        e => e.getField("line")), sep).as("text"))
+  }
+
   /** Exact duplicated-substring spans (the "dedup training data" /
     * suffix-style analysis, token granularity): every maximal token
     * range of length ≥ `k` whose every `k`-token window also occurs

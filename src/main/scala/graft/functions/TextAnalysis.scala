@@ -286,6 +286,92 @@ object TextAnalysis {
         col("score").cast("double") / col("n_bigrams").cast("double"))
   }
 
+  /** CCNet-style perplexity quality filter (Wenzek et al. 2020):
+    * score every document by its cross-entropy under a
+    * Lidstone-smoothed (α = ½) bigram language model trained on a
+    * REFERENCE corpus, then bucket by fixed thresholds — the
+    * published recipe for sorting a web crawl by closeness to a
+    * trusted corpus (CCNet trains KenLM on Wikipedia and splits the
+    * crawl into head/middle/tail; the model here is the bigram LM
+    * this engine trains in one pass).
+    *
+    *   P(w₂|w₁) = (c(w₁w₂) + ½) / (ctx(w₁) + ½·V)
+    *            = (2·c(w₁w₂) + 1) / (2·ctx(w₁) + V)
+    *
+    * with c = reference bigram count, ctx = reference bigram-START
+    * count (occurrences of w₁ followed by any token) and V = the
+    * reference's distinct-token vocabulary size — integer numerator
+    * and denominator by construction, so the only floating-point step
+    * is the final `ln`.
+    *
+    * Determinism at scale: each bigram's log-probability is quantized
+    * to fixed-point micro-nats (`round(ln·10⁶)` as long) BEFORE the
+    * per-document sum — integer addition is order-independent, so the
+    * score is invariant to partitioning and shuffle order (the
+    * [[scoreLinearModel]] posture). Cross-entropy = −Σ/(10⁶·n),
+    * rounded to 6 places.
+    *
+    * Plan shape: two hash aggregates over the reference, two shuffle
+    * joins on word keys — UN-hinted, the [[tfidf]] posture: a
+    * vocabulary is unbounded on noisy corpora (typos/URLs grow
+    * distinct "words" with corpus size), so forcing a broadcast is a
+    * 100 TB OOM while AQE still broadcasts a genuinely small model at
+    * runtime — one broadcast of the 1-row V scalar, and one
+    * per-document hash aggregate. Everything before the aggregates is
+    * whole-stage codegen ([[wordShinglesOfNative]] + substring_index;
+    * no interpreted lambdas).
+    *
+    * Documents with fewer than two tokens have no bigrams:
+    * `n_bigrams` 0, NULL `xent`, bucket `'unscored'`.
+    */
+  def perplexityFilter(docs: org.apache.spark.sql.DataFrame,
+                       ref: org.apache.spark.sql.DataFrame,
+                       headMax: Double, middleMax: Double,
+                       idCol: String = "doc_id", textCol: String = "text"):
+      org.apache.spark.sql.DataFrame = {
+    require(headMax <= middleMax,
+      s"bucket thresholds must ascend: headMax=$headMax > $middleMax")
+    val refToks = ref.select(tokens(col(textCol).cast("string")).as("w"))
+    val c2 = refToks
+      .select(explode(wordShinglesOfNative(col("w"), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c2"))
+    val ctx = refToks
+      .select(explode(slice(col("w"), lit(1), size(col("w")) - 1)).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("ctx"))
+    val v = refToks.select(explode(col("w")).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    // w₁ recovered from the shingle string: tokens are split on ' ',
+    // so a token can never contain one and the first space in the
+    // bigram is the separator (substring_index stays in codegen —
+    // a zip_with lambda here would be interpreted per element)
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        explode(wordShinglesOfNative(
+          tokens(col(textCol).cast("string")), 2)).as("g"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+    val micro = grams
+      .join(c2, Seq("g"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        round((log(coalesce(col("c2"), lit(0L)) * 2 + 1) -
+            log(coalesce(col("ctx"), lit(0L)) * 2 + col("v"))) *
+          1000000.0, 0).cast("long").as("lq"))
+    val perDoc = micro.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"), sum(col("lq")).as("s"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(-col("s").cast("double") /
+          (col("n_bigrams").cast("double") * 1000000.0), 6).as("xent"))
+      .withColumn("bucket",
+        when(col("xent").isNull, "unscored")
+          .when(col("xent") <= headMax, "head")
+          .when(col("xent") <= middleMax, "middle")
+          .otherwise("tail"))
+  }
+
   /** Dictionary encoding: dense ids 0..n-1 for the distinct values of
     * a column, in global sorted order — the vocabulary-to-token-id
     * assignment of a tokenizer build.

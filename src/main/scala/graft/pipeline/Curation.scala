@@ -60,6 +60,32 @@ object Curation {
     docs.withColumn("split", split)
   }
 
+  /** Leakage-safe train/valid/test split: assign by near-dup CLUSTER,
+    * not by document. A doc-id-hashed split ([[assignSplits]]) puts
+    * ~10% of each document's near-duplicates in the eval set — the
+    * standard train/test contamination failure: the model is scored
+    * on paraphrases of its own training data. Here every document is
+    * first labeled with its near-dup cluster id
+    * ([[graft.dedup.Dedup.clusters]] over the supplied similarity
+    * pairs), and the split hash is taken over the CLUSTER id, so a
+    * cluster lands in exactly one split and no pair of near-dups ever
+    * straddles the train/eval boundary.
+    *
+    * Determinism inherits from both parts: cluster ids are the
+    * minimal member id (pure function of the edge set) and the split
+    * is the md5-derived hash of that id — engine-, rerun-, and
+    * partitioning-independent, and stable as the corpus grows except
+    * where clusters genuinely merge. Cost beyond [[assignSplits]] is
+    * the cluster labeling itself: iterative pointer jumping over the
+    * near-dup SLIVER of the corpus (see [[graft.dedup.Dedup.clusters]]),
+    * then one map-only split assignment.
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       cuts: Seq[(String, Int)], rest: String,
+                       idCol: String = "doc_id"): DataFrame =
+    assignSplits(Dedup.clusters(docs, pairs, idCol), cuts, rest,
+      idCol = "cluster_id")
+
   /** Deterministic weighted sampling without replacement
     * (Efraimidis–Spirakis A-ES): each doc draws a uniform
     * u ∈ (0, 1] from the md5-derived hash of its id and the k docs

@@ -59,6 +59,35 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("leakageSafeSplit: no near-dup pair straddles the split " +
+    "boundary; cluster id is the min member; singleton splits match " +
+    "assignSplits on the doc's own id") {
+    import spark.implicits._
+    val n = 300L
+    val docs = (0L until n).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    // 100 two-doc near-dup clusters (0,1), (2,3), ... plus 100 singles
+    val pairs = (0L until 100L).map(i => (2 * i, 2 * i + 1))
+      .toDF("doc_a", "doc_b")
+    val cuts = Seq("train" -> 90, "valid" -> 95)
+    val out = Curation.leakageSafeSplit(docs, pairs, cuts, "test")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getAs[String]("split")))).toMap
+    (0L until 100L).foreach { i =>
+      assert(out(2 * i) === out(2 * i + 1),
+        s"pair (${2 * i}, ${2 * i + 1}) must share cluster AND split — " +
+          "a straddling near-dup pair is train/eval contamination")
+      assert(out(2 * i)._1 === 2 * i, "cluster id is the min member id")
+    }
+    val base = Curation.assignSplits(docs, cuts, "test")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    (200L until n).foreach { i =>
+      assert(out(i) === ((i, base(i))),
+        "a singleton's cluster is itself, so its split is unchanged")
+    }
+    assert(out.values.map(_._2).toSet === Set("train", "valid", "test"),
+      "all three splits populated at n=300")
+  }
+
   test("quotaSample: caps each source at `cap`, lowest ids survive") {
     import spark.implicits._
     val d = ((0L until 20L).map(i => (i, "t", "big")) ++

@@ -210,6 +210,30 @@ class PlanRegressionSpec extends SparkSpec {
       p.contains("graft_byte_bpe_encode"), p)
   }
 
+  test("intradoc dedup: two hash exchanges ((doc,line) then doc), " +
+    "no window, no join — the per-doc-keyed aggregate never builds a " +
+    "corpus-global line key") {
+    val p = plan("q_intradoc_dedup")
+    assert("Exchange".r.findAllIn(p).size -
+      "BroadcastExchange".r.findAllIn(p).size === 2, p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("perplexity: only the 1-row vocabulary scalar is broadcast-" +
+    "HINTED — the LM count tables join un-hinted (unbounded vocab; " +
+    "statistics/AQE decide), and every aggregate partials before its " +
+    "shuffle") {
+    val qe = SparkEntry.queries("q_perplexity")(spark, dir).queryExecution
+    val hints = "ResolvedHint".r.findAllIn(qe.analyzed.toString).size
+    assert(hints === 1,
+      s"exactly one broadcast hint (V): a forced LM-table broadcast " +
+        s"is a 100 TB OOM:\n${qe.analyzed}")
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"),
+      s"map-side combine must precede the count shuffles:\n$p")
+  }
+
   test("media chunks: per-partition codec, zero exchanges") {
     val p = plan("q_media_chunks")
     assert(!p.contains("Exchange"),

@@ -452,6 +452,61 @@ class TextPipelineSpec extends SparkSpec {
     assert(out === "x\ny\nz")
   }
 
+  test("intraDocLineDedup: within-doc repeats collapse to the first " +
+    "occurrence; cross-doc repeats survive once per doc") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "nav\nbody a\nnav\nbody b\nnav"),
+      (1L, "nav\nonly here")).toDF("doc_id", "text")
+    val out = Dedup.intraDocLineDedup(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) === "nav\nbody a\nbody b",
+      "repeats collapse, original order kept")
+    assert(out(1L) === "nav\nonly here",
+      "a line repeated in ANOTHER doc is not intra-doc duplication " +
+        "(corpus-wide arbitration is lineDedup's job)")
+  }
+
+  test("perplexityFilter: hand-checked Lidstone bigram cross-entropy, " +
+    "bucket edges, unscored single-token doc") {
+    import spark.implicits._
+    // ref "a b a c": bigrams {a b, b a, a c} each once; bigram starts
+    // ctx(a)=2, ctx(b)=1; vocabulary V = |{a,b,c}| = 3
+    val ref = Seq((100L, "a b a c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, "a b"),     // ln(3/7)            → xent 0.847298 → head
+      (1L, "a b b a"), // +ln(1/5), ln(3/5)  → xent 0.989187 → middle
+      (2L, "z z"),     // unseen: ln(1/3)    → xent 1.098612 → tail
+      (3L, "a")        // no bigrams         → unscored
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityFilter(docs, ref,
+        headMax = 0.9, middleMax = 1.0).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_ => r.getDouble(2)),
+          r.getString(3)))).toMap
+    assert(out(0L) === ((1L, Some(0.847298), "head")),
+      "P(b|a) = (2·1+1)/(2·2+3) = 3/7")
+    assert(out(1L) === ((3L, Some(0.989187), "middle")),
+      "mean of quantized ln(3/7), ln(1/5), ln(3/5)")
+    assert(out(2L) === ((1L, Some(1.098612), "tail")),
+      "fully unseen mass: (0+1)/(0+V) = 1/3 for the one bigram")
+    assert(out(3L) === ((0L, None, "unscored")),
+      "a one-token doc has no bigrams and no score")
+  }
+
+  test("perplexityFilter: invariant to shuffle order / partitioning " +
+    "(fixed-point micro-nat sums)") {
+    import spark.implicits._
+    val docs = (0L until 40L)
+      .map(i => (i, s"w$i the quick brown fox w${i % 7} jumps"))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.perplexityFilter(docs, docs, 3.0, 5.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b = TextAnalysis.perplexityFilter(docs.repartition(7), docs, 3.0, 5.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a === b, "score must not depend on partitioning")
+  }
+
   test("cutSpans removes every occurrence of a duplicated run, keeps " +
     "the unique remainder") {
     import spark.implicits._
