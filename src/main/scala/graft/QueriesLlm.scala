@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
 import graft.dedup.Dedup
 import graft.similarity.Vectors
+import graft.streaming.Streams
+import org.apache.spark.sql.streaming.OutputMode
 
 /** LLM-training-data pipeline queries over `documents` / `embeddings`:
   * text analysis, exact + fuzzy dedup, SimHash, and similarity search.
@@ -26,6 +28,12 @@ private[graft] object QueriesLlm {
     * sf0.001-sf0.1 score range so all three buckets populate.
     */
   private val PerplexityRefSources = Seq("src0", "src1", "src2")
+  /** BM25 query strings over the corpus's SQL-flavored vocabulary;
+    * repeated 'merge merge' exercises the DISTINCT-query-term rule.
+    */
+  private val Bm25QueryFixture: Seq[(Long, String)] = Seq(
+    0L -> "hash join merge merge", 1L -> "window sort order",
+    2L -> "fast scan filter")
   private val PerplexityHeadMax = 3.40
   private val PerplexityMiddleMax = 3.47
 
@@ -349,6 +357,45 @@ private[graft] object QueriesLlm {
       headMax = PerplexityHeadMax, middleMax = PerplexityMiddleMax)
   }
 
+  /** BM25 top-10 per query over the corpus (lexical retrieval — the
+    * keyword complement of the ANN queries; defaults k1=1.25, b=0.75).
+    */
+  def bm25Q(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Bm25QueryFixture.toDF("query_id", "qtext")
+    TextAnalysis.bm25TopK(t(s, dir, "documents"), q, 10)
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    * top-10 and the brute-force cosine top-10 (doc i ↔ embedding i;
+    * query ids 0-2 carry both a query string and a query vector).
+    */
+  def hybridRrfQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Bm25QueryFixture.toDF("query_id", "qtext")
+    val lex = TextAnalysis.bm25TopK(t(s, dir, "documents"), q, 10)
+    val emb = t(s, dir, "embeddings")
+    val sem = Vectors.cosineTopK(emb, emb.filter(col("vec_id") < 3), 10)
+      .withColumnRenamed("vec_id", "doc_id")
+    graft.similarity.Retrieval.rrfFuse(Seq(lex, sem), 10)
+  }
+
+  /** Streaming MinHash-LSH near-dup candidates over the arriving
+    * documents table; the DISTINCT emitted pair set equals batch
+    * `lshCandidates` (the oracle replays the batch banding).
+    */
+  def streamNearDupQ(s: SparkSession, dir: String): DataFrame =
+    Streams.runToTable(
+      Streams.streamingNearDupCandidates(Streams.docsStream(s, dir)),
+      "strm_neardup_" + dir.replaceAll("[^a-zA-Z0-9]", "_"),
+      OutputMode.Append()).distinct()
+
+  /** Epoch-1 deterministic shuffle into 8 shards (training order). */
+  def shuffleShardsQ(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Curation
+      .deterministicShuffle(t(s, dir, "documents"), 8, epoch = 1)
+      .select("doc_id", "shard", "pos")
+
   /** Dataset-card rollup: per-source corpus statistics. */
   def corpusStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").groupBy("source")
@@ -543,6 +590,10 @@ private[graft] object QueriesLlm {
     "q_tfidf" -> (tfidfQ _),
     "q_bigram_lm" -> (bigramLm _),
     "q_intradoc_dedup" -> (intraDocDedupQ _),
+    "q_bm25_topk" -> (bm25Q _),
+    "q_hybrid_rrf" -> (hybridRrfQ _),
+    "q_shuffle_shards" -> (shuffleShardsQ _),
+    "q_stream_neardup" -> (streamNearDupQ _),
     "q_perplexity" -> (perplexityQ _),
     "q_leakage_split" -> (leakageSplitQ _),
     "q_quantize" -> (quantize _),
@@ -596,6 +647,47 @@ private[graft] object QueriesLlm {
   /** Portable 60-bit md5 hash in DuckDB. */
   private def h60Sql(x: String): String =
     s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+
+  /** BM25 CTE chain shared by `q_bm25_topk` / `q_hybrid_rrf`: postings
+    * → query terms (distinct) → query-term-only df → 1-row N/Σdl →
+    * fixed-point per-term micro scores → per-(query, doc) sums →
+    * ranked `rk`. Mirrors `TextAnalysis.bm25TopK`'s FP op order
+    * exactly (k1=1.25, b=0.75 — exact binary doubles).
+    */
+  private lazy val Bm25Ctes: String = {
+    val vals = Bm25QueryFixture.map { case (i, q) =>
+      s"(CAST($i AS BIGINT), '$q')" }.mkString(", ")
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents),
+       dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+       post AS (SELECT doc_id, word, count(*) AS tf
+                FROM (SELECT doc_id, unnest(w) AS word FROM toks)
+                GROUP BY 1, 2),
+       qt AS (SELECT query_id,
+                unnest(list_distinct(string_split(qtext, ' '))) AS word
+              FROM (VALUES $vals) AS q(query_id, qtext)),
+       dfq AS (SELECT word, count(*) AS df
+               FROM post JOIN (SELECT DISTINCT word FROM qt) USING (word)
+               GROUP BY word),
+       g AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sdl
+             FROM dl),
+       micro AS (SELECT query_id, post.doc_id,
+           CAST(round(
+             ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5)
+                    / (CAST(df AS DOUBLE) + 0.5))
+             * (tf * CAST(2.25 AS DOUBLE))
+             / (tf + CAST(1.25 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                  + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) * n / sdl))
+             * 1000000.0) AS BIGINT) AS lq
+         FROM post JOIN qt USING (word) JOIN dfq USING (word)
+           JOIN dl ON post.doc_id = dl.doc_id, g),
+       sc AS (SELECT query_id, doc_id, sum(lq) AS s FROM micro
+              GROUP BY 1, 2),
+       rk AS (SELECT query_id, doc_id, s, row_number()
+                OVER (PARTITION BY query_id ORDER BY s DESC, doc_id)
+                AS rank
+              FROM sc)"""
+  }
 
   /** Distinct word-trigram shingle CTE body. */
   private val ShinglesCte =
@@ -911,6 +1003,66 @@ private[graft] object QueriesLlm {
                     GROUP BY doc_id, line)
          SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
          FROM firsts GROUP BY doc_id""",
+    "q_bm25_topk" ->
+      s"""WITH $Bm25Ctes
+          SELECT query_id, doc_id,
+            round(CAST(s AS DOUBLE) / 1000000.0, 6) AS score,
+            CAST(rank AS BIGINT) AS rank
+          FROM rk WHERE rank <= 10""",
+    "q_hybrid_rrf" ->
+      s"""WITH $Bm25Ctes,
+          cv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          cq AS (SELECT vec_id AS query_id, e AS qe FROM cv
+                 WHERE vec_id < 3),
+          cs AS (SELECT query_id, vec_id,
+              round(${dotSql("qe", "e")} /
+                (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("e", "e")})),
+                6) AS cos
+            FROM cv, cq WHERE vec_id <> query_id),
+          cr AS (SELECT query_id, vec_id, cos,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) AS rank
+            FROM cs),
+          u AS (SELECT query_id, doc_id, rank FROM rk WHERE rank <= 10
+                UNION ALL
+                SELECT query_id, vec_id AS doc_id, rank FROM cr
+                WHERE rank <= 10),
+          m AS (SELECT query_id, doc_id,
+              CAST(round(CAST(1000000000.0 AS DOUBLE) / (60 + rank))
+                AS BIGINT) AS lq
+            FROM u),
+          f AS (SELECT query_id, doc_id, sum(lq) AS s FROM m
+                GROUP BY 1, 2),
+          fr AS (SELECT query_id, doc_id, s, row_number()
+                   OVER (PARTITION BY query_id ORDER BY s DESC, doc_id)
+                   AS rank
+                 FROM f)
+          SELECT query_id, doc_id,
+            round(CAST(s AS DOUBLE) / 1000000000.0, 6) AS rrf,
+            CAST(rank AS BIGINT) AS rank
+          FROM fr WHERE rank <= 10""",
+    "q_stream_neardup" ->
+      s"""WITH $ShinglesCte,
+          sig AS (SELECT doc_id,
+            ${(0 until MinhashK).map(minhashSql).mkString(", ")}
+            FROM sh),
+          bands AS (
+            ${(0 until MinhashK / 2).map(j =>
+              s"SELECT doc_id, $j AS band, mh_${2 * j} AS m0, " +
+                s"mh_${2 * j + 1} AS m1 FROM sig")
+              .mkString(" UNION ALL ")})
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
+              AND a.doc_id < b.doc_id""",
+    "q_shuffle_shards" ->
+      s"""WITH h AS (SELECT doc_id,
+            ${h60Sql("CAST(doc_id AS VARCHAR) || '#1'")} AS h
+          FROM documents)
+          SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
+            CAST(row_number() OVER (PARTITION BY h % 8
+              ORDER BY h, doc_id) AS BIGINT) AS pos
+          FROM h""",
     "q_perplexity" -> {
       val refs = PerplexityRefSources.map(s => s"'$s'").mkString(", ")
       val xent = """round(-CAST(agg.s AS DOUBLE) /

@@ -372,6 +372,81 @@ object TextAnalysis {
           .otherwise("tail"))
   }
 
+  /** BM25 lexical retrieval (Robertson–Spärck Jones / Okapi, the
+    * Lucene-default `ln(1 + (N−df+½)/(df+½))` idf): for each query
+    * string, the top-`k` documents by
+    *
+    *   Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * — the lexical complement of the vector ANN suite (hybrid
+    * retrieval, mining-by-keyword, contamination probes phrased as
+    * queries). Query terms are DISTINCT per query (unit query-term
+    * weight; repeated words in a query string do not double-count).
+    *
+    * Shape at 100 TB: the postings aggregate and the document-length
+    * projection scan the corpus once each; everything query-sized is
+    * bounded by construction — the query-term table broadcasts (tiny
+    * by contract: this is a query API, not a corpus×corpus join), df
+    * is computed ONLY for query terms (a corpus-wide df would be a
+    * vocabulary-sized aggregate nobody reads), and the 1-row (N, Σdl)
+    * scalar broadcasts. Scoring touches only postings that match a
+    * query term — the pruned sliver — and the final selection is the
+    * bounded-heap [[graft.plans.TopK]] operator, not a window sort.
+    *
+    * Determinism: per-term scores are quantized to fixed-point
+    * micro-units BEFORE the per-(query, doc) sum (integer addition —
+    * order-independent, the [[perplexityFilter]] posture) and the heap
+    * orders by that exact integer (desc, then doc id) — no
+    * floating-point tie ambiguity anywhere. `score` is the micro-sum
+    * / 10⁶ rounded to 6 places.
+    */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame,
+               queries: org.apache.spark.sql.DataFrame, k: Int,
+               k1: Double = 1.25, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text",
+               queryIdCol: String = "query_id",
+               queryTextCol: String = "qtext"):
+      org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol).cast("string")).as("w"))
+    val dl = toks.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+    val post = toks.select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(tokens(col(queryTextCol).cast("string"))))
+        .as("word"))
+    val dfq = post
+      .join(broadcast(qterms.select("word").distinct()), Seq("word"))
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val g = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    val micro = post
+      .join(broadcast(qterms), Seq("word"))
+      .join(broadcast(dfq), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(g))
+      .select(col("query_id"), col("doc_id"),
+        // default k1/b (1.25, 0.75) are exact binary doubles, so the
+        // Scala-folded scalars (k1+1, 1−b) equal the oracle's literals
+        // bit-for-bit and every FP op below replays identically
+        round(log(lit(1.0) +
+            (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl").cast("double") * col("n") / col("sdl"))) *
+          lit(1000000.0), 0).cast("long").as("lq"))
+    val scores = micro.groupBy("query_id", "doc_id")
+      .agg(sum(col("lq")).as("s"))
+    val pruned = graft.plans.TopK.perKey(scores, Seq(col("query_id")),
+      Seq(col("s").desc, col("doc_id")), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("s").desc, col("doc_id"))
+    pruned.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("doc_id"),
+        round(col("s").cast("double") / 1000000.0, 6).as("score"),
+        col("rank"))
+  }
+
   /** Dictionary encoding: dense ids 0..n-1 for the distinct values of
     * a column, in global sorted order — the vocabulary-to-token-id
     * assignment of a tokenizer build.

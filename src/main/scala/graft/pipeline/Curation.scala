@@ -225,6 +225,40 @@ object Curation {
         expr(s"(cum - n_tokens) div $tokenBudget").as("seq_no"))
   }
 
+  /** Deterministic global training-order shuffle: every document gets
+    * a `(shard, pos)` — shard by md5-hash modulo, position by hash
+    * order WITHIN the shard — so reading shards in order yields a
+    * reproducible pseudorandom permutation of the corpus (the
+    * shuffle-and-shard step every pretraining data writer runs;
+    * `orderBy(rand())` is irreproducible and a single global sort).
+    *
+    * Scale shape: the hash and shard are map-only; ordering is a
+    * window per SHARD — each sort is 1/`shards` of the corpus and the
+    * shards sort in parallel, the same contract as writing shuffled
+    * output files. No global sort, no single-task order bottleneck.
+    * Adding documents changes positions only within the affected
+    * shards (hash order is stable; ranks after an insertion point
+    * shift — positional stability across corpus growth is what
+    * [[assignSplits]]-style hashing provides, not a permutation).
+    *
+    * The hash is salted with `epoch`, so each training epoch gets an
+    * independent deterministic permutation — the multi-epoch reshuffle
+    * without `rand()`.
+    */
+  def deterministicShuffle(docs: DataFrame, shards: Int, epoch: Int = 0,
+                           idCol: String = "doc_id"): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    val h = TextAnalysis.hash60(
+      concat(col(idCol).cast("string"), lit(s"#$epoch")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__graft_h"), col(idCol))
+    docs.withColumn("__graft_h", h)
+      .withColumn("shard", (col("__graft_h") % shards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__graft_h")
+  }
+
   def curate(docs: DataFrame, minChars: Int, maxStopwordRatio: Double,
              stopwords: Seq[String], jaccardThreshold: Double,
              useLsh: Boolean = false): DataFrame = {

@@ -63,6 +63,98 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** documents.parquet schema for the streaming source. */
+  private val DocsRawSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over the documents table (staged like
+    * [[eventsStream]] — the file source needs a directory).
+    */
+  def docsStream(spark: SparkSession, dir: String): DataFrame = {
+    val staged = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_docs_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      staged.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    fileStream(spark, staged.toString, DocsRawSchema)
+  }
+
+  /** Hard per-bucket state ceiling for [[streamingNearDupCandidates]].
+    * A bucket this hot means boilerplate-identical documents flooding
+    * one LSH bucket (the candidate count is quadratic in bucket size
+    * whether batch or stream) — exact-dedup the stream first. Fails
+    * loudly, the library's standard guard posture.
+    */
+  val MaxLshBucketDocs: Int = 1024
+
+  /** Streaming MinHash-LSH near-dup candidate generation: the
+    * arriving-documents form of [[graft.dedup.Dedup.lshCandidates]].
+    * Signature and band keys are MAP-ONLY column expressions on the
+    * stream (the same hash constants as batch — codegen'd shingle +
+    * hash60 expressions); per-(band, band-signature) buckets live as
+    * `flatMapGroupsWithState` state, and a document emits one
+    * candidate pair per stored bucket member the moment it arrives —
+    * the online index every streaming dedup service maintains.
+    *
+    * Pair-set equivalence with batch: a pair shares a bucket iff its
+    * two docs agree on that band, and the pair is emitted exactly once
+    * per shared bucket when the LATER member arrives — so the DISTINCT
+    * emitted set equals batch `lshCandidates` on the same corpus
+    * regardless of arrival order or batch boundaries (asserted in
+    * WatermarkSpec and by the `q_stream_neardup` oracle).
+    *
+    * State: per bucket, the sorted member-id list, capped at
+    * [[MaxLshBucketDocs]] (quadratic-flood guard, throws with
+    * remediation). `r` is fixed at the library default 2: the state
+    * key packs the band's minhashes exactly (both < 2³¹−1).
+    */
+  def streamingNearDupCandidates(docs: DataFrame, k: Int = 8):
+      DataFrame = {
+    import graft.dedup.Dedup
+    import graft.functions.TextAnalysis
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(k % 2 == 0, s"k=$k must be divisible by the band width 2")
+    val hashed = docs.select(col("doc_id"),
+      transform(TextAnalysis.hash60Array(
+          array_distinct(TextAnalysis.wordShinglesOfNative(
+            TextAnalysis.tokens(col("text")), 3))),
+        h => h % Dedup.P).as("hs"))
+    val sig = hashed.select(col("doc_id") +:
+      (0 until k).map(i => Dedup.minhashCol(col("hs"), i).as(s"mh_$i")): _*)
+    val bands = (0 until k / 2).map { j =>
+      sig.select(col("doc_id"), lit(j).as("band"),
+        col(s"mh_${2 * j}").as("m0"), col(s"mh_${2 * j + 1}").as("m1"))
+    }.reduce(_ unionByName _)
+    bands.as[(Long, Int, Long, Long)]
+      .groupByKey(t => (t._2, t._3, t._4))
+      .flatMapGroupsWithState[Seq[Long], (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[Seq[Long]]) =>
+          val seen = state.getOption.getOrElse(Seq.empty[Long])
+          val fresh = rows.map(_._1).toSeq.distinct.sorted
+            .filterNot(seen.contains)
+          if (seen.size + fresh.size > MaxLshBucketDocs)
+            throw new IllegalStateException(
+              s"LSH bucket exceeds $MaxLshBucketDocs members: near-" +
+                "identical boilerplate is flooding one bucket and the " +
+                "candidate count is quadratic in it - exact-dedup the " +
+                "stream first (Dedup.exact / streamingDedup)")
+          val vsOld = for (n <- fresh; o <- seen)
+            yield (math.min(n, o), math.max(n, o))
+          val vsNew = for {
+            i <- fresh.indices; j <- (i + 1) until fresh.size
+          } yield (fresh(i), fresh(j))
+          state.update(seen ++ fresh)
+          (vsOld ++ vsNew).iterator
+      }
+      .toDF("doc_a", "doc_b")
+  }
+
   /** Events stream with the [[graft.Tables.SessionTie]] boundary
     * fixture staged as a SECOND arriving file — the streaming session
     * gate gets an exact-gap tie the shipped data lacks, so the oracle

@@ -88,6 +88,30 @@ class CurationSpec extends SparkSpec {
       "all three splits populated at n=300")
   }
 
+  test("deterministicShuffle: stable across reruns/partitioning, " +
+    "contiguous per-shard positions, epochs give different " +
+    "permutations") {
+    import spark.implicits._
+    val d = (0L until 100L).map(i => (i, "t")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame, e: Int) =
+      Curation.deterministicShuffle(df, 4, e).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Int]("shard"), r.getAs[Long]("pos")))).toMap
+    val a = run(d, 1)
+    assert(a === run(d, 1) && a === run(d.repartition(7), 1),
+      "pure function of (id, epoch) — rerun- and partitioning-stable")
+    assert(a.size === 100, "permutation is total")
+    a.groupBy(_._2._1).foreach { case (shard, docs) =>
+      assert(docs.values.map(_._2).toSeq.sorted ===
+        (1L to docs.size).toSeq,
+        s"shard $shard positions must be contiguous from 1")
+    }
+    val b = run(d, 0)
+    assert(a !== b, "each epoch is an independent permutation")
+    // shard is the salted hash mod 4, not doc_id mod 4
+    assert(a.values.map(_._1).toSet === Set(0, 1, 2, 3))
+  }
+
   test("quotaSample: caps each source at `cap`, lowest ids survive") {
     import spark.implicits._
     val d = ((0L until 20L).map(i => (i, "t", "big")) ++

@@ -225,6 +225,36 @@ class DedupVectorsSpec extends SparkSpec {
     assert(raw(0L) === 0L && raw(1L) === 1L, "seeds assign to themselves")
   }
 
+  test("rrfFuse: both-list docs sum their reciprocal ranks, " +
+    "single-list docs keep one contribution, exact-integer tie-break " +
+    "by doc id, k caps the fused list") {
+    import spark.implicits._
+    // query 0: lexical ranks a=1 b=2 c=3; semantic ranks b=1 d=2
+    val lex = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val sem = Seq((0L, 11L, 1L), (0L, 13L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = graft.similarity.Retrieval.rrfFuse(Seq(lex, sem), 10)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    def c(r: Long): Long = math.round(1.0e9 / (60 + r))
+    def f(rs: Long*): Double =
+      math.rint(rs.map(c).sum / 1e9 * 1e6) / 1e6
+    assert(out(11L) === ((f(2, 1), 1L)),
+      "doc in both lists sums 1/62 + 1/61 and wins")
+    assert(out(10L) === ((f(1), 2L)) && out(12L) === ((f(3), 4L)) &&
+      out(13L) === ((f(2), 3L)), s"single-list contributions: $out")
+    // identical integer sums tie-break by doc id
+    val t1 = Seq((0L, 20L, 1L), (0L, 21L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val tied = graft.similarity.Retrieval.rrfFuse(Seq(t1), 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(tied(20L) === 1L && tied(21L) === 2L)
+    // k cap
+    assert(graft.similarity.Retrieval.rrfFuse(Seq(lex, sem), 2)
+      .count() === 2L)
+  }
+
   test("semanticDedup: within-cluster near-dups drop, min id survives") {
     // vecs: 0 and 1 identical (cos=1), 2 close to 0 (cos≈0.99),
     // 3 orthogonal — clusters block, larger ids of close pairs drop

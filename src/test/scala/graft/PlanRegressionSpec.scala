@@ -234,6 +234,21 @@ class PlanRegressionSpec extends SparkSpec {
       s"map-side combine must precede the count shuffles:\n$p")
   }
 
+  test("bm25: bounded-heap top-k (no corpus-wide window sort), and " +
+    "every broadcast is query-sized by construction (query terms, " +
+    "query-term df, 1-row N/Σdl scalar)") {
+    val qe = SparkEntry.queries("q_bm25_topk")(spark, dir).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("TopKPerKey"),
+      s"selection must be the bounded heap:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    val hints = "ResolvedHint".r.findAllIn(qe.analyzed.toString).size
+    assert(hints === 4,
+      "exactly the four bounded-by-construction broadcasts (query " +
+        "terms in the df prune, query terms in the scoring join, " +
+        s"query-term df, 1-row N/sdl scalar) may be hinted:\n${qe.analyzed}")
+  }
+
   test("media chunks: per-partition codec, zero exchanges") {
     val p = plan("q_media_chunks")
     assert(!p.contains("Exchange"),

@@ -147,6 +147,76 @@ class StreamsSinksSpec extends SparkSpec {
       "stored partials and batch partials sum per key")
   }
 
+  test("streaming near-dup candidates: distinct emitted pairs == " +
+    "batch lshCandidates across a 2-micro-batch split") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    // 6 groups of 4 identical docs — every within-group pair is a
+    // candidate in every band; groups differ in their lead token
+    val docs = (0L until 24L)
+      .map(i => (i, s"n${i % 6} a b c d e f g h i j"))
+      .toDF("doc_id", "text")
+    val srcDir = Files.createTempDirectory("graft_neardup_src")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_neardup_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, srcDir.resolve(name))
+    }
+    // the split separates group members across micro-batches, so
+    // cross-batch pairs must come from the bucket STATE
+    stage(docs.filter(col("doc_id") < 12), "f1.parquet")
+    stage(docs.filter(col("doc_id") >= 12), "f2.parquet")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val streamed = Streams.runToTable(
+      Streams.streamingNearDupCandidates(
+        Streams.fileStream(spark, srcDir.toString, schema,
+          maxFilesPerTrigger = Some(1))),
+      "strm_neardup_spec", OutputMode.Append()).distinct()
+    val batch = graft.dedup.Dedup.lshCandidates(
+      graft.dedup.Dedup.minhashSignatures(docs, 8), 8)
+    assert(streamed.exceptAll(batch).count() === 0,
+      "no pair the batch banding would not produce")
+    assert(batch.exceptAll(streamed).count() === 0,
+      "every batch candidate is emitted, incl. cross-micro-batch pairs")
+    assert(batch.count() >= 36, "6 groups x C(4,2) within-group pairs")
+  }
+
+  test("streaming near-dup: bucket-flood guard throws with remediation") {
+    import spark.implicits._
+    val flood = (0L until (Streams.MaxLshBucketDocs + 1L))
+      .map(i => (i, "same text in every single document here"))
+      .toDF("doc_id", "text")
+    val srcDir = Files.createTempDirectory("graft_neardup_flood")
+    val tmp = Files.createTempDirectory("graft_neardup_flood_tmp")
+    flood.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    import scala.jdk.CollectionConverters._
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part, srcDir.resolve("flood.parquet"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val e = intercept[Exception] {
+      Streams.runToTable(
+        Streams.streamingNearDupCandidates(
+          Streams.fileStream(spark, srcDir.toString, schema)),
+        "strm_neardup_flood", OutputMode.Append())
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("LSH bucket exceeds")),
+      s"guard must fail loudly, got: ${msgs(e).mkString(" | ")}")
+  }
+
   test("stream-static enrich join == batch equivalent") {
     import spark.implicits._
     val dim = spark.read.parquet(s"$sfDir/customer.parquet")

@@ -507,6 +507,51 @@ class TextPipelineSpec extends SparkSpec {
     assert(a === b, "score must not depend on partitioning")
   }
 
+  test("bm25TopK: ranking matches an independent scalar reference; " +
+    "rank column, k cap, and distinct-query-term rule hold") {
+    import spark.implicits._
+    val docs = Seq((0L, "x x y"), (1L, "x z"), (2L, "z z z w"))
+      .toDF("doc_id", "text")
+    val qs = Seq((0L, "x w"), (1L, "x x")).toDF("query_id", "qtext")
+    val out = TextAnalysis.bm25TopK(docs, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+
+    // independent reference: same formula, plain Scala doubles
+    val corpus = Map(0L -> Seq("x", "x", "y"), 1L -> Seq("x", "z"),
+      2L -> Seq("z", "z", "z", "w"))
+    val n = corpus.size.toDouble
+    val sdl = corpus.values.map(_.size).sum.toDouble
+    def ref(terms: Set[String], d: Long): Double = {
+      val toks = corpus(d)
+      val micro = terms.toSeq.sorted.flatMap { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) None else {
+          val df = corpus.values.count(_.contains(t)).toDouble
+          val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+          val denom = tf + 1.25 *
+            (0.25 + 0.75 * toks.size * n / sdl)
+          Some(math.round(idf * (tf * 2.25) / denom * 1e6))
+        }
+      }.sum
+      micro / 1e6
+    }
+    for (((q, d), (score, _)) <- out) {
+      val terms = if (q == 0L) Set("x", "w") else Set("x")
+      assert(math.abs(score - ref(terms, d)) < 1e-9,
+        s"query $q doc $d: engine $score vs reference ${ref(terms, d)}")
+    }
+    // query 0 ranking: doc 2 (rare 'w') > doc 0 (tf_x=2) > doc 1
+    assert(out((0L, 2L))._2 === 1L && out((0L, 0L))._2 === 2L &&
+      out((0L, 1L))._2 === 3L, s"ranking: $out")
+    // distinct-term rule: 'x x' scores exactly like 'x' would — doc 2
+    // has no 'x' so query 1 returns only docs 0 and 1
+    assert(!out.contains((1L, 2L)) && out((1L, 0L))._2 === 1L)
+    // k cap
+    val capped = TextAnalysis.bm25TopK(docs, qs, 1).collect()
+    assert(capped.length === 2, "one row per query at k=1")
+  }
+
   test("cutSpans removes every occurrence of a duplicated run, keeps " +
     "the unique remainder") {
     import spark.implicits._
