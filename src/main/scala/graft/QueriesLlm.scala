@@ -390,6 +390,25 @@ private[graft] object QueriesLlm {
       "strm_neardup_" + dir.replaceAll("[^a-zA-Z0-9]", "_"),
       OutputMode.Append()).distinct()
 
+  /** Train the linear quality classifier in-engine: 3 full-batch
+    * logistic GD steps, labels = the src0-src2 "trusted" slice.
+    */
+  def trainClassifierQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.trainLinearModel(t(s, dir, "documents"),
+      col("source").isin(PerplexityRefSources: _*), nBuckets = 64)
+
+  /** The trained weights served through the inference path — the full
+    * label → train → score loop as one plan.
+    */
+  def trainedScoreQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val w = TextAnalysis.trainLinearModel(d,
+        col("source").isin(PerplexityRefSources: _*), nBuckets = 64)
+      .withColumnRenamed("w6", "w10")
+    TextAnalysis.scoreLinearModel(d, w, nBuckets = 64,
+      quantScale = 1000000.0)
+  }
+
   /** Epoch-1 deterministic shuffle into 8 shards (training order). */
   def shuffleShardsQ(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Curation
@@ -594,6 +613,8 @@ private[graft] object QueriesLlm {
     "q_hybrid_rrf" -> (hybridRrfQ _),
     "q_shuffle_shards" -> (shuffleShardsQ _),
     "q_stream_neardup" -> (streamNearDupQ _),
+    "q_train_classifier" -> (trainClassifierQ _),
+    "q_trained_score" -> (trainedScoreQ _),
     "q_perplexity" -> (perplexityQ _),
     "q_leakage_split" -> (leakageSplitQ _),
     "q_quantize" -> (quantize _),
@@ -687,6 +708,51 @@ private[graft] object QueriesLlm {
                 OVER (PARTITION BY query_id ORDER BY s DESC, doc_id)
                 AS rank
               FROM sc)"""
+  }
+
+  /** Classifier-training CTE chain (`q_train_classifier` /
+    * `q_trained_score`): hashed-count features + 10⁶-scaled labels →
+    * three unrolled full-batch logistic GD steps, every cross-row sum
+    * exact-integer, mirroring `TextAnalysis.trainLinearModel`
+    * (nBuckets 64, lrInv 16, label = source ∈ src0-src2). Exposes
+    * `feat` and final weights `w3 (bucket, w)`.
+    */
+  private lazy val TrainCtes: String = {
+    def sig(z: String) =
+      s"""CAST(round(1000000.0 /
+         (1.0 + exp(-(CAST($z AS DOUBLE) / 1000000.0)))) AS BIGINT)"""
+    def upd(g: String) =
+      s"CAST(round(CAST($g AS DOUBLE) / (16.0 * n)) AS BIGINT)"
+    s"""feat AS (SELECT doc_id, bucket, count(*) AS cnt
+          FROM (SELECT doc_id, ${h60Sql("token")} % 64 AS bucket
+                FROM (SELECT doc_id,
+                        unnest(string_split(text, ' ')) AS token
+                      FROM documents))
+          GROUP BY 1, 2),
+       yl AS (SELECT doc_id,
+           CAST(CASE WHEN source IN ('src0', 'src1', 'src2')
+                THEN 1000000 ELSE 0 END AS BIGINT) AS y6
+         FROM documents),
+       nn AS (SELECT count(*) AS n FROM documents),
+       g1 AS (SELECT bucket, sum((y6 - 500000) * cnt) AS g
+              FROM feat JOIN yl USING (doc_id) GROUP BY 1),
+       w1 AS (SELECT bucket, ${upd("g")} AS w FROM g1, nn),
+       z2 AS (SELECT doc_id, sum(w * cnt) AS z
+              FROM feat JOIN w1 USING (bucket) GROUP BY 1),
+       s2 AS (SELECT doc_id, ${sig("z")} AS s6 FROM z2),
+       g2 AS (SELECT bucket, sum((y6 - s6) * cnt) AS g
+              FROM feat JOIN yl USING (doc_id) JOIN s2 USING (doc_id)
+              GROUP BY 1),
+       w2 AS (SELECT bucket, w1.w + ${upd("g2.g")} AS w
+              FROM w1 JOIN g2 USING (bucket), nn),
+       z3 AS (SELECT doc_id, sum(w * cnt) AS z
+              FROM feat JOIN w2 USING (bucket) GROUP BY 1),
+       s3 AS (SELECT doc_id, ${sig("z")} AS s6 FROM z3),
+       g3 AS (SELECT bucket, sum((y6 - s6) * cnt) AS g
+              FROM feat JOIN yl USING (doc_id) JOIN s3 USING (doc_id)
+              GROUP BY 1),
+       w3 AS (SELECT bucket, w2.w + ${upd("g3.g")} AS w
+              FROM w2 JOIN g3 USING (bucket), nn)"""
   }
 
   /** Distinct word-trigram shingle CTE body. */
@@ -1055,6 +1121,23 @@ private[graft] object QueriesLlm {
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
               AND a.doc_id < b.doc_id""",
+    "q_train_classifier" ->
+      s"""WITH $TrainCtes
+          SELECT bucket, w AS w6 FROM w3""",
+    "q_trained_score" ->
+      s"""WITH $TrainCtes,
+          tb AS (SELECT doc_id, ${h60Sql("token")} % 64 AS bucket
+                 FROM (SELECT doc_id,
+                         unnest(string_split(text, ' ')) AS token
+                       FROM documents)),
+          zz AS (SELECT tb.doc_id,
+              sum(coalesce(w3.w, 0)) AS z10
+            FROM tb LEFT JOIN w3 USING (bucket) GROUP BY 1)
+          SELECT doc_id,
+            CAST(z10 AS DOUBLE) / 1000000.0 AS logit,
+            round(1.0 / (1.0 + exp(-(CAST(z10 AS DOUBLE) / 1000000.0))),
+              6) AS prob
+          FROM zz""",
     "q_shuffle_shards" ->
       s"""WITH h AS (SELECT doc_id,
             ${h60Sql("CAST(doc_id AS VARCHAR) || '#1'")} AS h

@@ -599,6 +599,98 @@ object TextAnalysis {
         round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 6))
   }
 
+  /** Weight-vector ceiling for [[trainLinearModel]]: the per-step
+    * gradient collect and the driver-held weight map are `nBuckets`
+    * rows — the hashing trick bounds both by construction, and this
+    * cap keeps "bounded" honest at the API edge.
+    */
+  val MaxTrainBuckets: Int = 1 << 20
+
+  /** TRAIN the linear quality classifier that [[scoreLinearModel]]
+    * serves (fastText/DCLM-style): full-batch logistic-regression
+    * gradient descent over hashed bag-of-words counts, labels from
+    * any boolean column expression. Closes the curation loop — label
+    * a trusted slice, train here, score the whole corpus with
+    * [[scoreLinearModel]] — without leaving the engine.
+    *
+    * Update rule (integer micro-units end to end):
+    *   σ₆(z) = round(10⁶ / (1 + e^(−z₆/10⁶)))         per doc
+    *   g_b   = Σ_docs (y₆ − σ₆)·cnt_b                  exact long sum
+    *   w₆'   = w₆ + round(g_b / (lrInv·n))             HALF_UP
+    * so every cross-row reduction is order-independent integer
+    * addition (the library's determinism contract) and the only
+    * floating point is the per-doc sigmoid and the per-bucket update
+    * quantization — both single values, both HALF_UP-rounded
+    * identically by Spark, DuckDB, and the driver (`BigDecimal`
+    * HALF_UP here: `math.round` rounds −.5 toward +∞ and would
+    * diverge from SQL `round` on exact halves).
+    *
+    * Scale shape: features materialize ONCE (one corpus scan → one
+    * `(doc, bucket)` aggregate, cached — the standard feature table);
+    * each step is one broadcast join against the ≤ `nBuckets`-row
+    * weight table, one per-doc aggregate, one per-bucket aggregate,
+    * and one `nBuckets`-bounded collect (the k-means posture: the
+    * driver holds model state, never data). Steps are sequential by
+    * nature of GD; step count is a hyperparameter (~handfuls), not a
+    * data dimension.
+    *
+    * Output: `(bucket, w6)` — micro-unit weights; serve with
+    * `scoreLinearModel(docs, weights named w10, nBuckets,
+    * quantScale = 1e6)`.
+    */
+  def trainLinearModel(docs: org.apache.spark.sql.DataFrame,
+                       label: Column, nBuckets: Int, steps: Int = 3,
+                       lrInv: Int = 16, idCol: String = "doc_id",
+                       textCol: String = "text"):
+      org.apache.spark.sql.DataFrame = {
+    require(nBuckets >= 1 && nBuckets <= MaxTrainBuckets,
+      s"nBuckets must be in [1, $MaxTrainBuckets], got $nBuckets")
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    require(lrInv >= 1, s"lrInv must be >= 1, got $lrInv")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feat = docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol).cast("string"))).as("token"))
+      .select(col("doc_id"),
+        pmod(hash60(col("token")), lit(nBuckets.toLong)).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val y = docs.select(col(idCol).as("doc_id"),
+      (label.cast("long") * 1000000L).as("y6"))
+    val n = docs.count() // bounded driver action: one scalar, once
+    var w = Map.empty[Long, Long]
+    (0 until steps).foreach { _ =>
+      val s6 =
+        if (w.isEmpty)
+          // w ≡ 0 ⇒ z ≡ 0 ⇒ σ₆ = round(10⁶/2) exactly
+          feat.select("doc_id").distinct()
+            .withColumn("s6", lit(500000L))
+        else
+          feat.join(broadcast(w.toSeq.toDF("bucket", "w6")),
+              Seq("bucket"), "left")
+            .groupBy("doc_id")
+            .agg(sum(coalesce(col("w6"), lit(0L)) * col("cnt")).as("z6"))
+            .select(col("doc_id"),
+              round(lit(1000000.0) /
+                  (lit(1.0) + exp(-(col("z6").cast("double") / 1000000.0))),
+                0).cast("long").as("s6"))
+      val g = feat.join(y, "doc_id").join(s6, "doc_id")
+        .groupBy("bucket")
+        .agg(sum((col("y6") - col("s6")) * col("cnt")).as("g"))
+        .collect() // ≤ nBuckets rows by construction
+      w = g.map { r =>
+        val b = r.getLong(0)
+        val delta = java.math.BigDecimal
+          .valueOf(r.getLong(1).toDouble / (lrInv.toDouble * n))
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+        b -> (w.getOrElse(b, 0L) + delta)
+      }.toMap
+    }
+    feat.unpersist()
+    w.toSeq.sortBy(_._1).toDF("bucket", "w6")
+  }
+
   /** Distinct-word dictionaries beyond this exceed what the driver
     * should hold for BPE training. Same fail-loudly posture as
     * [[graft.similarity.Vectors.MaxBruteForceQueries]]: past the

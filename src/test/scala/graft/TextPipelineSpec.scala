@@ -552,6 +552,61 @@ class TextPipelineSpec extends SparkSpec {
     assert(capped.length === 2, "one row per query at k=1")
   }
 
+  test("trainLinearModel: exact weight equality with an independent " +
+    "scalar GD reference; partitioning-invariant; learns separation") {
+    import spark.implicits._
+    val good = (0L until 20L).map(i => (i, s"fine prose here p$i", 1))
+    val junk = (20L until 40L).map(i => (i, s"zz xx qq junk j$i", 0))
+    val docs = (good ++ junk).toDF("doc_id", "text", "lab")
+    val w = TextAnalysis.trainLinearModel(docs, col("lab") === 1, 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // independent reference: same hash, same integer GD, plain Scala
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val rows = (good ++ junk).map { case (_, t, l) =>
+      (t.split(" ").toSeq.map(tok => h60(tok) % 64)
+        .groupBy(identity).map { case (b, g) => b -> g.size.toLong },
+        l.toLong * 1000000L)
+    }
+    val n = rows.size
+    var ref = Map.empty[Long, Long]
+    (0 until 3).foreach { _ =>
+      val grads = collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      rows.foreach { case (cnts, y6) =>
+        val z = cnts.map { case (b, c) => ref.getOrElse(b, 0L) * c }.sum
+        val s6 = java.math.BigDecimal.valueOf(
+            1000000.0 / (1.0 + math.exp(-(z.toDouble / 1000000.0))))
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+        cnts.foreach { case (b, c) => grads(b) += (y6 - s6) * c }
+      }
+      ref = grads.map { case (b, g) =>
+        b -> (ref.getOrElse(b, 0L) + java.math.BigDecimal
+          .valueOf(g.toDouble / (16.0 * n))
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+      }.toMap
+    }
+    assert(w === ref, "engine GD must equal the scalar reference exactly")
+
+    val w2 = TextAnalysis.trainLinearModel(docs.repartition(7),
+        col("lab") === 1, 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w === w2, "weights are partitioning-invariant (integer sums)")
+
+    val probs = TextAnalysis.scoreLinearModel(docs,
+        TextAnalysis.trainLinearModel(docs, col("lab") === 1, 64)
+          .withColumnRenamed("w6", "w10"), 64, quantScale = 1000000.0)
+      .join(docs.select(col("doc_id"), col("lab")), "doc_id")
+      .groupBy("lab").agg(avg("prob").as("p")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(probs(1) > probs(0) + 0.05,
+      s"3 GD steps must separate the slices: $probs")
+  }
+
   test("cutSpans removes every occurrence of a duplicated run, keeps " +
     "the unique remainder") {
     import spark.implicits._
