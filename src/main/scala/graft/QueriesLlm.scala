@@ -168,6 +168,29 @@ private[graft] object QueriesLlm {
       probes = 3)
   }
 
+  /** ANN quality probe: recall@5 of the LSH-bucketed top-k against
+    * the brute-force ground truth — the eval every ANN deployment
+    * tracks before trusting the index at scale. Composes the two
+    * retrieval paths and reduces to one bounded semi-join + count
+    * (both inputs are k·|queries| rows by construction).
+    */
+  def annRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q5 = emb.filter(col("vec_id") < 5)
+    val exact = Vectors.cosineTopK(emb, q5, 5)
+      .select("query_id", "vec_id")
+    val approx = Vectors.annTopK(emb, q5, 5, 4, 64)
+      .select("query_id", "vec_id")
+    val hits = exact.join(approx, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    q5.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / 5.0)
+          .as("recall"))
+  }
+
   def embedNearDup(s: SparkSession, dir: String): DataFrame =
     Vectors.cosineNearDupPairs(t(s, dir, "embeddings"), 0.45, 8, 64)
 
@@ -614,6 +637,7 @@ private[graft] object QueriesLlm {
     "q_shuffle_shards" -> (shuffleShardsQ _),
     "q_stream_neardup" -> (streamNearDupQ _),
     "q_train_classifier" -> (trainClassifierQ _),
+    "q_ann_recall" -> (annRecallQ _),
     "q_trained_score" -> (trainedScoreQ _),
     "q_perplexity" -> (perplexityQ _),
     "q_leakage_split" -> (leakageSplitQ _),
@@ -1121,6 +1145,44 @@ private[graft] object QueriesLlm {
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
               AND a.doc_id < b.doc_id""",
+    "q_ann_recall" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                     FROM embeddings),
+          q AS (SELECT vec_id AS query_id, e AS qe FROM v
+                WHERE vec_id < 5),
+          es AS (SELECT query_id, vec_id,
+              round(${dotSql("qe", "e")} /
+                (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("e", "e")})),
+                6) AS cos
+            FROM v, q WHERE vec_id <> query_id),
+          er AS (SELECT query_id, vec_id FROM (
+              SELECT query_id, vec_id, row_number()
+                OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id)
+                AS rank
+              FROM es)
+            WHERE rank <= 5),
+          bv AS (SELECT vec_id, e, ${bucket4Sql("e")} AS bucket FROM v),
+          bq AS (SELECT vec_id AS query_id, qe, bucket FROM
+                 (SELECT vec_id, e AS qe, bucket FROM bv
+                  WHERE vec_id < 5)),
+          ascored AS (SELECT query_id, bv.vec_id AS vec_id,
+              round(${dotSql("qe", "e")} /
+                (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("e", "e")})),
+                6) AS cos
+            FROM bv JOIN bq USING (bucket)
+            WHERE bv.vec_id <> query_id),
+          ar AS (SELECT query_id, vec_id FROM (
+              SELECT query_id, vec_id, row_number()
+                OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id)
+                AS rank
+              FROM ascored)
+            WHERE rank <= 5),
+          hits AS (SELECT er.query_id, count(*) AS hits
+                   FROM er JOIN ar USING (query_id, vec_id) GROUP BY 1)
+          SELECT q.query_id,
+            CAST(coalesce(hits.hits, 0) AS BIGINT) AS hits,
+            CAST(coalesce(hits.hits, 0) AS DOUBLE) / 5.0 AS recall
+          FROM q LEFT JOIN hits USING (query_id)""",
     "q_train_classifier" ->
       s"""WITH $TrainCtes
           SELECT bucket, w AS w6 FROM w3""",

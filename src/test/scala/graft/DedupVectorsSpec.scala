@@ -255,6 +255,33 @@ class DedupVectorsSpec extends SparkSpec {
       .count() === 2L)
   }
 
+  test("ann recall probe: recall@5 = hits/5 in [0,1], and widening " +
+    "the candidate pool (multiprobe) never lowers per-query recall") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_ann_recall")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.size === 5, "one row per query")
+    out.values.foreach { case (h, rec) =>
+      assert(h >= 0 && h <= 5 && rec === h / 5.0) }
+    // any exact-top-5 member inside the candidate pool ranks top-5
+    // there too, so recall is monotone in the pool: probes=3 >= 1
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q5 = emb.filter(col("vec_id") < 5)
+    val exact = Vectors.cosineTopK(emb, q5, 5)
+      .select("query_id", "vec_id")
+    def recall(probes: Int): Map[Long, Long] =
+      exact.join(Vectors.annTopK(emb, q5, 5, 4, 64, probes = probes)
+            .select("query_id", "vec_id"),
+          Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("h")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        .withDefaultValue(0L)
+    val r1 = recall(1); val r3 = recall(3)
+    (0L until 5L).foreach(q => assert(r3(q) >= r1(q),
+      s"query $q: multiprobe recall ${r3(q)} < single ${r1(q)}"))
+  }
+
   test("semanticDedup: within-cluster near-dups drop, min id survives") {
     // vecs: 0 and 1 identical (cos=1), 2 close to 0 (cos≈0.99),
     // 3 orthogonal — clusters block, larger ids of close pairs drop
