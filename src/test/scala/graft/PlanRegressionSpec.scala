@@ -249,6 +249,24 @@ class PlanRegressionSpec extends SparkSpec {
         s"query-term df, 1-row N/sdl scalar) may be hinted:\n${qe.analyzed}")
   }
 
+  test("shuffle shards: one hash exchange + per-shard window — no " +
+    "global ordering structure anywhere in the plan") {
+    val p = plan("q_shuffle_shards")
+    assert("Exchange".r.findAllIn(p).size -
+      "BroadcastExchange".r.findAllIn(p).size === 1, p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("rangepartitioning"),
+      s"a range partition would mean a global sort:\n$p")
+  }
+
+  test("hybrid rrf: fusion selects via the bounded heap; the rank " +
+    "window runs above it (pre-pruned rows only)") {
+    val p = plan("q_hybrid_rrf")
+    assert(p.contains("TopKPerKey"), p)
+    assert(p.indexOf("Window") < p.indexOf("TopKPerKey"),
+      s"Window must sit ABOVE TopKPerKey (plans print top-down):\n$p")
+  }
+
   test("media chunks: per-partition codec, zero exchanges") {
     val p = plan("q_media_chunks")
     assert(!p.contains("Exchange"),
