@@ -51,6 +51,33 @@ object MicroBench {
         Seq(col("score"), col("id")), 10).count()
     }
     big.unpersist()
+
+    // text hot path: native WordShinglesExpr / Hash60ArrayExpr vs
+    // their pure-built-in reference compositions (kept in the library
+    // as cross-implementation checks) — the corpus-scan shapes every
+    // dedup query runs first.
+    import graft.functions.TextAnalysis
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(TextAnalysis.tokens(col("text")).as("w")).cache()
+    docs.count() // materialize
+    time("shingle-gen") {
+      docs.select(explode(
+        TextAnalysis.wordShinglesOfNative(col("w"), 3)).as("s")).count()
+    }
+    time("shingle-hof") {
+      docs.select(explode(
+        TextAnalysis.wordShinglesOf(col("w"), 3)).as("s")).count()
+    }
+    time("hash-gen") {
+      docs.select(explode(TextAnalysis.hash60Array(col("w"))).as("h"))
+        .filter(col("h") >= 0L).count()
+    }
+    time("hash-hof") {
+      docs.select(explode(transform(col("w"),
+          s => TextAnalysis.hash60Hof(s))).as("h"))
+        .filter(col("h") >= 0L).count()
+    }
+    docs.unpersist()
     spark.stop()
   }
 }
