@@ -416,11 +416,17 @@ object TextAnalysis {
     val qterms = queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(tokens(col(queryTextCol).cast("string"))))
         .as("word"))
-    val dfq = post
+    // prune ONCE to the query-term postings sliver and persist it:
+    // both the df aggregate and the scoring join read this cache, so
+    // the corpus-wide postings aggregate above it runs exactly once
+    // (recomputing it per consumer would double the corpus scan).
+    // Cache lifetime is session-owned, like jaccardPairs' shingles.
+    val postQ = post
       .join(broadcast(qterms.select("word").distinct()), Seq("word"))
-      .groupBy("word").agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfq = postQ.groupBy("word").agg(count(lit(1)).as("df"))
     val g = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
-    val micro = post
+    val micro = postQ
       .join(broadcast(qterms), Seq("word"))
       .join(broadcast(dfq), Seq("word"))
       .join(dl, Seq("doc_id"))

@@ -243,10 +243,15 @@ class PlanRegressionSpec extends SparkSpec {
       s"selection must be the bounded heap:\n$p")
     assert(!p.contains("CartesianProduct"), p)
     val hints = "ResolvedHint".r.findAllIn(qe.analyzed.toString).size
-    assert(hints === 4,
-      "exactly the four bounded-by-construction broadcasts (query " +
-        "terms in the df prune, query terms in the scoring join, " +
-        s"query-term df, 1-row N/sdl scalar) may be hinted:\n${qe.analyzed}")
+    assert(hints === 5,
+      "exactly the bounded-by-construction broadcasts may be hinted: " +
+        "the query-term prune inside the cached postings sliver " +
+        "(appears in both consumer branches of the analyzed tree), " +
+        "query terms in the scoring join, query-term df, and the " +
+        s"1-row N/sdl scalar:\n${qe.analyzed}")
+    assert(qe.executedPlan.toString.contains("InMemoryTableScan"),
+      "both df and scoring must read the persisted query-term " +
+        "postings sliver, not recompute the corpus postings aggregate")
   }
 
   test("shuffle shards: one hash exchange + per-shard window — no " +
