@@ -177,7 +177,7 @@ private[graft] object QueriesLlm {
   def annRecallQ(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val q5 = emb.filter(col("vec_id") < 5)
-    val exact = Vectors.cosineTopK(emb, q5, 5)
+    val exact = Vectors.cosineTopK(emb, q5, 5, queryCount = Some(5L))
       .select("query_id", "vec_id")
     val approx = Vectors.annTopK(emb, q5, 5, 4, 64)
       .select("query_id", "vec_id")
@@ -398,7 +398,8 @@ private[graft] object QueriesLlm {
     val q = Bm25QueryFixture.toDF("query_id", "qtext")
     val lex = TextAnalysis.bm25TopK(t(s, dir, "documents"), q, 10)
     val emb = t(s, dir, "embeddings")
-    val sem = Vectors.cosineTopK(emb, emb.filter(col("vec_id") < 3), 10)
+    val sem = Vectors.cosineTopK(emb, emb.filter(col("vec_id") < 3), 10,
+        queryCount = Some(3L))
       .withColumnRenamed("vec_id", "doc_id")
     graft.similarity.Retrieval.rrfFuse(Seq(lex, sem), 10)
   }
@@ -1135,7 +1136,7 @@ private[graft] object QueriesLlm {
       s"""WITH $ShinglesCte,
           sig AS (SELECT doc_id,
             ${(0 until MinhashK).map(minhashSql).mkString(", ")}
-            FROM sh),
+            FROM sh WHERE len(s) > 0),
           bands AS (
             ${(0 until MinhashK / 2).map(j =>
               s"SELECT doc_id, $j AS band, mh_${2 * j} AS m0, " +

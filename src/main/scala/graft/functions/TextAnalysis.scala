@@ -662,8 +662,12 @@ object TextAnalysis {
         pmod(hash60(col("token")), lit(nBuckets.toLong)).as("bucket"))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
       .cache()
+    // NULL label = hard negative (not a silently-dropped row): an
+    // un-coalesced NULL y6 would null the row's gradient terms while
+    // `n` still counts the doc — a label-set hole would silently bias
+    // the model and diverge from the oracle's CASE ... ELSE 0
     val y = docs.select(col(idCol).as("doc_id"),
-      (label.cast("long") * 1000000L).as("y6"))
+      (coalesce(label, lit(false)).cast("long") * 1000000L).as("y6"))
     val n = docs.count() // bounded driver action: one scalar, once
     var w = Map.empty[Long, Long]
     (0 until steps).foreach { _ =>
@@ -799,23 +803,7 @@ object TextAnalysis {
       toks += word.substring(i, i + n)
       i += n
     }
-    var merging = toks.length > 1
-    while (merging) {
-      var bestRank = Int.MaxValue
-      var bestIdx = -1
-      var j = 0
-      while (j < toks.length - 1) {
-        val r = ranks.get(toks(j) + "\u0001" + toks(j + 1))
-        if (r != null && r < bestRank) { bestRank = r; bestIdx = j }
-        j += 1
-      }
-      if (bestIdx < 0) merging = false
-      else {
-        toks(bestIdx) = toks(bestIdx) + toks(bestIdx + 1)
-        toks.remove(bestIdx + 1)
-        merging = toks.length > 1
-      }
-    }
+    graft.plans.BpeWalk.merge(toks, ranks)
     toks
   }
 
@@ -870,13 +858,8 @@ object TextAnalysis {
       }
     }
 
-    def ranksOf(merges: Seq[Pair]): java.util.HashMap[String, Integer] = {
-      val m = new java.util.HashMap[String, Integer](merges.size * 2)
-      merges.zipWithIndex.foreach { case ((a, b), i) =>
-        m.putIfAbsent(a + "\u0001" + b, i)
-      }
-      m
-    }
+    def ranksOf(merges: Seq[Pair]): java.util.HashMap[String, Integer] =
+      graft.plans.BpeWalk.ranksOf(merges)
 
     def rebuild(merges: Seq[Pair]): Unit = {
       pairCount.clear(); pairWords.clear(); heap.clear()

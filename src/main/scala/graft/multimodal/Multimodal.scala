@@ -309,14 +309,17 @@ object Multimodal {
     * unsniffable or undecodable yields no frames.
     */
   val imageFrameCodec: FrameCodec = (payload, maxFrames) => {
-    val img = sniff(payload) match {
+    // check the frame budget BEFORE decoding: maxFrames = 0 must not
+    // pay the ImageIO decode just to return Nil
+    val img = if (maxFrames < 1) null
+    else sniff(payload) match {
       case Some(_) =>
         try javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(payload))
         catch { case _: java.io.IOException => null }
       case None => null
     }
-    if (img == null || maxFrames < 1) Nil
+    if (img == null) Nil
     else {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)

@@ -40,13 +40,8 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
     * matches the oracle's chr(1) and is written as an escape so the
     * source stays pure ASCII.
     */
-  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](merges.size * 2)
-    merges.zipWithIndex.foreach { case ((a, b), i) =>
-      m.putIfAbsent(a + "\u0001" + b, i)
-    }
-    m
-  }
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] =
+    BpeWalk.ranksOf(merges)
 
   /** Public for the generated code path; single pass per merge round,
     * bounded by word length (a word of n chars does at most n−1
@@ -62,23 +57,7 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
         toks += word.substring(i, i + n)
         i += n
       }
-      var merging = toks.length > 1
-      while (merging) {
-        var bestRank = Int.MaxValue
-        var bestIdx = -1
-        var j = 0
-        while (j < toks.length - 1) {
-          val r = ranks.get(toks(j) + "\u0001" + toks(j + 1))
-          if (r != null && r < bestRank) { bestRank = r; bestIdx = j }
-          j += 1
-        }
-        if (bestIdx < 0) merging = false
-        else {
-          toks(bestIdx) = toks(bestIdx) + toks(bestIdx + 1)
-          toks.remove(bestIdx + 1)
-          merging = toks.length > 1
-        }
-      }
+      BpeWalk.merge(toks, ranks)
       toks.foreach(t => out += UTF8String.fromString(t))
     }
     new GenericArrayData(out.toArray)

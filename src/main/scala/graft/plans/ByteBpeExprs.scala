@@ -31,6 +31,19 @@ object BpeBytes {
   val charToByte: Map[Char, Byte] =
     byteToChar.zipWithIndex.map { case (c, b) => c -> b.toByte }.toMap
 
+  /** Flat inverse of [[byteToChar]] for the per-character decode hot
+    * path (max symbol char is 323): chars outside the alphabet decode
+    * as '?'. A boxed Map lookup per character would dominate a
+    * corpus-wide decode; this is one array index, mirroring the
+    * encode side's flat [[byteToChar]].
+    */
+  val charToByteFlat: Array[Byte] = {
+    val out = Array.fill[Byte](byteToChar.max.toInt + 1)('?'.toByte)
+    byteToChar.zipWithIndex.foreach { case (c, b) =>
+      out(c.toInt) = b.toByte }
+    out
+  }
+
   /** The word's UTF-8 bytes as their symbol characters. */
   def symbols(word: String): String = {
     val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -57,13 +70,8 @@ case class ByteBpeEncodeExpr(child: Expression,
 
   override def prettyName: String = "graft_byte_bpe_encode"
 
-  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](merges.size * 2)
-    merges.zipWithIndex.foreach { case ((a, b), i) =>
-      m.putIfAbsent(a + "\u0001" + b, i)
-    }
-    m
-  }
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] =
+    BpeWalk.ranksOf(merges)
 
   /** Public for the generated code path. */
   def encode(text: UTF8String): GenericArrayData = {
@@ -75,23 +83,7 @@ case class ByteBpeEncodeExpr(child: Expression,
       val toks = scala.collection.mutable.ArrayBuffer.empty[String]
       var i = 0
       while (i < sym.length) { toks += sym.substring(i, i + 1); i += 1 }
-      var merging = toks.length > 1
-      while (merging) {
-        var bestRank = Int.MaxValue
-        var bestIdx = -1
-        var j = 0
-        while (j < toks.length - 1) {
-          val r = ranks.get(toks(j) + "\u0001" + toks(j + 1))
-          if (r != null && r < bestRank) { bestRank = r; bestIdx = j }
-          j += 1
-        }
-        if (bestIdx < 0) merging = false
-        else {
-          toks(bestIdx) = toks(bestIdx) + toks(bestIdx + 1)
-          toks.remove(bestIdx + 1)
-          merging = toks.length > 1
-        }
-      }
+      BpeWalk.merge(toks, ranks)
       toks.foreach(t => out += UTF8String.fromString(t))
       wi += 1
     }
@@ -135,8 +127,11 @@ case class ByteBpeDecodeExpr(child: Expression) extends UnaryExpression {
       val t = toks.getUTF8String(i).toString
       var j = 0
       while (j < t.length) {
-        bos.write(BpeBytes.charToByte.getOrElse(t.charAt(j), '?'.toByte)
-          .toInt)
+        val c = t.charAt(j).toInt
+        bos.write(
+          if (c < BpeBytes.charToByteFlat.length)
+            BpeBytes.charToByteFlat(c).toInt
+          else '?'.toInt)
         j += 1
       }
       i += 1

@@ -103,9 +103,10 @@ object Streams {
     * Pair-set equivalence with batch: a pair shares a bucket iff its
     * two docs agree on that band, and the pair is emitted exactly once
     * per shared bucket when the LATER member arrives — so the DISTINCT
-    * emitted set equals batch `lshCandidates` on the same corpus
-    * regardless of arrival order or batch boundaries (asserted in
-    * WatermarkSpec and by the `q_stream_neardup` oracle).
+    * emitted set equals batch `lshCandidates` over the SHINGLED docs
+    * (≥ 3 tokens; see the sentinel note below) regardless of arrival
+    * order or batch boundaries (asserted in StreamsSinksSpec and by
+    * the `q_stream_neardup` oracle).
     *
     * State: per bucket, the sorted member-id list, capped at
     * [[MaxLshBucketDocs]] (quadratic-flood guard, throws with
@@ -119,11 +120,21 @@ object Streams {
     val spark = docs.sparkSession
     import spark.implicits._
     require(k % 2 == 0, s"k=$k must be divisible by the band width 2")
+    // shingle-less docs (< 3 tokens, empty/null text) are dropped
+    // BEFORE banding: their minhashes all coalesce to the sentinel P,
+    // so every such doc would share one bucket per band — >cap
+    // DISTINCT short docs would then trip the flood guard with a
+    // remediation (exact-dedup) that cannot apply, and the emitted
+    // sentinel pairs carry no similarity signal anyway (batch `fuzzy`
+    // kills them at Jaccard verification; a candidates-only stream
+    // has no such downstream). Batch `lshCandidates` still includes
+    // them — the equivalence contract is over SHINGLED docs.
     val hashed = docs.select(col("doc_id"),
       transform(TextAnalysis.hash60Array(
           array_distinct(TextAnalysis.wordShinglesOfNative(
             TextAnalysis.tokens(col("text")), 3))),
         h => h % Dedup.P).as("hs"))
+      .filter(size(col("hs")) > 0)
     val sig = hashed.select(col("doc_id") +:
       (0 until k).map(i => Dedup.minhashCol(col("hs"), i).as(s"mh_$i")): _*)
     val bands = (0 until k / 2).map { j =>

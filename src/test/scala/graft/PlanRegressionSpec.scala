@@ -268,6 +268,7 @@ class PlanRegressionSpec extends SparkSpec {
     "window runs above it (pre-pruned rows only)") {
     val p = plan("q_hybrid_rrf")
     assert(p.contains("TopKPerKey"), p)
+    assert(p.contains("Window"), s"rank window missing entirely:\n$p")
     assert(p.indexOf("Window") < p.indexOf("TopKPerKey"),
       s"Window must sit ABOVE TopKPerKey (plans print top-down):\n$p")
   }

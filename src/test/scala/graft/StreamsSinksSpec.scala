@@ -153,8 +153,12 @@ class StreamsSinksSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     // 6 groups of 4 identical docs — every within-group pair is a
     // candidate in every band; groups differ in their lead token
-    val docs = (0L until 24L)
-      .map(i => (i, s"n${i % 6} a b c d e f g h i j"))
+    // 26/27 are shingle-less (< 3 tokens): they must neither emit
+    // sentinel pairs nor occupy bucket state (all-sentinel signatures
+    // would otherwise share one bucket per band)
+    val docs = ((0L until 24L)
+      .map(i => (i, s"n${i % 6} a b c d e f g h i j")) ++
+      Seq((26L, "solo"), (27L, "two tokens")))
       .toDF("doc_id", "text")
     val srcDir = Files.createTempDirectory("graft_neardup_src")
     def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
@@ -178,13 +182,18 @@ class StreamsSinksSpec extends SparkSpec {
         Streams.fileStream(spark, srcDir.toString, schema,
           maxFilesPerTrigger = Some(1))),
       "strm_neardup_spec", OutputMode.Append()).distinct()
+    // equivalence contract is over SHINGLED docs (>= 3 tokens)
     val batch = graft.dedup.Dedup.lshCandidates(
-      graft.dedup.Dedup.minhashSignatures(docs, 8), 8)
+      graft.dedup.Dedup.minhashSignatures(
+        docs.filter(col("doc_id") < 24L), 8), 8)
     assert(streamed.exceptAll(batch).count() === 0,
       "no pair the batch banding would not produce")
     assert(batch.exceptAll(streamed).count() === 0,
       "every batch candidate is emitted, incl. cross-micro-batch pairs")
     assert(batch.count() >= 36, "6 groups x C(4,2) within-group pairs")
+    assert(streamed.filter(col("doc_a") >= 24L || col("doc_b") >= 24L)
+        .count() === 0,
+      "shingle-less docs emit no sentinel pairs")
   }
 
   test("streaming near-dup: bucket-flood guard throws with remediation") {
