@@ -433,6 +433,14 @@ private[graft] object QueriesLlm {
       quantScale = 1000000.0)
   }
 
+  /** Token-budget mixture: hash-order prefix per source until the
+    * budget fills (src0 200 / src1 100 tokens partially fill; src2's
+    * 10k admits the whole source).
+    */
+  def tokenBudgetMixQ(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Curation.tokenBudgetMix(t(s, dir, "documents"),
+      Map("src0" -> 200L, "src1" -> 100L, "src2" -> 10000L))
+
   /** Epoch-1 deterministic shuffle into 8 shards (training order). */
   def shuffleShardsQ(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Curation
@@ -639,6 +647,7 @@ private[graft] object QueriesLlm {
     "q_stream_neardup" -> (streamNearDupQ _),
     "q_train_classifier" -> (trainClassifierQ _),
     "q_ann_recall" -> (annRecallQ _),
+    "q_token_budget_mix" -> (tokenBudgetMixQ _),
     "q_trained_score" -> (trainedScoreQ _),
     "q_perplexity" -> (perplexityQ _),
     "q_leakage_split" -> (leakageSplitQ _),
@@ -1146,6 +1155,20 @@ private[graft] object QueriesLlm {
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
               AND a.doc_id < b.doc_id""",
+    "q_token_budget_mix" ->
+      s"""WITH tb AS (SELECT doc_id, source,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+            ${h60Sql("CAST(doc_id AS VARCHAR)")} AS h
+          FROM documents),
+          cw AS (SELECT doc_id, source, n_tokens,
+            sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM tb)
+          SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum
+          FROM cw
+          WHERE cum - n_tokens < CASE source
+            WHEN 'src0' THEN 200 WHEN 'src1' THEN 100
+            WHEN 'src2' THEN 10000 END""",
     "q_ann_recall" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
                      FROM embeddings),

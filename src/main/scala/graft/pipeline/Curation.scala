@@ -259,6 +259,46 @@ object Curation {
       .drop("__graft_h")
   }
 
+  /** Token-BUDGET mixture: per source, keep documents in
+    * deterministic hash order until the source's token budget fills —
+    * the mixture builder when targets are token counts ("20B web,
+    * 5B code"), complementing rate-based [[stratifiedSample]] (which
+    * cannot hit a token total because doc lengths vary). A document
+    * is kept iff the tokens accumulated BEFORE it are still under
+    * budget, so the boundary-crossing doc is included (budgets are
+    * met-or-slightly-exceeded, never silently under-filled) and any
+    * positive budget takes at least one document. Sources without a
+    * budget drop.
+    *
+    * Deterministic: the per-source order is the md5 hash of the doc
+    * id (epoch-stable pseudorandom order — taking a hash-order prefix
+    * IS a uniform sample), so the same budget yields the same
+    * documents on every engine, rerun, and partitioning. Scale shape:
+    * one hash + token-count projection (map-only), then ONE window
+    * cumsum per source — each source sorts independently and in
+    * parallel, the [[packSequences]] shape; no global sort.
+    */
+  def tokenBudgetMix(docs: DataFrame, budgets: Map[String, Long],
+                     sourceCol: String = "source",
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(budgets.nonEmpty, "at least one source budget required")
+    require(budgets.values.forall(_ >= 1L),
+      s"budgets must be >= 1 token: $budgets")
+    val budget = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (src, b)) => when(col(sourceCol) === src, b).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol).orderBy(col("__graft_h"), col(idCol))
+    docs.select(col(idCol), col(sourceCol),
+        size(TextAnalysis.tokens(col(textCol))).cast("long")
+          .as("n_tokens"))
+      .withColumn("__graft_h", TextAnalysis.hash60(col(idCol).cast("string")))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") - col("n_tokens") < budget)
+      .select(col(idCol), col(sourceCol), col("n_tokens"), col("cum"))
+  }
+
   def curate(docs: DataFrame, minChars: Int, maxStopwordRatio: Double,
              stopwords: Seq[String], jaccardThreshold: Double,
              useLsh: Boolean = false): DataFrame = {

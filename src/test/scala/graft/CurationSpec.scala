@@ -112,6 +112,32 @@ class CurationSpec extends SparkSpec {
     assert(a.values.map(_._1).toSet === Set(0, 1, 2, 3))
   }
 
+  test("tokenBudgetMix: budgets met-or-just-exceeded, crossing doc " +
+    "included, unlisted sources drop, hash-order prefix is stable") {
+    import spark.implicits._
+    val d = ((0L until 50L).map(i => (i, "a b c d e", "web")) ++ // 5 tok
+      (100L until 110L).map(i => (i, "x y", "code")) ++          // 2 tok
+      (200L until 205L).map(i => (i, "t", "junk")))              // no budget
+      .toDF("doc_id", "text", "source")
+    val out = Curation.tokenBudgetMix(d,
+        Map("web" -> 23L, "code" -> 1000L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = out.groupBy(_._2)
+    assert(!bySrc.contains("junk"), "no budget, no rows")
+    val webTok = bySrc("web").map(_._3).sum
+    // 23-token budget over 5-token docs: 4 docs = 20 < 23, the 5th
+    // crosses and is included → exactly 25 tokens
+    assert(bySrc("web").size === 5 && webTok === 25L,
+      s"met-or-just-exceeded: $webTok")
+    assert(bySrc("code").size === 10,
+      "a budget above the source total admits every doc")
+    val again = Curation.tokenBudgetMix(d.repartition(7),
+        Map("web" -> 23L, "code" -> 1000L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSet === again.toSet,
+      "pure function of (id, budget) — partitioning-stable")
+  }
+
   test("quotaSample: caps each source at `cap`, lowest ids survive") {
     import spark.implicits._
     val d = ((0L until 20L).map(i => (i, "t", "big")) ++
