@@ -434,8 +434,9 @@ private[graft] object QueriesLlm {
   }
 
   /** Token-budget mixture: hash-order prefix per source until the
-    * budget fills (src0 200 / src1 100 tokens partially fill; src2's
-    * 10k admits the whole source).
+    * budget fills. All three budgets bite partially at sf0.1 (src2
+    * holds ~14k tokens there); the budget-exceeds-source branch is
+    * pinned by CurationSpec instead.
     */
   def tokenBudgetMixQ(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Curation.tokenBudgetMix(t(s, dir, "documents"),

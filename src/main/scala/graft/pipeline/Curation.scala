@@ -212,18 +212,38 @@ object Curation {
     * sequential fold; this prefix-division rule is its deterministic,
     * one-shuffle, cluster-parallel form.
     */
+  /** Shared per-source token prefix-cumsum ([[packSequences]] /
+    * [[tokenBudgetMix]]): `(idCol, sourceCol, n_tokens, cum)` with
+    * `cum` the running token total in `orderCols` order within each
+    * source. The frame is EXPLICIT `ROWS UNBOUNDED PRECEDING`:
+    * Spark's default frame with an ORDER BY is RANGE, which makes
+    * order-key peers share one cum value — a silent divergence from
+    * the oracles' pinned ROWS frame if a key ever duplicates. One
+    * definition keeps both operators' token-count and frame contracts
+    * oracle-identical.
+    */
+  private def tokenCumsum(docs: DataFrame, sourceCol: String,
+                          idCol: String, textCol: String,
+                          orderCols: Seq[org.apache.spark.sql.Column],
+                          extra: Seq[(String, org.apache.spark.sql.Column)]
+                            = Seq.empty): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol).orderBy(orderCols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val base = docs.select(Seq(col(idCol), col(sourceCol),
+      size(TextAnalysis.tokens(col(textCol))).cast("long")
+        .as("n_tokens")) ++ extra.map { case (n, c) => c.as(n) }: _*)
+    base.withColumn("cum", sum(col("n_tokens")).over(w))
+  }
+
   def packSequences(docs: DataFrame, tokenBudget: Int,
                     sourceCol: String = "source",
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(sourceCol).orderBy(idCol)
-    docs.select(col(idCol), col(sourceCol),
-      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+                    textCol: String = "text"): DataFrame =
+    tokenCumsum(docs, sourceCol, idCol, textCol, Seq(col(idCol)))
       .select(col(idCol), col(sourceCol), col("n_tokens"),
         expr(s"(cum - n_tokens) div $tokenBudget").as("seq_no"))
-  }
 
   /** Deterministic global training-order shuffle: every document gets
     * a `(shard, pos)` — shard by md5-hash modulo, position by hash
@@ -288,13 +308,10 @@ object Curation {
     val budget = budgets.foldLeft(lit(null).cast("long")) {
       case (acc, (src, b)) => when(col(sourceCol) === src, b).otherwise(acc)
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(sourceCol).orderBy(col("__graft_h"), col(idCol))
-    docs.select(col(idCol), col(sourceCol),
-        size(TextAnalysis.tokens(col(textCol))).cast("long")
-          .as("n_tokens"))
-      .withColumn("__graft_h", TextAnalysis.hash60(col(idCol).cast("string")))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+    tokenCumsum(docs, sourceCol, idCol, textCol,
+        Seq(col("__graft_h"), col(idCol)),
+        extra = Seq("__graft_h" ->
+          TextAnalysis.hash60(col(idCol).cast("string"))))
       .filter(col("cum") - col("n_tokens") < budget)
       .select(col(idCol), col(sourceCol), col("n_tokens"), col("cum"))
   }

@@ -117,13 +117,17 @@ class CurationSpec extends SparkSpec {
     import spark.implicits._
     val d = ((0L until 50L).map(i => (i, "a b c d e", "web")) ++ // 5 tok
       (100L until 110L).map(i => (i, "x y", "code")) ++          // 2 tok
-      (200L until 205L).map(i => (i, "t", "junk")))              // no budget
+      (200L until 205L).map(i => (i, "t", "junk")) ++            // no budget
+      Seq((300L, null.asInstanceOf[String], "web")))  // NULL text
       .toDF("doc_id", "text", "source")
     val out = Curation.tokenBudgetMix(d,
         Map("web" -> 23L, "code" -> 1000L))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val bySrc = out.groupBy(_._2)
     assert(!bySrc.contains("junk"), "no budget, no rows")
+    assert(!out.exists(_._1 == 300L),
+      "NULL text drops (null n_tokens) and must not corrupt the " +
+        "running sum — the oracle's len(string_split(NULL)) semantics")
     val webTok = bySrc("web").map(_._3).sum
     // 23-token budget over 5-token docs: 4 docs = 20 < 23, the 5th
     // crosses and is included → exactly 25 tokens
