@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** THE cache contract for engine-held intermediate caches.
+  *
+  * Several operators persist an internal table that multiple DAG
+  * branches of their OWN result consume (jaccard/containment shingle
+  * sets, contamination's probe-shingle set, BM25's query-term postings
+  * sliver, the curate capstone's quality table). Those results must
+  * stay lazy — callers assert on their plans and compose them further —
+  * so the operator cannot unpersist before returning (the cache would
+  * be dropped before the first action ever reads it). That makes the
+  * cache lifetime session-owned by necessity, and previously each
+  * operator documented its own ad-hoc variant of this contract.
+  *
+  * This object is the one shared seam:
+  *   - operators register every such cache via [[retain]] (tagged with
+  *     the owning operator), so "what is the engine holding?" has one
+  *     answer: [[tags]];
+  *   - callers done with a corpus release EVERYTHING the engine cached
+  *     for a session with one [[release]] call — the unpersist hook the
+  *     per-operator docs used to delegate to `spark.catalog.clearCache()`
+  *     (which also evicted CALLER caches; this releases only ours).
+  *
+  * Repeated calls on identical inputs do NOT stack cache entries:
+  * Spark's `CacheManager` recognizes an already-cached plan and reuses
+  * the existing `InMemoryRelation` (the second `persist` is a no-op),
+  * so e.g. `hybridRrfQ` calling [[graft.functions.TextAnalysis.bm25TopK]]
+  * twice on the same corpus holds ONE postings cache. Distinct inputs
+  * legitimately cache separately and are all dropped by [[release]].
+  *
+  * Registration is weak ownership, not a second reference count:
+  * [[release]] calls `unpersist(blocking = false)`, which is safe on
+  * already-unpersisted frames, so operators that manage a bounded cache
+  * scope themselves (explicit `unpersist` on their own line) simply
+  * never register here.
+  */
+object CacheScope {
+  private val held = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentLinkedQueue[(String, DataFrame)]]()
+
+  /** Persist `df` (MEMORY_AND_DISK, the `Dataset.cache()` level) and
+    * register it under `tag` for its session. Returns `df` for inline
+    * use at the existing `.cache()` call sites.
+    */
+  def retain(df: DataFrame, tag: String,
+             level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    df.persist(level)
+    held.computeIfAbsent(df.sparkSession,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[(String, DataFrame)]())
+      .add(tag -> df)
+    df
+  }
+
+  /** Tags of every cache the engine currently holds for `spark`, in
+    * registration order (duplicates possible: one operator call may
+    * retain several tables, or run on several corpora).
+    */
+  def tags(spark: SparkSession): Seq[String] = {
+    val q = held.get(spark)
+    if (q == null) Seq.empty
+    else { val b = Seq.newBuilder[String]
+      q.forEach(e => b += e._1); b.result() }
+  }
+
+  /** Unpersist every engine-held cache for `spark`; returns how many
+    * were released. Non-blocking (eviction proceeds asynchronously),
+    * and safe to call at any point — a released cache just recomputes
+    * if a still-lazy result is materialized afterwards (correctness is
+    * unaffected; only the one-scan economy is).
+    */
+  def release(spark: SparkSession): Int = {
+    val q = held.remove(spark)
+    if (q == null) 0
+    else {
+      var n = 0
+      var e = q.poll()
+      while (e != null) {
+        e._2.unpersist(blocking = false)
+        n += 1
+        e = q.poll()
+      }
+      n
+    }
+  }
+}

@@ -83,11 +83,11 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
                    n: Int = 3): DataFrame = {
-    // CACHE LIFETIME: the internal shingle cache stays registered until
-    // the caller materializes the result and clears it (the result must
-    // stay lazy — callers assert on its plan); long-lived sessions
-    // composing many dedup calls should spark.catalog.clearCache()
-    // between corpora or persist results to a table.
+    // CACHE LIFETIME: session-owned via [[graft.CacheScope]] (the
+    // result must stay lazy — callers assert on its plan — so the
+    // operator cannot unpersist before returning); long-lived sessions
+    // composing many dedup calls drop every engine-held cache with
+    // `CacheScope.release(spark)` between corpora.
     // the shingle table feeds four DAG branches (freq, prefix, and the
     // two verification joins); cache it rather than re-shingling — the
     // production-scale equivalent is materializing it to a table.
@@ -96,10 +96,11 @@ object Dedup {
     // 8-byte longs instead of n-gram strings (the round-2 bench's
     // dominant constant factor). 60-bit hashing is collision-free in
     // practice (birthday bound ~n²/2^61), so |∩| is unchanged.
-    val sets = shingleSets(docs, idCol, textCol, n)
-      .select(col("doc_id"),
-        array_distinct(TextAnalysis.hash60Array(col("sh"))).as("sh"))
-      .cache()
+    val sets = graft.CacheScope.retain(
+      shingleSets(docs, idCol, textCol, n)
+        .select(col("doc_id"),
+          array_distinct(TextAnalysis.hash60Array(col("sh"))).as("sh")),
+      "dedup.jaccard.shingles")
     val inv = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("s"))
     val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))
@@ -163,7 +164,8 @@ object Dedup {
     * the Bloom sizing, and whichever join strategy wins (the Bloom
     * build and the exact join read the cache, never re-running the
     * distinct shuffle). CACHE LIFETIME: owned by the session, like
-    * [[jaccardPairs]]' shingle cache — `clearCache()` between corpora.
+    * [[jaccardPairs]]' shingle cache — registered with
+    * [[graft.CacheScope]]; `CacheScope.release(spark)` between corpora.
     * The degraded path inherits
     * [[graft.etl.BloomJoin.MaxExpectedItems]]: a probe set past THAT
     * ceiling (5×10⁸ distinct shingles — no real eval suite) fails
@@ -176,9 +178,10 @@ object Dedup {
                       MaxBroadcastProbeShingles): DataFrame = {
     val d = shingleSets(docs, idCol, textCol, n)
       .select(col("doc_id"), explode(col("sh")).as("s"))
-    val p = shingleSets(probes, idCol, textCol, n)
-      .select(explode(col("sh")).as("s")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = graft.CacheScope.retain(
+      shingleSets(probes, idCol, textCol, n)
+        .select(explode(col("sh")).as("s")).distinct(),
+      "dedup.contamination.probe-shingles")
     val probeShingles = p.count()
     val joined =
       if (probeShingles <= maxBroadcastShingles) d.join(broadcast(p), "s")
@@ -208,12 +211,13 @@ object Dedup {
   def containmentPairs(docs: DataFrame, threshold: Double,
                        idCol: String = "doc_id", textCol: String = "text",
                        n: Int = 3): DataFrame = {
-    // CACHE LIFETIME: as in [[jaccardPairs]] — the shingle cache is
-    // owned by the session; clearCache() between corpora.
-    val sets = shingleSets(docs, idCol, textCol, n)
-      .select(col("doc_id"),
-        array_distinct(TextAnalysis.hash60Array(col("sh"))).as("sh"))
-      .cache()
+    // CACHE LIFETIME: as in [[jaccardPairs]] — session-owned via
+    // [[graft.CacheScope]]; CacheScope.release(spark) between corpora.
+    val sets = graft.CacheScope.retain(
+      shingleSets(docs, idCol, textCol, n)
+        .select(col("doc_id"),
+          array_distinct(TextAnalysis.hash60Array(col("sh"))).as("sh")),
+      "dedup.containment.shingles")
     val inv = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("s"))
     val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))

@@ -411,19 +411,26 @@ object TextAnalysis {
     val toks = docs.select(col(idCol).as("doc_id"),
       tokens(col(textCol).cast("string")).as("w"))
     val dl = toks.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
-    val post = toks.select(col("doc_id"), explode(col("w")).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val qterms = queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(tokens(col(queryTextCol).cast("string"))))
         .as("word"))
-    // prune ONCE to the query-term postings sliver and persist it:
-    // both the df aggregate and the scoring join read this cache, so
-    // the corpus-wide postings aggregate above it runs exactly once
-    // (recomputing it per consumer would double the corpus scan).
-    // Cache lifetime is session-owned, like jaccardPairs' shingles.
-    val postQ = post
-      .join(broadcast(qterms.select("word").distinct()), Seq("word"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // prune BEFORE the tf aggregate: filtering on a grouping key
+    // commutes with the aggregate, so joining the exploded tokens
+    // with the broadcast distinct query-term set first yields the
+    // identical (doc_id, word, tf) sliver while the tf shuffle
+    // carries only query-term tokens — not the whole tokenized
+    // corpus. The sliver is persisted once; both the df aggregate
+    // and the scoring join read this cache, so the corpus scan runs
+    // exactly once. Cache lifetime is session-owned — registered with
+    // [[graft.CacheScope]]; callers done with a corpus drop every
+    // engine-held cache via `CacheScope.release(spark)`. Identical
+    // repeated calls (e.g. hybrid fusion re-scoring the same corpus)
+    // reuse ONE cache entry via Spark's CacheManager plan match.
+    val postQ = graft.CacheScope.retain(
+      toks.select(col("doc_id"), explode(col("w")).as("word"))
+        .join(broadcast(qterms.select("word").distinct()), Seq("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")),
+      "bm25.query-term-postings")
     val dfq = postQ.groupBy("word").agg(count(lit(1)).as("df"))
     val g = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
     val micro = postQ
@@ -668,7 +675,12 @@ object TextAnalysis {
     // the model and diverge from the oracle's CASE ... ELSE 0
     val y = docs.select(col(idCol).as("doc_id"),
       (coalesce(label, lit(false)).cast("long") * 1000000L).as("y6"))
-    val n = docs.count() // bounded driver action: one scalar, once
+      .cache()
+    // n comes off the cached label table: ONE scan of the (possibly
+    // expensive, uncached) upstream plan materializes labels AND the
+    // count, and every GD step's join then reads the cache instead of
+    // re-running the upstream per step
+    val n = y.count()
     var w = Map.empty[Long, Long]
     (0 until steps).foreach { _ =>
       val s6 =
@@ -698,6 +710,7 @@ object TextAnalysis {
       }.toMap
     }
     feat.unpersist()
+    y.unpersist()
     w.toSeq.sortBy(_._1).toDF("bucket", "w6")
   }
 
