@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Shared readers for the driver's test tables. */
 private[graft] object Tables {
@@ -9,15 +10,76 @@ private[graft] object Tables {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet is TIMESTAMP(NANOS), which Spark's TimestampType
-    * (micros) rejects outright; read nanos as long (legacy conf) and
-    * convert — the generated values are micro-precision, so the
-    * conversion is lossless.
+  /** Physical encoding of the events `ts` column in a given parquet
+    * file. The test harness has shipped this column as
+    * TIMESTAMP(NANOS) (readable only as long via the legacy conf) in
+    * some rounds and timestamp[us] TIMESTAMP_NTZ in others — and a
+    * real user's file could equally be UTC-adjusted micros
+    * (TimestampType). The engine reads data it does not generate, so
+    * every events entry point probes the footer and branches instead
+    * of assuming one encoding forever.
+    */
+  sealed trait TsEncoding
+  object TsEncoding {
+    /** TIMESTAMP(NANOS) surfaced as LongType via
+      * `spark.sql.legacy.parquet.nanosAsLong` (or a genuine
+      * long-nanos column).
+      */
+    case object NanosLong extends TsEncoding
+    /** timestamp[us] with isAdjustedToUTC=false → TimestampNTZType. */
+    case object MicrosNtz extends TsEncoding
+    /** timestamp with isAdjustedToUTC=true (or INT96) → TimestampType. */
+    case object MicrosUtc extends TsEncoding
+  }
+
+  /** Probe the footer schema of an events-shaped parquet file and
+    * classify its `ts` encoding. Schema inference only reads footers —
+    * no row data. The legacy nanos conf is set first so a
+    * TIMESTAMP(NANOS) file infers as LongType instead of throwing.
+    */
+  def tsEncoding(s: SparkSession, path: String): TsEncoding = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(path).schema("ts").dataType match {
+      case LongType         => TsEncoding.NanosLong
+      case TimestampNTZType => TsEncoding.MicrosNtz
+      case TimestampType    => TsEncoding.MicrosUtc
+      case other => throw new IllegalStateException(
+        s"events ts column has unsupported type $other in $path - " +
+          "expected long (nanos), TIMESTAMP_NTZ or TIMESTAMP")
+    }
+  }
+
+  /** The raw (as-read) type `ts` carries for a given encoding — what a
+    * streaming read schema must declare so the file source hands back
+    * the file's actual values instead of silently coercing them.
+    */
+  def tsRawType(enc: TsEncoding): DataType = enc match {
+    case TsEncoding.NanosLong => LongType
+    case TsEncoding.MicrosNtz => TimestampNTZType
+    case TsEncoding.MicrosUtc => TimestampType
+  }
+
+  /** Normalize a raw `ts` column to TimestampType (micros, UTC
+    * session). Nanos-as-long uses integer division (`div`) — the
+    * values (~1.7e18) exceed double's exact range, so a float divide
+    * would corrupt them. NTZ casts through the session TZ, which
+    * [[GraftSession]] pins to UTC, so the instant is preserved and
+    * DuckDB's naive reading of the same file matches.
+    */
+  def normalizeTs(df: DataFrame, enc: TsEncoding): DataFrame = enc match {
+    case TsEncoding.NanosLong =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TsEncoding.MicrosNtz =>
+      df.withColumn("ts", col("ts").cast(TimestampType))
+    case TsEncoding.MicrosUtc => df
+  }
+
+  /** The events table with `ts` normalized to TimestampType regardless
+    * of the file's physical encoding (see [[TsEncoding]]).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val path = s"$dir/events.parquet"
+    normalizeTs(s.read.parquet(path), tsEncoding(s, path))
   }
 
   /** Deterministic session-boundary fixture unioned into BOTH session
@@ -53,19 +115,30 @@ private[graft] object Tables {
         .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"))
     }
 
-    /** events.parquet raw shape (ts in NANOS, other columns null) for
-      * staging next to the real file in the streaming gate. The
-      * fixture timestamps are whole seconds, so the
-      * timestamp->seconds->nanos path is exact.
+    /** events.parquet raw shape for staging next to the real file in
+      * the streaming gate: `ts` is emitted in the SAME physical
+      * encoding the staged real file uses (probe it with
+      * [[tsEncoding]]), so the file-source read schema fits both
+      * files and the fixture rows land at their intended instants.
+      * The fixture timestamps are whole seconds, so every conversion
+      * here is exact.
       */
-    def rawDf(s: SparkSession): DataFrame =
+    def rawDf(s: SparkSession, enc: TsEncoding): DataFrame = {
+      val rawTs: Column = enc match {
+        case TsEncoding.NanosLong =>
+          (col("ts").cast("long") * lit(1000000000L)).as("ts")
+        case TsEncoding.MicrosNtz =>
+          col("ts").cast(TimestampNTZType).as("ts")
+        case TsEncoding.MicrosUtc => col("ts")
+      }
       df(s).select(
         lit(null).cast("long").as("event_id"),
-        (col("ts").cast("long") * lit(1000000000L)).as("ts"),
+        rawTs,
         col("user_id"),
         lit(null).cast("string").as("event_type"),
         lit(null).cast("double").as("value"),
         lit(null).cast("string").as("props"))
+    }
 
     /** The identical rows as a DuckDB VALUES block for the oracles. */
     val sql: String = rows

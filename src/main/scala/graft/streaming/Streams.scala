@@ -25,13 +25,35 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** events.parquet schema for the streaming source (TIMESTAMP(NANOS)
-    * read as long via the legacy conf, converted after load).
+  /** events.parquet read schema for the streaming source, with `ts`
+    * declared as the file's ACTUAL physical type
+    * ([[graft.Tables.tsEncoding]] probes the footer). Declaring the
+    * wrong type here is worse than a crash: a LongType declaration
+    * over a micros file makes the source hand back raw micros which a
+    * nanos→micros division then lands in 1970 — silently wrong
+    * windows. The schema must match the file; conversion happens
+    * after, via [[graft.Tables.normalizeTs]].
     */
-  private val EventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  private def eventsRawSchema(enc: graft.Tables.TsEncoding): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", graft.Tables.tsRawType(enc)),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+
+  /** Per-run scratch dir for staging file-source inputs. A fixed
+    * world-shared /tmp path lets two concurrent runs (or two users on
+    * one box) clobber each other's staged files mid-stream; a fresh
+    * `createTempDirectory` per call is private to this run and
+    * deleted on JVM exit.
+    */
+  private def stagingDir(prefix: String): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d
+  }
 
   /** Generic parquet file-source stream with optional T6 backpressure —
     * the single wiring point every streaming entry (and the T6 spec)
@@ -51,16 +73,16 @@ object Streams {
     */
   def eventsStream(spark: SparkSession, dir: String,
                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val staged = java.nio.file.Paths.get(
-      s"/tmp/graft_stream_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    java.nio.file.Files.createDirectories(staged)
+    val enc = graft.Tables.tsEncoding(spark, s"$dir/events.parquet")
+    val staged = stagingDir("graft_stream_src_")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    fileStream(spark, staged.toString, EventsRawSchema, maxFilesPerTrigger)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeTs(
+      fileStream(spark, staged.toString, eventsRawSchema(enc),
+        maxFilesPerTrigger),
+      enc)
   }
 
   /** documents.parquet schema for the streaming source. */
@@ -73,9 +95,7 @@ object Streams {
     * [[eventsStream]] — the file source needs a directory).
     */
   def docsStream(spark: SparkSession, dir: String): DataFrame = {
-    val staged = java.nio.file.Paths.get(
-      s"/tmp/graft_stream_docs_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    java.nio.file.Files.createDirectories(staged)
+    val staged = stagingDir("graft_stream_docs_")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/documents.parquet"),
       staged.resolve("documents.parquet"),
@@ -178,10 +198,8 @@ object Streams {
     */
   def eventsWithSessionTieStream(spark: SparkSession,
                                  dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val staged = java.nio.file.Paths.get(
-      s"/tmp/graft_stream_tie_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    java.nio.file.Files.createDirectories(staged)
+    val enc = graft.Tables.tsEncoding(spark, s"$dir/events.parquet")
+    val staged = stagingDir("graft_stream_tie_src_")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"),
@@ -189,7 +207,7 @@ object Streams {
     // the file source lists plain files, not directories: write the
     // one-partition fixture to a scratch dir and move its part file up
     val tmp = staged.resolve("_tie_tmp")
-    graft.Tables.SessionTie.rawDf(spark).coalesce(1)
+    graft.Tables.SessionTie.rawDf(spark, enc).coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
     val part = {
       import scala.jdk.CollectionConverters._
@@ -200,8 +218,9 @@ object Streams {
     }
     java.nio.file.Files.move(part, staged.resolve("tie.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    fileStream(spark, staged.toString, EventsRawSchema, None)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeTs(
+      fileStream(spark, staged.toString, eventsRawSchema(enc), None),
+      enc)
   }
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a

@@ -11,11 +11,7 @@ class StreamsSinksSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  private def batchEvents = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def batchEvents = Tables.events(spark, sfDir)
 
   test("streaming tumbling agg == batch equivalent") {
     val streamed = Streams.runToTable(
