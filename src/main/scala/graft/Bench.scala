@@ -18,16 +18,34 @@ object Bench {
     // rewrite pass 2's identical plans to read pass 1's
     // InMemoryRelation — pass 2 would then time a cache hit, not the
     // plan. Clearing makes both passes do the full work.
-    def pass(): Seq[(String, Double)] = {
+    // self-defense: record the box's 1-min load average around the run
+    // so a loaded-machine bench is distinguishable from a regression
+    // without a re-run (four rounds of adjudication taught this).
+    def loadAvg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg()
+    def pass(): Seq[(String, Double, Option[String])] = {
       spark.catalog.clearCache()
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val err = try { fn(spark, sfDir).count(); None } catch {
+          case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+        }
+        (name, (System.nanoTime() - t0) / 1e9, err)
       }
     }
     val (p1, p2) = (pass(), pass())
-    val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    // a crashed query must surface as an ERROR, not a fake timing — a
+    // round where N queries crash at analysis would otherwise report a
+    // plausible (and meaninglessly small) total.
+    val errors = p1.zip(p2).collect {
+      case ((n, _, e1), (_, _, e2)) if e1.orElse(e2).isDefined =>
+        n -> e1.orElse(e2).get
+    }
+    val results = p1.zip(p2).map { case ((n, a, _), (_, b, _)) =>
+      n -> math.min(a, b) }
+    val loadEnd = loadAvg()
     // Locale.ROOT: f"$v%.3f" uses the default locale, and a
     // comma-decimal locale (de_DE, fr_FR, ...) would emit "1,234" —
     // invalid JSON. The bench line is machine-parsed, so pin ROOT.
@@ -48,10 +66,21 @@ object Bench {
     // weigh the batch subtotal — the part that actually scales with
     // data — separately from streaming overhead.
     val stream = results.filter(_._1.startsWith("q_stream_"))
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
     val line = s"""{"queries":$qs,"n_queries":${results.size},""" +
       s""""batch_sec":${fmt(total - stream.map(_._2).sum)},""" +
       s""""stream_sec":${fmt(stream.map(_._2).sum)},""" +
       s""""n_stream":${stream.size},""" +
+      s""""min_of":2,"load_start":${fmt(loadStart)},""" +
+      s""""load_end":${fmt(loadEnd)},""" +
+      s""""n_errors":${errors.size},"errors":$errJson,""" +
       s""""metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}"""
     println(line)
     // full-precision copy in the repo so per-query numbers survive even
@@ -70,6 +99,8 @@ object Bench {
           s""""batch_sec":${total - stream.map(_._2).sum},""" +
           s""""stream_sec":${stream.map(_._2).sum},""" +
           s""""n_stream":${stream.size},""" +
+          s""""min_of":2,"load_start":$loadStart,"load_end":$loadEnd,""" +
+          s""""n_errors":${errors.size},"errors":$errJson,""" +
           s""""queries":$full}""" + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // bench output is the contract; the file is best-effort
     spark.stop()
