@@ -338,8 +338,17 @@ object TextAnalysis {
     val ctx = refToks
       .select(explode(slice(col("w"), lit(1), size(col("w")) - 1)).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("ctx"))
+    // an empty (or all-empty-text) reference gives V=0, and every
+    // bigram's log-probability would silently become log(1)-log(0) —
+    // scores diverge with no error. Fail loudly at execution instead:
+    // the guard stays in the lazy plan (no eager driver-side job) and
+    // raise_error fires the moment the V scalar is computed.
     val v = refToks.select(explode(col("w")).as("t"))
-      .agg(count_distinct(col("t")).as("v"))
+      .agg(count_distinct(col("t")).as("v0"))
+      .select(when(col("v0") > 0, col("v0")).otherwise(
+        raise_error(lit("perplexityFilter: reference corpus has no " +
+          "tokens (V=0) - scores would silently diverge; pass a " +
+          "non-empty reference")).cast("long")).as("v"))
     // w₁ recovered from the shingle string: tokens are split on ' ',
     // so a token can never contain one and the first space in the
     // bigram is the separator (substring_index stays in codegen —

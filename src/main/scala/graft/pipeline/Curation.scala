@@ -222,6 +222,20 @@ object Curation {
     * definition keeps both operators' token-count and frame contracts
     * oracle-identical.
     */
+  /** withColumn CLOBBERS an existing column of the same name — a
+    * caller whose docs already carry one of the names an operator
+    * writes would lose data silently (and the operator's own window
+    * could order by the caller's column instead of the engine's).
+    * Fail loudly with the rename remediation instead.
+    */
+  private def requireNoClash(docs: DataFrame, names: Seq[String],
+                             op: String): Unit = {
+    val clash = docs.columns.toSet.intersect(names.toSet)
+    require(clash.isEmpty,
+      s"$op writes column(s) ${clash.toSeq.sorted.mkString(", ")} " +
+        "that already exist in the input - rename them first")
+  }
+
   private def tokenCumsum(docs: DataFrame, sourceCol: String,
                           idCol: String, textCol: String,
                           orderCols: Seq[org.apache.spark.sql.Column],
@@ -269,6 +283,8 @@ object Curation {
                            idCol: String = "doc_id"): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    requireNoClash(docs, Seq("__graft_h", "shard", "pos"),
+      "deterministicShuffle")
     val h = TextAnalysis.hash60(
       concat(col(idCol).cast("string"), lit(s"#$epoch")))
     val w = org.apache.spark.sql.expressions.Window
@@ -305,6 +321,8 @@ object Curation {
     require(budgets.nonEmpty, "at least one source budget required")
     require(budgets.values.forall(_ >= 1L),
       s"budgets must be >= 1 token: $budgets")
+    requireNoClash(docs, Seq("__graft_h", "n_tokens", "cum"),
+      "tokenBudgetMix")
     val budget = budgets.foldLeft(lit(null).cast("long")) {
       case (acc, (src, b)) => when(col(sourceCol) === src, b).otherwise(acc)
     }

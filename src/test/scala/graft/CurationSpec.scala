@@ -88,6 +88,20 @@ class CurationSpec extends SparkSpec {
       "all three splits populated at n=300")
   }
 
+  test("deterministicShuffle / tokenBudgetMix refuse inputs whose " +
+    "columns they would clobber") {
+    import spark.implicits._
+    val shadowed = Seq((1L, "t", 9)).toDF("doc_id", "text", "shard")
+    val e1 = intercept[IllegalArgumentException](
+      Curation.deterministicShuffle(shadowed, 4))
+    assert(e1.getMessage.contains("shard"))
+    val hashed = Seq((1L, "s", "t", 0L))
+      .toDF("doc_id", "source", "text", "cum")
+    val e2 = intercept[IllegalArgumentException](
+      Curation.tokenBudgetMix(hashed, Map("s" -> 10L)))
+    assert(e2.getMessage.contains("cum"))
+  }
+
   test("deterministicShuffle: stable across reruns/partitioning, " +
     "contiguous per-shard positions, epochs give different " +
     "permutations") {

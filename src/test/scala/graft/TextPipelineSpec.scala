@@ -494,6 +494,17 @@ class TextPipelineSpec extends SparkSpec {
       "a one-token doc has no bigrams and no score")
   }
 
+  test("perplexityFilter: an empty reference fails loudly instead of " +
+    "silently diverging at V=0") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b")).toDF("doc_id", "text")
+    val ref = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = intercept[Exception](
+      TextAnalysis.perplexityFilter(docs, ref, 1.0, 2.0).collect())
+    assert(e.getMessage.contains("V=0") ||
+      Option(e.getCause).exists(_.getMessage.contains("V=0")))
+  }
+
   test("perplexityFilter: invariant to shuffle order / partitioning " +
     "(fixed-point micro-nat sums)") {
     import spark.implicits._
