@@ -38,19 +38,39 @@ import org.apache.spark.storage.StorageLevel
   * never register here.
   */
 object CacheScope {
-  private val held = new java.util.concurrent.ConcurrentHashMap[
-    SparkSession, java.util.concurrent.ConcurrentLinkedQueue[(String, DataFrame)]]()
+  // all access under this lock: retain's register and release's
+  // remove+drain must be atomic with respect to each other, or a
+  // retain racing a release could append to an already-drained queue
+  // and leave that DataFrame persisted but untracked forever.
+  private val held = scala.collection.mutable.Map.empty[
+    SparkSession, scala.collection.mutable.ListBuffer[(String, DataFrame)]]
 
   /** Persist `df` (MEMORY_AND_DISK, the `Dataset.cache()` level) and
     * register it under `tag` for its session. Returns `df` for inline
     * use at the existing `.cache()` call sites.
+    *
+    * The first registration for a session installs a listener that
+    * drops the session's whole entry on application end — a session
+    * stopped without [[release]] must not pin the session object and
+    * every retained plan tree for the JVM lifetime (multi-session
+    * drivers would leak). No unpersist is needed at that point: the
+    * stopping context is discarding its block manager anyway.
     */
   def retain(df: DataFrame, tag: String,
              level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     df.persist(level)
-    held.computeIfAbsent(df.sparkSession,
-      _ => new java.util.concurrent.ConcurrentLinkedQueue[(String, DataFrame)]())
-      .add(tag -> df)
+    val s = df.sparkSession
+    held.synchronized {
+      held.getOrElseUpdate(s, {
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+                : Unit = held.synchronized { held.remove(s); () }
+          })
+        scala.collection.mutable.ListBuffer.empty
+      }) += (tag -> df)
+    }
     df
   }
 
@@ -58,11 +78,8 @@ object CacheScope {
     * registration order (duplicates possible: one operator call may
     * retain several tables, or run on several corpora).
     */
-  def tags(spark: SparkSession): Seq[String] = {
-    val q = held.get(spark)
-    if (q == null) Seq.empty
-    else { val b = Seq.newBuilder[String]
-      q.forEach(e => b += e._1); b.result() }
+  def tags(spark: SparkSession): Seq[String] = held.synchronized {
+    held.get(spark).map(_.map(_._1).toList).getOrElse(Nil)
   }
 
   /** Unpersist every engine-held cache for `spark`; returns how many
@@ -72,17 +89,12 @@ object CacheScope {
     * unaffected; only the one-scan economy is).
     */
   def release(spark: SparkSession): Int = {
-    val q = held.remove(spark)
-    if (q == null) 0
-    else {
-      var n = 0
-      var e = q.poll()
-      while (e != null) {
-        e._2.unpersist(blocking = false)
-        n += 1
-        e = q.poll()
-      }
-      n
+    val drained = held.synchronized { held.remove(spark) }
+    drained match {
+      case None => 0
+      case Some(q) =>
+        q.foreach { case (_, df) => df.unpersist(blocking = false) }
+        q.size
     }
   }
 }

@@ -301,11 +301,15 @@ object Dedup {
             n: Int = 3): DataFrame = {
     // signatures and shingle sets are each consumed by several DAG
     // branches (band fan-out, self-join sides, verification joins);
-    // cache both — at production scale these are materialized tables
-    val sets = shingleSets(docs, idCol, textCol, n).cache()
+    // cache both — at production scale these are materialized tables.
+    // Session-owned lifetime (the result is lazy), so both register
+    // with CacheScope for the one-call release contract.
+    val sets = graft.CacheScope.retain(
+      shingleSets(docs, idCol, textCol, n), "fuzzy.shingleSets")
     val sizes = sets.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val cand = lshCandidates(
-      minhashSignatures(docs, k, idCol, textCol, n).cache(), k, r)
+    val cand = lshCandidates(graft.CacheScope.retain(
+      minhashSignatures(docs, k, idCol, textCol, n),
+      "fuzzy.minhashSignatures"), k, r)
     // exact Jaccard only on candidates: |∩| via array_intersect after a
     // broadcast-friendly join back to the shingle sets
     cand

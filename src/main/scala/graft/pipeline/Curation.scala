@@ -346,11 +346,14 @@ object Curation {
 
     // exact dedup: survivors are each fingerprint's minimal doc_id
     // (quality feeds three DAG branches — cache it; the production
-    // analogue is a materialized quality-filtered table)
-    quality.cache()
+    // analogue is a materialized quality-filtered table). Both caches
+    // outlive this call (the result is lazy), so they register with
+    // CacheScope for the one-call release contract.
+    graft.CacheScope.retain(quality, "curate.quality")
     val canonical = Dedup.exact(quality)
       .select(col("canonical_id").as("doc_id"))
-    val exactDeduped = quality.join(canonical, "doc_id").cache()
+    val exactDeduped = graft.CacheScope.retain(
+      quality.join(canonical, "doc_id"), "curate.exactDeduped")
 
     // near-dup removal: drop the larger id of every qualifying pair
     val pairs =
