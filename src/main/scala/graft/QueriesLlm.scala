@@ -389,6 +389,23 @@ private[graft] object QueriesLlm {
     TextAnalysis.bm25TopK(t(s, dir, "documents"), q, 10)
   }
 
+  /** BM25 served from a persisted index: build the postings/doclens/
+    * stats store once (into a per-run temp dir), then score the SAME
+    * query fixture from the store alone — no corpus scan at query
+    * time. Oracle: identical to `q_bm25_topk` (the shared scoring
+    * tail makes the two hash-equal by construction; this gate pins
+    * that the round-trip through parquet — partition column, types,
+    * stats row — loses nothing).
+    */
+  def bm25IndexedQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bm25_idx_").toString
+    TextAnalysis.buildBm25Index(t(s, dir, "documents"), idx)
+    val q = Bm25QueryFixture.toDF("query_id", "qtext")
+    TextAnalysis.bm25TopKIndexed(s, idx, q, 10)
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
     * top-10 and the brute-force cosine top-10 (doc i ↔ embedding i;
     * query ids 0-2 carry both a query string and a query vector).
@@ -643,6 +660,7 @@ private[graft] object QueriesLlm {
     "q_bigram_lm" -> (bigramLm _),
     "q_intradoc_dedup" -> (intraDocDedupQ _),
     "q_bm25_topk" -> (bm25Q _),
+    "q_bm25_indexed" -> (bm25IndexedQ _),
     "q_hybrid_rrf" -> (hybridRrfQ _),
     "q_shuffle_shards" -> (shuffleShardsQ _),
     "q_stream_neardup" -> (streamNearDupQ _),
@@ -1105,6 +1123,13 @@ private[graft] object QueriesLlm {
          SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
          FROM firsts GROUP BY doc_id""",
     "q_bm25_topk" ->
+      s"""WITH $Bm25Ctes
+          SELECT query_id, doc_id,
+            round(CAST(s AS DOUBLE) / 1000000.0, 6) AS score,
+            CAST(rank AS BIGINT) AS rank
+          FROM rk WHERE rank <= 10""",
+    // the indexed path must equal the scan path bit-for-bit
+    "q_bm25_indexed" ->
       s"""WITH $Bm25Ctes
           SELECT query_id, doc_id,
             round(CAST(s AS DOUBLE) / 1000000.0, 6) AS score,

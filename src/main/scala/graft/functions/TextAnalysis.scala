@@ -440,8 +440,25 @@ object TextAnalysis {
         .join(broadcast(qterms.select("word").distinct()), Seq("word"))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")),
       "bm25.query-term-postings")
-    val dfq = postQ.groupBy("word").agg(count(lit(1)).as("df"))
     val g = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    bm25Score(postQ, qterms, dl, g, k, k1, b)
+  }
+
+  /** Shared BM25 scoring tail: from a query-term postings sliver
+    * `(doc_id, word, tf)`, per-query terms `(query_id, word)`,
+    * doc lengths `(doc_id, dl)` and the 1-row corpus stats `(n, sdl)`
+    * to the ranked top-`k`. One implementation serves BOTH the
+    * scan-the-corpus [[bm25TopK]] and the stored-index
+    * [[bm25TopKIndexed]] path, so the two can never drift — the
+    * indexed gate is hash-equal to the scan gate by construction.
+    */
+  private def bm25Score(postQ: org.apache.spark.sql.DataFrame,
+                        qterms: org.apache.spark.sql.DataFrame,
+                        dl: org.apache.spark.sql.DataFrame,
+                        g: org.apache.spark.sql.DataFrame,
+                        k: Int, k1: Double, b: Double):
+      org.apache.spark.sql.DataFrame = {
+    val dfq = postQ.groupBy("word").agg(count(lit(1)).as("df"))
     val micro = postQ
       .join(broadcast(qterms), Seq("word"))
       .join(broadcast(dfq), Seq("word"))
@@ -467,6 +484,99 @@ object TextAnalysis {
       .select(col("query_id"), col("doc_id"),
         round(col("s").cast("double") / 1000000.0, 6).as("score"),
         col("rank"))
+  }
+
+  /** Build the persisted BM25 index for a corpus: the serving-side
+    * complement of [[bm25TopK]] (which re-tokenizes the corpus per
+    * call — fine for one-off mining, wrong for a query service).
+    * Three tables under `path`:
+    *
+    *   - `postings/` — `(doc_id, word, tf)`, hash-partitioned on
+    *     `pb = hash(word) mod pbuckets`. Serving reads prune to the
+    *     query terms' buckets via dynamic partition pruning (the
+    *     broadcast query-term side seeds the partition filter), so a
+    *     query touches ~|q|/pbuckets of the postings, not all of them.
+    *   - `doclens/` — `(doc_id, dl)`.
+    *   - `stats/` — ONE row `(n, sdl, pbuckets)`: corpus size, total
+    *     length, and the bucket count serving must re-derive `pb`
+    *     with. Persisted because serving must not re-scan doclens for
+    *     a 2-scalar aggregate on every query batch.
+    *
+    * The tokenization here is the [[bm25TopK]] tokenization; tf/df
+    * computed from these tables are bit-identical to the scan path.
+    */
+  def buildBm25Index(docs: org.apache.spark.sql.DataFrame, path: String,
+                     pbuckets: Int = 64, idCol: String = "doc_id",
+                     textCol: String = "text"): Unit = {
+    require(pbuckets >= 1, s"pbuckets must be >= 1, got $pbuckets")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol).cast("string")).as("w"))
+    val dl = toks.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+    toks.select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .withColumn("pb", pmod(hash60(col("word")), lit(pbuckets.toLong)))
+      .write.mode("overwrite").partitionBy("pb").parquet(s"$path/postings")
+    dl.write.mode("overwrite").parquet(s"$path/doclens")
+    dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      .withColumn("pbuckets", lit(pbuckets.toLong))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 top-`k` served from a [[buildBm25Index]] store: no corpus
+    * scan, no tokenization — postings pruned to the query terms'
+    * hash buckets (partition pruning) then to the terms themselves
+    * (broadcast join), doc lengths joined only for matched docs, and
+    * corpus stats read from the 1-row table. Scoring is the shared
+    * [[bm25Score]] tail, so results are hash-identical to
+    * [[bm25TopK]] over the corpus the index was built from.
+    */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                      path: String,
+                      queries: org.apache.spark.sql.DataFrame, k: Int,
+                      k1: Double = 1.25, b: Double = 0.75,
+                      queryIdCol: String = "query_id",
+                      queryTextCol: String = "qtext"):
+      org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val stats = spark.read.parquet(s"$path/stats")
+    val g = stats.select(col("n"), col("sdl"))
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(tokens(col(queryTextCol).cast("string"))))
+        .as("word"))
+    // STATIC partition pruning: the distinct query words and the 1-row
+    // stats collect to the driver — both bounded by the query batch (a
+    // query API, the same contract that lets qterms broadcast; this is
+    // NOT a corpus collect) — and their re-derived `pb` buckets become
+    // a literal partition predicate, so the postings scan lists and
+    // reads only the query terms' buckets. Stored pbuckets is
+    // authoritative: an index built with any bucket count serves
+    // unchanged.
+    import spark.implicits._
+    val pbuckets = stats.select("pbuckets").head().getLong(0)
+    val words = qterms.select("word").distinct()
+      .collect().map(_.getString(0)).toIndexedSeq
+    val buckets = words.map(w => hash60Jvm(w) % pbuckets).distinct
+    val postQ = graft.CacheScope.retain(
+      spark.read.parquet(s"$path/postings")
+        .filter(col("pb").isin(buckets: _*))
+        .join(broadcast(words.toDF("word")), Seq("word"))
+        .select("doc_id", "word", "tf"),
+      "bm25.indexed-postings-sliver")
+    val dl = spark.read.parquet(s"$path/doclens")
+    bm25Score(postQ, qterms, dl, g, k, k1, b)
+  }
+
+  /** JVM-side [[hash60]]: first 15 hex chars of md5 as a long —
+    * bit-identical to the Column expression and the DuckDB oracle
+    * form (Hash60Spec pins all three). Used where a BOUNDED value set
+    * (query terms) is already on the driver and needs its hash
+    * without a Spark job.
+    */
+  def hash60Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
   }
 
   /** Dictionary encoding: dense ids 0..n-1 for the distinct values of

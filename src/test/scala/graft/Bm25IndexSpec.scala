@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** The persisted BM25 index must serve the exact results of the
+  * corpus-scan path, and serving must prune postings partitions to the
+  * query terms' hash buckets instead of scanning the store.
+  */
+class Bm25IndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "hash join merge sort"),
+    (2L, "merge sort window"),
+    (3L, "hash hash hash join"),
+    (4L, "scan filter project scan"),
+    (5L, "window order rank")).toDF("doc_id", "text")
+
+  private def queries = Seq(
+    (0L, "hash join"), (1L, "window sort sort")).toDF("query_id", "qtext")
+
+  test("indexed serving equals the corpus-scan path bit-for-bit") {
+    val idx = Files.createTempDirectory("bm25idx").toString
+    TextAnalysis.buildBm25Index(corpus, idx, pbuckets = 16)
+    val scan = TextAnalysis.bm25TopK(corpus, queries, 3)
+    val served = TextAnalysis.bm25TopKIndexed(spark, idx, queries, 3)
+    assert(served.exceptAll(scan).count() === 0)
+    assert(scan.exceptAll(served).count() === 0)
+    assert(served.count() > 0)
+  }
+
+  test("serving reads only the query terms' postings buckets") {
+    val idx = Files.createTempDirectory("bm25idx_p").toString
+    TextAnalysis.buildBm25Index(corpus, idx, pbuckets = 16)
+    // distinct buckets the two queries' 5 distinct words can hash to —
+    // at most 5 of 16; a full-store scan would read every non-empty one
+    val served = TextAnalysis.bm25TopKIndexed(spark, idx, queries, 3)
+    served.collect()
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*pb".r.findFirstIn(plan).isDefined,
+      s"expected a static pb partition filter on the postings scan:\n$plan")
+    // and the filter is the query terms' buckets, not everything
+    val nBuckets = Seq("hash", "join", "window", "sort", "sort")
+      .map(w => TextAnalysis.hash60Jvm(w) % 16).distinct.size
+    assert(nBuckets <= 5)
+  }
+
+  test("hash60Jvm matches the Column expression") {
+    val words = Seq("hash", "join", "window", "", "ünïcode £5")
+    val viaCol = words.toDF("w")
+      .select(TextAnalysis.hash60(col("w"))).collect().map(_.getLong(0))
+    assert(viaCol.toSeq === words.map(TextAnalysis.hash60Jvm))
+  }
+
+  test("an index built with one pbuckets serves under another stats row") {
+    // pbuckets travels in stats/ — serving re-derives pb with the
+    // STORED count, so a rebuilt index with a different bucket count
+    // needs no code change
+    val idx = Files.createTempDirectory("bm25idx_b").toString
+    TextAnalysis.buildBm25Index(corpus, idx, pbuckets = 3)
+    val scan = TextAnalysis.bm25TopK(corpus, queries, 3)
+    val served = TextAnalysis.bm25TopKIndexed(spark, idx, queries, 3)
+    assert(served.exceptAll(scan).count() === 0)
+    assert(scan.exceptAll(served).count() === 0)
+  }
+}
