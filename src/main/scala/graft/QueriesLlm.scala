@@ -628,6 +628,29 @@ private[graft] object QueriesLlm {
         TextAnalysis.bpeSubwordsBytes(col("text"), merges)).as("text"))
   }
 
+  /** Tokenizer-ARTIFACT round-trip capstone: learn byte-level merges,
+    * persist merges + vocabulary + meta as parquet tables
+    * ([[TextAnalysis.saveTokenizer]]), then encode and decode every
+    * document THROUGH THE STORE alone — the oracle is the raw table,
+    * so a defect anywhere in artifact serialization, vocab id
+    * assignment, rank ordering, or the stored-path encode/decode
+    * breaks the gate. This is `q_byte_bpe_roundtrip` with a parquet
+    * round trip of the tokenizer itself in the middle.
+    */
+  def bpeStoreRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), concat(col("text"),
+        lit(ByteBpeSuffix)).as("text"))
+    val merges = TextAnalysis.learnBpeMerges(docs, BpeTrainMerges,
+      byteLevel = true)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_bpe_store_").toString
+    TextAnalysis.saveTokenizer(docs, merges, store, byteLevel = true)
+    TextAnalysis.decodeTokensBpeStored(s, store,
+      TextAnalysis.encodeTokensBpeStored(s, store, docs))
+  }
+
   /** Deterministic Lloyd k-means over embeddings (k=8, one centroid
     * update) — the semantic-clustering stage of SemDeDup-style dedup.
     */
@@ -682,6 +705,7 @@ private[graft] object QueriesLlm {
     "q_encode_tokens_bpe" -> (encodeTokensBpeQ _),
     "q_bpe_train" -> (bpeTrainQ _),
     "q_byte_bpe_roundtrip" -> (byteBpeRoundtrip _),
+    "q_bpe_store_roundtrip" -> (bpeStoreRoundtrip _),
     "q_quality_score" -> (qualityScoreQ _),
     "q_decode_roundtrip" -> (decodeRoundtrip _),
     "q_kmeans" -> (kmeansQ _),
@@ -1402,6 +1426,11 @@ private[graft] object QueriesLlm {
     // byte-level no-OOV: the round trip through learned byte merges
     // must be byte-identical even with multi-byte UTF-8 appended
     "q_byte_bpe_roundtrip" ->
+      s"""SELECT doc_id, text || '$ByteBpeSuffix' AS text
+          FROM documents WHERE text IS NOT NULL""",
+    // same identity, but the tokenizer travels through parquet
+    // artifacts (merges/vocab/meta) between encode and decode
+    "q_bpe_store_roundtrip" ->
       s"""SELECT doc_id, text || '$ByteBpeSuffix' AS text
           FROM documents WHERE text IS NOT NULL""",
     // exact long sum of fixed-point weights; FP only at logit/sigmoid

@@ -696,6 +696,114 @@ object TextAnalysis {
           coalesce(col("value"), lit(unk)).as("tok")))),
         x => x.getField("tok")), " ").as("text"))
 
+  /** Persist tokenizer artifacts: the ranked merges table, the subword
+    * vocabulary, and a 1-row meta table, as parquet under `path` —
+    * the save side of the tokenizer-as-data contract (a trained
+    * tokenizer outlives the training session; serving must not
+    * re-derive it from the corpus).
+    *
+    *   - `merges/` — `(rank, lhs, rhs)`, the merge rules in training
+    *     order (rank IS the merge priority).
+    *   - `vocab/`  — `(id, token)`: dense ids in global sorted token
+    *     order ([[dictionaryEncode]] over the corpus's subword
+    *     inventory under these merges), the id space
+    *     [[encodeTokensBpeStored]] emits and
+    *     [[decodeTokensBpeStored]] inverts.
+    *   - `meta/`   — ONE row `(byte_level)`, so load sites apply the
+    *     matching segmentation automatically.
+    */
+  def saveTokenizer(docs: org.apache.spark.sql.DataFrame,
+                    merges: Seq[(String, String)], path: String,
+                    byteLevel: Boolean = false,
+                    textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), r) => (r.toLong, a, b) }
+      .toDF("rank", "lhs", "rhs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    val sub =
+      if (byteLevel) bpeSubwordsBytes(col(textCol).cast("string"), merges)
+      else bpeSubwords(col(textCol).cast("string"), merges)
+    val inventory = docs.filter(col(textCol).isNotNull)
+      .select(explode(sub).as("token"))
+    dictionaryEncode(inventory, "token")
+      .withColumnsRenamed(Map("value" -> "token"))
+      .write.mode("overwrite").parquet(s"$path/vocab")
+    Seq(if (byteLevel) 1L else 0L).toDF("byte_level")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[saveTokenizer]] merges table, in rank order. The
+    * collect is bounded by construction: a merges table is
+    * tokenizer-sized (10⁴–10⁵ rules — it must fit every serving
+    * process by definition), never corpus-sized.
+    */
+  def loadTokenizerMerges(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Seq[(String, String)] =
+    spark.read.parquet(s"$path/merges").orderBy("rank")
+      .select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  private def tokenizerIsByteLevel(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    spark.read.parquet(s"$path/meta").head().getLong(0) == 1L
+
+  /** Tokenize-to-ids against a STORED tokenizer: segmentation from the
+    * stored merges, ids from the stored vocabulary (broadcast — always
+    * tokenizer-sized), OOV → −1. New corpora encode under the exact id
+    * space the artifacts pin; nothing is re-derived from the data.
+    */
+  def encodeTokensBpeStored(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            docs: org.apache.spark.sql.DataFrame,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"):
+      org.apache.spark.sql.DataFrame = {
+    val merges = loadTokenizerMerges(spark, path)
+    val sub =
+      if (tokenizerIsByteLevel(spark, path))
+        bpeSubwordsBytes(col(textCol).cast("string"), merges)
+      else bpeSubwords(col(textCol).cast("string"), merges)
+    docs
+      .select(col(idCol), posexplode(sub).as(Seq("pos", "token")))
+      .join(org.apache.spark.sql.functions.broadcast(
+        spark.read.parquet(s"$path/vocab")), Seq("token"), "left")
+      .withColumn("id", coalesce(col("id"), lit(-1L)))
+      .groupBy(idCol)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("id")))),
+        x => x.getField("id").cast("string")), ",").as("ids"))
+  }
+
+  /** Invert [[encodeTokensBpeStored]] through the same store: ids →
+    * stored-vocab tokens in position order, then byte-level symbol
+    * decode (byte-exact text) or word-level space-join (token
+    * stream). Ids the vocabulary lacks (the −1 OOV sentinel) decode
+    * to the empty symbol.
+    */
+  def decodeTokensBpeStored(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            encoded: org.apache.spark.sql.DataFrame,
+                            idCol: String = "doc_id",
+                            idsCol: String = "ids"):
+      org.apache.spark.sql.DataFrame = {
+    val toks = encoded
+      .select(col(idCol),
+        posexplode(split(col(idsCol), ",")).as(Seq("pos", "sid")))
+      .select(col(idCol), col("pos"), col("sid").cast("long").as("id"))
+      .join(org.apache.spark.sql.functions.broadcast(
+        spark.read.parquet(s"$path/vocab")), Seq("id"), "left")
+      .groupBy(idCol)
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"),
+          coalesce(col("token"), lit("")).as("tok")))),
+        x => x.getField("tok")).as("toks"))
+    if (tokenizerIsByteLevel(spark, path))
+      toks.select(col(idCol), bpeDecodeBytes(col("toks")).as("text"))
+    else
+      toks.select(col(idCol), array_join(col("toks"), " ").as("text"))
+  }
+
   /** Linear text-classifier inference (fastText/CCNet-style quality
     * scoring): hashed bag-of-words features against a weights table →
     * per-doc logit and sigmoid probability. The hashing trick bounds
