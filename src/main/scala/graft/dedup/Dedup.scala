@@ -361,6 +361,18 @@ object Dedup {
     // otherwise grows the logical plan exponentially with the round count
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")).localCheckpoint()
+    // checkpoint CADENCE, not every round: a localCheckpoint is an
+    // extra materialization job + block write per round, and the
+    // common tiny-clique graph converges before the first cadence
+    // point ever fires. Letting the plan stay lazy for up to
+    // CkptEvery-1 rounds re-runs at most two rounds of sliver-sized
+    // joins from the last checkpoint (bounded plan growth), which is
+    // cheaper than materializing every round. The PREVIOUS checkpoint
+    // is only unpersisted after the next one is materialized — a
+    // localCheckpoint truncates lineage, so its blocks must outlive
+    // every lazy plan built on them.
+    val CkptEvery = 3
+    var lastCkpt = labels
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -384,7 +396,7 @@ object Dedup {
       // the jump: the self-join's two sides share the aggregate's
       // shuffle (exchange reuse), so the jump costs one extra in-round
       // join, not an extra materialization job per round.
-      val next = (if (i < 2) pulled
+      val stepped = if (i < 2) pulled
       else {
         val lm = pulled.withColumnsRenamed(
           Map("doc_id" -> "lbl", "cluster_id" -> "lbl_root"))
@@ -392,13 +404,22 @@ object Dedup {
           .select(pulled("doc_id"),
             coalesce(col("lbl_root"), pulled("cluster_id"))
               .as("cluster_id"))
-      }).localCheckpoint()
+      }
+      val doCkpt = i % CkptEvery == CkptEvery - 1
+      val next = if (doCkpt) stepped.localCheckpoint() else stepped
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
         "doc_id").filter(col("cluster_id") < col("old")).limit(1).count()
-      labels.unpersist()
+      if (doCkpt) { lastCkpt.unpersist(); lastCkpt = next }
       labels = next
       converged = changed == 0L
       i += 1
+    }
+    // the final labels may be lazy (between cadence points): checkpoint
+    // once so the singleton join below and the caller's actions read
+    // materialized blocks instead of replaying the tail rounds
+    if (!(labels eq lastCkpt)) {
+      labels = labels.localCheckpoint()
+      lastCkpt.unpersist()
     }
     edges.unpersist()
     // a silent exit via maxIter would return partially-propagated
