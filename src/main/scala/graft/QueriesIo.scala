@@ -262,6 +262,44 @@ private[graft] object QueriesIo {
       .select(col("media_id"), col("frame_no"),
         decode(col("frame"), "UTF-8").as("chunk"))
 
+  /** A canonical 44-byte PCM WAV header with STREAMING (0xFFFFFFFF)
+    * size fields — mono, 8-bit, 8 kHz, blockAlign 1 — so one binary
+    * literal heads every row's payload and the data section is the
+    * document's own UTF-8 bytes. blockAlign 1 makes the codec's
+    * 32-sample frames exactly 32-byte text chunks, which a SQL oracle
+    * replays with substr arithmetic (the [[mediaChunks]] trick, now
+    * through a real RIFF parser).
+    */
+  private val WavStreamHeader: Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(-1) // 0xFFFFFFFF
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(1)       // PCM, mono
+    b.putInt(8000).putInt(8000)     // sample rate, byte rate
+    b.putShort(1).putShort(8)       // blockAlign, bits/sample
+    b.put("data".getBytes("US-ASCII")).putInt(-1)
+    b.array()
+  }
+
+  /** WAV-PCM framing through the real RIFF codec: every document's
+    * text becomes the data section of a streaming-size PCM WAV, the
+    * codec parses the header and frames the samples (32-sample hop,
+    * first 4 frames, keep every 2nd) — same sampled-frame shape and
+    * oracle arithmetic as [[mediaChunks]], but the bytes travel
+    * through an actual audio container parse, not a byte splitter.
+    */
+  def wavFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFrames(
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long").as("media_id"),
+          concat(lit(WavStreamHeader),
+            encode(col("text"), "UTF-8")).as("payload")),
+      Multimodal.wavPcmFrameCodec(32), maxFrames = 4, step = 2)
+      .select(col("media_id"), col("frame_no"),
+        decode(col("frame"), "UTF-8").as("chunk"))
+
   /** Salted skew-join: events fact × user dimension, 8 salts; result
     * must equal the plain join (salting only reshapes the shuffle).
     */
@@ -300,6 +338,7 @@ private[graft] object QueriesIo {
     "q_media_meta" -> (mediaMeta _),
     "q_frame_sample" -> (frameSample _),
     "q_media_chunks" -> (mediaChunks _),
+    "q_wav_frames" -> (wavFrames _),
     "q_salted_join" -> (saltedJoin _),
     "q_stream_join" -> (streamStreamJoin _),
     "q_zorder_layout" -> (zorderLayout _),
@@ -411,6 +450,14 @@ private[graft] object QueriesIo {
     // replays the 32-byte chunking codec + step-2 sampling of the
     // first 4 frames with substr arithmetic (ASCII text: byte = char)
     "q_media_chunks" ->
+      """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_no,
+           substr(text, f * 32 + 1, 32) AS chunk
+         FROM documents
+         CROSS JOIN (SELECT unnest([0, 2]) AS f)
+         WHERE text IS NOT NULL AND length(text) > f * 32""",
+    // same substr replay: the 44-byte streaming WAV header is parsed
+    // away by the codec and the data section IS the text bytes
+    "q_wav_frames" ->
       """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_no,
            substr(text, f * 32 + 1, 32) AS chunk
          FROM documents

@@ -327,6 +327,63 @@ object Multimodal {
     }
   }
 
+  /** Real audio codec through the seam: RIFF/WAVE PCM, parsed from
+    * the public chunk layout (`"RIFF" sz "WAVE"` then `id sz body`
+    * chunks, all sizes little-endian, chunks word-aligned so odd
+    * sizes pad one byte). The `fmt ` chunk must declare PCM
+    * (audioFormat 1); its blockAlign (bytes per sample-frame across
+    * channels) sets the hop, and the `data` section is framed into
+    * `samplesPerFrame`-sample windows — the fixed-duration framing
+    * every audio feature extractor starts from. The trailing partial
+    * window is kept (standard hop behavior). A `data` size of
+    * 0xFFFFFFFF, or one that overruns the payload, means "rest of
+    * payload" (the streaming-writer convention). Anything else —
+    * truncated header, non-PCM, compressed, missing fmt — yields no
+    * frames, per the [[FrameCodec]] contract.
+    */
+  def wavPcmFrameCodec(samplesPerFrame: Int): FrameCodec = {
+    require(samplesPerFrame >= 1,
+      s"samplesPerFrame must be >= 1: $samplesPerFrame")
+    (p, maxFrames) => {
+      def le32(o: Int): Long = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+      def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+      def id4(o: Int): String = new String(p, o, 4, "US-ASCII")
+      if (p == null || maxFrames < 1 || p.length < 12 ||
+        id4(0) != "RIFF" || id4(8) != "WAVE") Nil
+      else {
+        var off = 12
+        var blockAlign = -1
+        var frames: Seq[Array[Byte]] = Nil
+        var done = false
+        while (!done && off + 8 <= p.length) {
+          val sz = le32(off + 4)
+          val body = off + 8
+          id4(off) match {
+            case "fmt " if body + 16 <= p.length && le16(body) == 1 =>
+              blockAlign = le16(body + 12)
+            case "fmt " => done = true // truncated or non-PCM
+            case "data" =>
+              done = true
+              if (blockAlign >= 1) {
+                val end =
+                  if (sz == 0xffffffffL || body + sz > p.length) p.length
+                  else body + sz.toInt
+                frames = p.slice(body, end)
+                  .grouped(samplesPerFrame * blockAlign)
+                  .take(maxFrames).toSeq
+              }
+            case _ => () // LIST/fact/cue/... chunks skip
+          }
+          // an unknown-size chunk that is NOT data cannot be skipped
+          if (!done && sz == 0xffffffffL) done = true
+          else if (!done) off = body + sz.toInt + (sz.toInt & 1)
+        }
+        frames
+      }
+    }
+  }
+
   /** Library chunking codec: fixed-size byte frames of the payload —
     * blob sharding for transport/storage, and the oracle-gateable
     * [[FrameCodec]] (text payloads chunk to byte-exact substrings, so
