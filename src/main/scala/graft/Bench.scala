@@ -38,13 +38,19 @@ object Bench {
     val (p1, p2) = (pass(), pass())
     // a crashed query must surface as an ERROR, not a fake timing — a
     // round where N queries crash at analysis would otherwise report a
-    // plausible (and meaninglessly small) total.
+    // plausible (and meaninglessly small) total. Errored queries are
+    // EXCLUDED from the per-query map and every total: value/batch_sec
+    // cover successful queries only, n_queries counts attempts, and
+    // the errors map carries the failures.
     val errors = p1.zip(p2).collect {
       case ((n, _, e1), (_, _, e2)) if e1.orElse(e2).isDefined =>
         n -> e1.orElse(e2).get
     }
-    val results = p1.zip(p2).map { case ((n, a, _), (_, b, _)) =>
-      n -> math.min(a, b) }
+    val failed = errors.map(_._1).toSet
+    val results = p1.zip(p2).collect {
+      case ((n, a, _), (_, b, _)) if !failed.contains(n) =>
+        n -> math.min(a, b) }
+    val nAttempted = p1.size
     val loadEnd = loadAvg()
     // Locale.ROOT: f"$v%.3f" uses the default locale, and a
     // comma-decimal locale (de_DE, fr_FR, ...) would emit "1,234" —
@@ -74,7 +80,7 @@ object Bench {
       } + "\""
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    val line = s"""{"queries":$qs,"n_queries":${results.size},""" +
+    val line = s"""{"queries":$qs,"n_queries":$nAttempted,""" +
       s""""batch_sec":${fmt(total - stream.map(_._2).sum)},""" +
       s""""stream_sec":${fmt(stream.map(_._2).sum)},""" +
       s""""n_stream":${stream.size},""" +
@@ -95,7 +101,7 @@ object Bench {
           s"${sys.props("user.dir")}/bench_local.json"))
       java.nio.file.Files.write(p,
         (s"""{"metric":"total","value":$total,"unit":"sec",""" +
-          s""""n_queries":${results.size},"sf":"$sfDir",""" +
+          s""""n_queries":$nAttempted,"sf":"$sfDir",""" +
           s""""batch_sec":${total - stream.map(_._2).sum},""" +
           s""""stream_sec":${stream.map(_._2).sum},""" +
           s""""n_stream":${stream.size},""" +

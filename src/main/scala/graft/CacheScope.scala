@@ -45,6 +45,14 @@ object CacheScope {
   private val held = scala.collection.mutable.Map.empty[
     SparkSession, scala.collection.mutable.ListBuffer[(String, DataFrame)]]
 
+  // sessions that already carry the eviction listener. Tracked apart
+  // from `held` — release() clears a session's held entry, and the
+  // next retain would otherwise re-install a fresh listener per
+  // retain/release cycle (unbounded ListenerBus growth in a
+  // long-lived driver). One listener per session, ever.
+  private val listening =
+    scala.collection.mutable.Set.empty[SparkSession]
+
   /** Persist `df` (MEMORY_AND_DISK, the `Dataset.cache()` level) and
     * register it under `tag` for its session. Returns `df` for inline
     * use at the existing `.cache()` call sites.
@@ -61,15 +69,17 @@ object CacheScope {
     df.persist(level)
     val s = df.sparkSession
     held.synchronized {
-      held.getOrElseUpdate(s, {
+      if (listening.add(s))
         s.sparkContext.addSparkListener(
           new org.apache.spark.scheduler.SparkListener {
             override def onApplicationEnd(
                 e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
-                : Unit = held.synchronized { held.remove(s); () }
+                : Unit = held.synchronized {
+              held.remove(s); listening.remove(s); ()
+            }
           })
-        scala.collection.mutable.ListBuffer.empty
-      }) += (tag -> df)
+      held.getOrElseUpdate(s,
+        scala.collection.mutable.ListBuffer.empty) += (tag -> df)
     }
     df
   }

@@ -764,14 +764,19 @@ object TextAnalysis {
       if (tokenizerIsByteLevel(spark, path))
         bpeSubwordsBytes(col(textCol).cast("string"), merges)
       else bpeSubwords(col(textCol).cast("string"), merges)
+    // posexplode_OUTER + null-skipping collect: a document with empty
+    // or null text must survive encode as an empty id sequence (and
+    // decode back to the empty string) — the inner explode would drop
+    // the row entirely and break the decode(encode(x)) identity
     docs
-      .select(col(idCol), posexplode(sub).as(Seq("pos", "token")))
+      .select(col(idCol), posexplode_outer(sub).as(Seq("pos", "token")))
       .join(org.apache.spark.sql.functions.broadcast(
         spark.read.parquet(s"$path/vocab")), Seq("token"), "left")
       .withColumn("id", coalesce(col("id"), lit(-1L)))
       .groupBy(idCol)
       .agg(array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("id")))),
+        array_sort(collect_list(when(col("pos").isNotNull,
+          struct(col("pos"), col("id"))))),
         x => x.getField("id").cast("string")), ",").as("ids"))
   }
 
@@ -790,7 +795,11 @@ object TextAnalysis {
     val toks = encoded
       .select(col(idCol),
         posexplode(split(col(idsCol), ",")).as(Seq("pos", "sid")))
-      .select(col(idCol), col("pos"), col("sid").cast("long").as("id"))
+      // an empty ids string (zero-token doc) splits to one "" element;
+      // guard the cast (ANSI would throw) — the null id then joins to
+      // no vocab row and decodes to the empty symbol
+      .select(col(idCol), col("pos"),
+        when(col("sid") =!= "", col("sid").cast("long")).as("id"))
       .join(org.apache.spark.sql.functions.broadcast(
         spark.read.parquet(s"$path/vocab")), Seq("id"), "left")
       .groupBy(idCol)

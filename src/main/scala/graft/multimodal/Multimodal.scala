@@ -352,32 +352,42 @@ object Multimodal {
       if (p == null || maxFrames < 1 || p.length < 12 ||
         id4(0) != "RIFF" || id4(8) != "WAVE") Nil
       else {
-        var off = 12
+        // ALL offset arithmetic in Long: chunk sizes are unsigned
+        // 32-bit, and a malformed/adversarial size near 2^32 must
+        // reject as Nil, not wrap to a negative/steady offset and
+        // spin the task forever or index out of bounds
+        var off = 12L
         var blockAlign = -1
         var frames: Seq[Array[Byte]] = Nil
         var done = false
         while (!done && off + 8 <= p.length) {
-          val sz = le32(off + 4)
+          val sz = le32(off.toInt + 4)
           val body = off + 8
-          id4(off) match {
-            case "fmt " if body + 16 <= p.length && le16(body) == 1 =>
-              blockAlign = le16(body + 12)
+          id4(off.toInt) match {
+            case "fmt " if body + 16 <= p.length &&
+                le16(body.toInt) == 1 =>
+              blockAlign = le16(body.toInt + 12)
             case "fmt " => done = true // truncated or non-PCM
             case "data" =>
               done = true
               if (blockAlign >= 1) {
                 val end =
-                  if (sz == 0xffffffffL || body + sz > p.length) p.length
-                  else body + sz.toInt
-                frames = p.slice(body, end)
+                  if (sz == 0xffffffffL || body + sz > p.length)
+                    p.length
+                  else (body + sz).toInt
+                frames = p.slice(body.toInt, end)
                   .grouped(samplesPerFrame * blockAlign)
                   .take(maxFrames).toSeq
               }
             case _ => () // LIST/fact/cue/... chunks skip
           }
-          // an unknown-size chunk that is NOT data cannot be skipped
-          if (!done && sz == 0xffffffffL) done = true
-          else if (!done) off = body + sz.toInt + (sz.toInt & 1)
+          if (!done) {
+            val next = body + sz + (sz & 1L)
+            // a non-data chunk that extends past the payload (or the
+            // 0xFFFFFFFF streaming sentinel) cannot be skipped over —
+            // no data section is reachable, so the payload rejects
+            if (next > p.length) done = true else off = next
+          }
         }
         frames
       }

@@ -241,6 +241,10 @@ object Curation {
                           orderCols: Seq[org.apache.spark.sql.Column],
                           extra: Seq[(String, org.apache.spark.sql.Column)]
                             = Seq.empty): DataFrame = {
+    // every tokenCumsum consumer (packSequences, tokenBudgetMix)
+    // inherits the clobber guard for the columns this helper writes
+    requireNoClash(docs,
+      Seq("n_tokens", "cum") ++ extra.map(_._1), "tokenCumsum")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(sourceCol).orderBy(orderCols: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -254,10 +258,12 @@ object Curation {
   def packSequences(docs: DataFrame, tokenBudget: Int,
                     sourceCol: String = "source",
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame =
+                    textCol: String = "text"): DataFrame = {
+    requireNoClash(docs, Seq("seq_no"), "packSequences")
     tokenCumsum(docs, sourceCol, idCol, textCol, Seq(col(idCol)))
       .select(col(idCol), col(sourceCol), col("n_tokens"),
         expr(s"(cum - n_tokens) div $tokenBudget").as("seq_no"))
+  }
 
   /** Deterministic global training-order shuffle: every document gets
     * a `(shard, pos)` — shard by md5-hash modulo, position by hash

@@ -40,12 +40,24 @@ class Bm25IndexSpec extends SparkSpec {
     val served = TextAnalysis.bm25TopKIndexed(spark, idx, queries, 3)
     served.collect()
     val plan = served.queryExecution.executedPlan.toString
-    assert("PartitionFilters: \\[[^\\]]*pb".r.findFirstIn(plan).isDefined,
+    val filter = "PartitionFilters: \\[[^\\]]*pb[^\\]]*\\]".r
+      .findFirstIn(plan)
+    assert(filter.isDefined,
       s"expected a static pb partition filter on the postings scan:\n$plan")
-    // and the filter is the query terms' buckets, not everything
-    val nBuckets = Seq("hash", "join", "window", "sort", "sort")
-      .map(w => TextAnalysis.hash60Jvm(w) % 16).distinct.size
-    assert(nBuckets <= 5)
+    // the filter must list EXACTLY the query terms' buckets — not all
+    // 16, and not some wrong hash's buckets
+    val want = Seq("hash", "join", "window", "sort")
+      .map(w => TextAnalysis.hash60Jvm(w) % 16).distinct.sorted
+    // parse the IN-list literals only (pb#<exprId> would pollute a
+    // bare digit scan): "pb#123L IN (3,7,12)" → 3,7,12
+    val inList = "pb#\\d+L? IN(?:SET)? ?\\(([^)]*)\\)".r
+      .findFirstMatchIn(filter.get).map(_.group(1))
+      .getOrElse(fail(s"no IN-list in partition filter: ${filter.get}"))
+    val got = "\\d+".r.findAllIn(inList).map(_.toLong).toSeq
+      .distinct.sorted
+    assert(got === want,
+      s"pb filter literals ${got.mkString(",")} != expected buckets " +
+        s"${want.mkString(",")} in: ${filter.get}")
   }
 
   test("hash60Jvm matches the Column expression") {

@@ -40,6 +40,22 @@ class TokenizerStoreSpec extends SparkSpec {
       "out-of-vocabulary subwords must encode as -1")
   }
 
+  test("empty and null text survive encode as empty id sequences " +
+    "(no dropped rows)") {
+    val store = Files.createTempDirectory("tok_store_e").toString
+    val train = Seq((1L, "the then")).toDF("doc_id", "text")
+    TextAnalysis.saveTokenizer(train, merges, store, byteLevel = true)
+    val docs = Seq((1L, "the"), (2L, ""), (3L, null))
+      .toDF("doc_id", "text")
+    val enc = TextAnalysis.encodeTokensBpeStored(spark, store, docs)
+    assert(enc.count() === 3, "encode must not drop empty/null docs")
+    val dec = TextAnalysis.decodeTokensBpeStored(spark, store, enc)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dec(1L) === "the")
+    assert(dec(2L) === "", "empty text round-trips to empty")
+    assert(dec(3L) === "", "null text normalizes to empty, not a lost row")
+  }
+
   test("byte-level store round-trips text byte-exactly, multi-byte " +
     "UTF-8 included") {
     val store = Files.createTempDirectory("tok_store_b").toString

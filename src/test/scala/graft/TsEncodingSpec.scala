@@ -28,21 +28,30 @@ class TsEncodingSpec extends SparkSpec {
   /** Write a tiny events-shaped table at `$dir/events.parquet` (a
     * plain FILE, like the shipped testdata, so the streaming staging
     * copy works) with ts in the requested physical encoding.
+    *
+    * The NanosLong fixture is a GENUINE `TIMESTAMP(NANOS)` file
+    * written through parquet-mr (Spark cannot write nanos itself) —
+    * a plain int64 column would read fine without the legacy
+    * `nanosAsLong` conf, silently un-testing the exact encoding that
+    * zeroed round 8's gates.
     */
   private def writeFixture(enc: TsEncoding): String = {
     import spark.implicits._
+    val dir = Files.createTempDirectory(s"graft_tsenc_$enc").toString
+    if (enc == TsEncoding.NanosLong) {
+      writeNanosFile(s"$dir/events.parquet")
+      return dir
+    }
     val base = instantsUs.zipWithIndex.map { case (us, i) =>
       (i.toLong, us, i.toLong % 2, "click", 1.0, "{}")
     }.toDF("event_id", "us", "user_id", "event_type", "value", "props")
     val tsCol = enc match {
-      case TsEncoding.NanosLong => (col("us") * 1000L).as("ts")
       case TsEncoding.MicrosNtz =>
         timestamp_micros(col("us")).cast(TimestampNTZType).as("ts")
-      case TsEncoding.MicrosUtc => timestamp_micros(col("us")).as("ts")
+      case _ => timestamp_micros(col("us")).as("ts")
     }
     val df = base.select(col("event_id"), tsCol, col("user_id"),
       col("event_type"), col("value"), col("props"))
-    val dir = Files.createTempDirectory(s"graft_tsenc_$enc").toString
     val tmp = s"$dir/_part"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = new java.io.File(tmp).listFiles()
@@ -50,6 +59,48 @@ class TsEncodingSpec extends SparkSpec {
     Files.move(part.toPath,
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     dir
+  }
+
+  /** Real TIMESTAMP(NANOS, isAdjustedToUTC=false) events file via the
+    * parquet-mr example API — the encoding the pre-r8 harness
+    * shipped, which Spark only reads under the legacy nanosAsLong
+    * conf.
+    */
+  private def writeNanosFile(path: String): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType,
+      PrimitiveType, Type, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.ParquetFileWriter
+    val schema: MessageType = Types.buildMessage()
+      .addField(Types.optional(INT64).named("event_id"))
+      .addField(Types.required(INT64)
+        .as(LogicalTypeAnnotation.timestampType(false,
+          LogicalTypeAnnotation.TimeUnit.NANOS)).named("ts"))
+      .addField(Types.optional(INT64).named("user_id"))
+      .addField(Types.optional(BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("event_type"))
+      .addField(Types.optional(DOUBLE).named("value"))
+      .addField(Types.optional(BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("props"))
+      .named("events")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(path))
+      .withConf(conf).withType(schema)
+      .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+      .build()
+    val f = new SimpleGroupFactory(schema)
+    try instantsUs.zipWithIndex.foreach { case (us, i) =>
+      writer.write(f.newGroup()
+        .append("event_id", i.toLong)
+        .append("ts", us * 1000L)
+        .append("user_id", i.toLong % 2)
+        .append("event_type", "click")
+        .append("value", 1.0)
+        .append("props", "{}"))
+    } finally writer.close()
   }
 
   private def expected: Seq[java.sql.Timestamp] =

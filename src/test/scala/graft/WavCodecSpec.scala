@@ -70,6 +70,25 @@ class WavCodecSpec extends SparkSpec {
     assert(frames.map(_.toSeq) === Seq((0 until 4).map(_.toByte).toSeq))
   }
 
+  test("adversarial chunk sizes reject as Nil instead of spinning or " +
+    "throwing") {
+    // a skip-chunk whose LE size is 0xFFFFFFF8 once made the offset
+    // wrap to itself (infinite loop); 0x80000000 drove it negative
+    // (ArrayIndexOutOfBounds). Both must reject within the contract.
+    def withBadChunk(size: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(12 + 8 + 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(-1)
+      b.put("WAVE".getBytes("US-ASCII"))
+      b.put("LIST".getBytes("US-ASCII")).putInt(size)
+      b.put("data".getBytes("US-ASCII")).putInt(-1)
+      b.array()
+    }
+    assert(codec(withBadChunk(0xFFFFFFF8), 10) === Nil)
+    assert(codec(withBadChunk(0x80000000), 10) === Nil)
+    assert(codec(withBadChunk(0xFFFFFFFF), 10) === Nil)
+  }
+
   test("reject paths all yield Nil: garbage, non-PCM, truncated, no data") {
     val data = (0 until 4).map(_.toByte).toArray
     assert(codec("not a wav at all".getBytes, 10) === Nil)
