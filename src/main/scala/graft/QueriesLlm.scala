@@ -406,6 +406,25 @@ private[graft] object QueriesLlm {
     TextAnalysis.bm25TopKIndexed(s, idx, q, 10)
   }
 
+  /** Incremental-index BM25: build the store from HALF the corpus,
+    * append the other half via [[TextAnalysis.updateBm25Index]]
+    * (parquet appends into the affected postings buckets + a stats
+    * fold — no rebuild), then serve the same query fixture. Oracle:
+    * identical to `q_bm25_topk` over the WHOLE corpus — an index
+    * maintained incrementally must be indistinguishable from one
+    * built in a single pass.
+    */
+  def bm25UpdateQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bm25_upd_").toString
+    TextAnalysis.buildBm25Index(docs.filter(col("doc_id") % 2 === 0), idx)
+    TextAnalysis.updateBm25Index(docs.filter(col("doc_id") % 2 === 1), idx)
+    val q = Bm25QueryFixture.toDF("query_id", "qtext")
+    TextAnalysis.bm25TopKIndexed(s, idx, q, 10)
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
     * top-10 and the brute-force cosine top-10 (doc i ↔ embedding i;
     * query ids 0-2 carry both a query string and a query vector).
@@ -684,6 +703,7 @@ private[graft] object QueriesLlm {
     "q_intradoc_dedup" -> (intraDocDedupQ _),
     "q_bm25_topk" -> (bm25Q _),
     "q_bm25_indexed" -> (bm25IndexedQ _),
+    "q_bm25_update" -> (bm25UpdateQ _),
     "q_hybrid_rrf" -> (hybridRrfQ _),
     "q_shuffle_shards" -> (shuffleShardsQ _),
     "q_stream_neardup" -> (streamNearDupQ _),
@@ -1154,6 +1174,14 @@ private[graft] object QueriesLlm {
           FROM rk WHERE rank <= 10""",
     // the indexed path must equal the scan path bit-for-bit
     "q_bm25_indexed" ->
+      s"""WITH $Bm25Ctes
+          SELECT query_id, doc_id,
+            round(CAST(s AS DOUBLE) / 1000000.0, 6) AS score,
+            CAST(rank AS BIGINT) AS rank
+          FROM rk WHERE rank <= 10""",
+    // an incrementally-maintained index must be indistinguishable
+    // from a single-pass build over the whole corpus
+    "q_bm25_update" ->
       s"""WITH $Bm25Ctes
           SELECT query_id, doc_id,
             round(CAST(s AS DOUBLE) / 1000000.0, 6) AS score,

@@ -522,6 +522,64 @@ object TextAnalysis {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Incremental maintenance of a [[buildBm25Index]] store: append a
+    * batch of NEW documents without touching the indexed corpus.
+    * Postings and doclens are parquet APPENDS (partitioned postings
+    * just gain files in the affected `pb` buckets — no rewrite of
+    * existing data, the property that makes a stored index viable
+    * when the corpus is 100 TB and the batch is a sliver); the 1-row
+    * stats table folds the batch's (count, Σdl) in and is the only
+    * overwrite. df/tf need no maintenance at all — they are computed
+    * at serve time from the postings sliver, so appended postings are
+    * visible to the next query automatically.
+    *
+    * The batch must be genuinely new documents: a doc_id already in
+    * the index would double its postings and silently corrupt tf/df,
+    * so the overlap is checked (one semi-join against doclens — a
+    * doc-count-sized table, not the corpus) and the call fails loudly
+    * with the remediation.
+    */
+  def updateBm25Index(docs: org.apache.spark.sql.DataFrame, path: String,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    val stats0 = spark.read.parquet(s"$path/stats").head()
+    val pbuckets = stats0.getAs[Long]("pbuckets")
+    val doclens = spark.read.parquet(s"$path/doclens")
+    val dup = docs.select(col(idCol).as("doc_id"))
+      .join(doclens, Seq("doc_id"), "left_semi").limit(1).count()
+    require(dup == 0L,
+      "updateBm25Index batch contains doc_ids already indexed - " +
+        "re-indexing a document requires a rebuild (or delete support); " +
+        "filter the batch to new ids (left_anti against doclens)")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol).cast("string")).as("w"))
+    val dl = toks.select(col("doc_id"),
+      size(col("w")).cast("long").as("dl"))
+    toks.select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .withColumn("pb", pmod(hash60(col("word")), lit(pbuckets)))
+      .write.mode("append").partitionBy("pb").parquet(s"$path/postings")
+    dl.write.mode("append").parquet(s"$path/doclens")
+    val batch = dl.agg(count(lit(1)).as("dn"),
+      coalesce(sum(col("dl")), lit(0L)).as("dsdl")).head()
+    val statsDf = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        stats0.getAs[Long]("n") + batch.getAs[Long]("dn"),
+        stats0.getAs[Long]("sdl") + batch.getAs[Long]("dsdl"),
+        pbuckets)),
+      spark.read.parquet(s"$path/stats").schema)
+    // write-then-move, not overwrite-in-place: an overwrite of the
+    // table being read deletes the files under its own scan
+    val tmp = s"$path/_stats_new"
+    statsDf.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$path/stats"))
+  }
+
   /** BM25 top-`k` served from a [[buildBm25Index]] store: no corpus
     * scan, no tokenization — postings pruned to the query terms'
     * hash buckets (partition pruning) then to the terms themselves

@@ -67,6 +67,29 @@ class Bm25IndexSpec extends SparkSpec {
     assert(viaCol.toSeq === words.map(TextAnalysis.hash60Jvm))
   }
 
+  test("incremental update equals a single-pass build; duplicate " +
+    "batches refuse; empty batches are no-ops") {
+    import org.apache.spark.sql.functions.col
+    val full = Files.createTempDirectory("bm25idx_f").toString
+    TextAnalysis.buildBm25Index(corpus, full, pbuckets = 16)
+    val inc = Files.createTempDirectory("bm25idx_i").toString
+    TextAnalysis.buildBm25Index(
+      corpus.filter(col("doc_id") <= 2), inc, pbuckets = 16)
+    TextAnalysis.updateBm25Index(corpus.filter(col("doc_id") > 2), inc)
+    val a = TextAnalysis.bm25TopKIndexed(spark, full, queries, 3)
+    val b = TextAnalysis.bm25TopKIndexed(spark, inc, queries, 3)
+    assert(b.exceptAll(a).count() === 0)
+    assert(a.exceptAll(b).count() === 0)
+    // re-appending an already-indexed doc would corrupt tf/df
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.updateBm25Index(corpus.filter(col("doc_id") === 1), inc))
+    assert(e.getMessage.contains("already indexed"))
+    // empty batch: stats unchanged, serving unchanged
+    TextAnalysis.updateBm25Index(corpus.filter(col("doc_id") > 99), inc)
+    val c = TextAnalysis.bm25TopKIndexed(spark, inc, queries, 3)
+    assert(c.exceptAll(a).count() === 0)
+  }
+
   test("an index built with one pbuckets serves under another stats row") {
     // pbuckets travels in stats/ — serving re-derives pb with the
     // STORED count, so a rebuilt index with a different bucket count
