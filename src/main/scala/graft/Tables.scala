@@ -34,19 +34,29 @@ private[graft] object Tables {
 
   /** Probe the footer schema of an events-shaped parquet file and
     * classify its `ts` encoding. Schema inference only reads footers —
-    * no row data. The legacy nanos conf is set first so a
-    * TIMESTAMP(NANOS) file infers as LongType instead of throwing.
+    * no row data — but at production scale a path holds many files and
+    * the listing+footer pass is not free, so the result is memoized
+    * per path (the encoding is a property of the FILES, not of the
+    * session; a path whose data is rewritten with a different encoding
+    * mid-JVM would need a restart, which is the standard schema-cache
+    * trade every table catalog makes). The legacy nanos conf is set
+    * first so a TIMESTAMP(NANOS) file infers as LongType instead of
+    * throwing.
     */
+  private val encodingCache =
+    new java.util.concurrent.ConcurrentHashMap[String, TsEncoding]()
+
   def tsEncoding(s: SparkSession, path: String): TsEncoding = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(path).schema("ts").dataType match {
-      case LongType         => TsEncoding.NanosLong
-      case TimestampNTZType => TsEncoding.MicrosNtz
-      case TimestampType    => TsEncoding.MicrosUtc
-      case other => throw new IllegalStateException(
-        s"events ts column has unsupported type $other in $path - " +
-          "expected long (nanos), TIMESTAMP_NTZ or TIMESTAMP")
-    }
+    encodingCache.computeIfAbsent(path,
+      _ => s.read.parquet(path).schema("ts").dataType match {
+        case LongType         => TsEncoding.NanosLong
+        case TimestampNTZType => TsEncoding.MicrosNtz
+        case TimestampType    => TsEncoding.MicrosUtc
+        case other => throw new IllegalStateException(
+          s"events ts column has unsupported type $other in $path - " +
+            "expected long (nanos), TIMESTAMP_NTZ or TIMESTAMP")
+      })
   }
 
   /** The raw (as-read) type `ts` carries for a given encoding — what a
