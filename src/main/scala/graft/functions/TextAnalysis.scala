@@ -505,21 +505,45 @@ object TextAnalysis {
     * The tokenization here is the [[bm25TopK]] tokenization; tf/df
     * computed from these tables are bit-identical to the scan path.
     */
+  // the ONE tokenize→postings/doclens pipeline both the single-pass
+  // build and the incremental update write through — the index's
+  // bit-identical-tokenization invariant must have a single source
+  private def bm25Toks(docs: org.apache.spark.sql.DataFrame,
+                       idCol: String, textCol: String):
+      org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol).cast("string")).as("w"))
+
+  private def bm25PostingsOf(toks: org.apache.spark.sql.DataFrame,
+                             pbuckets: Long):
+      org.apache.spark.sql.DataFrame =
+    toks.select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .withColumn("pb", pmod(hash60(col("word")), lit(pbuckets)))
+
+  private def bm25DoclensOf(toks: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame =
+    toks.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+
   def buildBm25Index(docs: org.apache.spark.sql.DataFrame, path: String,
                      pbuckets: Int = 64, idCol: String = "doc_id",
                      textCol: String = "text"): Unit = {
     require(pbuckets >= 1, s"pbuckets must be >= 1, got $pbuckets")
-    val toks = docs.select(col(idCol).as("doc_id"),
-      tokens(col(textCol).cast("string")).as("w"))
-    val dl = toks.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
-    toks.select(col("doc_id"), explode(col("w")).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      .withColumn("pb", pmod(hash60(col("word")), lit(pbuckets.toLong)))
-      .write.mode("overwrite").partitionBy("pb").parquet(s"$path/postings")
-    dl.write.mode("overwrite").parquet(s"$path/doclens")
-    dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
-      .withColumn("pbuckets", lit(pbuckets.toLong))
-      .write.mode("overwrite").parquet(s"$path/stats")
+    // persist the tokenized batch: postings, doclens and stats each
+    // action it, and an expensive (or nondeterministic) upstream plan
+    // must not run three times or let the three tables disagree
+    val toks = bm25Toks(docs, idCol, textCol).persist()
+    try {
+      bm25PostingsOf(toks, pbuckets.toLong)
+        .write.mode("overwrite").partitionBy("pb")
+        .parquet(s"$path/postings")
+      val dl = bm25DoclensOf(toks)
+      dl.write.mode("overwrite").parquet(s"$path/doclens")
+      dl.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("dl")), lit(0L)).as("sdl"))
+        .withColumn("pbuckets", lit(pbuckets.toLong))
+        .write.mode("overwrite").parquet(s"$path/stats")
+    } finally { toks.unpersist(); () }
   }
 
   /** Incremental maintenance of a [[buildBm25Index]] store: append a
@@ -533,11 +557,22 @@ object TextAnalysis {
     * at serve time from the postings sliver, so appended postings are
     * visible to the next query automatically.
     *
-    * The batch must be genuinely new documents: a doc_id already in
-    * the index would double its postings and silently corrupt tf/df,
-    * so the overlap is checked (one semi-join against doclens — a
-    * doc-count-sized table, not the corpus) and the call fails loudly
-    * with the remediation.
+    * The batch must be genuinely new, distinct documents: a doc_id
+    * already in the index — or repeated WITHIN the batch — would
+    * double its postings and silently corrupt tf/df, so both overlaps
+    * are checked (one aggregate over the batch, one semi-join against
+    * doclens — a doc-count-sized table, not the corpus) and the call
+    * fails loudly with the remediation.
+    *
+    * Crash consistency (write order is deliberate): doclens appends
+    * FIRST — an orphan doclens row (crash before the postings append)
+    * never reaches a score, because a doc with no postings never
+    * enters the postings sliver. A crash after postings but before
+    * the stats fold leaves serving on slightly-stale corpus scalars
+    * (bounded global shift, no structural corruption), and the next
+    * update attempt for the same batch REFUSES via the overlap guard
+    * — loud, with rebuild as the remediation — rather than doubling
+    * anything.
     */
   def updateBm25Index(docs: org.apache.spark.sql.DataFrame, path: String,
                       idCol: String = "doc_id",
@@ -545,39 +580,38 @@ object TextAnalysis {
     val spark = docs.sparkSession
     val stats0 = spark.read.parquet(s"$path/stats").head()
     val pbuckets = stats0.getAs[Long]("pbuckets")
-    val doclens = spark.read.parquet(s"$path/doclens")
-    val dup = docs.select(col(idCol).as("doc_id"))
-      .join(doclens, Seq("doc_id"), "left_semi").limit(1).count()
-    require(dup == 0L,
-      "updateBm25Index batch contains doc_ids already indexed - " +
-        "re-indexing a document requires a rebuild (or delete support); " +
-        "filter the batch to new ids (left_anti against doclens)")
-    val toks = docs.select(col(idCol).as("doc_id"),
-      tokens(col(textCol).cast("string")).as("w"))
-    val dl = toks.select(col("doc_id"),
-      size(col("w")).cast("long").as("dl"))
-    toks.select(col("doc_id"), explode(col("w")).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      .withColumn("pb", pmod(hash60(col("word")), lit(pbuckets)))
-      .write.mode("append").partitionBy("pb").parquet(s"$path/postings")
-    dl.write.mode("append").parquet(s"$path/doclens")
-    val batch = dl.agg(count(lit(1)).as("dn"),
-      coalesce(sum(col("dl")), lit(0L)).as("dsdl")).head()
-    val statsDf = spark.createDataFrame(
-      java.util.List.of(org.apache.spark.sql.Row(
-        stats0.getAs[Long]("n") + batch.getAs[Long]("dn"),
-        stats0.getAs[Long]("sdl") + batch.getAs[Long]("dsdl"),
-        pbuckets)),
-      spark.read.parquet(s"$path/stats").schema)
-    // write-then-move, not overwrite-in-place: an overwrite of the
-    // table being read deletes the files under its own scan
-    val tmp = s"$path/_stats_new"
-    statsDf.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(s"$path/stats"))
+    val toks = bm25Toks(docs, idCol, textCol).persist()
+    try {
+      val dl = bm25DoclensOf(toks)
+      require(dl.groupBy("doc_id").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).limit(1).count() == 0L,
+        "updateBm25Index batch repeats doc_ids within itself - " +
+          "postings/doclens would double; dropDuplicates the batch " +
+          "on the id first")
+      val dup = dl.select("doc_id")
+        .join(spark.read.parquet(s"$path/doclens"),
+          Seq("doc_id"), "left_semi").limit(1).count()
+      require(dup == 0L,
+        "updateBm25Index batch contains doc_ids already indexed - " +
+          "re-indexing a document requires a rebuild (or delete " +
+          "support); filter the batch to new ids (left_anti against " +
+          "doclens)")
+      dl.write.mode("append").parquet(s"$path/doclens")
+      bm25PostingsOf(toks, pbuckets)
+        .write.mode("append").partitionBy("pb")
+        .parquet(s"$path/postings")
+      val batch = dl.agg(count(lit(1)).as("dn"),
+        coalesce(sum(col("dl")), lit(0L)).as("dsdl")).head()
+      // statsDf is a LocalRelation over driver-held values — it never
+      // scans $path/stats, so a plain overwrite is safe
+      spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          stats0.getAs[Long]("n") + batch.getAs[Long]("dn"),
+          stats0.getAs[Long]("sdl") + batch.getAs[Long]("dsdl"),
+          pbuckets)),
+        spark.read.parquet(s"$path/stats").schema)
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    } finally { toks.unpersist(); () }
   }
 
   /** BM25 top-`k` served from a [[buildBm25Index]] store: no corpus

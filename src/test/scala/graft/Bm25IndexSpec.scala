@@ -84,10 +84,17 @@ class Bm25IndexSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       TextAnalysis.updateBm25Index(corpus.filter(col("doc_id") === 1), inc))
     assert(e.getMessage.contains("already indexed"))
-    // empty batch: stats unchanged, serving unchanged
+    // a doc_id repeated WITHIN the batch would double postings too
+    val e2 = intercept[IllegalArgumentException](
+      TextAnalysis.updateBm25Index(
+        Seq((100L, "dup a"), (100L, "dup b")).toDF("doc_id", "text"), inc))
+    assert(e2.getMessage.contains("within itself"))
+    // empty batch: stats unchanged, serving unchanged (BOTH directions
+    // — a subset result must fail too)
     TextAnalysis.updateBm25Index(corpus.filter(col("doc_id") > 99), inc)
     val c = TextAnalysis.bm25TopKIndexed(spark, inc, queries, 3)
     assert(c.exceptAll(a).count() === 0)
+    assert(a.exceptAll(c).count() === 0)
   }
 
   test("an index built with one pbuckets serves under another stats row") {
