@@ -425,6 +425,24 @@ private[graft] object QueriesLlm {
     TextAnalysis.bm25TopKIndexed(s, idx, q, 10)
   }
 
+  /** Index-lifecycle capstone: build half, append the rest
+    * incrementally, COMPACT the accumulated small files, then serve —
+    * the full build → update → compact → query cycle a production
+    * index lives through, with the whole-corpus scan as the oracle
+    * (compaction must change file layout only, never a result).
+    */
+  def bm25CompactQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bm25_cmp_").toString
+    TextAnalysis.buildBm25Index(docs.filter(col("doc_id") % 2 === 0), idx)
+    TextAnalysis.updateBm25Index(docs.filter(col("doc_id") % 2 === 1), idx)
+    TextAnalysis.compactBm25Index(s, idx)
+    val q = Bm25QueryFixture.toDF("query_id", "qtext")
+    TextAnalysis.bm25TopKIndexed(s, idx, q, 10)
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
     * top-10 and the brute-force cosine top-10 (doc i ↔ embedding i;
     * query ids 0-2 carry both a query string and a query vector).
@@ -704,6 +722,7 @@ private[graft] object QueriesLlm {
     "q_bm25_topk" -> (bm25Q _),
     "q_bm25_indexed" -> (bm25IndexedQ _),
     "q_bm25_update" -> (bm25UpdateQ _),
+    "q_bm25_compact" -> (bm25CompactQ _),
     "q_hybrid_rrf" -> (hybridRrfQ _),
     "q_shuffle_shards" -> (shuffleShardsQ _),
     "q_stream_neardup" -> (streamNearDupQ _),
@@ -1182,6 +1201,14 @@ private[graft] object QueriesLlm {
     // an incrementally-maintained index must be indistinguishable
     // from a single-pass build over the whole corpus
     "q_bm25_update" ->
+      s"""WITH $Bm25Ctes
+          SELECT query_id, doc_id,
+            round(CAST(s AS DOUBLE) / 1000000.0, 6) AS score,
+            CAST(rank AS BIGINT) AS rank
+          FROM rk WHERE rank <= 10""",
+    // compaction changes file layout only — build+update+compact+serve
+    // still equals the whole-corpus scan
+    "q_bm25_compact" ->
       s"""WITH $Bm25Ctes
           SELECT query_id, doc_id,
             round(CAST(s AS DOUBLE) / 1000000.0, 6) AS score,

@@ -614,6 +614,38 @@ object TextAnalysis {
     } finally { toks.unpersist(); () }
   }
 
+  /** Compact a [[buildBm25Index]] store's postings after a run of
+    * incremental [[updateBm25Index]] appends: every append adds files
+    * to the touched `pb` buckets, and serving cost degrades with file
+    * count (footer reads, task setup) even though the data is
+    * unchanged — the standard small-file problem of any append-only
+    * store. Rewrites the postings one-file-per-bucket into a fresh
+    * directory and swaps it in (write-new-then-swap, never in place:
+    * a crash mid-compaction leaves either the old or the new complete
+    * directory, and the old one is removed only after the swap).
+    * Content — and therefore every query result — is bit-identical;
+    * only the file layout changes. doclens/stats are row-per-doc and
+    * 1-row respectively and don't accumulate files the same way.
+    */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val tmp = s"$path/_postings_compact"
+    spark.read.parquet(s"$path/postings")
+      .repartition(col("pb")).sortWithinPartitions("word", "doc_id")
+      .write.mode("overwrite").partitionBy("pb").parquet(tmp)
+    val old = s"$path/_postings_old"
+    require(fs.rename(p(s"$path/postings"), p(old)),
+      s"compactBm25Index: cannot move aside $path/postings")
+    require(fs.rename(p(tmp), p(s"$path/postings")),
+      s"compactBm25Index: cannot activate compacted postings " +
+        s"($old holds the previous layout)")
+    fs.delete(p(old), true)
+    ()
+  }
+
   /** BM25 top-`k` served from a [[buildBm25Index]] store: no corpus
     * scan, no tokenization — postings pruned to the query terms'
     * hash buckets (partition pruning) then to the terms themselves

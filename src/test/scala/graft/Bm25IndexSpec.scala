@@ -97,6 +97,33 @@ class Bm25IndexSpec extends SparkSpec {
     assert(a.exceptAll(c).count() === 0)
   }
 
+  test("compaction collapses appended buckets to one file each and " +
+    "changes nothing else") {
+    import org.apache.spark.sql.functions.col
+    val idx = Files.createTempDirectory("bm25idx_c").toString
+    TextAnalysis.buildBm25Index(
+      corpus.filter(col("doc_id") <= 2), idx, pbuckets = 16)
+    TextAnalysis.updateBm25Index(corpus.filter(col("doc_id") === 3), idx)
+    TextAnalysis.updateBm25Index(corpus.filter(col("doc_id") === 4), idx)
+    val before = TextAnalysis.bm25TopKIndexed(spark, idx, queries, 3)
+      .collect().toSeq
+    TextAnalysis.compactBm25Index(spark, idx)
+    val after = TextAnalysis.bm25TopKIndexed(spark, idx, queries, 3)
+      .collect().toSeq
+    assert(after.toSet === before.toSet)
+    // every bucket dir holds exactly one parquet file after compaction
+    val buckets = new java.io.File(s"$idx/postings").listFiles()
+      .filter(_.getName.startsWith("pb="))
+    assert(buckets.nonEmpty)
+    for (b <- buckets) {
+      val parts = b.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length === 1,
+        s"bucket ${b.getName} has ${parts.length} files after compaction")
+    }
+    assert(!new java.io.File(s"$idx/_postings_compact").exists())
+    assert(!new java.io.File(s"$idx/_postings_old").exists())
+  }
+
   test("an index built with one pbuckets serves under another stats row") {
     // pbuckets travels in stats/ — serving re-derives pb with the
     // STORED count, so a rebuilt index with a different bucket count
