@@ -207,6 +207,21 @@ private[graft] object QueriesLlm {
       emb.filter(col("vec_id") < 16), 5, nprobe = 2)
   }
 
+  /** IVF from a PERSISTED index (same centroids/queries/nprobe as
+    * [[ivfProbe]]): build the centroid + partitioned inverted-list
+    * store, then serve from it alone — the lists scan prunes to the
+    * probed clusters' partitions and assignment is never redone at
+    * query time. Oracle: identical to `q_ivf_probe`.
+    */
+  def ivfIndexed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx_").toString
+    Vectors.buildIvfIndex(emb, emb.filter(col("vec_id") < 16), idx)
+    Vectors.ivfTopKIndexed(s, idx, emb.filter(col("vec_id") < 5), 5,
+      nprobe = 2)
+  }
+
   /** End-to-end corpus curation: quality gate → exact dedup → near-dup
     * removal (greedy smallest-id survivor).
     */
@@ -776,6 +791,7 @@ private[graft] object QueriesLlm {
     "q_embed_neardup" -> (embedNearDup _),
     "q_ivf_topk" -> (ivfTopK _),
     "q_ivf_probe" -> (ivfProbe _),
+    "q_ivf_indexed" -> (ivfIndexed _),
     "q_curation" -> (curation _),
     "q_training_mix" -> (trainingMix _))
 
@@ -1124,6 +1140,36 @@ private[graft] object QueriesLlm {
       .mkString(" UNION ALL ")
     "WITH RECURSIVE " + parts.mkString(", ") + " " + finalSelect
   }
+
+  private lazy val IvfProbeSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          cen AS (SELECT vec_id AS centroid_id, e AS ce FROM v
+            WHERE vec_id < 16),
+          ass AS (
+            SELECT vec_id, e, centroid_id,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY ccos DESC, centroid_id) AS rn
+            FROM (SELECT v.vec_id, v.e, cen.centroid_id,
+                    round(${dotSql("v.e", "cen.ce")} /
+                      (sqrt(${dotSql("v.e", "v.e")}) *
+                       sqrt(${dotSql("cen.ce", "cen.ce")})), 6) AS ccos
+                  FROM v CROSS JOIN cen)),
+          c AS (SELECT vec_id, e, centroid_id AS cluster FROM ass
+            WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, e AS qe,
+                  centroid_id AS cluster
+                FROM ass WHERE rn <= 2 AND vec_id < 5),
+          scored AS (
+            SELECT query_id, c.vec_id,
+              round(${dotSql("qe", "c.e")} /
+                (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("c.e", "c.e")})),
+                6) AS cos
+            FROM c JOIN q USING (cluster) WHERE c.vec_id <> query_id),
+          r AS (SELECT query_id, vec_id, cos,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) AS rank
+            FROM scored)
+          SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5"""
 
   val oracles: Map[String, String] = {
     val eRe = TextAnalysis.EmailPattern
@@ -1956,35 +2002,10 @@ private[graft] object QueriesLlm {
               ORDER BY cos DESC, vec_id) AS rank
             FROM scored)
           SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5""",
-    "q_ivf_probe" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-          cen AS (SELECT vec_id AS centroid_id, e AS ce FROM v
-            WHERE vec_id < 16),
-          ass AS (
-            SELECT vec_id, e, centroid_id,
-              row_number() OVER (PARTITION BY vec_id
-                ORDER BY ccos DESC, centroid_id) AS rn
-            FROM (SELECT v.vec_id, v.e, cen.centroid_id,
-                    round(${dotSql("v.e", "cen.ce")} /
-                      (sqrt(${dotSql("v.e", "v.e")}) *
-                       sqrt(${dotSql("cen.ce", "cen.ce")})), 6) AS ccos
-                  FROM v CROSS JOIN cen)),
-          c AS (SELECT vec_id, e, centroid_id AS cluster FROM ass
-            WHERE rn = 1),
-          q AS (SELECT vec_id AS query_id, e AS qe,
-                  centroid_id AS cluster
-                FROM ass WHERE rn <= 2 AND vec_id < 5),
-          scored AS (
-            SELECT query_id, c.vec_id,
-              round(${dotSql("qe", "c.e")} /
-                (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("c.e", "c.e")})),
-                6) AS cos
-            FROM c JOIN q USING (cluster) WHERE c.vec_id <> query_id),
-          r AS (SELECT query_id, vec_id, cos,
-            row_number() OVER (PARTITION BY query_id
-              ORDER BY cos DESC, vec_id) AS rank
-            FROM scored)
-          SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5""",
+    "q_ivf_probe" -> IvfProbeSql,
+    // served from the persisted index - must equal the in-memory probe
+    "q_ivf_indexed" -> IvfProbeSql,
+
     "q_ann_multiprobe" ->
       s"""WITH v AS (SELECT vec_id, e, ${bucket4Sql("e")} AS bucket
             FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)),

@@ -417,6 +417,57 @@ object Vectors {
     rankTopK(scored, k)
   }
 
+  /** Persist an IVF index: the centroid table plus the corpus assigned
+    * to inverted lists, PARTITIONED BY list — the vector-search twin
+    * of the BM25 postings store
+    * ([[graft.functions.TextAnalysis.buildBm25Index]]). Serving
+    * ([[ivfTopKIndexed]]) then reads only the probed lists' partitions
+    * instead of re-assigning the corpus per query batch.
+    */
+  def buildIvfIndex(corpus: DataFrame, centroids: DataFrame, path: String,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    def prep(df: DataFrame) = df.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("v"))
+    val cen = prep(centroids)
+    cen.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    ivfAssign(prep(corpus), cen)
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/lists")
+  }
+
+  /** IVF top-k served from a [[buildIvfIndex]] store: the query batch
+    * probes its `nprobe` nearest centroids (tiny broadcast table from
+    * the store) and the lists scan statically prunes to the probed
+    * clusters' partitions — cost scales with the probed sliver of the
+    * stored corpus, and assignment work is NEVER redone at query
+    * time. The probed-cluster collect is bounded by |queries|·nprobe
+    * (a query API, the qterms-broadcast contract). Results are
+    * identical to [[ivfTopK]] over the same corpus/centroids.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                     path: String, queries: DataFrame, k: Int,
+                     nprobe: Int = 1, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cen = spark.read.parquet(s"$path/centroids")
+    val q = ivfAssignProbes(
+        queries.select(col(idCol).as("vec_id"),
+          toDouble(col(vecCol)).as("v")), cen, nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("cluster"))
+    val probed = q.select("cluster").distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("cluster").isin(probed: _*))
+    val scored = lists.join(q, "cluster")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos"))
+    rankTopK(scored, k)
+  }
+
   /** Bucketed ANN top-k: same output shape as [[cosineTopK]] but only
     * same-bucket pairs are scored — the scale path. `probes` > 1 turns
     * on multiprobe LSH: each query also searches buckets differing in

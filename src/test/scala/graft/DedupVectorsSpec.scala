@@ -199,6 +199,27 @@ class DedupVectorsSpec extends SparkSpec {
       "the second probed cluster contributes its inverted list")
   }
 
+  test("persisted IVF index serves identically to in-memory ivfTopK " +
+    "and prunes to the probed lists") {
+    val cen = vecs.filter(col("vec_id").isin(0L, 3L))
+    val q = vecs.filter(col("vec_id") === 2L)
+    val idx = java.nio.file.Files
+      .createTempDirectory("ivf_idx_spec").toString
+    Vectors.buildIvfIndex(vecs, cen, idx)
+    for (np <- Seq(1, 2)) {
+      val mem = Vectors.ivfTopK(vecs, q, cen, 3, nprobe = np)
+      val srv = Vectors.ivfTopKIndexed(spark, idx, q, 3, nprobe = np)
+      assert(srv.exceptAll(mem).count() === 0, s"nprobe=$np")
+      assert(mem.exceptAll(srv).count() === 0, s"nprobe=$np")
+    }
+    // the nprobe=1 serve must read ONLY query 2's home cluster
+    val srv1 = Vectors.ivfTopKIndexed(spark, idx, q, 3, nprobe = 1)
+    srv1.collect()
+    val plan = srv1.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan)
+      .isDefined, s"expected a cluster partition filter:\n$plan")
+  }
+
   test("ann top-k: same-bucket identical vector is retrieved") {
     val r = Vectors.annTopK(vecs, vecs.filter(col("vec_id") === 0), 2,
       planes = 4, dims = 3).collect()
