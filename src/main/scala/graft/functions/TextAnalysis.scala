@@ -614,36 +614,70 @@ object TextAnalysis {
     } finally { toks.unpersist(); () }
   }
 
-  /** Compact a [[buildBm25Index]] store's postings after a run of
-    * incremental [[updateBm25Index]] appends: every append adds files
-    * to the touched `pb` buckets, and serving cost degrades with file
-    * count (footer reads, task setup) even though the data is
-    * unchanged — the standard small-file problem of any append-only
-    * store. Rewrites the postings one-file-per-bucket into a fresh
-    * directory and swaps it in (write-new-then-swap, never in place:
-    * a crash mid-compaction leaves either the old or the new complete
-    * directory, and the old one is removed only after the swap).
-    * Content — and therefore every query result — is bit-identical;
-    * only the file layout changes. doclens/stats are row-per-doc and
-    * 1-row respectively and don't accumulate files the same way.
+  /** Compact a [[buildBm25Index]] store after a run of incremental
+    * [[updateBm25Index]] appends: every append adds files to the
+    * touched postings buckets AND to doclens, and serving cost
+    * degrades with file count (footer reads, task setup) even though
+    * the data is unchanged — the standard small-file problem of any
+    * append-only store. Postings rewrite one-file-per-bucket, sorted
+    * `(pb, word, doc_id)` — leading with the partition column
+    * satisfies the writer's required ordering, so no planner sort is
+    * inserted above this one and the intra-file word order (row-group
+    * pruning) is actually guaranteed; doclens rewrites to the
+    * session's shuffle-partition count. stats is a 1-row overwrite
+    * table and never accumulates.
+    *
+    * Each table goes write-new-then-swap, never in place. The swap
+    * itself is two renames with an unavoidable instant where the live
+    * directory is absent; a crash there (or a leftover from one) is
+    * DETECTED on the next call — `_<table>_old` present without the
+    * live dir — and rolled back before compacting, and a failed
+    * activation rename rolls back immediately. Content — and
+    * therefore every query result — is bit-identical throughout; only
+    * the file layout changes.
     */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    val tmp = s"$path/_postings_compact"
-    spark.read.parquet(s"$path/postings")
-      .repartition(col("pb")).sortWithinPartitions("word", "doc_id")
-      .write.mode("overwrite").partitionBy("pb").parquet(tmp)
-    val old = s"$path/_postings_old"
-    require(fs.rename(p(s"$path/postings"), p(old)),
-      s"compactBm25Index: cannot move aside $path/postings")
-    require(fs.rename(p(tmp), p(s"$path/postings")),
-      s"compactBm25Index: cannot activate compacted postings " +
-        s"($old holds the previous layout)")
-    fs.delete(p(old), true)
-    ()
+    def swapIn(table: String)(
+        write: (String, String) => Unit): Unit = {
+      val live = s"$path/$table"
+      val tmp = s"$path/_${table}_compact"
+      val old = s"$path/_${table}_old"
+      // recover from a crashed prior swap: the previous layout moved
+      // aside but the compacted one never activated
+      if (!fs.exists(p(live)) && fs.exists(p(old)))
+        require(fs.rename(p(old), p(live)),
+          s"compactBm25Index: cannot restore $live from crashed run")
+      // stale scratch from any earlier failure must not nest under a
+      // rename target
+      fs.delete(p(tmp), true)
+      fs.delete(p(old), true)
+      write(live, tmp)
+      require(fs.rename(p(live), p(old)),
+        s"compactBm25Index: cannot move aside $live")
+      if (!fs.rename(p(tmp), p(live))) {
+        fs.rename(p(old), p(live)) // roll back; old layout still valid
+        throw new IllegalStateException(
+          s"compactBm25Index: cannot activate compacted $table - " +
+            "previous layout restored")
+      }
+      fs.delete(p(old), true)
+      ()
+    }
+    swapIn("postings") { (live, tmp) =>
+      spark.read.parquet(live)
+        .repartition(col("pb"))
+        .sortWithinPartitions("pb", "word", "doc_id")
+        .write.mode("overwrite").partitionBy("pb").parquet(tmp)
+    }
+    swapIn("doclens") { (live, tmp) =>
+      spark.read.parquet(live)
+        .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+        .write.mode("overwrite").parquet(tmp)
+    }
   }
 
   /** BM25 top-`k` served from a [[buildBm25Index]] store: no corpus

@@ -452,11 +452,18 @@ object Vectors {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cen = spark.read.parquet(s"$path/centroids")
-    val q = ivfAssignProbes(
-        queries.select(col(idCol).as("vec_id"),
-          toDouble(col(vecCol)).as("v")), cen, nprobe)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("cluster"))
+    // retain the assigned query batch: the probed-cluster collect and
+    // the scoring join both consume it, and a re-executed
+    // nondeterministic queries plan could probe one cluster set but
+    // join with another — silently dropping results. Session-owned
+    // lifetime (the result is lazy), the CacheScope contract.
+    val q = graft.CacheScope.retain(
+      ivfAssignProbes(
+          queries.select(col(idCol).as("vec_id"),
+            toDouble(col(vecCol)).as("v")), cen, nprobe)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("cluster")),
+      "ivf.query-probes")
     val probed = q.select("cluster").distinct()
       .collect().map(_.getLong(0)).toIndexedSeq
     val lists = spark.read.parquet(s"$path/lists")

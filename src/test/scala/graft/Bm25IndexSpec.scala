@@ -122,6 +122,31 @@ class Bm25IndexSpec extends SparkSpec {
     }
     assert(!new java.io.File(s"$idx/_postings_compact").exists())
     assert(!new java.io.File(s"$idx/_postings_old").exists())
+    // doclens accumulated one file per update batch; compaction
+    // rewrites it too (bounded by the shuffle-partition count)
+    val dlParts = new java.io.File(s"$idx/doclens").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(dlParts >= 1 && dlParts <= 4,
+      s"doclens has $dlParts files after compaction")
+  }
+
+  test("compaction recovers from a crash that left the live dir " +
+    "moved aside") {
+    import org.apache.spark.sql.functions.col
+    val idx = Files.createTempDirectory("bm25idx_r").toString
+    TextAnalysis.buildBm25Index(corpus, idx, pbuckets = 16)
+    val before = TextAnalysis.bm25TopKIndexed(spark, idx, queries, 3)
+      .collect().toSeq
+    // simulate the mid-swap crash: previous layout moved aside, the
+    // compacted one never activated
+    assert(new java.io.File(s"$idx/postings")
+      .renameTo(new java.io.File(s"$idx/_postings_old")))
+    TextAnalysis.compactBm25Index(spark, idx)
+    val after = TextAnalysis.bm25TopKIndexed(spark, idx, queries, 3)
+      .collect().toSeq
+    assert(after.toSet === before.toSet)
+    assert(new java.io.File(s"$idx/postings").exists())
+    assert(!new java.io.File(s"$idx/_postings_old").exists())
   }
 
   test("an index built with one pbuckets serves under another stats row") {
