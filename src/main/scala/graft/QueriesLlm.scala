@@ -440,6 +440,25 @@ private[graft] object QueriesLlm {
     TextAnalysis.bm25TopKIndexed(s, idx, q, 10)
   }
 
+  /** Tombstone-delete gate: index the WHOLE corpus, delete the odd
+    * doc_ids, serve — results must equal a scan over the even docs
+    * alone (scores included: the stats fold and the serve-time sliver
+    * anti-join must make idf/avgdl forget the deleted half). The
+    * compliance path every training index needs, gated without a
+    * rebuild anywhere.
+    */
+  def bm25DeleteQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bm25_del_").toString
+    TextAnalysis.buildBm25Index(docs, idx)
+    TextAnalysis.deleteFromBm25Index(s, idx,
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id"))
+    val q = Bm25QueryFixture.toDF("query_id", "qtext")
+    TextAnalysis.bm25TopKIndexed(s, idx, q, 10)
+  }
+
   /** Index-lifecycle capstone: build half, append the rest
     * incrementally, COMPACT the accumulated small files, then serve —
     * the full build → update → compact → query cycle a production
@@ -738,6 +757,7 @@ private[graft] object QueriesLlm {
     "q_bm25_indexed" -> (bm25IndexedQ _),
     "q_bm25_update" -> (bm25UpdateQ _),
     "q_bm25_compact" -> (bm25CompactQ _),
+    "q_bm25_delete" -> (bm25DeleteQ _),
     "q_hybrid_rrf" -> (hybridRrfQ _),
     "q_shuffle_shards" -> (shuffleShardsQ _),
     "q_stream_neardup" -> (streamNearDupQ _),
@@ -807,6 +827,15 @@ private[graft] object QueriesLlm {
     * ranked `rk`. Mirrors `TextAnalysis.bm25TopK`'s FP op order
     * exactly (k1=1.25, b=0.75 — exact binary doubles).
     */
+  /** [[Bm25Ctes]] over a filtered corpus — the oracle for the
+    * tombstone-delete gate, where the surviving documents are the
+    * whole truth. The toks CTE is the chain's ONLY corpus reference,
+    * so the predicate threads through everything (dl, post, df, N,
+    * Σdl) exactly as a physical delete would.
+    */
+  private def bm25CtesWhere(pred: String): String =
+    Bm25Ctes.replace("FROM documents)", s"FROM documents WHERE $pred)")
+
   private lazy val Bm25Ctes: String = {
     val vals = Bm25QueryFixture.map { case (i, q) =>
       s"(CAST($i AS BIGINT), '$q')" }.mkString(", ")
@@ -1256,6 +1285,14 @@ private[graft] object QueriesLlm {
     // still equals the whole-corpus scan
     "q_bm25_compact" ->
       s"""WITH $Bm25Ctes
+          SELECT query_id, doc_id,
+            round(CAST(s AS DOUBLE) / 1000000.0, 6) AS score,
+            CAST(rank AS BIGINT) AS rank
+          FROM rk WHERE rank <= 10""",
+    // tombstoned docs must vanish from results AND from idf/avgdl —
+    // the oracle's truth is the surviving half of the corpus
+    "q_bm25_delete" ->
+      s"""WITH ${bm25CtesWhere("doc_id % 2 = 0")}
           SELECT query_id, doc_id,
             round(CAST(s AS DOUBLE) / 1000000.0, 6) AS score,
             CAST(rank AS BIGINT) AS rank

@@ -614,6 +614,57 @@ object TextAnalysis {
     } finally { toks.unpersist(); () }
   }
 
+  /** Tombstone-delete documents from a [[buildBm25Index]] store — the
+    * compliance operation (takedowns, opt-outs) that must not cost a
+    * rebuild. The deleted ids append to a `deletes/` table; serving
+    * anti-joins its postings sliver against it (tombstone-sized work,
+    * not corpus-sized) and the corpus stats fold DOWN by the deleted
+    * docs' doclens contribution at delete time, so idf/avgdl reflect
+    * the deletion immediately. Physical removal happens at the next
+    * [[compactBm25Index]], which rewrites postings/doclens without
+    * the tombstoned rows and clears the table.
+    *
+    * Idempotent and safe on absent ids: only ids that are indexed AND
+    * not already tombstoned join the stats fold or the append — a
+    * repeated delete cannot double-subtract. Re-indexing a deleted id
+    * becomes possible after the next compaction (until then its
+    * doclens row still exists and [[updateBm25Index]]'s overlap guard
+    * refuses it).
+    */
+  def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession,
+                          path: String,
+                          ids: org.apache.spark.sql.DataFrame,
+                          idCol: String = "doc_id"): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delPath = s"$path/deletes"
+    val dl = spark.read.parquet(s"$path/doclens")
+    var fresh = ids.select(col(idCol).cast("long").as("doc_id"))
+      .distinct()
+      .join(dl, Seq("doc_id"), "left_semi")
+    if (fs.exists(new org.apache.hadoop.fs.Path(delPath)))
+      fresh = fresh.join(spark.read.parquet(delPath),
+        Seq("doc_id"), "left_anti")
+    // one materialization serves the stats fold and the append
+    val freshP = fresh.persist()
+    try {
+      val fold = freshP.join(dl, Seq("doc_id"))
+        .agg(count(lit(1)).as("dn"),
+          coalesce(sum(col("dl")), lit(0L)).as("dsdl")).head()
+      if (fold.getAs[Long]("dn") > 0L) {
+        freshP.write.mode("append").parquet(delPath)
+        val stats0 = spark.read.parquet(s"$path/stats").head()
+        spark.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(
+            stats0.getAs[Long]("n") - fold.getAs[Long]("dn"),
+            stats0.getAs[Long]("sdl") - fold.getAs[Long]("dsdl"),
+            stats0.getAs[Long]("pbuckets"))),
+          spark.read.parquet(s"$path/stats").schema)
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+      }
+    } finally { freshP.unpersist(); () }
+  }
+
   /** Compact a [[buildBm25Index]] store after a run of incremental
     * [[updateBm25Index]] appends: every append adds files to the
     * touched postings buckets AND to doclens, and serving cost
@@ -667,17 +718,29 @@ object TextAnalysis {
       fs.delete(p(old), true)
       ()
     }
+    // tombstones ([[deleteFromBm25Index]]) are applied physically here
+    // and cleared LAST: a crash after the rewrites but before the
+    // clear leaves tombstones over already-removed ids — the serve-
+    // time anti-join is then a no-op, never wrong
+    val delP = p(s"$path/deletes")
+    val dels =
+      if (fs.exists(delP)) Some(spark.read.parquet(s"$path/deletes"))
+      else None
+    def minus(df: org.apache.spark.sql.DataFrame) =
+      dels.fold(df)(d => df.join(d, Seq("doc_id"), "left_anti"))
     swapIn("postings") { (live, tmp) =>
-      spark.read.parquet(live)
+      minus(spark.read.parquet(live))
         .repartition(col("pb"))
         .sortWithinPartitions("pb", "word", "doc_id")
         .write.mode("overwrite").partitionBy("pb").parquet(tmp)
     }
     swapIn("doclens") { (live, tmp) =>
-      spark.read.parquet(live)
+      minus(spark.read.parquet(live))
         .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
         .write.mode("overwrite").parquet(tmp)
     }
+    fs.delete(delP, true)
+    ()
   }
 
   /** BM25 top-`k` served from a [[buildBm25Index]] store: no corpus
@@ -714,11 +777,21 @@ object TextAnalysis {
     val words = qterms.select("word").distinct()
       .collect().map(_.getString(0)).toIndexedSeq
     val buckets = words.map(w => hash60Jvm(w) % pbuckets).distinct
-    val postQ = graft.CacheScope.retain(
-      spark.read.parquet(s"$path/postings")
-        .filter(col("pb").isin(buckets: _*))
-        .join(broadcast(words.toDF("word")), Seq("word"))
-        .select("doc_id", "word", "tf"),
+    // tombstoned docs drop from the SLIVER (tombstone-sized anti-join;
+    // df is computed after it, so deleted docs stop counting toward
+    // idf immediately); stats were already folded down at delete time
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delPath = s"$path/deletes"
+    val raw = spark.read.parquet(s"$path/postings")
+      .filter(col("pb").isin(buckets: _*))
+      .join(broadcast(words.toDF("word")), Seq("word"))
+      .select("doc_id", "word", "tf")
+    val live =
+      if (fs.exists(new org.apache.hadoop.fs.Path(delPath)))
+        raw.join(spark.read.parquet(delPath), Seq("doc_id"), "left_anti")
+      else raw
+    val postQ = graft.CacheScope.retain(live,
       "bm25.indexed-postings-sliver")
     val dl = spark.read.parquet(s"$path/doclens")
     bm25Score(postQ, qterms, dl, g, k, k1, b)

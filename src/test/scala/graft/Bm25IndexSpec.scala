@@ -130,6 +130,44 @@ class Bm25IndexSpec extends SparkSpec {
       s"doclens has $dlParts files after compaction")
   }
 
+  test("tombstone deletes: idempotent, stats-exact, physically removed " +
+    "at compaction, then re-addable") {
+    import org.apache.spark.sql.functions.col
+    val idx = Files.createTempDirectory("bm25idx_d").toString
+    TextAnalysis.buildBm25Index(corpus, idx, pbuckets = 16)
+    val truth = {
+      val surv = Files.createTempDirectory("bm25idx_dt").toString
+      TextAnalysis.buildBm25Index(
+        corpus.filter(col("doc_id") =!= 3L), surv, pbuckets = 16)
+      TextAnalysis.bm25TopKIndexed(spark, surv, queries, 3)
+        .collect().toSet
+    }
+    val ids = Seq(3L).toDF("doc_id")
+    TextAnalysis.deleteFromBm25Index(spark, idx, ids)
+    // repeated + absent-id deletes must not double-subtract stats
+    TextAnalysis.deleteFromBm25Index(spark, idx, ids)
+    TextAnalysis.deleteFromBm25Index(spark, idx, Seq(999L).toDF("doc_id"))
+    assert(TextAnalysis.bm25TopKIndexed(spark, idx, queries, 3)
+      .collect().toSet === truth, "served ≡ an index never holding doc 3")
+    // compaction applies tombstones physically and clears them
+    TextAnalysis.compactBm25Index(spark, idx)
+    assert(!new java.io.File(s"$idx/deletes").exists())
+    assert(spark.read.parquet(s"$idx/doclens")
+      .filter(col("doc_id") === 3L).count() === 0)
+    assert(TextAnalysis.bm25TopKIndexed(spark, idx, queries, 3)
+      .collect().toSet === truth)
+    // a deleted-then-compacted id is new again
+    TextAnalysis.updateBm25Index(
+      corpus.filter(col("doc_id") === 3L), idx)
+    val back = TextAnalysis.bm25TopKIndexed(spark, idx, queries, 3)
+    val orig = TextAnalysis.bm25TopKIndexed(spark,
+      { val f = Files.createTempDirectory("bm25idx_db").toString
+        TextAnalysis.buildBm25Index(corpus, f, pbuckets = 16); f },
+      queries, 3)
+    assert(back.exceptAll(orig).count() === 0)
+    assert(orig.exceptAll(back).count() === 0)
+  }
+
   test("compaction recovers from a crash that left the live dir " +
     "moved aside") {
     import org.apache.spark.sql.functions.col
