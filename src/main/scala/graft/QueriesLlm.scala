@@ -821,26 +821,22 @@ private[graft] object QueriesLlm {
   private def h60Sql(x: String): String =
     s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
 
-  /** BM25 CTE chain shared by `q_bm25_topk` / `q_hybrid_rrf`: postings
-    * → query terms (distinct) → query-term-only df → 1-row N/Σdl →
-    * fixed-point per-term micro scores → per-(query, doc) sums →
-    * ranked `rk`. Mirrors `TextAnalysis.bm25TopK`'s FP op order
-    * exactly (k1=1.25, b=0.75 — exact binary doubles).
+  /** The BM25 oracle CTE chain: postings → query terms (distinct) →
+    * query-term-only df → 1-row N/Σdl → fixed-point per-term micro
+    * scores → per-(query, doc) sums → ranked `rk`. Mirrors
+    * `TextAnalysis.bm25TopK`'s FP op order exactly (k1=1.25, b=0.75 —
+    * exact binary doubles). The optional corpus predicate lands on
+    * the toks CTE — the chain's ONLY corpus reference, so it threads
+    * through everything (dl, post, df, N, Σdl) exactly as a physical
+    * delete would; the tombstone-delete gate's oracle truth is the
+    * surviving documents.
     */
-  /** [[Bm25Ctes]] over a filtered corpus — the oracle for the
-    * tombstone-delete gate, where the surviving documents are the
-    * whole truth. The toks CTE is the chain's ONLY corpus reference,
-    * so the predicate threads through everything (dl, post, df, N,
-    * Σdl) exactly as a physical delete would.
-    */
-  private def bm25CtesWhere(pred: String): String =
-    Bm25Ctes.replace("FROM documents)", s"FROM documents WHERE $pred)")
-
-  private lazy val Bm25Ctes: String = {
+  private def bm25Ctes(where: String = ""): String = {
+    val pred = if (where.isEmpty) "" else s" WHERE $where"
     val vals = Bm25QueryFixture.map { case (i, q) =>
       s"(CAST($i AS BIGINT), '$q')" }.mkString(", ")
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w
-                 FROM documents),
+                 FROM documents$pred),
        dl AS (SELECT doc_id, len(w) AS dl FROM toks),
        post AS (SELECT doc_id, word, count(*) AS tf
                 FROM (SELECT doc_id, unnest(w) AS word FROM toks)
@@ -870,6 +866,12 @@ private[graft] object QueriesLlm {
                 AS rank
               FROM sc)"""
   }
+
+  /** BM25 CTE chain shared by `q_bm25_topk` / `q_bm25_indexed` /
+    * `q_bm25_update` / `q_bm25_compact` / `q_hybrid_rrf` (see
+    * [[bm25Ctes]] for the structure and FP-order contract).
+    */
+  private lazy val Bm25Ctes: String = bm25Ctes()
 
   /** Classifier-training CTE chain (`q_train_classifier` /
     * `q_trained_score`): hashed-count features + 10⁶-scaled labels →
@@ -1292,7 +1294,7 @@ private[graft] object QueriesLlm {
     // tombstoned docs must vanish from results AND from idf/avgdl —
     // the oracle's truth is the surviving half of the corpus
     "q_bm25_delete" ->
-      s"""WITH ${bm25CtesWhere("doc_id % 2 = 0")}
+      s"""WITH ${bm25Ctes("doc_id % 2 = 0")}
           SELECT query_id, doc_id,
             round(CAST(s AS DOUBLE) / 1000000.0, 6) AS score,
             CAST(rank AS BIGINT) AS rank

@@ -497,10 +497,13 @@ object TextAnalysis {
     *     broadcast query-term side seeds the partition filter), so a
     *     query touches ~|q|/pbuckets of the postings, not all of them.
     *   - `doclens/` — `(doc_id, dl)`.
-    *   - `stats/` — ONE row `(n, sdl, pbuckets)`: corpus size, total
-    *     length, and the bucket count serving must re-derive `pb`
-    *     with. Persisted because serving must not re-scan doclens for
-    *     a 2-scalar aggregate on every query batch.
+    *   - `stats/` — ONE row `(n, sdl, pbuckets)`. Serving reads ONLY
+    *     `pbuckets` (the bucket count it must re-derive `pb` with);
+    *     the live (N, Σdl) scalars are AGGREGATED over doclens minus
+    *     tombstones at serve time — one aggregate over a table the
+    *     query already joins, and the reason updates/deletes have no
+    *     two-file consistency window. The stored pair is a build-time
+    *     snapshot, refreshed by [[compactBm25Index]].
     *
     * The tokenization here is the [[bm25TopK]] tokenization; tf/df
     * computed from these tables are bit-identical to the scan path.
@@ -551,28 +554,24 @@ object TextAnalysis {
     * Postings and doclens are parquet APPENDS (partitioned postings
     * just gain files in the affected `pb` buckets — no rewrite of
     * existing data, the property that makes a stored index viable
-    * when the corpus is 100 TB and the batch is a sliver); the 1-row
-    * stats table folds the batch's (count, Σdl) in and is the only
-    * overwrite. df/tf need no maintenance at all — they are computed
-    * at serve time from the postings sliver, so appended postings are
-    * visible to the next query automatically.
+    * when the corpus is 100 TB and the batch is a sliver). Nothing
+    * else needs maintenance: df/tf and the (N, Σdl) scalars are all
+    * derived at serve time from the stored tables, so appended rows
+    * are visible to the next query automatically.
     *
     * The batch must be genuinely new, distinct documents: a doc_id
-    * already in the index — or repeated WITHIN the batch — would
-    * double its postings and silently corrupt tf/df, so both overlaps
-    * are checked (one aggregate over the batch, one semi-join against
-    * doclens — a doc-count-sized table, not the corpus) and the call
-    * fails loudly with the remediation.
+    * already in the index, repeated WITHIN the batch, or still
+    * tombstoned ([[deleteFromBm25Index]] — its physical rows survive
+    * until compaction and would collide) would corrupt tf/df, so all
+    * three overlaps are checked (one aggregate over the batch, two
+    * semi-joins against doc-count-sized tables, never the corpus) and
+    * the call fails loudly with the remediation.
     *
-    * Crash consistency (write order is deliberate): doclens appends
-    * FIRST — an orphan doclens row (crash before the postings append)
-    * never reaches a score, because a doc with no postings never
-    * enters the postings sliver. A crash after postings but before
-    * the stats fold leaves serving on slightly-stale corpus scalars
-    * (bounded global shift, no structural corruption), and the next
-    * update attempt for the same batch REFUSES via the overlap guard
-    * — loud, with rebuild as the remediation — rather than doubling
-    * anything.
+    * Crash consistency: doclens appends FIRST — an orphan doclens row
+    * (crash before the postings append) never reaches a score,
+    * because a doc with no postings never enters the postings sliver
+    * — and the next attempt for the same batch REFUSES via the
+    * overlap guard, loud, with rebuild as the remediation.
     */
   def updateBm25Index(docs: org.apache.spark.sql.DataFrame, path: String,
                       idCol: String = "doc_id",
@@ -593,76 +592,53 @@ object TextAnalysis {
           Seq("doc_id"), "left_semi").limit(1).count()
       require(dup == 0L,
         "updateBm25Index batch contains doc_ids already indexed - " +
-          "re-indexing a document requires a rebuild (or delete " +
-          "support); filter the batch to new ids (left_anti against " +
-          "doclens)")
+          "re-indexing a document requires deleteFromBm25Index + " +
+          "compactBm25Index first (or a rebuild); filter the batch " +
+          "to new ids (left_anti against doclens)")
+      val delP = new org.apache.hadoop.fs.Path(s"$path/deletes")
+      val fs = delP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(delP)) {
+        val shadowed = dl.select("doc_id")
+          .join(spark.read.parquet(s"$path/deletes"),
+            Seq("doc_id"), "left_semi").limit(1).count()
+        require(shadowed == 0L,
+          "updateBm25Index batch contains tombstoned doc_ids - their " +
+            "physical rows survive until compaction and the tombstone " +
+            "would hide the re-added rows; run compactBm25Index first")
+      }
       dl.write.mode("append").parquet(s"$path/doclens")
       bm25PostingsOf(toks, pbuckets)
         .write.mode("append").partitionBy("pb")
         .parquet(s"$path/postings")
-      val batch = dl.agg(count(lit(1)).as("dn"),
-        coalesce(sum(col("dl")), lit(0L)).as("dsdl")).head()
-      // statsDf is a LocalRelation over driver-held values — it never
-      // scans $path/stats, so a plain overwrite is safe
-      spark.createDataFrame(
-        java.util.List.of(org.apache.spark.sql.Row(
-          stats0.getAs[Long]("n") + batch.getAs[Long]("dn"),
-          stats0.getAs[Long]("sdl") + batch.getAs[Long]("dsdl"),
-          pbuckets)),
-        spark.read.parquet(s"$path/stats").schema)
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
     } finally { toks.unpersist(); () }
   }
 
   /** Tombstone-delete documents from a [[buildBm25Index]] store — the
     * compliance operation (takedowns, opt-outs) that must not cost a
-    * rebuild. The deleted ids append to a `deletes/` table; serving
-    * anti-joins its postings sliver against it (tombstone-sized work,
-    * not corpus-sized) and the corpus stats fold DOWN by the deleted
-    * docs' doclens contribution at delete time, so idf/avgdl reflect
-    * the deletion immediately. Physical removal happens at the next
-    * [[compactBm25Index]], which rewrites postings/doclens without
-    * the tombstoned rows and clears the table.
+    * rebuild. The ONLY write is one append to the `deletes/` table:
+    * serving derives everything else from it (postings sliver
+    * anti-join; corpus stats aggregated over live doclens rows), so
+    * there is no second write to fall out of sync with and no crash
+    * window — the delete is effective the moment the tombstone lands,
+    * including idf/avgdl. Physical removal happens at the next
+    * [[compactBm25Index]]. Duplicate tombstone rows (repeated or
+    * concurrent deletes) are harmless: every consumer is an anti-join
+    * or a semi-join, never a count over the table.
     *
-    * Idempotent and safe on absent ids: only ids that are indexed AND
-    * not already tombstoned join the stats fold or the append — a
-    * repeated delete cannot double-subtract. Re-indexing a deleted id
-    * becomes possible after the next compaction (until then its
-    * doclens row still exists and [[updateBm25Index]]'s overlap guard
-    * refuses it).
+    * Re-indexing a deleted id needs a compaction first: both
+    * [[updateBm25Index]]'s overlap guard and the tombstones refuse it
+    * until the rows are physically gone.
     */
   def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession,
                           path: String,
                           ids: org.apache.spark.sql.DataFrame,
                           idCol: String = "doc_id"): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val delPath = s"$path/deletes"
-    val dl = spark.read.parquet(s"$path/doclens")
-    var fresh = ids.select(col(idCol).cast("long").as("doc_id"))
-      .distinct()
-      .join(dl, Seq("doc_id"), "left_semi")
-    if (fs.exists(new org.apache.hadoop.fs.Path(delPath)))
-      fresh = fresh.join(spark.read.parquet(delPath),
-        Seq("doc_id"), "left_anti")
-    // one materialization serves the stats fold and the append
-    val freshP = fresh.persist()
-    try {
-      val fold = freshP.join(dl, Seq("doc_id"))
-        .agg(count(lit(1)).as("dn"),
-          coalesce(sum(col("dl")), lit(0L)).as("dsdl")).head()
-      if (fold.getAs[Long]("dn") > 0L) {
-        freshP.write.mode("append").parquet(delPath)
-        val stats0 = spark.read.parquet(s"$path/stats").head()
-        spark.createDataFrame(
-          java.util.List.of(org.apache.spark.sql.Row(
-            stats0.getAs[Long]("n") - fold.getAs[Long]("dn"),
-            stats0.getAs[Long]("sdl") - fold.getAs[Long]("dsdl"),
-            stats0.getAs[Long]("pbuckets"))),
-          spark.read.parquet(s"$path/stats").schema)
-          .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-      }
-    } finally { freshP.unpersist(); () }
+    // restrict to indexed ids: the table stays bounded by the corpus
+    // (an absent id is a no-op either way)
+    ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .join(spark.read.parquet(s"$path/doclens"),
+        Seq("doc_id"), "left_semi")
+      .write.mode("append").parquet(s"$path/deletes")
   }
 
   /** Compact a [[buildBm25Index]] store after a run of incremental
@@ -678,14 +654,24 @@ object TextAnalysis {
     * session's shuffle-partition count. stats is a 1-row overwrite
     * table and never accumulates.
     *
+    * Compaction is also where [[deleteFromBm25Index]] tombstones are
+    * applied PHYSICALLY: the rewrites drop tombstoned rows, the
+    * tombstone table clears afterwards, and the stats snapshot
+    * refreshes from the live doclens. Query RESULTS are unchanged
+    * throughout (serving already subtracted tombstones by
+    * derivation); stored content changes exactly when tombstones
+    * existed, by exactly those rows.
+    *
     * Each table goes write-new-then-swap, never in place. The swap
     * itself is two renames with an unavoidable instant where the live
     * directory is absent; a crash there (or a leftover from one) is
     * DETECTED on the next call — `_<table>_old` present without the
     * live dir — and rolled back before compacting, and a failed
-    * activation rename rolls back immediately. Content — and
-    * therefore every query result — is bit-identical throughout; only
-    * the file layout changes.
+    * activation rename rolls back immediately. A crash after the
+    * rewrites but before the tombstone clear leaves tombstones over
+    * already-removed ids — harmless to serving (the anti-join is a
+    * no-op) and harmless to re-adds ([[updateBm25Index]] refuses
+    * tombstoned ids until a compaction clears them).
     */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
@@ -740,7 +726,15 @@ object TextAnalysis {
         .write.mode("overwrite").parquet(tmp)
     }
     fs.delete(delP, true)
-    ()
+    // refresh the stats snapshot from the now-live doclens (serving
+    // derives its own scalars; this keeps the stored pair truthful
+    // for humans and external readers)
+    val stats0 = spark.read.parquet(s"$path/stats").head()
+    spark.read.parquet(s"$path/doclens")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("sdl"))
+      .withColumn("pbuckets", lit(stats0.getAs[Long]("pbuckets")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
   /** BM25 top-`k` served from a [[buildBm25Index]] store: no corpus
@@ -760,7 +754,6 @@ object TextAnalysis {
       org.apache.spark.sql.DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val stats = spark.read.parquet(s"$path/stats")
-    val g = stats.select(col("n"), col("sdl"))
     val qterms = queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(tokens(col(queryTextCol).cast("string"))))
         .as("word"))
@@ -777,23 +770,32 @@ object TextAnalysis {
     val words = qterms.select("word").distinct()
       .collect().map(_.getString(0)).toIndexedSeq
     val buckets = words.map(w => hash60Jvm(w) % pbuckets).distinct
-    // tombstoned docs drop from the SLIVER (tombstone-sized anti-join;
-    // df is computed after it, so deleted docs stop counting toward
-    // idf immediately); stats were already folded down at delete time
+    // tombstones subtract EVERYWHERE by derivation, never by stored
+    // state: the sliver anti-joins them (tombstone-sized work; df is
+    // computed after, so deleted docs stop counting toward idf), the
+    // dl join reads live rows only, and the (N, Σdl) scalars aggregate
+    // over live doclens at serve time. Deriving the scalars costs one
+    // aggregate over a table this query already joins — and buys the
+    // absence of any stats-vs-tombstone crash window (two files cannot
+    // be written atomically; one file plus derivation can).
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val delPath = s"$path/deletes"
-    val raw = spark.read.parquet(s"$path/postings")
-      .filter(col("pb").isin(buckets: _*))
-      .join(broadcast(words.toDF("word")), Seq("word"))
-      .select("doc_id", "word", "tf")
-    val live =
+    val dels =
       if (fs.exists(new org.apache.hadoop.fs.Path(delPath)))
-        raw.join(spark.read.parquet(delPath), Seq("doc_id"), "left_anti")
-      else raw
-    val postQ = graft.CacheScope.retain(live,
+        Some(spark.read.parquet(delPath))
+      else None
+    def minus(df: org.apache.spark.sql.DataFrame) =
+      dels.fold(df)(d => df.join(d, Seq("doc_id"), "left_anti"))
+    val postQ = graft.CacheScope.retain(
+      minus(spark.read.parquet(s"$path/postings")
+          .filter(col("pb").isin(buckets: _*))
+          .join(broadcast(words.toDF("word")), Seq("word")))
+        .select("doc_id", "word", "tf"),
       "bm25.indexed-postings-sliver")
-    val dl = spark.read.parquet(s"$path/doclens")
+    val dl = minus(spark.read.parquet(s"$path/doclens"))
+    val g = dl.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("sdl"))
     bm25Score(postQ, qterms, dl, g, k, k1, b)
   }
 
