@@ -459,6 +459,44 @@ private[graft] object QueriesLlm {
     TextAnalysis.bm25TopKIndexed(s, idx, q, 10)
   }
 
+  /** Streaming-ingestion capstone: the corpus arrives as TWO parquet
+    * files consumed one per micro-batch (`maxFilesPerTrigger=1`), and
+    * [[Streams.bm25IndexStream]] folds each batch into the persisted
+    * index (first builds, second appends). Serving from the final
+    * store must equal the whole-corpus scan — the continuously-
+    * maintained retrieval index, gated end-to-end through the real
+    * file source.
+    */
+  def streamIndexQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft_stream_idx_docs_")
+    Seq(("even", col("doc_id") % 2 === 0),
+        ("odd", col("doc_id") % 2 === 1)).foreach { case (name, pred) =>
+      val tmp = staged.resolve(s"_$name")
+      docs.filter(pred).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"no parquet part written under $tmp"))
+      }
+      java.nio.file.Files.move(part, staged.resolve(s"$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_stream_idx_").toString
+    Streams.bm25IndexStream(
+      Streams.fileStream(s, staged.toString, Streams.DocsRawSchema,
+        maxFilesPerTrigger = Some(1)),
+      idx)
+    val q = Bm25QueryFixture.toDF("query_id", "qtext")
+    TextAnalysis.bm25TopKIndexed(s, idx, q, 10)
+  }
+
   /** Index-lifecycle capstone: build half, append the rest
     * incrementally, COMPACT the accumulated small files, then serve —
     * the full build → update → compact → query cycle a production
@@ -758,6 +796,7 @@ private[graft] object QueriesLlm {
     "q_bm25_update" -> (bm25UpdateQ _),
     "q_bm25_compact" -> (bm25CompactQ _),
     "q_bm25_delete" -> (bm25DeleteQ _),
+    "q_stream_index" -> (streamIndexQ _),
     "q_hybrid_rrf" -> (hybridRrfQ _),
     "q_shuffle_shards" -> (shuffleShardsQ _),
     "q_stream_neardup" -> (streamNearDupQ _),
@@ -1286,6 +1325,13 @@ private[graft] object QueriesLlm {
     // compaction changes file layout only — build+update+compact+serve
     // still equals the whole-corpus scan
     "q_bm25_compact" ->
+      s"""WITH $Bm25Ctes
+          SELECT query_id, doc_id,
+            round(CAST(s AS DOUBLE) / 1000000.0, 6) AS score,
+            CAST(rank AS BIGINT) AS rank
+          FROM rk WHERE rank <= 10""",
+    // two-batch streaming ingestion must serve the whole corpus
+    "q_stream_index" ->
       s"""WITH $Bm25Ctes
           SELECT query_id, doc_id,
             round(CAST(s AS DOUBLE) / 1000000.0, 6) AS score,

@@ -104,7 +104,7 @@ object Streams {
   }
 
   /** documents.parquet schema for the streaming source. */
-  private val DocsRawSchema = StructType(Seq(
+  private[graft] val DocsRawSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
@@ -363,6 +363,36 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Streaming ingestion into a BM25 index store: arriving document
+    * files fold into the persisted index per micro-batch — the first
+    * batch builds ([[graft.functions.TextAnalysis.buildBm25Index]]),
+    * every later batch appends
+    * ([[graft.functions.TextAnalysis.updateBm25Index]] — postings/
+    * doclens appends into the affected buckets, no rewrite). The
+    * file-source checkpoint makes ingestion restartable; update's
+    * overlap guard makes a replayed batch fail loudly instead of
+    * double-indexing. Serving ([[graft.functions.TextAnalysis
+    * .bm25TopKIndexed]]) sees each batch as soon as its append lands
+    * — the continuously-maintained retrieval index every RAG/search
+    * ingestion pipeline runs.
+    */
+  def bm25IndexStream(docs: DataFrame, path: String, pbuckets: Int = 64):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.TextAnalysis
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (graft.io.Sinks.storeExists(batch.sparkSession,
+            s"$path/doclens"))
+          TextAnalysis.updateBm25Index(batch, path)
+        else
+          TextAnalysis.buildBm25Index(batch, path, pbuckets)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q // terminated; progress history lets callers assert batch counts
   }
 
   /** Streaming approximate distinct per key: one DataSketches HLL

@@ -168,6 +168,41 @@ class Bm25IndexSpec extends SparkSpec {
     assert(orig.exceptAll(back).count() === 0)
   }
 
+  test("streaming ingestion folds per-file micro-batches into the " +
+    "store: first builds, later ones append") {
+    import org.apache.spark.sql.functions.col
+    val staged = Files.createTempDirectory("bm25_stream_docs")
+    Seq((col("doc_id") <= 2, "a"), (col("doc_id") > 2, "b"))
+      .foreach { case (pred, name) =>
+        val tmp = s"$staged/_$name"
+        corpus.filter(pred)
+          .select(col("doc_id"), col("text"),
+            org.apache.spark.sql.functions.lit("en").as("lang"),
+            org.apache.spark.sql.functions.lit("s").as("source"),
+            org.apache.spark.sql.functions.length(col("text"))
+              .cast("long").as("n_chars"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$staged/$name.parquet"))
+      }
+    val idx = Files.createTempDirectory("bm25_stream_idx").toString
+    val q = graft.streaming.Streams.bm25IndexStream(
+      graft.streaming.Streams.fileStream(spark, staged.toString,
+        graft.streaming.Streams.DocsRawSchema,
+        maxFilesPerTrigger = Some(1)),
+      idx, pbuckets = 16)
+    // both files consumed, in separate micro-batches — so the update
+    // (append) path genuinely ran, not one big build
+    assert(q.recentProgress.count(_.numInputRows > 0) === 2,
+      "expected exactly two non-empty micro-batches")
+    val scan = TextAnalysis.bm25TopK(corpus, queries, 3)
+    val served = TextAnalysis.bm25TopKIndexed(spark, idx, queries, 3)
+    assert(served.exceptAll(scan).count() === 0)
+    assert(scan.exceptAll(served).count() === 0)
+  }
+
   test("compaction recovers from a crash that left the live dir " +
     "moved aside") {
     import org.apache.spark.sql.functions.col
