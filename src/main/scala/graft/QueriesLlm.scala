@@ -459,6 +459,39 @@ private[graft] object QueriesLlm {
     TextAnalysis.bm25TopKIndexed(s, idx, q, 10)
   }
 
+  /** IVF incremental maintenance: build on the even vec_ids, append
+    * the odd ones against the STORED centroids, serve — must equal
+    * the in-memory probe over the whole corpus (assignment geometry
+    * is fixed at build, so incremental and single-pass agree exactly).
+    */
+  def ivfUpdateQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_upd_").toString
+    Vectors.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") < 16), idx)
+    Vectors.updateIvfIndex(emb.filter(col("vec_id") % 2 === 1), idx)
+    Vectors.ivfTopKIndexed(s, idx, emb.filter(col("vec_id") < 5), 5,
+      nprobe = 2)
+  }
+
+  /** IVF tombstone deletes: index everything, delete the odd
+    * vec_ids, serve — results must equal the probe over the even
+    * vectors alone, while deleted vectors remain valid
+    * query-by-example inputs (queries are caller-supplied vectors,
+    * not store lookups).
+    */
+  def ivfDeleteQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_del_").toString
+    Vectors.buildIvfIndex(emb, emb.filter(col("vec_id") < 16), idx)
+    Vectors.deleteFromIvfIndex(s, idx,
+      emb.filter(col("vec_id") % 2 === 1).select("vec_id"))
+    Vectors.ivfTopKIndexed(s, idx, emb.filter(col("vec_id") < 5), 5,
+      nprobe = 2)
+  }
+
   /** Streaming-ingestion capstone: the corpus arrives as TWO parquet
     * files consumed one per micro-batch (`maxFilesPerTrigger=1`), and
     * [[Streams.bm25IndexStream]] folds each batch into the persisted
@@ -851,6 +884,8 @@ private[graft] object QueriesLlm {
     "q_ivf_topk" -> (ivfTopK _),
     "q_ivf_probe" -> (ivfProbe _),
     "q_ivf_indexed" -> (ivfIndexed _),
+    "q_ivf_update" -> (ivfUpdateQ _),
+    "q_ivf_delete" -> (ivfDeleteQ _),
     "q_curation" -> (curation _),
     "q_training_mix" -> (trainingMix _))
 
@@ -1211,7 +1246,13 @@ private[graft] object QueriesLlm {
     "WITH RECURSIVE " + parts.mkString(", ") + " " + finalSelect
   }
 
-  private lazy val IvfProbeSql: String =
+  /** The IVF multi-probe oracle chain, with an optional predicate on
+    * the CORPUS side only (`c` — queries assign from the full `ass`):
+    * the tombstone-delete gate's truth is the surviving vectors, while
+    * a deleted vector remains a perfectly valid query-by-example.
+    */
+  private def ivfProbeSql(cPred: String = ""): String = {
+    val pred = if (cPred.isEmpty) "" else s" AND $cPred"
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
           cen AS (SELECT vec_id AS centroid_id, e AS ce FROM v
             WHERE vec_id < 16),
@@ -1225,7 +1266,7 @@ private[graft] object QueriesLlm {
                        sqrt(${dotSql("cen.ce", "cen.ce")})), 6) AS ccos
                   FROM v CROSS JOIN cen)),
           c AS (SELECT vec_id, e, centroid_id AS cluster FROM ass
-            WHERE rn = 1),
+            WHERE rn = 1$pred),
           q AS (SELECT vec_id AS query_id, e AS qe,
                   centroid_id AS cluster
                 FROM ass WHERE rn <= 2 AND vec_id < 5),
@@ -1240,6 +1281,9 @@ private[graft] object QueriesLlm {
               ORDER BY cos DESC, vec_id) AS rank
             FROM scored)
           SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5"""
+  }
+
+  private lazy val IvfProbeSql: String = ivfProbeSql()
 
   val oracles: Map[String, String] = {
     val eRe = TextAnalysis.EmailPattern
@@ -2090,6 +2134,11 @@ private[graft] object QueriesLlm {
     "q_ivf_probe" -> IvfProbeSql,
     // served from the persisted index - must equal the in-memory probe
     "q_ivf_indexed" -> IvfProbeSql,
+    // incrementally-maintained lists ≡ single-pass build
+    "q_ivf_update" -> IvfProbeSql,
+    // tombstoned vectors vanish from the corpus side; queries (by
+    // example) still come from the full embedding table
+    "q_ivf_delete" -> ivfProbeSql("vec_id % 2 = 0"),
 
     "q_ann_multiprobe" ->
       s"""WITH v AS (SELECT vec_id, e, ${bucket4Sql("e")} AS bucket

@@ -678,32 +678,8 @@ object TextAnalysis {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    def swapIn(table: String)(
-        write: (String, String) => Unit): Unit = {
-      val live = s"$path/$table"
-      val tmp = s"$path/_${table}_compact"
-      val old = s"$path/_${table}_old"
-      // recover from a crashed prior swap: the previous layout moved
-      // aside but the compacted one never activated
-      if (!fs.exists(p(live)) && fs.exists(p(old)))
-        require(fs.rename(p(old), p(live)),
-          s"compactBm25Index: cannot restore $live from crashed run")
-      // stale scratch from any earlier failure must not nest under a
-      // rename target
-      fs.delete(p(tmp), true)
-      fs.delete(p(old), true)
-      write(live, tmp)
-      require(fs.rename(p(live), p(old)),
-        s"compactBm25Index: cannot move aside $live")
-      if (!fs.rename(p(tmp), p(live))) {
-        fs.rename(p(old), p(live)) // roll back; old layout still valid
-        throw new IllegalStateException(
-          s"compactBm25Index: cannot activate compacted $table - " +
-            "previous layout restored")
-      }
-      fs.delete(p(old), true)
-      ()
-    }
+    def swapIn(table: String)(write: (String, String) => Unit): Unit =
+      graft.io.Sinks.swapInRewrite(spark, path, table)(write)
     // tombstones ([[deleteFromBm25Index]]) are applied physically here
     // and cleared LAST: a crash after the rewrites but before the
     // clear leaves tombstones over already-removed ids — the serve-

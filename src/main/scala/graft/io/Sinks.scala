@@ -170,6 +170,42 @@ object Sinks {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  /** Rewrite-and-swap a store sub-table: `write(live, tmp)` produces
+    * the replacement under `_<table>_compact`, then two renames
+    * activate it. Crash-safe in the store-compaction sense shared by
+    * every engine store (BM25 postings/doclens, IVF lists): a crashed
+    * prior swap — `_<table>_old` present without the live dir — is
+    * DETECTED and rolled back before compacting; stale scratch is
+    * cleared so a rename can never nest into it; and a failed
+    * activation rename restores the previous layout in place.
+    */
+  private[graft] def swapInRewrite(spark: SparkSession, base: String,
+                                   table: String)(
+      write: (String, String) => Unit): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val live = s"$base/$table"
+    val tmp = s"$base/_${table}_compact"
+    val old = s"$base/_${table}_old"
+    if (!fs.exists(p(live)) && fs.exists(p(old)))
+      require(fs.rename(p(old), p(live)),
+        s"swapInRewrite: cannot restore $live from crashed run")
+    fs.delete(p(tmp), true)
+    fs.delete(p(old), true)
+    write(live, tmp)
+    require(fs.rename(p(live), p(old)),
+      s"swapInRewrite: cannot move aside $live")
+    if (!fs.rename(p(tmp), p(live))) {
+      fs.rename(p(old), p(live))
+      throw new IllegalStateException(
+        s"swapInRewrite: cannot activate compacted $table - " +
+          "previous layout restored")
+    }
+    fs.delete(p(old), true)
+    ()
+  }
+
   /** S8 — utils/s3.py:35-93: the reference hand-rolls boto3 list/get/put
     * with retry + backoff. On Spark the s3a connector owns that loop;
     * this helper centralizes the equivalent tuning as documented Hadoop

@@ -436,6 +436,84 @@ object Vectors {
       .parquet(s"$path/lists")
   }
 
+  /** Incremental maintenance of a [[buildIvfIndex]] store: new
+    * vectors assign to the STORED centroids (the index's cluster
+    * geometry is fixed at build — retraining centroids is a rebuild,
+    * by definition) and append into the affected list partitions; no
+    * existing data is rewritten. Same guard posture as the BM25
+    * store's `updateBm25Index`: intra-batch duplicate ids, ids
+    * already indexed, and ids still tombstoned all refuse loudly.
+    */
+  def updateIvfIndex(vectors: DataFrame, path: String,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit = {
+    val spark = vectors.sparkSession
+    val prepped = vectors.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("v")).persist()
+    try {
+      require(prepped.groupBy("vec_id").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).limit(1).count() == 0L,
+        "updateIvfIndex batch repeats vec_ids within itself - " +
+          "dropDuplicates the batch on the id first")
+      val lists = spark.read.parquet(s"$path/lists")
+      require(prepped.select("vec_id")
+          .join(lists, Seq("vec_id"), "left_semi").limit(1).count() == 0L,
+        "updateIvfIndex batch contains vec_ids already indexed - " +
+          "re-indexing requires deleteFromIvfIndex + compactIvfIndex " +
+          "first (or a rebuild)")
+      val delP = new org.apache.hadoop.fs.Path(s"$path/deletes")
+      val fs = delP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(delP))
+        require(prepped.select("vec_id")
+            .join(spark.read.parquet(s"$path/deletes"),
+              Seq("vec_id"), "left_semi").limit(1).count() == 0L,
+          "updateIvfIndex batch contains tombstoned vec_ids - run " +
+            "compactIvfIndex first")
+      ivfAssign(prepped, spark.read.parquet(s"$path/centroids"))
+        .write.mode("append").partitionBy("cluster")
+        .parquet(s"$path/lists")
+    } finally { prepped.unpersist(); () }
+  }
+
+  /** Tombstone-delete vectors from a [[buildIvfIndex]] store: ONE
+    * append to a `deletes/` table; serving anti-joins the probed
+    * lists against it (tombstone-sized work) — no second write, no
+    * consistency window, duplicate tombstones harmless (the BM25
+    * store's delete posture). Physical removal at
+    * [[compactIvfIndex]].
+    */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, ids: DataFrame,
+                         idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+      .join(spark.read.parquet(s"$path/lists").select("vec_id"),
+        Seq("vec_id"), "left_semi")
+      .write.mode("append").parquet(s"$path/deletes")
+
+  /** Compact a [[buildIvfIndex]] store: rewrite the lists
+    * one-file-per-cluster (appends accumulate files per batch),
+    * applying tombstones physically, then clear them — the shared
+    * store-compaction swap ([[graft.io.Sinks.swapInRewrite]]) with
+    * its crash detection/rollback semantics.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit = {
+    val delP = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val fs = delP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dels =
+      if (fs.exists(delP)) Some(spark.read.parquet(s"$path/deletes"))
+      else None
+    graft.io.Sinks.swapInRewrite(spark, path, "lists") { (live, tmp) =>
+      dels.fold(spark.read.parquet(live))(d =>
+          spark.read.parquet(live).join(d, Seq("vec_id"), "left_anti"))
+        .repartition(col("cluster"))
+        .sortWithinPartitions("cluster", "vec_id")
+        .write.mode("overwrite").partitionBy("cluster").parquet(tmp)
+    }
+    fs.delete(delP, true)
+    ()
+  }
+
   /** IVF top-k served from a [[buildIvfIndex]] store: the query batch
     * probes its `nprobe` nearest centroids (tiny broadcast table from
     * the store) and the lists scan statically prunes to the probed
@@ -466,8 +544,18 @@ object Vectors {
       "ivf.query-probes")
     val probed = q.select("cluster").distinct()
       .collect().map(_.getLong(0)).toIndexedSeq
-    val lists = spark.read.parquet(s"$path/lists")
+    // tombstoned vectors drop from the probed lists by derivation
+    // (tombstone-sized anti-join) — the delete is effective the
+    // moment the tombstone lands, physical removal waits for compact
+    val delP = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val fs = delP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val raw = spark.read.parquet(s"$path/lists")
       .filter(col("cluster").isin(probed: _*))
+    val lists =
+      if (fs.exists(delP))
+        raw.join(spark.read.parquet(s"$path/deletes"),
+          Seq("vec_id"), "left_anti")
+      else raw
     val scored = lists.join(q, "cluster")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

@@ -220,6 +220,46 @@ class DedupVectorsSpec extends SparkSpec {
       .isDefined, s"expected a cluster partition filter:\n$plan")
   }
 
+  test("IVF store lifecycle: incremental update ≡ single-pass build; " +
+    "deletes tombstone then compact physically; guards refuse") {
+    import spark.implicits._
+    val cen = vecs.filter(col("vec_id").isin(0L, 3L))
+    val q = vecs.filter(col("vec_id") === 2L)
+    val full = java.nio.file.Files
+      .createTempDirectory("ivf_lc_full").toString
+    Vectors.buildIvfIndex(vecs, cen, full)
+    val inc = java.nio.file.Files
+      .createTempDirectory("ivf_lc_inc").toString
+    Vectors.buildIvfIndex(vecs.filter(col("vec_id") <= 1), cen, inc)
+    Vectors.updateIvfIndex(vecs.filter(col("vec_id") > 1), inc)
+    val a = Vectors.ivfTopKIndexed(spark, full, q, 3, nprobe = 2)
+    val b = Vectors.ivfTopKIndexed(spark, inc, q, 3, nprobe = 2)
+    assert(b.exceptAll(a).count() === 0)
+    assert(a.exceptAll(b).count() === 0)
+    // guards
+    val e1 = intercept[IllegalArgumentException](
+      Vectors.updateIvfIndex(vecs.filter(col("vec_id") === 0), inc))
+    assert(e1.getMessage.contains("already indexed"))
+    // delete vec 3, serve must forget it; compact removes physically
+    Vectors.deleteFromIvfIndex(spark, inc, Seq(3L).toDF("vec_id"))
+    val e2 = intercept[IllegalArgumentException](
+      Vectors.updateIvfIndex(vecs.filter(col("vec_id") === 3), inc))
+    assert(e2.getMessage.contains("already indexed") ||
+      e2.getMessage.contains("tombstoned"))
+    val afterDel = Vectors.ivfTopKIndexed(spark, inc, q, 3, nprobe = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(!afterDel.contains(3L))
+    Vectors.compactIvfIndex(spark, inc)
+    assert(!new java.io.File(s"$inc/deletes").exists())
+    assert(spark.read.parquet(s"$inc/lists")
+      .filter(col("vec_id") === 3L).count() === 0)
+    // deleted-then-compacted id is new again
+    Vectors.updateIvfIndex(vecs.filter(col("vec_id") === 3), inc)
+    val back = Vectors.ivfTopKIndexed(spark, inc, q, 3, nprobe = 2)
+    assert(back.exceptAll(a).count() === 0)
+    assert(a.exceptAll(back).count() === 0)
+  }
+
   test("ann top-k: same-bucket identical vector is retrieved") {
     val r = Vectors.annTopK(vecs, vecs.filter(col("vec_id") === 0), 2,
       planes = 4, dims = 3).collect()
