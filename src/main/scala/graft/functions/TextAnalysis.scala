@@ -595,16 +595,15 @@ object TextAnalysis {
           "re-indexing a document requires deleteFromBm25Index + " +
           "compactBm25Index first (or a rebuild); filter the batch " +
           "to new ids (left_anti against doclens)")
-      val delP = new org.apache.hadoop.fs.Path(s"$path/deletes")
-      val fs = delP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(delP)) {
-        val shadowed = dl.select("doc_id")
-          .join(spark.read.parquet(s"$path/deletes"),
-            Seq("doc_id"), "left_semi").limit(1).count()
-        require(shadowed == 0L,
-          "updateBm25Index batch contains tombstoned doc_ids - their " +
-            "physical rows survive until compaction and the tombstone " +
-            "would hide the re-added rows; run compactBm25Index first")
+      graft.io.Sinks.optionalTable(spark, s"$path/deletes").foreach {
+        d =>
+          require(dl.select("doc_id")
+              .join(d, Seq("doc_id"), "left_semi")
+              .limit(1).count() == 0L,
+            "updateBm25Index batch contains tombstoned doc_ids - " +
+              "their physical rows survive until compaction and the " +
+              "tombstone would hide the re-added rows; run " +
+              "compactBm25Index first")
       }
       dl.write.mode("append").parquet(s"$path/doclens")
       bm25PostingsOf(toks, pbuckets)
@@ -685,13 +684,21 @@ object TextAnalysis {
     // clear leaves tombstones over already-removed ids — the serve-
     // time anti-join is then a no-op, never wrong
     val delP = p(s"$path/deletes")
-    val dels =
-      if (fs.exists(delP)) Some(spark.read.parquet(s"$path/deletes"))
-      else None
+    val dels = graft.io.Sinks.optionalTable(spark, s"$path/deletes")
     def minus(df: org.apache.spark.sql.DataFrame) =
       dels.fold(df)(d => df.join(d, Seq("doc_id"), "left_anti"))
     swapIn("postings") { (live, tmp) =>
-      minus(spark.read.parquet(live))
+      val survivors = minus(spark.read.parquet(live))
+      // a dynamic-partitioned write of an EMPTY frame leaves a dir
+      // with no schema-bearing file — activating it would brick every
+      // later read. An index whose every doc is tombstoned is not a
+      // store to keep; refuse loudly (the un-compacted store keeps
+      // serving empty results correctly).
+      require(survivors.limit(1).count() > 0L,
+        "compactBm25Index: every indexed document is tombstoned - " +
+          "compaction would leave an unreadable empty store; delete " +
+          "the store directory (or rebuild) instead")
+      survivors
         .repartition(col("pb"))
         .sortWithinPartitions("pb", "word", "doc_id")
         .write.mode("overwrite").partitionBy("pb").parquet(tmp)
@@ -754,13 +761,7 @@ object TextAnalysis {
     // aggregate over a table this query already joins — and buys the
     // absence of any stats-vs-tombstone crash window (two files cannot
     // be written atomically; one file plus derivation can).
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val delPath = s"$path/deletes"
-    val dels =
-      if (fs.exists(new org.apache.hadoop.fs.Path(delPath)))
-        Some(spark.read.parquet(delPath))
-      else None
+    val dels = graft.io.Sinks.optionalTable(spark, s"$path/deletes")
     def minus(df: org.apache.spark.sql.DataFrame) =
       dels.fold(df)(d => df.join(d, Seq("doc_id"), "left_anti"))
     val postQ = graft.CacheScope.retain(

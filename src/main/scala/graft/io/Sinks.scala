@@ -170,6 +170,16 @@ object Sinks {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  /** A store sub-table that may not exist yet (tombstone tables):
+    * None until the first write creates it. One accessor so every
+    * consumer (serve anti-joins, overlap guards, compaction) reads
+    * the same layout the same way.
+    */
+  private[graft] def optionalTable(spark: SparkSession,
+                                   path: String): Option[DataFrame] =
+    if (storeExists(spark, path)) Some(spark.read.parquet(path))
+    else None
+
   /** Rewrite-and-swap a store sub-table: `write(live, tmp)` produces
     * the replacement under `_<table>_compact`, then two renames
     * activate it. Crash-safe in the store-compaction sense shared by

@@ -461,14 +461,11 @@ object Vectors {
         "updateIvfIndex batch contains vec_ids already indexed - " +
           "re-indexing requires deleteFromIvfIndex + compactIvfIndex " +
           "first (or a rebuild)")
-      val delP = new org.apache.hadoop.fs.Path(s"$path/deletes")
-      val fs = delP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(delP))
+      graft.io.Sinks.optionalTable(spark, s"$path/deletes").foreach(d =>
         require(prepped.select("vec_id")
-            .join(spark.read.parquet(s"$path/deletes"),
-              Seq("vec_id"), "left_semi").limit(1).count() == 0L,
+            .join(d, Seq("vec_id"), "left_semi").limit(1).count() == 0L,
           "updateIvfIndex batch contains tombstoned vec_ids - run " +
-            "compactIvfIndex first")
+            "compactIvfIndex first"))
       ivfAssign(prepped, spark.read.parquet(s"$path/centroids"))
         .write.mode("append").partitionBy("cluster")
         .parquet(s"$path/lists")
@@ -498,19 +495,27 @@ object Vectors {
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String): Unit = {
-    val delP = new org.apache.hadoop.fs.Path(s"$path/deletes")
-    val fs = delP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dels =
-      if (fs.exists(delP)) Some(spark.read.parquet(s"$path/deletes"))
-      else None
+    val dels = graft.io.Sinks.optionalTable(spark, s"$path/deletes")
     graft.io.Sinks.swapInRewrite(spark, path, "lists") { (live, tmp) =>
-      dels.fold(spark.read.parquet(live))(d =>
-          spark.read.parquet(live).join(d, Seq("vec_id"), "left_anti"))
+      val survivors = dels.fold(spark.read.parquet(live))(d =>
+        spark.read.parquet(live).join(d, Seq("vec_id"), "left_anti"))
+      // a dynamic-partitioned write of an EMPTY frame produces a dir
+      // with no schema-bearing file — activating it would brick every
+      // later read of lists/. An index whose every vector is deleted
+      // is not a store to keep; refuse with the remediation (the
+      // un-compacted store keeps serving empty results correctly).
+      require(survivors.limit(1).count() > 0L,
+        "compactIvfIndex: every indexed vector is tombstoned - " +
+          "compaction would leave an unreadable empty store; delete " +
+          "the store directory (or rebuild) instead")
+      survivors
         .repartition(col("cluster"))
         .sortWithinPartitions("cluster", "vec_id")
         .write.mode("overwrite").partitionBy("cluster").parquet(tmp)
     }
-    fs.delete(delP, true)
+    val delP = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    delP.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(delP, true)
     ()
   }
 
@@ -547,15 +552,10 @@ object Vectors {
     // tombstoned vectors drop from the probed lists by derivation
     // (tombstone-sized anti-join) — the delete is effective the
     // moment the tombstone lands, physical removal waits for compact
-    val delP = new org.apache.hadoop.fs.Path(s"$path/deletes")
-    val fs = delP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val raw = spark.read.parquet(s"$path/lists")
       .filter(col("cluster").isin(probed: _*))
-    val lists =
-      if (fs.exists(delP))
-        raw.join(spark.read.parquet(s"$path/deletes"),
-          Seq("vec_id"), "left_anti")
-      else raw
+    val lists = graft.io.Sinks.optionalTable(spark, s"$path/deletes")
+      .fold(raw)(d => raw.join(d, Seq("vec_id"), "left_anti"))
     val scored = lists.join(q, "cluster")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

@@ -253,6 +253,23 @@ class DedupVectorsSpec extends SparkSpec {
     assert(!new java.io.File(s"$inc/deletes").exists())
     assert(spark.read.parquet(s"$inc/lists")
       .filter(col("vec_id") === 3L).count() === 0)
+    // the small-file cleanup is the operation's purpose: one parquet
+    // file per cluster dir after compaction
+    new java.io.File(s"$inc/lists").listFiles()
+      .filter(_.getName.startsWith("cluster=")).foreach { c =>
+        assert(c.listFiles().count(_.getName.endsWith(".parquet")) === 1,
+          s"cluster dir ${c.getName} not compacted to one file")
+      }
+    // compacting away EVERY vector must refuse, not brick the store
+    val empty = java.nio.file.Files
+      .createTempDirectory("ivf_lc_empty").toString
+    Vectors.buildIvfIndex(vecs, cen, empty)
+    Vectors.deleteFromIvfIndex(spark, empty, vecs.select("vec_id"))
+    val e3 = intercept[IllegalArgumentException](
+      Vectors.compactIvfIndex(spark, empty))
+    assert(e3.getMessage.contains("tombstoned"))
+    assert(Vectors.ivfTopKIndexed(spark, empty, q, 3).count() === 0,
+      "the un-compacted all-tombstoned store still serves (empty)")
     // deleted-then-compacted id is new again
     Vectors.updateIvfIndex(vecs.filter(col("vec_id") === 3), inc)
     val back = Vectors.ivfTopKIndexed(spark, inc, q, 3, nprobe = 2)
