@@ -215,8 +215,7 @@ private[graft] object QueriesLlm {
     */
   def ivfIndexed(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_ivf_idx_").toString
+    val idx = graft.io.Scratch.dir("graft_ivf_idx_").toString
     Vectors.buildIvfIndex(emb, emb.filter(col("vec_id") < 16), idx)
     Vectors.ivfTopKIndexed(s, idx, emb.filter(col("vec_id") < 5), 5,
       nprobe = 2)
@@ -414,8 +413,7 @@ private[graft] object QueriesLlm {
     */
   def bm25IndexedQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_bm25_idx_").toString
+    val idx = graft.io.Scratch.dir("graft_bm25_idx_").toString
     TextAnalysis.buildBm25Index(t(s, dir, "documents"), idx)
     val q = Bm25QueryFixture.toDF("query_id", "qtext")
     TextAnalysis.bm25TopKIndexed(s, idx, q, 10)
@@ -432,8 +430,7 @@ private[graft] object QueriesLlm {
   def bm25UpdateQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_bm25_upd_").toString
+    val idx = graft.io.Scratch.dir("graft_bm25_upd_").toString
     TextAnalysis.buildBm25Index(docs.filter(col("doc_id") % 2 === 0), idx)
     TextAnalysis.updateBm25Index(docs.filter(col("doc_id") % 2 === 1), idx)
     val q = Bm25QueryFixture.toDF("query_id", "qtext")
@@ -450,8 +447,7 @@ private[graft] object QueriesLlm {
   def bm25DeleteQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_bm25_del_").toString
+    val idx = graft.io.Scratch.dir("graft_bm25_del_").toString
     TextAnalysis.buildBm25Index(docs, idx)
     TextAnalysis.deleteFromBm25Index(s, idx,
       docs.filter(col("doc_id") % 2 === 1).select("doc_id"))
@@ -466,8 +462,7 @@ private[graft] object QueriesLlm {
     */
   def ivfUpdateQ(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_ivf_upd_").toString
+    val idx = graft.io.Scratch.dir("graft_ivf_upd_").toString
     Vectors.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
       emb.filter(col("vec_id") < 16), idx)
     Vectors.updateIvfIndex(emb.filter(col("vec_id") % 2 === 1), idx)
@@ -483,8 +478,7 @@ private[graft] object QueriesLlm {
     */
   def ivfDeleteQ(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_ivf_del_").toString
+    val idx = graft.io.Scratch.dir("graft_ivf_del_").toString
     Vectors.buildIvfIndex(emb, emb.filter(col("vec_id") < 16), idx)
     Vectors.deleteFromIvfIndex(s, idx,
       emb.filter(col("vec_id") % 2 === 1).select("vec_id"))
@@ -503,8 +497,7 @@ private[graft] object QueriesLlm {
   def streamIndexQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
-    val staged = java.nio.file.Files
-      .createTempDirectory("graft_stream_idx_docs_")
+    val staged = graft.io.Scratch.dir("graft_stream_idx_docs_")
     Seq(("even", col("doc_id") % 2 === 0),
         ("odd", col("doc_id") % 2 === 1)).foreach { case (name, pred) =>
       val tmp = staged.resolve(s"_$name")
@@ -520,8 +513,7 @@ private[graft] object QueriesLlm {
       java.nio.file.Files.move(part, staged.resolve(s"$name.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_stream_idx_").toString
+    val idx = graft.io.Scratch.dir("graft_stream_idx_").toString
     Streams.bm25IndexStream(
       Streams.fileStream(s, staged.toString, Streams.DocsRawSchema,
         maxFilesPerTrigger = Some(1)),
@@ -539,8 +531,7 @@ private[graft] object QueriesLlm {
   def bm25CompactQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_bm25_cmp_").toString
+    val idx = graft.io.Scratch.dir("graft_bm25_cmp_").toString
     TextAnalysis.buildBm25Index(docs.filter(col("doc_id") % 2 === 0), idx)
     TextAnalysis.updateBm25Index(docs.filter(col("doc_id") % 2 === 1), idx)
     TextAnalysis.compactBm25Index(s, idx)
@@ -786,8 +777,7 @@ private[graft] object QueriesLlm {
         lit(ByteBpeSuffix)).as("text"))
     val merges = TextAnalysis.learnBpeMerges(docs, BpeTrainMerges,
       byteLevel = true)
-    val store = java.nio.file.Files
-      .createTempDirectory("graft_bpe_store_").toString
+    val store = graft.io.Scratch.dir("graft_bpe_store_").toString
     TextAnalysis.saveTokenizer(docs, merges, store, byteLevel = true)
     TextAnalysis.decodeTokensBpeStored(s, store,
       TextAnalysis.encodeTokensBpeStored(s, store, docs))

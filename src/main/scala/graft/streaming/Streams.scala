@@ -43,35 +43,11 @@ object Streams {
       StructField("value", DoubleType),
       StructField("props", StringType)))
 
-  /** Per-run scratch dir for staging file-source inputs. A fixed
-    * world-shared /tmp path lets two concurrent runs (or two users on
-    * one box) clobber each other's staged files mid-stream; a fresh
-    * `createTempDirectory` per call is private to this run.
-    *
-    * Cleanup is a single shutdown hook that RECURSIVELY deletes every
-    * registered dir — `File.deleteOnExit` on the directory alone
-    * silently fails once files are copied in (non-empty dirs don't
-    * delete), which would leak one full parquet copy per streaming
-    * call across runs.
+  /** Per-run scratch dir for staging file-source inputs — see
+    * [[graft.io.Scratch]] for the isolation + cleanup contract.
     */
-  private val stagedDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
-  private lazy val cleanupHook: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      stagedDirs.forEach { d =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(d).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case _: java.io.IOException => () }
-      }))
-  private def stagingDir(prefix: String): java.nio.file.Path = {
-    cleanupHook
-    val d = java.nio.file.Files.createTempDirectory(prefix)
-    stagedDirs.add(d)
-    d
-  }
+  private def stagingDir(prefix: String): java.nio.file.Path =
+    graft.io.Scratch.dir(prefix)
 
   /** Generic parquet file-source stream with optional T6 backpressure —
     * the single wiring point every streaming entry (and the T6 spec)
