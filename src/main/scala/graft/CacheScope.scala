@@ -45,13 +45,16 @@ object CacheScope {
   private val held = scala.collection.mutable.Map.empty[
     SparkSession, scala.collection.mutable.ListBuffer[(String, DataFrame)]]
 
-  // sessions that already carry the eviction listener. Tracked apart
-  // from `held` — release() clears a session's held entry, and the
-  // next retain would otherwise re-install a fresh listener per
+  // the eviction listener each session carries. Tracked apart from
+  // `held` — release() clears a session's held entry, and the next
+  // retain would otherwise re-install a fresh listener per
   // retain/release cycle (unbounded ListenerBus growth in a
-  // long-lived driver). One listener per session, ever.
-  private val listening =
-    scala.collection.mutable.Set.empty[SparkSession]
+  // long-lived driver). release() also REMOVES the listener from the
+  // bus and drops this entry: a driver cycling many short-lived
+  // `newSession()`s over one long-lived context must not pin every
+  // discarded session until application end.
+  private val listening = scala.collection.mutable.Map.empty[
+    SparkSession, org.apache.spark.scheduler.SparkListener]
 
   /** Persist `df` (MEMORY_AND_DISK, the `Dataset.cache()` level) and
     * register it under `tag` for its session. Returns `df` for inline
@@ -69,15 +72,17 @@ object CacheScope {
     df.persist(level)
     val s = df.sparkSession
     held.synchronized {
-      if (listening.add(s))
-        s.sparkContext.addSparkListener(
-          new org.apache.spark.scheduler.SparkListener {
-            override def onApplicationEnd(
-                e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
-                : Unit = held.synchronized {
-              held.remove(s); listening.remove(s); ()
-            }
-          })
+      if (!listening.contains(s)) {
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit = held.synchronized {
+            held.remove(s); listening.remove(s); ()
+          }
+        }
+        s.sparkContext.addSparkListener(l)
+        listening(s) = l
+      }
       held.getOrElseUpdate(s,
         scala.collection.mutable.ListBuffer.empty) += (tag -> df)
     }
@@ -99,7 +104,16 @@ object CacheScope {
     * unaffected; only the one-scan economy is).
     */
   def release(spark: SparkSession): Int = {
-    val drained = held.synchronized { held.remove(spark) }
+    val (drained, listener) = held.synchronized {
+      (held.remove(spark), listening.remove(spark))
+    }
+    // drop the bus listener too: a released session may be a
+    // discarded newSession() that must become collectable now, not
+    // at application end. A later retain simply re-installs one.
+    listener.foreach { l =>
+      try spark.sparkContext.removeSparkListener(l)
+      catch { case _: IllegalStateException => () } // context stopped
+    }
     drained match {
       case None => 0
       case Some(q) =>

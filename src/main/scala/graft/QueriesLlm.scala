@@ -500,18 +500,8 @@ private[graft] object QueriesLlm {
     val staged = graft.io.Scratch.dir("graft_stream_idx_docs_")
     Seq(("even", col("doc_id") % 2 === 0),
         ("odd", col("doc_id") % 2 === 1)).foreach { case (name, pred) =>
-      val tmp = staged.resolve(s"_$name")
-      docs.filter(pred).coalesce(1)
-        .write.mode("overwrite").parquet(tmp.toString)
-      val part = {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(tmp).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(
-            s"no parquet part written under $tmp"))
-      }
-      java.nio.file.Files.move(part, staged.resolve(s"$name.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.io.Scratch.stageSingleParquetFile(
+        docs.filter(pred), staged, s"$name.parquet")
     }
     val idx = graft.io.Scratch.dir("graft_stream_idx_").toString
     Streams.bm25IndexStream(

@@ -89,7 +89,11 @@ private[graft] object Tables {
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    normalizeTs(s.read.parquet(path), tsEncoding(s, path))
+    // probe FIRST: tsEncoding sets the legacy nanos conf that schema
+    // inference on a TIMESTAMP(NANOS) file needs — evaluating the
+    // read before it would crash external (non-GraftSession) sessions
+    val enc = tsEncoding(s, path)
+    normalizeTs(s.read.parquet(path), enc)
   }
 
   /** Deterministic session-boundary fixture unioned into BOTH session

@@ -567,11 +567,18 @@ object TextAnalysis {
     * semi-joins against doc-count-sized tables, never the corpus) and
     * the call fails loudly with the remediation.
     *
-    * Crash consistency: doclens appends FIRST — an orphan doclens row
-    * (crash before the postings append) never reaches a score,
-    * because a doc with no postings never enters the postings sliver
-    * — and the next attempt for the same batch REFUSES via the
-    * overlap guard, loud, with rebuild as the remediation.
+    * Crash consistency: doclens appends FIRST. An orphan doclens row
+    * (crash before the postings append) never reaches TERM scoring —
+    * a doc with no postings never enters the postings sliver — but it
+    * does count in the serve-derived (N, Σdl) scalars: a bounded
+    * global idf/avgdl shift, not structural corruption, and HEALABLE
+    * with the existing ops — tombstone the failed batch's ids
+    * ([[deleteFromBm25Index]]; scores correct immediately) and
+    * [[compactBm25Index]] (rows physically gone, ids re-addable).
+    * The next attempt for the same batch REFUSES via the overlap
+    * guard with exactly that remediation. The reverse write order
+    * would be worse: orphan POSTINGS would inflate df for every
+    * shared term and a retried batch would double rows.
     */
   def updateBm25Index(docs: org.apache.spark.sql.DataFrame, path: String,
                       idCol: String = "doc_id",
@@ -592,9 +599,10 @@ object TextAnalysis {
           Seq("doc_id"), "left_semi").limit(1).count()
       require(dup == 0L,
         "updateBm25Index batch contains doc_ids already indexed - " +
-          "re-indexing a document requires deleteFromBm25Index + " +
-          "compactBm25Index first (or a rebuild); filter the batch " +
-          "to new ids (left_anti against doclens)")
+          "re-indexing a document (or healing a crashed half-applied " +
+          "update) requires deleteFromBm25Index + compactBm25Index " +
+          "first; for genuinely new data filter the batch to new ids " +
+          "(left_anti against doclens)")
       graft.io.Sinks.optionalTable(spark, s"$path/deletes").foreach {
         d =>
           require(dl.select("doc_id")
@@ -711,13 +719,17 @@ object TextAnalysis {
     fs.delete(delP, true)
     // refresh the stats snapshot from the now-live doclens (serving
     // derives its own scalars; this keeps the stored pair truthful
-    // for humans and external readers)
+    // for humans and external readers). Through the swap helper like
+    // every other table: an in-place overwrite crashing mid-write
+    // would leave no readable pbuckets and brick serving.
     val stats0 = spark.read.parquet(s"$path/stats").head()
-    spark.read.parquet(s"$path/doclens")
-      .agg(count(lit(1)).as("n"),
-        coalesce(sum(col("dl")), lit(0L)).as("sdl"))
-      .withColumn("pbuckets", lit(stats0.getAs[Long]("pbuckets")))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    swapIn("stats") { (_, tmp) =>
+      spark.read.parquet(s"$path/doclens")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("dl")), lit(0L)).as("sdl"))
+        .withColumn("pbuckets", lit(stats0.getAs[Long]("pbuckets")))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
   }
 
   /** BM25 top-`k` served from a [[buildBm25Index]] store: no corpus

@@ -33,4 +33,28 @@ object Scratch {
     dirs.add(d)
     d
   }
+
+  /** Write `df` as ONE plain parquet FILE at `dir/name` — the shape a
+    * file-source stream lists (it reads plain files, not Spark's
+    * part-file directories). Spark writes a one-part directory into an
+    * underscore-prefixed scratch subdir (underscore paths are
+    * invisible to the file source, so a half-staged write is never
+    * consumed), then the part file moves up under the final name.
+    */
+  def stageSingleParquetFile(df: org.apache.spark.sql.DataFrame,
+                             dir: java.nio.file.Path,
+                             name: String): Unit = {
+    val tmp = dir.resolve(s"_stage_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"no parquet part written under $tmp"))
+    }
+    java.nio.file.Files.move(part, dir.resolve(name),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
 }

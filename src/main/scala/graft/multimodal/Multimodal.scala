@@ -364,10 +364,13 @@ object Multimodal {
           val sz = le32(off.toInt + 4)
           val body = off + 8
           id4(off.toInt) match {
-            case "fmt " if body + 16 <= p.length &&
+            // the chunk's own declared size must cover the 16 PCM fmt
+            // bytes too — a short fmt chunk would otherwise read
+            // audioFormat/blockAlign out of the NEXT chunk's header
+            case "fmt " if sz >= 16 && body + 16 <= p.length &&
                 le16(body.toInt) == 1 =>
               blockAlign = le16(body.toInt + 12)
-            case "fmt " => done = true // truncated or non-PCM
+            case "fmt " => done = true // truncated, short, or non-PCM
             case "data" =>
               done = true
               if (blockAlign >= 1) {

@@ -198,20 +198,8 @@ object Streams {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // the file source lists plain files, not directories: write the
-    // one-partition fixture to a scratch dir and move its part file up
-    val tmp = staged.resolve("_tie_tmp")
-    graft.Tables.SessionTie.rawDf(spark, enc).coalesce(1)
-      .write.mode("overwrite").parquet(tmp.toString)
-    val part = {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(
-          s"no parquet part written under $tmp"))
-    }
-    java.nio.file.Files.move(part, staged.resolve("tie.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.io.Scratch.stageSingleParquetFile(
+      graft.Tables.SessionTie.rawDf(spark, enc), staged, "tie.parquet")
     graft.Tables.normalizeTs(
       fileStream(spark, staged.toString, eventsRawSchema(enc), None),
       enc)
@@ -347,17 +335,23 @@ object Streams {
     * every later batch appends
     * ([[graft.functions.TextAnalysis.updateBm25Index]] — postings/
     * doclens appends into the affected buckets, no rewrite). The
-    * file-source checkpoint makes ingestion restartable; update's
-    * overlap guard makes a replayed batch fail loudly instead of
-    * double-indexing. Serving ([[graft.functions.TextAnalysis
+    * file-source checkpoint makes ingestion restartable WHEN a
+    * durable `checkpoint` location is supplied — without one Spark
+    * uses a temp checkpoint and a restarted run would re-list every
+    * file, where update's overlap guard fails the first replayed
+    * batch loudly instead of double-indexing (one-shot semantics,
+    * never corruption). Serving ([[graft.functions.TextAnalysis
     * .bm25TopKIndexed]]) sees each batch as soon as its append lands
     * — the continuously-maintained retrieval index every RAG/search
     * ingestion pipeline runs.
     */
-  def bm25IndexStream(docs: DataFrame, path: String, pbuckets: Int = 64):
+  def bm25IndexStream(docs: DataFrame, path: String, pbuckets: Int = 64,
+                      checkpoint: Option[String] = None):
       org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.functions.TextAnalysis
-    val q = docs.writeStream
+    val writer = docs.writeStream
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    val q = writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (graft.io.Sinks.storeExists(batch.sparkSession,
             s"$path/doclens"))

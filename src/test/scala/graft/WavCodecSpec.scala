@@ -89,6 +89,21 @@ class WavCodecSpec extends SparkSpec {
     assert(codec(withBadChunk(0xFFFFFFFF), 10) === Nil)
   }
 
+  test("an fmt chunk whose declared size is too short for PCM fields " +
+    "rejects instead of reading the next chunk's bytes") {
+    // fmt declares sz=4: blockAlign would come from the following
+    // data chunk's header if the size weren't validated
+    val b = ByteBuffer.allocate(12 + 8 + 4 + 8 + 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(-1)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(4)
+    b.putShort(1).putShort(1) // "PCM mono" but the chunk ends here
+    b.put("data".getBytes("US-ASCII")).putInt(4)
+    b.put(Array[Byte](9, 9, 9, 9))
+    assert(codec(b.array(), 10) === Nil)
+  }
+
   test("reject paths all yield Nil: garbage, non-PCM, truncated, no data") {
     val data = (0 until 4).map(_.toByte).toArray
     assert(codec("not a wav at all".getBytes, 10) === Nil)
