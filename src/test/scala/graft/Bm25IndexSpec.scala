@@ -60,6 +60,18 @@ class Bm25IndexSpec extends SparkSpec {
         s"${want.mkString(",")} in: ${filter.get}")
   }
 
+  test("serving reads ONLY store tables - no corpus path in the plan") {
+    val idx = Files.createTempDirectory("bm25idx_np").toString
+    TextAnalysis.buildBm25Index(corpus, idx, pbuckets = 16)
+    val served = TextAnalysis.bm25TopKIndexed(spark, idx, queries, 3)
+    served.collect()
+    val scans = "Location: [^,\\]]+".r
+      .findAllIn(served.queryExecution.executedPlan.toString).toSeq
+    assert(scans.nonEmpty)
+    scans.foreach(loc => assert(loc.contains("bm25idx_np"),
+      s"serving plan scans a non-store location: $loc"))
+  }
+
   test("hash60Jvm matches the Column expression") {
     val words = Seq("hash", "join", "window", "", "ünïcode £5")
     val viaCol = words.toDF("w")
