@@ -486,6 +486,34 @@ private[graft] object QueriesLlm {
       nprobe = 2)
   }
 
+  /** Streaming IVF ingestion: embeddings arrive as two files, one per
+    * micro-batch — first builds the store against the fixed centroid
+    * table, second appends against the STORED centroids; serving
+    * equals the in-memory probe over everything.
+    */
+  def streamIvfQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val staged = graft.io.Scratch.dir("graft_stream_ivf_")
+    Seq(("even", col("vec_id") % 2 === 0),
+        ("odd", col("vec_id") % 2 === 1)).foreach { case (name, pred) =>
+      graft.io.Scratch.stageSingleParquetFile(
+        emb.filter(pred), staged, s"$name.parquet")
+    }
+    val idx = graft.io.Scratch.dir("graft_stream_ivf_idx_").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    Streams.ivfIndexStream(
+      Streams.fileStream(s, staged.toString, schema,
+        maxFilesPerTrigger = Some(1)),
+      emb.filter(col("vec_id") < 16), idx)
+    Vectors.ivfTopKIndexed(s, idx, emb.filter(col("vec_id") < 5), 5,
+      nprobe = 2)
+  }
+
   /** Streaming-ingestion capstone: the corpus arrives as TWO parquet
     * files consumed one per micro-batch (`maxFilesPerTrigger=1`), and
     * [[Streams.bm25IndexStream]] folds each batch into the persisted
@@ -810,6 +838,7 @@ private[graft] object QueriesLlm {
     "q_bm25_compact" -> (bm25CompactQ _),
     "q_bm25_delete" -> (bm25DeleteQ _),
     "q_stream_index" -> (streamIndexQ _),
+    "q_stream_ivf" -> (streamIvfQ _),
     "q_hybrid_rrf" -> (hybridRrfQ _),
     "q_shuffle_shards" -> (shuffleShardsQ _),
     "q_stream_neardup" -> (streamNearDupQ _),
@@ -2116,6 +2145,8 @@ private[graft] object QueriesLlm {
     "q_ivf_indexed" -> IvfProbeSql,
     // incrementally-maintained lists ≡ single-pass build
     "q_ivf_update" -> IvfProbeSql,
+    // two-batch streaming ingestion ≡ the same
+    "q_stream_ivf" -> IvfProbeSql,
     // tombstoned vectors vanish from the corpus side; queries (by
     // example) still come from the full embedding table
     "q_ivf_delete" -> ivfProbeSql("vec_id % 2 = 0"),

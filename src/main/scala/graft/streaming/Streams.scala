@@ -365,6 +365,37 @@ object Streams {
     q // terminated; progress history lets callers assert batch counts
   }
 
+  /** Streaming ingestion into an IVF index store — the vector twin of
+    * [[bm25IndexStream]]: the first micro-batch builds the store
+    * against the supplied centroids
+    * ([[graft.similarity.Vectors.buildIvfIndex]]), every later batch
+    * assigns to the STORED centroids and appends
+    * ([[graft.similarity.Vectors.updateIvfIndex]]). Same checkpoint
+    * contract as the BM25 stream: durable `checkpoint` → restartable;
+    * without one, a replayed batch fails loudly on the overlap guard
+    * instead of double-indexing.
+    */
+  def ivfIndexStream(vectors: DataFrame, centroids: DataFrame,
+                     path: String,
+                     checkpoint: Option[String] = None):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.similarity.Vectors
+    val writer = vectors.writeStream
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    val q = writer
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (graft.io.Sinks.storeExists(batch.sparkSession,
+            s"$path/lists"))
+          Vectors.updateIvfIndex(batch, path)
+        else
+          Vectors.buildIvfIndex(batch, centroids, path)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming approximate distinct per key: one DataSketches HLL
     * sketch per key held as `mapGroupsWithState` state — bounded
     * memory forever (≤ ~2.5 KB/key at lgK=12, rse ≈ 1.6%/√m) where

@@ -277,6 +277,34 @@ class DedupVectorsSpec extends SparkSpec {
     assert(a.exceptAll(back).count() === 0)
   }
 
+  test("streaming IVF ingestion: two micro-batches fold into the " +
+    "store and serve like a single-pass build") {
+    import org.apache.spark.sql.types._
+    val cen = vecs.filter(col("vec_id").isin(0L, 3L))
+    val q = vecs.filter(col("vec_id") === 2L)
+    val staged = graft.io.Scratch.dir("ivf_stream_spec")
+    Seq(("a", col("vec_id") <= 1), ("b", col("vec_id") > 1))
+      .foreach { case (name, pred) =>
+        graft.io.Scratch.stageSingleParquetFile(
+          vecs.filter(pred), staged, s"$name.parquet")
+      }
+    val idx = graft.io.Scratch.dir("ivf_stream_spec_idx").toString
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val sq = graft.streaming.Streams.ivfIndexStream(
+      graft.streaming.Streams.fileStream(spark, staged.toString, schema,
+        maxFilesPerTrigger = Some(1)),
+      cen, idx)
+    assert(sq.recentProgress.count(_.numInputRows > 0) === 2,
+      "expected exactly two non-empty micro-batches")
+    val full = graft.io.Scratch.dir("ivf_stream_spec_full").toString
+    Vectors.buildIvfIndex(vecs, cen, full)
+    val a = Vectors.ivfTopKIndexed(spark, full, q, 3, nprobe = 2)
+    val b = Vectors.ivfTopKIndexed(spark, idx, q, 3, nprobe = 2)
+    assert(b.exceptAll(a).count() === 0)
+    assert(a.exceptAll(b).count() === 0)
+  }
+
   test("ann top-k: same-bucket identical vector is retrieved") {
     val r = Vectors.annTopK(vecs, vecs.filter(col("vec_id") === 0), 2,
       planes = 4, dims = 3).collect()
