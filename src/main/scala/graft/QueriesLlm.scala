@@ -500,14 +500,8 @@ private[graft] object QueriesLlm {
         emb.filter(pred), staged, s"$name.parquet")
     }
     val idx = graft.io.Scratch.dir("graft_stream_ivf_idx_").toString
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("vec_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("embedding",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.FloatType))))
     Streams.ivfIndexStream(
-      Streams.fileStream(s, staged.toString, schema,
+      Streams.fileStream(s, staged.toString, Streams.EmbeddingsRawSchema,
         maxFilesPerTrigger = Some(1)),
       emb.filter(col("vec_id") < 16), idx)
     Vectors.ivfTopKIndexed(s, idx, emb.filter(col("vec_id") < 5), 5,

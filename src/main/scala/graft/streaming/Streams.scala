@@ -349,15 +349,32 @@ object Streams {
                       checkpoint: Option[String] = None):
       org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.functions.TextAnalysis
+    indexIngestStream(docs, s"$path/doclens", checkpoint)(
+      build = b => TextAnalysis.buildBm25Index(b, path, pbuckets),
+      update = b => TextAnalysis.updateBm25Index(b, path))
+  }
+
+  /** The shared build-or-update ingestion scaffold both index streams
+    * ([[bm25IndexStream]], [[ivfIndexStream]]) run on: foreachBatch
+    * dispatches on whether `probePath` exists yet, an EMPTY batch is
+    * skipped outright (a zero-row first batch would otherwise "build"
+    * a schema-less store — the empty-dynamic-partition-write brick the
+    * compactors guard against), and the terminated query returns so
+    * callers can assert batch counts.
+    */
+  private def indexIngestStream(docs: DataFrame, probePath: String,
+                                checkpoint: Option[String])(
+      build: DataFrame => Unit, update: DataFrame => Unit):
+      org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = docs.writeStream
     checkpoint.foreach(c => writer.option("checkpointLocation", c))
     val q = writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (graft.io.Sinks.storeExists(batch.sparkSession,
-            s"$path/doclens"))
-          TextAnalysis.updateBm25Index(batch, path)
-        else
-          TextAnalysis.buildBm25Index(batch, path, pbuckets)
+        if (batch.limit(1).count() > 0L) {
+          if (graft.io.Sinks.storeExists(batch.sparkSession, probePath))
+            update(batch)
+          else build(batch)
+        }
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -380,21 +397,15 @@ object Streams {
                      checkpoint: Option[String] = None):
       org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.similarity.Vectors
-    val writer = vectors.writeStream
-    checkpoint.foreach(c => writer.option("checkpointLocation", c))
-    val q = writer
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (graft.io.Sinks.storeExists(batch.sparkSession,
-            s"$path/lists"))
-          Vectors.updateIvfIndex(batch, path)
-        else
-          Vectors.buildIvfIndex(batch, centroids, path)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q
+    indexIngestStream(vectors, s"$path/lists", checkpoint)(
+      build = b => Vectors.buildIvfIndex(b, centroids, path),
+      update = b => Vectors.updateIvfIndex(b, path))
   }
+
+  /** embeddings.parquet read schema for the streaming source. */
+  private[graft] val EmbeddingsRawSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
 
   /** Streaming approximate distinct per key: one DataSketches HLL
     * sketch per key held as `mapGroupsWithState` state — bounded

@@ -65,6 +65,8 @@ class Bm25IndexSpec extends SparkSpec {
     TextAnalysis.buildBm25Index(corpus, idx, pbuckets = 16)
     val served = TextAnalysis.bm25TopKIndexed(spark, idx, queries, 3)
     served.collect()
+    // long TMPDIRs would otherwise truncate the path out of the plan
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
     val scans = "Location: [^,\\]]+".r
       .findAllIn(served.queryExecution.executedPlan.toString).toSeq
     assert(scans.nonEmpty)

@@ -289,10 +289,9 @@ class DedupVectorsSpec extends SparkSpec {
           vecs.filter(pred), staged, s"$name.parquet")
       }
     val idx = graft.io.Scratch.dir("ivf_stream_spec_idx").toString
-    val schema = StructType(Seq(StructField("vec_id", LongType),
-      StructField("embedding", ArrayType(FloatType))))
     val sq = graft.streaming.Streams.ivfIndexStream(
-      graft.streaming.Streams.fileStream(spark, staged.toString, schema,
+      graft.streaming.Streams.fileStream(spark, staged.toString,
+        graft.streaming.Streams.EmbeddingsRawSchema,
         maxFilesPerTrigger = Some(1)),
       cen, idx)
     assert(sq.recentProgress.count(_.numInputRows > 0) === 2,
