@@ -7,8 +7,22 @@ import org.apache.spark.sql.types._
 /** Shared readers for the driver's test tables. */
 private[graft] object Tables {
 
-  def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Read a test table conformed to its logical contract
+    * ([[graft.schema.Conform.contracts]]): identical physical schema
+    * passes through untouched (zero plan change), value-preserving
+    * drift (int width, float width, timestamp encoding) conforms via
+    * in-plan casts, lossy or semantic drift refuses loudly. The
+    * legacy-nanos shim is set before the read so a TIMESTAMP(NANOS)
+    * file infers as long instead of crashing schema inference — even
+    * on sessions not built by [[GraftSession]].
+    */
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    graft.schema.Conform.contracts.get(name)
+      .map(c => graft.schema.Conform.conform(df, c, name))
+      .getOrElse(df)
+  }
 
   /** Physical encoding of the events `ts` column in a given parquet
     * file. The test harness has shipped this column as
@@ -85,16 +99,13 @@ private[graft] object Tables {
   }
 
   /** The events table with `ts` normalized to TimestampType regardless
-    * of the file's physical encoding (see [[TsEncoding]]).
+    * of the file's physical encoding — since the generalization of the
+    * r8 lesson to every table, just the contract-conformed read (the
+    * events contract's `ts: TimestampType` branch of
+    * [[graft.schema.Conform.convert]] encodes the same three-way
+    * nanos/NTZ/TZ normalization [[normalizeTs]] pins for streaming).
     */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    // probe FIRST: tsEncoding sets the legacy nanos conf that schema
-    // inference on a TIMESTAMP(NANOS) file needs — evaluating the
-    // read before it would crash external (non-GraftSession) sessions
-    val enc = tsEncoding(s, path)
-    normalizeTs(s.read.parquet(path), enc)
-  }
+  def events(s: SparkSession, dir: String): DataFrame = t(s, dir, "events")
 
   /** Deterministic session-boundary fixture unioned into BOTH session
     * gates (batch `q_session_window`, streaming `q_stream_session`) on
@@ -130,28 +141,31 @@ private[graft] object Tables {
     }
 
     /** events.parquet raw shape for staging next to the real file in
-      * the streaming gate: `ts` is emitted in the SAME physical
-      * encoding the staged real file uses (probe it with
-      * [[tsEncoding]]), so the file-source read schema fits both
-      * files and the fixture rows land at their intended instants.
-      * The fixture timestamps are whole seconds, so every conversion
-      * here is exact.
+      * the streaming gate: EVERY column is emitted in the SAME
+      * physical type the staged real file carries (pass the probed
+      * footer schema, [[graft.schema.Conform.physicalReadSchema]]),
+      * so the file-source read schema fits both files and the fixture
+      * rows land at their intended instants whatever the writer's
+      * encoding — ts included (whole-second fixtures, every
+      * conversion exact) and ids included (an int32-id file must get
+      * an int32-id fixture).
       */
-    def rawDf(s: SparkSession, enc: TsEncoding): DataFrame = {
-      val rawTs: Column = enc match {
-        case TsEncoding.NanosLong =>
+    def rawDf(s: SparkSession, raw: StructType): DataFrame = {
+      val rawTs: Column = raw("ts").dataType match {
+        case LongType => // TIMESTAMP(NANOS) read via the legacy shim
           (col("ts").cast("long") * lit(1000000000L)).as("ts")
-        case TsEncoding.MicrosNtz =>
+        case TimestampNTZType =>
           col("ts").cast(TimestampNTZType).as("ts")
-        case TsEncoding.MicrosUtc => col("ts")
+        case TimestampType => col("ts")
+        case other => throw new IllegalStateException(
+          s"SessionTie: unsupported physical ts type $other")
       }
-      df(s).select(
-        lit(null).cast("long").as("event_id"),
-        rawTs,
-        col("user_id"),
-        lit(null).cast("string").as("event_type"),
-        lit(null).cast("double").as("value"),
-        lit(null).cast("string").as("props"))
+      df(s).select(raw.fields.map {
+        case f if f.name == "ts" => rawTs
+        case f if f.name == "user_id" =>
+          col("user_id").cast(f.dataType).as("user_id")
+        case f => lit(null).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
     }
 
     /** The identical rows as a DuckDB VALUES block for the oracles. */

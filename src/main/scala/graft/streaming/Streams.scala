@@ -25,23 +25,17 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** events.parquet read schema for the streaming source, with `ts`
-    * declared as the file's ACTUAL physical type
-    * ([[graft.Tables.tsEncoding]] probes the footer). Declaring the
-    * wrong type here is worse than a crash: a LongType declaration
-    * over a micros file makes the source hand back raw micros which a
-    * nanos→micros division then lands in 1970 — silently wrong
-    * windows. The schema must match the file; conversion happens
-    * after, via [[graft.Tables.normalizeTs]].
+  /** Streaming read schemas for driver-owned files are built from the
+    * file's ACTUAL footer types
+    * ([[graft.schema.Conform.physicalReadSchema]]) and conformed to
+    * the logical contract after the source. Declaring the logical
+    * type directly is the r8 failure mode — worse than a crash: a
+    * LongType declaration over a micros file makes the source hand
+    * back raw micros which a nanos→micros division then lands in
+    * 1970 — silently wrong windows.
     */
-  private def eventsRawSchema(enc: graft.Tables.TsEncoding): StructType =
-    StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", graft.Tables.tsRawType(enc)),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
+  private def contractOf(table: String): StructType =
+    graft.schema.Conform.contracts(table)
 
   /** Per-run scratch dir for staging file-source inputs — see
     * [[graft.io.Scratch]] for the isolation + cleanup contract.
@@ -67,16 +61,16 @@ object Streams {
     */
   def eventsStream(spark: SparkSession, dir: String,
                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val enc = graft.Tables.tsEncoding(spark, s"$dir/events.parquet")
+    val raw = graft.schema.Conform.physicalReadSchema(
+      spark, s"$dir/events.parquet", contractOf("events"), "events")
     val staged = stagingDir("graft_stream_src_")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    graft.Tables.normalizeTs(
-      fileStream(spark, staged.toString, eventsRawSchema(enc),
-        maxFilesPerTrigger),
-      enc)
+    graft.schema.Conform.conform(
+      fileStream(spark, staged.toString, raw, maxFilesPerTrigger),
+      contractOf("events"), "events")
   }
 
   /** documents.parquet schema for the streaming source. */
@@ -89,12 +83,17 @@ object Streams {
     * [[eventsStream]] — the file source needs a directory).
     */
   def docsStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = graft.schema.Conform.physicalReadSchema(
+      spark, s"$dir/documents.parquet", contractOf("documents"),
+      "documents")
     val staged = stagingDir("graft_stream_docs_")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/documents.parquet"),
       staged.resolve("documents.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    fileStream(spark, staged.toString, DocsRawSchema)
+    graft.schema.Conform.conform(
+      fileStream(spark, staged.toString, raw),
+      contractOf("documents"), "documents")
   }
 
   /** Hard per-bucket state ceiling for [[streamingNearDupCandidates]].
@@ -192,17 +191,18 @@ object Streams {
     */
   def eventsWithSessionTieStream(spark: SparkSession,
                                  dir: String): DataFrame = {
-    val enc = graft.Tables.tsEncoding(spark, s"$dir/events.parquet")
+    val raw = graft.schema.Conform.physicalReadSchema(
+      spark, s"$dir/events.parquet", contractOf("events"), "events")
     val staged = stagingDir("graft_stream_tie_src_")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     graft.io.Scratch.stageSingleParquetFile(
-      graft.Tables.SessionTie.rawDf(spark, enc), staged, "tie.parquet")
-    graft.Tables.normalizeTs(
-      fileStream(spark, staged.toString, eventsRawSchema(enc), None),
-      enc)
+      graft.Tables.SessionTie.rawDf(spark, raw), staged, "tie.parquet")
+    graft.schema.Conform.conform(
+      fileStream(spark, staged.toString, raw, None),
+      contractOf("events"), "events")
   }
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a
