@@ -325,7 +325,42 @@ private[graft] object QueriesIo {
     s.read.parquet(path).select("event_id", "user_id", "event_type")
   }
 
+  /** Snapshot-store time travel ([[graft.io.Snapshots]]): commit the
+    * even half (v1), APPEND the odd half (v2, structural sharing —
+    * only the delta is written); reading v1 must pin the even half
+    * forever, whatever landed since. The reproducibility contract a
+    * training job needs: pin the corpus version, rerun identically.
+    */
+  def snapshotRead(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "snap_tt")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = t(s, dir, "documents")
+    val v1 = graft.io.Snapshots.commit(
+      docs.filter(col("doc_id") % 2 === 0), path)
+    graft.io.Snapshots.commitAppend(
+      docs.filter(col("doc_id") % 2 === 1), path)
+    graft.io.Snapshots.read(s, path, Some(v1))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** Snapshot-store rollback: a bad overwrite (subset) is undone by a
+    * metadata-only rollback to v1 — no data rewritten, latest reads
+    * the full table again, and the bad version stays in history.
+    */
+  def snapshotRollback(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "snap_rb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = t(s, dir, "documents")
+    val v1 = graft.io.Snapshots.commit(docs, path)
+    graft.io.Snapshots.commit(docs.filter(col("n_chars") > 500), path)
+    graft.io.Snapshots.rollback(s, path, v1)
+    graft.io.Snapshots.read(s, path)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_read" -> (snapshotRead _),
+    "q_snapshot_rollback" -> (snapshotRollback _),
     "q_range_layout" -> (rangeLayout _),
     "q_partitioned_sink" -> (partitionedSink _),
     "q_merge_dedup_sink" -> (mergeDedupSink _),
@@ -356,6 +391,11 @@ private[graft] object QueriesIo {
       .mkString("(", " + ", ")")
 
   val oracles: Map[String, String] = Map(
+    "q_snapshot_read" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         WHERE doc_id % 2 = 0""",
+    "q_snapshot_rollback" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q_zorder_layout" ->
       s"""WITH e AS (SELECT event_id, user_id,
              epoch_us(CAST(ts AS TIMESTAMP)) AS t_us FROM events),

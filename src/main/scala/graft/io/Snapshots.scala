@@ -1,0 +1,259 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Snapshot-versioned parquet store: manifest-based time travel,
+  * rollback and retention over immutable data files — the minimal
+  * table-format posture (what Delta/Iceberg pin down) that a 100 TB
+  * deployment needs and a bare parquet directory cannot give:
+  *
+  *   - **Atomic visibility.** Readers resolve the `_latest` pointer
+  *     (swapped by rename, the HDFS/S3A-committer atomicity primitive)
+  *     to an immutable manifest listing immutable files — a reader
+  *     can never observe a half-written commit, and a writer crash at
+  *     ANY point leaves the previous snapshot intact (data files →
+  *     manifest → pointer, in that order; everything before the
+  *     pointer swap is invisible garbage that [[vacuum]] collects).
+  *   - **Structural sharing.** [[commitAppend]] writes ONLY the new
+  *     rows' files; the new manifest lists old files + new files. At
+  *     100 TB an append costs the append, never a rewrite, and every
+  *     historical snapshot remains readable at zero storage cost
+  *     beyond its delta.
+  *   - **Time travel & rollback.** [[read]] with a version pins any
+  *     committed snapshot (reproducibility: train/eval jobs pin the
+  *     corpus version they ran on). [[rollback]] is a new manifest
+  *     referencing an old snapshot's files — constant-time, no data
+  *     IO, and itself versioned (nothing is lost by rolling back).
+  *   - **Retention.** [[expire]] drops old manifests; [[vacuum]]
+  *     deletes data files no surviving manifest references. Split in
+  *     two on purpose: expiry is a metadata decision, physical
+  *     deletion is the irreversible one.
+  *
+  * Layout under `path/`: `data/c-<uuid>/part-*.parquet` (one subdir
+  * per commit's write), `_manifests/v%09d.manifest` (one RELATIVE
+  * file path per line — the store is relocatable), `_latest` (the
+  * committed version number). Manifests list files, not rows: commit
+  * metadata stays O(files-per-commit) however large the table grows.
+  *
+  * Single-writer, many-reader — the standard object-store table
+  * contract; concurrent writers need a coordination layer (catalog /
+  * lock) above this seam, as they do for every manifest format.
+  */
+object Snapshots {
+
+  private val Header = "graft-snapshot-v1"
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def manifestPath(base: String, v: Long) =
+    new Path(f"$base/_manifests/v$v%09d.manifest")
+
+  /** List a commit's freshly-written parquet files, store-relative. */
+  private def listCommitFiles(f: FileSystem, base: String,
+                              commitDir: String): Seq[String] = {
+    val it = f.listFiles(new Path(s"$base/$commitDir"), true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        out += s"$commitDir/${st.getPath.getName}"
+    }
+    out.toSeq.sorted
+  }
+
+  private def writeTextAtomic(f: FileSystem, target: Path,
+                              lines: Seq[String]): Unit = {
+    val tmp = new Path(target.getParent, s"_tmp_${target.getName}")
+    val os = f.create(tmp, true)
+    try os.write((lines :+ "").mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    // FileSystem.rename refuses an existing destination; the pointer
+    // swap must REPLACE _latest atomically, which is exactly
+    // FileContext's Rename.OVERWRITE (atomic on HDFS/local; object
+    // stores emulate — single-writer contract covers the difference)
+    try org.apache.hadoop.fs.FileContext.getFileContext(
+      target.toUri, f.getConf).rename(tmp, target,
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch { case e: java.io.IOException =>
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"snapshot: cannot activate ${target.getName}", e)
+    }
+  }
+
+  private def readLines(f: FileSystem, p: Path): Seq[String] = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  private def manifestFiles(f: FileSystem, base: String,
+                            v: Long): Seq[String] = {
+    val p = manifestPath(base, v)
+    if (!f.exists(p)) throw new IllegalArgumentException(
+      s"snapshot: version $v does not exist under $base " +
+        s"(have: ${allManifestVersions(f, base).mkString(", ")})")
+    val lines = readLines(f, p)
+    require(lines.headOption.contains(Header),
+      s"snapshot: ${p.getName} is not a $Header manifest")
+    lines.tail.filter(_.nonEmpty)
+  }
+
+  /** Every manifest on disk, committed or not (a crash between
+    * manifest write and pointer swap leaves an uncommitted one — its
+    * version number is burned, its files are retained until expiry,
+    * exactly Iceberg's orphan-snapshot posture).
+    */
+  private def allManifestVersions(f: FileSystem, base: String): Seq[Long] = {
+    val dir = new Path(s"$base/_manifests")
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toLong }
+      .sorted
+  }
+
+  /** The committed (pointer-visible) version, if any commit ever
+    * completed.
+    */
+  def latestVersion(spark: SparkSession, path: String): Option[Long] = {
+    val f = fs(spark, path)
+    val p = new Path(s"$path/_latest")
+    if (!f.exists(p)) None
+    else Some(readLines(f, p).head.trim.toLong)
+  }
+
+  /** Committed versions, oldest first. */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val f = fs(spark, path)
+    latestVersion(spark, path) match {
+      case None => Nil
+      case Some(l) => allManifestVersions(f, path).filter(_ <= l)
+    }
+  }
+
+  private def writeCommit(spark: SparkSession, df: DataFrame,
+                          path: String, carried: Seq[String]): Long = {
+    val f = fs(spark, path)
+    val commitDir = s"data/c-${java.util.UUID.randomUUID()}"
+    df.write.parquet(s"$path/$commitDir")
+    val fresh = listCommitFiles(f, path, commitDir)
+    // an empty DataFrame still writes one schema-bearing part file,
+    // so even zero-row snapshots are readable; this guard only fires
+    // for writers that emit NO files (a no-file manifest has no
+    // schema and can never be read back)
+    require(fresh.nonEmpty,
+      "snapshot: the write produced no parquet files - a no-file " +
+        "snapshot has no schema and cannot be read back")
+    // version numbers come from the manifests present, not the
+    // pointer: a crash after manifest-write burned that number and it
+    // must never be reused (a reader may already hold it)
+    val v = allManifestVersions(f, path).lastOption.getOrElse(0L) + 1L
+    writeTextAtomic(f, manifestPath(path, v), Header +: (carried ++ fresh))
+    writeTextAtomic(f, new Path(s"$path/_latest"), Seq(v.toString))
+    v
+  }
+
+  /** Commit `df` as the new FULL contents of the table (overwrite
+    * semantics — the new snapshot lists only this commit's files).
+    * Returns the new version.
+    */
+  def commit(df: DataFrame, path: String): Long =
+    writeCommit(df.sparkSession, df, path, Nil)
+
+  /** Commit `df` as an APPEND: the new snapshot = previous snapshot's
+    * files + this commit's files. Only the delta is written — the
+    * 100 TB append costs the append.
+    */
+  def commitAppend(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, path)
+    val carried = latestVersion(spark, path)
+      .map(v => manifestFiles(f, path, v)).getOrElse(Nil)
+    writeCommit(spark, df, path, carried)
+  }
+
+  /** Read a snapshot: the pointer-visible latest, or any committed
+    * `version` (time travel). The file list comes from the immutable
+    * manifest, so the read is consistent whatever commits land
+    * meanwhile.
+    */
+  def read(spark: SparkSession, path: String,
+           version: Option[Long] = None): DataFrame = {
+    val f = fs(spark, path)
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot: no committed version under $path"))
+    val files = manifestFiles(f, path, v).map(rel => s"$path/$rel")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Roll the table back to `toVersion`: a NEW version whose manifest
+    * is a copy of the old one — constant-time, no data IO, and the
+    * rolled-back-from snapshot stays readable (rollback is an
+    * ordinary commit in the history, not an erasure).
+    */
+  def rollback(spark: SparkSession, path: String, toVersion: Long): Long = {
+    val f = fs(spark, path)
+    val files = manifestFiles(f, path, toVersion)
+    val v = allManifestVersions(f, path).last + 1L
+    writeTextAtomic(f, manifestPath(path, v), Header +: files)
+    writeTextAtomic(f, new Path(s"$path/_latest"), Seq(v.toString))
+    v
+  }
+
+  /** Drop every manifest older than the newest `keepLast` (the
+    * pointer's snapshot always survives). Metadata-only; the files
+    * those manifests referenced remain until [[vacuum]] proves no
+    * surviving manifest needs them.
+    */
+  def expire(spark: SparkSession, path: String, keepLast: Int): Int = {
+    require(keepLast >= 1, "snapshot: must keep at least one version")
+    val f = fs(spark, path)
+    val all = allManifestVersions(f, path)
+    val latest = latestVersion(spark, path)
+    val drop = all.dropRight(keepLast)
+      .filterNot(latest.contains) // never the pointer's snapshot
+    drop.foreach(v => f.delete(manifestPath(path, v), false))
+    drop.size
+  }
+
+  /** Delete data files referenced by NO manifest on disk: expired
+    * history and crashed-commit leftovers. The irreversible half of
+    * retention, kept separate from [[expire]] on purpose. Returns the
+    * number of files removed (empty commit dirs go with them).
+    */
+  def vacuum(spark: SparkSession, path: String): Int = {
+    val f = fs(spark, path)
+    val referenced = allManifestVersions(f, path)
+      .flatMap(v => manifestFiles(f, path, v)).toSet
+    val dataDir = new Path(s"$path/data")
+    if (!f.exists(dataDir)) return 0
+    var removed = 0
+    f.listStatus(dataDir).foreach { commit =>
+      val rel = s"data/${commit.getPath.getName}"
+      val it = f.listFiles(commit.getPath, true)
+      val doomed = scala.collection.mutable.ArrayBuffer.empty[Path]
+      var kept = false
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) {
+          if (st.getPath.getName.endsWith(".parquet") &&
+              referenced.contains(s"$rel/${st.getPath.getName}")) kept = true
+          else doomed += st.getPath
+        }
+      }
+      val doomedParquet = doomed.filter(_.getName.endsWith(".parquet"))
+      if (!kept) { // no survivor: the whole commit dir goes
+        f.delete(commit.getPath, true); removed += doomedParquet.size
+      } else doomedParquet.foreach { p =>
+        f.delete(p, false); removed += 1
+      }
+    }
+    removed
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.io.Snapshots
+
+/** Manifest-based snapshot store: atomic visibility, structural
+  * sharing, time travel, rollback, retention. The history-bearing
+  * store posture (Delta/Iceberg's core) over plain parquet + rename.
+  */
+class SnapshotsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables.t(spark, sf, "documents")
+  private def newStore: String =
+    Files.createTempDirectory("graft_snap").toString + "/tbl"
+
+  private def dataFiles(path: String): Seq[String] = {
+    val base = new java.io.File(s"$path/data")
+    if (!base.exists()) Nil
+    else base.listFiles().flatMap(d => d.listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => s"${d.getName}/${f.getName}")).toSeq.sorted
+  }
+
+  test("commit, latest read, and time travel across an overwrite") {
+    val path = newStore
+    val v1 = Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path)
+    assert(v1 === 1L)
+    assert(Snapshots.latestVersion(spark, path) === Some(1L))
+    val v2 = Snapshots.commit(docs, path)
+    assert(v2 === 2L)
+    // latest is the full table; v1 pins the even half forever
+    assert(Snapshots.read(spark, path).count() === docs.count())
+    assert(Snapshots.read(spark, path, Some(v1)).count() ===
+      docs.filter(col("doc_id") % 2 === 0).count())
+    assert(Snapshots.versions(spark, path) === Seq(1L, 2L))
+  }
+
+  test("append shares the previous snapshot's files (writes only the delta)") {
+    val path = newStore
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path)
+    val before = dataFiles(path)
+    Snapshots.commitAppend(docs.filter(col("doc_id") % 2 === 1), path)
+    val after = dataFiles(path)
+    // old files untouched, new files are strictly additive
+    assert(before.toSet.subsetOf(after.toSet))
+    assert(after.size > before.size)
+    // and the latest snapshot is the union
+    assert(Snapshots.read(spark, path).select(sum("doc_id")).collect()(0)
+      .getLong(0) ===
+      docs.select(sum("doc_id")).collect()(0).getLong(0))
+  }
+
+  test("rollback is metadata-only and itself versioned") {
+    val path = newStore
+    val v1 = Snapshots.commit(docs, path)
+    Snapshots.commit(docs.filter(col("n_chars") > 500), path)
+    val filesBefore = dataFiles(path)
+    val v3 = Snapshots.rollback(spark, path, v1)
+    assert(v3 === 3L)
+    assert(dataFiles(path) === filesBefore) // no data IO
+    assert(Snapshots.read(spark, path).count() === docs.count())
+    // the rolled-back-from snapshot is still readable history
+    assert(Snapshots.read(spark, path, Some(2L)).count() ===
+      docs.filter(col("n_chars") > 500).count())
+  }
+
+  test("empty commit keeps its schema; unknown version refuses loudly") {
+    val path = newStore
+    // Spark writes a schema-bearing empty part file, so an empty
+    // snapshot is legitimate and must read back as 0 rows with the
+    // right columns (the no-file refusal in commit only fires for
+    // writers that emit nothing at all)
+    Snapshots.commit(docs.filter(lit(false)), path)
+    val got = Snapshots.read(spark, path)
+    assert(got.count() === 0L)
+    assert(got.columns.toSeq === docs.columns.toSeq)
+    val e = intercept[IllegalArgumentException](
+      Snapshots.read(spark, path, Some(99L)))
+    assert(e.getMessage.contains("99"), e.getMessage)
+  }
+
+  test("expire + vacuum keep every file a surviving manifest references") {
+    val path = newStore
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path) // v1
+    Snapshots.commitAppend(docs.filter(col("doc_id") % 2 === 1), path) // v2 shares v1
+    Snapshots.commit(docs.filter(col("n_chars") > 500), path) // v3 fresh
+    assert(Snapshots.expire(spark, path, keepLast = 2) === 1) // v1 manifest gone
+    val removed = Snapshots.vacuum(spark, path)
+    // v1's files are still referenced by v2 — nothing to collect
+    assert(removed === 0)
+    assert(Snapshots.read(spark, path, Some(2L)).count() === docs.count())
+    // drop v2 as well: now v1-era files are truly orphaned
+    assert(Snapshots.expire(spark, path, keepLast = 1) === 1)
+    assert(Snapshots.vacuum(spark, path) > 0)
+    assert(Snapshots.read(spark, path).count() ===
+      docs.filter(col("n_chars") > 500).count())
+  }
+
+  test("vacuum collects a crashed commit's orphan files; burned version numbers are never reused") {
+    val path = newStore
+    Snapshots.commit(docs.filter(col("doc_id") < 100), path) // v1
+    // simulate a crash AFTER manifest write, BEFORE pointer swap:
+    // hand-write manifest v2 over data the pointer never saw
+    docs.filter(col("doc_id") >= 100).write
+      .parquet(s"$path/data/c-crashed")
+    val crashedFiles = new java.io.File(s"$path/data/c-crashed")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => s"data/c-crashed/${f.getName}").sorted
+    val manifest = ("graft-snapshot-v1" +: crashedFiles.toSeq) :+ ""
+    Files.writeString(
+      java.nio.file.Paths.get(s"$path/_manifests/v000000002.manifest"),
+      manifest.mkString("\n"))
+    // pointer still at v1; the next commit must burn past 2
+    assert(Snapshots.latestVersion(spark, path) === Some(1L))
+    val v = Snapshots.commit(docs, path)
+    assert(v === 3L)
+    // the uncommitted manifest still protects its files from vacuum
+    assert(Snapshots.vacuum(spark, path) === 0)
+    // a commit dir with NO manifest at all is pure garbage
+    docs.limit(5).write.parquet(s"$path/data/c-orphan")
+    assert(Snapshots.vacuum(spark, path) > 0)
+    assert(!new java.io.File(s"$path/data/c-orphan").exists())
+  }
+
+  test("the store is relocatable (relative manifest paths)") {
+    val path = newStore
+    Snapshots.commit(docs, path)
+    val moved = Files.createTempDirectory("graft_snap_moved")
+      .toString + "/tbl"
+    assert(new java.io.File(path).renameTo(new java.io.File(moved)))
+    assert(Snapshots.read(spark, moved).count() === docs.count())
+  }
+}
