@@ -207,6 +207,21 @@ private[graft] object QueriesLlm {
       emb.filter(col("vec_id") < 16), 5, nprobe = 2)
   }
 
+  /** Product quantization end-to-end: deterministic grouped-Lloyd
+    * codebooks (m=4 subspaces × ksub=8 codewords, one iteration),
+    * corpus encoded to 4 codes/vector, and ADC top-5 for 5 example
+    * queries served from the CODES table alone — the compressed-ANN
+    * serving path (m ints scanned per vector, never the embeddings).
+    * The oracle replays the whole train→encode→ADC pipeline in SQL.
+    */
+  def pqTopKQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cb = Vectors.trainPqCodebooks(emb, m = 4, ksub = 8, dims = 64)
+    val codes = Vectors.encodePq(emb, cb, m = 4, dims = 64)
+    Vectors.pqTopK(codes, cb, emb.filter(col("vec_id") < 5), k = 5,
+      m = 4, ksub = 8, dims = 64)
+  }
+
   /** IVF from a PERSISTED index (same centroids/queries/nprobe as
     * [[ivfProbe]]): build the centroid + partitioned inverted-list
     * store, then serve from it alone — the lists scan prunes to the
@@ -884,6 +899,7 @@ private[graft] object QueriesLlm {
     "q_ann_topk" -> (annTopK _),
     "q_ann_multiprobe" -> (annMultiprobe _),
     "q_embed_neardup" -> (embedNearDup _),
+    "q_pq_topk" -> (pqTopKQ _),
     "q_ivf_topk" -> (ivfTopK _),
     "q_ivf_probe" -> (ivfProbe _),
     "q_ivf_indexed" -> (ivfIndexed _),
@@ -1254,6 +1270,68 @@ private[graft] object QueriesLlm {
     * the tombstone-delete gate's truth is the surviving vectors, while
     * a deleted vector remains a perfectly valid query-by-example.
     */
+  /** Squared-L2 over `sub`-dim sublists, sequential fold (mirrors
+    * Vectors.l2Sq).
+    */
+  private def l2SqSql(a: String, b: String, sub: Int): String =
+    s"""list_reduce([($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])
+       |  for i in generate_series(0, ${sub - 1})], (x, y) -> x + y)"""
+      .stripMargin
+
+  /** DuckDB replay of the PQ pipeline (mirrors
+    * Vectors.trainPqCodebooks iters=1 → encodePq → pqTopK): grouped
+    * Lloyd with integer-quantized means, nearest-code encode, ADC
+    * top-k with the per-subspace partials folded in j order.
+    */
+  private def pqSql(m: Int, ksub: Int, dims: Int, nq: Int,
+                    k: Int): String = {
+    val sub = dims / m
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |  sv AS (SELECT vec_id, j, e[j*$sub+1 : j*$sub+$sub] AS s
+       |         FROM v CROSS JOIN
+       |           (SELECT unnest(generate_series(0, ${m - 1})) AS j)),
+       |  cb0 AS (SELECT j, CAST(vec_id AS INT) AS code, s AS c
+       |          FROM sv WHERE vec_id < $ksub),
+       |  s0 AS (SELECT sv.vec_id, sv.j, sv.s, cb0.code,
+       |           round(${l2SqSql("sv.s", "cb0.c", sub)}, 6) AS dist
+       |         FROM sv JOIN cb0 ON sv.j = cb0.j),
+       |  a0 AS (SELECT vec_id, j, s, code FROM
+       |          (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+       |             ORDER BY dist, code) AS rn FROM s0) WHERE rn = 1),
+       |  qd AS (SELECT j, code, d,
+       |           CAST(floor(s[d+1] * 1000000.0 + 0.5) AS BIGINT) AS q
+       |         FROM a0 CROSS JOIN
+       |           (SELECT unnest(generate_series(0, ${sub - 1})) AS d)),
+       |  su AS (SELECT j, code, d, CAST(sum(q) AS BIGINT) AS sm,
+       |           count(*) AS cnt FROM qd GROUP BY 1, 2, 3),
+       |  cb1 AS (SELECT j, code,
+       |            list((CAST(sm AS DOUBLE) / cnt) / 1000000.0
+       |              ORDER BY d) AS c
+       |          FROM su GROUP BY j, code),
+       |  s1 AS (SELECT sv.vec_id, sv.j, cb1.code,
+       |           round(${l2SqSql("sv.s", "cb1.c", sub)}, 6) AS dist
+       |         FROM sv JOIN cb1 ON sv.j = cb1.j),
+       |  a1 AS (SELECT vec_id, j, code FROM
+       |          (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+       |             ORDER BY dist, code) AS rn FROM s1) WHERE rn = 1),
+       |  qs AS (SELECT vec_id AS query_id, j, s FROM sv
+       |         WHERE vec_id < $nq),
+       |  lut AS (SELECT qs.query_id, qs.j, cb1.code,
+       |            ${l2SqSql("qs.s", "cb1.c", sub)} AS pd
+       |          FROM qs JOIN cb1 ON qs.j = cb1.j),
+       |  pj AS (SELECT lut.query_id, a1.vec_id, lut.pd, a1.j
+       |         FROM a1 JOIN lut ON a1.j = lut.j AND a1.code = lut.code),
+       |  sc AS (SELECT query_id, vec_id,
+       |           round(list_reduce(list(pd ORDER BY j),
+       |             (x, y) -> x + y), 6) AS dist
+       |         FROM pj GROUP BY query_id, vec_id),
+       |  r AS (SELECT query_id, vec_id, dist,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY dist, vec_id) AS rank FROM sc)
+       |SELECT query_id, vec_id, dist, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= $k""".stripMargin
+  }
+
   private def ivfProbeSql(cPred: String = ""): String = {
     val pred = if (cPred.isEmpty) "" else s" AND $cPred"
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -1784,6 +1862,7 @@ private[graft] object QueriesLlm {
     "q_kmeans" ->
       s"""WITH ${kmeansCtes(8)}
           SELECT vec_id, cid AS cluster, ccos AS cos FROM a1""",
+    "q_pq_topk" -> pqSql(m = 4, ksub = 8, dims = 64, nq = 5, k = 5),
     "q_semantic_dedup" ->
       s"""WITH ${kmeansCtes(16)},
           p AS (SELECT b.vec_id AS db

@@ -596,4 +596,151 @@ object Vectors {
         round(cosine(col("qv"), col("v")), 6).as("cos"))
     rankTopK(scored, k)
   }
+
+  // --- product quantization -------------------------------------------
+
+  /** Sequential-fold squared L2 distance (left-to-right, like
+    * [[dotHof]]) — PQ's distance: codebooks minimize within-subspace
+    * L2, and ADC sums per-subspace squared distances.
+    */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), _ + _)
+
+  /** The (j, subvector) rows of every vector: subspace j holds dims
+    * [j·sub, (j+1)·sub). Map-only explode — no shuffle.
+    */
+  private def subvectors(df: DataFrame, m: Int, dims: Int,
+                         idAs: String): DataFrame = {
+    val sub = dims / m
+    df.select(col(idAs), explode(array((0 until m).map(j =>
+      struct(lit(j).as("j"),
+        slice(col("v"), j * sub + 1, sub).as("s"))): _*)).as("e"))
+      .select(col(idAs), col("e.j").as("j"), col("e.s").as("s"))
+  }
+
+  /** One grouped-Lloyd assignment: every (vec, subspace) row to its
+    * nearest codeword IN ITS SUBSPACE — one broadcast join against
+    * the m·ksub-row codebook table, rank 1 via the bounded-heap TopK
+    * (squared L2 rounded to 6 decimals, ties to the smaller code).
+    */
+  private def pqAssign(sv: DataFrame, codebooks: DataFrame,
+                       idAs: String): DataFrame = {
+    val scored = sv.join(broadcast(codebooks), "j")
+      .select(col(idAs), col("j"), col("s"), col("code"),
+        round(l2Sq(col("s"), col("c")), 6).as("dist"))
+    graft.plans.TopK.perKey(scored, Seq(col(idAs), col("j")),
+      Seq(col("dist"), col("code")), 1)
+  }
+
+  /** Train product-quantization codebooks: split each vector into `m`
+    * subvectors and run a DETERMINISTIC grouped Lloyd over all
+    * subspaces AT ONCE — one broadcast-join + two key shuffles per
+    * iteration for the whole codebook set, never a job per subspace
+    * (the per-subspace-jobs shape is the r6 BPE-trainer scale defect).
+    * Same determinism contract as [[kmeans]]: codewords seed from the
+    * id prefix (`vec_id < ksub`), distances round to 6 decimals with
+    * ties to the smaller code, means sum integer-quantized components
+    * (exact, order-independent). Returns `(j, code, c: array<double>)`
+    * — m·ksub rows, broadcastable by construction.
+    *
+    * Scale: PQ is how a billion-vector corpus serves ANN from RAM —
+    * `m` byte codes per vector instead of `dims` floats (64× at
+    * m=8/dims=64 fp32). Training touches the corpus `iters + 1`
+    * times, map-only except the two bounded key shuffles.
+    */
+  def trainPqCodebooks(vectors: DataFrame, m: Int, ksub: Int,
+                       dims: Int, iters: Int = 1,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dims % m == 0,
+      s"m=$m must divide the vector dimensionality $dims")
+    require(ksub >= 1, s"ksub must be >= 1, got $ksub")
+    val v = vectors.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("v"))
+    val sv = subvectors(v, m, dims, "vec_id")
+    var cb = sv.filter(col("vec_id") < ksub)
+      .select(col("j"), col("vec_id").cast("int").as("code"),
+        col("s").as("c"))
+    for (_ <- 0 until iters) {
+      val parts = pqAssign(sv, cb, "vec_id")
+        .select(col("j"), col("code"),
+          posexplode(col("s")).as(Seq("dim", "x")))
+        .select(col("j"), col("code"), col("dim"),
+          floor(col("x") * 1000000.0 + 0.5).cast("long").as("q"))
+        .groupBy("j", "code", "dim")
+        .agg(sum("q").as("sm"), count(lit(1)).as("cnt"))
+      cb = parts.groupBy("j", "code")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("sm"),
+            col("cnt")))),
+          t => (t.getField("sm").cast("double") / t.getField("cnt"))
+            / 1000000.0).as("c"))
+        .localCheckpoint()
+    }
+    cb
+  }
+
+  /** Encode a corpus against trained codebooks: `(vec_id, codes)`
+    * where `codes[j]` is the nearest codeword in subspace j. The
+    * compressed representation ADC scans — m small ints per vector.
+    */
+  def encodePq(vectors: DataFrame, codebooks: DataFrame, m: Int,
+               dims: Int, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("v"))
+    pqAssign(subvectors(v, m, dims, "vec_id"), codebooks, "vec_id")
+      .groupBy("vec_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("j"), col("code")))),
+        t => t.getField("code")).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query
+    * precomputes its distance to every codeword ONCE (the m·ksub-row
+    * lookup table, built query-side and broadcast as a map), then the
+    * corpus scan is `m` map lookups + a fold per vector — never a
+    * full-dimension distance against the corpus. The scan reads the
+    * CODES table (m ints/vector), not the embeddings: at a billion
+    * vectors this is the difference between scanning GBs and TBs.
+    * Approximate by construction; exactness appears exactly when every
+    * subvector is its own codeword (PqSpec pins both directions).
+    * Returns `(query_id, vec_id, dist, rank)` — ascending squared-L2.
+    */
+  def pqTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+             k: Int, m: Int, ksub: Int, dims: Int,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding",
+             queryCountHint: Option[Long] = None): DataFrame = {
+    requireBruteForceable(queries, "pqTopK", queryCountHint)
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("v"))
+    val lut = subvectors(q, m, dims, "query_id")
+      .join(broadcast(codebooks), "j")
+      .select(col("query_id"),
+        (col("j") * ksub + col("code")).as("key"),
+        l2Sq(col("s"), col("c")).as("pd"))
+      .groupBy("query_id")
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("key"), col("pd"))))).as("lut"))
+    // fold over subspaces in j order — bit-deterministic, matching the
+    // oracle's ORDER BY j fold; lut keys are j·ksub+code (codebooks
+    // may legitimately have non-contiguous codes after empty-codeword
+    // drops, which a positional array could not index)
+    val dist = round(aggregate(
+      zip_with(col("codes"),
+        sequence(lit(0), lit(m - 1)),
+        (c, j) => element_at(col("lut"), (j * ksub + c).cast("int"))),
+      lit(0.0), _ + _), 6)
+    val scored = codes.crossJoin(broadcast(lut))
+      .select(col("query_id"), col("vec_id"), dist.as("dist"))
+    val pruned = graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+      Seq(col("dist"), col("vec_id")), k)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist"), col("vec_id"))
+    pruned.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("vec_id"), col("dist"),
+        col("rank").cast("long").as("rank"))
+  }
 }
