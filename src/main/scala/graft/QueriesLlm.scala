@@ -222,6 +222,23 @@ private[graft] object QueriesLlm {
       m = 4, ksub = 8, dims = 64)
   }
 
+  /** IVF-PQ composition: the L2 coarse quantizer (16 id-prefix
+    * centroids) partitions the corpus; PQ codes (m=4, ksub=8)
+    * compress it; queries probe their 2 nearest clusters and ADC
+    * scans ONLY the probed clusters' codes. The two-stage
+    * compressed-ANN shape (cluster pruning × code quantization) a
+    * billion-vector serving tier runs; the oracle replays both stages.
+    */
+  def ivfPqQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cen = emb.filter(col("vec_id") < 16)
+    val cb = Vectors.trainPqCodebooks(emb, m = 4, ksub = 8, dims = 64)
+    val codes = Vectors.encodePq(emb, cb, m = 4, dims = 64)
+      .join(Vectors.ivfAssignL2(emb, cen), "vec_id")
+    Vectors.ivfPqTopK(codes, cb, cen, emb.filter(col("vec_id") < 5),
+      k = 5, nprobe = 2, m = 4, ksub = 8, dims = 64)
+  }
+
   /** IVF from a PERSISTED index (same centroids/queries/nprobe as
     * [[ivfProbe]]): build the centroid + partitioned inverted-list
     * store, then serve from it alone — the lists scan prunes to the
@@ -900,6 +917,7 @@ private[graft] object QueriesLlm {
     "q_ann_multiprobe" -> (annMultiprobe _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_pq_topk" -> (pqTopKQ _),
+    "q_ivf_pq" -> (ivfPqQ _),
     "q_ivf_topk" -> (ivfTopK _),
     "q_ivf_probe" -> (ivfProbe _),
     "q_ivf_indexed" -> (ivfIndexed _),
@@ -1278,15 +1296,14 @@ private[graft] object QueriesLlm {
        |  for i in generate_series(0, ${sub - 1})], (x, y) -> x + y)"""
       .stripMargin
 
-  /** DuckDB replay of the PQ pipeline (mirrors
-    * Vectors.trainPqCodebooks iters=1 → encodePq → pqTopK): grouped
-    * Lloyd with integer-quantized means, nearest-code encode, ADC
-    * top-k with the per-subspace partials folded in j order.
+  /** Shared CTE block replaying PQ train (grouped Lloyd, iters=1,
+    * integer-quantized means) → encode (`a1`) → per-query LUT
+    * partials (`lut`). [[pqSql]] and [[ivfPqSql]] build their ADC
+    * tails on it.
     */
-  private def pqSql(m: Int, ksub: Int, dims: Int, nq: Int,
-                    k: Int): String = {
+  private def pqCtes(m: Int, ksub: Int, dims: Int, nq: Int): String = {
     val sub = dims / m
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |  sv AS (SELECT vec_id, j, e[j*$sub+1 : j*$sub+$sub] AS s
        |         FROM v CROSS JOIN
        |           (SELECT unnest(generate_series(0, ${m - 1})) AS j)),
@@ -1318,10 +1335,12 @@ private[graft] object QueriesLlm {
        |         WHERE vec_id < $nq),
        |  lut AS (SELECT qs.query_id, qs.j, cb1.code,
        |            ${l2SqSql("qs.s", "cb1.c", sub)} AS pd
-       |          FROM qs JOIN cb1 ON qs.j = cb1.j),
-       |  pj AS (SELECT lut.query_id, a1.vec_id, lut.pd, a1.j
-       |         FROM a1 JOIN lut ON a1.j = lut.j AND a1.code = lut.code),
-       |  sc AS (SELECT query_id, vec_id,
+       |          FROM qs JOIN cb1 ON qs.j = cb1.j)""".stripMargin
+  }
+
+  /** Ranked ADC tail over a `pj(query_id, vec_id, pd, j)` CTE. */
+  private def adcTailSql(k: Int): String =
+    s"""  sc AS (SELECT query_id, vec_id,
        |           round(list_reduce(list(pd ORDER BY j),
        |             (x, y) -> x + y), 6) AS dist
        |         FROM pj GROUP BY query_id, vec_id),
@@ -1330,7 +1349,48 @@ private[graft] object QueriesLlm {
        |            ORDER BY dist, vec_id) AS rank FROM sc)
        |SELECT query_id, vec_id, dist, CAST(rank AS BIGINT) AS rank
        |FROM r WHERE rank <= $k""".stripMargin
-  }
+
+  /** DuckDB replay of the flat-PQ pipeline (mirrors
+    * Vectors.trainPqCodebooks iters=1 → encodePq → pqTopK).
+    */
+  private def pqSql(m: Int, ksub: Int, dims: Int, nq: Int,
+                    k: Int): String =
+    s"""WITH ${pqCtes(m, ksub, dims, nq)},
+       |  pj AS (SELECT lut.query_id, a1.vec_id, lut.pd, a1.j
+       |         FROM a1 JOIN lut ON a1.j = lut.j AND a1.code = lut.code),
+       |${adcTailSql(k)}""".stripMargin
+
+  /** DuckDB replay of IVF-PQ (mirrors Vectors.ivfAssignL2 +
+    * ivfPqTopK): L2 coarse quantizer over `ncen` id-prefix centroids,
+    * queries probe `nprobe` clusters, ADC restricted to probed
+    * clusters' members.
+    */
+  private def ivfPqSql(m: Int, ksub: Int, dims: Int, nq: Int, k: Int,
+                       ncen: Int, nprobe: Int): String =
+    s"""WITH ${pqCtes(m, ksub, dims, nq)},
+       |  cenl AS (SELECT vec_id AS centroid_id, e AS ce FROM v
+       |           WHERE vec_id < $ncen),
+       |  ca AS (SELECT vec_id, centroid_id AS cluster FROM
+       |          (SELECT v.vec_id, cenl.centroid_id,
+       |             row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |               round(${l2SqSql("v.e", "cenl.ce", dims)}, 6),
+       |               cenl.centroid_id) AS rn
+       |           FROM v CROSS JOIN cenl) WHERE rn = 1),
+       |  qp AS (SELECT query_id, centroid_id AS cluster FROM
+       |          (SELECT q.vec_id AS query_id, cenl.centroid_id,
+       |             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |               round(${l2SqSql("q.e", "cenl.ce", dims)}, 6),
+       |               cenl.centroid_id) AS rn
+       |           FROM v q CROSS JOIN cenl WHERE q.vec_id < $nq)
+       |          WHERE rn <= $nprobe),
+       |  pairs AS (SELECT qp.query_id, ca.vec_id
+       |            FROM qp JOIN ca ON qp.cluster = ca.cluster),
+       |  pj AS (SELECT p.query_id, p.vec_id, lut.pd, a1.j
+       |         FROM pairs p
+       |         JOIN a1 ON a1.vec_id = p.vec_id
+       |         JOIN lut ON lut.query_id = p.query_id
+       |           AND lut.j = a1.j AND lut.code = a1.code),
+       |${adcTailSql(k)}""".stripMargin
 
   private def ivfProbeSql(cPred: String = ""): String = {
     val pred = if (cPred.isEmpty) "" else s" AND $cPred"
@@ -1863,6 +1923,8 @@ private[graft] object QueriesLlm {
       s"""WITH ${kmeansCtes(8)}
           SELECT vec_id, cid AS cluster, ccos AS cos FROM a1""",
     "q_pq_topk" -> pqSql(m = 4, ksub = 8, dims = 64, nq = 5, k = 5),
+    "q_ivf_pq" -> ivfPqSql(m = 4, ksub = 8, dims = 64, nq = 5, k = 5,
+      ncen = 16, nprobe = 2),
     "q_semantic_dedup" ->
       s"""WITH ${kmeansCtes(16)},
           p AS (SELECT b.vec_id AS db

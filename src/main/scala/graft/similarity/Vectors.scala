@@ -735,6 +735,11 @@ object Vectors {
       lit(0.0), _ + _), 6)
     val scored = codes.crossJoin(broadcast(lut))
       .select(col("query_id"), col("vec_id"), dist.as("dist"))
+    rankByDist(scored, k)
+  }
+
+  /** Ascending-distance ranking tail shared by the PQ family. */
+  private def rankByDist(scored: DataFrame, k: Int): DataFrame = {
     val pruned = graft.plans.TopK.perKey(scored, Seq(col("query_id")),
       Seq(col("dist"), col("vec_id")), k)
     val w = Window.partitionBy("query_id")
@@ -742,5 +747,81 @@ object Vectors {
     pruned.withColumn("rank", row_number().over(w))
       .select(col("query_id"), col("vec_id"), col("dist"),
         col("rank").cast("long").as("rank"))
+  }
+
+  /** Nearest-L2 centroid per vector (rounded 6, ties to the smaller
+    * centroid id) — the coarse quantizer of the IVF-PQ composition,
+    * metric-matched to ADC's squared L2 (the cosine-based [[ivfAssign]]
+    * family stays the coarse quantizer of the cosine IVF path; mixing
+    * metrics across the two stages would make the pruning disagree
+    * with the ranking). One broadcast join + the bounded heap; runs at
+    * INDEX-BUILD time, one corpus pass. Returns (vec_id, cluster).
+    */
+  def ivfAssignL2(vectors: DataFrame, centroids: DataFrame,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("v"))
+    val cen = centroids.select(col(idCol).as("centroid_id"),
+      toDouble(col(vecCol)).as("cv"))
+    graft.plans.TopK.perKey(
+      v.crossJoin(broadcast(cen))
+        .select(col("vec_id"), col("centroid_id"),
+          round(l2Sq(col("v"), col("cv")), 6).as("cd")),
+      Seq(col("vec_id")), Seq(col("cd"), col("centroid_id")), 1)
+      .select(col("vec_id"), col("centroid_id").as("cluster"))
+  }
+
+  /** IVF-PQ top-k — the two-stage compressed-ANN architecture (FAISS
+    * IndexIVFPQ's shape): queries probe their `nprobe` nearest-L2
+    * clusters, and ONLY the probed clusters' PQ codes are scanned with
+    * the ADC lookup table. The corpus side reads
+    * `codesWithCluster (vec_id, cluster, codes)` — built once by
+    * [[ivfAssignL2]] + [[encodePq]] — so serving cost is
+    * (probed fraction of corpus) × (m map lookups), with the full
+    * vectors never touched: at a billion vectors the scan is the
+    * probed slice of a codes table, not a TB of floats. The cluster
+    * equi-join against the broadcast (query × probed-cluster) LUT
+    * table IS the inverted-list pruning. Approximation is two-layer
+    * (cluster pruning can miss, codes quantize) — the recall knobs
+    * are nprobe and m/ksub respectively.
+    */
+  def ivfPqTopK(codesWithCluster: DataFrame, codebooks: DataFrame,
+                centroids: DataFrame, queries: DataFrame, k: Int,
+                nprobe: Int, m: Int, ksub: Int, dims: Int,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding",
+                queryCountHint: Option[Long] = None): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    requireBruteForceable(queries, "ivfPqTopK", queryCountHint)
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("v"))
+    val cen = centroids.select(col(idCol).as("centroid_id"),
+      toDouble(col(vecCol)).as("cv"))
+    val probed = graft.plans.TopK.perKey(
+      q.crossJoin(broadcast(cen))
+        .select(col("query_id"), col("centroid_id"),
+          round(l2Sq(col("v"), col("cv")), 6).as("cd")),
+      Seq(col("query_id")), Seq(col("cd"), col("centroid_id")), nprobe)
+      .select(col("query_id"), col("centroid_id").as("cluster"))
+    val lut = subvectors(q, m, dims, "query_id")
+      .join(broadcast(codebooks), "j")
+      .select(col("query_id"),
+        (col("j") * ksub + col("code")).as("key"),
+        l2Sq(col("s"), col("c")).as("pd"))
+      .groupBy("query_id")
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("key"), col("pd"))))).as("lut"))
+    // (query, probed cluster, lut): |queries|·nprobe rows, broadcast;
+    // the cluster equi-join prunes the codes scan to probed lists
+    val probeLut = probed.join(lut, "query_id")
+    val dist = round(aggregate(
+      zip_with(col("codes"),
+        sequence(lit(0), lit(m - 1)),
+        (c, j) => element_at(col("lut"), (j * ksub + c).cast("int"))),
+      lit(0.0), _ + _), 6)
+    val scored = codesWithCluster.join(broadcast(probeLut), "cluster")
+      .select(col("query_id"), col("vec_id"), dist.as("dist"))
+    rankByDist(scored, k)
   }
 }

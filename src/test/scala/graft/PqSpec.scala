@@ -96,6 +96,33 @@ class PqSpec extends SparkSpec {
     assert(scans <= 1, s"corpus must be served from codes, not files:\n$p")
   }
 
+  test("IVF-PQ probing all clusters reduces to flat PQ; nprobe=1 prunes to the query's cluster") {
+    val cen = corpus.filter(col("vec_id") < 2)
+    val cb = Vectors.trainPqCodebooks(corpus, m, ksub = 6, dims = dims,
+      iters = 2)
+    val assign = Vectors.ivfAssignL2(corpus, cen)
+    val codes = Vectors.encodePq(corpus, cb, m, dims)
+    val withCluster = codes.join(assign, "vec_id")
+    val queries = corpus.filter(col("vec_id") < 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // nprobe = all clusters: identical to the flat scan
+    val all = rows(Vectors.ivfPqTopK(withCluster, cb, cen, queries,
+      k = 6, nprobe = 2, m = m, ksub = 6, dims = dims))
+    val flat = rows(Vectors.pqTopK(codes, cb, queries, k = 6, m = m,
+      ksub = 6, dims = dims))
+    assert(all === flat)
+    // nprobe = 1: every result's cluster is the query's own cluster
+    val one = Vectors.ivfPqTopK(withCluster, cb, cen, queries,
+      k = 6, nprobe = 1, m = m, ksub = 6, dims = dims)
+      .join(assign, "vec_id")
+      .join(assign.select(col("vec_id").as("query_id"),
+        col("cluster").as("qcluster")), "query_id")
+    assert(one.filter(col("cluster") =!= col("qcluster")).count() === 0L)
+    assert(one.count() < 12L) // strictly fewer than the 2q x 6 flat scan
+  }
+
   test("m must divide dims; oversized query sets refuse") {
     val e = intercept[IllegalArgumentException](
       Vectors.trainPqCodebooks(corpus, 3, 2, dims))
