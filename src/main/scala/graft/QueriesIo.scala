@@ -358,7 +358,48 @@ private[graft] object QueriesIo {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** Streaming snapshot ingestion: the corpus arrives as TWO files
+    * consumed one per micro-batch, each landing as one append commit
+    * ([[Streams.snapshotStream]]); the latest snapshot must equal the
+    * whole table, and version 1 (checked by SnapshotsSpec) pins the
+    * first batch forever.
+    */
+  def streamSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val staged = graft.io.Scratch.dir("graft_stream_snap_docs_")
+    Seq(("even", col("doc_id") % 2 === 0),
+        ("odd", col("doc_id") % 2 === 1)).foreach { case (name, pred) =>
+      graft.io.Scratch.stageSingleParquetFile(
+        docs.filter(pred), staged, s"$name.parquet")
+    }
+    val store =
+      graft.io.Scratch.dir("graft_stream_snap_store_").toString + "/tbl"
+    Streams.snapshotStream(
+      Streams.fileStream(s, staged.toString, Streams.DocsRawSchema,
+        maxFilesPerTrigger = Some(1)), store)
+    graft.io.Snapshots.read(s, store)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** Incremental snapshot read: after commit(even) + append(odd), the
+    * v1→v2 delta is exactly the odd half, read from the delta FILES
+    * alone — the poll-the-table-for-what-arrived contract.
+    */
+  def snapshotChanges(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "snap_ch")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = t(s, dir, "documents")
+    val v1 = graft.io.Snapshots.commit(
+      docs.filter(col("doc_id") % 2 === 0), path)
+    val v2 = graft.io.Snapshots.commitAppend(
+      docs.filter(col("doc_id") % 2 === 1), path)
+    graft.io.Snapshots.changes(s, path, v1, v2)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_changes" -> (snapshotChanges _),
+    "q_stream_snapshot" -> (streamSnapshot _),
     "q_snapshot_read" -> (snapshotRead _),
     "q_snapshot_rollback" -> (snapshotRollback _),
     "q_range_layout" -> (rangeLayout _),
@@ -396,6 +437,11 @@ private[graft] object QueriesIo {
          WHERE doc_id % 2 = 0""",
     "q_snapshot_rollback" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "q_stream_snapshot" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "q_snapshot_changes" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         WHERE doc_id % 2 = 1""",
     "q_zorder_layout" ->
       s"""WITH e AS (SELECT event_id, user_id,
              epoch_us(CAST(ts AS TIMESTAMP)) AS t_us FROM events),

@@ -239,6 +239,22 @@ private[graft] object QueriesLlm {
       k = 5, nprobe = 2, m = 4, ksub = 8, dims = 64)
   }
 
+  /** IVF-PQ from a PERSISTED index (same parameters as [[ivfPqQ]]):
+    * build the centroids + codebooks + cluster-partitioned codes
+    * store, then serve from it alone — training, encoding and
+    * assignment all happen at build; the serve-time codes scan prunes
+    * to the probed clusters' partitions. Oracle: identical to
+    * `q_ivf_pq`.
+    */
+  def ivfPqIndexedQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cen = emb.filter(col("vec_id") < 16)
+    val idx = graft.io.Scratch.dir("graft_ivfpq_idx_").toString
+    Vectors.buildIvfPqIndex(emb, cen, idx, m = 4, ksub = 8, dims = 64)
+    Vectors.ivfPqTopKIndexed(s, idx, emb.filter(col("vec_id") < 5),
+      k = 5, nprobe = 2)
+  }
+
   /** IVF from a PERSISTED index (same centroids/queries/nprobe as
     * [[ivfProbe]]): build the centroid + partitioned inverted-list
     * store, then serve from it alone — the lists scan prunes to the
@@ -918,6 +934,7 @@ private[graft] object QueriesLlm {
     "q_embed_neardup" -> (embedNearDup _),
     "q_pq_topk" -> (pqTopKQ _),
     "q_ivf_pq" -> (ivfPqQ _),
+    "q_ivf_pq_indexed" -> (ivfPqIndexedQ _),
     "q_ivf_topk" -> (ivfTopK _),
     "q_ivf_probe" -> (ivfProbe _),
     "q_ivf_indexed" -> (ivfIndexed _),
@@ -1925,6 +1942,8 @@ private[graft] object QueriesLlm {
     "q_pq_topk" -> pqSql(m = 4, ksub = 8, dims = 64, nq = 5, k = 5),
     "q_ivf_pq" -> ivfPqSql(m = 4, ksub = 8, dims = 64, nq = 5, k = 5,
       ncen = 16, nprobe = 2),
+    "q_ivf_pq_indexed" -> ivfPqSql(m = 4, ksub = 8, dims = 64, nq = 5,
+      k = 5, ncen = 16, nprobe = 2),
     "q_semantic_dedup" ->
       s"""WITH ${kmeansCtes(16)},
           p AS (SELECT b.vec_id AS db

@@ -192,6 +192,36 @@ object Snapshots {
     spark.read.parquet(files: _*)
   }
 
+  /** The rows ADDED between two committed versions: the files in
+    * `toVersion`'s manifest that `fromVersion`'s lacks — an exact
+    * incremental read for append-only history (each append commit
+    * lists old files + new files, so the set difference IS the
+    * delta). Cost is O(delta files), never a table scan or a row
+    * diff: this is how a downstream consumer keeps up with a 100 TB
+    * table by reading only what arrived since its last poll. An
+    * overwrite or rollback in the range makes "added rows" ill-
+    * defined (files dropped out) — refused loudly rather than
+    * answered wrongly.
+    */
+  def changes(spark: SparkSession, path: String, fromVersion: Long,
+              toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"snapshot: changes range is backwards ($fromVersion > $toVersion)")
+    val f = fs(spark, path)
+    val before = manifestFiles(f, path, fromVersion)
+    val after = manifestFiles(f, path, toVersion)
+    val dropped = before.toSet -- after.toSet
+    require(dropped.isEmpty,
+      s"snapshot: versions $fromVersion..$toVersion are not append-only " +
+        s"(${dropped.size} files dropped out - an overwrite, rollback " +
+        "or retention pass in the range); read the versions directly " +
+        "and diff rows instead")
+    val fresh = after.filterNot(before.toSet)
+    if (fresh.isEmpty)
+      read(spark, path, Some(toVersion)).limit(0)
+    else spark.read.parquet(fresh.map(rel => s"$path/$rel"): _*)
+  }
+
   /** Roll the table back to `toVersion`: a NEW version whose manifest
     * is a copy of the old one — constant-time, no data IO, and the
     * rolled-back-from snapshot stays readable (rollback is an

@@ -804,6 +804,19 @@ object Vectors {
           round(l2Sq(col("v"), col("cv")), 6).as("cd")),
       Seq(col("query_id")), Seq(col("cd"), col("centroid_id")), nprobe)
       .select(col("query_id"), col("centroid_id").as("cluster"))
+    adcServe(codesWithCluster, codebooks, probed, q, k, m, ksub, dims)
+  }
+
+  /** The shared ADC tail of both IVF-PQ paths (in-memory
+    * [[ivfPqTopK]] and stored [[ivfPqTopKIndexed]]): per-query LUT
+    * from the broadcast codebooks, the (query, probed cluster, lut)
+    * table broadcast against the codes — its cluster equi-join IS the
+    * inverted-list pruning — then m map lookups + an ordered j-fold
+    * per candidate and the bounded-heap ranking.
+    */
+  private def adcServe(codesWithCluster: DataFrame, codebooks: DataFrame,
+                       probed: DataFrame, q: DataFrame, k: Int, m: Int,
+                       ksub: Int, dims: Int): DataFrame = {
     val lut = subvectors(q, m, dims, "query_id")
       .join(broadcast(codebooks), "j")
       .select(col("query_id"),
@@ -812,8 +825,6 @@ object Vectors {
       .groupBy("query_id")
       .agg(map_from_entries(array_sort(
         collect_list(struct(col("key"), col("pd"))))).as("lut"))
-    // (query, probed cluster, lut): |queries|·nprobe rows, broadcast;
-    // the cluster equi-join prunes the codes scan to probed lists
     val probeLut = probed.join(lut, "query_id")
     val dist = round(aggregate(
       zip_with(col("codes"),
@@ -823,5 +834,78 @@ object Vectors {
     val scored = codesWithCluster.join(broadcast(probeLut), "cluster")
       .select(col("query_id"), col("vec_id"), dist.as("dist"))
     rankByDist(scored, k)
+  }
+
+  /** Persist an IVF-PQ index: centroids + trained codebooks + the
+    * corpus as PQ codes PARTITIONED BY cluster, plus a 1-row meta
+    * table (m, ksub, dims) so serving needs no out-of-band
+    * parameters (the BM25 store's pbuckets-portability contract).
+    * The expensive work — codebook training, encoding, cluster
+    * assignment — happens ONCE here; the stored corpus is m ints per
+    * vector, 64× smaller than fp32 at m=8/dims=64, which at a billion
+    * vectors is the difference between an index that fits hot storage
+    * and one that doesn't.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, centroids: DataFrame,
+                      path: String, m: Int, ksub: Int, dims: Int,
+                      iters: Int = 1, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = trainPqCodebooks(corpus, m, ksub, dims, iters, idCol, vecCol)
+    centroids.select(col(idCol).as("centroid_id"),
+        toDouble(col(vecCol)).as("cv"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    Seq((m, ksub, dims)).toDF("m", "ksub", "dims").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+    encodePq(corpus, cb, m, dims, idCol, vecCol)
+      .join(ivfAssignL2(corpus, centroids, idCol, vecCol), "vec_id")
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/codes")
+  }
+
+  /** IVF-PQ top-k served from a [[buildIvfPqIndex]] store alone:
+    * queries probe their `nprobe` nearest stored centroids, the codes
+    * scan statically prunes to the probed clusters' PARTITIONS
+    * (PartitionFilters, not a post-scan filter), and ADC runs against
+    * the stored codebooks — neither training, encoding, nor
+    * assignment is ever redone at query time. Results are identical
+    * to [[ivfPqTopK]] over the same corpus/centroids/parameters.
+    */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                       path: String, queries: DataFrame, k: Int,
+                       nprobe: Int = 1, idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       queryCountHint: Option[Long] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    requireBruteForceable(queries, "ivfPqTopKIndexed", queryCountHint)
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val (m, ksub, dims) = (meta.getAs[Int]("m"),
+      meta.getAs[Int]("ksub"), meta.getAs[Int]("dims"))
+    val cen = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebooks")
+    // retain: the probed-cluster collect and the ADC join both read
+    // the probe result — a re-executed nondeterministic queries plan
+    // must not probe one cluster set and join another (the
+    // ivfTopKIndexed contract)
+    val q = graft.CacheScope.retain(
+      queries.select(col(idCol).as("query_id"),
+        toDouble(col(vecCol)).as("v")), "ivfpq.queries")
+    val probed = graft.CacheScope.retain(
+      graft.plans.TopK.perKey(
+        q.crossJoin(broadcast(cen))
+          .select(col("query_id"), col("centroid_id"),
+            round(l2Sq(col("v"), col("cv")), 6).as("cd")),
+        Seq(col("query_id")), Seq(col("cd"), col("centroid_id")),
+        nprobe)
+        .select(col("query_id"), col("centroid_id").as("cluster")),
+      "ivfpq.query-probes")
+    val clusters = probed.select("cluster").distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cluster").isin(clusters: _*))
+    adcServe(codes, cb, probed, q, k, m, ksub, dims)
   }
 }

@@ -382,6 +382,35 @@ object Streams {
     q // terminated; progress history lets callers assert batch counts
   }
 
+  /** Streaming ingestion into a [[graft.io.Snapshots]] store: every
+    * micro-batch lands as one APPEND commit — an atomic, time-
+    * travelable version (train/eval jobs pin the version they read;
+    * late-arriving data is a later version, never an in-place
+    * mutation). Only each batch's delta is written (structural
+    * sharing), so continuous ingestion stays O(batch) however large
+    * the table grows. Empty batches are skipped — a zero-row commit
+    * would burn a version per empty trigger. Same checkpoint contract
+    * as the index streams: durable `checkpoint` → restartable; a
+    * replayed batch without one duplicates rows in the LATEST version
+    * only (historical versions are immutable either way).
+    */
+  def snapshotStream(data: DataFrame, path: String,
+                     checkpoint: Option[String] = None):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = data.writeStream
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    val q = writer
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (batch.limit(1).count() > 0L) {
+          graft.io.Snapshots.commitAppend(batch, path); ()
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming ingestion into an IVF index store — the vector twin of
     * [[bm25IndexStream]]: the first micro-batch builds the store
     * against the supplied centroids

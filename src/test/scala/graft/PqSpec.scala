@@ -123,6 +123,28 @@ class PqSpec extends SparkSpec {
     assert(one.count() < 12L) // strictly fewer than the 2q x 6 flat scan
   }
 
+  test("stored IVF-PQ index serves identically and prunes partitions") {
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cen = emb.filter(col("vec_id") < 8)
+    val idx = graft.io.Scratch.dir("graft_pqspec_idx_").toString
+    Vectors.buildIvfPqIndex(emb, cen, idx, m = 4, ksub = 8, dims = 64)
+    val queries = emb.filter(col("vec_id") < 3)
+    val served = Vectors.ivfPqTopKIndexed(spark, idx, queries, k = 5,
+      nprobe = 2)
+    // identical to the in-memory composition over the same inputs
+    val cb = Vectors.trainPqCodebooks(emb, 4, 8, 64)
+    val codes = Vectors.encodePq(emb, cb, 4, 64)
+      .join(Vectors.ivfAssignL2(emb, cen), "vec_id")
+    val mem = Vectors.ivfPqTopK(codes, cb, cen, queries, k = 5,
+      nprobe = 2, m = 4, ksub = 8, dims = 64)
+    assert(served.orderBy("query_id", "rank").collect().toSeq ===
+      mem.orderBy("query_id", "rank").collect().toSeq)
+    // the codes scan must prune to the probed clusters' PARTITIONS
+    val p = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(p)
+      .isDefined, p)
+  }
+
   test("m must divide dims; oversized query sets refuse") {
     val e = intercept[IllegalArgumentException](
       Vectors.trainPqCodebooks(corpus, 3, 2, dims))

@@ -124,6 +124,49 @@ class SnapshotsSpec extends SparkSpec {
     assert(!new java.io.File(s"$path/data/c-orphan").exists())
   }
 
+  test("streaming ingestion: one append commit per micro-batch, v1 pinned") {
+    val staged = graft.io.Scratch.dir("graft_snapspec_docs_")
+    graft.io.Scratch.stageSingleParquetFile(
+      docs.filter(col("doc_id") % 2 === 0), staged, "even.parquet")
+    graft.io.Scratch.stageSingleParquetFile(
+      docs.filter(col("doc_id") % 2 === 1), staged, "odd.parquet")
+    val store = newStore
+    val q = graft.streaming.Streams.snapshotStream(
+      graft.streaming.Streams.fileStream(spark, staged.toString,
+        graft.streaming.Streams.DocsRawSchema,
+        maxFilesPerTrigger = Some(1)), store)
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches === 2, s"expected 2 non-empty micro-batches, got $batches")
+    assert(Snapshots.versions(spark, store) === Seq(1L, 2L))
+    // latest = everything; v1 pins exactly the first batch
+    assert(Snapshots.read(spark, store).count() === docs.count())
+    // (file arrival order is the source's choice — v1 is whichever
+    // half landed first, never the union)
+    val v1 = Snapshots.read(spark, store, Some(1L)).count()
+    val halves = Seq(0, 1).map(p =>
+      docs.filter(col("doc_id") % 2 === p).count())
+    assert(halves.contains(v1), s"v1=$v1 not one of $halves")
+  }
+
+  test("changes(v1, v2) reads exactly the appended delta files") {
+    val path = newStore
+    val v1 = Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path)
+    val v2 = Snapshots.commitAppend(
+      docs.filter(col("doc_id") % 2 === 1), path)
+    val delta = Snapshots.changes(spark, path, v1, v2)
+    assert(delta.count() ===
+      docs.filter(col("doc_id") % 2 === 1).count())
+    assert(delta.agg(min("doc_id") % 2).collect()(0).getLong(0) === 1L)
+    // same version -> empty delta, schema intact
+    val none = Snapshots.changes(spark, path, v2, v2)
+    assert(none.count() === 0L && none.columns.toSeq === docs.columns.toSeq)
+    // an overwrite in the range refuses (added-rows is ill-defined)
+    val v3 = Snapshots.commit(docs.filter(col("n_chars") > 500), path)
+    val e = intercept[IllegalArgumentException](
+      Snapshots.changes(spark, path, v1, v3))
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+  }
+
   test("the store is relocatable (relative manifest paths)") {
     val path = newStore
     Snapshots.commit(docs, path)
