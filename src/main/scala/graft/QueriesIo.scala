@@ -381,6 +381,48 @@ private[graft] object QueriesIo {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** Copy-on-write MERGE into the snapshot store
+    * ([[graft.io.Snapshots.merge]]): commit the full documents table,
+    * then upsert a batch that UPDATES every doc_id % 10 == 0 row
+    * (text upper-cased) and INSERTS a fresh negative-keyed row per
+    * doc_id % 10 == 5 (negative keys can never collide — the
+    * generator emits doc_id >= 0). Latest must read as base −
+    * replaced + updates; only files holding a matching key were
+    * rewritten (pinned by SnapshotsSpec), and the pre-merge version
+    * still time-travels to the original.
+    */
+  def snapshotMerge(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "snap_mg")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = t(s, dir, "documents")
+    graft.io.Snapshots.commit(docs, path)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val updates = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), upper(col("text")).as("text"), col("lang"),
+        col("source"), col("n_chars"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 5)
+        .select((-col("doc_id") - 1).as("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars")))
+    graft.io.Snapshots.merge(s, path, updates, Seq("doc_id"))
+    graft.io.Snapshots.read(s, path).select(cols.map(col): _*)
+  }
+
+  /** Copy-on-write DELETE from the snapshot store
+    * ([[graft.io.Snapshots.deleteWhere]]): commit the full documents
+    * table, delete every n_chars < 300 row; only files containing a
+    * matching row are rewritten, and the pre-delete version still
+    * reads complete.
+    */
+  def snapshotDelete(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "snap_del")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = t(s, dir, "documents")
+    graft.io.Snapshots.commit(docs, path)
+    graft.io.Snapshots.deleteWhere(s, path, col("n_chars") < 300)
+    graft.io.Snapshots.read(s, path)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** Incremental snapshot read: after commit(even) + append(odd), the
     * v1→v2 delta is exactly the odd half, read from the delta FILES
     * alone — the poll-the-table-for-what-arrived contract.
@@ -399,6 +441,8 @@ private[graft] object QueriesIo {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_snapshot_changes" -> (snapshotChanges _),
+    "q_snapshot_merge" -> (snapshotMerge _),
+    "q_snapshot_delete" -> (snapshotDelete _),
     "q_stream_snapshot" -> (streamSnapshot _),
     "q_snapshot_read" -> (snapshotRead _),
     "q_snapshot_rollback" -> (snapshotRollback _),
@@ -442,6 +486,21 @@ private[graft] object QueriesIo {
     "q_snapshot_changes" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          WHERE doc_id % 2 = 1""",
+    "q_snapshot_merge" ->
+      """WITH upd AS (
+           SELECT doc_id, upper(text) AS text, lang, source, n_chars
+           FROM documents WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT -doc_id - 1 AS doc_id, text, lang, source, n_chars
+           FROM documents WHERE doc_id % 10 = 5)
+         SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         FROM documents d
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM upd)
+         UNION ALL
+         SELECT doc_id, text, lang, source, n_chars FROM upd""",
+    "q_snapshot_delete" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         WHERE NOT coalesce(n_chars < 300, FALSE)""",
     "q_zorder_layout" ->
       s"""WITH e AS (SELECT event_id, user_id,
              epoch_us(CAST(ts AS TIMESTAMP)) AS t_us FROM events),

@@ -1,6 +1,7 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit, not}
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Snapshot-versioned parquet store: manifest-based time travel,
@@ -220,6 +221,110 @@ object Snapshots {
     if (fresh.isEmpty)
       read(spark, path, Some(toVersion)).limit(0)
     else spark.read.parquet(fresh.map(rel => s"$path/$rel"): _*)
+  }
+
+  /** The store-relative manifest entry for a scanned file's
+    * `_metadata.file_path` URI. Commit dirs sit directly under
+    * `data/`, so the last two path segments ARE the manifest entry —
+    * no string-matching against the (possibly URI-mangled) base path.
+    */
+  private def relativize(filePath: String): String = {
+    val seg = filePath.split('/')
+    require(seg.length >= 2, s"snapshot: unparseable file path $filePath")
+    s"data/${seg(seg.length - 2)}/${seg(seg.length - 1)}"
+  }
+
+  /** Current snapshot's files (store-relative) plus their absolute
+    * form, failing loudly when nothing was ever committed.
+    */
+  private def currentFiles(spark: SparkSession, path: String,
+                           what: String): (Long, Seq[String]) = {
+    val v = latestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot: no committed version under $path to $what"))
+    (v, manifestFiles(fs(spark, path), path, v))
+  }
+
+  /** Copy-on-write MERGE (upsert) keyed on `keyCols`: an update row
+    * whose key exists in the table REPLACES that row (whole-row
+    * semantics); a row whose key is absent is INSERTED. Returns the
+    * new committed version; every prior version stays readable (time
+    * travel across the merge).
+    *
+    * Scale shape — the Delta/Iceberg copy-on-write contract:
+    *   1. *Discovery* scans ONLY the key columns plus the file-path
+    *      metadata column (columnar prune) and semi-joins the update
+    *      keys; the collected result is O(affected files) — bounded
+    *      by the file count, like the manifest itself, never by rows.
+    *   2. *Rewrite* reads just the affected files, anti-joins the
+    *      update keys, and writes survivors + updates as the commit's
+    *      fresh files. Unaffected files are carried by reference —
+    *      a merge touching 1 of 10,000 files costs 1 file of IO.
+    *
+    * Refused loudly: duplicate keys within `updates` (two update rows
+    * for one key make the upsert non-deterministic; note the check
+    * groups NULL keys as equal, so multiple NULL-keyed update rows
+    * are also refused — a NULL key never equi-joins and would
+    * otherwise always insert), and a column set differing from the
+    * table's (whole-row replacement needs whole rows).
+    */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+            keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "snapshot: merge needs at least one key column")
+    val (_, all) = currentFiles(spark, path, "merge into")
+    val table = spark.read.parquet(all.map(rel => s"$path/$rel"): _*)
+    require(table.columns.sorted.sameElements(updates.columns.sorted),
+      s"snapshot: merge updates columns ${updates.columns.sorted.mkString(",")} " +
+        s"differ from the table's ${table.columns.sorted.mkString(",")}")
+    require(keyCols.forall(updates.columns.contains),
+      s"snapshot: key columns ${keyCols.filterNot(updates.columns.contains)} " +
+        "missing from updates")
+    val keyExprs = keyCols.map(col)
+    val dup = updates.groupBy(keyExprs: _*)
+      .count().filter(col("count") > 1).limit(1).count()
+    require(dup == 0L,
+      "snapshot: updates carry duplicate keys - the upsert would be " +
+        "non-deterministic; deduplicate (e.g. keep-latest) before merging")
+    val affected = table
+      .select(keyExprs :+ col("_metadata.file_path").as("__graft_fp"): _*)
+      .join(updates.select(keyExprs: _*), keyCols, "left_semi")
+      .select("__graft_fp").distinct()
+      .collect().map(r => relativize(r.getString(0))).toSet
+    val carried = all.filterNot(affected)
+    val cols = table.columns.toSeq.map(col)
+    val upd = updates.select(cols: _*)
+    val fresh =
+      if (affected.isEmpty) upd // pure insert: nothing to rewrite
+      else spark.read
+        .parquet(all.filter(affected).map(rel => s"$path/$rel"): _*)
+        .join(upd.select(keyExprs: _*), keyCols, "left_anti")
+        .select(cols: _*)
+        .unionByName(upd)
+    writeCommit(spark, fresh, path, carried)
+  }
+
+  /** Copy-on-write DELETE: rows where `predicate` evaluates TRUE are
+    * removed; FALSE and NULL rows are retained (SQL DELETE WHERE
+    * semantics — discovery's `filter(predicate)` and the survivors'
+    * `NOT coalesce(predicate, false)` agree on the NULL row). Only
+    * files containing at least one matching row are rewritten; when
+    * nothing matches, no commit happens and the current version is
+    * returned unchanged (delete is idempotent). The predicate must
+    * reference data columns only.
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+                  predicate: Column): Long = {
+    val (v, all) = currentFiles(spark, path, "delete from")
+    val table = spark.read.parquet(all.map(rel => s"$path/$rel"): _*)
+    val affected = table.filter(predicate)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(r => relativize(r.getString(0))).toSet
+    if (affected.isEmpty) return v
+    val carried = all.filterNot(affected)
+    val survivors = spark.read
+      .parquet(all.filter(affected).map(rel => s"$path/$rel"): _*)
+      .filter(not(coalesce(predicate, lit(false))))
+    writeCommit(spark, survivors, path, carried)
   }
 
   /** Roll the table back to `toVersion`: a NEW version whose manifest

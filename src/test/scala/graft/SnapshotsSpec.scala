@@ -167,6 +167,93 @@ class SnapshotsSpec extends SparkSpec {
     assert(e.getMessage.contains("append-only"), e.getMessage)
   }
 
+  test("merge upserts: matching keys replaced, fresh keys inserted, history intact") {
+    val path = newStore
+    val v1 = Snapshots.commit(docs, path)
+    val updates = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), upper(col("text")).as("text"), col("lang"),
+        col("source"), col("n_chars"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 5)
+        .select((-col("doc_id") - 1).as("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars")))
+      .select(docs.columns.map(col).toSeq: _*)
+    val v2 = Snapshots.merge(spark, path, updates, Seq("doc_id"))
+    val got = Snapshots.read(spark, path)
+    val want = docs.join(updates.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(updates)
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+    // every updated row actually carries the new text
+    assert(got.filter(col("doc_id") % 10 === 0 && col("doc_id") >= 0)
+      .filter(col("text") =!= upper(col("text"))).count() === 0L)
+    // the pre-merge version still reads the original rows
+    assert(Snapshots.read(spark, path, Some(v1)).exceptAll(docs).count() === 0L)
+    assert(v2 === v1 + 1)
+  }
+
+  test("merge rewrites only affected files; untouched files are carried by reference") {
+    val path = newStore
+    // two commits → two disjoint file sets (evens in c1, odds in c2)
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path)
+    val evenFiles = dataFiles(path).toSet
+    Snapshots.commitAppend(docs.filter(col("doc_id") % 2 === 1), path)
+    // updates touch only ODD keys → every even-commit file must
+    // survive the merge physically untouched and still be referenced
+    val updates = docs.filter(col("doc_id") % 2 === 1)
+      .withColumn("text", upper(col("text")))
+      .select(docs.columns.map(col).toSeq: _*)
+    Snapshots.merge(spark, path, updates, Seq("doc_id"))
+    assert(evenFiles.subsetOf(dataFiles(path).toSet))
+    val latest = Snapshots.read(spark, path)
+    assert(latest.count() === docs.count())
+    assert(latest.filter(col("doc_id") % 2 === 1)
+      .filter(col("text") =!= upper(col("text"))).count() === 0L)
+    // pure insert: no table file holds the key → nothing rewritten
+    val before = dataFiles(path).toSet
+    val insert = docs.limit(1)
+      .select((-col("doc_id") - 1000000).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .select(docs.columns.map(col).toSeq: _*)
+    Snapshots.merge(spark, path, insert, Seq("doc_id"))
+    assert(before.subsetOf(dataFiles(path).toSet))
+    assert(Snapshots.read(spark, path).count() === docs.count() + 1)
+  }
+
+  test("merge refuses duplicate update keys and mismatched columns") {
+    val path = newStore
+    Snapshots.commit(docs, path)
+    val dup = docs.limit(1).unionByName(docs.limit(1))
+    val e1 = intercept[IllegalArgumentException](
+      Snapshots.merge(spark, path, dup, Seq("doc_id")))
+    assert(e1.getMessage.contains("duplicate"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.merge(spark, path, docs.drop("text"), Seq("doc_id")))
+    assert(e2.getMessage.contains("columns"), e2.getMessage)
+  }
+
+  test("deleteWhere removes TRUE rows, retains NULL rows, no-ops when nothing matches") {
+    val path = newStore
+    // plant a NULL-predicate row: n_chars NULL must SURVIVE the delete
+    val withNull = docs.unionByName(docs.limit(1)
+      .select((-col("doc_id") - 1).as("doc_id"), col("text"), col("lang"),
+        col("source"), lit(null).cast("long").as("n_chars"))
+      .select(docs.columns.map(col).toSeq: _*))
+    val v1 = Snapshots.commit(withNull, path)
+    val v2 = Snapshots.deleteWhere(spark, path, col("n_chars") < 300)
+    assert(v2 === v1 + 1)
+    val got = Snapshots.read(spark, path)
+    assert(got.filter(col("n_chars") < 300).count() === 0L)
+    assert(got.filter(col("n_chars").isNull).count() === 1L)
+    assert(got.count() ===
+      withNull.filter(!coalesce(col("n_chars") < 300, lit(false))).count())
+    // pre-delete version still reads everything
+    assert(Snapshots.read(spark, path, Some(v1)).count() === withNull.count())
+    // nothing matches → same version back, no new commit
+    assert(Snapshots.deleteWhere(spark, path, col("n_chars") < -1) === v2)
+    assert(Snapshots.versions(spark, path).last === v2)
+  }
+
   test("the store is relocatable (relative manifest paths)") {
     val path = newStore
     Snapshots.commit(docs, path)
