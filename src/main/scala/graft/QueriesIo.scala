@@ -423,6 +423,59 @@ private[graft] object QueriesIo {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** Snapshot compaction ([[graft.io.Snapshots.compact]]): the
+    * documents table arrives as four quarter appends (four commits'
+    * worth of small files — the streaming-ingestion fragmentation
+    * shape), then one bin-packing pass rewrites the table into
+    * byte-budgeted files as a new version. Rows must be EXACTLY the
+    * full table (the compaction moved bytes, never rows), which is
+    * what the oracle checks; SnapshotsSpec pins the file-count drop
+    * and the idempotent no-op.
+    */
+  def snapshotCompact(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "snap_cp")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = t(s, dir, "documents")
+    (0 until 4).foreach(q =>
+      graft.io.Snapshots.commitAppend(
+        docs.filter(col("doc_id") % 4 === q), path))
+    graft.io.Snapshots.compact(s, path, targetFileBytes = 1L << 30)
+    graft.io.Snapshots.read(s, path)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** Streaming upsert into the snapshot store
+    * ([[Streams.snapshotUpsertStream]]): the base table is committed,
+    * then a CDC-style stream delivers one UPDATE file (doc_id % 10
+    * == 0, text upper-cased) and one INSERT file (fresh negative
+    * keys), one merge per micro-batch. The two batches touch
+    * DISJOINT keys, so the final table is the same whichever file
+    * the source picks up first — same end state as the batch
+    * [[snapshotMerge]] gate, same oracle.
+    */
+  def streamUpsert(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val store =
+      graft.io.Scratch.dir("graft_stream_upsert_store_").toString + "/tbl"
+    graft.io.Snapshots.commit(docs, store)
+    val staged = graft.io.Scratch.dir("graft_stream_upsert_docs_")
+    graft.io.Scratch.stageSingleParquetFile(
+      docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("text", upper(col("text")))
+        .select(docs.columns.map(col).toSeq: _*),
+      staged, "updates.parquet")
+    graft.io.Scratch.stageSingleParquetFile(
+      docs.filter(col("doc_id") % 10 === 5)
+        .withColumn("doc_id", -col("doc_id") - 1)
+        .select(docs.columns.map(col).toSeq: _*),
+      staged, "inserts.parquet")
+    Streams.snapshotUpsertStream(
+      Streams.fileStream(s, staged.toString, Streams.DocsRawSchema,
+        maxFilesPerTrigger = Some(1)), store, Seq("doc_id"))
+    graft.io.Snapshots.read(s, store)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** Incremental snapshot read: after commit(even) + append(odd), the
     * v1→v2 delta is exactly the odd half, read from the delta FILES
     * alone — the poll-the-table-for-what-arrived contract.
@@ -443,6 +496,8 @@ private[graft] object QueriesIo {
     "q_snapshot_changes" -> (snapshotChanges _),
     "q_snapshot_merge" -> (snapshotMerge _),
     "q_snapshot_delete" -> (snapshotDelete _),
+    "q_snapshot_compact" -> (snapshotCompact _),
+    "q_stream_upsert" -> (streamUpsert _),
     "q_stream_snapshot" -> (streamSnapshot _),
     "q_snapshot_read" -> (snapshotRead _),
     "q_snapshot_rollback" -> (snapshotRollback _),
@@ -501,6 +556,20 @@ private[graft] object QueriesIo {
     "q_snapshot_delete" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          WHERE NOT coalesce(n_chars < 300, FALSE)""",
+    "q_snapshot_compact" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "q_stream_upsert" ->
+      """WITH upd AS (
+           SELECT doc_id, upper(text) AS text, lang, source, n_chars
+           FROM documents WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT -doc_id - 1 AS doc_id, text, lang, source, n_chars
+           FROM documents WHERE doc_id % 10 = 5)
+         SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         FROM documents d
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM upd)
+         UNION ALL
+         SELECT doc_id, text, lang, source, n_chars FROM upd""",
     "q_zorder_layout" ->
       s"""WITH e AS (SELECT event_id, user_id,
              epoch_us(CAST(ts AS TIMESTAMP)) AS t_us FROM events),

@@ -327,6 +327,38 @@ object Snapshots {
     writeCommit(spark, survivors, path, carried)
   }
 
+  /** Bin-pack the current snapshot into ~`targetFileBytes` files — the
+    * answer to the small-files problem streaming ingestion creates
+    * (every [[commitAppend]] micro-batch lands its own files; a
+    * thousand triggers later the scan pays a thousand file opens).
+    * Rewrites the SAME rows as a new overwrite version: history stays
+    * readable, [[rollback]] can undo it, and [[expire]]+[[vacuum]]
+    * later reclaim the fragment files. When the table already has no
+    * more files than the byte budget calls for, no commit happens and
+    * the current version is returned (compaction is idempotent —
+    * a scheduler can call it every N batches for free).
+    *
+    * Sizing uses the files' actual on-disk bytes (compressed), the
+    * same signal a table-format maintenance job keys on; the
+    * repartition is a round-robin full shuffle of just the affected
+    * snapshot — at 100 TB you compact partitions/recent commits, not
+    * the world, which is what the no-op fast path gives a caller who
+    * compacts right after a burst of small appends.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L << 20): Long = {
+    require(targetFileBytes > 0, "snapshot: targetFileBytes must be positive")
+    val (v, all) = currentFiles(spark, path, "compact")
+    val f = fs(spark, path)
+    val totalBytes = all.map(rel =>
+      f.getFileStatus(new Path(s"$path/$rel")).getLen).sum
+    val want = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
+    if (all.size <= want) return v
+    val packed = spark.read.parquet(all.map(rel => s"$path/$rel"): _*)
+      .repartition(want.toInt)
+    writeCommit(spark, packed, path, Nil)
+  }
+
   /** Roll the table back to `toVersion`: a NEW version whose manifest
     * is a copy of the old one — constant-time, no data IO, and the
     * rolled-back-from snapshot stays readable (rollback is an

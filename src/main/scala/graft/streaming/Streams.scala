@@ -411,6 +411,42 @@ object Streams {
     q
   }
 
+  /** Streaming UPSERT into a snapshot store: the first non-empty
+    * micro-batch commits the table, every later batch applies as a
+    * copy-on-write [[graft.io.Snapshots.merge]] on `keyCols` — the
+    * CDC-sink posture (replace-by-key, insert-when-new) over the
+    * same versioned store the append stream feeds. Each batch is
+    * persisted for the merge's multiple passes (dup-key guard,
+    * affected-file discovery, rewrite) so the source isn't re-read
+    * per pass. Same checkpoint contract as the other index streams:
+    * durable `checkpoint` → restartable; a replayed batch is
+    * IDEMPOTENT here by merge semantics (same keys, same rows →
+    * same table), unlike the append stream's duplicate rows.
+    */
+  def snapshotUpsertStream(data: DataFrame, path: String,
+                           keyCols: Seq[String],
+                           checkpoint: Option[String] = None):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = data.writeStream
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    val q = writer
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          if (b.limit(1).count() > 0L) {
+            if (graft.io.Snapshots.latestVersion(b.sparkSession, path).isEmpty)
+              graft.io.Snapshots.commit(b, path)
+            else graft.io.Snapshots.merge(b.sparkSession, path, b, keyCols)
+            ()
+          }
+        } finally { b.unpersist(); () }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming ingestion into an IVF index store — the vector twin of
     * [[bm25IndexStream]]: the first micro-batch builds the store
     * against the supplied centroids

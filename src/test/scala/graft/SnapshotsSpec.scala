@@ -254,6 +254,60 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.versions(spark, path).last === v2)
   }
 
+  test("compact bin-packs fragments, preserves rows, and no-ops when already packed") {
+    val path = newStore
+    (0 until 4).foreach(q =>
+      Snapshots.commitAppend(docs.filter(col("doc_id") % 4 === q), path))
+    val fragments = dataFiles(path).size
+    assert(fragments >= 4) // one+ file per append commit
+    val v = Snapshots.compact(spark, path, targetFileBytes = 1L << 30)
+    assert(v === 5L)
+    // everything fits one 1 GiB file → one packed file in the manifest
+    val packed = Snapshots.read(spark, path)
+    assert(packed.count() === docs.count())
+    assert(packed.select(input_file_name()).distinct().count() === 1L)
+    // pre-compaction version still reads (history intact) ...
+    assert(Snapshots.read(spark, path, Some(4L)).count() === docs.count())
+    // ... and compacting a packed table is a no-op, not a new version
+    assert(Snapshots.compact(spark, path, targetFileBytes = 1L << 30) === v)
+    assert(Snapshots.versions(spark, path).last === v)
+    // after expiry+vacuum the fragment files are reclaimed
+    Snapshots.expire(spark, path, keepLast = 1)
+    assert(Snapshots.vacuum(spark, path) >= fragments)
+    assert(Snapshots.read(spark, path).count() === docs.count())
+  }
+
+  test("streaming upsert: first batch commits, later batches merge by key") {
+    val store = newStore
+    Snapshots.commit(docs, store)
+    val staged = graft.io.Scratch.dir("graft_snapspec_upsert_")
+    graft.io.Scratch.stageSingleParquetFile(
+      docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("text", upper(col("text")))
+        .select(docs.columns.map(col).toSeq: _*),
+      staged, "a_updates.parquet")
+    graft.io.Scratch.stageSingleParquetFile(
+      docs.filter(col("doc_id") % 10 === 5)
+        .withColumn("doc_id", -col("doc_id") - 1)
+        .select(docs.columns.map(col).toSeq: _*),
+      staged, "b_inserts.parquet")
+    val q = graft.streaming.Streams.snapshotUpsertStream(
+      graft.streaming.Streams.fileStream(spark, staged.toString,
+        graft.streaming.Streams.DocsRawSchema,
+        maxFilesPerTrigger = Some(1)), store, Seq("doc_id"))
+    assert(q.recentProgress.count(_.numInputRows > 0) === 2)
+    // base + two merges = three committed versions
+    assert(Snapshots.versions(spark, store).size === 3)
+    val got = Snapshots.read(spark, store)
+    val nUpd = docs.filter(col("doc_id") % 10 === 0).count()
+    val nIns = docs.filter(col("doc_id") % 10 === 5).count()
+    assert(got.count() === docs.count() + nIns)
+    assert(got.filter(col("doc_id") % 10 === 0 && col("doc_id") >= 0 &&
+      col("text") =!= upper(col("text"))).count() === 0L)
+    assert(got.filter(col("doc_id") < 0).count() === nIns)
+    assert(nUpd > 0 && nIns > 0)
+  }
+
   test("the store is relocatable (relative manifest paths)") {
     val path = newStore
     Snapshots.commit(docs, path)
