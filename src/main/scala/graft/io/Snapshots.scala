@@ -280,27 +280,45 @@ object Snapshots {
       s"snapshot: key columns ${keyCols.filterNot(updates.columns.contains)} " +
         "missing from updates")
     val keyExprs = keyCols.map(col)
-    val dup = updates.groupBy(keyExprs: _*)
-      .count().filter(col("count") > 1).limit(1).count()
-    require(dup == 0L,
-      "snapshot: updates carry duplicate keys - the upsert would be " +
-        "non-deterministic; deduplicate (e.g. keep-latest) before merging")
-    val affected = table
+    // merge runs three actions over `updates` (dup-key guard, affected-
+    // file discovery, rewrite) — pin it so the caller's plan isn't
+    // re-executed per pass; the write below drains every pass before
+    // the unpersist
+    val upd0 = updates.persist()
+    try {
+      val dup = upd0.groupBy(keyExprs: _*)
+        .count().filter(col("count") > 1).limit(1).count()
+      require(dup == 0L,
+        "snapshot: updates carry duplicate keys - the upsert would be " +
+          "non-deterministic; deduplicate (e.g. keep-latest) before merging")
+      val affected = affectedFilesPlan(table, upd0, keyCols)
+        .collect().map(r => relativize(r.getString(0))).toSet
+      val carried = all.filterNot(affected)
+      val cols = table.columns.toSeq.map(col)
+      val upd = upd0.select(cols: _*)
+      val fresh =
+        if (affected.isEmpty) upd // pure insert: nothing to rewrite
+        else spark.read
+          .parquet(all.filter(affected).map(rel => s"$path/$rel"): _*)
+          .join(upd.select(keyExprs: _*), keyCols, "left_anti")
+          .select(cols: _*)
+          .unionByName(upd)
+      writeCommit(spark, fresh, path, carried)
+    } finally { upd0.unpersist(); () }
+  }
+
+  /** The merge discovery plan: distinct file paths holding at least
+    * one update key. Split out so SnapshotsSpec can pin its scale
+    * property — the scan reads ONLY the key columns (plus constant
+    * file metadata), never the table's payload.
+    */
+  private[graft] def affectedFilesPlan(table: DataFrame, updates: DataFrame,
+                                       keyCols: Seq[String]): DataFrame = {
+    val keyExprs = keyCols.map(col)
+    table
       .select(keyExprs :+ col("_metadata.file_path").as("__graft_fp"): _*)
       .join(updates.select(keyExprs: _*), keyCols, "left_semi")
       .select("__graft_fp").distinct()
-      .collect().map(r => relativize(r.getString(0))).toSet
-    val carried = all.filterNot(affected)
-    val cols = table.columns.toSeq.map(col)
-    val upd = updates.select(cols: _*)
-    val fresh =
-      if (affected.isEmpty) upd // pure insert: nothing to rewrite
-      else spark.read
-        .parquet(all.filter(affected).map(rel => s"$path/$rel"): _*)
-        .join(upd.select(keyExprs: _*), keyCols, "left_anti")
-        .select(cols: _*)
-        .unionByName(upd)
-    writeCommit(spark, fresh, path, carried)
   }
 
   /** Copy-on-write DELETE: rows where `predicate` evaluates TRUE are

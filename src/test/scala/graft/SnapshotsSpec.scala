@@ -308,6 +308,22 @@ class SnapshotsSpec extends SparkSpec {
     assert(nUpd > 0 && nIns > 0)
   }
 
+  test("merge discovery scans only the key columns, never the payload") {
+    val path = newStore
+    Snapshots.commit(docs, path)
+    val table = Snapshots.read(spark, path)
+    val plan = Snapshots.affectedFilesPlan(
+      table, docs.limit(10), Seq("doc_id"))
+      .queryExecution.executedPlan.toString
+    // the table-side parquet scan must prune to doc_id (+ metadata);
+    // reading `text` for file discovery would scan the 100 TB payload
+    val tableScan = plan.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("data"))
+      .mkString("\n")
+    assert(tableScan.contains("doc_id"), plan)
+    assert(!tableScan.contains("text"), s"payload read in discovery:\n$plan")
+  }
+
   test("the store is relocatable (relative manifest paths)") {
     val path = newStore
     Snapshots.commit(docs, path)
