@@ -300,6 +300,30 @@ private[graft] object QueriesIo {
       .select(col("media_id"), col("frame_no"),
         decode(col("frame"), "UTF-8").as("chunk"))
 
+  /** Real AVI container demux through the [[Multimodal.FrameCodec]]
+    * seam: each document's text bytes become the video-stream frames
+    * of a muxed AVI ([[Multimodal.aviMux]], 48 bytes per `00dc`
+    * chunk), and [[Multimodal.aviFrameCodec]] walks RIFF → LIST
+    * `movi` → stream chunks to get them back — so the oracle can
+    * replay the demux as substring arithmetic, exactly the
+    * `q_wav_frames` pattern. The REAL MJPEG pixel path (JPEG frame
+    * bodies → ImageIO decode) is pinned by AviCodecSpec, where a SQL
+    * oracle can't follow.
+    */
+  def aviFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        (id, Multimodal.aviMux(bytes.grouped(48).toSeq)) }
+      .toDF("media_id", "payload")
+    Multimodal.decodeFrames(media, Multimodal.aviFrameCodec,
+      maxFrames = 4, step = 2)
+      .select(col("media_id"), col("frame_no"),
+        decode(col("frame"), "UTF-8").as("chunk"))
+  }
+
   /** Salted skew-join: events fact × user dimension, 8 salts; result
     * must equal the plain join (salting only reshapes the shuffle).
     */
@@ -514,6 +538,7 @@ private[graft] object QueriesIo {
     "q_frame_sample" -> (frameSample _),
     "q_media_chunks" -> (mediaChunks _),
     "q_wav_frames" -> (wavFrames _),
+    "q_avi_frames" -> (aviFrames _),
     "q_salted_join" -> (saltedJoin _),
     "q_stream_join" -> (streamStreamJoin _),
     "q_zorder_layout" -> (zorderLayout _),
@@ -677,6 +702,12 @@ private[graft] object QueriesIo {
          FROM documents
          CROSS JOIN (SELECT unnest([0, 2]) AS f)
          WHERE text IS NOT NULL AND length(text) > f * 32""",
+    "q_avi_frames" ->
+      """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_no,
+           substr(text, f * 48 + 1, 48) AS chunk
+         FROM documents
+         CROSS JOIN (SELECT unnest([0, 2]) AS f)
+         WHERE text IS NOT NULL AND length(text) > f * 48""",
     "q_salted_join" ->
       """SELECT event_id, user_id, value, c_mktsegment
          FROM events JOIN customer ON user_id = c_custkey""",

@@ -397,6 +397,89 @@ object Multimodal {
     }
   }
 
+  /** Minimal spec-conformant AVI (RIFF) muxer: one video stream whose
+    * frames land as `00dc` chunks inside the `movi` LIST, preceded by
+    * an `hdrl` LIST carrying the 56-byte `avih` main header
+    * (totalFrames/streams/width/height filled, rest zero). Odd-sized
+    * chunk bodies pad one byte per the RIFF word-alignment rule.
+    * Deterministic bytes for fixed input — fixture-grade, and a real
+    * container: an MJPEG AVI is exactly this with JPEG frame bodies.
+    */
+  def aviMux(frames: Seq[Array[Byte]], width: Int = 0,
+             height: Int = 0): Array[Byte] = {
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      a(id) ++ leBytes(body.length, 4) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    val avih =
+      leBytes(40000, 4) ++ leBytes(0, 4) ++ leBytes(0, 4) ++
+        leBytes(0x10, 4) ++ leBytes(frames.size, 4) ++ leBytes(0, 4) ++
+        leBytes(1, 4) ++ leBytes(0, 4) ++ leBytes(width, 4) ++
+        leBytes(height, 4) ++ leBytes(0, 4) ++ leBytes(0, 4) ++
+        leBytes(0, 4) ++ leBytes(0, 4)
+    val hdrl = a("hdrl") ++ chunk("avih", avih)
+    val movi = a("movi") ++
+      frames.iterator.flatMap(f => chunk("00dc", f)).toArray
+    val lists = chunk("LIST", hdrl) ++ chunk("LIST", movi)
+    a("RIFF") ++ leBytes(lists.length + 4, 4) ++ a("AVI ") ++ lists
+  }
+
+  /** Real video-container codec through the seam: AVI (RIFF) demux.
+    * Walks the public chunk layout (`"RIFF" sz "AVI "` then `id sz
+    * body` word-aligned chunks), finds the `movi` LIST, and collects
+    * the video-stream frame chunks — ids `NNdc` (compressed) / `NNdb`
+    * (uncompressed), any stream number — recursing into the optional
+    * `rec ` grouping LISTs interleaved AVIs use. Returns each chunk
+    * body verbatim: for an MJPEG AVI every body is a complete JPEG,
+    * so [[imageFrameCodec]]'s ImageIO path (or [[decodeMeta]])
+    * decodes the sampled frames downstream — demux and pixel decode
+    * stay separate stages, the way a real video pipeline composes.
+    * Same adversarial hardening as [[wavPcmFrameCodec]]: all offset
+    * arithmetic in Long (unsigned 32-bit sizes near 2^32 must reject,
+    * not wrap), a chunk overrunning its enclosure stops the walk,
+    * audio/index/header chunks skip, truncated or non-AVI payloads
+    * yield no frames, and the frame budget stops the scan early.
+    */
+  val aviFrameCodec: FrameCodec = (p, maxFrames) => {
+    def le32(o: Int): Long = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+      ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+    def id4(o: Int): String = new String(p, o, 4, "US-ASCII")
+    if (p == null || maxFrames < 1 || p.length < 12 ||
+      id4(0) != "RIFF" || id4(8) != "AVI ") Nil
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def isVideoChunk(id: String): Boolean =
+        id.length == 4 && id(0) >= '0' && id(0) <= '9' &&
+          id(1) >= '0' && id(1) <= '9' &&
+          (id.endsWith("dc") || id.endsWith("db"))
+      def walk(start: Long, lim: Long, inMovi: Boolean): Unit = {
+        var off = start
+        var ok = true
+        while (ok && out.size < maxFrames && off + 8 <= lim) {
+          val id = id4(off.toInt)
+          val sz = le32(off.toInt + 4)
+          val body = off + 8
+          val bodyEnd = body + sz
+          if (bodyEnd > lim) ok = false // overruns its enclosure
+          else {
+            if (id == "LIST" && sz >= 4) {
+              val listType = id4(body.toInt)
+              if ((!inMovi && listType == "movi") ||
+                  (inMovi && listType == "rec "))
+                walk(body + 4, bodyEnd, inMovi = true)
+              // hdrl/INFO/idx lists skip
+            } else if (inMovi && isVideoChunk(id))
+              out += p.slice(body.toInt, bodyEnd.toInt)
+            off = bodyEnd + (sz & 1L)
+          }
+        }
+      }
+      // the RIFF size field bounds the walk; a lying size clamps to
+      // the actual payload
+      walk(12L, math.min(p.length.toLong, 8L + le32(4)), inMovi = false)
+      out.toSeq
+    }
+  }
+
   /** Library chunking codec: fixed-size byte frames of the payload —
     * blob sharding for transport/storage, and the oracle-gateable
     * [[FrameCodec]] (text payloads chunk to byte-exact substrings, so
