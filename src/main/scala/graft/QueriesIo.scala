@@ -500,6 +500,27 @@ private[graft] object QueriesIo {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** Snapshot schema evolution: v1 commits the even half WITHOUT
+    * n_chars, the odd-half append arrives WITH it. The manifest
+    * stores each version's schema (Iceberg posture), so the latest
+    * read carries all five columns with n_chars null-filled for the
+    * pre-evolution files — deterministically, not subject to which
+    * file footer Spark samples — while v1 still time-travels to four
+    * columns (pinned by SnapshotsSpec).
+    */
+  def snapshotEvolve(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "snap_ev")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = t(s, dir, "documents")
+    graft.io.Snapshots.commit(
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text", "lang", "source"), path)
+    graft.io.Snapshots.commitAppend(
+      docs.filter(col("doc_id") % 2 === 1), path)
+    graft.io.Snapshots.read(s, path)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** Incremental snapshot read: after commit(even) + append(odd), the
     * v1→v2 delta is exactly the odd half, read from the delta FILES
     * alone — the poll-the-table-for-what-arrived contract.
@@ -521,6 +542,7 @@ private[graft] object QueriesIo {
     "q_snapshot_merge" -> (snapshotMerge _),
     "q_snapshot_delete" -> (snapshotDelete _),
     "q_snapshot_compact" -> (snapshotCompact _),
+    "q_snapshot_evolve" -> (snapshotEvolve _),
     "q_stream_upsert" -> (streamUpsert _),
     "q_stream_snapshot" -> (streamSnapshot _),
     "q_snapshot_read" -> (snapshotRead _),
@@ -583,6 +605,10 @@ private[graft] object QueriesIo {
          WHERE NOT coalesce(n_chars < 300, FALSE)""",
     "q_snapshot_compact" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "q_snapshot_evolve" ->
+      """SELECT doc_id, text, lang, source,
+                CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+         FROM documents""",
     "q_stream_upsert" ->
       """WITH upd AS (
            SELECT doc_id, upper(text) AS text, lang, source, n_chars

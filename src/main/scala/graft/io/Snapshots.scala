@@ -2,6 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Snapshot-versioned parquet store: manifest-based time travel,
@@ -43,7 +44,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object Snapshots {
 
-  private val Header = "graft-snapshot-v1"
+  // v2: line 2 of the manifest is the snapshot's schema as Spark
+  // DataType JSON — every version reads with ITS schema, not whatever
+  // random file footer Spark samples (which silently drops columns
+  // the sampled file lacks after an evolution)
+  private val Header = "graft-snapshot-v2"
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -91,8 +96,11 @@ object Snapshots {
     finally in.close()
   }
 
-  private def manifestFiles(f: FileSystem, base: String,
-                            v: Long): Seq[String] = {
+  /** Manifest contents: the snapshot's schema (line 2, Spark DataType
+    * JSON) and its file list.
+    */
+  private def manifest(f: FileSystem, base: String,
+                       v: Long): (StructType, Seq[String]) = {
     val p = manifestPath(base, v)
     if (!f.exists(p)) throw new IllegalArgumentException(
       s"snapshot: version $v does not exist under $base " +
@@ -100,8 +108,15 @@ object Snapshots {
     val lines = readLines(f, p)
     require(lines.headOption.contains(Header),
       s"snapshot: ${p.getName} is not a $Header manifest")
-    lines.tail.filter(_.nonEmpty)
+    require(lines.size >= 2,
+      s"snapshot: ${p.getName} is missing its schema line")
+    val schema = DataType.fromJson(lines(1)).asInstanceOf[StructType]
+    (schema, lines.drop(2).filter(_.nonEmpty))
   }
+
+  private def manifestFiles(f: FileSystem, base: String,
+                            v: Long): Seq[String] =
+    manifest(f, base, v)._2
 
   /** Every manifest on disk, committed or not (a crash between
     * manifest write and pointer swap leaves an uncommitted one — its
@@ -138,7 +153,8 @@ object Snapshots {
   }
 
   private def writeCommit(spark: SparkSession, df: DataFrame,
-                          path: String, carried: Seq[String]): Long = {
+                          path: String, carried: Seq[String],
+                          schema: StructType): Long = {
     val f = fs(spark, path)
     val commitDir = s"data/c-${java.util.UUID.randomUUID()}"
     df.write.parquet(s"$path/$commitDir")
@@ -154,9 +170,37 @@ object Snapshots {
     // pointer: a crash after manifest-write burned that number and it
     // must never be reused (a reader may already hold it)
     val v = allManifestVersions(f, path).lastOption.getOrElse(0L) + 1L
-    writeTextAtomic(f, manifestPath(path, v), Header +: (carried ++ fresh))
+    writeTextAtomic(f, manifestPath(path, v),
+      Header +: schema.json +: (carried ++ fresh))
     writeTextAtomic(f, new Path(s"$path/_latest"), Seq(v.toString))
     v
+  }
+
+  /** The stored form of a snapshot schema: every field nullable, so a
+    * file written before a column existed (or after a writer stopped
+    * supplying one) legally null-fills on read.
+    */
+  private def nullableAll(s: StructType): StructType =
+    StructType(s.fields.map(_.copy(nullable = true)))
+
+  /** The evolved schema an append commit stores: previous fields in
+    * order, new fields appended — ADDING columns is evolution, a
+    * CHANGED type on a shared name is drift and refuses loudly (the
+    * two files genuinely disagree; a cast policy belongs to the
+    * caller, cf. [[graft.schema.Conform]]). A column the append batch
+    * lacks stays in the schema and null-fills for the new files —
+    * dropping a column is not something an APPEND can mean.
+    */
+  private def evolvedSchema(prev: StructType, next: StructType,
+                            path: String): StructType = {
+    val prevByName = prev.fields.map(f => f.name -> f).toMap
+    next.fields.foreach(nf => prevByName.get(nf.name).foreach(pf =>
+      require(pf.dataType == nf.dataType,
+        s"snapshot: append column ${nf.name} arrives as ${nf.dataType} " +
+          s"but $path stores ${pf.dataType} - refusing the silent " +
+          "type drift; cast before appending")))
+    StructType(prev.fields ++
+      next.fields.filterNot(f => prevByName.contains(f.name)))
   }
 
   /** Commit `df` as the new FULL contents of the table (overwrite
@@ -164,24 +208,35 @@ object Snapshots {
     * Returns the new version.
     */
   def commit(df: DataFrame, path: String): Long =
-    writeCommit(df.sparkSession, df, path, Nil)
+    writeCommit(df.sparkSession, df, path, Nil, nullableAll(df.schema))
 
   /** Commit `df` as an APPEND: the new snapshot = previous snapshot's
     * files + this commit's files. Only the delta is written — the
-    * 100 TB append costs the append.
+    * 100 TB append costs the append. Schema evolution: columns new in
+    * `df` join the snapshot schema (old files null-fill them); columns
+    * `df` lacks stay (the new files null-fill); a type change on a
+    * shared name refuses loudly.
     */
   def commitAppend(df: DataFrame, path: String): Long = {
     val spark = df.sparkSession
     val f = fs(spark, path)
-    val carried = latestVersion(spark, path)
-      .map(v => manifestFiles(f, path, v)).getOrElse(Nil)
-    writeCommit(spark, df, path, carried)
+    val (carried, schema) = latestVersion(spark, path) match {
+      case Some(v) =>
+        val (prev, files) = manifest(f, path, v)
+        (files, evolvedSchema(prev, nullableAll(df.schema), path))
+      case None => (Nil, nullableAll(df.schema))
+    }
+    writeCommit(spark, df, path, carried, schema)
   }
 
   /** Read a snapshot: the pointer-visible latest, or any committed
     * `version` (time travel). The file list comes from the immutable
     * manifest, so the read is consistent whatever commits land
-    * meanwhile.
+    * meanwhile — and so does the SCHEMA: each version reads with the
+    * schema its manifest stores (a file from before a column was
+    * added null-fills it), never whichever random file footer Spark
+    * happens to sample, which after an evolution would silently drop
+    * or surface columns depending on sampling luck.
     */
   def read(spark: SparkSession, path: String,
            version: Option[Long] = None): DataFrame = {
@@ -189,8 +244,8 @@ object Snapshots {
     val v = version.orElse(latestVersion(spark, path)).getOrElse(
       throw new IllegalArgumentException(
         s"snapshot: no committed version under $path"))
-    val files = manifestFiles(f, path, v).map(rel => s"$path/$rel")
-    spark.read.parquet(files: _*)
+    val (schema, rels) = manifest(f, path, v)
+    spark.read.schema(schema).parquet(rels.map(rel => s"$path/$rel"): _*)
   }
 
   /** The rows ADDED between two committed versions: the files in
@@ -210,7 +265,7 @@ object Snapshots {
       s"snapshot: changes range is backwards ($fromVersion > $toVersion)")
     val f = fs(spark, path)
     val before = manifestFiles(f, path, fromVersion)
-    val after = manifestFiles(f, path, toVersion)
+    val (toSchema, after) = manifest(f, path, toVersion)
     val dropped = before.toSet -- after.toSet
     require(dropped.isEmpty,
       s"snapshot: versions $fromVersion..$toVersion are not append-only " +
@@ -220,7 +275,8 @@ object Snapshots {
     val fresh = after.filterNot(before.toSet)
     if (fresh.isEmpty)
       read(spark, path, Some(toVersion)).limit(0)
-    else spark.read.parquet(fresh.map(rel => s"$path/$rel"): _*)
+    else spark.read.schema(toSchema)
+      .parquet(fresh.map(rel => s"$path/$rel"): _*)
   }
 
   /** The store-relative manifest entry for a scanned file's
@@ -234,15 +290,16 @@ object Snapshots {
     s"data/${seg(seg.length - 2)}/${seg(seg.length - 1)}"
   }
 
-  /** Current snapshot's files (store-relative) plus their absolute
-    * form, failing loudly when nothing was ever committed.
+  /** Current snapshot's version, schema, and store-relative files,
+    * failing loudly when nothing was ever committed.
     */
   private def currentFiles(spark: SparkSession, path: String,
-                           what: String): (Long, Seq[String]) = {
+                           what: String): (Long, StructType, Seq[String]) = {
     val v = latestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"snapshot: no committed version under $path to $what"))
-    (v, manifestFiles(fs(spark, path), path, v))
+    val (schema, rels) = manifest(fs(spark, path), path, v)
+    (v, schema, rels)
   }
 
   /** Copy-on-write MERGE (upsert) keyed on `keyCols`: an update row
@@ -271,8 +328,9 @@ object Snapshots {
   def merge(spark: SparkSession, path: String, updates: DataFrame,
             keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "snapshot: merge needs at least one key column")
-    val (_, all) = currentFiles(spark, path, "merge into")
-    val table = spark.read.parquet(all.map(rel => s"$path/$rel"): _*)
+    val (_, schema, all) = currentFiles(spark, path, "merge into")
+    val table = spark.read.schema(schema)
+      .parquet(all.map(rel => s"$path/$rel"): _*)
     require(table.columns.sorted.sameElements(updates.columns.sorted),
       s"snapshot: merge updates columns ${updates.columns.sorted.mkString(",")} " +
         s"differ from the table's ${table.columns.sorted.mkString(",")}")
@@ -298,12 +356,12 @@ object Snapshots {
       val upd = upd0.select(cols: _*)
       val fresh =
         if (affected.isEmpty) upd // pure insert: nothing to rewrite
-        else spark.read
+        else spark.read.schema(schema)
           .parquet(all.filter(affected).map(rel => s"$path/$rel"): _*)
           .join(upd.select(keyExprs: _*), keyCols, "left_anti")
           .select(cols: _*)
           .unionByName(upd)
-      writeCommit(spark, fresh, path, carried)
+      writeCommit(spark, fresh, path, carried, schema)
     } finally { upd0.unpersist(); () }
   }
 
@@ -332,17 +390,18 @@ object Snapshots {
     */
   def deleteWhere(spark: SparkSession, path: String,
                   predicate: Column): Long = {
-    val (v, all) = currentFiles(spark, path, "delete from")
-    val table = spark.read.parquet(all.map(rel => s"$path/$rel"): _*)
+    val (v, schema, all) = currentFiles(spark, path, "delete from")
+    val table = spark.read.schema(schema)
+      .parquet(all.map(rel => s"$path/$rel"): _*)
     val affected = table.filter(predicate)
       .select(col("_metadata.file_path")).distinct()
       .collect().map(r => relativize(r.getString(0))).toSet
     if (affected.isEmpty) return v
     val carried = all.filterNot(affected)
-    val survivors = spark.read
+    val survivors = spark.read.schema(schema)
       .parquet(all.filter(affected).map(rel => s"$path/$rel"): _*)
       .filter(not(coalesce(predicate, lit(false))))
-    writeCommit(spark, survivors, path, carried)
+    writeCommit(spark, survivors, path, carried, schema)
   }
 
   /** Bin-pack the current snapshot into ~`targetFileBytes` files — the
@@ -366,15 +425,16 @@ object Snapshots {
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L << 20): Long = {
     require(targetFileBytes > 0, "snapshot: targetFileBytes must be positive")
-    val (v, all) = currentFiles(spark, path, "compact")
+    val (v, schema, all) = currentFiles(spark, path, "compact")
     val f = fs(spark, path)
     val totalBytes = all.map(rel =>
       f.getFileStatus(new Path(s"$path/$rel")).getLen).sum
     val want = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
     if (all.size <= want) return v
-    val packed = spark.read.parquet(all.map(rel => s"$path/$rel"): _*)
+    val packed = spark.read.schema(schema)
+      .parquet(all.map(rel => s"$path/$rel"): _*)
       .repartition(want.toInt)
-    writeCommit(spark, packed, path, Nil)
+    writeCommit(spark, packed, path, Nil, schema)
   }
 
   /** Roll the table back to `toVersion`: a NEW version whose manifest
@@ -384,9 +444,10 @@ object Snapshots {
     */
   def rollback(spark: SparkSession, path: String, toVersion: Long): Long = {
     val f = fs(spark, path)
-    val files = manifestFiles(f, path, toVersion)
+    val (schema, files) = manifest(f, path, toVersion)
     val v = allManifestVersions(f, path).last + 1L
-    writeTextAtomic(f, manifestPath(path, v), Header +: files)
+    writeTextAtomic(f, manifestPath(path, v),
+      Header +: schema.json +: files)
     writeTextAtomic(f, new Path(s"$path/_latest"), Seq(v.toString))
     v
   }

@@ -108,7 +108,8 @@ class SnapshotsSpec extends SparkSpec {
     val crashedFiles = new java.io.File(s"$path/data/c-crashed")
       .listFiles().filter(_.getName.endsWith(".parquet"))
       .map(f => s"data/c-crashed/${f.getName}").sorted
-    val manifest = ("graft-snapshot-v1" +: crashedFiles.toSeq) :+ ""
+    val manifest =
+      ("graft-snapshot-v2" +: docs.schema.json +: crashedFiles.toSeq) :+ ""
     Files.writeString(
       java.nio.file.Paths.get(s"$path/_manifests/v000000002.manifest"),
       manifest.mkString("\n"))
@@ -306,6 +307,48 @@ class SnapshotsSpec extends SparkSpec {
       col("text") =!= upper(col("text"))).count() === 0L)
     assert(got.filter(col("doc_id") < 0).count() === nIns)
     assert(nUpd > 0 && nIns > 0)
+  }
+
+  test("schema evolution: added column null-fills old files, each version keeps ITS schema") {
+    val path = newStore
+    val v1 = Snapshots.commit(
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text", "lang", "source"), path)
+    // append the odd half WITH n_chars: evolution, not drift
+    Snapshots.commitAppend(docs.filter(col("doc_id") % 2 === 1), path)
+    val latest = Snapshots.read(spark, path)
+    assert(latest.columns.toSeq ===
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    assert(latest.filter(col("doc_id") % 2 === 0 &&
+      col("n_chars").isNotNull).count() === 0L)
+    assert(latest.filter(col("doc_id") % 2 === 1 &&
+      col("n_chars").isNull).count() === 0L)
+    assert(latest.count() === docs.count())
+    // time travel reads v1 with v1's four-column schema
+    assert(Snapshots.read(spark, path, Some(v1)).columns.toSeq ===
+      Seq("doc_id", "text", "lang", "source"))
+    // the reverse append (batch LACKS a column) null-fills new files
+    val path2 = newStore
+    Snapshots.commit(docs, path2)
+    Snapshots.commitAppend(
+      docs.limit(3).select((-col("doc_id") - 1).as("doc_id"), col("text"),
+        col("lang"), col("source")), path2)
+    val got2 = Snapshots.read(spark, path2)
+    assert(got2.columns.toSeq === docs.columns.toSeq)
+    assert(got2.filter(col("doc_id") < 0 && col("n_chars").isNull)
+      .count() === 3L)
+  }
+
+  test("schema drift (changed type on a shared name) refuses the append loudly") {
+    val path = newStore
+    Snapshots.commit(docs, path)
+    val drifted = docs.limit(1)
+      .withColumn("n_chars", col("n_chars").cast("string"))
+    val e = intercept[IllegalArgumentException](
+      Snapshots.commitAppend(drifted, path))
+    assert(e.getMessage.contains("type drift"), e.getMessage)
+    // nothing committed: still one version
+    assert(Snapshots.versions(spark, path) === Seq(1L))
   }
 
   test("merge discovery scans only the key columns, never the payload") {
