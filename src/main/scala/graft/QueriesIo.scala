@@ -521,6 +521,42 @@ private[graft] object QueriesIo {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** CDC stream into the snapshot store
+    * ([[Streams.snapshotCdcStream]]): the base table is committed,
+    * then one micro-batch of op='u' changes (updates + inserts) and
+    * one of op='d' deletes (doc_id % 10 == 7) apply as copy-on-write
+    * merge / distributed key-delete. The three key sets are disjoint,
+    * so the final table is order-independent whatever file the
+    * source triggers first.
+    */
+  def streamCdc(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val store =
+      graft.io.Scratch.dir("graft_stream_cdc_store_").toString + "/tbl"
+    graft.io.Snapshots.commit(docs, store)
+    val staged = graft.io.Scratch.dir("graft_stream_cdc_docs_")
+    val upserts = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", upper(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 5)
+        .withColumn("doc_id", -col("doc_id") - 1))
+      .select(docs.columns.map(col).toSeq: _*)
+      .withColumn("op", lit("u"))
+    val deletes = docs.filter(col("doc_id") % 10 === 7)
+      .select(docs.columns.map(col).toSeq: _*)
+      .withColumn("op", lit("d"))
+    graft.io.Scratch.stageSingleParquetFile(upserts, staged, "a_up.parquet")
+    graft.io.Scratch.stageSingleParquetFile(deletes, staged, "b_del.parquet")
+    val cdcSchema = org.apache.spark.sql.types.StructType(
+      Streams.DocsRawSchema.fields :+
+        org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.StringType))
+    Streams.snapshotCdcStream(
+      Streams.fileStream(s, staged.toString, cdcSchema,
+        maxFilesPerTrigger = Some(1)), store, Seq("doc_id"))
+    graft.io.Snapshots.read(s, store)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** Incremental snapshot read: after commit(even) + append(odd), the
     * v1→v2 delta is exactly the odd half, read from the delta FILES
     * alone — the poll-the-table-for-what-arrived contract.
@@ -544,6 +580,7 @@ private[graft] object QueriesIo {
     "q_snapshot_compact" -> (snapshotCompact _),
     "q_snapshot_evolve" -> (snapshotEvolve _),
     "q_stream_upsert" -> (streamUpsert _),
+    "q_stream_cdc" -> (streamCdc _),
     "q_stream_snapshot" -> (streamSnapshot _),
     "q_snapshot_read" -> (snapshotRead _),
     "q_snapshot_rollback" -> (snapshotRollback _),
@@ -609,6 +646,19 @@ private[graft] object QueriesIo {
       """SELECT doc_id, text, lang, source,
                 CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
          FROM documents""",
+    "q_stream_cdc" ->
+      """WITH upd AS (
+           SELECT doc_id, upper(text) AS text, lang, source, n_chars
+           FROM documents WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT -doc_id - 1 AS doc_id, text, lang, source, n_chars
+           FROM documents WHERE doc_id % 10 = 5)
+         SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         FROM documents d
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM upd)
+           AND d.doc_id % 10 <> 7
+         UNION ALL
+         SELECT doc_id, text, lang, source, n_chars FROM upd""",
     "q_stream_upsert" ->
       """WITH upd AS (
            SELECT doc_id, upper(text) AS text, lang, source, n_chars

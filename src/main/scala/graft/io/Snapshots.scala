@@ -379,6 +379,43 @@ object Snapshots {
       .select("__graft_fp").distinct()
   }
 
+  /** Copy-on-write DELETE BY KEY: every table row whose `keyCols`
+    * tuple appears in `keys` is removed — the CDC-delete shape, fully
+    * distributed (the key set is a DataFrame semi/anti-joined against
+    * the table; only file paths are ever collected, same as [[merge]],
+    * so a delete batch of any size works without a driver-side key
+    * list). Same copy-on-write economics as merge: discovery scans
+    * keys + file metadata only, rewrite touches only files holding a
+    * doomed key, zero matches = no commit (idempotent). NULL keys in
+    * `keys` never equi-join, so NULL-keyed table rows are never
+    * deleted this way ([[deleteWhere]] with an IS NULL predicate is
+    * the explicit spelling for that).
+    */
+  def deleteKeys(spark: SparkSession, path: String, keys: DataFrame,
+                 keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty,
+      "snapshot: deleteKeys needs at least one key column")
+    require(keyCols.forall(keys.columns.contains),
+      s"snapshot: key columns ${keyCols.filterNot(keys.columns.contains)} " +
+        "missing from the keys table")
+    val (v, schema, all) = currentFiles(spark, path, "delete keys from")
+    val table = spark.read.schema(schema)
+      .parquet(all.map(rel => s"$path/$rel"): _*)
+    val k = keys.select(keyCols.map(col): _*).persist()
+    try {
+      val affected = affectedFilesPlan(table, k, keyCols)
+        .collect().map(r => relativize(r.getString(0))).toSet
+      if (affected.isEmpty) v
+      else {
+        val carried = all.filterNot(affected)
+        val survivors = spark.read.schema(schema)
+          .parquet(all.filter(affected).map(rel => s"$path/$rel"): _*)
+          .join(k, keyCols, "left_anti")
+        writeCommit(spark, survivors, path, carried, schema)
+      }
+    } finally { k.unpersist(); () }
+  }
+
   /** Copy-on-write DELETE: rows where `predicate` evaluates TRUE are
     * removed; FALSE and NULL rows are retained (SQL DELETE WHERE
     * semantics — discovery's `filter(predicate)` and the survivors'

@@ -447,6 +447,66 @@ object Streams {
     q
   }
 
+  /** CDC sink over the snapshot store: each micro-batch carries an
+    * `opCol` routing column — upsert codes (`u`/`c`/`i`/`insert`/
+    * `update`/`upsert`) apply as a copy-on-write
+    * [[graft.io.Snapshots.merge]] (first batch bootstraps via
+    * commit), delete codes (`d`/`delete`) as a distributed
+    * [[graft.io.Snapshots.deleteKeys]] — the Debezium-sink posture
+    * with NO driver-side key lists. Contract refusals, loud: an
+    * unknown op code, and a key appearing under BOTH an upsert and a
+    * delete in the same batch (the batch gives no order between
+    * them; a CDC feed that compacts per key per transaction — the
+    * standard connector behavior — never trips this). Upserts apply
+    * before deletes within a batch, so disjoint-key batches are
+    * order-independent.
+    */
+  def snapshotCdcStream(data: DataFrame, path: String,
+                        keyCols: Seq[String], opCol: String = "op",
+                        checkpoint: Option[String] = None):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val upsertOps = Set("u", "c", "i", "insert", "update", "upsert")
+    val deleteOps = Set("d", "delete")
+    val writer = data.writeStream
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    val q = writer
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          val opNorm = lower(col(opCol))
+          val unknown = b.filter(!opNorm.isInCollection(
+            upsertOps ++ deleteOps)).limit(1).collect()
+          require(unknown.isEmpty,
+            s"cdc: unknown op code '${unknown.headOption.map(
+              _.getAs[Any](opCol)).orNull}' - expected one of " +
+              (upsertOps ++ deleteOps).toSeq.sorted.mkString(", "))
+          val ups = b.filter(opNorm.isInCollection(upsertOps)).drop(opCol)
+          val dels = b.filter(opNorm.isInCollection(deleteOps))
+            .select(keyCols.map(col): _*)
+          val clash = ups.select(keyCols.map(col): _*)
+            .join(dels, keyCols, "left_semi").limit(1).count()
+          require(clash == 0L,
+            "cdc: a key appears under both an upsert and a delete in " +
+              "one batch - the batch gives no order between them; " +
+              "compact the feed per key first")
+          if (ups.limit(1).count() > 0L) {
+            if (graft.io.Snapshots.latestVersion(b.sparkSession, path).isEmpty)
+              graft.io.Snapshots.commit(ups, path)
+            else graft.io.Snapshots.merge(b.sparkSession, path, ups, keyCols)
+          }
+          if (dels.limit(1).count() > 0L &&
+              graft.io.Snapshots.latestVersion(b.sparkSession, path).nonEmpty) {
+            graft.io.Snapshots.deleteKeys(b.sparkSession, path, dels, keyCols)
+          }
+          ()
+        } finally { b.unpersist(); () }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming ingestion into an IVF index store — the vector twin of
     * [[bm25IndexStream]]: the first micro-batch builds the store
     * against the supplied centroids

@@ -367,6 +367,88 @@ class SnapshotsSpec extends SparkSpec {
     assert(!tableScan.contains("text"), s"payload read in discovery:\n$plan")
   }
 
+  test("deleteKeys removes by distributed key set; copy-on-write; idempotent no-op") {
+    val path = newStore
+    // evens and odds land in different commits → different files
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path)
+    val evenFiles = dataFiles(path).toSet
+    Snapshots.commitAppend(docs.filter(col("doc_id") % 2 === 1), path)
+    // doomed keys: odd multiples of 5 — only odd-commit files affected
+    val doomed = docs.filter(col("doc_id") % 2 === 1 &&
+      col("doc_id") % 5 === 0).select("doc_id")
+    val v = Snapshots.deleteKeys(spark, path, doomed, Seq("doc_id"))
+    assert(evenFiles.subsetOf(dataFiles(path).toSet)) // untouched
+    val got = Snapshots.read(spark, path)
+    assert(got.filter(col("doc_id") % 2 === 1 && col("doc_id") % 5 === 0)
+      .count() === 0L)
+    assert(got.count() === docs.count() - doomed.count())
+    // a key set matching nothing → same version back
+    val none = docs.limit(1).select((-col("doc_id") - 99).as("doc_id"))
+    assert(Snapshots.deleteKeys(spark, path, none, Seq("doc_id")) === v)
+  }
+
+  test("CDC stream routes upserts to merge and deletes to deleteKeys; clash refuses") {
+    val store = newStore
+    Snapshots.commit(docs, store)
+    val staged = graft.io.Scratch.dir("graft_snapspec_cdc_")
+    val up = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", upper(col("text")))
+      .select(docs.columns.map(col).toSeq: _*)
+      .withColumn("op", lit("u"))
+    val del = docs.filter(col("doc_id") % 10 === 7)
+      .select(docs.columns.map(col).toSeq: _*)
+      .withColumn("op", lit("d"))
+    graft.io.Scratch.stageSingleParquetFile(up, staged, "a.parquet")
+    graft.io.Scratch.stageSingleParquetFile(del, staged, "b.parquet")
+    val cdcSchema = org.apache.spark.sql.types.StructType(
+      graft.streaming.Streams.DocsRawSchema.fields :+
+        org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.StringType))
+    graft.streaming.Streams.snapshotCdcStream(
+      graft.streaming.Streams.fileStream(spark, staged.toString,
+        cdcSchema, maxFilesPerTrigger = Some(1)), store, Seq("doc_id"))
+    val got = Snapshots.read(spark, store)
+    assert(got.filter(col("doc_id") % 10 === 7).count() === 0L)
+    assert(got.filter(col("doc_id") % 10 === 0 &&
+      col("text") =!= upper(col("text"))).count() === 0L)
+    assert(got.count() ===
+      docs.count() - docs.filter(col("doc_id") % 10 === 7).count())
+    // same key under upsert AND delete in ONE batch refuses loudly
+    val clashStore = newStore
+    Snapshots.commit(docs, clashStore)
+    val clashStaged = graft.io.Scratch.dir("graft_snapspec_cdc_clash_")
+    graft.io.Scratch.stageSingleParquetFile(
+      up.limit(1).unionByName(
+        up.limit(1).withColumn("op", lit("d"))),
+      clashStaged, "clash.parquet")
+    val e = intercept[Exception] {
+      graft.streaming.Streams.snapshotCdcStream(
+        graft.streaming.Streams.fileStream(spark, clashStaged.toString,
+          cdcSchema, maxFilesPerTrigger = Some(1)),
+        clashStore, Seq("doc_id"))
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("compact the feed")),
+      e.toString)
+    // unknown op code refuses too
+    val badStore = newStore
+    Snapshots.commit(docs, badStore)
+    val badStaged = graft.io.Scratch.dir("graft_snapspec_cdc_bad_")
+    graft.io.Scratch.stageSingleParquetFile(
+      up.limit(1).withColumn("op", lit("zap")), badStaged, "bad.parquet")
+    val e2 = intercept[Exception] {
+      graft.streaming.Streams.snapshotCdcStream(
+        graft.streaming.Streams.fileStream(spark, badStaged.toString,
+          cdcSchema, maxFilesPerTrigger = Some(1)),
+        badStore, Seq("doc_id"))
+    }
+    assert(causes(e2).exists(c =>
+      c.getMessage != null && c.getMessage.contains("unknown op")),
+      e2.toString)
+  }
+
   test("the store is relocatable (relative manifest paths)") {
     val path = newStore
     Snapshots.commit(docs, path)
