@@ -337,6 +337,7 @@ object Snapshots {
     require(keyCols.forall(updates.columns.contains),
       s"snapshot: key columns ${keyCols.filterNot(updates.columns.contains)} " +
         "missing from updates")
+    requireSameTypes(table.schema, updates.schema, "merge updates")
     val keyExprs = keyCols.map(col)
     // merge runs three actions over `updates` (dup-key guard, affected-
     // file discovery, rewrite) — pin it so the caller's plan isn't
@@ -363,6 +364,25 @@ object Snapshots {
           .unionByName(upd)
       writeCommit(spark, fresh, path, carried, schema)
     } finally { upd0.unpersist(); () }
+  }
+
+  /** Mutation batches must carry the table's exact column types:
+    * name-matched columns with a different type would either write
+    * mixed-type files under one stored schema (failing much later, at
+    * some reader's file) or — for join keys — let Spark insert an
+    * implicit cast into the equi-join and match rows the caller never
+    * meant (string "07" vs long 7). Nullability is legitimately loose
+    * (the stored schema is all-nullable); `catalogString` compares
+    * types while ignoring it.
+    */
+  private def requireSameTypes(table: StructType, incoming: StructType,
+                               what: String): Unit = {
+    val tbl = table.fields.map(f => f.name -> f.dataType).toMap
+    incoming.fields.foreach(f => tbl.get(f.name).foreach(t =>
+      require(t.catalogString == f.dataType.catalogString,
+        s"snapshot: $what column ${f.name} arrives as " +
+          s"${f.dataType.catalogString} but the table stores " +
+          s"${t.catalogString} - cast before mutating")))
   }
 
   /** The merge discovery plan: distinct file paths holding at least
@@ -401,6 +421,9 @@ object Snapshots {
     val (v, schema, all) = currentFiles(spark, path, "delete keys from")
     val table = spark.read.schema(schema)
       .parquet(all.map(rel => s"$path/$rel"): _*)
+    requireSameTypes(StructType(schema.filter(f => keyCols.contains(f.name))),
+      StructType(keys.schema.filter(f => keyCols.contains(f.name))),
+      "deleteKeys key")
     val k = keys.select(keyCols.map(col): _*).persist()
     try {
       val affected = affectedFilesPlan(table, k, keyCols)

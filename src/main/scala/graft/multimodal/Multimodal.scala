@@ -451,9 +451,12 @@ object Multimodal {
         id.length == 4 && id(0) >= '0' && id(0) <= '9' &&
           id(1) >= '0' && id(1) <= '9' &&
           (id.endsWith("dc") || id.endsWith("db"))
-      def walk(start: Long, lim: Long, inMovi: Boolean): Unit = {
+      // depth caps at 3 (file → movi → rec): the spec nests no deeper,
+      // and an unbounded recursion would let an adversarial payload of
+      // nested LISTs (12 bytes per level) stack-overflow the task
+      def walk(start: Long, lim: Long, inMovi: Boolean, depth: Int): Unit = {
         var off = start
-        var ok = true
+        var ok = depth <= 3
         while (ok && out.size < maxFrames && off + 8 <= lim) {
           val id = id4(off.toInt)
           val sz = le32(off.toInt + 4)
@@ -465,7 +468,7 @@ object Multimodal {
               val listType = id4(body.toInt)
               if ((!inMovi && listType == "movi") ||
                   (inMovi && listType == "rec "))
-                walk(body + 4, bodyEnd, inMovi = true)
+                walk(body + 4, bodyEnd, inMovi = true, depth + 1)
               // hdrl/INFO/idx lists skip
             } else if (inMovi && isVideoChunk(id))
               out += p.slice(body.toInt, bodyEnd.toInt)
@@ -475,7 +478,8 @@ object Multimodal {
       }
       // the RIFF size field bounds the walk; a lying size clamps to
       // the actual payload
-      walk(12L, math.min(p.length.toLong, 8L + le32(4)), inMovi = false)
+      walk(12L, math.min(p.length.toLong, 8L + le32(4)), inMovi = false,
+        depth = 1)
       out.toSeq
     }
   }

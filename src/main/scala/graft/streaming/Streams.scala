@@ -474,8 +474,11 @@ object Streams {
         val b = batch.persist()
         try {
           val opNorm = lower(col(opCol))
-          val unknown = b.filter(!opNorm.isInCollection(
-            upsertOps ++ deleteOps)).limit(1).collect()
+          // NULL op is unknown too — `!isInCollection` alone yields
+          // NULL for a NULL op and the filter would silently DROP the
+          // row instead of refusing it
+          val unknown = b.filter(opNorm.isNull ||
+            !opNorm.isInCollection(upsertOps ++ deleteOps)).limit(1).collect()
           require(unknown.isEmpty,
             s"cdc: unknown op code '${unknown.headOption.map(
               _.getAs[Any](opCol)).orNull}' - expected one of " +

@@ -100,4 +100,39 @@ class AviCodecSpec extends SparkSpec {
     shortRiff(7) = 0
     assert(codec(shortRiff, 4).size <= 2)
   }
+
+  test("a nested-rec LIST bomb cannot overflow the stack (depth capped)") {
+    // 20k levels of LIST('rec ' ...) around one frame: an unbounded
+    // recursion would need ~20k stack frames and die; the capped walk
+    // skips past depth 3 and returns promptly
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val b = ByteBuffer.allocate(8 + body.length + pad)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      b.array()
+    }
+    var inner: Array[Byte] = chunk("00dc", Array[Byte](7, 7))
+    (0 until 20000).foreach { _ =>
+      inner = chunk("LIST", "rec ".getBytes("US-ASCII") ++ inner)
+    }
+    val movi = "movi".getBytes("US-ASCII") ++ inner
+    val lists = chunk("LIST", movi)
+    val b = ByteBuffer.allocate(12 + lists.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(lists.length + 4)
+    b.put("AVI ".getBytes("US-ASCII")).put(lists)
+    // depth 1=file, 2=movi, 3=first rec: the frame sits 20k levels
+    // deeper and is unreachable; the point is "returns, no throw"
+    assert(codec(b.array(), 4) === Nil)
+    // one legitimate rec level still reaches its frame
+    val shallow = chunk("LIST", "movi".getBytes("US-ASCII") ++
+      chunk("LIST", "rec ".getBytes("US-ASCII") ++
+        chunk("00dc", Array[Byte](1, 2))))
+    val b2 = ByteBuffer.allocate(12 + shallow.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b2.put("RIFF".getBytes("US-ASCII")).putInt(shallow.length + 4)
+    b2.put("AVI ".getBytes("US-ASCII")).put(shallow)
+    assert(codec(b2.array(), 4).map(_.toSeq) === Seq(Seq[Byte](1, 2)))
+  }
 }

@@ -231,6 +231,18 @@ class SnapshotsSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       Snapshots.merge(spark, path, docs.drop("text"), Seq("doc_id")))
     assert(e2.getMessage.contains("columns"), e2.getMessage)
+    // same names, drifted type: refuse BEFORE writing mixed-type files
+    val e3 = intercept[IllegalArgumentException](
+      Snapshots.merge(spark, path,
+        docs.limit(1).withColumn("n_chars", col("n_chars").cast("string")),
+        Seq("doc_id")))
+    assert(e3.getMessage.contains("cast before mutating"), e3.getMessage)
+    // a drifted KEY type would implicit-cast the equi-join: refuse
+    val e4 = intercept[IllegalArgumentException](
+      Snapshots.deleteKeys(spark, path,
+        docs.limit(1).select(col("doc_id").cast("string").as("doc_id")),
+        Seq("doc_id")))
+    assert(e4.getMessage.contains("cast before mutating"), e4.getMessage)
   }
 
   test("deleteWhere removes TRUE rows, retains NULL rows, no-ops when nothing matches") {
@@ -447,6 +459,22 @@ class SnapshotsSpec extends SparkSpec {
     assert(causes(e2).exists(c =>
       c.getMessage != null && c.getMessage.contains("unknown op")),
       e2.toString)
+    // a NULL op is unknown too — it must refuse, never silently drop
+    val nullStore = newStore
+    Snapshots.commit(docs, nullStore)
+    val nullStaged = graft.io.Scratch.dir("graft_snapspec_cdc_null_")
+    graft.io.Scratch.stageSingleParquetFile(
+      up.limit(1).withColumn("op", lit(null).cast("string")),
+      nullStaged, "null.parquet")
+    val e3 = intercept[Exception] {
+      graft.streaming.Streams.snapshotCdcStream(
+        graft.streaming.Streams.fileStream(spark, nullStaged.toString,
+          cdcSchema, maxFilesPerTrigger = Some(1)),
+        nullStore, Seq("doc_id"))
+    }
+    assert(causes(e3).exists(c =>
+      c.getMessage != null && c.getMessage.contains("unknown op")),
+      e3.toString)
   }
 
   test("the store is relocatable (relative manifest paths)") {
