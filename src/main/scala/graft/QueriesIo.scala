@@ -468,6 +468,26 @@ private[graft] object QueriesIo {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** Clustered compaction ([[graft.io.Snapshots.compact]] with
+    * `sortBy`): interleaved appends (every file spans the whole key
+    * range) repack into range-partitioned, within-file-sorted files —
+    * disjoint per-file doc_id ranges for min/max pruning
+    * (SnapshotsSpec pins the disjointness). Rows must be exactly the
+    * full table.
+    */
+  def snapshotCluster(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "snap_cl")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = t(s, dir, "documents")
+    (0 until 4).foreach(q =>
+      graft.io.Snapshots.commitAppend(
+        docs.filter(col("doc_id") % 4 === q), path))
+    graft.io.Snapshots.compact(s, path, targetFileBytes = 64L << 10,
+      sortBy = Seq("doc_id"))
+    graft.io.Snapshots.read(s, path)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** Streaming upsert into the snapshot store
     * ([[Streams.snapshotUpsertStream]]): the base table is committed,
     * then a CDC-style stream delivers one UPDATE file (doc_id % 10
@@ -579,6 +599,7 @@ private[graft] object QueriesIo {
     "q_snapshot_delete" -> (snapshotDelete _),
     "q_snapshot_compact" -> (snapshotCompact _),
     "q_snapshot_evolve" -> (snapshotEvolve _),
+    "q_snapshot_cluster" -> (snapshotCluster _),
     "q_stream_upsert" -> (streamUpsert _),
     "q_stream_cdc" -> (streamCdc _),
     "q_stream_snapshot" -> (streamSnapshot _),
@@ -641,6 +662,8 @@ private[graft] object QueriesIo {
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          WHERE NOT coalesce(n_chars < 300, FALSE)""",
     "q_snapshot_compact" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "q_snapshot_cluster" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q_snapshot_evolve" ->
       """SELECT doc_id, text, lang, source,

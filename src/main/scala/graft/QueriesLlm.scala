@@ -222,6 +222,21 @@ private[graft] object QueriesLlm {
       m = 4, ksub = 8, dims = 64)
   }
 
+  /** PQ with exact refinement (FAISS IndexRefineFlat): the ADC
+    * shortlist (3k candidates from the codes table) re-ranks by exact
+    * full-dimension L2 against the stored vectors — quantization
+    * error fixed at the top of the ranking, with the exact pass map-
+    * only over the corpus (broadcast shortlist). Oracle replays
+    * train→encode→ADC-shortlist→exact-re-rank.
+    */
+  def pqRefinedQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cb = Vectors.trainPqCodebooks(emb, m = 4, ksub = 8, dims = 64)
+    val codes = Vectors.encodePq(emb, cb, m = 4, dims = 64)
+    Vectors.pqTopKRefined(codes, cb, emb, emb.filter(col("vec_id") < 5),
+      k = 5, shortlist = 15, m = 4, ksub = 8, dims = 64)
+  }
+
   /** IVF-PQ composition: the L2 coarse quantizer (16 id-prefix
     * centroids) partitions the corpus; PQ codes (m=4, ksub=8)
     * compress it; queries probe their 2 nearest clusters and ADC
@@ -933,6 +948,7 @@ private[graft] object QueriesLlm {
     "q_ann_multiprobe" -> (annMultiprobe _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_pq_topk" -> (pqTopKQ _),
+    "q_pq_refined" -> (pqRefinedQ _),
     "q_ivf_pq" -> (ivfPqQ _),
     "q_ivf_pq_indexed" -> (ivfPqIndexedQ _),
     "q_ivf_topk" -> (ivfTopK _),
@@ -1376,6 +1392,35 @@ private[graft] object QueriesLlm {
        |  pj AS (SELECT lut.query_id, a1.vec_id, lut.pd, a1.j
        |         FROM a1 JOIN lut ON a1.j = lut.j AND a1.code = lut.code),
        |${adcTailSql(k)}""".stripMargin
+
+  /** DuckDB replay of refined PQ (mirrors Vectors.pqTopKRefined):
+    * flat ADC shortlist, then exact full-dimension L2 re-rank of the
+    * shortlist against the stored vectors.
+    */
+  private def pqRefinedSql(m: Int, ksub: Int, dims: Int, nq: Int,
+                           k: Int, shortlist: Int): String =
+    s"""WITH ${pqCtes(m, ksub, dims, nq)},
+       |  pj AS (SELECT lut.query_id, a1.vec_id, lut.pd, a1.j
+       |         FROM a1 JOIN lut ON a1.j = lut.j AND a1.code = lut.code),
+       |  sc AS (SELECT query_id, vec_id,
+       |           round(list_reduce(list(pd ORDER BY j),
+       |             (x, y) -> x + y), 6) AS dist
+       |         FROM pj GROUP BY query_id, vec_id),
+       |  shortl AS (SELECT query_id, vec_id FROM
+       |          (SELECT query_id, vec_id,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY dist, vec_id) AS rn FROM sc)
+       |          WHERE rn <= $shortlist),
+       |  ex AS (SELECT s.query_id, s.vec_id,
+       |           round(${l2SqSql("cv.e", "qv.e", dims)}, 6) AS dist
+       |         FROM shortl s
+       |         JOIN v qv ON qv.vec_id = s.query_id
+       |         JOIN v cv ON cv.vec_id = s.vec_id),
+       |  r AS (SELECT query_id, vec_id, dist,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY dist, vec_id) AS rank FROM ex)
+       |SELECT query_id, vec_id, dist, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= $k""".stripMargin
 
   /** DuckDB replay of IVF-PQ (mirrors Vectors.ivfAssignL2 +
     * ivfPqTopK): L2 coarse quantizer over `ncen` id-prefix centroids,
@@ -1940,6 +1985,8 @@ private[graft] object QueriesLlm {
       s"""WITH ${kmeansCtes(8)}
           SELECT vec_id, cid AS cluster, ccos AS cos FROM a1""",
     "q_pq_topk" -> pqSql(m = 4, ksub = 8, dims = 64, nq = 5, k = 5),
+    "q_pq_refined" -> pqRefinedSql(m = 4, ksub = 8, dims = 64, nq = 5,
+      k = 5, shortlist = 15),
     "q_ivf_pq" -> ivfPqSql(m = 4, ksub = 8, dims = 64, nq = 5, k = 5,
       ncen = 16, nprobe = 2),
     "q_ivf_pq_indexed" -> ivfPqSql(m = 4, ksub = 8, dims = 64, nq = 5,

@@ -483,17 +483,32 @@ object Snapshots {
     * compacts right after a burst of small appends.
     */
   def compact(spark: SparkSession, path: String,
-              targetFileBytes: Long = 128L << 20): Long = {
+              targetFileBytes: Long = 128L << 20,
+              sortBy: Seq[String] = Nil): Long = {
     require(targetFileBytes > 0, "snapshot: targetFileBytes must be positive")
     val (v, schema, all) = currentFiles(spark, path, "compact")
+    sortBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"snapshot: compact sort column $c is not in the table schema " +
+        s"(${schema.fieldNames.mkString(", ")})"))
     val f = fs(spark, path)
     val totalBytes = all.map(rel =>
       f.getFileStatus(new Path(s"$path/$rel")).getLen).sum
     val want = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
-    if (all.size <= want) return v
-    val packed = spark.read.schema(schema)
+    // an unsorted compaction of an already-packed table is a no-op,
+    // but a CLUSTERED one is not: the caller asked for a layout, and
+    // whether the current files honor it is unknowable from counts
+    if (sortBy.isEmpty && all.size <= want) return v
+    val table = spark.read.schema(schema)
       .parquet(all.map(rel => s"$path/$rel"): _*)
-      .repartition(want.toInt)
+    val packed =
+      if (sortBy.isEmpty) table.repartition(want.toInt)
+      else table
+        // range partitioning gives files DISJOINT key ranges and the
+        // within-file sort tightens row-group min/max: after this, a
+        // key-predicate scan prunes to one file + few row groups —
+        // Delta OPTIMIZE ZORDER's 1-D essence over the same store
+        .repartitionByRange(want.toInt, sortBy.map(col): _*)
+        .sortWithinPartitions(sortBy.map(col): _*)
     writeCommit(spark, packed, path, Nil, schema)
   }
 

@@ -738,6 +738,41 @@ object Vectors {
     rankByDist(scored, k)
   }
 
+  /** Refined PQ serving — FAISS IndexRefineFlat's shape: ADC produces
+    * a SHORTLIST of `shortlist >= k` candidates from the codes table,
+    * and only those (query, candidate) pairs pay an exact
+    * full-dimension squared-L2 against the stored vectors, re-ranked
+    * to k. This fixes ADC's quantization error where it matters (the
+    * top of the ranking) at negligible extra cost: the exact pass is
+    * one MAP-ONLY scan of the vectors table against the broadcast
+    * shortlist (bounded by queries × shortlist — the brute-force
+    * guard on `queries` bounds it by construction), so at a billion
+    * vectors the engine still never shuffles embeddings; it reads
+    * them once and keeps `nq·shortlist` exact distances.
+    */
+  def pqTopKRefined(codes: DataFrame, codebooks: DataFrame,
+                    vectors: DataFrame, queries: DataFrame, k: Int,
+                    shortlist: Int, m: Int, ksub: Int, dims: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    queryCountHint: Option[Long] = None): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k) - a shortlist smaller " +
+        "than the answer cannot be re-ranked into one")
+    val cand = pqTopK(codes, codebooks, queries, shortlist, m, ksub,
+      dims, idCol, vecCol, queryCountHint)
+      .select("query_id", "vec_id")
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+    val v = vectors.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("cv"))
+    val exact = v.join(broadcast(cand), "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(l2Sq(col("cv"), col("qv")), 6).as("dist"))
+    rankByDist(exact, k)
+  }
+
   /** Ascending-distance ranking tail shared by the PQ family. */
   private def rankByDist(scored: DataFrame, k: Int): DataFrame = {
     val pruned = graft.plans.TopK.perKey(scored, Seq(col("query_id")),

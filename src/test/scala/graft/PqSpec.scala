@@ -145,6 +145,41 @@ class PqSpec extends SparkSpec {
       .isDefined, p)
   }
 
+  test("refined PQ: full-corpus shortlist equals exact brute-force L2; shortlist < k refuses") {
+    // a COARSE quantizer (ksub=2) whose ADC ranking genuinely errs —
+    // refinement with shortlist = |corpus| must still return the
+    // EXACT brute-force answer, because every candidate gets an exact
+    // distance and the quantized ranking only chose the (complete)
+    // shortlist
+    val cb = Vectors.trainPqCodebooks(corpus, m, ksub = 2, dims = dims)
+    val codes = Vectors.encodePq(corpus, cb, m, dims)
+    val queries = corpus.filter(col("vec_id") < 2)
+    val got = Vectors.pqTopKRefined(codes, cb, corpus, queries, k = 3,
+      shortlist = 6, m = m, ksub = 2, dims = dims)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val c = corpus.select(col("vec_id"),
+      Vectors.toDouble(col("embedding")).as("v"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      Vectors.toDouble(col("embedding")).as("qv"))
+    val brute = c.crossJoin(q)
+      .select(col("query_id"), col("vec_id"),
+        round(Vectors.l2Sq(col("v"), col("qv")), 6).as("dist"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rank") <= 3).orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === brute.toSeq)
+    // the refined distances are EXACT (self at 0.0), even though the
+    // ksub=2 ADC distances are not
+    assert(got(0)._3 === 0.0)
+    val e = intercept[IllegalArgumentException](
+      Vectors.pqTopKRefined(codes, cb, corpus, queries, k = 5,
+        shortlist = 3, m = m, ksub = 2, dims = dims))
+    assert(e.getMessage.contains("shortlist"), e.getMessage)
+  }
+
   test("m must divide dims; oversized query sets refuse") {
     val e = intercept[IllegalArgumentException](
       Vectors.trainPqCodebooks(corpus, 3, 2, dims))

@@ -379,6 +379,32 @@ class SnapshotsSpec extends SparkSpec {
     assert(!tableScan.contains("text"), s"payload read in discovery:\n$plan")
   }
 
+  test("clustered compaction: disjoint per-file key ranges, rows intact") {
+    val path = newStore
+    // 4 interleaved appends: every file spans nearly the full key range
+    (0 until 4).foreach(q =>
+      Snapshots.commitAppend(docs.filter(col("doc_id") % 4 === q), path))
+    // tiny byte budget → several output files, clustered on doc_id
+    Snapshots.compact(spark, path, targetFileBytes = 16L << 10,
+      sortBy = Seq("doc_id"))
+    val got = Snapshots.read(spark, path)
+    assert(got.count() === docs.count())
+    val ranges = got
+      .select(col("doc_id"), input_file_name().as("f"))
+      .groupBy("f").agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, s"want several files, got ${ranges.length}")
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"overlapping file ranges: ${ranges.toSeq}")
+      case _ =>
+    }
+    // sort column must exist
+    val e = intercept[IllegalArgumentException](
+      Snapshots.compact(spark, path, sortBy = Seq("nope")))
+    assert(e.getMessage.contains("nope"), e.getMessage)
+  }
+
   test("deleteKeys removes by distributed key set; copy-on-write; idempotent no-op") {
     val path = newStore
     // evens and odds land in different commits → different files
