@@ -425,7 +425,22 @@ private[graft] object QueriesAnalytics {
     graft.etl.SkewJoin.twoPhaseDistinct(
       events(s, dir), "event_type", "user_id")
 
+  /** Fixed-iteration PageRank ([[graft.graph.Graph.pageRank]], 3
+    * supersteps, damping 17/20) over the part→supplier edge table
+    * from lineitem. Part and supplier keys deliberately share an id
+    * space, so the graph is cyclic and rank genuinely propagates
+    * (a bipartite id split would make every supplier dangling).
+    * Fixed-point nano-rank longs → the oracle's unrolled integer
+    * CTEs hash-match bit-exactly; no float summation order anywhere.
+    */
+  def pageRankQ(s: SparkSession, dir: String): DataFrame =
+    graft.graph.Graph.pageRank(
+      t(s, dir, "lineitem").select(col("l_partkey").as("src"),
+        col("l_suppkey").as("dst")),
+      iters = 3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> (pageRankQ _),
     "q_skew_agg" -> (skewAgg _),
     "q_grouping_sets" -> (groupingSets _),
     "q_complex_types" -> (complexTypes _),
@@ -457,7 +472,38 @@ private[graft] object QueriesAnalytics {
     "q_funnel" -> (funnel _),
     "q_column_stats" -> (columnStatsQ _))
 
+  /** One PageRank superstep as DuckDB CTEs (integer fixed-point,
+    * mirroring Graph.pageRank's div-based arithmetic exactly).
+    */
+  private def prStepSql(i: Int): String = {
+    val prev = if (i == 1) "r0" else s"r${i - 1}"
+    s"""c$i AS (SELECT e.dst AS id, sum($prev.rq // deg.outdeg) AS s
+       |        FROM e JOIN $prev ON e.src = $prev.id
+       |        JOIN deg ON e.src = deg.src GROUP BY 1),
+       |  r$i AS (SELECT nodes.id,
+       |           CAST(3 AS BIGINT) * 1000000000 // 20
+       |               // (SELECT n FROM nn) +
+       |             CAST(17 AS BIGINT) * coalesce(c$i.s, 0) // 20 AS rq
+       |         FROM nodes LEFT JOIN c$i ON nodes.id = c$i.id)""".stripMargin
+  }
+
+  private val pageRankSql: String =
+    s"""WITH e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst
+       |           FROM lineitem),
+       |  nodes AS (SELECT DISTINCT id FROM
+       |             (SELECT src AS id FROM e
+       |              UNION ALL SELECT dst FROM e)),
+       |  nn AS (SELECT count(*) AS n FROM nodes),
+       |  deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |  r0 AS (SELECT id, 1000000000 // (SELECT n FROM nn) AS rq
+       |         FROM nodes),
+       |  ${prStepSql(1)},
+       |  ${prStepSql(2)},
+       |  ${prStepSql(3)}
+       |SELECT id, CAST(rq AS BIGINT) AS rank_q FROM r3""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_pagerank" -> pageRankSql,
     "q_left_outer" ->
       """SELECT event_id, user_id, c_mktsegment
          FROM events LEFT JOIN customer ON user_id = c_custkey""",
