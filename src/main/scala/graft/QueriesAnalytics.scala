@@ -439,8 +439,20 @@ private[graft] object QueriesAnalytics {
         col("l_suppkey").as("dst")),
       iters = 3)
 
+  /** Per-node triangle counts ([[graft.graph.Graph.triangleCounts]])
+    * on the undirected part–supplier graph. The engine orients edges
+    * by (degree, id) — Schank's √m wedge bound against hub skew —
+    * while the oracle uses the plain id orientation; the triangle SET
+    * is orientation-independent, so the counts hash-match.
+    */
+  def trianglesQ(s: SparkSession, dir: String): DataFrame =
+    graft.graph.Graph.triangleCounts(
+      t(s, dir, "lineitem").select(col("l_partkey").as("src"),
+        col("l_suppkey").as("dst")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (pageRankQ _),
+    "q_triangles" -> (trianglesQ _),
     "q_skew_agg" -> (skewAgg _),
     "q_grouping_sets" -> (groupingSets _),
     "q_complex_types" -> (complexTypes _),
@@ -502,8 +514,25 @@ private[graft] object QueriesAnalytics {
        |  ${prStepSql(3)}
        |SELECT id, CAST(rq AS BIGINT) AS rank_q FROM r3""".stripMargin
 
+  private val trianglesSql: String =
+    s"""WITH und AS (SELECT DISTINCT least(l_partkey, l_suppkey) AS a,
+       |               greatest(l_partkey, l_suppkey) AS b
+       |             FROM lineitem WHERE l_partkey <> l_suppkey),
+       |  nodes AS (SELECT DISTINCT id FROM
+       |             (SELECT a AS id FROM und UNION ALL SELECT b FROM und)),
+       |  tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |          FROM und e1
+       |          JOIN und e2 ON e2.a = e1.b
+       |          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |  pn AS (SELECT id, count(*) AS t FROM
+       |          (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+       |           UNION ALL SELECT z FROM tri) GROUP BY 1)
+       |SELECT nodes.id, CAST(coalesce(pn.t, 0) AS BIGINT) AS triangles
+       |FROM nodes LEFT JOIN pn ON nodes.id = pn.id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> pageRankSql,
+    "q_triangles" -> trianglesSql,
     "q_left_outer" ->
       """SELECT event_id, user_id, c_mktsegment
          FROM events LEFT JOIN customer ON user_id = c_custkey""",

@@ -52,7 +52,14 @@ object Graph {
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val unit = 1000000000L
     val base = (dampingDen - dampingNum) * unit / dampingDen / n
-    var r = nodes.select(col("id"), lit(unit / n).as("rank_q"))
+    val r0 = nodes.select(col("id"), lit(unit / n).as("rank_q"))
+    runPageRank(e, nodes, deg, r0, iters, base, dampingNum, dampingDen)
+  }
+
+  private def runPageRank(e: DataFrame, nodes: DataFrame, deg: DataFrame,
+                          r0: DataFrame, iters: Int, base: Long,
+                          dampingNum: Long, dampingDen: Long): DataFrame = {
+    var r = r0
     for (_ <- 0 until iters) {
       val contribs = e.join(r, e("src") === r("id"))
         .join(deg, "src")
@@ -67,5 +74,62 @@ object Graph {
         .localCheckpoint()
     }
     r
+  }
+
+  /** Per-node triangle counts on the UNDIRECTED simple graph induced
+    * by the edge table (direction, duplicates and self-loops
+    * discarded). The count is orientation-independent, so the engine
+    * is free to pick the join-friendly orientation: each undirected
+    * edge points from its lower (degree, id) endpoint to the higher —
+    * Schank's trick, which bounds every node's out-neighborhood by
+    * O(√m) and keeps the wedge join from exploding on hub nodes (the
+    * plain id orientation would enumerate a celebrity node's full
+    * neighborhood choose 2; the DuckDB oracle, which has no skew
+    * problem at gate scale, uses exactly that simpler orientation and
+    * gets the identical triangle set). Plan: two self-equi-joins +
+    * one explode/groupBy — no iteration, no driver data.
+    * Returns `(id, triangles)` for every node, zeros included.
+    */
+  def triangleCounts(edges: DataFrame,
+                     srcCol: String = "src",
+                     dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(F.least(col(srcCol), col(dstCol)).as("a"),
+        F.greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint() // three self-joins below read it
+    val nodes = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id"))).distinct()
+    val deg = und.select(F.explode(F.array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): u → v iff (d(u), u) < (d(v), v)
+    val dir = und
+      .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+      .select(
+        F.when(F.struct(col("da"), col("a")) < F.struct(col("db"), col("b")),
+          F.struct(col("a").as("u"), col("b").as("v"),
+            col("db").as("dv")))
+          .otherwise(F.struct(col("b").as("u"), col("a").as("v"),
+            col("da").as("dv"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+    // wedges at u between out-neighbors v1 < v2 (in the same order),
+    // closed by the oriented edge (v1, v2)
+    val e1 = dir.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+    val e2 = dir.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
+    val tri = e1.join(e2, Seq("u"))
+      .filter(F.struct(col("dv1"), col("v1")) <
+        F.struct(col("dv2"), col("v2")))
+      .join(dir.select(col("u").as("v1"), col("v").as("v2")),
+        Seq("v1", "v2"))
+      .select(col("u"), col("v1"), col("v2"))
+    val perNode = tri
+      .select(F.explode(F.array(col("u"), col("v1"), col("v2"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    nodes.join(perNode, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
 }

@@ -48,6 +48,25 @@ class GraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("triangle counts: hand graph, dedup/self-loop/reverse handling, zeros kept") {
+    // triangles {1,2,3} and {2,3,4}; 5–6 is triangle-free
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L),
+      (3L, 2L), // reverse duplicate
+      (2L, 2L), // self loop
+      (1L, 2L)) // duplicate
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L,
+      5L -> 0L, 6L -> 0L))
+    // no quadratic operator in the plan (wedge join is equi on u)
+    val plan = Graph.triangleCounts(e)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("guards: empty graph and bad damping refuse") {
     val e1 = intercept[IllegalArgumentException](
       Graph.pageRank(edges.limit(0), iters = 1))
