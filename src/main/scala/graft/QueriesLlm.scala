@@ -237,6 +237,16 @@ private[graft] object QueriesLlm {
       k = 5, shortlist = 15, m = 4, ksub = 8, dims = 64)
   }
 
+  /** Distributed PCA by power iteration ([[Vectors.pcaProject]],
+    * 3 steps): the dominant principal direction without materializing
+    * a covariance matrix — per step one fused corpus pass (in-order
+    * per-row dot, per-dimension QUANTIZED sum), driver state bounded
+    * by dims. Oracle replays mean-centering and every step with
+    * unrolled integer-sum CTEs — bit-exact, no float-order drift.
+    */
+  def pcaProjectQ(s: SparkSession, dir: String): DataFrame =
+    Vectors.pcaProject(t(s, dir, "embeddings"), dims = 64, iters = 3)
+
   /** IVF-PQ composition: the L2 coarse quantizer (16 id-prefix
     * centroids) partitions the corpus; PQ codes (m=4, ksub=8)
     * compress it; queries probe their 2 nearest clusters and ADC
@@ -949,6 +959,7 @@ private[graft] object QueriesLlm {
     "q_embed_neardup" -> (embedNearDup _),
     "q_pq_topk" -> (pqTopKQ _),
     "q_pq_refined" -> (pqRefinedQ _),
+    "q_pca_project" -> (pcaProjectQ _),
     "q_ivf_pq" -> (ivfPqQ _),
     "q_ivf_pq_indexed" -> (ivfPqIndexedQ _),
     "q_ivf_topk" -> (ivfTopK _),
@@ -1392,6 +1403,52 @@ private[graft] object QueriesLlm {
        |  pj AS (SELECT lut.query_id, a1.vec_id, lut.pd, a1.j
        |         FROM a1 JOIN lut ON a1.j = lut.j AND a1.code = lut.code),
        |${adcTailSql(k)}""".stripMargin
+
+  /** One power-iteration step as DuckDB CTEs (mirrors
+    * Vectors.pcaProject's quantized matvec + HALF_UP renormalization).
+    */
+  private def pcaStepSql(i: Int): String = {
+    val prev = if (i == 1) "x0" else s"x${i - 1}"
+    s"""dot$i AS (SELECT cv.vec_id,
+       |            list_reduce(list(cv.c * $prev.xv ORDER BY cv.d),
+       |              (a, b) -> a + b) AS dot
+       |          FROM cv JOIN $prev ON cv.d = $prev.d
+       |          GROUP BY cv.vec_id),
+       |  y$i AS (SELECT cv.d,
+       |           CAST(sum(CAST(floor(cv.c * dot$i.dot * 1000000.0 + 0.5)
+       |             AS BIGINT)) AS BIGINT) AS sm
+       |         FROM cv JOIN dot$i ON cv.vec_id = dot$i.vec_id
+       |         GROUP BY cv.d),
+       |  n$i AS (SELECT sqrt(list_reduce(
+       |            list((CAST(sm AS DOUBLE) / 1000000.0) *
+       |                 (CAST(sm AS DOUBLE) / 1000000.0) ORDER BY d),
+       |            (a, b) -> a + b)) AS nrm FROM y$i),
+       |  x$i AS (SELECT d, round((CAST(sm AS DOUBLE) / 1000000.0)
+       |            / (SELECT nrm FROM n$i), 6) AS xv FROM y$i)""".stripMargin
+  }
+
+  /** DuckDB replay of the full power-iteration PCA projection. */
+  private def pcaSql(dims: Int, iters: Int): String = {
+    val steps = (1 to iters).map(pcaStepSql).mkString(",\n  ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+       |           FROM embeddings),
+       |  ds AS (SELECT unnest(generate_series(0, ${dims - 1})) AS d),
+       |  ex AS (SELECT vec_id, d, e[d + 1] AS x FROM v CROSS JOIN ds),
+       |  mu AS (SELECT d,
+       |           (CAST(sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))
+       |              AS DOUBLE) / count(*)) / 1000000.0 AS m
+       |         FROM ex GROUP BY d),
+       |  cv AS (SELECT ex.vec_id, ex.d, ex.x - mu.m AS c
+       |         FROM ex JOIN mu ON ex.d = mu.d),
+       |  x0 AS (SELECT d, round(1.0 / sqrt(CAST($dims AS DOUBLE)), 6)
+       |           AS xv FROM ds),
+       |  $steps
+       |SELECT cv.vec_id,
+       |  round(list_reduce(list(cv.c * x$iters.xv ORDER BY cv.d),
+       |    (a, b) -> a + b), 6) + 0.0 AS pc1
+       |FROM cv JOIN x$iters ON cv.d = x$iters.d
+       |GROUP BY cv.vec_id""".stripMargin
+  }
 
   /** DuckDB replay of refined PQ (mirrors Vectors.pqTopKRefined):
     * flat ADC shortlist, then exact full-dimension L2 re-rank of the
@@ -1987,6 +2044,7 @@ private[graft] object QueriesLlm {
     "q_pq_topk" -> pqSql(m = 4, ksub = 8, dims = 64, nq = 5, k = 5),
     "q_pq_refined" -> pqRefinedSql(m = 4, ksub = 8, dims = 64, nq = 5,
       k = 5, shortlist = 15),
+    "q_pca_project" -> pcaSql(dims = 64, iters = 3),
     "q_ivf_pq" -> ivfPqSql(m = 4, ksub = 8, dims = 64, nq = 5, k = 5,
       ncen = 16, nprobe = 2),
     "q_ivf_pq_indexed" -> ivfPqSql(m = 4, ksub = 8, dims = 64, nq = 5,

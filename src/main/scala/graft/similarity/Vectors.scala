@@ -738,6 +738,79 @@ object Vectors {
     rankByDist(scored, k)
   }
 
+  /** Principal-component projection via deterministic POWER ITERATION
+    * — distributed PCA without ever materializing the covariance
+    * matrix: each iteration computes y = Σ_rows c·(c⋅x) in two fused
+    * passes over the centered corpus (a per-row in-order dot, then a
+    * per-dimension sum of QUANTIZED products — exact long arithmetic,
+    * so the cross-engine float-summation-order trap never appears;
+    * the kmeans/PQ determinism contract). The iteration state x is
+    * `dims` doubles on the driver (bounded, like the BPE trainer's
+    * merge list), renormalized and rounded to 6 decimals per step
+    * with HALF_UP — matching both Spark's and DuckDB's round — so
+    * the oracle can replay every step bit-exactly with unrolled CTEs.
+    *
+    * Scale: one mean pass + `iters` corpus passes + the lazy
+    * projection, all map-side except the dims-row aggregations;
+    * nothing driver-side ever exceeds `dims` numbers. Mean-centering
+    * is done in-plan against a broadcast literal. Returns
+    * `(vec_id, pc1)` — the signed projection of each centered vector
+    * on the dominant principal direction (+0.0-normalized so the
+    * -0.0/0.0 repr split cannot break a value hash).
+    */
+  def pcaProject(vectors: DataFrame, dims: Int, iters: Int,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1: $dims")
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val v = vectors.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("v"))
+    val muRows = v
+      .select(posexplode(col("v")).as(Seq("d", "x")))
+      .select(col("d"),
+        floor(col("x") * 1000000.0 + 0.5).cast("long").as("q"))
+      .groupBy("d").agg(sum("q").as("sm"), count(lit(1)).as("cnt"))
+      .collect()
+    require(muRows.nonEmpty, "pcaProject: the corpus is empty")
+    val mu = Array.ofDim[Double](dims)
+    muRows.foreach(r => mu(r.getInt(0)) =
+      (r.getLong(1).toDouble / r.getLong(2)) / 1000000.0)
+    val c = v.select(col("vec_id"),
+      zip_with(col("v"), array(mu.map(lit).toSeq: _*), _ - _).as("c"))
+      .persist()
+    try {
+      var x = Array.fill(dims)(round6(1.0 / math.sqrt(dims.toDouble)))
+      for (_ <- 0 until iters) {
+        val xLit = array(x.map(lit).toSeq: _*)
+        val dot = aggregate(zip_with(col("c"), xLit, _ * _),
+          lit(0.0), _ + _)
+        val yRows = c
+          .select(col("c"), dot.as("dot"))
+          .select(posexplode(col("c")).as(Seq("d", "cd")), col("dot"))
+          .select(col("d"),
+            floor(col("cd") * col("dot") * 1000000.0 + 0.5)
+              .cast("long").as("q"))
+          .groupBy("d").agg(sum("q").as("sm"))
+          .collect()
+        val y = Array.ofDim[Double](dims)
+        yRows.foreach(r => y(r.getInt(0)) =
+          r.getLong(1).toDouble / 1000000.0)
+        // in-d-order fold, exactly the oracle's list_reduce
+        val norm = math.sqrt(y.foldLeft(0.0)((acc, t) => acc + t * t))
+        require(norm > 0.0,
+          "pcaProject: zero-variance corpus (or start vector " +
+            "orthogonal to all data) - no principal direction")
+        x = y.map(t => round6(t / norm))
+      }
+      val xLit = array(x.map(lit).toSeq: _*)
+      c.select(col("vec_id"),
+        (round(aggregate(zip_with(col("c"), xLit, _ * _),
+          lit(0.0), _ + _), 6) + lit(0.0)).as("pc1"))
+    } finally { c.unpersist(); () }
+  }
+
   /** Refined PQ serving — FAISS IndexRefineFlat's shape: ADC produces
     * a SHORTLIST of `shortlist >= k` candidates from the codes table,
     * and only those (query, candidate) pairs pay an exact

@@ -395,4 +395,35 @@ class DedupVectorsSpec extends SparkSpec {
     assert(out === Seq(0L, 3L),
       "1 (exact dup of 0) and 2 (near dup of 0) drop; 0 and 3 survive")
   }
+
+  test("pcaProject recovers a planted principal direction") {
+    import spark.implicits._
+    // points t·(0.6, 0.8) + the constant offset (5, 5): after mean-
+    // centering, variance lives entirely along (0.6, 0.8), so |pc1|
+    // must equal |t| and the projections must stay proportional
+    val ts = Seq(-2.0, -1.0, 1.0, 2.0)
+    val pts = ts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, Array((5.0 + t * 0.6).toFloat, (5.0 + t * 0.8).toFloat))
+    }.toDF("vec_id", "embedding")
+    val got = Vectors.pcaProject(pts, dims = 2, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ts.zipWithIndex.foreach { case (t, i) =>
+      assert(math.abs(math.abs(got(i.toLong)) - math.abs(t)) < 1e-4,
+        s"projection of t=$t came out ${got(i.toLong)}")
+    }
+    // one consistent sign across the set (±t, never mixed)
+    val signs = ts.zipWithIndex.map { case (t, i) =>
+      math.signum(got(i.toLong)) * math.signum(t) }
+    assert(signs.distinct.size === 1, signs.toString)
+    // deterministic across partitionings
+    val again = Vectors.pcaProject(pts.repartition(3), dims = 2, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again === got)
+    // degenerate corpus refuses (all-identical vectors: zero variance)
+    val flat = Seq((0L, Array(1f, 1f)), (1L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Vectors.pcaProject(flat, dims = 2, iters = 2).collect())
+    assert(e.getMessage.contains("zero-variance"), e.getMessage)
+  }
 }

@@ -363,6 +363,36 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.versions(spark, path) === Seq(1L))
   }
 
+  test("merge after evolution rewrites pre-evolution files under the evolved schema") {
+    val path = newStore
+    // v1: evens, 4 columns; v2 append: odds with n_chars (evolution)
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "text", "lang", "source"), path)
+    Snapshots.commitAppend(docs.filter(col("doc_id") % 2 === 1), path)
+    // merge touches EVEN keys → rewrites pre-evolution files; updates
+    // must carry the EVOLVED 5-column shape
+    val updates = docs.filter(col("doc_id") % 2 === 0 &&
+        col("doc_id") % 10 === 0)
+      .withColumn("text", upper(col("text")))
+      .select(docs.columns.map(col).toSeq: _*)
+    Snapshots.merge(spark, path, updates, Seq("doc_id"))
+    val got = Snapshots.read(spark, path)
+    assert(got.columns.toSeq === docs.columns.toSeq)
+    // updated rows now carry their n_chars; untouched even rows from
+    // the rewritten files keep the null fill
+    assert(got.filter(col("doc_id") % 10 === 0 &&
+      col("n_chars").isNull).count() === 0L)
+    assert(got.filter(col("doc_id") % 2 === 0 &&
+      col("doc_id") % 10 =!= 0 && col("n_chars").isNotNull)
+      .count() === 0L)
+    assert(got.count() === docs.count())
+    // a 4-column update batch against the evolved table refuses
+    val e = intercept[IllegalArgumentException](
+      Snapshots.merge(spark, path,
+        updates.drop("n_chars"), Seq("doc_id")))
+    assert(e.getMessage.contains("columns"), e.getMessage)
+  }
+
   test("merge discovery scans only the key columns, never the payload") {
     val path = newStore
     Snapshots.commit(docs, path)
