@@ -533,6 +533,85 @@ class SnapshotsSpec extends SparkSpec {
       e3.toString)
   }
 
+  test("model-based random walk: 40 mixed ops track an in-memory reference exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7) // seeded: failures reproduce
+    val path = newStore
+    def df(m: Map[Long, Long]) =
+      m.toSeq.sortBy(_._1).toDF("doc_id", "payload")
+    def freshIds(n: Int, taken: Set[Long]): Seq[Long] =
+      Iterator.from(0).map(_ => rnd.nextLong().abs % 1000)
+        .filterNot(taken).distinct.take(n).toSeq
+    var model = (0L until 20L).map(i => i -> i * 10).toMap
+    Snapshots.commit(df(model), path)
+    // committed history for time-travel checks: version -> model state
+    var history = Map(1L -> model)
+    for (step <- 1 to 40) {
+      val op = rnd.nextInt(6)
+      op match {
+        case 0 => // overwrite commit with a random subset
+          model = model.filter(_ => rnd.nextBoolean())
+          if (model.isEmpty) model = Map(9999L -> 0L)
+          history += Snapshots.commit(df(model), path) -> model
+        case 1 => // append fresh ids
+          val add = freshIds(1 + rnd.nextInt(4), model.keySet)
+            .map(id => id -> id).toMap
+          model ++= add
+          history += Snapshots.commitAppend(df(add), path) -> model
+        case 2 => // merge: update half the survivors + insert fresh
+          val upd = model.keys.toSeq.sorted
+            .filter(_ => rnd.nextBoolean())
+            .map(id => id -> (model(id) + 1000)).toMap
+          val ins = freshIds(rnd.nextInt(3), model.keySet)
+            .map(id => id -> -id).toMap
+          val batch = upd ++ ins
+          if (batch.nonEmpty) {
+            model ++= batch
+            history += Snapshots.merge(spark, path, df(batch),
+              Seq("doc_id")) -> model
+          }
+        case 3 => // predicate delete
+          val r = rnd.nextInt(7)
+          val survivors = model.filterNot(_._2 % 7 == r)
+          val v = Snapshots.deleteWhere(spark, path,
+            col("payload") % 7 === r)
+          if (survivors.size != model.size) {
+            model = survivors; history += v -> model
+          }
+        case 4 => // key delete
+          val doomed = model.keys.toSeq.sorted.filter(_ => rnd.nextInt(4) == 0)
+          val v = Snapshots.deleteKeys(spark, path,
+            doomed.toDF("doc_id"), Seq("doc_id"))
+          if (doomed.nonEmpty) {
+            model --= doomed; history += v -> model
+          }
+        case 5 => // rollback to a random committed version, or compact
+          if (rnd.nextBoolean() && history.size > 1) {
+            val target = history.keys.toSeq.sorted
+              .apply(rnd.nextInt(history.size))
+            model = history(target)
+            history += Snapshots.rollback(spark, path, target) -> model
+          } else {
+            val v = Snapshots.compact(spark, path,
+              targetFileBytes = 1L << 30)
+            history += v -> model // same rows whether or not it packed
+          }
+      }
+      // latest must equal the model after EVERY op
+      val got = Snapshots.read(spark, path)
+        .select("doc_id", "payload").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === model, s"step $step diverged (op $op)")
+      // and a random committed version must still read as it did then
+      val (v, m) = history.toSeq.sortBy(_._1)
+        .apply(rnd.nextInt(history.size))
+      val tt = Snapshots.read(spark, path, Some(v))
+        .select("doc_id", "payload").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(tt === m, s"step $step: version $v no longer time-travels")
+    }
+  }
+
   test("the store is relocatable (relative manifest paths)") {
     val path = newStore
     Snapshots.commit(docs, path)
