@@ -450,9 +450,24 @@ private[graft] object QueriesAnalytics {
       t(s, dir, "lineitem").select(col("l_partkey").as("src"),
         col("l_suppkey").as("dst")))
 
+  /** Multi-source BFS ([[graft.graph.Graph.shortestHops]], 4
+    * supersteps) on the directed part→supplier graph from sources
+    * id < 25. Integer INF-sentinel arithmetic — the oracle's unrolled
+    * CTEs use the identical least/coalesce ints, NULL only in the
+    * final projection.
+    */
+  def bfsHopsQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "lineitem").select(
+      col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+    graft.graph.Graph.shortestHops(edges,
+      edges.select(col("src").as("id")).filter(col("id") < 25),
+      iters = 4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (pageRankQ _),
     "q_triangles" -> (trianglesQ _),
+    "q_bfs_hops" -> (bfsHopsQ _),
     "q_skew_agg" -> (skewAgg _),
     "q_grouping_sets" -> (groupingSets _),
     "q_complex_types" -> (complexTypes _),
@@ -530,9 +545,38 @@ private[graft] object QueriesAnalytics {
        |SELECT nodes.id, CAST(coalesce(pn.t, 0) AS BIGINT) AS triangles
        |FROM nodes LEFT JOIN pn ON nodes.id = pn.id""".stripMargin
 
+  /** One BFS superstep as DuckDB CTEs (INF-sentinel ints, mirroring
+    * Graph.shortestHops).
+    */
+  private def bfsStepSql(i: Int): String = {
+    val prev = s"d${i - 1}"
+    s"""c$i AS (SELECT e.dst AS id, min($prev.h + 1) AS ch
+       |        FROM e JOIN $prev ON e.src = $prev.id GROUP BY 1),
+       |  d$i AS (SELECT $prev.id,
+       |           least($prev.h, coalesce(c$i.ch, 1000000)) AS h
+       |         FROM $prev LEFT JOIN c$i ON $prev.id = c$i.id)""".stripMargin
+  }
+
+  private val bfsHopsSql: String = {
+    val steps = (1 to 4).map(bfsStepSql).mkString(",\n  ")
+    s"""WITH e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst
+       |           FROM lineitem),
+       |  nodes AS (SELECT DISTINCT id FROM
+       |             (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |  d0 AS (SELECT id,
+       |           CASE WHEN id IN (SELECT src FROM e WHERE src < 25)
+       |                THEN 0 ELSE 1000000 END AS h
+       |         FROM nodes),
+       |  $steps
+       |SELECT id, CASE WHEN h >= 1000000 THEN NULL
+       |                ELSE CAST(h AS BIGINT) END AS hops
+       |FROM d4""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> pageRankSql,
     "q_triangles" -> trianglesSql,
+    "q_bfs_hops" -> bfsHopsSql,
     "q_left_outer" ->
       """SELECT event_id, user_id, c_mktsegment
          FROM events LEFT JOIN customer ON user_id = c_custkey""",

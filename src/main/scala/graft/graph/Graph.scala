@@ -76,6 +76,49 @@ object Graph {
     r
   }
 
+  /** Multi-source BFS hop counts over the DIRECTED edge table:
+    * `hops(v)` = length of the shortest path from ANY source node,
+    * explored to `iters` supersteps (a path longer than `iters` reads
+    * as unreachable — fixed-depth exploration is the bounded-cost
+    * contract; callers wanting convergence pick `iters` ≥ graph
+    * diameter). Pure integer arithmetic with an explicit INFINITY
+    * sentinel instead of NULL distances, so Spark's and DuckDB's
+    * NULL-vs-least semantics can never disagree; unreachable nodes
+    * surface as NULL only in the final projection. Each superstep is
+    * one frontier equi-join + one min-by-dst (map-side combinable),
+    * lineage cut per step — the same Pregel shape as [[pageRank]].
+    * Returns `(id, hops)`, hops NULL when unreached within `iters`.
+    */
+  def shortestHops(edges: DataFrame, sources: DataFrame, iters: Int,
+                   srcCol: String = "src", dstCol: String = "dst",
+                   sourceIdCol: String = "id"): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    val Inf = 1000000L
+    require(iters < Inf - 1, s"iters must be < ${Inf - 1}")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint()
+    val s = sources.select(col(sourceIdCol).as("id")).distinct()
+    var d = nodes.join(s.withColumn("z", lit(0L)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("z"), lit(Inf)).as("h"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val cand = e.join(d, e("src") === d("id"))
+        .select(col("dst").as("id"), (col("h") + 1L).as("ch"))
+        .groupBy("id").agg(F.min("ch").as("ch"))
+      d = d.join(cand, Seq("id"), "left")
+        .select(col("id"),
+          F.least(col("h"), coalesce(col("ch"), lit(Inf))).as("h"))
+        .localCheckpoint()
+    }
+    d.select(col("id"),
+      F.when(col("h") >= Inf, lit(null).cast("long"))
+        .otherwise(col("h")).as("hops"))
+  }
+
   /** Per-node triangle counts on the UNDIRECTED simple graph induced
     * by the edge table (direction, duplicates and self-loops
     * discarded). The count is orientation-independent, so the engine

@@ -67,6 +67,26 @@ class GraphSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("BFS hops: hand graph, depth bound, unreachable as NULL") {
+    // 1→2→3→4, 5→4, 6 isolated-ish (6→6 self loop keeps it a node)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 4L), (6L, 6L))
+      .toDF("src", "dst")
+    val src = Seq(1L).toDF("id")
+    def hops(iters: Int): Map[Long, Option[Long]] =
+      Graph.shortestHops(e, src, iters).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(hops(4) === Map(1L -> Some(0L), 2L -> Some(1L),
+      3L -> Some(2L), 4L -> Some(3L), 5L -> None, 6L -> None))
+    // depth bound: 2 supersteps cannot reach node 4
+    assert(hops(2)(4L) === None)
+    // multi-source takes the min
+    val multi = Graph.shortestHops(e, Seq(1L, 5L).toDF("id"), 4)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(multi(4L) === Some(1L)) // via 5, not the 3-hop path via 1
+  }
+
   test("guards: empty graph and bad damping refuse") {
     val e1 = intercept[IllegalArgumentException](
       Graph.pageRank(edges.limit(0), iters = 1))
