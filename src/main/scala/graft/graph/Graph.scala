@@ -106,7 +106,11 @@ object Graph {
       .select(col("id"), coalesce(col("z"), lit(Inf)).as("h"))
       .localCheckpoint()
     for (_ <- 0 until iters) {
-      val cand = e.join(d, e("src") === d("id"))
+      // only REACHED nodes can improve a neighbor: an INF node's
+      // candidate (INF+1) always loses the least() below, so joining
+      // it is pure shuffle waste — at scale the early frontiers are
+      // tiny slivers of the node set
+      val cand = e.join(d.filter(col("h") < Inf), e("src") === d("id"))
         .select(col("dst").as("id"), (col("h") + 1L).as("ch"))
         .groupBy("id").agg(F.min("ch").as("ch"))
       d = d.join(cand, Seq("id"), "left")
