@@ -117,6 +117,28 @@ private[graft] object QueriesIo {
         Streams.eventsStream(s, dir)),
       tableName(dir, "strm_join"), OutputMode.Append())
 
+  /** Watermarked stream-stream LEFT OUTER join: every purchase emits,
+    * click-less ones with a NULL click_id — but only after the
+    * watermark proves no click can still arrive, which for a finite
+    * source requires the flush sentinels
+    * ([[Streams.eventsWithFlushSentinelStream]]); the `user_id >= 0`
+    * filter drops the sentinels themselves. Oracle: the plain batch
+    * LEFT JOIN.
+    */
+  def streamLeftJoin(s: SparkSession, dir: String): DataFrame =
+    Streams.runToTable(
+      Streams.purchaseClickLeftJoin(
+        Streams.eventsWithFlushSentinelStream(s, dir),
+        Streams.eventsWithFlushSentinelStream(s, dir)),
+      tableName(dir, "strm_ljoin"), OutputMode.Append())
+      // sentinel exclusion on the BATCH result, never on the streaming
+      // plan: a user_id predicate there pushes through the join into
+      // both sides and deletes the sentinels BEFORE the watermark
+      // nodes — the watermark stalls at the real data's edge and the
+      // last purchases' outer rows are silently withheld (found live;
+      // the failure is bit-for-bit deterministic, not a race)
+      .filter(col("user_id") >= 0)
+
   /** Z-order clustered layout: events written sorted by the
     * bit-interleaved (user_id, time) key, read back with the z key
     * gated against an independent recomputation.
@@ -621,6 +643,7 @@ private[graft] object QueriesIo {
     "q_avi_frames" -> (aviFrames _),
     "q_salted_join" -> (saltedJoin _),
     "q_stream_join" -> (streamStreamJoin _),
+    "q_stream_left_join" -> (streamLeftJoin _),
     "q_zorder_layout" -> (zorderLayout _),
     "q_stream_enrich" -> (streamEnrich _),
     "q_incremental_agg" -> (incrementalAgg _),
@@ -816,6 +839,12 @@ private[graft] object QueriesIo {
            ON a.user_id = b.user_id
          WHERE a.event_type = 'purchase' AND b.event_type = 'click'
            AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts""",
+    "q_stream_left_join" ->
+      """SELECT a.event_id AS buy_id, b.event_id AS click_id, a.user_id
+         FROM events a LEFT JOIN events b
+           ON a.user_id = b.user_id AND b.event_type = 'click'
+             AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts
+         WHERE a.event_type = 'purchase'""",
     "q_stream_enrich" ->
       """SELECT c_mktsegment, event_type, count(*) AS n,
            CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT)

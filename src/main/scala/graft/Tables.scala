@@ -150,23 +150,8 @@ private[graft] object Tables {
       * conversion exact) and ids included (an int32-id file must get
       * an int32-id fixture).
       */
-    def rawDf(s: SparkSession, raw: StructType): DataFrame = {
-      val rawTs: Column = raw("ts").dataType match {
-        case LongType => // TIMESTAMP(NANOS) read via the legacy shim
-          (col("ts").cast("long") * lit(1000000000L)).as("ts")
-        case TimestampNTZType =>
-          col("ts").cast(TimestampNTZType).as("ts")
-        case TimestampType => col("ts")
-        case other => throw new IllegalStateException(
-          s"SessionTie: unsupported physical ts type $other")
-      }
-      df(s).select(raw.fields.map {
-        case f if f.name == "ts" => rawTs
-        case f if f.name == "user_id" =>
-          col("user_id").cast(f.dataType).as("user_id")
-        case f => lit(null).cast(f.dataType).as(f.name)
-      }.toSeq: _*)
-    }
+    def rawDf(s: SparkSession, raw: StructType): DataFrame =
+      rawConform(df(s), raw)
 
     /** The identical rows as a DuckDB VALUES block for the oracles. */
     val sql: String = rows
@@ -174,5 +159,31 @@ private[graft] object Tables {
       .mkString(
         "SELECT CAST(u AS BIGINT) AS user_id, t AS ts FROM (VALUES ",
         ", ", ") AS tie(u, t)")
+  }
+
+  /** Convert a LOGICAL-typed fixture DataFrame to a staged events
+    * file's physical schema: columns the fixture carries cast to the
+    * file's type (whole-second `ts` fixtures convert exactly through
+    * any of the three encodings), columns it lacks land as typed
+    * nulls. Shared by every fixture staged next to a real events file
+    * ([[SessionTie.rawDf]], the stream-join flush sentinels).
+    */
+  private[graft] def rawConform(logical: DataFrame,
+                                raw: StructType): DataFrame = {
+    val have = logical.columns.toSet
+    logical.select(raw.fields.map {
+      case f if f.name == "ts" && have("ts") =>
+        f.dataType match {
+          case LongType => // TIMESTAMP(NANOS) read via the legacy shim
+            (col("ts").cast("long") * lit(1000000000L)).as("ts")
+          case TimestampNTZType =>
+            col("ts").cast(TimestampNTZType).as("ts")
+          case TimestampType => col("ts")
+          case other => throw new IllegalStateException(
+            s"events fixture: unsupported physical ts type $other")
+        }
+      case f if have(f.name) => col(f.name).cast(f.dataType).as(f.name)
+      case f => lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
   }
 }

@@ -205,6 +205,47 @@ object Streams {
       contractOf("events"), "events")
   }
 
+  /** The events stream plus two far-future FLUSH SENTINELS (a
+    * purchase at 2024-06-01 under user −999, a click at 2024-12-01
+    * under user −998): an OUTER stream-stream join can only emit its
+    * unmatched rows once the watermark proves no partner can still
+    * arrive, and the global watermark is held by the slower side —
+    * with a finite source it would stop an hour short of the data's
+    * end and silently hold back the last purchases' outer rows
+    * forever. The sentinels advance BOTH sides' watermarks past every
+    * real event; their user ids are distinct negatives (they cannot
+    * join each other or any real row) and callers filter
+    * `user_id >= 0` after the join. Same staging pattern as
+    * [[eventsWithSessionTieStream]].
+    */
+  def eventsWithFlushSentinelStream(spark: SparkSession,
+                                    dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = graft.schema.Conform.physicalReadSchema(
+      spark, s"$dir/events.parquet", contractOf("events"), "events")
+    val staged = stagingDir("graft_stream_flush_src_")
+    // sentinels ride in the SAME single staged file as the real
+    // events: one file → one data batch → one deterministic listing
+    // (multi-file AvailableNow snapshots have proven racy about
+    // late-staged files). End-of-batch watermark lands months past
+    // the real data, and the standard no-data batch that follows
+    // evicts every real purchase's outer row before termination.
+    val sentinels = Seq(
+      (-901L, -999L, "purchase", "2024-06-01 00:00:00"),
+      (-902L, -998L, "click", "2024-12-01 00:00:00"))
+      .toDF("event_id", "user_id", "event_type", "ts_s")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("ts_s")).as("ts"))
+    val combined = spark.read.schema(raw)
+      .parquet(s"$dir/events.parquet")
+      .unionByName(graft.Tables.rawConform(sentinels, raw))
+    graft.io.Scratch.stageSingleParquetFile(
+      combined, staged, "events.parquet")
+    graft.schema.Conform.conform(
+      fileStream(spark, staged.toString, raw, None),
+      contractOf("events"), "events")
+  }
+
   /** Run a streaming DataFrame to completion (AvailableNow) into a
     * memory sink and return the result table.
     */
@@ -287,6 +328,35 @@ object Streams {
       col("user_id") === col("click_user") &&
         col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR") &&
         col("click_ts") <= col("buy_ts"))
+      .select(col("buy_id"), col("click_id"), col("user_id"))
+  }
+
+  /** Watermarked stream-stream LEFT OUTER join — the state-expiry
+    * semantics unique to streaming outer joins: a purchase's
+    * NULL-click row may only emit once the watermark proves no
+    * matching click can still arrive (same keys/interval as
+    * [[purchaseClickJoin]]). Feed it
+    * [[eventsWithFlushSentinelStream]] on both sides — without the
+    * sentinels the finite source's watermark stops short of the last
+    * purchases and their outer rows are silently withheld, the
+    * wrong-but-plausible failure mode streaming outer joins are known
+    * for.
+    */
+  def purchaseClickLeftJoin(purchases: DataFrame,
+                            clicks: DataFrame): DataFrame = {
+    val buys = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id"),
+        col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", "1 hour")
+    val cls = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    buys.join(cls,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("buy_ts"),
+      "left_outer")
       .select(col("buy_id"), col("click_id"), col("user_id"))
   }
 

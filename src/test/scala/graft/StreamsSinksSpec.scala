@@ -23,6 +23,34 @@ class StreamsSinksSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("stream-stream LEFT OUTER join == batch left join (outer rows flushed)") {
+    val streamed = Streams.runToTable(
+      Streams.purchaseClickLeftJoin(
+        Streams.eventsWithFlushSentinelStream(spark, sfDir),
+        Streams.eventsWithFlushSentinelStream(spark, sfDir)),
+      "spec_ljoin", OutputMode.Append())
+      .filter(col("user_id") >= 0) // batch-side sentinel exclusion
+    val ev = batchEvents
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id"),
+        col("ts").as("buy_ts"))
+    val cls = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+    val batch = buys.join(cls,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("buy_ts"),
+      "left_outer")
+      .select(col("buy_id"), col("click_id"), col("user_id"))
+    // the click-less purchases' NULL rows must ALL be present — the
+    // watermark-withholding failure mode drops exactly the latest ones
+    assert(streamed.filter(col("click_id").isNull).count() ===
+      batch.filter(col("click_id").isNull).count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("mapGroupsWithState custom state == batch groupBy") {
     val streamed = Streams.runToTable(
       Streams.userStatsCustomState(Streams.eventsStream(spark, sfDir)),
