@@ -247,6 +247,16 @@ private[graft] object QueriesLlm {
   def pcaProjectQ(s: SparkSession, dir: String): DataFrame =
     Vectors.pcaProject(t(s, dir, "embeddings"), dims = 64, iters = 3)
 
+  /** Two-component deflated PCA ([[Vectors.pcaProjectK]] k=2): the
+    * second direction power-iterates on the residual corpus
+    * c − (c⋅x₁)·x₁; both scores taken against the original centered
+    * vectors. Oracle replays stage 1, the in-plan deflation, and
+    * stage 2 — all with the same quantized-sum determinism.
+    */
+  def pcaTopkQ(s: SparkSession, dir: String): DataFrame =
+    Vectors.pcaProjectK(t(s, dir, "embeddings"), dims = 64, iters = 3,
+      k = 2)
+
   /** IVF-PQ composition: the L2 coarse quantizer (16 id-prefix
     * centroids) partitions the corpus; PQ codes (m=4, ksub=8)
     * compress it; queries probe their 2 nearest clusters and ADC
@@ -960,6 +970,7 @@ private[graft] object QueriesLlm {
     "q_pq_topk" -> (pqTopKQ _),
     "q_pq_refined" -> (pqRefinedQ _),
     "q_pca_project" -> (pcaProjectQ _),
+    "q_pca_topk" -> (pcaTopkQ _),
     "q_ivf_pq" -> (ivfPqQ _),
     "q_ivf_pq_indexed" -> (ivfPqIndexedQ _),
     "q_ivf_topk" -> (ivfTopK _),
@@ -1407,38 +1418,40 @@ private[graft] object QueriesLlm {
   /** One power-iteration step as DuckDB CTEs (mirrors
     * Vectors.pcaProject's quantized matvec + HALF_UP renormalization).
     */
-  private def pcaStepSql(i: Int): String = {
-    val prev = if (i == 1) "x0" else s"x${i - 1}"
-    s"""dot$i AS (SELECT cv.vec_id,
-       |            list_reduce(list(cv.c * $prev.xv ORDER BY cv.d),
+  private def pcaStepSql(i: Int, sfx: String = "",
+                         cv: String = "cv"): String = {
+    val prev = if (i == 1) s"x0$sfx" else s"x${i - 1}$sfx"
+    s"""dot$i$sfx AS MATERIALIZED (SELECT $cv.vec_id,
+       |            list_reduce(list($cv.c * $prev.xv ORDER BY $cv.d),
        |              (a, b) -> a + b) AS dot
-       |          FROM cv JOIN $prev ON cv.d = $prev.d
-       |          GROUP BY cv.vec_id),
-       |  y$i AS (SELECT cv.d,
-       |           CAST(sum(CAST(floor(cv.c * dot$i.dot * 1000000.0 + 0.5)
-       |             AS BIGINT)) AS BIGINT) AS sm
-       |         FROM cv JOIN dot$i ON cv.vec_id = dot$i.vec_id
-       |         GROUP BY cv.d),
-       |  n$i AS (SELECT sqrt(list_reduce(
+       |          FROM $cv JOIN $prev ON $cv.d = $prev.d
+       |          GROUP BY $cv.vec_id),
+       |  y$i$sfx AS MATERIALIZED (SELECT $cv.d,
+       |           CAST(sum(CAST(floor($cv.c * dot$i$sfx.dot * 1000000.0
+       |             + 0.5) AS BIGINT)) AS BIGINT) AS sm
+       |         FROM $cv JOIN dot$i$sfx ON $cv.vec_id = dot$i$sfx.vec_id
+       |         GROUP BY $cv.d),
+       |  n$i$sfx AS MATERIALIZED (SELECT sqrt(list_reduce(
        |            list((CAST(sm AS DOUBLE) / 1000000.0) *
        |                 (CAST(sm AS DOUBLE) / 1000000.0) ORDER BY d),
-       |            (a, b) -> a + b)) AS nrm FROM y$i),
-       |  x$i AS (SELECT d, round((CAST(sm AS DOUBLE) / 1000000.0)
-       |            / (SELECT nrm FROM n$i), 6) AS xv FROM y$i)""".stripMargin
+       |            (a, b) -> a + b)) AS nrm FROM y$i$sfx),
+       |  x$i$sfx AS MATERIALIZED (SELECT d, round((CAST(sm AS DOUBLE) / 1000000.0)
+       |            / (SELECT nrm FROM n$i$sfx), 6) AS xv
+       |          FROM y$i$sfx)""".stripMargin
   }
 
   /** DuckDB replay of the full power-iteration PCA projection. */
   private def pcaSql(dims: Int, iters: Int): String = {
-    val steps = (1 to iters).map(pcaStepSql).mkString(",\n  ")
+    val steps = (1 to iters).map(i => pcaStepSql(i)).mkString(",\n  ")
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
        |           FROM embeddings),
        |  ds AS (SELECT unnest(generate_series(0, ${dims - 1})) AS d),
-       |  ex AS (SELECT vec_id, d, e[d + 1] AS x FROM v CROSS JOIN ds),
+       |  ex AS MATERIALIZED (SELECT vec_id, d, e[d + 1] AS x FROM v CROSS JOIN ds),
        |  mu AS (SELECT d,
        |           (CAST(sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))
        |              AS DOUBLE) / count(*)) / 1000000.0 AS m
        |         FROM ex GROUP BY d),
-       |  cv AS (SELECT ex.vec_id, ex.d, ex.x - mu.m AS c
+       |  cv AS MATERIALIZED (SELECT ex.vec_id, ex.d, ex.x - mu.m AS c
        |         FROM ex JOIN mu ON ex.d = mu.d),
        |  x0 AS (SELECT d, round(1.0 / sqrt(CAST($dims AS DOUBLE)), 6)
        |           AS xv FROM ds),
@@ -1448,6 +1461,53 @@ private[graft] object QueriesLlm {
        |    (a, b) -> a + b), 6) + 0.0 AS pc1
        |FROM cv JOIN x$iters ON cv.d = x$iters.d
        |GROUP BY cv.vec_id""".stripMargin
+  }
+
+  /** DuckDB replay of deflated two-component PCA (mirrors
+    * Vectors.pcaProjectK k=2): stage 1 as in `pcaSql`, then the
+    * residual corpus c − (c⋅x)·x, stage 2 on the residual, scores for
+    * BOTH components against the original centered vectors.
+    */
+  private def pcaTopkSql(dims: Int, iters: Int): String = {
+    val steps1 = (1 to iters).map(i => pcaStepSql(i)).mkString(",\n  ")
+    val steps2 = (1 to iters).map(pcaStepSql(_, "b", "cv2"))
+      .mkString(",\n  ")
+    val xf = s"x$iters"
+    val xfb = s"x${iters}b"
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+       |           FROM embeddings),
+       |  ds AS (SELECT unnest(generate_series(0, ${dims - 1})) AS d),
+       |  ex AS MATERIALIZED (SELECT vec_id, d, e[d + 1] AS x FROM v CROSS JOIN ds),
+       |  mu AS (SELECT d,
+       |           (CAST(sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))
+       |              AS DOUBLE) / count(*)) / 1000000.0 AS m
+       |         FROM ex GROUP BY d),
+       |  cv AS MATERIALIZED (SELECT ex.vec_id, ex.d, ex.x - mu.m AS c
+       |         FROM ex JOIN mu ON ex.d = mu.d),
+       |  x0 AS (SELECT d, round(1.0 / sqrt(CAST($dims AS DOUBLE)), 6)
+       |           AS xv FROM ds),
+       |  $steps1,
+       |  dotf AS MATERIALIZED (SELECT cv.vec_id,
+       |             list_reduce(list(cv.c * $xf.xv ORDER BY cv.d),
+       |               (a, b) -> a + b) AS dot
+       |           FROM cv JOIN $xf ON cv.d = $xf.d GROUP BY cv.vec_id),
+       |  cv2 AS MATERIALIZED (SELECT cv.vec_id, cv.d,
+       |            cv.c - dotf.dot * $xf.xv AS c
+       |          FROM cv JOIN $xf ON cv.d = $xf.d
+       |          JOIN dotf ON cv.vec_id = dotf.vec_id),
+       |  x0b AS (SELECT d, round(1.0 / sqrt(CAST($dims AS DOUBLE)), 6)
+       |            AS xv FROM ds),
+       |  $steps2,
+       |  p1 AS (SELECT cv.vec_id,
+       |           round(list_reduce(list(cv.c * $xf.xv ORDER BY cv.d),
+       |             (a, b) -> a + b), 6) + 0.0 AS pc1
+       |         FROM cv JOIN $xf ON cv.d = $xf.d GROUP BY cv.vec_id),
+       |  p2 AS (SELECT cv.vec_id,
+       |           round(list_reduce(list(cv.c * $xfb.xv ORDER BY cv.d),
+       |             (a, b) -> a + b), 6) + 0.0 AS pc2
+       |         FROM cv JOIN $xfb ON cv.d = $xfb.d GROUP BY cv.vec_id)
+       |SELECT p1.vec_id, p1.pc1, p2.pc2
+       |FROM p1 JOIN p2 ON p1.vec_id = p2.vec_id""".stripMargin
   }
 
   /** DuckDB replay of refined PQ (mirrors Vectors.pqTopKRefined):
@@ -2045,6 +2105,7 @@ private[graft] object QueriesLlm {
     "q_pq_refined" -> pqRefinedSql(m = 4, ksub = 8, dims = 64, nq = 5,
       k = 5, shortlist = 15),
     "q_pca_project" -> pcaSql(dims = 64, iters = 3),
+    "q_pca_topk" -> pcaTopkSql(dims = 64, iters = 3),
     "q_ivf_pq" -> ivfPqSql(m = 4, ksub = 8, dims = 64, nq = 5, k = 5,
       ncen = 16, nprobe = 2),
     "q_ivf_pq_indexed" -> ivfPqSql(m = 4, ksub = 8, dims = 64, nq = 5,

@@ -760,11 +760,61 @@ object Vectors {
     */
   def pcaProject(vectors: DataFrame, dims: Int, iters: Int,
                  idCol: String = "vec_id",
-                 vecCol: String = "embedding"): DataFrame = {
+                 vecCol: String = "embedding"): DataFrame =
+    pcaProjectK(vectors, dims, iters, k = 1, idCol, vecCol)
+
+  private def pcaRound6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** `iters` power-iteration steps over a centered `(vec_id, c)`
+    * corpus; returns the rounded unit direction (driver-side, `dims`
+    * doubles). Quantized per-dimension sums — see [[pcaProject]].
+    */
+  private def powerDirection(c: DataFrame, dims: Int,
+                             iters: Int): Array[Double] = {
+    var x = Array.fill(dims)(pcaRound6(1.0 / math.sqrt(dims.toDouble)))
+    for (_ <- 0 until iters) {
+      val xLit = array(x.map(lit).toSeq: _*)
+      val dot = aggregate(zip_with(col("c"), xLit, _ * _),
+        lit(0.0), _ + _)
+      val yRows = c
+        .select(col("c"), dot.as("dot"))
+        .select(posexplode(col("c")).as(Seq("d", "cd")), col("dot"))
+        .select(col("d"),
+          floor(col("cd") * col("dot") * 1000000.0 + 0.5)
+            .cast("long").as("q"))
+        .groupBy("d").agg(sum("q").as("sm"))
+        .collect()
+      val y = Array.ofDim[Double](dims)
+      yRows.foreach(r => y(r.getInt(0)) =
+        r.getLong(1).toDouble / 1000000.0)
+      // in-d-order fold, exactly the oracle's list_reduce
+      val norm = math.sqrt(y.foldLeft(0.0)((acc, t) => acc + t * t))
+      require(norm > 0.0,
+        "pcaProject: zero-variance corpus (or start vector " +
+          "orthogonal to all data) - no principal direction")
+      x = y.map(t => pcaRound6(t / norm))
+    }
+    x
+  }
+
+  /** Top-`k` principal-component projections via power iteration with
+    * DEFLATION: after each direction converges, its contribution is
+    * subtracted in-plan from every centered vector (c ← c − (c⋅x)·x)
+    * and the next direction is iterated on the residual — the
+    * classic deflated power method, each stage one more set of fused
+    * corpus passes. Scores are taken against the ORIGINAL centered
+    * vectors for every component. Same determinism contract as
+    * [[pcaProject]] (quantized sums, HALF_UP rounding, ±0.0
+    * normalization) — the oracle replays all k stages. Returns
+    * `(vec_id, pc1 … pck)`.
+    */
+  def pcaProjectK(vectors: DataFrame, dims: Int, iters: Int, k: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
     require(dims >= 1, s"dims must be >= 1: $dims")
     require(iters >= 1, s"iters must be >= 1: $iters")
-    def round6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    require(k >= 1 && k <= dims, s"k=$k must sit in [1, dims=$dims]")
     val v = vectors.select(col(idCol).as("vec_id"),
       toDouble(col(vecCol)).as("v"))
     val muRows = v
@@ -780,35 +830,35 @@ object Vectors {
     val c = v.select(col("vec_id"),
       zip_with(col("v"), array(mu.map(lit).toSeq: _*), _ - _).as("c"))
       .persist()
+    val deflated = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
-      var x = Array.fill(dims)(round6(1.0 / math.sqrt(dims.toDouble)))
-      for (_ <- 0 until iters) {
-        val xLit = array(x.map(lit).toSeq: _*)
-        val dot = aggregate(zip_with(col("c"), xLit, _ * _),
-          lit(0.0), _ + _)
-        val yRows = c
-          .select(col("c"), dot.as("dot"))
-          .select(posexplode(col("c")).as(Seq("d", "cd")), col("dot"))
-          .select(col("d"),
-            floor(col("cd") * col("dot") * 1000000.0 + 0.5)
-              .cast("long").as("q"))
-          .groupBy("d").agg(sum("q").as("sm"))
-          .collect()
-        val y = Array.ofDim[Double](dims)
-        yRows.foreach(r => y(r.getInt(0)) =
-          r.getLong(1).toDouble / 1000000.0)
-        // in-d-order fold, exactly the oracle's list_reduce
-        val norm = math.sqrt(y.foldLeft(0.0)((acc, t) => acc + t * t))
-        require(norm > 0.0,
-          "pcaProject: zero-variance corpus (or start vector " +
-            "orthogonal to all data) - no principal direction")
-        x = y.map(t => round6(t / norm))
+      val comps = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      var cur = c
+      for (j <- 1 to k) {
+        val x = powerDirection(cur, dims, iters)
+        comps += x
+        if (j < k) {
+          val xLit = array(x.map(lit).toSeq: _*)
+          val dot = aggregate(zip_with(col("c"), xLit, _ * _),
+            lit(0.0), _ + _)
+          cur = cur
+            .select(col("vec_id"), col("c"), dot.as("dot"))
+            .select(col("vec_id"),
+              zip_with(col("c"), xLit,
+                (cd, xd) => cd - col("dot") * xd).as("c"))
+            .persist()
+          deflated += cur
+        }
       }
-      val xLit = array(x.map(lit).toSeq: _*)
-      c.select(col("vec_id"),
-        (round(aggregate(zip_with(col("c"), xLit, _ * _),
-          lit(0.0), _ + _), 6) + lit(0.0)).as("pc1"))
-    } finally { c.unpersist(); () }
+      val projCols = comps.zipWithIndex.map { case (x, i) =>
+        (round(aggregate(
+          zip_with(col("c"), array(x.map(lit).toSeq: _*), _ * _),
+          lit(0.0), _ + _), 6) + lit(0.0)).as(s"pc${i + 1}")
+      }
+      c.select(col("vec_id") +: projCols.toSeq: _*)
+    } finally {
+      c.unpersist(); deflated.foreach(_.unpersist()); ()
+    }
   }
 
   /** Refined PQ serving — FAISS IndexRefineFlat's shape: ADC produces

@@ -396,6 +396,34 @@ class DedupVectorsSpec extends SparkSpec {
       "1 (exact dup of 0) and 2 (near dup of 0) drop; 0 and 3 survive")
   }
 
+  test("pcaProjectK: deflation recovers a planted second direction") {
+    import spark.implicits._
+    // variance 10 along u=(0.6,0.8,0,0), variance 1 along w=(0,0,1,0)
+    val pts = (for {
+      (t, i) <- Seq(-4.0, -2.0, 2.0, 4.0).zipWithIndex
+      (sgn, j) <- Seq(-1.0, 1.0).zipWithIndex
+    } yield ((i * 2 + j).toLong, Array(
+      (t * 0.6).toFloat, (t * 0.8).toFloat, sgn.toFloat, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Vectors.pcaProjectK(pts, dims = 4, iters = 10, k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    for {
+      (t, i) <- Seq(-4.0, -2.0, 2.0, 4.0).zipWithIndex
+      (sgn, j) <- Seq(-1.0, 1.0).zipWithIndex
+    } {
+      val (pc1, pc2) = got((i * 2 + j).toLong)
+      assert(math.abs(math.abs(pc1) - math.abs(t)) < 1e-3,
+        s"pc1 of t=$t came out $pc1")
+      assert(math.abs(math.abs(pc2) - 1.0) < 1e-3,
+        s"pc2 of s=$sgn came out $pc2")
+    }
+    // k out of range refuses
+    val e = intercept[IllegalArgumentException](
+      Vectors.pcaProjectK(pts, dims = 4, iters = 2, k = 5))
+    assert(e.getMessage.contains("k="), e.getMessage)
+  }
+
   test("pcaProject recovers a planted principal direction") {
     import spark.implicits._
     // points t·(0.6, 0.8) + the constant offset (5, 5): after mean-
