@@ -510,6 +510,25 @@ private[graft] object QueriesIo {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** Manifest-level file skipping ([[graft.io.Snapshots.readBetween]]):
+    * cluster the table on doc_id, then range-scan [100, 199] — files
+    * whose committed min/max stats exclude the range are never
+    * OPENED (SnapshotsSpec pins that the kept-file count actually
+    * shrinks); the residual in-plan BETWEEN keeps the result exact.
+    */
+  def snapshotSkip(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "snap_sk")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = t(s, dir, "documents")
+    (0 until 4).foreach(q =>
+      graft.io.Snapshots.commitAppend(
+        docs.filter(col("doc_id") % 4 === q), path))
+    graft.io.Snapshots.compact(s, path, targetFileBytes = 64L << 10,
+      sortBy = Seq("doc_id"))
+    graft.io.Snapshots.readBetween(s, path, "doc_id", 100, 199)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** Streaming upsert into the snapshot store
     * ([[Streams.snapshotUpsertStream]]): the base table is committed,
     * then a CDC-style stream delivers one UPDATE file (doc_id % 10
@@ -622,6 +641,7 @@ private[graft] object QueriesIo {
     "q_snapshot_compact" -> (snapshotCompact _),
     "q_snapshot_evolve" -> (snapshotEvolve _),
     "q_snapshot_cluster" -> (snapshotCluster _),
+    "q_snapshot_skip" -> (snapshotSkip _),
     "q_stream_upsert" -> (streamUpsert _),
     "q_stream_cdc" -> (streamCdc _),
     "q_stream_snapshot" -> (streamSnapshot _),
@@ -688,6 +708,9 @@ private[graft] object QueriesIo {
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q_snapshot_cluster" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "q_snapshot_skip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         WHERE doc_id BETWEEN 100 AND 199""",
     "q_snapshot_evolve" ->
       """SELECT doc_id, text, lang, source,
                 CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars

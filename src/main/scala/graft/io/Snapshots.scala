@@ -96,8 +96,36 @@ object Snapshots {
     finally in.close()
   }
 
+  /** A manifest FILE ENTRY is `relpath` optionally followed by a TAB
+    * and the file's column statistics
+    * (`col:T:min:max;...`, T ∈ {L,D}) — collected from the parquet
+    * footer once at commit time and carried VERBATIM whenever the
+    * file itself is carried, so stats are written once per file ever.
+    */
+  private def relOf(entry: String): String = entry.takeWhile(_ != '\t')
+
+  /** Parsed numeric column ranges of a manifest entry: name →
+    * (min, max) as doubles (longs widened — exact below 2^53, the
+    * documented pruning domain). Absent column ⇒ no stats ⇒ the file
+    * can never be pruned on it.
+    */
+  private[graft] def statsOf(entry: String): Map[String, (Double, Double)] = {
+    val i = entry.indexOf('\t')
+    if (i < 0) Map.empty
+    else entry.substring(i + 1).split(';').iterator.filter(_.nonEmpty)
+      .flatMap { part =>
+        part.split(':') match {
+          case Array(name, "L", mn, mx) =>
+            Some(name -> (mn.toLong.toDouble, mx.toLong.toDouble))
+          case Array(name, "D", mn, mx) =>
+            Some(name -> (mn.toDouble, mx.toDouble))
+          case _ => None
+        }
+      }.toMap
+  }
+
   /** Manifest contents: the snapshot's schema (line 2, Spark DataType
-    * JSON) and its file list.
+    * JSON) and its file ENTRIES (rel path + optional stats).
     */
   private def manifest(f: FileSystem, base: String,
                        v: Long): (StructType, Seq[String]) = {
@@ -152,13 +180,81 @@ object Snapshots {
     }
   }
 
+  /** Per-file numeric column stats from the parquet FOOTER, as the
+    * manifest entry suffix: top-level INT64/DOUBLE columns whose
+    * every row group carries valid statistics (a single stats-less
+    * row group drops the column — conservative: a file without stats
+    * is simply never pruned). Column names containing the entry
+    * separators are skipped. One footer read per file, at commit
+    * time only.
+    */
+  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
+                          p: Path): String = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import scala.jdk.CollectionConverters._
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      if (blocks.isEmpty) return ""
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[String, (Char, Double, Double)]
+      val dead = scala.collection.mutable.Set.empty[String]
+      blocks.foreach(_.getColumns.asScala.foreach { c =>
+        val name = c.getPath.toDotString
+        val tpe = c.getPrimitiveType.getPrimitiveTypeName
+        val tag = tpe match {
+          case PrimitiveTypeName.INT64 => 'L'
+          case PrimitiveTypeName.DOUBLE => 'D'
+          case _ => ' '
+        }
+        val logical = c.getPrimitiveType.getLogicalTypeAnnotation
+        val plainNumeric = logical == null ||
+          logical.isInstanceOf[org.apache.parquet.schema
+            .LogicalTypeAnnotation.IntLogicalTypeAnnotation]
+        if (tag != ' ' && plainNumeric && !name.contains(':') &&
+            !name.contains(';') && !name.contains('\t') &&
+            !name.contains('.')) {
+          val st = c.getStatistics
+          if (st == null || !st.hasNonNullValue) dead += name
+          else {
+            val (mn, mx) = tag match {
+              case 'L' => (st.genericGetMin.asInstanceOf[java.lang.Long]
+                .toDouble, st.genericGetMax.asInstanceOf[java.lang.Long]
+                .toDouble)
+              case _ => (st.genericGetMin.asInstanceOf[java.lang.Double]
+                .toDouble, st.genericGetMax.asInstanceOf[java.lang.Double]
+                .toDouble)
+            }
+            acc.get(name) match {
+              case Some((t, lo, hi)) =>
+                acc(name) = (t, math.min(lo, mn), math.max(hi, mx))
+              case None => acc(name) = (tag, mn, mx)
+            }
+          }
+        } else dead += name
+      })
+      (acc -- dead).map { case (n, (t, mn, mx)) =>
+        val (a, b) =
+          if (t == 'L') (mn.toLong.toString, mx.toLong.toString)
+          else (mn.toString, mx.toString)
+        s"$n:$t:$a:$b"
+      }.mkString(";")
+    } finally reader.close()
+  }
+
   private def writeCommit(spark: SparkSession, df: DataFrame,
                           path: String, carried: Seq[String],
                           schema: StructType): Long = {
     val f = fs(spark, path)
     val commitDir = s"data/c-${java.util.UUID.randomUUID()}"
     df.write.parquet(s"$path/$commitDir")
-    val fresh = listCommitFiles(f, path, commitDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fresh = listCommitFiles(f, path, commitDir).map { rel =>
+      val stats = footerStats(conf, new Path(s"$path/$rel"))
+      if (stats.isEmpty) rel else s"$rel\t$stats"
+    }
     // an empty DataFrame still writes one schema-bearing part file,
     // so even zero-row snapshots are readable; this guard only fires
     // for writers that emit NO files (a no-file manifest has no
@@ -245,7 +341,76 @@ object Snapshots {
       throw new IllegalArgumentException(
         s"snapshot: no committed version under $path"))
     val (schema, rels) = manifest(f, path, v)
-    spark.read.schema(schema).parquet(rels.map(rel => s"$path/$rel"): _*)
+    spark.read.schema(schema)
+      .parquet(rels.map(e => s"$path/${relOf(e)}"): _*)
+  }
+
+  /** The manifest entries a `[lo, hi]` range scan on `column` must
+    * read, against the total entry count — the file-skipping decision
+    * exposed for specs and planning. An entry without stats for the
+    * column is always kept (prune only on proof).
+    */
+  private[graft] def prunedEntries(spark: SparkSession, path: String,
+                                   column: String, lo: Double, hi: Double,
+                                   version: Option[Long] = None):
+      (Seq[String], Int) = {
+    val f = fs(spark, path)
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot: no committed version under $path"))
+    val (_, entries) = manifest(f, path, v)
+    val kept = entries.filter(e => statsOf(e).get(column) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi // ranges overlap
+      case None => true
+    })
+    (kept, entries.size)
+  }
+
+  /** Range scan with MANIFEST-LEVEL file skipping: files whose
+    * committed min/max stats prove no row can satisfy
+    * `column BETWEEN lo AND hi` are never opened — not even their
+    * footers. Parquet row-group pruning needs a footer read per file;
+    * at 100 TB with millions of files the open/footer pass IS the
+    * scan bottleneck for selective queries, and manifest stats cut it
+    * to the overlapping sliver (after a [[compact]] with `sortBy` on
+    * the column, that sliver is ~1 file). Stats cover top-level
+    * BIGINT/DOUBLE columns (widened-to-double compare — exact below
+    * 2^53); files without stats for the column are read, never
+    * wrongly skipped, and the residual in-plan BETWEEN keeps the
+    * result exact regardless of how coarse the pruning was.
+    */
+  def readBetween(spark: SparkSession, path: String, column: String,
+                  lo: Double, hi: Double,
+                  version: Option[Long] = None): DataFrame = {
+    val f = fs(spark, path)
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot: no committed version under $path"))
+    val (schema, _) = manifest(f, path, v)
+    require(schema.fieldNames.contains(column),
+      s"snapshot: readBetween column $column is not in the table " +
+        s"schema (${schema.fieldNames.mkString(", ")})")
+    val (kept, _) = prunedEntries(spark, path, column, lo, hi, Some(v))
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(kept.map(e => s"$path/${relOf(e)}"): _*)
+    // integral column + whole-number bounds → long literals, so the
+    // residual predicate reaches the parquet scan as a pushed filter
+    // instead of hiding behind a cast-to-double
+    val integral = schema(column).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    val (l, h) =
+      if (integral && lo.isWhole && hi.isWhole)
+        (lit(lo.toLong), lit(hi.toLong))
+      else (lit(lo), lit(hi))
+    base.filter(col(column) >= l && col(column) <= h)
   }
 
   /** The rows ADDED between two committed versions: the files in
@@ -276,7 +441,7 @@ object Snapshots {
     if (fresh.isEmpty)
       read(spark, path, Some(toVersion)).limit(0)
     else spark.read.schema(toSchema)
-      .parquet(fresh.map(rel => s"$path/$rel"): _*)
+      .parquet(fresh.map(e => s"$path/${relOf(e)}"): _*)
   }
 
   /** The store-relative manifest entry for a scanned file's
@@ -330,7 +495,7 @@ object Snapshots {
     require(keyCols.nonEmpty, "snapshot: merge needs at least one key column")
     val (_, schema, all) = currentFiles(spark, path, "merge into")
     val table = spark.read.schema(schema)
-      .parquet(all.map(rel => s"$path/$rel"): _*)
+      .parquet(all.map(e => s"$path/${relOf(e)}"): _*)
     require(table.columns.sorted.sameElements(updates.columns.sorted),
       s"snapshot: merge updates columns ${updates.columns.sorted.mkString(",")} " +
         s"differ from the table's ${table.columns.sorted.mkString(",")}")
@@ -352,13 +517,14 @@ object Snapshots {
           "non-deterministic; deduplicate (e.g. keep-latest) before merging")
       val affected = affectedFilesPlan(table, upd0, keyCols)
         .collect().map(r => relativize(r.getString(0))).toSet
-      val carried = all.filterNot(affected)
+      val carried = all.filterNot(e => affected(relOf(e)))
       val cols = table.columns.toSeq.map(col)
       val upd = upd0.select(cols: _*)
       val fresh =
         if (affected.isEmpty) upd // pure insert: nothing to rewrite
         else spark.read.schema(schema)
-          .parquet(all.filter(affected).map(rel => s"$path/$rel"): _*)
+          .parquet(all.collect { case e if affected(relOf(e)) =>
+            s"$path/${relOf(e)}" }: _*)
           .join(upd.select(keyExprs: _*), keyCols, "left_anti")
           .select(cols: _*)
           .unionByName(upd)
@@ -420,7 +586,7 @@ object Snapshots {
         "missing from the keys table")
     val (v, schema, all) = currentFiles(spark, path, "delete keys from")
     val table = spark.read.schema(schema)
-      .parquet(all.map(rel => s"$path/$rel"): _*)
+      .parquet(all.map(e => s"$path/${relOf(e)}"): _*)
     requireSameTypes(StructType(schema.filter(f => keyCols.contains(f.name))),
       StructType(keys.schema.filter(f => keyCols.contains(f.name))),
       "deleteKeys key")
@@ -430,9 +596,10 @@ object Snapshots {
         .collect().map(r => relativize(r.getString(0))).toSet
       if (affected.isEmpty) v
       else {
-        val carried = all.filterNot(affected)
+        val carried = all.filterNot(e => affected(relOf(e)))
         val survivors = spark.read.schema(schema)
-          .parquet(all.filter(affected).map(rel => s"$path/$rel"): _*)
+          .parquet(all.collect { case e if affected(relOf(e)) =>
+            s"$path/${relOf(e)}" }: _*)
           .join(k, keyCols, "left_anti")
         writeCommit(spark, survivors, path, carried, schema)
       }
@@ -452,14 +619,15 @@ object Snapshots {
                   predicate: Column): Long = {
     val (v, schema, all) = currentFiles(spark, path, "delete from")
     val table = spark.read.schema(schema)
-      .parquet(all.map(rel => s"$path/$rel"): _*)
+      .parquet(all.map(e => s"$path/${relOf(e)}"): _*)
     val affected = table.filter(predicate)
       .select(col("_metadata.file_path")).distinct()
       .collect().map(r => relativize(r.getString(0))).toSet
     if (affected.isEmpty) return v
-    val carried = all.filterNot(affected)
+    val carried = all.filterNot(e => affected(relOf(e)))
     val survivors = spark.read.schema(schema)
-      .parquet(all.filter(affected).map(rel => s"$path/$rel"): _*)
+      .parquet(all.collect { case e if affected(relOf(e)) =>
+        s"$path/${relOf(e)}" }: _*)
       .filter(not(coalesce(predicate, lit(false))))
     writeCommit(spark, survivors, path, carried, schema)
   }
@@ -491,15 +659,15 @@ object Snapshots {
       s"snapshot: compact sort column $c is not in the table schema " +
         s"(${schema.fieldNames.mkString(", ")})"))
     val f = fs(spark, path)
-    val totalBytes = all.map(rel =>
-      f.getFileStatus(new Path(s"$path/$rel")).getLen).sum
+    val totalBytes = all.map(e =>
+      f.getFileStatus(new Path(s"$path/${relOf(e)}")).getLen).sum
     val want = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
     // an unsorted compaction of an already-packed table is a no-op,
     // but a CLUSTERED one is not: the caller asked for a layout, and
     // whether the current files honor it is unknowable from counts
     if (sortBy.isEmpty && all.size <= want) return v
     val table = spark.read.schema(schema)
-      .parquet(all.map(rel => s"$path/$rel"): _*)
+      .parquet(all.map(e => s"$path/${relOf(e)}"): _*)
     val packed =
       if (sortBy.isEmpty) table.repartition(want.toInt)
       else table
@@ -551,7 +719,7 @@ object Snapshots {
   def vacuum(spark: SparkSession, path: String): Int = {
     val f = fs(spark, path)
     val referenced = allManifestVersions(f, path)
-      .flatMap(v => manifestFiles(f, path, v)).toSet
+      .flatMap(v => manifestFiles(f, path, v).map(relOf)).toSet
     val dataDir = new Path(s"$path/data")
     if (!f.exists(dataDir)) return 0
     var removed = 0

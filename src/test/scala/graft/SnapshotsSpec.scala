@@ -533,6 +533,35 @@ class SnapshotsSpec extends SparkSpec {
       e3.toString)
   }
 
+  test("manifest stats skip files a range scan cannot need; no-stats columns never prune") {
+    val path = newStore
+    (0 until 4).foreach(q =>
+      Snapshots.commitAppend(docs.filter(col("doc_id") % 4 === q), path))
+    Snapshots.compact(spark, path, targetFileBytes = 16L << 10,
+      sortBy = Seq("doc_id"))
+    val (kept, total) = Snapshots.prunedEntries(spark, path, "doc_id",
+      10, 30)
+    assert(total > 1, s"want a multi-file table, got $total")
+    assert(kept.size < total,
+      s"clustered range scan must skip files: kept ${kept.size}/$total")
+    // exactness incl. boundary-straddling files
+    val got = Snapshots.readBetween(spark, path, "doc_id", 10, 30)
+    val want = docs.filter(col("doc_id").between(10, 30))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0L)
+    // an empty range reads nothing but keeps the schema
+    val none = Snapshots.readBetween(spark, path, "doc_id", -50, -40)
+    assert(none.count() === 0L)
+    assert(none.columns.toSeq === docs.columns.toSeq)
+    // a STRING column carries no stats — pruning keeps every file
+    val (keptS, totalS) = Snapshots.prunedEntries(spark, path, "lang", 0, 1)
+    assert(keptS.size === totalS)
+    // unknown column refuses
+    val e = intercept[IllegalArgumentException](
+      Snapshots.readBetween(spark, path, "nope", 0, 1))
+    assert(e.getMessage.contains("nope"), e.getMessage)
+  }
+
   test("model-based random walk: 40 mixed ops track an in-memory reference exactly") {
     import spark.implicits._
     val rnd = new scala.util.Random(7) // seeded: failures reproduce
