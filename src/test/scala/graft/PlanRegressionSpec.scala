@@ -278,4 +278,33 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("Exchange"),
       s"the codec seam must not shuffle payloads:\n$p")
   }
+
+  test("refined PQ: exact pass joins by broadcast, never a shuffle join") {
+    val p = plan("q_pq_refined")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus must never shuffle for the exact re-rank:\n$p")
+    assert(p.contains("TopKPerKey"), p)
+  }
+
+  test("snapshot range read: residual predicate pushes into the parquet scan") {
+    val p = plan("q_snapshot_skip")
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), " +
+      "GreaterThanOrEqual(doc_id,100), LessThanOrEqual(doc_id,199)]"),
+      s"range must reach the scan as a pushed filter:\n$p")
+  }
+
+  test("graph supersteps: equi-joins only, no quadratic operator") {
+    Seq("q_pagerank", "q_bfs_hops").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("PCA projection: map-only against broadcast state, zero exchanges") {
+    val p = plan("q_pca_project")
+    assert(!p.contains("Exchange"),
+      s"scores fold per row against literal directions - no shuffle:\n$p")
+  }
 }
