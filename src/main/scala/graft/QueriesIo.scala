@@ -529,6 +529,26 @@ private[graft] object QueriesIo {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** Named snapshot pinning ([[graft.io.Snapshots.tag]]): tag the
+    * even-half corpus `train-v1`, overwrite the table, expire history
+    * down to ONE version — the tag PINS its manifest through the
+    * retention pass, so `readTag` still reproduces the training
+    * corpus exactly. The by-name reproducibility contract a training
+    * pipeline records in its run metadata.
+    */
+  def snapshotTag(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "snap_tag")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = t(s, dir, "documents")
+    graft.io.Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path)
+    graft.io.Snapshots.tag(s, path, "train-v1")
+    graft.io.Snapshots.commit(docs, path)
+    graft.io.Snapshots.expire(s, path, keepLast = 1)
+    graft.io.Snapshots.vacuum(s, path)
+    graft.io.Snapshots.readTag(s, path, "train-v1")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** Streaming upsert into the snapshot store
     * ([[Streams.snapshotUpsertStream]]): the base table is committed,
     * then a CDC-style stream delivers one UPDATE file (doc_id % 10
@@ -642,6 +662,7 @@ private[graft] object QueriesIo {
     "q_snapshot_evolve" -> (snapshotEvolve _),
     "q_snapshot_cluster" -> (snapshotCluster _),
     "q_snapshot_skip" -> (snapshotSkip _),
+    "q_snapshot_tag" -> (snapshotTag _),
     "q_stream_upsert" -> (streamUpsert _),
     "q_stream_cdc" -> (streamCdc _),
     "q_stream_snapshot" -> (streamSnapshot _),
@@ -711,6 +732,9 @@ private[graft] object QueriesIo {
     "q_snapshot_skip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          WHERE doc_id BETWEEN 100 AND 199""",
+    "q_snapshot_tag" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         WHERE doc_id % 2 = 0""",
     "q_snapshot_evolve" ->
       """SELECT doc_id, text, lang, source,
                 CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars

@@ -705,11 +705,69 @@ object Snapshots {
     val f = fs(spark, path)
     val all = allManifestVersions(f, path)
     val latest = latestVersion(spark, path)
+    val pinned = tags(spark, path).values.toSet
     val drop = all.dropRight(keepLast)
       .filterNot(latest.contains) // never the pointer's snapshot
+      .filterNot(pinned) // never a tagged snapshot — tags PIN history
     drop.foreach(v => f.delete(manifestPath(path, v), false))
     drop.size
   }
+
+  private def tagPath(base: String, name: String): Path = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"snapshot: tag name '$name' must be [A-Za-z0-9._-]+")
+    new Path(s"$base/_refs/$name.ref")
+  }
+
+  /** Pin a committed version under a NAME — Iceberg-style tags, the
+    * reproducibility contract by which a training job records "the
+    * corpus I trained on" as `train-2024-06` instead of a bare
+    * number. A tagged snapshot is protected from [[expire]] (and so
+    * from [[vacuum]] — its manifest survives, its files stay
+    * referenced) until the tag is dropped: retention can never
+    * silently eat a pinned corpus. Re-tagging an existing name
+    * refuses (a tag is a permanent record; [[dropTag]] first is the
+    * explicit spelling). Returns the pinned version.
+    */
+  def tag(spark: SparkSession, path: String, name: String,
+          version: Option[Long] = None): Long = {
+    val f = fs(spark, path)
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot: no committed version under $path to tag"))
+    manifest(f, path, v) // existence check, loud on unknown versions
+    val p = tagPath(path, name)
+    require(!f.exists(p),
+      s"snapshot: tag '$name' already exists (drop it first to retag)")
+    writeTextAtomic(f, p, Seq(v.toString))
+    v
+  }
+
+  /** All tags: name → pinned version. */
+  def tags(spark: SparkSession, path: String): Map[String, Long] = {
+    val f = fs(spark, path)
+    val dir = new Path(s"$path/_refs")
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".ref"))
+      .map(s => s.getPath.getName.stripSuffix(".ref") ->
+        readLines(f, s.getPath).head.trim.toLong)
+      .toMap
+  }
+
+  /** Read the snapshot a tag pins — [[read]] by name. */
+  def readTag(spark: SparkSession, path: String, name: String): DataFrame = {
+    val v = tags(spark, path).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"snapshot: no tag '$name' under $path " +
+          s"(have: ${tags(spark, path).keys.toSeq.sorted.mkString(", ")})"))
+    read(spark, path, Some(v))
+  }
+
+  /** Drop a tag (the version becomes expirable again). */
+  def dropTag(spark: SparkSession, path: String, name: String): Boolean =
+    fs(spark, path).delete(tagPath(path, name), false)
 
   /** Delete data files referenced by NO manifest on disk: expired
     * history and crashed-commit leftovers. The irreversible half of

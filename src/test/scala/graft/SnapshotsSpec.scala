@@ -641,6 +641,38 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("tags pin versions through retention; retag refuses; drop releases") {
+    val path = newStore
+    val v1 = Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path)
+    assert(Snapshots.tag(spark, path, "train-v1") === v1)
+    Snapshots.commit(docs, path)
+    Snapshots.commit(docs.filter(col("n_chars") > 500), path)
+    // retention keeps the latest AND the tagged snapshot
+    Snapshots.expire(spark, path, keepLast = 1)
+    Snapshots.vacuum(spark, path)
+    assert(Snapshots.readTag(spark, path, "train-v1").count() ===
+      docs.filter(col("doc_id") % 2 === 0).count())
+    assert(Snapshots.tags(spark, path) === Map("train-v1" -> v1))
+    // a tag is a permanent record: retag refuses, drop is explicit
+    val e = intercept[IllegalArgumentException](
+      Snapshots.tag(spark, path, "train-v1"))
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    assert(Snapshots.dropTag(spark, path, "train-v1"))
+    // released: the next retention pass may reclaim it
+    Snapshots.expire(spark, path, keepLast = 1)
+    Snapshots.vacuum(spark, path)
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.readTag(spark, path, "train-v1"))
+    assert(e2.getMessage.contains("no tag"), e2.getMessage)
+    // unknown version and bad names refuse
+    val e3 = intercept[IllegalArgumentException](
+      Snapshots.tag(spark, path, "x", Some(99L)))
+    assert(e3.getMessage.contains("99"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException](
+      Snapshots.tag(spark, path, "bad/name"))
+    assert(e4.getMessage.contains("tag name"), e4.getMessage)
+  }
+
   test("the store is relocatable (relative manifest paths)") {
     val path = newStore
     Snapshots.commit(docs, path)
