@@ -905,6 +905,9 @@ private[graft] object QueriesLlm {
     "q_dup_spans" -> (dupSpans _),
     "q_cut_spans" -> (cutSpansQ _),
     "q_vocab" -> (vocab _),
+    "q_token_mi" -> ((s: SparkSession, dir: String) =>
+      graft.functions.TextAnalysis.tokenClassMi(
+        t(s, dir, "documents"), k = 50)),
     "q_heavy_hitters" -> (heavyHitters _),
     "q_tfidf" -> (tfidfQ _),
     "q_bigram_lm" -> (bigramLm _),
@@ -1874,6 +1877,39 @@ private[graft] object QueriesLlm {
          FROM (SELECT unnest(string_split(text, ' ')) AS word
                FROM documents)
          GROUP BY word ORDER BY n DESC, word LIMIT 100""",
+    "q_token_mi" ->
+      """WITH base AS (SELECT DISTINCT doc_id, cls, word FROM
+           (SELECT doc_id, lang AS cls,
+                   unnest(string_split(text, ' ')) AS word
+            FROM documents)),
+         nn AS (SELECT count(*) AS n FROM documents),
+         nc AS (SELECT lang AS cls, count(*) AS n_c FROM documents
+                GROUP BY 1),
+         nt AS (SELECT word, count(*) AS n_t FROM base GROUP BY 1),
+         ntc AS (SELECT word, cls, count(*) AS n_tc FROM base
+                 GROUP BY 1, 2),
+         grid AS (SELECT nt.word, nc.cls, nt.n_t, nc.n_c,
+                    coalesce(ntc.n_tc, 0) AS n_tc, nn.n
+                  FROM nt CROSS JOIN nc CROSS JOIN nn
+                  LEFT JOIN ntc ON ntc.word = nt.word
+                    AND ntc.cls = nc.cls),
+         terms AS (SELECT word,
+             CAST(floor((CASE WHEN n_tc = 0 THEN 0.0 ELSE
+               (CAST(n_tc AS DOUBLE) / n) *
+               ln((CAST(n_tc AS DOUBLE) * n) /
+                  (CAST(n_t AS DOUBLE) * n_c)) END)
+               * 1000000000000.0 + 0.5) AS BIGINT)
+             + CAST(floor((CASE WHEN n_c - n_tc = 0 THEN 0.0 ELSE
+               (CAST(n_c - n_tc AS DOUBLE) / n) *
+               ln((CAST(n_c - n_tc AS DOUBLE) * n) /
+                  (CAST(n - n_t AS DOUBLE) * n_c)) END)
+               * 1000000000000.0 + 0.5) AS BIGINT) AS qmi
+           FROM grid)
+         SELECT word,
+           round(CAST(sum(qmi) AS DOUBLE) / 1000000000000.0, 6) + 0.0
+             AS mi
+         FROM terms GROUP BY word
+         ORDER BY mi DESC, word LIMIT 50""",
     "q_heavy_hitters" ->
       """SELECT token, count(*) AS n, TRUE AS in_sketch
          FROM (SELECT unnest(string_split(text, ' ')) AS token

@@ -221,6 +221,56 @@ object TextAnalysis {
           PhonePattern, "<PHONE>"),
         lit(Ipv4Pattern), lit(0))).cast("long"))
 
+  /** Token–class MUTUAL INFORMATION for supervised feature selection
+    * (the classic MI keyword ranking feeding a quality/domain
+    * classifier): for each token, MI between the doc-level presence
+    * indicator and the `labelCol` class over the corpus —
+    * Σ over (present/absent × class) of p·ln(p/(p_t·p_c)), zero
+    * cells contributing 0. Counts come from three hash aggregates
+    * (doc-distinct token presence, per-class sizes, per-(token,class)
+    * presence) joined on a words × classes grid — classes are
+    * bounded, so the grid is ~vocabulary-sized and the only big
+    * shuffle is the presence aggregate (map-side combinable).
+    * Determinism: each additive term is integer-quantized at 1e-12
+    * before the per-token sum (float summation order never appears),
+    * the result rounds to 6 decimals, and the top-k cut breaks ties
+    * on the token text — the DuckDB oracle replays every step.
+    */
+  def tokenClassMi(docs: org.apache.spark.sql.DataFrame, k: Int,
+                   labelCol: String = "lang",
+                   textCol: String = "text"):
+      org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col("doc_id"), col(labelCol).as("cls"),
+      explode(array_distinct(tokens(col(textCol)))).as("word"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val nc = docs.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).as("n_c"))
+    val nt = base.groupBy("word").agg(count(lit(1)).as("n_t"))
+    val ntc = base.groupBy("word", "cls").agg(count(lit(1)).as("n_tc"))
+    val grid = nt.crossJoin(broadcast(nc))
+      .join(ntc, Seq("word", "cls"), "left")
+      .select(col("word"), col("cls"), col("n_t"), col("n_c"),
+        coalesce(col("n_tc"), lit(0L)).as("n_tc"))
+      .crossJoin(broadcast(n))
+    // one MI term: cell count `m`, token marginal `tm`, class marginal
+    // `cm`; x·ln(x) → 0 as the cell empties
+    def term(m: Column, tm: Column, cm: Column): Column =
+      when(m === 0, lit(0.0)).otherwise(
+        (m.cast("double") / col("n")) *
+          log((m.cast("double") * col("n")) / (tm.cast("double") * cm)))
+    def q(t: Column): Column =
+      floor(t * 1000000000000.0 + 0.5).cast("long")
+    grid
+      .select(col("word"),
+        (q(term(col("n_tc"), col("n_t"), col("n_c"))) +
+          q(term(col("n_c") - col("n_tc"), col("n") - col("n_t"),
+            col("n_c")))).as("qmi"))
+      .groupBy("word")
+      .agg((round(sum("qmi").cast("double") / 1000000000000.0, 6) +
+        lit(0.0)).as("mi"))
+      .orderBy(col("mi").desc, col("word")).limit(k)
+  }
+
   /** Corpus vocabulary: the `k` most frequent whitespace tokens, ties
     * broken by token text so the cut is deterministic. Shape: explode →
     * hash-aggregate (map-side partial) → global top-k

@@ -799,4 +799,33 @@ class TextPipelineSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("tokenClassMi: hand-computed MI, symmetry tie, deterministic cut") {
+    import spark.implicits._
+    // cat: only in 'en' docs -> perfect association, MI = ln 2
+    // bird / dog: mirror-symmetric presence patterns -> equal MI,
+    // tie broken alphabetically
+    val docs = Seq(
+      (0L, "en", "cat dog"), (1L, "en", "cat"),
+      (2L, "de", "dog"), (3L, "de", "dog bird"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.tokenClassMi(docs, k = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq === Seq("cat", "bird", "dog"))
+    assert(math.abs(got(0)._2 - math.log(2.0)) < 1e-5, got(0).toString)
+    assert(got(1)._2 === got(2)._2, "symmetric patterns must tie")
+    val expectBird = 0.25 * math.log(2.0) +
+      0.5 * math.log(4.0 / 3.0) + 0.25 * math.log(2.0 / 3.0)
+    assert(math.abs(got(1)._2 - expectBird) < 1e-5, got(1).toString)
+    // a token in EVERY doc carries zero information about the class
+    val withThe = docs.withColumn("text",
+      concat(lit("the "), col("text")))
+    val all = TextAnalysis.tokenClassMi(withThe, k = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(all("the") === 0.0, all.toString)
+    // partition-invariant (quantized sums, no float-order drift)
+    val again = TextAnalysis.tokenClassMi(docs.repartition(7), k = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(again.toSeq === got.toSeq)
+  }
 }
