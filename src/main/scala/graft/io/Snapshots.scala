@@ -227,7 +227,12 @@ object Snapshots {
                 .toDouble, st.genericGetMax.asInstanceOf[java.lang.Double]
                 .toDouble)
             }
-            acc.get(name) match {
+            // a NaN min/max (doubles; some writers emit them) would
+            // compare false against ANY range and wrongly PRUNE the
+            // file — drop the column's stats instead (kept, not
+            // skipped, is the safe direction)
+            if (mn.isNaN || mx.isNaN) dead += name
+            else acc.get(name) match {
               case Some((t, lo, hi)) =>
                 acc(name) = (t, math.min(lo, mn), math.max(hi, mx))
               case None => acc(name) = (tag, mn, mx)

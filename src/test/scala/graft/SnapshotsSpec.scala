@@ -556,6 +556,21 @@ class SnapshotsSpec extends SparkSpec {
     // a STRING column carries no stats — pruning keeps every file
     val (keptS, totalS) = Snapshots.prunedEntries(spark, path, "lang", 0, 1)
     assert(keptS.size === totalS)
+    // a double column containing NaN: stats must be dropped for that
+    // file so it can never be WRONGLY pruned (NaN compares false
+    // against every range)
+    import spark.implicits._
+    val nanPath = newStore
+    Snapshots.commit(Seq((1L, 1.0), (2L, Double.NaN), (3L, 9.0))
+      .toDF("id", "v").coalesce(1), nanPath)
+    val (keptN, totalN) = Snapshots.prunedEntries(spark, nanPath, "v",
+      100, 200)
+    assert(keptN.size === totalN,
+      "NaN-bearing stats must keep the file, not prune it")
+    assert(Snapshots.readBetween(spark, nanPath, "v", 0, 2).count() === 1L)
+    // the id column's stats are unaffected by its neighbor's NaN
+    val (keptI, _) = Snapshots.prunedEntries(spark, nanPath, "id", 100, 200)
+    assert(keptI.isEmpty, "clean long stats still prune")
     // unknown column refuses
     val e = intercept[IllegalArgumentException](
       Snapshots.readBetween(spark, path, "nope", 0, 1))
