@@ -688,6 +688,29 @@ class SnapshotsSpec extends SparkSpec {
     assert(e4.getMessage.contains("tag name"), e4.getMessage)
   }
 
+  test("a replayed merge batch is idempotent (the at-least-once sink contract)") {
+    // foreachBatch sinks are at-least-once: a crash between the store
+    // commit and the checkpoint commit replays the batch. The upsert
+    // sink's scaladoc claims replay safety BY MERGE SEMANTICS — same
+    // keys, same rows, same table — so applying the identical batch
+    // twice must leave the rows exactly as after the first apply
+    // (one more version in history, which is the honest record).
+    val path = newStore
+    Snapshots.commit(docs, path)
+    val updates = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", upper(col("text")))
+      .select(docs.columns.map(col).toSeq: _*)
+    val v1 = Snapshots.merge(spark, path, updates, Seq("doc_id"))
+    val first = Snapshots.read(spark, path).collect().toSet
+    val v2 = Snapshots.merge(spark, path, updates, Seq("doc_id"))
+    assert(v2 === v1 + 1)
+    assert(Snapshots.read(spark, path).collect().toSet === first)
+    // deleteKeys replay: second apply is the documented no-op
+    val doomed = docs.filter(col("doc_id") % 10 === 7).select("doc_id")
+    val v3 = Snapshots.deleteKeys(spark, path, doomed, Seq("doc_id"))
+    assert(Snapshots.deleteKeys(spark, path, doomed, Seq("doc_id")) === v3)
+  }
+
   test("the store is relocatable (relative manifest paths)") {
     val path = newStore
     Snapshots.commit(docs, path)
