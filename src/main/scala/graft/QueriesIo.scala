@@ -139,6 +139,21 @@ private[graft] object QueriesIo {
       // the failure is bit-for-bit deterministic, not a race)
       .filter(col("user_id") >= 0)
 
+  /** Watermarked stream-stream FULL OUTER join
+    * ([[Streams.purchaseClickFullJoin]]): unmatched purchases AND
+    * unmatched clicks both emit NULL-extended rows after the sentinel
+    * flush; sentinel exclusion again on the BATCH result (see
+    * [[streamLeftJoin]] — a streaming-side predicate would push
+    * through the join and delete the sentinels pre-watermark).
+    */
+  def streamFullJoin(s: SparkSession, dir: String): DataFrame =
+    Streams.runToTable(
+      Streams.purchaseClickFullJoin(
+        Streams.eventsWithFlushSentinelStream(s, dir),
+        Streams.eventsWithFlushSentinelStream(s, dir)),
+      tableName(dir, "strm_fjoin"), OutputMode.Append())
+      .filter(col("user_id") >= 0)
+
   /** Z-order clustered layout: events written sorted by the
     * bit-interleaved (user_id, time) key, read back with the z key
     * gated against an independent recomputation.
@@ -685,6 +700,7 @@ private[graft] object QueriesIo {
     "q_salted_join" -> (saltedJoin _),
     "q_stream_join" -> (streamStreamJoin _),
     "q_stream_left_join" -> (streamLeftJoin _),
+    "q_stream_full_join" -> (streamFullJoin _),
     "q_zorder_layout" -> (zorderLayout _),
     "q_stream_enrich" -> (streamEnrich _),
     "q_incremental_agg" -> (incrementalAgg _),
@@ -892,6 +908,17 @@ private[graft] object QueriesIo {
            ON a.user_id = b.user_id AND b.event_type = 'click'
              AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts
          WHERE a.event_type = 'purchase'""",
+    "q_stream_full_join" ->
+      """WITH buys AS (SELECT event_id AS buy_id, user_id AS buy_user,
+                  ts AS buy_ts FROM events WHERE event_type = 'purchase'),
+         cls AS (SELECT event_id AS click_id, user_id AS click_user,
+                  ts AS click_ts FROM events WHERE event_type = 'click')
+         SELECT buy_id, click_id,
+                coalesce(buy_user, click_user) AS user_id
+         FROM buys FULL JOIN cls
+           ON buy_user = click_user
+             AND click_ts >= buy_ts - INTERVAL 1 HOUR
+             AND click_ts <= buy_ts""",
     "q_stream_enrich" ->
       """SELECT c_mktsegment, event_type, count(*) AS n,
            CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT)

@@ -360,6 +360,31 @@ object Streams {
       .select(col("buy_id"), col("click_id"), col("user_id"))
   }
 
+  /** Watermarked stream-stream FULL OUTER join: both unmatched
+    * purchases AND unmatched clicks emit NULL-extended rows once the
+    * watermark proves no partner can arrive — `user_id` coalesces
+    * across sides so every row carries its key. Same sentinel-flush
+    * requirement as [[purchaseClickLeftJoin]], on both sides.
+    */
+  def purchaseClickFullJoin(purchases: DataFrame,
+                            clicks: DataFrame): DataFrame = {
+    val buys = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"),
+        col("user_id").as("buy_user"), col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", "1 hour")
+    val cls = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    buys.join(cls,
+      col("buy_user") === col("click_user") &&
+        col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("buy_ts"),
+      "full_outer")
+      .select(col("buy_id"), col("click_id"),
+        coalesce(col("buy_user"), col("click_user")).as("user_id"))
+  }
+
   /** Stream-static enrichment join: the unbounded event stream joined
     * to a bounded dimension table, then aggregated per (segment,
     * event_type). The static side is broadcast to every micro-batch —

@@ -51,6 +51,37 @@ class StreamsSinksSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("stream-stream FULL OUTER join == batch full join (both outer sides flushed)") {
+    val streamed = Streams.runToTable(
+      Streams.purchaseClickFullJoin(
+        Streams.eventsWithFlushSentinelStream(spark, sfDir),
+        Streams.eventsWithFlushSentinelStream(spark, sfDir)),
+      "spec_fjoin", OutputMode.Append())
+      .filter(col("user_id") >= 0)
+    val ev = batchEvents
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"),
+        col("user_id").as("buy_user"), col("ts").as("buy_ts"))
+    val cls = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+    val batch = buys.join(cls,
+      col("buy_user") === col("click_user") &&
+        col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("buy_ts"),
+      "full_outer")
+      .select(col("buy_id"), col("click_id"),
+        coalesce(col("buy_user"), col("click_user")).as("user_id"))
+    // BOTH outer sides must be complete — each side's watermark can
+    // withhold the other side's tail
+    assert(streamed.filter(col("click_id").isNull).count() ===
+      batch.filter(col("click_id").isNull).count())
+    assert(streamed.filter(col("buy_id").isNull).count() ===
+      batch.filter(col("buy_id").isNull).count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("mapGroupsWithState custom state == batch groupBy") {
     val streamed = Streams.runToTable(
       Streams.userStatsCustomState(Streams.eventsStream(spark, sfDir)),
