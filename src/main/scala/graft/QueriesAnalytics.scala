@@ -464,7 +464,36 @@ private[graft] object QueriesAnalytics {
       iters = 4)
   }
 
+  /** Weighted shortest paths ([[graft.graph.Graph.shortestPaths]], 4
+    * Bellman–Ford supersteps) on the part→supplier graph, edge weight
+    * `l_orderkey % 100 + 1` (cheapest parallel edge wins). All-long
+    * INF-sentinel arithmetic — the oracle's unrolled CTEs replay the
+    * identical min/least algebra, so hashes match bit-exactly.
+    */
+  def weightedPathsQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "lineitem").select(
+      col("l_partkey").as("src"), col("l_suppkey").as("dst"),
+      (col("l_orderkey") % 100 + 1).cast("long").as("w"))
+    graft.graph.Graph.shortestPaths(edges,
+      edges.select(col("src").as("id")).filter(col("id") < 25),
+      iters = 4)
+  }
+
+  /** Connected components
+    * ([[graft.graph.Graph.connectedComponents]] — pointer-jumping
+    * min-label propagation run to its fixpoint) on the undirected
+    * part–supplier graph. The oracle computes the same fixpoint a
+    * different way (transitive-closure recursion, min reachable id),
+    * so the gate checks CONVERGED labels, not a step count.
+    */
+  def connectedComponentsQ(s: SparkSession, dir: String): DataFrame =
+    graft.graph.Graph.connectedComponents(
+      t(s, dir, "lineitem").select(col("l_partkey").as("src"),
+        col("l_suppkey").as("dst")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weighted_paths" -> (weightedPathsQ _),
+    "q_connected_components" -> (connectedComponentsQ _),
     "q_pagerank" -> (pageRankQ _),
     "q_triangles" -> (trianglesQ _),
     "q_bfs_hops" -> (bfsHopsQ _),
@@ -573,7 +602,57 @@ private[graft] object QueriesAnalytics {
        |FROM d4""".stripMargin
   }
 
+  /** One weighted superstep as DuckDB CTEs (1e15 INF-sentinel longs,
+    * mirroring Graph.shortestPaths).
+    */
+  private def wspStepSql(i: Int): String = {
+    val prev = s"d${i - 1}"
+    s"""c$i AS (SELECT e.dst AS id, min($prev.h + e.w) AS ch
+       |        FROM e JOIN $prev ON e.src = $prev.id
+       |        WHERE $prev.h < 1000000000000000 GROUP BY 1),
+       |  d$i AS (SELECT $prev.id,
+       |           least($prev.h, coalesce(c$i.ch, 1000000000000000)) AS h
+       |         FROM $prev LEFT JOIN c$i ON $prev.id = c$i.id)""".stripMargin
+  }
+
+  private val weightedPathsSql: String = {
+    val steps = (1 to 4).map(wspStepSql).mkString(",\n  ")
+    s"""WITH e AS (SELECT src, dst, min(w) AS w FROM
+       |            (SELECT l_partkey AS src, l_suppkey AS dst,
+       |                    l_orderkey % 100 + 1 AS w FROM lineitem)
+       |           GROUP BY 1, 2),
+       |  nodes AS (SELECT DISTINCT id FROM
+       |             (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |  d0 AS (SELECT id,
+       |           CASE WHEN id IN (SELECT src FROM e WHERE src < 25)
+       |                THEN 0 ELSE 1000000000000000 END AS h
+       |         FROM nodes),
+       |  $steps
+       |SELECT id, CASE WHEN h >= 1000000000000000 THEN NULL
+       |                ELSE CAST(h AS BIGINT) END AS dist
+       |FROM d4""".stripMargin
+  }
+
+  /** The connected-components fixpoint by a different construction:
+    * transitive-closure recursion, each node labeled by the minimum
+    * id that reaches it over the symmetrized edges.
+    */
+  private val connectedComponentsSql: String =
+    """WITH RECURSIVE
+         und AS (SELECT l_partkey AS a, l_suppkey AS b FROM lineitem),
+         e AS (SELECT DISTINCT a AS src, b AS dst FROM und
+               UNION SELECT DISTINCT b AS src, a AS dst FROM und),
+         nodes AS (SELECT DISTINCT src AS id FROM e),
+         r AS (
+           SELECT id, id AS lbl FROM nodes
+           UNION
+           SELECT e.dst AS id, r.lbl FROM e JOIN r ON e.src = r.id)
+       SELECT id, CAST(min(lbl) AS BIGINT) AS component
+       FROM r GROUP BY id"""
+
   val oracles: Map[String, String] = Map(
+    "q_weighted_paths" -> weightedPathsSql,
+    "q_connected_components" -> connectedComponentsSql,
     "q_pagerank" -> pageRankSql,
     "q_triangles" -> trianglesSql,
     "q_bfs_hops" -> bfsHopsSql,

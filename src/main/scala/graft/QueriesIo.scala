@@ -136,8 +136,11 @@ private[graft] object QueriesIo {
       // both sides and deletes the sentinels BEFORE the watermark
       // nodes — the watermark stalls at the real data's edge and the
       // last purchases' outer rows are silently withheld (found live;
-      // the failure is bit-for-bit deterministic, not a race)
-      .filter(col("user_id") >= 0)
+      // the failure is bit-for-bit deterministic, not a race).
+      // NULL-preserving spelling: only the NEGATIVE sentinel ids are
+      // excluded; a NULL-keyed outer row (were the fixture ever to
+      // carry one) survives, matching the batch oracle
+      .filter(!(col("user_id") < 0))
 
   /** Watermarked stream-stream FULL OUTER join
     * ([[Streams.purchaseClickFullJoin]]): unmatched purchases AND
@@ -152,7 +155,8 @@ private[graft] object QueriesIo {
         Streams.eventsWithFlushSentinelStream(s, dir),
         Streams.eventsWithFlushSentinelStream(s, dir)),
       tableName(dir, "strm_fjoin"), OutputMode.Append())
-      .filter(col("user_id") >= 0)
+      // NULL-preserving sentinel exclusion — see [[streamLeftJoin]]
+      .filter(!(col("user_id") < 0))
 
   /** Z-order clustered layout: events written sorted by the
     * bit-interleaved (user_id, time) key, read back with the z key
@@ -468,6 +472,53 @@ private[graft] object QueriesIo {
     graft.io.Snapshots.read(s, path).select(cols.map(col): _*)
   }
 
+  /** Conditional partial-column MERGE
+    * ([[graft.io.Snapshots.mergeUpdate]]): updates carry ONLY
+    * (doc_id, text) — matched rows take the new text WHEN the target
+    * row's n_chars >= 300 and keep lang/source/n_chars untouched
+    * (the column-sparse CDC shape); unmatched negative-keyed rows
+    * INSERT with NULL-filled unset columns. Oracle: join + CASE per
+    * set column, the SQL MERGE expansion.
+    */
+  def snapshotMergeCols(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "snap_mc")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = t(s, dir, "documents")
+    graft.io.Snapshots.commit(docs, path)
+    val updates = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), upper(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 5)
+        .select((-col("doc_id") - 1).as("doc_id"), col("text")))
+    graft.io.Snapshots.mergeUpdate(s, path, updates, Seq("doc_id"),
+      Seq("text"), condition = Some(col("n_chars") >= 300),
+      insertUnmatched = true)
+    graft.io.Snapshots.read(s, path)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** Partition columns in the snapshot manifest
+    * ([[graft.io.Snapshots.commit]] with `partitionBy` +
+    * [[graft.io.SnapshotFileIndex]]): events land Hive-style under
+    * `ym=<yyyymm>/`, and a one-month range read prunes to that
+    * month's files from the manifest alone — the month-directory
+    * pruning layout (reference `conte-etl-step-2-manager.py:817-821`)
+    * as a first-class table-format concept. SnapshotsSpec pins that
+    * the kept-file list really is partition-only; the oracle checks
+    * exactness.
+    */
+  def snapshotPartition(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "snap_pt")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      col("value"),
+      (year(col("ts")) * 100 + month(col("ts"))).cast("long").as("ym"))
+    graft.io.Snapshots.commit(ev, path, partitionBy = Seq("ym"))
+    val first = ev.agg(min("ym")).collect()(0).getLong(0)
+    graft.io.Snapshots.readBetween(s, path, "ym",
+      first.toDouble, first.toDouble)
+      .select("event_id", "user_id", "value", "ym")
+  }
+
   /** Copy-on-write DELETE from the snapshot store
     * ([[graft.io.Snapshots.deleteWhere]]): commit the full documents
     * table, delete every n_chars < 300 row; only files containing a
@@ -672,6 +723,8 @@ private[graft] object QueriesIo {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_snapshot_changes" -> (snapshotChanges _),
     "q_snapshot_merge" -> (snapshotMerge _),
+    "q_snapshot_merge_cols" -> (snapshotMergeCols _),
+    "q_snapshot_partition" -> (snapshotPartition _),
     "q_snapshot_delete" -> (snapshotDelete _),
     "q_snapshot_compact" -> (snapshotCompact _),
     "q_snapshot_evolve" -> (snapshotEvolve _),
@@ -738,6 +791,25 @@ private[graft] object QueriesIo {
          WHERE d.doc_id NOT IN (SELECT doc_id FROM upd)
          UNION ALL
          SELECT doc_id, text, lang, source, n_chars FROM upd""",
+    "q_snapshot_merge_cols" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0 AND n_chars >= 300
+                THEN upper(text) ELSE text END AS text,
+           lang, source, n_chars
+         FROM documents
+         UNION ALL
+         SELECT -doc_id - 1 AS doc_id, text,
+                CAST(NULL AS VARCHAR) AS lang,
+                CAST(NULL AS VARCHAR) AS source,
+                CAST(NULL AS BIGINT) AS n_chars
+         FROM documents WHERE doc_id % 10 = 5""",
+    "q_snapshot_partition" ->
+      """WITH e AS (
+           SELECT event_id, user_id, value,
+                  CAST(year(ts) * 100 + month(ts) AS BIGINT) AS ym
+           FROM events)
+         SELECT event_id, user_id, value, ym FROM e
+         WHERE ym = (SELECT min(ym) FROM e)""",
     "q_snapshot_delete" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          WHERE NOT coalesce(n_chars < 300, FALSE)""",

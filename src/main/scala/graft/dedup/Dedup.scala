@@ -348,7 +348,9 @@ object Dedup {
     * graphs; the fixpoint check makes the common case cheap.
     */
   def clusters(docs: DataFrame, pairs: DataFrame,
-               idCol: String = "doc_id", maxIter: Int = 20): DataFrame = {
+               idCol: String = "doc_id", maxIter: Int = 20,
+               reliable: Boolean = false): DataFrame = {
+    import graft.graph.Graph.cut
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(
         pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -357,10 +359,12 @@ object Dedup {
     // endpoints are a sliver of the corpus, so every round's join and
     // aggregate run on the sliver, not the full document set;
     // singletons join back labeled with their own id at the end.
-    // localCheckpoint (not cache) each round: iterative self-reference
-    // otherwise grows the logical plan exponentially with the round count
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id")).localCheckpoint()
+    // Lineage is cut (not cached) each cadence point: iterative
+    // self-reference otherwise grows the logical plan exponentially
+    // with the round count; `reliable` picks durable checkpoints over
+    // executor-lifetime blocks (see [[graft.graph.Graph.cut]])
+    var labels = cut(edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")), reliable)
     // checkpoint CADENCE, not every round: a localCheckpoint is an
     // extra materialization job + block write per round, and the
     // common tiny-clique graph converges before the first cadence
@@ -406,7 +410,7 @@ object Dedup {
               .as("cluster_id"))
       }
       val doCkpt = i % CkptEvery == CkptEvery - 1
-      val next = if (doCkpt) stepped.localCheckpoint() else stepped
+      val next = if (doCkpt) cut(stepped, reliable) else stepped
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
         "doc_id").filter(col("cluster_id") < col("old")).limit(1).count()
       if (doCkpt) { lastCkpt.unpersist(); lastCkpt = next }
@@ -418,7 +422,7 @@ object Dedup {
     // once so the singleton join below and the caller's actions read
     // materialized blocks instead of replaying the tail rounds
     if (!(labels eq lastCkpt)) {
-      labels = labels.localCheckpoint()
+      labels = cut(labels, reliable)
       lastCkpt.unpersist()
     }
     edges.unpersist()

@@ -12,6 +12,28 @@ import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
   */
 object Graph {
 
+  /** Lineage cut between supersteps. `reliable = false` (default)
+    * uses `localCheckpoint` — executor-lifetime blocks, the right
+    * cost on a stable cluster — but a lost executor (preemption,
+    * dynamic allocation) kills the lineage-severed blocks and the
+    * whole N-superstep run restarts from zero. `reliable = true`
+    * writes each cut to the session's configured CHECKPOINT DIR
+    * (`sparkContext.setCheckpointDir` — durable storage), so a
+    * 50-superstep PageRank on a preemptible 100×-scale cluster
+    * resumes from the last superstep, not from scratch. Refuses
+    * loudly when no checkpoint dir is configured rather than
+    * silently degrading durability.
+    */
+  private[graft] def cut(df: DataFrame, reliable: Boolean): DataFrame =
+    if (!reliable) df.localCheckpoint()
+    else {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliable=true needs sparkContext.setCheckpointDir(<durable " +
+          "dir>) - a location that survives executor loss (HDFS/" +
+          "object store); otherwise use reliable=false (localCheckpoint)")
+      df.checkpoint()
+    }
+
   /** Fixed-iteration PageRank in 1e-9 FIXED-POINT integer arithmetic:
     * every quantity is a non-negative long number of "nano-rank"
     * units, all divisions are integer divisions, so the result is
@@ -37,28 +59,30 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int,
                srcCol: String = "src", dstCol: String = "dst",
-               dampingNum: Long = 17L, dampingDen: Long = 20L): DataFrame = {
+               dampingNum: Long = 17L, dampingDen: Long = 20L,
+               reliable: Boolean = false): DataFrame = {
     require(iters >= 0, s"iters must be >= 0: $iters")
     require(dampingNum >= 0 && dampingDen > 0 && dampingNum <= dampingDen,
       s"damping $dampingNum/$dampingDen must sit in [0, 1]")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint()
+    val nodes = cut(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct(), reliable)
     val n = nodes.count()
     require(n > 0, "pageRank: the edge table has no nodes")
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val unit = 1000000000L
     val base = (dampingDen - dampingNum) * unit / dampingDen / n
     val r0 = nodes.select(col("id"), lit(unit / n).as("rank_q"))
-    runPageRank(e, nodes, deg, r0, iters, base, dampingNum, dampingDen)
+    runPageRank(e, nodes, deg, r0, iters, base, dampingNum, dampingDen,
+      reliable)
   }
 
   private def runPageRank(e: DataFrame, nodes: DataFrame, deg: DataFrame,
                           r0: DataFrame, iters: Int, base: Long,
-                          dampingNum: Long, dampingDen: Long): DataFrame = {
+                          dampingNum: Long, dampingDen: Long,
+                          reliable: Boolean): DataFrame = {
     var r = r0
     for (_ <- 0 until iters) {
       val contribs = e.join(r, e("src") === r("id"))
@@ -66,12 +90,11 @@ object Graph {
         .select(col("dst").as("id"),
           F.expr("rank_q div outdeg").as("c"))
         .groupBy("id").agg(sum("c").as("s"))
-      r = nodes.join(contribs, Seq("id"), "left")
+      r = cut(nodes.join(contribs, Seq("id"), "left")
         .select(col("id"), coalesce(col("s"), lit(0L)).as("s0"))
         .select(col("id"),
           (lit(base) + F.expr(s"($dampingNum * s0) div $dampingDen"))
-            .as("rank_q"))
-        .localCheckpoint()
+            .as("rank_q")), reliable)
     }
     r
   }
@@ -91,20 +114,19 @@ object Graph {
     */
   def shortestHops(edges: DataFrame, sources: DataFrame, iters: Int,
                    srcCol: String = "src", dstCol: String = "dst",
-                   sourceIdCol: String = "id"): DataFrame = {
+                   sourceIdCol: String = "id",
+                   reliable: Boolean = false): DataFrame = {
     require(iters >= 0, s"iters must be >= 0: $iters")
     val Inf = 1000000L
     require(iters < Inf - 1, s"iters must be < ${Inf - 1}")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint()
+    val nodes = cut(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct(), reliable)
     val s = sources.select(col(sourceIdCol).as("id")).distinct()
-    var d = nodes.join(s.withColumn("z", lit(0L)), Seq("id"), "left")
-      .select(col("id"), coalesce(col("z"), lit(Inf)).as("h"))
-      .localCheckpoint()
+    var d = cut(nodes.join(s.withColumn("z", lit(0L)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("z"), lit(Inf)).as("h")), reliable)
     for (_ <- 0 until iters) {
       // only REACHED nodes can improve a neighbor: an INF node's
       // candidate (INF+1) always loses the least() below, so joining
@@ -113,14 +135,93 @@ object Graph {
       val cand = e.join(d.filter(col("h") < Inf), e("src") === d("id"))
         .select(col("dst").as("id"), (col("h") + 1L).as("ch"))
         .groupBy("id").agg(F.min("ch").as("ch"))
-      d = d.join(cand, Seq("id"), "left")
+      d = cut(d.join(cand, Seq("id"), "left")
         .select(col("id"),
-          F.least(col("h"), coalesce(col("ch"), lit(Inf))).as("h"))
-        .localCheckpoint()
+          F.least(col("h"), coalesce(col("ch"), lit(Inf))).as("h")),
+        reliable)
     }
     d.select(col("id"),
       F.when(col("h") >= Inf, lit(null).cast("long"))
         .otherwise(col("h")).as("hops"))
+  }
+
+  /** Weighted single/multi-source shortest paths — Bellman–Ford
+    * explored to `iters` supersteps: `dist(v)` = minimum total weight
+    * over paths of at most `iters` edges from any source (a cheaper
+    * path needing more hops than `iters` reads as the best within
+    * budget — the same fixed-depth bounded-cost contract as
+    * [[shortestHops]]; pick `iters` ≥ graph diameter for the exact
+    * fixpoint). Weights are LONGS in `[0, 1e9]`, refused loudly
+    * outside that range: non-negative keeps the INF-sentinel algebra
+    * monotone, the cap plus `iters <= 1000` proves `h + w` can never
+    * overflow the 1e15 sentinel — all-integer arithmetic, so the
+    * result is bit-exact across engines like the rest of the family.
+    * Parallel edges collapse to their cheapest weight first. Each
+    * superstep is one frontier equi-join + one min-by-dst (map-side
+    * combinable), lineage cut per step. Returns `(id, dist)`, NULL
+    * when unreached within `iters`.
+    */
+  def shortestPaths(edges: DataFrame, sources: DataFrame, iters: Int,
+                    srcCol: String = "src", dstCol: String = "dst",
+                    weightCol: String = "w",
+                    sourceIdCol: String = "id",
+                    reliable: Boolean = false): DataFrame = {
+    require(iters >= 0 && iters <= 1000,
+      s"iters must sit in [0, 1000]: $iters (the bound proves the " +
+        "integer sentinel arithmetic cannot overflow)")
+    val Inf = 1000000000000000L // 1e15 > 1000 supersteps × 1e9 max w
+    val MaxW = 1000000000L
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("w").isNotNull)
+      .groupBy("src", "dst").agg(F.min("w").as("w")) // cheapest parallel edge
+    val bad = e.filter(col("w") < 0L || col("w") > MaxW).limit(1).count()
+    require(bad == 0L,
+      s"shortestPaths: edge weights must sit in [0, $MaxW] - negative " +
+        "weights break the monotone sentinel algebra and larger ones " +
+        "could overflow it; rescale the weights")
+    val nodes = cut(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct(), reliable)
+    val s = sources.select(col(sourceIdCol).as("id")).distinct()
+    var d = cut(nodes.join(s.withColumn("z", lit(0L)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("z"), lit(Inf)).as("h")), reliable)
+    for (_ <- 0 until iters) {
+      val cand = e.join(d.filter(col("h") < Inf), e("src") === d("id"))
+        .select(col("dst").as("id"), (col("h") + col("w")).as("ch"))
+        .groupBy("id").agg(F.min("ch").as("ch"))
+      d = cut(d.join(cand, Seq("id"), "left")
+        .select(col("id"),
+          F.least(col("h"), coalesce(col("ch"), lit(Inf))).as("h")),
+        reliable)
+    }
+    d.select(col("id"),
+      F.when(col("h") >= Inf, lit(null).cast("long"))
+        .otherwise(col("h")).as("dist"))
+  }
+
+  /** Connected components of the UNDIRECTED graph induced by the edge
+    * table: `(id, component)` for every node, labeled by the minimal
+    * member id — [[graft.dedup.Dedup.clusters]]' adaptive pointer-
+    * jumping label propagation (O(log diameter) rounds, fixpoint-
+    * checked, loud on non-convergence) exposed under the graph API it
+    * belongs to. Self-loops are fine (they never move a label);
+    * isolated ids never appear (the node set IS the edge endpoints —
+    * pass a `docs` frame to [[graft.dedup.Dedup.clusters]] directly
+    * to label a wider universe with singletons).
+    */
+  def connectedComponents(edges: DataFrame,
+                          srcCol: String = "src", dstCol: String = "dst",
+                          maxIter: Int = 20,
+                          reliable: Boolean = false): DataFrame = {
+    val pairs = edges
+      .select(col(srcCol).as("doc_a"), col(dstCol).as("doc_b"))
+      .filter(col("doc_a").isNotNull && col("doc_b").isNotNull)
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    graft.dedup.Dedup.clusters(nodes, pairs, maxIter = maxIter,
+        reliable = reliable)
+      .select(col("doc_id").as("id"), col("cluster_id").as("component"))
   }
 
   /** Per-node triangle counts on the UNDIRECTED simple graph induced

@@ -1,22 +1,34 @@
 package graft.io
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.functions.{coalesce, col, lit, not, when}
 import org.apache.spark.sql.types.{DataType, StructType}
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 
 /** Snapshot-versioned parquet store: manifest-based time travel,
   * rollback and retention over immutable data files — the minimal
   * table-format posture (what Delta/Iceberg pin down) that a 100 TB
   * deployment needs and a bare parquet directory cannot give:
   *
-  *   - **Atomic visibility.** Readers resolve the `_latest` pointer
-  *     (swapped by rename, the HDFS/S3A-committer atomicity primitive)
-  *     to an immutable manifest listing immutable files — a reader
-  *     can never observe a half-written commit, and a writer crash at
-  *     ANY point leaves the previous snapshot intact (data files →
-  *     manifest → pointer, in that order; everything before the
-  *     pointer swap is invisible garbage that [[vacuum]] collects).
+  *   - **Atomic visibility.** A commit IS the create-exclusive
+  *     publication of an immutable manifest listing immutable files —
+  *     a reader can never observe a half-committed table, and a writer
+  *     crash at ANY point before the manifest lands leaves only
+  *     invisible garbage (data files, a `_tmp_` manifest) that
+  *     [[vacuum]] collects.
+  *   - **Optimistic concurrency.** Version `v+1` can be claimed by
+  *     exactly ONE writer (exclusive create of the manifest file — the
+  *     HDFS primitive Delta uses for its commit log; object stores
+  *     substitute a conditional put / catalog). A loser re-reads the
+  *     new table state: an APPEND rebases and retries (appends
+  *     commute — both writers' rows survive, in either order), while
+  *     overwrite / merge / delete / compact REFUSE with
+  *     `ConcurrentModificationException` (their rewrite was computed
+  *     against a base that no longer exists — silently publishing it
+  *     would drop the interleaved commit's changes). Streaming
+  *     ingestion + scheduled compaction — the standard two-writer
+  *     deployment — is safe under exactly this split.
   *   - **Structural sharing.** [[commitAppend]] writes ONLY the new
   *     rows' files; the new manifest lists old files + new files. At
   *     100 TB an append costs the append, never a rewrite, and every
@@ -27,28 +39,35 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *     corpus version they ran on). [[rollback]] is a new manifest
   *     referencing an old snapshot's files — constant-time, no data
   *     IO, and itself versioned (nothing is lost by rolling back).
+  *   - **Partition columns.** [[commit]] with `partitionBy` lays data
+  *     out Hive-style (`ym=202403/part-*.parquet`); the partition
+  *     values ride IN the manifest entries' relative paths, so a
+  *     range scan ([[readBetween]]) prunes whole partitions from the
+  *     manifest alone — the month-directory pruning a 100 TB
+  *     time-partitioned corpus lives by — before any footer or stats
+  *     logic runs.
   *   - **Retention.** [[expire]] drops old manifests; [[vacuum]]
   *     deletes data files no surviving manifest references. Split in
   *     two on purpose: expiry is a metadata decision, physical
   *     deletion is the irreversible one.
   *
-  * Layout under `path/`: `data/c-<uuid>/part-*.parquet` (one subdir
-  * per commit's write), `_manifests/v%09d.manifest` (one RELATIVE
-  * file path per line — the store is relocatable), `_latest` (the
-  * committed version number). Manifests list files, not rows: commit
-  * metadata stays O(files-per-commit) however large the table grows.
-  *
-  * Single-writer, many-reader — the standard object-store table
-  * contract; concurrent writers need a coordination layer (catalog /
-  * lock) above this seam, as they do for every manifest format.
+  * Layout under `path/`: `data/c-<uuid>/[k=v/]part-*.parquet` (one
+  * subdir per commit's write), `_manifests/v%09d.manifest` (one
+  * RELATIVE file path per line — the store is relocatable), `_latest`
+  * (a monotonic hint of the newest version, for humans and external
+  * pollers; the manifest listing is authoritative). Manifests list
+  * files, not rows: commit metadata stays O(files-per-commit) however
+  * large the table grows.
   */
 object Snapshots {
 
-  // v2: line 2 of the manifest is the snapshot's schema as Spark
-  // DataType JSON — every version reads with ITS schema, not whatever
-  // random file footer Spark samples (which silently drops columns
-  // the sampled file lacks after an evolution)
-  private val Header = "graft-snapshot-v2"
+  // v3: line 2 is the snapshot's schema (Spark DataType JSON), line 3
+  // the partition spec ("-" = unpartitioned). v2 (schema, no
+  // partition line) and v1 (files only — schema inferred from
+  // footers) manifests remain readable; writes always produce v3.
+  private val Header = "graft-snapshot-v3"
+  private val HeaderV2 = "graft-snapshot-v2"
+  private val HeaderV1 = "graft-snapshot-v1"
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -56,15 +75,38 @@ object Snapshots {
   private def manifestPath(base: String, v: Long) =
     new Path(f"$base/_manifests/v$v%09d.manifest")
 
-  /** List a commit's freshly-written parquet files, store-relative. */
+  /** Per-store in-JVM commit monitor: serializes the exists-check +
+    * exclusive create on filesystems whose `create(overwrite=false)`
+    * is not atomic (the local FS); on HDFS the create itself is the
+    * atomic claim and the monitor is merely belt-and-braces for
+    * same-JVM writers.
+    */
+  private val commitMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def monitorFor(base: String): Object =
+    commitMonitors.computeIfAbsent(base, _ => new Object)
+
+  /** Test seam: invoked after a mutation's data files are written but
+    * before its first manifest-publish attempt — the window where a
+    * concurrent commit can land. Specs use it to interleave a second
+    * committer deterministically; production never touches it.
+    */
+  private[graft] var onBeforePublish: () => Unit = () => ()
+
+  /** List a commit's freshly-written parquet files, store-relative —
+    * including Hive-style partition subdirectories (`ym=202403/...`).
+    */
   private def listCommitFiles(f: FileSystem, base: String,
                               commitDir: String): Seq[String] = {
-    val it = f.listFiles(new Path(s"$base/$commitDir"), true)
+    val root = new Path(s"$base/$commitDir")
+    val rootPath = f.makeQualified(root).toUri.getPath
+    val it = f.listFiles(root, true)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
       val st = it.next()
       if (st.isFile && st.getPath.getName.endsWith(".parquet"))
-        out += s"$commitDir/${st.getPath.getName}"
+        out += commitDir +
+          st.getPath.toUri.getPath.stripPrefix(rootPath)
     }
     out.toSeq.sorted
   }
@@ -76,10 +118,9 @@ object Snapshots {
     try os.write((lines :+ "").mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally os.close()
-    // FileSystem.rename refuses an existing destination; the pointer
+    // FileSystem.rename refuses an existing destination; the hint
     // swap must REPLACE _latest atomically, which is exactly
-    // FileContext's Rename.OVERWRITE (atomic on HDFS/local; object
-    // stores emulate — single-writer contract covers the difference)
+    // FileContext's Rename.OVERWRITE
     try org.apache.hadoop.fs.FileContext.getFileContext(
       target.toUri, f.getConf).rename(tmp, target,
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
@@ -89,6 +130,54 @@ object Snapshots {
         s"snapshot: cannot activate ${target.getName}", e)
     }
   }
+
+  /** Claim version `v` by EXCLUSIVE create of its manifest — the
+    * commit point. Returns false when another writer already holds
+    * the version (the optimistic-concurrency conflict signal). The
+    * manifest bytes land in one write+close; a crash mid-write leaves
+    * a manifest that fails its header check loudly — the same
+    * accepted caveat as a direct-write commit log on HDFS.
+    */
+  private def tryPublishManifest(f: FileSystem, base: String, v: Long,
+                                 lines: Seq[String]): Boolean =
+    monitorFor(base).synchronized {
+      val target = manifestPath(base, v)
+      f.mkdirs(target.getParent)
+      if (f.exists(target)) false
+      else {
+        val created =
+          try Some(f.create(target, false))
+          catch {
+            case e: java.io.IOException =>
+              if (f.exists(target)) None else throw e
+          }
+        created match {
+          case None => false
+          case Some(os) =>
+            try {
+              try os.write((lines :+ "").mkString("\n")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              finally os.close()
+            } catch { case e: Throwable =>
+              f.delete(target, false); throw e
+            }
+            true
+        }
+      }
+    }
+
+  /** Advance the `_latest` hint monotonically (never regresses even
+    * when two winners update out of order).
+    */
+  private def bumpLatestHint(f: FileSystem, base: String, v: Long): Unit =
+    monitorFor(base).synchronized {
+      val p = new Path(s"$base/_latest")
+      val cur =
+        if (!f.exists(p)) 0L
+        else scala.util.Try(
+          readLines(f, p).head.trim.toLong).getOrElse(0L)
+      if (v > cur) writeTextAtomic(f, p, Seq(v.toString))
+    }
 
   private def readLines(f: FileSystem, p: Path): Seq[String] = {
     val in = f.open(p)
@@ -124,32 +213,79 @@ object Snapshots {
       }.toMap
   }
 
-  /** Manifest contents: the snapshot's schema (line 2, Spark DataType
-    * JSON) and its file ENTRIES (rel path + optional stats).
+  /** Hive-style partition values encoded in an entry's relative path
+    * (`data/c-<uuid>/ym=202403/part-0.parquet` → `ym -> 202403`).
+    * Values are unescaped with Spark's own partition-path escaping.
     */
-  private def manifest(f: FileSystem, base: String,
-                       v: Long): (StructType, Seq[String]) = {
+  private[graft] def partValsOf(rel: String): Map[String, String] =
+    rel.split('/').iterator
+      .filter(s => s.contains('=') && !s.endsWith(".parquet"))
+      .map { s =>
+        val i = s.indexOf('=')
+        s.substring(0, i) -> org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName(s.substring(i + 1))
+      }.toMap
+
+  /** A parsed manifest: schema (absent only for v1 manifests — footer
+    * inference applies), partition columns, file entries, and the raw
+    * lines (so [[rollback]] can re-publish format-verbatim).
+    */
+  private[graft] final case class SnapManifest(
+      schema: Option[StructType], partCols: Seq[String],
+      entries: Seq[String], raw: Seq[String])
+
+  private def manifest(f: FileSystem, base: String, v: Long): SnapManifest = {
     val p = manifestPath(base, v)
     if (!f.exists(p)) throw new IllegalArgumentException(
       s"snapshot: version $v does not exist under $base " +
         s"(have: ${allManifestVersions(f, base).mkString(", ")})")
     val lines = readLines(f, p)
-    require(lines.headOption.contains(Header),
-      s"snapshot: ${p.getName} is not a $Header manifest")
-    require(lines.size >= 2,
-      s"snapshot: ${p.getName} is missing its schema line")
-    val schema = DataType.fromJson(lines(1)).asInstanceOf[StructType]
-    (schema, lines.drop(2).filter(_.nonEmpty))
+    def schemaAt(i: Int): StructType = {
+      require(lines.size > i,
+        s"snapshot: ${p.getName} is missing its schema line")
+      DataType.fromJson(lines(i)).asInstanceOf[StructType]
+    }
+    lines.headOption match {
+      case Some(Header) =>
+        require(lines.size >= 3,
+          s"snapshot: ${p.getName} is missing its partition line")
+        val parts =
+          if (lines(2) == "-") Nil else lines(2).split(',').toSeq
+        SnapManifest(Some(schemaAt(1)), parts,
+          lines.drop(3).filter(_.nonEmpty), lines)
+      case Some(HeaderV2) =>
+        SnapManifest(Some(schemaAt(1)), Nil,
+          lines.drop(2).filter(_.nonEmpty), lines)
+      case Some(HeaderV1) =>
+        SnapManifest(None, Nil, lines.drop(1).filter(_.nonEmpty), lines)
+      case _ => throw new IllegalArgumentException(
+        s"snapshot: ${p.getName} is not a graft-snapshot manifest " +
+          s"(v1/v2/v3 headers accepted)")
+    }
   }
 
-  private def manifestFiles(f: FileSystem, base: String,
-                            v: Long): Seq[String] =
-    manifest(f, base, v)._2
+  /** The manifest's schema, inferring from file footers for legacy v1
+    * manifests (which stored none) — read-compat only; a v1 store's
+    * first v3 commit persists the schema forward.
+    */
+  private def resolveSchema(spark: SparkSession, base: String,
+                            m: SnapManifest): StructType =
+    m.schema.getOrElse {
+      require(m.entries.nonEmpty,
+        s"snapshot: a schema-less (v1) manifest with no files under " +
+          s"$base cannot be read")
+      spark.read.parquet(
+        m.entries.map(e => s"$base/${relOf(e)}"): _*).schema
+    }
 
-  /** Every manifest on disk, committed or not (a crash between
-    * manifest write and pointer swap leaves an uncommitted one — its
-    * version number is burned, its files are retained until expiry,
-    * exactly Iceberg's orphan-snapshot posture).
+  private def manifestLines(schema: StructType, partCols: Seq[String],
+                            entries: Seq[String]): Seq[String] =
+    Header +: schema.json +:
+      (if (partCols.isEmpty) "-" else partCols.mkString(",")) +: entries
+
+  /** Every committed version on disk — with exclusive-create commits,
+    * a manifest's existence IS its commit (a crash can only leave
+    * `_tmp_` files, which this listing excludes).
     */
   private def allManifestVersions(f: FileSystem, base: String): Seq[Long] = {
     val dir = new Path(s"$base/_manifests")
@@ -161,24 +297,17 @@ object Snapshots {
       .sorted
   }
 
-  /** The committed (pointer-visible) version, if any commit ever
-    * completed.
+  /** The newest committed version, if any commit ever completed. The
+    * manifest listing is authoritative; the `_latest` file is only a
+    * monotonic hint (under concurrent writers the hint may lag, never
+    * lead).
     */
-  def latestVersion(spark: SparkSession, path: String): Option[Long] = {
-    val f = fs(spark, path)
-    val p = new Path(s"$path/_latest")
-    if (!f.exists(p)) None
-    else Some(readLines(f, p).head.trim.toLong)
-  }
+  def latestVersion(spark: SparkSession, path: String): Option[Long] =
+    allManifestVersions(fs(spark, path), path).lastOption
 
   /** Committed versions, oldest first. */
-  def versions(spark: SparkSession, path: String): Seq[Long] = {
-    val f = fs(spark, path)
-    latestVersion(spark, path) match {
-      case None => Nil
-      case Some(l) => allManifestVersions(f, path).filter(_ <= l)
-    }
-  }
+  def versions(spark: SparkSession, path: String): Seq[Long] =
+    allManifestVersions(fs(spark, path), path)
 
   /** Per-file numeric column stats from the parquet FOOTER, as the
     * manifest entry suffix: top-level INT64/DOUBLE columns whose
@@ -249,32 +378,93 @@ object Snapshots {
     } finally reader.close()
   }
 
+  /** How a publish-loser proceeds (the OCC split): appends rebase
+    * onto the interloper's commit and retry; everything else refuses.
+    */
+  private sealed trait OnConflict
+  private case object RebaseAppend extends OnConflict
+  private final case class RefuseConflict(what: String) extends OnConflict
+
+  /** Write `df`'s files, then claim the next version by exclusive
+    * manifest create. On a lost claim: [[RebaseAppend]] re-carries
+    * the winner's files (re-running the drift check against its
+    * schema) and retries; [[RefuseConflict]] deletes this commit's
+    * fresh files and throws `ConcurrentModificationException` — the
+    * caller's rewrite was computed against a base that no longer
+    * exists, and publishing it would silently drop the winner's
+    * changes.
+    */
   private def writeCommit(spark: SparkSession, df: DataFrame,
                           path: String, carried: Seq[String],
-                          schema: StructType): Long = {
+                          schema: StructType, partCols: Seq[String],
+                          base: Option[Long],
+                          onConflict: OnConflict): Long = {
     val f = fs(spark, path)
+    partCols.foreach(c => require(!c.contains(',') && !c.contains('/'),
+      s"snapshot: illegal partition column name '$c'"))
     val commitDir = s"data/c-${java.util.UUID.randomUUID()}"
-    df.write.parquet(s"$path/$commitDir")
+    val writer = df.write
+    if (partCols.nonEmpty) {
+      partCols.foreach(c => require(df.columns.contains(c),
+        s"snapshot: partition column $c is missing from the batch " +
+          s"(${df.columns.mkString(", ")})"))
+      writer.partitionBy(partCols: _*)
+    }
+    writer.parquet(s"$path/$commitDir")
     val conf = spark.sessionState.newHadoopConf()
     val fresh = listCommitFiles(f, path, commitDir).map { rel =>
-      val stats = footerStats(conf, new Path(s"$path/$rel"))
-      if (stats.isEmpty) rel else s"$rel\t$stats"
+      val p = new Path(s"$path/$rel")
+      val stats = footerStats(conf, p)
+      // the file's byte length rides as a pseudo-stat so planning
+      // (split sizing, compaction budgets, relation sizeInBytes)
+      // never stats files - the manifest is the only metadata read
+      val bytes = f.getFileStatus(p).getLen
+      val len = s"$LenStat:L:$bytes:$bytes"
+      val all = if (stats.isEmpty) len else s"$len;$stats"
+      s"$rel\t$all"
     }
-    // an empty DataFrame still writes one schema-bearing part file,
-    // so even zero-row snapshots are readable; this guard only fires
-    // for writers that emit NO files (a no-file manifest has no
-    // schema and can never be read back)
+    // an empty DataFrame still writes one schema-bearing part file
+    // (unpartitioned), so zero-row snapshots are readable; this guard
+    // fires for writers that emit NO files — including an empty
+    // PARTITIONED write, whose dynamic-partition layout produces
+    // nothing (a no-file manifest has no readable data)
     require(fresh.nonEmpty,
       "snapshot: the write produced no parquet files - a no-file " +
         "snapshot has no schema and cannot be read back")
-    // version numbers come from the manifests present, not the
-    // pointer: a crash after manifest-write burned that number and it
-    // must never be reused (a reader may already hold it)
-    val v = allManifestVersions(f, path).lastOption.getOrElse(0L) + 1L
-    writeTextAtomic(f, manifestPath(path, v),
-      Header +: schema.json +: (carried ++ fresh))
-    writeTextAtomic(f, new Path(s"$path/_latest"), Seq(v.toString))
-    v
+    onBeforePublish()
+    var curCarried = carried
+    var curSchema = schema
+    var curBase = base
+    var committed = -1L
+    while (committed < 0L) {
+      val v = curBase.getOrElse(0L) + 1L
+      if (tryPublishManifest(f, path, v,
+          manifestLines(curSchema, partCols, curCarried ++ fresh))) {
+        bumpLatestHint(f, path, v)
+        committed = v
+      } else onConflict match {
+        case RefuseConflict(what) =>
+          f.delete(new Path(s"$path/$commitDir"), true)
+          throw new java.util.ConcurrentModificationException(
+            s"snapshot: concurrent commit detected while $what $path " +
+              s"(version $v was claimed by another writer after this " +
+              "operation read its base) - re-read the table and retry")
+        case RebaseAppend =>
+          val newBase = allManifestVersions(f, path).last
+          val m = manifest(f, path, newBase)
+          require(m.partCols == partCols,
+            s"snapshot: concurrent commit changed the partition spec " +
+              s"of $path (${m.partCols.mkString(",")} vs " +
+              s"${partCols.mkString(",")}) - cannot rebase the append")
+          // drift check re-runs against the WINNER's schema; a
+          // genuine type conflict still refuses loudly mid-rebase
+          curSchema = evolvedSchema(
+            resolveSchema(spark, path, m), nullableAll(df.schema), path)
+          curCarried = m.entries
+          curBase = Some(newBase)
+      }
+    }
+    committed
   }
 
   /** The stored form of a snapshot schema: every field nullable, so a
@@ -304,40 +494,125 @@ object Snapshots {
       next.fields.filterNot(f => prevByName.contains(f.name)))
   }
 
-  /** Commit `df` as the new FULL contents of the table (overwrite
-    * semantics — the new snapshot lists only this commit's files).
-    * Returns the new version.
+  /** The manifest-entry name under which a file's byte length is
+    * stored (written at commit, carried verbatim forever after).
     */
-  def commit(df: DataFrame, path: String): Long =
-    writeCommit(df.sparkSession, df, path, Nil, nullableAll(df.schema))
+  private val LenStat = "__len"
+
+  private def entryLen(f: FileSystem, path: String, e: String): Long =
+    statsOf(e).get(LenStat).map(_._1.toLong)
+      .getOrElse(f.getFileStatus(new Path(s"$path/${relOf(e)}")).getLen)
+
+  /** A Hive-partition directory value cast to the partition column's
+    * declared type (the same string→type cast Spark's own partition
+    * discovery applies; `__HIVE_DEFAULT_PARTITION__` is NULL).
+    */
+  private def castPartVal(raw: Option[String],
+                          dt: DataType, tz: String): Any =
+    raw match {
+      case None => null
+      case Some(s) if s == org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.DEFAULT_PARTITION_NAME => null
+      case Some(s) =>
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.Literal(s),
+          dt, Option(tz)).eval(null)
+    }
+
+  /** Open manifest entries as a DataFrame under the snapshot's
+    * schema. Unpartitioned stores read the explicit file list
+    * directly; partitioned stores go through [[SnapshotFileIndex]] —
+    * the manifest IS the file index (partition values and byte sizes
+    * come from the entries, never from directory listing or file
+    * stats), so Catalyst partition pruning works across commit
+    * generations where Hive-style directory inference structurally
+    * cannot.
+    */
+  private def openEntries(spark: SparkSession, path: String,
+                          schema: StructType, partCols: Seq[String],
+                          entries: Seq[String]): DataFrame =
+    if (partCols.isEmpty)
+      spark.read.schema(schema)
+        .parquet(entries.map(e => s"$path/${relOf(e)}"): _*)
+    else {
+      val partitionSchema = StructType(partCols.map(c => schema(c)))
+      val dataSchema =
+        StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+      val tz = spark.sessionState.conf.sessionLocalTimeZone
+      val f = fs(spark, path)
+      val qualBase = f.makeQualified(new Path(path))
+      val parts = entries
+        .groupBy(e => partCols.map(c => partValsOf(relOf(e)).get(c)))
+        .toSeq
+        .map { case (vals, es) =>
+          val row = InternalRow.fromSeq(partCols.zip(vals).map {
+            case (c, v) => castPartVal(v, schema(c).dataType, tz) })
+          val files = es.map { e =>
+            new FileStatus(entryLen(f, path, e), false, 1, 128L << 20,
+              0L, new Path(qualBase, relOf(e)))
+          }
+          (row, files)
+        }
+      val index = new SnapshotFileIndex(spark, qualBase,
+        partitionSchema, parts)
+      val relation = org.apache.spark.sql.execution.datasources
+        .HadoopFsRelation(index, partitionSchema, dataSchema, None,
+          new org.apache.spark.sql.execution.datasources.parquet
+            .ParquetFileFormat, Map.empty)(spark)
+      spark.baseRelationToDataFrame(relation)
+        .select(schema.fieldNames.map(col).toSeq: _*)
+    }
+
+  /** Commit `df` as the new FULL contents of the table (overwrite
+    * semantics — the new snapshot lists only this commit's files),
+    * optionally laid out Hive-style under `partitionBy` columns.
+    * Returns the new version. Refuses when a concurrent commit lands
+    * between this call's start and its publish (an overwrite racing
+    * another writer has no commutative order).
+    */
+  def commit(df: DataFrame, path: String,
+             partitionBy: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val base = latestVersion(spark, path)
+    writeCommit(spark, df, path, Nil, nullableAll(df.schema),
+      partitionBy, base, RefuseConflict("overwriting"))
+  }
 
   /** Commit `df` as an APPEND: the new snapshot = previous snapshot's
     * files + this commit's files. Only the delta is written — the
     * 100 TB append costs the append. Schema evolution: columns new in
     * `df` join the snapshot schema (old files null-fill them); columns
     * `df` lacks stay (the new files null-fill); a type change on a
-    * shared name refuses loudly.
+    * shared name refuses loudly. Partitioning is inherited from the
+    * table. Under a concurrent commit the append REBASES (re-carries
+    * the winner's files) and retries — appends commute, so both
+    * writers' rows always survive.
     */
   def commitAppend(df: DataFrame, path: String): Long = {
     val spark = df.sparkSession
     val f = fs(spark, path)
-    val (carried, schema) = latestVersion(spark, path) match {
+    val base = latestVersion(spark, path)
+    val (carried, schema, partCols) = base match {
       case Some(v) =>
-        val (prev, files) = manifest(f, path, v)
-        (files, evolvedSchema(prev, nullableAll(df.schema), path))
-      case None => (Nil, nullableAll(df.schema))
+        val m = manifest(f, path, v)
+        (m.entries,
+          evolvedSchema(resolveSchema(spark, path, m),
+            nullableAll(df.schema), path),
+          m.partCols)
+      case None => (Nil, nullableAll(df.schema), Nil)
     }
-    writeCommit(spark, df, path, carried, schema)
+    writeCommit(spark, df, path, carried, schema, partCols, base,
+      RebaseAppend)
   }
 
-  /** Read a snapshot: the pointer-visible latest, or any committed
-    * `version` (time travel). The file list comes from the immutable
-    * manifest, so the read is consistent whatever commits land
-    * meanwhile — and so does the SCHEMA: each version reads with the
-    * schema its manifest stores (a file from before a column was
-    * added null-fills it), never whichever random file footer Spark
-    * happens to sample, which after an evolution would silently drop
-    * or surface columns depending on sampling luck.
+  /** Read a snapshot: the latest, or any committed `version` (time
+    * travel). The file list comes from the immutable manifest, so the
+    * read is consistent whatever commits land meanwhile — and so does
+    * the SCHEMA: each version reads with the schema its manifest
+    * stores (a file from before a column was added null-fills it),
+    * never whichever random file footer Spark happens to sample,
+    * which after an evolution would silently drop or surface columns
+    * depending on sampling luck.
     */
   def read(spark: SparkSession, path: String,
            version: Option[Long] = None): DataFrame = {
@@ -345,15 +620,18 @@ object Snapshots {
     val v = version.orElse(latestVersion(spark, path)).getOrElse(
       throw new IllegalArgumentException(
         s"snapshot: no committed version under $path"))
-    val (schema, rels) = manifest(f, path, v)
-    spark.read.schema(schema)
-      .parquet(rels.map(e => s"$path/${relOf(e)}"): _*)
+    val m = manifest(f, path, v)
+    openEntries(spark, path, resolveSchema(spark, path, m), m.partCols,
+      m.entries)
   }
 
   /** The manifest entries a `[lo, hi]` range scan on `column` must
     * read, against the total entry count — the file-skipping decision
-    * exposed for specs and planning. An entry without stats for the
-    * column is always kept (prune only on proof).
+    * exposed for specs and planning. Pruning proof comes from footer
+    * stats OR, for a partition column, from the Hive-style value in
+    * the entry's path (a whole-partition prune needs no stats at
+    * all). An entry with neither is always kept (prune only on
+    * proof).
     */
   private[graft] def prunedEntries(spark: SparkSession, path: String,
                                    column: String, lo: Double, hi: Double,
@@ -363,26 +641,34 @@ object Snapshots {
     val v = version.orElse(latestVersion(spark, path)).getOrElse(
       throw new IllegalArgumentException(
         s"snapshot: no committed version under $path"))
-    val (_, entries) = manifest(f, path, v)
-    val kept = entries.filter(e => statsOf(e).get(column) match {
-      case Some((mn, mx)) => mx >= lo && mn <= hi // ranges overlap
-      case None => true
-    })
-    (kept, entries.size)
+    val m = manifest(f, path, v)
+    val kept = m.entries.filter { e =>
+      val range = statsOf(e).get(column).orElse(
+        partValsOf(relOf(e)).get(column)
+          .flatMap(s => scala.util.Try(s.toDouble).toOption)
+          .map(d => (d, d)))
+      range match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi // ranges overlap
+        case None => true
+      }
+    }
+    (kept, m.entries.size)
   }
 
   /** Range scan with MANIFEST-LEVEL file skipping: files whose
-    * committed min/max stats prove no row can satisfy
-    * `column BETWEEN lo AND hi` are never opened — not even their
-    * footers. Parquet row-group pruning needs a footer read per file;
-    * at 100 TB with millions of files the open/footer pass IS the
-    * scan bottleneck for selective queries, and manifest stats cut it
-    * to the overlapping sliver (after a [[compact]] with `sortBy` on
-    * the column, that sliver is ~1 file). Stats cover top-level
-    * BIGINT/DOUBLE columns (widened-to-double compare — exact below
-    * 2^53); files without stats for the column are read, never
-    * wrongly skipped, and the residual in-plan BETWEEN keeps the
-    * result exact regardless of how coarse the pruning was.
+    * committed min/max stats — or whose partition-directory value —
+    * prove no row can satisfy `column BETWEEN lo AND hi` are never
+    * opened, not even their footers. Parquet row-group pruning needs
+    * a footer read per file; at 100 TB with millions of files the
+    * open/footer pass IS the scan bottleneck for selective queries,
+    * and manifest stats cut it to the overlapping sliver (after a
+    * [[compact]] with `sortBy` on the column, that sliver is ~1
+    * file; on a partition column it is exactly the overlapping
+    * partitions). Stats cover top-level BIGINT/DOUBLE columns
+    * (widened-to-double compare — exact below 2^53); files without
+    * stats for the column are read, never wrongly skipped, and the
+    * residual in-plan BETWEEN keeps the result exact regardless of
+    * how coarse the pruning was.
     */
   def readBetween(spark: SparkSession, path: String, column: String,
                   lo: Double, hi: Double,
@@ -391,7 +677,8 @@ object Snapshots {
     val v = version.orElse(latestVersion(spark, path)).getOrElse(
       throw new IllegalArgumentException(
         s"snapshot: no committed version under $path"))
-    val (schema, _) = manifest(f, path, v)
+    val m = manifest(f, path, v)
+    val schema = resolveSchema(spark, path, m)
     require(schema.fieldNames.contains(column),
       s"snapshot: readBetween column $column is not in the table " +
         s"schema (${schema.fieldNames.mkString(", ")})")
@@ -400,8 +687,7 @@ object Snapshots {
       if (kept.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .parquet(kept.map(e => s"$path/${relOf(e)}"): _*)
+      else openEntries(spark, path, schema, m.partCols, kept)
     // integral column + whole-number bounds → long literals, so the
     // residual predicate reaches the parquet scan as a pushed filter
     // instead of hiding behind a cast-to-double
@@ -434,49 +720,73 @@ object Snapshots {
     require(fromVersion <= toVersion,
       s"snapshot: changes range is backwards ($fromVersion > $toVersion)")
     val f = fs(spark, path)
-    val before = manifestFiles(f, path, fromVersion)
-    val (toSchema, after) = manifest(f, path, toVersion)
-    val dropped = before.toSet -- after.toSet
+    val before = manifest(f, path, fromVersion).entries.map(relOf)
+    val mTo = manifest(f, path, toVersion)
+    val after = mTo.entries
+    val dropped = before.toSet -- after.map(relOf).toSet
     require(dropped.isEmpty,
       s"snapshot: versions $fromVersion..$toVersion are not append-only " +
         s"(${dropped.size} files dropped out - an overwrite, rollback " +
         "or retention pass in the range); read the versions directly " +
         "and diff rows instead")
-    val fresh = after.filterNot(before.toSet)
+    val beforeSet = before.toSet
+    val fresh = after.filterNot(e => beforeSet(relOf(e)))
     if (fresh.isEmpty)
       read(spark, path, Some(toVersion)).limit(0)
-    else spark.read.schema(toSchema)
-      .parquet(fresh.map(e => s"$path/${relOf(e)}"): _*)
+    else openEntries(spark, path, resolveSchema(spark, path, mTo),
+      mTo.partCols, fresh)
   }
 
   /** The store-relative manifest entry for a scanned file's
-    * `_metadata.file_path` URI. Commit dirs sit directly under
-    * `data/`, so the last two path segments ARE the manifest entry —
-    * no string-matching against the (possibly URI-mangled) base path.
+    * `_metadata.file_path` URI: everything from the `data/c-<uuid>`
+    * commit directory down (partition subdirectories included) — no
+    * string-matching against the (possibly URI-mangled) base path.
     */
   private def relativize(filePath: String): String = {
     val seg = filePath.split('/')
-    require(seg.length >= 2, s"snapshot: unparseable file path $filePath")
-    s"data/${seg(seg.length - 2)}/${seg(seg.length - 1)}"
+    val idx = (seg.length - 2).to(1, -1).find(i =>
+      seg(i - 1) == "data" && seg(i).startsWith("c-"))
+    require(idx.isDefined, s"snapshot: unparseable file path $filePath")
+    seg.drop(idx.get - 1).mkString("/")
   }
 
-  /** Current snapshot's version, schema, and store-relative files,
-    * failing loudly when nothing was ever committed.
+  /** Current snapshot's version, schema, partition columns, and file
+    * entries, failing loudly when nothing was ever committed.
     */
-  private def currentFiles(spark: SparkSession, path: String,
-                           what: String): (Long, StructType, Seq[String]) = {
+  private def currentState(spark: SparkSession, path: String,
+                           what: String):
+      (Long, StructType, Seq[String], Seq[String]) = {
     val v = latestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"snapshot: no committed version under $path to $what"))
-    val (schema, rels) = manifest(fs(spark, path), path, v)
-    (v, schema, rels)
+    val m = manifest(fs(spark, path), path, v)
+    (v, resolveSchema(spark, path, m), m.partCols, m.entries)
+  }
+
+  /** Mutation key sets must not contain NULLs: a NULL key never
+    * equi-joins, so a NULL-keyed update row would INSERT a fresh row
+    * on every application — a replayed at-least-once micro-batch
+    * would duplicate it, breaking the documented merge-replay
+    * idempotence — and a NULL-keyed delete row would silently delete
+    * nothing. Both refuse loudly.
+    */
+  private def requireNoNullKeys(df: DataFrame, keyCols: Seq[String],
+                                what: String): Unit = {
+    val nulls = df
+      .filter(keyCols.map(col(_).isNull).reduce(_ || _))
+      .limit(1).count()
+    require(nulls == 0L,
+      s"snapshot: $what carries a NULL in a key column " +
+        s"(${keyCols.mkString(", ")}) - a NULL key never joins, so it " +
+        "cannot address a row; filter or repair NULL keys first")
   }
 
   /** Copy-on-write MERGE (upsert) keyed on `keyCols`: an update row
     * whose key exists in the table REPLACES that row (whole-row
     * semantics); a row whose key is absent is INSERTED. Returns the
     * new committed version; every prior version stays readable (time
-    * travel across the merge).
+    * travel across the merge). For updating a NAMED SUBSET of columns
+    * (the column-sparse CDC shape), see [[mergeUpdate]].
     *
     * Scale shape — the Delta/Iceberg copy-on-write contract:
     *   1. *Discovery* scans ONLY the key columns plus the file-path
@@ -489,18 +799,17 @@ object Snapshots {
     *      a merge touching 1 of 10,000 files costs 1 file of IO.
     *
     * Refused loudly: duplicate keys within `updates` (two update rows
-    * for one key make the upsert non-deterministic; note the check
-    * groups NULL keys as equal, so multiple NULL-keyed update rows
-    * are also refused — a NULL key never equi-joins and would
-    * otherwise always insert), and a column set differing from the
-    * table's (whole-row replacement needs whole rows).
+    * for one key make the upsert non-deterministic), NULL keys (a
+    * NULL key never equi-joins — it would insert a duplicate on every
+    * replayed batch), a column set differing from the table's
+    * (whole-row replacement needs whole rows), and a concurrent
+    * commit landing between this merge's base read and its publish.
     */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
             keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "snapshot: merge needs at least one key column")
-    val (_, schema, all) = currentFiles(spark, path, "merge into")
-    val table = spark.read.schema(schema)
-      .parquet(all.map(e => s"$path/${relOf(e)}"): _*)
+    val (v, schema, partCols, all) = currentState(spark, path, "merge into")
+    val table = openEntries(spark, path, schema, partCols, all)
     require(table.columns.sorted.sameElements(updates.columns.sorted),
       s"snapshot: merge updates columns ${updates.columns.sorted.mkString(",")} " +
         s"differ from the table's ${table.columns.sorted.mkString(",")}")
@@ -509,12 +818,13 @@ object Snapshots {
         "missing from updates")
     requireSameTypes(table.schema, updates.schema, "merge updates")
     val keyExprs = keyCols.map(col)
-    // merge runs three actions over `updates` (dup-key guard, affected-
-    // file discovery, rewrite) — pin it so the caller's plan isn't
-    // re-executed per pass; the write below drains every pass before
-    // the unpersist
+    // merge runs several actions over `updates` (null/dup-key guards,
+    // affected-file discovery, rewrite) — pin it so the caller's plan
+    // isn't re-executed per pass; the write below drains every pass
+    // before the unpersist
     val upd0 = updates.persist()
     try {
+      requireNoNullKeys(upd0, keyCols, "merge updates")
       val dup = upd0.groupBy(keyExprs: _*)
         .count().filter(col("count") > 1).limit(1).count()
       require(dup == 0L,
@@ -527,13 +837,114 @@ object Snapshots {
       val upd = upd0.select(cols: _*)
       val fresh =
         if (affected.isEmpty) upd // pure insert: nothing to rewrite
-        else spark.read.schema(schema)
-          .parquet(all.collect { case e if affected(relOf(e)) =>
-            s"$path/${relOf(e)}" }: _*)
+        else openEntries(spark, path, schema, partCols,
+            all.filter(e => affected(relOf(e))))
           .join(upd.select(keyExprs: _*), keyCols, "left_anti")
           .select(cols: _*)
           .unionByName(upd)
-      writeCommit(spark, fresh, path, carried, schema)
+      writeCommit(spark, fresh, path, carried, schema, partCols,
+        Some(v), RefuseConflict("merging into"))
+    } finally { upd0.unpersist(); () }
+  }
+
+  /** Conditional, PARTIAL-COLUMN copy-on-write MERGE — the SQL
+    * `MERGE ... WHEN MATCHED [AND cond] THEN UPDATE SET c = u.c, ...`
+    * shape a column-sparse CDC feed needs: `updates` carries ONLY
+    * `keyCols ++ setCols`, matched rows take the update's values for
+    * the named `setCols` and keep every other column, and rows whose
+    * key matches but fail `condition` (evaluated against the TARGET
+    * row's columns; NULL ⇒ no update, SQL semantics) stay untouched.
+    * With `insertUnmatched`, update rows matching no table key INSERT
+    * as fresh rows — named columns from the update, the rest NULL
+    * (`WHEN NOT MATCHED THEN INSERT`, unconditional as in SQL);
+    * without it they are ignored.
+    *
+    * Same copy-on-write economics and discovery plan as [[merge]]
+    * (key-column + file-path scan, affected files only rewritten, a
+    * file whose matches all fail `condition` is rewritten with
+    * identical rows — correctness never depends on pushing the
+    * condition into discovery, which would widen the key-only scan).
+    * Same refusals: duplicate or NULL update keys, type drift,
+    * unknown columns (an update column that is neither key nor set
+    * refuses — a silently ignored column is a typo'd lost write),
+    * and concurrent commits.
+    */
+  def mergeUpdate(spark: SparkSession, path: String, updates: DataFrame,
+                  keyCols: Seq[String], setCols: Seq[String],
+                  condition: Option[Column] = None,
+                  insertUnmatched: Boolean = false): Long = {
+    require(keyCols.nonEmpty,
+      "snapshot: mergeUpdate needs at least one key column")
+    require(setCols.nonEmpty,
+      "snapshot: mergeUpdate needs at least one set column")
+    require(keyCols.intersect(setCols).isEmpty,
+      s"snapshot: columns ${keyCols.intersect(setCols).mkString(",")} " +
+        "appear as both key and set - a merge key cannot be updated")
+    val (v, schema, partCols, all) =
+      currentState(spark, path, "mergeUpdate into")
+    val tableCols = schema.fieldNames.toSeq
+    val missing = (keyCols ++ setCols).filterNot(tableCols.contains)
+    require(missing.isEmpty,
+      s"snapshot: columns ${missing.mkString(",")} are not in the " +
+        s"table schema (${tableCols.mkString(", ")})")
+    val expected = (keyCols ++ setCols).toSet
+    val extra = updates.columns.filterNot(expected)
+    require(extra.isEmpty,
+      s"snapshot: update columns ${extra.mkString(",")} are neither " +
+        "key nor set columns - dropping them silently would lose a " +
+        "write; select exactly keyCols ++ setCols")
+    require(expected.forall(updates.columns.contains),
+      s"snapshot: columns ${expected.filterNot(updates.columns.contains)
+        .mkString(",")} missing from updates")
+    requireSameTypes(schema, updates.schema, "mergeUpdate updates")
+    val table = openEntries(spark, path, schema, partCols, all)
+    val keyExprs = keyCols.map(col)
+    val upd0 = updates.persist()
+    try {
+      requireNoNullKeys(upd0, keyCols, "mergeUpdate updates")
+      val dup = upd0.groupBy(keyExprs: _*)
+        .count().filter(col("count") > 1).limit(1).count()
+      require(dup == 0L,
+        "snapshot: updates carry duplicate keys - the update would be " +
+          "non-deterministic; deduplicate (e.g. keep-latest) first")
+      val affected = affectedFilesPlan(table, upd0, keyCols)
+        .collect().map(r => relativize(r.getString(0))).toSet
+      val renamed = upd0.select(keyExprs ++
+        setCols.map(c => col(c).as(s"__u_$c")) :+
+        lit(true).as("__u_hit"): _*)
+      val cond = condition.map(c => coalesce(c, lit(false)))
+        .getOrElse(lit(true))
+      val rewritten =
+        if (affected.isEmpty) None
+        else Some(openEntries(spark, path, schema, partCols,
+            all.filter(e => affected(relOf(e))))
+          .join(renamed, keyCols, "left")
+          .select(tableCols.map { c =>
+            if (setCols.contains(c))
+              when(col("__u_hit").isNotNull && cond, col(s"__u_$c"))
+                .otherwise(col(c)).as(c)
+            else col(c)
+          }: _*))
+      val inserts =
+        if (!insertUnmatched) None
+        else {
+          val fresh = upd0
+            .join(table.select(keyExprs: _*), keyCols, "left_anti")
+          if (fresh.limit(1).count() == 0L) None
+          else Some(fresh.select(schema.fields.toSeq.map { f =>
+            if (keyCols.contains(f.name) || setCols.contains(f.name))
+              col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*))
+        }
+      (rewritten, inserts) match {
+        case (None, None) => v // nothing matched, nothing to insert
+        case (r, i) =>
+          val fresh = (r.toSeq ++ i.toSeq).reduce(_ unionByName _)
+          val carried = all.filterNot(e => affected(relOf(e)))
+          writeCommit(spark, fresh, path, carried, schema, partCols,
+            Some(v), RefuseConflict("mergeUpdate into"))
+      }
     } finally { upd0.unpersist(); () }
   }
 
@@ -578,9 +989,9 @@ object Snapshots {
     * list). Same copy-on-write economics as merge: discovery scans
     * keys + file metadata only, rewrite touches only files holding a
     * doomed key, zero matches = no commit (idempotent). NULL keys in
-    * `keys` never equi-join, so NULL-keyed table rows are never
-    * deleted this way ([[deleteWhere]] with an IS NULL predicate is
-    * the explicit spelling for that).
+    * `keys` refuse loudly — a NULL key never equi-joins, so it cannot
+    * address a row ([[deleteWhere]] with an IS NULL predicate is the
+    * explicit spelling for deleting NULL-keyed rows).
     */
   def deleteKeys(spark: SparkSession, path: String, keys: DataFrame,
                  keyCols: Seq[String]): Long = {
@@ -589,24 +1000,25 @@ object Snapshots {
     require(keyCols.forall(keys.columns.contains),
       s"snapshot: key columns ${keyCols.filterNot(keys.columns.contains)} " +
         "missing from the keys table")
-    val (v, schema, all) = currentFiles(spark, path, "delete keys from")
-    val table = spark.read.schema(schema)
-      .parquet(all.map(e => s"$path/${relOf(e)}"): _*)
+    val (v, schema, partCols, all) =
+      currentState(spark, path, "delete keys from")
+    val table = openEntries(spark, path, schema, partCols, all)
     requireSameTypes(StructType(schema.filter(f => keyCols.contains(f.name))),
       StructType(keys.schema.filter(f => keyCols.contains(f.name))),
       "deleteKeys key")
     val k = keys.select(keyCols.map(col): _*).persist()
     try {
+      requireNoNullKeys(k, keyCols, "deleteKeys keys")
       val affected = affectedFilesPlan(table, k, keyCols)
         .collect().map(r => relativize(r.getString(0))).toSet
       if (affected.isEmpty) v
       else {
         val carried = all.filterNot(e => affected(relOf(e)))
-        val survivors = spark.read.schema(schema)
-          .parquet(all.collect { case e if affected(relOf(e)) =>
-            s"$path/${relOf(e)}" }: _*)
+        val survivors = openEntries(spark, path, schema, partCols,
+            all.filter(e => affected(relOf(e))))
           .join(k, keyCols, "left_anti")
-        writeCommit(spark, survivors, path, carried, schema)
+        writeCommit(spark, survivors, path, carried, schema, partCols,
+          Some(v), RefuseConflict("deleting keys from"))
       }
     } finally { k.unpersist(); () }
   }
@@ -622,19 +1034,19 @@ object Snapshots {
     */
   def deleteWhere(spark: SparkSession, path: String,
                   predicate: Column): Long = {
-    val (v, schema, all) = currentFiles(spark, path, "delete from")
-    val table = spark.read.schema(schema)
-      .parquet(all.map(e => s"$path/${relOf(e)}"): _*)
+    val (v, schema, partCols, all) =
+      currentState(spark, path, "delete from")
+    val table = openEntries(spark, path, schema, partCols, all)
     val affected = table.filter(predicate)
       .select(col("_metadata.file_path")).distinct()
       .collect().map(r => relativize(r.getString(0))).toSet
     if (affected.isEmpty) return v
     val carried = all.filterNot(e => affected(relOf(e)))
-    val survivors = spark.read.schema(schema)
-      .parquet(all.collect { case e if affected(relOf(e)) =>
-        s"$path/${relOf(e)}" }: _*)
+    val survivors = openEntries(spark, path, schema, partCols,
+        all.filter(e => affected(relOf(e))))
       .filter(not(coalesce(predicate, lit(false))))
-    writeCommit(spark, survivors, path, carried, schema)
+    writeCommit(spark, survivors, path, carried, schema, partCols,
+      Some(v), RefuseConflict("deleting from"))
   }
 
   /** Bin-pack the current snapshot into ~`targetFileBytes` files — the
@@ -646,62 +1058,74 @@ object Snapshots {
     * later reclaim the fragment files. When the table already has no
     * more files than the byte budget calls for, no commit happens and
     * the current version is returned (compaction is idempotent —
-    * a scheduler can call it every N batches for free).
+    * a scheduler can call it every N batches for free). Racing a
+    * concurrent commit, compaction REFUSES rather than resurrecting
+    * pre-commit rows — rerun it; the streaming-ingest + scheduled-
+    * compaction pair loses only the compaction pass, never data.
     *
     * Sizing uses the files' actual on-disk bytes (compressed), the
     * same signal a table-format maintenance job keys on; the
-    * repartition is a round-robin full shuffle of just the affected
-    * snapshot — at 100 TB you compact partitions/recent commits, not
-    * the world, which is what the no-op fast path gives a caller who
-    * compacts right after a burst of small appends.
+    * repartition is a full shuffle of just the affected snapshot — at
+    * 100 TB you compact partitions/recent commits, not the world,
+    * which is what the no-op fast path gives a caller who compacts
+    * right after a burst of small appends. Partitioned tables keep
+    * their layout: rows shuffle BY the partition columns so each
+    * output task writes whole partitions.
     */
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L << 20,
               sortBy: Seq[String] = Nil): Long = {
     require(targetFileBytes > 0, "snapshot: targetFileBytes must be positive")
-    val (v, schema, all) = currentFiles(spark, path, "compact")
+    val (v, schema, partCols, all) = currentState(spark, path, "compact")
     sortBy.foreach(c => require(schema.fieldNames.contains(c),
       s"snapshot: compact sort column $c is not in the table schema " +
         s"(${schema.fieldNames.mkString(", ")})"))
     val f = fs(spark, path)
-    val totalBytes = all.map(e =>
-      f.getFileStatus(new Path(s"$path/${relOf(e)}")).getLen).sum
+    val totalBytes = all.map(e => entryLen(f, path, e)).sum
     val want = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
     // an unsorted compaction of an already-packed table is a no-op,
     // but a CLUSTERED one is not: the caller asked for a layout, and
     // whether the current files honor it is unknowable from counts
     if (sortBy.isEmpty && all.size <= want) return v
-    val table = spark.read.schema(schema)
-      .parquet(all.map(e => s"$path/${relOf(e)}"): _*)
+    val table = openEntries(spark, path, schema, partCols, all)
+    val clusterCols = partCols ++ sortBy
     val packed =
-      if (sortBy.isEmpty) table.repartition(want.toInt)
+      if (clusterCols.isEmpty) table.repartition(want.toInt)
       else table
         // range partitioning gives files DISJOINT key ranges and the
         // within-file sort tightens row-group min/max: after this, a
         // key-predicate scan prunes to one file + few row groups —
-        // Delta OPTIMIZE ZORDER's 1-D essence over the same store
-        .repartitionByRange(want.toInt, sortBy.map(col): _*)
-        .sortWithinPartitions(sortBy.map(col): _*)
-    writeCommit(spark, packed, path, Nil, schema)
+        // Delta OPTIMIZE ZORDER's 1-D essence over the same store.
+        // Partition columns lead the range key so each output task
+        // holds whole partitions (no per-task partition fan-out).
+        .repartitionByRange(want.toInt, clusterCols.map(col): _*)
+        .sortWithinPartitions(clusterCols.map(col): _*)
+    writeCommit(spark, packed, path, Nil, schema, partCols, Some(v),
+      RefuseConflict("compacting"))
   }
 
   /** Roll the table back to `toVersion`: a NEW version whose manifest
-    * is a copy of the old one — constant-time, no data IO, and the
-    * rolled-back-from snapshot stays readable (rollback is an
-    * ordinary commit in the history, not an erasure).
+    * is a byte-for-byte copy of the old one (format-preserving, so a
+    * legacy-manifest snapshot rolls back verbatim) — constant-time,
+    * no data IO, and the rolled-back-from snapshot stays readable
+    * (rollback is an ordinary commit in the history, not an erasure).
+    * Refuses when a concurrent commit claims the version first.
     */
   def rollback(spark: SparkSession, path: String, toVersion: Long): Long = {
     val f = fs(spark, path)
-    val (schema, files) = manifest(f, path, toVersion)
-    val v = allManifestVersions(f, path).last + 1L
-    writeTextAtomic(f, manifestPath(path, v),
-      Header +: schema.json +: files)
-    writeTextAtomic(f, new Path(s"$path/_latest"), Seq(v.toString))
+    val m = manifest(f, path, toVersion)
+    val base = allManifestVersions(f, path).last
+    val v = base + 1L
+    if (!tryPublishManifest(f, path, v, m.raw))
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot: concurrent commit detected while rolling back $path " +
+          s"(version $v was claimed by another writer) - re-read and retry")
+    bumpLatestHint(f, path, v)
     v
   }
 
   /** Drop every manifest older than the newest `keepLast` (the
-    * pointer's snapshot always survives). Metadata-only; the files
+    * current snapshot always survives). Metadata-only; the files
     * those manifests referenced remain until [[vacuum]] proves no
     * surviving manifest needs them.
     */
@@ -709,10 +1133,8 @@ object Snapshots {
     require(keepLast >= 1, "snapshot: must keep at least one version")
     val f = fs(spark, path)
     val all = allManifestVersions(f, path)
-    val latest = latestVersion(spark, path)
     val pinned = tags(spark, path).values.toSet
     val drop = all.dropRight(keepLast)
-      .filterNot(latest.contains) // never the pointer's snapshot
       .filterNot(pinned) // never a tagged snapshot — tags PIN history
     drop.foreach(v => f.delete(manifestPath(path, v), false))
     drop.size
@@ -775,27 +1197,31 @@ object Snapshots {
     fs(spark, path).delete(tagPath(path, name), false)
 
   /** Delete data files referenced by NO manifest on disk: expired
-    * history and crashed-commit leftovers. The irreversible half of
-    * retention, kept separate from [[expire]] on purpose. Returns the
-    * number of files removed (empty commit dirs go with them).
+    * history and crashed-commit leftovers (a crash before the
+    * manifest publish leaves data files no manifest ever named).
+    * The irreversible half of retention, kept separate from
+    * [[expire]] on purpose. Returns the number of files removed
+    * (empty commit dirs go with them).
     */
   def vacuum(spark: SparkSession, path: String): Int = {
     val f = fs(spark, path)
     val referenced = allManifestVersions(f, path)
-      .flatMap(v => manifestFiles(f, path, v).map(relOf)).toSet
+      .flatMap(v => manifest(f, path, v).entries.map(relOf)).toSet
     val dataDir = new Path(s"$path/data")
     if (!f.exists(dataDir)) return 0
     var removed = 0
     f.listStatus(dataDir).foreach { commit =>
-      val rel = s"data/${commit.getPath.getName}"
+      val commitPath = f.makeQualified(commit.getPath).toUri.getPath
       val it = f.listFiles(commit.getPath, true)
       val doomed = scala.collection.mutable.ArrayBuffer.empty[Path]
       var kept = false
       while (it.hasNext) {
         val st = it.next()
         if (st.isFile) {
+          val rel = s"data/${commit.getPath.getName}" +
+            st.getPath.toUri.getPath.stripPrefix(commitPath)
           if (st.getPath.getName.endsWith(".parquet") &&
-              referenced.contains(s"$rel/${st.getPath.getName}")) kept = true
+              referenced.contains(rel)) kept = true
           else doomed += st.getPath
         }
       }

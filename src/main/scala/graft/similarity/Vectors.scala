@@ -855,7 +855,12 @@ object Vectors {
           zip_with(col("c"), array(x.map(lit).toSeq: _*), _ * _),
           lit(0.0), _ + _), 6) + lit(0.0)).as(s"pc${i + 1}")
       }
-      c.select(col("vec_id") +: projCols.toSeq: _*)
+      // materialize the (small: n × k+1) projections BEFORE the
+      // finally-block unpersists the centered corpus and deflation
+      // chain — the returned frame is otherwise lazy, and every
+      // downstream action would silently recompute the centering and
+      // all k deflation passes from scratch
+      c.select(col("vec_id") +: projCols.toSeq: _*).localCheckpoint()
     } finally {
       c.unpersist(); deflated.foreach(_.unpersist()); ()
     }

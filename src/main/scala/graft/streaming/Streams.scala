@@ -529,9 +529,17 @@ object Streams {
         val b = batch.persist()
         try {
           if (b.limit(1).count() > 0L) {
-            if (graft.io.Snapshots.latestVersion(b.sparkSession, path).isEmpty)
+            if (graft.io.Snapshots.latestVersion(b.sparkSession, path).isEmpty) {
+              // the bootstrap commit bypasses merge, so it must run
+              // merge's own key guards: a first batch with duplicate
+              // (or NULL) keys would otherwise seed a table violating
+              // the upsert key invariant — and the at-least-once
+              // REPLAY of that same batch would then throw inside
+              // merge, wedging the stream on data the stream itself
+              // accepted
+              requireUpsertableKeys(b, keyCols, "snapshot upsert bootstrap")
               graft.io.Snapshots.commit(b, path)
-            else graft.io.Snapshots.merge(b.sparkSession, path, b, keyCols)
+            } else graft.io.Snapshots.merge(b.sparkSession, path, b, keyCols)
             ()
           }
         } finally { b.unpersist(); () }
@@ -540,6 +548,26 @@ object Streams {
       .start()
     q.awaitTermination()
     q
+  }
+
+  /** Merge's key invariants (no duplicate keys, no NULL keys),
+    * applied to a BOOTSTRAP batch that commits directly: the table a
+    * CDC/upsert stream seeds must already satisfy what every later
+    * merge enforces.
+    */
+  private def requireUpsertableKeys(b: DataFrame, keyCols: Seq[String],
+                                    what: String): Unit = {
+    val keyExprs = keyCols.map(col)
+    require(b.filter(keyCols.map(col(_).isNull)
+        .reduce(_ || _)).limit(1).count() == 0L,
+      s"$what: the first batch carries a NULL key " +
+        s"(${keyCols.mkString(", ")}) - a NULL key can never be " +
+        "merged or deleted later; repair the feed")
+    require(b.groupBy(keyExprs: _*).count()
+        .filter(col("count") > 1).limit(1).count() == 0L,
+      s"$what: the first batch carries duplicate keys - it would seed " +
+        "a table violating the upsert key invariant, and a replayed " +
+        "batch would then fail inside merge; deduplicate the feed")
   }
 
   /** CDC sink over the snapshot store: each micro-batch carries an
@@ -588,9 +616,12 @@ object Streams {
               "one batch - the batch gives no order between them; " +
               "compact the feed per key first")
           if (ups.limit(1).count() > 0L) {
-            if (graft.io.Snapshots.latestVersion(b.sparkSession, path).isEmpty)
+            if (graft.io.Snapshots.latestVersion(b.sparkSession, path).isEmpty) {
+              // same bootstrap guard as the upsert stream: the seed
+              // commit must satisfy what later merges enforce
+              requireUpsertableKeys(ups, keyCols, "snapshot cdc bootstrap")
               graft.io.Snapshots.commit(ups, path)
-            else graft.io.Snapshots.merge(b.sparkSession, path, ups, keyCols)
+            } else graft.io.Snapshots.merge(b.sparkSession, path, ups, keyCols)
           }
           if (dels.limit(1).count() > 0L &&
               graft.io.Snapshots.latestVersion(b.sparkSession, path).nonEmpty) {

@@ -1,98 +1,90 @@
 package graft
 
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.graph.Graph
 
-/** Fixed-point PageRank: hand-computed supersteps, dangling/dup/null
-  * edge handling, and the determinism the integer arithmetic buys.
+/** Graph family contracts not covered by the oracle gates: weighted
+  * shortest-path semantics, and the reliable-checkpoint durability
+  * option (identical results in both modes; durable mode actually
+  * writes to the configured checkpoint dir and refuses without one).
   */
 class GraphSpec extends SparkSpec {
 
-  import spark.implicits._
-
-  // A(1)→B(2), B→A, B→C(3); C dangles
-  private def edges = Seq((1L, 2L), (2L, 1L), (2L, 3L))
-    .toDF("src", "dst")
-
-  private def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
-    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-
-  test("hand-computed supersteps (unit/N start, div arithmetic)") {
-    // r0 = 1e9/3 = 333333333 each
-    assert(ranks(Graph.pageRank(edges, iters = 0)) ===
-      Map(1L -> 333333333L, 2L -> 333333333L, 3L -> 333333333L))
-    // base = 3e9/20/3 = 50000000
-    // contribs: A←B/2=166666666, B←A=333333333, C←B/2=166666666
-    // r1(A) = 50000000 + 17*166666666 div 20 = 191666666
-    // r1(B) = 50000000 + 17*333333333 div 20 = 333333333
-    assert(ranks(Graph.pageRank(edges, iters = 1)) ===
-      Map(1L -> 191666666L, 2L -> 333333333L, 3L -> 191666666L))
+  private def df3(rows: (Long, Long, Long)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("src", "dst", "w")
   }
 
-  test("duplicate and null edges collapse/drop; dangling mass is not redistributed") {
-    val noisy = edges
-      .unionByName(Seq((1L, 2L)).toDF("src", "dst")) // dup
-      .unionByName(Seq((Option.empty[Long], Option(9L)))
-        .toDF("src", "dst")) // null src
-    assert(ranks(Graph.pageRank(noisy, iters = 1)) ===
-      ranks(Graph.pageRank(edges, iters = 1)))
-    // C dangles: total mass after an iteration is below 1e9 (leak is
-    // documented, ordering is what matters)
-    val total = ranks(Graph.pageRank(edges, iters = 2)).values.sum
-    assert(total < 1000000000L)
-  }
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.mkString("|")).toSeq.sorted
 
-  test("bit-exact determinism across runs and partitionings") {
-    val a = ranks(Graph.pageRank(edges.repartition(7), iters = 3))
-    val b = ranks(Graph.pageRank(edges.repartition(2), iters = 3))
-    assert(a === b)
-  }
-
-  test("triangle counts: hand graph, dedup/self-loop/reverse handling, zeros kept") {
-    // triangles {1,2,3} and {2,3,4}; 5–6 is triangle-free
-    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
-      (5L, 6L),
-      (3L, 2L), // reverse duplicate
-      (2L, 2L), // self loop
-      (1L, 2L)) // duplicate
-      .toDF("src", "dst")
-    val got = Graph.triangleCounts(e).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L,
-      5L -> 0L, 6L -> 0L))
-    // no quadratic operator in the plan (wedge join is equi on u)
-    val plan = Graph.triangleCounts(e)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"), plan)
-  }
-
-  test("BFS hops: hand graph, depth bound, unreachable as NULL") {
-    // 1→2→3→4, 5→4, 6 isolated-ish (6→6 self loop keeps it a node)
-    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 4L), (6L, 6L))
-      .toDF("src", "dst")
+  test("shortestPaths: cheapest path within the superstep budget") {
+    import spark.implicits._
+    val edges = df3((1L, 2L, 3L), (2L, 3L, 1L), (1L, 3L, 10L),
+      (3L, 4L, 2L), (6L, 7L, 9L))
     val src = Seq(1L).toDF("id")
-    def hops(iters: Int): Map[Long, Option[Long]] =
-      Graph.shortestHops(e, src, iters).collect()
-        .map(r => r.getLong(0) ->
-          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
-    assert(hops(4) === Map(1L -> Some(0L), 2L -> Some(1L),
-      3L -> Some(2L), 4L -> Some(3L), 5L -> None, 6L -> None))
-    // depth bound: 2 supersteps cannot reach node 4
-    assert(hops(2)(4L) === None)
-    // multi-source takes the min
-    val multi = Graph.shortestHops(e, Seq(1L, 5L).toDF("id"), 4)
+    val got = Graph.shortestPaths(edges, src, iters = 3)
       .collect().map(r => r.getLong(0) ->
-        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
-    assert(multi(4L) === Some(1L)) // via 5, not the 3-hop path via 1
+        (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    // 1→2→3 (4) beats 1→3 (10); 4 via 3; 6/7 unreachable
+    assert(got === Map(1L -> 0L, 2L -> 3L, 3L -> 4L, 4L -> 6L,
+      6L -> null, 7L -> null))
+    // a ONE-superstep budget sees only the direct edge to 3
+    val one = Graph.shortestPaths(edges, src, iters = 1)
+      .filter(col("id") === 3L).collect()(0).getLong(1)
+    assert(one === 10L)
+    // parallel edges collapse to the cheapest
+    val par = Graph.shortestPaths(
+      df3((1L, 2L, 9L), (1L, 2L, 4L)), src, iters = 1)
+      .filter(col("id") === 2L).collect()(0).getLong(1)
+    assert(par === 4L)
+    // negative and oversized weights refuse loudly
+    val e1 = intercept[IllegalArgumentException](
+      Graph.shortestPaths(df3((1L, 2L, -1L)), src, 1).collect())
+    assert(e1.getMessage.contains("weights"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Graph.shortestPaths(df3((1L, 2L, 2000000000L)), src, 1).collect())
+    assert(e2.getMessage.contains("weights"), e2.getMessage)
   }
 
-  test("guards: empty graph and bad damping refuse") {
-    val e1 = intercept[IllegalArgumentException](
-      Graph.pageRank(edges.limit(0), iters = 1))
-    assert(e1.getMessage.contains("no nodes"), e1.getMessage)
-    val e2 = intercept[IllegalArgumentException](
-      Graph.pageRank(edges, iters = 1, dampingNum = 21, dampingDen = 20))
-    assert(e2.getMessage.contains("damping"), e2.getMessage)
+  test("connectedComponents labels every endpoint by its component minimum") {
+    import spark.implicits._
+    val edges = df3((1L, 2L, 0L), (2L, 3L, 0L), (7L, 8L, 0L), (9L, 9L, 0L))
+    val got = Graph.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L,
+      8L -> 7L, 9L -> 9L))
+  }
+
+  test("reliable checkpointing: refuses without a dir, then matches local-mode results") {
+    import spark.implicits._
+    val edges = df3((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L),
+      (3L, 4L, 2L), (5L, 4L, 1L))
+    val src = Seq(1L).toDF("id")
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val e = intercept[IllegalArgumentException](
+        Graph.pageRank(edges, 2, reliable = true))
+      assert(e.getMessage.contains("setCheckpointDir"), e.getMessage)
+    }
+    val dir = Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    assert(sortedRows(Graph.pageRank(edges, 3, reliable = true)) ===
+      sortedRows(Graph.pageRank(edges, 3)))
+    assert(sortedRows(Graph.shortestHops(edges, src, 3, reliable = true)) ===
+      sortedRows(Graph.shortestHops(edges, src, 3)))
+    assert(sortedRows(Graph.shortestPaths(edges, src, 3, reliable = true)) ===
+      sortedRows(Graph.shortestPaths(edges, src, 3)))
+    assert(sortedRows(Graph.connectedComponents(edges, reliable = true)) ===
+      sortedRows(Graph.connectedComponents(edges)))
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val docs = (1L to 9L).toDF("doc_id")
+    assert(sortedRows(graft.dedup.Dedup.clusters(docs, pairs,
+        reliable = true)) ===
+      sortedRows(graft.dedup.Dedup.clusters(docs, pairs)))
+    // durable mode really wrote checkpoint data
+    val wrote = new java.io.File(dir).listFiles()
+    assert(wrote != null && wrote.nonEmpty, s"no checkpoint data under $dir")
   }
 }

@@ -98,31 +98,168 @@ class SnapshotsSpec extends SparkSpec {
       docs.filter(col("n_chars") > 500).count())
   }
 
-  test("vacuum collects a crashed commit's orphan files; burned version numbers are never reused") {
+  test("vacuum collects crashed-commit orphans; legacy v2 manifests stay readable") {
     val path = newStore
     Snapshots.commit(docs.filter(col("doc_id") < 100), path) // v1
-    // simulate a crash AFTER manifest write, BEFORE pointer swap:
-    // hand-write manifest v2 over data the pointer never saw
+    // a LEGACY (round-9 format) v2 manifest hand-written into the
+    // store: no partition line, schema on line 2. Exclusive-create
+    // commits treat any manifest on disk as committed, and the v2
+    // format must read (back-compat: format v3 added a read path for
+    // v1/v2, never a break)
     docs.filter(col("doc_id") >= 100).write
-      .parquet(s"$path/data/c-crashed")
-    val crashedFiles = new java.io.File(s"$path/data/c-crashed")
+      .parquet(s"$path/data/c-legacy")
+    val legacyFiles = new java.io.File(s"$path/data/c-legacy")
       .listFiles().filter(_.getName.endsWith(".parquet"))
-      .map(f => s"data/c-crashed/${f.getName}").sorted
+      .map(f => s"data/c-legacy/${f.getName}").sorted
     val manifest =
-      ("graft-snapshot-v2" +: docs.schema.json +: crashedFiles.toSeq) :+ ""
+      ("graft-snapshot-v2" +: docs.schema.json +: legacyFiles.toSeq) :+ ""
     Files.writeString(
       java.nio.file.Paths.get(s"$path/_manifests/v000000002.manifest"),
       manifest.mkString("\n"))
-    // pointer still at v1; the next commit must burn past 2
-    assert(Snapshots.latestVersion(spark, path) === Some(1L))
+    // the manifest IS the commit: v2 is latest and reads through the
+    // v2-format fallback
+    assert(Snapshots.latestVersion(spark, path) === Some(2L))
+    assert(Snapshots.read(spark, path).count() ===
+      docs.filter(col("doc_id") >= 100).count())
+    // the next commit claims v3 on top of it
     val v = Snapshots.commit(docs, path)
     assert(v === 3L)
-    // the uncommitted manifest still protects its files from vacuum
+    // every manifest on disk protects its files from vacuum
     assert(Snapshots.vacuum(spark, path) === 0)
-    // a commit dir with NO manifest at all is pure garbage
+    // a crash BEFORE the manifest publish leaves a commit dir no
+    // manifest names - pure garbage, collected
     docs.limit(5).write.parquet(s"$path/data/c-orphan")
     assert(Snapshots.vacuum(spark, path) > 0)
     assert(!new java.io.File(s"$path/data/c-orphan").exists())
+    // an abandoned _tmp_ manifest (crash mid-activate of the hint)
+    // is not a version
+    Files.writeString(java.nio.file.Paths.get(
+      s"$path/_manifests/_tmp_v000000009.manifest"), "junk")
+    assert(Snapshots.latestVersion(spark, path) === Some(3L))
+  }
+
+  test("legacy v1 manifests (no schema line) read via footer inference") {
+    val path = newStore
+    docs.write.parquet(s"$path/data/c-v1era")
+    val files = new java.io.File(s"$path/data/c-v1era")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => s"data/c-v1era/${f.getName}").sorted
+    Files.createDirectories(
+      java.nio.file.Paths.get(s"$path/_manifests"))
+    Files.writeString(
+      java.nio.file.Paths.get(s"$path/_manifests/v000000001.manifest"),
+      (("graft-snapshot-v1" +: files.toSeq) :+ "").mkString("\n"))
+    val got = Snapshots.read(spark, path)
+    assert(got.count() === docs.count())
+    assert(got.columns.sorted === docs.columns.sorted)
+    // the first modern commit persists a v3 manifest on top; appends
+    // carry the legacy files forward
+    Snapshots.commitAppend(
+      docs.limit(3).select((-col("doc_id") - 1).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars")), path)
+    assert(Snapshots.read(spark, path).count() === docs.count() + 3)
+  }
+
+  test("concurrent appends: the publish loser rebases and both survive") {
+    val path = newStore
+    Snapshots.commit(docs.filter(col("doc_id") % 3 === 0), path)
+    // deterministic interleave: while append A sits between its data
+    // write and its manifest publish, append B lands a full commit -
+    // A's first claim fails and it must rebase onto B's files
+    val interloper = docs.filter(col("doc_id") % 3 === 1)
+    Snapshots.onBeforePublish = () => {
+      Snapshots.onBeforePublish = () => ()
+      Snapshots.commitAppend(interloper, path)
+      ()
+    }
+    try Snapshots.commitAppend(docs.filter(col("doc_id") % 3 === 2), path)
+    finally Snapshots.onBeforePublish = () => ()
+    assert(Snapshots.versions(spark, path) === Seq(1L, 2L, 3L))
+    val got = Snapshots.read(spark, path)
+    assert(got.count() === docs.count())
+    assert(got.exceptAll(docs).count() === 0L)
+  }
+
+  test("genuinely parallel appends from many threads all survive") {
+    val path = newStore
+    Snapshots.commit(docs.filter(col("doc_id") % 5 === 0), path)
+    val threads = (1 to 4).map { r =>
+      new Thread(() => {
+        Snapshots.commitAppend(docs.filter(col("doc_id") % 5 === r), path)
+        ()
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(Snapshots.versions(spark, path).size === 5)
+    val got = Snapshots.read(spark, path)
+    assert(got.count() === docs.count())
+    assert(got.exceptAll(docs).count() === 0L)
+  }
+
+  test("a concurrent commit refuses merge/delete/compact/overwrite (no lost updates)") {
+    val path = newStore
+    Snapshots.commit(docs, path)
+    def interleaveAppend(): Unit = {
+      Snapshots.onBeforePublish = () => {
+        Snapshots.onBeforePublish = () => ()
+        Snapshots.commitAppend(
+          docs.limit(2).select((-col("doc_id") - 500).as("doc_id"),
+            col("text"), col("lang"), col("source"), col("n_chars")), path)
+        ()
+      }
+    }
+    val updates = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", upper(col("text")))
+      .select(docs.columns.map(col).toSeq: _*)
+    interleaveAppend()
+    val e1 = intercept[java.util.ConcurrentModificationException](
+      try Snapshots.merge(spark, path, updates, Seq("doc_id"))
+      finally Snapshots.onBeforePublish = () => ())
+    assert(e1.getMessage.contains("concurrent commit"), e1.getMessage)
+    interleaveAppend()
+    val e2 = intercept[java.util.ConcurrentModificationException](
+      try Snapshots.deleteWhere(spark, path, col("n_chars") < 300)
+      finally Snapshots.onBeforePublish = () => ())
+    assert(e2.getMessage.contains("concurrent commit"), e2.getMessage)
+    interleaveAppend()
+    val e3 = intercept[java.util.ConcurrentModificationException](
+      try Snapshots.compact(spark, path, targetFileBytes = 16L << 10,
+        sortBy = Seq("doc_id"))
+      finally Snapshots.onBeforePublish = () => ())
+    assert(e3.getMessage.contains("concurrent commit"), e3.getMessage)
+    interleaveAppend()
+    val e4 = intercept[java.util.ConcurrentModificationException](
+      try Snapshots.commit(docs.limit(5), path)
+      finally Snapshots.onBeforePublish = () => ())
+    assert(e4.getMessage.contains("concurrent commit"), e4.getMessage)
+    // the refused mutations left NO versions and NO stray data files
+    // beyond the interleaved appends (their fresh files were deleted)
+    assert(Snapshots.versions(spark, path).size === 5)
+    assert(Snapshots.vacuum(spark, path) === 0)
+    // after re-reading, the same merge applies cleanly
+    val v = Snapshots.merge(spark, path, updates, Seq("doc_id"))
+    assert(v === 6L)
+    assert(Snapshots.read(spark, path)
+      .filter(col("doc_id") % 10 === 0 && col("doc_id") >= 0 &&
+        col("text") =!= upper(col("text"))).count() === 0L)
+  }
+
+  test("merge and deleteKeys refuse NULL keys loudly") {
+    val path = newStore
+    Snapshots.commit(docs, path)
+    val nullKeyed = docs.limit(1)
+      .select(lit(null).cast("long").as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val e1 = intercept[IllegalArgumentException](
+      Snapshots.merge(spark, path, nullKeyed, Seq("doc_id")))
+    assert(e1.getMessage.contains("NULL"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.deleteKeys(spark, path,
+        nullKeyed.select("doc_id"), Seq("doc_id")))
+    assert(e2.getMessage.contains("NULL"), e2.getMessage)
+    // nothing committed by either refusal
+    assert(Snapshots.versions(spark, path) === Seq(1L))
   }
 
   test("streaming ingestion: one append commit per micro-batch, v1 pinned") {
@@ -709,6 +846,146 @@ class SnapshotsSpec extends SparkSpec {
     val doomed = docs.filter(col("doc_id") % 10 === 7).select("doc_id")
     val v3 = Snapshots.deleteKeys(spark, path, doomed, Seq("doc_id"))
     assert(Snapshots.deleteKeys(spark, path, doomed, Seq("doc_id")) === v3)
+  }
+
+  test("mergeUpdate: named columns only, matched-condition, unmatched insert") {
+    val path = newStore
+    Snapshots.commit(docs, path)
+    // update ONLY text (n_chars/lang/source must survive), and only
+    // where the TARGET row's n_chars >= 300
+    val updates = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), upper(col("text")).as("text"))
+    Snapshots.mergeUpdate(spark, path, updates, Seq("doc_id"),
+      Seq("text"), condition = Some(col("n_chars") >= 300))
+    val got = Snapshots.read(spark, path)
+    assert(got.count() === docs.count())
+    val want = docs.select(col("doc_id"),
+      when(col("doc_id") % 10 === 0 && col("n_chars") >= 300,
+        upper(col("text"))).otherwise(col("text")).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+    // unmatched keys are IGNORED without insertUnmatched ...
+    val strays = docs.limit(2)
+      .select((-col("doc_id") - 1).as("doc_id"), col("text"))
+    val v = Snapshots.mergeUpdate(spark, path, strays, Seq("doc_id"),
+      Seq("text"))
+    assert(Snapshots.read(spark, path).count() === docs.count())
+    // (and matching nothing at all commits nothing)
+    assert(Snapshots.mergeUpdate(spark, path, strays, Seq("doc_id"),
+      Seq("text")) === v)
+    // ... and INSERT with NULL-filled unset columns when asked
+    Snapshots.mergeUpdate(spark, path, strays, Seq("doc_id"),
+      Seq("text"), insertUnmatched = true)
+    val after = Snapshots.read(spark, path)
+    assert(after.count() === docs.count() + 2)
+    assert(after.filter(col("doc_id") < 0 && col("lang").isNull &&
+      col("n_chars").isNull).count() === 2L)
+  }
+
+  test("mergeUpdate refuses extra columns, key-as-set, dup and NULL keys") {
+    val path = newStore
+    Snapshots.commit(docs, path)
+    val e1 = intercept[IllegalArgumentException](
+      Snapshots.mergeUpdate(spark, path,
+        docs.select("doc_id", "text", "lang"), Seq("doc_id"), Seq("text")))
+    assert(e1.getMessage.contains("neither key nor set"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.mergeUpdate(spark, path, docs.select("doc_id"),
+        Seq("doc_id"), Seq("doc_id")))
+    assert(e2.getMessage.contains("both key and set"), e2.getMessage)
+    val dup = docs.limit(1).select("doc_id", "text")
+    val e3 = intercept[IllegalArgumentException](
+      Snapshots.mergeUpdate(spark, path, dup.unionByName(dup),
+        Seq("doc_id"), Seq("text")))
+    assert(e3.getMessage.contains("duplicate"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException](
+      Snapshots.mergeUpdate(spark, path,
+        docs.limit(1).select(lit(null).cast("long").as("doc_id"),
+          col("text")), Seq("doc_id"), Seq("text")))
+    assert(e4.getMessage.contains("NULL"), e4.getMessage)
+    // type drift on a set column refuses before any write
+    val e5 = intercept[IllegalArgumentException](
+      Snapshots.mergeUpdate(spark, path,
+        docs.limit(1).select(col("doc_id"),
+          col("n_chars").cast("string").as("n_chars")),
+        Seq("doc_id"), Seq("n_chars")))
+    assert(e5.getMessage.contains("cast before mutating"), e5.getMessage)
+    assert(Snapshots.versions(spark, path) === Seq(1L))
+  }
+
+  test("mergeUpdate rewrites only files holding a matched key") {
+    val path = newStore
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path)
+    val evenFiles = dataFiles(path).toSet
+    Snapshots.commitAppend(docs.filter(col("doc_id") % 2 === 1), path)
+    val updates = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), upper(col("text")).as("text"))
+    Snapshots.mergeUpdate(spark, path, updates, Seq("doc_id"), Seq("text"))
+    assert(evenFiles.subsetOf(dataFiles(path).toSet))
+    val got = Snapshots.read(spark, path)
+    assert(got.filter(col("doc_id") % 2 === 1 &&
+      col("text") =!= upper(col("text"))).count() === 0L)
+    assert(got.filter(col("doc_id") % 2 === 0 && col("n_chars").isNull)
+      .count() === 0L)
+  }
+
+  test("partitioned store: Hive layout, manifest-level partition pruning") {
+    val path = newStore
+    val parted = docs.withColumn("bucket", col("doc_id") % 4)
+    Snapshots.commit(parted, path, partitionBy = Seq("bucket"))
+    // files live under bucket=N dirs and read back complete
+    val got = Snapshots.read(spark, path)
+    assert(got.count() === docs.count())
+    assert(got.columns.contains("bucket"))
+    assert(got.filter(col("bucket") =!= col("doc_id") % 4).count() === 0L)
+    // a one-partition range scan keeps ONLY that partition's files -
+    // proved from the manifest alone, no footer logic involved
+    val (kept, total) = Snapshots.prunedEntries(spark, path, "bucket", 2, 2)
+    assert(total >= 4, s"want >=4 partition files, got $total")
+    assert(kept.nonEmpty && kept.size < total,
+      s"partition prune kept ${kept.size}/$total")
+    assert(kept.forall(_.contains("bucket=2")), kept.mkString("\n"))
+    val one = Snapshots.readBetween(spark, path, "bucket", 2, 2)
+    assert(one.count() === docs.filter(col("doc_id") % 4 === 2).count())
+    // appends inherit the partition spec
+    val extra = docs.limit(3)
+      .select((-col("doc_id") - 1).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      .withColumn("bucket", lit(7L))
+    Snapshots.commitAppend(extra, path)
+    assert(Snapshots.read(spark, path).count() === docs.count() + 3)
+    val (kept7, _) = Snapshots.prunedEntries(spark, path, "bucket", 7, 7)
+    assert(kept7.nonEmpty && kept7.forall(_.contains("bucket=7")))
+  }
+
+  test("partitioned store: merge, deleteKeys and compact keep the layout") {
+    val path = newStore
+    val parted = docs.withColumn("bucket", col("doc_id") % 4)
+    Snapshots.commit(parted, path, partitionBy = Seq("bucket"))
+    val updates = parted.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", upper(col("text")))
+      .select(parted.columns.map(col).toSeq: _*)
+    Snapshots.merge(spark, path, updates, Seq("doc_id"))
+    val afterMerge = Snapshots.read(spark, path)
+    assert(afterMerge.count() === docs.count())
+    assert(afterMerge.filter(col("doc_id") % 10 === 0 &&
+      col("text") =!= upper(col("text"))).count() === 0L)
+    // rewritten files still carry Hive partition dirs (pruning works)
+    val (kept, total) = Snapshots.prunedEntries(spark, path, "bucket", 1, 1)
+    assert(kept.size < total && kept.forall(_.contains("bucket=1")))
+    Snapshots.deleteKeys(spark, path,
+      parted.filter(col("doc_id") % 10 === 3).select("doc_id"),
+      Seq("doc_id"))
+    assert(Snapshots.read(spark, path).count() ===
+      docs.count() - docs.filter(col("doc_id") % 10 === 3).count())
+    // compaction keeps partition dirs and rows
+    Snapshots.compact(spark, path, targetFileBytes = 1L << 30)
+    val compacted = Snapshots.read(spark, path)
+    assert(compacted.count() ===
+      docs.count() - docs.filter(col("doc_id") % 10 === 3).count())
+    val (keptC, totalC) = Snapshots.prunedEntries(spark, path, "bucket", 0, 0)
+    assert(keptC.size < totalC && keptC.forall(_.contains("bucket=0")))
   }
 
   test("the store is relocatable (relative manifest paths)") {
