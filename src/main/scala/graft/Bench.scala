@@ -1,5 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-query physical-cost accumulator: shuffle read/write bytes and
+  * the peak per-task execution memory, from task-end metrics. These
+  * make PLAN regressions visible even when wall-time noise hides
+  * them — an avoidable exchange shows up as a shuffle-bytes jump at
+  * any machine load, where a 10% wall-time delta might be the box.
+  */
+private final class QueryMetricsListener
+  extends org.apache.spark.scheduler.SparkListener {
+  private val sr = new java.util.concurrent.atomic.AtomicLong
+  private val sw = new java.util.concurrent.atomic.AtomicLong
+  private val peak = new java.util.concurrent.atomic.AtomicLong
+  override def onTaskEnd(
+      e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m != null) {
+      sr.addAndGet(m.shuffleReadMetrics.localBytesRead +
+        m.shuffleReadMetrics.remoteBytesRead)
+      sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      peak.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+      ()
+    }
+  }
+  def reset(): Unit = { sr.set(0L); sw.set(0L); peak.set(0L) }
+  def snapshot: (Long, Long, Long) = (sr.get, sw.get, peak.get)
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -24,18 +51,31 @@ object Bench {
     def loadAvg(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadAvg()
-    def pass(): Seq[(String, Double, Option[String])] = {
+    val metrics = new QueryMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+    def pass(): Seq[(String, Double, Option[String], (Long, Long, Long))] = {
       spark.catalog.clearCache()
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // drain the async listener bus around each query so its task
+        // metrics are attributed to IT, not its neighbor
+        org.apache.spark.graft.ListenerFlush.waitUntilEmpty(
+          spark.sparkContext)
+        metrics.reset()
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None } catch {
           case e: Throwable =>
             Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
         }
-        (name, (System.nanoTime() - t0) / 1e9, err)
+        val dt = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.graft.ListenerFlush.waitUntilEmpty(
+          spark.sparkContext)
+        (name, dt, err, metrics.snapshot)
       }
     }
     val (p1, p2) = (pass(), pass())
+    // physical costs are plan properties: both passes agree up to
+    // cache effects, so report the steady-state (second) pass
+    val physical = p2.map(r => r._1 -> r._4).toMap
     // a crashed query must surface as an ERROR, not a fake timing — a
     // round where N queries crash at analysis would otherwise report a
     // plausible (and meaninglessly small) total. Errored queries are
@@ -43,12 +83,12 @@ object Bench {
     // cover successful queries only, n_queries counts attempts, and
     // the errors map carries the failures.
     val errors = p1.zip(p2).collect {
-      case ((n, _, e1), (_, _, e2)) if e1.orElse(e2).isDefined =>
+      case ((n, _, e1, _), (_, _, e2, _)) if e1.orElse(e2).isDefined =>
         n -> e1.orElse(e2).get
     }
     val failed = errors.map(_._1).toSet
     val results = p1.zip(p2).collect {
-      case ((n, a, _), (_, b, _)) if !failed.contains(n) =>
+      case ((n, a, _, _), (_, b, _, _)) if !failed.contains(n) =>
         n -> math.min(a, b) }
     val nAttempted = p1.size
     val loadEnd = loadAvg()
@@ -80,7 +120,19 @@ object Bench {
       } + "\""
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    val line = s"""{"queries":$qs,"n_queries":$nAttempted,""" +
+    // physical-cost maps (pass 2, listener-bus-exact): shuffle bytes
+    // read/written and peak per-task execution memory per query. They
+    // lead the line (least critical under tail truncation; the full
+    // copy lands in bench_local.json regardless).
+    def physJson(pick: ((Long, Long, Long)) => Long): String =
+      results.sortBy(_._2).map { case (k, _) =>
+        s"\"$k\":${physical.get(k).map(pick).getOrElse(0L)}" }
+        .mkString("{", ",", "}")
+    val shuffleJson =
+      s""""shuffle_read":${physJson(_._1)},""" +
+      s""""shuffle_write":${physJson(_._2)},""" +
+      s""""peak_mem":${physJson(_._3)},"""
+    val line = s"""{$shuffleJson"queries":$qs,"n_queries":$nAttempted,""" +
       s""""batch_sec":${fmt(total - stream.map(_._2).sum)},""" +
       s""""stream_sec":${fmt(stream.map(_._2).sum)},""" +
       s""""n_stream":${stream.size},""" +
@@ -101,6 +153,7 @@ object Bench {
           s"${sys.props("user.dir")}/bench_local.json"))
       java.nio.file.Files.write(p,
         (s"""{"metric":"total","value":$total,"unit":"sec",""" +
+          s"""$shuffleJson""" +
           s""""n_queries":$nAttempted,"sf":"$sfDir",""" +
           s""""batch_sec":${total - stream.map(_._2).sum},""" +
           s""""stream_sec":${stream.map(_._2).sum},""" +

@@ -365,6 +365,30 @@ private[graft] object QueriesIo {
         decode(col("frame"), "UTF-8").as("chunk"))
   }
 
+  /** Real MP4 (ISO-BMFF) container demux through the
+    * [[Multimodal.FrameCodec]] seam: each document's text bytes
+    * become the video-track samples of a muxed MP4
+    * ([[Multimodal.mp4Mux]], 48 bytes per sample, two samples per
+    * chunk so the stsc run table is genuinely walked), and
+    * [[Multimodal.mp4FrameCodec]] reconstructs them from the
+    * stsz/stsc/stco sample tables — the oracle replays the demux as
+    * substring arithmetic, the `q_avi_frames` pattern for the
+    * container most real video corpora arrive in.
+    */
+  def mp4Frames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        (id, Multimodal.mp4Mux(bytes.grouped(48).toSeq)) }
+      .toDF("media_id", "payload")
+    Multimodal.decodeFrames(media, Multimodal.mp4FrameCodec,
+      maxFrames = 4, step = 2)
+      .select(col("media_id"), col("frame_no"),
+        decode(col("frame"), "UTF-8").as("chunk"))
+  }
+
   /** Salted skew-join: events fact × user dimension, 8 salts; result
     * must equal the plain join (salting only reshapes the shuffle).
     */
@@ -516,6 +540,31 @@ private[graft] object QueriesIo {
     val first = ev.agg(min("ym")).collect()(0).getLong(0)
     graft.io.Snapshots.readBetween(s, path, "ym",
       first.toDouble, first.toDouble)
+      .select("event_id", "user_id", "value", "ym")
+  }
+
+  /** Dynamic partition overwrite
+    * ([[graft.io.Snapshots.replacePartitions]]): the reference's
+    * idempotent monthly rerun (T4,
+    * `conte-etl-step-2-manager.py:817-821`) at table-format level —
+    * recompute ONE month (values doubled here), atomically replace
+    * exactly that month's partition, touch nothing else. Untouched
+    * months carried by reference (zero IO; SnapshotsSpec pins the
+    * files byte-identical); oracle: CASE on the month key.
+    */
+  def snapshotReplace(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "snap_rp")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      col("value"),
+      (year(col("ts")) * 100 + month(col("ts"))).cast("long").as("ym"))
+    graft.io.Snapshots.commit(ev, path, partitionBy = Seq("ym"))
+    val first = ev.agg(min("ym")).collect()(0).getLong(0)
+    val corrected = ev.filter(col("ym") === first)
+      .withColumn("value", col("value") * 2.0)
+      .select("event_id", "user_id", "value", "ym")
+    graft.io.Snapshots.replacePartitions(corrected, path)
+    graft.io.Snapshots.read(s, path)
       .select("event_id", "user_id", "value", "ym")
   }
 
@@ -704,6 +753,26 @@ private[graft] object QueriesIo {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** The snapshot store as a STREAMING SOURCE
+    * ([[Streams.snapshotSource]] / [[graft.streaming.SnapshotSource]]):
+    * commit the even half, append the odd half, then stream the table
+    * — version-offset batches through the manifest FileIndex, full
+    * snapshot first, O(delta-files) increments after (SnapshotsSpec
+    * pins the incremental/restart/refusal behavior; here the
+    * catch-up read must equal the whole table).
+    */
+  def streamSnapshotSource(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val store =
+      graft.io.Scratch.dir("graft_snap_source_").toString + "/tbl"
+    graft.io.Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), store)
+    graft.io.Snapshots.commitAppend(
+      docs.filter(col("doc_id") % 2 === 1), store)
+    Streams.runToTable(Streams.snapshotSource(s, store),
+      tableName(dir, "strm_snapsrc"), OutputMode.Append())
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** Incremental snapshot read: after commit(even) + append(odd), the
     * v1→v2 delta is exactly the odd half, read from the delta FILES
     * alone — the poll-the-table-for-what-arrived contract.
@@ -725,6 +794,7 @@ private[graft] object QueriesIo {
     "q_snapshot_merge" -> (snapshotMerge _),
     "q_snapshot_merge_cols" -> (snapshotMergeCols _),
     "q_snapshot_partition" -> (snapshotPartition _),
+    "q_snapshot_replace" -> (snapshotReplace _),
     "q_snapshot_delete" -> (snapshotDelete _),
     "q_snapshot_compact" -> (snapshotCompact _),
     "q_snapshot_evolve" -> (snapshotEvolve _),
@@ -734,6 +804,7 @@ private[graft] object QueriesIo {
     "q_stream_upsert" -> (streamUpsert _),
     "q_stream_cdc" -> (streamCdc _),
     "q_stream_snapshot" -> (streamSnapshot _),
+    "q_snapshot_source" -> (streamSnapshotSource _),
     "q_snapshot_read" -> (snapshotRead _),
     "q_snapshot_rollback" -> (snapshotRollback _),
     "q_range_layout" -> (rangeLayout _),
@@ -750,6 +821,7 @@ private[graft] object QueriesIo {
     "q_media_chunks" -> (mediaChunks _),
     "q_wav_frames" -> (wavFrames _),
     "q_avi_frames" -> (aviFrames _),
+    "q_mp4_frames" -> (mp4Frames _),
     "q_salted_join" -> (saltedJoin _),
     "q_stream_join" -> (streamStreamJoin _),
     "q_stream_left_join" -> (streamLeftJoin _),
@@ -775,6 +847,8 @@ private[graft] object QueriesIo {
     "q_snapshot_rollback" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q_stream_snapshot" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "q_snapshot_source" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q_snapshot_changes" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
@@ -810,6 +884,15 @@ private[graft] object QueriesIo {
            FROM events)
          SELECT event_id, user_id, value, ym FROM e
          WHERE ym = (SELECT min(ym) FROM e)""",
+    "q_snapshot_replace" ->
+      """WITH e AS (
+           SELECT event_id, user_id, value,
+                  CAST(year(ts) * 100 + month(ts) AS BIGINT) AS ym
+           FROM events)
+         SELECT event_id, user_id,
+                CASE WHEN ym = (SELECT min(ym) FROM e)
+                     THEN value * 2 ELSE value END AS value, ym
+         FROM e""",
     "q_snapshot_delete" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          WHERE NOT coalesce(n_chars < 300, FALSE)""",
@@ -960,6 +1043,12 @@ private[graft] object QueriesIo {
          CROSS JOIN (SELECT unnest([0, 2]) AS f)
          WHERE text IS NOT NULL AND length(text) > f * 32""",
     "q_avi_frames" ->
+      """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_no,
+           substr(text, f * 48 + 1, 48) AS chunk
+         FROM documents
+         CROSS JOIN (SELECT unnest([0, 2]) AS f)
+         WHERE text IS NOT NULL AND length(text) > f * 48""",
+    "q_mp4_frames" ->
       """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_no,
            substr(text, f * 48 + 1, 48) AS chunk
          FROM documents

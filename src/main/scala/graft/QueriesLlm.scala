@@ -617,6 +617,46 @@ private[graft] object QueriesLlm {
     TextAnalysis.bm25TopKIndexed(s, idx, q, 10)
   }
 
+  /** Streaming tombstone deletes for the persisted BM25 index: the
+    * corpus streams in as two add batches ([[Streams.bm25IndexStream]]
+    * — build then append), then a CDC delete stream
+    * ([[Streams.bm25IndexCdcStream]], op='d' rows) tombstones every
+    * doc_id % 3 == 0 through the same file-source machinery. Serving
+    * must equal a scan over the survivors alone — scores included
+    * (idf/avgdl forget the deleted third immediately), with no
+    * rebuild and no consistency window.
+    */
+  def streamIndexDeleteQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val staged = graft.io.Scratch.dir("graft_stream_idxdel_docs_")
+    Seq(("even", col("doc_id") % 2 === 0),
+        ("odd", col("doc_id") % 2 === 1)).foreach { case (name, pred) =>
+      graft.io.Scratch.stageSingleParquetFile(
+        docs.filter(pred), staged, s"$name.parquet")
+    }
+    val idx = graft.io.Scratch.dir("graft_stream_idxdel_").toString
+    Streams.bm25IndexStream(
+      Streams.fileStream(s, staged.toString, Streams.DocsRawSchema,
+        maxFilesPerTrigger = Some(1)),
+      idx)
+    val delStaged = graft.io.Scratch.dir("graft_stream_idxdel_ops_")
+    val cdcSchema = org.apache.spark.sql.types.StructType(
+      Streams.DocsRawSchema.fields :+
+        org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.StringType))
+    graft.io.Scratch.stageSingleParquetFile(
+      docs.filter(col("doc_id") % 3 === 0)
+        .select(docs.columns.map(col).toSeq: _*)
+        .withColumn("op", lit("d")),
+      delStaged, "deletes.parquet")
+    Streams.bm25IndexCdcStream(
+      Streams.fileStream(s, delStaged.toString, cdcSchema,
+        maxFilesPerTrigger = Some(1)), idx)
+    val q = Bm25QueryFixture.toDF("query_id", "qtext")
+    TextAnalysis.bm25TopKIndexed(s, idx, q, 10)
+  }
+
   /** Index-lifecycle capstone: build half, append the rest
     * incrementally, COMPACT the accumulated small files, then serve —
     * the full build → update → compact → query cycle a production
@@ -918,6 +958,7 @@ private[graft] object QueriesLlm {
     "q_bm25_compact" -> (bm25CompactQ _),
     "q_bm25_delete" -> (bm25DeleteQ _),
     "q_stream_index" -> (streamIndexQ _),
+    "q_stream_index_delete" -> (streamIndexDeleteQ _),
     "q_stream_ivf" -> (streamIvfQ _),
     "q_hybrid_rrf" -> (hybridRrfQ _),
     "q_shuffle_shards" -> (shuffleShardsQ _),
@@ -1700,6 +1741,13 @@ private[graft] object QueriesLlm {
     // two-batch streaming ingestion must serve the whole corpus
     "q_stream_index" ->
       s"""WITH $Bm25Ctes
+          SELECT query_id, doc_id,
+            round(CAST(s AS DOUBLE) / 1000000.0, 6) AS score,
+            CAST(rank AS BIGINT) AS rank
+          FROM rk WHERE rank <= 10""",
+    // streamed tombstones: serving truth is the surviving two-thirds
+    "q_stream_index_delete" ->
+      s"""WITH ${bm25Ctes("doc_id % 3 <> 0")}
           SELECT query_id, doc_id,
             round(CAST(s AS DOUBLE) / 1000000.0, 6) AS score,
             CAST(rank AS BIGINT) AS rank

@@ -519,49 +519,90 @@ object Snapshots {
           dt, Option(tz)).eval(null)
     }
 
+  /** Build the scan relation for a set of manifest entries —
+    * [[SnapshotFileIndex]] under a `HadoopFsRelation`: the manifest
+    * IS the file index (partition values and byte sizes come from
+    * the entries, never from directory listing or file stats), so
+    * planning costs zero filesystem metadata calls and Catalyst
+    * partition pruning works across commit generations where
+    * Hive-style directory inference structurally cannot.
+    * Unpartitioned stores are the one-partition degenerate case of
+    * the same path. Also the relation behind [[SnapshotSource]]'s
+    * streaming batches.
+    */
+  private[graft] def entriesRelation(spark: SparkSession, path: String,
+                                     schema: StructType,
+                                     partCols: Seq[String],
+                                     entries: Seq[String])
+      : org.apache.spark.sql.sources.BaseRelation = {
+    val partitionSchema = StructType(partCols.map(c => schema(c)))
+    val dataSchema =
+      StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val f = fs(spark, path)
+    val qualBase = f.makeQualified(new Path(path))
+    val parts = entries
+      .groupBy(e => partCols.map(c => partValsOf(relOf(e)).get(c)))
+      .toSeq
+      .map { case (vals, es) =>
+        val row = InternalRow.fromSeq(partCols.zip(vals).map {
+          case (c, v) => castPartVal(v, schema(c).dataType, tz) })
+        val files = es.map { e =>
+          new FileStatus(entryLen(f, path, e), false, 1, 128L << 20,
+            0L, new Path(qualBase, relOf(e)))
+        }
+        (row, files)
+      }
+    val index = new SnapshotFileIndex(spark, qualBase,
+      partitionSchema, parts)
+    org.apache.spark.sql.execution.datasources
+      .HadoopFsRelation(index, partitionSchema, dataSchema, None,
+        new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetFileFormat, Map.empty)(spark)
+  }
+
   /** Open manifest entries as a DataFrame under the snapshot's
-    * schema. Unpartitioned stores read the explicit file list
-    * directly; partitioned stores go through [[SnapshotFileIndex]] —
-    * the manifest IS the file index (partition values and byte sizes
-    * come from the entries, never from directory listing or file
-    * stats), so Catalyst partition pruning works across commit
-    * generations where Hive-style directory inference structurally
-    * cannot.
+    * schema (manifest column order restored over the relation's
+    * data-then-partition layout).
     */
   private def openEntries(spark: SparkSession, path: String,
                           schema: StructType, partCols: Seq[String],
                           entries: Seq[String]): DataFrame =
-    if (partCols.isEmpty)
-      spark.read.schema(schema)
-        .parquet(entries.map(e => s"$path/${relOf(e)}"): _*)
-    else {
-      val partitionSchema = StructType(partCols.map(c => schema(c)))
-      val dataSchema =
-        StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
-      val tz = spark.sessionState.conf.sessionLocalTimeZone
-      val f = fs(spark, path)
-      val qualBase = f.makeQualified(new Path(path))
-      val parts = entries
-        .groupBy(e => partCols.map(c => partValsOf(relOf(e)).get(c)))
-        .toSeq
-        .map { case (vals, es) =>
-          val row = InternalRow.fromSeq(partCols.zip(vals).map {
-            case (c, v) => castPartVal(v, schema(c).dataType, tz) })
-          val files = es.map { e =>
-            new FileStatus(entryLen(f, path, e), false, 1, 128L << 20,
-              0L, new Path(qualBase, relOf(e)))
-          }
-          (row, files)
-        }
-      val index = new SnapshotFileIndex(spark, qualBase,
-        partitionSchema, parts)
-      val relation = org.apache.spark.sql.execution.datasources
-        .HadoopFsRelation(index, partitionSchema, dataSchema, None,
-          new org.apache.spark.sql.execution.datasources.parquet
-            .ParquetFileFormat, Map.empty)(spark)
-      spark.baseRelationToDataFrame(relation)
-        .select(schema.fieldNames.map(col).toSeq: _*)
-    }
+    spark.baseRelationToDataFrame(
+        entriesRelation(spark, path, schema, partCols, entries))
+      .select(schema.fieldNames.map(col).toSeq: _*)
+
+  /** A committed version's (schema, partition columns, entries) —
+    * the state a reader or streaming source plans against.
+    */
+  private[graft] def stateAt(spark: SparkSession, path: String,
+                             v: Long): (StructType, Seq[String], Seq[String]) = {
+    val m = manifest(fs(spark, path), path, v)
+    (resolveSchema(spark, path, m), m.partCols, m.entries)
+  }
+
+  /** The entries ADDED between two committed versions, with the
+    * destination's schema and partition spec — refusing loudly when
+    * the range is not append-only (an overwrite, rollback or
+    * retention pass dropped files: "added rows" would be a wrong
+    * answer, not an approximation).
+    */
+  private[graft] def appendDelta(spark: SparkSession, path: String,
+                                 fromVersion: Long, toVersion: Long)
+      : (StructType, Seq[String], Seq[String]) = {
+    val f = fs(spark, path)
+    val before = manifest(f, path, fromVersion).entries.map(relOf)
+    val mTo = manifest(f, path, toVersion)
+    val beforeSet = before.toSet
+    val dropped = beforeSet -- mTo.entries.map(relOf).toSet
+    require(dropped.isEmpty,
+      s"snapshot: versions $fromVersion..$toVersion are not append-only " +
+        s"(${dropped.size} files dropped out - an overwrite, rollback " +
+        "or retention pass in the range); read the versions directly " +
+        "and diff rows instead")
+    (resolveSchema(spark, path, mTo), mTo.partCols,
+      mTo.entries.filterNot(e => beforeSet(relOf(e))))
+  }
 
   /** Commit `df` as the new FULL contents of the table (overwrite
     * semantics — the new snapshot lists only this commit's files),
@@ -605,6 +646,52 @@ object Snapshots {
       RebaseAppend)
   }
 
+  /** DYNAMIC PARTITION OVERWRITE: atomically replace exactly the
+    * partitions present in `df` — the table-format form of the
+    * reference's idempotent monthly rerun (`conte-etl-step-2-manager
+    * .py`: recompute one month, overwrite that month's directory,
+    * touch nothing else). The new manifest carries every file whose
+    * partition tuple does NOT appear in `df` and adds `df`'s files;
+    * an untouched month costs zero IO, a replayed rerun converges to
+    * the same table (idempotent), and the swap is one commit —
+    * readers see the old month or the new month, never a mix.
+    * Requires a partitioned table; refuses on concurrent commits
+    * like every other rewrite.
+    */
+  def replacePartitions(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    val (v, schema, partCols, all) =
+      currentState(spark, path, "replace partitions of")
+    require(partCols.nonEmpty,
+      s"snapshot: $path is not partitioned - replacePartitions " +
+        "needs partition columns (commit with partitionBy first); " +
+        "use commit for whole-table overwrite")
+    partCols.foreach(c => require(df.columns.contains(c),
+      s"snapshot: partition column $c is missing from the batch " +
+        s"(${df.columns.mkString(", ")})"))
+    requireSameTypes(schema, df.schema, "replacePartitions batch")
+    // the replaced partition tuples, as the ESCAPED directory-name
+    // strings the manifest entries carry — collected once, bounded by
+    // the batch's distinct partition count (the same driver-side
+    // cardinality partitionBy's own dynamic-overwrite planning holds)
+    val doomed: Set[Seq[String]] = df.select(partCols.map(col): _*)
+      .distinct()
+      .collect().map(r => partCols.indices.map { i =>
+        val raw = r.get(i)
+        if (raw == null) org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        else raw.toString
+      }.toSeq: Seq[String]).toSet
+    val carried = all.filterNot { e =>
+      val vals = partValsOf(relOf(e))
+      doomed.contains(partCols.map(c => vals.getOrElse(c,
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .DEFAULT_PARTITION_NAME)))
+    }
+    writeCommit(spark, df, path, carried, schema, partCols, Some(v),
+      RefuseConflict("replacing partitions of"))
+  }
+
   /** Read a snapshot: the latest, or any committed `version` (time
     * travel). The file list comes from the immutable manifest, so the
     * read is consistent whatever commits land meanwhile — and so does
@@ -624,6 +711,35 @@ object Snapshots {
     openEntries(spark, path, resolveSchema(spark, path, m), m.partCols,
       m.entries)
   }
+
+  /** Time travel BY TIMESTAMP — Delta's `timestampAsOf` posture: the
+    * newest version whose manifest file's modification time is at or
+    * before `tsMillis` (commit time IS the manifest's filesystem
+    * mtime — no extra metadata write, and rename/create preserve it
+    * the same way Delta's commit-log files carry theirs). Refuses
+    * when the table has no version that old. "Which corpus was live
+    * when the incident started" without knowing a version number.
+    */
+  def versionAsOf(spark: SparkSession, path: String,
+                  tsMillis: Long): Long = {
+    val f = fs(spark, path)
+    val at = allManifestVersions(f, path)
+      .map(v => v -> f.getFileStatus(manifestPath(path, v))
+        .getModificationTime)
+      .filter(_._2 <= tsMillis)
+    if (at.isEmpty) throw new IllegalArgumentException(
+      s"snapshot: no version of $path existed at or before " +
+        s"${java.time.Instant.ofEpochMilli(tsMillis)} (earliest " +
+        "manifest is newer); use an explicit version instead")
+    at.maxBy(v => (v._2, v._1))._1
+  }
+
+  /** [[read]] at the version live at `tsMillis` — see
+    * [[versionAsOf]].
+    */
+  def readAsOf(spark: SparkSession, path: String,
+               tsMillis: Long): DataFrame =
+    read(spark, path, Some(versionAsOf(spark, path, tsMillis)))
 
   /** The manifest entries a `[lo, hi]` range scan on `column` must
     * read, against the total entry count — the file-skipping decision
@@ -719,22 +835,11 @@ object Snapshots {
               toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"snapshot: changes range is backwards ($fromVersion > $toVersion)")
-    val f = fs(spark, path)
-    val before = manifest(f, path, fromVersion).entries.map(relOf)
-    val mTo = manifest(f, path, toVersion)
-    val after = mTo.entries
-    val dropped = before.toSet -- after.map(relOf).toSet
-    require(dropped.isEmpty,
-      s"snapshot: versions $fromVersion..$toVersion are not append-only " +
-        s"(${dropped.size} files dropped out - an overwrite, rollback " +
-        "or retention pass in the range); read the versions directly " +
-        "and diff rows instead")
-    val beforeSet = before.toSet
-    val fresh = after.filterNot(e => beforeSet(relOf(e)))
+    val (schema, partCols, fresh) =
+      appendDelta(spark, path, fromVersion, toVersion)
     if (fresh.isEmpty)
       read(spark, path, Some(toVersion)).limit(0)
-    else openEntries(spark, path, resolveSchema(spark, path, mTo),
-      mTo.partCols, fresh)
+    else openEntries(spark, path, schema, partCols, fresh)
   }
 
   /** The store-relative manifest entry for a scanned file's
@@ -1074,11 +1179,18 @@ object Snapshots {
     */
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L << 20,
-              sortBy: Seq[String] = Nil): Long = {
+              sortBy: Seq[String] = Nil,
+              zorderBy: Seq[String] = Nil): Long = {
     require(targetFileBytes > 0, "snapshot: targetFileBytes must be positive")
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "snapshot: pick ONE of sortBy (1-D clustering) and zorderBy (2-D)")
+    require(zorderBy.isEmpty || zorderBy.size == 2,
+      s"snapshot: zorderBy takes exactly two columns, got " +
+        s"${zorderBy.mkString(",")}")
     val (v, schema, partCols, all) = currentState(spark, path, "compact")
-    sortBy.foreach(c => require(schema.fieldNames.contains(c),
-      s"snapshot: compact sort column $c is not in the table schema " +
+    (sortBy ++ zorderBy).foreach(c => require(
+      schema.fieldNames.contains(c),
+      s"snapshot: compact cluster column $c is not in the table schema " +
         s"(${schema.fieldNames.mkString(", ")})"))
     val f = fs(spark, path)
     val totalBytes = all.map(e => entryLen(f, path, e)).sum
@@ -1086,20 +1198,41 @@ object Snapshots {
     // an unsorted compaction of an already-packed table is a no-op,
     // but a CLUSTERED one is not: the caller asked for a layout, and
     // whether the current files honor it is unknowable from counts
-    if (sortBy.isEmpty && all.size <= want) return v
+    if (sortBy.isEmpty && zorderBy.isEmpty && all.size <= want) return v
     val table = openEntries(spark, path, schema, partCols, all)
-    val clusterCols = partCols ++ sortBy
+    // 2-D clustering: files cover compact rectangle-ish regions of
+    // (a, b) space via the bit-interleaved z key, so the per-file
+    // min/max stats the commit records prune selective scans on
+    // EITHER dimension — Delta/Iceberg OPTIMIZE ZORDER over this
+    // store (the 1-D sortBy is the degenerate case). The z key is
+    // computed in-plan against one broadcast min/max row and dropped
+    // before the write: it orders the layout, it is not data.
+    val (clustered, clusterCols) =
+      if (zorderBy.isEmpty) (table, partCols ++ sortBy)
+      else {
+        val Seq(ca, cb) = zorderBy
+        val mm = table.agg(
+          org.apache.spark.sql.functions.min(col(ca)).as("__amin"),
+          org.apache.spark.sql.functions.max(col(ca)).as("__amax"),
+          org.apache.spark.sql.functions.min(col(cb)).as("__bmin"),
+          org.apache.spark.sql.functions.max(col(cb)).as("__bmax"))
+        (table.crossJoin(org.apache.spark.sql.functions.broadcast(mm))
+          .withColumn("__graft_z", Sinks.zOrderKey(col(ca), col(cb),
+            col("__amin"), col("__amax"), col("__bmin"), col("__bmax")))
+          .drop("__amin", "__amax", "__bmin", "__bmax"),
+          partCols :+ "__graft_z")
+      }
     val packed =
-      if (clusterCols.isEmpty) table.repartition(want.toInt)
-      else table
+      if (clusterCols.isEmpty) clustered.repartition(want.toInt)
+      else clustered
         // range partitioning gives files DISJOINT key ranges and the
         // within-file sort tightens row-group min/max: after this, a
-        // key-predicate scan prunes to one file + few row groups —
-        // Delta OPTIMIZE ZORDER's 1-D essence over the same store.
+        // key-predicate scan prunes to one file + few row groups.
         // Partition columns lead the range key so each output task
         // holds whole partitions (no per-task partition fan-out).
         .repartitionByRange(want.toInt, clusterCols.map(col): _*)
         .sortWithinPartitions(clusterCols.map(col): _*)
+        .drop("__graft_z")
     writeCommit(spark, packed, path, Nil, schema, partCols, Some(v),
       RefuseConflict("compacting"))
   }
@@ -1202,13 +1335,25 @@ object Snapshots {
     * The irreversible half of retention, kept separate from
     * [[expire]] on purpose. Returns the number of files removed
     * (empty commit dirs go with them).
+    *
+    * `graceMs` (default 1 h, Delta-VACUUM-style): files YOUNGER than
+    * the grace window are never collected even when unreferenced —
+    * an IN-FLIGHT commit has already written its data files but not
+    * yet published its manifest, and a concurrent vacuum without the
+    * grace would delete them out from under the publish (the
+    * OCC-era race a blind unreferenced-file sweep creates). Pass 0
+    * only when no writer can be mid-commit (tests, a paused
+    * pipeline).
     */
-  def vacuum(spark: SparkSession, path: String): Int = {
+  def vacuum(spark: SparkSession, path: String,
+             graceMs: Long = 3600000L): Int = {
+    require(graceMs >= 0, s"snapshot: graceMs must be >= 0: $graceMs")
     val f = fs(spark, path)
     val referenced = allManifestVersions(f, path)
       .flatMap(v => manifest(f, path, v).entries.map(relOf)).toSet
     val dataDir = new Path(s"$path/data")
     if (!f.exists(dataDir)) return 0
+    val cutoff = System.currentTimeMillis() - graceMs
     var removed = 0
     f.listStatus(dataDir).foreach { commit =>
       val commitPath = f.makeQualified(commit.getPath).toUri.getPath
@@ -1220,8 +1365,9 @@ object Snapshots {
         if (st.isFile) {
           val rel = s"data/${commit.getPath.getName}" +
             st.getPath.toUri.getPath.stripPrefix(commitPath)
-          if (st.getPath.getName.endsWith(".parquet") &&
-              referenced.contains(rel)) kept = true
+          val protectedYoung = st.getModificationTime > cutoff
+          if ((st.getPath.getName.endsWith(".parquet") &&
+              referenced.contains(rel)) || protectedYoung) kept = true
           else doomed += st.getPath
         }
       }

@@ -484,6 +484,223 @@ object Multimodal {
     }
   }
 
+  /** Minimal spec-conformant ISO-BMFF (MP4) muxer for a single video
+    * track: `ftyp` + `mdat` (concatenated sample payloads) + `moov`
+    * carrying the real sample tables a demuxer needs — `stsz`
+    * (per-sample sizes), `stsc` (sample-to-chunk runs; samples group
+    * into chunks of `samplesPerChunk`, so the run table is genuinely
+    * exercised), and `stco` (absolute chunk offsets into `mdat`) —
+    * under the standard `moov/trak/mdia(hdlr 'vide')/minf/stbl`
+    * nesting, with minimal valid `mvhd`/`tkhd`/`mdhd`/`stts`/`stsd`
+    * siblings. Deterministic bytes for fixed input — fixture-grade,
+    * and a real container: an AVC MP4 is exactly this with NAL-unit
+    * sample bodies.
+    */
+  def mp4Mux(frames: Seq[Array[Byte]], samplesPerChunk: Int = 2,
+             width: Int = 0, height: Int = 0): Array[Byte] = {
+    require(samplesPerChunk >= 1,
+      s"samplesPerChunk must be >= 1: $samplesPerChunk")
+    def box(tp: String, body: Array[Byte]): Array[Byte] =
+      beBytes(body.length + 8) ++ a(tp) ++ body
+    def full(tp: String, body: Array[Byte]): Array[Byte] =
+      box(tp, beBytes(0) ++ body) // version 0, flags 0
+    val ftyp = box("ftyp", a("isom") ++ beBytes(0) ++ a("mp42"))
+    val mdatBody = frames.iterator.flatten.toArray
+    val mdat = box("mdat", mdatBody)
+    // chunk layout: runs of samplesPerChunk, remainder as a short run
+    val n = frames.size
+    val fullChunks = n / samplesPerChunk
+    val rem = n % samplesPerChunk
+    val chunkSizes: Seq[Int] =
+      Seq.fill(fullChunks)(samplesPerChunk) ++
+        (if (rem > 0) Seq(rem) else Nil)
+    val mdatStart = ftyp.length.toLong + 8L
+    val chunkOffsets = chunkSizes
+      .scanLeft((mdatStart, 0)) { case ((off, i), spc) =>
+        (off + frames.slice(i, i + spc).map(_.length.toLong).sum, i + spc)
+      }.init.map(_._1)
+    val stsz = full("stsz", beBytes(0) ++ beBytes(n) ++
+      frames.iterator.flatMap(f => beBytes(f.length)).toArray)
+    // stsc runs: (first_chunk, samples_per_chunk, sdi) — one entry for
+    // the full-chunk run, one more when a remainder chunk differs
+    val stscRuns =
+      (if (fullChunks > 0) Seq((1, samplesPerChunk)) else Nil) ++
+        (if (rem > 0) Seq((fullChunks + 1, rem)) else Nil)
+    val stsc = full("stsc", beBytes(stscRuns.size) ++
+      stscRuns.iterator.flatMap { case (fc, spc) =>
+        beBytes(fc) ++ beBytes(spc) ++ beBytes(1) }.toArray)
+    val stco = full("stco", beBytes(chunkOffsets.size) ++
+      chunkOffsets.iterator.flatMap(o => beBytes(o.toInt)).toArray)
+    val stts = full("stts", beBytes(1) ++ beBytes(n) ++ beBytes(1))
+    val stsd = full("stsd", beBytes(1) ++
+      box("mp4v", Array.fill[Byte](78)(0)))
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val vmhd = full("vmhd", Array.fill[Byte](8)(0))
+    val dref = full("dref", beBytes(1) ++ full("url ", Array.emptyByteArray))
+    val dinf = box("dinf", dref)
+    val minf = box("minf", vmhd ++ dinf ++ stbl)
+    val hdlr = full("hdlr", beBytes(0) ++ a("vide") ++
+      Array.fill[Byte](12)(0) ++ Array(0.toByte))
+    val mdhd = full("mdhd", beBytes(0) ++ beBytes(0) ++ beBytes(1000) ++
+      beBytes(n) ++ beBytes(0x55C40000 >> 16) ++ Array.emptyByteArray)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val tkhd = full("tkhd", Array.fill[Byte](80)(0))
+    val trak = box("trak", tkhd ++ mdia)
+    val mvhd = full("mvhd", beBytes(0) ++ beBytes(0) ++ beBytes(1000) ++
+      beBytes(n) ++ beBytes(0x00010000) ++ beBytes(0x01000000 >>> 16) ++
+      Array.fill[Byte](10 + 36 + 24)(0) ++ beBytes(2))
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  /** Real MP4 (ISO-BMFF) demux through the seam: walks the box tree
+    * `moov → trak → mdia → (hdlr 'vide') → minf → stbl`, reads the
+    * sample tables — `stsz` (sizes, fixed or per-sample), `stsc`
+    * (sample-to-chunk runs), `stco`/`co64` (32/64-bit chunk offsets)
+    * — and reconstructs each sample's absolute byte range in `mdat`:
+    * chunk offset plus the sizes of its predecessors within the
+    * chunk, exactly the lookup every MP4 player performs. Sample
+    * bodies return verbatim (for an AVC file these are NAL units;
+    * demux and pixel decode stay separate stages, as with
+    * [[aviFrameCodec]]).
+    *
+    * Hardening, same posture as the RIFF codecs: all arithmetic in
+    * Long (unsigned 32-bit and 64-bit box sizes must reject, never
+    * wrap), box recursion depth-capped, table entry counts validated
+    * against their box's actual byte length before allocation, a
+    * sample range overrunning the payload stops the walk with what
+    * was already collected, truncated/non-BMFF payloads yield no
+    * frames, and the frame budget stops table expansion early.
+    * `size==0` (to end-of-file, last top-level box) and `size==1`
+    * (64-bit largesize) boxes are handled at every level.
+    */
+  val mp4FrameCodec: FrameCodec = (p, maxFrames) => {
+    if (p == null || maxFrames < 1 || p.length < 12 ||
+      ascii(p, 4, 4) != "ftyp") Nil
+    else {
+      def u64be(i: Int): Long =
+        (u32be(p, i) << 32) | u32be(p, i + 4)
+      // (boxType, bodyStart, bodyEnd) for each box in [start, lim)
+      def boxes(start: Long, lim: Long): Seq[(String, Long, Long)] = {
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, Long)]
+        var off = start
+        var ok = true
+        while (ok && off + 8 <= lim) {
+          val sz32 = u32be(p, off.toInt)
+          val tp = ascii(p, off.toInt + 4, 4)
+          val (body, end) =
+            if (sz32 == 1L && off + 16 <= lim) {
+              val sz64 = u64be(off.toInt + 8)
+              (off + 16, off + sz64)
+            } else if (sz32 == 0L) (off + 8, lim) // to end of enclosure
+            else (off + 8, off + sz32)
+          if (end < body || end > lim) ok = false // lying/overrunning size
+          else {
+            out += ((tp, body, end))
+            off = end
+          }
+        }
+        out.toSeq
+      }
+      def find(bs: Seq[(String, Long, Long)], tp: String) =
+        bs.find(_._1 == tp)
+      val top = boxes(0L, p.length.toLong)
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      for {
+        (_, moovS, moovE) <- find(top, "moov").toSeq
+        (_, trakS, trakE) <- boxes(moovS, moovE).filter(_._1 == "trak")
+        if frames.size < maxFrames
+        mdiaBs = boxes(trakS, trakE)
+        (_, mdiaS, mdiaE) <- find(mdiaBs, "mdia").toSeq
+        mdia = boxes(mdiaS, mdiaE)
+        // video track only: hdlr handler_type at body offset 8
+        (_, hS, hE) <- find(mdia, "hdlr").toSeq
+        if hE - hS >= 12 && ascii(p, hS.toInt + 8, 4) == "vide"
+        (_, minfS, minfE) <- find(mdia, "minf").toSeq
+        (_, stblS, stblE) <- find(boxes(minfS, minfE), "stbl").toSeq
+      } {
+        val stbl = boxes(stblS, stblE)
+        val sizes: Option[IndexedSeq[Long]] =
+          find(stbl, "stsz").flatMap { case (_, s, e) =>
+            if (e - s < 12) None
+            else {
+              val fixed = u32be(p, s.toInt + 4)
+              val cnt = u32be(p, s.toInt + 8)
+              if (fixed != 0L)
+                if (cnt >= 0 && cnt <= Int.MaxValue)
+                  Some(IndexedSeq.fill(math.min(cnt,
+                    maxFrames.toLong).toInt)(fixed))
+                else None
+              else if (cnt * 4 > e - s - 12) None // lying entry count
+              else Some((0L until math.min(cnt, maxFrames.toLong))
+                .map(i => u32be(p, (s + 12 + i * 4).toInt)))
+            }
+          }
+        val chunkOffs: Option[IndexedSeq[Long]] =
+          find(stbl, "stco").flatMap { case (_, s, e) =>
+            if (e - s < 8) None
+            else {
+              val cnt = u32be(p, s.toInt + 4)
+              if (cnt * 4 > e - s - 8) None
+              else Some((0L until cnt).map(i =>
+                u32be(p, (s + 8 + i * 4).toInt)))
+            }
+          }.orElse(find(stbl, "co64").flatMap { case (_, s, e) =>
+            if (e - s < 8) None
+            else {
+              val cnt = u32be(p, s.toInt + 4)
+              if (cnt * 8 > e - s - 8) None
+              else Some((0L until cnt).map(i => u64be((s + 8 + i * 8).toInt)))
+            }
+          })
+        val stscRuns: Option[IndexedSeq[(Long, Long)]] =
+          find(stbl, "stsc").flatMap { case (_, s, e) =>
+            if (e - s < 8) None
+            else {
+              val cnt = u32be(p, s.toInt + 4)
+              if (cnt * 12 > e - s - 8) None
+              else Some((0L until cnt).map(i => (
+                u32be(p, (s + 8 + i * 12).toInt),       // first_chunk
+                u32be(p, (s + 8 + i * 12 + 4).toInt)))) // samples/chunk
+            }
+          }
+        (sizes, chunkOffs, stscRuns) match {
+          case (Some(sz), Some(chunks), Some(runs))
+              if runs.nonEmpty && runs.forall(_._2 >= 1) =>
+            // expand sample-to-chunk runs chunk by chunk, slicing each
+            // sample at its accumulated offset; stop on the first
+            // range that leaves the payload
+            var sample = 0
+            var ci = 0
+            var ok = true
+            while (ok && ci < chunks.size && sample < sz.size &&
+                frames.size < maxFrames) {
+              val spc = runs.takeWhile(_._1 <= ci + 1).lastOption
+                .map(_._2).getOrElse(runs.head._2)
+              var off = chunks(ci)
+              var k = 0L
+              while (ok && k < spc && sample < sz.size &&
+                  frames.size < maxFrames) {
+                val len = sz(sample)
+                if (off < 0 || len < 0 || off + len > p.length)
+                  ok = false
+                else {
+                  frames += p.slice(off.toInt, (off + len).toInt)
+                  off += len
+                  sample += 1
+                  k += 1
+                }
+              }
+              ci += 1
+            }
+          case _ => () // incomplete sample tables: no frames
+        }
+      }
+      frames.toSeq
+    }
+  }
+
   /** Library chunking codec: fixed-size byte frames of the payload —
     * blob sharding for transport/storage, and the oracle-gateable
     * [[FrameCodec]] (text payloads chunk to byte-exact substrings, so

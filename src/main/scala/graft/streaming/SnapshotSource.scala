@@ -1,0 +1,146 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
+  RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+import graft.io.Snapshots
+
+/** The snapshot store as a STREAMING SOURCE — "read the table as a
+  * stream", the Delta/Iceberg streaming-read posture: offsets are
+  * COMMITTED VERSIONS (checkpointed like any other source, so a
+  * restarted query resumes at the exact version it left), the first
+  * batch is the full snapshot at the then-latest version, and every
+  * later batch is the manifest set-difference between two versions —
+  * an O(delta-files) incremental read, never a table rescan, however
+  * large the table grows. This closes the loop with
+  * [[Streams.snapshotStream]]: one job appends micro-batches into the
+  * store, any number of downstream jobs stream exactly those commits
+  * out of it, each with its own checkpointed cursor.
+  *
+  * Contracts:
+  *   - **Append-only ranges.** A non-append-only version range (an
+  *     overwrite, rollback or retention pass between polls) fails the
+  *     query LOUDLY via [[Snapshots.appendDelta]]'s refusal — "rows
+  *     added" is not answerable there, and a streaming consumer must
+  *     find out, not silently skip. (A compaction rewrites every
+  *     file, so stream from ingestion tables and compact downstream
+  *     copies — or restart the stream from scratch after one.)
+  *   - **Schema pinned per run.** The schema is fixed when the source
+  *     is created (standard streaming-source behavior — the engine
+  *     requires every batch to match); columns added by later
+  *     commits null-fill out of old files after a restart, exactly
+  *     like the batch reader.
+  *   - **Batches read through [[graft.io.SnapshotFileIndex]]** — the
+  *     same zero-listing manifest-driven scan as batch reads, wrapped
+  *     streaming via the same `isStreaming` relation flag the
+  *     built-in file source uses.
+  */
+private[graft] class SnapshotSource(sqlContext: SQLContext,
+                                    path: String) extends Source {
+
+  private val spark = sqlContext.sparkSession
+
+  private val (pinnedSchema, pinnedPartCols): (StructType, Seq[String]) = {
+    val v = Snapshots.latestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot source: no committed version under $path - commit " +
+          "the table (or its first batch) before streaming from it"))
+    val (s, pc, _) = Snapshots.stateAt(spark, path, v)
+    (s, pc)
+  }
+
+  override val schema: StructType = pinnedSchema
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong // SerializedOffset from checkpoint
+  }
+
+  override def getOffset: Option[Offset] =
+    Snapshots.latestVersion(spark, path).map(new LongOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = versionOf(end)
+    val fresh = start.map(versionOf) match {
+      case None => Snapshots.stateAt(spark, path, endV)._3
+      case Some(s) if s >= endV => Nil // recovery replay of a no-op range
+      case Some(s) => Snapshots.appendDelta(spark, path, s, endV)._3
+    }
+    org.apache.spark.sql.graft.StreamingRelationBridge.streamingFrom(
+        spark, Snapshots.entriesRelation(spark, path, pinnedSchema,
+          pinnedPartCols, fresh))
+      .select(pinnedSchema.fieldNames.map(col).toSeq: _*)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"SnapshotSource[$path]"
+}
+
+/** The `graft-snapshot` data source (registered via
+  * META-INF/services, so `format("graft-snapshot")` resolves):
+  *
+  *   - **Batch**: `spark.read.format("graft-snapshot").load(path)` —
+  *     latest snapshot; `option("version", v)` /
+  *     `option("timestampAsOf", epochMillis)` / `option("tag", name)`
+  *     time-travel. Returns the manifest-driven relation directly
+  *     (column order: data columns then partition columns — the
+  *     HadoopFsRelation layout every format-based reader exposes).
+  *   - **Streaming**: `spark.readStream.format("graft-snapshot")
+  *     .load(path)` — the [[SnapshotSource]] version-offset
+  *     incremental stream.
+  */
+class SnapshotSourceProvider extends StreamSourceProvider
+    with RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-snapshot"
+
+  private def pathOf(params: Map[String, String]): String =
+    params.getOrElse("path", throw new IllegalArgumentException(
+      "snapshot source: the 'path' option is required"))
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String])
+      : BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val v = parameters.get("version").map(_.trim.toLong)
+      .orElse(parameters.get("timestampAsOf").map(ts =>
+        Snapshots.versionAsOf(spark, path, ts.trim.toLong)))
+      .orElse(parameters.get("tag").map(t =>
+        Snapshots.tags(spark, path).getOrElse(t,
+          throw new IllegalArgumentException(
+            s"snapshot: no tag '$t' under $path"))))
+      .getOrElse(Snapshots.latestVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot: no committed version under $path")))
+    val (schema, partCols, entries) = Snapshots.stateAt(spark, path, v)
+    Snapshots.entriesRelation(spark, path, schema, partCols, entries)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    require(schema.isEmpty,
+      "snapshot source: the schema comes from the store's manifest; " +
+        "a user-supplied schema is not accepted")
+    val path = pathOf(parameters)
+    val spark = sqlContext.sparkSession
+    val v = Snapshots.latestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot source: no committed version under $path"))
+    ("graft-snapshot", Snapshots.stateAt(spark, path, v)._1)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source =
+    new SnapshotSource(sqlContext, pathOf(parameters))
+}

@@ -477,6 +477,78 @@ object Streams {
     q // terminated; progress history lets callers assert batch counts
   }
 
+  /** Stream a [[graft.io.Snapshots]] table — see [[SnapshotSource]]:
+    * version-offset incremental reads (first batch = full snapshot,
+    * later batches = append deltas at O(delta-files)), checkpointed
+    * resume, loud refusal on non-append-only history.
+    */
+  def snapshotSource(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", path)
+      .load()
+
+  /** CDC-style maintenance stream for a persisted BM25 index: each
+    * micro-batch carries an `opCol` routing column — add codes
+    * (`a`/`add`/`i`/`insert`/`u`/`upsert`) fold into the index
+    * (first build, then appends, the [[bm25IndexStream]] path), and
+    * delete codes (`d`/`delete`) land as TOMBSTONES
+    * ([[graft.functions.TextAnalysis.deleteFromBm25Index]] — one
+    * append to the deletes table; serving forgets the docs
+    * immediately, physical removal waits for compaction). The
+    * takedown/opt-out feed every production retrieval index consumes,
+    * now streaming like its ingestion.
+    *
+    * Order contract: adds apply BEFORE deletes within a batch (an
+    * add+delete of one id in one batch indexes then tombstones it —
+    * deterministic); a delete for an id the index has never seen is
+    * the documented no-op (same as the batch API), so a delete-only
+    * batch against an empty store does nothing. Re-adding a
+    * tombstoned id refuses loudly inside `updateBm25Index` until a
+    * compaction physically drops the old rows — the stream surfaces
+    * that refusal rather than silently corrupting the index. Unknown
+    * or NULL op codes refuse loudly.
+    */
+  def bm25IndexCdcStream(docs: DataFrame, path: String,
+                         opCol: String = "op", pbuckets: Int = 64,
+                         checkpoint: Option[String] = None):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.TextAnalysis
+    val addOps = Set("a", "add", "i", "insert", "u", "upsert")
+    val deleteOps = Set("d", "delete")
+    val writer = docs.writeStream
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    val q = writer
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          val opNorm = lower(col(opCol))
+          val unknown = b.filter(opNorm.isNull ||
+            !opNorm.isInCollection(addOps ++ deleteOps)).limit(1).collect()
+          require(unknown.isEmpty,
+            s"index cdc: unknown op code '${unknown.headOption.map(
+              _.getAs[Any](opCol)).orNull}' - expected one of " +
+              (addOps ++ deleteOps).toSeq.sorted.mkString(", "))
+          val adds = b.filter(opNorm.isInCollection(addOps)).drop(opCol)
+          val dels = b.filter(opNorm.isInCollection(deleteOps))
+            .select(col("doc_id"))
+          if (adds.limit(1).count() > 0L) {
+            if (graft.io.Sinks.storeExists(b.sparkSession, s"$path/doclens"))
+              TextAnalysis.updateBm25Index(adds, path)
+            else TextAnalysis.buildBm25Index(adds, path, pbuckets)
+          }
+          if (dels.limit(1).count() > 0L &&
+              graft.io.Sinks.storeExists(b.sparkSession, s"$path/doclens"))
+            TextAnalysis.deleteFromBm25Index(b.sparkSession, path, dels)
+          ()
+        } finally { b.unpersist(); () }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming ingestion into a [[graft.io.Snapshots]] store: every
     * micro-batch lands as one APPEND commit — an atomic, time-
     * travelable version (train/eval jobs pin the version they read;

@@ -247,4 +247,56 @@ class Bm25IndexSpec extends SparkSpec {
     assert(served.exceptAll(scan).count() === 0)
     assert(scan.exceptAll(served).count() === 0)
   }
+
+  test("CDC stream: adds apply before deletes within a batch; unknown op refuses") {
+    import graft.streaming.Streams
+    val cdcSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("op",
+        org.apache.spark.sql.types.StringType)))
+    // ONE batch that both adds the corpus and tombstones doc 3: the
+    // documented order (adds first, then deletes) must leave doc 3
+    // indexed-then-tombstoned, i.e. absent from serving
+    val idx = Files.createTempDirectory("bm25idx_cdc").toString
+    val staged = graft.io.Scratch.dir("graft_bm25_cdc_")
+    graft.io.Scratch.stageSingleParquetFile(
+      corpus.withColumn("op", lit("a"))
+        .unionByName(corpus.filter(col("doc_id") === 3L)
+          .withColumn("op", lit("d"))),
+      staged, "batch.parquet")
+    Streams.bm25IndexCdcStream(
+      Streams.fileStream(spark, staged.toString, cdcSchema), idx)
+    val served = TextAnalysis.bm25TopKIndexed(spark, idx, queries, 5)
+    val scan = TextAnalysis.bm25TopK(
+      corpus.filter(col("doc_id") =!= 3L), queries, 5)
+    assert(served.exceptAll(scan).count() === 0)
+    assert(scan.exceptAll(served).count() === 0)
+    assert(served.filter(col("doc_id") === 3L).count() === 0)
+    // a delete for an id the index never saw is the documented no-op
+    val staged2 = graft.io.Scratch.dir("graft_bm25_cdc2_")
+    graft.io.Scratch.stageSingleParquetFile(
+      corpus.limit(1).select(lit(999L).as("doc_id"), col("text"))
+        .withColumn("op", lit("d")),
+      staged2, "del.parquet")
+    Streams.bm25IndexCdcStream(
+      Streams.fileStream(spark, staged2.toString, cdcSchema), idx)
+    val again = TextAnalysis.bm25TopKIndexed(spark, idx, queries, 5)
+    assert(again.exceptAll(scan).count() === 0)
+    // unknown (and NULL) op codes refuse loudly
+    val badStaged = graft.io.Scratch.dir("graft_bm25_cdc_bad_")
+    graft.io.Scratch.stageSingleParquetFile(
+      corpus.limit(1).withColumn("op", lit("zap")), badStaged, "b.parquet")
+    val e = intercept[Exception] {
+      Streams.bm25IndexCdcStream(
+        Streams.fileStream(spark, badStaged.toString, cdcSchema),
+        Files.createTempDirectory("bm25idx_cdc_bad").toString)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("unknown op")), e.toString)
+  }
 }

@@ -307,4 +307,39 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("Exchange"),
       s"scores fold per row against literal directions - no shuffle:\n$p")
   }
+
+  test("partitioned snapshot read: Catalyst partition filters prune inside the scan") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_snap_plan").toString + "/tbl"
+    val docs = Tables.t(spark, dir, "documents")
+    graft.io.Snapshots.commit(
+      docs.withColumn("bucket", col("doc_id") % 4), path,
+      partitionBy = Seq("bucket"))
+    val df = graft.io.Snapshots.read(spark, path)
+      .filter(col("bucket") === 2L)
+    df.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val s = scans(df.queryExecution.executedPlan)
+    assert(s.nonEmpty, df.queryExecution.executedPlan.toString)
+    // the partition predicate must land in PartitionFilters (not as a
+    // row-level data filter) and actually shrink the file set the
+    // SnapshotFileIndex serves
+    assert(s.head.toString.contains("PartitionFilters"), s.head.toString)
+    val scanned = s.head.metrics("numFiles").value
+    val total = graft.io.Snapshots.read(spark, path)
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().count()
+    assert(total >= 4, s"want >=4 partition files, got $total")
+    assert(scanned < total,
+      s"partition pruning must shrink the scan: $scanned of $total files")
+    // and the pruned scan still answers exactly
+    assert(df.count() === docs.filter(col("doc_id") % 4 === 2).count())
+  }
 }

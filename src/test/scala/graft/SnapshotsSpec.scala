@@ -87,13 +87,13 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.commitAppend(docs.filter(col("doc_id") % 2 === 1), path) // v2 shares v1
     Snapshots.commit(docs.filter(col("n_chars") > 500), path) // v3 fresh
     assert(Snapshots.expire(spark, path, keepLast = 2) === 1) // v1 manifest gone
-    val removed = Snapshots.vacuum(spark, path)
+    val removed = Snapshots.vacuum(spark, path, graceMs = 0)
     // v1's files are still referenced by v2 — nothing to collect
     assert(removed === 0)
     assert(Snapshots.read(spark, path, Some(2L)).count() === docs.count())
     // drop v2 as well: now v1-era files are truly orphaned
     assert(Snapshots.expire(spark, path, keepLast = 1) === 1)
-    assert(Snapshots.vacuum(spark, path) > 0)
+    assert(Snapshots.vacuum(spark, path, graceMs = 0) > 0)
     assert(Snapshots.read(spark, path).count() ===
       docs.filter(col("n_chars") > 500).count())
   }
@@ -125,11 +125,11 @@ class SnapshotsSpec extends SparkSpec {
     val v = Snapshots.commit(docs, path)
     assert(v === 3L)
     // every manifest on disk protects its files from vacuum
-    assert(Snapshots.vacuum(spark, path) === 0)
+    assert(Snapshots.vacuum(spark, path, graceMs = 0) === 0)
     // a crash BEFORE the manifest publish leaves a commit dir no
     // manifest names - pure garbage, collected
     docs.limit(5).write.parquet(s"$path/data/c-orphan")
-    assert(Snapshots.vacuum(spark, path) > 0)
+    assert(Snapshots.vacuum(spark, path, graceMs = 0) > 0)
     assert(!new java.io.File(s"$path/data/c-orphan").exists())
     // an abandoned _tmp_ manifest (crash mid-activate of the hint)
     // is not a version
@@ -236,7 +236,7 @@ class SnapshotsSpec extends SparkSpec {
     // the refused mutations left NO versions and NO stray data files
     // beyond the interleaved appends (their fresh files were deleted)
     assert(Snapshots.versions(spark, path).size === 5)
-    assert(Snapshots.vacuum(spark, path) === 0)
+    assert(Snapshots.vacuum(spark, path, graceMs = 0) === 0)
     // after re-reading, the same merge applies cleanly
     val v = Snapshots.merge(spark, path, updates, Seq("doc_id"))
     assert(v === 6L)
@@ -423,7 +423,7 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.versions(spark, path).last === v)
     // after expiry+vacuum the fragment files are reclaimed
     Snapshots.expire(spark, path, keepLast = 1)
-    assert(Snapshots.vacuum(spark, path) >= fragments)
+    assert(Snapshots.vacuum(spark, path, graceMs = 0) >= fragments)
     assert(Snapshots.read(spark, path).count() === docs.count())
   }
 
@@ -801,7 +801,7 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.commit(docs.filter(col("n_chars") > 500), path)
     // retention keeps the latest AND the tagged snapshot
     Snapshots.expire(spark, path, keepLast = 1)
-    Snapshots.vacuum(spark, path)
+    Snapshots.vacuum(spark, path, graceMs = 0)
     assert(Snapshots.readTag(spark, path, "train-v1").count() ===
       docs.filter(col("doc_id") % 2 === 0).count())
     assert(Snapshots.tags(spark, path) === Map("train-v1" -> v1))
@@ -812,7 +812,7 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.dropTag(spark, path, "train-v1"))
     // released: the next retention pass may reclaim it
     Snapshots.expire(spark, path, keepLast = 1)
-    Snapshots.vacuum(spark, path)
+    Snapshots.vacuum(spark, path, graceMs = 0)
     val e2 = intercept[IllegalArgumentException](
       Snapshots.readTag(spark, path, "train-v1"))
     assert(e2.getMessage.contains("no tag"), e2.getMessage)
@@ -986,6 +986,192 @@ class SnapshotsSpec extends SparkSpec {
       docs.count() - docs.filter(col("doc_id") % 10 === 3).count())
     val (keptC, totalC) = Snapshots.prunedEntries(spark, path, "bucket", 0, 0)
     assert(keptC.size < totalC && keptC.forall(_.contains("bucket=0")))
+  }
+
+  test("vacuum grace protects an in-flight commit's files; readAsOf picks by commit time") {
+    val path = newStore
+    Snapshots.commit(docs.filter(col("doc_id") < 100), path)
+    // an "in-flight commit": data files written, manifest not yet
+    // published. The DEFAULT vacuum must leave them alone (the OCC
+    // race a blind unreferenced sweep would create); graceMs = 0 is
+    // the explicit no-writers spelling that collects them
+    docs.filter(col("doc_id") >= 100).write
+      .parquet(s"$path/data/c-inflight")
+    assert(Snapshots.vacuum(spark, path) === 0,
+      "grace must protect young unreferenced files")
+    assert(new java.io.File(s"$path/data/c-inflight").exists())
+    assert(Snapshots.vacuum(spark, path, graceMs = 0) > 0)
+    assert(!new java.io.File(s"$path/data/c-inflight").exists())
+    // timestamp time travel: v1's and v2's manifest mtimes are pushed
+    // apart artificially, then readAsOf between them pins v1
+    val v2 = Snapshots.commit(docs, path)
+    val m1 = java.nio.file.Paths.get(
+      s"$path/_manifests/v000000001.manifest")
+    val m2 = java.nio.file.Paths.get(
+      f"$path/_manifests/v$v2%09d.manifest")
+    val t1 = 1700000000000L
+    val t2 = 1700000200000L
+    java.nio.file.Files.setLastModifiedTime(m1,
+      java.nio.file.attribute.FileTime.fromMillis(t1))
+    java.nio.file.Files.setLastModifiedTime(m2,
+      java.nio.file.attribute.FileTime.fromMillis(t2))
+    assert(Snapshots.versionAsOf(spark, path, t1 + 100000) === 1L)
+    assert(Snapshots.readAsOf(spark, path, t1 + 100000).count() ===
+      docs.filter(col("doc_id") < 100).count())
+    assert(Snapshots.versionAsOf(spark, path, t2) === v2)
+    val e = intercept[IllegalArgumentException](
+      Snapshots.versionAsOf(spark, path, t1 - 100000))
+    assert(e.getMessage.contains("no version"), e.getMessage)
+  }
+
+  test("streaming source: full first batch, O(delta) increments, checkpointed resume, loud overwrite refusal") {
+    import org.apache.spark.sql.streaming.Trigger
+    val store = newStore
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), store)
+    val ckpt = Files.createTempDirectory("graft_snapsrc_ckpt").toString
+    val batchCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def runOnce(): Unit = {
+      val q = graft.streaming.Streams.snapshotSource(spark, store)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = b.count()
+          if (n > 0) batchCounts += n
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: the initial batch is the full snapshot at latest
+    runOnce()
+    val even = docs.filter(col("doc_id") % 2 === 0).count()
+    val odd = docs.filter(col("doc_id") % 2 === 1).count()
+    assert(batchCounts.toSeq === Seq(even), batchCounts.toSeq.toString)
+    // run 2 (same checkpoint): only the appended delta arrives
+    Snapshots.commitAppend(docs.filter(col("doc_id") % 2 === 1), store)
+    runOnce()
+    assert(batchCounts.toSeq === Seq(even, odd), batchCounts.toSeq.toString)
+    // run 3: nothing new arrived - no non-empty batch
+    runOnce()
+    assert(batchCounts.toSeq === Seq(even, odd), batchCounts.toSeq.toString)
+    // an overwrite between polls makes the range non-append-only: the
+    // stream must FAIL loudly, never silently skip
+    Snapshots.commit(docs.filter(col("n_chars") > 500), store)
+    val e = intercept[Exception](runOnce())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("append-only")), e.toString)
+  }
+
+  test("streaming source over a PARTITIONED store carries partition values") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val store = newStore
+    Snapshots.commit(docs.withColumn("bucket", col("doc_id") % 4), store,
+      partitionBy = Seq("bucket"))
+    val got = graft.streaming.Streams.runToTable(
+      graft.streaming.Streams.snapshotSource(spark, store),
+      "snapsrc_parted", OutputMode.Append())
+    assert(got.count() === docs.count())
+    assert(got.filter(col("bucket") =!= col("doc_id") % 4).count() === 0L)
+  }
+
+  test("""format("graft-snapshot"): batch reads with version/tag/timestamp travel""") {
+    val path = newStore
+    val v1 = Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path)
+    Snapshots.tag(spark, path, "base")
+    Snapshots.commitAppend(docs.filter(col("doc_id") % 2 === 1), path)
+    val even = docs.filter(col("doc_id") % 2 === 0).count()
+    // shortName resolves via META-INF/services registration
+    assert(spark.read.format("graft-snapshot").load(path).count() ===
+      docs.count())
+    assert(spark.read.format("graft-snapshot")
+      .option("version", v1).load(path).count() === even)
+    assert(spark.read.format("graft-snapshot")
+      .option("tag", "base").load(path).count() === even)
+    val e = intercept[Exception](spark.read.format("graft-snapshot")
+      .option("tag", "nope").load(path).count())
+    assert(e.getMessage.contains("no tag"), e.getMessage)
+    // streaming through the same short name
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val got = graft.streaming.Streams.runToTable(
+      spark.readStream.format("graft-snapshot").option("path", path).load(),
+      "snapsrc_short", OutputMode.Append())
+    assert(got.count() === docs.count())
+  }
+
+  test("z-order compaction: 2-D layout prunes selective scans on either dimension") {
+    val path = newStore
+    // interleaved appends: every file spans both key ranges
+    val keyed = docs.select(col("doc_id"),
+      (col("doc_id") * 37 % 1000).as("k2"), col("text"))
+    (0 until 4).foreach(q =>
+      Snapshots.commitAppend(keyed.filter(col("doc_id") % 4 === q), path))
+    Snapshots.compact(spark, path, targetFileBytes = 8L << 10,
+      zorderBy = Seq("doc_id", "k2"))
+    val got = Snapshots.read(spark, path)
+    assert(got.count() === docs.count())
+    assert(got.columns.toSeq === Seq("doc_id", "k2", "text"))
+    // a selective range on EACH dimension must skip files
+    val (k1, t1) = Snapshots.prunedEntries(spark, path, "doc_id", 0, 40)
+    assert(t1 > 2, s"want a multi-file table, got $t1")
+    assert(k1.size < t1, s"doc_id prune kept ${k1.size}/$t1")
+    val (k2, t2) = Snapshots.prunedEntries(spark, path, "k2", 0, 40)
+    assert(k2.size < t2, s"k2 prune kept ${k2.size}/$t2")
+    // exactness survives the re-layout
+    val want = keyed.filter(col("doc_id").between(100, 199))
+    val scan = Snapshots.readBetween(spark, path, "doc_id", 100, 199)
+    assert(scan.count() === want.count())
+    assert(scan.exceptAll(want).count() === 0L)
+    // guards: both cluster modes at once, wrong arity, unknown column
+    val e1 = intercept[IllegalArgumentException](Snapshots.compact(
+      spark, path, sortBy = Seq("doc_id"), zorderBy = Seq("doc_id", "k2")))
+    assert(e1.getMessage.contains("ONE of"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.compact(spark, path, zorderBy = Seq("doc_id")))
+    assert(e2.getMessage.contains("exactly two"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      Snapshots.compact(spark, path, zorderBy = Seq("doc_id", "nope")))
+    assert(e3.getMessage.contains("nope"), e3.getMessage)
+  }
+
+  test("replacePartitions: atomic single-partition rerun, untouched partitions carried") {
+    val path = newStore
+    val parted = docs.withColumn("bucket", col("doc_id") % 4)
+    Snapshots.commit(parted, path, partitionBy = Seq("bucket"))
+    val before = dataFiles(path)
+    val untouched = before.filterNot(_.contains("bucket=2")).toSet
+    // corrected rerun of bucket 2: text upper-cased
+    val rerun = parted.filter(col("bucket") === 2)
+      .withColumn("text", upper(col("text")))
+      .select(parted.columns.map(col).toSeq: _*)
+    val v2 = Snapshots.replacePartitions(rerun, path)
+    val got = Snapshots.read(spark, path)
+    assert(got.count() === docs.count())
+    assert(got.filter(col("bucket") === 2 &&
+      col("text") =!= upper(col("text"))).count() === 0L)
+    assert(got.filter(col("bucket") =!= 2 &&
+      col("text") === upper(col("text")) &&
+      lower(col("text")) =!= upper(col("text"))).count() === 0L)
+    // untouched partitions' files survive BY REFERENCE
+    assert(untouched.subsetOf(dataFiles(path).toSet))
+    // pre-replace version still time-travels to the original
+    assert(Snapshots.read(spark, path, Some(v2 - 1))
+      .filter(col("bucket") === 2 &&
+        col("text") === upper(col("text")) &&
+        lower(col("text")) =!= upper(col("text"))).count() === 0L)
+    // a REPLAYED rerun converges (idempotent): same rows again
+    Snapshots.replacePartitions(rerun, path)
+    val again = Snapshots.read(spark, path)
+    assert(again.count() === docs.count())
+    assert(again.exceptAll(got).count() === 0L)
+    // an unpartitioned table refuses
+    val flat = newStore
+    Snapshots.commit(docs, flat)
+    val e = intercept[IllegalArgumentException](
+      Snapshots.replacePartitions(docs, flat))
+    assert(e.getMessage.contains("not partitioned"), e.getMessage)
   }
 
   test("the store is relocatable (relative manifest paths)") {

@@ -464,4 +464,70 @@ class StreamsSinksSpec extends SparkSpec {
     assert(rows === Set((1L, "x"), (null, "y")),
       "bad numerics coerce to null, row is kept")
   }
+
+  test("outer joins flush from watermark advance alone on an unbounded source (no sentinels)") {
+    // the sentinel trick lives in the GATE FIXTURE only (a finite
+    // AvailableNow source whose watermark would otherwise stall one
+    // hour short of the data's edge); the public join API on a real
+    // unbounded source must emit outer rows purely from ordinary
+    // later events advancing both watermarks
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def shape(ds: org.apache.spark.sql.Dataset[
+        (Long, Long, String, java.sql.Timestamp)]) =
+      ds.toDF("event_id", "user_id", "event_type", "ts")
+
+    val buysL = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val clicksL = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val left = Streams.purchaseClickLeftJoin(
+      shape(buysL.toDS()), shape(clicksL.toDS()))
+    val qL = left.writeStream.format("memory").queryName("nosent_left")
+      .outputMode("append").start()
+    try {
+      // micro-batch 1: one matched purchase, one click-less purchase
+      clicksL.addData((100L, 1L, "click", ts("2024-01-01 09:30:00")))
+      buysL.addData((1L, 1L, "purchase", ts("2024-01-01 10:00:00")),
+        (2L, 2L, "purchase", ts("2024-01-01 10:00:00")))
+      qL.processAllAvailable()
+      val after1 = spark.table("nosent_left").collect().map(_.getLong(0))
+      assert(after1.toSet === Set(1L),
+        s"inner match emits, outer row withheld: ${after1.toSeq}")
+      // micro-batch 2: ORDINARY later traffic on both sides moves both
+      // watermarks past 10:00; the withheld outer row must now flush
+      buysL.addData((3L, 3L, "purchase", ts("2024-01-02 12:00:00")))
+      clicksL.addData((101L, 4L, "click", ts("2024-01-02 12:00:00")))
+      qL.processAllAvailable()
+      val rows = spark.table("nosent_left").collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+          r.getLong(2))).toSet
+      assert(rows.contains((2L, -1L, 2L)),
+        s"outer row must flush from watermark advance alone: $rows")
+      assert(rows.contains((1L, 100L, 1L)), rows.toString)
+    } finally qL.stop()
+
+    val buysF = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val clicksF = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val full = Streams.purchaseClickFullJoin(
+      shape(buysF.toDS()), shape(clicksF.toDS()))
+    val qF = full.writeStream.format("memory").queryName("nosent_full")
+      .outputMode("append").start()
+    try {
+      // unmatched on BOTH sides in batch 1
+      buysF.addData((1L, 1L, "purchase", ts("2024-01-01 10:00:00")))
+      clicksF.addData((100L, 2L, "click", ts("2024-01-01 10:00:00")))
+      qF.processAllAvailable()
+      buysF.addData((3L, 3L, "purchase", ts("2024-01-02 12:00:00")))
+      clicksF.addData((101L, 4L, "click", ts("2024-01-02 12:00:00")))
+      qF.processAllAvailable()
+      val rows = spark.table("nosent_full").collect().map(r =>
+        (if (r.isNullAt(0)) -1L else r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2))).toSet
+      assert(rows.contains((1L, -1L, 1L)),
+        s"unmatched purchase must NULL-extend: $rows")
+      assert(rows.contains((-1L, 100L, 2L)),
+        s"unmatched click must NULL-extend: $rows")
+    } finally qF.stop()
+  }
 }
