@@ -773,6 +773,50 @@ private[graft] object QueriesIo {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** Metadata-only column drop ([[graft.io.Snapshots.dropColumns]]):
+    * the latest read serves the narrowed schema from the SAME files
+    * (zero data IO; SnapshotsSpec pins that, the tombstone re-add
+    * refusal, time travel to the wide schema, and physical removal at
+    * the next compact).
+    */
+  def snapshotDropColumn(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "snap_dc")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = t(s, dir, "documents")
+    graft.io.Snapshots.commit(docs, path)
+    graft.io.Snapshots.dropColumns(s, path, Seq("lang"))
+    graft.io.Snapshots.read(s, path)
+      .select("doc_id", "text", "source", "n_chars")
+  }
+
+  /** Table-to-table streaming pipeline — the loop closed: one job
+    * streams arriving files INTO the snapshot store
+    * ([[Streams.snapshotStream]], one append commit per micro-batch),
+    * a downstream job streams the SAME table back out by version
+    * offset ([[Streams.snapshotSource]]) and maintains a live
+    * aggregate. The 100 TB shape: ingestion and consumers decoupled
+    * through the table, each with its own checkpointed cursor.
+    */
+  def snapshotPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val staged = graft.io.Scratch.dir("graft_snap_pipe_docs_")
+    Seq(("even", col("doc_id") % 2 === 0),
+        ("odd", col("doc_id") % 2 === 1)).foreach { case (name, pred) =>
+      graft.io.Scratch.stageSingleParquetFile(
+        docs.filter(pred), staged, s"$name.parquet")
+    }
+    val store =
+      graft.io.Scratch.dir("graft_snap_pipe_store_").toString + "/tbl"
+    Streams.snapshotStream(
+      Streams.fileStream(s, staged.toString, Streams.DocsRawSchema,
+        maxFilesPerTrigger = Some(1)), store)
+    Streams.runToTable(
+      Streams.snapshotSource(s, store)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars")),
+      tableName(dir, "strm_snappipe"), OutputMode.Complete())
+  }
+
   /** Incremental snapshot read: after commit(even) + append(odd), the
     * v1→v2 delta is exactly the odd half, read from the delta FILES
     * alone — the poll-the-table-for-what-arrived contract.
@@ -805,6 +849,8 @@ private[graft] object QueriesIo {
     "q_stream_cdc" -> (streamCdc _),
     "q_stream_snapshot" -> (streamSnapshot _),
     "q_snapshot_source" -> (streamSnapshotSource _),
+    "q_snapshot_drop_col" -> (snapshotDropColumn _),
+    "q_snapshot_pipeline" -> (snapshotPipeline _),
     "q_snapshot_read" -> (snapshotRead _),
     "q_snapshot_rollback" -> (snapshotRollback _),
     "q_range_layout" -> (rangeLayout _),
@@ -850,6 +896,12 @@ private[graft] object QueriesIo {
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q_snapshot_source" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "q_snapshot_drop_col" ->
+      "SELECT doc_id, text, source, n_chars FROM documents",
+    "q_snapshot_pipeline" ->
+      """SELECT lang, count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY 1""",
     "q_snapshot_changes" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          WHERE doc_id % 2 = 1""",

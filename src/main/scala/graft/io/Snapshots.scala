@@ -232,7 +232,7 @@ object Snapshots {
     */
   private[graft] final case class SnapManifest(
       schema: Option[StructType], partCols: Seq[String],
-      entries: Seq[String], raw: Seq[String])
+      dropped: Set[String], entries: Seq[String], raw: Seq[String])
 
   private def manifest(f: FileSystem, base: String, v: Long): SnapManifest = {
     val p = manifestPath(base, v)
@@ -251,13 +251,24 @@ object Snapshots {
           s"snapshot: ${p.getName} is missing its partition line")
         val parts =
           if (lines(2) == "-") Nil else lines(2).split(',').toSeq
-        SnapManifest(Some(schemaAt(1)), parts,
-          lines.drop(3).filter(_.nonEmpty), lines)
+        // '#'-prefixed marker lines extend v3 without a format break
+        // (entries are rel paths, never '#'-prefixed): currently
+        // `#dropped=` — names tombstoned by dropColumns, which an
+        // append may never re-introduce (old files still hold their
+        // physical values; re-adding the name would RESURRECT them)
+        val body = lines.drop(3).filter(_.nonEmpty)
+        val dropped = body.collectFirst {
+          case l if l.startsWith("#dropped=") =>
+            l.stripPrefix("#dropped=").split(',').filter(_.nonEmpty).toSet
+        }.getOrElse(Set.empty[String])
+        SnapManifest(Some(schemaAt(1)), parts, dropped,
+          body.filterNot(_.startsWith("#")), lines)
       case Some(HeaderV2) =>
-        SnapManifest(Some(schemaAt(1)), Nil,
+        SnapManifest(Some(schemaAt(1)), Nil, Set.empty,
           lines.drop(2).filter(_.nonEmpty), lines)
       case Some(HeaderV1) =>
-        SnapManifest(None, Nil, lines.drop(1).filter(_.nonEmpty), lines)
+        SnapManifest(None, Nil, Set.empty,
+          lines.drop(1).filter(_.nonEmpty), lines)
       case _ => throw new IllegalArgumentException(
         s"snapshot: ${p.getName} is not a graft-snapshot manifest " +
           s"(v1/v2/v3 headers accepted)")
@@ -279,9 +290,13 @@ object Snapshots {
     }
 
   private def manifestLines(schema: StructType, partCols: Seq[String],
+                            dropped: Set[String],
                             entries: Seq[String]): Seq[String] =
     Header +: schema.json +:
-      (if (partCols.isEmpty) "-" else partCols.mkString(",")) +: entries
+      (if (partCols.isEmpty) "-" else partCols.mkString(",")) +:
+      ((if (dropped.isEmpty) Nil
+        else Seq(s"#dropped=${dropped.toSeq.sorted.mkString(",")}")) ++
+        entries)
 
   /** Every committed version on disk — with exclusive-create commits,
     * a manifest's existence IS its commit (a crash can only leave
@@ -397,6 +412,7 @@ object Snapshots {
   private def writeCommit(spark: SparkSession, df: DataFrame,
                           path: String, carried: Seq[String],
                           schema: StructType, partCols: Seq[String],
+                          dropped: Set[String],
                           base: Option[Long],
                           onConflict: OnConflict): Long = {
     val f = fs(spark, path)
@@ -434,12 +450,14 @@ object Snapshots {
     onBeforePublish()
     var curCarried = carried
     var curSchema = schema
+    var curDropped = dropped
     var curBase = base
     var committed = -1L
     while (committed < 0L) {
       val v = curBase.getOrElse(0L) + 1L
       if (tryPublishManifest(f, path, v,
-          manifestLines(curSchema, partCols, curCarried ++ fresh))) {
+          manifestLines(curSchema, partCols, curDropped,
+            curCarried ++ fresh))) {
         bumpLatestHint(f, path, v)
         committed = v
       } else onConflict match {
@@ -459,7 +477,9 @@ object Snapshots {
           // drift check re-runs against the WINNER's schema; a
           // genuine type conflict still refuses loudly mid-rebase
           curSchema = evolvedSchema(
-            resolveSchema(spark, path, m), nullableAll(df.schema), path)
+            resolveSchema(spark, path, m), nullableAll(df.schema), path,
+            m.dropped)
+          curDropped = m.dropped
           curCarried = m.entries
           curBase = Some(newBase)
       }
@@ -483,7 +503,15 @@ object Snapshots {
     * dropping a column is not something an APPEND can mean.
     */
   private def evolvedSchema(prev: StructType, next: StructType,
-                            path: String): StructType = {
+                            path: String,
+                            dropped: Set[String]): StructType = {
+    val resurrected = next.fieldNames.filter(dropped.contains)
+    require(resurrected.isEmpty,
+      s"snapshot: column(s) ${resurrected.mkString(", ")} were DROPPED " +
+        s"from $path and an append may not re-introduce the name - old " +
+        "files still hold their pre-drop values, which the re-added " +
+        "column would silently resurrect; pick a new name or overwrite " +
+        "the table")
     val prevByName = prev.fields.map(f => f.name -> f).toMap
     next.fields.foreach(nf => prevByName.get(nf.name).foreach(pf =>
       require(pf.dataType == nf.dataType,
@@ -616,7 +644,7 @@ object Snapshots {
     val spark = df.sparkSession
     val base = latestVersion(spark, path)
     writeCommit(spark, df, path, Nil, nullableAll(df.schema),
-      partitionBy, base, RefuseConflict("overwriting"))
+      partitionBy, Set.empty, base, RefuseConflict("overwriting"))
   }
 
   /** Commit `df` as an APPEND: the new snapshot = previous snapshot's
@@ -633,17 +661,17 @@ object Snapshots {
     val spark = df.sparkSession
     val f = fs(spark, path)
     val base = latestVersion(spark, path)
-    val (carried, schema, partCols) = base match {
+    val (carried, schema, partCols, dropped) = base match {
       case Some(v) =>
         val m = manifest(f, path, v)
         (m.entries,
           evolvedSchema(resolveSchema(spark, path, m),
-            nullableAll(df.schema), path),
-          m.partCols)
-      case None => (Nil, nullableAll(df.schema), Nil)
+            nullableAll(df.schema), path, m.dropped),
+          m.partCols, m.dropped)
+      case None => (Nil, nullableAll(df.schema), Nil, Set.empty[String])
     }
-    writeCommit(spark, df, path, carried, schema, partCols, base,
-      RebaseAppend)
+    writeCommit(spark, df, path, carried, schema, partCols, dropped,
+      base, RebaseAppend)
   }
 
   /** DYNAMIC PARTITION OVERWRITE: atomically replace exactly the
@@ -660,7 +688,7 @@ object Snapshots {
     */
   def replacePartitions(df: DataFrame, path: String): Long = {
     val spark = df.sparkSession
-    val (v, schema, partCols, all) =
+    val (v, schema, partCols, dropped, all) =
       currentState(spark, path, "replace partitions of")
     require(partCols.nonEmpty,
       s"snapshot: $path is not partitioned - replacePartitions " +
@@ -688,8 +716,8 @@ object Snapshots {
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .DEFAULT_PARTITION_NAME)))
     }
-    writeCommit(spark, df, path, carried, schema, partCols, Some(v),
-      RefuseConflict("replacing partitions of"))
+    writeCommit(spark, df, path, carried, schema, partCols, dropped,
+      Some(v), RefuseConflict("replacing partitions of"))
   }
 
   /** Read a snapshot: the latest, or any committed `version` (time
@@ -860,12 +888,12 @@ object Snapshots {
     */
   private def currentState(spark: SparkSession, path: String,
                            what: String):
-      (Long, StructType, Seq[String], Seq[String]) = {
+      (Long, StructType, Seq[String], Set[String], Seq[String]) = {
     val v = latestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"snapshot: no committed version under $path to $what"))
     val m = manifest(fs(spark, path), path, v)
-    (v, resolveSchema(spark, path, m), m.partCols, m.entries)
+    (v, resolveSchema(spark, path, m), m.partCols, m.dropped, m.entries)
   }
 
   /** Mutation key sets must not contain NULLs: a NULL key never
@@ -913,7 +941,8 @@ object Snapshots {
   def merge(spark: SparkSession, path: String, updates: DataFrame,
             keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "snapshot: merge needs at least one key column")
-    val (v, schema, partCols, all) = currentState(spark, path, "merge into")
+    val (v, schema, partCols, dropped, all) =
+      currentState(spark, path, "merge into")
     val table = openEntries(spark, path, schema, partCols, all)
     require(table.columns.sorted.sameElements(updates.columns.sorted),
       s"snapshot: merge updates columns ${updates.columns.sorted.mkString(",")} " +
@@ -948,7 +977,7 @@ object Snapshots {
           .select(cols: _*)
           .unionByName(upd)
       writeCommit(spark, fresh, path, carried, schema, partCols,
-        Some(v), RefuseConflict("merging into"))
+        dropped, Some(v), RefuseConflict("merging into"))
     } finally { upd0.unpersist(); () }
   }
 
@@ -985,7 +1014,7 @@ object Snapshots {
     require(keyCols.intersect(setCols).isEmpty,
       s"snapshot: columns ${keyCols.intersect(setCols).mkString(",")} " +
         "appear as both key and set - a merge key cannot be updated")
-    val (v, schema, partCols, all) =
+    val (v, schema, partCols, dropped, all) =
       currentState(spark, path, "mergeUpdate into")
     val tableCols = schema.fieldNames.toSeq
     val missing = (keyCols ++ setCols).filterNot(tableCols.contains)
@@ -1048,7 +1077,7 @@ object Snapshots {
           val fresh = (r.toSeq ++ i.toSeq).reduce(_ unionByName _)
           val carried = all.filterNot(e => affected(relOf(e)))
           writeCommit(spark, fresh, path, carried, schema, partCols,
-            Some(v), RefuseConflict("mergeUpdate into"))
+            dropped, Some(v), RefuseConflict("mergeUpdate into"))
       }
     } finally { upd0.unpersist(); () }
   }
@@ -1105,7 +1134,7 @@ object Snapshots {
     require(keyCols.forall(keys.columns.contains),
       s"snapshot: key columns ${keyCols.filterNot(keys.columns.contains)} " +
         "missing from the keys table")
-    val (v, schema, partCols, all) =
+    val (v, schema, partCols, dropped, all) =
       currentState(spark, path, "delete keys from")
     val table = openEntries(spark, path, schema, partCols, all)
     requireSameTypes(StructType(schema.filter(f => keyCols.contains(f.name))),
@@ -1123,7 +1152,7 @@ object Snapshots {
             all.filter(e => affected(relOf(e))))
           .join(k, keyCols, "left_anti")
         writeCommit(spark, survivors, path, carried, schema, partCols,
-          Some(v), RefuseConflict("deleting keys from"))
+          dropped, Some(v), RefuseConflict("deleting keys from"))
       }
     } finally { k.unpersist(); () }
   }
@@ -1139,7 +1168,7 @@ object Snapshots {
     */
   def deleteWhere(spark: SparkSession, path: String,
                   predicate: Column): Long = {
-    val (v, schema, partCols, all) =
+    val (v, schema, partCols, dropped, all) =
       currentState(spark, path, "delete from")
     val table = openEntries(spark, path, schema, partCols, all)
     val affected = table.filter(predicate)
@@ -1151,7 +1180,7 @@ object Snapshots {
         all.filter(e => affected(relOf(e))))
       .filter(not(coalesce(predicate, lit(false))))
     writeCommit(spark, survivors, path, carried, schema, partCols,
-      Some(v), RefuseConflict("deleting from"))
+      dropped, Some(v), RefuseConflict("deleting from"))
   }
 
   /** Bin-pack the current snapshot into ~`targetFileBytes` files — the
@@ -1187,7 +1216,8 @@ object Snapshots {
     require(zorderBy.isEmpty || zorderBy.size == 2,
       s"snapshot: zorderBy takes exactly two columns, got " +
         s"${zorderBy.mkString(",")}")
-    val (v, schema, partCols, all) = currentState(spark, path, "compact")
+    val (v, schema, partCols, dropped, all) =
+      currentState(spark, path, "compact")
     (sortBy ++ zorderBy).foreach(c => require(
       schema.fieldNames.contains(c),
       s"snapshot: compact cluster column $c is not in the table schema " +
@@ -1233,8 +1263,48 @@ object Snapshots {
         .repartitionByRange(want.toInt, clusterCols.map(col): _*)
         .sortWithinPartitions(clusterCols.map(col): _*)
         .drop("__graft_z")
-    writeCommit(spark, packed, path, Nil, schema, partCols, Some(v),
-      RefuseConflict("compacting"))
+    writeCommit(spark, packed, path, Nil, schema, partCols, dropped,
+      Some(v), RefuseConflict("compacting"))
+  }
+
+  /** METADATA-ONLY column drop: a new version whose manifest carries
+    * the SAME files under a narrowed schema — constant-time, zero
+    * data IO, history intact (time travel still reads the column in
+    * old versions). The dropped names are TOMBSTONED in the manifest
+    * and an append may never re-introduce them: the physical values
+    * survive in old files, and a re-added name would silently
+    * resurrect them (the hazard Delta's column mapping exists for —
+    * refusal is the honest posture without one). Physical removal,
+    * if wanted, is a later [[compact]] (its rewrite writes only the
+    * current schema's columns). Partition columns cannot be dropped.
+    */
+  def dropColumns(spark: SparkSession, path: String,
+                  cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "snapshot: dropColumns needs column names")
+    val (v, schema, partCols, dropped, all) =
+      currentState(spark, path, "drop columns from")
+    val missing = cols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"snapshot: column(s) ${missing.mkString(", ")} are not in the " +
+        s"table schema (${schema.fieldNames.mkString(", ")})")
+    val parts = cols.filter(partCols.contains)
+    require(parts.isEmpty,
+      s"snapshot: ${parts.mkString(", ")} are partition columns - the " +
+        "layout depends on them; repartition via a fresh commit instead")
+    val remaining = schema.fields.filterNot(f => cols.contains(f.name))
+    require(remaining.nonEmpty,
+      "snapshot: dropping every column would leave an unreadable table")
+    val f = fs(spark, path)
+    val next = v + 1L
+    if (!tryPublishManifest(f, path, next,
+        manifestLines(StructType(remaining), partCols,
+          dropped ++ cols, all)))
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot: concurrent commit detected while dropping columns " +
+          s"from $path (version $next was claimed by another writer) - " +
+          "re-read and retry")
+    bumpLatestHint(f, path, next)
+    next
   }
 
   /** Roll the table back to `toVersion`: a NEW version whose manifest

@@ -1174,6 +1174,57 @@ class SnapshotsSpec extends SparkSpec {
     assert(e.getMessage.contains("not partitioned"), e.getMessage)
   }
 
+  test("dropColumns: metadata-only narrow, tombstone blocks re-add, compact removes physically") {
+    val path = newStore
+    val v1 = Snapshots.commit(docs, path)
+    val before = dataFiles(path)
+    val v2 = Snapshots.dropColumns(spark, path, Seq("lang"))
+    assert(v2 === v1 + 1)
+    // metadata-only: not one data file moved
+    assert(dataFiles(path) === before)
+    val got = Snapshots.read(spark, path)
+    assert(got.columns.toSeq === Seq("doc_id", "text", "source", "n_chars"))
+    assert(got.count() === docs.count())
+    // time travel still reads the wide schema
+    assert(Snapshots.read(spark, path, Some(v1)).columns.contains("lang"))
+    // the tombstoned NAME may not come back via append (old files
+    // would resurrect their physical values)
+    val e1 = intercept[IllegalArgumentException](
+      Snapshots.commitAppend(docs.limit(1)
+        .select((-col("doc_id") - 1).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")), path))
+    assert(e1.getMessage.contains("resurrect"), e1.getMessage)
+    // a lang-less append works and the tombstone survives the commit
+    Snapshots.commitAppend(docs.limit(2)
+      .select((-col("doc_id") - 1).as("doc_id"), col("text"),
+        col("source"), col("n_chars")), path)
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.commitAppend(docs.limit(1)
+        .select((-col("doc_id") - 500).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")), path))
+    assert(e2.getMessage.contains("resurrect"), e2.getMessage)
+    // compaction rewrites only the surviving columns: physical removal
+    Snapshots.compact(spark, path, targetFileBytes = 1L << 30)
+    val packedFile = Snapshots.read(spark, path)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(packedFile.length === 1)
+    assert(!spark.read.parquet(packedFile(0)).columns.contains("lang"))
+    // guards: unknown column, partition column, dropping everything
+    val e3 = intercept[IllegalArgumentException](
+      Snapshots.dropColumns(spark, path, Seq("nope")))
+    assert(e3.getMessage.contains("nope"), e3.getMessage)
+    val parted = newStore
+    Snapshots.commit(docs.withColumn("bucket", col("doc_id") % 4),
+      parted, partitionBy = Seq("bucket"))
+    val e4 = intercept[IllegalArgumentException](
+      Snapshots.dropColumns(spark, parted, Seq("bucket")))
+    assert(e4.getMessage.contains("partition"), e4.getMessage)
+    val e5 = intercept[IllegalArgumentException](
+      Snapshots.dropColumns(spark, path,
+        Seq("doc_id", "text", "source", "n_chars")))
+    assert(e5.getMessage.contains("every column"), e5.getMessage)
+  }
+
   test("the store is relocatable (relative manifest paths)") {
     val path = newStore
     Snapshots.commit(docs, path)
