@@ -1307,6 +1307,33 @@ object Snapshots {
     next
   }
 
+  /** Rerun `op` when it loses an optimistic-concurrency race
+    * (`ConcurrentModificationException` from any snapshot mutation):
+    * every mutation here re-reads the CURRENT table state at entry,
+    * so a retry recomputes against the interloper's commit — the
+    * standard OCC retry loop (Delta does the same internally for
+    * idempotent-safe operations), with linear backoff so two looping
+    * writers don't re-collide forever. The last failure propagates.
+    * Only wrap operations that are correct to recompute from scratch
+    * (all the mutations here are — they carry no state between
+    * attempts).
+    */
+  def retryOnConflict[A](attempts: Int = 5, backoffMs: Long = 200L)
+                        (op: => A): A = {
+    require(attempts >= 1, s"snapshot: attempts must be >= 1: $attempts")
+    var i = 0
+    var out: Option[A] = None
+    while (out.isEmpty) {
+      try out = Some(op)
+      catch { case e: java.util.ConcurrentModificationException =>
+        i += 1
+        if (i >= attempts) throw e
+        Thread.sleep(backoffMs * i)
+      }
+    }
+    out.get
+  }
+
   /** Roll the table back to `toVersion`: a NEW version whose manifest
     * is a byte-for-byte copy of the old one (format-preserving, so a
     * legacy-manifest snapshot rolls back verbatim) — constant-time,

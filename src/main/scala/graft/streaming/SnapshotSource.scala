@@ -40,7 +40,17 @@ import graft.io.Snapshots
   *     built-in file source uses.
   */
 private[graft] class SnapshotSource(sqlContext: SQLContext,
-                                    path: String) extends Source {
+                                    path: String,
+                                    maxVersionsPerTrigger: Option[Long])
+  extends Source
+  with org.apache.spark.sql.connector.read.streaming
+    .SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming
+    .SupportsTriggerAvailableNow {
+
+  require(maxVersionsPerTrigger.forall(_ >= 1),
+    s"snapshot source: maxVersionsPerTrigger must be >= 1, got " +
+      s"${maxVersionsPerTrigger.orNull}")
 
   private val spark = sqlContext.sparkSession
 
@@ -60,8 +70,56 @@ private[graft] class SnapshotSource(sqlContext: SQLContext,
     case other => other.json.trim.toLong // SerializedOffset from checkpoint
   }
 
+  // Trigger.AvailableNow contract: pin the catch-up target when the
+  // run starts; versions committed mid-run wait for the next run.
+  // Without this trait Spark degrades AvailableNow to a single
+  // micro-batch, which would defeat the admission cap below.
+  private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Snapshots.latestVersion(spark, path)
+
+  private def latestAvailable: Option[Long] = {
+    val latest = Snapshots.latestVersion(spark, path)
+    availableNowTarget match {
+      case Some(t) => latest.map(math.min(_, t))
+      case None => latest
+    }
+  }
+
   override def getOffset: Option[Offset] =
-    Snapshots.latestVersion(spark, path).map(new LongOffset(_))
+    latestAvailable.map(new LongOffset(_))
+
+  /** Backpressure, the admission-control way (the engine hands
+    * `latestOffset` the consumer's COMMITTED offset, so the cap
+    * survives restarts — the `maxFilesPerTrigger` mechanism): after
+    * the initial full-catch-up batch, each micro-batch admits at most
+    * `maxVersionsPerTrigger` further versions, bounding batch size
+    * when a consumer falls far behind a busy ingestion stream.
+    */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    latestAvailable.map { latest =>
+      val capped = (maxVersionsPerTrigger, Option(start)) match {
+        case (Some(n), Some(s)) =>
+          math.min(latest, connectorVersionOf(s) + n)
+        case _ => latest // first batch: full catch-up
+      }
+      new LongOffset(capped)
+    }.orNull
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  private def connectorVersionOf(
+      o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+    o match {
+      case l: LongOffset => l.offset
+      case other => other.json.trim.toLong
+    }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = versionOf(end)
@@ -142,5 +200,6 @@ class SnapshotSourceProvider extends StreamSourceProvider
                             schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): Source =
-    new SnapshotSource(sqlContext, pathOf(parameters))
+    new SnapshotSource(sqlContext, pathOf(parameters),
+      parameters.get("maxVersionsPerTrigger").map(_.trim.toLong))
 }

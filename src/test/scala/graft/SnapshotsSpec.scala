@@ -1225,6 +1225,76 @@ class SnapshotsSpec extends SparkSpec {
     assert(e5.getMessage.contains("every column"), e5.getMessage)
   }
 
+  test("retryOnConflict reruns an OCC loser against the new base; exhaustion rethrows") {
+    val path = newStore
+    Snapshots.commit(docs, path)
+    // first merge attempt loses to an interleaved append; the retry
+    // recomputes against the appended base and lands
+    Snapshots.onBeforePublish = () => {
+      Snapshots.onBeforePublish = () => ()
+      Snapshots.commitAppend(
+        docs.limit(1).select((-col("doc_id") - 900).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars")), path)
+      ()
+    }
+    val updates = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", upper(col("text")))
+      .select(docs.columns.map(col).toSeq: _*)
+    try {
+      val v = Snapshots.retryOnConflict(attempts = 3, backoffMs = 1L) {
+        Snapshots.merge(spark, path, updates, Seq("doc_id"))
+      }
+      assert(v === 3L) // v1 commit, v2 interleaved append, v3 merge
+    } finally Snapshots.onBeforePublish = () => ()
+    val got = Snapshots.read(spark, path)
+    assert(got.count() === docs.count() + 1) // append's row survived
+    assert(got.filter(col("doc_id") % 10 === 0 && col("doc_id") >= 0 &&
+      col("text") =!= upper(col("text"))).count() === 0L)
+    // exhaustion: a conflict on EVERY attempt rethrows the last one
+    var n = 0
+    val e = intercept[java.util.ConcurrentModificationException](
+      Snapshots.retryOnConflict(attempts = 3, backoffMs = 1L) {
+        n += 1
+        throw new java.util.ConcurrentModificationException("always")
+      })
+    assert(n === 3 && e.getMessage === "always")
+  }
+
+  test("streaming source maxVersionsPerTrigger bounds each post-catch-up batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val store = newStore
+    Snapshots.commit(docs.filter(col("doc_id") % 4 === 0), store)
+    val ckpt = Files.createTempDirectory("graft_snapsrc_rate").toString
+    val batchCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("path", store)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val c = b.count(); if (c > 0) batchCounts += c
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce() // initial catch-up: one full batch
+    val q0 = docs.filter(col("doc_id") % 4 === 0).count()
+    assert(batchCounts.toSeq === Seq(q0), batchCounts.toSeq.toString)
+    // three appends land while the consumer is away: with the cap,
+    // the next run must deliver them as THREE version-sized batches
+    (1 to 3).foreach(r => Snapshots.commitAppend(
+      docs.filter(col("doc_id") % 4 === r), store))
+    runOnce()
+    val expected = (1 to 3).map(r =>
+      docs.filter(col("doc_id") % 4 === r).count())
+    assert(batchCounts.toSeq === q0 +: expected,
+      batchCounts.toSeq.toString)
+  }
+
   test("the store is relocatable (relative manifest paths)") {
     val path = newStore
     Snapshots.commit(docs, path)
