@@ -26,5 +26,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_cosine"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarityExpr(children.head, children(1))))
+    // snapshot-store table-valued function: pure-SQL time travel —
+    //   SELECT * FROM graft_snapshot('/path')            -- latest
+    //   SELECT * FROM graft_snapshot('/path', 3)         -- version
+    //   SELECT * FROM graft_snapshot('/path', 'train-v1') -- tag
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_snapshot"),
+      new ExpressionInfo("graft.io.Snapshots", "graft_snapshot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.nonEmpty && children.size <= 2,
+          "graft_snapshot(path[, version|tag]) takes 1 or 2 arguments")
+        require(children.forall(_.foldable),
+          "graft_snapshot arguments must be literals")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = String.valueOf(children.head.eval())
+        val v = children.lift(1).map(_.eval()) match {
+          case None => graft.io.Snapshots.latestVersion(spark, path)
+            .getOrElse(throw new IllegalArgumentException(
+              s"snapshot: no committed version under $path"))
+          case Some(n: Number) => n.longValue()
+          case Some(t) => // a tag name
+            val tag = String.valueOf(t)
+            graft.io.Snapshots.tags(spark, path).getOrElse(tag,
+              throw new IllegalArgumentException(
+                s"snapshot: no tag '$tag' under $path"))
+        }
+        val (schema, partCols, entries) =
+          graft.io.Snapshots.stateAt(spark, path, v)
+        org.apache.spark.sql.graft.StreamingRelationBridge.batchPlanOf(
+          graft.io.Snapshots.entriesRelation(spark, path, schema,
+            partCols, entries))
+      }))
   }
 }

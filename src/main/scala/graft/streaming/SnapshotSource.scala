@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
-  RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation,
+  CreatableRelationProvider, DataSourceRegister, RelationProvider,
+  StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 import graft.io.Snapshots
 
@@ -153,9 +154,92 @@ private[graft] class SnapshotSource(sqlContext: SQLContext,
   *     incremental stream.
   */
 class SnapshotSourceProvider extends StreamSourceProvider
-    with RelationProvider with DataSourceRegister {
+    with RelationProvider with CreatableRelationProvider
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshot"
+
+  /** Batch WRITE:
+    * `df.write.format("graft-snapshot").mode(m).save(path)` —
+    * `overwrite` → [[Snapshots.commit]] (a new full-table version;
+    * `option("partitionBy", "a,b")` sets the layout), `append` →
+    * [[Snapshots.commitAppend]] (partitioning inherited; on a table
+    * that does not exist yet, the append bootstraps it, honoring
+    * `partitionBy`), `errorifexists`/`ignore` with their standard
+    * meanings. Every mode lands as one atomic, time-travelable
+    * commit.
+    */
+  override def createRelation(sqlContext: SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame)
+      : BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val partitionBy = parameters.get("partitionBy")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val exists = Snapshots.latestVersion(spark, path).nonEmpty
+    mode match {
+      case SaveMode.Overwrite =>
+        Snapshots.commit(data, path, partitionBy); ()
+      case SaveMode.Append =>
+        if (exists) { Snapshots.commitAppend(data, path); () }
+        else { Snapshots.commit(data, path, partitionBy); () }
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalArgumentException(
+          s"snapshot: $path already has committed versions " +
+            "(mode=errorifexists); use append or overwrite")
+        Snapshots.commit(data, path, partitionBy); ()
+      case SaveMode.Ignore =>
+        if (!exists) { Snapshots.commit(data, path, partitionBy); () }
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  /** Streaming SINK:
+    * `df.writeStream.format("graft-snapshot").option("path", p)` —
+    * append mode lands one append commit per micro-batch (the
+    * [[Streams.snapshotStream]] semantics behind the standard sink
+    * API: checkpointed, at-least-once — a replayed batch duplicates
+    * rows in the LATEST version only); complete mode overwrites the
+    * table each batch (a streaming aggregate as an always-current,
+    * still time-travelable table). `partitionBy(...)` on the writer
+    * sets the layout. Update mode refuses (no keyed semantics here —
+    * use [[Streams.snapshotUpsertStream]]). Empty batches are
+    * skipped (no burned versions).
+    */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val path = pathOf(parameters)
+    require(outputMode != OutputMode.Update(),
+      "snapshot sink: update mode has no whole-row table meaning - " +
+        "use append, complete, or Streams.snapshotUpsertStream for " +
+        "keyed upserts")
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long,
+                            data: org.apache.spark.sql.DataFrame): Unit = {
+        val stable = org.apache.spark.sql.graft.StreamingRelationBridge
+          .stableBatch(data).persist()
+        try {
+          if (stable.limit(1).count() > 0L) {
+            if (outputMode == OutputMode.Complete()) {
+              Snapshots.commit(stable, path, partitionColumns); ()
+            } else if (Snapshots.latestVersion(
+                stable.sparkSession, path).isEmpty) {
+              Snapshots.commit(stable, path, partitionColumns); ()
+            } else { Snapshots.commitAppend(stable, path); () }
+          }
+        } finally { stable.unpersist(); () }
+      }
+      override def toString: String = s"SnapshotSink[$path]"
+    }
+  }
 
   private def pathOf(params: Map[String, String]): String =
     params.getOrElse("path", throw new IllegalArgumentException(

@@ -37,6 +37,7 @@ object Bridge {
                      : Unit = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     ext.registerFunctions(cs.sessionState.functionRegistry)
+    ext.registerTableFunctions(cs.sessionState.tableFunctionRegistry)
     val fresh = ext.buildPlannerStrategies(cs)
       .filterNot(s => cs.experimental.extraStrategies.exists(_ eq s))
     cs.experimental.extraStrategies =

@@ -15,4 +15,24 @@ object StreamingRelationBridge {
   def streamingFrom(spark: SparkSession, rel: BaseRelation): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession],
       LogicalRelation(rel, isStreaming = true))
+
+  /** The batch LogicalPlan of a resolved relation — what the
+    * `graft_snapshot(...)` table-valued function returns to the
+    * analyzer (`LogicalRelation.apply` is `private[sql]`).
+    */
+  def batchPlanOf(rel: BaseRelation)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    LogicalRelation(rel)
+
+  /** Pin a streaming Sink's per-batch DataFrame to its already-planned
+    * RDD — the `ForeachBatchSink` technique: re-running arbitrary
+    * actions on the raw `addBatch` frame would re-plan the micro-batch
+    * source read, which is incorrect for exactly-once sources.
+    */
+  def stableBatch(data: DataFrame): DataFrame = {
+    val ds = data.asInstanceOf[classic.Dataset[_]]
+    classic.Dataset.ofRows(ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        ds.queryExecution.toRdd, ds, isStreaming = false))
+  }
 }

@@ -23,6 +23,37 @@ class ExtensionsSpec extends SparkSpec {
       .exists(_ eq graft.plans.TopKStrategy))
   }
 
+  test("graft_snapshot table-valued function: pure-SQL snapshot time travel") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    org.apache.spark.sql.graft.Bridge.applyExtensions(spark, ext)
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val path = Files.createTempDirectory("graft_tvf").toString + "/tbl"
+    val v1 = graft.io.Snapshots.commit(
+      docs.filter(col("doc_id") % 2 === 0), path)
+    graft.io.Snapshots.tag(spark, path, "train-v1")
+    graft.io.Snapshots.commitAppend(
+      docs.filter(col("doc_id") % 2 === 1), path)
+    val even = docs.filter(col("doc_id") % 2 === 0).count()
+    assert(spark.sql(s"SELECT * FROM graft_snapshot('$path')").count() ===
+      docs.count())
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_snapshot('$path', $v1)")
+      .head().getLong(0) === even)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_snapshot('$path', 'train-v1')")
+      .head().getLong(0) === even)
+    // joins/filters compose like any table
+    val n = spark.sql(
+      s"""SELECT count(*) AS n FROM graft_snapshot('$path') a
+          JOIN graft_snapshot('$path', $v1) b USING (doc_id)
+          WHERE a.n_chars > 100""").head().getLong(0)
+    assert(n === docs.filter(col("doc_id") % 2 === 0 &&
+      col("n_chars") > 100).count())
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_snapshot('$path', 'nope')").count())
+    assert(e.getMessage.contains("no tag"), e.getMessage)
+  }
+
   test("TopKRewriteRule: rank-filter window rewrites to the heap operator") {
     import spark.implicits._
     val ext = new org.apache.spark.sql.SparkSessionExtensions

@@ -1295,6 +1295,85 @@ class SnapshotsSpec extends SparkSpec {
       batchCounts.toSeq.toString)
   }
 
+  test("""format("graft-snapshot") writes: batch save modes and the streaming sink""") {
+    val path = newStore
+    // default errorifexists creates; append folds in; rerun refuses
+    docs.filter(col("doc_id") % 2 === 0).write
+      .format("graft-snapshot").save(path)
+    docs.filter(col("doc_id") % 2 === 1).write
+      .format("graft-snapshot").mode("append").save(path)
+    assert(spark.read.format("graft-snapshot").load(path).count() ===
+      docs.count())
+    val e = intercept[Exception](
+      docs.limit(1).write.format("graft-snapshot").save(path))
+    assert(e.getMessage.contains("errorifexists"), e.getMessage)
+    // ignore is a no-op on an existing table
+    docs.limit(1).write.format("graft-snapshot").mode("ignore").save(path)
+    assert(Snapshots.read(spark, path).count() === docs.count())
+    // overwrite is a new version; history stays readable
+    docs.filter(col("n_chars") > 500).write
+      .format("graft-snapshot").mode("overwrite").save(path)
+    assert(Snapshots.read(spark, path).count() ===
+      docs.filter(col("n_chars") > 500).count())
+    assert(Snapshots.read(spark, path, Some(2L)).count() === docs.count())
+    // partitioned bootstrap via option
+    val parted = newStore
+    docs.withColumn("bucket", col("doc_id") % 4).write
+      .format("graft-snapshot").option("partitionBy", "bucket")
+      .mode("append").save(parted)
+    val (kept, total) = Snapshots.prunedEntries(spark, parted, "bucket", 1, 1)
+    assert(kept.size < total && kept.forall(_.contains("bucket=1")))
+    // streaming sink: one append commit per micro-batch through the
+    // standard writeStream API
+    import org.apache.spark.sql.streaming.Trigger
+    val staged = graft.io.Scratch.dir("graft_sink_docs_")
+    graft.io.Scratch.stageSingleParquetFile(
+      docs.filter(col("doc_id") % 2 === 0), staged, "even.parquet")
+    graft.io.Scratch.stageSingleParquetFile(
+      docs.filter(col("doc_id") % 2 === 1), staged, "odd.parquet")
+    val store = newStore
+    val q = graft.streaming.Streams.fileStream(spark, staged.toString,
+        graft.streaming.Streams.DocsRawSchema,
+        maxFilesPerTrigger = Some(1))
+      .writeStream.format("graft-snapshot").option("path", store)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_sink_ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(Snapshots.versions(spark, store) === Seq(1L, 2L))
+    assert(Snapshots.read(spark, store).count() === docs.count())
+    // update mode refuses at sink creation
+    val e2 = intercept[Exception] {
+      graft.streaming.Streams.fileStream(spark, staged.toString,
+          graft.streaming.Streams.DocsRawSchema)
+        .groupBy("lang").count()
+        .writeStream.format("graft-snapshot").option("path", newStore)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e2).exists(c => c.getMessage != null &&
+      c.getMessage.contains("update mode")), e2.toString)
+    // complete mode: a live aggregate as an always-current table
+    val aggStore = newStore
+    val q2 = graft.streaming.Streams.fileStream(spark, staged.toString,
+        graft.streaming.Streams.DocsRawSchema,
+        maxFilesPerTrigger = Some(1))
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .writeStream.format("graft-snapshot").option("path", aggStore)
+      .outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_sink_ckpt2_").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val got = Snapshots.read(spark, aggStore)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
   test("the store is relocatable (relative manifest paths)") {
     val path = newStore
     Snapshots.commit(docs, path)
