@@ -232,7 +232,8 @@ object Snapshots {
     */
   private[graft] final case class SnapManifest(
       schema: Option[StructType], partCols: Seq[String],
-      dropped: Set[String], entries: Seq[String], raw: Seq[String])
+      dropped: Set[String], op: String,
+      entries: Seq[String], raw: Seq[String])
 
   private def manifest(f: FileSystem, base: String, v: Long): SnapManifest = {
     val p = manifestPath(base, v)
@@ -261,13 +262,16 @@ object Snapshots {
           case l if l.startsWith("#dropped=") =>
             l.stripPrefix("#dropped=").split(',').filter(_.nonEmpty).toSet
         }.getOrElse(Set.empty[String])
-        SnapManifest(Some(schemaAt(1)), parts, dropped,
+        val op = body.collectFirst {
+          case l if l.startsWith("#op=") => l.stripPrefix("#op=")
+        }.getOrElse("unknown")
+        SnapManifest(Some(schemaAt(1)), parts, dropped, op,
           body.filterNot(_.startsWith("#")), lines)
       case Some(HeaderV2) =>
-        SnapManifest(Some(schemaAt(1)), Nil, Set.empty,
+        SnapManifest(Some(schemaAt(1)), Nil, Set.empty, "unknown",
           lines.drop(2).filter(_.nonEmpty), lines)
       case Some(HeaderV1) =>
-        SnapManifest(None, Nil, Set.empty,
+        SnapManifest(None, Nil, Set.empty, "unknown",
           lines.drop(1).filter(_.nonEmpty), lines)
       case _ => throw new IllegalArgumentException(
         s"snapshot: ${p.getName} is not a graft-snapshot manifest " +
@@ -290,12 +294,13 @@ object Snapshots {
     }
 
   private def manifestLines(schema: StructType, partCols: Seq[String],
-                            dropped: Set[String],
+                            dropped: Set[String], op: String,
                             entries: Seq[String]): Seq[String] =
     Header +: schema.json +:
       (if (partCols.isEmpty) "-" else partCols.mkString(",")) +:
-      ((if (dropped.isEmpty) Nil
-        else Seq(s"#dropped=${dropped.toSeq.sorted.mkString(",")}")) ++
+      (Seq(s"#op=$op") ++
+        (if (dropped.isEmpty) Nil
+         else Seq(s"#dropped=${dropped.toSeq.sorted.mkString(",")}")) ++
         entries)
 
   /** Every committed version on disk — with exclusive-create commits,
@@ -414,7 +419,8 @@ object Snapshots {
                           schema: StructType, partCols: Seq[String],
                           dropped: Set[String],
                           base: Option[Long],
-                          onConflict: OnConflict): Long = {
+                          onConflict: OnConflict,
+                          op: String): Long = {
     val f = fs(spark, path)
     partCols.foreach(c => require(!c.contains(',') && !c.contains('/'),
       s"snapshot: illegal partition column name '$c'"))
@@ -456,7 +462,7 @@ object Snapshots {
     while (committed < 0L) {
       val v = curBase.getOrElse(0L) + 1L
       if (tryPublishManifest(f, path, v,
-          manifestLines(curSchema, partCols, curDropped,
+          manifestLines(curSchema, partCols, curDropped, op,
             curCarried ++ fresh))) {
         bumpLatestHint(f, path, v)
         committed = v
@@ -644,7 +650,8 @@ object Snapshots {
     val spark = df.sparkSession
     val base = latestVersion(spark, path)
     writeCommit(spark, df, path, Nil, nullableAll(df.schema),
-      partitionBy, Set.empty, base, RefuseConflict("overwriting"))
+      partitionBy, Set.empty, base, RefuseConflict("overwriting"),
+      "overwrite")
   }
 
   /** Commit `df` as an APPEND: the new snapshot = previous snapshot's
@@ -671,7 +678,7 @@ object Snapshots {
       case None => (Nil, nullableAll(df.schema), Nil, Set.empty[String])
     }
     writeCommit(spark, df, path, carried, schema, partCols, dropped,
-      base, RebaseAppend)
+      base, RebaseAppend, "append")
   }
 
   /** DYNAMIC PARTITION OVERWRITE: atomically replace exactly the
@@ -717,7 +724,8 @@ object Snapshots {
           .DEFAULT_PARTITION_NAME)))
     }
     writeCommit(spark, df, path, carried, schema, partCols, dropped,
-      Some(v), RefuseConflict("replacing partitions of"))
+      Some(v), RefuseConflict("replacing partitions of"),
+      "replacePartitions")
   }
 
   /** Read a snapshot: the latest, or any committed `version` (time
@@ -977,7 +985,7 @@ object Snapshots {
           .select(cols: _*)
           .unionByName(upd)
       writeCommit(spark, fresh, path, carried, schema, partCols,
-        dropped, Some(v), RefuseConflict("merging into"))
+        dropped, Some(v), RefuseConflict("merging into"), "merge")
     } finally { upd0.unpersist(); () }
   }
 
@@ -1077,7 +1085,8 @@ object Snapshots {
           val fresh = (r.toSeq ++ i.toSeq).reduce(_ unionByName _)
           val carried = all.filterNot(e => affected(relOf(e)))
           writeCommit(spark, fresh, path, carried, schema, partCols,
-            dropped, Some(v), RefuseConflict("mergeUpdate into"))
+            dropped, Some(v), RefuseConflict("mergeUpdate into"),
+            "mergeUpdate")
       }
     } finally { upd0.unpersist(); () }
   }
@@ -1152,7 +1161,8 @@ object Snapshots {
             all.filter(e => affected(relOf(e))))
           .join(k, keyCols, "left_anti")
         writeCommit(spark, survivors, path, carried, schema, partCols,
-          dropped, Some(v), RefuseConflict("deleting keys from"))
+          dropped, Some(v), RefuseConflict("deleting keys from"),
+          "deleteKeys")
       }
     } finally { k.unpersist(); () }
   }
@@ -1180,7 +1190,7 @@ object Snapshots {
         all.filter(e => affected(relOf(e))))
       .filter(not(coalesce(predicate, lit(false))))
     writeCommit(spark, survivors, path, carried, schema, partCols,
-      dropped, Some(v), RefuseConflict("deleting from"))
+      dropped, Some(v), RefuseConflict("deleting from"), "deleteWhere")
   }
 
   /** Bin-pack the current snapshot into ~`targetFileBytes` files — the
@@ -1264,7 +1274,7 @@ object Snapshots {
         .sortWithinPartitions(clusterCols.map(col): _*)
         .drop("__graft_z")
     writeCommit(spark, packed, path, Nil, schema, partCols, dropped,
-      Some(v), RefuseConflict("compacting"))
+      Some(v), RefuseConflict("compacting"), "compact")
   }
 
   /** METADATA-ONLY column drop: a new version whose manifest carries
@@ -1298,13 +1308,32 @@ object Snapshots {
     val next = v + 1L
     if (!tryPublishManifest(f, path, next,
         manifestLines(StructType(remaining), partCols,
-          dropped ++ cols, all)))
+          dropped ++ cols, "dropColumns", all)))
       throw new java.util.ConcurrentModificationException(
         s"snapshot: concurrent commit detected while dropping columns " +
           s"from $path (version $next was claimed by another writer) - " +
           "re-read and retry")
     bumpLatestHint(f, path, next)
     next
+  }
+
+  /** The table's commit history — DESCRIBE HISTORY: one row per
+    * surviving version with its commit time (manifest mtime, the
+    * [[versionAsOf]] clock), operation (`#op=` marker; `unknown` for
+    * legacy manifests), file count and total bytes — the operational
+    * at-a-glance every table format owes its operators. Metadata
+    * only: reads manifests, never data.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, path)
+    allManifestVersions(f, path).map { v =>
+      val m = manifest(f, path, v)
+      val mt = f.getFileStatus(manifestPath(path, v)).getModificationTime
+      (v, new java.sql.Timestamp(mt), m.op, m.entries.size.toLong,
+        m.entries.map(e => entryLen(f, path, e)).sum)
+    }.toDF("version", "committed_at", "operation", "n_files",
+      "total_bytes")
   }
 
   /** Rerun `op` when it loses an optimistic-concurrency race
@@ -1346,7 +1375,13 @@ object Snapshots {
     val m = manifest(f, path, toVersion)
     val base = allManifestVersions(f, path).last
     val v = base + 1L
-    if (!tryPublishManifest(f, path, v, m.raw))
+    // format-preserving copy, except the operation marker: history
+    // must show THIS commit as a rollback, not the source's op
+    val lines =
+      if (!m.raw.headOption.contains(Header)) m.raw
+      else m.raw.filterNot(_.startsWith("#op=")).patch(3,
+        Seq(s"#op=rollback(to=$toVersion)"), 0)
+    if (!tryPublishManifest(f, path, v, lines))
       throw new java.util.ConcurrentModificationException(
         s"snapshot: concurrent commit detected while rolling back $path " +
           s"(version $v was claimed by another writer) - re-read and retry")
@@ -1366,6 +1401,30 @@ object Snapshots {
     val pinned = tags(spark, path).values.toSet
     val drop = all.dropRight(keepLast)
       .filterNot(pinned) // never a tagged snapshot — tags PIN history
+    drop.foreach(v => f.delete(manifestPath(path, v), false))
+    drop.size
+  }
+
+  /** Retention BY AGE — the `RETAIN n HOURS` spelling: drop every
+    * manifest whose commit time (filesystem mtime, cf.
+    * [[versionAsOf]]) is older than `maxAgeMs`, always keeping the
+    * current snapshot and every tagged one. Metadata-only, like
+    * [[expire]]; run [[vacuum]] after to reclaim bytes. Time-based
+    * retention is what an operations schedule actually expresses
+    * ("keep 30 days"), where count-based [[expire]] drifts with
+    * commit frequency.
+    */
+  def expireOlderThan(spark: SparkSession, path: String,
+                      maxAgeMs: Long): Int = {
+    require(maxAgeMs >= 0, s"snapshot: maxAgeMs must be >= 0: $maxAgeMs")
+    val f = fs(spark, path)
+    val all = allManifestVersions(f, path)
+    val pinned = tags(spark, path).values.toSet
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    val drop = all.dropRight(1) // the current snapshot always survives
+      .filterNot(pinned)
+      .filter(v => f.getFileStatus(manifestPath(path, v))
+        .getModificationTime < cutoff)
     drop.foreach(v => f.delete(manifestPath(path, v), false))
     drop.size
   }

@@ -1374,6 +1374,52 @@ class SnapshotsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("expireOlderThan: age-based retention keeps latest and tagged snapshots") {
+    val path = newStore
+    val v1 = Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path)
+    Snapshots.commit(docs, path) // v2
+    Snapshots.tag(spark, path, "pin", Some(v1))
+    Snapshots.commit(docs.filter(col("n_chars") > 500), path) // v3
+    // age v1 and v2 artificially; v3 (latest) stays young
+    Seq(1L, 2L).foreach { v =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(
+          f"$path/_manifests/v$v%09d.manifest"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 10000000L))
+    }
+    // nothing older than ~3 hours: no-op
+    assert(Snapshots.expireOlderThan(spark, path, 100000000L) === 0)
+    // older than ~1 hour: v2 goes; v1 is tag-pinned, v3 is latest
+    assert(Snapshots.expireOlderThan(spark, path, 3600000L) === 1)
+    assert(Snapshots.versions(spark, path) === Seq(1L, 3L))
+    assert(Snapshots.readTag(spark, path, "pin").count() ===
+      docs.filter(col("doc_id") % 2 === 0).count())
+  }
+
+  test("history: one row per version with operation, files and bytes") {
+    val path = newStore
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path)
+    Snapshots.commitAppend(docs.filter(col("doc_id") % 2 === 1), path)
+    Snapshots.merge(spark, path,
+      docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("text", upper(col("text")))
+        .select(docs.columns.map(col).toSeq: _*), Seq("doc_id"))
+    Snapshots.deleteWhere(spark, path, col("n_chars") < 300)
+    Snapshots.compact(spark, path, targetFileBytes = 1L << 30)
+    Snapshots.rollback(spark, path, 2L)
+    Snapshots.dropColumns(spark, path, Seq("lang"))
+    val h = Snapshots.history(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(h === Map(1L -> "overwrite", 2L -> "append", 3L -> "merge",
+      4L -> "deleteWhere", 5L -> "compact", 6L -> "rollback(to=2)",
+      7L -> "dropColumns"), h.toString)
+    val rows = Snapshots.history(spark, path).collect()
+    assert(rows.forall(_.getLong(3) > 0L)) // n_files
+    assert(rows.forall(_.getLong(4) > 0L)) // total_bytes
+    assert(rows.forall(r => r.getTimestamp(1).getTime > 0L))
+  }
+
   test("the store is relocatable (relative manifest paths)") {
     val path = newStore
     Snapshots.commit(docs, path)
