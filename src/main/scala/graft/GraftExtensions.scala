@@ -57,5 +57,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.io.Snapshots.entriesRelation(spark, path, schema,
             partCols, entries))
       }))
+    // SELECT * FROM graft_snapshot_history('/path') — DESCRIBE
+    // HISTORY as a table function (metadata-only local relation)
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_snapshot_history"),
+      new ExpressionInfo("graft.io.Snapshots", "graft_snapshot_history"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1 && children.head.foldable,
+          "graft_snapshot_history(path) takes one literal argument")
+        val spark = org.apache.spark.sql.SparkSession.active
+        org.apache.spark.sql.graft.Bridge.logicalPlan(
+          graft.io.Snapshots.history(spark,
+            String.valueOf(children.head.eval())))
+      }))
   }
 }

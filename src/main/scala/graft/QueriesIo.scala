@@ -817,6 +817,25 @@ private[graft] object QueriesIo {
       tableName(dir, "strm_snappipe"), OutputMode.Complete())
   }
 
+  /** Commit history ([[graft.io.Snapshots.history]]): a fixed
+    * four-op lifecycle reads back as exactly its version/operation
+    * log (timestamps excluded — driver clock; SnapshotsSpec pins
+    * them and the file/byte columns).
+    */
+  def snapshotHistory(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "snap_hist")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = t(s, dir, "documents")
+    graft.io.Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path)
+    graft.io.Snapshots.commitAppend(
+      docs.filter(col("doc_id") % 2 === 1), path)
+    graft.io.Snapshots.deleteWhere(s, path, col("n_chars") < 300)
+    graft.io.Snapshots.compact(s, path, targetFileBytes = 1L << 30)
+    graft.io.Snapshots.history(s, path)
+      .select(col("version"), col("operation"),
+        (col("n_files") > 0).as("has_files"))
+  }
+
   /** Incremental snapshot read: after commit(even) + append(odd), the
     * v1→v2 delta is exactly the odd half, read from the delta FILES
     * alone — the poll-the-table-for-what-arrived contract.
@@ -850,6 +869,7 @@ private[graft] object QueriesIo {
     "q_stream_snapshot" -> (streamSnapshot _),
     "q_snapshot_source" -> (streamSnapshotSource _),
     "q_snapshot_drop_col" -> (snapshotDropColumn _),
+    "q_snapshot_history" -> (snapshotHistory _),
     "q_snapshot_pipeline" -> (snapshotPipeline _),
     "q_snapshot_read" -> (snapshotRead _),
     "q_snapshot_rollback" -> (snapshotRollback _),
@@ -898,6 +918,13 @@ private[graft] object QueriesIo {
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q_snapshot_drop_col" ->
       "SELECT doc_id, text, source, n_chars FROM documents",
+    "q_snapshot_history" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'overwrite', TRUE),
+           (CAST(2 AS BIGINT), 'append', TRUE),
+           (CAST(3 AS BIGINT), 'deleteWhere', TRUE),
+           (CAST(4 AS BIGINT), 'compact', TRUE))
+         t(version, operation, has_files)""",
     "q_snapshot_pipeline" ->
       """SELECT lang, count(*) AS n,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -1336,6 +1336,28 @@ object Snapshots {
       "total_bytes")
   }
 
+  /** The standing maintenance pass a scheduler runs against every
+    * table — compact-if-fragmented + expire + vacuum in one call,
+    * each half already idempotent: [[compact]] no-ops when the table
+    * is packed, [[expire]] keeps `keepVersions` (tags always pinned),
+    * [[vacuum]] respects `graceMs` so an in-flight commit is never
+    * swept. Racing a live writer, the compact step may refuse
+    * ([[retryOnConflict]] semantics apply — maintenance just runs
+    * again next cycle); expiry and vacuum are conflict-free. Returns
+    * (compacted?, manifests expired, files vacuumed).
+    */
+  def maintain(spark: SparkSession, path: String,
+               targetFileBytes: Long = 128L << 20,
+               keepVersions: Int = 10,
+               graceMs: Long = 3600000L): (Boolean, Int, Int) = {
+    val before = latestVersion(spark, path)
+    val after = compact(spark, path, targetFileBytes)
+    val compacted = !before.contains(after)
+    val expired = expire(spark, path, keepVersions)
+    val vacuumed = vacuum(spark, path, graceMs)
+    (compacted, expired, vacuumed)
+  }
+
   /** Rerun `op` when it loses an optimistic-concurrency race
     * (`ConcurrentModificationException` from any snapshot mutation):
     * every mutation here re-reads the CURRENT table state at entry,

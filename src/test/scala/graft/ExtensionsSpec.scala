@@ -52,6 +52,12 @@ class ExtensionsSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql(
       s"SELECT * FROM graft_snapshot('$path', 'nope')").count())
     assert(e.getMessage.contains("no tag"), e.getMessage)
+    // DESCRIBE HISTORY as SQL
+    val ops = spark.sql(
+      s"""SELECT version, operation
+          FROM graft_snapshot_history('$path') ORDER BY version""")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(ops === Seq(1L -> "overwrite", 2L -> "append"), ops.toString)
   }
 
   test("TopKRewriteRule: rank-filter window rewrites to the heap operator") {

@@ -1420,6 +1420,23 @@ class SnapshotsSpec extends SparkSpec {
     assert(rows.forall(r => r.getTimestamp(1).getTime > 0L))
   }
 
+  test("maintain: compact-if-fragmented + expire + graceful vacuum in one pass") {
+    val path = newStore
+    (0 until 4).foreach(q =>
+      Snapshots.commitAppend(docs.filter(col("doc_id") % 4 === q), path))
+    val (compacted, expired, _) =
+      Snapshots.maintain(spark, path, targetFileBytes = 1L << 30,
+        keepVersions = 1, graceMs = 0L)
+    assert(compacted)
+    assert(expired === 4) // the four append manifests
+    assert(Snapshots.read(spark, path).count() === docs.count())
+    // a second pass is a no-op on a packed, trimmed table
+    val (again, expired2, vac2) =
+      Snapshots.maintain(spark, path, targetFileBytes = 1L << 30,
+        keepVersions = 1, graceMs = 0L)
+    assert(!again && expired2 === 0 && vac2 === 0)
+  }
+
   test("the store is relocatable (relative manifest paths)") {
     val path = newStore
     Snapshots.commit(docs, path)
