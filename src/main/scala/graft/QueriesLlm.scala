@@ -591,6 +591,44 @@ private[graft] object QueriesLlm {
       nprobe = 2)
   }
 
+  /** Streaming IVF tombstone deletes — the vector twin of
+    * [[streamIndexDeleteQ]]: the corpus streams in as two add batches
+    * ([[Streams.ivfIndexStream]]), then a CDC delete stream
+    * ([[Streams.ivfIndexCdcStream]], op='d' rows) tombstones the odd
+    * vec_ids. Serving must equal the probe over the even half alone —
+    * same oracle as the batch `q_ivf_delete` gate, now reached
+    * through streaming maintenance end-to-end.
+    */
+  def streamIvfDeleteQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val staged = graft.io.Scratch.dir("graft_stream_ivfdel_")
+    Seq(("even", col("vec_id") % 2 === 0),
+        ("odd", col("vec_id") % 2 === 1)).foreach { case (name, pred) =>
+      graft.io.Scratch.stageSingleParquetFile(
+        emb.filter(pred), staged, s"$name.parquet")
+    }
+    val idx = graft.io.Scratch.dir("graft_stream_ivfdel_idx_").toString
+    Streams.ivfIndexStream(
+      Streams.fileStream(s, staged.toString, Streams.EmbeddingsRawSchema,
+        maxFilesPerTrigger = Some(1)),
+      emb.filter(col("vec_id") < 16), idx)
+    val delStaged = graft.io.Scratch.dir("graft_stream_ivfdel_ops_")
+    val cdcSchema = org.apache.spark.sql.types.StructType(
+      Streams.EmbeddingsRawSchema.fields :+
+        org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.StringType))
+    graft.io.Scratch.stageSingleParquetFile(
+      emb.filter(col("vec_id") % 2 === 1)
+        .withColumn("op", lit("d")),
+      delStaged, "deletes.parquet")
+    Streams.ivfIndexCdcStream(
+      Streams.fileStream(s, delStaged.toString, cdcSchema,
+        maxFilesPerTrigger = Some(1)),
+      emb.filter(col("vec_id") < 16), idx)
+    Vectors.ivfTopKIndexed(s, idx, emb.filter(col("vec_id") < 5), 5,
+      nprobe = 2)
+  }
+
   /** Streaming-ingestion capstone: the corpus arrives as TWO parquet
     * files consumed one per micro-batch (`maxFilesPerTrigger=1`), and
     * [[Streams.bm25IndexStream]] folds each batch into the persisted
@@ -960,6 +998,7 @@ private[graft] object QueriesLlm {
     "q_stream_index" -> (streamIndexQ _),
     "q_stream_index_delete" -> (streamIndexDeleteQ _),
     "q_stream_ivf" -> (streamIvfQ _),
+    "q_stream_ivf_delete" -> (streamIvfDeleteQ _),
     "q_hybrid_rrf" -> (hybridRrfQ _),
     "q_shuffle_shards" -> (shuffleShardsQ _),
     "q_stream_neardup" -> (streamNearDupQ _),
@@ -2551,6 +2590,8 @@ private[graft] object QueriesLlm {
     "q_ivf_update" -> IvfProbeSql,
     // two-batch streaming ingestion ≡ the same
     "q_stream_ivf" -> IvfProbeSql,
+    // streamed tombstones: probe truth is the even half
+    "q_stream_ivf_delete" -> ivfProbeSql("vec_id % 2 = 0"),
     // tombstoned vectors vanish from the corpus side; queries (by
     // example) still come from the full embedding table
     "q_ivf_delete" -> ivfProbeSql("vec_id % 2 = 0"),

@@ -728,6 +728,56 @@ object Streams {
       update = b => Vectors.updateIvfIndex(b, path))
   }
 
+  /** CDC-style maintenance stream for a persisted IVF index — the
+    * vector twin of [[bm25IndexCdcStream]]: add codes fold into the
+    * store (first build against `centroids`, then appends against the
+    * STORED centroids), delete codes land tombstones
+    * ([[graft.similarity.Vectors.deleteFromIvfIndex]] — serving
+    * forgets the vectors immediately, physical removal at
+    * compaction). Same contracts: adds before deletes per batch,
+    * delete-for-unseen-id is the documented no-op, unknown/NULL ops
+    * refuse, re-adding a tombstoned id surfaces update's refusal.
+    */
+  def ivfIndexCdcStream(vectors: DataFrame, centroids: DataFrame,
+                        path: String, opCol: String = "op",
+                        checkpoint: Option[String] = None):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.similarity.Vectors
+    val addOps = Set("a", "add", "i", "insert", "u", "upsert")
+    val deleteOps = Set("d", "delete")
+    val writer = vectors.writeStream
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    val q = writer
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          val opNorm = lower(col(opCol))
+          val unknown = b.filter(opNorm.isNull ||
+            !opNorm.isInCollection(addOps ++ deleteOps)).limit(1).collect()
+          require(unknown.isEmpty,
+            s"index cdc: unknown op code '${unknown.headOption.map(
+              _.getAs[Any](opCol)).orNull}' - expected one of " +
+              (addOps ++ deleteOps).toSeq.sorted.mkString(", "))
+          val adds = b.filter(opNorm.isInCollection(addOps)).drop(opCol)
+          val dels = b.filter(opNorm.isInCollection(deleteOps))
+            .select(col("vec_id"))
+          if (adds.limit(1).count() > 0L) {
+            if (graft.io.Sinks.storeExists(b.sparkSession, s"$path/lists"))
+              Vectors.updateIvfIndex(adds, path)
+            else Vectors.buildIvfIndex(adds, centroids, path)
+          }
+          if (dels.limit(1).count() > 0L &&
+              graft.io.Sinks.storeExists(b.sparkSession, s"$path/lists"))
+            Vectors.deleteFromIvfIndex(b.sparkSession, path, dels)
+          ()
+        } finally { b.unpersist(); () }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** embeddings.parquet read schema for the streaming source. */
   private[graft] val EmbeddingsRawSchema = StructType(Seq(
     StructField("vec_id", LongType),
