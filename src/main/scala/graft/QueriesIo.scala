@@ -230,6 +230,51 @@ private[graft] object QueriesIo {
           <= col("exact_users").cast("double") * 0.25 + 2.0).as("hll_ok"))
   }
 
+  /** Incremental QUANTILE store ([[Sinks.mergeQuantileSketch]] —
+    * custom KLL `TypedImperativeAggregate`, the quantile member of
+    * the mergeable-sketch family): per-event_type sketches folded
+    * across two disjoint batches, plus a `__total__` row
+    * re-aggregated from the STORED sketches (the grain change a
+    * stored exact percentile cannot make). Estimates are gated as
+    * rank-error booleans (exact CDF of each estimated quantile must
+    * sit within ±5% of its probability — KLL guarantees ~1.65% at
+    * k=200), the `q_hll_store` posture for quantiles.
+    */
+  def kllStore(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "kll_store")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val ev = events(s, dir).select(col("event_id"), col("event_type"),
+      col("value"))
+    Sinks.mergeQuantileSketch(s, ev.filter(col("event_id") % 2 === 0),
+      path, Seq("event_type"), "value")
+    Sinks.mergeQuantileSketch(s, ev.filter(col("event_id") % 2 =!= 0),
+      path, Seq("event_type"), "value")
+    val store = s.read.parquet(path)
+    val probs = Seq(0.25, 0.5, 0.9)
+    val estTyped = Sinks.quantileEstimate(store, Seq("event_type"), probs)
+    val typedOk = ev.join(estTyped, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        (abs(avg(when(col("value") <= col("q25"), 1.0).otherwise(0.0))
+          - 0.25) <= 0.05).as("ok25"),
+        (abs(avg(when(col("value") <= col("q50"), 1.0).otherwise(0.0))
+          - 0.5) <= 0.05).as("ok50"),
+        (abs(avg(when(col("value") <= col("q90"), 1.0).otherwise(0.0))
+          - 0.9) <= 0.05).as("ok90"))
+    val estTotal = Sinks.quantileEstimate(store, Seq.empty, probs)
+    val totalOk = ev.crossJoin(broadcast(estTotal))
+      .agg(
+        (abs(avg(when(col("value") <= col("q25"), 1.0).otherwise(0.0))
+          - 0.25) <= 0.05).as("ok25"),
+        (abs(avg(when(col("value") <= col("q50"), 1.0).otherwise(0.0))
+          - 0.5) <= 0.05).as("ok50"),
+        (abs(avg(when(col("value") <= col("q90"), 1.0).otherwise(0.0))
+          - 0.9) <= 0.05).as("ok90"))
+      .withColumn("event_type", lit("__total__"))
+      .select("event_type", "ok25", "ok50", "ok90")
+    typedOk.unionByName(totalOk)
+  }
+
   /** Schema evolution across partition generations: v=1 files lack a
     * column that v=2 files carry; `mergeSchema` unifies the read
     * (missing columns null-fill) — the schema-drift posture a 100 TB
@@ -896,6 +941,7 @@ private[graft] object QueriesIo {
     "q_stream_enrich" -> (streamEnrich _),
     "q_incremental_agg" -> (incrementalAgg _),
     "q_hll_store" -> (hllStore _),
+    "q_kll_store" -> (kllStore _),
     "q_schema_evolution" -> (schemaEvolution _),
     "q_media_resize" -> (mediaResize _),
     "q_stream_dedup" -> (streamDedup _))
@@ -1190,6 +1236,11 @@ private[graft] object QueriesIo {
          UNION ALL
          SELECT '__total__' AS event_type,
                 CAST(count(DISTINCT user_id) AS BIGINT), TRUE
-         FROM events"""
+         FROM events""",
+    "q_kll_store" ->
+      """SELECT event_type, TRUE AS ok25, TRUE AS ok50, TRUE AS ok90
+         FROM (SELECT DISTINCT event_type FROM events)
+         UNION ALL
+         SELECT '__total__', TRUE, TRUE, TRUE"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

@@ -295,6 +295,68 @@ object Sinks {
       .agg(hll_sketch_estimate(hll_union_agg(col("hll")))
         .as("approx_distinct"))
 
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.Bridge
+
+  /** KLL quantile-sketch aggregate over a double column — the
+    * quantile member of the sketch family (Spark ships HLL natively
+    * but no KLL; [[graft.plans.KllSketchAgg]] is the same
+    * TypedImperativeAggregate shape Spark's own sketch aggs use).
+    */
+  def kllSketchAgg(c: Column, k: Int = 200): Column =
+    Bridge.column(graft.plans.KllSketchAgg(Bridge.expression(c), k)
+      .toAggregateExpression())
+
+  /** Union stored KLL sketches (binary column). */
+  def kllMergeAgg(c: Column): Column =
+    Bridge.column(graft.plans.KllMergeAgg(Bridge.expression(c))
+      .toAggregateExpression())
+
+  /** Quantile at `prob` from a serialized KLL sketch. */
+  def kllQuantile(c: Column, prob: Double): Column =
+    Bridge.column(graft.plans.KllQuantileExpr(Bridge.expression(c),
+      org.apache.spark.sql.catalyst.expressions.Literal(prob)))
+
+  /** Incremental QUANTILE store — the third mergeable sketch store
+    * next to [[mergeAggregate]] (exact counts/sums) and
+    * [[mergeDistinctSketch]] (HLL distincts): one ~3 KB KLL sketch
+    * per key, folded in per batch, re-aggregable to any coarser
+    * grain ([[quantileEstimate]] with a key subset) — the stored
+    * exact percentile can do neither. Rank error ≤ ~1.65% at k=200
+    * regardless of history size; each merge costs O(batch + keys),
+    * never O(history).
+    */
+  def mergeQuantileSketch(spark: SparkSession, batch: DataFrame,
+                          path: String, keys: Seq[String],
+                          valueCol: String, k: Int = 200): Unit = {
+    val kc = keys.map(col)
+    val batchSk = batch.groupBy(kc: _*)
+      .agg(kllSketchAgg(col(valueCol).cast("double"), k).as("kll"))
+    val merged =
+      if (storeExists(spark, path)) {
+        spark.read.parquet(path).unionByName(batchSk)
+          .groupBy(kc: _*)
+          .agg(kllMergeAgg(col("kll")).as("kll"))
+          .localCheckpoint()
+      } else batchSk
+    merged.write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-key quantile estimates from a [[mergeQuantileSketch]] store
+    * at the given probabilities (columns `q<percent>`), with the
+    * same roll-up contract as [[distinctEstimate]].
+    */
+  def quantileEstimate(store: DataFrame, keys: Seq[String],
+                       probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantileEstimate probs must sit in [0, 1]: ${probs.mkString(",")}")
+    store.groupBy(keys.map(col): _*)
+      .agg(kllMergeAgg(col("kll")).as("kll"))
+      .select(keys.map(col) ++ probs.map(p =>
+        kllQuantile(col("kll"), p)
+          .as(s"q${math.round(p * 100)}")): _*)
+  }
+
   /** S11 — transform_conte_ts_data.py:1032-1049: merge new rows into an
     * existing monthly store with dedup. Union + dropDuplicates + dynamic
     * partition overwrite of only the touched months. Works on any
