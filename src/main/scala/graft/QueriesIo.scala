@@ -275,6 +275,43 @@ private[graft] object QueriesIo {
     typedOk.unionByName(totalOk)
   }
 
+  /** Incremental SET store ([[Sinks.mergeSetSketch]] — custom theta
+    * `TypedImperativeAggregate`s): per-event_type user sketches
+    * folded across two disjoint batches, then (a) per-type distinct
+    * estimates and (b) the INTERSECTION estimate of the click ∩
+    * purchase user sets — the set operation HLL cannot perform,
+    * answered from KB sketches with no raw join. Gated as
+    * within-tolerance booleans against the exact counts, the
+    * `q_hll_store` posture.
+    */
+  def thetaStore(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "theta_store")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val ev = events(s, dir)
+    Sinks.mergeSetSketch(s, ev.filter(col("event_id") % 2 === 0),
+      path, Seq("event_type"), "user_id")
+    Sinks.mergeSetSketch(s, ev.filter(col("event_id") % 2 =!= 0),
+      path, Seq("event_type"), "user_id")
+    val store = s.read.parquet(path)
+    val perType = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact"))
+      .join(Sinks.setEstimate(store, Seq("event_type")), "event_type")
+      .select(col("event_type"),
+        (abs(col("approx_distinct") - col("exact").cast("double"))
+          <= col("exact").cast("double") * 0.1 + 2.0).as("ok"))
+    val exactOverlap = ev.filter(col("event_type") === "click")
+      .select("user_id").distinct()
+      .join(ev.filter(col("event_type") === "purchase")
+        .select("user_id").distinct(), "user_id")
+      .count().toDouble
+    val overlap = Sinks.setIntersectEstimate(
+        store.filter(col("event_type").isin("click", "purchase")))
+      .select(lit("__click_x_purchase__").as("event_type"),
+        (abs(col("approx_overlap") - exactOverlap)
+          <= exactOverlap * 0.15 + 5.0).as("ok"))
+    perType.unionByName(overlap)
+  }
+
   /** Schema evolution across partition generations: v=1 files lack a
     * column that v=2 files carry; `mergeSchema` unifies the read
     * (missing columns null-fill) — the schema-drift posture a 100 TB
@@ -942,6 +979,7 @@ private[graft] object QueriesIo {
     "q_incremental_agg" -> (incrementalAgg _),
     "q_hll_store" -> (hllStore _),
     "q_kll_store" -> (kllStore _),
+    "q_theta_store" -> (thetaStore _),
     "q_schema_evolution" -> (schemaEvolution _),
     "q_media_resize" -> (mediaResize _),
     "q_stream_dedup" -> (streamDedup _))
@@ -1241,6 +1279,11 @@ private[graft] object QueriesIo {
       """SELECT event_type, TRUE AS ok25, TRUE AS ok50, TRUE AS ok90
          FROM (SELECT DISTINCT event_type FROM events)
          UNION ALL
-         SELECT '__total__', TRUE, TRUE, TRUE"""
+         SELECT '__total__', TRUE, TRUE, TRUE""",
+    "q_theta_store" ->
+      """SELECT event_type, TRUE AS ok
+         FROM (SELECT DISTINCT event_type FROM events)
+         UNION ALL
+         SELECT '__click_x_purchase__', TRUE"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

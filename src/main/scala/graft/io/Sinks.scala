@@ -317,6 +317,66 @@ object Sinks {
     Bridge.column(graft.plans.KllQuantileExpr(Bridge.expression(c),
       org.apache.spark.sql.catalyst.expressions.Literal(prob)))
 
+  /** Theta sketch aggregate over a long/double/string column — the
+    * SET-OPERATION member of the sketch family (intersections, which
+    * HLL cannot do).
+    */
+  def thetaSketchAgg(c: Column, lgK: Int = 12): Column =
+    Bridge.column(graft.plans.ThetaSketchAgg(Bridge.expression(c), lgK)
+      .toAggregateExpression())
+
+  /** Union stored theta sketches (binary column). */
+  def thetaUnionAgg(c: Column): Column =
+    Bridge.column(graft.plans.ThetaUnionAgg(Bridge.expression(c))
+      .toAggregateExpression())
+
+  /** Intersect stored theta sketches across the group's rows. */
+  def thetaIntersectAgg(c: Column): Column =
+    Bridge.column(graft.plans.ThetaIntersectAgg(Bridge.expression(c))
+      .toAggregateExpression())
+
+  /** Distinct-count estimate of a serialized theta sketch. */
+  def thetaEstimate(c: Column): Column =
+    Bridge.column(graft.plans.ThetaEstimateExpr(Bridge.expression(c)))
+
+  /** Incremental SET store — theta sketches per key, folded in per
+    * batch like the HLL/KLL stores, but supporting INTERSECTION at
+    * read time ([[setIntersectEstimate]]): "users in BOTH segments",
+    * "corpus overlap across shards" — answered from ~KB sketches
+    * with no raw-set join, at any grain.
+    */
+  def mergeSetSketch(spark: SparkSession, batch: DataFrame,
+                     path: String, keys: Seq[String],
+                     valueCol: String, lgK: Int = 12): Unit = {
+    val kc = keys.map(col)
+    val batchSk = batch.groupBy(kc: _*)
+      .agg(thetaSketchAgg(col(valueCol), lgK).as("theta"))
+    val merged =
+      if (storeExists(spark, path)) {
+        spark.read.parquet(path).unionByName(batchSk)
+          .groupBy(kc: _*)
+          .agg(thetaUnionAgg(col("theta")).as("theta"))
+          .localCheckpoint()
+      } else batchSk
+    merged.write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-key distinct estimates from a [[mergeSetSketch]] store
+    * (union roll-up to any coarser grain, as [[distinctEstimate]]).
+    */
+  def setEstimate(store: DataFrame, keys: Seq[String]): DataFrame =
+    store.groupBy(keys.map(col): _*)
+      .agg(thetaEstimate(thetaUnionAgg(col("theta")))
+        .as("approx_distinct"))
+
+  /** The estimated size of the INTERSECTION of every selected key's
+    * set — filter the store to the segments of interest first
+    * (`store.filter(col("k").isin(...))`); one row, one double.
+    */
+  def setIntersectEstimate(store: DataFrame): DataFrame =
+    store.agg(thetaEstimate(thetaIntersectAgg(col("theta")))
+      .as("approx_overlap"))
+
   /** Incremental QUANTILE store — the third mergeable sketch store
     * next to [[mergeAggregate]] (exact counts/sums) and
     * [[mergeDistinctSketch]] (HLL distincts): one ~3 KB KLL sketch
