@@ -309,7 +309,20 @@ private[graft] object QueriesIo {
       .select(lit("__click_x_purchase__").as("event_type"),
         (abs(col("approx_overlap") - exactOverlap)
           <= exactOverlap * 0.15 + 5.0).as("ok"))
-    perType.unionByName(overlap)
+    // A \ B: clicked but never purchased (the difference HLL also
+    // cannot take), same tolerance posture
+    val exactDiff = ev.filter(col("event_type") === "click")
+      .select("user_id").distinct()
+      .join(ev.filter(col("event_type") === "purchase")
+        .select("user_id").distinct(), Seq("user_id"), "left_anti")
+      .count().toDouble
+    val diff = Sinks.setDifferenceEstimate(
+        store.filter(col("event_type") === "click"),
+        store.filter(col("event_type") === "purchase"))
+      .select(lit("__click_minus_purchase__").as("event_type"),
+        (abs(col("approx_difference") - exactDiff)
+          <= exactDiff * 0.15 + 5.0).as("ok"))
+    perType.unionByName(overlap).unionByName(diff)
   }
 
   /** Schema evolution across partition generations: v=1 files lack a
@@ -1284,6 +1297,8 @@ private[graft] object QueriesIo {
       """SELECT event_type, TRUE AS ok
          FROM (SELECT DISTINCT event_type FROM events)
          UNION ALL
-         SELECT '__click_x_purchase__', TRUE"""
+         SELECT '__click_x_purchase__', TRUE
+         UNION ALL
+         SELECT '__click_minus_purchase__', TRUE"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

@@ -377,6 +377,26 @@ object Sinks {
     store.agg(thetaEstimate(thetaIntersectAgg(col("theta")))
       .as("approx_overlap"))
 
+  /** A-not-B on two serialized sketches (Column form): difference
+    * sketch, estimable via [[thetaEstimate]] — "in segment A but
+    * never in B".
+    */
+  def thetaAnotB(a: Column, b: Column): Column =
+    Bridge.column(graft.plans.ThetaAnotBExpr(
+      Bridge.expression(a), Bridge.expression(b)))
+
+  /** The estimated size of A \\ B between two segments of a
+    * [[mergeSetSketch]] store (each side union-rolled first).
+    */
+  def setDifferenceEstimate(storeA: DataFrame,
+                            storeB: DataFrame): DataFrame = {
+    val a = storeA.agg(thetaUnionAgg(col("theta")).as("ta"))
+    val b = storeB.agg(thetaUnionAgg(col("theta")).as("tb"))
+    a.crossJoin(b).select(
+      thetaEstimate(thetaAnotB(col("ta"), col("tb")))
+        .as("approx_difference"))
+  }
+
   /** Incremental QUANTILE store — the third mergeable sketch store
     * next to [[mergeAggregate]] (exact counts/sums) and
     * [[mergeDistinctSketch]] (HLL distincts): one ~3 KB KLL sketch

@@ -148,6 +148,30 @@ case class ThetaIntersectAgg(child: Expression,
       : ThetaIntersectAgg = copy(child = c)
 }
 
+/** A-NOT-B on two serialized theta sketches (scalar): the sketch of
+  * the set difference — "users who clicked but never purchased" —
+  * composing with [[ThetaEstimateExpr]] for the count.
+  */
+case class ThetaAnotBExpr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val op = SetOperation.builder().buildANotB()
+    op.setA(Sketches.heapifyCompactSketch(
+      Memory.wrap(a.asInstanceOf[Array[Byte]])))
+    op.notB(Sketches.heapifyCompactSketch(
+      Memory.wrap(b.asInstanceOf[Array[Byte]])))
+    op.getResult(true).toByteArray
+  }
+
+  override def prettyName: String = "graft_theta_a_not_b"
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ThetaAnotBExpr = copy(l, r)
+}
+
 /** Distinct-count estimate of a serialized theta sketch (scalar, no
   * UDF; runs once per group).
   */
