@@ -1437,6 +1437,43 @@ class SnapshotsSpec extends SparkSpec {
     assert(!again && expired2 === 0 && vac2 === 0)
   }
 
+  test("corrupted manifests refuse loudly - never a wrong answer") {
+    val path = newStore
+    Snapshots.commit(docs, path)
+    def overwriteManifest(lines: String*): Unit = {
+      // drop the local-FS checksum sidecar: a direct byte edit would
+      // otherwise trip Hadoop's ChecksumException before OUR parser
+      // runs (also a loud refusal, but not the one under test)
+      Files.deleteIfExists(java.nio.file.Paths.get(
+        s"$path/_manifests/.v000000001.manifest.crc"))
+      Files.writeString(java.nio.file.Paths.get(
+        s"$path/_manifests/v000000001.manifest"),
+        (lines :+ "").mkString("\n"))
+    }
+    val good = Files.readString(java.nio.file.Paths.get(
+      s"$path/_manifests/v000000001.manifest"))
+    // unknown header
+    overwriteManifest("graft-snapshot-v99", "{}", "-")
+    val e1 = intercept[IllegalArgumentException](
+      Snapshots.read(spark, path).count())
+    assert(e1.getMessage.contains("graft-snapshot"), e1.getMessage)
+    // truncated: header only (v3 needs schema + partition lines)
+    overwriteManifest("graft-snapshot-v3")
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.read(spark, path).count())
+    assert(e2.getMessage != null, e2.toString)
+    // schema line is not DataType JSON
+    overwriteManifest("graft-snapshot-v3", "not json at all", "-")
+    intercept[Exception](Snapshots.read(spark, path).count())
+    // empty file (crash mid-write of a hand-rolled tool)
+    overwriteManifest()
+    intercept[Exception](Snapshots.read(spark, path).count())
+    // restore: the original bytes still read
+    Files.writeString(java.nio.file.Paths.get(
+      s"$path/_manifests/v000000001.manifest"), good)
+    assert(Snapshots.read(spark, path).count() === docs.count())
+  }
+
   test("the store is relocatable (relative manifest paths)") {
     val path = newStore
     Snapshots.commit(docs, path)
