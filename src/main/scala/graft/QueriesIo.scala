@@ -325,6 +325,37 @@ private[graft] object QueriesIo {
     perType.unionByName(overlap).unionByName(diff)
   }
 
+  /** Incremental FREQUENT-ITEMS store ([[Sinks
+    * .mergeHeavyHittersSketch]] — mergeable Misra–Gries per lang):
+    * token sketches folded across two disjoint halves of the corpus.
+    * Gate: every per-lang exact top-3 token (Zipfian — their counts
+    * far exceed n/(k+1) at k=500) must be PRESENT in the stored
+    * sketch; counts in the output come from the exact side (sketch
+    * counts are merge-order-dependent, per the documented contract).
+    */
+  def mgStore(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "mg_store")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(graft.functions.TextAnalysis.tokens(col("text")))
+        .as("token"))
+    Sinks.mergeHeavyHittersSketch(s,
+      toks.filter(col("doc_id") % 2 === 0), path, Seq("lang"), "token")
+    Sinks.mergeHeavyHittersSketch(s,
+      toks.filter(col("doc_id") % 2 === 1), path, Seq("lang"), "token")
+    val store = s.read.parquet(path)
+    val top = toks.groupBy("lang", "token")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("n").desc, col("token"))))
+      .filter(col("r") <= 3).drop("r")
+    top.join(store, "lang")
+      .select(col("lang"), col("token"), col("n"),
+        map_contains_key(col("mg"), col("token")).as("in_sketch"))
+  }
+
   /** Schema evolution across partition generations: v=1 files lack a
     * column that v=2 files carry; `mergeSchema` unifies the read
     * (missing columns null-fill) — the schema-drift posture a 100 TB
@@ -993,6 +1024,7 @@ private[graft] object QueriesIo {
     "q_hll_store" -> (hllStore _),
     "q_kll_store" -> (kllStore _),
     "q_theta_store" -> (thetaStore _),
+    "q_mg_store" -> (mgStore _),
     "q_schema_evolution" -> (schemaEvolution _),
     "q_media_resize" -> (mediaResize _),
     "q_stream_dedup" -> (streamDedup _))
@@ -1299,6 +1331,17 @@ private[graft] object QueriesIo {
          UNION ALL
          SELECT '__click_x_purchase__', TRUE
          UNION ALL
-         SELECT '__click_minus_purchase__', TRUE"""
+         SELECT '__click_minus_purchase__', TRUE""",
+    "q_mg_store" ->
+      """WITH tk AS (SELECT lang,
+             unnest(string_split(text, ' ')) AS token
+           FROM documents WHERE text IS NOT NULL),
+         cnt AS (SELECT lang, token, count(*) AS n
+                 FROM tk GROUP BY 1, 2),
+         rk AS (SELECT lang, token, n, row_number() OVER
+                  (PARTITION BY lang ORDER BY n DESC, token) AS r
+                FROM cnt)
+         SELECT lang, token, n, TRUE AS in_sketch
+         FROM rk WHERE r <= 3"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

@@ -64,3 +64,27 @@ class HeavyHittersAgg(k: Int)
     org.apache.spark.sql.catalyst.encoders
       .ExpressionEncoder[Map[String, Long]]()
 }
+
+/** Fold PREVIOUSLY-BUILT Misra–Gries sketches (map columns) — the
+  * store-merge aggregate behind [[graft.io.Sinks
+  * .mergeHeavyHittersSketch]], reusing [[HeavyHittersAgg]]'s merge
+  * so the n/(k+1) retention guarantee composes across batches
+  * exactly as it does across partials.
+  */
+class HeavyHittersMergeAgg(k: Int)
+    extends Aggregator[Map[String, Long], Map[String, Long],
+      Map[String, Long]] {
+  private val inner = new HeavyHittersAgg(k)
+  override def zero: Map[String, Long] = inner.zero
+  override def reduce(acc: Map[String, Long],
+                      m: Map[String, Long]): Map[String, Long] =
+    inner.merge(acc, if (m == null) inner.zero else m)
+  override def merge(a: Map[String, Long],
+                     b: Map[String, Long]): Map[String, Long] =
+    inner.merge(a, b)
+  override def finish(acc: Map[String, Long]): Map[String, Long] = acc
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    inner.bufferEncoder
+  override def outputEncoder: Encoder[Map[String, Long]] =
+    inner.outputEncoder
+}

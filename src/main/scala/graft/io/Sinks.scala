@@ -397,6 +397,39 @@ object Sinks {
         .as("approx_difference"))
   }
 
+  /** Incremental FREQUENT-ITEMS store — the Misra–Gries member of
+    * the sketch family: per-key item sketches (≤ 2k counters each,
+    * whatever the item cardinality) folded in per batch via
+    * [[graft.functions.HeavyHittersMergeAgg]]. The n/(k+1) retention
+    * guarantee composes across batches: any item with true total
+    * frequency > n/(k+1) is present in the stored sketch however the
+    * history arrived. Serve by sketch MEMBERSHIP (+ exact-side counts
+    * where needed) — stored counts are merge-order-dependent, the
+    * documented [[graft.functions.HeavyHittersAgg]] contract.
+    */
+  def mergeHeavyHittersSketch(spark: SparkSession, batch: DataFrame,
+                              path: String, keys: Seq[String],
+                              itemCol: String, k: Int = 500): Unit = {
+    val kc = keys.map(col)
+    val mg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.HeavyHittersAgg(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val mgMerge = org.apache.spark.sql.functions.udaf(
+      new graft.functions.HeavyHittersMergeAgg(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Map[String, Long]]())
+    val batchSk = batch.groupBy(kc: _*)
+      .agg(mg(col(itemCol).cast("string")).as("mg"))
+    val merged =
+      if (storeExists(spark, path)) {
+        spark.read.parquet(path).unionByName(batchSk)
+          .groupBy(kc: _*)
+          .agg(mgMerge(col("mg")).as("mg"))
+          .localCheckpoint()
+      } else batchSk
+    merged.write.mode("overwrite").parquet(path)
+  }
+
   /** Incremental QUANTILE store — the third mergeable sketch store
     * next to [[mergeAggregate]] (exact counts/sums) and
     * [[mergeDistinctSketch]] (HLL distincts): one ~3 KB KLL sketch
