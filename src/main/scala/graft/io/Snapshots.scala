@@ -11,16 +11,18 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   * table-format posture (what Delta/Iceberg pin down) that a 100 TB
   * deployment needs and a bare parquet directory cannot give:
   *
-  *   - **Atomic visibility.** A commit IS the create-exclusive
-  *     publication of an immutable manifest listing immutable files —
-  *     a reader can never observe a half-committed table, and a writer
-  *     crash at ANY point before the manifest lands leaves only
-  *     invisible garbage (data files, a `_tmp_` manifest) that
-  *     [[vacuum]] collects.
+  *   - **Atomic visibility.** A commit IS the publication of an
+  *     immutable manifest listing immutable files — written to a
+  *     `_tmp_` sibling and claimed by rename-WITHOUT-overwrite, so a
+  *     reader can never observe a half-committed table OR a partial
+  *     manifest, and a writer crash at ANY point before the rename
+  *     leaves only invisible garbage (data files, a `_tmp_` manifest)
+  *     that [[vacuum]] collects.
   *   - **Optimistic concurrency.** Version `v+1` can be claimed by
-  *     exactly ONE writer (exclusive create of the manifest file — the
-  *     HDFS primitive Delta uses for its commit log; object stores
-  *     substitute a conditional put / catalog). A loser re-reads the
+  *     exactly ONE writer (atomic no-overwrite rename of the manifest
+  *     — the HDFS primitive Delta's HDFSLogStore uses; object stores
+  *     plug a [[CommitCoordinator]], and unplugged S3-family schemes
+  *     REFUSE rather than silently racing). A loser re-reads the
   *     new table state: an APPEND rebases and retries (appends
   *     commute — both writers' rows survive, in either order), while
   *     overwrite / merge / delete / compact REFUSE with
@@ -131,12 +133,98 @@ object Snapshots {
     }
   }
 
-  /** Claim version `v` by EXCLUSIVE create of its manifest — the
-    * commit point. Returns false when another writer already holds
-    * the version (the optimistic-concurrency conflict signal). The
-    * manifest bytes land in one write+close; a crash mid-write leaves
-    * a manifest that fails its header check loudly — the same
-    * accepted caveat as a direct-write commit log on HDFS.
+  /** The atomic claim-a-version primitive, extracted as a seam so
+    * deployments can substitute a coordination service where the
+    * filesystem has none (the Delta LogStore posture: HDFS renames,
+    * S3 needs DynamoDB/conditional-PUT coordination). An
+    * implementation MUST be all-or-nothing: after `tryClaim` returns,
+    * `target` either holds the complete manifest bytes (true) or was
+    * already claimed by another writer and is untouched (false) — a
+    * reader may never observe a partial manifest at `target`.
+    */
+  trait CommitCoordinator {
+    def tryClaim(f: FileSystem, target: Path, lines: Seq[String]): Boolean
+  }
+
+  /** Default coordinator: write the manifest to a uniquely-named
+    * `_tmp_` sibling, then claim the version with a rename WITHOUT
+    * overwrite (the Delta HDFSLogStore pattern). The manifest appears
+    * fully-written or not at all — a writer crash leaves only a
+    * `_tmp_` file ([[vacuum]] sweeps aged ones), never a corrupt
+    * manifest wedging readers at the newest version. The rename is
+    * atomic on HDFS/ABFS; on the local FS the no-overwrite check is
+    * check-then-act (covered in-JVM by the commit monitor), and on
+    * S3-family schemes it is NOT safe at all — those refuse below.
+    */
+  object RenameCommitCoordinator extends CommitCoordinator {
+    def tryClaim(f: FileSystem, target: Path, lines: Seq[String]): Boolean = {
+      val tmp = new Path(target.getParent,
+        s"_tmp_${java.util.UUID.randomUUID()}_${target.getName}")
+      val os = f.create(tmp, false)
+      try os.write((lines :+ "").mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+      try {
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(target.toUri, f.getConf).rename(tmp, target)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException =>
+          f.delete(tmp, false); false
+        case e: java.io.IOException =>
+          // some AbstractFileSystems wrap the lost-claim failure —
+          // resolve by re-checking the target before propagating
+          val lost = f.exists(target)
+          f.delete(tmp, false)
+          if (lost) false else throw e
+      }
+    }
+  }
+
+  /** Schemes whose `FileSystem` offers NO atomic rename-without-
+    * overwrite (S3 through s3a is eventually a copy+delete with no
+    * conditional semantics): two cross-process writers could both
+    * claim one version, silently losing a commit. Commits on these
+    * schemes REFUSE unless a [[CommitCoordinator]] is registered for
+    * the scheme or the deployment explicitly accepts single-writer
+    * operation (`graft.snapshot.unsafeSingleWriter=true` in the
+    * Hadoop conf, i.e. `spark.hadoop.` prefixed in Spark conf).
+    */
+  private[graft] val UnsafeCommitSchemes = Set("s3", "s3a", "s3n")
+
+  private[graft] def requireSafeCommitScheme(
+      scheme: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit =
+    require(
+      !UnsafeCommitSchemes.contains(scheme.toLowerCase) ||
+        conf.getBoolean("graft.snapshot.unsafeSingleWriter", false),
+      s"snapshot: scheme '$scheme' has no atomic rename-without-" +
+        "overwrite - concurrent writers could both claim a version " +
+        "and silently lose a commit; register a CommitCoordinator " +
+        "for the scheme (Snapshots.registerCommitCoordinator) or, " +
+        "for a guaranteed single writer, set " +
+        "graft.snapshot.unsafeSingleWriter=true in the Hadoop conf")
+
+  @volatile private var coordinators = Map.empty[String, CommitCoordinator]
+
+  /** Plug a commit coordinator for a filesystem scheme (e.g. an
+    * external-lock or conditional-PUT implementation for `s3a`).
+    * Registering one lifts the unsafe-scheme refusal for that scheme.
+    */
+  def registerCommitCoordinator(scheme: String,
+                                c: CommitCoordinator): Unit =
+    coordinators = coordinators.updated(scheme.toLowerCase, c)
+
+  /** Remove a registered coordinator (tests). */
+  def unregisterCommitCoordinator(scheme: String): Unit =
+    coordinators = coordinators - scheme.toLowerCase
+
+  /** Claim version `v` of the store at `base` — the commit point.
+    * Returns false when another writer already holds the version (the
+    * optimistic-concurrency conflict signal). Delegates to the
+    * scheme's registered [[CommitCoordinator]], or the default
+    * tmp+rename claim after the unsafe-scheme check.
     */
   private def tryPublishManifest(f: FileSystem, base: String, v: Long,
                                  lines: Seq[String]): Boolean =
@@ -145,23 +233,12 @@ object Snapshots {
       f.mkdirs(target.getParent)
       if (f.exists(target)) false
       else {
-        val created =
-          try Some(f.create(target, false))
-          catch {
-            case e: java.io.IOException =>
-              if (f.exists(target)) None else throw e
-          }
-        created match {
-          case None => false
-          case Some(os) =>
-            try {
-              try os.write((lines :+ "").mkString("\n")
-                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              finally os.close()
-            } catch { case e: Throwable =>
-              f.delete(target, false); throw e
-            }
-            true
+        val scheme = Option(f.getUri.getScheme).getOrElse("file")
+        coordinators.get(scheme.toLowerCase) match {
+          case Some(c) => c.tryClaim(f, target, lines)
+          case None =>
+            requireSafeCommitScheme(scheme, f.getConf)
+            RenameCommitCoordinator.tryClaim(f, target, lines)
         }
       }
     }
@@ -362,7 +439,11 @@ object Snapshots {
         val plainNumeric = logical == null ||
           logical.isInstanceOf[org.apache.parquet.schema
             .LogicalTypeAnnotation.IntLogicalTypeAnnotation]
-        if (tag != ' ' && plainNumeric && !name.contains(':') &&
+        // a data column named like the reserved length pseudo-stat
+        // would collide with it in the per-entry stats map (whichever
+        // wins, pruning or sizing goes silently wrong) — skip it
+        if (tag != ' ' && plainNumeric && name != LenStat &&
+            !name.contains(':') &&
             !name.contains(';') && !name.contains('\t') &&
             !name.contains('.')) {
           val st = c.getStatistics
@@ -705,17 +786,26 @@ object Snapshots {
       s"snapshot: partition column $c is missing from the batch " +
         s"(${df.columns.mkString(", ")})"))
     requireSameTypes(schema, df.schema, "replacePartitions batch")
-    // the replaced partition tuples, as the ESCAPED directory-name
-    // strings the manifest entries carry — collected once, bounded by
-    // the batch's distinct partition count (the same driver-side
-    // cardinality partitionBy's own dynamic-overwrite planning holds)
-    val doomed: Set[Seq[String]] = df.select(partCols.map(col): _*)
+    // the replaced partition tuples, as the directory-name strings
+    // the manifest entries carry (unescaped by partValsOf) —
+    // collected once, bounded by the batch's distinct partition
+    // count. The strings MUST come from an in-plan cast-to-string:
+    // that is the exact cast Spark's dynamic-partition write uses to
+    // name the directories, where a JVM-side Row.get(i).toString
+    // diverges for timestamps (java.sql.Timestamp appends '.0',
+    // Instant.toString differs wholesale under the java8 datetime
+    // API) and the mismatch would silently CARRY the replaced
+    // partition's old files alongside the new ones
+    val doomed: Set[Seq[String]] = df
+      .select(partCols.map(c => col(c).cast("string").as(c)): _*)
       .distinct()
       .collect().map(r => partCols.indices.map { i =>
-        val raw = r.get(i)
-        if (raw == null) org.apache.spark.sql.catalyst.catalog
-          .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-        else raw.toString
+        val s = r.getString(i)
+        // Spark names both NULL and empty-string partition values
+        // with the default-partition sentinel
+        if (s == null || s.isEmpty) org.apache.spark.sql.catalyst
+          .catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        else s
       }.toSeq: Seq[String]).toSet
     val carried = all.filterNot { e =>
       val vals = partValsOf(relOf(e))
@@ -979,11 +1069,29 @@ object Snapshots {
       val upd = upd0.select(cols: _*)
       val fresh =
         if (affected.isEmpty) upd // pure insert: nothing to rewrite
-        else openEntries(spark, path, schema, partCols,
+        else {
+          val hit = openEntries(spark, path, schema, partCols,
             all.filter(e => affected(relOf(e))))
-          .join(upd.select(keyExprs: _*), keyCols, "left_anti")
-          .select(cols: _*)
-          .unionByName(upd)
+          // whole-row replacement collapses EVERY table row of an
+          // updated key into the single update row; if the table
+          // itself holds N > 1 rows for such a key (appends never
+          // enforce key uniqueness), N−1 rows would vanish SILENTLY —
+          // refuse like the updates-side dup guard, not lose data
+          val tdup = hit
+            .join(upd.select(keyExprs: _*), keyCols, "left_semi")
+            .groupBy(keyExprs: _*).count()
+            .filter(col("count") > 1).limit(1).count()
+          require(tdup == 0L,
+            "snapshot: the table holds duplicate rows for a merged " +
+              "key - whole-row merge would silently collapse them " +
+              "into one update row; deduplicate the table first " +
+              "(compact after a deleteKeys/re-append) or merge on a " +
+              "unique key")
+          hit
+            .join(upd.select(keyExprs: _*), keyCols, "left_anti")
+            .select(cols: _*)
+            .unionByName(upd)
+        }
       writeCommit(spark, fresh, path, carried, schema, partCols,
         dropped, Some(v), RefuseConflict("merging into"), "merge")
     } finally { upd0.unpersist(); () }
@@ -1533,6 +1641,15 @@ object Snapshots {
     if (!f.exists(dataDir)) return 0
     val cutoff = System.currentTimeMillis() - graceMs
     var removed = 0
+    // crashed publishes leave `_tmp_` manifest files that no listing
+    // ever reads — sweep aged ones (same grace: an in-flight publish
+    // younger than the window is never touched)
+    val mdir = new Path(s"$path/_manifests")
+    if (f.exists(mdir)) f.listStatus(mdir).foreach { st =>
+      if (st.isFile && st.getPath.getName.startsWith("_tmp_") &&
+          st.getModificationTime <= cutoff)
+        f.delete(st.getPath, false)
+    }
     f.listStatus(dataDir).foreach { commit =>
       val commitPath = f.makeQualified(commit.getPath).toUri.getPath
       val it = f.listFiles(commit.getPath, true)

@@ -529,6 +529,14 @@ object Multimodal {
     val stsc = full("stsc", beBytes(stscRuns.size) ++
       stscRuns.iterator.flatMap { case (fc, spc) =>
         beBytes(fc) ++ beBytes(spc) ++ beBytes(1) }.toArray)
+    // stco carries unsigned 32-bit offsets; a payload pushing any
+    // chunk past that range would WRAP under a blind toInt — the
+    // demuxer's posture is reject-never-wrap, so the muxer refuses
+    // identically instead of emitting a corrupt container (co64 is
+    // the >4 GiB spelling; this fixture-grade muxer stays stco-only)
+    require(chunkOffsets.forall(_ <= 0xFFFFFFFFL),
+      s"mp4Mux: chunk offset ${chunkOffsets.max} exceeds the 32-bit " +
+        "stco range - payload too large for an stco-only container")
     val stco = full("stco", beBytes(chunkOffsets.size) ++
       chunkOffsets.iterator.flatMap(o => beBytes(o.toInt)).toArray)
     val stts = full("stts", beBytes(1) ++ beBytes(n) ++ beBytes(1))

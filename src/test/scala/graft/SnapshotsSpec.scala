@@ -1482,4 +1482,115 @@ class SnapshotsSpec extends SparkSpec {
     assert(new java.io.File(path).renameTo(new java.io.File(moved)))
     assert(Snapshots.read(spark, moved).count() === docs.count())
   }
+
+  test("commit claim: double-claim loses, winner's bytes survive intact") {
+    val path = newStore
+    Snapshots.commit(docs, path)
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val target = new org.apache.hadoop.fs.Path(
+      s"$path/_manifests/v000000002.manifest")
+    assert(Snapshots.RenameCommitCoordinator.tryClaim(
+      f, target, Seq("winner-line")))
+    // a second claimant of the SAME version must lose, and must not
+    // disturb the winner's manifest bytes
+    assert(!Snapshots.RenameCommitCoordinator.tryClaim(
+      f, target, Seq("loser-line")))
+    val got = Files.readString(java.nio.file.Paths.get(
+      s"$path/_manifests/v000000002.manifest"))
+    assert(got.startsWith("winner-line"), got)
+    // and no _tmp_ leftovers from the losing claim
+    assert(!new java.io.File(s"$path/_manifests").listFiles()
+      .exists(_.getName.startsWith("_tmp_")))
+  }
+
+  test("a crashed publish leaves only _tmp_ garbage: readers unaffected, vacuum sweeps it") {
+    val path = newStore
+    Snapshots.commit(docs, path)
+    // simulate a writer that died between tmp-write and rename
+    Files.writeString(java.nio.file.Paths.get(
+      s"$path/_manifests/_tmp_dead_v000000002.manifest"), "partial")
+    assert(Snapshots.latestVersion(spark, path) === Some(1L))
+    assert(Snapshots.read(spark, path).count() === docs.count())
+    Snapshots.vacuum(spark, path, graceMs = 0L)
+    assert(!new java.io.File(s"$path/_manifests").listFiles()
+      .exists(_.getName.startsWith("_tmp_")))
+    // the real manifest survived the sweep
+    assert(Snapshots.read(spark, path).count() === docs.count())
+  }
+
+  test("unsafe commit schemes refuse without a coordinator or explicit opt-in") {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    val e = intercept[IllegalArgumentException](
+      Snapshots.requireSafeCommitScheme("s3a", conf))
+    assert(e.getMessage.contains("CommitCoordinator"), e.getMessage)
+    intercept[IllegalArgumentException](
+      Snapshots.requireSafeCommitScheme("S3", conf))
+    // explicit single-writer opt-in lifts the refusal
+    conf.setBoolean("graft.snapshot.unsafeSingleWriter", true)
+    Snapshots.requireSafeCommitScheme("s3a", conf)
+    // schemes with an atomic primitive never refuse
+    Snapshots.requireSafeCommitScheme("hdfs",
+      new org.apache.hadoop.conf.Configuration(false))
+    Snapshots.requireSafeCommitScheme("file",
+      new org.apache.hadoop.conf.Configuration(false))
+  }
+
+  test("a registered CommitCoordinator replaces the default claim for its scheme") {
+    val path = newStore
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val probe = new Snapshots.CommitCoordinator {
+      def tryClaim(f: org.apache.hadoop.fs.FileSystem,
+                   target: org.apache.hadoop.fs.Path,
+                   lines: Seq[String]): Boolean = {
+        seen.incrementAndGet()
+        Snapshots.RenameCommitCoordinator.tryClaim(f, target, lines)
+      }
+    }
+    Snapshots.registerCommitCoordinator("file", probe)
+    try {
+      Snapshots.commit(docs, path)
+      Snapshots.commitAppend(docs.limit(3), path)
+      assert(seen.get() >= 2) // every publish went through the seam
+    } finally Snapshots.unregisterCommitCoordinator("file")
+    assert(Snapshots.read(spark, path).count() === docs.count() + 3)
+  }
+
+  test("replacePartitions matches the directory naming for timestamp partitions") {
+    val path = newStore
+    import spark.implicits._
+    val base = Seq(("2024-03-01 00:00:00", 1L),
+        ("2024-03-01 00:00:00", 2L), ("2024-04-01 00:00:00", 3L))
+      .toDF("ts_s", "v")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("v"))
+    Snapshots.commit(base, path, partitionBy = Seq("ts"))
+    val rerun = Seq(("2024-03-01 00:00:00", 10L)).toDF("ts_s", "v")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("v"))
+    Snapshots.replacePartitions(rerun, path)
+    // the March partition is REPLACED (a JVM-side Timestamp.toString
+    // would have missed the directory string and silently carried
+    // rows 1 and 2 alongside row 10); April is untouched
+    assert(Snapshots.read(spark, path).select("v")
+      .as[Long].collect().sorted === Array(3L, 10L))
+  }
+
+  test("merge refuses when the TABLE holds duplicate rows for an updated key") {
+    val path = newStore
+    val five = docs.limit(5)
+    Snapshots.commit(five, path)
+    Snapshots.commitAppend(five.filter(col("doc_id") === 0), path) // dup key 0
+    val cols = docs.columns.map(col).toSeq
+    val updTouchingDup = five.filter(col("doc_id") === 0)
+      .withColumn("text", lit("new")).select(cols: _*)
+    val e = intercept[IllegalArgumentException](
+      Snapshots.merge(spark, path, updTouchingDup, Seq("doc_id")))
+    assert(e.getMessage.contains("duplicate rows"), e.getMessage)
+    // updating a NON-duplicated key is fine even though the table has
+    // dups elsewhere (the guard scopes to merged keys)
+    val updOther = five.filter(col("doc_id") === 1)
+      .withColumn("text", lit("new")).select(cols: _*)
+    Snapshots.merge(spark, path, updOther, Seq("doc_id"))
+    assert(Snapshots.read(spark, path)
+      .filter(col("doc_id") === 1 && col("text") === "new").count() === 1L)
+  }
 }
