@@ -310,6 +310,7 @@ object Snapshots {
   private[graft] final case class SnapManifest(
       schema: Option[StructType], partCols: Seq[String],
       dropped: Set[String], op: String,
+      txns: Map[String, Long],
       entries: Seq[String], raw: Seq[String])
 
   private def manifest(f: FileSystem, base: String, v: Long): SnapManifest = {
@@ -342,13 +343,24 @@ object Snapshots {
         val op = body.collectFirst {
           case l if l.startsWith("#op=") => l.stripPrefix("#op=")
         }.getOrElse("unknown")
-        SnapManifest(Some(schemaAt(1)), parts, dropped, op,
+        // `#txn=appId:batchId` — the newest streaming batch each
+        // writer app has committed (Delta's SetTransaction): one line
+        // per appId, carried forward by every commit so a replayed
+        // micro-batch can prove it already landed (appIds may not
+        // contain ':'; the split below is on the LAST colon anyway)
+        val txns = body.iterator.filter(_.startsWith("#txn="))
+          .map(_.stripPrefix("#txn=")).map { s =>
+            val i = s.lastIndexOf(':')
+            require(i > 0, s"snapshot: malformed #txn marker '$s'")
+            s.substring(0, i) -> s.substring(i + 1).toLong
+          }.toMap
+        SnapManifest(Some(schemaAt(1)), parts, dropped, op, txns,
           body.filterNot(_.startsWith("#")), lines)
       case Some(HeaderV2) =>
         SnapManifest(Some(schemaAt(1)), Nil, Set.empty, "unknown",
-          lines.drop(2).filter(_.nonEmpty), lines)
+          Map.empty, lines.drop(2).filter(_.nonEmpty), lines)
       case Some(HeaderV1) =>
-        SnapManifest(None, Nil, Set.empty, "unknown",
+        SnapManifest(None, Nil, Set.empty, "unknown", Map.empty,
           lines.drop(1).filter(_.nonEmpty), lines)
       case _ => throw new IllegalArgumentException(
         s"snapshot: ${p.getName} is not a graft-snapshot manifest " +
@@ -372,12 +384,15 @@ object Snapshots {
 
   private def manifestLines(schema: StructType, partCols: Seq[String],
                             dropped: Set[String], op: String,
-                            entries: Seq[String]): Seq[String] =
+                            entries: Seq[String],
+                            txns: Map[String, Long] = Map.empty)
+      : Seq[String] =
     Header +: schema.json +:
       (if (partCols.isEmpty) "-" else partCols.mkString(",")) +:
       (Seq(s"#op=$op") ++
         (if (dropped.isEmpty) Nil
          else Seq(s"#dropped=${dropped.toSeq.sorted.mkString(",")}")) ++
+        txns.toSeq.sortBy(_._1).map { case (a, b) => s"#txn=$a:$b" } ++
         entries)
 
   /** Every committed version on disk — with exclusive-create commits,
@@ -499,9 +514,11 @@ object Snapshots {
                           path: String, carried: Seq[String],
                           schema: StructType, partCols: Seq[String],
                           dropped: Set[String],
+                          txns: Map[String, Long],
                           base: Option[Long],
                           onConflict: OnConflict,
-                          op: String): Long = {
+                          op: String,
+                          ownTxn: Option[(String, Long)] = None): Long = {
     val f = fs(spark, path)
     partCols.foreach(c => require(!c.contains(',') && !c.contains('/'),
       s"snapshot: illegal partition column name '$c'"))
@@ -538,13 +555,14 @@ object Snapshots {
     var curCarried = carried
     var curSchema = schema
     var curDropped = dropped
+    var curTxns = txns
     var curBase = base
     var committed = -1L
     while (committed < 0L) {
       val v = curBase.getOrElse(0L) + 1L
       if (tryPublishManifest(f, path, v,
           manifestLines(curSchema, partCols, curDropped, op,
-            curCarried ++ fresh))) {
+            curCarried ++ fresh, curTxns ++ ownTxn))) {
         bumpLatestHint(f, path, v)
         committed = v
       } else onConflict match {
@@ -557,18 +575,28 @@ object Snapshots {
         case RebaseAppend =>
           val newBase = allManifestVersions(f, path).last
           val m = manifest(f, path, newBase)
-          require(m.partCols == partCols,
-            s"snapshot: concurrent commit changed the partition spec " +
-              s"of $path (${m.partCols.mkString(",")} vs " +
-              s"${partCols.mkString(",")}) - cannot rebase the append")
-          // drift check re-runs against the WINNER's schema; a
-          // genuine type conflict still refuses loudly mid-rebase
-          curSchema = evolvedSchema(
-            resolveSchema(spark, path, m), nullableAll(df.schema), path,
-            m.dropped)
-          curDropped = m.dropped
-          curCarried = m.entries
-          curBase = Some(newBase)
+          // a replayed transactional batch racing its OWN earlier
+          // commit (two at-least-once deliveries interleaving): the
+          // winner already carries this txn — committing again would
+          // double-append; drop the fresh files and no-op instead
+          if (ownTxn.exists { case (a, b) => m.txns.get(a).exists(_ >= b) }) {
+            f.delete(new Path(s"$path/$commitDir"), true)
+            committed = newBase
+          } else {
+            require(m.partCols == partCols,
+              s"snapshot: concurrent commit changed the partition spec " +
+                s"of $path (${m.partCols.mkString(",")} vs " +
+                s"${partCols.mkString(",")}) - cannot rebase the append")
+            // drift check re-runs against the WINNER's schema; a
+            // genuine type conflict still refuses loudly mid-rebase
+            curSchema = evolvedSchema(
+              resolveSchema(spark, path, m), nullableAll(df.schema), path,
+              m.dropped)
+            curDropped = m.dropped
+            curTxns = m.txns
+            curCarried = m.entries
+            curBase = Some(newBase)
+          }
       }
     }
     committed
@@ -730,9 +758,14 @@ object Snapshots {
              partitionBy: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val base = latestVersion(spark, path)
+    // txn markers survive an overwrite (Delta keeps SetTransactions
+    // the same way): the STREAM's dedup state must not reset just
+    // because a batch job rewrote the table contents
+    val txns = base.map(v =>
+      manifest(fs(spark, path), path, v).txns).getOrElse(Map.empty)
     writeCommit(spark, df, path, Nil, nullableAll(df.schema),
-      partitionBy, Set.empty, base, RefuseConflict("overwriting"),
-      "overwrite")
+      partitionBy, Set.empty, txns, base,
+      RefuseConflict("overwriting"), "overwrite")
   }
 
   /** Commit `df` as an APPEND: the new snapshot = previous snapshot's
@@ -744,22 +777,43 @@ object Snapshots {
     * table. Under a concurrent commit the append REBASES (re-carries
     * the winner's files) and retries — appends commute, so both
     * writers' rows always survive.
+    *
+    * `txn = (appId, batchId)` makes the append EXACTLY-ONCE under
+    * at-least-once replay (the Delta txnAppId/txnVersion contract):
+    * the manifest records the newest batchId committed per appId,
+    * carried forward by every commit, and an append whose txn is
+    * already covered NO-OPS — so a streaming query that crashed
+    * between its commit and its checkpoint write replays the batch
+    * harmlessly. Requires batchIds monotonically increasing per
+    * appId (what a single streaming query delivers); appIds may not
+    * contain ':' or newlines.
     */
-  def commitAppend(df: DataFrame, path: String): Long = {
+  def commitAppend(df: DataFrame, path: String,
+                   txn: Option[(String, Long)] = None): Long = {
+    txn.foreach { case (a, _) =>
+      require(a.nonEmpty && !a.contains(':') && !a.contains('\n'),
+        s"snapshot: txn appId '$a' must be non-empty without ':'/newline")
+    }
     val spark = df.sparkSession
     val f = fs(spark, path)
     val base = latestVersion(spark, path)
-    val (carried, schema, partCols, dropped) = base match {
+    val (carried, schema, partCols, dropped, txns) = base match {
       case Some(v) =>
         val m = manifest(f, path, v)
+        // replay guard: this (appId, batchId) already committed —
+        // the whole append, INCLUDING the data write, is skipped
+        txn.foreach { case (a, b) =>
+          if (m.txns.get(a).exists(_ >= b)) return v
+        }
         (m.entries,
           evolvedSchema(resolveSchema(spark, path, m),
             nullableAll(df.schema), path, m.dropped),
-          m.partCols, m.dropped)
-      case None => (Nil, nullableAll(df.schema), Nil, Set.empty[String])
+          m.partCols, m.dropped, m.txns)
+      case None => (Nil, nullableAll(df.schema), Nil,
+        Set.empty[String], Map.empty[String, Long])
     }
     writeCommit(spark, df, path, carried, schema, partCols, dropped,
-      base, RebaseAppend, "append")
+      txns, base, RebaseAppend, "append", ownTxn = txn)
   }
 
   /** DYNAMIC PARTITION OVERWRITE: atomically replace exactly the
@@ -776,7 +830,7 @@ object Snapshots {
     */
   def replacePartitions(df: DataFrame, path: String): Long = {
     val spark = df.sparkSession
-    val (v, schema, partCols, dropped, all) =
+    val CurState(v, schema, partCols, dropped, txns, all) =
       currentState(spark, path, "replace partitions of")
     require(partCols.nonEmpty,
       s"snapshot: $path is not partitioned - replacePartitions " +
@@ -814,7 +868,7 @@ object Snapshots {
           .DEFAULT_PARTITION_NAME)))
     }
     writeCommit(spark, df, path, carried, schema, partCols, dropped,
-      Some(v), RefuseConflict("replacing partitions of"),
+      txns, Some(v), RefuseConflict("replacing partitions of"),
       "replacePartitions")
   }
 
@@ -984,14 +1038,18 @@ object Snapshots {
   /** Current snapshot's version, schema, partition columns, and file
     * entries, failing loudly when nothing was ever committed.
     */
+  private final case class CurState(v: Long, schema: StructType,
+      partCols: Seq[String], dropped: Set[String],
+      txns: Map[String, Long], entries: Seq[String])
+
   private def currentState(spark: SparkSession, path: String,
-                           what: String):
-      (Long, StructType, Seq[String], Set[String], Seq[String]) = {
+                           what: String): CurState = {
     val v = latestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"snapshot: no committed version under $path to $what"))
     val m = manifest(fs(spark, path), path, v)
-    (v, resolveSchema(spark, path, m), m.partCols, m.dropped, m.entries)
+    CurState(v, resolveSchema(spark, path, m), m.partCols, m.dropped,
+      m.txns, m.entries)
   }
 
   /** Mutation key sets must not contain NULLs: a NULL key never
@@ -1039,7 +1097,7 @@ object Snapshots {
   def merge(spark: SparkSession, path: String, updates: DataFrame,
             keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "snapshot: merge needs at least one key column")
-    val (v, schema, partCols, dropped, all) =
+    val CurState(v, schema, partCols, dropped, txns, all) =
       currentState(spark, path, "merge into")
     val table = openEntries(spark, path, schema, partCols, all)
     require(table.columns.sorted.sameElements(updates.columns.sorted),
@@ -1093,7 +1151,7 @@ object Snapshots {
             .unionByName(upd)
         }
       writeCommit(spark, fresh, path, carried, schema, partCols,
-        dropped, Some(v), RefuseConflict("merging into"), "merge")
+        dropped, txns, Some(v), RefuseConflict("merging into"), "merge")
     } finally { upd0.unpersist(); () }
   }
 
@@ -1130,7 +1188,7 @@ object Snapshots {
     require(keyCols.intersect(setCols).isEmpty,
       s"snapshot: columns ${keyCols.intersect(setCols).mkString(",")} " +
         "appear as both key and set - a merge key cannot be updated")
-    val (v, schema, partCols, dropped, all) =
+    val CurState(v, schema, partCols, dropped, txns, all) =
       currentState(spark, path, "mergeUpdate into")
     val tableCols = schema.fieldNames.toSeq
     val missing = (keyCols ++ setCols).filterNot(tableCols.contains)
@@ -1193,7 +1251,7 @@ object Snapshots {
           val fresh = (r.toSeq ++ i.toSeq).reduce(_ unionByName _)
           val carried = all.filterNot(e => affected(relOf(e)))
           writeCommit(spark, fresh, path, carried, schema, partCols,
-            dropped, Some(v), RefuseConflict("mergeUpdate into"),
+            dropped, txns, Some(v), RefuseConflict("mergeUpdate into"),
             "mergeUpdate")
       }
     } finally { upd0.unpersist(); () }
@@ -1251,7 +1309,7 @@ object Snapshots {
     require(keyCols.forall(keys.columns.contains),
       s"snapshot: key columns ${keyCols.filterNot(keys.columns.contains)} " +
         "missing from the keys table")
-    val (v, schema, partCols, dropped, all) =
+    val CurState(v, schema, partCols, dropped, txns, all) =
       currentState(spark, path, "delete keys from")
     val table = openEntries(spark, path, schema, partCols, all)
     requireSameTypes(StructType(schema.filter(f => keyCols.contains(f.name))),
@@ -1269,7 +1327,7 @@ object Snapshots {
             all.filter(e => affected(relOf(e))))
           .join(k, keyCols, "left_anti")
         writeCommit(spark, survivors, path, carried, schema, partCols,
-          dropped, Some(v), RefuseConflict("deleting keys from"),
+          dropped, txns, Some(v), RefuseConflict("deleting keys from"),
           "deleteKeys")
       }
     } finally { k.unpersist(); () }
@@ -1286,7 +1344,7 @@ object Snapshots {
     */
   def deleteWhere(spark: SparkSession, path: String,
                   predicate: Column): Long = {
-    val (v, schema, partCols, dropped, all) =
+    val CurState(v, schema, partCols, dropped, txns, all) =
       currentState(spark, path, "delete from")
     val table = openEntries(spark, path, schema, partCols, all)
     val affected = table.filter(predicate)
@@ -1298,7 +1356,7 @@ object Snapshots {
         all.filter(e => affected(relOf(e))))
       .filter(not(coalesce(predicate, lit(false))))
     writeCommit(spark, survivors, path, carried, schema, partCols,
-      dropped, Some(v), RefuseConflict("deleting from"), "deleteWhere")
+      dropped, txns, Some(v), RefuseConflict("deleting from"), "deleteWhere")
   }
 
   /** Bin-pack the current snapshot into ~`targetFileBytes` files — the
@@ -1334,7 +1392,7 @@ object Snapshots {
     require(zorderBy.isEmpty || zorderBy.size == 2,
       s"snapshot: zorderBy takes exactly two columns, got " +
         s"${zorderBy.mkString(",")}")
-    val (v, schema, partCols, dropped, all) =
+    val CurState(v, schema, partCols, dropped, txns, all) =
       currentState(spark, path, "compact")
     (sortBy ++ zorderBy).foreach(c => require(
       schema.fieldNames.contains(c),
@@ -1382,7 +1440,7 @@ object Snapshots {
         .sortWithinPartitions(clusterCols.map(col): _*)
         .drop("__graft_z")
     writeCommit(spark, packed, path, Nil, schema, partCols, dropped,
-      Some(v), RefuseConflict("compacting"), "compact")
+      txns, Some(v), RefuseConflict("compacting"), "compact")
   }
 
   /** METADATA-ONLY column drop: a new version whose manifest carries
@@ -1399,7 +1457,7 @@ object Snapshots {
   def dropColumns(spark: SparkSession, path: String,
                   cols: Seq[String]): Long = {
     require(cols.nonEmpty, "snapshot: dropColumns needs column names")
-    val (v, schema, partCols, dropped, all) =
+    val CurState(v, schema, partCols, dropped, txns, all) =
       currentState(spark, path, "drop columns from")
     val missing = cols.filterNot(schema.fieldNames.contains)
     require(missing.isEmpty,
@@ -1416,7 +1474,7 @@ object Snapshots {
     val next = v + 1L
     if (!tryPublishManifest(f, path, next,
         manifestLines(StructType(remaining), partCols,
-          dropped ++ cols, "dropColumns", all)))
+          dropped ++ cols, "dropColumns", all, txns)))
       throw new java.util.ConcurrentModificationException(
         s"snapshot: concurrent commit detected while dropping columns " +
           s"from $path (version $next was claimed by another writer) - " +

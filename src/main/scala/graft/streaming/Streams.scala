@@ -556,20 +556,34 @@ object Streams {
     * mutation). Only each batch's delta is written (structural
     * sharing), so continuous ingestion stays O(batch) however large
     * the table grows. Empty batches are skipped — a zero-row commit
-    * would burn a version per empty trigger. Same checkpoint contract
-    * as the index streams: durable `checkpoint` → restartable; a
-    * replayed batch without one duplicates rows in the LATEST version
-    * only (historical versions are immutable either way).
+    * would burn a version per empty trigger.
+    *
+    * EXACTLY-ONCE under replay: each batch commits with a
+    * `(txnAppId, batchId)` transaction marker
+    * ([[graft.io.Snapshots.commitAppend]]'s `txn`), so a query that
+    * crashed between the commit and its checkpoint write NO-OPS the
+    * replayed batch instead of double-appending — the Delta
+    * txnAppId/txnVersion contract. The appId defaults to the
+    * checkpoint location (stable across restarts of the same query);
+    * pass `txnAppId` explicitly when the checkpoint path can change
+    * (e.g. a rebuilt checkpoint that must still dedupe against the
+    * table's history). Without a checkpoint the query is not
+    * restartable anyway and a fresh per-run appId applies.
     */
   def snapshotStream(data: DataFrame, path: String,
-                     checkpoint: Option[String] = None):
+                     checkpoint: Option[String] = None,
+                     txnAppId: Option[String] = None):
       org.apache.spark.sql.streaming.StreamingQuery = {
+    val appId = txnAppId
+      .orElse(checkpoint.map(c => "ckpt-" + c.replace(":", "_")))
+      .getOrElse("run-" + java.util.UUID.randomUUID())
     val writer = data.writeStream
     checkpoint.foreach(c => writer.option("checkpointLocation", c))
     val q = writer
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batch.limit(1).count() > 0L) {
-          graft.io.Snapshots.commitAppend(batch, path); ()
+          graft.io.Snapshots.commitAppend(batch, path,
+            txn = Some((appId, batchId))); ()
         }
       }
       .trigger(Trigger.AvailableNow())

@@ -286,6 +286,59 @@ class SnapshotsSpec extends SparkSpec {
     assert(halves.contains(v1), s"v1=$v1 not one of $halves")
   }
 
+  test("transactional append: a replayed (appId, batchId) no-ops, markers survive other commits") {
+    val path = newStore
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val v1 = Snapshots.commitAppend(even, path, txn = Some(("app", 0L)))
+    val n1 = Snapshots.read(spark, path).count()
+    // replay of batch 0: no new version, no new rows, no stray files
+    assert(Snapshots.commitAppend(even, path,
+      txn = Some(("app", 0L))) === v1)
+    assert(Snapshots.versions(spark, path) === Seq(v1))
+    assert(Snapshots.read(spark, path).count() === n1)
+    assert(Snapshots.vacuum(spark, path, graceMs = 0L) === 0)
+    // the next batch commits normally
+    val v2 = Snapshots.commitAppend(odd, path, txn = Some(("app", 1L)))
+    assert(v2 === v1 + 1)
+    assert(Snapshots.read(spark, path).count() === docs.count())
+    // markers are carried forward by OTHER commits: a compact lands
+    // in between, then batch 1 replays - still a no-op
+    val v3 = Snapshots.compact(spark, path)
+    assert(v3 > v2)
+    assert(Snapshots.commitAppend(odd, path,
+      txn = Some(("app", 1L))) === v3)
+    assert(Snapshots.read(spark, path).count() === docs.count())
+    // a DIFFERENT appId with the same batchId is independent
+    val v4 = Snapshots.commitAppend(docs.limit(1)
+      .withColumn("doc_id", col("doc_id") + 100000), path,
+      txn = Some(("other", 0L)))
+    assert(v4 === v3 + 1)
+    assert(Snapshots.read(spark, path).count() === docs.count() + 1)
+  }
+
+  test("snapshotStream replay from a stale checkpoint converges (exactly-once appends)") {
+    val staged = graft.io.Scratch.dir("graft_snapspec_txn_")
+    graft.io.Scratch.stageSingleParquetFile(docs, staged, "all.parquet")
+    val store = newStore
+    def run(ck: String): Unit = {
+      graft.streaming.Streams.snapshotStream(
+        graft.streaming.Streams.fileStream(spark, staged.toString,
+          graft.streaming.Streams.DocsRawSchema), store,
+        checkpoint = Some(ck), txnAppId = Some("specapp"))
+      ()
+    }
+    run(graft.io.Scratch.dir("graft_snapspec_ck1_").toString)
+    val n = Snapshots.read(spark, store).count()
+    assert(n === docs.count())
+    // total checkpoint loss - the stale-restart extreme: the same
+    // logical query re-delivers batch 0 in full; the txn marker
+    // proves it already landed and the table converges
+    run(graft.io.Scratch.dir("graft_snapspec_ck2_").toString)
+    assert(Snapshots.read(spark, store).count() === n)
+    assert(Snapshots.versions(spark, store).size === 1)
+  }
+
   test("changes(v1, v2) reads exactly the appended delta files") {
     val path = newStore
     val v1 = Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path)
