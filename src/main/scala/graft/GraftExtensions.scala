@@ -51,11 +51,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               throw new IllegalArgumentException(
                 s"snapshot: no tag '$tag' under $path"))
         }
-        val (schema, partCols, entries) =
+        val (schema, partCols, entries, dvs) =
           graft.io.Snapshots.stateAt(spark, path, v)
-        org.apache.spark.sql.graft.StreamingRelationBridge.batchPlanOf(
-          graft.io.Snapshots.entriesRelation(spark, path, schema,
-            partCols, entries))
+        // merge-on-read deletes need the anti-join plan, not a bare
+        // relation; without them the relation keeps its plan shape
+        if (dvs.isEmpty)
+          org.apache.spark.sql.graft.StreamingRelationBridge.batchPlanOf(
+            graft.io.Snapshots.entriesRelation(spark, path, schema,
+              partCols, entries))
+        else org.apache.spark.sql.graft.Bridge.logicalPlan(
+          graft.io.Snapshots.read(spark, path, Some(v)))
       }))
     // SELECT * FROM graft_snapshot_history('/path') — DESCRIBE
     // HISTORY as a table function (metadata-only local relation)

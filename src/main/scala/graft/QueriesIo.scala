@@ -978,7 +978,32 @@ private[graft] object QueriesIo {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** Merge-on-read DELETE — deletion vectors
+    * ([[graft.io.Snapshots.deleteWhere]]/[[deleteKeys]] with
+    * `mode="mor"`): a predicate delete and a key delete each commit a
+    * positional DELETE FILE (zero data-file rewrites — the Iceberg-v2
+    * / Delta-DV answer to CDC feeds touching one row per file at
+    * 100 TB), and the read SERVES through the anti-join. The result
+    * must hash-equal the copy-on-write deletes' (the oracle applies
+    * both predicates directly); SnapshotsSpec pins the
+    * zero-rewrites property and physical apply at compact.
+    */
+  def snapshotDv(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "snap_dv")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = t(s, dir, "documents")
+    graft.io.Snapshots.commit(docs, path)
+    graft.io.Snapshots.deleteWhere(s, path, col("n_chars") < 300,
+      mode = "mor")
+    graft.io.Snapshots.deleteKeys(s, path,
+      docs.filter(col("doc_id") % 7 === 0).select("doc_id"),
+      Seq("doc_id"), mode = "mor")
+    graft.io.Snapshots.read(s, path)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_dv" -> (snapshotDv _),
     "q_snapshot_changes" -> (snapshotChanges _),
     "q_snapshot_merge" -> (snapshotMerge _),
     "q_snapshot_merge_cols" -> (snapshotMergeCols _),
@@ -1104,6 +1129,10 @@ private[graft] object QueriesIo {
     "q_snapshot_delete" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          WHERE NOT coalesce(n_chars < 300, FALSE)""",
+    "q_snapshot_dv" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         WHERE NOT coalesce(n_chars < 300, FALSE)
+           AND NOT doc_id % 7 = 0""",
     "q_snapshot_compact" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q_snapshot_cluster" ->

@@ -310,7 +310,7 @@ object Snapshots {
   private[graft] final case class SnapManifest(
       schema: Option[StructType], partCols: Seq[String],
       dropped: Set[String], op: String,
-      txns: Map[String, Long],
+      txns: Map[String, Long], dvs: Seq[String],
       entries: Seq[String], raw: Seq[String])
 
   private def manifest(f: FileSystem, base: String, v: Long): SnapManifest = {
@@ -354,13 +354,19 @@ object Snapshots {
             require(i > 0, s"snapshot: malformed #txn marker '$s'")
             s.substring(0, i) -> s.substring(i + 1).toLong
           }.toMap
-        SnapManifest(Some(schemaAt(1)), parts, dropped, op, txns,
+        // `#dv=relpath` — merge-on-read DELETE FILES: parquet files
+        // of (__file, __pos) row positions every live read anti-joins
+        // out ([[deleteWhere]]/[[deleteKeys]] `mode="mor"`); applied
+        // physically and dropped at [[compact]]
+        val dvs = body.iterator.filter(_.startsWith("#dv="))
+          .map(_.stripPrefix("#dv=")).toSeq
+        SnapManifest(Some(schemaAt(1)), parts, dropped, op, txns, dvs,
           body.filterNot(_.startsWith("#")), lines)
       case Some(HeaderV2) =>
         SnapManifest(Some(schemaAt(1)), Nil, Set.empty, "unknown",
-          Map.empty, lines.drop(2).filter(_.nonEmpty), lines)
+          Map.empty, Nil, lines.drop(2).filter(_.nonEmpty), lines)
       case Some(HeaderV1) =>
-        SnapManifest(None, Nil, Set.empty, "unknown", Map.empty,
+        SnapManifest(None, Nil, Set.empty, "unknown", Map.empty, Nil,
           lines.drop(1).filter(_.nonEmpty), lines)
       case _ => throw new IllegalArgumentException(
         s"snapshot: ${p.getName} is not a graft-snapshot manifest " +
@@ -385,7 +391,8 @@ object Snapshots {
   private def manifestLines(schema: StructType, partCols: Seq[String],
                             dropped: Set[String], op: String,
                             entries: Seq[String],
-                            txns: Map[String, Long] = Map.empty)
+                            txns: Map[String, Long] = Map.empty,
+                            dvs: Seq[String] = Nil)
       : Seq[String] =
     Header +: schema.json +:
       (if (partCols.isEmpty) "-" else partCols.mkString(",")) +:
@@ -393,6 +400,7 @@ object Snapshots {
         (if (dropped.isEmpty) Nil
          else Seq(s"#dropped=${dropped.toSeq.sorted.mkString(",")}")) ++
         txns.toSeq.sortBy(_._1).map { case (a, b) => s"#txn=$a:$b" } ++
+        dvs.map(d => s"#dv=$d") ++
         entries)
 
   /** Every committed version on disk — with exclusive-create commits,
@@ -515,6 +523,7 @@ object Snapshots {
                           schema: StructType, partCols: Seq[String],
                           dropped: Set[String],
                           txns: Map[String, Long],
+                          dvs: Seq[String],
                           base: Option[Long],
                           onConflict: OnConflict,
                           op: String,
@@ -556,13 +565,14 @@ object Snapshots {
     var curSchema = schema
     var curDropped = dropped
     var curTxns = txns
+    var curDvs = dvs
     var curBase = base
     var committed = -1L
     while (committed < 0L) {
       val v = curBase.getOrElse(0L) + 1L
       if (tryPublishManifest(f, path, v,
           manifestLines(curSchema, partCols, curDropped, op,
-            curCarried ++ fresh, curTxns ++ ownTxn))) {
+            curCarried ++ fresh, curTxns ++ ownTxn, curDvs))) {
         bumpLatestHint(f, path, v)
         committed = v
       } else onConflict match {
@@ -594,6 +604,7 @@ object Snapshots {
               m.dropped)
             curDropped = m.dropped
             curTxns = m.txns
+            curDvs = m.dvs
             curCarried = m.entries
             curBase = Some(newBase)
           }
@@ -715,13 +726,95 @@ object Snapshots {
         entriesRelation(spark, path, schema, partCols, entries))
       .select(schema.fieldNames.map(col).toSeq: _*)
 
+  /** Merge-on-read delete files: (file, position) pairs a live read
+    * anti-joins out. The Iceberg-v2 positional-delete shape — a
+    * delete commits O(deleted rows) of delete-file bytes instead of
+    * rewriting whole data files, and [[compact]] applies them
+    * physically later.
+    */
+  private val DvFileCol = "__graft_file"
+  private val DvPosCol = "__graft_pos"
+  private val DvSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("__file",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("__pos",
+      org.apache.spark.sql.types.LongType)))
+
+  /** The scanned file's store-relative path, in-plan — the same
+    * `data/c-<uuid>/...` suffix [[relativize]] extracts, computed
+    * from the constant per-file metadata column (no data read).
+    */
+  private def relPathExpr: Column =
+    org.apache.spark.sql.functions.regexp_extract(
+      col("_metadata.file_path"), "^.*/(data/c-[^/]+/.+)$", 1)
+
+  private def dvRows(spark: SparkSession, path: String,
+                     dvs: Seq[String]): DataFrame =
+    spark.read.schema(DvSchema).parquet(dvs.map(d => s"$path/$d"): _*)
+      .select(col("__file").as(DvFileCol), col("__pos").as(DvPosCol))
+
+  /** Live rows of `entries` — deletes applied — WITH the row-identity
+    * helper columns ([[DvFileCol]], [[DvPosCol]]) still attached, for
+    * mutation discovery and mor-delete writes. Identity is
+    * materialized BEFORE the anti-join so `_metadata` is never
+    * referenced post-join (both join sides are parquet scans; a
+    * post-join metadata reference would be ambiguous).
+    */
+  private def liveWithId(spark: SparkSession, path: String,
+                         schema: StructType, partCols: Seq[String],
+                         entries: Seq[String],
+                         dvs: Seq[String]): DataFrame = {
+    val withId = spark.baseRelationToDataFrame(
+        entriesRelation(spark, path, schema, partCols, entries))
+      .select(schema.fieldNames.map(col) ++ Seq(
+        relPathExpr.as(DvFileCol),
+        col("_metadata.row_index").as(DvPosCol)): _*)
+    if (dvs.isEmpty) withId
+    else withId.join(dvRows(spark, path, dvs),
+      Seq(DvFileCol, DvPosCol), "left_anti")
+  }
+
+  /** Open entries with merge-on-read deletes APPLIED — the read every
+    * consumer of current table state goes through. Without delete
+    * files this is exactly [[openEntries]] (no identity columns, no
+    * join — the common path keeps its plan shape).
+    */
+  private def openLive(spark: SparkSession, path: String,
+                       schema: StructType, partCols: Seq[String],
+                       entries: Seq[String],
+                       dvs: Seq[String]): DataFrame =
+    if (dvs.isEmpty) openEntries(spark, path, schema, partCols, entries)
+    else liveWithId(spark, path, schema, partCols, entries, dvs)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+
+  /** Affected-file discovery, DV-aware: the store-relative paths of
+    * files holding at least one LIVE row matching an update key.
+    * Without DVs this is [[affectedFilesPlan]]'s key-only scan; with
+    * them the same scan plus the row-identity anti-join.
+    */
+  private def discoverAffected(spark: SparkSession, path: String,
+                               schema: StructType, partCols: Seq[String],
+                               entries: Seq[String], dvs: Seq[String],
+                               updates: DataFrame,
+                               keyCols: Seq[String]): Set[String] =
+    if (dvs.isEmpty)
+      affectedFilesPlan(
+        openEntries(spark, path, schema, partCols, entries),
+        updates, keyCols)
+        .collect().map(r => relativize(r.getString(0))).toSet
+    else liveWithId(spark, path, schema, partCols, entries, dvs)
+      .select(keyCols.map(col) :+ col(DvFileCol): _*)
+      .join(updates.select(keyCols.map(col): _*), keyCols, "left_semi")
+      .select(DvFileCol).distinct()
+      .collect().map(_.getString(0)).toSet
+
   /** A committed version's (schema, partition columns, entries) —
     * the state a reader or streaming source plans against.
     */
-  private[graft] def stateAt(spark: SparkSession, path: String,
-                             v: Long): (StructType, Seq[String], Seq[String]) = {
+  private[graft] def stateAt(spark: SparkSession, path: String, v: Long)
+      : (StructType, Seq[String], Seq[String], Seq[String]) = {
     val m = manifest(fs(spark, path), path, v)
-    (resolveSchema(spark, path, m), m.partCols, m.entries)
+    (resolveSchema(spark, path, m), m.partCols, m.entries, m.dvs)
   }
 
   /** The entries ADDED between two committed versions, with the
@@ -734,7 +827,8 @@ object Snapshots {
                                  fromVersion: Long, toVersion: Long)
       : (StructType, Seq[String], Seq[String]) = {
     val f = fs(spark, path)
-    val before = manifest(f, path, fromVersion).entries.map(relOf)
+    val mFrom = manifest(f, path, fromVersion)
+    val before = mFrom.entries.map(relOf)
     val mTo = manifest(f, path, toVersion)
     val beforeSet = before.toSet
     val dropped = beforeSet -- mTo.entries.map(relOf).toSet
@@ -743,6 +837,10 @@ object Snapshots {
         s"(${dropped.size} files dropped out - an overwrite, rollback " +
         "or retention pass in the range); read the versions directly " +
         "and diff rows instead")
+    require(mFrom.dvs.toSet == mTo.dvs.toSet,
+      s"snapshot: versions $fromVersion..$toVersion are not append-only " +
+        "(a merge-on-read delete landed in the range - rows were " +
+        "removed); read the versions directly and diff rows instead")
     (resolveSchema(spark, path, mTo), mTo.partCols,
       mTo.entries.filterNot(e => beforeSet(relOf(e))))
   }
@@ -764,7 +862,7 @@ object Snapshots {
     val txns = base.map(v =>
       manifest(fs(spark, path), path, v).txns).getOrElse(Map.empty)
     writeCommit(spark, df, path, Nil, nullableAll(df.schema),
-      partitionBy, Set.empty, txns, base,
+      partitionBy, Set.empty, txns, Nil, base,
       RefuseConflict("overwriting"), "overwrite")
   }
 
@@ -797,7 +895,7 @@ object Snapshots {
     val spark = df.sparkSession
     val f = fs(spark, path)
     val base = latestVersion(spark, path)
-    val (carried, schema, partCols, dropped, txns) = base match {
+    val (carried, schema, partCols, dropped, txns, dvs) = base match {
       case Some(v) =>
         val m = manifest(f, path, v)
         // replay guard: this (appId, batchId) already committed —
@@ -808,12 +906,12 @@ object Snapshots {
         (m.entries,
           evolvedSchema(resolveSchema(spark, path, m),
             nullableAll(df.schema), path, m.dropped),
-          m.partCols, m.dropped, m.txns)
+          m.partCols, m.dropped, m.txns, m.dvs)
       case None => (Nil, nullableAll(df.schema), Nil,
-        Set.empty[String], Map.empty[String, Long])
+        Set.empty[String], Map.empty[String, Long], Nil)
     }
     writeCommit(spark, df, path, carried, schema, partCols, dropped,
-      txns, base, RebaseAppend, "append", ownTxn = txn)
+      txns, dvs, base, RebaseAppend, "append", ownTxn = txn)
   }
 
   /** DYNAMIC PARTITION OVERWRITE: atomically replace exactly the
@@ -830,7 +928,7 @@ object Snapshots {
     */
   def replacePartitions(df: DataFrame, path: String): Long = {
     val spark = df.sparkSession
-    val CurState(v, schema, partCols, dropped, txns, all) =
+    val CurState(v, schema, partCols, dropped, txns, dvs, all) =
       currentState(spark, path, "replace partitions of")
     require(partCols.nonEmpty,
       s"snapshot: $path is not partitioned - replacePartitions " +
@@ -868,7 +966,7 @@ object Snapshots {
           .DEFAULT_PARTITION_NAME)))
     }
     writeCommit(spark, df, path, carried, schema, partCols, dropped,
-      txns, Some(v), RefuseConflict("replacing partitions of"),
+      txns, dvs, Some(v), RefuseConflict("replacing partitions of"),
       "replacePartitions")
   }
 
@@ -888,8 +986,8 @@ object Snapshots {
       throw new IllegalArgumentException(
         s"snapshot: no committed version under $path"))
     val m = manifest(f, path, v)
-    openEntries(spark, path, resolveSchema(spark, path, m), m.partCols,
-      m.entries)
+    openLive(spark, path, resolveSchema(spark, path, m), m.partCols,
+      m.entries, m.dvs)
   }
 
   /** Time travel BY TIMESTAMP — Delta's `timestampAsOf` posture: the
@@ -979,11 +1077,15 @@ object Snapshots {
       s"snapshot: readBetween column $column is not in the table " +
         s"schema (${schema.fieldNames.mkString(", ")})")
     val (kept, _) = prunedEntries(spark, path, column, lo, hi, Some(v))
+    // pruning stays SAFE under merge-on-read deletes: deletion only
+    // removes rows, so committed min/max stats over-approximate and
+    // prune-on-proof still never skips a live row; the live read
+    // below applies the deletes to whatever survives the prune
     val base =
       if (kept.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else openEntries(spark, path, schema, m.partCols, kept)
+      else openLive(spark, path, schema, m.partCols, kept, m.dvs)
     // integral column + whole-number bounds → long literals, so the
     // residual predicate reaches the parquet scan as a pushed filter
     // instead of hiding behind a cast-to-double
@@ -1040,7 +1142,8 @@ object Snapshots {
     */
   private final case class CurState(v: Long, schema: StructType,
       partCols: Seq[String], dropped: Set[String],
-      txns: Map[String, Long], entries: Seq[String])
+      txns: Map[String, Long], dvs: Seq[String],
+      entries: Seq[String])
 
   private def currentState(spark: SparkSession, path: String,
                            what: String): CurState = {
@@ -1049,7 +1152,7 @@ object Snapshots {
         s"snapshot: no committed version under $path to $what"))
     val m = manifest(fs(spark, path), path, v)
     CurState(v, resolveSchema(spark, path, m), m.partCols, m.dropped,
-      m.txns, m.entries)
+      m.txns, m.dvs, m.entries)
   }
 
   /** Mutation key sets must not contain NULLs: a NULL key never
@@ -1097,9 +1200,9 @@ object Snapshots {
   def merge(spark: SparkSession, path: String, updates: DataFrame,
             keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "snapshot: merge needs at least one key column")
-    val CurState(v, schema, partCols, dropped, txns, all) =
+    val CurState(v, schema, partCols, dropped, txns, dvs, all) =
       currentState(spark, path, "merge into")
-    val table = openEntries(spark, path, schema, partCols, all)
+    val table = openLive(spark, path, schema, partCols, all, dvs)
     require(table.columns.sorted.sameElements(updates.columns.sorted),
       s"snapshot: merge updates columns ${updates.columns.sorted.mkString(",")} " +
         s"differ from the table's ${table.columns.sorted.mkString(",")}")
@@ -1120,16 +1223,16 @@ object Snapshots {
       require(dup == 0L,
         "snapshot: updates carry duplicate keys - the upsert would be " +
           "non-deterministic; deduplicate (e.g. keep-latest) before merging")
-      val affected = affectedFilesPlan(table, upd0, keyCols)
-        .collect().map(r => relativize(r.getString(0))).toSet
+      val affected = discoverAffected(spark, path, schema, partCols,
+        all, dvs, upd0, keyCols)
       val carried = all.filterNot(e => affected(relOf(e)))
       val cols = table.columns.toSeq.map(col)
       val upd = upd0.select(cols: _*)
       val fresh =
         if (affected.isEmpty) upd // pure insert: nothing to rewrite
         else {
-          val hit = openEntries(spark, path, schema, partCols,
-            all.filter(e => affected(relOf(e))))
+          val hit = openLive(spark, path, schema, partCols,
+            all.filter(e => affected(relOf(e))), dvs)
           // whole-row replacement collapses EVERY table row of an
           // updated key into the single update row; if the table
           // itself holds N > 1 rows for such a key (appends never
@@ -1151,7 +1254,8 @@ object Snapshots {
             .unionByName(upd)
         }
       writeCommit(spark, fresh, path, carried, schema, partCols,
-        dropped, txns, Some(v), RefuseConflict("merging into"), "merge")
+        dropped, txns, dvs, Some(v), RefuseConflict("merging into"),
+        "merge")
     } finally { upd0.unpersist(); () }
   }
 
@@ -1188,7 +1292,7 @@ object Snapshots {
     require(keyCols.intersect(setCols).isEmpty,
       s"snapshot: columns ${keyCols.intersect(setCols).mkString(",")} " +
         "appear as both key and set - a merge key cannot be updated")
-    val CurState(v, schema, partCols, dropped, txns, all) =
+    val CurState(v, schema, partCols, dropped, txns, dvs, all) =
       currentState(spark, path, "mergeUpdate into")
     val tableCols = schema.fieldNames.toSeq
     val missing = (keyCols ++ setCols).filterNot(tableCols.contains)
@@ -1205,7 +1309,7 @@ object Snapshots {
       s"snapshot: columns ${expected.filterNot(updates.columns.contains)
         .mkString(",")} missing from updates")
     requireSameTypes(schema, updates.schema, "mergeUpdate updates")
-    val table = openEntries(spark, path, schema, partCols, all)
+    val table = openLive(spark, path, schema, partCols, all, dvs)
     val keyExprs = keyCols.map(col)
     val upd0 = updates.persist()
     try {
@@ -1215,8 +1319,8 @@ object Snapshots {
       require(dup == 0L,
         "snapshot: updates carry duplicate keys - the update would be " +
           "non-deterministic; deduplicate (e.g. keep-latest) first")
-      val affected = affectedFilesPlan(table, upd0, keyCols)
-        .collect().map(r => relativize(r.getString(0))).toSet
+      val affected = discoverAffected(spark, path, schema, partCols,
+        all, dvs, upd0, keyCols)
       val renamed = upd0.select(keyExprs ++
         setCols.map(c => col(c).as(s"__u_$c")) :+
         lit(true).as("__u_hit"): _*)
@@ -1224,8 +1328,8 @@ object Snapshots {
         .getOrElse(lit(true))
       val rewritten =
         if (affected.isEmpty) None
-        else Some(openEntries(spark, path, schema, partCols,
-            all.filter(e => affected(relOf(e))))
+        else Some(openLive(spark, path, schema, partCols,
+            all.filter(e => affected(relOf(e))), dvs)
           .join(renamed, keyCols, "left")
           .select(tableCols.map { c =>
             if (setCols.contains(c))
@@ -1251,8 +1355,8 @@ object Snapshots {
           val fresh = (r.toSeq ++ i.toSeq).reduce(_ unionByName _)
           val carried = all.filterNot(e => affected(relOf(e)))
           writeCommit(spark, fresh, path, carried, schema, partCols,
-            dropped, txns, Some(v), RefuseConflict("mergeUpdate into"),
-            "mergeUpdate")
+            dropped, txns, dvs, Some(v),
+            RefuseConflict("mergeUpdate into"), "mergeUpdate")
       }
     } finally { upd0.unpersist(); () }
   }
@@ -1303,32 +1407,41 @@ object Snapshots {
     * explicit spelling for deleting NULL-keyed rows).
     */
   def deleteKeys(spark: SparkSession, path: String, keys: DataFrame,
-                 keyCols: Seq[String]): Long = {
+                 keyCols: Seq[String], mode: String = "cow"): Long = {
+    require(mode == "cow" || mode == "mor",
+      s"snapshot: delete mode must be 'cow' or 'mor': '$mode'")
     require(keyCols.nonEmpty,
       "snapshot: deleteKeys needs at least one key column")
     require(keyCols.forall(keys.columns.contains),
       s"snapshot: key columns ${keyCols.filterNot(keys.columns.contains)} " +
         "missing from the keys table")
-    val CurState(v, schema, partCols, dropped, txns, all) =
+    val CurState(v, schema, partCols, dropped, txns, dvs, all) =
       currentState(spark, path, "delete keys from")
-    val table = openEntries(spark, path, schema, partCols, all)
     requireSameTypes(StructType(schema.filter(f => keyCols.contains(f.name))),
       StructType(keys.schema.filter(f => keyCols.contains(f.name))),
       "deleteKeys key")
     val k = keys.select(keyCols.map(col): _*).persist()
     try {
       requireNoNullKeys(k, keyCols, "deleteKeys keys")
-      val affected = affectedFilesPlan(table, k, keyCols)
-        .collect().map(r => relativize(r.getString(0))).toSet
-      if (affected.isEmpty) v
-      else {
-        val carried = all.filterNot(e => affected(relOf(e)))
-        val survivors = openEntries(spark, path, schema, partCols,
-            all.filter(e => affected(relOf(e))))
-          .join(k, keyCols, "left_anti")
-        writeCommit(spark, survivors, path, carried, schema, partCols,
-          dropped, txns, Some(v), RefuseConflict("deleting keys from"),
-          "deleteKeys")
+      if (mode == "mor") {
+        val doomed = liveWithId(spark, path, schema, partCols, all, dvs)
+          .join(k, keyCols, "left_semi")
+          .select(col(DvFileCol).as("__file"), col(DvPosCol).as("__pos"))
+        publishMorDelete(spark, path, v, schema, partCols, dropped,
+          txns, dvs, all, doomed, "deleteKeys(mor)")
+      } else {
+        val affected = discoverAffected(spark, path, schema, partCols,
+          all, dvs, k, keyCols)
+        if (affected.isEmpty) v
+        else {
+          val carried = all.filterNot(e => affected(relOf(e)))
+          val survivors = openLive(spark, path, schema, partCols,
+              all.filter(e => affected(relOf(e))), dvs)
+            .join(k, keyCols, "left_anti")
+          writeCommit(spark, survivors, path, carried, schema, partCols,
+            dropped, txns, dvs, Some(v),
+            RefuseConflict("deleting keys from"), "deleteKeys")
+        }
       }
     } finally { k.unpersist(); () }
   }
@@ -1343,20 +1456,67 @@ object Snapshots {
     * reference data columns only.
     */
   def deleteWhere(spark: SparkSession, path: String,
-                  predicate: Column): Long = {
-    val CurState(v, schema, partCols, dropped, txns, all) =
+                  predicate: Column, mode: String = "cow"): Long = {
+    require(mode == "cow" || mode == "mor",
+      s"snapshot: delete mode must be 'cow' or 'mor': '$mode'")
+    val CurState(v, schema, partCols, dropped, txns, dvs, all) =
       currentState(spark, path, "delete from")
-    val table = openEntries(spark, path, schema, partCols, all)
-    val affected = table.filter(predicate)
-      .select(col("_metadata.file_path")).distinct()
-      .collect().map(r => relativize(r.getString(0))).toSet
+    if (mode == "mor") {
+      val doomed = liveWithId(spark, path, schema, partCols, all, dvs)
+        .filter(coalesce(predicate, lit(false)))
+        .select(col(DvFileCol).as("__file"), col(DvPosCol).as("__pos"))
+      return publishMorDelete(spark, path, v, schema, partCols,
+        dropped, txns, dvs, all, doomed, "deleteWhere(mor)")
+    }
+    val affected = liveWithId(spark, path, schema, partCols, all, dvs)
+      .filter(coalesce(predicate, lit(false)))
+      .select(DvFileCol).distinct()
+      .collect().map(_.getString(0)).toSet
     if (affected.isEmpty) return v
     val carried = all.filterNot(e => affected(relOf(e)))
-    val survivors = openEntries(spark, path, schema, partCols,
-        all.filter(e => affected(relOf(e))))
+    val survivors = openLive(spark, path, schema, partCols,
+        all.filter(e => affected(relOf(e))), dvs)
       .filter(not(coalesce(predicate, lit(false))))
     writeCommit(spark, survivors, path, carried, schema, partCols,
-      dropped, txns, Some(v), RefuseConflict("deleting from"), "deleteWhere")
+      dropped, txns, dvs, Some(v), RefuseConflict("deleting from"),
+      "deleteWhere")
+  }
+
+  /** Publish a merge-on-read DELETE: write the doomed (file, pos)
+    * pairs as a delete file and commit a manifest carrying the SAME
+    * data entries plus the new `#dv=` references — O(deleted rows)
+    * of IO, zero data-file rewrites. No matches = no commit
+    * (idempotent, like the copy-on-write path).
+    */
+  private def publishMorDelete(spark: SparkSession, path: String,
+                               v: Long, schema: StructType,
+                               partCols: Seq[String],
+                               dropped: Set[String],
+                               txns: Map[String, Long],
+                               dvs: Seq[String], entries: Seq[String],
+                               doomed: DataFrame, op: String): Long = {
+    val f = fs(spark, path)
+    val commitDir = s"data/c-${java.util.UUID.randomUUID()}"
+    doomed.write.parquet(s"$path/$commitDir")
+    val freshDvs = listCommitFiles(f, path, commitDir)
+    // an empty delete file still appears (schema-bearing part file);
+    // probe the written rows, not the file list
+    val any = spark.read.schema(DvSchema)
+      .parquet(s"$path/$commitDir").limit(1).count() > 0L
+    if (!any) { f.delete(new Path(s"$path/$commitDir"), true); return v }
+    onBeforePublish()
+    val next = v + 1L
+    if (!tryPublishManifest(f, path, next,
+        manifestLines(schema, partCols, dropped, op, entries, txns,
+          dvs ++ freshDvs))) {
+      f.delete(new Path(s"$path/$commitDir"), true)
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot: concurrent commit detected while $op on $path " +
+          s"(version $next was claimed by another writer) - re-read " +
+          "and retry")
+    }
+    bumpLatestHint(f, path, next)
+    next
   }
 
   /** Bin-pack the current snapshot into ~`targetFileBytes` files — the
@@ -1392,7 +1552,7 @@ object Snapshots {
     require(zorderBy.isEmpty || zorderBy.size == 2,
       s"snapshot: zorderBy takes exactly two columns, got " +
         s"${zorderBy.mkString(",")}")
-    val CurState(v, schema, partCols, dropped, txns, all) =
+    val CurState(v, schema, partCols, dropped, txns, dvs, all) =
       currentState(spark, path, "compact")
     (sortBy ++ zorderBy).foreach(c => require(
       schema.fieldNames.contains(c),
@@ -1404,8 +1564,11 @@ object Snapshots {
     // an unsorted compaction of an already-packed table is a no-op,
     // but a CLUSTERED one is not: the caller asked for a layout, and
     // whether the current files honor it is unknowable from counts
-    if (sortBy.isEmpty && zorderBy.isEmpty && all.size <= want) return v
-    val table = openEntries(spark, path, schema, partCols, all)
+    // pending merge-on-read deletes make even a packed table worth
+    // compacting: this rewrite is what applies them physically
+    if (sortBy.isEmpty && zorderBy.isEmpty && all.size <= want &&
+      dvs.isEmpty) return v
+    val table = openLive(spark, path, schema, partCols, all, dvs)
     // 2-D clustering: files cover compact rectangle-ish regions of
     // (a, b) space via the bit-interleaved z key, so the per-file
     // min/max stats the commit records prune selective scans on
@@ -1440,7 +1603,7 @@ object Snapshots {
         .sortWithinPartitions(clusterCols.map(col): _*)
         .drop("__graft_z")
     writeCommit(spark, packed, path, Nil, schema, partCols, dropped,
-      txns, Some(v), RefuseConflict("compacting"), "compact")
+      txns, Nil, Some(v), RefuseConflict("compacting"), "compact")
   }
 
   /** METADATA-ONLY column drop: a new version whose manifest carries
@@ -1457,7 +1620,7 @@ object Snapshots {
   def dropColumns(spark: SparkSession, path: String,
                   cols: Seq[String]): Long = {
     require(cols.nonEmpty, "snapshot: dropColumns needs column names")
-    val CurState(v, schema, partCols, dropped, txns, all) =
+    val CurState(v, schema, partCols, dropped, txns, dvs, all) =
       currentState(spark, path, "drop columns from")
     val missing = cols.filterNot(schema.fieldNames.contains)
     require(missing.isEmpty,
@@ -1694,7 +1857,10 @@ object Snapshots {
     require(graceMs >= 0, s"snapshot: graceMs must be >= 0: $graceMs")
     val f = fs(spark, path)
     val referenced = allManifestVersions(f, path)
-      .flatMap(v => manifest(f, path, v).entries.map(relOf)).toSet
+      .flatMap { v =>
+        val m = manifest(f, path, v)
+        m.entries.map(relOf) ++ m.dvs
+      }.toSet
     val dataDir = new Path(s"$path/data")
     if (!f.exists(dataDir)) return 0
     val cutoff = System.currentTimeMillis() - graceMs

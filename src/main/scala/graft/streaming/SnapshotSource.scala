@@ -60,7 +60,7 @@ private[graft] class SnapshotSource(sqlContext: SQLContext,
       throw new IllegalArgumentException(
         s"snapshot source: no committed version under $path - commit " +
           "the table (or its first batch) before streaming from it"))
-    val (s, pc, _) = Snapshots.stateAt(spark, path, v)
+    val (s, pc, _, _) = Snapshots.stateAt(spark, path, v)
     (s, pc)
   }
 
@@ -125,7 +125,16 @@ private[graft] class SnapshotSource(sqlContext: SQLContext,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = versionOf(end)
     val fresh = start.map(versionOf) match {
-      case None => Snapshots.stateAt(spark, path, endV)._3
+      case None =>
+        val st = Snapshots.stateAt(spark, path, endV)
+        // the initial batch reads the FULL snapshot as bare entries —
+        // pending merge-on-read deletes would resurrect; compact
+        // applies them physically and clears the refusal
+        require(st._4.isEmpty,
+          s"snapshot source: version $endV of $path carries " +
+            "merge-on-read delete files - compact the table first " +
+            "(the batch read applies them; the append stream cannot)")
+        st._3
       case Some(s) if s >= endV => Nil // recovery replay of a no-op range
       case Some(s) => Snapshots.appendDelta(spark, path, s, endV)._3
     }
@@ -260,8 +269,24 @@ class SnapshotSourceProvider extends StreamSourceProvider
       .getOrElse(Snapshots.latestVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(
           s"snapshot: no committed version under $path")))
-    val (schema, partCols, entries) = Snapshots.stateAt(spark, path, v)
-    Snapshots.entriesRelation(spark, path, schema, partCols, entries)
+    val (schema, partCols, entries, dvs) = Snapshots.stateAt(spark, path, v)
+    if (dvs.isEmpty)
+      Snapshots.entriesRelation(spark, path, schema, partCols, entries)
+    else {
+      // merge-on-read deletes need the anti-join applied: serve a
+      // TableScan over the live read (correctness over pushdown on
+      // this DSv1 path; the plan-native reads keep full pruning)
+      val live = Snapshots.read(spark, path, Some(v))
+      val sql = sqlContext
+      new org.apache.spark.sql.sources.BaseRelation
+        with org.apache.spark.sql.sources.TableScan {
+        override val sqlContext: SQLContext = sql
+        override def schema: StructType = live.schema
+        override def buildScan()
+            : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+          live.rdd
+      }
+    }
   }
 
   override def sourceSchema(sqlContext: SQLContext,

@@ -286,6 +286,74 @@ class SnapshotsSpec extends SparkSpec {
     assert(halves.contains(v1), s"v1=$v1 not one of $halves")
   }
 
+  test("mor delete: zero data-file rewrites, read agrees with copy-on-write") {
+    val morPath = newStore
+    val cowPath = newStore
+    Snapshots.commit(docs, morPath)
+    Snapshots.commit(docs, cowPath)
+    val before = dataFiles(morPath)
+    val v2 = Snapshots.deleteWhere(spark, morPath,
+      col("n_chars") < 500, mode = "mor")
+    assert(v2 === 2L)
+    // every pre-delete data file is still on disk untouched; the only
+    // additions are the delete file(s)
+    val after = dataFiles(morPath)
+    assert(before.toSet.subsetOf(after.toSet))
+    Snapshots.deleteWhere(spark, cowPath, col("n_chars") < 500)
+    val mor = Snapshots.read(spark, morPath)
+    val cow = Snapshots.read(spark, cowPath)
+    assert(mor.count() === cow.count())
+    assert(mor.exceptAll(cow).count() === 0L)
+    assert(cow.exceptAll(mor).count() === 0L)
+    // time travel: the pre-delete version reads complete
+    assert(Snapshots.read(spark, morPath, Some(1L)).count() === docs.count())
+    // an idempotent re-delete of the same predicate commits nothing
+    assert(Snapshots.deleteWhere(spark, morPath,
+      col("n_chars") < 500, mode = "mor") === v2)
+  }
+
+  test("mor deletes stack, don't resurrect under merge, and compact applies them") {
+    val path = newStore
+    Snapshots.commit(docs, path)
+    Snapshots.deleteWhere(spark, path, col("n_chars") < 300, mode = "mor")
+    // a key delete stacks on the predicate delete
+    Snapshots.deleteKeys(spark, path,
+      docs.filter(col("doc_id") % 7 === 0).select("doc_id"),
+      Seq("doc_id"), mode = "mor")
+    val expect = docs.filter(
+      !coalesce(col("n_chars") < 300, lit(false)) &&
+        col("doc_id") % 7 =!= 0)
+    assert(Snapshots.read(spark, path).count() === expect.count())
+    // merging an update for a DELETED key INSERTS it fresh (the dead
+    // row is not live, so it cannot match) - no resurrection of the
+    // old row, exactly one live row after
+    val cols = docs.columns.map(col).toSeq
+    val deadKey = docs.filter(col("doc_id") % 7 === 0 &&
+        coalesce(col("n_chars") >= 300, lit(false))).limit(1)
+      .withColumn("text", lit("revived")).select(cols: _*)
+    Snapshots.merge(spark, path, deadKey, Seq("doc_id"))
+    val keyVal = deadKey.select("doc_id").collect()(0).getLong(0)
+    val live = Snapshots.read(spark, path)
+      .filter(col("doc_id") === keyVal).collect()
+    assert(live.length === 1)
+    assert(live(0).getAs[String]("text") === "revived")
+    // appends remain visible alongside pending deletes
+    Snapshots.commitAppend(docs.limit(1)
+      .withColumn("doc_id", col("doc_id") + 900000), path)
+    val nBefore = Snapshots.read(spark, path).count()
+    // changes() across a mor delete refuses - rows were removed
+    val e = intercept[IllegalArgumentException](
+      Snapshots.changes(spark, path, 1L, 2L))
+    assert(e.getMessage.contains("merge-on-read"), e.getMessage)
+    // compact applies the deletes physically: same rows, no #dv left,
+    // and after retention the delete files are vacuumable
+    Snapshots.compact(spark, path, targetFileBytes = 1L << 30)
+    assert(Snapshots.read(spark, path).count() === nBefore)
+    Snapshots.expire(spark, path, keepLast = 1)
+    Snapshots.vacuum(spark, path, graceMs = 0L)
+    assert(Snapshots.read(spark, path).count() === nBefore)
+  }
+
   test("transactional append: a replayed (appId, batchId) no-ops, markers survive other commits") {
     val path = newStore
     val even = docs.filter(col("doc_id") % 2 === 0)
