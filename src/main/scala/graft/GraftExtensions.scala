@@ -51,11 +51,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               throw new IllegalArgumentException(
                 s"snapshot: no tag '$tag' under $path"))
         }
-        val (schema, partCols, entries, dvs) =
+        val (schema, partCols, entries, dvs, colMap) =
           graft.io.Snapshots.stateAt(spark, path, v)
-        // merge-on-read deletes need the anti-join plan, not a bare
-        // relation; without them the relation keeps its plan shape
-        if (dvs.isEmpty)
+        // merge-on-read deletes need the anti-join plan (and renamed
+        // columns the mapping select); without either the relation
+        // keeps its plan shape
+        if (dvs.isEmpty && colMap.isEmpty)
           org.apache.spark.sql.graft.StreamingRelationBridge.batchPlanOf(
             graft.io.Snapshots.entriesRelation(spark, path, schema,
               partCols, entries))

@@ -1002,7 +1002,31 @@ private[graft] object QueriesIo {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** Metadata-only column RENAME via column mapping
+    * ([[graft.io.Snapshots.renameColumn]] — Delta name-mode mapping):
+    * rename `n_chars` to `length`, then APPEND a batch under the new
+    * name. Old files keep serving through the physical->logical map
+    * (zero data IO at rename), the append writes under the unchanged
+    * physical name, and the read surfaces everything as `length` —
+    * which is exactly the oracle's CASE-free `AS length` projection
+    * over the union. SnapshotsSpec pins time travel reading each
+    * version's own names and the partition-column rename.
+    */
+  def snapshotRename(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "snap_rn")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = t(s, dir, "documents")
+    graft.io.Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path)
+    graft.io.Snapshots.renameColumn(s, path, "n_chars", "length")
+    graft.io.Snapshots.commitAppend(
+      docs.filter(col("doc_id") % 2 === 1)
+        .withColumnRenamed("n_chars", "length"), path)
+    graft.io.Snapshots.read(s, path)
+      .select("doc_id", "text", "lang", "source", "length")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_rename" -> (snapshotRename _),
     "q_snapshot_dv" -> (snapshotDv _),
     "q_snapshot_changes" -> (snapshotChanges _),
     "q_snapshot_merge" -> (snapshotMerge _),
@@ -1133,6 +1157,9 @@ private[graft] object QueriesIo {
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          WHERE NOT coalesce(n_chars < 300, FALSE)
            AND NOT doc_id % 7 = 0""",
+    "q_snapshot_rename" ->
+      """SELECT doc_id, text, lang, source, n_chars AS length
+         FROM documents""",
     "q_snapshot_compact" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q_snapshot_cluster" ->

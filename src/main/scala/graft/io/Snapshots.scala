@@ -307,10 +307,18 @@ object Snapshots {
     * inference applies), partition columns, file entries, and the raw
     * lines (so [[rollback]] can re-publish format-verbatim).
     */
+  /** `partCols` and `dropped` are PHYSICAL names (what file paths
+    * and parquet footers carry); `schema` is the LOGICAL schema users
+    * see; `colMap` maps physical -> logical for the columns where the
+    * two differ ([[renameColumn]] - Delta's name-mode column
+    * mapping). Physical names are assigned at column birth and never
+    * change; renames move only the logical name.
+    */
   private[graft] final case class SnapManifest(
       schema: Option[StructType], partCols: Seq[String],
       dropped: Set[String], op: String,
       txns: Map[String, Long], dvs: Seq[String],
+      colMap: Map[String, String],
       entries: Seq[String], raw: Seq[String])
 
   private def manifest(f: FileSystem, base: String, v: Long): SnapManifest = {
@@ -360,14 +368,26 @@ object Snapshots {
         // physically and dropped at [[compact]]
         val dvs = body.iterator.filter(_.startsWith("#dv="))
           .map(_.stripPrefix("#dv=")).toSeq
+        // `#map=phys:logical;...` — column mapping for renamed
+        // columns (name characters are restricted at rename time)
+        val colMap = body.collectFirst {
+          case l if l.startsWith("#map=") =>
+            l.stripPrefix("#map=").split(';').iterator
+              .filter(_.nonEmpty).map { pair =>
+                val i = pair.indexOf(':')
+                require(i > 0, s"snapshot: malformed #map pair '$pair'")
+                pair.substring(0, i) -> pair.substring(i + 1)
+              }.toMap
+        }.getOrElse(Map.empty[String, String])
         SnapManifest(Some(schemaAt(1)), parts, dropped, op, txns, dvs,
-          body.filterNot(_.startsWith("#")), lines)
+          colMap, body.filterNot(_.startsWith("#")), lines)
       case Some(HeaderV2) =>
         SnapManifest(Some(schemaAt(1)), Nil, Set.empty, "unknown",
-          Map.empty, Nil, lines.drop(2).filter(_.nonEmpty), lines)
+          Map.empty, Nil, Map.empty,
+          lines.drop(2).filter(_.nonEmpty), lines)
       case Some(HeaderV1) =>
         SnapManifest(None, Nil, Set.empty, "unknown", Map.empty, Nil,
-          lines.drop(1).filter(_.nonEmpty), lines)
+          Map.empty, lines.drop(1).filter(_.nonEmpty), lines)
       case _ => throw new IllegalArgumentException(
         s"snapshot: ${p.getName} is not a graft-snapshot manifest " +
           s"(v1/v2/v3 headers accepted)")
@@ -392,7 +412,8 @@ object Snapshots {
                             dropped: Set[String], op: String,
                             entries: Seq[String],
                             txns: Map[String, Long] = Map.empty,
-                            dvs: Seq[String] = Nil)
+                            dvs: Seq[String] = Nil,
+                            colMap: Map[String, String] = Map.empty)
       : Seq[String] =
     Header +: schema.json +:
       (if (partCols.isEmpty) "-" else partCols.mkString(",")) +:
@@ -401,7 +422,43 @@ object Snapshots {
          else Seq(s"#dropped=${dropped.toSeq.sorted.mkString(",")}")) ++
         txns.toSeq.sortBy(_._1).map { case (a, b) => s"#txn=$a:$b" } ++
         dvs.map(d => s"#dv=$d") ++
+        (if (colMap.isEmpty) Nil
+         else Seq(s"#map=" + colMap.toSeq.sorted.map {
+           case (p, l) => s"$p:$l" }.mkString(";"))) ++
         entries)
+
+  /** logical -> physical resolution for the stored column mapping
+    * (identity where unmapped).
+    */
+  private def l2p(colMap: Map[String, String]): Map[String, String] =
+    colMap.map(_.swap)
+
+  private def toPhysicalName(colMap: Map[String, String],
+                             logical: String): String =
+    l2p(colMap).getOrElse(logical, logical)
+
+  /** The stored logical schema with every field under its PHYSICAL
+    * name — what the parquet files (and the scan relation) carry.
+    */
+  private def toPhysicalSchema(logical: StructType,
+                               colMap: Map[String, String]): StructType = {
+    val lp = l2p(colMap)
+    StructType(logical.fields.map(f =>
+      f.copy(name = lp.getOrElse(f.name, f.name))))
+  }
+
+  /** Rename a logical-named DataFrame to physical column names for
+    * the write path (columns outside the map pass through).
+    */
+  private def toPhysicalDf(df: DataFrame,
+                           colMap: Map[String, String]): DataFrame = {
+    if (colMap.isEmpty) df
+    else {
+      val lp = l2p(colMap)
+      df.select(df.columns.map(c =>
+        col(c).as(lp.getOrElse(c, c))).toSeq: _*)
+    }
+  }
 
   /** Every committed version on disk — with exclusive-create commits,
     * a manifest's existence IS its commit (a crash can only leave
@@ -524,6 +581,7 @@ object Snapshots {
                           dropped: Set[String],
                           txns: Map[String, Long],
                           dvs: Seq[String],
+                          colMap: Map[String, String],
                           base: Option[Long],
                           onConflict: OnConflict,
                           op: String,
@@ -532,11 +590,16 @@ object Snapshots {
     partCols.foreach(c => require(!c.contains(',') && !c.contains('/'),
       s"snapshot: illegal partition column name '$c'"))
     val commitDir = s"data/c-${java.util.UUID.randomUUID()}"
-    val writer = df.write
+    // files carry PHYSICAL names: the logical batch renames through
+    // the column mapping at the write boundary (identity when no
+    // rename ever happened), and partition directories use the
+    // physical partition names so old and new files agree
+    val pdf = toPhysicalDf(df, colMap)
+    val writer = pdf.write
     if (partCols.nonEmpty) {
-      partCols.foreach(c => require(df.columns.contains(c),
+      partCols.foreach(c => require(pdf.columns.contains(c),
         s"snapshot: partition column $c is missing from the batch " +
-          s"(${df.columns.mkString(", ")})"))
+          s"(${pdf.columns.mkString(", ")})"))
       writer.partitionBy(partCols: _*)
     }
     writer.parquet(s"$path/$commitDir")
@@ -566,13 +629,15 @@ object Snapshots {
     var curDropped = dropped
     var curTxns = txns
     var curDvs = dvs
+    var curColMap = colMap
     var curBase = base
     var committed = -1L
     while (committed < 0L) {
       val v = curBase.getOrElse(0L) + 1L
       if (tryPublishManifest(f, path, v,
           manifestLines(curSchema, partCols, curDropped, op,
-            curCarried ++ fresh, curTxns ++ ownTxn, curDvs))) {
+            curCarried ++ fresh, curTxns ++ ownTxn, curDvs,
+            curColMap))) {
         bumpLatestHint(f, path, v)
         committed = v
       } else onConflict match {
@@ -599,9 +664,25 @@ object Snapshots {
                 s"${partCols.mkString(",")}) - cannot rebase the append")
             // drift check re-runs against the WINNER's schema; a
             // genuine type conflict still refuses loudly mid-rebase
-            curSchema = evolvedSchema(
-              resolveSchema(spark, path, m), nullableAll(df.schema), path,
-              m.dropped)
+            val (s2, map2) = evolvedSchemaAndMap(
+              resolveSchema(spark, path, m), nullableAll(df.schema),
+              path, m.dropped, m.colMap, reuse = colMap)
+            // the data files are ALREADY written under this commit's
+            // physical names; if rebasing against the winner resolves
+            // any batch column to a different physical (a concurrent
+            // rename/drop touched it), the written bytes are stale -
+            // refuse rather than publish files under the wrong names
+            val oldP = l2p(colMap); val newP = l2p(map2)
+            if (df.columns.exists(c =>
+                oldP.getOrElse(c, c) != newP.getOrElse(c, c))) {
+              f.delete(new Path(s"$path/$commitDir"), true)
+              throw new java.util.ConcurrentModificationException(
+                s"snapshot: a concurrent schema change (rename/drop) " +
+                  s"on $path invalidated this append's column mapping " +
+                  "- re-read the table and retry")
+            }
+            curSchema = s2
+            curColMap = map2
             curDropped = m.dropped
             curTxns = m.txns
             curDvs = m.dvs
@@ -620,32 +701,53 @@ object Snapshots {
   private def nullableAll(s: StructType): StructType =
     StructType(s.fields.map(_.copy(nullable = true)))
 
-  /** The evolved schema an append commit stores: previous fields in
-    * order, new fields appended — ADDING columns is evolution, a
-    * CHANGED type on a shared name is drift and refuses loudly (the
-    * two files genuinely disagree; a cast policy belongs to the
-    * caller, cf. [[graft.schema.Conform]]). A column the append batch
-    * lacks stays in the schema and null-fills for the new files —
-    * dropping a column is not something an APPEND can mean.
+  /** The evolved (logical schema, column mapping) an append commit
+    * stores: previous fields in order, new fields appended — ADDING
+    * columns is evolution, a CHANGED type on a shared name is drift
+    * and refuses loudly (the two files genuinely disagree; a cast
+    * policy belongs to the caller, cf. [[graft.schema.Conform]]). A
+    * column the append batch lacks stays in the schema and null-fills
+    * for the new files — dropping a column is not something an APPEND
+    * can mean.
+    *
+    * New columns are assigned a PHYSICAL name: the logical name when
+    * free, else a fresh `name__pN` — so re-using a previously DROPPED
+    * (or renamed-away) name is SAFE: old files' physical values stay
+    * under their old physical name, which no live logical column maps
+    * to, and can never resurrect (the column-mapping relaxation of
+    * the former tombstone refusal). `reuse` pins already-assigned
+    * physicals when an append rebases (its files are written).
     */
-  private def evolvedSchema(prev: StructType, next: StructType,
-                            path: String,
-                            dropped: Set[String]): StructType = {
-    val resurrected = next.fieldNames.filter(dropped.contains)
-    require(resurrected.isEmpty,
-      s"snapshot: column(s) ${resurrected.mkString(", ")} were DROPPED " +
-        s"from $path and an append may not re-introduce the name - old " +
-        "files still hold their pre-drop values, which the re-added " +
-        "column would silently resurrect; pick a new name or overwrite " +
-        "the table")
+  private def evolvedSchemaAndMap(prev: StructType, next: StructType,
+                                  path: String,
+                                  droppedPhys: Set[String],
+                                  prevMap: Map[String, String],
+                                  reuse: Map[String, String] = Map.empty)
+      : (StructType, Map[String, String]) = {
     val prevByName = prev.fields.map(f => f.name -> f).toMap
     next.fields.foreach(nf => prevByName.get(nf.name).foreach(pf =>
       require(pf.dataType == nf.dataType,
         s"snapshot: append column ${nf.name} arrives as ${nf.dataType} " +
           s"but $path stores ${pf.dataType} - refusing the silent " +
           "type drift; cast before appending")))
-    StructType(prev.fields ++
-      next.fields.filterNot(f => prevByName.contains(f.name)))
+    val newFields = next.fields.filterNot(f => prevByName.contains(f.name))
+    val reuseL2p = l2p(reuse)
+    var used = prev.fieldNames
+      .map(n => l2p(prevMap).getOrElse(n, n)).toSet ++
+      droppedPhys ++ prevMap.keySet
+    var map = prevMap
+    newFields.foreach { f =>
+      val phys = reuseL2p.get(f.name) match {
+        case Some(p) => p
+        case None if !used(f.name) => f.name
+        case None =>
+          Iterator.from(1).map(i => s"${f.name}__p$i")
+            .find(c => !used(c)).get
+      }
+      used += phys
+      if (phys != f.name) map += (phys -> f.name)
+    }
+    (StructType(prev.fields ++ newFields), map)
   }
 
   /** The manifest-entry name under which a file's byte length is
@@ -721,10 +823,15 @@ object Snapshots {
     */
   private def openEntries(spark: SparkSession, path: String,
                           schema: StructType, partCols: Seq[String],
-                          entries: Seq[String]): DataFrame =
+                          entries: Seq[String],
+                          colMap: Map[String, String] = Map.empty)
+      : DataFrame = {
+    val phys = toPhysicalSchema(schema, colMap)
     spark.baseRelationToDataFrame(
-        entriesRelation(spark, path, schema, partCols, entries))
-      .select(schema.fieldNames.map(col).toSeq: _*)
+        entriesRelation(spark, path, phys, partCols, entries))
+      .select(phys.fields.zip(schema.fields).map { case (p, l) =>
+        col(p.name).as(l.name) }.toSeq: _*)
+  }
 
   /** Merge-on-read delete files: (file, position) pairs a live read
     * anti-joins out. The Iceberg-v2 positional-delete shape — a
@@ -762,11 +869,14 @@ object Snapshots {
     */
   private def liveWithId(spark: SparkSession, path: String,
                          schema: StructType, partCols: Seq[String],
-                         entries: Seq[String],
-                         dvs: Seq[String]): DataFrame = {
+                         entries: Seq[String], dvs: Seq[String],
+                         colMap: Map[String, String] = Map.empty)
+      : DataFrame = {
+    val phys = toPhysicalSchema(schema, colMap)
     val withId = spark.baseRelationToDataFrame(
-        entriesRelation(spark, path, schema, partCols, entries))
-      .select(schema.fieldNames.map(col) ++ Seq(
+        entriesRelation(spark, path, phys, partCols, entries))
+      .select(phys.fields.zip(schema.fields).map { case (p, l) =>
+        col(p.name).as(l.name) } ++ Seq(
         relPathExpr.as(DvFileCol),
         col("_metadata.row_index").as(DvPosCol)): _*)
     if (dvs.isEmpty) withId
@@ -781,10 +891,12 @@ object Snapshots {
     */
   private def openLive(spark: SparkSession, path: String,
                        schema: StructType, partCols: Seq[String],
-                       entries: Seq[String],
-                       dvs: Seq[String]): DataFrame =
-    if (dvs.isEmpty) openEntries(spark, path, schema, partCols, entries)
-    else liveWithId(spark, path, schema, partCols, entries, dvs)
+                       entries: Seq[String], dvs: Seq[String],
+                       colMap: Map[String, String] = Map.empty)
+      : DataFrame =
+    if (dvs.isEmpty)
+      openEntries(spark, path, schema, partCols, entries, colMap)
+    else liveWithId(spark, path, schema, partCols, entries, dvs, colMap)
       .select(schema.fieldNames.map(col).toSeq: _*)
 
   /** Affected-file discovery, DV-aware: the store-relative paths of
@@ -795,14 +907,15 @@ object Snapshots {
   private def discoverAffected(spark: SparkSession, path: String,
                                schema: StructType, partCols: Seq[String],
                                entries: Seq[String], dvs: Seq[String],
-                               updates: DataFrame,
-                               keyCols: Seq[String]): Set[String] =
+                               updates: DataFrame, keyCols: Seq[String],
+                               colMap: Map[String, String] = Map.empty)
+      : Set[String] =
     if (dvs.isEmpty)
       affectedFilesPlan(
-        openEntries(spark, path, schema, partCols, entries),
+        openEntries(spark, path, schema, partCols, entries, colMap),
         updates, keyCols)
         .collect().map(r => relativize(r.getString(0))).toSet
-    else liveWithId(spark, path, schema, partCols, entries, dvs)
+    else liveWithId(spark, path, schema, partCols, entries, dvs, colMap)
       .select(keyCols.map(col) :+ col(DvFileCol): _*)
       .join(updates.select(keyCols.map(col): _*), keyCols, "left_semi")
       .select(DvFileCol).distinct()
@@ -812,10 +925,19 @@ object Snapshots {
     * the state a reader or streaming source plans against.
     */
   private[graft] def stateAt(spark: SparkSession, path: String, v: Long)
-      : (StructType, Seq[String], Seq[String], Seq[String]) = {
+      : (StructType, Seq[String], Seq[String], Seq[String],
+         Map[String, String]) = {
     val m = manifest(fs(spark, path), path, v)
-    (resolveSchema(spark, path, m), m.partCols, m.entries, m.dvs)
+    (resolveSchema(spark, path, m), m.partCols, m.entries, m.dvs,
+      m.colMap)
   }
+
+  /** The physical-name rendering of a logical schema under a column
+    * mapping — for [[graft.streaming.SnapshotSource]], which builds
+    * scan relations directly from [[entriesRelation]]. */
+  private[graft] def physicalSchemaOf(schema: StructType,
+                                      colMap: Map[String, String])
+      : StructType = toPhysicalSchema(schema, colMap)
 
   /** The entries ADDED between two committed versions, with the
     * destination's schema and partition spec — refusing loudly when
@@ -825,7 +947,7 @@ object Snapshots {
     */
   private[graft] def appendDelta(spark: SparkSession, path: String,
                                  fromVersion: Long, toVersion: Long)
-      : (StructType, Seq[String], Seq[String]) = {
+      : (StructType, Seq[String], Seq[String], Map[String, String]) = {
     val f = fs(spark, path)
     val mFrom = manifest(f, path, fromVersion)
     val before = mFrom.entries.map(relOf)
@@ -842,7 +964,7 @@ object Snapshots {
         "(a merge-on-read delete landed in the range - rows were " +
         "removed); read the versions directly and diff rows instead")
     (resolveSchema(spark, path, mTo), mTo.partCols,
-      mTo.entries.filterNot(e => beforeSet(relOf(e))))
+      mTo.entries.filterNot(e => beforeSet(relOf(e))), mTo.colMap)
   }
 
   /** Commit `df` as the new FULL contents of the table (overwrite
@@ -862,7 +984,7 @@ object Snapshots {
     val txns = base.map(v =>
       manifest(fs(spark, path), path, v).txns).getOrElse(Map.empty)
     writeCommit(spark, df, path, Nil, nullableAll(df.schema),
-      partitionBy, Set.empty, txns, Nil, base,
+      partitionBy, Set.empty, txns, Nil, Map.empty, base,
       RefuseConflict("overwriting"), "overwrite")
   }
 
@@ -895,23 +1017,25 @@ object Snapshots {
     val spark = df.sparkSession
     val f = fs(spark, path)
     val base = latestVersion(spark, path)
-    val (carried, schema, partCols, dropped, txns, dvs) = base match {
-      case Some(v) =>
-        val m = manifest(f, path, v)
-        // replay guard: this (appId, batchId) already committed —
-        // the whole append, INCLUDING the data write, is skipped
-        txn.foreach { case (a, b) =>
-          if (m.txns.get(a).exists(_ >= b)) return v
-        }
-        (m.entries,
-          evolvedSchema(resolveSchema(spark, path, m),
-            nullableAll(df.schema), path, m.dropped),
-          m.partCols, m.dropped, m.txns, m.dvs)
-      case None => (Nil, nullableAll(df.schema), Nil,
-        Set.empty[String], Map.empty[String, Long], Nil)
-    }
+    val (carried, schema, partCols, dropped, txns, dvs, colMap) =
+      base match {
+        case Some(v) =>
+          val m = manifest(f, path, v)
+          // replay guard: this (appId, batchId) already committed —
+          // the whole append, INCLUDING the data write, is skipped
+          txn.foreach { case (a, b) =>
+            if (m.txns.get(a).exists(_ >= b)) return v
+          }
+          val (s2, map2) = evolvedSchemaAndMap(
+            resolveSchema(spark, path, m), nullableAll(df.schema),
+            path, m.dropped, m.colMap)
+          (m.entries, s2, m.partCols, m.dropped, m.txns, m.dvs, map2)
+        case None => (Nil, nullableAll(df.schema), Nil,
+          Set.empty[String], Map.empty[String, Long], Nil,
+          Map.empty[String, String])
+      }
     writeCommit(spark, df, path, carried, schema, partCols, dropped,
-      txns, dvs, base, RebaseAppend, "append", ownTxn = txn)
+      txns, dvs, colMap, base, RebaseAppend, "append", ownTxn = txn)
   }
 
   /** DYNAMIC PARTITION OVERWRITE: atomically replace exactly the
@@ -928,13 +1052,14 @@ object Snapshots {
     */
   def replacePartitions(df: DataFrame, path: String): Long = {
     val spark = df.sparkSession
-    val CurState(v, schema, partCols, dropped, txns, dvs, all) =
+    val st @ CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
       currentState(spark, path, "replace partitions of")
     require(partCols.nonEmpty,
       s"snapshot: $path is not partitioned - replacePartitions " +
         "needs partition columns (commit with partitionBy first); " +
         "use commit for whole-table overwrite")
-    partCols.foreach(c => require(df.columns.contains(c),
+    val lp = st.lPartCols
+    lp.foreach(c => require(df.columns.contains(c),
       s"snapshot: partition column $c is missing from the batch " +
         s"(${df.columns.mkString(", ")})"))
     requireSameTypes(schema, df.schema, "replacePartitions batch")
@@ -949,9 +1074,9 @@ object Snapshots {
     // API) and the mismatch would silently CARRY the replaced
     // partition's old files alongside the new ones
     val doomed: Set[Seq[String]] = df
-      .select(partCols.map(c => col(c).cast("string").as(c)): _*)
+      .select(lp.map(c => col(c).cast("string").as(c)): _*)
       .distinct()
-      .collect().map(r => partCols.indices.map { i =>
+      .collect().map(r => lp.indices.map { i =>
         val s = r.getString(i)
         // Spark names both NULL and empty-string partition values
         // with the default-partition sentinel
@@ -966,8 +1091,8 @@ object Snapshots {
           .DEFAULT_PARTITION_NAME)))
     }
     writeCommit(spark, df, path, carried, schema, partCols, dropped,
-      txns, dvs, Some(v), RefuseConflict("replacing partitions of"),
-      "replacePartitions")
+      txns, dvs, colMap, Some(v),
+      RefuseConflict("replacing partitions of"), "replacePartitions")
   }
 
   /** Read a snapshot: the latest, or any committed `version` (time
@@ -987,7 +1112,7 @@ object Snapshots {
         s"snapshot: no committed version under $path"))
     val m = manifest(f, path, v)
     openLive(spark, path, resolveSchema(spark, path, m), m.partCols,
-      m.entries, m.dvs)
+      m.entries, m.dvs, m.colMap)
   }
 
   /** Time travel BY TIMESTAMP — Delta's `timestampAsOf` posture: the
@@ -1036,9 +1161,11 @@ object Snapshots {
       throw new IllegalArgumentException(
         s"snapshot: no committed version under $path"))
     val m = manifest(f, path, v)
+    // stats and partition-path values are keyed by PHYSICAL name
+    val phys = toPhysicalName(m.colMap, column)
     val kept = m.entries.filter { e =>
-      val range = statsOf(e).get(column).orElse(
-        partValsOf(relOf(e)).get(column)
+      val range = statsOf(e).get(phys).orElse(
+        partValsOf(relOf(e)).get(phys)
           .flatMap(s => scala.util.Try(s.toDouble).toOption)
           .map(d => (d, d)))
       range match {
@@ -1085,7 +1212,8 @@ object Snapshots {
       if (kept.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else openLive(spark, path, schema, m.partCols, kept, m.dvs)
+      else openLive(spark, path, schema, m.partCols, kept, m.dvs,
+        m.colMap)
     // integral column + whole-number bounds → long literals, so the
     // residual predicate reaches the parquet scan as a pushed filter
     // instead of hiding behind a cast-to-double
@@ -1117,11 +1245,11 @@ object Snapshots {
               toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"snapshot: changes range is backwards ($fromVersion > $toVersion)")
-    val (schema, partCols, fresh) =
+    val (schema, partCols, fresh, colMap) =
       appendDelta(spark, path, fromVersion, toVersion)
     if (fresh.isEmpty)
       read(spark, path, Some(toVersion)).limit(0)
-    else openEntries(spark, path, schema, partCols, fresh)
+    else openEntries(spark, path, schema, partCols, fresh, colMap)
   }
 
   /** The store-relative manifest entry for a scanned file's
@@ -1143,7 +1271,12 @@ object Snapshots {
   private final case class CurState(v: Long, schema: StructType,
       partCols: Seq[String], dropped: Set[String],
       txns: Map[String, Long], dvs: Seq[String],
-      entries: Seq[String])
+      colMap: Map[String, String], entries: Seq[String]) {
+    /** partition columns under their LOGICAL names (validation and
+      * clustering run against the logical table; paths and the
+      * manifest keep the physical names). */
+    def lPartCols: Seq[String] = partCols.map(c => colMap.getOrElse(c, c))
+  }
 
   private def currentState(spark: SparkSession, path: String,
                            what: String): CurState = {
@@ -1152,7 +1285,7 @@ object Snapshots {
         s"snapshot: no committed version under $path to $what"))
     val m = manifest(fs(spark, path), path, v)
     CurState(v, resolveSchema(spark, path, m), m.partCols, m.dropped,
-      m.txns, m.dvs, m.entries)
+      m.txns, m.dvs, m.colMap, m.entries)
   }
 
   /** Mutation key sets must not contain NULLs: a NULL key never
@@ -1200,9 +1333,9 @@ object Snapshots {
   def merge(spark: SparkSession, path: String, updates: DataFrame,
             keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "snapshot: merge needs at least one key column")
-    val CurState(v, schema, partCols, dropped, txns, dvs, all) =
+    val st @ CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
       currentState(spark, path, "merge into")
-    val table = openLive(spark, path, schema, partCols, all, dvs)
+    val table = openLive(spark, path, schema, partCols, all, dvs, colMap)
     require(table.columns.sorted.sameElements(updates.columns.sorted),
       s"snapshot: merge updates columns ${updates.columns.sorted.mkString(",")} " +
         s"differ from the table's ${table.columns.sorted.mkString(",")}")
@@ -1224,7 +1357,7 @@ object Snapshots {
         "snapshot: updates carry duplicate keys - the upsert would be " +
           "non-deterministic; deduplicate (e.g. keep-latest) before merging")
       val affected = discoverAffected(spark, path, schema, partCols,
-        all, dvs, upd0, keyCols)
+        all, dvs, upd0, keyCols, colMap)
       val carried = all.filterNot(e => affected(relOf(e)))
       val cols = table.columns.toSeq.map(col)
       val upd = upd0.select(cols: _*)
@@ -1232,7 +1365,7 @@ object Snapshots {
         if (affected.isEmpty) upd // pure insert: nothing to rewrite
         else {
           val hit = openLive(spark, path, schema, partCols,
-            all.filter(e => affected(relOf(e))), dvs)
+            all.filter(e => affected(relOf(e))), dvs, colMap)
           // whole-row replacement collapses EVERY table row of an
           // updated key into the single update row; if the table
           // itself holds N > 1 rows for such a key (appends never
@@ -1254,8 +1387,8 @@ object Snapshots {
             .unionByName(upd)
         }
       writeCommit(spark, fresh, path, carried, schema, partCols,
-        dropped, txns, dvs, Some(v), RefuseConflict("merging into"),
-        "merge")
+        dropped, txns, dvs, colMap, Some(v),
+        RefuseConflict("merging into"), "merge")
     } finally { upd0.unpersist(); () }
   }
 
@@ -1292,7 +1425,7 @@ object Snapshots {
     require(keyCols.intersect(setCols).isEmpty,
       s"snapshot: columns ${keyCols.intersect(setCols).mkString(",")} " +
         "appear as both key and set - a merge key cannot be updated")
-    val CurState(v, schema, partCols, dropped, txns, dvs, all) =
+    val st @ CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
       currentState(spark, path, "mergeUpdate into")
     val tableCols = schema.fieldNames.toSeq
     val missing = (keyCols ++ setCols).filterNot(tableCols.contains)
@@ -1309,7 +1442,7 @@ object Snapshots {
       s"snapshot: columns ${expected.filterNot(updates.columns.contains)
         .mkString(",")} missing from updates")
     requireSameTypes(schema, updates.schema, "mergeUpdate updates")
-    val table = openLive(spark, path, schema, partCols, all, dvs)
+    val table = openLive(spark, path, schema, partCols, all, dvs, colMap)
     val keyExprs = keyCols.map(col)
     val upd0 = updates.persist()
     try {
@@ -1320,7 +1453,7 @@ object Snapshots {
         "snapshot: updates carry duplicate keys - the update would be " +
           "non-deterministic; deduplicate (e.g. keep-latest) first")
       val affected = discoverAffected(spark, path, schema, partCols,
-        all, dvs, upd0, keyCols)
+        all, dvs, upd0, keyCols, colMap)
       val renamed = upd0.select(keyExprs ++
         setCols.map(c => col(c).as(s"__u_$c")) :+
         lit(true).as("__u_hit"): _*)
@@ -1329,7 +1462,7 @@ object Snapshots {
       val rewritten =
         if (affected.isEmpty) None
         else Some(openLive(spark, path, schema, partCols,
-            all.filter(e => affected(relOf(e))), dvs)
+            all.filter(e => affected(relOf(e))), dvs, colMap)
           .join(renamed, keyCols, "left")
           .select(tableCols.map { c =>
             if (setCols.contains(c))
@@ -1355,7 +1488,7 @@ object Snapshots {
           val fresh = (r.toSeq ++ i.toSeq).reduce(_ unionByName _)
           val carried = all.filterNot(e => affected(relOf(e)))
           writeCommit(spark, fresh, path, carried, schema, partCols,
-            dropped, txns, dvs, Some(v),
+            dropped, txns, dvs, colMap, Some(v),
             RefuseConflict("mergeUpdate into"), "mergeUpdate")
       }
     } finally { upd0.unpersist(); () }
@@ -1415,7 +1548,7 @@ object Snapshots {
     require(keyCols.forall(keys.columns.contains),
       s"snapshot: key columns ${keyCols.filterNot(keys.columns.contains)} " +
         "missing from the keys table")
-    val CurState(v, schema, partCols, dropped, txns, dvs, all) =
+    val st @ CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
       currentState(spark, path, "delete keys from")
     requireSameTypes(StructType(schema.filter(f => keyCols.contains(f.name))),
       StructType(keys.schema.filter(f => keyCols.contains(f.name))),
@@ -1424,22 +1557,23 @@ object Snapshots {
     try {
       requireNoNullKeys(k, keyCols, "deleteKeys keys")
       if (mode == "mor") {
-        val doomed = liveWithId(spark, path, schema, partCols, all, dvs)
+        val doomed = liveWithId(spark, path, schema, partCols, all,
+          dvs, colMap)
           .join(k, keyCols, "left_semi")
           .select(col(DvFileCol).as("__file"), col(DvPosCol).as("__pos"))
         publishMorDelete(spark, path, v, schema, partCols, dropped,
-          txns, dvs, all, doomed, "deleteKeys(mor)")
+          txns, dvs, colMap, all, doomed, "deleteKeys(mor)")
       } else {
         val affected = discoverAffected(spark, path, schema, partCols,
-          all, dvs, k, keyCols)
+          all, dvs, k, keyCols, colMap)
         if (affected.isEmpty) v
         else {
           val carried = all.filterNot(e => affected(relOf(e)))
           val survivors = openLive(spark, path, schema, partCols,
-              all.filter(e => affected(relOf(e))), dvs)
+              all.filter(e => affected(relOf(e))), dvs, colMap)
             .join(k, keyCols, "left_anti")
           writeCommit(spark, survivors, path, carried, schema, partCols,
-            dropped, txns, dvs, Some(v),
+            dropped, txns, dvs, colMap, Some(v),
             RefuseConflict("deleting keys from"), "deleteKeys")
         }
       }
@@ -1459,27 +1593,29 @@ object Snapshots {
                   predicate: Column, mode: String = "cow"): Long = {
     require(mode == "cow" || mode == "mor",
       s"snapshot: delete mode must be 'cow' or 'mor': '$mode'")
-    val CurState(v, schema, partCols, dropped, txns, dvs, all) =
+    val st @ CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
       currentState(spark, path, "delete from")
     if (mode == "mor") {
-      val doomed = liveWithId(spark, path, schema, partCols, all, dvs)
+      val doomed = liveWithId(spark, path, schema, partCols, all,
+        dvs, colMap)
         .filter(coalesce(predicate, lit(false)))
         .select(col(DvFileCol).as("__file"), col(DvPosCol).as("__pos"))
       return publishMorDelete(spark, path, v, schema, partCols,
-        dropped, txns, dvs, all, doomed, "deleteWhere(mor)")
+        dropped, txns, dvs, colMap, all, doomed, "deleteWhere(mor)")
     }
-    val affected = liveWithId(spark, path, schema, partCols, all, dvs)
+    val affected = liveWithId(spark, path, schema, partCols, all,
+      dvs, colMap)
       .filter(coalesce(predicate, lit(false)))
       .select(DvFileCol).distinct()
       .collect().map(_.getString(0)).toSet
     if (affected.isEmpty) return v
     val carried = all.filterNot(e => affected(relOf(e)))
     val survivors = openLive(spark, path, schema, partCols,
-        all.filter(e => affected(relOf(e))), dvs)
+        all.filter(e => affected(relOf(e))), dvs, colMap)
       .filter(not(coalesce(predicate, lit(false))))
     writeCommit(spark, survivors, path, carried, schema, partCols,
-      dropped, txns, dvs, Some(v), RefuseConflict("deleting from"),
-      "deleteWhere")
+      dropped, txns, dvs, colMap, Some(v),
+      RefuseConflict("deleting from"), "deleteWhere")
   }
 
   /** Publish a merge-on-read DELETE: write the doomed (file, pos)
@@ -1493,7 +1629,9 @@ object Snapshots {
                                partCols: Seq[String],
                                dropped: Set[String],
                                txns: Map[String, Long],
-                               dvs: Seq[String], entries: Seq[String],
+                               dvs: Seq[String],
+                               colMap: Map[String, String],
+                               entries: Seq[String],
                                doomed: DataFrame, op: String): Long = {
     val f = fs(spark, path)
     val commitDir = s"data/c-${java.util.UUID.randomUUID()}"
@@ -1508,7 +1646,7 @@ object Snapshots {
     val next = v + 1L
     if (!tryPublishManifest(f, path, next,
         manifestLines(schema, partCols, dropped, op, entries, txns,
-          dvs ++ freshDvs))) {
+          dvs ++ freshDvs, colMap))) {
       f.delete(new Path(s"$path/$commitDir"), true)
       throw new java.util.ConcurrentModificationException(
         s"snapshot: concurrent commit detected while $op on $path " +
@@ -1552,7 +1690,7 @@ object Snapshots {
     require(zorderBy.isEmpty || zorderBy.size == 2,
       s"snapshot: zorderBy takes exactly two columns, got " +
         s"${zorderBy.mkString(",")}")
-    val CurState(v, schema, partCols, dropped, txns, dvs, all) =
+    val st @ CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
       currentState(spark, path, "compact")
     (sortBy ++ zorderBy).foreach(c => require(
       schema.fieldNames.contains(c),
@@ -1568,7 +1706,7 @@ object Snapshots {
     // compacting: this rewrite is what applies them physically
     if (sortBy.isEmpty && zorderBy.isEmpty && all.size <= want &&
       dvs.isEmpty) return v
-    val table = openLive(spark, path, schema, partCols, all, dvs)
+    val table = openLive(spark, path, schema, partCols, all, dvs, colMap)
     // 2-D clustering: files cover compact rectangle-ish regions of
     // (a, b) space via the bit-interleaved z key, so the per-file
     // min/max stats the commit records prune selective scans on
@@ -1577,7 +1715,7 @@ object Snapshots {
     // computed in-plan against one broadcast min/max row and dropped
     // before the write: it orders the layout, it is not data.
     val (clustered, clusterCols) =
-      if (zorderBy.isEmpty) (table, partCols ++ sortBy)
+      if (zorderBy.isEmpty) (table, st.lPartCols ++ sortBy)
       else {
         val Seq(ca, cb) = zorderBy
         val mm = table.agg(
@@ -1589,7 +1727,7 @@ object Snapshots {
           .withColumn("__graft_z", Sinks.zOrderKey(col(ca), col(cb),
             col("__amin"), col("__amax"), col("__bmin"), col("__bmax")))
           .drop("__amin", "__amax", "__bmin", "__bmax"),
-          partCols :+ "__graft_z")
+          st.lPartCols :+ "__graft_z")
       }
     val packed =
       if (clusterCols.isEmpty) clustered.repartition(want.toInt)
@@ -1603,45 +1741,97 @@ object Snapshots {
         .sortWithinPartitions(clusterCols.map(col): _*)
         .drop("__graft_z")
     writeCommit(spark, packed, path, Nil, schema, partCols, dropped,
-      txns, Nil, Some(v), RefuseConflict("compacting"), "compact")
+      txns, Nil, colMap, Some(v), RefuseConflict("compacting"),
+      "compact")
   }
 
   /** METADATA-ONLY column drop: a new version whose manifest carries
     * the SAME files under a narrowed schema — constant-time, zero
     * data IO, history intact (time travel still reads the column in
-    * old versions). The dropped names are TOMBSTONED in the manifest
-    * and an append may never re-introduce them: the physical values
-    * survive in old files, and a re-added name would silently
-    * resurrect them (the hazard Delta's column mapping exists for —
-    * refusal is the honest posture without one). Physical removal,
-    * if wanted, is a later [[compact]] (its rewrite writes only the
-    * current schema's columns). Partition columns cannot be dropped.
+    * old versions). The dropped columns' PHYSICAL names are
+    * tombstoned in the manifest; with column mapping a later append
+    * may RE-USE the logical name safely (it is assigned a fresh
+    * physical name, so the old files' values can never resurrect —
+    * the Delta-column-mapping relaxation of the former refusal).
+    * Physical removal, if wanted, is a later [[compact]] (its
+    * rewrite writes only the current schema's columns). Partition
+    * columns cannot be dropped.
     */
   def dropColumns(spark: SparkSession, path: String,
                   cols: Seq[String]): Long = {
     require(cols.nonEmpty, "snapshot: dropColumns needs column names")
-    val CurState(v, schema, partCols, dropped, txns, dvs, all) =
+    val st @ CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
       currentState(spark, path, "drop columns from")
     val missing = cols.filterNot(schema.fieldNames.contains)
     require(missing.isEmpty,
       s"snapshot: column(s) ${missing.mkString(", ")} are not in the " +
         s"table schema (${schema.fieldNames.mkString(", ")})")
-    val parts = cols.filter(partCols.contains)
+    val parts = cols.filter(st.lPartCols.contains)
     require(parts.isEmpty,
       s"snapshot: ${parts.mkString(", ")} are partition columns - the " +
         "layout depends on them; repartition via a fresh commit instead")
     val remaining = schema.fields.filterNot(f => cols.contains(f.name))
     require(remaining.nonEmpty,
       "snapshot: dropping every column would leave an unreadable table")
+    val doomedPhys = cols.map(c => toPhysicalName(colMap, c))
     val f = fs(spark, path)
     val next = v + 1L
     if (!tryPublishManifest(f, path, next,
         manifestLines(StructType(remaining), partCols,
-          dropped ++ cols, "dropColumns", all, txns)))
+          dropped ++ doomedPhys, "dropColumns", all, txns, dvs,
+          colMap -- doomedPhys)))
       throw new java.util.ConcurrentModificationException(
         s"snapshot: concurrent commit detected while dropping columns " +
           s"from $path (version $next was claimed by another writer) - " +
           "re-read and retry")
+    bumpLatestHint(f, path, next)
+    next
+  }
+
+  /** METADATA-ONLY column rename — Delta's name-mode column mapping:
+    * a new version whose manifest maps the column's unchanged
+    * PHYSICAL name to the new LOGICAL name. Constant-time, zero data
+    * IO; old files keep serving (their physical column resolves to
+    * the new name at read), new writes rename at the write boundary,
+    * and TIME TRAVEL reads each version under that version's own
+    * names. Partition columns rename too (directories keep the
+    * physical name; validation and clustering follow the logical
+    * one). Renaming to a previously dropped name is fine — the
+    * tombstone pins the PHYSICAL name, which never comes back.
+    * Refuses: unknown `from`, existing `to`, and names carrying the
+    * manifest's separator characters.
+    */
+  def renameColumn(spark: SparkSession, path: String,
+                   from: String, to: String): Long = {
+    require(to.nonEmpty && !"#:;,/\t\n".exists(to.contains(_)),
+      s"snapshot: illegal column name '$to' - must be non-empty " +
+        "without '#', ':', ';', ',', '/', tab or newline")
+    val CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
+      currentState(spark, path, "rename a column of")
+    require(schema.fieldNames.contains(from),
+      s"snapshot: column $from is not in the table schema " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    require(from == to || !schema.fieldNames.contains(to),
+      s"snapshot: column $to already exists - renaming $from onto it " +
+        "would collide")
+    if (from == to) return v
+    val physFrom = toPhysicalName(colMap, from)
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    // physical == new logical ⇒ back to identity (a→b→a round-trip
+    // leaves no mapping entry)
+    val newMap =
+      if (physFrom == to) colMap - physFrom
+      else (colMap - physFrom) + (physFrom -> to)
+    val f = fs(spark, path)
+    val next = v + 1L
+    if (!tryPublishManifest(f, path, next,
+        manifestLines(newSchema, partCols, dropped,
+          s"rename(from=$from,to=$to)", all, txns, dvs, newMap)))
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot: concurrent commit detected while renaming a " +
+          s"column of $path (version $next was claimed by another " +
+          "writer) - re-read and retry")
     bumpLatestHint(f, path, next)
     next
   }

@@ -55,13 +55,14 @@ private[graft] class SnapshotSource(sqlContext: SQLContext,
 
   private val spark = sqlContext.sparkSession
 
-  private val (pinnedSchema, pinnedPartCols): (StructType, Seq[String]) = {
+  private val (pinnedSchema, pinnedPhysSchema, pinnedPartCols)
+      : (StructType, StructType, Seq[String]) = {
     val v = Snapshots.latestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"snapshot source: no committed version under $path - commit " +
           "the table (or its first batch) before streaming from it"))
-    val (s, pc, _, _) = Snapshots.stateAt(spark, path, v)
-    (s, pc)
+    val (s, pc, _, _, cm) = Snapshots.stateAt(spark, path, v)
+    (s, Snapshots.physicalSchemaOf(s, cm), pc)
   }
 
   override val schema: StructType = pinnedSchema
@@ -139,9 +140,10 @@ private[graft] class SnapshotSource(sqlContext: SQLContext,
       case Some(s) => Snapshots.appendDelta(spark, path, s, endV)._3
     }
     org.apache.spark.sql.graft.StreamingRelationBridge.streamingFrom(
-        spark, Snapshots.entriesRelation(spark, path, pinnedSchema,
+        spark, Snapshots.entriesRelation(spark, path, pinnedPhysSchema,
           pinnedPartCols, fresh))
-      .select(pinnedSchema.fieldNames.map(col).toSeq: _*)
+      .select(pinnedPhysSchema.fields.zip(pinnedSchema.fields).map {
+        case (p, l) => col(p.name).as(l.name) }.toSeq: _*)
   }
 
   override def stop(): Unit = ()
@@ -269,8 +271,9 @@ class SnapshotSourceProvider extends StreamSourceProvider
       .getOrElse(Snapshots.latestVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(
           s"snapshot: no committed version under $path")))
-    val (schema, partCols, entries, dvs) = Snapshots.stateAt(spark, path, v)
-    if (dvs.isEmpty)
+    val (schema, partCols, entries, dvs, colMap) =
+      Snapshots.stateAt(spark, path, v)
+    if (dvs.isEmpty && colMap.isEmpty)
       Snapshots.entriesRelation(spark, path, schema, partCols, entries)
     else {
       // merge-on-read deletes need the anti-join applied: serve a

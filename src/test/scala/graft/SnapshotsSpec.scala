@@ -286,6 +286,84 @@ class SnapshotsSpec extends SparkSpec {
     assert(halves.contains(v1), s"v1=$v1 not one of $halves")
   }
 
+  test("renameColumn: metadata-only, old files serve, writes map, time travel keeps old names") {
+    val path = newStore
+    val v1 = Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path)
+    val before = dataFiles(path)
+    val v2 = Snapshots.renameColumn(spark, path, "n_chars", "length")
+    assert(v2 === v1 + 1)
+    assert(dataFiles(path) === before) // zero data IO
+    val got = Snapshots.read(spark, path)
+    assert(got.columns.toSeq ===
+      Seq("doc_id", "text", "lang", "source", "length"))
+    // old files' values surface under the new name
+    assert(got.agg(sum("length")).collect()(0).getLong(0) ===
+      docs.filter(col("doc_id") % 2 === 0)
+        .agg(sum("n_chars")).collect()(0).getLong(0))
+    // time travel reads v1 under ITS OWN name
+    assert(Snapshots.read(spark, path, Some(v1)).columns
+      .contains("n_chars"))
+    // an append under the NEW name writes the unchanged physical and
+    // rounds the table out
+    Snapshots.commitAppend(docs.filter(col("doc_id") % 2 === 1)
+      .withColumnRenamed("n_chars", "length"), path)
+    val full = Snapshots.read(spark, path)
+    assert(full.count() === docs.count())
+    assert(full.agg(sum("length")).collect()(0).getLong(0) ===
+      docs.agg(sum("n_chars")).collect()(0).getLong(0))
+    // merge keyed through the renamed landscape still works
+    val upd = docs.limit(1)
+      .withColumnRenamed("n_chars", "length")
+      .withColumn("text", lit("renamed-merge"))
+      .select(full.columns.map(col).toSeq: _*)
+    Snapshots.merge(spark, path, upd, Seq("doc_id"))
+    assert(Snapshots.read(spark, path)
+      .filter(col("text") === "renamed-merge").count() === 1L)
+    // a->b->a round-trips to identity
+    Snapshots.renameColumn(spark, path, "length", "n_chars")
+    assert(Snapshots.read(spark, path).columns.contains("n_chars"))
+    // refusals: unknown from, existing to, separator chars
+    val e1 = intercept[IllegalArgumentException](
+      Snapshots.renameColumn(spark, path, "nope", "x"))
+    assert(e1.getMessage.contains("nope"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.renameColumn(spark, path, "text", "lang"))
+    assert(e2.getMessage.contains("already exists"), e2.getMessage)
+    intercept[IllegalArgumentException](
+      Snapshots.renameColumn(spark, path, "text", "a:b"))
+  }
+
+  test("renameColumn on a partition column: pruning and replacePartitions follow the logical name") {
+    val path = newStore
+    val parted = docs.withColumn("bucket", col("doc_id") % 4)
+    Snapshots.commit(parted, path, partitionBy = Seq("bucket"))
+    Snapshots.renameColumn(spark, path, "bucket", "shard")
+    val got = Snapshots.read(spark, path)
+    assert(got.columns.contains("shard"))
+    assert(got.filter(col("shard") === 2).count() ===
+      parted.filter(col("bucket") === 2).count())
+    // manifest-level partition pruning still proves on the renamed
+    // column (stats/paths stay keyed by the physical name)
+    val (kept, total) = Snapshots.prunedEntries(
+      spark, path, "shard", 2.0, 2.0)
+    assert(kept.nonEmpty && kept.size < total,
+      s"no partition prune after rename: $kept of $total")
+    // dynamic partition overwrite under the new logical name
+    val rerun = parted.filter(col("bucket") === 2)
+      .withColumn("text", lit("replaced"))
+      .withColumnRenamed("bucket", "shard")
+    Snapshots.replacePartitions(rerun, path)
+    val after = Snapshots.read(spark, path)
+    assert(after.count() === parted.count())
+    assert(after.filter(col("shard") === 2 &&
+      col("text") =!= "replaced").count() === 0L)
+    // an append under the new name lands in the SAME physical dirs
+    Snapshots.commitAppend(parted.limit(1)
+      .withColumn("doc_id", col("doc_id") + 777000)
+      .withColumnRenamed("bucket", "shard"), path)
+    assert(Snapshots.read(spark, path).count() === parted.count() + 1)
+  }
+
   test("mor delete: zero data-file rewrites, read agrees with copy-on-write") {
     val morPath = newStore
     val cowPath = newStore
@@ -1295,7 +1373,7 @@ class SnapshotsSpec extends SparkSpec {
     assert(e.getMessage.contains("not partitioned"), e.getMessage)
   }
 
-  test("dropColumns: metadata-only narrow, tombstone blocks re-add, compact removes physically") {
+  test("dropColumns: metadata-only narrow, mapped re-add never resurrects, compact removes physically") {
     val path = newStore
     val v1 = Snapshots.commit(docs, path)
     val before = dataFiles(path)
@@ -1308,22 +1386,21 @@ class SnapshotsSpec extends SparkSpec {
     assert(got.count() === docs.count())
     // time travel still reads the wide schema
     assert(Snapshots.read(spark, path, Some(v1)).columns.contains("lang"))
-    // the tombstoned NAME may not come back via append (old files
-    // would resurrect their physical values)
-    val e1 = intercept[IllegalArgumentException](
-      Snapshots.commitAppend(docs.limit(1)
-        .select((-col("doc_id") - 1).as("doc_id"), col("text"),
-          col("lang"), col("source"), col("n_chars")), path))
-    assert(e1.getMessage.contains("resurrect"), e1.getMessage)
     // a lang-less append works and the tombstone survives the commit
     Snapshots.commitAppend(docs.limit(2)
       .select((-col("doc_id") - 1).as("doc_id"), col("text"),
         col("source"), col("n_chars")), path)
-    val e2 = intercept[IllegalArgumentException](
-      Snapshots.commitAppend(docs.limit(1)
-        .select((-col("doc_id") - 500).as("doc_id"), col("text"),
-          col("lang"), col("source"), col("n_chars")), path))
-    assert(e2.getMessage.contains("resurrect"), e2.getMessage)
+    // RE-ADDING the dropped name is safe under column mapping: the
+    // fresh column gets a fresh PHYSICAL name, so the old files'
+    // values stay dead - every pre-re-add row reads NULL lang, only
+    // the re-adding append's row carries a value
+    Snapshots.commitAppend(docs.limit(1)
+      .select((-col("doc_id") - 500).as("doc_id"), col("text"),
+        lit("zz").as("lang"), col("source"), col("n_chars")), path)
+    val relang = Snapshots.read(spark, path)
+    assert(relang.columns.contains("lang"))
+    assert(relang.filter(col("lang").isNotNull).count() === 1L)
+    assert(relang.filter(col("lang") === "zz").count() === 1L)
     // compaction rewrites only the surviving columns: physical removal
     Snapshots.compact(spark, path, targetFileBytes = 1L << 30)
     val packedFile = Snapshots.read(spark, path)
@@ -1342,7 +1419,7 @@ class SnapshotsSpec extends SparkSpec {
     assert(e4.getMessage.contains("partition"), e4.getMessage)
     val e5 = intercept[IllegalArgumentException](
       Snapshots.dropColumns(spark, path,
-        Seq("doc_id", "text", "source", "n_chars")))
+        Seq("doc_id", "text", "source", "n_chars", "lang")))
     assert(e5.getMessage.contains("every column"), e5.getMessage)
   }
 
