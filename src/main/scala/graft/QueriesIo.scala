@@ -1025,7 +1025,32 @@ private[graft] object QueriesIo {
       .select("doc_id", "text", "lang", "source", "length")
   }
 
+  /** STRING manifest file skipping
+    * ([[graft.io.Snapshots.readBetweenStrings]]): fragmented appends
+    * repack clustered by `source` (disjoint per-file string ranges),
+    * then a source range scan prunes from 16-byte truncated-prefix
+    * bounds before any file opens — the `source`/`lang`/`url` range
+    * scans a 100 TB text corpus filters on constantly, previously
+    * full-table file opens. The oracle checks exactness; SnapshotsSpec
+    * pins the kept-file count dropping below the total and the
+    * boundary-straddle case staying exact.
+    */
+  def snapshotStrSkip(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "snap_ss")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = t(s, dir, "documents")
+    (0 until 4).foreach(q =>
+      graft.io.Snapshots.commitAppend(
+        docs.filter(col("doc_id") % 4 === q), path))
+    graft.io.Snapshots.compact(s, path, targetFileBytes = 16L << 10,
+      sortBy = Seq("source"))
+    graft.io.Snapshots.readBetweenStrings(s, path, "source",
+      "src10", "src13")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_str_skip" -> (snapshotStrSkip _),
     "q_snapshot_rename" -> (snapshotRename _),
     "q_snapshot_dv" -> (snapshotDv _),
     "q_snapshot_changes" -> (snapshotChanges _),
@@ -1160,6 +1185,9 @@ private[graft] object QueriesIo {
     "q_snapshot_rename" ->
       """SELECT doc_id, text, lang, source, n_chars AS length
          FROM documents""",
+    "q_snapshot_str_skip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         WHERE source >= 'src10' AND source <= 'src13'""",
     "q_snapshot_compact" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q_snapshot_cluster" ->

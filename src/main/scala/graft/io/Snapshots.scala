@@ -506,6 +506,8 @@ object Snapshots {
       if (blocks.isEmpty) return ""
       val acc = scala.collection.mutable.LinkedHashMap
         .empty[String, (Char, Double, Double)]
+      val sacc = scala.collection.mutable.LinkedHashMap
+        .empty[String, (Array[Byte], Array[Byte])]
       val dead = scala.collection.mutable.Set.empty[String]
       blocks.foreach(_.getColumns.asScala.foreach { c =>
         val name = c.getPath.toDotString
@@ -519,13 +521,16 @@ object Snapshots {
         val plainNumeric = logical == null ||
           logical.isInstanceOf[org.apache.parquet.schema
             .LogicalTypeAnnotation.IntLogicalTypeAnnotation]
+        val isString = tpe == PrimitiveTypeName.BINARY &&
+          logical.isInstanceOf[org.apache.parquet.schema
+            .LogicalTypeAnnotation.StringLogicalTypeAnnotation]
         // a data column named like the reserved length pseudo-stat
         // would collide with it in the per-entry stats map (whichever
         // wins, pruning or sizing goes silently wrong) — skip it
-        if (tag != ' ' && plainNumeric && name != LenStat &&
-            !name.contains(':') &&
-            !name.contains(';') && !name.contains('\t') &&
-            !name.contains('.')) {
+        val nameOk = name != LenStat && !name.contains(':') &&
+          !name.contains(';') && !name.contains('\t') &&
+          !name.contains('.')
+        if (tag != ' ' && plainNumeric && nameOk) {
           val st = c.getStatistics
           if (st == null || !st.hasNonNullValue) dead += name
           else {
@@ -548,15 +553,99 @@ object Snapshots {
               case None => acc(name) = (tag, mn, mx)
             }
           }
+        } else if (isString && nameOk) {
+          // string columns: UTF-8 byte-wise min/max (the order Spark's
+          // UTF8String comparisons use), truncated to bounds at
+          // serialization below
+          val st = c.getStatistics
+          if (st == null || !st.hasNonNullValue) dead += name
+          else {
+            val mn = st.genericGetMin
+              .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+            val mx = st.genericGetMax
+              .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+            sacc.get(name) match {
+              case Some((lo, hi)) => sacc(name) = (
+                if (bytesCompare(mn, lo) < 0) mn else lo,
+                if (bytesCompare(mx, hi) > 0) mx else hi)
+              case None => sacc(name) = (mn, mx)
+            }
+          }
         } else dead += name
       })
-      (acc -- dead).map { case (n, (t, mn, mx)) =>
+      val numeric = (acc -- dead).map { case (n, (t, mn, mx)) =>
         val (a, b) =
           if (t == 'L') (mn.toLong.toString, mx.toLong.toString)
           else (mn.toString, mx.toString)
         s"$n:$t:$a:$b"
-      }.mkString(";")
+      }
+      // truncated-prefix bounds, Parquet's own rule: the min bound is
+      // the first 16 bytes verbatim (truncation only lowers); the max
+      // bound increments the last non-0xFF byte of the 16-byte prefix
+      // (an all-0xFF prefix has no finite upper bound → '*', pruning
+      // keeps the file on the upper side)
+      val strings = (sacc -- dead).map { case (n, (mn, mx)) =>
+        val lo = hexBytes(mn.take(StrStatBytes))
+        val hi =
+          if (mx.length <= StrStatBytes) hexBytes(mx)
+          else incrementBound(mx.take(StrStatBytes))
+            .map(hexBytes).getOrElse("*")
+        s"$n:S:$lo:$hi"
+      }
+      (numeric ++ strings).mkString(";")
     } finally reader.close()
+  }
+
+  /** Bytes a string column's manifest stats keep per bound. */
+  private val StrStatBytes = 16
+
+  private def bytesCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private def hexBytes(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xFF}%02x").mkString
+
+  private def unhexBytes(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** The least byte string strictly greater than every string with
+    * prefix `b`: increment the rightmost non-0xFF byte, drop the
+    * rest; None when every byte is 0xFF (no finite bound exists).
+    */
+  private def incrementBound(b: Array[Byte]): Option[Array[Byte]] = {
+    val i = b.lastIndexWhere(x => (x & 0xFF) != 0xFF)
+    if (i < 0) None
+    else Some(b.take(i + 1).updated(i, ((b(i) & 0xFF) + 1).toByte))
+  }
+
+  /** Parsed STRING bounds of a manifest entry: name → (lower bound
+    * bytes, upper bound bytes or None = unbounded). Conservative by
+    * construction: lower is a truncation (≤ true min), upper a
+    * truncated increment (≥ true max).
+    */
+  private[graft] def stringStatsOf(entry: String)
+      : Map[String, (Array[Byte], Option[Array[Byte]])] = {
+    val i = entry.indexOf('\t')
+    if (i < 0) Map.empty
+    else entry.substring(i + 1).split(';').iterator.filter(_.nonEmpty)
+      .flatMap { part =>
+        part.split(':') match {
+          case Array(name, "S", lo, hi) =>
+            Some(name -> (unhexBytes(lo),
+              if (hi == "*") None else Some(unhexBytes(hi))))
+          case Array(name, "S", lo) => // empty-string upper bound hex
+            Some(name -> (unhexBytes(lo), Some(Array.empty[Byte])))
+          case _ => None
+        }
+      }.toMap
   }
 
   /** How a publish-loser proceeds (the OCC split): appends rebase
@@ -1228,6 +1317,82 @@ object Snapshots {
         (lit(lo.toLong), lit(hi.toLong))
       else (lit(lo), lit(hi))
     base.filter(col(column) >= l && col(column) <= h)
+  }
+
+  /** STRING file-skipping decision for `column BETWEEN lo AND hi`
+    * (UTF-8 byte order — the order Spark's own string comparison
+    * uses): an entry survives when its truncated-prefix bounds — or
+    * its string partition-directory value — cannot disprove overlap.
+    * Prune only on proof: bounds are conservative by construction
+    * (lower = truncation ≤ true min; upper = truncated increment
+    * ≥ true max, or unbounded), so a skipped file PROVABLY holds no
+    * matching row.
+    */
+  private[graft] def prunedEntriesString(spark: SparkSession,
+                                         path: String, column: String,
+                                         lo: String, hi: String,
+                                         version: Option[Long] = None)
+      : (Seq[String], Int) = {
+    val f = fs(spark, path)
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot: no committed version under $path"))
+    val m = manifest(f, path, v)
+    val phys = toPhysicalName(m.colMap, column)
+    val loB = lo.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val hiB = hi.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val kept = m.entries.filter { e =>
+      val range: Option[(Array[Byte], Option[Array[Byte]])] =
+        stringStatsOf(e).get(phys).orElse(
+          partValsOf(relOf(e)).get(phys).map { s =>
+            val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            (b, Some(b)) // a partition value is an exact bound
+          })
+      range match {
+        case Some((mn, mxOpt)) =>
+          val upperOk = mxOpt.forall(mx => bytesCompare(mx, loB) >= 0)
+          upperOk && bytesCompare(mn, hiB) <= 0
+        case None => true
+      }
+    }
+    (kept, m.entries.size)
+  }
+
+  /** [[readBetween]] for STRING columns: manifest-level file skipping
+    * from 16-byte truncated-prefix bounds (Parquet's own truncation
+    * rule) or string partition-directory values — the `source` /
+    * `lang` / `url` range scans a text corpus lives by, previously
+    * full-table file opens. The residual in-plan BETWEEN keeps the
+    * result exact however coarse the pruning was; a boundary-
+    * straddling file is read, never skipped.
+    */
+  def readBetweenStrings(spark: SparkSession, path: String,
+                         column: String, lo: String, hi: String,
+                         version: Option[Long] = None): DataFrame = {
+    require(lo <= hi,
+      s"snapshot: string range is backwards ('$lo' > '$hi')")
+    val f = fs(spark, path)
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot: no committed version under $path"))
+    val m = manifest(f, path, v)
+    val schema = resolveSchema(spark, path, m)
+    require(schema.fieldNames.contains(column),
+      s"snapshot: readBetweenStrings column $column is not in the " +
+        s"table schema (${schema.fieldNames.mkString(", ")})")
+    require(schema(column).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"snapshot: $column is ${schema(column).dataType.simpleString}, " +
+        "not string - use readBetween for numeric ranges")
+    val (kept, _) =
+      prunedEntriesString(spark, path, column, lo, hi, Some(v))
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else openLive(spark, path, schema, m.partCols, kept, m.dvs,
+        m.colMap)
+    base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
   /** The rows ADDED between two committed versions: the files in

@@ -286,6 +286,71 @@ class SnapshotsSpec extends SparkSpec {
     assert(halves.contains(v1), s"v1=$v1 not one of $halves")
   }
 
+  test("string file skipping: clustered scans prune, straddles stay exact, partitions prove") {
+    val path = newStore
+    (0 until 4).foreach(q =>
+      Snapshots.commitAppend(docs.filter(col("doc_id") % 4 === q), path))
+    Snapshots.compact(spark, path, targetFileBytes = 8L << 10,
+      sortBy = Seq("source"))
+    // a selective source range provably keeps fewer files than total
+    val (kept, total) = Snapshots.prunedEntriesString(
+      spark, path, "source", "src10", "src13")
+    assert(total > 1, s"compact produced $total file(s) - widen the spec")
+    assert(kept.nonEmpty && kept.size < total,
+      s"no string prune: kept ${kept.size} of $total")
+    // exactness, including a boundary-straddling range (bounds fall
+    // mid-file): pruned read ≡ full filter
+    for ((lo, hi) <- Seq(("src10", "src13"), ("src15", "src4"),
+        ("src0", "src1"))) {
+      val got = Snapshots.readBetweenStrings(spark, path, "source", lo, hi)
+      val want = docs.filter(col("source") >= lo && col("source") <= hi)
+      assert(got.count() === want.count(), s"range [$lo,$hi]")
+      assert(got.exceptAll(want).count() === 0L, s"range [$lo,$hi]")
+    }
+    // a disjoint range prunes EVERYTHING yet reads exactly empty
+    val none = Snapshots.readBetweenStrings(
+      spark, path, "source", "zzz", "zzzz")
+    assert(none.count() === 0L)
+    // string PARTITION values prove whole-partition skips with no
+    // stats at all
+    val parted = newStore
+    Snapshots.commit(docs, parted, partitionBy = Seq("lang"))
+    val (keptP, totalP) = Snapshots.prunedEntriesString(
+      spark, parted, "lang", "en", "en")
+    assert(keptP.nonEmpty && keptP.size < totalP)
+    assert(Snapshots.readBetweenStrings(spark, parted, "lang",
+      "en", "en").count() === docs.filter(col("lang") === "en").count())
+    // non-string columns refuse (numeric ranges go to readBetween)
+    val e = intercept[IllegalArgumentException](
+      Snapshots.readBetweenStrings(spark, path, "doc_id", "a", "b"))
+    assert(e.getMessage.contains("not string"), e.getMessage)
+  }
+
+  test("string bounds truncate at 16 bytes without wrong prunes") {
+    val path = newStore
+    import spark.implicits._
+    val prefix = "aaaaaaaaaaaaaaaaaaaa" // 20 bytes, beyond the 16-byte cut
+    val low = (0 until 50).map(i => (i.toLong, f"$prefix-lo-$i%03d"))
+    val high = (0 until 50).map(i => (i + 100L, f"$prefix-zz-$i%03d"))
+    Snapshots.commitAppend(low.toDF("id", "k").coalesce(1), path)
+    Snapshots.commitAppend(high.toDF("id", "k").coalesce(1), path)
+    // both files' bounds share the >16-byte prefix, so their
+    // truncated stats are IDENTICAL ranges - a query inside the zone
+    // must keep both files (never wrongly prune) and stay exact
+    val inZone = Snapshots.readBetweenStrings(spark, path, "k",
+      s"$prefix-lo-000", s"$prefix-lo-049")
+    assert(inZone.count() === 50L)
+    // below the common prefix everything provably prunes
+    val (kept, total) = Snapshots.prunedEntriesString(
+      spark, path, "k", "a", "aaaa")
+    assert(total === 2 && kept.isEmpty,
+      s"expected full prune below the prefix, kept $kept")
+    // above it too ('b' > every 'aaaa...' string)
+    val (kept2, _) = Snapshots.prunedEntriesString(
+      spark, path, "k", "b", "c")
+    assert(kept2.isEmpty, s"expected full prune above, kept $kept2")
+  }
+
   test("renameColumn: metadata-only, old files serve, writes map, time travel keeps old names") {
     val path = newStore
     val v1 = Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path)
