@@ -1049,7 +1049,34 @@ private[graft] object QueriesIo {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** The snapshot store through the DSv2 SQL catalog
+    * ([[graft.io.GraftCatalog]]): CREATE TABLE (a zero-entry
+    * manifest), INSERT INTO ... SELECT (an append commit), and a
+    * filtered SELECT all in pure SQL against `graft_cat.db.docs` —
+    * the V1-fallback scan forwards pruning/filters into the
+    * manifest-backed read, and the table directory is an ordinary
+    * snapshot store. GraftCatalogSpec pins time travel, tags,
+    * INSERT OVERWRITE, partitioned CREATE and DDL.
+    */
+  def snapshotCatalog(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "snap_cat_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = "gcat_" + math.abs(wh.hashCode).toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val docs = t(s, dir, "documents")
+    docs.createOrReplaceTempView("graft_cat_docs_src")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+      "lang STRING, source STRING, n_chars BIGINT)")
+    s.sql(s"INSERT INTO $cat.db.docs SELECT * FROM graft_cat_docs_src")
+    s.sql(s"SELECT doc_id, text, lang, source, n_chars " +
+      s"FROM $cat.db.docs WHERE n_chars >= 300 AND lang <> 'zh'")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_catalog" -> (snapshotCatalog _),
     "q_snapshot_str_skip" -> (snapshotStrSkip _),
     "q_snapshot_rename" -> (snapshotRename _),
     "q_snapshot_dv" -> (snapshotDv _),
@@ -1188,6 +1215,9 @@ private[graft] object QueriesIo {
     "q_snapshot_str_skip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          WHERE source >= 'src10' AND source <= 'src13'""",
+    "q_snapshot_catalog" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         WHERE n_chars >= 300 AND lang <> 'zh'""",
     "q_snapshot_compact" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q_snapshot_cluster" ->

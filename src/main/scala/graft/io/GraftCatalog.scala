@@ -1,0 +1,334 @@
+package graft.io
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column => SqlColumn, DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, PrunedFilteredScan, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource-V2 `TableCatalog` over [[Snapshots]] stores — the SQL
+  * front door the programmatic API and the `graft_snapshot` TVF
+  * don't give: register with
+  *
+  * {{{
+  *   spark.sql.catalog.graft = graft.io.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/warehouse
+  * }}}
+  *
+  * and `SELECT * FROM graft.db.t`, `... VERSION AS OF 3` /
+  * `TIMESTAMP AS OF ...` (manifest time travel), `INSERT INTO`
+  * (append commit), `INSERT OVERWRITE` (overwrite commit, layout
+  * preserved), `CREATE/DROP/SHOW TABLES` all resolve in pure SQL.
+  * Layout: `warehouse/<namespace...>/<table>` — each table is an
+  * ordinary snapshot store (the same directories the programmatic
+  * API reads), so SQL and code share tables with no registration
+  * step beyond the catalog conf.
+  *
+  * Reads go through a V1 fallback relation that forwards column
+  * pruning and the common filters into the manifest-backed scan
+  * (the inner plan is the same [[SnapshotFileIndex]] read every
+  * other path uses — pruning and pushdown reach parquet); unhandled
+  * filters are re-applied by Spark above, so pushdown is an
+  * IO optimization, never a correctness dependency. Writes go
+  * through the V1 `InsertableRelation` fallback onto
+  * [[Snapshots.commitAppend]] / [[Snapshots.commit]] — every SQL
+  * write is an atomic, time-travelable commit with the same OCC
+  * semantics as the programmatic API.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null && warehouse.nonEmpty,
+      s"graft catalog '$name' needs spark.sql.catalog.$name.warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def tablePath(ident: Identifier): String =
+    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  private def isTable(path: String): Boolean =
+    Snapshots.latestVersion(spark, path).isDefined
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = (warehouse +: namespace.toSeq).mkString("/")
+    val f = new Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    if (!f.exists(new Path(dir))) Array.empty
+    else f.listStatus(new Path(dir)).toSeq
+      .filter(st => st.isDirectory &&
+        isTable(s"$dir/${st.getPath.getName}"))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = tablePath(ident)
+    if (!isTable(path))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    new GraftTable(path, ident.toString, None)
+  }
+
+  /** `VERSION AS OF n` — n is a snapshot version (or a tag name). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = tablePath(ident)
+    if (!isTable(path))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    val v = version.toLongOption.getOrElse(
+      Snapshots.tags(spark, path).getOrElse(version,
+        throw new IllegalArgumentException(
+          s"snapshot: '$version' is neither a version nor a tag of " +
+            s"$path (tags: ${Snapshots.tags(spark, path).keys.toSeq
+              .sorted.mkString(", ")})")))
+    new GraftTable(path, s"$ident@v$v", Some(v))
+  }
+
+  /** `TIMESTAMP AS OF ts` — micros since epoch per the DSv2 contract;
+    * resolves through manifest commit times ([[Snapshots.versionAsOf]]).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val path = tablePath(ident)
+    if (!isTable(path))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    val v = Snapshots.versionAsOf(spark, path, timestampMicros / 1000L)
+    new GraftTable(path, s"$ident@v$v", Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val path = tablePath(ident)
+    if (isTable(path))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map { t =>
+      require(t.name() == "identity" && t.references().length == 1,
+        s"graft catalog: only identity partitioning is supported, " +
+          s"got $t")
+      t.references()(0).fieldNames().mkString(".")
+    }
+    // version 1 is a zero-entry manifest carrying schema + layout -
+    // partitioned CREATEs included (no empty parquet write needed)
+    Snapshots.createEmpty(spark, path, schema, partCols)
+    new GraftTable(path, ident.toString, None)
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER TABLE is served by the programmatic API " +
+        "(Snapshots.renameColumn / dropColumns) - SQL DDL mapping is " +
+        "not wired")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = tablePath(ident)
+    val f = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    f.exists(new Path(path)) && f.delete(new Path(path), true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit = {
+    val f = new Path(warehouse).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val from = new Path(tablePath(oldIdent))
+    val to = new Path(tablePath(newIdent))
+    if (!f.exists(from))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(oldIdent)
+    require(!f.exists(to),
+      s"graft catalog: ${newIdent} already exists")
+    f.mkdirs(to.getParent)
+    require(f.rename(from, to),
+      s"graft catalog: rename $oldIdent -> $newIdent failed")
+  }
+
+  // ---- namespaces: plain directories under the warehouse ----
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val f = new Path(warehouse).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    if (!f.exists(new Path(warehouse))) Array.empty
+    else f.listStatus(new Path(warehouse)).toSeq
+      .filter(st => st.isDirectory && !isTable(st.getPath.toString))
+      .map(st => Array(st.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val dir = (warehouse +: namespace.toSeq).mkString("/")
+    val f = new Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    f.exists(new Path(dir))
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    val dir = (warehouse +: namespace.toSeq).mkString("/")
+    val f = new Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    f.mkdirs(new Path(dir))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val dir = (warehouse +: namespace.toSeq).mkString("/")
+    val f = new Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    if (!f.exists(new Path(dir))) false
+    else {
+      require(cascade || f.listStatus(new Path(dir)).isEmpty,
+        s"graft catalog: namespace ${namespace.mkString(".")} is not " +
+          "empty (use CASCADE)")
+      f.delete(new Path(dir), true)
+    }
+  }
+
+  /** A snapshot store as a DSv2 Table: reads through a V1 fallback
+    * relation that forwards pruning/filters into the manifest-backed
+    * scan; writes through the V1 InsertableRelation fallback onto
+    * append/overwrite commits.
+    */
+  private[graft] class GraftTable(path: String, ident: String,
+                                  version: Option[Long])
+      extends Table with SupportsRead with SupportsWrite {
+
+    override def name(): String = ident
+
+    override def schema(): StructType = {
+      val v = version.orElse(Snapshots.latestVersion(spark, path)).get
+      Snapshots.stateAt(spark, path, v)._1
+    }
+
+    override def partitioning(): Array[Transform] = {
+      val v = version.orElse(Snapshots.latestVersion(spark, path)).get
+      val (s, pc, _, _, cm) = Snapshots.stateAt(spark, path, v)
+      val _ = s
+      pc.map(c => cm.getOrElse(c, c))
+        .map(c => Expressions.identity(c)).toArray
+    }
+
+    override def capabilities(): util.Set[TableCapability] =
+      Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE).asJava
+
+    override def newScanBuilder(options: CaseInsensitiveStringMap)
+        : ScanBuilder = new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = GraftTable.this.schema()
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val df = Snapshots.read(context.sparkSession, path, version)
+          (new BaseRelation with TableScan with PrunedFilteredScan {
+            override val sqlContext: SQLContext = context
+            override def schema: StructType = df.schema
+            override def buildScan()
+                : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+              df.rdd
+            override def buildScan(requiredColumns: Array[String],
+                                   filters: Array[Filter])
+                : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+              // prune + push what translates; Spark re-applies every
+              // filter above (unhandledFilters default = all), so a
+              // skipped translation costs IO, never correctness
+              val pruned =
+                if (requiredColumns.isEmpty) df
+                else df.select(requiredColumns.map(col).toSeq: _*)
+              filters.flatMap(translateFilter)
+                .foldLeft(pruned)((d, c) => d.filter(c)).rdd
+            }
+          }).asInstanceOf[T]
+        }
+      }
+    }
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder with SupportsTruncate {
+        private var overwrite = false
+        override def truncate(): WriteBuilder = { overwrite = true; this }
+        override def build(): Write = new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: DataFrame,
+                                  legacyOverwrite: Boolean): Unit = {
+                if (overwrite || legacyOverwrite) {
+                  val v = Snapshots.latestVersion(
+                    data.sparkSession, path).get
+                  val (s, pc, _, _, cm) =
+                    Snapshots.stateAt(data.sparkSession, path, v)
+                  val _ = s
+                  Snapshots.commit(data, path,
+                    partitionBy = pc.map(c => cm.getOrElse(c, c)))
+                  ()
+                } else {
+                  Snapshots.commitAppend(data, path); ()
+                }
+              }
+            }
+        }
+      }
+  }
+
+  /** The v1 `Filter` subset worth forwarding (equality, ranges, IN,
+    * null tests, conjunction); everything else stays NULL and relies
+    * on Spark's re-filter above the relation.
+    */
+  private def translateFilter(f: Filter): Option[SqlColumn] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === v)
+    case sources.GreaterThan(a, v) => Some(col(a) > v)
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+    case sources.LessThan(a, v) => Some(col(a) < v)
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= v)
+    case sources.In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case sources.And(l, r) =>
+      (translateFilter(l), translateFilter(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (a, b) => a.orElse(b) // AND halves push independently
+      }
+    case sources.Or(l, r) =>
+      for { a <- translateFilter(l); b <- translateFilter(r) }
+        yield a || b
+    case _ => None
+  }
+}

@@ -1056,6 +1056,34 @@ object Snapshots {
       mTo.entries.filterNot(e => beforeSet(relOf(e))), mTo.colMap)
   }
 
+  /** CREATE an EMPTY table: version 1 is a zero-entry manifest
+    * carrying the schema and partition spec — no data files at all
+    * (v3 manifests store the schema, so an entry-less snapshot is
+    * fully readable as zero rows). The SQL catalog's CREATE TABLE,
+    * including partitioned layouts, which an empty parquet write
+    * cannot bootstrap (a partitioned empty write emits no files).
+    * The first append inherits schema and layout like any other.
+    */
+  def createEmpty(spark: SparkSession, path: String,
+                  schema: StructType,
+                  partitionBy: Seq[String] = Nil): Long = {
+    require(latestVersion(spark, path).isEmpty,
+      s"snapshot: $path already has committed versions")
+    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"snapshot: partition column $c is not in the schema " +
+        s"(${schema.fieldNames.mkString(", ")})"))
+    partitionBy.foreach(c => require(!c.contains(',') && !c.contains('/'),
+      s"snapshot: illegal partition column name '$c'"))
+    val f = fs(spark, path)
+    if (!tryPublishManifest(f, path, 1L,
+        manifestLines(nullableAll(schema), partitionBy, Set.empty,
+          "create", Nil)))
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot: concurrent commit detected while creating $path")
+    bumpLatestHint(f, path, 1L)
+    1L
+  }
+
   /** Commit `df` as the new FULL contents of the table (overwrite
     * semantics — the new snapshot lists only this commit's files),
     * optionally laid out Hive-style under `partitionBy` columns.
