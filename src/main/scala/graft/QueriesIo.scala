@@ -1075,7 +1075,42 @@ private[graft] object QueriesIo {
       s"FROM $cat.db.docs WHERE n_chars >= 300 AND lang <> 'zh'")
   }
 
+  /** STREAMING CHANGE DATA FEED ([[Streams.snapshotChangeFeed]] over
+    * [[graft.io.Snapshots.changeFeed]]): commit the table, merge
+    * updates+inserts (v2), merge-on-read delete a key set (v3), then
+    * STREAM the feed from startingVersion=2 — the batches must carry
+    * exactly the merge's delete+insert pairs and the mor delete's
+    * dead rows with their commit versions, which is the oracle's
+    * hand-built diff of the same operations. Rewritten-but-untouched
+    * rows never appear (exceptAll cancels them).
+    */
+  def snapshotStreamChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val store =
+      graft.io.Scratch.dir("graft_snap_cdf_").toString + "/tbl"
+    graft.io.Snapshots.commit(docs, store) // v1
+    val cols = docs.columns.map(col).toSeq
+    val upd = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", concat(col("text"), lit("!")))
+      .select(cols: _*)
+    val ins = docs.filter(col("doc_id") % 10 === 3)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .select(cols: _*)
+    graft.io.Snapshots.merge(s, store, upd.unionByName(ins),
+      Seq("doc_id")) // v2
+    graft.io.Snapshots.deleteKeys(s, store,
+      docs.filter(col("doc_id") % 10 === 7).select("doc_id"),
+      Seq("doc_id"), mode = "mor") // v3
+    Streams.runToTable(
+      Streams.snapshotChangeFeed(s, store, startingVersion = Some(2L)),
+      tableName(dir, "strm_cdf"), OutputMode.Append())
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), col("_change_type").as("change_type"),
+        col("_commit_version").as("commit_version"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_changefeed" -> (snapshotStreamChangeFeed _),
     "q_snapshot_catalog" -> (snapshotCatalog _),
     "q_snapshot_str_skip" -> (snapshotStrSkip _),
     "q_snapshot_rename" -> (snapshotRename _),
@@ -1218,6 +1253,25 @@ private[graft] object QueriesIo {
     "q_snapshot_catalog" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          WHERE n_chars >= 300 AND lang <> 'zh'""",
+    "q_snapshot_changefeed" ->
+      """WITH base AS (
+           SELECT doc_id, text, lang, source, n_chars FROM documents)
+         SELECT doc_id, text, lang, source, n_chars,
+                'delete' AS change_type,
+                CAST(2 AS BIGINT) AS commit_version
+         FROM base WHERE doc_id % 10 = 0
+         UNION ALL
+         SELECT doc_id, text || '!', lang, source, n_chars,
+                'insert', CAST(2 AS BIGINT)
+         FROM base WHERE doc_id % 10 = 0
+         UNION ALL
+         SELECT doc_id + 1000000, text, lang, source, n_chars,
+                'insert', CAST(2 AS BIGINT)
+         FROM base WHERE doc_id % 10 = 3
+         UNION ALL
+         SELECT doc_id, text, lang, source, n_chars,
+                'delete', CAST(3 AS BIGINT)
+         FROM base WHERE doc_id % 10 = 7""",
     "q_snapshot_compact" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q_snapshot_cluster" ->

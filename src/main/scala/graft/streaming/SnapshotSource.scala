@@ -42,7 +42,9 @@ import graft.io.Snapshots
   */
 private[graft] class SnapshotSource(sqlContext: SQLContext,
                                     path: String,
-                                    maxVersionsPerTrigger: Option[Long])
+                                    maxVersionsPerTrigger: Option[Long],
+                                    readChangeFeed: Boolean = false,
+                                    startingVersion: Option[Long] = None)
   extends Source
   with org.apache.spark.sql.connector.read.streaming
     .SupportsAdmissionControl
@@ -65,7 +67,17 @@ private[graft] class SnapshotSource(sqlContext: SQLContext,
     (s, Snapshots.physicalSchemaOf(s, cm), pc)
   }
 
-  override val schema: StructType = pinnedSchema
+  override val schema: StructType =
+    if (readChangeFeed) SnapshotSource.cdcSchema(pinnedSchema)
+    else pinnedSchema
+
+  /** The version CDC batches diff FROM when no offset is
+    * checkpointed: `startingVersion`'s predecessor (its own changes
+    * included), else the version live at source creation (only
+    * future commits stream - the Delta readChangeFeed default).
+    */
+  private val cdcBase: Long = startingVersion.map(_ - 1L).getOrElse(
+    Snapshots.latestVersion(spark, path).getOrElse(0L))
 
   private def versionOf(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -125,6 +137,15 @@ private[graft] class SnapshotSource(sqlContext: SQLContext,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = versionOf(end)
+    if (readChangeFeed) {
+      val from = start.map(versionOf).getOrElse(cdcBase)
+      val changes =
+        if (from >= endV)
+          Snapshots.changeFeed(spark, path, endV, endV) // empty, typed
+        else Snapshots.changeFeed(spark, path, from, endV)
+      return org.apache.spark.sql.graft.StreamingRelationBridge
+        .streamingFromPlan(changes)
+    }
     val fresh = start.map(versionOf) match {
       case None =>
         val st = Snapshots.stateAt(spark, path, endV)
@@ -149,6 +170,16 @@ private[graft] class SnapshotSource(sqlContext: SQLContext,
   override def stop(): Unit = ()
 
   override def toString: String = s"SnapshotSource[$path]"
+}
+
+private[graft] object SnapshotSource {
+  /** Table schema + the two change-feed columns. */
+  def cdcSchema(base: StructType): StructType =
+    StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType)))
 }
 
 /** The `graft-snapshot` data source (registered via
@@ -305,7 +336,10 @@ class SnapshotSourceProvider extends StreamSourceProvider
     val v = Snapshots.latestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"snapshot source: no committed version under $path"))
-    ("graft-snapshot", Snapshots.stateAt(spark, path, v)._1)
+    val base = Snapshots.stateAt(spark, path, v)._1
+    val cdc = parameters.get("readChangeFeed").exists(_.toBoolean)
+    ("graft-snapshot",
+      if (cdc) SnapshotSource.cdcSchema(base) else base)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -313,5 +347,9 @@ class SnapshotSourceProvider extends StreamSourceProvider
                             providerName: String,
                             parameters: Map[String, String]): Source =
     new SnapshotSource(sqlContext, pathOf(parameters),
-      parameters.get("maxVersionsPerTrigger").map(_.trim.toLong))
+      parameters.get("maxVersionsPerTrigger").map(_.trim.toLong),
+      readChangeFeed =
+        parameters.get("readChangeFeed").exists(_.toBoolean),
+      startingVersion =
+        parameters.get("startingVersion").map(_.trim.toLong))
 }

@@ -488,6 +488,24 @@ object Streams {
       .option("path", path)
       .load()
 
+  /** Stream a snapshot table's CHANGE DATA FEED — row-level
+    * (insert | delete) changes per commit, merges/deletes/compactions
+    * included ([[graft.io.Snapshots.changeFeed]] under version
+    * offsets): columns = table schema + `_change_type` +
+    * `_commit_version`. `startingVersion` includes that version's own
+    * changes; default streams only commits after the query starts
+    * (the Delta readChangeFeed posture).
+    */
+  def snapshotChangeFeed(spark: SparkSession, path: String,
+                         startingVersion: Option[Long] = None): DataFrame = {
+    val r = spark.readStream
+      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", path)
+      .option("readChangeFeed", "true")
+    startingVersion.foreach(v => r.option("startingVersion", v.toString))
+    r.load()
+  }
+
   /** CDC-style maintenance stream for a persisted BM25 index: each
     * micro-batch carries an `opCol` routing column — add codes
     * (`a`/`add`/`i`/`insert`/`u`/`upsert`) fold into the index

@@ -24,6 +24,20 @@ object StreamingRelationBridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     LogicalRelation(rel)
 
+  /** Wrap an ARBITRARY batch plan as one STREAMING micro-batch — the
+    * change-feed source's batches are composed diffs (exceptAll /
+    * joins over changed files), not a single relation, so the
+    * relation-level flag above can't carry them; the plan is pinned
+    * to its RDD with `isStreaming = true` instead (the same
+    * LogicalRDD device `stableBatch` uses, flipped streaming).
+    */
+  def streamingFromPlan(data: DataFrame): DataFrame = {
+    val ds = data.asInstanceOf[classic.Dataset[_]]
+    classic.Dataset.ofRows(ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        ds.queryExecution.toRdd, ds, isStreaming = true))
+  }
+
   /** Pin a streaming Sink's per-batch DataFrame to its already-planned
     * RDD — the `ForeachBatchSink` technique: re-running arbitrary
     * actions on the raw `addBatch` frame would re-plan the micro-batch

@@ -497,6 +497,61 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, path).count() === nBefore)
   }
 
+  test("changeFeed: merges, mor deletes and compactions emit exact row changes") {
+    val path = newStore
+    Snapshots.commit(docs, path) // v1
+    val cols = docs.columns.map(col).toSeq
+    val upd = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", concat(col("text"), lit("!"))).select(cols: _*)
+    val ins = docs.filter(col("doc_id") % 10 === 3)
+      .withColumn("doc_id", col("doc_id") + 1000000).select(cols: _*)
+    Snapshots.merge(spark, path, upd.unionByName(ins), Seq("doc_id")) // v2
+    Snapshots.deleteKeys(spark, path,
+      docs.filter(col("doc_id") % 10 === 7).select("doc_id"),
+      Seq("doc_id"), mode = "mor") // v3
+    val v4 = Snapshots.compact(spark, path) // v4: applies, rewrites
+    val feed = Snapshots.changeFeed(spark, path, 1L, v4).persist()
+    try {
+      // v2: delete+insert pairs for updated keys, inserts for fresh
+      val n0 = docs.filter(col("doc_id") % 10 === 0).count()
+      assert(feed.filter(col("_commit_version") === 2 &&
+        col("_change_type") === "delete").count() === n0)
+      assert(feed.filter(col("_commit_version") === 2 &&
+        col("_change_type") === "insert").count() ===
+        n0 + docs.filter(col("doc_id") % 10 === 3).count())
+      // the updated rows' new image carries the merged text
+      assert(feed.filter(col("_commit_version") === 2 &&
+        col("_change_type") === "insert" && col("doc_id") < 1000000 &&
+        !col("text").endsWith("!")).count() === 0L)
+      // v3: the mor delete's dead rows, nothing else
+      assert(feed.filter(col("_commit_version") === 3 &&
+        col("_change_type") === "insert").count() === 0L)
+      assert(feed.filter(col("_commit_version") === 3).count() ===
+        docs.filter(col("doc_id") % 10 === 7).count())
+      // v4: a compaction moves bytes, not rows - ZERO changes
+      assert(feed.filter(col("_commit_version") === 4).count() === 0L)
+      // applying the feed to v1 reproduces v4 (sanity of the diff)
+      val v1rows = Snapshots.read(spark, path, Some(1L))
+      val dels = feed.filter(col("_change_type") === "delete")
+        .select(cols: _*)
+      val adds = feed.filter(col("_change_type") === "insert")
+        .select(cols: _*)
+      val replayed = v1rows.exceptAll(dels).unionByName(adds)
+      val now = Snapshots.read(spark, path, Some(v4))
+      assert(replayed.exceptAll(now).count() === 0L)
+      assert(now.exceptAll(replayed).count() === 0L)
+    } finally { feed.unpersist(); () }
+    // a rename inside the range refuses loudly
+    val v5 = Snapshots.renameColumn(spark, path, "n_chars", "length")
+    val e = intercept[IllegalArgumentException](
+      Snapshots.changeFeed(spark, path, v4, v5).count())
+    assert(e.getMessage.contains("schema changed"), e.getMessage)
+    // empty range is empty but typed
+    val none = Snapshots.changeFeed(spark, path, v4, v4)
+    assert(none.count() === 0L)
+    assert(none.columns.contains("_change_type"))
+  }
+
   test("transactional append: a replayed (appId, batchId) no-ops, markers survive other commits") {
     val path = newStore
     val even = docs.filter(col("doc_id") % 2 === 0)
