@@ -134,12 +134,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(path, ident.toString, None)
   }
 
+  /** ALTER TABLE: rename / drop / add columns map onto the
+    * metadata-only snapshot operations (each one commit, history
+    * intact). Other changes (type updates, comments, properties)
+    * refuse — the store has no semantics for them.
+    */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is served by the programmatic API " +
-        "(Snapshots.renameColumn / dropColumns) - SQL DDL mapping is " +
-        "not wired")
+                          changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    if (!isTable(path))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          "graft catalog: only top-level columns can be renamed")
+        Snapshots.renameColumn(spark, path, r.fieldNames()(0),
+          r.newName())
+        ()
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          "graft catalog: only top-level columns can be dropped")
+        Snapshots.dropColumns(spark, path, Seq(d.fieldNames()(0)))
+        ()
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "graft catalog: only top-level columns can be added")
+        Snapshots.addColumns(spark, path, StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            a.fieldNames()(0), a.dataType(), nullable = true))))
+        ()
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft catalog: unsupported ALTER TABLE change $other - " +
+            "rename/drop/add columns are supported")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val path = tablePath(ident)

@@ -2066,6 +2066,44 @@ object Snapshots {
     next
   }
 
+  /** METADATA-ONLY column add: a new version whose manifest carries
+    * the SAME files under a widened schema — existing files null-fill
+    * the new columns on read, exactly like append-driven evolution
+    * but without writing a row. New names get physical assignments
+    * through the same collision-avoiding mapping as appends (re-using
+    * a dropped name is safe). The SQL catalog's ALTER TABLE ADD
+    * COLUMNS.
+    */
+  def addColumns(spark: SparkSession, path: String,
+                 newCols: StructType): Long = {
+    require(newCols.fields.nonEmpty,
+      "snapshot: addColumns needs at least one column")
+    val CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
+      currentState(spark, path, "add columns to")
+    val clash = newCols.fieldNames.filter(schema.fieldNames.contains)
+    require(clash.isEmpty,
+      s"snapshot: column(s) ${clash.mkString(", ")} already exist in " +
+        s"$path")
+    newCols.fieldNames.foreach(n =>
+      require(n.nonEmpty && !"#:;,/\t\n".exists(n.contains(_)),
+        s"snapshot: illegal column name '$n'"))
+    val (s2, map2) = evolvedSchemaAndMap(schema,
+      nullableAll(StructType(schema.fields ++ newCols.fields)), path,
+      dropped, colMap)
+    val f = fs(spark, path)
+    val next = v + 1L
+    if (!tryPublishManifest(f, path, next,
+        manifestLines(s2, partCols, dropped,
+          s"addColumns(${newCols.fieldNames.mkString(",")})", all,
+          txns, dvs, map2)))
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot: concurrent commit detected while adding columns " +
+          s"to $path (version $next was claimed by another writer) - " +
+          "re-read and retry")
+    bumpLatestHint(f, path, next)
+    next
+  }
+
   /** METADATA-ONLY column rename — Delta's name-mode column mapping:
     * a new version whose manifest maps the column's unchanged
     * PHYSICAL name to the new LOGICAL name. Constant-time, zero data

@@ -95,6 +95,33 @@ class GraftCatalogSpec extends SparkSpec {
       .collect()(0).getLong(0) === docs.count() * 2)
   }
 
+  test("ALTER TABLE: rename, add and drop columns in SQL, history intact") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.a (id BIGINT, v BIGINT)")
+    spark.sql(s"SELECT 1 AS id, 10 AS v").createOrReplaceTempView("one")
+    spark.sql(s"INSERT INTO $cat.db.a SELECT CAST(id AS BIGINT), " +
+      "CAST(v AS BIGINT) FROM one")
+    spark.sql(s"ALTER TABLE $cat.db.a RENAME COLUMN v TO score")
+    assert(spark.sql(s"SELECT score FROM $cat.db.a")
+      .collect()(0).getLong(0) === 10L)
+    spark.sql(s"ALTER TABLE $cat.db.a ADD COLUMNS (note STRING)")
+    assert(spark.sql(s"SELECT note FROM $cat.db.a")
+      .collect()(0).isNullAt(0)) // existing rows null-fill
+    spark.sql(s"ALTER TABLE $cat.db.a DROP COLUMN score")
+    assert(spark.sql(s"SELECT * FROM $cat.db.a").columns.toSeq ===
+      Seq("id", "note"))
+    // every DDL step is a versioned commit: time travel reads v2's
+    // schema (first insert, original names)
+    assert(spark.sql(s"SELECT * FROM $cat.db.a VERSION AS OF 2")
+      .columns.toSeq === Seq("id", "v"))
+    // unsupported changes refuse loudly
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.db.a ALTER COLUMN id TYPE STRING"))
+    assert(e.getMessage.toLowerCase.contains("unsupported") ||
+      e.getMessage.toLowerCase.contains("not supported"), e.getMessage)
+  }
+
   test("a table created programmatically reads through SQL, mor deletes and renames included") {
     val cat = freshCatalog()
     val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
