@@ -260,7 +260,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     */
   private[graft] class GraftTable(path: String, ident: String,
                                   version: Option[Long])
-      extends Table with SupportsRead with SupportsWrite {
+      extends Table with SupportsRead with SupportsWrite
+      with SupportsDelete {
+
+    /** SQL `DELETE FROM ... WHERE ...` — a copy-on-write
+      * [[Snapshots.deleteWhere]] commit (OCC-guarded, history
+      * intact); `TRUNCATE TABLE` rides the always-true default. Only
+      * filter shapes the translator covers are accepted — Spark
+      * falls back to an analysis error for the rest (never a partial
+      * delete).
+      */
+    override def canDeleteWhere(filters: Array[Filter]): Boolean =
+      version.isEmpty && filters.forall(f => translateFilter(f).isDefined)
+
+    override def deleteWhere(filters: Array[Filter]): Unit = {
+      require(version.isEmpty,
+        "graft catalog: cannot DELETE FROM a time-travelled table")
+      val cond = filters.flatMap(translateFilter(_))
+        .reduceOption(_ && _)
+        .getOrElse(org.apache.spark.sql.functions.lit(true))
+      Snapshots.deleteWhere(spark, path, cond)
+      ()
+    }
 
     override def name(): String = ident
 
@@ -343,6 +364,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * on Spark's re-filter above the relation.
     */
   private def translateFilter(f: Filter): Option[SqlColumn] = f match {
+    case sources.AlwaysTrue() =>
+      Some(org.apache.spark.sql.functions.lit(true))
+    case sources.AlwaysFalse() =>
+      Some(org.apache.spark.sql.functions.lit(false))
     case sources.EqualTo(a, v) => Some(col(a) === v)
     case sources.GreaterThan(a, v) => Some(col(a) > v)
     case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= v)

@@ -122,6 +122,28 @@ class GraftCatalogSpec extends SparkSpec {
       e.getMessage.toLowerCase.contains("not supported"), e.getMessage)
   }
 
+  test("DELETE FROM and TRUNCATE TABLE commit copy-on-write versions") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    Snapshots.commit(docs, s"$wh/db/d")
+    spark.sql(s"DELETE FROM $cat.db.d WHERE n_chars < 300")
+    val want = docs.filter(!coalesce(col("n_chars") < 300, lit(false)))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.d")
+      .collect()(0).getLong(0) === want.count())
+    // the delete is a versioned commit: v1 still reads complete
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.d VERSION AS OF 1")
+      .collect()(0).getLong(0) === docs.count())
+    spark.sql(s"TRUNCATE TABLE $cat.db.d")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.d")
+      .collect()(0).getLong(0) === 0L)
+    // schema survives the truncate; history intact
+    assert(spark.sql(s"SELECT * FROM $cat.db.d").columns.toSeq ===
+      docs.columns.toSeq)
+    assert(Snapshots.read(spark, s"$wh/db/d", Some(2L)).count() ===
+      want.count())
+  }
+
   test("a table created programmatically reads through SQL, mor deletes and renames included") {
     val cat = freshCatalog()
     val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
