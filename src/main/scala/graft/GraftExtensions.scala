@@ -76,5 +76,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.io.Snapshots.history(spark,
             String.valueOf(children.head.eval())))
       }))
+    // SELECT * FROM graft_snapshot_changes('/path', from, to) — the
+    // row-level change data feed in SQL (insert/delete rows with
+    // _change_type and _commit_version; merges, mor deletes and
+    // compactions included — see Snapshots.changeFeed)
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_snapshot_changes"),
+      new ExpressionInfo("graft.io.Snapshots", "graft_snapshot_changes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3 && children.forall(_.foldable),
+          "graft_snapshot_changes(path, fromVersion, toVersion) " +
+            "takes three literal arguments")
+        val spark = org.apache.spark.sql.SparkSession.active
+        def longOf(e: org.apache.spark.sql.catalyst.expressions
+            .Expression): Long = e.eval() match {
+          case n: Number => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_snapshot_changes: version '$other' is not a number")
+        }
+        org.apache.spark.sql.graft.Bridge.logicalPlan(
+          graft.io.Snapshots.changeFeed(spark,
+            String.valueOf(children.head.eval()),
+            longOf(children(1)), longOf(children(2))))
+      }))
   }
 }

@@ -58,6 +58,14 @@ class ExtensionsSpec extends SparkSpec {
           FROM graft_snapshot_history('$path') ORDER BY version""")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
     assert(ops === Seq(1L -> "overwrite", 2L -> "append"), ops.toString)
+    // the CHANGE FEED as SQL: v1→v2 was a pure append — every odd
+    // doc arrives as an insert at commit 2, nothing else
+    val feed = spark.sql(
+      s"""SELECT _change_type, count(*) AS n
+          FROM graft_snapshot_changes('$path', 1, 2)
+          GROUP BY 1""").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(feed === Map("insert" -> (docs.count() - even)), feed.toString)
   }
 
   test("TopKRewriteRule: rank-filter window rewrites to the heap operator") {
