@@ -1033,7 +1033,7 @@ class SnapshotsSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"), e.getMessage)
   }
 
-  test("model-based random walk: 40 mixed ops track an in-memory reference exactly") {
+  test("model-based random walk: 40 mixed ops (mor deletes, txn replays included) track a reference exactly") {
     import spark.implicits._
     val rnd = new scala.util.Random(7) // seeded: failures reproduce
     val path = newStore
@@ -1046,8 +1046,9 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.commit(df(model), path)
     // committed history for time-travel checks: version -> model state
     var history = Map(1L -> model)
+    var txnBatch = 0L
     for (step <- 1 to 40) {
-      val op = rnd.nextInt(6)
+      val op = rnd.nextInt(9)
       op match {
         case 0 => // overwrite commit with a random subset
           model = model.filter(_ => rnd.nextBoolean())
@@ -1096,6 +1097,32 @@ class SnapshotsSpec extends SparkSpec {
               targetFileBytes = 1L << 30)
             history += v -> model // same rows whether or not it packed
           }
+        case 6 => // merge-on-read predicate delete
+          val r = rnd.nextInt(7)
+          val survivors = model.filterNot(_._2 % 7 == r)
+          val v = Snapshots.deleteWhere(spark, path,
+            col("payload") % 7 === r, mode = "mor")
+          if (survivors.size != model.size) {
+            model = survivors; history += v -> model
+          }
+        case 7 => // merge-on-read key delete
+          val doomed = model.keys.toSeq.sorted.filter(_ => rnd.nextInt(4) == 0)
+          val v = Snapshots.deleteKeys(spark, path,
+            doomed.toDF("doc_id"), Seq("doc_id"), mode = "mor")
+          if (doomed.nonEmpty) {
+            model --= doomed; history += v -> model
+          }
+        case 8 => // transactional append, DELIVERED TWICE (replay)
+          val add = freshIds(1 + rnd.nextInt(3), model.keySet)
+            .map(id => id -> id).toMap
+          model ++= add
+          val v1 = Snapshots.commitAppend(df(add), path,
+            txn = Some(("walk", txnBatch)))
+          val v2 = Snapshots.commitAppend(df(add), path,
+            txn = Some(("walk", txnBatch)))
+          assert(v2 === v1, s"replayed txn batch $txnBatch committed twice")
+          txnBatch += 1
+          history += v1 -> model
       }
       // latest must equal the model after EVERY op
       val got = Snapshots.read(spark, path)
@@ -1110,6 +1137,23 @@ class SnapshotsSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(tt === m, s"step $step: version $v no longer time-travels")
     }
+    // change-feed telescoping over the WHOLE walk (rollbacks, mor
+    // deletes, compactions, replays): v1 + all inserts - all deletes
+    // must reproduce the final table as a multiset
+    val latest = Snapshots.latestVersion(spark, path).get
+    val feed = Snapshots.changeFeed(spark, path, 1L, latest).persist()
+    try {
+      val cols = Seq(col("doc_id"), col("payload"))
+      val replayed = Snapshots.read(spark, path, Some(1L))
+        .select(cols: _*)
+        .unionByName(feed.filter(col("_change_type") === "insert")
+          .select(cols: _*))
+        .exceptAll(feed.filter(col("_change_type") === "delete")
+          .select(cols: _*))
+      val now = Snapshots.read(spark, path).select(cols: _*)
+      assert(replayed.exceptAll(now).count() === 0L, "feed over-replays")
+      assert(now.exceptAll(replayed).count() === 0L, "feed under-replays")
+    } finally { feed.unpersist(); () }
   }
 
   test("tags pin versions through retention; retag refuses; drop releases") {
