@@ -294,6 +294,32 @@ class PlanRegressionSpec extends SparkSpec {
       s"range must reach the scan as a pushed filter:\n$p")
   }
 
+  test("plain snapshot read keeps its join-free plan (DV/mapping machinery stays off the common path)") {
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_snap_plain").toString + "/tbl"
+    val docs = Tables.t(spark, dir, "documents")
+    graft.io.Snapshots.commit(docs, path)
+    val p = graft.io.Snapshots.read(spark, path)
+      .filter(col("doc_id") < 100)
+      .queryExecution.executedPlan.toString
+    // no DVs and no renames ⇒ the read must be the bare manifest scan:
+    // no anti-join, no row-index generation, no rename projection
+    assert(!p.contains("Join"), s"unexpected join on the no-DV path:\n$p")
+    assert(!p.contains("row_index"),
+      s"row-identity generation leaked onto the common path:\n$p")
+    // and the predicate still reaches parquet
+    assert(p.contains("PushedFilters") && p.contains("LessThan(doc_id,100)"),
+      s"pushdown lost:\n$p")
+    // with a pending DV the SAME read gains exactly the anti-join
+    graft.io.Snapshots.deleteWhere(spark, path,
+      col("n_chars") < 300, mode = "mor")
+    val p2 = graft.io.Snapshots.read(spark, path)
+      .filter(col("doc_id") < 100)
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("LeftAnti"), s"mor read must anti-join:\n$p2")
+  }
+
   test("graph supersteps: equi-joins only, no quadratic operator") {
     Seq("q_pagerank", "q_bfs_hops").foreach { q =>
       val p = plan(q)
