@@ -82,10 +82,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val path = tablePath(ident)
-    if (!isTable(path))
+    val v = Snapshots.latestVersion(spark, path).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis
-        .NoSuchTableException(ident)
-    new GraftTable(path, ident.toString, None)
+        .NoSuchTableException(ident))
+    // pin the version ONCE at load: schema(), partitioning() and the
+    // scan must all see the same snapshot even if a commit lands
+    // between analysis and execution (writes/deletes still target
+    // the live table - mutable=true)
+    new GraftTable(path, ident.toString, Some(v), mutable = true)
   }
 
   /** `VERSION AS OF n` — n is a snapshot version (or a tag name). */
@@ -100,7 +104,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"snapshot: '$version' is neither a version nor a tag of " +
             s"$path (tags: ${Snapshots.tags(spark, path).keys.toSeq
               .sorted.mkString(", ")})")))
-    new GraftTable(path, s"$ident@v$v", Some(v))
+    new GraftTable(path, s"$ident@v$v", Some(v), mutable = false)
   }
 
   /** `TIMESTAMP AS OF ts` — micros since epoch per the DSv2 contract;
@@ -112,7 +116,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(ident)
     val v = Snapshots.versionAsOf(spark, path, timestampMicros / 1000L)
-    new GraftTable(path, s"$ident@v$v", Some(v))
+    new GraftTable(path, s"$ident@v$v", Some(v), mutable = false)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -130,14 +134,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     // version 1 is a zero-entry manifest carrying schema + layout -
     // partitioned CREATEs included (no empty parquet write needed)
-    Snapshots.createEmpty(spark, path, schema, partCols)
-    new GraftTable(path, ident.toString, None)
+    val v = Snapshots.createEmpty(spark, path, schema, partCols)
+    new GraftTable(path, ident.toString, Some(v), mutable = true)
   }
 
-  /** ALTER TABLE: rename / drop / add columns map onto the
-    * metadata-only snapshot operations (each one commit, history
-    * intact). Other changes (type updates, comments, properties)
-    * refuse — the store has no semantics for them.
+  /** ALTER TABLE: rename / drop / add columns map onto ONE atomic
+    * metadata-only commit ([[Snapshots.alterColumns]]) — a
+    * multi-change statement lands all-or-nothing, never partially
+    * (translation and validation both run before anything publishes).
+    * Other changes (type updates, comments, properties) refuse — the
+    * store has no semantics for them.
     */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
@@ -145,30 +151,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!isTable(path))
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(ident)
-    changes.foreach {
+    val ops = changes.toSeq.map {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
           "graft catalog: only top-level columns can be renamed")
-        Snapshots.renameColumn(spark, path, r.fieldNames()(0),
-          r.newName())
-        ()
+        Snapshots.ColumnChange.Rename(r.fieldNames()(0), r.newName())
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames().length == 1,
           "graft catalog: only top-level columns can be dropped")
-        Snapshots.dropColumns(spark, path, Seq(d.fieldNames()(0)))
-        ()
+        Snapshots.ColumnChange.Drop(d.fieldNames()(0))
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "graft catalog: only top-level columns can be added")
-        Snapshots.addColumns(spark, path, StructType(Seq(
+        Snapshots.ColumnChange.Add(
           org.apache.spark.sql.types.StructField(
-            a.fieldNames()(0), a.dataType(), nullable = true))))
-        ()
+            a.fieldNames()(0), a.dataType(), nullable = true))
       case other =>
         throw new UnsupportedOperationException(
           s"graft catalog: unsupported ALTER TABLE change $other - " +
             "rename/drop/add columns are supported")
     }
+    Snapshots.alterColumns(spark, path, ops)
     loadTable(ident)
   }
 
@@ -259,25 +262,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * append/overwrite commits.
     */
   private[graft] class GraftTable(path: String, ident: String,
-                                  version: Option[Long])
+                                  version: Option[Long],
+                                  mutable: Boolean = true)
       extends Table with SupportsRead with SupportsWrite
       with SupportsDelete {
 
     /** SQL `DELETE FROM ... WHERE ...` — a copy-on-write
       * [[Snapshots.deleteWhere]] commit (OCC-guarded, history
-      * intact); `TRUNCATE TABLE` rides the always-true default. Only
-      * filter shapes the translator covers are accepted — Spark
-      * falls back to an analysis error for the rest (never a partial
-      * delete).
+      * intact); `TRUNCATE TABLE` rides the always-true default.
+      * Translation here is EXACT ([[translateFilterExact]]): unlike
+      * the scan path, nothing re-applies filters above a delete, so
+      * a partially-translated predicate would DELETE TOO MUCH —
+      * untranslatable shapes refuse at analysis instead.
       */
     override def canDeleteWhere(filters: Array[Filter]): Boolean =
-      version.isEmpty && filters.forall(f => translateFilter(f).isDefined)
+      mutable && filters.forall(f => translateFilterExact(f).isDefined)
 
     override def deleteWhere(filters: Array[Filter]): Unit = {
-      require(version.isEmpty,
+      require(mutable,
         "graft catalog: cannot DELETE FROM a time-travelled table")
-      val cond = filters.flatMap(translateFilter(_))
-        .reduceOption(_ && _)
+      val cols = filters.map(f => translateFilterExact(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft catalog: cannot translate delete filter $f")))
+      val cond = cols.reduceOption(_ && _)
         .getOrElse(org.apache.spark.sql.functions.lit(true))
       Snapshots.deleteWhere(spark, path, cond)
       ()
@@ -363,6 +370,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * null tests, conjunction); everything else stays NULL and relies
     * on Spark's re-filter above the relation.
     */
+  /** EXACT translation for the DELETE path: every node must
+    * translate — the scan path's lenient And (push whichever half
+    * translates) is an IO optimization there but would over-delete
+    * here, since nothing re-applies the untranslated half.
+    */
+  private def translateFilterExact(f: Filter): Option[SqlColumn] =
+    f match {
+      case sources.And(l, r) =>
+        for { a <- translateFilterExact(l); b <- translateFilterExact(r) }
+          yield a && b
+      case sources.Or(l, r) =>
+        for { a <- translateFilterExact(l); b <- translateFilterExact(r) }
+          yield a || b
+      case sources.Not(c) => translateFilterExact(c).map(!_)
+      case leaf => translateFilter(leaf)
+    }
+
   private def translateFilter(f: Filter): Option[SqlColumn] = f match {
     case sources.AlwaysTrue() =>
       Some(org.apache.spark.sql.functions.lit(true))

@@ -182,29 +182,36 @@ object Snapshots {
     }
   }
 
-  /** Schemes whose `FileSystem` offers NO atomic rename-without-
-    * overwrite (S3 through s3a is eventually a copy+delete with no
-    * conditional semantics): two cross-process writers could both
-    * claim one version, silently losing a commit. Commits on these
-    * schemes REFUSE unless a [[CommitCoordinator]] is registered for
-    * the scheme or the deployment explicitly accepts single-writer
-    * operation (`graft.snapshot.unsafeSingleWriter=true` in the
-    * Hadoop conf, i.e. `spark.hadoop.` prefixed in Spark conf).
+  /** Schemes whose `FileSystem` is KNOWN to give an atomic
+    * rename-without-overwrite (HDFS; ADLS gen2 through abfs; the
+    * local FS, whose narrow check-then-act window the in-JVM commit
+    * monitor covers for same-process writers). This is an ALLOWLIST
+    * on purpose: object stores (s3/s3a/gs/oss/...) implement rename
+    * as copy+delete with no conditional semantics — two cross-process
+    * writers could both claim one version and silently lose a commit
+    * — and an unknown scheme must be presumed unsafe, not safe.
+    * Anything off the list REFUSES unless a [[CommitCoordinator]] is
+    * registered for the scheme or the deployment explicitly accepts
+    * single-writer operation
+    * (`graft.snapshot.unsafeSingleWriter=true` in the Hadoop conf,
+    * i.e. `spark.hadoop.` prefixed in Spark conf).
     */
-  private[graft] val UnsafeCommitSchemes = Set("s3", "s3a", "s3n")
+  private[graft] val SafeCommitSchemes =
+    Set("hdfs", "file", "viewfs", "abfs", "abfss")
 
   private[graft] def requireSafeCommitScheme(
       scheme: String,
       conf: org.apache.hadoop.conf.Configuration): Unit =
     require(
-      !UnsafeCommitSchemes.contains(scheme.toLowerCase) ||
+      SafeCommitSchemes.contains(scheme.toLowerCase) ||
         conf.getBoolean("graft.snapshot.unsafeSingleWriter", false),
-      s"snapshot: scheme '$scheme' has no atomic rename-without-" +
-        "overwrite - concurrent writers could both claim a version " +
-        "and silently lose a commit; register a CommitCoordinator " +
-        "for the scheme (Snapshots.registerCommitCoordinator) or, " +
-        "for a guaranteed single writer, set " +
-        "graft.snapshot.unsafeSingleWriter=true in the Hadoop conf")
+      s"snapshot: scheme '$scheme' is not known to provide an atomic " +
+        "rename-without-overwrite - concurrent writers could both " +
+        "claim a version and silently lose a commit; register a " +
+        "CommitCoordinator for the scheme " +
+        "(Snapshots.registerCommitCoordinator) or, for a guaranteed " +
+        "single writer, set graft.snapshot.unsafeSingleWriter=true " +
+        "in the Hadoop conf")
 
   @volatile private var coordinators = Map.empty[String, CommitCoordinator]
 
@@ -426,6 +433,18 @@ object Snapshots {
          else Seq(s"#map=" + colMap.toSeq.sorted.map {
            case (p, l) => s"$p:$l" }.mkString(";"))) ++
         entries)
+
+  /** Names that may appear in a `#map=` entry: the marker's own
+    * separators (and the marker prefix / line structure) must not —
+    * a mapped name containing ':' or ';' would re-parse into a
+    * corrupt mapping, which is strictly worse than refusing.
+    */
+  private def requireMappableName(n: String): Unit =
+    require(n.nonEmpty && !"#:;,/\t\n".exists(n.contains(_)),
+      s"snapshot: column name '$n' cannot participate in column " +
+        "mapping - it contains a manifest separator character " +
+        "('#', ':', ';', ',', '/', tab or newline); rename the " +
+        "source column first")
 
   /** logical -> physical resolution for the stored column mapping
     * (identity where unmapped).
@@ -834,7 +853,14 @@ object Snapshots {
             .find(c => !used(c)).get
       }
       used += phys
-      if (phys != f.name) map += (phys -> f.name)
+      if (phys != f.name) {
+        // the mapping line's separators must never appear inside a
+        // mapped name — a '#map=' entry for "a:b" would re-parse
+        // into a corrupt mapping; refuse at assignment, loudly
+        requireMappableName(f.name)
+        requireMappableName(phys)
+        map += (phys -> f.name)
+      }
     }
     (StructType(prev.fields ++ newFields), map)
   }
@@ -1397,7 +1423,12 @@ object Snapshots {
   def readBetweenStrings(spark: SparkSession, path: String,
                          column: String, lo: String, hi: String,
                          version: Option[Long] = None): DataFrame = {
-    require(lo <= hi,
+    // order check in UTF-8 BYTE order — the order the pruning, the
+    // residual filter (UTF8String) and the stats all use; Java's
+    // UTF-16 compare disagrees for supplementary-plane characters
+    require(bytesCompare(
+      lo.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      hi.getBytes(java.nio.charset.StandardCharsets.UTF_8)) <= 0,
       s"snapshot: string range is backwards ('$lo' > '$hi')")
     val f = fs(spark, path)
     val v = version.orElse(latestVersion(spark, path)).getOrElse(
@@ -1467,15 +1498,28 @@ object Snapshots {
                  toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"snapshot: changeFeed range is backwards ($fromVersion > $toVersion)")
+    require(fromVersion >= 0,
+      s"snapshot: changeFeed fromVersion must be >= 0: $fromVersion")
     val f = fs(spark, path)
     val mEnd = manifest(f, path, toVersion)
     val endSchema = resolveSchema(spark, path, mEnd)
     val cols = endSchema.fieldNames.toSeq
+    // fromVersion 0 = "before the table existed": version 1's own
+    // contents stream as inserts (the CDF startingVersion=1 case)
+    val empty0 = SnapManifest(Some(endSchema), Nil, Set.empty,
+      "none", Map.empty, Nil, Map.empty, Nil, Nil)
+    // each interior manifest is read ONCE: step v's B side carries
+    // forward as step v+1's A side
+    var mA = if (fromVersion == 0L) empty0
+             else manifest(f, path, fromVersion)
+    var sA = if (fromVersion == 0L) endSchema
+             else resolveSchema(spark, path, mA)
     val steps = (fromVersion until toVersion).map { v =>
-      val mA = manifest(f, path, v)
-      val mB = manifest(f, path, v + 1)
-      val sA = resolveSchema(spark, path, mA)
-      val sB = resolveSchema(spark, path, mB)
+      val mB =
+        if (v + 1 == toVersion) mEnd else manifest(f, path, v + 1)
+      val sB =
+        if (v + 1 == toVersion) endSchema
+        else resolveSchema(spark, path, mB)
       require(sA.fieldNames.sameElements(sB.fieldNames) &&
         sA.fields.map(_.dataType).sameElements(sB.fields.map(_.dataType)),
         s"snapshot: the schema changed between versions $v and ${v + 1} " +
@@ -1504,6 +1548,8 @@ object Snapshots {
           .join(dvRows(spark, path, freshDvs),
             Seq(DvFileCol, DvPosCol), "left_semi")
           .select(sel: _*))
+      mA = mB
+      sA = sB
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], endSchema)
       val rem = removedRows.getOrElse(empty)
@@ -2100,6 +2146,94 @@ object Snapshots {
         s"snapshot: concurrent commit detected while adding columns " +
           s"to $path (version $next was claimed by another writer) - " +
           "re-read and retry")
+    bumpLatestHint(f, path, next)
+    next
+  }
+
+  /** A schema change [[alterColumns]] applies — the catalog's ALTER
+    * TABLE currency.
+    */
+  sealed trait ColumnChange
+  object ColumnChange {
+    final case class Rename(from: String, to: String) extends ColumnChange
+    final case class Drop(name: String) extends ColumnChange
+    final case class Add(field: org.apache.spark.sql.types.StructField)
+      extends ColumnChange
+  }
+
+  /** Apply a SEQUENCE of rename/drop/add column changes as ONE
+    * metadata-only commit — the all-or-nothing contract a multi-change
+    * `ALTER TABLE` statement carries: either every change lands in
+    * one new version or none does (a validation failure or OCC
+    * conflict leaves the table untouched). Changes see each other in
+    * order (rename a→b then add a is legal). Same semantics per
+    * change as [[renameColumn]] / [[dropColumns]] / [[addColumns]].
+    */
+  def alterColumns(spark: SparkSession, path: String,
+                   changes: Seq[ColumnChange]): Long = {
+    require(changes.nonEmpty, "snapshot: alterColumns needs changes")
+    val CurState(v, schema0, partCols, dropped0, txns, dvs, colMap0, all) =
+      currentState(spark, path, "alter columns of")
+    val lPart = partCols.map(c => colMap0.getOrElse(c, c))
+    var schema = schema0
+    var colMap = colMap0
+    var dropped = dropped0
+    var lPartNow = lPart
+    changes.foreach {
+      case ColumnChange.Rename(from, to) =>
+        require(to.nonEmpty && !"#:;,/\t\n".exists(to.contains(_)),
+          s"snapshot: illegal column name '$to'")
+        require(schema.fieldNames.contains(from),
+          s"snapshot: column $from is not in the table schema " +
+            s"(${schema.fieldNames.mkString(", ")})")
+        require(from == to || !schema.fieldNames.contains(to),
+          s"snapshot: column $to already exists - renaming $from " +
+            "onto it would collide")
+        if (from != to) {
+          val physFrom = toPhysicalName(colMap, from)
+          if (physFrom != to) requireMappableName(physFrom)
+          schema = StructType(schema.fields.map(f =>
+            if (f.name == from) f.copy(name = to) else f))
+          colMap =
+            if (physFrom == to) colMap - physFrom
+            else (colMap - physFrom) + (physFrom -> to)
+          lPartNow = lPartNow.map(c => if (c == from) to else c)
+        }
+      case ColumnChange.Drop(name) =>
+        require(schema.fieldNames.contains(name),
+          s"snapshot: column $name is not in the table schema " +
+            s"(${schema.fieldNames.mkString(", ")})")
+        require(!lPartNow.contains(name),
+          s"snapshot: $name is a partition column - the layout " +
+            "depends on it; repartition via a fresh commit instead")
+        require(schema.fields.length > 1,
+          "snapshot: dropping every column would leave an " +
+            "unreadable table")
+        val phys = toPhysicalName(colMap, name)
+        schema = StructType(schema.fields.filterNot(_.name == name))
+        dropped += phys
+        colMap -= phys
+      case ColumnChange.Add(field) =>
+        require(!schema.fieldNames.contains(field.name),
+          s"snapshot: column ${field.name} already exists in $path")
+        require(field.name.nonEmpty &&
+          !"#:;,/\t\n".exists(field.name.contains(_)),
+          s"snapshot: illegal column name '${field.name}'")
+        val (s2, map2) = evolvedSchemaAndMap(schema,
+          nullableAll(StructType(schema.fields :+ field)), path,
+          dropped, colMap)
+        schema = s2
+        colMap = map2
+    }
+    val f = fs(spark, path)
+    val next = v + 1L
+    if (!tryPublishManifest(f, path, next,
+        manifestLines(schema, partCols, dropped,
+          s"alterColumns(${changes.size})", all, txns, dvs, colMap)))
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot: concurrent commit detected while altering " +
+          s"columns of $path (version $next was claimed by another " +
+          "writer) - re-read and retry")
     bumpLatestHint(f, path, next)
     next
   }

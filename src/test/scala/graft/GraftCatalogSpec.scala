@@ -120,6 +120,16 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE $cat.db.a ALTER COLUMN id TYPE STRING"))
     assert(e.getMessage.toLowerCase.contains("unsupported") ||
       e.getMessage.toLowerCase.contains("not supported"), e.getMessage)
+    // a multi-change statement is ALL-OR-NOTHING: adding one valid
+    // and one colliding column commits neither
+    val vBefore = Snapshots.latestVersion(spark,
+      spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/db/a").get
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.db.a ADD COLUMNS (fresh STRING, id STRING)"))
+    val wh2 = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    assert(Snapshots.latestVersion(spark, s"$wh2/db/a").get === vBefore,
+      "a failed multi-change ALTER must commit nothing")
+    assert(!spark.sql(s"SELECT * FROM $cat.db.a").columns.contains("fresh"))
   }
 
   test("DELETE FROM and TRUNCATE TABLE commit copy-on-write versions") {
@@ -134,6 +144,17 @@ class GraftCatalogSpec extends SparkSpec {
     // the delete is a versioned commit: v1 still reads complete
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.d VERSION AS OF 1")
       .collect()(0).getLong(0) === docs.count())
+    // a DELETE whose predicate cannot translate exactly must refuse
+    // at analysis, never partially delete (the lenient scan-path
+    // translation would drop the untranslatable conjunct here)
+    val nBefore = spark.sql(s"SELECT count(*) FROM $cat.db.d")
+      .collect()(0).getLong(0)
+    intercept[Exception](spark.sql(
+      s"DELETE FROM $cat.db.d WHERE (n_chars = 1 AND text LIKE '%x%') " +
+        "OR doc_id = -1"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.d")
+      .collect()(0).getLong(0) === nBefore,
+      "an untranslatable DELETE must delete nothing")
     spark.sql(s"TRUNCATE TABLE $cat.db.d")
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.d")
       .collect()(0).getLong(0) === 0L)

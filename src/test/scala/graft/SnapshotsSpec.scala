@@ -1881,21 +1881,40 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, path).count() === docs.count())
   }
 
-  test("unsafe commit schemes refuse without a coordinator or explicit opt-in") {
+  test("non-allowlisted commit schemes refuse without a coordinator or explicit opt-in") {
     val conf = new org.apache.hadoop.conf.Configuration(false)
     val e = intercept[IllegalArgumentException](
       Snapshots.requireSafeCommitScheme("s3a", conf))
     assert(e.getMessage.contains("CommitCoordinator"), e.getMessage)
     intercept[IllegalArgumentException](
       Snapshots.requireSafeCommitScheme("S3", conf))
+    // the guard is an ALLOWLIST: gs (and any unknown scheme) is
+    // presumed unsafe, not safe
+    intercept[IllegalArgumentException](
+      Snapshots.requireSafeCommitScheme("gs", conf))
+    intercept[IllegalArgumentException](
+      Snapshots.requireSafeCommitScheme("somefuturefs", conf))
     // explicit single-writer opt-in lifts the refusal
     conf.setBoolean("graft.snapshot.unsafeSingleWriter", true)
     Snapshots.requireSafeCommitScheme("s3a", conf)
-    // schemes with an atomic primitive never refuse
+    // schemes with a known-atomic primitive never refuse
     Snapshots.requireSafeCommitScheme("hdfs",
       new org.apache.hadoop.conf.Configuration(false))
     Snapshots.requireSafeCommitScheme("file",
       new org.apache.hadoop.conf.Configuration(false))
+    Snapshots.requireSafeCommitScheme("abfss",
+      new org.apache.hadoop.conf.Configuration(false))
+  }
+
+  test("changeFeed from version 0 streams the first commit's own rows as inserts") {
+    val path = newStore
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path)
+    Snapshots.commitAppend(docs.filter(col("doc_id") % 2 === 1), path)
+    val feed = Snapshots.changeFeed(spark, path, 0L, 2L)
+    assert(feed.filter(col("_change_type") === "delete").count() === 0L)
+    assert(feed.filter(col("_commit_version") === 1).count() ===
+      docs.filter(col("doc_id") % 2 === 0).count())
+    assert(feed.count() === docs.count())
   }
 
   test("a registered CommitCoordinator replaces the default claim for its scheme") {
