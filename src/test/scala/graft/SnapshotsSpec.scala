@@ -1830,6 +1830,23 @@ class SnapshotsSpec extends SparkSpec {
     // empty file (crash mid-write of a hand-rolled tool)
     overwriteManifest()
     intercept[Exception](Snapshots.read(spark, path).count())
+    // corrupt MARKER lines refuse loudly too, never mis-parse:
+    // a #txn without its batch id
+    val goodLines = good.split('\n').toSeq
+    overwriteManifest((goodLines.take(4) ++ Seq("#txn=nocolon") ++
+      goodLines.drop(4)): _*)
+    val e3 = intercept[Exception](Snapshots.read(spark, path).count())
+    assert(String.valueOf(e3.getMessage).contains("txn"), e3.toString)
+    // a #map pair without its separator
+    overwriteManifest((goodLines.take(4) ++ Seq("#map=nocolon") ++
+      goodLines.drop(4)): _*)
+    val e4 = intercept[Exception](Snapshots.read(spark, path).count())
+    assert(String.valueOf(e4.getMessage).contains("map"), e4.toString)
+    // a #dv reference to a missing delete file fails the read (a
+    // silently-ignored delete file would RESURRECT deleted rows)
+    overwriteManifest((goodLines.take(4) ++
+      Seq("#dv=data/c-gone/nope.parquet") ++ goodLines.drop(4)): _*)
+    intercept[Exception](Snapshots.read(spark, path).count())
     // restore: the original bytes still read
     Files.writeString(java.nio.file.Paths.get(
       s"$path/_manifests/v000000001.manifest"), good)
