@@ -85,8 +85,13 @@ object Snapshots {
     */
   private val commitMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def monitorFor(base: String): Object =
-    commitMonitors.computeIfAbsent(base, _ => new Object)
+  // keyed by the QUALIFIED URI, not the raw string: '/tbl', '/tbl/'
+  // and 'file:///tbl' must share one monitor or the in-JVM
+  // serialization the local-FS claim relies on silently splits
+  private def monitorFor(f: FileSystem, base: String): Object =
+    commitMonitors.computeIfAbsent(
+      f.makeQualified(new Path(base)).toUri.toString.stripSuffix("/"),
+      _ => new Object)
 
   /** Test seam: invoked after a mutation's data files are written but
     * before its first manifest-publish attempt — the window where a
@@ -235,7 +240,7 @@ object Snapshots {
     */
   private def tryPublishManifest(f: FileSystem, base: String, v: Long,
                                  lines: Seq[String]): Boolean =
-    monitorFor(base).synchronized {
+    monitorFor(f, base).synchronized {
       val target = manifestPath(base, v)
       f.mkdirs(target.getParent)
       if (f.exists(target)) false
@@ -250,11 +255,14 @@ object Snapshots {
       }
     }
 
-  /** Advance the `_latest` hint monotonically (never regresses even
-    * when two winners update out of order).
+  /** Advance the `_latest` hint monotonically — per JVM (the
+    * monitor); two winners in DIFFERENT processes can interleave and
+    * leave the hint lagging one commit until the next bump. The hint
+    * is advisory by contract: the manifest listing is authoritative,
+    * and the hint may lag, never lead.
     */
   private def bumpLatestHint(f: FileSystem, base: String, v: Long): Unit =
-    monitorFor(base).synchronized {
+    monitorFor(f, base).synchronized {
       val p = new Path(s"$base/_latest")
       val cur =
         if (!f.exists(p)) 0L
@@ -723,14 +731,12 @@ object Snapshots {
       val all = if (stats.isEmpty) len else s"$len;$stats"
       s"$rel\t$all"
     }
-    // an empty DataFrame still writes one schema-bearing part file
-    // (unpartitioned), so zero-row snapshots are readable; this guard
-    // fires for writers that emit NO files — including an empty
-    // PARTITIONED write, whose dynamic-partition layout produces
-    // nothing (a no-file manifest has no readable data)
-    require(fresh.nonEmpty,
-      "snapshot: the write produced no parquet files - a no-file " +
-        "snapshot has no schema and cannot be read back")
+    // an empty PARTITIONED write emits no files at all (dynamic
+    // partitioning writes nothing for zero rows) — that is LEGAL
+    // here: v3 manifests carry the schema, so a carried-only commit
+    // (a delete emptying every affected file's rows) or even a fully
+    // empty snapshot reads back correctly as zero rows; the fresh
+    // list is simply empty
     onBeforePublish()
     var curCarried = carried
     var curSchema = schema
@@ -1205,6 +1211,15 @@ object Snapshots {
     lp.foreach(c => require(df.columns.contains(c),
       s"snapshot: partition column $c is missing from the batch " +
         s"(${df.columns.mkString(", ")})"))
+    // an unknown batch column would be WRITTEN into the new files but
+    // hidden by the committed schema — a silently lost write (typo'd
+    // backfills); refuse like merge does
+    val unknown = df.columns.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"snapshot: batch column(s) ${unknown.mkString(", ")} are not " +
+        s"in the table schema (${schema.fieldNames.mkString(", ")}) - " +
+        "replacePartitions does not evolve schemas; commitAppend or " +
+        "addColumns first")
     requireSameTypes(schema, df.schema, "replacePartitions batch")
     // the replaced partition tuples, as the directory-name strings
     // the manifest entries carry (unescaped by partValsOf) —
@@ -1548,6 +1563,20 @@ object Snapshots {
           .join(dvRows(spark, path, freshDvs),
             Seq(DvFileCol, DvPosCol), "left_semi")
           .select(sel: _*))
+      // rows a REMOVED delete file resurrects (a rollback undoing a
+      // mor delete restores the same entries with fewer DVs): B-side
+      // live rows the dropped delete file used to kill. When the
+      // entries changed too (compact applying DVs), the dropped DV
+      // rows reference files no longer in B and match nothing — no
+      // double count.
+      val droppedDvs = mA.dvs.filterNot(mB.dvs.toSet)
+      val morRevived =
+        if (droppedDvs.isEmpty) None
+        else Some(liveWithId(spark, path, sB, mB.partCols, mB.entries,
+            mB.dvs, mB.colMap)
+          .join(dvRows(spark, path, droppedDvs),
+            Seq(DvFileCol, DvPosCol), "left_semi")
+          .select(sel: _*))
       mA = mB
       sA = sB
       val empty = spark.createDataFrame(
@@ -1559,11 +1588,12 @@ object Snapshots {
         case (Some(_), _) =>
           morKilled.foldLeft(rem.exceptAll(add))(_ unionByName _)
       }
-      val inserts = (addedRows, removedRows) match {
+      val inserts0 = (addedRows, removedRows) match {
         case (None, _) => empty
         case (Some(_), None) => add
         case (Some(_), Some(_)) => add.exceptAll(rem)
       }
+      val inserts = morRevived.foldLeft(inserts0)(_ unionByName _)
       inserts.withColumn("_change_type", lit("insert"))
         .unionByName(deletes.withColumn("_change_type", lit("delete")))
         .withColumn("_commit_version", lit(v + 1L))
@@ -1675,6 +1705,10 @@ object Snapshots {
     val upd0 = updates.persist()
     try {
       requireNoNullKeys(upd0, keyCols, "merge updates")
+      // a zero-row updates batch is a no-op, not a burned version (a
+      // CDC pipeline commonly delivers empty micro-batches) — same
+      // idempotence as a delete matching nothing
+      if (upd0.limit(1).count() == 0L) return v
       val dup = upd0.groupBy(keyExprs: _*)
         .count().filter(col("count") > 1).limit(1).count()
       require(dup == 0L,
@@ -2130,9 +2164,7 @@ object Snapshots {
     require(clash.isEmpty,
       s"snapshot: column(s) ${clash.mkString(", ")} already exist in " +
         s"$path")
-    newCols.fieldNames.foreach(n =>
-      require(n.nonEmpty && !"#:;,/\t\n".exists(n.contains(_)),
-        s"snapshot: illegal column name '$n'"))
+    newCols.fieldNames.foreach(requireMappableName)
     val (s2, map2) = evolvedSchemaAndMap(schema,
       nullableAll(StructType(schema.fields ++ newCols.fields)), path,
       dropped, colMap)
@@ -2181,8 +2213,7 @@ object Snapshots {
     var lPartNow = lPart
     changes.foreach {
       case ColumnChange.Rename(from, to) =>
-        require(to.nonEmpty && !"#:;,/\t\n".exists(to.contains(_)),
-          s"snapshot: illegal column name '$to'")
+        requireMappableName(to)
         require(schema.fieldNames.contains(from),
           s"snapshot: column $from is not in the table schema " +
             s"(${schema.fieldNames.mkString(", ")})")
@@ -2216,9 +2247,7 @@ object Snapshots {
       case ColumnChange.Add(field) =>
         require(!schema.fieldNames.contains(field.name),
           s"snapshot: column ${field.name} already exists in $path")
-        require(field.name.nonEmpty &&
-          !"#:;,/\t\n".exists(field.name.contains(_)),
-          s"snapshot: illegal column name '${field.name}'")
+        requireMappableName(field.name)
         val (s2, map2) = evolvedSchemaAndMap(schema,
           nullableAll(StructType(schema.fields :+ field)), path,
           dropped, colMap)
@@ -2253,9 +2282,7 @@ object Snapshots {
     */
   def renameColumn(spark: SparkSession, path: String,
                    from: String, to: String): Long = {
-    require(to.nonEmpty && !"#:;,/\t\n".exists(to.contains(_)),
-      s"snapshot: illegal column name '$to' - must be non-empty " +
-        "without '#', ':', ';', ',', '/', tab or newline")
+    requireMappableName(to)
     val CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
       currentState(spark, path, "rename a column of")
     require(schema.fieldNames.contains(from),
@@ -2445,9 +2472,15 @@ object Snapshots {
         s"snapshot: no committed version under $path to tag"))
     manifest(f, path, v) // existence check, loud on unknown versions
     val p = tagPath(path, name)
-    require(!f.exists(p),
-      s"snapshot: tag '$name' already exists (drop it first to retag)")
-    writeTextAtomic(f, p, Seq(v.toString))
+    f.mkdirs(p.getParent)
+    // EXCLUSIVE claim (tmp + rename-without-overwrite, the manifest
+    // primitive): two concurrent taggers of one name cannot both
+    // succeed — the OVERWRITE swap here used to let the later writer
+    // silently repoint the pin
+    require(monitorFor(f, path).synchronized {
+      !f.exists(p) && RenameCommitCoordinator.tryClaim(f, p,
+        Seq(v.toString))
+    }, s"snapshot: tag '$name' already exists (drop it first to retag)")
     v
   }
 
@@ -2457,7 +2490,8 @@ object Snapshots {
     val dir = new Path(s"$path/_refs")
     if (!f.exists(dir)) Map.empty
     else f.listStatus(dir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".ref"))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".ref") &&
+        !s.getPath.getName.startsWith("_tmp_")) // crashed claims
       .map(s => s.getPath.getName.stripSuffix(".ref") ->
         readLines(f, s.getPath).head.trim.toLong)
       .toMap
@@ -2518,22 +2552,29 @@ object Snapshots {
       val commitPath = f.makeQualified(commit.getPath).toUri.getPath
       val it = f.listFiles(commit.getPath, true)
       val doomed = scala.collection.mutable.ArrayBuffer.empty[Path]
-      var kept = false
+      var anyReferenced = false
+      var anyYoung = false
       while (it.hasNext) {
         val st = it.next()
         if (st.isFile) {
           val rel = s"data/${commit.getPath.getName}" +
             st.getPath.toUri.getPath.stripPrefix(commitPath)
-          val protectedYoung = st.getModificationTime > cutoff
-          if ((st.getPath.getName.endsWith(".parquet") &&
-              referenced.contains(rel)) || protectedYoung) kept = true
+          if (st.getModificationTime > cutoff) anyYoung = true
+          if (st.getPath.getName.endsWith(".parquet") &&
+              referenced.contains(rel)) anyReferenced = true
           else doomed += st.getPath
         }
       }
+      // ONE young file protects the WHOLE commit dir: a commit's
+      // files land over its entire write phase, so judging each file
+      // by its own mtime would sweep a long write's EARLY files while
+      // its manifest is still unpublished — committed-then-unreadable
+      // data loss. A dir is all one commit; its youngest file bounds
+      // how recently that commit was still writing.
       val doomedParquet = doomed.filter(_.getName.endsWith(".parquet"))
-      if (!kept) { // no survivor: the whole commit dir goes
+      if (!anyReferenced && !anyYoung) {
         f.delete(commit.getPath, true); removed += doomedParquet.size
-      } else doomedParquet.foreach { p =>
+      } else if (!anyYoung) doomedParquet.foreach { p =>
         f.delete(p, false); removed += 1
       }
     }

@@ -1923,6 +1923,106 @@ class SnapshotsSpec extends SparkSpec {
       new org.apache.hadoop.conf.Configuration(false))
   }
 
+  test("cow delete of a WHOLE partition commits carried-only (no crash, no burned rows)") {
+    val path = newStore
+    val parted = docs.withColumn("bucket", col("doc_id") % 4)
+    Snapshots.commit(parted, path, partitionBy = Seq("bucket"))
+    // every row of the affected files dies -> the rewrite emits no
+    // files; the commit must carry the untouched partitions and land
+    val v2 = Snapshots.deleteWhere(spark, path, col("bucket") === 2)
+    assert(v2 === 2L)
+    val got = Snapshots.read(spark, path)
+    assert(got.filter(col("bucket") === 2).count() === 0L)
+    assert(got.count() === parted.filter(col("bucket") =!= 2).count())
+    // deleting EVERYTHING leaves an empty but readable table
+    Snapshots.deleteWhere(spark, path, lit(true))
+    val none = Snapshots.read(spark, path)
+    assert(none.count() === 0L)
+    assert(none.columns.contains("bucket"))
+  }
+
+  test("merge with an empty updates batch is a no-op, not a burned version") {
+    val path = newStore
+    val v1 = Snapshots.commit(docs, path)
+    val emptyUpd = docs.filter(lit(false))
+    assert(Snapshots.merge(spark, path, emptyUpd, Seq("doc_id")) === v1)
+    assert(Snapshots.versions(spark, path) === Seq(v1))
+  }
+
+  test("replacePartitions refuses unknown batch columns (silently hidden writes)") {
+    val path = newStore
+    val parted = docs.withColumn("bucket", col("doc_id") % 4)
+    Snapshots.commit(parted, path, partitionBy = Seq("bucket"))
+    val e = intercept[IllegalArgumentException](
+      Snapshots.replacePartitions(
+        parted.filter(col("bucket") === 1)
+          .withColumn("scoore", lit(1L)), path))
+    assert(e.getMessage.contains("scoore"), e.getMessage)
+  }
+
+  test("changeFeed: a rollback undoing a mor delete emits the resurrected rows as inserts") {
+    val path = newStore
+    Snapshots.commit(docs, path) // v1
+    Snapshots.deleteKeys(spark, path,
+      docs.filter(col("doc_id") % 5 === 0).select("doc_id"),
+      Seq("doc_id"), mode = "mor") // v2
+    val v3 = Snapshots.rollback(spark, path, 1L) // same entries, no DVs
+    val feed = Snapshots.changeFeed(spark, path, 2L, v3)
+    val n = docs.filter(col("doc_id") % 5 === 0).count()
+    assert(feed.filter(col("_change_type") === "insert").count() === n,
+      "the un-deleted rows must stream as inserts")
+    assert(feed.filter(col("_change_type") === "delete").count() === 0L)
+    // and the whole-range telescoping still holds
+    val cols = docs.columns.map(col).toSeq
+    val full = Snapshots.changeFeed(spark, path, 1L, v3)
+    val replayed = Snapshots.read(spark, path, Some(1L)).select(cols: _*)
+      .unionByName(full.filter(col("_change_type") === "insert")
+        .select(cols: _*))
+      .exceptAll(full.filter(col("_change_type") === "delete")
+        .select(cols: _*))
+    assert(replayed.exceptAll(Snapshots.read(spark, path)).count() === 0L)
+    assert(Snapshots.read(spark, path).exceptAll(replayed).count() === 0L)
+  }
+
+  test("vacuum grace protects a long write's WHOLE commit dir, and crashed tag claims never wedge tags()") {
+    val path = newStore
+    Snapshots.commit(docs, path)
+    // simulate an in-flight commit mid-write: one aged early file,
+    // one fresh late file, no manifest yet
+    val dir = new java.io.File(s"$path/data/c-inflight")
+    dir.mkdirs()
+    val early = new java.io.File(dir, "part-early.parquet")
+    val late = new java.io.File(dir, "part-late.parquet")
+    Files.writeString(early.toPath, "x")
+    Files.writeString(late.toPath, "x")
+    assert(early.setLastModified(
+      System.currentTimeMillis() - 24L * 3600 * 1000))
+    // grace 1h: the fresh late file proves the commit may still be
+    // writing - the EARLY file must survive too (per-file aging would
+    // sweep it and break the publish)
+    Snapshots.vacuum(spark, path, graceMs = 3600000L)
+    assert(early.exists(), "early file of an in-flight commit swept")
+    assert(late.exists())
+    // age everything past the grace: now the whole dir goes
+    assert(late.setLastModified(
+      System.currentTimeMillis() - 24L * 3600 * 1000))
+    Snapshots.vacuum(spark, path, graceMs = 3600000L)
+    assert(!dir.exists(), "aged unreferenced commit dir must be swept")
+    // a crashed tag claim (tmp leftover) is invisible to tags() and
+    // expire(), and the table still tags normally
+    new java.io.File(s"$path/_refs").mkdirs()
+    Files.writeString(java.nio.file.Paths.get(
+      s"$path/_refs/_tmp_dead.ref"), "partial")
+    assert(Snapshots.tags(spark, path) === Map.empty)
+    Snapshots.tag(spark, path, "pin")
+    assert(Snapshots.tags(spark, path) === Map("pin" -> 1L))
+    assert(Snapshots.expire(spark, path, keepLast = 1) === 0)
+    // re-tagging the same name refuses (exclusive claim)
+    val e = intercept[IllegalArgumentException](
+      Snapshots.tag(spark, path, "pin"))
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+  }
+
   test("changeFeed from version 0 streams the first commit's own rows as inserts") {
     val path = newStore
     Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path)
