@@ -62,14 +62,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def spark: SparkSession = SparkSession.active
 
-  private def tablePath(ident: Identifier): String =
+  /** Identifier segments become path components: '..', '.', empty,
+    * '/'-bearing or NUL-bearing segments would escape the warehouse
+    * (DROP NAMESPACE `..` CASCADE deleting the warehouse's PARENT is
+    * the canonical exploit) — refuse them everywhere a name touches
+    * the filesystem.
+    */
+  private def requireSafeSegment(seg: String): Unit =
+    require(seg.nonEmpty && seg != "." && seg != ".." &&
+      !seg.contains('/') && !seg.contains('\\') && !seg.contains('\u0000'),
+      s"graft catalog: illegal identifier segment '$seg' - path " +
+        "separators and relative components are not allowed")
+
+  private def nsDir(namespace: Array[String]): String = {
+    namespace.foreach(requireSafeSegment)
+    (warehouse +: namespace.toSeq).mkString("/")
+  }
+
+  private def tablePath(ident: Identifier): String = {
+    (ident.namespace().toSeq :+ ident.name()).foreach(requireSafeSegment)
     (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+  }
 
   private def isTable(path: String): Boolean =
     Snapshots.latestVersion(spark, path).isDefined
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val dir = (warehouse +: namespace.toSeq).mkString("/")
+    val dir = nsDir(namespace)
     val f = new Path(dir).getFileSystem(
       spark.sessionState.newHadoopConf())
     if (!f.exists(new Path(dir))) Array.empty
@@ -163,6 +182,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "graft catalog: only top-level columns can be added")
+        require(a.isNullable,
+          "graft catalog: ADD COLUMN ... NOT NULL is unsupported - " +
+            "existing rows null-fill a new column, so the constraint " +
+            "cannot hold; silently committing it nullable would lose " +
+            "the declaration")
         Snapshots.ColumnChange.Add(
           org.apache.spark.sql.types.StructField(
             a.fieldNames()(0), a.dataType(), nullable = true))
@@ -191,11 +215,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!f.exists(from))
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(oldIdent)
-    require(!f.exists(to),
-      s"graft catalog: ${newIdent} already exists")
     f.mkdirs(to.getParent)
-    require(f.rename(from, to),
-      s"graft catalog: rename $oldIdent -> $newIdent failed")
+    // rename WITHOUT overwrite: a concurrent CREATE/rename of the
+    // destination must fail this rename, never nest the source
+    // inside the freshly-created directory
+    try org.apache.hadoop.fs.FileContext
+      .getFileContext(to.toUri, f.getConf).rename(from, to)
+    catch {
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException) =>
+        throw new IllegalArgumentException(
+          s"graft catalog: $newIdent already exists", e)
+    }
   }
 
   // ---- namespaces: plain directories under the warehouse ----
@@ -222,7 +253,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean = {
-    val dir = (warehouse +: namespace.toSeq).mkString("/")
+    val dir = nsDir(namespace)
     val f = new Path(dir).getFileSystem(
       spark.sessionState.newHadoopConf())
     f.exists(new Path(dir))
@@ -230,7 +261,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createNamespace(namespace: Array[String],
                                metadata: util.Map[String, String]): Unit = {
-    val dir = (warehouse +: namespace.toSeq).mkString("/")
+    val dir = nsDir(namespace)
     val f = new Path(dir).getFileSystem(
       spark.sessionState.newHadoopConf())
     f.mkdirs(new Path(dir))
@@ -244,7 +275,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropNamespace(namespace: Array[String],
                              cascade: Boolean): Boolean = {
-    val dir = (warehouse +: namespace.toSeq).mkString("/")
+    val dir = nsDir(namespace)
     val f = new Path(dir).getFileSystem(
       spark.sessionState.newHadoopConf())
     if (!f.exists(new Path(dir))) false
@@ -266,6 +297,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                                   mutable: Boolean = true)
       extends Table with SupportsRead with SupportsWrite
       with SupportsDelete {
+
+    // the pinned version's state, read ONCE (manifests are
+    // immutable): schema()/partitioning()/readSchema() are called
+    // repeatedly during analysis and each used to re-read the
+    // manifest
+    private lazy val pinnedV: Long =
+      version.orElse(Snapshots.latestVersion(spark, path)).get
+    private lazy val pinnedState = Snapshots.stateAt(spark, path, pinnedV)
 
     /** SQL `DELETE FROM ... WHERE ...` — a copy-on-write
       * [[Snapshots.deleteWhere]] commit (OCC-guarded, history
@@ -292,15 +331,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
     override def name(): String = ident
 
-    override def schema(): StructType = {
-      val v = version.orElse(Snapshots.latestVersion(spark, path)).get
-      Snapshots.stateAt(spark, path, v)._1
-    }
+    override def schema(): StructType = pinnedState._1
 
     override def partitioning(): Array[Transform] = {
-      val v = version.orElse(Snapshots.latestVersion(spark, path)).get
-      val (s, pc, _, _, cm) = Snapshots.stateAt(spark, path, v)
-      val _ = s
+      val (_, pc, _, _, cm) = pinnedState
       pc.map(c => cm.getOrElse(c, c))
         .map(c => Expressions.identity(c)).toArray
     }
@@ -315,7 +349,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         override def readSchema(): StructType = GraftTable.this.schema()
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T = {
-          val df = Snapshots.read(context.sparkSession, path, version)
+          val df = Snapshots.read(context.sparkSession, path,
+            Some(pinnedV))
           (new BaseRelation with TableScan with PrunedFilteredScan {
             override val sqlContext: SQLContext = context
             override def schema: StructType = df.schema

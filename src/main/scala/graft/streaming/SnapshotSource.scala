@@ -54,6 +54,15 @@ private[graft] class SnapshotSource(sqlContext: SQLContext,
   require(maxVersionsPerTrigger.forall(_ >= 1),
     s"snapshot source: maxVersionsPerTrigger must be >= 1, got " +
       s"${maxVersionsPerTrigger.orNull}")
+  require(startingVersion.isEmpty || readChangeFeed,
+    "snapshot source: startingVersion applies to readChangeFeed=true " +
+      "only - the plain append stream always starts from the full " +
+      "snapshot (silently ignoring it would reprocess history the " +
+      "caller asked to skip)")
+  require(startingVersion.forall(_ >= 1),
+    s"snapshot source: startingVersion must be >= 1 (version numbers " +
+      s"start at 1; 1 streams the first commit's own rows), got " +
+      s"${startingVersion.orNull}")
 
   private val spark = sqlContext.sparkSession
 
@@ -76,8 +85,14 @@ private[graft] class SnapshotSource(sqlContext: SQLContext,
     * included), else the version live at source creation (only
     * future commits stream - the Delta readChangeFeed default).
     */
-  private val cdcBase: Long = startingVersion.map(_ - 1L).getOrElse(
-    Snapshots.latestVersion(spark, path).getOrElse(0L))
+  private val cdcBase: Long = {
+    val latest = Snapshots.latestVersion(spark, path).getOrElse(0L)
+    startingVersion.foreach(sv => require(sv <= latest + 1L,
+      s"snapshot source: startingVersion $sv is beyond the table's " +
+        s"latest version $latest - a clamped start would silently " +
+        "stream versions the caller asked to exclude"))
+    startingVersion.map(_ - 1L).getOrElse(latest)
+  }
 
   private def versionOf(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -143,8 +158,14 @@ private[graft] class SnapshotSource(sqlContext: SQLContext,
         if (from >= endV)
           Snapshots.changeFeed(spark, path, endV, endV) // empty, typed
         else Snapshots.changeFeed(spark, path, from, endV)
+      // schema pinned per run, like the non-CDC path: a column added
+      // after the pin must not widen a batch (the engine asserts the
+      // batch matches the declared schema); a renamed column fails
+      // the select LOUDLY, matching changeFeed's own refusal
       return org.apache.spark.sql.graft.StreamingRelationBridge
-        .streamingFromPlan(changes)
+        .streamingFromPlan(changes.select(
+          SnapshotSource.cdcSchema(pinnedSchema)
+            .fieldNames.map(col).toSeq: _*))
     }
     val fresh = start.map(versionOf) match {
       case None =>
@@ -222,35 +243,54 @@ class SnapshotSourceProvider extends StreamSourceProvider
     val partitionBy = parameters.get("partitionBy")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
+    // bootstrap is race-safe through createEmpty's EXCLUSIVE v1
+    // claim: a stale exists-then-commit would let an append/ignore
+    // writer OVERWRITE a concurrent writer's freshly-committed rows
+    def claimFresh(): Boolean =
+      try { Snapshots.createEmpty(spark, path, data.schema,
+        partitionBy); true }
+      catch {
+        case _: java.util.ConcurrentModificationException => false
+        case _: IllegalArgumentException => false // already created
+      }
     val exists = Snapshots.latestVersion(spark, path).nonEmpty
     mode match {
       case SaveMode.Overwrite =>
         Snapshots.commit(data, path, partitionBy); ()
       case SaveMode.Append =>
-        if (exists) { Snapshots.commitAppend(data, path); () }
-        else { Snapshots.commit(data, path, partitionBy); () }
+        // an unpartitioned append bootstraps safely on its own
+        // (commitAppend handles base=None and rebases under races);
+        // a PARTITIONED bootstrap claims the layout first - losing
+        // the claim just means another writer created the table, and
+        // appends compose under OCC rebase
+        if (!exists && partitionBy.nonEmpty) { claimFresh(); () }
+        Snapshots.commitAppend(data, path); ()
       case SaveMode.ErrorIfExists =>
-        if (exists) throw new IllegalArgumentException(
+        if (exists || !claimFresh()) throw new IllegalArgumentException(
           s"snapshot: $path already has committed versions " +
             "(mode=errorifexists); use append or overwrite")
-        Snapshots.commit(data, path, partitionBy); ()
+        Snapshots.commitAppend(data, path); ()
       case SaveMode.Ignore =>
-        if (!exists) { Snapshots.commit(data, path, partitionBy); () }
+        if (!exists && claimFresh()) {
+          Snapshots.commitAppend(data, path); ()
+        }
     }
     createRelation(sqlContext, parameters)
   }
 
   /** Streaming SINK:
     * `df.writeStream.format("graft-snapshot").option("path", p)` —
-    * append mode lands one append commit per micro-batch (the
-    * [[Streams.snapshotStream]] semantics behind the standard sink
-    * API: checkpointed, at-least-once — a replayed batch duplicates
-    * rows in the LATEST version only); complete mode overwrites the
-    * table each batch (a streaming aggregate as an always-current,
-    * still time-travelable table). `partitionBy(...)` on the writer
-    * sets the layout. Update mode refuses (no keyed semantics here —
-    * use [[Streams.snapshotUpsertStream]]). Empty batches are
-    * skipped (no burned versions).
+    * append mode lands one append commit per micro-batch, EXACTLY
+    * ONCE under replay (each batch commits with a
+    * `(appId, batchId)` txn marker derived from the checkpoint
+    * location — the [[Streams.snapshotStream]] contract behind the
+    * standard sink API); complete mode overwrites the table each
+    * batch (a streaming aggregate as an always-current, still
+    * time-travelable table — replays converge by overwriting the
+    * same content). `partitionBy(...)` on the writer sets the
+    * layout. Update mode refuses (no keyed semantics here — use
+    * [[Streams.snapshotUpsertStream]]). Empty batches are skipped
+    * (no burned versions).
     */
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],
@@ -263,6 +303,9 @@ class SnapshotSourceProvider extends StreamSourceProvider
       "snapshot sink: update mode has no whole-row table meaning - " +
         "use append, complete, or Streams.snapshotUpsertStream for " +
         "keyed upserts")
+    val appId = parameters.get("checkpointLocation")
+      .map(c => "ckpt-" + c.replace(":", "_"))
+      .getOrElse("sink-" + java.util.UUID.randomUUID())
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long,
                             data: org.apache.spark.sql.DataFrame): Unit = {
@@ -272,10 +315,23 @@ class SnapshotSourceProvider extends StreamSourceProvider
           if (stable.limit(1).count() > 0L) {
             if (outputMode == OutputMode.Complete()) {
               Snapshots.commit(stable, path, partitionColumns); ()
-            } else if (Snapshots.latestVersion(
-                stable.sparkSession, path).isEmpty) {
-              Snapshots.commit(stable, path, partitionColumns); ()
-            } else { Snapshots.commitAppend(stable, path); () }
+            } else {
+              // bootstrap the declared layout race-safely, then
+              // append with the replay guard
+              if (partitionColumns.nonEmpty &&
+                  Snapshots.latestVersion(
+                    stable.sparkSession, path).isEmpty) {
+                try Snapshots.createEmpty(stable.sparkSession, path,
+                  stable.schema, partitionColumns)
+                catch {
+                  case _: java.util.ConcurrentModificationException =>
+                  case _: IllegalArgumentException =>
+                }
+              }
+              Snapshots.commitAppend(stable, path,
+                txn = Some((appId, batchId)))
+              ()
+            }
           }
         } finally { stable.unpersist(); () }
       }

@@ -132,6 +132,24 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!spark.sql(s"SELECT * FROM $cat.db.a").columns.contains("fresh"))
   }
 
+  test("identifiers cannot escape the warehouse; NOT NULL adds refuse") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    // path-traversal segments refuse everywhere a name touches disk
+    val e1 = intercept[Exception](
+      spark.sql(s"DROP NAMESPACE $cat.`..` CASCADE"))
+    assert(e1.getMessage.contains("illegal identifier"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql(s"CREATE TABLE $cat.db.`../../esc` (id BIGINT)"))
+    assert(e2.getMessage.contains("illegal identifier"), e2.getMessage)
+    // ADD COLUMN NOT NULL cannot hold (old rows null-fill): refuse,
+    // never silently drop the constraint
+    spark.sql(s"CREATE TABLE $cat.db.nn (id BIGINT)")
+    val e3 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.db.nn ADD COLUMNS (x BIGINT NOT NULL)"))
+    assert(e3.getMessage.contains("NOT NULL"), e3.getMessage)
+  }
+
   test("DELETE FROM and TRUNCATE TABLE commit copy-on-write versions") {
     val cat = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")

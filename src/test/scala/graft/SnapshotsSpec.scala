@@ -1659,7 +1659,9 @@ class SnapshotsSpec extends SparkSpec {
 
   test("""format("graft-snapshot") writes: batch save modes and the streaming sink""") {
     val path = newStore
-    // default errorifexists creates; append folds in; rerun refuses
+    // default errorifexists claims v1 (empty create - the race-safe
+    // bootstrap mutex) and appends as v2; append folds in; rerun
+    // refuses
     docs.filter(col("doc_id") % 2 === 0).write
       .format("graft-snapshot").save(path)
     docs.filter(col("doc_id") % 2 === 1).write
@@ -1677,7 +1679,7 @@ class SnapshotsSpec extends SparkSpec {
       .format("graft-snapshot").mode("overwrite").save(path)
     assert(Snapshots.read(spark, path).count() ===
       docs.filter(col("n_chars") > 500).count())
-    assert(Snapshots.read(spark, path, Some(2L)).count() === docs.count())
+    assert(Snapshots.read(spark, path, Some(3L)).count() === docs.count())
     // partitioned bootstrap via option
     val parted = newStore
     docs.withColumn("bucket", col("doc_id") % 4).write
