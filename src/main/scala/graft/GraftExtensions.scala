@@ -18,6 +18,9 @@ import graft.plans.{CosineSimilarityExpr, TopKStrategy}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    // SQL UPDATE / MERGE INTO for snapshot catalog tables (the
+    // built-in planner refuses both for non-row-level-op tables)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftDmlStrategy)
     // rank-filter window pattern -> bounded-heap TopKPerKeyPlan
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
     ext.injectFunction((

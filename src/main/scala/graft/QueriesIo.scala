@@ -1075,6 +1075,95 @@ private[graft] object QueriesIo {
       s"FROM $cat.db.docs WHERE n_chars >= 300 AND lang <> 'zh'")
   }
 
+  /** SQL UPDATE on a snapshot catalog table
+    * ([[graft.plans.GraftDmlStrategy]] lowering `UPDATE` onto
+    * [[graft.io.Snapshots.updateWhere]]'s copy-on-write commit):
+    * uppercase + lengthen the short documents in place, read the
+    * table back. Rows whose predicate is NULL (missing n_chars) stay
+    * untouched — SQL semantics end to end.
+    */
+  def snapshotSqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "snap_sqlupd_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = "gupd_" + math.abs(wh.hashCode).toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    t(s, dir, "documents").createOrReplaceTempView("graft_sqlupd_src")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+      "lang STRING, source STRING, n_chars BIGINT)")
+    s.sql(s"INSERT INTO $cat.db.docs SELECT * FROM graft_sqlupd_src")
+    s.sql(s"UPDATE $cat.db.docs SET text = upper(text), " +
+      "n_chars = n_chars + 1 WHERE n_chars < 300")
+    s.sql(s"SELECT doc_id, text, lang, source, n_chars FROM $cat.db.docs")
+  }
+
+  /** SQL MERGE INTO on a snapshot catalog table — the full clause
+    * surface through [[graft.plans.GraftDmlStrategy]] onto
+    * [[graft.io.Snapshots.mergeInto]]: a conditional WHEN MATCHED
+    * UPDATE, a fall-through WHEN MATCHED DELETE (first matching
+    * clause wins, so it catches the rows the condition rejects), and
+    * a WHEN NOT MATCHED INSERT naming a column subset (the rest
+    * NULL). One copy-on-write commit; affected files only.
+    */
+  def snapshotSqlMerge(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "snap_sqlmrg_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = "gmrg_" + math.abs(wh.hashCode).toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    t(s, dir, "documents").createOrReplaceTempView("graft_sqlmrg_src")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+      "lang STRING, source STRING, n_chars BIGINT)")
+    s.sql(s"INSERT INTO $cat.db.docs SELECT * FROM graft_sqlmrg_src")
+    s.sql(
+      s"""MERGE INTO $cat.db.docs d USING (
+         |  SELECT doc_id, text, lang FROM graft_sqlmrg_src
+         |  WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text, lang FROM graft_sqlmrg_src
+         |  WHERE doc_id % 10 = 3) s
+         |ON d.doc_id = s.doc_id
+         |WHEN MATCHED AND d.n_chars >= 300 THEN
+         |  UPDATE SET text = upper(s.text)
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN
+         |  INSERT (doc_id, text, lang) VALUES (s.doc_id, s.text, s.lang)
+         |""".stripMargin)
+    s.sql(s"SELECT doc_id, text, lang, source, n_chars FROM $cat.db.docs")
+  }
+
+  /** SQL stored procedures ([[graft.io.GraftProcedures]] via the
+    * DSv2 `ProcedureCatalog`): load the table in four small commits,
+    * `CALL system.compact` to rewrite them into the budgeted layout,
+    * `CALL system.tag` the result, and read `VERSION AS OF` the tag —
+    * maintenance scheduled from pure SQL, result identical to the
+    * full corpus (compaction moves bytes, never rows).
+    */
+  def snapshotSqlCall(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "snap_call_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = "gcall_" + math.abs(wh.hashCode).toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    t(s, dir, "documents").createOrReplaceTempView("graft_call_src")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+      "lang STRING, source STRING, n_chars BIGINT)")
+    (0 until 4).foreach(q => s.sql(
+      s"INSERT INTO $cat.db.docs SELECT * FROM graft_call_src " +
+        s"WHERE doc_id % 4 = $q"))
+    s.sql(s"CALL $cat.system.compact(table => 'db.docs', " +
+      "target_file_mb => 1)")
+    s.sql(s"CALL $cat.system.tag(table => 'db.docs', name => 'gold')")
+    s.sql(s"SELECT doc_id, text, lang, source, n_chars " +
+      s"FROM $cat.db.docs VERSION AS OF 'gold'")
+  }
+
   /** STREAMING CHANGE DATA FEED ([[Streams.snapshotChangeFeed]] over
     * [[graft.io.Snapshots.changeFeed]]): commit the table, merge
     * updates+inserts (v2), merge-on-read delete a key set (v3), then
@@ -1112,6 +1201,9 @@ private[graft] object QueriesIo {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_snapshot_changefeed" -> (snapshotStreamChangeFeed _),
     "q_snapshot_catalog" -> (snapshotCatalog _),
+    "q_snapshot_sql_update" -> (snapshotSqlUpdate _),
+    "q_snapshot_sql_merge" -> (snapshotSqlMerge _),
+    "q_snapshot_call" -> (snapshotSqlCall _),
     "q_snapshot_str_skip" -> (snapshotStrSkip _),
     "q_snapshot_rename" -> (snapshotRename _),
     "q_snapshot_dv" -> (snapshotDv _),
@@ -1253,6 +1345,29 @@ private[graft] object QueriesIo {
     "q_snapshot_catalog" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          WHERE n_chars >= 300 AND lang <> 'zh'""",
+    "q_snapshot_call" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "q_snapshot_sql_update" ->
+      """SELECT doc_id,
+           CASE WHEN coalesce(n_chars < 300, FALSE)
+                THEN upper(text) ELSE text END AS text,
+           lang, source,
+           CASE WHEN coalesce(n_chars < 300, FALSE)
+                THEN n_chars + 1 ELSE n_chars END AS n_chars
+         FROM documents""",
+    "q_snapshot_sql_merge" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0 THEN upper(text) ELSE text END
+             AS text,
+           lang, source, n_chars
+         FROM documents
+         WHERE NOT (doc_id % 10 = 0
+                    AND NOT coalesce(n_chars >= 300, FALSE))
+         UNION ALL
+         SELECT doc_id + 1000000, text, lang,
+                CAST(NULL AS VARCHAR) AS source,
+                CAST(NULL AS BIGINT) AS n_chars
+         FROM documents WHERE doc_id % 10 = 3""",
     "q_snapshot_changefeed" ->
       """WITH base AS (
            SELECT doc_id, text, lang, source, n_chars FROM documents)

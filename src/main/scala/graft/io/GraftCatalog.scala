@@ -45,7 +45,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * write is an atomic, time-travelable commit with the same OCC
   * semantics as the programmatic API.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -56,9 +57,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     warehouse = options.get("warehouse")
     require(warehouse != null && warehouse.nonEmpty,
       s"graft catalog '$name' needs spark.sql.catalog.$name.warehouse")
+    // configuring the catalog enables its SQL DML: UPDATE and
+    // MERGE INTO plan through the strategy, not the built-ins (which
+    // refuse non-row-level-op tables at planning)
+    graft.plans.GraftDmlStrategy.ensure(spark)
   }
 
   override def name(): String = catalogName
+
+  /** `CALL <cat>.system.<proc>(...)` — snapshot-store maintenance as
+    * SQL stored procedures ([[GraftProcedures]]: compact, vacuum,
+    * expire_versions, rollback, tag, drop_tag, maintain).
+    */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"graft catalog: procedures live in the 'system' namespace " +
+        s"(CALL $catalogName.system.<name>), got " +
+        s"${(ident.namespace :+ ident.name).mkString(".")}")
+    GraftProcedures.load(ident.name, warehouse)
+  }
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.identifiers
+    else Array.empty
 
   private def spark: SparkSession = SparkSession.active
 
@@ -297,6 +322,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                                   mutable: Boolean = true)
       extends Table with SupportsRead with SupportsWrite
       with SupportsDelete {
+
+    /** The snapshot store's base path — [[graft.plans.GraftDmlStrategy]]
+      * routes SQL UPDATE / MERGE INTO through [[Snapshots]] with it. */
+    private[graft] def snapshotPath: String = path
+    /** False for a time-travelled load (`VERSION AS OF`): DML against
+      * a pinned historical version must refuse. */
+    private[graft] def isMutable: Boolean = mutable
 
     // the pinned version's state, read ONCE (manifests are
     // immutable): schema()/partitioning()/readSchema() are called

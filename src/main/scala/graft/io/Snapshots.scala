@@ -1852,6 +1852,251 @@ object Snapshots {
     } finally { upd0.unpersist(); () }
   }
 
+  /** Copy-on-write SQL UPDATE: rows where `predicate` evaluates TRUE
+    * take the `sets` assignments (each value expression evaluated
+    * against the row's OLD values — `SET a = b, b = a` swaps, SQL
+    * semantics); FALSE and NULL rows keep their values. Values are
+    * cast to the column's stored type. Only files containing at least
+    * one matching row are rewritten — same discovery/rewrite
+    * economics as [[deleteWhere]] — and a predicate matching nothing
+    * commits nothing (idempotent). `predicate = None` updates every
+    * row (still a whole-table rewrite, as SQL demands). Partition
+    * columns may be updated: rewritten rows land in their new
+    * partition directories like any other write.
+    */
+  def updateWhere(spark: SparkSession, path: String,
+                  sets: Seq[(String, Column)],
+                  predicate: Option[Column]): Long = {
+    require(sets.nonEmpty, "snapshot: updateWhere needs at least one " +
+      "SET assignment")
+    val dupSet = sets.map(_._1).diff(sets.map(_._1).distinct).distinct
+    require(dupSet.isEmpty,
+      s"snapshot: updateWhere sets column(s) ${dupSet.mkString(",")} " +
+        "more than once - the result would be order-dependent")
+    val st @ CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
+      currentState(spark, path, "update")
+    val unknown = sets.map(_._1).filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"snapshot: updateWhere SET column(s) ${unknown.mkString(",")} " +
+        s"are not in the table schema (${schema.fieldNames.mkString(", ")})")
+    val pred = predicate.map(p => coalesce(p, lit(false)))
+    val affected = pred match {
+      case Some(p) =>
+        liveWithId(spark, path, schema, partCols, all, dvs, colMap)
+          .filter(p)
+          .select(DvFileCol).distinct()
+          .collect().map(_.getString(0)).toSet
+      case None => all.map(relOf).toSet // unconditional: every file
+    }
+    if (affected.isEmpty) return v
+    val setMap = sets.toMap
+    val carried = all.filterNot(e => affected(relOf(e)))
+    val rewritten = openLive(spark, path, schema, partCols,
+        all.filter(e => affected(relOf(e))), dvs, colMap)
+      .select(schema.fields.toSeq.map { f =>
+        setMap.get(f.name) match {
+          case Some(value) =>
+            val cast = value.cast(f.dataType)
+            pred.map(p => when(p, cast).otherwise(col(f.name)))
+              .getOrElse(cast).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    writeCommit(spark, rewritten, path, carried, schema, partCols,
+      dropped, txns, dvs, colMap, Some(v),
+      RefuseConflict("updating"), "update")
+  }
+
+  /** Column reference to the MERGE source side inside [[mergeInto]]
+    * clause conditions / SET values / INSERT values: target columns
+    * are referenced by plain name, source columns via `src("name")`.
+    */
+  def src(name: String): Column = col(s"$SrcPrefix$name")
+  private[graft] val SrcPrefix = "__graft_src_"
+
+  /** `WHEN MATCHED [AND condition] THEN ...` clauses for
+    * [[mergeInto]]. Conditions and values may reference both sides
+    * (target by name, source via [[src]]); a NULL condition result
+    * means the clause does not apply — SQL semantics. The first
+    * matching clause, in declaration order, wins per row.
+    */
+  sealed trait WhenMatched { def condition: Option[Column] }
+  final case class WhenMatchedUpdate(condition: Option[Column],
+                                     sets: Seq[(String, Column)])
+      extends WhenMatched
+  final case class WhenMatchedDelete(condition: Option[Column])
+      extends WhenMatched
+
+  /** `WHEN NOT MATCHED [AND condition] THEN INSERT` clause: `values`
+    * name target columns; expressions reference the source row via
+    * [[src]]. Unnamed columns insert NULL. First matching clause, in
+    * declaration order, wins per source row.
+    */
+  final case class WhenNotMatchedInsert(condition: Option[Column],
+                                        values: Seq[(String, Column)])
+
+  /** Full SQL `MERGE INTO`, copy-on-write: join the table against
+    * `source` on the `on` key pairs (target column, source column)
+    * and apply, per row, the FIRST matching clause in declaration
+    * order — `matched` clauses to (target row, source row) matches,
+    * `notMatched` insert clauses to unmatched SOURCE rows, and
+    * `notMatchedBySource` clauses (update/delete whose conditions and
+    * values see target columns only) to unmatched TARGET rows. This
+    * is the Delta/Iceberg MERGE surface; [[merge]]/[[mergeUpdate]]
+    * remain the cheaper special cases for plain upserts.
+    *
+    * Scale shape: with no `notMatchedBySource` clauses, discovery
+    * scans ONLY the target key columns + file metadata and the
+    * rewrite touches ONLY files holding a matched key — [[merge]]'s
+    * copy-on-write economics. `notMatchedBySource` clauses
+    * necessarily inspect EVERY target row (their predicate is "no
+    * source row matches"), so their presence makes the commit a
+    * whole-table rewrite, exactly as in Delta.
+    *
+    * Refused loudly: duplicate source key tuples that match a target
+    * row (the SQL cardinality violation — which clause output wins
+    * would be non-deterministic), key type drift, unknown columns,
+    * and concurrent commits. NULL source keys match nothing and fall
+    * through to `notMatched` inserts (SQL join semantics — NULLs
+    * never equal).
+    */
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame,
+                on: Seq[(String, String)],
+                matched: Seq[WhenMatched] = Nil,
+                notMatched: Seq[WhenNotMatchedInsert] = Nil,
+                notMatchedBySource: Seq[WhenMatched] = Nil): Long = {
+    require(on.nonEmpty, "snapshot: mergeInto needs at least one ON " +
+      "key pair")
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty,
+      "snapshot: mergeInto needs at least one WHEN clause")
+    val st @ CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
+      currentState(spark, path, "mergeInto")
+    val tCols = schema.fieldNames.toSeq
+    val keyCols = on.map(_._1)
+    val srcKeyCols = on.map(_._2)
+    require(keyCols.forall(tCols.contains),
+      s"snapshot: ON target column(s) ${keyCols.filterNot(tCols.contains)
+        .mkString(",")} are not in the table schema")
+    require(srcKeyCols.forall(source.columns.contains),
+      s"snapshot: ON source column(s) ${srcKeyCols
+        .filterNot(source.columns.contains).mkString(",")} are not in " +
+        "the source")
+    val srcDup = source.columns.diff(source.columns.distinct).distinct
+    require(srcDup.isEmpty,
+      s"snapshot: source carries duplicate column name(s) " +
+        s"${srcDup.mkString(",")} - alias them apart first")
+    on.foreach { case (t, sCol) =>
+      val tt = schema(t).dataType
+      val stype = source.schema(sCol).dataType
+      require(tt.catalogString == stype.catalogString,
+        s"snapshot: ON pair $t = $sCol joins ${tt.catalogString} " +
+          s"against ${stype.catalogString} - cast the source explicitly")
+    }
+    val setNames = (matched ++ notMatchedBySource).collect {
+      case WhenMatchedUpdate(_, sets) => sets.map(_._1)
+    }.flatten ++ notMatched.flatMap(_.values.map(_._1))
+    val unknown = setNames.filterNot(tCols.contains).distinct
+    require(unknown.isEmpty,
+      s"snapshot: clause column(s) ${unknown.mkString(",")} are not " +
+        s"in the table schema (${tCols.mkString(", ")})")
+    val srcR = source.select(source.columns.toSeq.map(c =>
+        col(c).as(s"$SrcPrefix$c")) :+ lit(true).as(SrcHitCol): _*)
+      .persist()
+    try {
+      val joinCond = on.map { case (t, sCol) =>
+        col(t) === col(s"$SrcPrefix$sCol") }.reduce(_ && _)
+      val srcKeys = srcR.select(on.map { case (t, sCol) =>
+        col(s"$SrcPrefix$sCol").as(t) }: _*)
+      val live = openLive(spark, path, schema, partCols, all, dvs, colMap)
+      val touchesMatched = matched.nonEmpty || notMatchedBySource.nonEmpty
+      // SQL cardinality rule: >1 source row matching one target row
+      // is an error (which clause output survives would be arbitrary)
+      if (touchesMatched || notMatched.nonEmpty) {
+        val dup = srcKeys
+          .join(live.select(keyCols.map(col): _*), keyCols, "left_semi")
+          .groupBy(keyCols.map(col): _*)
+          .count().filter(col("count") > 1).limit(1).count()
+        require(dup == 0L,
+          "snapshot: more than one source row matches a single target " +
+            "row (the SQL MERGE cardinality violation) - deduplicate " +
+            "the source on the ON keys first")
+      }
+      val affected: Set[String] =
+        if (notMatchedBySource.nonEmpty) all.map(relOf).toSet
+        else if (matched.nonEmpty)
+          discoverAffected(spark, path, schema, partCols, all, dvs,
+            srcKeys, keyCols, colMap)
+        else Set.empty
+      def condOf(c: Option[Column], base: Column): Column =
+        c.map(cc => base && coalesce(cc, lit(false))).getOrElse(base)
+      val rewritten =
+        if (affected.isEmpty) None
+        else {
+          val hit = col(SrcHitCol).isNotNull
+          val miss = col(SrcHitCol).isNull
+          // (guard, clause) in declaration order: matched clauses see
+          // a source match, not-matched-by-source clauses the absence
+          val guarded: Seq[(Column, WhenMatched)] =
+            matched.map(cl => (condOf(cl.condition, hit), cl)) ++
+            notMatchedBySource.map(cl => (condOf(cl.condition, miss), cl))
+          val joined = openLive(spark, path, schema, partCols,
+              all.filter(e => affected(relOf(e))), dvs, colMap)
+            .join(srcR, joinCond, "left")
+          val killed = guarded.foldRight(lit(false)) { case ((g, cl), els) =>
+            when(g, lit(cl.isInstanceOf[WhenMatchedDelete])).otherwise(els)
+          }
+          val out = schema.fields.toSeq.map { f =>
+            guarded.foldRight(col(f.name)) { case ((g, cl), els) =>
+              cl match {
+                case WhenMatchedUpdate(_, sets)
+                    if sets.exists(_._1 == f.name) =>
+                  when(g, sets.find(_._1 == f.name).get._2
+                    .cast(f.dataType)).otherwise(els)
+                // a matching clause that leaves this column alone
+                // still stops LATER clauses from touching it
+                case _ => when(g, col(f.name)).otherwise(els)
+              }
+            }.as(f.name)
+          }
+          Some(joined.filter(not(killed)).select(out: _*))
+        }
+      val inserts =
+        if (notMatched.isEmpty) None
+        else {
+          val unmatchedSrc = srcR.join(
+            live.select(keyCols.map(col): _*), joinCond, "left_anti")
+          // first-match-wins across insert clauses: clause i fires only
+          // where every earlier clause's condition failed
+          val rows = notMatched.zipWithIndex.map { case (cl, i) =>
+            val own = cl.condition.map(c => coalesce(c, lit(false)))
+              .getOrElse(lit(true))
+            val g = notMatched.take(i).foldLeft(own) { (acc, prior) =>
+              acc && !prior.condition.map(c => coalesce(c, lit(false)))
+                .getOrElse(lit(true))
+            }
+            val vals = cl.values.toMap
+            unmatchedSrc.filter(g).select(schema.fields.toSeq.map { f =>
+              vals.get(f.name).map(_.cast(f.dataType))
+                .getOrElse(lit(null).cast(f.dataType)).as(f.name)
+            }: _*)
+          }
+          val ins = rows.reduce(_ unionByName _)
+          if (ins.limit(1).count() == 0L) None else Some(ins)
+        }
+      (rewritten, inserts) match {
+        case (None, None) => v // nothing matched, nothing to insert
+        case (r, i) =>
+          val fresh = (r.toSeq ++ i.toSeq).reduce(_ unionByName _)
+          val carried = all.filterNot(e => affected(relOf(e)))
+          writeCommit(spark, fresh, path, carried, schema, partCols,
+            dropped, txns, dvs, colMap, Some(v),
+            RefuseConflict("merging into"), "mergeInto")
+      }
+    } finally { srcR.unpersist(); () }
+  }
+  private[graft] val SrcHitCol = "__graft_src_hit"
+
   /** Mutation batches must carry the table's exact column types:
     * name-matched columns with a different type would either write
     * mixed-type files under one stored schema (failing much later, at

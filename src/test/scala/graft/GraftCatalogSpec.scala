@@ -201,4 +201,163 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("cannot be found") ||
       e.getMessage.toLowerCase.contains("not found"), e.getMessage)
   }
+
+  test("CALL procedures: compact, tag, rollback, expire, vacuum, refusals") {
+    val cat = freshCatalog()
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    docs.createOrReplaceTempView("proc_src")
+    spark.sql(s"CREATE TABLE $cat.db.p (doc_id BIGINT, text STRING, " +
+      "lang STRING, source STRING, n_chars BIGINT)")
+    (0 until 4).foreach(q => spark.sql(
+      s"INSERT INTO $cat.db.p SELECT * FROM proc_src " +
+        s"WHERE doc_id % 4 = $q"))
+    val path = s"$wh/db/p"
+    val filesBefore = Snapshots.read(spark, path)
+      .select(org.apache.spark.sql.functions
+        .input_file_name()).distinct().count()
+    assert(filesBefore >= 4L)
+    // compact through SQL; one-row (version) result
+    val v = spark.sql(s"CALL $cat.system.compact(table => 'db.p')")
+      .collect()(0).getLong(0)
+    assert(v === 6L) // create + 4 inserts + compact
+    assert(Snapshots.read(spark, path)
+      .select(org.apache.spark.sql.functions
+        .input_file_name()).distinct().count() < filesBefore)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.p")
+      .collect()(0).getLong(0) === docs.count())
+    // tag the compacted version, positionally and by name
+    assert(spark.sql(s"CALL $cat.system.tag('db.p', 'gold')")
+      .collect()(0).getLong(0) === 6L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.p " +
+      "VERSION AS OF 'gold'").collect()(0).getLong(0) === docs.count())
+    // rollback to the half-loaded v3 (create + 2 inserts)
+    val v2 = spark.sql(
+      s"CALL $cat.system.rollback(table => 'db.p', version => 3)")
+      .collect()(0).getLong(0)
+    assert(v2 === 7L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.p")
+      .collect()(0).getLong(0) ===
+      docs.filter(col("doc_id") % 4 < 2).count())
+    // roll forward again, expire history, vacuum with zero grace:
+    // the unreferenced pre-compact files get deleted
+    spark.sql(s"CALL $cat.system.rollback(table => 'db.p', version => 6)")
+    val removed = spark.sql(
+      s"CALL $cat.system.expire_versions(table => 'db.p', " +
+        "keep_last => 1)").collect()(0).getInt(0)
+    assert(removed >= 6)
+    val vacuumed = spark.sql(
+      s"CALL $cat.system.vacuum(table => 'db.p', grace_minutes => 0)")
+      .collect()(0).getInt(0)
+    assert(vacuumed > 0, "pre-compact files must be vacuumable")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.p")
+      .collect()(0).getLong(0) === docs.count())
+    // maintain runs end-to-end and reports
+    val m = spark.sql(s"CALL $cat.system.maintain(table => 'db.p')")
+      .collect()(0)
+    assert(m.schema.fieldNames.toSeq ===
+      Seq("compacted", "expired", "vacuumed"))
+    // drop_tag (the expire kept only the latest version; tags are
+    // independent metadata)
+    assert(spark.sql(s"CALL $cat.system.drop_tag('db.p', 'gold')")
+      .collect()(0).getBoolean(0))
+    // refusals: unknown procedure, traversal in the table argument
+    val e = intercept[Exception](spark.sql(
+      s"CALL $cat.system.nope(table => 'db.p')"))
+    assert(e.getMessage.contains("unknown procedure") ||
+      e.getMessage.toLowerCase.contains("failed to load routine"),
+      e.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      s"CALL $cat.system.vacuum(table => '../../etc')"))
+    assert(e2.getMessage.contains("illegal table identifier"),
+      e2.getMessage)
+  }
+
+  test("SQL UPDATE: conditional assignment, old-value semantics, time travel intact") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    docs.createOrReplaceTempView("upd_src")
+    spark.sql(s"CREATE TABLE $cat.db.u (doc_id BIGINT, text STRING, " +
+      "lang STRING, source STRING, n_chars BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.u SELECT * FROM upd_src")
+    spark.sql(s"UPDATE $cat.db.u SET n_chars = n_chars + doc_id, " +
+      "text = upper(text) WHERE n_chars < 300")
+    val got = spark.sql(
+      s"SELECT doc_id, text, n_chars FROM $cat.db.u")
+    val want = docs.select(col("doc_id"),
+      when(col("n_chars") < 300, upper(col("text")))
+        .otherwise(col("text")).as("text"),
+      when(col("n_chars") < 300, col("n_chars") + col("doc_id"))
+        .otherwise(col("n_chars")).as("n_chars"))
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+    // the pre-update version still serves the original rows
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.u VERSION AS OF 2 " +
+      "WHERE text = upper(text)").collect()(0).getLong(0) ===
+      docs.filter(col("text") === upper(col("text"))).count())
+    // UPDATE against a time-travelled load refuses
+    val e = intercept[Exception](spark.sql(
+      s"UPDATE $cat.db.u VERSION AS OF 2 SET text = 'x'"))
+    // (either the parser refuses the clause or the strategy refuses
+    // the immutable relation — both are loud failures)
+    assert(e != null)
+    // a subquery inside UPDATE refuses loudly, never mis-executes
+    val e2 = intercept[Exception](spark.sql(
+      s"UPDATE $cat.db.u SET n_chars = " +
+        s"(SELECT max(n_chars) FROM $cat.db.u) WHERE doc_id = 0"))
+    assert(e2.getMessage.contains("subquer") ||
+      e2.getMessage.toLowerCase.contains("unsupported"), e2.getMessage)
+  }
+
+  test("SQL MERGE INTO: update/delete/insert clauses, star forms, refusals") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.createDataFrame(Seq((1L, "a", 10L), (2L, "b", 20L),
+      (3L, "c", 30L))).toDF("id", "name", "n")
+      .createOrReplaceTempView("mrg_base")
+    spark.sql(s"CREATE TABLE $cat.db.m (id BIGINT, name STRING, " +
+      "n BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.m SELECT * FROM mrg_base")
+    spark.sql(
+      s"""MERGE INTO $cat.db.m t USING (SELECT * FROM VALUES
+         |  (1L, 'x', 100L), (4L, 'd', 40L) AS s(id, name, n)) s
+         |ON t.id = s.id
+         |WHEN MATCHED AND t.n < 15 THEN UPDATE SET *
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql(s"SELECT id, name, n FROM $cat.db.m ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, "x", 100L), (2L, "b", 20L),
+      (3L, "c", 30L), (4L, "d", 40L)))
+    // NOT MATCHED BY SOURCE sees only unmatched target rows
+    spark.sql(
+      s"""MERGE INTO $cat.db.m t USING (SELECT 1L AS sid) s
+         |ON t.id = s.sid
+         |WHEN MATCHED THEN UPDATE SET name = 'kept'
+         |WHEN NOT MATCHED BY SOURCE AND t.id >= 4 THEN DELETE
+         |""".stripMargin)
+    val got2 = spark.sql(s"SELECT id, name FROM $cat.db.m ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got2.toSeq === Seq((1L, "kept"), (2L, "b"), (3L, "c")))
+    // non-equi ON refuses with the lowering error, not silent data
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO $cat.db.m t USING (SELECT 1L AS sid) s
+         |ON t.id >= s.sid
+         |WHEN MATCHED THEN DELETE""".stripMargin))
+    assert(e.getMessage.contains("conjunction of") ||
+      e.getMessage.contains("equalities"), e.getMessage)
+    // duplicate source keys for one target row = SQL cardinality error
+    val e2 = intercept[Exception](spark.sql(
+      s"""MERGE INTO $cat.db.m t USING (SELECT * FROM VALUES
+         |  (2L), (2L) AS s(sid)) s
+         |ON t.id = s.sid
+         |WHEN MATCHED THEN DELETE""".stripMargin))
+    assert(e2.getMessage.contains("cardinality"), e2.getMessage)
+    // the two merges and the refusals left exactly the committed
+    // history: create, insert, merge, merge (no partial commits)
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val ops = Snapshots.history(spark, s"$wh/db/m")
+      .orderBy("version").collect().map(_.getString(2)).toSeq
+    assert(ops === Seq("create", "append", "mergeInto", "mergeInto"))
+  }
 }

@@ -2093,4 +2093,114 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, path)
       .filter(col("doc_id") === 1 && col("text") === "new").count() === 1L)
   }
+
+  test("updateWhere: SET uses OLD values, NULL predicate skips, no match = no commit, affected files only") {
+    val path = newStore
+    // 4 files, one per doc_id % 4 bucket
+    (0 until 4).foreach(q => Snapshots.commitAppend(
+      docs.filter(col("doc_id") % 4 === q), path))
+    val before = dataFiles(path).toSet
+    val v = Snapshots.updateWhere(spark, path,
+      // swap-shape assignment: both values must read the OLD row
+      Seq("n_chars" -> (col("n_chars") + col("doc_id")),
+          "text" -> concat(lit("u:"), col("text"))),
+      Some(col("doc_id") % 4 === 1 && col("n_chars") < 300))
+    assert(v === 5L)
+    val got = Snapshots.read(spark, path)
+    val want = docs.select(col("doc_id"),
+      when(col("doc_id") % 4 === 1 && col("n_chars") < 300,
+        concat(lit("u:"), col("text"))).otherwise(col("text")).as("text"),
+      col("lang"), col("source"),
+      when(col("doc_id") % 4 === 1 && col("n_chars") < 300,
+        col("n_chars") + col("doc_id")).otherwise(col("n_chars"))
+        .as("n_chars"))
+    assert(got.select(docs.columns.map(col).toSeq: _*)
+      .exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got.select(docs.columns.map(col).toSeq: _*))
+      .count() === 0L)
+    // copy-on-write economics: no old file is deleted (time travel
+    // intact), and only ONE commit dir of fresh files appears — the
+    // three untouched buckets are carried by reference, not rewritten
+    val after = dataFiles(path).toSet
+    assert(before.subsetOf(after), "update must not delete old files")
+    val freshDirs = (after -- before).map(_.split('/').head)
+    assert(freshDirs.size === 1,
+      s"one rewrite commit expected, got dirs: $freshDirs")
+    // predicate matching nothing = same version back, no new commit
+    val v2 = Snapshots.updateWhere(spark, path,
+      Seq("text" -> lit("x")), Some(col("doc_id") === -99))
+    assert(v2 === v)
+    // unknown SET column refuses
+    val e = intercept[IllegalArgumentException](
+      Snapshots.updateWhere(spark, path, Seq("nope" -> lit(1)), None))
+    assert(e.getMessage.contains("not in the table schema"), e.getMessage)
+  }
+
+  test("mergeInto: clause order wins, cardinality refuses, NULL source keys insert") {
+    val path = newStore
+    val base = spark.createDataFrame(Seq(
+      (1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L)))
+      .toDF("id", "name", "n")
+    Snapshots.commit(base, path)
+    import graft.io.Snapshots.{WhenMatchedDelete, WhenMatchedUpdate,
+      WhenNotMatchedInsert}
+    val source = spark.createDataFrame(Seq(
+      (java.lang.Long.valueOf(1L), "upd"),   // matched, n=10 < 25 -> delete
+      (java.lang.Long.valueOf(3L), "upd3"),  // matched, n=30 >= 25 -> update
+      (java.lang.Long.valueOf(9L), "ins"),   // unmatched -> insert
+      (null.asInstanceOf[java.lang.Long], "nullkey") // NULL key -> insert
+    )).toDF("sid", "sname")
+    val v = Snapshots.mergeInto(spark, path, source,
+      on = Seq("id" -> "sid"),
+      matched = Seq(
+        WhenMatchedUpdate(Some(col("n") >= 25),
+          Seq("name" -> concat(Snapshots.src("sname"), lit("!")))),
+        WhenMatchedDelete(None)),
+      notMatched = Seq(WhenNotMatchedInsert(None,
+        Seq("id" -> Snapshots.src("sid"),
+            "name" -> Snapshots.src("sname")))))
+    assert(v === 2L)
+    val got = Snapshots.read(spark, path).orderBy("id").collect()
+      .map(r => (Option(r.get(0)), r.getString(1), Option(r.get(2))))
+    assert(got.toSeq === Seq(
+      (None, "nullkey", None),            // NULL key inserted, n NULL
+      (Some(2L), "b", Some(20L)),         // untouched
+      (Some(3L), "upd3!", Some(30L)),     // first clause (update) won
+      (Some(4L), "d", Some(40L)),         // untouched
+      (Some(9L), "ins", None)))           // insert, unnamed column NULL
+    // 1L was deleted: the update clause's condition failed, the
+    // unconditional delete clause is next in order
+    // cardinality violation: two source rows for one target key
+    val dup = spark.createDataFrame(Seq((2L, "x"), (2L, "y")))
+      .toDF("sid", "sname")
+    val e = intercept[IllegalArgumentException](
+      Snapshots.mergeInto(spark, path, dup, Seq("id" -> "sid"),
+        matched = Seq(WhenMatchedDelete(None))))
+    assert(e.getMessage.contains("cardinality"), e.getMessage)
+    // ON type drift refuses with a cast remediation
+    val wrongType = spark.createDataFrame(Seq(("2", "x")))
+      .toDF("sid", "sname")
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.mergeInto(spark, path, wrongType, Seq("id" -> "sid"),
+        matched = Seq(WhenMatchedDelete(None))))
+    assert(e2.getMessage.contains("cast the source"), e2.getMessage)
+  }
+
+  test("mergeInto: notMatchedBySource clauses see unmatched target rows only") {
+    val path = newStore
+    val base = spark.createDataFrame(Seq(
+      (1L, "a"), (2L, "b"), (3L, "c"))).toDF("id", "name")
+    Snapshots.commit(base, path)
+    import graft.io.Snapshots.{WhenMatchedUpdate, WhenMatchedDelete,
+      WhenNotMatchedInsert}
+    val source = spark.createDataFrame(Seq(Tuple1(2L))).toDF("sid")
+    Snapshots.mergeInto(spark, path, source, Seq("id" -> "sid"),
+      matched = Seq(WhenMatchedUpdate(None, Seq("name" -> lit("hit")))),
+      notMatchedBySource = Seq(
+        WhenMatchedDelete(Some(col("id") === 3)),
+        WhenMatchedUpdate(None, Seq("name" -> lit("miss")))))
+    val got = Snapshots.read(spark, path).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "miss"), (2L, "hit")))
+  }
 }
