@@ -1049,6 +1049,29 @@ private[graft] object QueriesIo {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** HIDDEN partition transforms (Iceberg's headline layout feature)
+    * on the snapshot store: the table is committed under
+    * `bucket(8, doc_id)` + `truncate(4, source)` — derived partition
+    * DIRECTORIES only; neither derived column ever surfaces, and the
+    * source columns stay in the data files. A point lookup on the
+    * raw `source` column ([[graft.io.Snapshots.readEquals]]) prunes
+    * to the one truncated-prefix directory (and bucket pruning cuts
+    * `doc_id` lookups to 1/8 of the files) with the residual
+    * in-plan equality keeping the result exact. At 100 TB this is
+    * the difference between opening every file and opening one
+    * directory's sliver, without users ever materializing or even
+    * knowing about the derived columns.
+    */
+  def snapshotHidden(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "snap_hid")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = t(s, dir, "documents")
+    graft.io.Snapshots.commit(docs, path,
+      partitionBy = Seq("bucket(8, doc_id)", "truncate(4, source)"))
+    graft.io.Snapshots.readEquals(s, path, "source", "src12")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** The snapshot store through the DSv2 SQL catalog
     * ([[graft.io.GraftCatalog]]): CREATE TABLE (a zero-entry
     * manifest), INSERT INTO ... SELECT (an append commit), and a
@@ -1205,6 +1228,7 @@ private[graft] object QueriesIo {
     "q_snapshot_sql_merge" -> (snapshotSqlMerge _),
     "q_snapshot_call" -> (snapshotSqlCall _),
     "q_snapshot_str_skip" -> (snapshotStrSkip _),
+    "q_snapshot_hidden" -> (snapshotHidden _),
     "q_snapshot_rename" -> (snapshotRename _),
     "q_snapshot_dv" -> (snapshotDv _),
     "q_snapshot_changes" -> (snapshotChanges _),
@@ -1342,6 +1366,9 @@ private[graft] object QueriesIo {
     "q_snapshot_str_skip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          WHERE source >= 'src10' AND source <= 'src13'""",
+    "q_snapshot_hidden" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         WHERE source = 'src12'""",
     "q_snapshot_catalog" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          WHERE n_chars >= 300 AND lang <> 'zh'""",

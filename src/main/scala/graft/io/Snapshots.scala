@@ -24,13 +24,18 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   *     plug a [[CommitCoordinator]], and unplugged S3-family schemes
   *     REFUSE rather than silently racing). A loser re-reads the
   *     new table state: an APPEND rebases and retries (appends
-  *     commute — both writers' rows survive, in either order), while
-  *     overwrite / merge / delete / compact REFUSE with
-  *     `ConcurrentModificationException` (their rewrite was computed
-  *     against a base that no longer exists — silently publishing it
-  *     would drop the interleaved commit's changes). Streaming
-  *     ingestion + scheduled compaction — the standard two-writer
-  *     deployment — is safe under exactly this split.
+  *     commute — both writers' rows survive, in either order);
+  *     merge / delete / update / compact rebase over APPEND-ONLY
+  *     interlopers (WriteSerializable, Delta's default isolation:
+  *     the result equals [rewrite, then append], so an hours-long
+  *     compaction lands under continuous ingestion) and REFUSE with
+  *     `ConcurrentModificationException` when the interloper itself
+  *     removed or rewrote files (publishing would drop its changes);
+  *     overwrite / replacePartitions always refuse — they define the
+  *     table's (or partition's) whole contents, so ANY interleaved
+  *     commit contradicts the caller's intent. Streaming ingestion +
+  *     scheduled compaction — the standard two-writer deployment —
+  *     now BOTH land under exactly this split.
   *   - **Structural sharing.** [[commitAppend]] writes ONLY the new
   *     rows' files; the new manifest lists old files + new files. At
   *     100 TB an append costs the append, never a rewrite, and every
@@ -309,6 +314,118 @@ object Snapshots {
     * (`data/c-<uuid>/ym=202403/part-0.parquet` → `ym -> 202403`).
     * Values are unescaped with Spark's own partition-path escaping.
     */
+  /** A partition-spec field — identity (the classic Hive column) or
+    * a HIDDEN transform (Iceberg's headline feature): `years(ts)` /
+    * `months(ts)` / `days(ts)` / `hours(ts)`, `bucket(n, col)`,
+    * `truncate(w, col)`. Transform fields derive a directory value
+    * from a SOURCE column at write time; the source column itself
+    * stays in the data files (unlike identity partitioning, which
+    * moves the column into the directory name), so reads need no
+    * path reconstruction and footer stats on the source keep
+    * working — the directories buy physical clustering plus
+    * manifest-level pruning ([[readEquals]] for bucket point
+    * lookups) without the user ever materializing a derived column.
+    *
+    * Stored form is comma-free (`bucket16(col)`, `truncate4(col)`)
+    * because the manifest's partition line joins fields with ',';
+    * [[parsePartField]] also accepts the friendly `bucket(16, col)`
+    * spelling and normalizes. `source` is a PHYSICAL column name,
+    * like every manifest-stored name.
+    */
+  private[graft] sealed trait PartField {
+    def spec: String
+    def source: String
+    /** Directory key (and the transient write column). */
+    def dirName: String
+    /** Derived dir value from the source column; identity passes
+      * through. `dt` = the source's type (truncate is type-directed).
+      */
+    def derive(c: Column, dt: DataType): Column
+  }
+  private[graft] final case class PIdentity(source: String)
+      extends PartField {
+    def spec: String = source
+    def dirName: String = source
+    def derive(c: Column, dt: DataType): Column = c
+  }
+  private[graft] final case class PTime(kind: String, source: String)
+      extends PartField {
+    def spec: String = s"$kind($source)"
+    def dirName: String = s"${source}_${kind.dropRight(1)}"
+    def derive(c: Column, dt: DataType): Column = {
+      import org.apache.spark.sql.functions.{dayofmonth, hour, month, year}
+      kind match {
+        case "years" => year(c)
+        case "months" => year(c) * 100 + month(c)
+        case "days" =>
+          year(c) * 10000 + month(c) * 100 + dayofmonth(c)
+        case "hours" =>
+          (year(c).cast("long") * 1000000L + month(c) * 10000L +
+            dayofmonth(c) * 100L + hour(c))
+      }
+    }
+  }
+  private[graft] final case class PBucket(n: Int, source: String)
+      extends PartField {
+    def spec: String = s"bucket$n($source)"
+    def dirName: String = s"${source}_bucket"
+    def derive(c: Column, dt: DataType): Column =
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(c), lit(n)).cast("int")
+  }
+  private[graft] final case class PTruncate(w: Int, source: String)
+      extends PartField {
+    def spec: String = s"truncate$w($source)"
+    def dirName: String = s"${source}_trunc"
+    def derive(c: Column, dt: DataType): Column = dt match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.functions.substring(c, 1, w)
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType =>
+        // Iceberg's rule: v - (((v % W) + W) % W) — floors toward
+        // negative infinity, so ranges stay monotonic
+        c - org.apache.spark.sql.functions.pmod(c, lit(w))
+      case other => throw new IllegalArgumentException(
+        s"snapshot: truncate($w) partitioning needs a string or " +
+          s"integral column; $source is ${other.catalogString}")
+    }
+  }
+
+  private val TimeSpecRe = "^(years|months|days|hours)\\((\\w+)\\)$".r
+  private val BucketSpecRe = "^bucket(\\d+)\\((\\w+)\\)$".r
+  private val BucketFriendlyRe = "^bucket\\((\\d+)\\s*,\\s*(\\w+)\\)$".r
+  private val TruncSpecRe = "^truncate(\\d+)\\((\\w+)\\)$".r
+  private val TruncFriendlyRe = "^truncate\\((\\d+)\\s*,\\s*(\\w+)\\)$".r
+
+  private[graft] def parsePartField(s: String): PartField = s match {
+    case TimeSpecRe(kind, src) => PTime(kind, src)
+    case BucketSpecRe(n, src) => PBucket(n.toInt, src)
+    case BucketFriendlyRe(n, src) => PBucket(n.toInt, src)
+    case TruncSpecRe(w, src) => PTruncate(w.toInt, src)
+    case TruncFriendlyRe(w, src) => PTruncate(w.toInt, src)
+    case other =>
+      require(!other.contains('(') && !other.contains(')'),
+        s"snapshot: unrecognized partition transform '$other' - " +
+          "supported: col, years(col), months(col), days(col), " +
+          "hours(col), bucket(n, col), truncate(w, col)")
+      PIdentity(other)
+  }
+
+  private[graft] def normalizePartSpecs(specs: Seq[String])
+      : Seq[String] = {
+    val fields = specs.map(parsePartField)
+    (fields.collect { case PBucket(n, _) => n } ++
+      fields.collect { case PTruncate(w, _) => w }).foreach(n =>
+        require(n > 0, s"snapshot: transform width/bucket count " +
+          s"must be positive, got $n"))
+    val dup = fields.map(_.dirName).diff(fields.map(_.dirName).distinct)
+    require(dup.isEmpty, "snapshot: partition fields collide on " +
+      s"directory name(s) ${dup.distinct.mkString(", ")}")
+    fields.map(_.spec)
+  }
+
   private[graft] def partValsOf(rel: String): Map[String, String] =
     rel.split('/').iterator
       .filter(s => s.contains('=') && !s.endsWith(".parquet"))
@@ -676,11 +793,37 @@ object Snapshots {
   }
 
   /** How a publish-loser proceeds (the OCC split): appends rebase
-    * onto the interloper's commit and retry; everything else refuses.
+    * onto the interloper's commit and retry; rewrites rebase over
+    * APPEND-ONLY interlopers (WriteSerializable — see
+    * [[RebaseRewrite]]) and refuse anything else; overwrites always
+    * refuse (they define the whole table/partition contents, so any
+    * interleaved commit contradicts the caller's intent).
     */
   private sealed trait OnConflict
   private case object RebaseAppend extends OnConflict
   private final case class RefuseConflict(what: String) extends OnConflict
+
+  /** Rewrite-commit conflict policy (Delta's WriteSerializable
+    * isolation): an interleaved commit that only ADDED files commutes
+    * with this rewrite — the result equals the serial order [rewrite,
+    * then append], because the rewrite's discovery read every file it
+    * touches and the appended rows were never examined. On a lost
+    * claim the rewrite re-carries the winner's entries minus its own
+    * affected files and retries; anything non-append-only (a file
+    * removed or rewritten, a schema/partition/mapping change, or a
+    * new merge-on-read delete whose rows this rewrite would
+    * resurrect — `baseDvs` is the DV set the rewrite's discovery ran
+    * against, which may differ from the DVs it commits: compact
+    * applies them physically and commits none) refuses like before.
+    * This is what lets an hours-long 100 TB compaction land under
+    * continuous streaming ingestion instead of losing every race.
+    * (Concurrent mor deletes compose by DV union and rebase through
+    * their own publish loop, not this one.)
+    */
+  private final case class RebaseRewrite(what: String,
+                                         affectedRels: Set[String],
+                                         baseDvs: Seq[String])
+      extends OnConflict
 
   /** Write `df`'s files, then claim the next version by exclusive
     * manifest create. On a lost claim: [[RebaseAppend]] re-carries
@@ -711,12 +854,23 @@ object Snapshots {
     // rename ever happened), and partition directories use the
     // physical partition names so old and new files agree
     val pdf = toPhysicalDf(df, colMap)
-    val writer = pdf.write
-    if (partCols.nonEmpty) {
-      partCols.foreach(c => require(pdf.columns.contains(c),
-        s"snapshot: partition column $c is missing from the batch " +
-          s"(${pdf.columns.mkString(", ")})"))
-      writer.partitionBy(partCols: _*)
+    val fields = partCols.map(parsePartField)
+    val writer = if (fields.isEmpty) pdf.write else {
+      fields.foreach(fld => require(pdf.columns.contains(fld.source),
+        s"snapshot: partition source column ${fld.source} is missing " +
+          s"from the batch (${pdf.columns.mkString(", ")})"))
+      // hidden-transform dirs write through a transient derived
+      // column; the name must not shadow a data column (the derived
+      // value would silently replace it in the directory layout)
+      fields.filterNot(_.isInstanceOf[PIdentity]).foreach(fld =>
+        require(!pdf.columns.contains(fld.dirName),
+          s"snapshot: hidden partition field ${fld.spec} derives " +
+            s"directory column ${fld.dirName}, which collides with a " +
+            "data column - rename one of them"))
+      val derived = fields.filterNot(_.isInstanceOf[PIdentity])
+        .foldLeft(pdf)((d, fld) => d.withColumn(fld.dirName,
+          fld.derive(col(fld.source), pdf.schema(fld.source).dataType)))
+      derived.write.partitionBy(fields.map(_.dirName): _*)
     }
     writer.parquet(s"$path/$commitDir")
     val conf = spark.sessionState.newHadoopConf()
@@ -761,6 +915,41 @@ object Snapshots {
             s"snapshot: concurrent commit detected while $what $path " +
               s"(version $v was claimed by another writer after this " +
               "operation read its base) - re-read the table and retry")
+        case RebaseRewrite(what, affected, baseDvs) =>
+          val newBase = allManifestVersions(f, path).last
+          val m = manifest(f, path, newBase)
+          def refuse(reason: String): Nothing = {
+            f.delete(new Path(s"$path/$commitDir"), true)
+            throw new java.util.ConcurrentModificationException(
+              s"snapshot: concurrent commit detected while $what $path " +
+                s"and it cannot be rebased over ($reason) - re-read " +
+                "the table and retry")
+          }
+          val wSchema = resolveSchema(spark, path, m)
+          if (m.partCols != partCols) refuse("a partition-spec change")
+          if (!wSchema.fieldNames.sameElements(curSchema.fieldNames) ||
+              !wSchema.fields.map(_.dataType.catalogString)
+                .sameElements(curSchema.fields
+                  .map(_.dataType.catalogString)))
+            refuse("a schema change")
+          if (m.colMap != curColMap) refuse("a column-mapping change")
+          if (m.dropped != curDropped) refuse("a dropped-column change")
+          val baseRels = curCarried.map(relOf).toSet ++ affected
+          val winnerRels = m.entries.map(relOf).toSet
+          if (!baseRels.subsetOf(winnerRels))
+            refuse("a non-append commit (files this rewrite read were " +
+              "rewritten or removed)")
+          if (m.dvs.toSet != baseDvs.toSet)
+            refuse("a merge-on-read delete (this rewrite would " +
+              "resurrect its deleted rows)")
+          // serial order [this rewrite, then the winner's appends]:
+          // the winner's extra files ride along untouched, its txn
+          // markers carry forward, our affected files still drop, and
+          // the op's own DV outcome (pass-through, or none for
+          // compact) stands — the winner added no DVs (checked above)
+          curCarried = m.entries.filterNot(e => affected(relOf(e)))
+          curTxns = m.txns
+          curBase = Some(newBase)
         case RebaseAppend =>
           val newBase = allManifestVersions(f, path).last
           val m = manifest(f, path, newBase)
@@ -912,17 +1101,24 @@ object Snapshots {
                                      partCols: Seq[String],
                                      entries: Seq[String])
       : org.apache.spark.sql.sources.BaseRelation = {
-    val partitionSchema = StructType(partCols.map(c => schema(c)))
+    // hidden-transform fields partition DIRECTORIES only: the source
+    // column lives in the data files, so the relation's partition
+    // schema carries identity fields alone (a transform dir level in
+    // the path is invisible to the reader — pruning on it happens at
+    // the manifest, e.g. readEquals)
+    val idCols = partCols.map(parsePartField)
+      .collect { case PIdentity(s) => s }
+    val partitionSchema = StructType(idCols.map(c => schema(c)))
     val dataSchema =
-      StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+      StructType(schema.fields.filterNot(f => idCols.contains(f.name)))
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val f = fs(spark, path)
     val qualBase = f.makeQualified(new Path(path))
     val parts = entries
-      .groupBy(e => partCols.map(c => partValsOf(relOf(e)).get(c)))
+      .groupBy(e => idCols.map(c => partValsOf(relOf(e)).get(c)))
       .toSeq
       .map { case (vals, es) =>
-        val row = InternalRow.fromSeq(partCols.zip(vals).map {
+        val row = InternalRow.fromSeq(idCols.zip(vals).map {
           case (c, v) => castPartVal(v, schema(c).dataType, tz) })
         val files = es.map { e =>
           new FileStatus(entryLen(f, path, e), false, 1, 128L << 20,
@@ -1101,14 +1297,16 @@ object Snapshots {
                   partitionBy: Seq[String] = Nil): Long = {
     require(latestVersion(spark, path).isEmpty,
       s"snapshot: $path already has committed versions")
-    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
-      s"snapshot: partition column $c is not in the schema " +
-        s"(${schema.fieldNames.mkString(", ")})"))
-    partitionBy.foreach(c => require(!c.contains(',') && !c.contains('/'),
+    val specs = normalizePartSpecs(partitionBy)
+    specs.map(parsePartField).foreach(fld =>
+      require(schema.fieldNames.contains(fld.source),
+        s"snapshot: partition source column ${fld.source} is not in " +
+          s"the schema (${schema.fieldNames.mkString(", ")})"))
+    specs.foreach(c => require(!c.contains(',') && !c.contains('/'),
       s"snapshot: illegal partition column name '$c'"))
     val f = fs(spark, path)
     if (!tryPublishManifest(f, path, 1L,
-        manifestLines(nullableAll(schema), partitionBy, Set.empty,
+        manifestLines(nullableAll(schema), specs, Set.empty,
           "create", Nil)))
       throw new java.util.ConcurrentModificationException(
         s"snapshot: concurrent commit detected while creating $path")
@@ -1133,8 +1331,8 @@ object Snapshots {
     val txns = base.map(v =>
       manifest(fs(spark, path), path, v).txns).getOrElse(Map.empty)
     writeCommit(spark, df, path, Nil, nullableAll(df.schema),
-      partitionBy, Set.empty, txns, Nil, Map.empty, base,
-      RefuseConflict("overwriting"), "overwrite")
+      normalizePartSpecs(partitionBy), Set.empty, txns, Nil,
+      Map.empty, base, RefuseConflict("overwriting"), "overwrite")
   }
 
   /** Commit `df` as an APPEND: the new snapshot = previous snapshot's
@@ -1231,8 +1429,16 @@ object Snapshots {
     // Instant.toString differs wholesale under the java8 datetime
     // API) and the mismatch would silently CARRY the replaced
     // partition's old files alongside the new ones
+    // hidden-transform fields replace at DERIVED-directory grain
+    // (`days(ts)` ⇒ the day partitions the batch touches are
+    // replaced whole — the idempotent-backfill semantics, with the
+    // user never materializing the derived column)
+    val fields = partCols.map(parsePartField)
     val doomed: Set[Seq[String]] = df
-      .select(lp.map(c => col(c).cast("string").as(c)): _*)
+      .select(fields.zip(lp).map { case (fld, lsrc) =>
+        fld.derive(col(lsrc), df.schema(lsrc).dataType)
+          .cast("string").as(fld.dirName)
+      }: _*)
       .distinct()
       .collect().map(r => lp.indices.map { i =>
         val s = r.getString(i)
@@ -1244,7 +1450,7 @@ object Snapshots {
       }.toSeq: Seq[String]).toSet
     val carried = all.filterNot { e =>
       val vals = partValsOf(relOf(e))
-      doomed.contains(partCols.map(c => vals.getOrElse(c,
+      doomed.contains(fields.map(fld => vals.getOrElse(fld.dirName,
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .DEFAULT_PARTITION_NAME)))
     }
@@ -1469,6 +1675,108 @@ object Snapshots {
     base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
+  /** The manifest entries a `column = value` point lookup must read,
+    * against the total entry count. Proof sources, strongest first:
+    * a HIDDEN-transform partition directory on the column (bucket /
+    * years / months / days / hours / truncate — the value's derived
+    * directory string is computed with the EXACT write-time
+    * expressions, so only the matching bucket or day survives), an
+    * identity partition directory, then numeric / string file stats.
+    * An entry none of them can disprove is kept — prune only on
+    * proof.
+    */
+  private[graft] def prunedEntriesEquals(spark: SparkSession,
+                                         path: String, column: String,
+                                         value: Any,
+                                         version: Option[Long] = None)
+      : (Seq[String], Int) = {
+    require(value != null,
+      "snapshot: readEquals needs a non-null value (col = NULL " +
+        "matches nothing in SQL; use isNull reads instead)")
+    val f = fs(spark, path)
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot: no committed version under $path"))
+    val m = manifest(f, path, v)
+    val schema = resolveSchema(spark, path, m)
+    require(schema.fieldNames.contains(column),
+      s"snapshot: readEquals column $column is not in the table " +
+        s"schema (${schema.fieldNames.mkString(", ")})")
+    val dt = schema(column).dataType
+    val phys = toPhysicalName(m.colMap, column)
+    val fields = m.partCols.map(parsePartField)
+      .filter(_.source == phys)
+    // one LOCAL 1-row plan derives every relevant field's directory
+    // string for `value` — same expressions, same cast-to-string the
+    // dynamic-partition writer used to name the directories, so the
+    // comparison can never skew from the layout
+    val expect: Map[String, String] =
+      if (fields.isEmpty) Map.empty
+      else {
+        val row = spark.range(1).select(fields.map(fld =>
+          fld.derive(lit(value).cast(dt), dt).cast("string")
+            .as(fld.dirName)): _*).head()
+        fields.zipWithIndex.map { case (fld, i) =>
+          val s = if (row.isNullAt(i)) null else row.getString(i)
+          fld.dirName -> (if (s == null || s.isEmpty)
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .DEFAULT_PARTITION_NAME
+          else s)
+        }.toMap
+      }
+    val numVal: Option[Double] = (dt, value) match {
+      case (_: org.apache.spark.sql.types.NumericType, n: Number) =>
+        Some(n.doubleValue())
+      case _ => None
+    }
+    val strVal: Option[Array[Byte]] = (dt, value) match {
+      case (org.apache.spark.sql.types.StringType, s: String) =>
+        Some(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case _ => None
+    }
+    val kept = m.entries.filter { e =>
+      val vals = partValsOf(relOf(e))
+      val dirOk = expect.forall { case (k, exp) =>
+        vals.get(k).forall(_ == exp) }
+      val statOk = numVal.forall(d => statsOf(e).get(phys).forall {
+        case (mn, mx) => mx >= d && mn <= d })
+      val sOk = strVal.forall(b => stringStatsOf(e).get(phys).forall {
+        case (mn, mxOpt) => bytesCompare(mn, b) <= 0 &&
+          mxOpt.forall(mx => bytesCompare(mx, b) >= 0) })
+      dirOk && statOk && sOk
+    }
+    (kept, m.entries.size)
+  }
+
+  /** Point lookup with MANIFEST-LEVEL file skipping: `column =
+    * value` reads only the files whose partition directories —
+    * including HIDDEN transform directories (`bucket(n, col)` cuts
+    * the scan to 1/n of the table with the source column untouched
+    * in the data files; `days(ts)` to one day) — and file stats
+    * cannot disprove a match. The residual in-plan equality keeps
+    * the result exact however coarse the pruning was. This is the
+    * Iceberg hidden-partitioning read path: the caller names the
+    * DATA column; the layout's transforms are the store's concern.
+    */
+  def readEquals(spark: SparkSession, path: String, column: String,
+                 value: Any, version: Option[Long] = None): DataFrame = {
+    val f = fs(spark, path)
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot: no committed version under $path"))
+    val m = manifest(f, path, v)
+    val schema = resolveSchema(spark, path, m)
+    val (kept, _) =
+      prunedEntriesEquals(spark, path, column, value, Some(v))
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else openLive(spark, path, schema, m.partCols, kept, m.dvs,
+        m.colMap)
+    base.filter(col(column) === lit(value).cast(schema(column).dataType))
+  }
+
   /** The rows ADDED between two committed versions: the files in
     * `toVersion`'s manifest that `fromVersion`'s lacks — an exact
     * incremental read for append-only history (each append commit
@@ -1626,10 +1934,13 @@ object Snapshots {
       partCols: Seq[String], dropped: Set[String],
       txns: Map[String, Long], dvs: Seq[String],
       colMap: Map[String, String], entries: Seq[String]) {
-    /** partition columns under their LOGICAL names (validation and
-      * clustering run against the logical table; paths and the
-      * manifest keep the physical names). */
-    def lPartCols: Seq[String] = partCols.map(c => colMap.getOrElse(c, c))
+    /** partition SOURCE columns under their LOGICAL names
+      * (validation and clustering run against the logical table;
+      * paths and the manifest keep the physical names/specs). A
+      * hidden-transform field contributes its source column — the
+      * right clustering key, the right drop/rename guard target. */
+    def lPartCols: Seq[String] = partCols.map(parsePartField)
+      .map(f => colMap.getOrElse(f.source, f.source))
   }
 
   private def currentState(spark: SparkSession, path: String,
@@ -1746,7 +2057,7 @@ object Snapshots {
         }
       writeCommit(spark, fresh, path, carried, schema, partCols,
         dropped, txns, dvs, colMap, Some(v),
-        RefuseConflict("merging into"), "merge")
+        RebaseRewrite("merging into", affected, dvs), "merge")
     } finally { upd0.unpersist(); () }
   }
 
@@ -1847,7 +2158,7 @@ object Snapshots {
           val carried = all.filterNot(e => affected(relOf(e)))
           writeCommit(spark, fresh, path, carried, schema, partCols,
             dropped, txns, dvs, colMap, Some(v),
-            RefuseConflict("mergeUpdate into"), "mergeUpdate")
+            RebaseRewrite("mergeUpdate into", affected, dvs), "mergeUpdate")
       }
     } finally { upd0.unpersist(); () }
   }
@@ -1904,7 +2215,7 @@ object Snapshots {
       }: _*)
     writeCommit(spark, rewritten, path, carried, schema, partCols,
       dropped, txns, dvs, colMap, Some(v),
-      RefuseConflict("updating"), "update")
+      RebaseRewrite("updating", affected, dvs), "update")
   }
 
   /** Column reference to the MERGE source side inside [[mergeInto]]
@@ -2091,7 +2402,7 @@ object Snapshots {
           val carried = all.filterNot(e => affected(relOf(e)))
           writeCommit(spark, fresh, path, carried, schema, partCols,
             dropped, txns, dvs, colMap, Some(v),
-            RefuseConflict("merging into"), "mergeInto")
+            RebaseRewrite("merging into", affected, dvs), "mergeInto")
       }
     } finally { srcR.unpersist(); () }
   }
@@ -2177,7 +2488,7 @@ object Snapshots {
             .join(k, keyCols, "left_anti")
           writeCommit(spark, survivors, path, carried, schema, partCols,
             dropped, txns, dvs, colMap, Some(v),
-            RefuseConflict("deleting keys from"), "deleteKeys")
+            RebaseRewrite("deleting keys from", affected, dvs), "deleteKeys")
         }
       }
     } finally { k.unpersist(); () }
@@ -2218,7 +2529,7 @@ object Snapshots {
       .filter(not(coalesce(predicate, lit(false))))
     writeCommit(spark, survivors, path, carried, schema, partCols,
       dropped, txns, dvs, colMap, Some(v),
-      RefuseConflict("deleting from"), "deleteWhere")
+      RebaseRewrite("deleting from", affected, dvs), "deleteWhere")
   }
 
   /** Publish a merge-on-read DELETE: write the doomed (file, pos)
@@ -2246,18 +2557,56 @@ object Snapshots {
       .parquet(s"$path/$commitDir").limit(1).count() > 0L
     if (!any) { f.delete(new Path(s"$path/$commitDir"), true); return v }
     onBeforePublish()
-    val next = v + 1L
-    if (!tryPublishManifest(f, path, next,
-        manifestLines(schema, partCols, dropped, op, entries, txns,
-          dvs ++ freshDvs, colMap))) {
-      f.delete(new Path(s"$path/$commitDir"), true)
-      throw new java.util.ConcurrentModificationException(
-        s"snapshot: concurrent commit detected while $op on $path " +
-          s"(version $next was claimed by another writer) - re-read " +
-          "and retry")
+    // mor deletes rebase over append-only interlopers like the cow
+    // rewrites — and additionally over CONCURRENT MOR DELETES: the DV
+    // union is exactly the serial composition (each delete's doomed
+    // rows were computed against the shared base; rows the winner
+    // already killed are re-killed harmlessly by the identity
+    // anti-join). Anything that removed or rewrote files refuses —
+    // these DV rows name (file, pos) identities that must stay live.
+    var curEntries = entries
+    var curTxns = txns
+    var curDvs = dvs
+    var curBase = v
+    var committed = -1L
+    while (committed < 0L) {
+      val next = curBase + 1L
+      if (tryPublishManifest(f, path, next,
+          manifestLines(schema, partCols, dropped, op, curEntries,
+            curTxns, curDvs ++ freshDvs, colMap))) {
+        bumpLatestHint(f, path, next)
+        committed = next
+      } else {
+        val newBase = allManifestVersions(f, path).last
+        val m = manifest(f, path, newBase)
+        def refuse(reason: String): Nothing = {
+          f.delete(new Path(s"$path/$commitDir"), true)
+          throw new java.util.ConcurrentModificationException(
+            s"snapshot: concurrent commit detected while $op on $path " +
+              s"and it cannot be rebased over ($reason) - re-read " +
+              "and retry")
+        }
+        val wSchema = resolveSchema(spark, path, m)
+        if (m.partCols != partCols) refuse("a partition-spec change")
+        if (!wSchema.fieldNames.sameElements(schema.fieldNames) ||
+            !wSchema.fields.map(_.dataType.catalogString)
+              .sameElements(schema.fields.map(_.dataType.catalogString)))
+          refuse("a schema change")
+        if (m.colMap != colMap) refuse("a column-mapping change")
+        if (m.dropped != dropped) refuse("a dropped-column change")
+        val baseRels = curEntries.map(relOf).toSet
+        if (!baseRels.subsetOf(m.entries.map(relOf).toSet))
+          refuse("a non-append commit (files these delete rows " +
+            "reference were rewritten or removed)")
+        if (!curDvs.toSet.subsetOf(m.dvs.toSet))
+          refuse("a removed delete file")
+        curEntries = m.entries
+        curTxns = m.txns
+        curDvs = m.dvs
+        curBase = newBase
+      }
     }
-    bumpLatestHint(f, path, next)
-    next
+    committed
   }
 
   /** Bin-pack the current snapshot into ~`targetFileBytes` files — the
@@ -2270,9 +2619,11 @@ object Snapshots {
     * more files than the byte budget calls for, no commit happens and
     * the current version is returned (compaction is idempotent —
     * a scheduler can call it every N batches for free). Racing a
-    * concurrent commit, compaction REFUSES rather than resurrecting
-    * pre-commit rows — rerun it; the streaming-ingest + scheduled-
-    * compaction pair loses only the compaction pass, never data.
+    * concurrent APPEND, compaction rebases and lands anyway (the
+    * appended files ride along uncompacted — WriteSerializable, so
+    * the streaming-ingest + scheduled-compaction pair both win their
+    * commits); racing anything that removed or rewrote files it
+    * REFUSES rather than resurrecting pre-commit rows.
     *
     * Sizing uses the files' actual on-disk bytes (compressed), the
     * same signal a table-format maintenance job keys on; the
@@ -2344,7 +2695,8 @@ object Snapshots {
         .sortWithinPartitions(clusterCols.map(col): _*)
         .drop("__graft_z")
     writeCommit(spark, packed, path, Nil, schema, partCols, dropped,
-      txns, Nil, colMap, Some(v), RefuseConflict("compacting"),
+      txns, Nil, colMap, Some(v),
+      RebaseRewrite("compacting", all.map(relOf).toSet, dvs),
       "compact")
   }
 
@@ -2451,7 +2803,8 @@ object Snapshots {
     require(changes.nonEmpty, "snapshot: alterColumns needs changes")
     val CurState(v, schema0, partCols, dropped0, txns, dvs, colMap0, all) =
       currentState(spark, path, "alter columns of")
-    val lPart = partCols.map(c => colMap0.getOrElse(c, c))
+    val lPart = partCols.map(parsePartField)
+      .map(f => colMap0.getOrElse(f.source, f.source))
     var schema = schema0
     var colMap = colMap0
     var dropped = dropped0
@@ -2608,7 +2961,9 @@ object Snapshots {
     * writers don't re-collide forever. The last failure propagates.
     * Only wrap operations that are correct to recompute from scratch
     * (all the mutations here are — they carry no state between
-    * attempts).
+    * attempts). Needed less often since rewrites rebase over
+    * append-only interlopers on their own; this loop is for genuine
+    * rewrite-vs-rewrite races and overwrites.
     */
   def retryOnConflict[A](attempts: Int = 5, backoffMs: Long = 200L)
                         (op: => A): A = {

@@ -197,52 +197,148 @@ class SnapshotsSpec extends SparkSpec {
     assert(got.exceptAll(docs).count() === 0L)
   }
 
-  test("a concurrent commit refuses merge/delete/compact/overwrite (no lost updates)") {
+  test("rewrites rebase over concurrent appends (WriteSerializable); overwrite refuses") {
     val path = newStore
     Snapshots.commit(docs, path)
+    // each interloper appends 2 fresh rows with distinct negative ids
+    var nextId = 500L
     def interleaveAppend(): Unit = {
+      val id = nextId; nextId += 10
       Snapshots.onBeforePublish = () => {
         Snapshots.onBeforePublish = () => ()
         Snapshots.commitAppend(
-          docs.limit(2).select((-col("doc_id") - 500).as("doc_id"),
-            col("text"), col("lang"), col("source"), col("n_chars")), path)
+          docs.limit(2).select(
+            (-monotonically_increasing_id() - id).as("doc_id"),
+            col("text"), col("lang"), col("source"),
+            lit(1000000L).as("n_chars")), path)
         ()
       }
     }
     val updates = docs.filter(col("doc_id") % 10 === 0)
       .withColumn("text", upper(col("text")))
       .select(docs.columns.map(col).toSeq: _*)
+    // MERGE vs interleaved append: BOTH land — the merge result plus
+    // the appended rows (serial order: merge, then append)
     interleaveAppend()
+    val v1 =
+      try Snapshots.merge(spark, path, updates, Seq("doc_id"))
+      finally Snapshots.onBeforePublish = () => ()
+    assert(v1 === 3L) // append claimed v2, merge rebased onto v3
+    val afterMerge = Snapshots.read(spark, path)
+    assert(afterMerge.count() === docs.count() + 2)
+    assert(afterMerge.filter(col("doc_id") % 10 === 0 &&
+      col("doc_id") >= 0 && col("text") =!= upper(col("text")))
+      .count() === 0L)
+    // DELETE vs interleaved append whose rows MATCH the predicate:
+    // the appended rows survive (they were never examined — the
+    // serial order is [delete, then append]; WriteSerializable)
+    interleaveAppend()
+    val v2 =
+      try Snapshots.deleteWhere(spark, path, col("n_chars") >= 1000000L)
+      finally Snapshots.onBeforePublish = () => ()
+    assert(v2 === 5L)
+    val afterDelete = Snapshots.read(spark, path)
+    // the FIRST append's 2 rows (n_chars=1000000) were deleted; the
+    // second append's 2 rows match the predicate but arrived after
+    // the delete's read - they survive
+    assert(afterDelete.filter(col("n_chars") >= 1000000L).count() === 2L)
+    // COMPACT vs interleaved append: both land; the appended files
+    // ride along uncompacted and no row is lost or duplicated
+    interleaveAppend()
+    val v3 =
+      try Snapshots.compact(spark, path, targetFileBytes = 16L << 10,
+        sortBy = Seq("doc_id"))
+      finally Snapshots.onBeforePublish = () => ()
+    assert(v3 === 7L)
+    val afterCompact = Snapshots.read(spark, path)
+    assert(afterCompact.count() === afterDelete.count() + 2)
+    assert(afterCompact.exceptAll(
+      afterDelete.unionByName(Snapshots.changes(spark, path, 5L, 6L)))
+      .count() === 0L)
+    // OVERWRITE vs interleaved append still refuses: the overwrite
+    // defines the whole table's contents
+    interleaveAppend()
+    val e = intercept[java.util.ConcurrentModificationException](
+      try Snapshots.commit(docs.limit(5), path)
+      finally Snapshots.onBeforePublish = () => ())
+    assert(e.getMessage.contains("concurrent commit"), e.getMessage)
+    // the refused overwrite left no stray files (fresh files deleted)
+    assert(Snapshots.vacuum(spark, path, graceMs = 0) === 0)
+  }
+
+  test("rewrites refuse a concurrent REWRITE, a schema-evolving append, and a mor delete") {
+    val path = newStore
+    Snapshots.commit(docs, path)
+    val updates = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", upper(col("text")))
+      .select(docs.columns.map(col).toSeq: _*)
+    // concurrent cow DELETE rewrote files the merge read: refuse
+    Snapshots.onBeforePublish = () => {
+      Snapshots.onBeforePublish = () => ()
+      Snapshots.deleteWhere(spark, path, col("doc_id") % 7 === 3)
+      ()
+    }
     val e1 = intercept[java.util.ConcurrentModificationException](
       try Snapshots.merge(spark, path, updates, Seq("doc_id"))
       finally Snapshots.onBeforePublish = () => ())
-    assert(e1.getMessage.contains("concurrent commit"), e1.getMessage)
-    interleaveAppend()
+    assert(e1.getMessage.contains("cannot be rebased"), e1.getMessage)
+    // concurrent schema-EVOLVING append: rebase refuses (this
+    // commit's manifest would truncate the evolved schema)
+    Snapshots.onBeforePublish = () => {
+      Snapshots.onBeforePublish = () => ()
+      Snapshots.commitAppend(docs.limit(1)
+        .withColumn("extra", lit(1L)), path)
+      ()
+    }
     val e2 = intercept[java.util.ConcurrentModificationException](
-      try Snapshots.deleteWhere(spark, path, col("n_chars") < 300)
+      try Snapshots.merge(spark, path, updates, Seq("doc_id"))
       finally Snapshots.onBeforePublish = () => ())
-    assert(e2.getMessage.contains("concurrent commit"), e2.getMessage)
-    interleaveAppend()
+    assert(e2.getMessage.contains("schema change"), e2.getMessage)
+    // concurrent MOR delete: a cow rewrite would resurrect its rows
+    Snapshots.onBeforePublish = () => {
+      Snapshots.onBeforePublish = () => ()
+      Snapshots.deleteKeys(spark, path,
+        docs.filter(col("doc_id") % 11 === 1).select("doc_id"),
+        Seq("doc_id"), mode = "mor")
+      ()
+    }
     val e3 = intercept[java.util.ConcurrentModificationException](
+      // sortBy forces the rewrite even if the table is already packed
       try Snapshots.compact(spark, path, targetFileBytes = 16L << 10,
         sortBy = Seq("doc_id"))
       finally Snapshots.onBeforePublish = () => ())
-    assert(e3.getMessage.contains("concurrent commit"), e3.getMessage)
-    interleaveAppend()
-    val e4 = intercept[java.util.ConcurrentModificationException](
-      try Snapshots.commit(docs.limit(5), path)
-      finally Snapshots.onBeforePublish = () => ())
-    assert(e4.getMessage.contains("concurrent commit"), e4.getMessage)
-    // the refused mutations left NO versions and NO stray data files
-    // beyond the interleaved appends (their fresh files were deleted)
-    assert(Snapshots.versions(spark, path).size === 5)
-    assert(Snapshots.vacuum(spark, path, graceMs = 0) === 0)
-    // after re-reading, the same merge applies cleanly
-    val v = Snapshots.merge(spark, path, updates, Seq("doc_id"))
-    assert(v === 6L)
+    assert(e3.getMessage.contains("merge-on-read delete"), e3.getMessage)
+    // after re-reading, the same logical update applies cleanly on
+    // the new base (column-sparse form: the interleaved append
+    // evolved the schema, so whole-row merge no longer fits)
+    Snapshots.mergeUpdate(spark, path,
+      updates.select("doc_id", "text"), Seq("doc_id"), Seq("text"))
     assert(Snapshots.read(spark, path)
       .filter(col("doc_id") % 10 === 0 && col("doc_id") >= 0 &&
         col("text") =!= upper(col("text"))).count() === 0L)
+  }
+
+  test("concurrent mor deletes compose by DV union") {
+    val path = newStore
+    Snapshots.commit(docs, path)
+    Snapshots.onBeforePublish = () => {
+      Snapshots.onBeforePublish = () => ()
+      Snapshots.deleteKeys(spark, path,
+        docs.filter(col("doc_id") % 10 === 3).select("doc_id"),
+        Seq("doc_id"), mode = "mor")
+      ()
+    }
+    val v =
+      try Snapshots.deleteWhere(spark, path, col("doc_id") % 10 === 7,
+        mode = "mor")
+      finally Snapshots.onBeforePublish = () => ()
+    assert(v === 3L) // interloper claimed v2, this delete rebased to v3
+    val got = Snapshots.read(spark, path)
+    assert(got.filter(col("doc_id") % 10 === 3 ||
+      col("doc_id") % 10 === 7).count() === 0L)
+    assert(got.count() ===
+      docs.filter(col("doc_id") % 10 =!= 3 &&
+        col("doc_id") % 10 =!= 7).count())
   }
 
   test("merge and deleteKeys refuse NULL keys loudly") {
@@ -2202,5 +2298,113 @@ class SnapshotsSpec extends SparkSpec {
     val got = Snapshots.read(spark, path).orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     assert(got.toSeq === Seq((1L, "miss"), (2L, "hit")))
+  }
+
+  test("hidden bucket partitioning: derived dirs, untouched source, point-lookup pruning") {
+    val path = newStore
+    // friendly spelling normalizes to the manifest's comma-free form
+    Snapshots.commit(docs, path, partitionBy = Seq("bucket(8, doc_id)"))
+    val got = Snapshots.read(spark, path)
+    // the derived column never surfaces; the source column stays in
+    // the data files (hidden partitioning, not a user-visible column)
+    assert(got.columns.toSeq === docs.columns.toSeq)
+    assert(got.exceptAll(docs).count() === 0L)
+    assert(docs.exceptAll(got).count() === 0L)
+    val dirs = new java.io.File(s"$path/data").listFiles()
+      .flatMap(_.listFiles()).filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("doc_id_bucket=")),
+      dirs.toString)
+    // a point lookup on the SOURCE column prunes to one bucket's
+    // files via the transform dirs alone — no stats luck needed
+    val (kept, total) =
+      Snapshots.prunedEntriesEquals(spark, path, "doc_id", 7L)
+    assert(kept.nonEmpty && kept.size < total, s"${kept.size}/$total")
+    assert(kept.forall(e => e.contains("doc_id_bucket=")))
+    assert(kept.map(e => e.split('/').find(_.startsWith("doc_id_bucket="))
+      .get).toSet.size === 1)
+    val res = Snapshots.readEquals(spark, path, "doc_id", 7L)
+    assert(res.count() === docs.filter(col("doc_id") === 7L).count())
+    // appends inherit the hidden layout from the manifest
+    Snapshots.commitAppend(docs.filter(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + 10000L), path)
+    val (kept2, total2) =
+      Snapshots.prunedEntriesEquals(spark, path, "doc_id", 10000L)
+    assert(kept2.size < total2)
+    assert(Snapshots.readEquals(spark, path, "doc_id", 10000L)
+      .count() === 1L)
+    // a batch column colliding with the derived dir name refuses
+    val e = intercept[IllegalArgumentException](
+      Snapshots.commitAppend(docs.limit(1)
+        .withColumn("doc_id_bucket", lit(1)), path))
+    assert(e.getMessage.contains("collides"), e.getMessage)
+  }
+
+  test("days(ts) hidden partitioning: day-grain pruning and idempotent day replace") {
+    val path = newStore
+    val ev = Tables.t(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    Snapshots.commit(ev, path, partitionBy = Seq("days(ts)"))
+    assert(Snapshots.read(spark, path).exceptAll(ev).count() === 0L)
+    val dirs = new java.io.File(s"$path/data").listFiles()
+      .flatMap(_.listFiles()).filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.forall(_.startsWith("ts_day=")), dirs.toString)
+    assert(dirs.size > 5, s"expected many day dirs, got $dirs")
+    // equality on a real timestamp prunes to that day's dir
+    val someTs = ev.select("ts").head.getTimestamp(0)
+    val (kept, total) =
+      Snapshots.prunedEntriesEquals(spark, path, "ts", someTs)
+    assert(kept.size < total, s"${kept.size}/$total")
+    assert(Snapshots.readEquals(spark, path, "ts", someTs).count() ===
+      ev.filter(col("ts") === lit(someTs)).count())
+    // replacePartitions at the DERIVED day grain: a batch of one
+    // day's rows (values doubled) swaps exactly that day, leaving
+    // every other day's files untouched — the idempotent backfill
+    val day = ev.select(dayofmonth(col("ts")).as("d")).head.getInt(0)
+    val batch = ev.filter(dayofmonth(col("ts")) === day &&
+        month(col("ts")) === 1)
+      .withColumn("value", col("value") * 2)
+      .select(ev.columns.map(col).toSeq: _*)
+    Snapshots.replacePartitions(batch, path)
+    val after = Snapshots.read(spark, path)
+    val expected = ev.filter(!(dayofmonth(col("ts")) === day &&
+        month(col("ts")) === 1))
+      .unionByName(batch)
+    assert(after.exceptAll(expected).count() === 0L)
+    assert(expected.exceptAll(after).count() === 0L)
+    // the replaced day's manifest entries all live in that day's dir
+    val dayDir = f"ts_day=202401$day%02d"
+    val (keptDay, _) = Snapshots.prunedEntriesEquals(spark, path, "ts",
+      batch.select("ts").head.getTimestamp(0))
+    assert(keptDay.nonEmpty && keptDay.forall(_.contains(dayDir)),
+      keptDay.toString)
+  }
+
+  test("truncate(w) hidden partitioning: string prefixes and integer floors") {
+    val path = newStore
+    Snapshots.commit(docs, path, partitionBy = Seq("truncate(4, source)"))
+    val dirs = new java.io.File(s"$path/data").listFiles()
+      .flatMap(_.listFiles()).filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.forall(_.startsWith("source_trunc=")), dirs.toString)
+    val src = docs.select("source").head.getString(0)
+    val (kept, total) =
+      Snapshots.prunedEntriesEquals(spark, path, "source", src)
+    assert(kept.size < total, s"${kept.size}/$total")
+    val res = Snapshots.readEquals(spark, path, "source", src)
+    assert(res.count() === docs.filter(col("source") === src).count())
+    // integral truncate floors toward negative infinity (Iceberg's
+    // rule) so derived dirs stay monotone in the source
+    val ints = spark.range(-10, 10).toDF("v")
+    val p2 = newStore
+    Snapshots.commit(ints, p2, partitionBy = Seq("truncate(4, v)"))
+    val d2 = new java.io.File(s"$p2/data").listFiles()
+      .flatMap(_.listFiles()).filter(_.isDirectory).map(_.getName).toSet
+    assert(d2 === Set("v_trunc=-12", "v_trunc=-8", "v_trunc=-4",
+      "v_trunc=0", "v_trunc=4", "v_trunc=8"), d2.toString)
+    assert(Snapshots.readEquals(spark, p2, "v", -5L).count() === 1L)
+    // unknown transform spellings refuse loudly
+    val e = intercept[IllegalArgumentException](
+      Snapshots.commit(ints, newStore, partitionBy = Seq("cube(v)")))
+    assert(e.getMessage.contains("unrecognized partition transform"),
+      e.getMessage)
   }
 }
