@@ -170,16 +170,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (isTable(path))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
-    val partCols = partitions.toSeq.map { t =>
-      require(t.name() == "identity" && t.references().length == 1,
-        s"graft catalog: only identity partitioning is supported, " +
-          s"got $t")
-      t.references()(0).fieldNames().mkString(".")
-    }
+    val partCols = partitions.toSeq.map(transformToSpec)
     // version 1 is a zero-entry manifest carrying schema + layout -
     // partitioned CREATEs included (no empty parquet write needed)
     val v = Snapshots.createEmpty(spark, path, schema, partCols)
     new GraftTable(path, ident.toString, Some(v), mutable = true)
+  }
+
+  /** A DSv2 `PARTITIONED BY` transform as the store's partition-spec
+    * string: identity columns pass through; `bucket(n, col)`,
+    * `years/months/days/hours(ts)` and `truncate(w, col)` become the
+    * store's HIDDEN transforms (directory-only derivation, source
+    * column untouched in the data files). Anything else refuses.
+    */
+  private def transformToSpec(t: Transform): String = {
+    require(t.references().length == 1,
+      s"graft catalog: partition transform $t must reference exactly " +
+        "one column")
+    val ref = t.references()(0).fieldNames().mkString(".")
+    def intArg(what: String): Int =
+      t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value().toString.toInt
+      }.getOrElse(throw new IllegalArgumentException(
+        s"graft catalog: $what transform needs an integer argument, " +
+          s"got $t"))
+    t.name() match {
+      case "identity" => ref
+      case k @ ("years" | "months" | "days" | "hours") => s"$k($ref)"
+      case "bucket" => s"bucket${intArg("bucket")}($ref)"
+      case "truncate" => s"truncate${intArg("truncate")}($ref)"
+      case other => throw new IllegalArgumentException(
+        s"graft catalog: unsupported partition transform $other - " +
+          "supported: identity columns, years/months/days/hours, " +
+          "bucket(n, col), truncate(w, col)")
+    }
   }
 
   /** ALTER TABLE: rename / drop / add columns map onto ONE atomic
@@ -367,8 +392,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
     override def partitioning(): Array[Transform] = {
       val (_, pc, _, _, cm) = pinnedState
-      pc.map(c => cm.getOrElse(c, c))
-        .map(c => Expressions.identity(c)).toArray
+      Snapshots.logicalPartSpecs(pc, cm).map(spec =>
+        Snapshots.parsePartField(spec) match {
+          case Snapshots.PIdentity(s) => Expressions.identity(s)
+          case Snapshots.PTime("years", s) => Expressions.years(s)
+          case Snapshots.PTime("months", s) => Expressions.months(s)
+          case Snapshots.PTime("days", s) => Expressions.days(s)
+          case Snapshots.PTime(_, s) => Expressions.hours(s)
+          case Snapshots.PBucket(n, s) => Expressions.bucket(n, s)
+          case Snapshots.PTruncate(w, s) => Expressions.apply(
+            "truncate", Expressions.literal(w), Expressions.column(s))
+        }).toArray
     }
 
     override def capabilities(): util.Set[TableCapability] =
@@ -394,10 +428,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
               // prune + push what translates; Spark re-applies every
               // filter above (unhandledFilters default = all), so a
-              // skipped translation costs IO, never correctness
+              // skipped translation costs IO, never correctness.
+              // An equality filter first re-plans through the
+              // MANIFEST-level point-lookup pruning: hidden partition
+              // transforms (bucket/days/truncate dirs) and file stats
+              // shrink the entry list before any file opens — SQL
+              // `WHERE source = 'x'` reads one directory's sliver of
+              // a 100 TB table, not every file
+              val sess = context.sparkSession
+              val base = filters.collectFirst {
+                case sources.EqualTo(att, v)
+                    if v != null && df.columns.contains(att) =>
+                  Snapshots.readEquals(sess, path, att, v, Some(pinnedV))
+              }.getOrElse(df)
               val pruned =
-                if (requiredColumns.isEmpty) df
-                else df.select(requiredColumns.map(col).toSeq: _*)
+                if (requiredColumns.isEmpty) base
+                else base.select(requiredColumns.map(col).toSeq: _*)
               filters.flatMap(translateFilter)
                 .foldLeft(pruned)((d, c) => d.filter(c)).rdd
             }
@@ -422,7 +468,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                     Snapshots.stateAt(data.sparkSession, path, v)
                   val _ = s
                   Snapshots.commit(data, path,
-                    partitionBy = pc.map(c => cm.getOrElse(c, c)))
+                    partitionBy = Snapshots.logicalPartSpecs(pc, cm))
                   ()
                 } else {
                   Snapshots.commitAppend(data, path); ()

@@ -426,6 +426,20 @@ object Snapshots {
     fields.map(_.spec)
   }
 
+  /** Manifest partition specs with each field's PHYSICAL source name
+    * replaced by its logical name under `colMap` — what a SQL-facing
+    * surface reports or re-submits against the logical table.
+    */
+  private[graft] def logicalPartSpecs(partCols: Seq[String],
+                                      colMap: Map[String, String])
+      : Seq[String] =
+    partCols.map(parsePartField).map {
+      case PIdentity(s) => PIdentity(colMap.getOrElse(s, s)).spec
+      case PTime(k, s) => PTime(k, colMap.getOrElse(s, s)).spec
+      case PBucket(n, s) => PBucket(n, colMap.getOrElse(s, s)).spec
+      case PTruncate(w, s) => PTruncate(w, colMap.getOrElse(s, s)).spec
+    }
+
   private[graft] def partValsOf(rel: String): Map[String, String] =
     rel.split('/').iterator
       .filter(s => s.contains('=') && !s.endsWith(".parquet"))

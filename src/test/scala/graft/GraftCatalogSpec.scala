@@ -95,6 +95,59 @@ class GraftCatalogSpec extends SparkSpec {
       .collect()(0).getLong(0) === docs.count() * 2)
   }
 
+  test("hidden transforms in SQL: PARTITIONED BY bucket/truncate/days, pruned equality scans") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    // Spark's own parser produces the transforms; the catalog lowers
+    // them onto the store's hidden partition specs
+    spark.sql(s"CREATE TABLE $cat.db.h " +
+      "(doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+      "n_chars BIGINT) " +
+      "PARTITIONED BY (bucket(8, doc_id), truncate(4, source))")
+    docs.createOrReplaceTempView("hdocs")
+    spark.sql(s"INSERT INTO $cat.db.h SELECT * FROM hdocs")
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    // the manifest stores the canonical comma-free specs
+    val (kept, total) = Snapshots.prunedEntriesEquals(
+      spark, s"$wh/db/h", "doc_id", 7L)
+    assert(kept.nonEmpty && kept.size < total, s"${kept.size}/$total")
+    // a pure-SQL equality scan answers exactly (manifest pruning is
+    // IO-only; Spark re-filters above)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.db.h WHERE source = 'src12'")
+      .collect()(0).getLong(0) ===
+      docs.filter(col("source") === "src12").count())
+    assert(spark.sql(
+      s"SELECT sum(n_chars) FROM $cat.db.h WHERE doc_id = 7")
+      .collect()(0).getLong(0) ===
+      docs.filter(col("doc_id") === 7)
+        .agg(sum("n_chars")).collect()(0).getLong(0))
+    // the table reports its transforms back through DSv2
+    val t = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("db"), "h"))
+    val specs = t.partitioning().map(_.toString).toSet
+    assert(specs.exists(_.contains("bucket")) &&
+      specs.exists(_.contains("truncate")), specs.toString)
+    // days(ts) parses from SQL too
+    spark.sql(s"CREATE TABLE $cat.db.e (ev BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql(s"INSERT INTO $cat.db.e VALUES " +
+      "(1, TIMESTAMP '2024-01-05 10:00:00')," +
+      "(2, TIMESTAMP '2024-01-06 10:00:00')")
+    val (k2, t2) = Snapshots.prunedEntriesEquals(spark, s"$wh/db/e",
+      "ts", java.sql.Timestamp.valueOf("2024-01-05 10:00:00"))
+    assert(k2.size < t2 && k2.forall(_.contains("ts_day=20240105")),
+      s"$k2 / $t2")
+    // unsupported transforms refuse loudly
+    val err = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.db.bad (x BIGINT, y BIGINT) " +
+        "PARTITIONED BY (sort(x))"))
+    assert(err.getMessage.contains("unsupported partition transform") ||
+      err.getMessage.toLowerCase.contains("transform"), err.getMessage)
+  }
+
   test("ALTER TABLE: rename, add and drop columns in SQL, history intact") {
     val cat = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")
