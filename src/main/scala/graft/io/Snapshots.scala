@@ -1741,6 +1741,10 @@ object Snapshots {
     val numVal: Option[Double] = (dt, value) match {
       case (_: org.apache.spark.sql.types.NumericType, n: Number) =>
         Some(n.doubleValue())
+      // SQL surfaces (CALL compact scope) pass values as strings;
+      // coerce so stats pruning still proves for numeric columns
+      case (_: org.apache.spark.sql.types.NumericType, s: String) =>
+        s.toDoubleOption
       case _ => None
     }
     val strVal: Option[Array[Byte]] = (dt, value) match {
@@ -2642,16 +2646,20 @@ object Snapshots {
     * Sizing uses the files' actual on-disk bytes (compressed), the
     * same signal a table-format maintenance job keys on; the
     * repartition is a full shuffle of just the affected snapshot — at
-    * 100 TB you compact partitions/recent commits, not the world,
-    * which is what the no-op fast path gives a caller who compacts
-    * right after a burst of small appends. Partitioned tables keep
-    * their layout: rows shuffle BY the partition columns so each
-    * output task writes whole partitions.
+    * 100 TB you compact partitions/recent commits, not the world:
+    * pass `scope = Seq("ts" -> someDayTs)` (any columns the manifest
+    * can prune on — identity or hidden-transform partitions, or
+    * stats) and ONLY the files matching those point lookups are
+    * bin-packed; everything else is carried untouched, and pending
+    * delete files are preserved for the carried files. Partitioned
+    * tables keep their layout: rows shuffle BY the partition columns
+    * so each output task writes whole partitions.
     */
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L << 20,
               sortBy: Seq[String] = Nil,
-              zorderBy: Seq[String] = Nil): Long = {
+              zorderBy: Seq[String] = Nil,
+              scope: Seq[(String, Any)] = Nil): Long = {
     require(targetFileBytes > 0, "snapshot: targetFileBytes must be positive")
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "snapshot: pick ONE of sortBy (1-D clustering) and zorderBy (2-D)")
@@ -2664,17 +2672,38 @@ object Snapshots {
       schema.fieldNames.contains(c),
       s"snapshot: compact cluster column $c is not in the table schema " +
         s"(${schema.fieldNames.mkString(", ")})"))
+    // SCOPED compaction — the routine 100 TB maintenance shape: a
+    // whole-table rewrite of a 100 TB store is not an operation, so
+    // `scope = Seq("ts" -> yesterday)` bin-packs ONLY the files the
+    // point-lookup pruning keeps for those values (one day's / one
+    // bucket's streaming fragments) and carries every other file
+    // untouched. Rewriting any file SUBSET is exact by construction
+    // (rows are preserved wherever they live), so scope selection is
+    // an IO decision, never a correctness one.
+    val selected =
+      if (scope.isEmpty) all
+      else scope.map { case (c, value) =>
+        prunedEntriesEquals(spark, path, c, value, Some(v))._1.toSet
+      }.reduce(_ intersect _).toSeq.sortBy(identity[String])
+    val carried = all.filterNot(selected.toSet)
+    // a scoped compact must keep the manifest's delete files: carried
+    // files still need them, and the pairs naming rewritten files go
+    // stale-but-harmless (the anti-join matches nothing). A full
+    // compact applies and drops them.
+    val outDvs = if (scope.isEmpty) Nil else dvs
     val f = fs(spark, path)
-    val totalBytes = all.map(e => entryLen(f, path, e)).sum
+    val totalBytes = selected.map(e => entryLen(f, path, e)).sum
     val want = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
     // an unsorted compaction of an already-packed table is a no-op,
     // but a CLUSTERED one is not: the caller asked for a layout, and
     // whether the current files honor it is unknowable from counts
     // pending merge-on-read deletes make even a packed table worth
     // compacting: this rewrite is what applies them physically
-    if (sortBy.isEmpty && zorderBy.isEmpty && all.size <= want &&
+    if (sortBy.isEmpty && zorderBy.isEmpty && selected.size <= want &&
       dvs.isEmpty) return v
-    val table = openLive(spark, path, schema, partCols, all, dvs, colMap)
+    if (selected.isEmpty) return v
+    val table = openLive(spark, path, schema, partCols, selected, dvs,
+      colMap)
     // 2-D clustering: files cover compact rectangle-ish regions of
     // (a, b) space via the bit-interleaved z key, so the per-file
     // min/max stats the commit records prune selective scans on
@@ -2708,9 +2737,9 @@ object Snapshots {
         .repartitionByRange(want.toInt, clusterCols.map(col): _*)
         .sortWithinPartitions(clusterCols.map(col): _*)
         .drop("__graft_z")
-    writeCommit(spark, packed, path, Nil, schema, partCols, dropped,
-      txns, Nil, colMap, Some(v),
-      RebaseRewrite("compacting", all.map(relOf).toSet, dvs),
+    writeCommit(spark, packed, path, carried, schema, partCols, dropped,
+      txns, outDvs, colMap, Some(v),
+      RebaseRewrite("compacting", selected.map(relOf).toSet, dvs),
       "compact")
   }
 

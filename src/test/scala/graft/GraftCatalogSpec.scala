@@ -279,6 +279,15 @@ class GraftCatalogSpec extends SparkSpec {
         .input_file_name()).distinct().count() < filesBefore)
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.p")
       .collect()(0).getLong(0) === docs.count())
+    // SCOPED compact from SQL: the string scope value casts to the
+    // column's type inside the pruning; scoping to the one already-
+    // packed file is the no-op fast path (same version back)
+    val vs = spark.sql(s"CALL $cat.system.compact(table => 'db.p', " +
+      "scope_column => 'doc_id', scope_value => '7')")
+      .collect()(0).getLong(0)
+    assert(vs === 6L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.p")
+      .collect()(0).getLong(0) === docs.count())
     // tag the compacted version, positionally and by name
     assert(spark.sql(s"CALL $cat.system.tag('db.p', 'gold')")
       .collect()(0).getLong(0) === 6L)

@@ -2379,6 +2379,58 @@ class SnapshotsSpec extends SparkSpec {
       keptDay.toString)
   }
 
+  test("scoped compact bin-packs one day's fragments and carries the rest untouched") {
+    val path = newStore
+    val ev = Tables.t(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .filter(dayofmonth(col("ts")) <= 6)
+    Snapshots.commit(ev.filter(dayofmonth(col("ts")) === 1), path,
+      partitionBy = Seq("days(ts)"))
+    // streaming-fragment shape: several tiny appends per day
+    (2 to 6).foreach(d => (0 to 1).foreach(h =>
+      Snapshots.commitAppend(ev.filter(dayofmonth(col("ts")) === d &&
+        pmod(hour(col("ts")), lit(2)) === h), path)))
+    val vBefore = Snapshots.latestVersion(spark, path).get
+    val m0 = Snapshots.read(spark, path)
+    assert(m0.count() === ev.count())
+    val day3 = ev.filter(dayofmonth(col("ts")) === 3)
+      .select("ts").head.getTimestamp(0)
+    val (day3Before, totalBefore) =
+      Snapshots.prunedEntriesEquals(spark, path, "ts", day3)
+    assert(day3Before.size > 1, s"${day3Before.size}")
+    // a mor delete pending on a CARRIED day must survive the scoped
+    // compact (delete files are preserved, not applied)
+    Snapshots.deleteWhere(spark, path,
+      dayofmonth(col("ts")) === 5 && col("value") > 0, mode = "mor")
+    val liveBefore = Snapshots.read(spark, path)
+    val expect = liveBefore.collect().length
+    Snapshots.compact(spark, path, targetFileBytes = 1L << 30,
+      scope = Seq("ts" -> day3))
+    val after = Snapshots.read(spark, path)
+    assert(after.count().toInt === expect)
+    assert(after.exceptAll(liveBefore).count() === 0L)
+    assert(liveBefore.exceptAll(after).count() === 0L)
+    // day 3 collapsed to one file; the other days' entries carried
+    val (day3After, totalAfter) =
+      Snapshots.prunedEntriesEquals(spark, path, "ts", day3)
+    assert(day3After.size === 1, day3After.toString)
+    assert(totalAfter === totalBefore - day3Before.size + 1)
+    val day2 = ev.filter(dayofmonth(col("ts")) === 2)
+      .select("ts").head.getTimestamp(0)
+    val (day2Before, _) = Snapshots.prunedEntriesEquals(
+      spark, path, "ts", day2, Some(vBefore))
+    val (day2After, _) =
+      Snapshots.prunedEntriesEquals(spark, path, "ts", day2)
+    assert(day2After.toSet === day2Before.toSet)
+    // the carried day's mor delete still serves
+    assert(after.filter(dayofmonth(col("ts")) === 5 &&
+      col("value") > 0).count() === 0L)
+    // scoping to values with no matching files is a no-op commit
+    val vNow = Snapshots.latestVersion(spark, path).get
+    assert(Snapshots.compact(spark, path,
+      scope = Seq("event_id" -> -1L)) === vNow)
+  }
+
   test("truncate(w) hidden partitioning: string prefixes and integer floors") {
     val path = newStore
     Snapshots.commit(docs, path, partitionBy = Seq("truncate(4, source)"))
