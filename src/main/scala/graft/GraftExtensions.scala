@@ -79,6 +79,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.io.Snapshots.history(spark,
             String.valueOf(children.head.eval())))
       }))
+    // SELECT * FROM graft_snapshot_files('/path'[, version]) — the
+    // files metadata table: per-entry path, bytes, partition values
+    // (hidden-transform dirs included) and pruning stats
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_snapshot_files"),
+      new ExpressionInfo("graft.io.Snapshots", "graft_snapshot_files"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.nonEmpty && children.size <= 2 &&
+          children.forall(_.foldable),
+          "graft_snapshot_files(path[, version]) takes 1 or 2 " +
+            "literal arguments")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val v = children.lift(1).map(_.eval()) map {
+          case n: Number => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_snapshot_files: version '$other' is not a number")
+        }
+        org.apache.spark.sql.graft.Bridge.logicalPlan(
+          graft.io.Snapshots.files(spark,
+            String.valueOf(children.head.eval()), v))
+      }))
     // SELECT * FROM graft_snapshot_changes('/path', from, to) — the
     // row-level change data feed in SQL (insert/delete rows with
     // _change_type and _commit_version; merges, mor deletes and

@@ -2973,6 +2973,37 @@ object Snapshots {
       "total_bytes")
   }
 
+  /** The FILES metadata table (Iceberg's `db.t.files` posture): one
+    * row per manifest entry of the chosen version — relative path,
+    * on-disk bytes (the `__len` pseudo-stat; zero file status calls),
+    * partition-directory values (identity AND hidden-transform
+    * directories), and the committed min/max pruning stats rendered
+    * as strings (numeric and truncated-string bounds; a `null` max
+    * means unbounded). What an operator looks at before deciding to
+    * compact, re-cluster, or diagnose why a scan didn't prune.
+    */
+  def files(spark: SparkSession, path: String,
+            version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, path)
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot: no committed version under $path"))
+    val m = manifest(f, path, v)
+    m.entries.map { e =>
+      val rel = relOf(e)
+      val nums = statsOf(e).filterNot(_._1 == LenStat)
+      val strs = stringStatsOf(e)
+      def hex(b: Array[Byte]): String =
+        new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      (rel, entryLen(f, path, e), partValsOf(rel),
+        nums.map { case (k, (mn, _)) => k -> mn.toString } ++
+          strs.map { case (k, (mn, _)) => k -> hex(mn) },
+        nums.map { case (k, (_, mx)) => k -> mx.toString } ++
+          strs.map { case (k, (_, mx)) => k -> mx.map(hex).orNull })
+    }.toDF("file", "bytes", "partition", "stats_min", "stats_max")
+  }
+
   /** The standing maintenance pass a scheduler runs against every
     * table — compact-if-fragmented + expire + vacuum in one call,
     * each half already idempotent: [[compact]] no-ops when the table

@@ -66,6 +66,20 @@ class ExtensionsSpec extends SparkSpec {
           GROUP BY 1""").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(feed === Map("insert" -> (docs.count() - even)), feed.toString)
+    // the FILES metadata table as SQL: one row per manifest entry,
+    // bytes from the __len pseudo-stat, stats rendered for ops eyes
+    val files = spark.sql(
+      s"""SELECT file, bytes, stats_min['doc_id'] AS lo,
+                 stats_max['doc_id'] AS hi
+          FROM graft_snapshot_files('$path')""").collect()
+    assert(files.nonEmpty)
+    assert(files.forall(r => r.getString(0).endsWith(".parquet") &&
+      r.getLong(1) > 0L))
+    assert(files.exists(r => r.getString(2) != null))
+    // version argument pins the entry list
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_snapshot_files('$path', $v1)")
+      .head().getLong(0) < files.length.toLong)
   }
 
   test("TopKRewriteRule: rank-filter window rewrites to the heap operator") {

@@ -2379,6 +2379,50 @@ class SnapshotsSpec extends SparkSpec {
       keptDay.toString)
   }
 
+  test("OCC stress: six concurrent appenders and a live compactor all land exactly once") {
+    val path = newStore
+    Snapshots.commit(spark.range(0L, 0L).toDF("v"), path)
+    val nThreads = 6
+    val perThread = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads + 1)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val appenders = (0 until nThreads).map { t =>
+      pool.submit(new Runnable { def run(): Unit = try {
+        (0 until perThread).foreach { b =>
+          val lo = (t * perThread + b) * 100L
+          Snapshots.commitAppend(
+            spark.range(lo, lo + 100L).toDF("v"), path)
+        }
+      } catch { case e: Throwable => errors.add(e) } })
+    }
+    // a maintenance job racing the ingest: compaction REBASES over
+    // the appends (WriteSerializable) — it may occasionally refuse
+    // if it races another rewrite, but appends must NEVER fail
+    val compactor = pool.submit(new Runnable { def run(): Unit =
+      (0 until 3).foreach { _ =>
+        try Snapshots.compact(spark, path, targetFileBytes = 64L << 20)
+        catch { case _: java.util.ConcurrentModificationException => () }
+        Thread.sleep(50)
+      } })
+    appenders.foreach(_.get())
+    compactor.get()
+    pool.shutdown()
+    assert(errors.isEmpty, errors.toString)
+    // every appended row exactly once - none lost to a lost-update,
+    // none doubled by a replayed rebase
+    val total = nThreads * perThread * 100L
+    val got = Snapshots.read(spark, path)
+    assert(got.count() === total)
+    assert(got.distinct().count() === total)
+    assert(got.agg(sum("v")).head.getLong(0) ===
+      (0L until total).sum)
+    // versions are a contiguous claim sequence: every commit that
+    // reported success owns exactly one version
+    val vs = Snapshots.versions(spark, path)
+    assert(vs === (1L to vs.max).toSeq, vs.toString)
+    assert(vs.size >= 1 + nThreads * perThread)
+  }
+
   test("scoped compact bin-packs one day's fragments and carries the rest untouched") {
     val path = newStore
     val ev = Tables.t(spark, sf, "events")
