@@ -1448,6 +1448,18 @@ object Snapshots {
     // replaced whole — the idempotent-backfill semantics, with the
     // user never materializing the derived column)
     val fields = partCols.map(parsePartField)
+    // files written before a partition-spec evolution lack the
+    // current spec's directory keys: "replace this day" could not
+    // see day rows hiding in old-layout files, silently duplicating
+    // the backfill - refuse until a compact migrates the layout
+    val stale = all.filterNot(e => fields.forall(fld =>
+      partValsOf(relOf(e)).contains(fld.dirName)))
+    require(stale.isEmpty,
+      s"snapshot: ${stale.size} file(s) of $path predate the current " +
+        s"partition spec (${partCols.mkString(", ")}) and carry no " +
+        "directory values for it - replacePartitions cannot bound " +
+        "the replacement; compact (scoped or full) to migrate the " +
+        "layout first")
     val doomed: Set[Seq[String]] = df
       .select(fields.zip(lp).map { case (fld, lsrc) =>
         fld.derive(col(lsrc), df.schema(lsrc).dataType)
@@ -2755,6 +2767,67 @@ object Snapshots {
     * rewrite writes only the current schema's columns). Partition
     * columns cannot be dropped.
     */
+  /** PARTITION-SPEC EVOLUTION (Iceberg's layout headline): change
+    * the table's partitioning for FUTURE writes in one metadata-only
+    * commit — `months(ts)` grows into `days(ts)` when the data
+    * outgrows month grain, an unbucketed table gains `bucket(64,
+    * user_id)` when point lookups arrive. Existing files keep their
+    * old directory layout and keep serving: pruning reads each
+    * entry's OWN directory keys from its path, so an old-layout file
+    * simply doesn't answer new-spec probes (kept, never wrongly
+    * pruned) while fresh writes land under the new spec. A
+    * [[compact]] — scoped or full — migrates old files into the
+    * current layout as a side effect of rewriting them.
+    *
+    * IDENTITY fields cannot change while the table has files: an
+    * identity value lives ONLY in the directory name (the column is
+    * not in the data files), so adding or removing one would
+    * null-fill reads on half the layout. Hidden transforms keep
+    * their source columns in the files and evolve freely — which is
+    * exactly why transforms are the layout primitive to prefer.
+    */
+  def alterPartitionSpec(spark: SparkSession, path: String,
+                         partitionBy: Seq[String]): Long = {
+    val CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
+      currentState(spark, path, "alter partitioning of")
+    val logical = normalizePartSpecs(partitionBy).map(parsePartField)
+    logical.foreach(fld => require(schema.fieldNames.contains(fld.source),
+      s"snapshot: partition source column ${fld.source} is not in " +
+        s"the table schema (${schema.fieldNames.mkString(", ")})"))
+    // manifests store PHYSICAL names; specs arrive logical
+    val newSpecs = logical.map {
+      case PIdentity(s) => PIdentity(toPhysicalName(colMap, s))
+      case PTime(k, s) => PTime(k, toPhysicalName(colMap, s))
+      case PBucket(n, s) => PBucket(n, toPhysicalName(colMap, s))
+      case PTruncate(w, s) => PTruncate(w, toPhysicalName(colMap, s))
+    }.map(_.spec)
+    if (newSpecs == partCols) return v
+    if (all.nonEmpty) {
+      val oldIds = partCols.map(parsePartField)
+        .collect { case PIdentity(s) => s }.toSet
+      val newIds = newSpecs.map(parsePartField)
+        .collect { case PIdentity(s) => s }.toSet
+      require(oldIds == newIds,
+        "snapshot: partition-spec evolution cannot change IDENTITY " +
+          s"fields on a non-empty table (old: ${oldIds.mkString(",")}; " +
+          s"new: ${newIds.mkString(",")}) - identity values live in " +
+          "directory names, not data files, so existing files would " +
+          "misread; evolve hidden transforms freely, or rewrite into " +
+          "a fresh table for identity changes")
+    }
+    val f = fs(spark, path)
+    val next = v + 1L
+    if (!tryPublishManifest(f, path, next,
+        manifestLines(schema, newSpecs, dropped, "alterPartitioning",
+          all, txns, dvs, colMap)))
+      throw new java.util.ConcurrentModificationException(
+        "snapshot: concurrent commit detected while altering the " +
+          s"partitioning of $path (version $next was claimed by " +
+          "another writer) - re-read and retry")
+    bumpLatestHint(f, path, next)
+    next
+  }
+
   def dropColumns(spark: SparkSession, path: String,
                   cols: Seq[String]): Long = {
     require(cols.nonEmpty, "snapshot: dropColumns needs column names")

@@ -2475,6 +2475,72 @@ class SnapshotsSpec extends SparkSpec {
       scope = Seq("event_id" -> -1L)) === vNow)
   }
 
+  test("partition-spec evolution: months to days, old files serve, compact migrates") {
+    val path = newStore
+    val ev = Tables.t(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .filter(dayofmonth(col("ts")) <= 5)
+    Snapshots.commit(ev.filter(dayofmonth(col("ts")) <= 3), path,
+      partitionBy = Seq("months(ts)"))
+    // the evolution is metadata-only and versioned
+    val v2 = Snapshots.alterPartitionSpec(spark, path, Seq("days(ts)"))
+    assert(v2 === 2L)
+    // same spec again no-ops
+    assert(Snapshots.alterPartitionSpec(spark, path,
+      Seq("days(ts)")) === 2L)
+    // new writes land day-grain dirs; old month-grain files serve
+    Snapshots.commitAppend(ev.filter(dayofmonth(col("ts")) === 4), path)
+    val got = Snapshots.read(spark, path)
+    assert(got.count() === ev.filter(dayofmonth(col("ts")) <= 4).count())
+    assert(got.exceptAll(ev.filter(dayofmonth(col("ts")) <= 4))
+      .count() === 0L)
+    // a day-4 probe keeps the new day file plus the old-layout files
+    // (they carry no day key - kept, never wrongly pruned)
+    val day4 = ev.filter(dayofmonth(col("ts")) === 4)
+      .select("ts").head.getTimestamp(0)
+    val (kept, total) = Snapshots.prunedEntriesEquals(
+      spark, path, "ts", day4)
+    assert(kept.exists(_.contains("ts_day=20240104")))
+    assert(kept.size === total) // old files are conservative keeps
+    // replacePartitions refuses while old-layout files remain
+    val e = intercept[IllegalArgumentException](
+      Snapshots.replacePartitions(
+        ev.filter(dayofmonth(col("ts")) === 4), path))
+    assert(e.getMessage.contains("predate"), e.getMessage)
+    // compact migrates every file into the current layout...
+    Snapshots.compact(spark, path, targetFileBytes = 1L << 30)
+    val (kept2, total2) = Snapshots.prunedEntriesEquals(
+      spark, path, "ts", day4)
+    assert(kept2.size < total2, s"${kept2.size}/$total2")
+    assert(kept2.forall(_.contains("ts_day=20240104")))
+    // ...after which day-grain replace works
+    Snapshots.replacePartitions(
+      ev.filter(dayofmonth(col("ts")) === 4)
+        .withColumn("value", col("value") * 10), path)
+    assert(Snapshots.read(spark, path).count() ===
+      ev.filter(dayofmonth(col("ts")) <= 4).count())
+    // identity fields refuse to change on a non-empty table; adding
+    // a transform beside them is free
+    val p2 = newStore
+    Snapshots.commit(docs, p2, partitionBy = Seq("lang"))
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.alterPartitionSpec(spark, p2, Seq("source")))
+    assert(e2.getMessage.contains("IDENTITY"), e2.getMessage)
+    Snapshots.alterPartitionSpec(spark, p2,
+      Seq("lang", "bucket(4, doc_id)"))
+    Snapshots.commitAppend(docs.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 50000L), p2)
+    val all2 = Snapshots.read(spark, p2)
+    assert(all2.count() === docs.count() + 5)
+    assert(all2.filter(col("doc_id") === 50001L).count() === 1L)
+    // an EMPTY table changes identity fields freely
+    val p3 = newStore
+    Snapshots.createEmpty(spark, p3, docs.schema, Seq("lang"))
+    Snapshots.alterPartitionSpec(spark, p3, Seq("source"))
+    Snapshots.commitAppend(docs, p3)
+    assert(Snapshots.read(spark, p3).count() === docs.count())
+  }
+
   test("truncate(w) hidden partitioning: string prefixes and integer floors") {
     val path = newStore
     Snapshots.commit(docs, path, partitionBy = Seq("truncate(4, source)"))
