@@ -1049,6 +1049,29 @@ private[graft] object QueriesIo {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** EQUALITY DELETES (Iceberg v2's zero-scan delete files): the
+    * delete batch is committed AS a file of keys — no table read, no
+    * data-file rewrite — and every live read anti-joins it against
+    * files present at the delete's base version. A later append
+    * RE-INSERTS two of the deleted keys and survives (files newer
+    * than the base escape the kill — CDC delete-then-insert keeps
+    * its meaning). The gate reads the final table; the oracle
+    * replays the same history relationally.
+    */
+  def snapshotEqDelete(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "snap_eq")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = t(s, dir, "documents")
+    graft.io.Snapshots.commit(docs, path)
+    graft.io.Snapshots.deleteKeysEq(s, path,
+      docs.filter(col("doc_id") % 5 === 0).select("doc_id"),
+      Seq("doc_id"))
+    graft.io.Snapshots.commitAppend(
+      docs.filter(col("doc_id") % 10 === 0), path)
+    graft.io.Snapshots.read(s, path)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** HIDDEN partition transforms (Iceberg's headline layout feature)
     * on the snapshot store: the table is committed under
     * `bucket(8, doc_id)` + `truncate(4, source)` — derived partition
@@ -1229,6 +1252,7 @@ private[graft] object QueriesIo {
     "q_snapshot_call" -> (snapshotSqlCall _),
     "q_snapshot_str_skip" -> (snapshotStrSkip _),
     "q_snapshot_hidden" -> (snapshotHidden _),
+    "q_snapshot_eq" -> (snapshotEqDelete _),
     "q_snapshot_rename" -> (snapshotRename _),
     "q_snapshot_dv" -> (snapshotDv _),
     "q_snapshot_changes" -> (snapshotChanges _),
@@ -1369,6 +1393,12 @@ private[graft] object QueriesIo {
     "q_snapshot_hidden" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          WHERE source = 'src12'""",
+    "q_snapshot_eq" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         WHERE doc_id % 5 <> 0
+         UNION ALL
+         SELECT doc_id, text, lang, source, n_chars FROM documents
+         WHERE doc_id % 10 = 0""",
     "q_snapshot_catalog" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          WHERE n_chars >= 300 AND lang <> 'zh'""",

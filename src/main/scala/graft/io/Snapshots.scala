@@ -1191,6 +1191,39 @@ object Snapshots {
     spark.read.schema(DvSchema).parquet(dvs.map(d => s"$path/$d"): _*)
       .select(col("__file").as(DvFileCol), col("__pos").as(DvPosCol))
 
+  /** An EQUALITY DELETE (Iceberg v2's other delete-file kind): a
+    * parquet file of KEY VALUES that kills every matching row in
+    * files present at its `base` version — committed WITHOUT reading
+    * the table at all (the point: a CDC delete batch costs O(batch),
+    * not O(table), where the positional `#dv=` path must first scan
+    * for row positions). Files appended AFTER the delete's base are
+    * untouched, so delete-then-reinsert streams keep their meaning.
+    * Stored inside the `#dv=` marker list as
+    * `eq:<rel>|<physCols csv>|<baseVersion>` so every commit path
+    * carries, compares and retains it exactly like a positional
+    * delete file; only the read side tells them apart.
+    */
+  private[graft] final case class EqDelete(rel: String,
+                                           cols: Seq[String], base: Long)
+
+  private[graft] def eqOf(d: String): Option[EqDelete] =
+    if (!d.startsWith("eq:")) None
+    else d.stripPrefix("eq:").split('|') match {
+      case Array(rel, cols, base) if cols.nonEmpty &&
+          base.forall(_.isDigit) && base.nonEmpty =>
+        Some(EqDelete(rel, cols.split(',').toSeq, base.toLong))
+      case _ => throw new IllegalArgumentException(
+        s"snapshot: corrupt equality-delete marker '$d' - refusing " +
+          "to read the table rather than silently resurrecting " +
+          "deleted rows")
+    }
+
+  /** The delete-file REL PATH a `#dv=` marker references — the
+    * positional form is the path itself; the equality form wraps it.
+    */
+  private[graft] def dvRelOf(d: String): String =
+    eqOf(d).map(_.rel).getOrElse(d)
+
   /** Live rows of `entries` — deletes applied — WITH the row-identity
     * helper columns ([[DvFileCol]], [[DvPosCol]]) still attached, for
     * mutation discovery and mor-delete writes. Identity is
@@ -1204,15 +1237,45 @@ object Snapshots {
                          colMap: Map[String, String] = Map.empty)
       : DataFrame = {
     val phys = toPhysicalSchema(schema, colMap)
-    val withId = spark.baseRelationToDataFrame(
-        entriesRelation(spark, path, phys, partCols, entries))
+    def withIdOf(es: Seq[String]): DataFrame = spark
+      .baseRelationToDataFrame(
+        entriesRelation(spark, path, phys, partCols, es))
       .select(phys.fields.zip(schema.fields).map { case (p, l) =>
         col(p.name).as(l.name) } ++ Seq(
         relPathExpr.as(DvFileCol),
         col("_metadata.row_index").as(DvPosCol)): _*)
-    if (dvs.isEmpty) withId
-    else withId.join(dvRows(spark, path, dvs),
-      Seq(DvFileCol, DvPosCol), "left_anti")
+    val pos = dvs.filterNot(_.startsWith("eq:"))
+    val eqs = dvs.flatMap(eqOf).sortBy(_.base)
+    def afterPos(es: Seq[String]): DataFrame = {
+      val w = withIdOf(es)
+      if (pos.isEmpty) w
+      else w.join(dvRows(spark, path, pos),
+        Seq(DvFileCol, DvPosCol), "left_anti")
+    }
+    if (eqs.isEmpty || entries.isEmpty) afterPos(entries)
+    else {
+      // an equality delete applies ONLY to files present at its base
+      // version. Presence intervals are contiguous (a rel path is
+      // never re-added once gone), so the base manifests' entry sets
+      // are NESTED over the current entries: group each entry by the
+      // FIRST base that contains it, and group i is subject to
+      // exactly the deletes i..k — at most k+1 subplans for k
+      // equality deletes, unioned back together.
+      val f = fs(spark, path)
+      val baseRels: Seq[Set[String]] =
+        eqs.map(e => manifest(f, path, e.base).entries.map(relOf).toSet)
+      entries.groupBy { en =>
+        val i = baseRels.indexWhere(_.contains(relOf(en)))
+        if (i < 0) eqs.size else i
+      }.toSeq.sortBy(_._1).map { case (i, es) =>
+        eqs.drop(i).foldLeft(afterPos(es)) { (d, e) =>
+          val logicalCols = e.cols.map(c => colMap.getOrElse(c, c))
+          val keys = spark.read.parquet(s"$path/${e.rel}")
+            .select(e.cols.map(col): _*).toDF(logicalCols: _*)
+          d.join(keys, logicalCols, "left_anti")
+        }
+      }.reduce(_ unionByName _)
+    }
   }
 
   /** Open entries with merge-on-read deletes APPLIED — the read every
@@ -1882,7 +1945,12 @@ object Snapshots {
       val bRels = mB.entries.map(relOf).toSet
       val removed = mA.entries.filterNot(e => bRels(relOf(e)))
       val added = mB.entries.filterNot(e => aRels(relOf(e)))
-      val freshDvs = mB.dvs.filterNot(mA.dvs.toSet)
+      val freshAll = mB.dvs.filterNot(mA.dvs.toSet)
+      val freshDvs = freshAll.filterNot(_.startsWith("eq:"))
+      val freshEqs = freshAll.flatMap(eqOf)
+      val droppedAll = mA.dvs.filterNot(mB.dvs.toSet)
+      val droppedDvs = droppedAll.filterNot(_.startsWith("eq:"))
+      val droppedEqs = droppedAll.flatMap(eqOf)
       val sel = cols.map(col)
       val removedRows =
         if (removed.isEmpty) None
@@ -1901,13 +1969,33 @@ object Snapshots {
           .join(dvRows(spark, path, freshDvs),
             Seq(DvFileCol, DvPosCol), "left_semi")
           .select(sel: _*))
+      // rows a fresh EQUALITY delete killed: prior LIVE rows of the
+      // files in its applicability set (present at its base) that
+      // match its keys — same-commit markers carry disjoint keys, so
+      // no double count within a step
+      def eqMatch(es: Seq[EqDelete], m: SnapManifest, s: StructType)
+          : Option[DataFrame] =
+        es.flatMap { e =>
+          val baseRels = manifest(f, path, e.base).entries
+            .map(relOf).toSet
+          val applicable = m.entries.filter(en => baseRels(relOf(en)))
+          if (applicable.isEmpty) None
+          else {
+            val logicalCols = e.cols.map(c => m.colMap.getOrElse(c, c))
+            val keys = spark.read.parquet(s"$path/${e.rel}")
+              .select(e.cols.map(col): _*).toDF(logicalCols: _*)
+            Some(openLive(spark, path, s, m.partCols, applicable,
+                m.dvs, m.colMap)
+              .join(keys, logicalCols, "left_semi").select(sel: _*))
+          }
+        }.reduceOption(_ unionByName _)
+      val eqKilled = eqMatch(freshEqs, mA, sA)
       // rows a REMOVED delete file resurrects (a rollback undoing a
       // mor delete restores the same entries with fewer DVs): B-side
       // live rows the dropped delete file used to kill. When the
       // entries changed too (compact applying DVs), the dropped DV
       // rows reference files no longer in B and match nothing — no
       // double count.
-      val droppedDvs = mA.dvs.filterNot(mB.dvs.toSet)
       val morRevived =
         if (droppedDvs.isEmpty) None
         else Some(liveWithId(spark, path, sB, mB.partCols, mB.entries,
@@ -1915,23 +2003,30 @@ object Snapshots {
           .join(dvRows(spark, path, droppedDvs),
             Seq(DvFileCol, DvPosCol), "left_semi")
           .select(sel: _*))
+      // a rollback dropping an EQUALITY marker resurrects the B-side
+      // rows it used to kill; a full compact drops the marker while
+      // also rewriting the files OUT of its applicability set, so
+      // nothing matches and nothing double-counts
+      val eqRevived = eqMatch(droppedEqs, mB, sB)
       mA = mB
       sA = sB
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], endSchema)
       val rem = removedRows.getOrElse(empty)
       val add = addedRows.getOrElse(empty)
-      val deletes = (removedRows, addedRows) match {
+      val deletes0 = (removedRows, addedRows) match {
         case (None, _) => morKilled.getOrElse(empty)
         case (Some(_), _) =>
           morKilled.foldLeft(rem.exceptAll(add))(_ unionByName _)
       }
+      val deletes = eqKilled.foldLeft(deletes0)(_ unionByName _)
       val inserts0 = (addedRows, removedRows) match {
         case (None, _) => empty
         case (Some(_), None) => add
         case (Some(_), Some(_)) => add.exceptAll(rem)
       }
-      val inserts = morRevived.foldLeft(inserts0)(_ unionByName _)
+      val inserts = (morRevived.toSeq ++ eqRevived.toSeq)
+        .foldLeft(inserts0)(_ unionByName _)
       inserts.withColumn("_change_type", lit("insert"))
         .unionByName(deletes.withColumn("_change_type", lit("delete")))
         .withColumn("_commit_version", lit(v + 1L))
@@ -2524,6 +2619,57 @@ object Snapshots {
     } finally { k.unpersist(); () }
   }
 
+  /** EQUALITY DELETE (Iceberg v2 equality delete files): commit the
+    * key batch AS the delete — O(batch) IO, ZERO table reads, zero
+    * data-file rewrites. Where `deleteKeys(mode="mor")` must first
+    * scan the table for row positions, this writes the keys and a
+    * manifest marker and is done; every live read anti-joins the
+    * keys against files present at THIS commit's base version, so
+    * rows appended later — including re-inserts of the same keys —
+    * are untouched (CDC delete-then-insert keeps its meaning). THE
+    * shape for high-volume CDC delete streams at 100 TB. Applied
+    * physically (and dropped) by a full [[compact]]; rewrites of
+    * affected files bake the kill in file-by-file since rewritten
+    * files leave the delete's applicability set.
+    *
+    * Cost honesty: each equality delete adds one anti-join (and one
+    * base-manifest read) to every live read until a compact clears
+    * it — commit fast, read pays rent. Schedule compaction.
+    */
+  def deleteKeysEq(spark: SparkSession, path: String, keys: DataFrame,
+                   keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty,
+      "snapshot: deleteKeysEq needs at least one key column")
+    require(keyCols.forall(keys.columns.contains),
+      s"snapshot: key columns ${keyCols.filterNot(keys.columns.contains)} " +
+        "missing from the keys table")
+    val CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
+      currentState(spark, path, "equality-delete keys from")
+    keyCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"snapshot: key column $c is not in the table schema " +
+        s"(${schema.fieldNames.mkString(", ")})"))
+    requireSameTypes(StructType(schema.filter(f => keyCols.contains(f.name))),
+      StructType(keys.schema.filter(f => keyCols.contains(f.name))),
+      "deleteKeysEq key")
+    val physCols = keyCols.map(c => toPhysicalName(colMap, c))
+    physCols.foreach(c => require(!c.contains('|') && !c.contains(','),
+      s"snapshot: key column '$c' contains an equality-delete marker " +
+        "separator ('|' or ',') - rename it first"))
+    val f = fs(spark, path)
+    val k = keys.select(keyCols.map(col): _*).distinct()
+    requireNoNullKeys(k, keyCols, "deleteKeysEq keys")
+    val commitDir = s"data/c-${java.util.UUID.randomUUID()}"
+    k.toDF(physCols: _*).write.parquet(s"$path/$commitDir")
+    val fresh = listCommitFiles(f, path, commitDir)
+    val any = spark.read.parquet(s"$path/$commitDir")
+      .limit(1).count() > 0L
+    if (!any) { f.delete(new Path(s"$path/$commitDir"), true); return v }
+    val markers = fresh.map(rel =>
+      s"eq:$rel|${physCols.mkString(",")}|$v")
+    publishWithDeleteMarkers(spark, path, v, schema, partCols, dropped,
+      txns, dvs, colMap, all, commitDir, markers, "deleteKeysEq")
+  }
+
   /** Copy-on-write DELETE: rows where `predicate` evaluates TRUE are
     * removed; FALSE and NULL rows are retained (SQL DELETE WHERE
     * semantics — discovery's `filter(predicate)` and the survivors'
@@ -2586,14 +2732,36 @@ object Snapshots {
     val any = spark.read.schema(DvSchema)
       .parquet(s"$path/$commitDir").limit(1).count() > 0L
     if (!any) { f.delete(new Path(s"$path/$commitDir"), true); return v }
+    publishWithDeleteMarkers(spark, path, v, schema, partCols, dropped,
+      txns, dvs, colMap, entries, commitDir, freshDvs, op)
+  }
+
+  /** The delete-commit publish loop shared by positional and
+    * equality deletes: same entries + the fresh `#dv=` markers.
+    * Rebases over append-only interlopers like the cow rewrites —
+    * and additionally over CONCURRENT DELETES: the marker union is
+    * exactly the serial composition (each positional doomed set was
+    * computed against the shared base and re-kills are idempotent;
+    * each equality delete carries its own base version, so
+    * same-base deletes compose as a key union). Anything that
+    * removed or rewrote files refuses — positional rows name
+    * (file, pos) identities and equality deletes name base-version
+    * files, both of which must stay live for the kill to land.
+    */
+  private def publishWithDeleteMarkers(spark: SparkSession,
+                                       path: String, v: Long,
+                                       schema: StructType,
+                                       partCols: Seq[String],
+                                       dropped: Set[String],
+                                       txns: Map[String, Long],
+                                       dvs: Seq[String],
+                                       colMap: Map[String, String],
+                                       entries: Seq[String],
+                                       commitDir: String,
+                                       markers: Seq[String],
+                                       op: String): Long = {
+    val f = fs(spark, path)
     onBeforePublish()
-    // mor deletes rebase over append-only interlopers like the cow
-    // rewrites — and additionally over CONCURRENT MOR DELETES: the DV
-    // union is exactly the serial composition (each delete's doomed
-    // rows were computed against the shared base; rows the winner
-    // already killed are re-killed harmlessly by the identity
-    // anti-join). Anything that removed or rewrote files refuses —
-    // these DV rows name (file, pos) identities that must stay live.
     var curEntries = entries
     var curTxns = txns
     var curDvs = dvs
@@ -2603,7 +2771,7 @@ object Snapshots {
       val next = curBase + 1L
       if (tryPublishManifest(f, path, next,
           manifestLines(schema, partCols, dropped, op, curEntries,
-            curTxns, curDvs ++ freshDvs, colMap))) {
+            curTxns, curDvs ++ markers, colMap))) {
         bumpLatestHint(f, path, next)
         committed = next
       } else {
@@ -2841,6 +3009,11 @@ object Snapshots {
     require(parts.isEmpty,
       s"snapshot: ${parts.mkString(", ")} are partition columns - the " +
         "layout depends on them; repartition via a fresh commit instead")
+    val eqKeyPhys = dvs.flatMap(eqOf).flatMap(_.cols).toSet
+    val eqHit = cols.filter(c => eqKeyPhys.contains(toPhysicalName(colMap, c)))
+    require(eqHit.isEmpty,
+      s"snapshot: ${eqHit.mkString(", ")} key live equality deletes - " +
+        "compact to apply the deletes before dropping the column(s)")
     val remaining = schema.fields.filterNot(f => cols.contains(f.name))
     require(remaining.nonEmpty,
       "snapshot: dropping every column would leave an unreadable table")
@@ -2955,6 +3128,9 @@ object Snapshots {
           "snapshot: dropping every column would leave an " +
             "unreadable table")
         val phys = toPhysicalName(colMap, name)
+        require(!dvs.flatMap(eqOf).flatMap(_.cols).contains(phys),
+          s"snapshot: $name keys a live equality delete - compact " +
+            "to apply the delete before dropping the column")
         schema = StructType(schema.fields.filterNot(_.name == name))
         dropped += phys
         colMap -= phys
@@ -3163,11 +3339,33 @@ object Snapshots {
     require(keepLast >= 1, "snapshot: must keep at least one version")
     val f = fs(spark, path)
     val all = allManifestVersions(f, path)
-    val pinned = tags(spark, path).values.toSet
+    val tagged = tags(spark, path).values.toSet
+    val pinned = tagged ++ eqBasesReferenced(f, path,
+      all.takeRight(keepLast).toSet ++ tagged)
     val drop = all.dropRight(keepLast)
       .filterNot(pinned) // never a tagged snapshot — tags PIN history
     drop.foreach(v => f.delete(manifestPath(path, v), false))
     drop.size
+  }
+
+  /** Base versions every surviving equality-delete marker needs: the
+    * base MANIFEST defines which files the delete applies to, so it
+    * must outlive the marker — retention pins it like a tag. Closed
+    * transitively: a pinned base manifest may itself carry markers
+    * with earlier bases.
+    */
+  private def eqBasesReferenced(f: FileSystem, path: String,
+                                roots: Set[Long]): Set[Long] = {
+    var seen = Set.empty[Long]
+    var frontier = roots
+    while (frontier.nonEmpty) {
+      val next = frontier
+        .flatMap(v => manifest(f, path, v).dvs.flatMap(eqOf).map(_.base))
+        .diff(seen ++ frontier)
+      seen ++= frontier
+      frontier = next
+    }
+    seen -- roots
   }
 
   /** Retention BY AGE — the `RETAIN n HOURS` spelling: drop every
@@ -3184,7 +3382,9 @@ object Snapshots {
     require(maxAgeMs >= 0, s"snapshot: maxAgeMs must be >= 0: $maxAgeMs")
     val f = fs(spark, path)
     val all = allManifestVersions(f, path)
-    val pinned = tags(spark, path).values.toSet
+    val tagged = tags(spark, path).values.toSet
+    val pinned = tagged ++ eqBasesReferenced(f, path,
+      all.takeRight(1).toSet ++ tagged)
     val cutoff = System.currentTimeMillis() - maxAgeMs
     val drop = all.dropRight(1) // the current snapshot always survives
       .filterNot(pinned)
@@ -3280,7 +3480,7 @@ object Snapshots {
     val referenced = allManifestVersions(f, path)
       .flatMap { v =>
         val m = manifest(f, path, v)
-        m.entries.map(relOf) ++ m.dvs
+        m.entries.map(relOf) ++ m.dvs.map(dvRelOf)
       }.toSet
     val dataDir = new Path(s"$path/data")
     if (!f.exists(dataDir)) return 0

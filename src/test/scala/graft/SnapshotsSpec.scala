@@ -2379,6 +2379,104 @@ class SnapshotsSpec extends SparkSpec {
       keptDay.toString)
   }
 
+  test("equality deletes: zero-scan commits, re-inserts survive, compact applies") {
+    val path = newStore
+    Snapshots.commit(docs, path)
+    val (_, _, entriesBefore, dvs0, _) = Snapshots.stateAt(spark, path, 1L)
+    assert(dvs0.isEmpty)
+    val keys = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+    val v2 = Snapshots.deleteKeysEq(spark, path, keys, Seq("doc_id"))
+    assert(v2 === 2L)
+    // ZERO data-file rewrites: the data entries are byte-identical
+    val (_, _, entriesAfter, dvs2, _) = Snapshots.stateAt(spark, path, 2L)
+    assert(entriesAfter === entriesBefore)
+    assert(dvs2.nonEmpty && dvs2.forall(_.startsWith("eq:")))
+    // live reads exclude the keys; time travel to v1 still sees them
+    val live = Snapshots.read(spark, path)
+    assert(live.filter(col("doc_id") % 7 === 0).count() === 0L)
+    assert(live.count() === docs.filter(col("doc_id") % 7 =!= 0).count())
+    assert(Snapshots.read(spark, path, Some(1L)).count() === docs.count())
+    // a RE-INSERT of deleted keys lands after the delete's base and
+    // survives - CDC delete-then-insert keeps its meaning
+    Snapshots.commitAppend(docs.filter(col("doc_id") === 7L), path)
+    assert(Snapshots.read(spark, path)
+      .filter(col("doc_id") === 7L).count() === 1L)
+    assert(Snapshots.read(spark, path)
+      .filter(col("doc_id") === 14L).count() === 0L)
+    // discovery flows see eq-killed rows as dead: merging a deleted
+    // key INSERTS it fresh instead of updating a ghost
+    val up = docs.filter(col("doc_id") === 21L)
+      .withColumn("text", lit("back"))
+      .select(docs.columns.map(col).toSeq: _*)
+    Snapshots.merge(spark, path, up, Seq("doc_id"))
+    val after = Snapshots.read(spark, path)
+    assert(after.filter(col("doc_id") === 21L).count() === 1L)
+    assert(after.filter(col("doc_id") === 21L).select("text")
+      .head.getString(0) === "back")
+    // vacuum while referenced never sweeps the delete file
+    Snapshots.vacuum(spark, path, graceMs = 0L)
+    assert(Snapshots.read(spark, path)
+      .filter(col("doc_id") === 14L).count() === 0L)
+    // a FULL compact applies the kill physically and drops markers
+    val vC = Snapshots.compact(spark, path, targetFileBytes = 1L << 30)
+    val (_, _, _, dvsC, _) = Snapshots.stateAt(spark, path, vC)
+    assert(dvsC.isEmpty)
+    val packed = Snapshots.read(spark, path)
+    assert(packed.filter(col("doc_id") % 7 === 0 &&
+      col("doc_id") =!= 7L && col("doc_id") =!= 21L).count() === 0L)
+    assert(packed.filter(col("doc_id") === 7L).count() === 1L)
+    assert(packed.count() === after.count())
+  }
+
+  test("equality deletes: concurrent-append rebase, changeFeed, rollback, expire pinning") {
+    val path = newStore
+    Snapshots.commit(docs.filter(col("doc_id") < 300), path)
+    Snapshots.commitAppend(docs.filter(col("doc_id") >= 300), path)
+    // an append interleaves the eq-delete publish; the delete's base
+    // stays v2, so the interloper's rows survive even with matching
+    // keys (serial order: delete, then append)
+    Snapshots.onBeforePublish = () => {
+      Snapshots.onBeforePublish = () => ()
+      Snapshots.commitAppend(docs.filter(col("doc_id") === 50L)
+        .withColumn("doc_id", lit(100050L)), path)
+      ()
+    }
+    val keys = docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id")
+      .unionByName(spark.range(100050L, 100051L).toDF("doc_id"))
+    val vDel =
+      try Snapshots.deleteKeysEq(spark, path, keys, Seq("doc_id"))
+      finally Snapshots.onBeforePublish = () => ()
+    assert(vDel === 4L) // append claimed v3, delete rebased to v4
+    val live = Snapshots.read(spark, path)
+    assert(live.filter(col("doc_id") === 100050L).count() === 1L)
+    assert(live.filter(col("doc_id") % 2 === 0 &&
+      col("doc_id") < 100000L).count() === 0L)
+    // changeFeed over the eq commit: the killed rows stream as
+    // deletes with the commit's version
+    val feed = Snapshots.changeFeed(spark, path, 3L, 4L)
+    assert(feed.filter(col("_change_type") === "delete").count() ===
+      docs.filter(col("doc_id") % 2 === 0).count())
+    assert(feed.filter(col("_change_type") === "insert").count() === 0L)
+    // rollback drops the marker; the feed resurrects the rows
+    val vRb = Snapshots.rollback(spark, path, 3L)
+    val feed2 = Snapshots.changeFeed(spark, path, 4L, vRb)
+    assert(feed2.filter(col("_change_type") === "insert").count() ===
+      docs.filter(col("doc_id") % 2 === 0).count())
+    // roll forward; retention cannot expire a marker's base manifest
+    Snapshots.rollback(spark, path, 4L)
+    Snapshots.expire(spark, path, keepLast = 2)
+    val vs = Snapshots.versions(spark, path)
+    assert(vs.contains(2L), s"eq base version expired: $vs")
+    assert(Snapshots.read(spark, path)
+      .filter(col("doc_id") % 2 === 0 && col("doc_id") < 100000L)
+      .count() === 0L)
+    // dropping a key column refuses while the delete is live
+    val e = intercept[IllegalArgumentException](
+      Snapshots.dropColumns(spark, path, Seq("doc_id")))
+    assert(e.getMessage.contains("equality delete"), e.getMessage)
+  }
+
   test("OCC stress: six concurrent appenders and a live compactor all land exactly once") {
     val path = newStore
     Snapshots.commit(spark.range(0L, 0L).toDF("v"), path)
