@@ -1072,6 +1072,58 @@ private[graft] object QueriesIo {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** DELTA-LOG manifests (Delta's commit-JSON + checkpoint shape):
+    * the base commit lands 40 entries; the three appends each write
+    * an O(batch) delta manifest (`#base=` + line edits) instead of
+    * rewriting the O(table) entry list — at a million files that's
+    * the difference between a few hundred bytes and ~100 MB of
+    * metadata per commit. The read resolves the chain; the oracle is
+    * the plain relational union of the four slices.
+    */
+  def snapshotDeltaLog(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "snap_dlog")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = t(s, dir, "documents")
+    graft.io.Snapshots.commit(
+      docs.filter(col("doc_id") % 4 =!= 0).repartition(40), path)
+    graft.io.Snapshots.commitAppend(
+      docs.filter(col("doc_id") % 12 === 0).coalesce(1), path)
+    graft.io.Snapshots.commitAppend(
+      docs.filter(col("doc_id") % 12 === 4).coalesce(1), path)
+    graft.io.Snapshots.commitAppend(
+      docs.filter(col("doc_id") % 12 === 8).coalesce(1), path)
+    graft.io.Snapshots.read(s, path)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** WRITE-AUDIT-PUBLISH (Iceberg's WAP staging): two batches are
+    * staged invisibly — the expensive file writes happen BEFORE the
+    * publish gate. The audit inspects each staged view, drops the
+    * bad batch (negative n_chars — its bytes vanish), and publishes
+    * the good one as one atomic metadata commit. The final table is
+    * exactly base + the published batch; the oracle is the plain
+    * relational equivalent.
+    */
+  def snapshotWap(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "snap_wap")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = t(s, dir, "documents")
+    graft.io.Snapshots.commit(docs.filter(col("doc_id") % 3 =!= 0), path)
+    graft.io.Snapshots.stageAppend(
+      docs.filter(col("doc_id") % 3 === 0), path, "audit-good")
+    graft.io.Snapshots.stageAppend(
+      docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 5000000L)
+        .withColumn("n_chars", lit(-1L)), path, "audit-bad")
+    val bad = graft.io.Snapshots
+      .readStaged(s, path, "audit-bad")
+      .filter(col("n_chars") < 0).limit(1).count() > 0
+    if (bad) graft.io.Snapshots.dropStaged(s, path, "audit-bad")
+    graft.io.Snapshots.publishStaged(s, path, "audit-good")
+    graft.io.Snapshots.read(s, path)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** HIDDEN partition transforms (Iceberg's headline layout feature)
     * on the snapshot store: the table is committed under
     * `bucket(8, doc_id)` + `truncate(4, source)` — derived partition
@@ -1253,6 +1305,8 @@ private[graft] object QueriesIo {
     "q_snapshot_str_skip" -> (snapshotStrSkip _),
     "q_snapshot_hidden" -> (snapshotHidden _),
     "q_snapshot_eq" -> (snapshotEqDelete _),
+    "q_snapshot_delta" -> (snapshotDeltaLog _),
+    "q_snapshot_wap" -> (snapshotWap _),
     "q_snapshot_rename" -> (snapshotRename _),
     "q_snapshot_dv" -> (snapshotDv _),
     "q_snapshot_changes" -> (snapshotChanges _),
@@ -1399,6 +1453,10 @@ private[graft] object QueriesIo {
          UNION ALL
          SELECT doc_id, text, lang, source, n_chars FROM documents
          WHERE doc_id % 10 = 0""",
+    "q_snapshot_delta" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+    "q_snapshot_wap" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents""",
     "q_snapshot_catalog" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          WHERE n_chars >= 300 AND lang <> 'zh'""",

@@ -76,6 +76,19 @@ object Snapshots {
   private val HeaderV2 = "graft-snapshot-v2"
   private val HeaderV1 = "graft-snapshot-v1"
 
+  /** DELTA manifest header (the Delta-log / Iceberg-manifest-list
+    * answer to commit-time metadata cost): instead of rewriting the
+    * full O(table-files) entry list on every commit, a commit whose
+    * body barely changed writes only the DIFF against the previous
+    * version — `#base=<v-1>` plus `+line`/`-line` body edits — and
+    * readers resolve the chain. Every `interval`-th commit (or any
+    * commit whose diff is not materially smaller) writes a full
+    * manifest, bounding chains: this is Delta's JSON-commits +
+    * parquet-checkpoint shape. At a million files an append's
+    * metadata write drops from ~100 MB to a few hundred bytes.
+    */
+  private val HeaderDelta = "graft-snapshot-delta-1"
+
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -104,6 +117,11 @@ object Snapshots {
     * committer deterministically; production never touches it.
     */
   private[graft] var onBeforePublish: () => Unit = () => ()
+
+  /** Test seam for the delta-manifest checkpoint interval (the
+    * production knob is `graft.snapshot.manifestCheckpointInterval`
+    * in the Hadoop conf, fixed at FileSystem creation). */
+  private[graft] var checkpointIntervalOverride: Option[Int] = None
 
   /** List a commit's freshly-written parquet files, store-relative —
     * including Hive-style partition subdirectories (`ym=202403/...`).
@@ -250,15 +268,57 @@ object Snapshots {
       f.mkdirs(target.getParent)
       if (f.exists(target)) false
       else {
+        val out = renderForPublish(f, base, v, lines)
         val scheme = Option(f.getUri.getScheme).getOrElse("file")
         coordinators.get(scheme.toLowerCase) match {
-          case Some(c) => c.tryClaim(f, target, lines)
+          case Some(c) => c.tryClaim(f, target, out)
           case None =>
             requireSafeCommitScheme(scheme, f.getConf)
-            RenameCommitCoordinator.tryClaim(f, target, lines)
+            RenameCommitCoordinator.tryClaim(f, target, out)
         }
       }
     }
+
+  /** Choose the on-disk encoding for version `v`: a DELTA manifest
+    * (`#base=v-1` + `+`/`-` body edits) when the edit list is
+    * materially smaller than the full rendering and the chain is
+    * shorter than the checkpoint interval; the full manifest
+    * otherwise. Commit-time metadata IO thus scales with the BATCH,
+    * not the table — at a million files an append stops rewriting a
+    * ~100 MB entry list — while every `interval`-th commit
+    * checkpoints a full manifest so read-time resolution walks a
+    * bounded chain (Delta's commit-JSON + checkpoint shape). The
+    * `#op=` line is forced into every delta's edit list so history
+    * shows each commit's own operation and [[rollback]] can patch the
+    * single `+#op=` line. Callers publishing non-v3 lines (rollback's
+    * format-verbatim republish of an older store, or of a delta) pass
+    * through untouched.
+    */
+  private def renderForPublish(f: FileSystem, base: String, v: Long,
+                               lines: Seq[String]): Seq[String] = {
+    if (v <= 1L || !lines.headOption.contains(Header)) return lines
+    // Hadoop FileSystem instances are cached with the Configuration
+    // they were first created with, so the conf knob is
+    // deployment-time; the var is the test seam
+    val interval = checkpointIntervalOverride.getOrElse(
+      f.getConf.getInt("graft.snapshot.manifestCheckpointInterval", 16))
+    if (interval <= 0) return lines // deltas disabled
+    val bm =
+      try manifest(f, base, v - 1L)
+      catch { case _: IllegalArgumentException => return lines }
+    if (bm.schema.isEmpty || bm.depth + 1 >= interval) return lines
+    val baseBody = manifestLines(bm.schema.get, bm.partCols, bm.dropped,
+      bm.op, bm.entries, bm.txns, bm.dvs, bm.colMap).drop(3)
+    val newBody = lines.drop(3).filter(_.nonEmpty)
+    val baseSet = baseBody.toSet
+    val newSet = newBody.toSet
+    val adds = newBody.filter(l => l.startsWith("#op=") || !baseSet(l))
+    val removes =
+      baseBody.filter(l => l.startsWith("#op=") || !newSet(l))
+    val delta = Seq(HeaderDelta, lines(1), lines(2),
+      s"#base=${v - 1L}") ++ removes.map("-" + _) ++ adds.map("+" + _)
+    if (delta.size * 2 <= lines.size) delta else lines
+  }
 
   /** Advance the `_latest` hint monotonically — per JVM (the
     * monitor); two winners in DIFFERENT processes can interleave and
@@ -465,7 +525,8 @@ object Snapshots {
       dropped: Set[String], op: String,
       txns: Map[String, Long], dvs: Seq[String],
       colMap: Map[String, String],
-      entries: Seq[String], raw: Seq[String])
+      entries: Seq[String], raw: Seq[String],
+      deltaBase: Option[Long] = None, depth: Int = 0)
 
   private def manifest(f: FileSystem, base: String, v: Long): SnapManifest = {
     val p = manifestPath(base, v)
@@ -482,14 +543,77 @@ object Snapshots {
       case Some(Header) =>
         require(lines.size >= 3,
           s"snapshot: ${p.getName} is missing its partition line")
+        parseV3Body(p, schemaAt(1), lines(2),
+          lines.drop(3).filter(_.nonEmpty), lines)
+      case Some(HeaderDelta) =>
+        // delta resolution: reconstruct this version's body from the
+        // base version's CANONICAL rendering (parse -> manifestLines
+        // normalizes line order, so edits match regardless of how the
+        // stored base was laid out) minus the `-` lines plus the `+`
+        // lines. Any drift — a `-` line the base does not carry, an
+        // unprefixed body line — is corruption and refuses loudly:
+        // a silently mis-applied edit would resurrect deleted files
+        // or drop live ones.
+        require(lines.size >= 4 && lines(3).startsWith("#base="),
+          s"snapshot: ${p.getName} is missing its #base line")
+        val bStr = lines(3).stripPrefix("#base=")
+        require(bStr.nonEmpty && bStr.forall(_.isDigit),
+          s"snapshot: ${p.getName} has a corrupt #base line '$bStr'")
+        val bv = bStr.toLong
+        require(bv > 0L && bv < v,
+          s"snapshot: ${p.getName} references an invalid base $bv")
+        val bm = manifest(f, base, bv)
+        require(bm.schema.nonEmpty,
+          s"snapshot: ${p.getName} is a delta over a schema-less " +
+            s"(v1) base $bv - refusing to resolve")
+        val baseBody = manifestLines(bm.schema.get, bm.partCols,
+          bm.dropped, bm.op, bm.entries, bm.txns, bm.dvs, bm.colMap)
+          .drop(3)
+        val edits = lines.drop(4).filter(_.nonEmpty)
+        val bad = edits.filterNot(l =>
+          l.startsWith("+") || l.startsWith("-"))
+        require(bad.isEmpty,
+          s"snapshot: ${p.getName} has unprefixed delta line(s) " +
+            s"'${bad.head}' - refusing to guess")
+        val adds = edits.collect {
+          case l if l.startsWith("+") => l.drop(1) }
+        val baseSet = baseBody.toSet
+        val removes = edits.collect {
+          case l if l.startsWith("-") => l.drop(1) }
+        val missing = removes.filterNot(baseSet)
+        require(missing.isEmpty,
+          s"snapshot: ${p.getName} removes line(s) its base $bv does " +
+            s"not carry ('${missing.head}') - the chain is corrupt")
+        val removeSet = removes.toSet
+        val m = parseV3Body(p, schemaAt(1), lines(2),
+          baseBody.filterNot(removeSet) ++ adds, lines)
+        m.copy(deltaBase = Some(bv), depth = bm.depth + 1)
+      case Some(HeaderV2) =>
+        SnapManifest(Some(schemaAt(1)), Nil, Set.empty, "unknown",
+          Map.empty, Nil, Map.empty,
+          lines.drop(2).filter(_.nonEmpty), lines)
+      case Some(HeaderV1) =>
+        SnapManifest(None, Nil, Set.empty, "unknown", Map.empty, Nil,
+          Map.empty, lines.drop(1).filter(_.nonEmpty), lines)
+      case _ => throw new IllegalArgumentException(
+        s"snapshot: ${p.getName} is not a graft-snapshot manifest " +
+          s"(v1/v2/v3/delta headers accepted)")
+    }
+  }
+
+  /** Parse a v3 manifest BODY (marker lines + file entries) — shared
+    * by full v3 manifests and resolved delta chains.
+    */
+  private def parseV3Body(p: Path, schema: StructType,
+                          partsLine: String, body: Seq[String],
+                          raw: Seq[String]): SnapManifest = {
         val parts =
-          if (lines(2) == "-") Nil else lines(2).split(',').toSeq
+          if (partsLine == "-") Nil else partsLine.split(',').toSeq
         // '#'-prefixed marker lines extend v3 without a format break
         // (entries are rel paths, never '#'-prefixed): currently
         // `#dropped=` — names tombstoned by dropColumns, which an
         // append may never re-introduce (old files still hold their
         // physical values; re-adding the name would RESURRECT them)
-        val body = lines.drop(3).filter(_.nonEmpty)
         val dropped = body.collectFirst {
           case l if l.startsWith("#dropped=") =>
             l.stripPrefix("#dropped=").split(',').filter(_.nonEmpty).toSet
@@ -525,19 +649,8 @@ object Snapshots {
                 pair.substring(0, i) -> pair.substring(i + 1)
               }.toMap
         }.getOrElse(Map.empty[String, String])
-        SnapManifest(Some(schemaAt(1)), parts, dropped, op, txns, dvs,
-          colMap, body.filterNot(_.startsWith("#")), lines)
-      case Some(HeaderV2) =>
-        SnapManifest(Some(schemaAt(1)), Nil, Set.empty, "unknown",
-          Map.empty, Nil, Map.empty,
-          lines.drop(2).filter(_.nonEmpty), lines)
-      case Some(HeaderV1) =>
-        SnapManifest(None, Nil, Set.empty, "unknown", Map.empty, Nil,
-          Map.empty, lines.drop(1).filter(_.nonEmpty), lines)
-      case _ => throw new IllegalArgumentException(
-        s"snapshot: ${p.getName} is not a graft-snapshot manifest " +
-          s"(v1/v2/v3 headers accepted)")
-    }
+        SnapManifest(Some(schema), parts, dropped, op, txns, dvs,
+          colMap, body.filterNot(_.startsWith("#")), raw)
   }
 
   /** The manifest's schema, inferring from file footers for legacy v1
@@ -848,17 +961,18 @@ object Snapshots {
     * exists, and publishing it would silently drop the winner's
     * changes.
     */
-  private def writeCommit(spark: SparkSession, df: DataFrame,
-                          path: String, carried: Seq[String],
-                          schema: StructType, partCols: Seq[String],
-                          dropped: Set[String],
-                          txns: Map[String, Long],
-                          dvs: Seq[String],
-                          colMap: Map[String, String],
-                          base: Option[Long],
-                          onConflict: OnConflict,
-                          op: String,
-                          ownTxn: Option[(String, Long)] = None): Long = {
+  /** The data-write half of a commit: write `df` under a fresh
+    * `data/c-<uuid>` dir (physical column names; Hive-style dirs for
+    * identity and hidden-transform partition fields) and return the
+    * commit dir plus the stats-bearing manifest entry lines. Shared
+    * by the publishing commits ([[writeCommit]]) and the
+    * write-audit-publish staging path ([[stageAppend]]), which
+    * publishes later.
+    */
+  private def writeBatchFiles(spark: SparkSession, df: DataFrame,
+                              path: String, partCols: Seq[String],
+                              colMap: Map[String, String])
+      : (String, Seq[String]) = {
     val f = fs(spark, path)
     partCols.foreach(c => require(!c.contains(',') && !c.contains('/'),
       s"snapshot: illegal partition column name '$c'"))
@@ -899,6 +1013,23 @@ object Snapshots {
       val all = if (stats.isEmpty) len else s"$len;$stats"
       s"$rel\t$all"
     }
+    (commitDir, fresh)
+  }
+
+  private def writeCommit(spark: SparkSession, df: DataFrame,
+                          path: String, carried: Seq[String],
+                          schema: StructType, partCols: Seq[String],
+                          dropped: Set[String],
+                          txns: Map[String, Long],
+                          dvs: Seq[String],
+                          colMap: Map[String, String],
+                          base: Option[Long],
+                          onConflict: OnConflict,
+                          op: String,
+                          ownTxn: Option[(String, Long)] = None): Long = {
+    val f = fs(spark, path)
+    val (commitDir, fresh) =
+      writeBatchFiles(spark, df, path, partCols, colMap)
     // an empty PARTITIONED write emits no files at all (dynamic
     // partitioning writes nothing for zero rows) — that is LEGAL
     // here: v3 manifests carry the schema, so a carried-only commit
@@ -1460,6 +1591,172 @@ object Snapshots {
       }
     writeCommit(spark, df, path, carried, schema, partCols, dropped,
       txns, dvs, colMap, base, RebaseAppend, "append", ownTxn = txn)
+  }
+
+  // --- write-audit-publish (Iceberg's WAP staging) -------------------
+
+  private val HeaderStaged = "graft-snapshot-staged-1"
+  private def stagedManifestPath(base: String, id: String): Path = {
+    require(id.nonEmpty && id.forall(c => c.isLetterOrDigit ||
+        c == '.' || c == '_' || c == '-') && !id.startsWith("."),
+      s"snapshot: illegal wap id '$id' (letters, digits, '.', '_', " +
+        "'-' only, no leading dot)")
+    new Path(s"$base/_staged/$id.manifest")
+  }
+
+  /** base version, batch schema, partCols, stage-time colMap, fresh
+    * entries of a staged append. */
+  private def parseStaged(f: FileSystem, path: String, id: String)
+      : (Long, StructType, Seq[String], Map[String, String],
+         Seq[String]) = {
+    val p = stagedManifestPath(path, id)
+    require(f.exists(p),
+      s"snapshot: no staged append '$id' under $path")
+    val lines = readLines(f, p)
+    require(lines.headOption.contains(HeaderStaged) &&
+        lines.size >= 4 && lines(3).startsWith("#base="),
+      s"snapshot: ${p.getName} is not a staged-append manifest")
+    val batchSchema =
+      DataType.fromJson(lines(1)).asInstanceOf[StructType]
+    val parts = if (lines(2) == "-") Nil else lines(2).split(',').toSeq
+    val baseV = lines(3).stripPrefix("#base=").toLong
+    val body = lines.drop(4).filter(_.nonEmpty)
+    val colMap = body.collectFirst {
+      case l if l.startsWith("#map=") =>
+        l.stripPrefix("#map=").split(';').iterator.filter(_.nonEmpty)
+          .map { pair =>
+            val i = pair.indexOf(':')
+            require(i > 0, s"snapshot: malformed #map pair '$pair'")
+            pair.substring(0, i) -> pair.substring(i + 1)
+          }.toMap
+    }.getOrElse(Map.empty[String, String])
+    (baseV, batchSchema, parts, colMap,
+      body.filterNot(_.startsWith("#")))
+  }
+
+  /** WRITE-AUDIT-PUBLISH, stage 1 (Iceberg's WAP pattern): write the
+    * batch's data files and stats-bearing entries under the table,
+    * but publish NO version — readers see nothing until
+    * [[publishStaged]]. The audit step reads the would-be table via
+    * [[readStaged]] (base snapshot + staged files), runs its quality
+    * checks, then either publishes (one atomic OCC commit, rebasing
+    * over whatever landed since staging — append semantics) or
+    * [[dropStaged]] discards the bytes. The expensive half (writing
+    * 100 TB-scale files) happens before the gate; the gate itself is
+    * a metadata operation.
+    */
+  def stageAppend(df: DataFrame, path: String, wapId: String): Unit = {
+    val spark = df.sparkSession
+    val f = fs(spark, path)
+    val target = stagedManifestPath(path, wapId)
+    require(!f.exists(target),
+      s"snapshot: staged append '$wapId' already exists under $path " +
+        "- publish or drop it first")
+    val CurState(v, schema, partCols, dropped, _, _, colMap, _) =
+      currentState(spark, path, "stage an append onto")
+    // validate evolution NOW - a doomed batch should fail before
+    // writing terabytes, not at publish
+    evolvedSchemaAndMap(schema, nullableAll(df.schema), path,
+      dropped, colMap)
+    val (commitDir, fresh) =
+      writeBatchFiles(spark, df, path, partCols, colMap)
+    if (fresh.isEmpty) { // zero-row batch: nothing to audit
+      f.delete(new Path(s"$path/$commitDir"), true)
+      return
+    }
+    writeTextAtomic(f, target,
+      HeaderStaged +: nullableAll(df.schema).json +:
+        (if (partCols.isEmpty) "-" else partCols.mkString(",")) +:
+        (Seq(s"#base=$v") ++
+          (if (colMap.isEmpty) Nil
+           else Seq(s"#map=" + colMap.toSeq.sorted.map {
+             case (p, l) => s"$p:$l" }.mkString(";"))) ++
+          fresh))
+  }
+
+  /** The staged table as the AUDIT step sees it: the staging-time
+    * base snapshot plus the staged files — merge-on-read deletes
+    * applied, column mapping respected. Plain [[read]] keeps serving
+    * the published table untouched.
+    */
+  def readStaged(spark: SparkSession, path: String,
+                 wapId: String): DataFrame = {
+    val f = fs(spark, path)
+    val (baseV, batchSchema, _, stagedMap, entries) =
+      parseStaged(f, path, wapId)
+    val m = manifest(f, path, baseV)
+    val (s2, map2) = evolvedSchemaAndMap(resolveSchema(spark, path, m),
+      batchSchema, path, m.dropped, m.colMap, reuse = stagedMap)
+    openLive(spark, path, s2, m.partCols, m.entries ++ entries,
+      m.dvs, map2)
+  }
+
+  /** WRITE-AUDIT-PUBLISH, stage 2: atomically publish a staged
+    * append as the next version — pure metadata (the files are
+    * already in place). Rebases over anything that committed since
+    * staging exactly like a live append (appended rows ride along;
+    * the staged files attach to the CURRENT entry list), and refuses
+    * loudly when a concurrent schema change moved one of the batch's
+    * columns to a different physical name or the partition spec
+    * evolved — the staged bytes would be wrong, not just stale.
+    */
+  def publishStaged(spark: SparkSession, path: String,
+                    wapId: String): Long = {
+    val f = fs(spark, path)
+    val (_, batchSchema, stagedParts, stagedMap, fresh) =
+      parseStaged(f, path, wapId)
+    var committed = -1L
+    while (committed < 0L) {
+      val base = allManifestVersions(f, path).last
+      val m = manifest(f, path, base)
+      require(m.partCols == stagedParts,
+        s"snapshot: the partition spec of $path changed since '$wapId' " +
+          s"was staged (${m.partCols.mkString(",")} vs " +
+          s"${stagedParts.mkString(",")}) - the staged layout is " +
+          "wrong; drop the staged append and re-stage")
+      val (s2, map2) = evolvedSchemaAndMap(
+        resolveSchema(spark, path, m), batchSchema, path, m.dropped,
+        m.colMap, reuse = stagedMap)
+      val oldP = l2p(stagedMap); val newP = l2p(map2)
+      batchSchema.fieldNames.foreach(c => require(
+        oldP.getOrElse(c, c) == newP.getOrElse(c, c),
+        s"snapshot: a schema change (rename/drop) on $path since " +
+          s"'$wapId' was staged moved column '$c' to a different " +
+          "physical name - the staged bytes are wrong; drop the " +
+          "staged append and re-stage"))
+      if (tryPublishManifest(f, path, base + 1L,
+          manifestLines(s2, m.partCols, m.dropped,
+            s"publish-staged(wap=$wapId)", m.entries ++ fresh,
+            m.txns, m.dvs, map2))) {
+        bumpLatestHint(f, path, base + 1L)
+        f.delete(stagedManifestPath(path, wapId), false)
+        committed = base + 1L
+      }
+    }
+    committed
+  }
+
+  /** Abandon a staged append: delete its data files and staging
+    * manifest. The published table never knew it existed.
+    */
+  def dropStaged(spark: SparkSession, path: String,
+                 wapId: String): Unit = {
+    val f = fs(spark, path)
+    val (_, _, _, _, entries) = parseStaged(f, path, wapId)
+    entries.map(relOf).map(_.split('/').take(2).mkString("/"))
+      .distinct.foreach(d => f.delete(new Path(s"$path/$d"), true))
+    f.delete(stagedManifestPath(path, wapId), false)
+    ()
+  }
+
+  /** Pending staged appends (wap ids). */
+  def listStaged(spark: SparkSession, path: String): Seq[String] = {
+    val f = fs(spark, path)
+    val dir = new Path(s"$path/_staged")
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.endsWith(".manifest") =>
+        n.stripSuffix(".manifest") }.sorted
   }
 
   /** DYNAMIC PARTITION OVERWRITE: atomically replace exactly the
@@ -3317,11 +3614,19 @@ object Snapshots {
     val base = allManifestVersions(f, path).last
     val v = base + 1L
     // format-preserving copy, except the operation marker: history
-    // must show THIS commit as a rollback, not the source's op
+    // must show THIS commit as a rollback, not the source's op. A
+    // delta source keeps its `#base=` (the republished version still
+    // resolves against the same historical base — retention pins it)
+    // and only its forced `+#op=` edit line is rewritten.
     val lines =
-      if (!m.raw.headOption.contains(Header)) m.raw
-      else m.raw.filterNot(_.startsWith("#op=")).patch(3,
-        Seq(s"#op=rollback(to=$toVersion)"), 0)
+      if (m.raw.headOption.contains(Header))
+        m.raw.filterNot(_.startsWith("#op=")).patch(3,
+          Seq(s"#op=rollback(to=$toVersion)"), 0)
+      else if (m.raw.headOption.contains(HeaderDelta))
+        m.raw.map(l =>
+          if (l.startsWith("+#op=")) s"+#op=rollback(to=$toVersion)"
+          else l)
+      else m.raw
     if (!tryPublishManifest(f, path, v, lines))
       throw new java.util.ConcurrentModificationException(
         s"snapshot: concurrent commit detected while rolling back $path " +
@@ -3348,11 +3653,12 @@ object Snapshots {
     drop.size
   }
 
-  /** Base versions every surviving equality-delete marker needs: the
-    * base MANIFEST defines which files the delete applies to, so it
-    * must outlive the marker — retention pins it like a tag. Closed
-    * transitively: a pinned base manifest may itself carry markers
-    * with earlier bases.
+  /** Base versions every surviving manifest needs: an
+    * equality-delete marker's base MANIFEST defines which files the
+    * delete applies to, and a DELTA manifest resolves against its
+    * `#base=` chain — both must outlive their referrer, so retention
+    * pins them like tags. Closed transitively: a pinned base may
+    * itself be a delta or carry markers with earlier bases.
     */
   private def eqBasesReferenced(f: FileSystem, path: String,
                                 roots: Set[Long]): Set[Long] = {
@@ -3360,7 +3666,10 @@ object Snapshots {
     var frontier = roots
     while (frontier.nonEmpty) {
       val next = frontier
-        .flatMap(v => manifest(f, path, v).dvs.flatMap(eqOf).map(_.base))
+        .flatMap { v =>
+          val m = manifest(f, path, v)
+          m.dvs.flatMap(eqOf).map(_.base) ++ m.deltaBase
+        }
         .diff(seen ++ frontier)
       seen ++= frontier
       frontier = next
@@ -3477,11 +3786,15 @@ object Snapshots {
              graceMs: Long = 3600000L): Int = {
     require(graceMs >= 0, s"snapshot: graceMs must be >= 0: $graceMs")
     val f = fs(spark, path)
-    val referenced = allManifestVersions(f, path)
+    val referenced = (allManifestVersions(f, path)
       .flatMap { v =>
         val m = manifest(f, path, v)
         m.entries.map(relOf) ++ m.dvs.map(dvRelOf)
-      }.toSet
+      } ++
+      // a staged-but-unpublished append's files must survive until
+      // the audit decides (publishStaged / dropStaged)
+      listStaged(spark, path).flatMap(id =>
+        parseStaged(f, path, id)._5.map(relOf))).toSet
     val dataDir = new Path(s"$path/data")
     if (!f.exists(dataDir)) return 0
     val cutoff = System.currentTimeMillis() - graceMs

@@ -2477,6 +2477,221 @@ class SnapshotsSpec extends SparkSpec {
     assert(e.getMessage.contains("equality delete"), e.getMessage)
   }
 
+  private def manifestFile(path: String, v: Long): java.nio.file.Path =
+    java.nio.file.Paths.get(f"$path/_manifests/v$v%09d.manifest")
+  private def manifestLinesOf(path: String, v: Long): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(manifestFile(path, v)).asScala.toSeq
+  }
+
+  test("delta manifests: appends write O(batch) metadata, chains resolve, checkpoints bound them") {
+    val path = newStore
+    // 40 entries so an append's edit list is much smaller than the
+    // full manifest - the delta encoding must kick in
+    Snapshots.commit(docs.filter(col("doc_id") % 4 =!= 0)
+      .repartition(40), path)
+    assert(manifestLinesOf(path, 1L).head.startsWith("graft-snapshot-v3"))
+    val fullLines = manifestLinesOf(path, 1L).size
+    Snapshots.commitAppend(
+      docs.filter(col("doc_id") % 12 === 0).coalesce(1), path)
+    Snapshots.commitAppend(
+      docs.filter(col("doc_id") % 12 === 4).coalesce(1), path)
+    Snapshots.commitAppend(
+      docs.filter(col("doc_id") % 12 === 8).coalesce(1), path)
+    // the three appends are DELTAS: O(batch) lines, not O(table)
+    (2L to 4L).foreach { v =>
+      val lines = manifestLinesOf(path, v)
+      assert(lines.head === "graft-snapshot-delta-1", s"v$v: ${lines.head}")
+      assert(lines.size < fullLines / 2,
+        s"v$v delta has ${lines.size} lines vs full $fullLines")
+      assert(lines.exists(_.startsWith("#base=")))
+    }
+    // every version reads correctly through the chain
+    assert(Snapshots.read(spark, path, Some(1L)).count() ===
+      docs.filter(col("doc_id") % 4 =!= 0).count())
+    assert(Snapshots.read(spark, path, Some(2L)).count() ===
+      docs.filter(col("doc_id") % 4 =!= 0 ||
+        col("doc_id") % 12 === 0).count())
+    assert(Snapshots.read(spark, path).count() === docs.count())
+    assert(Snapshots.read(spark, path)
+      .select(sum("doc_id")).head.getLong(0) ===
+      docs.select(sum("doc_id")).head.getLong(0))
+    // depth >= the checkpoint interval forces a FULL manifest
+    Snapshots.checkpointIntervalOverride = Some(4)
+    try {
+      // depth(v4)=3; 3+1 >= 4 => v5 checkpoints full
+      Snapshots.commitAppend(
+        docs.filter(col("doc_id") === 1L), path)
+      assert(manifestLinesOf(path, 5L).head
+        .startsWith("graft-snapshot-v3"))
+      // and the next commit starts a fresh chain
+      Snapshots.commitAppend(
+        docs.filter(col("doc_id") === 2L), path)
+      assert(manifestLinesOf(path, 6L).head === "graft-snapshot-delta-1")
+    } finally Snapshots.checkpointIntervalOverride = None
+    val dup = Snapshots.read(spark, path)
+    assert(dup.filter(col("doc_id") === 1L).count() === 2L)
+    assert(dup.filter(col("doc_id") === 2L).count() === 2L)
+    // history sees each commit's own op through the chain
+    val hist = Snapshots.history(spark, path)
+    assert(hist.filter(col("operation") === "append").count() === 5L)
+  }
+
+  test("delta manifests: rollback, retention pinning, mutations over chains, corruption refusal") {
+    val path = newStore
+    Snapshots.commit(docs.repartition(40), path)
+    Snapshots.commitAppend(docs.filter(col("doc_id") === 3L)
+      .withColumn("doc_id", lit(900001L)), path)
+    Snapshots.commitAppend(docs.filter(col("doc_id") === 3L)
+      .withColumn("doc_id", lit(900002L)), path)
+    assert(manifestLinesOf(path, 3L).head === "graft-snapshot-delta-1")
+    // rollback TO a delta version republishes the delta verbatim
+    // (same #base) with a patched op; the result resolves identically
+    val v4 = Snapshots.rollback(spark, path, 2L)
+    assert(v4 === 4L)
+    assert(manifestLinesOf(path, 4L).head === "graft-snapshot-delta-1")
+    assert(Snapshots.read(spark, path).count() ===
+      Snapshots.read(spark, path, Some(2L)).count())
+    assert(Snapshots.history(spark, path)
+      .filter(col("version") === 4L).select("operation")
+      .head.getString(0) === "rollback(to=2)")
+    // a MERGE over a chained table lands and reads correctly
+    val up = docs.filter(col("doc_id") === 5L)
+      .withColumn("text", lit("chained"))
+      .select(docs.columns.map(col).toSeq: _*)
+    Snapshots.merge(spark, path, up, Seq("doc_id"))
+    assert(Snapshots.read(spark, path)
+      .filter(col("doc_id") === 5L).select("text")
+      .head.getString(0) === "chained")
+    // a mor delete over the chain: zero data-file rewrites
+    Snapshots.deleteWhere(spark, path, col("doc_id") === 7L,
+      mode = "mor")
+    assert(Snapshots.read(spark, path)
+      .filter(col("doc_id") === 7L).count() === 0L)
+    // retention pins every surviving delta's base chain
+    Snapshots.expire(spark, path, keepLast = 1)
+    val vs = Snapshots.versions(spark, path)
+    assert(vs.contains(1L), s"chain base expired: $vs")
+    assert(Snapshots.read(spark, path)
+      .filter(col("doc_id") === 7L).count() === 0L)
+    assert(Snapshots.read(spark, path)
+      .filter(col("doc_id") === 900001L).count() === 1L)
+    // vacuum keeps every file the surviving chain references
+    Snapshots.vacuum(spark, path, graceMs = 0L)
+    assert(Snapshots.read(spark, path)
+      .filter(col("doc_id") === 5L).select("text")
+      .head.getString(0) === "chained")
+    // a corrupt delta (removing a line its base never carried)
+    // refuses loudly instead of resurrecting or dropping files
+    val next = Snapshots.versions(spark, path).last + 1L
+    val forged = Seq("graft-snapshot-delta-1",
+      manifestLinesOf(path, 1L)(1), "-",
+      s"#base=${Snapshots.versions(spark, path).last}",
+      "-data/never-existed.parquet", "+#op=forged")
+    Files.write(manifestFile(path, next),
+      forged.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e = intercept[IllegalArgumentException](
+      Snapshots.read(spark, path).count())
+    assert(e.getMessage.contains("chain is corrupt"), e.getMessage)
+    Files.delete(manifestFile(path, next))
+  }
+
+  test("write-audit-publish: staging is invisible, audit reads base+staged, publish is atomic metadata") {
+    val path = newStore
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    Snapshots.commit(base, path)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    Snapshots.stageAppend(batch, path, "wap-1")
+    // staged but unpublished: readers see the base table only
+    assert(Snapshots.read(spark, path).count() === base.count())
+    assert(Snapshots.latestVersion(spark, path) === Some(1L))
+    assert(Snapshots.listStaged(spark, path) === Seq("wap-1"))
+    // the audit view is base + staged
+    assert(Snapshots.readStaged(spark, path, "wap-1").count() ===
+      docs.count())
+    // vacuum cannot sweep staged bytes while the audit is pending
+    Snapshots.vacuum(spark, path, graceMs = 0L)
+    assert(Snapshots.readStaged(spark, path, "wap-1").count() ===
+      docs.count())
+    // a second staged batch, dropped after audit, leaves no trace
+    Snapshots.stageAppend(
+      batch.withColumn("doc_id", col("doc_id") + 1000000L), path,
+      "wap-2")
+    assert(Snapshots.listStaged(spark, path).sorted ===
+      Seq("wap-1", "wap-2"))
+    Snapshots.dropStaged(spark, path, "wap-2")
+    assert(Snapshots.listStaged(spark, path) === Seq("wap-1"))
+    // an append lands BETWEEN staging and publish; publish rebases
+    // over it - both survive (append semantics)
+    val extra = docs.filter(col("doc_id") === 3L)
+      .withColumn("doc_id", lit(2000000L))
+    Snapshots.commitAppend(extra, path)
+    val v = Snapshots.publishStaged(spark, path, "wap-1")
+    assert(v === 3L)
+    assert(Snapshots.listStaged(spark, path) === Nil)
+    val fin = Snapshots.read(spark, path)
+    assert(fin.count() === docs.count() + 1L)
+    assert(fin.filter(col("doc_id") === 2000000L).count() === 1L)
+    assert(fin.filter(col("doc_id") % 3 === 0 &&
+      col("doc_id") < 1000000L).count() ===
+      docs.filter(col("doc_id") % 3 === 0).count())
+    // time travel: v2 (the interleaved append) never saw staged rows
+    assert(Snapshots.read(spark, path, Some(2L))
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") < 1000000L)
+      .count() === 0L)
+    // history shows the publish as its own operation
+    assert(Snapshots.history(spark, path)
+      .filter(col("version") === 3L).select("operation")
+      .head.getString(0) === "publish-staged(wap=wap-1)")
+    // dropped staged bytes are really gone after vacuum
+    Snapshots.vacuum(spark, path, graceMs = 0L)
+    assert(Snapshots.read(spark, path).count() === docs.count() + 1L)
+    // staging refuses a duplicate wap id and a schema-drifting batch
+    intercept[IllegalArgumentException] {
+      Snapshots.stageAppend(batch, path, "bad/id")
+    }
+    Snapshots.stageAppend(batch.limit(5), path, "wap-3")
+    val dup = intercept[IllegalArgumentException](
+      Snapshots.stageAppend(batch, path, "wap-3"))
+    assert(dup.getMessage.contains("already exists"))
+    val drift = intercept[IllegalArgumentException](
+      Snapshots.stageAppend(
+        batch.withColumn("n_chars", col("n_chars").cast("string")),
+        path, "wap-4"))
+    assert(drift.getMessage.toLowerCase.contains("type"),
+      drift.getMessage)
+    Snapshots.dropStaged(spark, path, "wap-3")
+  }
+
+  test("write-audit-publish: schema changes since staging refuse at publish, not silently") {
+    val path = newStore
+    Snapshots.commit(docs, path)
+    // a rename since staging: the staged files carry the OLD logical
+    // name, which no longer resolves to the same physical column -
+    // publishing would attach wrong bytes, so it must refuse
+    Snapshots.stageAppend(
+      docs.filter(col("doc_id") === 11L)
+        .withColumn("doc_id", lit(3000000L)), path, "wap-r")
+    Snapshots.renameColumn(spark, path, "lang", "language")
+    intercept[Exception](Snapshots.publishStaged(spark, path, "wap-r"))
+    // the published table is untouched and the staged append is
+    // still droppable
+    assert(Snapshots.read(spark, path)
+      .filter(col("doc_id") === 3000000L).count() === 0L)
+    Snapshots.dropStaged(spark, path, "wap-r")
+    assert(Snapshots.listStaged(spark, path) === Nil)
+    // an append-only interloper is FINE - and a stage whose batch
+    // matches the current (renamed) schema publishes cleanly
+    Snapshots.stageAppend(
+      Snapshots.read(spark, path).filter(col("doc_id") === 12L)
+        .withColumn("doc_id", lit(3000001L)), path, "wap-ok")
+    val v = Snapshots.publishStaged(spark, path, "wap-ok")
+    assert(Snapshots.read(spark, path, Some(v))
+      .filter(col("doc_id") === 3000001L).select("language")
+      .count() === 1L)
+  }
+
   test("OCC stress: six concurrent appenders and a live compactor all land exactly once") {
     val path = newStore
     Snapshots.commit(spark.range(0L, 0L).toDF("v"), path)
