@@ -1124,6 +1124,27 @@ private[graft] object QueriesIo {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** TYPE WIDENING (Delta's ALTER COLUMN TYPE widening): the base
+    * commit stores `n_chars` as int32; a later long batch widens the
+    * table schema METADATA-ONLY — zero rewrites, the old int32 pages
+    * read exactly under the promoted bigint type (Spark 4 parquet
+    * type promotion). The oracle is the plain relational union with
+    * everything bigint, which is exactly what the widened read must
+    * produce.
+    */
+  def snapshotWiden(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "snap_widen")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = t(s, dir, "documents")
+    graft.io.Snapshots.commit(
+      docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("n_chars", col("n_chars").cast("int")), path)
+    graft.io.Snapshots.commitAppend(
+      docs.filter(col("doc_id") % 2 =!= 0), path)
+    graft.io.Snapshots.read(s, path)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** HIDDEN partition transforms (Iceberg's headline layout feature)
     * on the snapshot store: the table is committed under
     * `bucket(8, doc_id)` + `truncate(4, source)` — derived partition
@@ -1307,6 +1328,7 @@ private[graft] object QueriesIo {
     "q_snapshot_eq" -> (snapshotEqDelete _),
     "q_snapshot_delta" -> (snapshotDeltaLog _),
     "q_snapshot_wap" -> (snapshotWap _),
+    "q_snapshot_widen" -> (snapshotWiden _),
     "q_snapshot_rename" -> (snapshotRename _),
     "q_snapshot_dv" -> (snapshotDv _),
     "q_snapshot_changes" -> (snapshotChanges _),
@@ -1456,6 +1478,8 @@ private[graft] object QueriesIo {
     "q_snapshot_delta" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
     "q_snapshot_wap" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+    "q_snapshot_widen" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
     "q_snapshot_catalog" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents

@@ -240,10 +240,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Snapshots.ColumnChange.Add(
           org.apache.spark.sql.types.StructField(
             a.fieldNames()(0), a.dataType(), nullable = true))
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1,
+          "graft catalog: only top-level columns can be widened")
+        // ALTER COLUMN ... TYPE is supported exactly for the safe
+        // widening lattice (metadata-only; Snapshots.widenColumn
+        // semantics) - anything else refuses there, loudly
+        Snapshots.ColumnChange.Widen(u.fieldNames()(0), u.newDataType())
       case other =>
         throw new UnsupportedOperationException(
           s"graft catalog: unsupported ALTER TABLE change $other - " +
-            "rename/drop/add columns are supported")
+            "rename/drop/add/widen columns are supported")
     }
     Snapshots.alterColumns(spark, path, ops)
     loadTable(ident)

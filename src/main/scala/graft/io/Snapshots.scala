@@ -3,7 +3,8 @@ package graft.io
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions.{coalesce, col, lit, not, when}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType,
+  FloatType, IntegerType, LongType, ShortType, StructType}
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 
 /** Snapshot-versioned parquet store: manifest-based time travel,
@@ -1114,7 +1115,8 @@ object Snapshots {
             // genuine type conflict still refuses loudly mid-rebase
             val (s2, map2) = evolvedSchemaAndMap(
               resolveSchema(spark, path, m), nullableAll(df.schema),
-              path, m.dropped, m.colMap, reuse = colMap)
+              path, m.dropped, m.colMap, reuse = colMap,
+              partCols = m.partCols)
             // the data files are ALREADY written under this commit's
             // physical names; if rebasing against the winner resolves
             // any batch column to a different physical (a concurrent
@@ -1166,18 +1168,67 @@ object Snapshots {
     * the former tombstone refusal). `reuse` pins already-assigned
     * physicals when an append rebases (its files are written).
     */
+  /** `from`-typed parquet pages are EXACTLY readable under a `to`
+    * read schema (Spark 4's parquet type promotion, probed and
+    * spec-pinned): the safe widening lattice for schema evolution —
+    * integral up-chain, float→double, and sub-long integrals→double
+    * (exact below 2^53 by construction). long→double is NOT here
+    * (silent precision loss above 2^53), nor any narrowing.
+    */
+  private[graft] def widens(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case _ => false
+    }
+
+  /** Physical names of hidden-transform partition SOURCES — columns
+    * whose write-time derivation is type-sensitive (`bucket` hashes
+    * an int and a long differently), so widening them would silently
+    * break transform-directory pruning. Identity partition columns
+    * are fine: directory strings and their casts are type-stable.
+    */
+  private def transformSources(partCols: Seq[String]): Set[String] =
+    partCols.map(parsePartField)
+      .filterNot(_.isInstanceOf[PIdentity]).map(_.source).toSet
+
   private def evolvedSchemaAndMap(prev: StructType, next: StructType,
                                   path: String,
                                   droppedPhys: Set[String],
                                   prevMap: Map[String, String],
-                                  reuse: Map[String, String] = Map.empty)
+                                  reuse: Map[String, String] = Map.empty,
+                                  partCols: Seq[String] = Nil)
       : (StructType, Map[String, String]) = {
     val prevByName = prev.fields.map(f => f.name -> f).toMap
-    next.fields.foreach(nf => prevByName.get(nf.name).foreach(pf =>
-      require(pf.dataType == nf.dataType,
-        s"snapshot: append column ${nf.name} arrives as ${nf.dataType} " +
-          s"but $path stores ${pf.dataType} - refusing the silent " +
-          "type drift; cast before appending")))
+    val noWiden = transformSources(partCols)
+    // shared columns: equal stays; a WIDER batch type widens the
+    // table schema (metadata-only - old files read exactly under the
+    // promoted type); a NARROWER batch type is accepted as-is (its
+    // files read under the table's wider type); anything else is
+    // silent type drift and refuses
+    val widened = prev.fields.map { pf =>
+      next.fields.find(_.name == pf.name) match {
+        case Some(nf) if pf.dataType == nf.dataType => pf
+        case Some(nf) if widens(nf.dataType, pf.dataType) => pf
+        case Some(nf) if widens(pf.dataType, nf.dataType) =>
+          val phys = l2p(prevMap).getOrElse(pf.name, pf.name)
+          require(!noWiden(phys),
+            s"snapshot: column ${pf.name} sources a hidden partition " +
+              s"transform of $path - widening it would change the " +
+              "write-time bucket/transform derivation and break " +
+              "pruning; re-layout the table instead")
+          pf.copy(dataType = nf.dataType)
+        case Some(nf) =>
+          throw new IllegalArgumentException(
+            s"snapshot: append column ${nf.name} arrives as " +
+              s"${nf.dataType} but $path stores ${pf.dataType} - " +
+              "refusing the silent type drift; cast before appending")
+        case None => pf
+      }
+    }
     val newFields = next.fields.filterNot(f => prevByName.contains(f.name))
     val reuseL2p = l2p(reuse)
     var used = prev.fieldNames
@@ -1202,7 +1253,7 @@ object Snapshots {
         map += (phys -> f.name)
       }
     }
-    (StructType(prev.fields ++ newFields), map)
+    (StructType(widened ++ newFields), map)
   }
 
   /** The manifest-entry name under which a file's byte length is
@@ -1583,7 +1634,7 @@ object Snapshots {
           }
           val (s2, map2) = evolvedSchemaAndMap(
             resolveSchema(spark, path, m), nullableAll(df.schema),
-            path, m.dropped, m.colMap)
+            path, m.dropped, m.colMap, partCols = m.partCols)
           (m.entries, s2, m.partCols, m.dropped, m.txns, m.dvs, map2)
         case None => (Nil, nullableAll(df.schema), Nil,
           Set.empty[String], Map.empty[String, Long], Nil,
@@ -1657,7 +1708,7 @@ object Snapshots {
     // validate evolution NOW - a doomed batch should fail before
     // writing terabytes, not at publish
     evolvedSchemaAndMap(schema, nullableAll(df.schema), path,
-      dropped, colMap)
+      dropped, colMap, partCols = partCols)
     val (commitDir, fresh) =
       writeBatchFiles(spark, df, path, partCols, colMap)
     if (fresh.isEmpty) { // zero-row batch: nothing to audit
@@ -1686,7 +1737,8 @@ object Snapshots {
       parseStaged(f, path, wapId)
     val m = manifest(f, path, baseV)
     val (s2, map2) = evolvedSchemaAndMap(resolveSchema(spark, path, m),
-      batchSchema, path, m.dropped, m.colMap, reuse = stagedMap)
+      batchSchema, path, m.dropped, m.colMap, reuse = stagedMap,
+      partCols = m.partCols)
     openLive(spark, path, s2, m.partCols, m.entries ++ entries,
       m.dvs, map2)
   }
@@ -1716,7 +1768,7 @@ object Snapshots {
           "wrong; drop the staged append and re-stage")
       val (s2, map2) = evolvedSchemaAndMap(
         resolveSchema(spark, path, m), batchSchema, path, m.dropped,
-        m.colMap, reuse = stagedMap)
+        m.colMap, reuse = stagedMap, partCols = m.partCols)
       val oldP = l2p(stagedMap); val newP = l2p(map2)
       batchSchema.fieldNames.foreach(c => require(
         oldP.getOrElse(c, c) == newP.getOrElse(c, c),
@@ -3374,6 +3426,8 @@ object Snapshots {
     final case class Drop(name: String) extends ColumnChange
     final case class Add(field: org.apache.spark.sql.types.StructField)
       extends ColumnChange
+    final case class Widen(name: String, to: DataType)
+      extends ColumnChange
   }
 
   /** Apply a SEQUENCE of rename/drop/add column changes as ONE
@@ -3440,6 +3494,25 @@ object Snapshots {
           dropped, colMap)
         schema = s2
         colMap = map2
+      case ColumnChange.Widen(name, to) =>
+        require(schema.fieldNames.contains(name),
+          s"snapshot: column $name is not in the table schema " +
+            s"(${schema.fieldNames.mkString(", ")})")
+        val from = schema(name).dataType
+        if (from != to) {
+          require(widens(from, to),
+            s"snapshot: ${from.catalogString} -> ${to.catalogString} " +
+              s"is not a safe widening for column $name (integral " +
+              "up-chain, float->double, sub-long integral->double " +
+              "only); rewrite via a fresh commit instead")
+          require(!transformSources(partCols)
+              .contains(toPhysicalName(colMap, name)),
+            s"snapshot: column $name sources a hidden partition " +
+              "transform - widening it would change the write-time " +
+              "bucket/transform derivation and break pruning")
+          schema = StructType(schema.fields.map(f =>
+            if (f.name == name) f.copy(dataType = to) else f))
+        }
     }
     val f = fs(spark, path)
     val next = v + 1L
@@ -3494,6 +3567,54 @@ object Snapshots {
           s"rename(from=$from,to=$to)", all, txns, dvs, newMap)))
       throw new java.util.ConcurrentModificationException(
         s"snapshot: concurrent commit detected while renaming a " +
+          s"column of $path (version $next was claimed by another " +
+          "writer) - re-read and retry")
+    bumpLatestHint(f, path, next)
+    next
+  }
+
+  /** TYPE WIDENING (Delta's ALTER COLUMN TYPE widening): promote a
+    * column to a wider type along the safe lattice ([[widens]]) as a
+    * METADATA-ONLY commit — zero file rewrites; every existing file's
+    * narrower pages read exactly under the promoted type (Spark 4
+    * parquet type promotion, spec-pinned). Appends also widen
+    * implicitly when a batch arrives wider; this is the explicit
+    * `ALTER TABLE t ALTER COLUMN c TYPE BIGINT` spelling. Refuses on
+    * hidden-transform partition sources (the write-time bucket hash
+    * is type-sensitive — widening would silently break pruning) and
+    * on any non-widening change (narrowing, long→double precision
+    * loss).
+    */
+  def widenColumn(spark: SparkSession, path: String,
+                  name: String, to: DataType): Long = {
+    val CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
+      currentState(spark, path, "widen a column of")
+    require(schema.fieldNames.contains(name),
+      s"snapshot: column $name is not in the table schema " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    val from = schema(name).dataType
+    if (from == to) return v
+    require(widens(from, to),
+      s"snapshot: ${from.catalogString} -> ${to.catalogString} is not " +
+        s"a safe widening for column $name (integral up-chain, " +
+        "float->double, sub-long integral->double only); rewrite via " +
+        "a fresh commit instead")
+    val phys = toPhysicalName(colMap, name)
+    require(!transformSources(partCols).contains(phys),
+      s"snapshot: column $name sources a hidden partition transform " +
+        s"of $path - widening it would change the write-time " +
+        "bucket/transform derivation and break pruning; re-layout " +
+        "the table instead")
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == name) f.copy(dataType = to) else f))
+    val f = fs(spark, path)
+    val next = v + 1L
+    if (!tryPublishManifest(f, path, next,
+        manifestLines(newSchema, partCols, dropped,
+          s"widen(col=$name,to=${to.catalogString})", all, txns, dvs,
+          colMap)))
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot: concurrent commit detected while widening a " +
           s"column of $path (version $next was claimed by another " +
           "writer) - re-read and retry")
     bumpLatestHint(f, path, next)

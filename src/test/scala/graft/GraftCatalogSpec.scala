@@ -168,11 +168,18 @@ class GraftCatalogSpec extends SparkSpec {
     // schema (first insert, original names)
     assert(spark.sql(s"SELECT * FROM $cat.db.a VERSION AS OF 2")
       .columns.toSeq === Seq("id", "v"))
-    // unsupported changes refuse loudly
+    // ALTER COLUMN TYPE is supported exactly for safe widenings:
+    // a non-widening change refuses loudly...
     val e = intercept[Exception](
       spark.sql(s"ALTER TABLE $cat.db.a ALTER COLUMN id TYPE STRING"))
-    assert(e.getMessage.toLowerCase.contains("unsupported") ||
-      e.getMessage.toLowerCase.contains("not supported"), e.getMessage)
+    assert(e.getMessage.contains("not a safe widening"), e.getMessage)
+    // ...and a widening is a metadata-only versioned commit
+    spark.sql(s"ALTER TABLE $cat.db.a ADD COLUMNS (cnt INT)")
+    spark.sql(s"INSERT INTO $cat.db.a VALUES (2, 'x', 41)")
+    spark.sql(s"ALTER TABLE $cat.db.a ALTER COLUMN cnt TYPE BIGINT")
+    val widened = spark.sql(s"SELECT cnt FROM $cat.db.a " +
+      "WHERE cnt IS NOT NULL").collect()
+    assert(widened.map(_.getLong(0)).toSeq === Seq(41L))
     // a multi-change statement is ALL-OR-NOTHING: adding one valid
     // and one colliding column commits neither
     val vBefore = Snapshots.latestVersion(spark,
@@ -333,6 +340,47 @@ class GraftCatalogSpec extends SparkSpec {
       s"CALL $cat.system.vacuum(table => '../../etc')"))
     assert(e2.getMessage.contains("illegal table identifier"),
       e2.getMessage)
+  }
+
+  test("CALL procedures: write-audit-publish gate from SQL") {
+    val cat = freshCatalog()
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    docs.createOrReplaceTempView("wap_src")
+    spark.sql(s"CREATE TABLE $cat.db.w (doc_id BIGINT, text STRING, " +
+      "lang STRING, source STRING, n_chars BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.w SELECT * FROM wap_src " +
+      "WHERE doc_id % 2 = 0")
+    val path = s"$wh/db/w"
+    // the audit job stages programmatically (the expensive write)...
+    Snapshots.stageAppend(docs.filter(col("doc_id") % 2 === 1),
+      path, "nightly-7")
+    Snapshots.stageAppend(
+      docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 7000000L), path,
+      "nightly-8")
+    assert(spark.sql(
+      s"CALL $cat.system.list_staged(table => 'db.w')")
+      .collect()(0).getString(0) === "nightly-7,nightly-8")
+    // SQL readers still see only the published half
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.w")
+      .collect()(0).getLong(0) ===
+      docs.filter(col("doc_id") % 2 === 0).count())
+    // ...and the gate publishes one batch, drops the other, from SQL
+    val v = spark.sql(s"CALL $cat.system.publish_staged(" +
+      "table => 'db.w', wap_id => 'nightly-7')")
+      .collect()(0).getLong(0)
+    assert(v === 3L) // create + insert + publish
+    assert(spark.sql(s"CALL $cat.system.drop_staged(" +
+      "table => 'db.w', wap_id => 'nightly-8')")
+      .collect()(0).getBoolean(0))
+    assert(spark.sql(
+      s"CALL $cat.system.list_staged(table => 'db.w')")
+      .collect()(0).getString(0) === "")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.w")
+      .collect()(0).getLong(0) === docs.count())
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.w " +
+      "WHERE doc_id >= 7000000").collect()(0).getLong(0) === 0L)
   }
 
   test("SQL UPDATE: conditional assignment, old-value semantics, time travel intact") {

@@ -2692,6 +2692,94 @@ class SnapshotsSpec extends SparkSpec {
       .count() === 1L)
   }
 
+  test("type widening: wider appends promote the schema metadata-only; narrow batches read under it") {
+    val path = newStore
+    val narrow = docs.filter(col("doc_id") % 2 === 0)
+      .withColumn("n_chars", col("n_chars").cast("int"))
+    Snapshots.commit(narrow, path)
+    assert(Snapshots.read(spark, path).schema("n_chars").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    val (_, _, entriesBefore, _, _) = Snapshots.stateAt(spark, path, 1L)
+    // a LONG batch widens the table to long - and touches no file
+    Snapshots.commitAppend(docs.filter(col("doc_id") % 4 === 1), path)
+    val (_, _, entriesAfter, _, _) = Snapshots.stateAt(spark, path, 2L)
+    assert(entriesBefore.toSet.subsetOf(entriesAfter.toSet))
+    val wide = Snapshots.read(spark, path)
+    assert(wide.schema("n_chars").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // the int32 pages read exactly: the total matches the source
+    val expect = docs.filter(col("doc_id") % 2 === 0 ||
+      col("doc_id") % 4 === 1)
+    assert(wide.select(sum("n_chars")).head.getLong(0) ===
+      expect.select(sum("n_chars")).head.getLong(0))
+    // a NARROW (int) batch into the widened table is accepted as-is
+    Snapshots.commitAppend(docs.filter(col("doc_id") % 4 === 3)
+      .withColumn("n_chars", col("n_chars").cast("int")), path)
+    val all = Snapshots.read(spark, path)
+    assert(all.schema("n_chars").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(all.select(sum("n_chars")).head.getLong(0) ===
+      docs.select(sum("n_chars")).head.getLong(0))
+    assert(all.count() === docs.count())
+    // time travel reads each version under its OWN type
+    assert(Snapshots.read(spark, path, Some(1L))
+      .schema("n_chars").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    // stats pruning stays exact across the mixed-stats files
+    val hi = Snapshots.readBetween(spark, path, "n_chars", 500L, 900L)
+    assert(hi.count() === docs.filter(col("n_chars").between(500, 900))
+      .count())
+    // merge over the widened table still lands
+    val up = docs.filter(col("doc_id") === 8L)
+      .withColumn("text", lit("widened"))
+      .select(docs.columns.map(col).toSeq: _*)
+    Snapshots.merge(spark, path, up, Seq("doc_id"))
+    assert(Snapshots.read(spark, path)
+      .filter(col("doc_id") === 8L).select("text")
+      .head.getString(0) === "widened")
+  }
+
+  test("type widening: explicit widenColumn, refusals, bucket-source guard") {
+    val path = newStore
+    Snapshots.commit(docs.withColumn("n_chars",
+      col("n_chars").cast("int")), path)
+    // explicit metadata-only widen (the ALTER COLUMN TYPE spelling)
+    val v = Snapshots.widenColumn(spark, path, "n_chars",
+      org.apache.spark.sql.types.LongType)
+    assert(v === 2L)
+    assert(Snapshots.read(spark, path).schema("n_chars").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(Snapshots.read(spark, path).select(sum("n_chars"))
+      .head.getLong(0) === docs.select(sum("n_chars")).head.getLong(0))
+    assert(Snapshots.history(spark, path)
+      .filter(col("version") === 2L).select("operation")
+      .head.getString(0) === "widen(col=n_chars,to=bigint)")
+    // narrowing and lossy promotions refuse
+    intercept[IllegalArgumentException](Snapshots.widenColumn(
+      spark, path, "n_chars", org.apache.spark.sql.types.IntegerType))
+    intercept[IllegalArgumentException](Snapshots.widenColumn(
+      spark, path, "doc_id", org.apache.spark.sql.types.DoubleType))
+    // a type-drifting append that is NOT a widening still refuses
+    intercept[IllegalArgumentException](Snapshots.commitAppend(
+      docs.withColumn("n_chars", col("n_chars").cast("string")), path))
+    // widening a bucket-transform source would change the write-time
+    // hash and break pruning - refuse
+    val bPath = newStore
+    Snapshots.commit(docs.withColumn("small_id",
+      col("doc_id").cast("int")), bPath,
+      partitionBy = Seq("bucket(4, small_id)"))
+    val e = intercept[IllegalArgumentException](
+      Snapshots.widenColumn(spark, bPath, "small_id",
+        org.apache.spark.sql.types.LongType))
+    assert(e.getMessage.contains("hidden partition transform"),
+      e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.commitAppend(docs.limit(3)
+        .withColumn("small_id", col("doc_id")), bPath))
+    assert(e2.getMessage.contains("hidden partition transform"),
+      e2.getMessage)
+  }
+
   test("OCC stress: six concurrent appenders and a live compactor all land exactly once") {
     val path = newStore
     Snapshots.commit(spark.range(0L, 0L).toDF("v"), path)
