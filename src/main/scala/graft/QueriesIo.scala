@@ -879,6 +879,42 @@ private[graft] object QueriesIo {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** The CDC stream with EQUALITY deletes (`deleteMode = "eq"`): same
+    * feed as [[streamCdc]], but each delete micro-batch commits as an
+    * Iceberg-v2-style key file — zero table reads, zero data-file
+    * rewrites — and live reads anti-join it. The final table must be
+    * IDENTICAL to the copy-on-write result (same oracle), proving
+    * the delete encodings are interchangeable.
+    */
+  def streamCdcEq(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val store =
+      graft.io.Scratch.dir("graft_stream_cdceq_store_").toString + "/tbl"
+    graft.io.Snapshots.commit(docs, store)
+    val staged = graft.io.Scratch.dir("graft_stream_cdceq_docs_")
+    val upserts = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", upper(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 5)
+        .withColumn("doc_id", -col("doc_id") - 1))
+      .select(docs.columns.map(col).toSeq: _*)
+      .withColumn("op", lit("u"))
+    val deletes = docs.filter(col("doc_id") % 10 === 7)
+      .select(docs.columns.map(col).toSeq: _*)
+      .withColumn("op", lit("d"))
+    graft.io.Scratch.stageSingleParquetFile(upserts, staged, "a_up.parquet")
+    graft.io.Scratch.stageSingleParquetFile(deletes, staged, "b_del.parquet")
+    val cdcSchema = org.apache.spark.sql.types.StructType(
+      Streams.DocsRawSchema.fields :+
+        org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.StringType))
+    Streams.snapshotCdcStream(
+      Streams.fileStream(s, staged.toString, cdcSchema,
+        maxFilesPerTrigger = Some(1)), store, Seq("doc_id"),
+      deleteMode = "eq")
+    graft.io.Snapshots.read(s, store)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** The snapshot store as a STREAMING SOURCE
     * ([[Streams.snapshotSource]] / [[graft.streaming.SnapshotSource]]):
     * commit the even half, append the odd half, then stream the table
@@ -1145,6 +1181,25 @@ private[graft] object QueriesIo {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** METADATA-ONLY COUNT: every manifest entry carries its `__rows`
+    * pseudo-stat, so `count(*)` answers from one manifest read — at a
+    * million files that is one small file vs a million footer opens.
+    * The gate builds the table in three commits and returns the
+    * metadata count; the oracle counts relationally.
+    */
+  def snapshotCount(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "snap_count")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = t(s, dir, "documents")
+    graft.io.Snapshots.commit(docs.filter(col("doc_id") % 3 === 0), path)
+    graft.io.Snapshots.commitAppend(
+      docs.filter(col("doc_id") % 3 === 1), path)
+    graft.io.Snapshots.commitAppend(
+      docs.filter(col("doc_id") % 3 === 2), path)
+    import s.implicits._
+    Seq(graft.io.Snapshots.rowCount(s, path)).toDF("n_rows")
+  }
+
   /** HIDDEN partition transforms (Iceberg's headline layout feature)
     * on the snapshot store: the table is committed under
     * `bucket(8, doc_id)` + `truncate(4, source)` — derived partition
@@ -1329,6 +1384,7 @@ private[graft] object QueriesIo {
     "q_snapshot_delta" -> (snapshotDeltaLog _),
     "q_snapshot_wap" -> (snapshotWap _),
     "q_snapshot_widen" -> (snapshotWiden _),
+    "q_snapshot_count" -> (snapshotCount _),
     "q_snapshot_rename" -> (snapshotRename _),
     "q_snapshot_dv" -> (snapshotDv _),
     "q_snapshot_changes" -> (snapshotChanges _),
@@ -1344,6 +1400,7 @@ private[graft] object QueriesIo {
     "q_snapshot_tag" -> (snapshotTag _),
     "q_stream_upsert" -> (streamUpsert _),
     "q_stream_cdc" -> (streamCdc _),
+    "q_stream_cdc_eq" -> (streamCdcEq _),
     "q_stream_snapshot" -> (streamSnapshot _),
     "q_snapshot_source" -> (streamSnapshotSource _),
     "q_snapshot_drop_col" -> (snapshotDropColumn _),
@@ -1481,6 +1538,8 @@ private[graft] object QueriesIo {
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
     "q_snapshot_widen" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+    "q_snapshot_count" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents""",
     "q_snapshot_catalog" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          WHERE n_chars >= 300 AND lang <> 'zh'""",
@@ -1541,6 +1600,19 @@ private[graft] object QueriesIo {
                 CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
          FROM documents""",
     "q_stream_cdc" ->
+      """WITH upd AS (
+           SELECT doc_id, upper(text) AS text, lang, source, n_chars
+           FROM documents WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT -doc_id - 1 AS doc_id, text, lang, source, n_chars
+           FROM documents WHERE doc_id % 10 = 5)
+         SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         FROM documents d
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM upd)
+           AND d.doc_id % 10 <> 7
+         UNION ALL
+         SELECT doc_id, text, lang, source, n_chars FROM upd""",
+    "q_stream_cdc_eq" ->
       """WITH upd AS (
            SELECT doc_id, upper(text) AS text, lang, source, n_chars
            FROM documents WHERE doc_id % 10 = 0

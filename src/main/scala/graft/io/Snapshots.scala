@@ -799,7 +799,8 @@ object Snapshots {
         // a data column named like the reserved length pseudo-stat
         // would collide with it in the per-entry stats map (whichever
         // wins, pruning or sizing goes silently wrong) — skip it
-        val nameOk = name != LenStat && !name.contains(':') &&
+        val nameOk = name != LenStat && name != RowsStat &&
+          !name.contains(':') &&
           !name.contains(';') && !name.contains('\t') &&
           !name.contains('.')
         if (tag != ' ' && plainNumeric && nameOk) {
@@ -864,7 +865,13 @@ object Snapshots {
             .map(hexBytes).getOrElse("*")
         s"$n:S:$lo:$hi"
       }
-      (numeric ++ strings).mkString(";")
+      // the file's ROW COUNT rides as a pseudo-stat like its byte
+      // length: `SELECT count(*)`-class questions ([[rowCount]]),
+      // compaction diagnostics and the files() metadata table answer
+      // from the manifest alone - zero footer reads after commit
+      val rows = blocks.map(_.getRowCount).sum
+      (Seq(s"$RowsStat:L:$rows:$rows") ++ numeric ++ strings)
+        .mkString(";")
     } finally reader.close()
   }
 
@@ -1260,6 +1267,14 @@ object Snapshots {
     * stored (written at commit, carried verbatim forever after).
     */
   private val LenStat = "__len"
+
+  /** The manifest-entry pseudo-stat carrying a file's row count
+    * (absent on entries committed before it existed — consumers fall
+    * back, never guess). */
+  private val RowsStat = "__rows"
+
+  private def entryRows(e: String): Option[Long] =
+    statsOf(e).get(RowsStat).map(_._1.toLong)
 
   private def entryLen(f: FileSystem, path: String, e: String): Long =
     statsOf(e).get(LenStat).map(_._1.toLong)
@@ -1915,6 +1930,25 @@ object Snapshots {
     val m = manifest(f, path, v)
     openLive(spark, path, resolveSchema(spark, path, m), m.partCols,
       m.entries, m.dvs, m.colMap)
+  }
+
+  /** `SELECT count(*)` answered from METADATA when the manifest can
+    * prove it: every entry carries its `__rows` pseudo-stat and no
+    * merge-on-read deletes are live (a delete file removes rows the
+    * entry counts — summing would overcount). Falls back to a real
+    * scan-count otherwise, never guesses. At 100 TB the difference
+    * is one manifest read vs opening a million footers.
+    */
+  def rowCount(spark: SparkSession, path: String,
+               version: Option[Long] = None): Long = {
+    val f = fs(spark, path)
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot: no committed version under $path"))
+    val m = manifest(f, path, v)
+    val counted = m.entries.flatMap(entryRows)
+    if (m.dvs.isEmpty && counted.size == m.entries.size) counted.sum
+    else read(spark, path, Some(v)).count()
   }
 
   /** Time travel BY TIMESTAMP — Delta's `timestampAsOf` posture: the
@@ -3659,16 +3693,20 @@ object Snapshots {
     val m = manifest(f, path, v)
     m.entries.map { e =>
       val rel = relOf(e)
-      val nums = statsOf(e).filterNot(_._1 == LenStat)
+      val nums = statsOf(e)
+        .filterNot(s => s._1 == LenStat || s._1 == RowsStat)
       val strs = stringStatsOf(e)
       def hex(b: Array[Byte]): String =
         new String(b, java.nio.charset.StandardCharsets.UTF_8)
-      (rel, entryLen(f, path, e), partValsOf(rel),
+      (rel, entryLen(f, path, e),
+        entryRows(e).map(java.lang.Long.valueOf).orNull,
+        partValsOf(rel),
         nums.map { case (k, (mn, _)) => k -> mn.toString } ++
           strs.map { case (k, (mn, _)) => k -> hex(mn) },
         nums.map { case (k, (_, mx)) => k -> mx.toString } ++
           strs.map { case (k, (_, mx)) => k -> mx.map(hex).orNull })
-    }.toDF("file", "bytes", "partition", "stats_min", "stats_max")
+    }.toDF("file", "bytes", "rows", "partition", "stats_min",
+      "stats_max")
   }
 
   /** The standing maintenance pass a scheduler runs against every

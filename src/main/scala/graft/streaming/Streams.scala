@@ -690,8 +690,11 @@ object Streams {
     */
   def snapshotCdcStream(data: DataFrame, path: String,
                         keyCols: Seq[String], opCol: String = "op",
-                        checkpoint: Option[String] = None):
+                        checkpoint: Option[String] = None,
+                        deleteMode: String = "cow"):
       org.apache.spark.sql.streaming.StreamingQuery = {
+    require(Set("cow", "mor", "eq").contains(deleteMode),
+      s"cdc: deleteMode must be 'cow', 'mor' or 'eq': '$deleteMode'")
     val upsertOps = Set("u", "c", "i", "insert", "update", "upsert")
     val deleteOps = Set("d", "delete")
     val writer = data.writeStream
@@ -729,7 +732,18 @@ object Streams {
           }
           if (dels.limit(1).count() > 0L &&
               graft.io.Snapshots.latestVersion(b.sparkSession, path).nonEmpty) {
-            graft.io.Snapshots.deleteKeys(b.sparkSession, path, dels, keyCols)
+            // 'eq' is the 100 TB CDC shape: the delete batch commits
+            // AS a key file (zero table reads, zero rewrites) and is
+            // applied physically at the next compact; replays re-kill
+            // the same keys harmlessly. 'mor' commits row positions
+            // (one table scan, no rewrites); 'cow' rewrites the
+            // affected files. All three converge under replay.
+            deleteMode match {
+              case "eq" => graft.io.Snapshots.deleteKeysEq(
+                b.sparkSession, path, dels, keyCols)
+              case m => graft.io.Snapshots.deleteKeys(
+                b.sparkSession, path, dels, keyCols, mode = m)
+            }
           }
           ()
         } finally { b.unpersist(); () }

@@ -1007,6 +1007,53 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.deleteKeys(spark, path, none, Seq("doc_id")) === v)
   }
 
+  test("CDC stream with deleteMode=eq: delete batches rewrite zero data files") {
+    val store = newStore
+    Snapshots.commit(docs, store)
+    val staged = graft.io.Scratch.dir("graft_snapspec_cdceq_")
+    val up = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", upper(col("text")))
+      .select(docs.columns.map(col).toSeq: _*)
+      .withColumn("op", lit("u"))
+    val del = docs.filter(col("doc_id") % 10 === 7)
+      .select(docs.columns.map(col).toSeq: _*)
+      .withColumn("op", lit("d"))
+    graft.io.Scratch.stageSingleParquetFile(up, staged, "a.parquet")
+    graft.io.Scratch.stageSingleParquetFile(del, staged, "b.parquet")
+    val cdcSchema = org.apache.spark.sql.types.StructType(
+      graft.streaming.Streams.DocsRawSchema.fields :+
+        org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.StringType))
+    graft.streaming.Streams.snapshotCdcStream(
+      graft.streaming.Streams.fileStream(spark, staged.toString,
+        cdcSchema, maxFilesPerTrigger = Some(1)), store, Seq("doc_id"),
+      deleteMode = "eq")
+    // same converged table as the copy-on-write CDC sink...
+    val got = Snapshots.read(spark, store)
+    assert(got.filter(col("doc_id") % 10 === 7).count() === 0L)
+    assert(got.filter(col("doc_id") % 10 === 0 &&
+      col("text") =!= upper(col("text"))).count() === 0L)
+    assert(got.count() ===
+      docs.count() - docs.filter(col("doc_id") % 10 === 7).count())
+    // ...but the delete commit touched NO data entries: it is the
+    // newest version, carries an eq marker, and its entry list is
+    // byte-identical to the merge commit before it
+    val vLast = Snapshots.latestVersion(spark, store).get
+    val (_, _, entriesDel, dvsDel, _) =
+      Snapshots.stateAt(spark, store, vLast)
+    val (_, _, entriesMerge, dvsMerge, _) =
+      Snapshots.stateAt(spark, store, vLast - 1L)
+    assert(dvsMerge.isEmpty && dvsDel.nonEmpty &&
+      dvsDel.forall(_.startsWith("eq:")))
+    assert(entriesDel === entriesMerge)
+    // and a compact later applies the kill physically
+    Snapshots.compact(spark, store, targetFileBytes = 1L << 30)
+    val (_, _, _, dvsC, _) = Snapshots.stateAt(spark, store,
+      Snapshots.latestVersion(spark, store).get)
+    assert(dvsC.isEmpty)
+    assert(Snapshots.read(spark, store).count() === got.count())
+  }
+
   test("CDC stream routes upserts to merge and deletes to deleteKeys; clash refuses") {
     val store = newStore
     Snapshots.commit(docs, store)
@@ -2778,6 +2825,37 @@ class SnapshotsSpec extends SparkSpec {
         .withColumn("small_id", col("doc_id")), bPath))
     assert(e2.getMessage.contains("hidden partition transform"),
       e2.getMessage)
+  }
+
+  test("__rows pseudo-stat: counts answer from the manifest alone; mor deletes fall back") {
+    val path = newStore
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path)
+    Snapshots.commitAppend(docs.filter(col("doc_id") % 2 =!= 0), path)
+    assert(Snapshots.rowCount(spark, path) === docs.count())
+    assert(Snapshots.rowCount(spark, path, Some(1L)) ===
+      docs.filter(col("doc_id") % 2 === 0).count())
+    // METADATA-only proof: hide the data directory - the count must
+    // still answer (zero file opens), while a scan could not
+    val dataDir = java.nio.file.Paths.get(s"$path/data")
+    val hidden = java.nio.file.Paths.get(s"$path/data_hidden")
+    java.nio.file.Files.move(dataDir, hidden)
+    try assert(Snapshots.rowCount(spark, path) === docs.count())
+    finally java.nio.file.Files.move(hidden, dataDir)
+    // the files() metadata table carries per-file rows that sum to it
+    assert(Snapshots.files(spark, path)
+      .agg(sum("rows")).head.getLong(0) === docs.count())
+    // a live mor delete makes the entry sum an overcount - rowCount
+    // must fall back to the scan-exact answer
+    Snapshots.deleteWhere(spark, path, col("doc_id") % 10 === 3,
+      mode = "mor")
+    assert(Snapshots.rowCount(spark, path) ===
+      docs.filter(col("doc_id") % 10 =!= 3).count())
+    // compact applies the delete; metadata counting resumes
+    Snapshots.compact(spark, path, targetFileBytes = 1L << 30)
+    java.nio.file.Files.move(dataDir, hidden)
+    try assert(Snapshots.rowCount(spark, path) ===
+      docs.filter(col("doc_id") % 10 =!= 3).count())
+    finally java.nio.file.Files.move(hidden, dataDir)
   }
 
   test("OCC stress: six concurrent appenders and a live compactor all land exactly once") {
