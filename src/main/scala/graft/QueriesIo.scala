@@ -1200,6 +1200,30 @@ private[graft] object QueriesIo {
     Seq(graft.io.Snapshots.rowCount(s, path)).toDF("n_rows")
   }
 
+  /** TABLE PROPERTIES + parquet BLOOM FILTERS: `write.bloom.columns`
+    * is declared once as a TBLPROPERTY; every subsequent write
+    * (append, compact) emits split-block bloom filters on the column
+    * — the point-lookup complement to min/max stats on
+    * high-cardinality unsorted data. Results must be byte-identical
+    * with or without blooms (they only skip row groups that provably
+    * lack the key); the gate reads a point lookup back through the
+    * bloom-bearing files.
+    */
+  def snapshotProps(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "snap_props")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = t(s, dir, "documents")
+    graft.io.Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path)
+    graft.io.Snapshots.setProperties(s, path,
+      Map("write.bloom.columns" -> "doc_id"))
+    graft.io.Snapshots.commitAppend(
+      docs.filter(col("doc_id") % 2 =!= 0), path)
+    graft.io.Snapshots.compact(s, path, targetFileBytes = 64L << 10)
+    graft.io.Snapshots.read(s, path)
+      .filter(col("doc_id") % 25 === 0)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** HIDDEN partition transforms (Iceberg's headline layout feature)
     * on the snapshot store: the table is committed under
     * `bucket(8, doc_id)` + `truncate(4, source)` — derived partition
@@ -1385,6 +1409,7 @@ private[graft] object QueriesIo {
     "q_snapshot_wap" -> (snapshotWap _),
     "q_snapshot_widen" -> (snapshotWiden _),
     "q_snapshot_count" -> (snapshotCount _),
+    "q_snapshot_props" -> (snapshotProps _),
     "q_snapshot_rename" -> (snapshotRename _),
     "q_snapshot_dv" -> (snapshotDv _),
     "q_snapshot_changes" -> (snapshotChanges _),
@@ -1540,6 +1565,9 @@ private[graft] object QueriesIo {
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
     "q_snapshot_count" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents""",
+    "q_snapshot_props" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         WHERE doc_id % 25 = 0""",
     "q_snapshot_catalog" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          WHERE n_chars >= 300 AND lang <> 'zh'""",

@@ -171,9 +171,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
     val partCols = partitions.toSeq.map(transformToSpec)
+    // TBLPROPERTIES persist in the manifest; Spark's own engine-level
+    // entries (provider/location/owner/...) are not table semantics
+    import scala.jdk.CollectionConverters._
+    val props = properties.asScala.toMap -- Seq("provider", "location",
+      "owner", "external", "comment")
     // version 1 is a zero-entry manifest carrying schema + layout -
     // partitioned CREATEs included (no empty parquet write needed)
-    val v = Snapshots.createEmpty(spark, path, schema, partCols)
+    val v = Snapshots.createEmpty(spark, path, schema, partCols, props)
     new GraftTable(path, ident.toString, Some(v), mutable = true)
   }
 
@@ -220,6 +225,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!isTable(path))
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(ident)
+    // SET/UNSET TBLPROPERTIES are their own metadata commits (they
+    // do not mix with column changes in one SQL statement)
+    val setProps = changes.collect {
+      case sp: TableChange.SetProperty => sp.property() -> sp.value() }
+    val unsetProps = changes.collect {
+      case rp: TableChange.RemoveProperty => rp.property() }
+    if (setProps.nonEmpty || unsetProps.nonEmpty) {
+      require(setProps.size + unsetProps.size == changes.size,
+        "graft catalog: property and column changes cannot mix in " +
+          "one ALTER TABLE statement")
+      if (setProps.nonEmpty)
+        Snapshots.setProperties(spark, path, setProps.toMap)
+      if (unsetProps.nonEmpty)
+        Snapshots.unsetProperties(spark, path, unsetProps.toSeq)
+      return loadTable(ident)
+    }
     val ops = changes.toSeq.map {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
@@ -415,6 +436,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     override def capabilities(): util.Set[TableCapability] =
       Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
         TableCapability.TRUNCATE).asJava
+
+    override def properties(): util.Map[String, String] =
+      Snapshots.properties(spark, path, Some(pinnedV)).asJava
 
     override def newScanBuilder(options: CaseInsensitiveStringMap)
         : ScanBuilder = new ScanBuilder {

@@ -309,7 +309,7 @@ object Snapshots {
       catch { case _: IllegalArgumentException => return lines }
     if (bm.schema.isEmpty || bm.depth + 1 >= interval) return lines
     val baseBody = manifestLines(bm.schema.get, bm.partCols, bm.dropped,
-      bm.op, bm.entries, bm.txns, bm.dvs, bm.colMap).drop(3)
+      bm.op, bm.entries, bm.txns, bm.dvs, bm.colMap, bm.props).drop(3)
     val newBody = lines.drop(3).filter(_.nonEmpty)
     val baseSet = baseBody.toSet
     val newSet = newBody.toSet
@@ -527,7 +527,8 @@ object Snapshots {
       txns: Map[String, Long], dvs: Seq[String],
       colMap: Map[String, String],
       entries: Seq[String], raw: Seq[String],
-      deltaBase: Option[Long] = None, depth: Int = 0)
+      deltaBase: Option[Long] = None, depth: Int = 0,
+      props: Map[String, String] = Map.empty)
 
   private def manifest(f: FileSystem, base: String, v: Long): SnapManifest = {
     val p = manifestPath(base, v)
@@ -568,8 +569,8 @@ object Snapshots {
           s"snapshot: ${p.getName} is a delta over a schema-less " +
             s"(v1) base $bv - refusing to resolve")
         val baseBody = manifestLines(bm.schema.get, bm.partCols,
-          bm.dropped, bm.op, bm.entries, bm.txns, bm.dvs, bm.colMap)
-          .drop(3)
+          bm.dropped, bm.op, bm.entries, bm.txns, bm.dvs, bm.colMap,
+          bm.props).drop(3)
         val edits = lines.drop(4).filter(_.nonEmpty)
         val bad = edits.filterNot(l =>
           l.startsWith("+") || l.startsWith("-"))
@@ -650,8 +651,22 @@ object Snapshots {
                 pair.substring(0, i) -> pair.substring(i + 1)
               }.toMap
         }.getOrElse(Map.empty[String, String])
+        // `#props=k=v;...` — TABLE PROPERTIES (Delta/Iceberg
+        // TBLPROPERTIES): carried forward by every commit; writers
+        // consult them (e.g. `write.bloom.columns`)
+        val props = body.collectFirst {
+          case l if l.startsWith("#props=") =>
+            l.stripPrefix("#props=").split(';').iterator
+              .filter(_.nonEmpty).map { pair =>
+                val i = pair.indexOf('=')
+                require(i > 0,
+                  s"snapshot: malformed #props pair '$pair'")
+                pair.substring(0, i) -> pair.substring(i + 1)
+              }.toMap
+        }.getOrElse(Map.empty[String, String])
         SnapManifest(Some(schema), parts, dropped, op, txns, dvs,
-          colMap, body.filterNot(_.startsWith("#")), raw)
+          colMap, body.filterNot(_.startsWith("#")), raw,
+          props = props)
   }
 
   /** The manifest's schema, inferring from file footers for legacy v1
@@ -673,7 +688,8 @@ object Snapshots {
                             entries: Seq[String],
                             txns: Map[String, Long] = Map.empty,
                             dvs: Seq[String] = Nil,
-                            colMap: Map[String, String] = Map.empty)
+                            colMap: Map[String, String] = Map.empty,
+                            props: Map[String, String] = Map.empty)
       : Seq[String] =
     Header +: schema.json +:
       (if (partCols.isEmpty) "-" else partCols.mkString(",")) +:
@@ -685,6 +701,9 @@ object Snapshots {
         (if (colMap.isEmpty) Nil
          else Seq(s"#map=" + colMap.toSeq.sorted.map {
            case (p, l) => s"$p:$l" }.mkString(";"))) ++
+        (if (props.isEmpty) Nil
+         else Seq(s"#props=" + props.toSeq.sorted.map {
+           case (k, v) => s"$k=$v" }.mkString(";"))) ++
         entries)
 
   /** Names that may appear in a `#map=` entry: the marker's own
@@ -979,7 +998,8 @@ object Snapshots {
     */
   private def writeBatchFiles(spark: SparkSession, df: DataFrame,
                               path: String, partCols: Seq[String],
-                              colMap: Map[String, String])
+                              colMap: Map[String, String],
+                              props: Map[String, String] = Map.empty)
       : (String, Seq[String]) = {
     val f = fs(spark, path)
     partCols.foreach(c => require(!c.contains(',') && !c.contains('/'),
@@ -1008,7 +1028,18 @@ object Snapshots {
           fld.derive(col(fld.source), pdf.schema(fld.source).dataType)))
       derived.write.partitionBy(fields.map(_.dirName): _*)
     }
-    writer.parquet(s"$path/$commitDir")
+    // `write.bloom.columns` property: per-column parquet BLOOM
+    // FILTERS (split-block, parquet-mr native) on every data write -
+    // point lookups on high-cardinality unsorted columns skip row
+    // groups where min/max ranges are too wide to help. Declared once
+    // as a table property, inherited by appends, compaction and
+    // staged writes alike; physical names because the files are
+    val withBloom = props.get("write.bloom.columns").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      .map(c => toPhysicalName(colMap, c))
+      .foldLeft(writer)((w, phys) =>
+        w.option(s"parquet.bloom.filter.enabled#$phys", "true"))
+    withBloom.parquet(s"$path/$commitDir")
     val conf = spark.sessionState.newHadoopConf()
     val fresh = listCommitFiles(f, path, commitDir).map { rel =>
       val p = new Path(s"$path/$rel")
@@ -1036,8 +1067,13 @@ object Snapshots {
                           op: String,
                           ownTxn: Option[(String, Long)] = None): Long = {
     val f = fs(spark, path)
+    // table PROPERTIES ride along like txn markers: the writer
+    // consults them (bloom filters) and every commit carries them
+    // forward; a rebase adopts the winner's (last-writer-wins)
+    val baseProps =
+      base.map(v => manifest(f, path, v).props).getOrElse(Map.empty)
     val (commitDir, fresh) =
-      writeBatchFiles(spark, df, path, partCols, colMap)
+      writeBatchFiles(spark, df, path, partCols, colMap, baseProps)
     // an empty PARTITIONED write emits no files at all (dynamic
     // partitioning writes nothing for zero rows) — that is LEGAL
     // here: v3 manifests carry the schema, so a carried-only commit
@@ -1051,6 +1087,7 @@ object Snapshots {
     var curTxns = txns
     var curDvs = dvs
     var curColMap = colMap
+    var curProps = baseProps
     var curBase = base
     var committed = -1L
     while (committed < 0L) {
@@ -1058,7 +1095,7 @@ object Snapshots {
       if (tryPublishManifest(f, path, v,
           manifestLines(curSchema, partCols, curDropped, op,
             curCarried ++ fresh, curTxns ++ ownTxn, curDvs,
-            curColMap))) {
+            curColMap, curProps))) {
         bumpLatestHint(f, path, v)
         committed = v
       } else onConflict match {
@@ -1102,6 +1139,7 @@ object Snapshots {
           // compact) stands — the winner added no DVs (checked above)
           curCarried = m.entries.filterNot(e => affected(relOf(e)))
           curTxns = m.txns
+          curProps = m.props
           curBase = Some(newBase)
         case RebaseAppend =>
           val newBase = allManifestVersions(f, path).last
@@ -1143,6 +1181,7 @@ object Snapshots {
             curDropped = m.dropped
             curTxns = m.txns
             curDvs = m.dvs
+            curProps = m.props
             curCarried = m.entries
             curBase = Some(newBase)
           }
@@ -1568,7 +1607,9 @@ object Snapshots {
     */
   def createEmpty(spark: SparkSession, path: String,
                   schema: StructType,
-                  partitionBy: Seq[String] = Nil): Long = {
+                  partitionBy: Seq[String] = Nil,
+                  props: Map[String, String] = Map.empty): Long = {
+    props.foreach { case (k, v) => requirePropPair(k, v) }
     require(latestVersion(spark, path).isEmpty,
       s"snapshot: $path already has committed versions")
     val specs = normalizePartSpecs(partitionBy)
@@ -1581,7 +1622,7 @@ object Snapshots {
     val f = fs(spark, path)
     if (!tryPublishManifest(f, path, 1L,
         manifestLines(nullableAll(schema), specs, Set.empty,
-          "create", Nil)))
+          "create", Nil, props = props)))
       throw new java.util.ConcurrentModificationException(
         s"snapshot: concurrent commit detected while creating $path")
     bumpLatestHint(f, path, 1L)
@@ -1718,14 +1759,14 @@ object Snapshots {
     require(!f.exists(target),
       s"snapshot: staged append '$wapId' already exists under $path " +
         "- publish or drop it first")
-    val CurState(v, schema, partCols, dropped, _, _, colMap, _) =
+    val st @ CurState(v, schema, partCols, dropped, _, _, colMap, _) =
       currentState(spark, path, "stage an append onto")
     // validate evolution NOW - a doomed batch should fail before
     // writing terabytes, not at publish
     evolvedSchemaAndMap(schema, nullableAll(df.schema), path,
       dropped, colMap, partCols = partCols)
     val (commitDir, fresh) =
-      writeBatchFiles(spark, df, path, partCols, colMap)
+      writeBatchFiles(spark, df, path, partCols, colMap, st.props)
     if (fresh.isEmpty) { // zero-row batch: nothing to audit
       f.delete(new Path(s"$path/$commitDir"), true)
       return
@@ -1794,7 +1835,7 @@ object Snapshots {
       if (tryPublishManifest(f, path, base + 1L,
           manifestLines(s2, m.partCols, m.dropped,
             s"publish-staged(wap=$wapId)", m.entries ++ fresh,
-            m.txns, m.dvs, map2))) {
+            m.txns, m.dvs, map2, m.props))) {
         bumpLatestHint(f, path, base + 1L)
         f.delete(stagedManifestPath(path, wapId), false)
         committed = base + 1L
@@ -2438,10 +2479,14 @@ object Snapshots {
   /** Current snapshot's version, schema, partition columns, and file
     * entries, failing loudly when nothing was ever committed.
     */
+  // the second (non-pattern) parameter list keeps the many
+  // positional `CurState(...)` destructurings stable as table-level
+  // state grows; bind `st @ CurState(...)` where props are needed
   private final case class CurState(v: Long, schema: StructType,
       partCols: Seq[String], dropped: Set[String],
       txns: Map[String, Long], dvs: Seq[String],
-      colMap: Map[String, String], entries: Seq[String]) {
+      colMap: Map[String, String], entries: Seq[String])(
+      val props: Map[String, String]) {
     /** partition SOURCE columns under their LOGICAL names
       * (validation and clustering run against the logical table;
       * paths and the manifest keep the physical names/specs). A
@@ -2458,7 +2503,7 @@ object Snapshots {
         s"snapshot: no committed version under $path to $what"))
     val m = manifest(fs(spark, path), path, v)
     CurState(v, resolveSchema(spark, path, m), m.partCols, m.dropped,
-      m.txns, m.dvs, m.colMap, m.entries)
+      m.txns, m.dvs, m.colMap, m.entries)(m.props)
   }
 
   /** Mutation key sets must not contain NULLs: a NULL key never
@@ -3026,7 +3071,7 @@ object Snapshots {
     require(keyCols.forall(keys.columns.contains),
       s"snapshot: key columns ${keyCols.filterNot(keys.columns.contains)} " +
         "missing from the keys table")
-    val CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
+    val st @ CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
       currentState(spark, path, "equality-delete keys from")
     keyCols.foreach(c => require(schema.fieldNames.contains(c),
       s"snapshot: key column $c is not in the table schema " +
@@ -3148,13 +3193,15 @@ object Snapshots {
     var curEntries = entries
     var curTxns = txns
     var curDvs = dvs
+    // base-version props; a rebase adopts the winner's below
+    var curProps = manifest(f, path, v).props
     var curBase = v
     var committed = -1L
     while (committed < 0L) {
       val next = curBase + 1L
       if (tryPublishManifest(f, path, next,
           manifestLines(schema, partCols, dropped, op, curEntries,
-            curTxns, curDvs ++ markers, colMap))) {
+            curTxns, curDvs ++ markers, colMap, curProps))) {
         bumpLatestHint(f, path, next)
         committed = next
       } else {
@@ -3184,6 +3231,7 @@ object Snapshots {
         curEntries = m.entries
         curTxns = m.txns
         curDvs = m.dvs
+        curProps = m.props
         curBase = newBase
       }
     }
@@ -3339,7 +3387,7 @@ object Snapshots {
     */
   def alterPartitionSpec(spark: SparkSession, path: String,
                          partitionBy: Seq[String]): Long = {
-    val CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
+    val st @ CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
       currentState(spark, path, "alter partitioning of")
     val logical = normalizePartSpecs(partitionBy).map(parsePartField)
     logical.foreach(fld => require(schema.fieldNames.contains(fld.source),
@@ -3370,7 +3418,7 @@ object Snapshots {
     val next = v + 1L
     if (!tryPublishManifest(f, path, next,
         manifestLines(schema, newSpecs, dropped, "alterPartitioning",
-          all, txns, dvs, colMap)))
+          all, txns, dvs, colMap, st.props)))
       throw new java.util.ConcurrentModificationException(
         "snapshot: concurrent commit detected while altering the " +
           s"partitioning of $path (version $next was claimed by " +
@@ -3406,7 +3454,7 @@ object Snapshots {
     if (!tryPublishManifest(f, path, next,
         manifestLines(StructType(remaining), partCols,
           dropped ++ doomedPhys, "dropColumns", all, txns, dvs,
-          colMap -- doomedPhys)))
+          colMap -- doomedPhys, st.props)))
       throw new java.util.ConcurrentModificationException(
         s"snapshot: concurrent commit detected while dropping columns " +
           s"from $path (version $next was claimed by another writer) - " +
@@ -3427,7 +3475,7 @@ object Snapshots {
                  newCols: StructType): Long = {
     require(newCols.fields.nonEmpty,
       "snapshot: addColumns needs at least one column")
-    val CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
+    val st @ CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
       currentState(spark, path, "add columns to")
     val clash = newCols.fieldNames.filter(schema.fieldNames.contains)
     require(clash.isEmpty,
@@ -3442,7 +3490,7 @@ object Snapshots {
     if (!tryPublishManifest(f, path, next,
         manifestLines(s2, partCols, dropped,
           s"addColumns(${newCols.fieldNames.mkString(",")})", all,
-          txns, dvs, map2)))
+          txns, dvs, map2, st.props)))
       throw new java.util.ConcurrentModificationException(
         s"snapshot: concurrent commit detected while adding columns " +
           s"to $path (version $next was claimed by another writer) - " +
@@ -3475,7 +3523,7 @@ object Snapshots {
   def alterColumns(spark: SparkSession, path: String,
                    changes: Seq[ColumnChange]): Long = {
     require(changes.nonEmpty, "snapshot: alterColumns needs changes")
-    val CurState(v, schema0, partCols, dropped0, txns, dvs, colMap0, all) =
+    val st @ CurState(v, schema0, partCols, dropped0, txns, dvs, colMap0, all) =
       currentState(spark, path, "alter columns of")
     val lPart = partCols.map(parsePartField)
       .map(f => colMap0.getOrElse(f.source, f.source))
@@ -3552,7 +3600,8 @@ object Snapshots {
     val next = v + 1L
     if (!tryPublishManifest(f, path, next,
         manifestLines(schema, partCols, dropped,
-          s"alterColumns(${changes.size})", all, txns, dvs, colMap)))
+          s"alterColumns(${changes.size})", all, txns, dvs, colMap,
+          st.props)))
       throw new java.util.ConcurrentModificationException(
         s"snapshot: concurrent commit detected while altering " +
           s"columns of $path (version $next was claimed by another " +
@@ -3577,7 +3626,7 @@ object Snapshots {
   def renameColumn(spark: SparkSession, path: String,
                    from: String, to: String): Long = {
     requireMappableName(to)
-    val CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
+    val st @ CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
       currentState(spark, path, "rename a column of")
     require(schema.fieldNames.contains(from),
       s"snapshot: column $from is not in the table schema " +
@@ -3598,13 +3647,91 @@ object Snapshots {
     val next = v + 1L
     if (!tryPublishManifest(f, path, next,
         manifestLines(newSchema, partCols, dropped,
-          s"rename(from=$from,to=$to)", all, txns, dvs, newMap)))
+          s"rename(from=$from,to=$to)", all, txns, dvs, newMap,
+          st.props)))
       throw new java.util.ConcurrentModificationException(
         s"snapshot: concurrent commit detected while renaming a " +
           s"column of $path (version $next was claimed by another " +
           "writer) - re-read and retry")
     bumpLatestHint(f, path, next)
     next
+  }
+
+  private def requirePropPair(k: String, v: String): Unit = {
+    require(k.nonEmpty && !k.exists(c => c == '=' || c == ';' ||
+        c == '\t' || c == '\n' || c == '\r') && !k.startsWith("#"),
+      s"snapshot: illegal property key '$k' (no '=', ';', tabs, " +
+        "newlines or leading '#')")
+    require(!v.exists(c => c == ';' || c == '\t' || c == '\n' ||
+        c == '\r'),
+      s"snapshot: illegal property value '$v' for key '$k' (no ';', " +
+        "tabs or newlines)")
+  }
+
+  /** TABLE PROPERTIES (Delta/Iceberg TBLPROPERTIES): durable `k=v`
+    * pairs in the manifest, carried forward by EVERY commit and
+    * consulted by writers — `write.bloom.columns` (csv of column
+    * names) turns on per-column parquet bloom filters for all
+    * subsequent data writes (appends, compaction, staged writes),
+    * the point-lookup complement to min/max stats on
+    * high-cardinality unsorted columns. Metadata-only commit; the
+    * merge is upsert semantics (existing keys overwrite, others
+    * stay).
+    */
+  def setProperties(spark: SparkSession, path: String,
+                    props: Map[String, String]): Long = {
+    require(props.nonEmpty, "snapshot: setProperties needs properties")
+    props.foreach { case (k, v) => requirePropPair(k, v) }
+    val st @ CurState(v, schema, partCols, dropped, txns, dvs, colMap,
+      all) = currentState(spark, path, "set properties of")
+    props.get("write.bloom.columns").foreach(_.split(',').map(_.trim)
+      .filter(_.nonEmpty).foreach(c =>
+        require(schema.fieldNames.contains(c),
+          s"snapshot: write.bloom.columns names '$c', which is not " +
+            s"in the table schema (${schema.fieldNames.mkString(", ")})")))
+    val f = fs(spark, path)
+    val next = v + 1L
+    if (!tryPublishManifest(f, path, next,
+        manifestLines(schema, partCols, dropped,
+          s"setProperties(${props.keys.toSeq.sorted.mkString(",")})",
+          all, txns, dvs, colMap, st.props ++ props)))
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot: concurrent commit detected while setting " +
+          s"properties of $path (version $next was claimed by " +
+          "another writer) - re-read and retry")
+    bumpLatestHint(f, path, next)
+    next
+  }
+
+  /** Remove table properties by key (absent keys are a no-op). */
+  def unsetProperties(spark: SparkSession, path: String,
+                      keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "snapshot: unsetProperties needs keys")
+    val st @ CurState(v, schema, partCols, dropped, txns, dvs, colMap,
+      all) = currentState(spark, path, "unset properties of")
+    if (!keys.exists(st.props.contains)) return v
+    val f = fs(spark, path)
+    val next = v + 1L
+    if (!tryPublishManifest(f, path, next,
+        manifestLines(schema, partCols, dropped,
+          s"unsetProperties(${keys.sorted.mkString(",")})",
+          all, txns, dvs, colMap, st.props -- keys)))
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot: concurrent commit detected while unsetting " +
+          s"properties of $path (version $next was claimed by " +
+          "another writer) - re-read and retry")
+    bumpLatestHint(f, path, next)
+    next
+  }
+
+  /** The table's properties at a version (default: latest). */
+  def properties(spark: SparkSession, path: String,
+                 version: Option[Long] = None): Map[String, String] = {
+    val f = fs(spark, path)
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot: no committed version under $path"))
+    manifest(f, path, v).props
   }
 
   /** TYPE WIDENING (Delta's ALTER COLUMN TYPE widening): promote a
@@ -3621,7 +3748,7 @@ object Snapshots {
     */
   def widenColumn(spark: SparkSession, path: String,
                   name: String, to: DataType): Long = {
-    val CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
+    val st @ CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
       currentState(spark, path, "widen a column of")
     require(schema.fieldNames.contains(name),
       s"snapshot: column $name is not in the table schema " +
@@ -3646,7 +3773,7 @@ object Snapshots {
     if (!tryPublishManifest(f, path, next,
         manifestLines(newSchema, partCols, dropped,
           s"widen(col=$name,to=${to.catalogString})", all, txns, dvs,
-          colMap)))
+          colMap, st.props)))
       throw new java.util.ConcurrentModificationException(
         s"snapshot: concurrent commit detected while widening a " +
           s"column of $path (version $next was claimed by another " +

@@ -342,6 +342,45 @@ class GraftCatalogSpec extends SparkSpec {
       e2.getMessage)
   }
 
+  test("TBLPROPERTIES: CREATE ... TBLPROPERTIES, SHOW, SET/UNSET, bloom wiring") {
+    val cat = freshCatalog()
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (doc_id BIGINT, text STRING) " +
+      "TBLPROPERTIES ('write.bloom.columns' = 'doc_id', " +
+      "'owner.team' = 'data')")
+    val path = s"$wh/db/t"
+    assert(Snapshots.properties(spark, path)("owner.team") === "data")
+    val shown = spark.sql(s"SHOW TBLPROPERTIES $cat.db.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("owner.team") === Some("data"))
+    assert(shown.get("write.bloom.columns") === Some("doc_id"))
+    // INSERT inherits the bloom property (files carry the filter)
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (42, 'x'), (43, 'y')")
+    val dataFile = new java.io.File(s"$path/data").listFiles()(0)
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(dataFile.toString),
+        spark.sessionState.newHadoopConf()))
+    try {
+      import scala.jdk.CollectionConverters._
+      val block = rd.getFooter.getBlocks.get(0)
+      val idCol = block.getColumns.asScala
+        .find(_.getPath.toDotString == "doc_id").get
+      assert(rd.getBloomFilterDataReader(block)
+        .readBloomFilter(idCol) != null)
+    } finally rd.close()
+    // SET and UNSET are versioned metadata commits
+    spark.sql(s"ALTER TABLE $cat.db.t SET TBLPROPERTIES " +
+      "('retention.days' = '30')")
+    assert(Snapshots.properties(spark, path)("retention.days") === "30")
+    spark.sql(s"ALTER TABLE $cat.db.t UNSET TBLPROPERTIES ('owner.team')")
+    assert(!Snapshots.properties(spark, path).contains("owner.team"))
+    assert(Snapshots.properties(spark, path)("write.bloom.columns") ===
+      "doc_id")
+  }
+
   test("CALL procedures: write-audit-publish gate from SQL") {
     val cat = freshCatalog()
     val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")

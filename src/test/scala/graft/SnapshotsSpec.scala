@@ -2858,6 +2858,73 @@ class SnapshotsSpec extends SparkSpec {
     finally java.nio.file.Files.move(hidden, dataDir)
   }
 
+  test("table properties: survive every commit kind; bloom filters written on declared columns") {
+    val path = newStore
+    Snapshots.commit(docs.filter(col("doc_id") < 400), path)
+    Snapshots.setProperties(spark, path,
+      Map("write.bloom.columns" -> "doc_id", "owner.team" -> "data"))
+    assert(Snapshots.properties(spark, path) ===
+      Map("write.bloom.columns" -> "doc_id", "owner.team" -> "data"))
+    // v1 predates the properties; time travel shows each version's own
+    assert(Snapshots.properties(spark, path, Some(1L)) === Map.empty)
+    // an append AFTER the property writes bloom filters on doc_id
+    val before = dataFiles(path).toSet
+    Snapshots.commitAppend(docs.filter(col("doc_id") >= 400), path)
+    val fresh = dataFiles(path).filterNot(before)
+    assert(fresh.nonEmpty)
+    val conf = spark.sessionState.newHadoopConf()
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$path/data/${fresh.head}"),
+        conf))
+    try {
+      val block = rd.getFooter.getBlocks.get(0)
+      import scala.jdk.CollectionConverters._
+      val byName = block.getColumns.asScala
+        .map(c => c.getPath.toDotString -> c).toMap
+      val bloomReader = rd.getBloomFilterDataReader(block)
+      val idBloom = bloomReader.readBloomFilter(byName("doc_id"))
+      assert(idBloom != null, "doc_id must carry a bloom filter")
+      assert(bloomReader.readBloomFilter(byName("text")) == null,
+        "undeclared columns must not pay bloom bytes")
+      // membership sanity: a committed key hashes as present
+      val someId = docs.filter(col("doc_id") >= 400)
+        .select("doc_id").head.getLong(0)
+      assert(idBloom.findHash(idBloom.hash(someId)))
+    } finally rd.close()
+    // the property survives every commit kind
+    val up = docs.filter(col("doc_id") === 2L)
+      .withColumn("text", lit("p")).select(docs.columns.map(col).toSeq: _*)
+    Snapshots.merge(spark, path, up, Seq("doc_id"))
+    Snapshots.deleteWhere(spark, path, col("doc_id") === 3L, mode = "mor")
+    Snapshots.deleteKeysEq(spark, path,
+      docs.filter(col("doc_id") === 5L).select("doc_id"), Seq("doc_id"))
+    Snapshots.compact(spark, path, targetFileBytes = 1L << 30)
+    Snapshots.renameColumn(spark, path, "lang", "language")
+    Snapshots.widenColumn(spark, path, "n_chars",
+      org.apache.spark.sql.types.LongType) // no-op widen (already long)
+    Snapshots.stageAppend(docs.filter(col("doc_id") === 7L)
+      .withColumn("doc_id", lit(800001L))
+      .withColumnRenamed("lang", "language"), path, "props-wap")
+    Snapshots.publishStaged(spark, path, "props-wap")
+    assert(Snapshots.properties(spark, path)("owner.team") === "data")
+    assert(Snapshots.properties(spark, path)("write.bloom.columns") ===
+      "doc_id")
+    // unset is its own commit; rollback restores the properties
+    val vSet = Snapshots.latestVersion(spark, path).get
+    Snapshots.unsetProperties(spark, path, Seq("owner.team"))
+    assert(!Snapshots.properties(spark, path).contains("owner.team"))
+    Snapshots.rollback(spark, path, vSet)
+    assert(Snapshots.properties(spark, path)("owner.team") === "data")
+    // refusals: separator-bearing pairs, unknown bloom column
+    intercept[IllegalArgumentException](Snapshots.setProperties(
+      spark, path, Map("a;b" -> "x")))
+    intercept[IllegalArgumentException](Snapshots.setProperties(
+      spark, path, Map("k" -> "a;b")))
+    intercept[IllegalArgumentException](Snapshots.setProperties(
+      spark, path, Map("write.bloom.columns" -> "nope")))
+  }
+
   test("OCC stress: six concurrent appenders and a live compactor all land exactly once") {
     val path = newStore
     Snapshots.commit(spark.range(0L, 0L).toDF("v"), path)
