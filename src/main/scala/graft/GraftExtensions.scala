@@ -100,6 +100,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.io.Snapshots.files(spark,
             String.valueOf(children.head.eval()), v))
       }))
+    // SELECT * FROM graft_snapshot_partitions('/path'[, version]) —
+    // SHOW PARTITIONS with teeth: per-partition file/byte/row totals
+    // from the manifest pseudo-stats, zero data IO
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_snapshot_partitions"),
+      new ExpressionInfo("graft.io.Snapshots",
+        "graft_snapshot_partitions"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.nonEmpty && children.size <= 2 &&
+          children.forall(_.foldable),
+          "graft_snapshot_partitions(path[, version]) takes 1 or 2 " +
+            "literal arguments")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val v = children.lift(1).map(_.eval()) map {
+          case n: Number => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_snapshot_partitions: version '$other' is not a number")
+        }
+        org.apache.spark.sql.graft.Bridge.logicalPlan(
+          graft.io.Snapshots.partitions(spark,
+            String.valueOf(children.head.eval()), v))
+      }))
     // SELECT * FROM graft_snapshot_changes('/path', from, to) — the
     // row-level change data feed in SQL (insert/delete rows with
     // _change_type and _commit_version; merges, mor deletes and

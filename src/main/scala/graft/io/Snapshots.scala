@@ -3836,6 +3836,32 @@ object Snapshots {
       "stats_max")
   }
 
+  /** The PARTITIONS metadata table (Iceberg's `db.t.partitions`, the
+    * `SHOW PARTITIONS` a path-based store can answer): one row per
+    * distinct partition-directory tuple of the chosen version with
+    * its file count, byte and row totals — from the manifest alone
+    * (`__len`/`__rows` pseudo-stats, zero data IO). What an operator
+    * reads before scoped compaction or a partition replace; an
+    * unpartitioned table is one all-files row with an empty tuple.
+    */
+  def partitions(spark: SparkSession, path: String,
+                 version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, path)
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot: no committed version under $path"))
+    val m = manifest(f, path, v)
+    m.entries.groupBy(e => partValsOf(relOf(e)).toSeq.sortBy(_._1))
+      .map { case (tuple, es) =>
+        (tuple.toMap, es.size.toLong,
+          es.map(e => entryLen(f, path, e)).sum,
+          es.flatMap(entryRows).reduceOption(_ + _)
+            .filter(_ => es.forall(entryRows(_).isDefined))
+            .map(java.lang.Long.valueOf).orNull)
+      }.toSeq.toDF("partition", "n_files", "total_bytes", "total_rows")
+  }
+
   /** The standing maintenance pass a scheduler runs against every
     * table — compact-if-fragmented + expire + vacuum in one call,
     * each half already idempotent: [[compact]] no-ops when the table

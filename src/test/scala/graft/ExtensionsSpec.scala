@@ -80,6 +80,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(spark.sql(
       s"SELECT count(*) AS n FROM graft_snapshot_files('$path', $v1)")
       .head().getLong(0) < files.length.toLong)
+    // SHOW PARTITIONS with totals: per-partition rows from the
+    // manifest pseudo-stats alone
+    val parts = spark.sql(
+      s"""SELECT partition, n_files, total_bytes, total_rows
+          FROM graft_snapshot_partitions('$path')""").collect()
+    assert(parts.nonEmpty)
+    assert(parts.map(_.getAs[Long]("total_rows")).sum === docs.count())
   }
 
   test("TopKRewriteRule: rank-filter window rewrites to the heap operator") {

@@ -1176,7 +1176,7 @@ class SnapshotsSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"), e.getMessage)
   }
 
-  test("model-based random walk: 40 mixed ops (mor deletes, txn replays included) track a reference exactly") {
+  test("model-based random walk: 55 mixed ops (mor/eq deletes, txn replays, staging, props) track a reference exactly") {
     import spark.implicits._
     val rnd = new scala.util.Random(7) // seeded: failures reproduce
     val path = newStore
@@ -1190,8 +1190,8 @@ class SnapshotsSpec extends SparkSpec {
     // committed history for time-travel checks: version -> model state
     var history = Map(1L -> model)
     var txnBatch = 0L
-    for (step <- 1 to 40) {
-      val op = rnd.nextInt(9)
+    for (step <- 1 to 55) {
+      val op = rnd.nextInt(12)
       op match {
         case 0 => // overwrite commit with a random subset
           model = model.filter(_ => rnd.nextBoolean())
@@ -1266,6 +1266,41 @@ class SnapshotsSpec extends SparkSpec {
           assert(v2 === v1, s"replayed txn batch $txnBatch committed twice")
           txnBatch += 1
           history += v1 -> model
+        case 9 => // EQUALITY delete (zero-scan key file)
+          val doomed = model.keys.toSeq.sorted
+            .filter(_ => rnd.nextInt(4) == 0)
+          if (doomed.nonEmpty) {
+            val v = Snapshots.deleteKeysEq(spark, path,
+              doomed.toDF("doc_id"), Seq("doc_id"))
+            model --= doomed; history += v -> model
+          }
+        case 10 => // table properties toggle (bloom writes included)
+          val v =
+            if (rnd.nextBoolean())
+              Snapshots.setProperties(spark, path,
+                Map("write.bloom.columns" -> "doc_id",
+                  "walk.step" -> step.toString))
+            else {
+              val cur = Snapshots.properties(spark, path)
+              if (cur.isEmpty) Snapshots.setProperties(spark, path,
+                Map("walk.step" -> step.toString))
+              else Snapshots.unsetProperties(spark, path,
+                Seq(cur.keys.toSeq.sorted.head))
+            }
+          history += v -> model
+        case 11 => // write-audit-publish: stage, audit, publish or drop
+          val add = freshIds(1 + rnd.nextInt(3), model.keySet)
+            .map(id => id -> id).toMap
+          val wid = s"walk-$step"
+          Snapshots.stageAppend(df(add), path, wid)
+          val mid = Snapshots.read(spark, path)
+            .select("doc_id", "payload").collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(mid === model, s"step $step: staging leaked")
+          if (rnd.nextBoolean()) {
+            model ++= add
+            history += Snapshots.publishStaged(spark, path, wid) -> model
+          } else Snapshots.dropStaged(spark, path, wid)
       }
       // latest must equal the model after EVERY op
       val got = Snapshots.read(spark, path)
@@ -2644,6 +2679,24 @@ class SnapshotsSpec extends SparkSpec {
     Files.delete(manifestFile(path, next))
   }
 
+  test("delta manifests at scale: append metadata is O(batch) bytes, not O(table)") {
+    val path = newStore
+    val li = Tables.t(spark, sf, "lineitem")
+    Snapshots.commit(li.repartition(300), path)
+    val fullBytes = Files.size(manifestFile(path, 1L))
+    Snapshots.commitAppend(li.limit(10).coalesce(1), path)
+    assert(manifestLinesOf(path, 2L).head === "graft-snapshot-delta-1")
+    val deltaBytes = Files.size(manifestFile(path, 2L))
+    info(s"300-file table: full manifest $fullBytes B, " +
+      s"1-file append delta $deltaBytes B " +
+      s"(${fullBytes / deltaBytes}x smaller)")
+    // the commit-time metadata write must be at least 20x smaller
+    // than the full rewrite at this file count - and the ratio GROWS
+    // with the table (the delta is O(batch), the full is O(files))
+    assert(deltaBytes * 20 < fullBytes,
+      s"delta $deltaBytes B vs full $fullBytes B")
+  }
+
   test("write-audit-publish: staging is invisible, audit reads base+staged, publish is atomic metadata") {
     val path = newStore
     val base = docs.filter(col("doc_id") % 3 =!= 0)
@@ -2923,6 +2976,38 @@ class SnapshotsSpec extends SparkSpec {
       spark, path, Map("k" -> "a;b")))
     intercept[IllegalArgumentException](Snapshots.setProperties(
       spark, path, Map("write.bloom.columns" -> "nope")))
+  }
+
+  test("partitions metadata table: per-partition totals from the manifest alone") {
+    val path = newStore
+    Snapshots.commit(docs.withColumn("bucket", col("doc_id") % 4),
+      path, partitionBy = Seq("bucket"))
+    Snapshots.commitAppend(
+      docs.limit(50).withColumn("bucket", col("doc_id") % 4)
+        .withColumn("doc_id", col("doc_id") + 900000L), path)
+    val p = Snapshots.partitions(spark, path).collect()
+    assert(p.length === 4)
+    assert(p.map(_.getAs[Long]("total_rows")).sum ===
+      docs.count() + 50L)
+    assert(p.forall(_.getAs[Long]("n_files") >= 1L))
+    assert(p.forall(_.getAs[Long]("total_bytes") > 0L))
+    assert(p.forall(_.getAs[Map[String, String]]("partition")
+      .keySet === Set("bucket")))
+    // METADATA-only: the totals answer with the data dir hidden
+    val dataDir = java.nio.file.Paths.get(s"$path/data")
+    val hidden = java.nio.file.Paths.get(s"$path/data_hidden")
+    java.nio.file.Files.move(dataDir, hidden)
+    try assert(Snapshots.partitions(spark, path).collect()
+      .map(_.getAs[Long]("total_rows")).sum === docs.count() + 50L)
+    finally java.nio.file.Files.move(hidden, dataDir)
+    // version pins the tuple set; unpartitioned = one empty tuple
+    assert(Snapshots.partitions(spark, path, Some(1L)).collect()
+      .map(_.getAs[Long]("total_rows")).sum === docs.count())
+    val flat = newStore
+    Snapshots.commit(docs, flat)
+    val fp = Snapshots.partitions(spark, flat).collect()
+    assert(fp.length === 1 &&
+      fp.head.getAs[Map[String, String]]("partition").isEmpty)
   }
 
   test("OCC stress: six concurrent appenders and a live compactor all land exactly once") {
