@@ -4098,6 +4098,27 @@ object Snapshots {
              graceMs: Long = 3600000L): Int = {
     require(graceMs >= 0, s"snapshot: graceMs must be >= 0: $graceMs")
     val f = fs(spark, path)
+    // ABANDONED write-audit-publish stages: a crashed audit job's
+    // staged append pins its bytes forever; the OPT-IN
+    // `staged.ttl.hours` property lets vacuum drop staged manifests
+    // older than the ttl — their data files fall out of `referenced`
+    // below and sweep in this same pass. Opt-in on purpose: vacuum
+    // must never race a LIVE audit by default, and how long audits
+    // legitimately run is a deployment decision, not a guess
+    latestVersion(spark, path)
+      .flatMap(v => manifest(f, path, v).props.get("staged.ttl.hours"))
+      .foreach { h =>
+        require(h.nonEmpty && h.forall(_.isDigit),
+          s"snapshot: staged.ttl.hours must be a non-negative " +
+            s"integer, got '$h'")
+        val ttlCut = System.currentTimeMillis() - h.toLong * 3600000L
+        val dir = new Path(s"$path/_staged")
+        if (f.exists(dir)) f.listStatus(dir).foreach { st =>
+          if (st.isFile && st.getPath.getName.endsWith(".manifest") &&
+              st.getModificationTime <= ttlCut)
+            f.delete(st.getPath, false)
+        }
+      }
     val referenced = (allManifestVersions(f, path)
       .flatMap { v =>
         val m = manifest(f, path, v)

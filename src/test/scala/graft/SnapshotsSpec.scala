@@ -3010,12 +3010,37 @@ class SnapshotsSpec extends SparkSpec {
       fp.head.getAs[Map[String, String]]("partition").isEmpty)
   }
 
-  test("OCC stress: six concurrent appenders and a live compactor all land exactly once") {
+  test("abandoned staged appends: opt-in staged.ttl.hours lets vacuum reclaim them") {
+    val path = newStore
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path)
+    Snapshots.stageAppend(docs.filter(col("doc_id") % 2 === 1),
+      path, "crashed-audit")
+    val nFilesStaged = dataFiles(path).size
+    // WITHOUT the property, vacuum never touches a pending stage -
+    // a live audit must not race the janitor
+    Snapshots.vacuum(spark, path, graceMs = 0L)
+    assert(Snapshots.listStaged(spark, path) === Seq("crashed-audit"))
+    assert(dataFiles(path).size === nFilesStaged)
+    // the deployment opts in; the aged stage and its bytes reclaim
+    Snapshots.setProperties(spark, path, Map("staged.ttl.hours" -> "0"))
+    Snapshots.vacuum(spark, path, graceMs = 0L)
+    assert(Snapshots.listStaged(spark, path) === Nil)
+    assert(dataFiles(path).size < nFilesStaged)
+    assert(Snapshots.read(spark, path).count() ===
+      docs.filter(col("doc_id") % 2 === 0).count())
+  }
+
+  test("OCC stress: six concurrent appenders, a compactor and an eq-deleter all land exactly once") {
     val path = newStore
     Snapshots.commit(spark.range(0L, 0L).toDF("v"), path)
+    // poison rows seeded BEFORE the stress: the racing eq-deleter
+    // must kill exactly these - they are in every later base set -
+    // while the concurrent appends never produce matching keys
+    Snapshots.commitAppend(
+      spark.range(1000000L, 1000050L).toDF("v"), path)
     val nThreads = 6
     val perThread = 4
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads + 1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads + 2)
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
     val appenders = (0 until nThreads).map { t =>
       pool.submit(new Runnable { def run(): Unit = try {
@@ -3035,8 +3060,24 @@ class SnapshotsSpec extends SparkSpec {
         catch { case _: java.util.ConcurrentModificationException => () }
         Thread.sleep(50)
       } })
+    // an equality delete racing everything: rebases over appends,
+    // retries when a compaction rewrote files out from under it
+    val deleter = pool.submit(new Runnable { def run(): Unit = try {
+      var done = false
+      while (!done) {
+        try {
+          Snapshots.deleteKeysEq(spark, path,
+            spark.range(1000000L, 1000050L).toDF("v"), Seq("v"))
+          done = true
+        } catch {
+          case _: java.util.ConcurrentModificationException =>
+            Thread.sleep(30)
+        }
+      }
+    } catch { case e: Throwable => errors.add(e) } })
     appenders.foreach(_.get())
     compactor.get()
+    deleter.get()
     pool.shutdown()
     assert(errors.isEmpty, errors.toString)
     // every appended row exactly once - none lost to a lost-update,
