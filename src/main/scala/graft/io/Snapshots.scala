@@ -124,6 +124,11 @@ object Snapshots {
     * in the Hadoop conf, fixed at FileSystem creation). */
   private[graft] var checkpointIntervalOverride: Option[Int] = None
 
+  /** Test seam: skip the is-it-actually-smaller check so even tiny
+    * tables write delta manifests — lets the model walk drive every
+    * random op through chain resolution. */
+  private[graft] var forceDeltaManifests: Boolean = false
+
   /** List a commit's freshly-written parquet files, store-relative —
     * including Hive-style partition subdirectories (`ym=202403/...`).
     */
@@ -318,7 +323,8 @@ object Snapshots {
       baseBody.filter(l => l.startsWith("#op=") || !newSet(l))
     val delta = Seq(HeaderDelta, lines(1), lines(2),
       s"#base=${v - 1L}") ++ removes.map("-" + _) ++ adds.map("+" + _)
-    if (delta.size * 2 <= lines.size) delta else lines
+    if (delta.size * 2 <= lines.size || forceDeltaManifests) delta
+    else lines
   }
 
   /** Advance the `_latest` hint monotonically — per JVM (the

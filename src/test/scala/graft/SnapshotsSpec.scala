@@ -1177,8 +1177,27 @@ class SnapshotsSpec extends SparkSpec {
   }
 
   test("model-based random walk: 55 mixed ops (mor/eq deletes, txn replays, staging, props) track a reference exactly") {
+    runModelWalk(seed = 7)
+  }
+
+  test("model-based random walk UNDER FORCED DELTA MANIFESTS: every commit resolves through chains") {
+    // tiny walk tables never pass the is-it-smaller check, so the
+    // normal walk runs on full manifests; forcing deltas (checkpoint
+    // every 5th) drives all 55 random ops - rollbacks republishing
+    // deltas included - through chain resolution and the same exact
+    // reference model
+    Snapshots.forceDeltaManifests = true
+    Snapshots.checkpointIntervalOverride = Some(5)
+    try runModelWalk(seed = 11)
+    finally {
+      Snapshots.forceDeltaManifests = false
+      Snapshots.checkpointIntervalOverride = None
+    }
+  }
+
+  private def runModelWalk(seed: Int): Unit = {
     import spark.implicits._
-    val rnd = new scala.util.Random(7) // seeded: failures reproduce
+    val rnd = new scala.util.Random(seed) // seeded: failures reproduce
     val path = newStore
     def df(m: Map[Long, Long]) =
       m.toSeq.sortBy(_._1).toDF("doc_id", "payload")
