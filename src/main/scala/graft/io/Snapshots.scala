@@ -1071,13 +1071,13 @@ object Snapshots {
                           base: Option[Long],
                           onConflict: OnConflict,
                           op: String,
+                          baseProps: Map[String, String],
                           ownTxn: Option[(String, Long)] = None): Long = {
     val f = fs(spark, path)
     // table PROPERTIES ride along like txn markers: the writer
     // consults them (bloom filters) and every commit carries them
-    // forward; a rebase adopts the winner's (last-writer-wins)
-    val baseProps =
-      base.map(v => manifest(f, path, v).props).getOrElse(Map.empty)
+    // forward (callers pass the base version's - no extra manifest
+    // read); a rebase adopts the winner's (last-writer-wins)
     val (commitDir, fresh) =
       writeBatchFiles(spark, df, path, partCols, colMap, baseProps)
     // an empty PARTITIONED write emits no files at all (dynamic
@@ -1649,11 +1649,12 @@ object Snapshots {
     // txn markers survive an overwrite (Delta keeps SetTransactions
     // the same way): the STREAM's dedup state must not reset just
     // because a batch job rewrote the table contents
-    val txns = base.map(v =>
-      manifest(fs(spark, path), path, v).txns).getOrElse(Map.empty)
+    val bm = base.map(v => manifest(fs(spark, path), path, v))
     writeCommit(spark, df, path, Nil, nullableAll(df.schema),
-      normalizePartSpecs(partitionBy), Set.empty, txns, Nil,
-      Map.empty, base, RefuseConflict("overwriting"), "overwrite")
+      normalizePartSpecs(partitionBy), Set.empty,
+      bm.map(_.txns).getOrElse(Map.empty), Nil,
+      Map.empty, base, RefuseConflict("overwriting"), "overwrite",
+      bm.map(_.props).getOrElse(Map.empty))
   }
 
   /** Commit `df` as an APPEND: the new snapshot = previous snapshot's
@@ -1685,7 +1686,7 @@ object Snapshots {
     val spark = df.sparkSession
     val f = fs(spark, path)
     val base = latestVersion(spark, path)
-    val (carried, schema, partCols, dropped, txns, dvs, colMap) =
+    val (carried, schema, partCols, dropped, txns, dvs, colMap, props) =
       base match {
         case Some(v) =>
           val m = manifest(f, path, v)
@@ -1697,13 +1698,15 @@ object Snapshots {
           val (s2, map2) = evolvedSchemaAndMap(
             resolveSchema(spark, path, m), nullableAll(df.schema),
             path, m.dropped, m.colMap, partCols = m.partCols)
-          (m.entries, s2, m.partCols, m.dropped, m.txns, m.dvs, map2)
+          (m.entries, s2, m.partCols, m.dropped, m.txns, m.dvs, map2,
+            m.props)
         case None => (Nil, nullableAll(df.schema), Nil,
           Set.empty[String], Map.empty[String, Long], Nil,
-          Map.empty[String, String])
+          Map.empty[String, String], Map.empty[String, String])
       }
     writeCommit(spark, df, path, carried, schema, partCols, dropped,
-      txns, dvs, colMap, base, RebaseAppend, "append", ownTxn = txn)
+      txns, dvs, colMap, base, RebaseAppend, "append", props,
+      ownTxn = txn)
   }
 
   // --- write-audit-publish (Iceberg's WAP staging) -------------------
@@ -1956,7 +1959,7 @@ object Snapshots {
     }
     writeCommit(spark, df, path, carried, schema, partCols, dropped,
       txns, dvs, colMap, Some(v),
-      RefuseConflict("replacing partitions of"), "replacePartitions")
+      RefuseConflict("replacing partitions of"), "replacePartitions", st.props)
   }
 
   /** Read a snapshot: the latest, or any committed `version` (time
@@ -2616,7 +2619,7 @@ object Snapshots {
         }
       writeCommit(spark, fresh, path, carried, schema, partCols,
         dropped, txns, dvs, colMap, Some(v),
-        RebaseRewrite("merging into", affected, dvs), "merge")
+        RebaseRewrite("merging into", affected, dvs), "merge", st.props)
     } finally { upd0.unpersist(); () }
   }
 
@@ -2717,7 +2720,7 @@ object Snapshots {
           val carried = all.filterNot(e => affected(relOf(e)))
           writeCommit(spark, fresh, path, carried, schema, partCols,
             dropped, txns, dvs, colMap, Some(v),
-            RebaseRewrite("mergeUpdate into", affected, dvs), "mergeUpdate")
+            RebaseRewrite("mergeUpdate into", affected, dvs), "mergeUpdate", st.props)
       }
     } finally { upd0.unpersist(); () }
   }
@@ -2774,7 +2777,7 @@ object Snapshots {
       }: _*)
     writeCommit(spark, rewritten, path, carried, schema, partCols,
       dropped, txns, dvs, colMap, Some(v),
-      RebaseRewrite("updating", affected, dvs), "update")
+      RebaseRewrite("updating", affected, dvs), "update", st.props)
   }
 
   /** Column reference to the MERGE source side inside [[mergeInto]]
@@ -2961,7 +2964,7 @@ object Snapshots {
           val carried = all.filterNot(e => affected(relOf(e)))
           writeCommit(spark, fresh, path, carried, schema, partCols,
             dropped, txns, dvs, colMap, Some(v),
-            RebaseRewrite("merging into", affected, dvs), "mergeInto")
+            RebaseRewrite("merging into", affected, dvs), "mergeInto", st.props)
       }
     } finally { srcR.unpersist(); () }
   }
@@ -3047,7 +3050,7 @@ object Snapshots {
             .join(k, keyCols, "left_anti")
           writeCommit(spark, survivors, path, carried, schema, partCols,
             dropped, txns, dvs, colMap, Some(v),
-            RebaseRewrite("deleting keys from", affected, dvs), "deleteKeys")
+            RebaseRewrite("deleting keys from", affected, dvs), "deleteKeys", st.props)
         }
       }
     } finally { k.unpersist(); () }
@@ -3139,7 +3142,7 @@ object Snapshots {
       .filter(not(coalesce(predicate, lit(false))))
     writeCommit(spark, survivors, path, carried, schema, partCols,
       dropped, txns, dvs, colMap, Some(v),
-      RebaseRewrite("deleting from", affected, dvs), "deleteWhere")
+      RebaseRewrite("deleting from", affected, dvs), "deleteWhere", st.props)
   }
 
   /** Publish a merge-on-read DELETE: write the doomed (file, pos)
@@ -3357,7 +3360,7 @@ object Snapshots {
     writeCommit(spark, packed, path, carried, schema, partCols, dropped,
       txns, outDvs, colMap, Some(v),
       RebaseRewrite("compacting", selected.map(relOf).toSet, dvs),
-      "compact")
+      "compact", st.props)
   }
 
   /** METADATA-ONLY column drop: a new version whose manifest carries
