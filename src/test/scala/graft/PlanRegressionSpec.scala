@@ -320,6 +320,25 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p2.contains("LeftAnti"), s"mor read must anti-join:\n$p2")
   }
 
+  test("equality-delete read: the key anti-join BROADCASTS (never a shuffled SMJ on the table side)") {
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_snap_eqplan").toString + "/tbl"
+    val docs = Tables.t(spark, dir, "documents")
+    graft.io.Snapshots.commit(docs, path)
+    graft.io.Snapshots.deleteKeysEq(spark, path,
+      docs.filter(col("doc_id") % 9 === 0).select("doc_id"),
+      Seq("doc_id"))
+    val p = graft.io.Snapshots.read(spark, path)
+      .queryExecution.executedPlan.toString
+    // the delete-key file is tiny relative to the table - at 100 TB
+    // the table side must NOT shuffle to apply a CDC delete batch
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"eq-delete read must broadcast the keys:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"table-side shuffle on the eq-delete read:\n$p")
+  }
+
   test("graph supersteps: equi-joins only, no quadratic operator") {
     Seq("q_pagerank", "q_bfs_hops").foreach { q =>
       val p = plan(q)
