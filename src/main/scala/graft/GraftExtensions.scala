@@ -100,6 +100,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.io.Snapshots.files(spark,
             String.valueOf(children.head.eval()), v))
       }))
+    // SELECT * FROM graft_snapshot_detail('/path') — DESCRIBE DETAIL:
+    // the one-row operational summary (version, totals, partitioning,
+    // delete files, staged appends, tags, properties)
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_snapshot_detail"),
+      new ExpressionInfo("graft.io.Snapshots", "graft_snapshot_detail"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1 && children.head.foldable,
+          "graft_snapshot_detail(path) takes one literal argument")
+        val spark = org.apache.spark.sql.SparkSession.active
+        org.apache.spark.sql.graft.Bridge.logicalPlan(
+          graft.io.Snapshots.detail(spark,
+            String.valueOf(children.head.eval())))
+      }))
     // SELECT * FROM graft_snapshot_partitions('/path'[, version]) —
     // SHOW PARTITIONS with teeth: per-partition file/byte/row totals
     // from the manifest pseudo-stats, zero data IO

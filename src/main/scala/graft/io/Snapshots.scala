@@ -3845,6 +3845,38 @@ object Snapshots {
       "stats_max")
   }
 
+  /** DESCRIBE DETAIL: the one-row operational summary (Delta's
+    * `DESCRIBE DETAIL` shape) — current version, file/byte/row
+    * totals (manifest pseudo-stats, zero data IO; rows null when a
+    * live delete file makes the sum an overcount), partition spec,
+    * live delete files, pending staged appends, tags and properties.
+    * The first thing an operator looks at; everything here is one
+    * manifest read plus directory listings.
+    */
+  def detail(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, path)
+    val v = latestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot: no committed version under $path"))
+    val m = manifest(f, path, v)
+    val counted = m.entries.flatMap(entryRows)
+    val rows =
+      if (m.dvs.isEmpty && counted.size == m.entries.size)
+        java.lang.Long.valueOf(counted.sum)
+      else null
+    Seq((path, v, allManifestVersions(f, path).size.toLong,
+      m.entries.size.toLong,
+      m.entries.map(e => entryLen(f, path, e)).sum, rows,
+      logicalPartSpecs(m.partCols, m.colMap),
+      m.dvs.size.toLong, listStaged(spark, path),
+      tags(spark, path).map { case (k, tv) => k -> tv.toString },
+      m.props))
+      .toDF("location", "version", "n_versions", "n_files",
+        "total_bytes", "total_rows", "partitioning",
+        "n_delete_files", "staged", "tags", "properties")
+  }
+
   /** The PARTITIONS metadata table (Iceberg's `db.t.partitions`, the
     * `SHOW PARTITIONS` a path-based store can answer): one row per
     * distinct partition-directory tuple of the chosen version with

@@ -87,6 +87,12 @@ class ExtensionsSpec extends SparkSpec {
           FROM graft_snapshot_partitions('$path')""").collect()
     assert(parts.nonEmpty)
     assert(parts.map(_.getAs[Long]("total_rows")).sum === docs.count())
+    // DESCRIBE DETAIL in SQL: the one-row operational summary
+    val det = spark.sql(
+      s"SELECT version, n_files, total_rows " +
+        s"FROM graft_snapshot_detail('$path')").head()
+    assert(det.getAs[Long]("version") === 2L)
+    assert(det.getAs[Long]("total_rows") === docs.count())
   }
 
   test("TopKRewriteRule: rank-filter window rewrites to the heap operator") {

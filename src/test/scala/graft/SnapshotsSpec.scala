@@ -2997,6 +2997,36 @@ class SnapshotsSpec extends SparkSpec {
       spark, path, Map("write.bloom.columns" -> "nope")))
   }
 
+  test("DESCRIBE DETAIL: the one-row operational summary") {
+    val path = newStore
+    Snapshots.commit(docs, path, partitionBy = Seq("lang"))
+    Snapshots.setProperties(spark, path, Map("owner.team" -> "data"))
+    Snapshots.tag(spark, path, "gold")
+    Snapshots.stageAppend(docs.limit(3)
+      .withColumn("doc_id", col("doc_id") + 700000L), path, "pending")
+    val d = Snapshots.detail(spark, path).head
+    assert(d.getAs[String]("location") === path)
+    assert(d.getAs[Long]("version") === 2L)
+    assert(d.getAs[Long]("n_versions") === 2L)
+    assert(d.getAs[Long]("n_files") >= 1L)
+    assert(d.getAs[Long]("total_bytes") > 0L)
+    assert(d.getAs[Long]("total_rows") === docs.count())
+    assert(d.getAs[Seq[String]]("partitioning") === Seq("lang"))
+    assert(d.getAs[Long]("n_delete_files") === 0L)
+    assert(d.getAs[Seq[String]]("staged") === Seq("pending"))
+    assert(d.getAs[Map[String, String]]("tags") === Map("gold" -> "2"))
+    assert(d.getAs[Map[String, String]]("properties") ===
+      Map("owner.team" -> "data"))
+    // a live delete file nulls the metadata row count (an entry sum
+    // would overcount) and shows up in n_delete_files
+    Snapshots.deleteWhere(spark, path, col("doc_id") === 5L,
+      mode = "mor")
+    val d2 = Snapshots.detail(spark, path).head
+    assert(d2.isNullAt(d2.fieldIndex("total_rows")))
+    assert(d2.getAs[Long]("n_delete_files") === 1L)
+    Snapshots.dropStaged(spark, path, "pending")
+  }
+
   test("partitions metadata table: per-partition totals from the manifest alone") {
     val path = newStore
     Snapshots.commit(docs.withColumn("bucket", col("doc_id") % 4),
