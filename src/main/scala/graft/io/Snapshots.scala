@@ -3804,10 +3804,15 @@ object Snapshots {
     allManifestVersions(f, path).map { v =>
       val m = manifest(f, path, v)
       val mt = f.getFileStatus(manifestPath(path, v)).getModificationTime
+      // encoding column: where the delta chains checkpoint — the
+      // operator's view of commit-metadata economics
+      val enc = m.deltaBase
+        .map(b => s"delta(base=$b,depth=${m.depth})")
+        .getOrElse("full")
       (v, new java.sql.Timestamp(mt), m.op, m.entries.size.toLong,
-        m.entries.map(e => entryLen(f, path, e)).sum)
+        m.entries.map(e => entryLen(f, path, e)).sum, enc)
     }.toDF("version", "committed_at", "operation", "n_files",
-      "total_bytes")
+      "total_bytes", "encoding")
   }
 
   /** The FILES metadata table (Iceberg's `db.t.files` posture): one

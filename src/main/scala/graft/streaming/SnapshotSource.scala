@@ -34,7 +34,11 @@ import graft.io.Snapshots
   *     is created (standard streaming-source behavior — the engine
   *     requires every batch to match); columns added by later
   *     commits null-fill out of old files after a restart, exactly
-  *     like the batch reader.
+  *     like the batch reader. A TYPE WIDENING mid-stream fails
+  *     LOUDLY (wider pages refuse to read under the pinned narrower
+  *     schema — pinned by WidenProbeSpec, never a silent
+  *     truncation); restart the query to pick up the widened
+  *     schema.
   *   - **Batches read through [[graft.io.SnapshotFileIndex]]** — the
   *     same zero-listing manifest-driven scan as batch reads, wrapped
   *     streaming via the same `isStreaming` relation flag the

@@ -28,6 +28,20 @@ class WidenProbeSpec extends SparkSpec {
       Seq(1.0d, 2147483647.0d))
   }
 
+  test("narrowing read refuses: long pages under an int read schema fail, never truncate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("narrow").toString
+    Seq(5000000000L, 7L).toDF("i").write.parquet(dir + "/t")
+    // the streaming source pins its schema per run; if the table
+    // widens mid-stream, later (wider) files are read under the
+    // pinned (narrower) schema - that MUST be a loud failure, not a
+    // silent truncation of values past 2^31
+    val narrow = StructType(Seq(StructField("i", IntegerType)))
+    val e = intercept[Throwable](
+      spark.read.schema(narrow).parquet(dir + "/t").collect())
+    assert(e.getMessage != null)
+  }
+
   test("the widening lattice: up-chain only, no narrowing, no long->double") {
     assert(Snapshots.widens(IntegerType, LongType))
     assert(Snapshots.widens(ByteType, LongType))
