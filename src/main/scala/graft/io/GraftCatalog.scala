@@ -410,7 +410,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"graft catalog: cannot translate delete filter $f")))
       val cond = cols.reduceOption(_ && _)
         .getOrElse(org.apache.spark.sql.functions.lit(true))
-      Snapshots.deleteWhere(spark, path, cond)
+      // the delete.mode table property routes SQL DELETE FROM:
+      // 'mor' commits a positional delete file (no data rewrites -
+      // the CDC-heavy posture), 'cow' (default) rewrites affected
+      // files; either way the result is identical and versioned
+      val mode = Snapshots.properties(spark, path)
+        .getOrElse("delete.mode", "cow")
+      require(mode == "cow" || mode == "mor",
+        s"graft catalog: table property delete.mode must be 'cow' " +
+          s"or 'mor', got '$mode'")
+      Snapshots.deleteWhere(spark, path, cond, mode = mode)
       ()
     }
 

@@ -381,6 +381,38 @@ class GraftCatalogSpec extends SparkSpec {
       "doc_id")
   }
 
+  test("delete.mode property: SQL DELETE FROM commits merge-on-read, zero data rewrites") {
+    val cat = freshCatalog()
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    docs.createOrReplaceTempView("dm_src")
+    spark.sql(s"CREATE TABLE $cat.db.d (doc_id BIGINT, text STRING, " +
+      "lang STRING, source STRING, n_chars BIGINT) " +
+      "TBLPROPERTIES ('delete.mode' = 'mor')")
+    spark.sql(s"INSERT INTO $cat.db.d SELECT * FROM dm_src")
+    val path = s"$wh/db/d"
+    val (_, _, entriesBefore, _, _) = Snapshots.stateAt(spark, path,
+      Snapshots.latestVersion(spark, path).get)
+    spark.sql(s"DELETE FROM $cat.db.d WHERE doc_id < 60")
+    // no data-file rewrites: entries identical, a delete file landed
+    val vAfter = Snapshots.latestVersion(spark, path).get
+    val (_, _, entriesAfter, dvs, _) = Snapshots.stateAt(spark, path,
+      vAfter)
+    assert(entriesAfter === entriesBefore)
+    assert(dvs.nonEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.d " +
+      "WHERE doc_id < 60").head().getLong(0) === 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.d")
+      .head().getLong(0) ===
+      docs.filter(col("doc_id") >= 60).count())
+    // an invalid mode refuses at delete time, loudly
+    spark.sql(s"ALTER TABLE $cat.db.d SET TBLPROPERTIES " +
+      "('delete.mode' = 'nope')")
+    val e = intercept[Exception](
+      spark.sql(s"DELETE FROM $cat.db.d WHERE doc_id = 1"))
+    assert(e.getMessage.contains("delete.mode"), e.getMessage)
+  }
+
   test("CALL procedures: write-audit-publish gate from SQL") {
     val cat = freshCatalog()
     val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
