@@ -1822,10 +1822,24 @@ object Snapshots {
     val f = fs(spark, path)
     val (_, batchSchema, stagedParts, stagedMap, fresh) =
       parseStaged(f, path, wapId)
+    val freshRels = fresh.map(relOf).toSet
     var committed = -1L
     while (committed < 0L) {
       val base = allManifestVersions(f, path).last
       val m = manifest(f, path, base)
+      // a RETRIED gate racing its own earlier publish: the winner
+      // already attached these files - publishing again would
+      // double-append them. No-op like a replayed txn batch.
+      if (freshRels.subsetOf(m.entries.map(relOf).toSet)) {
+        f.delete(stagedManifestPath(path, wapId), false)
+        return base
+      }
+      // a concurrent dropStaged deletes the staging manifest FIRST
+      // (then the files) - re-checking here keeps a publish from
+      // attaching files a racing drop is about to remove
+      require(f.exists(stagedManifestPath(path, wapId)),
+        s"snapshot: staged append '$wapId' was dropped while " +
+          "publishing - nothing committed")
       require(m.partCols == stagedParts,
         s"snapshot: the partition spec of $path changed since '$wapId' " +
           s"was staged (${m.partCols.mkString(",")} vs " +
@@ -1860,9 +1874,12 @@ object Snapshots {
                  wapId: String): Unit = {
     val f = fs(spark, path)
     val (_, _, _, _, entries) = parseStaged(f, path, wapId)
+    // manifest FIRST: a racing publishStaged re-checks it before
+    // every claim, so the files below are only removed once no
+    // publish can still attach them
+    f.delete(stagedManifestPath(path, wapId), false)
     entries.map(relOf).map(_.split('/').take(2).mkString("/"))
       .distinct.foreach(d => f.delete(new Path(s"$path/$d"), true))
-    f.delete(stagedManifestPath(path, wapId), false)
     ()
   }
 
@@ -3900,11 +3917,14 @@ object Snapshots {
     val m = manifest(f, path, v)
     m.entries.groupBy(e => partValsOf(relOf(e)).toSeq.sortBy(_._1))
       .map { case (tuple, es) =>
+        // a live delete file (positional or equality) makes the
+        // entry sum an OVERCOUNT - report null, never a wrong number
+        val rows =
+          if (m.dvs.nonEmpty || !es.forall(entryRows(_).isDefined))
+            null
+          else java.lang.Long.valueOf(es.flatMap(entryRows).sum)
         (tuple.toMap, es.size.toLong,
-          es.map(e => entryLen(f, path, e)).sum,
-          es.flatMap(entryRows).reduceOption(_ + _)
-            .filter(_ => es.forall(entryRows(_).isDefined))
-            .map(java.lang.Long.valueOf).orNull)
+          es.map(e => entryLen(f, path, e)).sum, rows)
       }.toSeq.toDF("partition", "n_files", "total_bytes", "total_rows")
   }
 

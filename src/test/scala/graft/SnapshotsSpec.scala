@@ -2766,6 +2766,21 @@ class SnapshotsSpec extends SparkSpec {
     // dropped staged bytes are really gone after vacuum
     Snapshots.vacuum(spark, path, graceMs = 0L)
     assert(Snapshots.read(spark, path).count() === docs.count() + 1L)
+    // a RETRIED publish of an already-published stage no-ops instead
+    // of double-appending (the staging manifest reappearing after a
+    // crash-retry is the at-least-once delivery case)
+    Snapshots.stageAppend(docs.filter(col("doc_id") === 9L)
+      .withColumn("doc_id", lit(4000000L)), path, "wap-retry")
+    val manifestCopy = Files.readAllBytes(java.nio.file.Paths.get(
+      s"$path/_staged/wap-retry.manifest"))
+    val vPub = Snapshots.publishStaged(spark, path, "wap-retry")
+    Files.write(java.nio.file.Paths.get(
+      s"$path/_staged/wap-retry.manifest"), manifestCopy)
+    assert(Snapshots.publishStaged(spark, path, "wap-retry") === vPub)
+    assert(Snapshots.latestVersion(spark, path) === Some(vPub))
+    assert(Snapshots.listStaged(spark, path) === Nil)
+    assert(Snapshots.read(spark, path)
+      .filter(col("doc_id") === 4000000L).count() === 1L)
     // staging refuses a duplicate wap id and a schema-drifting batch
     intercept[IllegalArgumentException] {
       Snapshots.stageAppend(batch, path, "bad/id")
@@ -3057,6 +3072,12 @@ class SnapshotsSpec extends SparkSpec {
     val fp = Snapshots.partitions(spark, flat).collect()
     assert(fp.length === 1 &&
       fp.head.getAs[Map[String, String]]("partition").isEmpty)
+    // a live delete file would make the entry sums OVERCOUNTS -
+    // row totals go null, never wrong
+    Snapshots.deleteWhere(spark, flat, col("doc_id") === 1L,
+      mode = "mor")
+    val fp2 = Snapshots.partitions(spark, flat).collect()
+    assert(fp2.forall(_.isNullAt(fp2.head.fieldIndex("total_rows"))))
   }
 
   test("abandoned staged appends: opt-in staged.ttl.hours lets vacuum reclaim them") {
