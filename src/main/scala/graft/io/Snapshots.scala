@@ -119,6 +119,12 @@ object Snapshots {
     */
   private[graft] var onBeforePublish: () => Unit = () => ()
 
+  /** Test seam: invoked inside [[publishStaged]]'s monitor-held
+    * commit window (after the staged-manifest existence check, before
+    * the claim). Specs use it to prove a racing [[dropStaged]] blocks
+    * on the monitor instead of deleting files mid-publish. */
+  private[graft] var onBeforeStagedClaim: () => Unit = () => ()
+
   /** Test seam for the delta-manifest checkpoint interval (the
     * production knob is `graft.snapshot.manifestCheckpointInterval`
     * in the Hadoop conf, fixed at FileSystem creation). */
@@ -1834,12 +1840,6 @@ object Snapshots {
         f.delete(stagedManifestPath(path, wapId), false)
         return base
       }
-      // a concurrent dropStaged deletes the staging manifest FIRST
-      // (then the files) - re-checking here keeps a publish from
-      // attaching files a racing drop is about to remove
-      require(f.exists(stagedManifestPath(path, wapId)),
-        s"snapshot: staged append '$wapId' was dropped while " +
-          "publishing - nothing committed")
       require(m.partCols == stagedParts,
         s"snapshot: the partition spec of $path changed since '$wapId' " +
           s"was staged (${m.partCols.mkString(",")} vs " +
@@ -1855,12 +1855,31 @@ object Snapshots {
           s"'$wapId' was staged moved column '$c' to a different " +
           "physical name - the staged bytes are wrong; drop the " +
           "staged append and re-stage"))
-      if (tryPublishManifest(f, path, base + 1L,
-          manifestLines(s2, m.partCols, m.dropped,
-            s"publish-staged(wap=$wapId)", m.entries ++ fresh,
-            m.txns, m.dvs, map2, m.props))) {
+      // The staged-manifest existence check and the claim must be ONE
+      // atomic step with respect to [[dropStaged]] (which holds the
+      // same monitor): a drop landing between a bare exists() and the
+      // claim would delete the staged data files AFTER this publish
+      // attached them — committing a version whose entries (carried
+      // forward by every later commit) reference deleted files. Inside
+      // the monitor, a racing drop either ran first (the manifest is
+      // gone → loud refusal, nothing committed) or waits until the
+      // claim AND the manifest removal below are done (the manifest is
+      // gone → its own refusal; the files are published data now).
+      val won = monitorFor(f, path).synchronized {
+        require(f.exists(stagedManifestPath(path, wapId)),
+          s"snapshot: staged append '$wapId' was dropped while " +
+            "publishing - nothing committed")
+        onBeforeStagedClaim()
+        if (tryPublishManifest(f, path, base + 1L,
+            manifestLines(s2, m.partCols, m.dropped,
+              s"publish-staged(wap=$wapId)", m.entries ++ fresh,
+              m.txns, m.dvs, map2, m.props))) {
+          f.delete(stagedManifestPath(path, wapId), false)
+          true
+        } else false
+      }
+      if (won) {
         bumpLatestHint(f, path, base + 1L)
-        f.delete(stagedManifestPath(path, wapId), false)
         committed = base + 1L
       }
     }
@@ -1873,11 +1892,18 @@ object Snapshots {
   def dropStaged(spark: SparkSession, path: String,
                  wapId: String): Unit = {
     val f = fs(spark, path)
-    val (_, _, _, _, entries) = parseStaged(f, path, wapId)
-    // manifest FIRST: a racing publishStaged re-checks it before
-    // every claim, so the files below are only removed once no
-    // publish can still attach them
-    f.delete(stagedManifestPath(path, wapId), false)
+    // Parse + manifest removal under the commit monitor — the same
+    // monitor [[publishStaged]] holds across its existence check and
+    // claim — so this drop cannot interleave inside a publish's
+    // commit window. Once the manifest is deleted here no publish can
+    // attach the files; if a publish already won, the manifest is
+    // gone and the require below refuses before touching any file
+    // (the bytes are published table data now, not staged garbage).
+    val entries = monitorFor(f, path).synchronized {
+      val (_, _, _, _, es) = parseStaged(f, path, wapId)
+      f.delete(stagedManifestPath(path, wapId), false)
+      es
+    }
     entries.map(relOf).map(_.split('/').take(2).mkString("/"))
       .distinct.foreach(d => f.delete(new Path(s"$path/$d"), true))
     ()
@@ -3854,15 +3880,25 @@ object Snapshots {
       val nums = statsOf(e)
         .filterNot(s => s._1 == LenStat || s._1 == RowsStat)
       val strs = stringStatsOf(e)
-      def hex(b: Array[Byte]): String =
-        new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      // string bounds are 16-byte TRUNCATED prefixes — a cut can land
+      // mid-codepoint, so a plain UTF-8 decode would render U+FFFD
+      // replacement characters that read like exact values. Render as
+      // text only when the bytes round-trip losslessly; otherwise
+      // fall back to the manifest's own hex spelling.
+      def renderBound(b: Array[Byte]): String = {
+        val s = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        if (java.util.Arrays.equals(
+            s.getBytes(java.nio.charset.StandardCharsets.UTF_8), b)) s
+        else "0x" + b.map(x => f"$x%02x").mkString
+      }
       (rel, entryLen(f, path, e),
         entryRows(e).map(java.lang.Long.valueOf).orNull,
         partValsOf(rel),
         nums.map { case (k, (mn, _)) => k -> mn.toString } ++
-          strs.map { case (k, (mn, _)) => k -> hex(mn) },
+          strs.map { case (k, (mn, _)) => k -> renderBound(mn) },
         nums.map { case (k, (_, mx)) => k -> mx.toString } ++
-          strs.map { case (k, (_, mx)) => k -> mx.map(hex).orNull })
+          strs.map { case (k, (_, mx)) =>
+            k -> mx.map(renderBound).orNull })
     }.toDF("file", "bytes", "rows", "partition", "stats_min",
       "stats_max")
   }
@@ -4070,13 +4106,22 @@ object Snapshots {
     val f = fs(spark, path)
     val all = allManifestVersions(f, path)
     val tagged = tags(spark, path).values.toSet
-    val pinned = tagged ++ eqBasesReferenced(f, path,
-      all.takeRight(1).toSet ++ tagged)
     val cutoff = System.currentTimeMillis() - maxAgeMs
-    val drop = all.dropRight(1) // the current snapshot always survives
-      .filterNot(pinned)
+    val candidates = all.dropRight(1) // the current snapshot survives
+      .filterNot(tagged)
       .filter(v => f.getFileStatus(manifestPath(path, v))
         .getModificationTime < cutoff)
+      .toSet
+    // Base chains are pinned from EVERY survivor — latest, tags, AND
+    // the young manifests the age filter keeps. Unlike [[expire]],
+    // survivors here are not a suffix: a young delta manifest below
+    // the last full checkpoint resolves against a `#base=` older than
+    // the cutoff, and dropping that base would make the survivor
+    // unreadable (and vacuum/history, which resolve every version,
+    // throw for the whole table). eqBasesReferenced closes
+    // transitively, so bases-of-bases survive too.
+    val pinned = eqBasesReferenced(f, path, all.toSet -- candidates)
+    val drop = all.filter(candidates).filterNot(pinned)
     drop.foreach(v => f.delete(manifestPath(path, v), false))
     drop.size
   }

@@ -3311,4 +3311,107 @@ class SnapshotsSpec extends SparkSpec {
     assert(e.getMessage.contains("unrecognized partition transform"),
       e.getMessage)
   }
+
+  test("expireOlderThan: pins the base chain of every SURVIVING manifest, not just latest+tags") {
+    val path = newStore
+    Snapshots.forceDeltaManifests = true
+    Snapshots.checkpointIntervalOverride = Some(2)
+    try {
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path)  // v1 full
+      Snapshots.commitAppend(docs.filter(col("doc_id") === 1L), path) // v2 delta(#base=1)
+      Snapshots.commitAppend(docs.filter(col("doc_id") === 3L), path) // v3 checkpoints FULL (depth 1+1 >= 2)
+      assert(manifestLinesOf(path, 2L).head === "graft-snapshot-delta-1")
+      assert(manifestLinesOf(path, 3L).head.startsWith("graft-snapshot-v3"))
+      // age v1 past any cutoff; v2 (a young non-latest delta resolving
+      // against v1) and v3 (latest, a full checkpoint so its chain
+      // never touches v1) stay young
+      java.nio.file.Files.setLastModifiedTime(manifestFile(path, 1L),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 10000000L))
+      // v1 is old and OFF the latest chain - but surviving v2 needs it
+      assert(Snapshots.expireOlderThan(spark, path, 3600000L) === 0)
+      assert(Snapshots.versions(spark, path) === Seq(1L, 2L, 3L))
+      // time travel to v2 resolves, and history/vacuum (which resolve
+      // EVERY version) keep working for the whole table
+      assert(Snapshots.read(spark, path, Some(2L)).count() ===
+        docs.filter(col("doc_id") % 2 === 0 || col("doc_id") === 1L)
+          .count())
+      assert(Snapshots.history(spark, path).count() === 3L)
+      Snapshots.vacuum(spark, path, graceMs = 0L)
+      // once the referring delta itself ages out, base + delta drop
+      // TOGETHER in one pass
+      java.nio.file.Files.setLastModifiedTime(manifestFile(path, 2L),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 10000000L))
+      assert(Snapshots.expireOlderThan(spark, path, 3600000L) === 2)
+      assert(Snapshots.versions(spark, path) === Seq(3L))
+      assert(Snapshots.read(spark, path).count() ===
+        docs.filter(col("doc_id") % 2 === 0 || col("doc_id") === 1L ||
+          col("doc_id") === 3L).count())
+    } finally {
+      Snapshots.forceDeltaManifests = false
+      Snapshots.checkpointIntervalOverride = None
+    }
+  }
+
+  test("write-audit-publish: a drop racing inside publish's commit window blocks and refuses") {
+    val path = newStore
+    Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path)
+    val batch = docs.filter(col("doc_id") === 7L)
+    Snapshots.stageAppend(batch, path, "wap-race")
+    val dropErr =
+      new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val dropper = new java.util.concurrent.atomic.AtomicReference[Thread](null)
+    // fire the drop INSIDE publish's monitor-held window (after its
+    // existence check, before the claim): without the monitor the
+    // drop would delete the staged files while publish attaches them
+    Snapshots.onBeforeStagedClaim = () => {
+      Snapshots.onBeforeStagedClaim = () => ()
+      val t = new Thread(() =>
+        try Snapshots.dropStaged(spark, path, "wap-race")
+        catch { case e: Throwable => dropErr.set(e) })
+      t.start()
+      dropper.set(t)
+      Thread.sleep(400) // let the drop reach (and block on) the monitor
+    }
+    try {
+      val v = Snapshots.publishStaged(spark, path, "wap-race")
+      dropper.get.join(30000)
+      // publish won atomically; the drop refused loudly AFTER the
+      // publish completed instead of deleting published data files
+      assert(v === 2L)
+      assert(dropErr.get != null, "racing dropStaged should refuse")
+      assert(dropErr.get.getMessage.contains("no staged append"),
+        dropErr.get.getMessage)
+      assert(Snapshots.read(spark, path)
+        .filter(col("doc_id") === 7L).count() === 1L)
+      // every entry of the head version still has its bytes on disk
+      assert(Snapshots.read(spark, path).count() ===
+        docs.filter(col("doc_id") % 2 === 0 || col("doc_id") === 7L)
+          .count())
+      assert(Snapshots.listStaged(spark, path).isEmpty)
+    } finally Snapshots.onBeforeStagedClaim = () => ()
+  }
+
+  test("files: mid-codepoint truncated string bounds render as hex, never replacement chars") {
+    import spark.implicits._
+    val path = newStore
+    // 15 ASCII bytes + a 2-byte codepoint straddling the 16-byte cut:
+    // the stored min/max prefixes end in a dangling UTF-8 lead byte
+    val df = Seq(("aaaaaaaaaaaaaaa\u00e91", 1L),
+                 ("aaaaaaaaaaaaaaa\u00e92", 2L)).toDF("s", "id")
+    Snapshots.commit(df, path)
+    val bounds = Snapshots.files(spark, path)
+      .select(explode(map_values(col("stats_min"))).as("b"))
+      .union(Snapshots.files(spark, path)
+        .select(explode(map_values(col("stats_max"))).as("b")))
+      .collect().map(_.getString(0))
+    assert(bounds.nonEmpty)
+    bounds.foreach(b => assert(!b.contains('\uFFFD'),
+      s"lossy decode rendered as exact bound: $b"))
+    // the truncated string bounds cannot round-trip as UTF-8 text, so
+    // they must surface in the manifest's own hex spelling
+    val sBounds = bounds.filter(_.startsWith("0x"))
+    assert(sBounds.nonEmpty, bounds.mkString(", "))
+  }
 }
