@@ -1273,6 +1273,49 @@ private[graft] object QueriesIo {
       s"FROM $cat.db.docs WHERE n_chars >= 300 AND lang <> 'zh'")
   }
 
+  /** STORAGE-PARTITIONED JOIN gate: two catalog tables
+    * bucket-partitioned alike on the join key
+    * ([[graft.io.SnapshotBatchScan]] reporting `KeyGroupedPartitioning`
+    * through [[graft.io.GraftCatalog]]'s V2 bucket function) join
+    * bucket-k-against-bucket-k with ZERO Exchange nodes — asserted
+    * here, not just in the spec, so the gate fails if the no-shuffle
+    * plan ever regresses — and the join's rows hash-match the plain
+    * relational oracle.
+    */
+  def snapshotSpj(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "snap_spj_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = "gspj_" + math.abs(wh.hashCode).toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "true")
+    t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .createOrReplaceTempView("graft_spj_ord_src")
+    t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      .createOrReplaceTempView("graft_spj_cust_src")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.ord (o_orderkey BIGINT, " +
+      "o_custkey BIGINT) PARTITIONED BY (bucket(8, o_custkey))")
+    s.sql(s"CREATE TABLE $cat.db.cust (c_custkey BIGINT, " +
+      "c_mktsegment STRING) PARTITIONED BY (bucket(8, c_custkey))")
+    s.sql(s"INSERT INTO $cat.db.ord SELECT * FROM graft_spj_ord_src")
+    s.sql(s"INSERT INTO $cat.db.cust SELECT * FROM graft_spj_cust_src")
+    val joined = s.sql(
+      s"SELECT /*+ MERGE(o) */ o.o_orderkey AS o_orderkey, " +
+        s"c.c_custkey AS c_custkey, c.c_mktsegment AS seg " +
+        s"FROM $cat.db.ord o JOIN $cat.db.cust c " +
+        "ON o.o_custkey = c.c_custkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    require(!plan.contains("ShuffleExchange"),
+      s"q_snapshot_spj: the bucket-aligned join planned a shuffle:\n$plan")
+    require(plan.contains("graft-snapshot spj"),
+      s"q_snapshot_spj: the DSv2 key-grouped scan was not used:\n$plan")
+    joined
+  }
+
   /** SQL UPDATE on a snapshot catalog table
     * ([[graft.plans.GraftDmlStrategy]] lowering `UPDATE` onto
     * [[graft.io.Snapshots.updateWhere]]'s copy-on-write commit):
@@ -1399,6 +1442,7 @@ private[graft] object QueriesIo {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_snapshot_changefeed" -> (snapshotStreamChangeFeed _),
     "q_snapshot_catalog" -> (snapshotCatalog _),
+    "q_snapshot_spj" -> (snapshotSpj _),
     "q_snapshot_sql_update" -> (snapshotSqlUpdate _),
     "q_snapshot_sql_merge" -> (snapshotSqlMerge _),
     "q_snapshot_call" -> (snapshotSqlCall _),
@@ -1573,6 +1617,10 @@ private[graft] object QueriesIo {
          WHERE n_chars >= 300 AND lang <> 'zh'""",
     "q_snapshot_call" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "q_snapshot_spj" ->
+      """SELECT o.o_orderkey AS o_orderkey, c.c_custkey AS c_custkey,
+           c.c_mktsegment AS seg
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
     "q_snapshot_sql_update" ->
       """SELECT doc_id,
            CASE WHEN coalesce(n_chars < 300, FALSE)

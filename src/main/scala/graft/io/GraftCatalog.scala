@@ -46,7 +46,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * semantics as the programmatic API.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -86,6 +86,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else Array.empty
 
   private def spark: SparkSession = SparkSession.active
+
+  /** V2 functions backing the hidden partition transforms — Spark's
+    * storage-partitioned-join planner loads `bucket` from here to
+    * resolve two scans' reported `bucket(n, col)` partitionings into
+    * comparable expressions (same canonical function + same count ⇒
+    * the join needs no Exchange).
+    */
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty)
+      Array(Identifier.of(Array.empty[String], "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket")
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   /** Identifier segments become path components: '..', '.', empty,
     * '/'-bearing or NUL-bearing segments would escape the warehouse
@@ -450,7 +469,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Snapshots.properties(spark, path, Some(pinnedV)).asJava
 
     override def newScanBuilder(options: CaseInsensitiveStringMap)
-        : ScanBuilder = new ScanBuilder {
+        : ScanBuilder = {
+      // STORAGE-PARTITIONED-JOIN path: a bucket-only layout with no
+      // live delete files reads through the DSv2 key-grouped scan
+      // (one input partition per bucket, partitioning reported to
+      // the planner) when v2 bucketing is on — a join of two tables
+      // bucketed alike on the join key then plans with no Exchange.
+      // Everything else keeps the V1 fallback below.
+      val (sch, pc, entries, dvs, cm) = pinnedState
+      val fields = pc.map(Snapshots.parsePartField)
+      val spjReady = fields.nonEmpty &&
+        fields.forall(_.isInstanceOf[Snapshots.PBucket]) &&
+        dvs.isEmpty &&
+        spark.conf.get(
+          "spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+      if (spjReady)
+        new SnapshotScanBuilder(spark, path, pinnedV, sch, pc, cm,
+          entries)
+      else v1ScanBuilder
+    }
+
+    private def v1ScanBuilder: ScanBuilder = new ScanBuilder {
       override def build(): Scan = new V1Scan {
         override def readSchema(): StructType = GraftTable.this.schema()
         override def toV1TableScan[T <: BaseRelation with TableScan](

@@ -363,6 +363,9 @@ object Snapshots {
     */
   private def relOf(entry: String): String = entry.takeWhile(_ != '\t')
 
+  /** Entry → relative path, for [[SnapshotBatchScan]]. */
+  private[graft] def relOfEntry(entry: String): String = relOf(entry)
+
   /** Parsed numeric column ranges of a manifest entry: name →
     * (min, max) as doubles (longs widened — exact below 2^53, the
     * documented pruning domain). Absent column ⇒ no stats ⇒ the file
@@ -1330,6 +1333,14 @@ object Snapshots {
   private def entryLen(f: FileSystem, path: String, e: String): Long =
     statsOf(e).get(LenStat).map(_._1.toLong)
       .getOrElse(f.getFileStatus(new Path(s"$path/${relOf(e)}")).getLen)
+
+  /** (relative path, byte length, row count) of a manifest entry —
+    * the [[SnapshotBatchScan]] (DSv2 key-grouped read) plans input
+    * partitions and reports statistics from these pseudo-stats,
+    * zero file status calls on `__len`-bearing stores. */
+  private[graft] def entryMeta(spark: SparkSession, path: String,
+                               e: String): (String, Long, Option[Long]) =
+    (relOf(e), entryLen(fs(spark, path), path, e), entryRows(e))
 
   /** A Hive-partition directory value cast to the partition column's
     * declared type (the same string→type cast Spark's own partition

@@ -1,0 +1,51 @@
+package org.apache.spark.sql.graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+/** `private[sql]` seam for the DSv2 batch scan
+  * ([[graft.io.SnapshotBatchScan]]): builds the SAME serializable
+  * parquet read closure `FileSourceScanExec` ships to executors —
+  * vectorized reading, predicate pushdown, type promotion (widening)
+  * and rebase handling included — without reimplementing a parquet
+  * materializer. The vectorized path yields `ColumnarBatch`es
+  * disguised as rows (the `FileScanRDD` contract); the wrapper
+  * flattens them back to rows for the row-based `PartitionReader`.
+  */
+object ScanBridge {
+
+  /** A (absolutePath, fileLength) → row-iterator read function over
+    * parquet files with `dataSchema` on disk, projecting
+    * `requiredSchema` (positions must match the scan's readSchema)
+    * and pushing `filters` into row-group pruning. Serializable —
+    * built once on the driver, shipped inside the reader factory.
+    */
+  def parquetReadFunc(spark: SparkSession, dataSchema: StructType,
+                      requiredSchema: StructType, filters: Seq[Filter],
+                      hadoopConf: Configuration)
+      : (String, Long) => Iterator[InternalRow] = {
+    // returning_batch=false: the vectorized reader hands back ROWS
+    // (its internal batch iterated row-wise) - the row-based
+    // PartitionReader contract downstream
+    val f = new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark, dataSchema, new StructType(), requiredSchema, filters,
+      Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> "false"), hadoopConf)
+    (abs: String, len: Long) =>
+      f(PartitionedFile(InternalRow.empty,
+        SparkPath.fromPathString(abs), 0L, len, Array.empty, 0L, len))
+        .flatMap {
+          case b: ColumnarBatch => b.rowIterator().asScala
+          case r => Iterator.single(r)
+        }
+  }
+}
