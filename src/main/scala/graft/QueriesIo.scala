@@ -1273,6 +1273,33 @@ private[graft] object QueriesIo {
       s"FROM $cat.db.docs WHERE n_chars >= 300 AND lang <> 'zh'")
   }
 
+  /** SHALLOW CLONE gate ([[graft.io.Snapshots.cloneTable]]): fork a
+    * committed table zero-copy (the clone's v1 manifest references
+    * the source's files), append to the FORK only, then prove the
+    * fork reads source+appended while the source stays untouched —
+    * the Delta CLONE SHALLOW lifecycle. The zero-copy property
+    * itself (no local data bytes before the append) is asserted
+    * in-gate.
+    */
+  def snapshotClone(s: SparkSession, dir: String): DataFrame = {
+    val src = scratch(dir, "snap_clone_src")
+    val dst = scratch(dir, "snap_clone_dst")
+    Seq(src, dst).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val docs = t(s, dir, "documents")
+    graft.io.Snapshots.commit(docs, src)
+    graft.io.Snapshots.cloneTable(s, src, dst)
+    require(!new java.io.File(s"$dst/data").exists(),
+      "q_snapshot_clone: the shallow clone copied data bytes")
+    graft.io.Snapshots.commitAppend(
+      docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("source", lit("fork")), dst)
+    require(graft.io.Snapshots.read(s, src).count() == docs.count(),
+      "q_snapshot_clone: appending to the fork changed the source")
+    graft.io.Snapshots.read(s, dst)
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   /** STORAGE-PARTITIONED JOIN gate: two catalog tables
     * bucket-partitioned alike on the join key
     * ([[graft.io.SnapshotBatchScan]] reporting `KeyGroupedPartitioning`
@@ -1443,6 +1470,7 @@ private[graft] object QueriesIo {
     "q_snapshot_changefeed" -> (snapshotStreamChangeFeed _),
     "q_snapshot_catalog" -> (snapshotCatalog _),
     "q_snapshot_spj" -> (snapshotSpj _),
+    "q_snapshot_clone" -> (snapshotClone _),
     "q_snapshot_sql_update" -> (snapshotSqlUpdate _),
     "q_snapshot_sql_merge" -> (snapshotSqlMerge _),
     "q_snapshot_call" -> (snapshotSqlCall _),
@@ -1621,6 +1649,11 @@ private[graft] object QueriesIo {
       """SELECT o.o_orderkey AS o_orderkey, c.c_custkey AS c_custkey,
            c.c_mktsegment AS seg
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+    "q_snapshot_clone" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         UNION ALL
+         SELECT doc_id, lang, 'fork' AS source, n_chars
+         FROM documents WHERE doc_id % 10 = 0""",
     "q_snapshot_sql_update" ->
       """SELECT doc_id,
            CASE WHEN coalesce(n_chars < 300, FALSE)

@@ -38,7 +38,7 @@ private[graft] object GraftProcedures {
 
   val Names: Seq[String] = Seq("compact", "vacuum", "expire_versions",
     "rollback", "tag", "drop_tag", "maintain", "publish_staged",
-    "drop_staged", "list_staged")
+    "drop_staged", "list_staged", "clone")
 
   def identifiers: Array[Identifier] =
     Names.map(n => Identifier.of(Array("system"), n)).toArray
@@ -55,6 +55,7 @@ private[graft] object GraftProcedures {
       case "publish_staged" => new PublishStaged(warehouse)
       case "drop_staged" => new DropStaged(warehouse)
       case "list_staged" => new ListStaged(warehouse)
+      case "clone" => new Clone(warehouse)
       case other => throw new IllegalArgumentException(
         s"graft catalog: unknown procedure system.$other " +
           s"(have: ${Names.mkString(", ")})")
@@ -201,6 +202,23 @@ private[graft] object GraftProcedures {
       val path = pathOf(wh, input.getUTF8String(0).toString)
       Array[Any](Snapshots.dropTag(spark, path,
         input.getUTF8String(1).toString))
+    }
+  }
+
+  /** `CALL graft.system.clone(source => 'db.t', target => 'db.fork')`
+    * — zero-copy shallow clone ([[Snapshots.cloneTable]]); both
+    * identifiers live under this catalog's warehouse.
+    */
+  private final class Clone(wh: String) extends Base("clone",
+    Seq(in("source", StringType), in("target", StringType),
+      inDefault("version", LongType, "NULL")),
+    StructType(Seq(StructField("version", LongType, nullable = false)))) {
+    override protected def invoke(spark: SparkSession,
+                                  input: InternalRow): Array[Any] = {
+      val src = pathOf(wh, input.getUTF8String(0).toString)
+      val dst = pathOf(wh, input.getUTF8String(1).toString)
+      val v = if (input.isNullAt(2)) None else Some(input.getLong(2))
+      Array[Any](Snapshots.cloneTable(spark, src, dst, v))
     }
   }
 

@@ -366,6 +366,36 @@ object Snapshots {
   /** Entry → relative path, for [[SnapshotBatchScan]]. */
   private[graft] def relOfEntry(entry: String): String = relOf(entry)
 
+  /** A manifest entry path that points OUTSIDE this store — a
+    * [[cloneTable shallow clone]]'s reference into its source table,
+    * stored as a fully-qualified URI. Everything metadata-shaped
+    * (stats, partition dirs, byte lengths) rides in the entry string
+    * itself, so foreign entries plan exactly like local ones; only
+    * row-identity operations (positional deletes, rewrite discovery)
+    * need store-relative paths and refuse until [[compact]]
+    * localizes the files.
+    */
+  private[graft] def isForeignRel(rel: String): Boolean =
+    // ":/" not "://" - Hadoop renders local-FS URIs as `file:/tmp/x`.
+    // Store-relative paths can never contain it: partition-dir values
+    // are Hive-escaped ('%3A' for ':'), and commit dirs are uuids
+    rel.contains(":/")
+
+  /** Resolve an entry's file under the store base — foreign
+    * (shallow-clone) entries resolve to themselves. */
+  private[graft] def entryFilePath(base: String, rel: String): Path =
+    if (isForeignRel(rel)) new Path(rel) else new Path(s"$base/$rel")
+
+  private def requireLocalEntries(entries: Seq[String], path: String,
+                                  op: String): Unit = {
+    val foreign = entries.map(relOf).filter(isForeignRel)
+    require(foreign.isEmpty,
+      s"snapshot: cannot $op $path while it holds ${foreign.size} " +
+        "shallow-clone file reference(s) - row-level mutation " +
+        "identity is store-relative; run compact() to localize the " +
+        "clone first")
+  }
+
   /** Parsed numeric column ranges of a manifest entry: name →
     * (min, max) as doubles (longs widened — exact below 2^53, the
     * documented pruning domain). Absent column ⇒ no stats ⇒ the file
@@ -695,7 +725,8 @@ object Snapshots {
         s"snapshot: a schema-less (v1) manifest with no files under " +
           s"$base cannot be read")
       spark.read.parquet(
-        m.entries.map(e => s"$base/${relOf(e)}"): _*).schema
+        m.entries.map(e =>
+          entryFilePath(base, relOf(e)).toString): _*).schema
     }
 
   private def manifestLines(schema: StructType, partCols: Seq[String],
@@ -1332,7 +1363,7 @@ object Snapshots {
 
   private def entryLen(f: FileSystem, path: String, e: String): Long =
     statsOf(e).get(LenStat).map(_._1.toLong)
-      .getOrElse(f.getFileStatus(new Path(s"$path/${relOf(e)}")).getLen)
+      .getOrElse(f.getFileStatus(entryFilePath(path, relOf(e))).getLen)
 
   /** (relative path, byte length, row count) of a manifest entry —
     * the [[SnapshotBatchScan]] (DSv2 key-grouped read) plans input
@@ -1394,8 +1425,11 @@ object Snapshots {
         val row = InternalRow.fromSeq(idCols.zip(vals).map {
           case (c, v) => castPartVal(v, schema(c).dataType, tz) })
         val files = es.map { e =>
+          val rel = relOf(e)
+          val p = if (isForeignRel(rel)) new Path(rel)
+                  else new Path(qualBase, rel)
           new FileStatus(entryLen(f, path, e), false, 1, 128L << 20,
-            0L, new Path(qualBase, relOf(e)))
+            0L, p)
         }
         (row, files)
       }
@@ -2616,6 +2650,7 @@ object Snapshots {
     require(keyCols.nonEmpty, "snapshot: merge needs at least one key column")
     val st @ CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
       currentState(spark, path, "merge into")
+    requireLocalEntries(all, path, "merge into")
     val table = openLive(spark, path, schema, partCols, all, dvs, colMap)
     require(table.columns.sorted.sameElements(updates.columns.sorted),
       s"snapshot: merge updates columns ${updates.columns.sorted.mkString(",")} " +
@@ -2712,6 +2747,7 @@ object Snapshots {
         "appear as both key and set - a merge key cannot be updated")
     val st @ CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
       currentState(spark, path, "mergeUpdate into")
+    requireLocalEntries(all, path, "mergeUpdate into")
     val tableCols = schema.fieldNames.toSeq
     val missing = (keyCols ++ setCols).filterNot(tableCols.contains)
     require(missing.isEmpty,
@@ -2802,6 +2838,7 @@ object Snapshots {
         "more than once - the result would be order-dependent")
     val st @ CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
       currentState(spark, path, "update")
+    requireLocalEntries(all, path, "update")
     val unknown = sets.map(_._1).filterNot(schema.fieldNames.contains)
     require(unknown.isEmpty,
       s"snapshot: updateWhere SET column(s) ${unknown.mkString(",")} " +
@@ -2899,6 +2936,7 @@ object Snapshots {
       "snapshot: mergeInto needs at least one WHEN clause")
     val st @ CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
       currentState(spark, path, "mergeInto")
+    requireLocalEntries(all, path, "MERGE INTO")
     val tCols = schema.fieldNames.toSeq
     val keyCols = on.map(_._1)
     val srcKeyCols = on.map(_._2)
@@ -3080,6 +3118,7 @@ object Snapshots {
         "missing from the keys table")
     val st @ CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
       currentState(spark, path, "delete keys from")
+    requireLocalEntries(all, path, "delete keys from")
     requireSameTypes(StructType(schema.filter(f => keyCols.contains(f.name))),
       StructType(keys.schema.filter(f => keyCols.contains(f.name))),
       "deleteKeys key")
@@ -3136,6 +3175,7 @@ object Snapshots {
         "missing from the keys table")
     val st @ CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
       currentState(spark, path, "equality-delete keys from")
+    requireLocalEntries(all, path, "equality-delete keys from")
     keyCols.foreach(c => require(schema.fieldNames.contains(c),
       s"snapshot: key column $c is not in the table schema " +
         s"(${schema.fieldNames.mkString(", ")})"))
@@ -3176,6 +3216,7 @@ object Snapshots {
       s"snapshot: delete mode must be 'cow' or 'mor': '$mode'")
     val st @ CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
       currentState(spark, path, "delete from")
+    requireLocalEntries(all, path, "delete from")
     if (mode == "mor") {
       val doomed = liveWithId(spark, path, schema, partCols, all,
         dvs, colMap)
@@ -3372,9 +3413,12 @@ object Snapshots {
     // but a CLUSTERED one is not: the caller asked for a layout, and
     // whether the current files honor it is unknowable from counts
     // pending merge-on-read deletes make even a packed table worth
-    // compacting: this rewrite is what applies them physically
+    // compacting: this rewrite is what applies them physically - and
+    // a shallow clone's foreign references must ALWAYS rewrite (the
+    // whole point of compacting a clone is localization)
     if (sortBy.isEmpty && zorderBy.isEmpty && selected.size <= want &&
-      dvs.isEmpty) return v
+      dvs.isEmpty &&
+      !selected.exists(e => isForeignRel(relOf(e)))) return v
     if (selected.isEmpty) return v
     val table = openLive(spark, path, schema, partCols, selected, dvs,
       colMap)
@@ -4216,6 +4260,71 @@ object Snapshots {
     * only when no writer can be mid-commit (tests, a paused
     * pipeline).
     */
+  /** SHALLOW CLONE (Delta `CLONE ... SHALLOW`): create `target` as a
+    * new snapshot store whose v1 manifest REFERENCES the source's
+    * data files — zero data copied, constant-time regardless of
+    * table size. The clone is a real table from then on: appends,
+    * overwrites, compaction, schema evolution, time travel and tags
+    * all work; its history starts fresh at v1 and never touches the
+    * source. The 100 TB use case: fork a production corpus for an
+    * experiment (filter trials, tokenizer re-runs, eval splits)
+    * without paying a 100 TB copy or risking the original.
+    *
+    * Foreign references are stored as fully-qualified URIs in the
+    * manifest (stats, byte lengths and partition directories ride in
+    * the entry strings, so planning, pruning and metadata counts work
+    * unchanged). Two honest limits, both loud:
+    *   - row-level mutations (merge / update / delete in any mode)
+    *     REFUSE while foreign references remain — positional row
+    *     identity is store-relative; [[compact]] localizes the files
+    *     (copying only what still matters), after which everything
+    *     is allowed. Appends, [[replacePartitions]], metadata ops and
+    *     reads need no localization.
+    *   - like Delta, [[vacuum]] or retention ON THE SOURCE can
+    *     delete files a clone still references — cloning pins
+    *     nothing across tables. Tag the source version if the clone
+    *     must outlive the source's retention policy.
+    *
+    * Cloning a version with live delete files refuses (the clone
+    * could not apply them without row identity); compact the source
+    * first. Returns the clone's version (always 1).
+    */
+  def cloneTable(spark: SparkSession, source: String, target: String,
+                 version: Option[Long] = None): Long = {
+    val sfs = fs(spark, source)
+    val tfs = fs(spark, target)
+    require(latestVersion(spark, target).isEmpty,
+      s"snapshot: clone target $target is already a table")
+    val v = version.orElse(latestVersion(spark, source)).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot: no committed version under $source to clone"))
+    val m = manifest(sfs, source, v)
+    require(m.dvs.isEmpty,
+      s"snapshot: $source version $v carries live delete files - a " +
+        "clone cannot apply them (row identity is store-relative); " +
+        "compact the source, then clone")
+    val schema = resolveSchema(spark, source, m)
+    val srcBase = sfs.makeQualified(new Path(source)).toString
+      .stripSuffix("/")
+    val entries = m.entries.map { e =>
+      val rel = relOf(e)
+      val stats = e.drop(rel.length) // "\t..." pseudo-stats, verbatim
+      // a clone OF a clone carries the original reference through
+      (if (isForeignRel(rel)) rel else s"$srcBase/$rel") + stats
+    }
+    // props and the column mapping must travel (physical names live
+    // in the referenced files); txns must NOT - the clone is a new
+    // table, a streaming query targeting it starts from scratch
+    val lines = manifestLines(schema, m.partCols, m.dropped,
+      s"clone(source=$source, version=$v)", entries,
+      Map.empty, Nil, m.colMap, m.props)
+    if (!tryPublishManifest(tfs, target, 1L, lines))
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot: a concurrent writer created $target while cloning")
+    bumpLatestHint(tfs, target, 1L)
+    1L
+  }
+
   def vacuum(spark: SparkSession, path: String,
              graceMs: Long = 3600000L): Int = {
     require(graceMs >= 0, s"snapshot: graceMs must be >= 0: $graceMs")
