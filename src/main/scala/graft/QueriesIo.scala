@@ -1300,6 +1300,32 @@ private[graft] object QueriesIo {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+
+  /** MERGE SCHEMA EVOLUTION gate
+    * ([[graft.io.Snapshots.mergeInto]] `evolve = true`, Delta's
+    * withSchemaEvolution): a merge whose clause assigns a column the
+    * table lacks adds it in the same commit — matched rows take the
+    * clause value, every untouched row reads NULL, time travel keeps
+    * the old schema.
+    */
+  def snapshotMergeEvolve(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Snapshots
+    val path = scratch(dir, "snap_mev")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = t(s, dir, "documents")
+    Snapshots.commit(docs, path)
+    val source = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        (col("n_chars") * lit(2)).cast("double").as("quality"))
+    Snapshots.mergeInto(s, path, source, Seq("doc_id" -> "doc_id"),
+      matched = Seq(Snapshots.WhenMatchedUpdate(None,
+        Seq("quality" -> Snapshots.src("quality")))),
+      evolve = true)
+    require(!Snapshots.read(s, path, Some(1L)).columns.contains("quality"),
+      "q_snapshot_merge_evolve: v1 grew the evolved column")
+    Snapshots.read(s, path).select("doc_id", "lang", "n_chars", "quality")
+  }
+
   /** STORAGE-PARTITIONED JOIN gate: two catalog tables
     * bucket-partitioned alike on the join key
     * ([[graft.io.SnapshotBatchScan]] reporting `KeyGroupedPartitioning`
@@ -1471,6 +1497,7 @@ private[graft] object QueriesIo {
     "q_snapshot_catalog" -> (snapshotCatalog _),
     "q_snapshot_spj" -> (snapshotSpj _),
     "q_snapshot_clone" -> (snapshotClone _),
+    "q_snapshot_merge_evolve" -> (snapshotMergeEvolve _),
     "q_snapshot_sql_update" -> (snapshotSqlUpdate _),
     "q_snapshot_sql_merge" -> (snapshotSqlMerge _),
     "q_snapshot_call" -> (snapshotSqlCall _),
@@ -1654,6 +1681,11 @@ private[graft] object QueriesIo {
          UNION ALL
          SELECT doc_id, lang, 'fork' AS source, n_chars
          FROM documents WHERE doc_id % 10 = 0""",
+    "q_snapshot_merge_evolve" ->
+      """SELECT doc_id, lang, n_chars,
+           CASE WHEN doc_id % 7 = 0
+                THEN CAST(n_chars * 2 AS DOUBLE) END AS quality
+         FROM documents""",
     "q_snapshot_sql_update" ->
       """SELECT doc_id,
            CASE WHEN coalesce(n_chars < 300, FALSE)

@@ -463,7 +463,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
     override def capabilities(): util.Set[TableCapability] =
       Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-        TableCapability.TRUNCATE).asJava
+        TableCapability.TRUNCATE,
+        // MERGE WITH SCHEMA EVOLUTION: Spark's analyzer turns the
+        // source's extra columns into alterTable ADD COLUMNS against
+        // this catalog (metadata-only here), then resolves the merge
+        // against the evolved schema - the programmatic twin is
+        // Snapshots.mergeInto(evolve = true)
+        TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
     override def properties(): util.Map[String, String] =
       Snapshots.properties(spark, path, Some(pinnedV)).asJava

@@ -2928,20 +2928,21 @@ object Snapshots {
                 on: Seq[(String, String)],
                 matched: Seq[WhenMatched] = Nil,
                 notMatched: Seq[WhenNotMatchedInsert] = Nil,
-                notMatchedBySource: Seq[WhenMatched] = Nil): Long = {
+                notMatchedBySource: Seq[WhenMatched] = Nil,
+                evolve: Boolean = false): Long = {
     require(on.nonEmpty, "snapshot: mergeInto needs at least one ON " +
       "key pair")
     require(matched.nonEmpty || notMatched.nonEmpty ||
       notMatchedBySource.nonEmpty,
       "snapshot: mergeInto needs at least one WHEN clause")
-    val st @ CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
-      currentState(spark, path, "mergeInto")
+    val st @ CurState(v, schema0, partCols, dropped, txns, dvs, colMap0,
+      all) = currentState(spark, path, "mergeInto")
     requireLocalEntries(all, path, "MERGE INTO")
-    val tCols = schema.fieldNames.toSeq
+    val tCols0 = schema0.fieldNames.toSeq
     val keyCols = on.map(_._1)
     val srcKeyCols = on.map(_._2)
-    require(keyCols.forall(tCols.contains),
-      s"snapshot: ON target column(s) ${keyCols.filterNot(tCols.contains)
+    require(keyCols.forall(tCols0.contains),
+      s"snapshot: ON target column(s) ${keyCols.filterNot(tCols0.contains)
         .mkString(",")} are not in the table schema")
     require(srcKeyCols.forall(source.columns.contains),
       s"snapshot: ON source column(s) ${srcKeyCols
@@ -2952,19 +2953,63 @@ object Snapshots {
       s"snapshot: source carries duplicate column name(s) " +
         s"${srcDup.mkString(",")} - alias them apart first")
     on.foreach { case (t, sCol) =>
-      val tt = schema(t).dataType
+      val tt = schema0(t).dataType
       val stype = source.schema(sCol).dataType
       require(tt.catalogString == stype.catalogString,
         s"snapshot: ON pair $t = $sCol joins ${tt.catalogString} " +
           s"against ${stype.catalogString} - cast the source explicitly")
     }
-    val setNames = (matched ++ notMatchedBySource).collect {
-      case WhenMatchedUpdate(_, sets) => sets.map(_._1)
-    }.flatten ++ notMatched.flatMap(_.values.map(_._1))
-    val unknown = setNames.filterNot(tCols.contains).distinct
-    require(unknown.isEmpty,
+    val assignments: Seq[(String, Column)] =
+      (matched ++ notMatchedBySource).collect {
+        case WhenMatchedUpdate(_, sets) => sets
+      }.flatten ++ notMatched.flatMap(_.values)
+    val unknown = assignments.map(_._1).filterNot(tCols0.contains)
+      .distinct
+    require(unknown.isEmpty || evolve,
       s"snapshot: clause column(s) ${unknown.mkString(",")} are not " +
-        s"in the table schema (${tCols.mkString(", ")})")
+        s"in the table schema (${tCols0.mkString(", ")}) - pass " +
+        "evolve=true (SQL: MERGE WITH SCHEMA EVOLUTION) to add them")
+    // MERGE SCHEMA EVOLUTION (Delta's withSchemaEvolution): clause
+    // columns missing from the table become fresh NULLABLE columns in
+    // this commit's manifest — metadata-only for every untouched
+    // file (they read NULL, the same contract evolving appends use).
+    // Each new column's type comes from its clause expressions,
+    // resolved against a ZERO-ROW probe of the joined
+    // (target ⟕ prefixed-source) shape; clauses disagreeing on a
+    // type must widen or refuse, and an untyped NULL refuses (a
+    // NullType column could never be read back).
+    val (schema, colMap) =
+      if (unknown.isEmpty) (schema0, colMap0)
+      else {
+        val probe = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            schema0)
+          .crossJoin(source.limit(0).select(source.columns.toSeq.map(c =>
+            col(c).as(s"$SrcPrefix$c")): _*))
+        val newFields = unknown.map { n =>
+          val dts = assignments.filter(_._1 == n)
+            .map(a => probe.select(a._2).schema.head.dataType).distinct
+          val dt = dts.reduceLeft { (a, b) =>
+            if (a == b) a
+            else if (widens(a, b)) b
+            else if (widens(b, a)) a
+            else throw new IllegalArgumentException(
+              s"snapshot: MERGE schema evolution assigns new column " +
+                s"$n as both ${a.catalogString} and ${b.catalogString}" +
+                " - cast the clauses to one type")
+          }
+          require(dt != org.apache.spark.sql.types.NullType,
+            s"snapshot: MERGE schema evolution cannot type new " +
+              s"column $n from a bare NULL - cast it (e.g. " +
+              "CAST(NULL AS STRING))")
+          org.apache.spark.sql.types.StructField(n, dt, nullable = true)
+        }
+        evolvedSchemaAndMap(schema0,
+          nullableAll(StructType(schema0.fields ++ newFields)), path,
+          dropped, colMap0, partCols = partCols)
+      }
+    val tCols = schema.fieldNames.toSeq
+    val _ = tCols
     val srcR = source.select(source.columns.toSeq.map(c =>
         col(c).as(s"$SrcPrefix$c")) :+ lit(true).as(SrcHitCol): _*)
       .persist()

@@ -74,10 +74,6 @@ object GraftDmlStrategy extends SparkStrategy {
     case m: MergeIntoTable =>
       graftTarget(m.targetTable) match {
         case Some((path, tOut)) =>
-          require(!m.withSchemaEvolution,
-            "graft: MERGE INTO ... WITH SCHEMA EVOLUTION is not " +
-              "supported for snapshot tables - ALTER TABLE ADD COLUMNS " +
-              "first, then merge")
           val sOut = m.sourceTable.output
           val on = equiKeys(m.mergeCondition, tOut, sOut)
           val matched = m.matchedActions.map(matchedOf(_, tOut, sOut))
@@ -89,7 +85,8 @@ object GraftDmlStrategy extends SparkStrategy {
             val spark = SparkSession.active
             Snapshots.mergeInto(spark, path,
               org.apache.spark.sql.graft.Bridge.ofRows(spark, source),
-              on, matched, notMatched, nmbs)
+              on, matched, notMatched, nmbs,
+              evolve = m.withSchemaEvolution)
             ()
           }) :: Nil
         case None => Nil
