@@ -1326,6 +1326,38 @@ private[graft] object QueriesIo {
     Snapshots.read(s, path).select("doc_id", "lang", "n_chars", "quality")
   }
 
+
+  /** MANIFEST AGGREGATE PUSHDOWN gate
+    * ([[graft.io.SnapshotScanBuilder]]): a bare COUNT(*) +
+    * integral MIN/MAX over a catalog snapshot table answers from the
+    * manifest's exact pseudo-stats as a ONE-ROW scan — asserted
+    * in-gate (plan must contain the manifest-agg scan), so at 100 TB
+    * the count is one metadata read, not a million-file scan.
+    */
+  def snapshotAggPush(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "snap_aggp_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = "gaggp_" + math.abs(wh.hashCode).toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    t(s, dir, "documents").createOrReplaceTempView("graft_aggp_src")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+      "lang STRING, source STRING, n_chars BIGINT)")
+    s.sql(s"INSERT INTO $cat.db.docs SELECT * FROM graft_aggp_src")
+    val df = s.sql(s"SELECT count(*) AS n_docs, " +
+      s"min(doc_id) AS min_id, max(doc_id) AS max_id, " +
+      s"min(n_chars) AS min_chars, max(n_chars) AS max_chars " +
+      s"FROM $cat.db.docs")
+    require(df.queryExecution.executedPlan.toString
+        .contains("manifest-agg"),
+      "q_snapshot_agg_push: the aggregate did not answer from the " +
+        s"manifest:\n${df.queryExecution.executedPlan}")
+    df
+  }
+
   /** STORAGE-PARTITIONED JOIN gate: two catalog tables
     * bucket-partitioned alike on the join key
     * ([[graft.io.SnapshotBatchScan]] reporting `KeyGroupedPartitioning`
@@ -1498,6 +1530,7 @@ private[graft] object QueriesIo {
     "q_snapshot_spj" -> (snapshotSpj _),
     "q_snapshot_clone" -> (snapshotClone _),
     "q_snapshot_merge_evolve" -> (snapshotMergeEvolve _),
+    "q_snapshot_agg_push" -> (snapshotAggPush _),
     "q_snapshot_sql_update" -> (snapshotSqlUpdate _),
     "q_snapshot_sql_merge" -> (snapshotSqlMerge _),
     "q_snapshot_call" -> (snapshotSqlCall _),
@@ -1685,6 +1718,11 @@ private[graft] object QueriesIo {
       """SELECT doc_id, lang, n_chars,
            CASE WHEN doc_id % 7 = 0
                 THEN CAST(n_chars * 2 AS DOUBLE) END AS quality
+         FROM documents""",
+    "q_snapshot_agg_push" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS min_id, max(doc_id) AS max_id,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
          FROM documents""",
     "q_snapshot_sql_update" ->
       """SELECT doc_id,

@@ -476,20 +476,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
     override def newScanBuilder(options: CaseInsensitiveStringMap)
         : ScanBuilder = {
-      // STORAGE-PARTITIONED-JOIN path: a bucket-only layout with no
-      // live delete files reads through the DSv2 key-grouped scan
-      // (one input partition per bucket, partitioning reported to
-      // the planner) when v2 bucketing is on — a join of two tables
-      // bucketed alike on the join key then plans with no Exchange.
-      // Everything else keeps the V1 fallback below.
+      // DSv2 scan path for tables WITHOUT identity partition columns
+      // (their values live in directory names, which the parquet rows
+      // lack) and no live delete files, gated on the v2-bucketing
+      // flag (Spark 4 default on): bucket-only layouts additionally
+      // report KeyGroupedPartitioning, so two tables bucketed alike
+      // on the join key join with no Exchange (storage-partitioned
+      // joins); bare COUNT/integral MIN/MAX answer from the manifest
+      // as a one-row scan. Everything else keeps the V1 fallback.
       val (sch, pc, entries, dvs, cm) = pinnedState
       val fields = pc.map(Snapshots.parsePartField)
-      val spjReady = fields.nonEmpty &&
-        fields.forall(_.isInstanceOf[Snapshots.PBucket]) &&
+      val v2Ready =
+        !fields.exists(_.isInstanceOf[Snapshots.PIdentity]) &&
         dvs.isEmpty &&
         spark.conf.get(
           "spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
-      if (spjReady)
+      if (v2Ready)
         new SnapshotScanBuilder(spark, path, pinnedV, sch, pc, cm,
           entries)
       else v1ScanBuilder

@@ -5,50 +5,56 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, XxHash64}
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
-import org.apache.spark.sql.connector.expressions.{Expressions, Expression => VExpression}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics}
-import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Expression => VExpression}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.graft.ScanBridge
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StructField, StructType}
 
-/** STORAGE-PARTITIONED JOINS for bucket-partitioned snapshot tables
-  * (SPARK-37375, the Iceberg/Delta answer to "join two 100 TB tables
-  * without shuffling either"): a DSv2 batch scan that reports the
-  * table's hidden `bucket(n, col)` layout as a connector
-  * `KeyGroupedPartitioning`, one input partition per bucket
-  * directory, each carrying its bucket number as the partition key.
-  * When BOTH join sides are graft tables bucketed the same way on
-  * the join key (and `spark.sql.sources.v2.bucketing.enabled` is
-  * on), Spark's `EnsureRequirements` matches the two
-  * `KeyGroupedShuffleSpec`s — same canonical bucket function, same
-  * bucket count — and plans the join with ZERO `Exchange` nodes:
-  * bucket k of the left reads against bucket k of the right, the
-  * write-time layout IS the join distribution. At 100 TB the
-  * eliminated shuffle is the whole cost of the join.
+/** DSv2 batch read path for snapshot tables without identity
+  * partition columns (unpartitioned, or hidden-transform-only —
+  * transform sources live in the data files, so the parquet rows are
+  * complete without directory reconstruction). Three scan shapes,
+  * decided at build time:
   *
-  * The scan itself stays exact-by-construction:
-  *   - column pruning lands in the parquet reader's requiredSchema
-  *     (physical names via the column mapping);
-  *   - every filter is reported back as post-scan, so pushdown is
-  *     IO-only — the parquet row-group pruning and the manifest-level
-  *     bucket point-lookup ([[Snapshots.prunedEntriesEquals]], the
-  *     same helper `readEquals` uses) can never change answers;
-  *   - files are read through the SAME `ParquetFileFormat` closure
-  *     `FileSourceScanExec` ships (vectorized, type-promoting, via
-  *     [[org.apache.spark.sql.graft.ScanBridge]]), so widened
-  *     schemas and rebase rules behave identically to every other
-  *     read path.
+  *   - '''Aggregate pushdown''': a bare `COUNT(*)` / integral
+  *     `MIN/MAX(col)` with no filters and no grouping answers from
+  *     the MANIFEST's pseudo-stats (`__rows`, exact `L`-kind column
+  *     bounds) as a one-row scan — at 100 TB that is one metadata
+  *     read instead of a million-file scan (the Delta/Iceberg
+  *     log-count headline, in pure SQL).
+  *   - '''Storage-partitioned joins''' (SPARK-37375): bucket-only
+  *     layouts report `KeyGroupedPartitioning` (one input partition
+  *     per bucket directory, the bucket number as the partition
+  *     key); with [[GraftCatalog]]'s V2 `bucket` function resolving
+  *     both sides to the same canonical transform, two tables
+  *     bucketed alike on the join key join with ZERO Exchange nodes
+  *     — the write-time layout IS the join distribution.
+  *   - '''Plain key-complete scan''': everything else reads one
+  *     input partition per file (the 128 MB-target layout the store
+  *     compacts toward makes a file the natural task unit).
   *
-  * [[GraftCatalog.GraftTable.newScanBuilder]] routes here only for
-  * bucket-only partition specs with no live delete files and the v2
-  * bucketing flag on; everything else keeps the V1 fallback path.
+  * Exactness posture: every filter is reported back as post-scan, so
+  * pushdown is IO-only — parquet row-group pruning plus manifest
+  * point-lookup pruning ([[Snapshots.prunedEntriesEquals]], covering
+  * transform directories AND column stats) can never change answers;
+  * aggregate pushdown only fires when every entry carries the exact
+  * pseudo-stat it needs. Files are read through the SAME
+  * `ParquetFileFormat` closure `FileSourceScanExec` ships
+  * ([[org.apache.spark.sql.graft.ScanBridge]]), so type promotion
+  * (widening) and rebase rules behave identically to every other
+  * read path. [[GraftCatalog.GraftTable.newScanBuilder]] routes here
+  * only when no identity partition field and no live delete files
+  * exist and v2 bucketing is on; everything else keeps the V1
+  * fallback.
   */
 object SnapshotBatchScan {
 
   /** Collect top-level / AND-nested equality filters — the shapes the
-    * manifest bucket lookup can prune on EXACTLY. An `EqualTo` under
+    * manifest point-lookup can prune on EXACTLY. An `EqualTo` under
     * an OR must not prune (the other branch may keep the file).
     */
   private[io] def conjunctiveEquals(fs: Seq[Filter])
@@ -102,10 +108,11 @@ private[graft] final class SnapshotScanBuilder(
     tableSchema: StructType, partCols: Seq[String],
     colMap: Map[String, String], entries: Seq[String])
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownFilters {
+  with SupportsPushDownFilters with SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var filters: Array[Filter] = Array.empty
+  private var pushedAgg: Option[(StructType, Array[Any])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -117,9 +124,85 @@ private[graft] final class SnapshotScanBuilder(
 
   override def pushedFilters(): Array[Filter] = Array.empty
 
-  override def build(): Scan = new SnapshotBatchScan(spark, path,
-    pinnedV, tableSchema, required, partCols, colMap, entries,
-    filters.toSeq)
+  /** MANIFEST-ANSWERED AGGREGATES: a bare (unfiltered, ungrouped)
+    * `COUNT(*)` sums the `__rows` pseudo-stat; integral `MIN/MAX`
+    * fold the exact `L`-kind bounds. Refuses (returns false → Spark
+    * scans) unless EVERY entry carries the needed stat — a metadata
+    * answer is only given when it is provably exact. Spark only
+    * offers aggregates here once no filter remained post-scan, and
+    * this builder keeps every filter post-scan, so only genuinely
+    * bare aggregates arrive.
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    planAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    pushedAgg = planAgg(agg)
+    pushedAgg.isDefined
+  }
+
+  private def planAgg(agg: Aggregation)
+      : Option[(StructType, Array[Any])] = {
+    if (agg.groupByExpressions.nonEmpty || filters.nonEmpty) return None
+    val l2p = colMap.map(_.swap)
+    def singleCol(e: VExpression): Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames.head)
+      case _ => None
+    }
+    def boundsOf(name: String): Option[(Long, Long)] = {
+      if (!tableSchema.fieldNames.contains(name)) return None
+      if (entries.isEmpty) return None // empty MIN/MAX is NULL: scan
+      val phys = l2p.getOrElse(name, name)
+      val per = entries.map(e => Snapshots.longStatsOf(e).get(phys))
+      if (per.exists(_.isEmpty)) None
+      else Some((per.map(_.get._1).min, per.map(_.get._2).max))
+    }
+    def narrow(v: Long, dt: DataType): Any = dt match {
+      case LongType => v
+      case IntegerType => v.toInt
+      case ShortType => v.toShort
+      case ByteType => v.toByte
+      case _ => v
+    }
+    val integral = Set[DataType](ByteType, ShortType, IntegerType,
+      LongType)
+    val planned = agg.aggregateExpressions.toSeq.zipWithIndex.map {
+      case (_: CountStar, i) =>
+        val rows = entries.map(e =>
+          Snapshots.entryMeta(spark, path, e)._3)
+        if (rows.exists(_.isEmpty)) None
+        else Some((StructField(s"agg_$i", LongType, nullable = false),
+          rows.flatten.sum: Any))
+      case (m: Min, i) =>
+        singleCol(m.column).flatMap { c =>
+          val dt = tableSchema.find(_.name == c).map(_.dataType)
+          if (!dt.exists(integral)) None
+          else boundsOf(c).map(b =>
+            (StructField(s"agg_$i", dt.get, nullable = false),
+              narrow(b._1, dt.get)))
+        }
+      case (m: Max, i) =>
+        singleCol(m.column).flatMap { c =>
+          val dt = tableSchema.find(_.name == c).map(_.dataType)
+          if (!dt.exists(integral)) None
+          else boundsOf(c).map(b =>
+            (StructField(s"agg_$i", dt.get, nullable = false),
+              narrow(b._2, dt.get)))
+        }
+      case _ => None
+    }
+    if (planned.exists(_.isEmpty)) None
+    else Some((StructType(planned.map(_.get._1)),
+      planned.map(_.get._2).toArray))
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some((aggSchema, values)) =>
+      new ManifestAggScan(path, pinnedV, aggSchema, values)
+    case None => new SnapshotBatchScan(spark, path, pinnedV,
+      tableSchema, required, partCols, colMap, entries, filters.toSeq)
+  }
 }
 
 private[graft] final class SnapshotBatchScan(
@@ -132,25 +215,27 @@ private[graft] final class SnapshotBatchScan(
 
   import SnapshotBatchScan._
 
+  private val fields = partCols.map(Snapshots.parsePartField)
+  require(!fields.exists(_.isInstanceOf[Snapshots.PIdentity]),
+    s"snapshot scan: the DSv2 path needs transform-only or empty " +
+      s"partitioning (identity values live in directory names), got " +
+      s"${partCols.mkString(", ")}")
   private val bucketFields: Seq[Snapshots.PBucket] =
-    partCols.map(Snapshots.parsePartField)
-      .collect { case b: Snapshots.PBucket => b }
-  require(bucketFields.length == partCols.length,
-    s"snapshot scan: the key-grouped path needs a bucket-only " +
-      s"partition spec, got ${partCols.mkString(", ")}")
+    fields.collect { case b: Snapshots.PBucket => b }
+  private val bucketOnly =
+    fields.nonEmpty && bucketFields.length == fields.length
 
   private def logicalName(phys: String): String =
     colMap.getOrElse(phys, phys)
 
-  /** Manifest-level pruning: a conjunctive equality on a bucket
-    * source keeps only that bucket's directory (and stats-surviving
-    * files) — the point-lookup sliver, computed with the exact
-    * write-time expressions via [[Snapshots.prunedEntriesEquals]].
+  /** Manifest-level pruning: each conjunctive equality prunes through
+    * [[Snapshots.prunedEntriesEquals]] — hidden-transform directories
+    * (bucket/days/truncate) AND committed column stats, the exact
+    * write-time expressions, so a point lookup reads one sliver.
     */
   private lazy val keptEntries: Seq[String] = {
-    val sources0 = bucketFields.map(b => logicalName(b.source)).toSet
     val eqs = conjunctiveEquals(filters)
-      .filter { case (c, _) => sources0.contains(c) }
+      .filter { case (c, _) => tableSchema.fieldNames.contains(c) }
     eqs.foldLeft(entries) { case (acc, (c, v)) =>
       val (kept, _) =
         Snapshots.prunedEntriesEquals(spark, path, c, v, Some(pinnedV))
@@ -162,17 +247,26 @@ private[graft] final class SnapshotBatchScan(
   private lazy val partitions: Array[SnapshotInputPartition] = {
     val f = new Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
-    keptEntries.groupBy { e =>
-      val vals = Snapshots.partValsOf(Snapshots.relOfEntry(e))
-      bucketFields.map(b => vals(b.dirName).toInt)
-    }.toSeq.sortBy(_._1.mkString(","))
-      .map { case (key, es) =>
-        SnapshotInputPartition(key.toArray, es.map { e =>
-          val (rel, len, _) = Snapshots.entryMeta(spark, path, e)
-          FileSlice(
-            f.makeQualified(new Path(s"$path/$rel")).toString, len)
-        }.toArray)
-      }.toArray
+    def sliceOf(e: String): FileSlice = {
+      val (rel, len, _) = Snapshots.entryMeta(spark, path, e)
+      val p = if (Snapshots.isForeignRel(rel)) new Path(rel)
+              else new Path(s"$path/$rel")
+      FileSlice(f.makeQualified(p).toString, len)
+    }
+    if (bucketOnly)
+      keptEntries.groupBy { e =>
+        val vals = Snapshots.partValsOf(Snapshots.relOfEntry(e))
+        bucketFields.map(b => vals(b.dirName).toInt)
+      }.toSeq.sortBy(_._1.mkString(","))
+        .map { case (key, es) =>
+          SnapshotInputPartition(key.toArray, es.map(sliceOf).toArray)
+        }.toArray
+    else
+      // one task per file - the store compacts toward ~128 MB files,
+      // so a file is the natural unit of work (same granularity a
+      // FileScan split gives an unsplittable row group run)
+      keptEntries.map(e =>
+        SnapshotInputPartition(Array.empty, Array(sliceOf(e)))).toArray
   }
 
   override def readSchema(): StructType = required
@@ -184,10 +278,12 @@ private[graft] final class SnapshotBatchScan(
       s"[${partCols.mkString(", ")}]"
 
   override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(
-      bucketFields.map(b => Expressions.bucket(b.n,
-        logicalName(b.source)): VExpression).toArray,
-      partitions.length)
+    if (bucketOnly)
+      new KeyGroupedPartitioning(
+        bucketFields.map(b => Expressions.bucket(b.n,
+          logicalName(b.source)): VExpression).toArray,
+        partitions.length)
+    else new UnknownPartitioning(partitions.length)
 
   override def planInputPartitions(): Array[InputPartition] =
     partitions.toArray[InputPartition]
@@ -222,8 +318,45 @@ private[graft] final class SnapshotBatchScan(
   }
 }
 
-/** One bucket directory's files; the bucket number(s) are the
-  * partition key Spark groups and aligns join sides by. */
+/** The one-row scan a fully-pushed aggregate builds: values computed
+  * from the manifest at plan time, zero data IO at execution. */
+private[graft] final class ManifestAggScan(
+    path: String, pinnedV: Long, aggSchema: StructType,
+    values: Array[Any])
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-snapshot manifest-agg $path v$pinnedV"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ManifestAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestAggReaderFactory
+}
+
+private[graft] final case class ManifestAggPartition(values: Array[Any])
+  extends InputPartition
+
+private[graft] final class ManifestAggReaderFactory
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val vals = p.asInstanceOf[ManifestAggPartition].values
+    new PartitionReader[InternalRow] {
+      private var served = false
+      override def next(): Boolean =
+        if (served) false else { served = true; true }
+      override def get(): InternalRow = InternalRow.fromSeq(
+        vals.toIndexedSeq)
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** One bucket directory's files (or a single file for per-file
+  * partitions); the bucket number(s) are the partition key Spark
+  * groups and aligns join sides by. */
 private[graft] final case class FileSlice(path: String, len: Long)
 
 private[graft] final case class SnapshotInputPartition(

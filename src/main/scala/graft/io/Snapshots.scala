@@ -416,6 +416,22 @@ object Snapshots {
       }.toMap
   }
 
+  /** Exact integral (kind 'L') stats of an entry: name → (min, max)
+    * as LONGS — the aggregate-pushdown domain, where [[statsOf]]'s
+    * double widening would lose exactness past 2^53. */
+  private[graft] def longStatsOf(entry: String): Map[String, (Long, Long)] = {
+    val i = entry.indexOf('\t')
+    if (i < 0) Map.empty
+    else entry.substring(i + 1).split(';').iterator.filter(_.nonEmpty)
+      .flatMap { part =>
+        part.split(':') match {
+          case Array(name, "L", mn, mx) =>
+            Some(name -> (mn.toLong, mx.toLong))
+          case _ => None
+        }
+      }.toMap
+  }
+
   /** Hive-style partition values encoded in an entry's relative path
     * (`data/c-<uuid>/ym=202403/part-0.parquet` → `ym -> 202403`).
     * Values are unescaped with Spark's own partition-path escaping.

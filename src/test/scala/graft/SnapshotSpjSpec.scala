@@ -168,4 +168,98 @@ class SnapshotSpjSpec extends SparkSpec {
       assert(viaFn === viaSql, s"key $k: fn $viaFn vs layout $viaSql")
     }
   }
+
+  test("manifest aggregate pushdown: bare COUNT/MIN/MAX answer from metadata, one-row scan") {
+    val (cat, wh) = freshCatalog()
+    setupTables(cat)
+    withConfs("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val df = spark.sql(s"SELECT count(*) AS n, min(o_orderkey) AS mn, " +
+        s"max(o_orderkey) AS mx FROM $cat.db.ord")
+      assert(df.queryExecution.executedPlan.toString
+        .contains("manifest-agg"), df.queryExecution.executedPlan)
+      val expect = Tables.t(spark, sf, "orders")
+        .agg(count(lit(1)), min("o_orderkey"), max("o_orderkey")).head()
+      assert(df.head() === expect)
+      // the answer is METADATA-ONLY: hide the data directory and the
+      // count must still serve (nothing opens a file)
+      val dataDir = new java.io.File(s"$wh/db/ord/data")
+      val hidden = new java.io.File(s"$wh/db/ord/data_hidden")
+      assert(dataDir.renameTo(hidden))
+      try assert(spark.sql(s"SELECT count(*) FROM $cat.db.ord")
+        .head.getLong(0) === Tables.t(spark, sf, "orders").count())
+      finally { hidden.renameTo(dataDir); () }
+    }
+  }
+
+  test("aggregate pushdown refuses when it cannot be exact: filters, strings, grouping") {
+    val (cat, _) = freshCatalog()
+    setupTables(cat)
+    withConfs("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      // filtered count: must NOT answer from the manifest, and stays exact
+      val filtered = spark.sql(
+        s"SELECT count(*) FROM $cat.db.ord WHERE o_totalprice > 1000.0")
+      assert(!filtered.queryExecution.executedPlan.toString
+        .contains("manifest-agg"))
+      assert(filtered.head.getLong(0) === Tables.t(spark, sf, "orders")
+        .filter(col("o_totalprice") > 1000.0).count())
+      // string min: truncated bounds are inexact - scan, not metadata
+      val sMin = spark.sql(s"SELECT min(c_name) FROM $cat.db.cust")
+      assert(!sMin.queryExecution.executedPlan.toString
+        .contains("manifest-agg"))
+      assert(sMin.head.getString(0) === Tables.t(spark, sf, "customer")
+        .agg(min("c_name")).head.getString(0))
+      // grouped count: scan
+      val grouped = spark.sql(
+        s"SELECT c_name, count(*) FROM $cat.db.cust GROUP BY 1")
+      assert(!grouped.queryExecution.executedPlan.toString
+        .contains("manifest-agg"))
+      assert(grouped.count() === Tables.t(spark, sf, "customer")
+        .select("c_name").distinct().count())
+    }
+  }
+
+  test("unpartitioned tables read through the DSv2 per-file scan and agree with the V1 path") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.flat (o_orderkey BIGINT, " +
+      "o_custkey BIGINT, o_totalprice DOUBLE)")
+    Tables.t(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView("spj_flat_src")
+    spark.sql(s"INSERT INTO $cat.db.flat SELECT * FROM spj_flat_src")
+    val q = s"SELECT o_orderkey, o_totalprice FROM $cat.db.flat " +
+      "WHERE o_custkey = 7"
+    val v2 = withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val df = spark.sql(q)
+      assert(df.queryExecution.executedPlan.toString
+        .contains("graft-snapshot spj"))
+      df.collect().toSeq
+    }
+    val v1 = withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "false") {
+      val df = spark.sql(q)
+      assert(!df.queryExecution.executedPlan.toString
+        .contains("graft-snapshot spj"))
+      df.collect().toSeq
+    }
+    assert(v2.sortBy(_.getLong(0)) === v1.sortBy(_.getLong(0)))
+    assert(v2.nonEmpty)
+  }
+
+  test("empty table: COUNT pushes to zero, MIN/MAX fall back to the scan's NULL") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.e (x BIGINT)")
+    withConfs("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val c = spark.sql(s"SELECT count(*) FROM $cat.db.e")
+      assert(c.queryExecution.executedPlan.toString
+        .contains("manifest-agg"))
+      assert(c.head.getLong(0) === 0L)
+      val m = spark.sql(s"SELECT min(x) FROM $cat.db.e")
+      assert(!m.queryExecution.executedPlan.toString
+        .contains("manifest-agg"))
+      assert(m.head.isNullAt(0))
+    }
+  }
 }
