@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-partitioned-join evidence probe: builds two
+  * bucket(32)-aligned snapshot tables from `orders` × `lineitem` at
+  * the given scale dir, then times the SAME join three ways —
+  * storage-partitioned (no Exchange), shuffled (v2 bucketing off),
+  * and shuffled-with-broadcast-off — printing one JSON line with
+  * wall times and shuffle bytes per variant. Run:
+  *
+  * {{{
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.SpjProbe"
+  * }}}
+  *
+  * The point at 100 TB: the shuffled variant's cost GROWS with both
+  * tables' size (every byte crosses the network twice), while the
+  * aligned variant reads each bucket pair co-located — the delta
+  * measured here is the lower bound of what the layout saves.
+  */
+object SpjProbe {
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    ((a, (System.nanoTime() - t0) / 1e9))
+  }
+
+  private def shuffleBytes(spark: SparkSession)(body: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          acc.addAndGet(
+            e.taskMetrics.shuffleReadMetrics.totalBytesRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { body
+      org.apache.spark.graft.ListenerFlush.waitUntilEmpty(
+        spark.sparkContext) }
+    finally spark.sparkContext.removeSparkListener(l)
+    acc.get()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.01")
+    val spark = GraftSession.build("graft-spj-probe")
+    val wh = s"/tmp/graft_spj_probe_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = "gspjp"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.ord (o_orderkey BIGINT, " +
+      "o_custkey BIGINT, o_totalprice DOUBLE) " +
+      "PARTITIONED BY (bucket(32, o_orderkey))")
+    spark.sql(s"CREATE TABLE $cat.db.li (l_orderkey BIGINT, " +
+      "l_quantity DOUBLE, l_extendedprice DOUBLE) " +
+      "PARTITIONED BY (bucket(32, l_orderkey))")
+    Tables.t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView("spjp_ord")
+    Tables.t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .createOrReplaceTempView("spjp_li")
+    spark.sql(s"INSERT INTO $cat.db.ord SELECT * FROM spjp_ord")
+    spark.sql(s"INSERT INTO $cat.db.li SELECT * FROM spjp_li")
+
+    val q = s"SELECT o.o_custkey, sum(l.l_extendedprice) AS rev, " +
+      s"count(*) AS n FROM $cat.db.ord o JOIN $cat.db.li l " +
+      "ON o.o_orderkey = l.l_orderkey GROUP BY 1"
+
+    def run(label: String, v2: Boolean): (Double, Long, Long, Boolean) = {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled",
+        v2.toString)
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      var rows = 0L
+      var plan = ""
+      val sb = shuffleBytes(spark) {
+        val df = spark.sql(q)
+        rows = df.count()
+        plan = df.queryExecution.executedPlan.toString
+      }
+      // the group-by aggregate shuffles either way; the JOIN exchange
+      // is the delta under measurement
+      val joinAligned = plan.contains("graft-snapshot spj")
+      val (_, sec) = timed {
+        spark.sql(q).write.format("noop").mode("overwrite").save()
+      }
+      (sec, sb, rows, joinAligned)
+    }
+
+    // warm the file cache once so variants compare compute, not IO
+    val _ = run("warm", v2 = false)
+    val (sSec, sBytes, sRows, _) = run("shuffled", v2 = false)
+    val (aSec, aBytes, aRows, aligned) = run("aligned", v2 = true)
+    require(aRows == sRows, s"row mismatch: $aRows vs $sRows")
+    require(aligned, "aligned variant did not use the DSv2 scan")
+    println(s"""{"probe":"spj","sf":"$dir","rows":$sRows,""" +
+      s""""aligned_sec":$aSec,"shuffled_sec":$sSec,""" +
+      s""""aligned_shuffle_bytes":$aBytes,""" +
+      s""""shuffled_shuffle_bytes":$sBytes}""")
+    spark.stop()
+  }
+}

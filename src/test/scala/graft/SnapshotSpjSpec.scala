@@ -262,4 +262,37 @@ class SnapshotSpjSpec extends SparkSpec {
       assert(m.head.isNullAt(0))
     }
   }
+
+  test("runtime filtering: a dim-filtered star join prunes fact buckets before any IO") {
+    val (cat, _) = freshCatalog()
+    setupTables(cat)
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true") {
+      // one customer key: its orders live in exactly one bucket of 8
+      val key = Tables.t(spark, sf, "customer")
+        .select("c_custkey").head.getLong(0)
+      spark.sql(s"SELECT * FROM $cat.db.cust WHERE c_custkey = $key")
+        .collect()
+      val q = s"SELECT o.o_orderkey, c.c_custkey FROM $cat.db.ord o " +
+        s"JOIN $cat.db.cust c ON o.o_custkey = c.c_custkey " +
+        s"WHERE c.c_custkey = $key"
+      val expect = Tables.t(spark, sf, "orders")
+        .filter(col("o_custkey") === key).count()
+      graft.io.SnapshotReaderFactory.filesOpened.set(0L)
+      val fullOpened = {
+        spark.sql(s"SELECT o_orderkey FROM $cat.db.ord").collect()
+        graft.io.SnapshotReaderFactory.filesOpened.get()
+      }
+      graft.io.SnapshotReaderFactory.filesOpened.set(0L)
+      val got = spark.sql(q).count()
+      val joinOpened = graft.io.SnapshotReaderFactory.filesOpened.get()
+      assert(got === expect)
+      // the fact side must have read fewer files than a full scan -
+      // the dim's runtime IN-set pruned whole bucket directories
+      // (joinOpened includes the dim side's own files)
+      assert(joinOpened < fullOpened,
+        s"runtime filter pruned nothing: $joinOpened vs $fullOpened")
+    }
+  }
 }
