@@ -478,7 +478,29 @@ private[graft] object GraftBucketFunction extends UnboundFunction {
 }
 
 private[graft] final class GraftBucketBound(dt: DataType)
-  extends ScalarFunction[Integer] with Serializable {
+  extends ScalarFunction[Integer]
+  with org.apache.spark.sql.connector.catalog.functions
+    .ReducibleFunction[Integer, Integer] with Serializable {
+
+  /** MISMATCHED BUCKET COUNTS still join shuffle-free
+    * (`spark.sql.sources.v2.bucketing.allowCompatibleTransforms
+    * .enabled`): `(hash % n) % g == hash % g` whenever `g` divides
+    * `n`, so a `bucket(16)` side REDUCES onto the two sides' gcd and
+    * Spark groups its partitions pairwise against the `bucket(8)`
+    * side — re-bucketing neither. Returns null (no reduction) when
+    * this side already sits at the gcd or the other function is not
+    * this store's bucket.
+    */
+  override def reducer(thisN: Int,
+      other: org.apache.spark.sql.connector.catalog.functions
+        .ReducibleFunction[_, _], otherN: Int)
+      : org.apache.spark.sql.connector.catalog.functions
+        .Reducer[Integer, Integer] = other match {
+    case _: GraftBucketBound =>
+      val g = BigInt(thisN).gcd(BigInt(otherN)).toInt
+      if (g == thisN) null else GraftBucketReducer(g)
+    case _ => null
+  }
   // the write-time hash, evaluated through catalyst itself: XxHash64
   // with Spark's fixed seed 42, null values folding to the seed -
   // exactly functions.xxhash64's semantics
@@ -497,4 +519,13 @@ private[graft] final class GraftBucketBound(dt: DataType)
     val m = (h % n).toInt
     Integer.valueOf(if (m < 0) m + n else m)
   }
+}
+
+/** Maps a bucket number into the coarser gcd space — exact because
+  * bucket numbers are non-negative remainders of the same hash. */
+private[graft] final case class GraftBucketReducer(n: Int)
+  extends org.apache.spark.sql.connector.catalog.functions
+    .Reducer[Integer, Integer] with Serializable {
+  override def reduce(b: Integer): Integer =
+    Integer.valueOf(b.intValue() % n)
 }

@@ -295,4 +295,43 @@ class SnapshotSpjSpec extends SparkSpec {
         s"runtime filter pruned nothing: $joinOpened vs $fullOpened")
     }
   }
+
+  test("mismatched bucket counts: bucket(16) joins bucket(8) shuffle-free via gcd reduction") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.ord16 (o_orderkey BIGINT, " +
+      "o_custkey BIGINT, o_totalprice DOUBLE) " +
+      "PARTITIONED BY (bucket(16, o_custkey))")
+    spark.sql(s"CREATE TABLE $cat.db.cust8 (c_custkey BIGINT, " +
+      "c_name STRING, c_acctbal DOUBLE) " +
+      "PARTITIONED BY (bucket(8, c_custkey))")
+    Tables.t(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView("spj16_ord_src")
+    Tables.t(spark, sf, "customer")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .createOrReplaceTempView("spj8_cust_src")
+    spark.sql(s"INSERT INTO $cat.db.ord16 SELECT * FROM spj16_ord_src")
+    spark.sql(s"INSERT INTO $cat.db.cust8 SELECT * FROM spj8_cust_src")
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled"
+        -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(s"SELECT o.o_orderkey AS k, c.c_custkey AS c " +
+        s"FROM $cat.db.ord16 o JOIN $cat.db.cust8 c " +
+        "ON o.o_custkey = c.c_custkey")
+      val p = executedPlan(df)
+      assert(p.contains("graft-snapshot spj"), p)
+      assert(!p.contains("Exchange"),
+        s"gcd-reduced join planned a shuffle:\n$p")
+      val expect = Tables.t(spark, sf, "orders").as("o")
+        .join(Tables.t(spark, sf, "customer").as("c"),
+          col("o.o_custkey") === col("c.c_custkey"))
+        .agg(count(lit(1)), sum("o.o_orderkey"), sum("c.c_custkey"))
+        .head()
+      assert(df.agg(count(lit(1)), sum("k"), sum("c")).head() === expect)
+    }
+  }
 }
