@@ -1088,7 +1088,19 @@ object Snapshots {
       val derived = fields.filterNot(_.isInstanceOf[PIdentity])
         .foldLeft(pdf)((d, fld) => d.withColumn(fld.dirName,
           fld.derive(col(fld.source), pdf.schema(fld.source).dataType)))
-      derived.write.partitionBy(fields.map(_.dirName): _*)
+      // OPTIMIZED WRITE (Delta's optimizeWrite / AQE rebalance): a
+      // raw partitionBy writes one file PER TASK PER PARTITION VALUE
+      // — a 32-task batch into 32 buckets is 1,024 small files per
+      // commit, the classic 100 TB small-file explosion. Rebalancing
+      // on the derived directory columns first routes each partition
+      // value to one task (AQE splits genuinely oversized partitions
+      // and coalesces tiny ones), so file count tracks DATA size,
+      // not task count. `write.rebalance=false` opts a table out
+      // (e.g. when the batch is already clustered by the layout).
+      val distributed =
+        if (props.getOrElse("write.rebalance", "true") == "false") derived
+        else derived.hint("rebalance", fields.map(_.dirName): _*)
+      distributed.write.partitionBy(fields.map(_.dirName): _*)
     }
     // `write.bloom.columns` property: per-column parquet BLOOM
     // FILTERS (split-block, parquet-mr native) on every data write -

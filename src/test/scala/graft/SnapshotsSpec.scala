@@ -3414,4 +3414,22 @@ class SnapshotsSpec extends SparkSpec {
     val sBounds = bounds.filter(_.startsWith("0x"))
     assert(sBounds.nonEmpty, bounds.mkString(", "))
   }
+
+  test("optimized write: partitioned commits rebalance - files track partitions, not tasks x partitions") {
+    val path = newStore
+    // 8 buckets from a 16-partition batch: a raw partitionBy would
+    // write up to 16 x 8 files; the rebalance routes each bucket to
+    // ~one task
+    Snapshots.commit(docs.repartition(16), path,
+      partitionBy = Seq("bucket(8, doc_id)"))
+    val files = dataFiles(path)
+    assert(files.size <= 16, s"small-file explosion: ${files.size}")
+    assert(Snapshots.read(spark, path).count() === docs.count())
+    // opt-out via table property: the append writes the raw layout
+    Snapshots.setProperties(spark, path,
+      Map("write.rebalance" -> "false"))
+    Snapshots.commitAppend(docs.repartition(16)
+      .withColumn("doc_id", col("doc_id") + 1000000L), path)
+    assert(Snapshots.read(spark, path).count() === docs.count() * 2)
+  }
 }
