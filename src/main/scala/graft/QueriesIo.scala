@@ -1358,6 +1358,35 @@ private[graft] object QueriesIo {
     df
   }
 
+
+  /** BRANCH gate ([[graft.io.Snapshots.createBranch]] /
+    * [[graft.io.Snapshots.fastForward]]): fork the table, land two
+    * commits on the branch while main provably serves the original,
+    * then promote atomically — main's final state ≡ the relational
+    * replay, with exactly one new main version.
+    */
+  def snapshotBranch(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Snapshots
+    val path = scratch(dir, "snap_branch")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = t(s, dir, "documents")
+    Snapshots.commit(docs, path)
+    Snapshots.createBranch(s, path, "campaign")
+    val bp = Snapshots.branchPath(path, "campaign")
+    Snapshots.commitAppend(docs.filter(col("doc_id") % 11 === 0)
+      .withColumn("source", lit("branch-a")), bp)
+    Snapshots.commitAppend(docs.filter(col("doc_id") % 13 === 0)
+      .withColumn("source", lit("branch-b")), bp)
+    require(Snapshots.read(s, path).count() == docs.count(),
+      "q_snapshot_branch: branch commits leaked into main")
+    require(Snapshots.versions(s, path) == Seq(1L),
+      "q_snapshot_branch: main history grew before the promote")
+    Snapshots.fastForward(s, path, "campaign")
+    require(Snapshots.versions(s, path) == Seq(1L, 2L),
+      "q_snapshot_branch: the promote was not ONE commit")
+    Snapshots.read(s, path).select("doc_id", "lang", "source", "n_chars")
+  }
+
   /** STORAGE-PARTITIONED JOIN gate: two catalog tables
     * bucket-partitioned alike on the join key
     * ([[graft.io.SnapshotBatchScan]] reporting `KeyGroupedPartitioning`
@@ -1531,6 +1560,7 @@ private[graft] object QueriesIo {
     "q_snapshot_clone" -> (snapshotClone _),
     "q_snapshot_merge_evolve" -> (snapshotMergeEvolve _),
     "q_snapshot_agg_push" -> (snapshotAggPush _),
+    "q_snapshot_branch" -> (snapshotBranch _),
     "q_snapshot_sql_update" -> (snapshotSqlUpdate _),
     "q_snapshot_sql_merge" -> (snapshotSqlMerge _),
     "q_snapshot_call" -> (snapshotSqlCall _),
@@ -1719,6 +1749,14 @@ private[graft] object QueriesIo {
            CASE WHEN doc_id % 7 = 0
                 THEN CAST(n_chars * 2 AS DOUBLE) END AS quality
          FROM documents""",
+    "q_snapshot_branch" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         UNION ALL
+         SELECT doc_id, lang, 'branch-a' AS source, n_chars
+         FROM documents WHERE doc_id % 11 = 0
+         UNION ALL
+         SELECT doc_id, lang, 'branch-b' AS source, n_chars
+         FROM documents WHERE doc_id % 13 = 0""",
     "q_snapshot_agg_push" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
            min(doc_id) AS min_id, max(doc_id) AS max_id,

@@ -38,7 +38,8 @@ private[graft] object GraftProcedures {
 
   val Names: Seq[String] = Seq("compact", "vacuum", "expire_versions",
     "rollback", "tag", "drop_tag", "maintain", "publish_staged",
-    "drop_staged", "list_staged", "clone")
+    "drop_staged", "list_staged", "clone", "create_branch",
+    "fast_forward", "drop_branch", "list_branches")
 
   def identifiers: Array[Identifier] =
     Names.map(n => Identifier.of(Array("system"), n)).toArray
@@ -56,6 +57,10 @@ private[graft] object GraftProcedures {
       case "drop_staged" => new DropStaged(warehouse)
       case "list_staged" => new ListStaged(warehouse)
       case "clone" => new Clone(warehouse)
+      case "create_branch" => new CreateBranch(warehouse)
+      case "fast_forward" => new FastForward(warehouse)
+      case "drop_branch" => new DropBranch(warehouse)
+      case "list_branches" => new ListBranches(warehouse)
       case other => throw new IllegalArgumentException(
         s"graft catalog: unknown procedure system.$other " +
           s"(have: ${Names.mkString(", ")})")
@@ -219,6 +224,60 @@ private[graft] object GraftProcedures {
       val dst = pathOf(wh, input.getUTF8String(1).toString)
       val v = if (input.isNullAt(2)) None else Some(input.getLong(2))
       Array[Any](Snapshots.cloneTable(spark, src, dst, v))
+    }
+  }
+
+  /** Branch lifecycle from SQL: fork, promote, abandon, list —
+    * `CALL graft.system.create_branch(table => 'db.t', name => 'x')`.
+    */
+  private final class CreateBranch(wh: String) extends Base(
+    "create_branch",
+    Seq(in("table", StringType), in("name", StringType)),
+    StructType(Seq(StructField("version", LongType, nullable = false)))) {
+    override protected def invoke(spark: SparkSession,
+                                  input: InternalRow): Array[Any] = {
+      val path = pathOf(wh, input.getUTF8String(0).toString)
+      Array[Any](Snapshots.createBranch(spark, path,
+        input.getUTF8String(1).toString))
+    }
+  }
+
+  private final class FastForward(wh: String) extends Base(
+    "fast_forward",
+    Seq(in("table", StringType), in("name", StringType)),
+    StructType(Seq(StructField("version", LongType, nullable = false)))) {
+    override protected def invoke(spark: SparkSession,
+                                  input: InternalRow): Array[Any] = {
+      val path = pathOf(wh, input.getUTF8String(0).toString)
+      Array[Any](Snapshots.fastForward(spark, path,
+        input.getUTF8String(1).toString))
+    }
+  }
+
+  private final class DropBranch(wh: String) extends Base(
+    "drop_branch",
+    Seq(in("table", StringType), in("name", StringType)),
+    StructType(Seq(
+      StructField("dropped", BooleanType, nullable = false)))) {
+    override protected def invoke(spark: SparkSession,
+                                  input: InternalRow): Array[Any] = {
+      val path = pathOf(wh, input.getUTF8String(0).toString)
+      Snapshots.dropBranch(spark, path,
+        input.getUTF8String(1).toString)
+      Array[Any](true)
+    }
+  }
+
+  private final class ListBranches(wh: String) extends Base(
+    "list_branches",
+    Seq(in("table", StringType)),
+    StructType(Seq(
+      StructField("branches", StringType, nullable = false)))) {
+    override protected def invoke(spark: SparkSession,
+                                  input: InternalRow): Array[Any] = {
+      val path = pathOf(wh, input.getUTF8String(0).toString)
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(
+        Snapshots.listBranches(spark, path).mkString(",")))
     }
   }
 

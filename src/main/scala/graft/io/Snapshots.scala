@@ -4398,6 +4398,155 @@ object Snapshots {
     1L
   }
 
+  /** BRANCHES — multi-commit isolated workspaces over one table (the
+    * Iceberg-branch workflow, built on [[cloneTable]]): a branch is a
+    * zero-copy fork living INSIDE the table at
+    * `<path>/_branches/<name>`, invisible to main readers. Commit to
+    * it freely (appends, overwrites, compaction, schema changes —
+    * every [[Snapshots]] op works against [[branchPath]]), audit it,
+    * then [[fastForward]] publishes the branch state back to main as
+    * ONE atomic commit and retires the branch. Where [[stageAppend]]
+    * gates a single batch, a branch gates a CAMPAIGN — a multi-batch
+    * backfill, a re-tokenization, a quality-filter sweep — with main
+    * serving untouched throughout.
+    *
+    * Scale shape: creation is constant-time (manifest references);
+    * branch commits write only their own files; fast-forward is
+    * metadata plus O(branch commit dirs) RENAMES (no data copied).
+    * Honest limits: row-level DML on the branch first localizes
+    * (the [[cloneTable]] rule — `compact` on the branch path), and
+    * fast-forward refuses when main advanced since the fork (the
+    * branch re-forks; entry-level rebase across diverged histories
+    * is not pretended), when the branch carries equality-delete
+    * markers (their base versions are branch-local — compact the
+    * branch first), or when it still references a THIRD table.
+    */
+  def createBranch(spark: SparkSession, path: String,
+                   name: String): Long = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_'),
+      s"snapshot: branch name '$name' must be [A-Za-z0-9_-]+")
+    cloneTable(spark, path, branchPath(path, name))
+  }
+
+  /** The branch's store path — every [[Snapshots]] op works on it. */
+  def branchPath(path: String, name: String): String =
+    s"$path/_branches/$name"
+
+  def listBranches(spark: SparkSession, path: String): Seq[String] = {
+    val f = fs(spark, path)
+    val dir = new Path(s"$path/_branches")
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => latestVersion(spark, branchPath(path, n)).isDefined)
+      .sorted
+  }
+
+  /** Abandon a branch: its directory (manifests + branch-local data)
+    * disappears; main never knew it existed. */
+  def dropBranch(spark: SparkSession, path: String,
+                 name: String): Unit = {
+    val f = fs(spark, path)
+    val bp = new Path(branchPath(path, name))
+    require(f.exists(bp), s"snapshot: no branch '$name' under $path")
+    f.delete(bp, true)
+    ()
+  }
+
+  private val CloneOpRe = ".*version=(\\d+)\\)$".r
+
+  /** Publish the branch head back to MAIN as one atomic commit and
+    * retire the branch. Branch-local commit directories are RENAMED
+    * under main's data dir (no data copied; uuid dirs cannot
+    * collide), references back into main turn store-relative again,
+    * and the new main version carries the branch's schema, partition
+    * spec, column mapping, properties and positional delete files
+    * wholesale. Refuses loudly when main advanced since the fork —
+    * the fork base is recorded in the branch's v1 clone marker — or
+    * when the branch carries equality-delete markers or references
+    * to a third table. Returns the new main version.
+    */
+  def fastForward(spark: SparkSession, path: String,
+                  name: String): Long = {
+    val f = fs(spark, path)
+    val bPath = branchPath(path, name)
+    val bv = latestVersion(spark, bPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot: no branch '$name' under $path"))
+    val bm = manifest(f, bPath, bv)
+    val m1 = manifest(f, bPath, 1L)
+    val baseV = m1.op match {
+      case CloneOpRe(v) => v.toLong
+      case other => throw new IllegalArgumentException(
+        s"snapshot: ${branchPath(path, name)} v1 is not a branch " +
+          s"fork (op=$other)")
+    }
+    require(!bm.dvs.exists(_.startsWith("eq:")),
+      s"snapshot: branch '$name' carries equality-delete markers " +
+        "whose base versions are branch-local - compact the branch " +
+        "(applying them) before fast-forwarding")
+    val schema = resolveSchema(spark, bPath, bm)
+    val mainRoot = f.makeQualified(new Path(path)).toUri.toString
+      .stripSuffix("/")
+    val mainRootAlt = f.makeQualified(new Path(path)).toString
+      .stripSuffix("/")
+    def rehome(rel: String): (String, Option[String]) =
+      if (isForeignRel(rel)) {
+        val local = Seq(mainRoot, mainRootAlt).collectFirst {
+          case r if rel.startsWith(r + "/") => rel.stripPrefix(r + "/")
+        }
+        (local.getOrElse(throw new IllegalArgumentException(
+          s"snapshot: branch '$name' references a file outside " +
+            s"$path ($rel) - localize the branch (compact) first")),
+          None)
+      } else (rel, Some(rel.split('/').take(2).mkString("/")))
+    val entryMoves = bm.entries.map { e =>
+      val rel = relOf(e)
+      val (r2, mv) = rehome(rel)
+      (r2 + e.drop(rel.length), mv)
+    }
+    val dvMoves = bm.dvs.map { d =>
+      val (r2, mv) = rehome(d)
+      (r2, mv)
+    }
+    val toMove = (entryMoves.flatMap(_._2) ++ dvMoves.flatMap(_._2))
+      .distinct
+    val mainMon = monitorFor(f, path)
+    mainMon.synchronized {
+      val mainV = allManifestVersions(f, path).last
+      require(mainV == baseV,
+        s"snapshot: main advanced from v$baseV to v$mainV since " +
+          s"branch '$name' forked - re-branch from the current " +
+          "version (entry-level rebase across diverged histories is " +
+          "not attempted)")
+      // main's own txn markers survive (streams writing to MAIN keep
+      // their dedup); the branch's are branch-stream state and die
+      // with it
+      val mainTxns = manifest(f, path, mainV).txns
+      toMove.foreach { d =>
+        require(f.rename(new Path(s"$bPath/$d"), new Path(s"$path/$d")),
+          s"snapshot: failed to move branch commit dir $d into $path")
+      }
+      val lines = manifestLines(schema, bm.partCols, bm.dropped,
+        s"fast-forward(branch=$name, head=v$bv)",
+        entryMoves.map(_._1), mainTxns, dvMoves.map(_._1), bm.colMap,
+        bm.props)
+      if (!tryPublishManifest(f, path, mainV + 1L, lines)) {
+        // a cross-process writer claimed the version between the
+        // listing and the claim: undo the moves and refuse
+        toMove.foreach(d =>
+          f.rename(new Path(s"$path/$d"), new Path(s"$bPath/$d")))
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot: concurrent commit while fast-forwarding " +
+            s"'$name' into $path - re-read and retry")
+      }
+      bumpLatestHint(f, path, mainV + 1L)
+      f.delete(new Path(bPath), true) // the branch is consumed
+      mainV + 1L
+    }
+  }
+
   def vacuum(spark: SparkSession, path: String,
              graceMs: Long = 3600000L): Int = {
     require(graceMs >= 0, s"snapshot: graceMs must be >= 0: $graceMs")
