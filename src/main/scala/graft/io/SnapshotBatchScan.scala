@@ -306,7 +306,7 @@ private[graft] final class SnapshotBatchScan(
       val (rel, len, _) = Snapshots.entryMeta(spark, path, e)
       val p = if (Snapshots.isForeignRel(rel)) new Path(rel)
               else new Path(s"$path/$rel")
-      FileSlice(f.makeQualified(p).toString, len)
+      FileSlice(f.makeQualified(p).toString, 0L, len, len)
     }
     if (bucketOnly)
       keptEntries.groupBy { e =>
@@ -314,14 +314,25 @@ private[graft] final class SnapshotBatchScan(
         bucketFields.map(b => vals(b.dirName).toInt)
       }.toSeq.sortBy(_._1.mkString(","))
         .map { case (key, es) =>
+          // one partition per bucket: splitting within a bucket would
+          // not parallelize further (Spark groups same-key partitions
+          // into one task to preserve the key-grouped distribution)
           SnapshotInputPartition(key.toArray, es.map(sliceOf).toArray)
         }.toArray
-    else
-      // one task per file - the store compacts toward ~128 MB files,
-      // so a file is the natural unit of work (same granularity a
-      // FileScan split gives an unsplittable row group run)
-      keptEntries.map(e =>
-        SnapshotInputPartition(Array.empty, Array(sliceOf(e)))).toArray
+    else {
+      // split at maxPartitionBytes boundaries, FileSourceScanExec's
+      // granularity: each range reads the row groups whose midpoints
+      // fall inside it, so an oversized file (pre-compaction ingest,
+      // foreign clone refs) parallelizes instead of pinning one task
+      val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+      keptEntries.iterator.flatMap { e =>
+        val s = sliceOf(e)
+        (0L until s.fileSize by maxSplit).map(off =>
+          SnapshotInputPartition(Array.empty, Array(FileSlice(
+            s.path, off, math.min(maxSplit, s.fileSize - off),
+            s.fileSize))))
+      }.toArray
+    }
   }
 
   override def readSchema(): StructType = required
@@ -412,10 +423,11 @@ private[graft] final class ManifestAggReaderFactory
   }
 }
 
-/** One bucket directory's files (or a single file for per-file
-  * partitions); the bucket number(s) are the partition key Spark
-  * groups and aligns join sides by. */
-private[graft] final case class FileSlice(path: String, len: Long)
+/** One bucket directory's files (or a byte range of a single file
+  * for per-file partitions); the bucket number(s) are the partition
+  * key Spark groups and aligns join sides by. */
+private[graft] final case class FileSlice(path: String, start: Long,
+                                          len: Long, fileSize: Long)
 
 private[graft] final case class SnapshotInputPartition(
     key: Array[Int], files: Array[FileSlice])
@@ -433,7 +445,7 @@ private[graft] object SnapshotReaderFactory {
 }
 
 private[graft] final class SnapshotReaderFactory(
-    readFunc: (String, Long) => Iterator[InternalRow])
+    readFunc: (String, Long, Long, Long) => Iterator[InternalRow])
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition)
@@ -443,7 +455,7 @@ private[graft] final class SnapshotReaderFactory(
       private val it = slice.files.iterator
         .flatMap { fs =>
           SnapshotReaderFactory.filesOpened.incrementAndGet()
-          readFunc(fs.path, fs.len)
+          readFunc(fs.path, fs.start, fs.len, fs.fileSize)
         }
       private var cur: InternalRow = _
       override def next(): Boolean =

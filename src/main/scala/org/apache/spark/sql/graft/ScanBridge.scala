@@ -29,10 +29,16 @@ object ScanBridge {
     * and pushing `filters` into row-group pruning. Serializable —
     * built once on the driver, shipped inside the reader factory.
     */
+  /** A ranged read function: (absolutePath, start, length, fileSize)
+    * → rows of the row groups whose midpoints land in the range —
+    * the same split semantics `FileSourceScanExec` uses, so a large
+    * file parallelizes across tasks without double-reading any row
+    * group.
+    */
   def parquetReadFunc(spark: SparkSession, dataSchema: StructType,
                       requiredSchema: StructType, filters: Seq[Filter],
                       hadoopConf: Configuration)
-      : (String, Long) => Iterator[InternalRow] = {
+      : (String, Long, Long, Long) => Iterator[InternalRow] = {
     // returning_batch=false: the vectorized reader hands back ROWS
     // (its internal batch iterated row-wise) - the row-based
     // PartitionReader contract downstream
@@ -40,9 +46,10 @@ object ScanBridge {
       spark, dataSchema, new StructType(), requiredSchema, filters,
       Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> "false"), hadoopConf)
-    (abs: String, len: Long) =>
+    (abs: String, start: Long, length: Long, fileSize: Long) =>
       f(PartitionedFile(InternalRow.empty,
-        SparkPath.fromPathString(abs), 0L, len, Array.empty, 0L, len))
+        SparkPath.fromPathString(abs), start, length, Array.empty, 0L,
+        fileSize))
         .flatMap {
           case b: ColumnarBatch => b.rowIterator().asScala
           case r => Iterator.single(r)

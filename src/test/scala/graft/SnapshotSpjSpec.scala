@@ -334,4 +334,29 @@ class SnapshotSpjSpec extends SparkSpec {
       assert(df.agg(count(lit(1)), sum("k"), sum("c")).head() === expect)
     }
   }
+
+  test("per-file scans split oversized files at maxPartitionBytes with no row lost or doubled") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.big (o_orderkey BIGINT, " +
+      "o_custkey BIGINT, o_totalprice DOUBLE)")
+    Tables.t(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .coalesce(1) // ONE file holding every row
+      .createOrReplaceTempView("spj_big_src")
+    spark.sql(s"INSERT INTO $cat.db.big SELECT * FROM spj_big_src")
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      // force many ranges over the single small file
+      "spark.sql.files.maxPartitionBytes" -> "16384") {
+      val df = spark.sql(s"SELECT o_orderkey FROM $cat.db.big")
+      assert(df.queryExecution.executedPlan.toString
+        .contains("graft-snapshot spj"))
+      assert(df.rdd.getNumPartitions > 1,
+        s"oversized file did not split: ${df.rdd.getNumPartitions}")
+      // exactly once per row: ranges cover every row group once
+      assert(df.count() === Tables.t(spark, sf, "orders").count())
+      assert(df.distinct().count() === df.count())
+    }
+  }
 }
