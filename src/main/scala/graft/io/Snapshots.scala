@@ -125,6 +125,11 @@ object Snapshots {
     * on the monitor instead of deleting files mid-publish. */
   private[graft] var onBeforeStagedClaim: () => Unit = () => ()
 
+  /** Test seam: invoked inside [[fastForward]]'s monitor-held window
+    * after the branch's commit dirs moved but before the version
+    * claim — the cross-process race the compensation path undoes. */
+  private[graft] var onBeforePromoteClaim: () => Unit = () => ()
+
   /** Test seam for the delta-manifest checkpoint interval (the
     * production knob is `graft.snapshot.manifestCheckpointInterval`
     * in the Hadoop conf, fixed at FileSystem creation). */
@@ -4532,6 +4537,7 @@ object Snapshots {
         s"fast-forward(branch=$name, head=v$bv)",
         entryMoves.map(_._1), mainTxns, dvMoves.map(_._1), bm.colMap,
         bm.props)
+      onBeforePromoteClaim()
       if (!tryPublishManifest(f, path, mainV + 1L, lines)) {
         // a cross-process writer claimed the version between the
         // listing and the claim: undo the moves and refuse

@@ -178,4 +178,38 @@ class SnapshotBranchSpec extends SparkSpec {
     assert(spark.sql(s"CALL $cat.system.list_branches(table => 'db.t')")
       .head.getString(0) === "")
   }
+
+  test("fast-forward compensation: a stolen version claim moves the dirs back, nothing lost") {
+    val path = newStore
+    Snapshots.commit(docs, path)
+    Snapshots.createBranch(spark, path, "race")
+    val bp = Snapshots.branchPath(path, "race")
+    Snapshots.commitAppend(docs.limit(3)
+      .withColumn("doc_id", col("doc_id") + 6000000L), bp)
+    // simulate a CROSS-PROCESS writer winning main's next version
+    // inside the promote's commit window (after the dirs moved,
+    // before the claim)
+    Snapshots.onBeforePromoteClaim = () => {
+      Snapshots.onBeforePromoteClaim = () => ()
+      val m = java.nio.file.Paths.get(
+        f"$path/_manifests/v${1L}%09d.manifest")
+      java.nio.file.Files.copy(m, java.nio.file.Paths.get(
+        f"$path/_manifests/v${2L}%09d.manifest"))
+      ()
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException](
+        Snapshots.fastForward(spark, path, "race"))
+    } finally Snapshots.onBeforePromoteClaim = () => ()
+    // main serves the interloper's state; the branch is INTACT -
+    // dirs moved back, still listed, still readable, re-promotable
+    assert(Snapshots.read(spark, path).count() === docs.count())
+    assert(Snapshots.listBranches(spark, path) === Seq("race"))
+    assert(Snapshots.read(spark, bp).count() === docs.count() + 3)
+    // clean the forged manifest and the retry lands
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      f"$path/_manifests/v${2L}%09d.manifest"))
+    Snapshots.fastForward(spark, path, "race")
+    assert(Snapshots.read(spark, path).count() === docs.count() + 3)
+  }
 }
