@@ -150,7 +150,8 @@ private[graft] object GraftProcedures {
 
   private final class Vacuum(wh: String) extends Base("vacuum",
     Seq(in("table", StringType),
-      inDefault("grace_minutes", LongType, "60")),
+      inDefault("grace_minutes", LongType, "60"),
+      inDefault("dry_run", BooleanType, "false")),
     StructType(Seq(
       StructField("deleted_files", IntegerType, nullable = false)))) {
     override protected def invoke(spark: SparkSession,
@@ -159,7 +160,10 @@ private[graft] object GraftProcedures {
       val grace = input.getLong(1)
       require(grace >= 0,
         s"graft vacuum: grace_minutes must be >= 0: $grace")
-      Array[Any](Snapshots.vacuum(spark, path, graceMs = grace * 60000L))
+      val ms = grace * 60000L
+      Array[Any](
+        if (input.getBoolean(2)) Snapshots.vacuumDryRun(spark, path, ms)
+        else Snapshots.vacuum(spark, path, graceMs = ms))
     }
   }
 

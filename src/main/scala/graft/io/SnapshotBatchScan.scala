@@ -373,8 +373,11 @@ private[graft] final class SnapshotBatchScan(
     * planning sees the SLIVER a point lookup keeps, so a pruned side
     * can still broadcast.
     */
+  private lazy val statsMetas =
+    keptEntries.map(e => Snapshots.entryMeta(spark, path, e))
+
   override def estimateStatistics(): Statistics = {
-    val metas = keptEntries.map(e => Snapshots.entryMeta(spark, path, e))
+    val metas = statsMetas
     val rows = metas.map(_._3)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =

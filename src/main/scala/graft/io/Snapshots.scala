@@ -4554,7 +4554,20 @@ object Snapshots {
   }
 
   def vacuum(spark: SparkSession, path: String,
-             graceMs: Long = 3600000L): Int = {
+             graceMs: Long = 3600000L): Int =
+    vacuumImpl(spark, path, graceMs, dryRun = false)
+
+  /** What [[vacuum]] WOULD reclaim, without deleting anything — the
+    * operator's pre-flight check (Delta's `VACUUM ... DRY RUN`):
+    * returns the count of unreferenced, out-of-grace data files.
+    * Dry runs also skip the staged-ttl and `_tmp_` manifest sweeps.
+    */
+  def vacuumDryRun(spark: SparkSession, path: String,
+                   graceMs: Long = 3600000L): Int =
+    vacuumImpl(spark, path, graceMs, dryRun = true)
+
+  private def vacuumImpl(spark: SparkSession, path: String,
+                         graceMs: Long, dryRun: Boolean): Int = {
     require(graceMs >= 0, s"snapshot: graceMs must be >= 0: $graceMs")
     val f = fs(spark, path)
     // ABANDONED write-audit-publish stages: a crashed audit job's
@@ -4564,7 +4577,7 @@ object Snapshots {
     // below and sweep in this same pass. Opt-in on purpose: vacuum
     // must never race a LIVE audit by default, and how long audits
     // legitimately run is a deployment decision, not a guess
-    latestVersion(spark, path)
+    if (!dryRun) latestVersion(spark, path)
       .flatMap(v => manifest(f, path, v).props.get("staged.ttl.hours"))
       .foreach { h =>
         require(h.nonEmpty && h.forall(_.isDigit),
@@ -4595,7 +4608,7 @@ object Snapshots {
     // ever reads — sweep aged ones (same grace: an in-flight publish
     // younger than the window is never touched)
     val mdir = new Path(s"$path/_manifests")
-    if (f.exists(mdir)) f.listStatus(mdir).foreach { st =>
+    if (!dryRun && f.exists(mdir)) f.listStatus(mdir).foreach { st =>
       if (st.isFile && st.getPath.getName.startsWith("_tmp_") &&
           st.getModificationTime <= cutoff)
         f.delete(st.getPath, false)
@@ -4625,9 +4638,11 @@ object Snapshots {
       // how recently that commit was still writing.
       val doomedParquet = doomed.filter(_.getName.endsWith(".parquet"))
       if (!anyReferenced && !anyYoung) {
-        f.delete(commit.getPath, true); removed += doomedParquet.size
+        if (!dryRun) { f.delete(commit.getPath, true); () }
+        removed += doomedParquet.size
       } else if (!anyYoung) doomedParquet.foreach { p =>
-        f.delete(p, false); removed += 1
+        if (!dryRun) { f.delete(p, false); () }
+        removed += 1
       }
     }
     removed

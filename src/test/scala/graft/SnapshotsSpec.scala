@@ -3432,4 +3432,21 @@ class SnapshotsSpec extends SparkSpec {
       .withColumn("doc_id", col("doc_id") + 1000000L), path)
     assert(Snapshots.read(spark, path).count() === docs.count() * 2)
   }
+
+  test("vacuum dry-run: counts reclaimable files, deletes nothing") {
+    val path = newStore
+    Snapshots.commit(docs, path)
+    Snapshots.commit(docs.filter(col("n_chars") > 500), path) // orphan v1 files after expire
+    Snapshots.expire(spark, path, keepLast = 1)
+    val before = dataFiles(path)
+    val wouldRemove = Snapshots.vacuumDryRun(spark, path, graceMs = 0L)
+    assert(wouldRemove > 0)
+    assert(dataFiles(path) === before, "dry run deleted files")
+    val removed = Snapshots.vacuum(spark, path, graceMs = 0L)
+    assert(removed === wouldRemove,
+      s"dry-run count $wouldRemove != real vacuum $removed")
+    assert(dataFiles(path).size === before.size - removed)
+    assert(Snapshots.read(spark, path).count() ===
+      docs.filter(col("n_chars") > 500).count())
+  }
 }
