@@ -870,8 +870,12 @@ object Snapshots {
       blocks.foreach(_.getColumns.asScala.foreach { c =>
         val name = c.getPath.toDotString
         val tpe = c.getPrimitiveType.getPrimitiveTypeName
+        // 'I' = INT32 pages; serialized as 'L' below (int bounds are
+        // exact longs), so an int32 file and its widened int64
+        // successor fold into one exact range
         val tag = tpe match {
           case PrimitiveTypeName.INT64 => 'L'
+          case PrimitiveTypeName.INT32 => 'I'
           case PrimitiveTypeName.DOUBLE => 'D'
           case _ => ' '
         }
@@ -897,6 +901,10 @@ object Snapshots {
               case 'L' => (st.genericGetMin.asInstanceOf[java.lang.Long]
                 .toDouble, st.genericGetMax.asInstanceOf[java.lang.Long]
                 .toDouble)
+              case 'I' =>
+                (st.genericGetMin.asInstanceOf[java.lang.Integer]
+                  .toDouble, st.genericGetMax
+                  .asInstanceOf[java.lang.Integer].toDouble)
               case _ => (st.genericGetMin.asInstanceOf[java.lang.Double]
                 .toDouble, st.genericGetMax.asInstanceOf[java.lang.Double]
                 .toDouble)
@@ -909,7 +917,8 @@ object Snapshots {
             else acc.get(name) match {
               case Some((t, lo, hi)) =>
                 acc(name) = (t, math.min(lo, mn), math.max(hi, mx))
-              case None => acc(name) = (tag, mn, mx)
+              case None =>
+                acc(name) = (if (tag == 'I') 'L' else tag, mn, mx)
             }
           }
         } else if (isString && nameOk) {

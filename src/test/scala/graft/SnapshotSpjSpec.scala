@@ -359,4 +359,37 @@ class SnapshotSpjSpec extends SparkSpec {
       assert(df.distinct().count() === df.count())
     }
   }
+
+  test("DSv2 path under schema evolution: widened types and renamed columns read exactly") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.ev (id INT, v INT)")
+    spark.range(0, 100).selectExpr("CAST(id AS INT) AS id",
+      "CAST(id * 2 AS INT) AS v").createOrReplaceTempView("spj_ev_a")
+    spark.sql(s"INSERT INTO $cat.db.ev SELECT * FROM spj_ev_a")
+    // widen v to BIGINT: old int32 pages read under the wide type
+    spark.sql(s"ALTER TABLE $cat.db.ev ALTER COLUMN v TYPE BIGINT")
+    spark.range(100, 120).selectExpr("CAST(id AS INT) AS id",
+      "id * 2 AS v").createOrReplaceTempView("spj_ev_b")
+    spark.sql(s"INSERT INTO $cat.db.ev SELECT * FROM spj_ev_b")
+    // rename id: the physical name in every file stays, reads map
+    spark.sql(s"ALTER TABLE $cat.db.ev RENAME COLUMN id TO key")
+    withConfs("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val df = spark.sql(
+        s"SELECT key, v FROM $cat.db.ev WHERE v > 100")
+      assert(df.queryExecution.executedPlan.toString
+        .contains("graft-snapshot spj"))
+      assert(df.count() === (0L until 120L).count(_ * 2 > 100))
+      assert(df.agg(sum("key"), sum("v")).head() ===
+        spark.range(0, 120).filter(col("id") * 2 > 100)
+          .agg(sum("id"), sum(col("id") * 2)).head())
+      // aggregate pushdown folds the exact bounds through the rename
+      // AND the widening (mixed int32/int64 files)
+      val agg = spark.sql(
+        s"SELECT count(*), min(key), max(v) FROM $cat.db.ev")
+      assert(agg.queryExecution.executedPlan.toString
+        .contains("manifest-agg"), agg.queryExecution.executedPlan)
+      assert(agg.head() === org.apache.spark.sql.Row(120L, 0, 238L))
+    }
+  }
 }
