@@ -4436,16 +4436,21 @@ object Snapshots {
     * branch first), or when it still references a THIRD table.
     */
   def createBranch(spark: SparkSession, path: String,
-                   name: String): Long = {
+                   name: String): Long =
+    cloneTable(spark, path, branchPath(path, name))
+
+  /** The branch's store path — every [[Snapshots]] op works on it.
+    * Name validation lives HERE so every entry point (create, promote,
+    * drop, SQL procedures) gets the same traversal refusal: a name
+    * like '..' would otherwise address — and dropBranch would DELETE
+    * — the table itself.
+    */
+  def branchPath(path: String, name: String): String = {
     require(name.nonEmpty && name.forall(c =>
       c.isLetterOrDigit || c == '-' || c == '_'),
       s"snapshot: branch name '$name' must be [A-Za-z0-9_-]+")
-    cloneTable(spark, path, branchPath(path, name))
-  }
-
-  /** The branch's store path — every [[Snapshots]] op works on it. */
-  def branchPath(path: String, name: String): String =
     s"$path/_branches/$name"
+  }
 
   def listBranches(spark: SparkSession, path: String): Seq[String] = {
     val f = fs(spark, path)
@@ -4463,8 +4468,12 @@ object Snapshots {
                  name: String): Unit = {
     val f = fs(spark, path)
     val bp = new Path(branchPath(path, name))
-    require(f.exists(bp), s"snapshot: no branch '$name' under $path")
-    f.delete(bp, true)
+    // same monitor as fastForward: a drop landing mid-promote would
+    // delete commit dirs the promote is renaming into main
+    monitorFor(f, path).synchronized {
+      require(f.exists(bp), s"snapshot: no branch '$name' under $path")
+      f.delete(bp, true)
+    }
     ()
   }
 
@@ -4538,6 +4547,11 @@ object Snapshots {
       // their dedup); the branch's are branch-stream state and die
       // with it
       val mainTxns = manifest(f, path, mainV).txns
+      // a branch commit racing the promote would be silently lost
+      // (the branch dir is deleted below) - refuse instead
+      require(latestVersion(spark, bPath).contains(bv),
+        s"snapshot: branch '$name' advanced while fast-forwarding - " +
+          "re-read its head and retry")
       toMove.foreach { d =>
         require(f.rename(new Path(s"$bPath/$d"), new Path(s"$path/$d")),
           s"snapshot: failed to move branch commit dir $d into $path")

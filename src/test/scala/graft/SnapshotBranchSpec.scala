@@ -212,4 +212,16 @@ class SnapshotBranchSpec extends SparkSpec {
     Snapshots.fastForward(spark, path, "race")
     assert(Snapshots.read(spark, path).count() === docs.count() + 3)
   }
+
+  test("branch name traversal refuses: '..' cannot address (or delete) the table") {
+    val path = newStore
+    Snapshots.commit(docs, path)
+    Seq("..", "a/b", "", "x..\u0000").foreach { bad =>
+      intercept[IllegalArgumentException](
+        Snapshots.dropBranch(spark, path, bad))
+      intercept[IllegalArgumentException](
+        Snapshots.createBranch(spark, path, bad))
+    }
+    assert(Snapshots.read(spark, path).count() === docs.count())
+  }
 }
