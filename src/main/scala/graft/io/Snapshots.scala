@@ -4509,6 +4509,13 @@ object Snapshots {
       s"snapshot: branch '$name' carries equality-delete markers " +
         "whose base versions are branch-local - compact the branch " +
         "(applying them) before fast-forwarding")
+    // the promote retires the branch directory wholesale - a pending
+    // write-audit-publish stage would vanish silently with it
+    val pending = listStaged(spark, bPath)
+    require(pending.isEmpty,
+      s"snapshot: branch '$name' has pending staged append(s) " +
+        s"${pending.mkString(", ")} - publish or drop them before " +
+        "fast-forwarding")
     val schema = resolveSchema(spark, bPath, bm)
     val mainRoot = f.makeQualified(new Path(path)).toUri.toString
       .stripSuffix("/")
