@@ -224,4 +224,20 @@ class SnapshotBranchSpec extends SparkSpec {
     }
     assert(Snapshots.read(spark, path).count() === docs.count())
   }
+
+  test("a branch is SQL-readable through the graft_snapshot TVF (it is a store)") {
+    val path = newStore
+    Snapshots.commit(docs, path)
+    Snapshots.createBranch(spark, path, "sqlread")
+    val bp = Snapshots.branchPath(path, "sqlread")
+    Snapshots.commitAppend(docs.limit(2)
+      .withColumn("doc_id", col("doc_id") + 8000000L), bp)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    org.apache.spark.sql.graft.Bridge.applyExtensions(spark, ext)
+    assert(spark.sql(s"SELECT count(*) FROM graft_snapshot('$bp')")
+      .head.getLong(0) === docs.count() + 2)
+    assert(spark.sql(s"SELECT count(*) FROM graft_snapshot('$path')")
+      .head.getLong(0) === docs.count())
+  }
 }
