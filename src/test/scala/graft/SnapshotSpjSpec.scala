@@ -392,4 +392,22 @@ class SnapshotSpjSpec extends SparkSpec {
       assert(agg.head() === org.apache.spark.sql.Row(120L, 0, 238L))
     }
   }
+
+  test("VERSION AS OF reads route through the DSv2 scan pinned at that version") {
+    val (cat, _) = freshCatalog()
+    setupTables(cat)
+    val before = Tables.t(spark, sf, "orders").count()
+    spark.sql(s"INSERT INTO $cat.db.ord " +
+      "SELECT o_orderkey + 9000000, o_custkey, o_totalprice " +
+      "FROM spj_orders_src LIMIT 5")
+    withConfs("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val old = spark.sql(
+        s"SELECT count(*) FROM $cat.db.ord VERSION AS OF 2")
+      assert(old.queryExecution.executedPlan.toString
+        .contains("manifest-agg")) // pinned version, metadata count
+      assert(old.head.getLong(0) === before)
+      val now = spark.sql(s"SELECT count(*) FROM $cat.db.ord")
+      assert(now.head.getLong(0) === before + 5)
+    }
+  }
 }
