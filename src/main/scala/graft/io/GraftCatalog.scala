@@ -476,19 +476,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
     override def newScanBuilder(options: CaseInsensitiveStringMap)
         : ScanBuilder = {
-      // DSv2 scan path for tables WITHOUT identity partition columns
-      // (their values live in directory names, which the parquet rows
-      // lack) and no live delete files, gated on the v2-bucketing
-      // flag (Spark 4 default on): bucket-only layouts additionally
-      // report KeyGroupedPartitioning, so two tables bucketed alike
-      // on the join key join with no Exchange (storage-partitioned
-      // joins); bare COUNT/integral MIN/MAX answer from the manifest
-      // as a one-row scan. Everything else keeps the V1 fallback.
+      // DSv2 scan path for every table with no live delete files,
+      // gated on the v2-bucketing flag (Spark 4 default on):
+      // bucket-only and identity-only layouts report
+      // KeyGroupedPartitioning, so two tables partitioned alike on
+      // the join key join with no Exchange (storage-partitioned
+      // joins); identity values attach per input partition (the
+      // parquet reader reconstructs directory-borne columns); bare
+      // COUNT/integral MIN/MAX answer from the manifest as a one-row
+      // scan. Tables with live delete files keep the V1 fallback
+      // (its read plan applies the positional/equality anti-joins).
       val (sch, pc, entries, dvs, cm) = pinnedState
-      val fields = pc.map(Snapshots.parsePartField)
-      val v2Ready =
-        !fields.exists(_.isInstanceOf[Snapshots.PIdentity]) &&
-        dvs.isEmpty &&
+      val v2Ready = dvs.isEmpty &&
         spark.conf.get(
           "spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
       if (v2Ready)

@@ -217,17 +217,31 @@ private[graft] final class SnapshotBatchScan(
   import SnapshotBatchScan._
 
   private val fields = partCols.map(Snapshots.parsePartField)
-  require(!fields.exists(_.isInstanceOf[Snapshots.PIdentity]),
-    s"snapshot scan: the DSv2 path needs transform-only or empty " +
-      s"partitioning (identity values live in directory names), got " +
-      s"${partCols.mkString(", ")}")
   private val bucketFields: Seq[Snapshots.PBucket] =
     fields.collect { case b: Snapshots.PBucket => b }
   private val bucketOnly =
     fields.nonEmpty && bucketFields.length == fields.length
+  // IDENTITY partition columns live in directory names, not in the
+  // files: their values attach to each input partition and the
+  // parquet reader reconstructs them (the FileScanRDD contract).
+  // All-identity layouts ALSO report KeyGroupedPartitioning - two
+  // tables partitioned by the same column (date, lang, tenant) join
+  // partition-against-partition with no Exchange, identity being the
+  // one transform Spark resolves without a function catalog.
+  private val idFields: Seq[Snapshots.PIdentity] =
+    fields.collect { case i: Snapshots.PIdentity => i }
+  private val identityOnly =
+    fields.nonEmpty && idFields.length == fields.length
 
   private def logicalName(phys: String): String =
     colMap.getOrElse(phys, phys)
+
+  private val idTypes: Seq[org.apache.spark.sql.types.DataType] =
+    idFields.map(f => tableSchema(logicalName(f.source)).dataType)
+
+  private def idRowOf(rel: String): InternalRow =
+    Snapshots.identityValuesRow(spark, rel,
+      idFields.map(_.source), idTypes)
 
   /** Manifest-level pruning: each conjunctive equality prunes through
     * [[Snapshots.prunedEntriesEquals]] — hidden-transform directories
@@ -302,6 +316,7 @@ private[graft] final class SnapshotBatchScan(
   private lazy val partitions: Array[SnapshotInputPartition] = {
     val f = new Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
+    val empty = InternalRow.empty
     def sliceOf(e: String): FileSlice = {
       val (rel, len, _) = Snapshots.entryMeta(spark, path, e)
       val p = if (Snapshots.isForeignRel(rel)) new Path(rel)
@@ -317,7 +332,21 @@ private[graft] final class SnapshotBatchScan(
           // one partition per bucket: splitting within a bucket would
           // not parallelize further (Spark groups same-key partitions
           // into one task to preserve the key-grouped distribution)
-          SnapshotInputPartition(key.toArray, es.map(sliceOf).toArray)
+          SnapshotInputPartition(key.toArray, empty,
+            es.map(sliceOf).toArray)
+        }.toArray
+    else if (identityOnly)
+      // one partition per identity tuple, its values the partition key
+      keptEntries.groupBy(e =>
+        idRowOf(Snapshots.relOfEntry(e)).toSeq(
+          org.apache.spark.sql.types.StructType(
+            idFields.zip(idTypes).map { case (fld, dt) =>
+              org.apache.spark.sql.types.StructField(fld.source, dt) })))
+        .toSeq.sortBy(_._1.mkString("\u0001"))
+        .map { case (_, es) =>
+          SnapshotInputPartition(Array.empty,
+            idRowOf(Snapshots.relOfEntry(es.head)),
+            es.map(sliceOf).toArray)
         }.toArray
     else {
       // split at maxPartitionBytes boundaries, FileSourceScanExec's
@@ -327,8 +356,10 @@ private[graft] final class SnapshotBatchScan(
       val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
       keptEntries.iterator.flatMap { e =>
         val s = sliceOf(e)
+        val rel = Snapshots.relOfEntry(e)
+        val idRow = if (idFields.isEmpty) empty else idRowOf(rel)
         (0L until s.fileSize by maxSplit).map(off =>
-          SnapshotInputPartition(Array.empty, Array(FileSlice(
+          SnapshotInputPartition(Array.empty, idRow, Array(FileSlice(
             s.path, off, math.min(maxSplit, s.fileSize - off),
             s.fileSize))))
       }.toArray
@@ -349,6 +380,11 @@ private[graft] final class SnapshotBatchScan(
         bucketFields.map(b => Expressions.bucket(b.n,
           logicalName(b.source)): VExpression).toArray,
         partitions.length)
+    else if (identityOnly)
+      new KeyGroupedPartitioning(
+        idFields.map(f => Expressions.identity(
+          logicalName(f.source)): VExpression).toArray,
+        partitions.length)
     else new UnknownPartitioning(partitions.length)
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -358,15 +394,36 @@ private[graft] final class SnapshotBatchScan(
     }).toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val physData = Snapshots.physicalSchemaOf(tableSchema, colMap)
-    val physRequired = Snapshots.physicalSchemaOf(required, colMap)
+    val idLogical = idFields.map(f => logicalName(f.source)).toSet
+    // identity columns never live in the files: the reader gets the
+    // DATA subset plus a partitionSchema, appends the per-partition
+    // values, and a positional projection restores the required order
+    val dataTable = StructType(
+      tableSchema.fields.filterNot(f => idLogical(f.name)))
+    val dataRequired = StructType(
+      required.fields.filterNot(f => idLogical(f.name)))
+    val physData = Snapshots.physicalSchemaOf(dataTable, colMap)
+    val physRequired = Snapshots.physicalSchemaOf(dataRequired, colMap)
+    val partSchema = StructType(idFields.zip(idTypes).map {
+      case (f, dt) => org.apache.spark.sql.types
+        .StructField(f.source, dt, nullable = true) })
     val l2p = colMap.map(_.swap)
     val physFilters =
       filters.flatMap(toPhysicalFilter(l2p))
         .filter(_.references.forall(physData.fieldNames.contains))
-    new SnapshotReaderFactory(ScanBridge.parquetReadFunc(spark,
-      physData, physRequired, physFilters,
-      spark.sessionState.newHadoopConf()))
+    // reader emits dataRequired ++ idFields; required wants its own
+    // order - map each required ordinal to the reader's layout
+    val nData = dataRequired.fields.length
+    val ordinals = required.fields.map { f =>
+      if (idLogical(f.name))
+        nData + idFields.indexWhere(i => logicalName(i.source) == f.name)
+      else dataRequired.fieldIndex(f.name)
+    }
+    new SnapshotReaderFactory(
+      ScanBridge.parquetReadFunc(spark, physData, physRequired,
+        physFilters, spark.sessionState.newHadoopConf(), partSchema),
+      ordinals,
+      required.fields.map(_.dataType))
   }
 
   /** Size/rows from the manifest pseudo-stats (post-prune): join
@@ -433,10 +490,10 @@ private[graft] final case class FileSlice(path: String, start: Long,
                                           len: Long, fileSize: Long)
 
 private[graft] final case class SnapshotInputPartition(
-    key: Array[Int], files: Array[FileSlice])
+    key: Array[Int], idRow: InternalRow, files: Array[FileSlice])
   extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
-    InternalRow.fromSeq(key.toIndexedSeq)
+    if (key.nonEmpty) InternalRow.fromSeq(key.toIndexedSeq) else idRow
 }
 
 private[graft] object SnapshotReaderFactory {
@@ -448,21 +505,31 @@ private[graft] object SnapshotReaderFactory {
 }
 
 private[graft] final class SnapshotReaderFactory(
-    readFunc: (String, Long, Long, Long) => Iterator[InternalRow])
+    readFunc: (String, Long, Long, Long, InternalRow)
+      => Iterator[InternalRow],
+    ordinals: Array[Int],
+    outTypes: Array[org.apache.spark.sql.types.DataType])
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = {
     val slice = p.asInstanceOf[SnapshotInputPartition]
+    // restore the required column order over the reader's
+    // data-then-partition layout (identity when nothing reorders)
+    val proj = org.apache.spark.sql.catalyst.expressions
+      .UnsafeProjection.create(ordinals.zip(outTypes).map {
+        case (i, dt) => org.apache.spark.sql.catalyst.expressions
+          .BoundReference(i, dt, nullable = true)
+      }.toIndexedSeq)
     new PartitionReader[InternalRow] {
       private val it = slice.files.iterator
         .flatMap { fs =>
           SnapshotReaderFactory.filesOpened.incrementAndGet()
-          readFunc(fs.path, fs.start, fs.len, fs.fileSize)
+          readFunc(fs.path, fs.start, fs.len, fs.fileSize, slice.idRow)
         }
       private var cur: InternalRow = _
       override def next(): Boolean =
-        if (it.hasNext) { cur = it.next(); true } else false
+        if (it.hasNext) { cur = proj(it.next()); true } else false
       override def get(): InternalRow = cur
       override def close(): Unit = ()
     }

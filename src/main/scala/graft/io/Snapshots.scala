@@ -1419,6 +1419,23 @@ object Snapshots {
     * declared type (the same string→type cast Spark's own partition
     * discovery applies; `__HIVE_DEFAULT_PARTITION__` is NULL).
     */
+  /** An entry's IDENTITY partition values as a catalyst row in the
+    * given fields' order (internal values, the same cast
+    * [[entriesRelation]] applies) — [[SnapshotBatchScan]] attaches
+    * them per input partition so the parquet reader reconstructs
+    * directory-borne columns. `idFields` are PHYSICAL names; `dts`
+    * their logical types.
+    */
+  private[graft] def identityValuesRow(spark: SparkSession,
+                                       rel: String,
+                                       idFields: Seq[String],
+                                       dts: Seq[DataType]): InternalRow = {
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val vals = partValsOf(rel)
+    InternalRow.fromSeq(idFields.zip(dts).map { case (c, dt) =>
+      castPartVal(vals.get(c), dt, tz) })
+  }
+
   private def castPartVal(raw: Option[String],
                           dt: DataType, tz: String): Any =
     raw match {

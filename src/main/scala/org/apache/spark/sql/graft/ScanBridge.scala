@@ -37,17 +37,22 @@ object ScanBridge {
     */
   def parquetReadFunc(spark: SparkSession, dataSchema: StructType,
                       requiredSchema: StructType, filters: Seq[Filter],
-                      hadoopConf: Configuration)
-      : (String, Long, Long, Long) => Iterator[InternalRow] = {
+                      hadoopConf: Configuration,
+                      partitionSchema: StructType = new StructType())
+      : (String, Long, Long, Long, InternalRow)
+        => Iterator[InternalRow] = {
     // returning_batch=false: the vectorized reader hands back ROWS
     // (its internal batch iterated row-wise) - the row-based
-    // PartitionReader contract downstream
+    // PartitionReader contract downstream. partitionSchema columns
+    // (identity partition values, directory-borne) are appended
+    // after the data columns from each call's partValues row.
     val f = new ParquetFileFormat().buildReaderWithPartitionValues(
-      spark, dataSchema, new StructType(), requiredSchema, filters,
+      spark, dataSchema, partitionSchema, requiredSchema, filters,
       Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> "false"), hadoopConf)
-    (abs: String, start: Long, length: Long, fileSize: Long) =>
-      f(PartitionedFile(InternalRow.empty,
+    (abs: String, start: Long, length: Long, fileSize: Long,
+     partValues: InternalRow) =>
+      f(PartitionedFile(partValues,
         SparkPath.fromPathString(abs), start, length, Array.empty, 0L,
         fileSize))
         .flatMap {

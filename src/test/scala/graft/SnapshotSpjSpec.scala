@@ -410,4 +410,50 @@ class SnapshotSpjSpec extends SparkSpec {
       assert(now.head.getLong(0) === before + 5)
     }
   }
+
+  test("identity-partitioned tables: SPJ on the partition column, values reconstructed, pruning exact") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.dl (doc_id BIGINT, n_chars BIGINT, " +
+      "lang STRING) PARTITIONED BY (lang)")
+    spark.sql(s"CREATE TABLE $cat.db.dr (lang STRING, boost DOUBLE) " +
+      "PARTITIONED BY (lang)")
+    Tables.t(spark, sf, "documents")
+      .select("doc_id", "n_chars", "lang")
+      .createOrReplaceTempView("spj_id_docs")
+    Tables.t(spark, sf, "documents").select("lang").distinct()
+      .withColumn("boost", length(col("lang")).cast("double"))
+      .createOrReplaceTempView("spj_id_dim")
+    spark.sql(s"INSERT INTO $cat.db.dl SELECT doc_id, n_chars, lang " +
+      "FROM spj_id_docs")
+    spark.sql(s"INSERT INTO $cat.db.dr SELECT lang, boost FROM spj_id_dim")
+    val docs = Tables.t(spark, sf, "documents")
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // identity values reconstructed: full-row parity with the source
+      val all = spark.sql(s"SELECT doc_id, n_chars, lang FROM $cat.db.dl")
+      assert(all.queryExecution.executedPlan.toString
+        .contains("graft-snapshot spj"))
+      val src0 = docs.select("doc_id", "n_chars", "lang")
+      assert(all.exceptAll(src0).isEmpty && src0.exceptAll(all).isEmpty)
+      // point lookup prunes to one lang partition
+      val one = spark.sql(
+        s"SELECT count(*) FROM $cat.db.dl WHERE lang = 'en'")
+      assert(one.head.getLong(0) ===
+        docs.filter(col("lang") === "en").count())
+      // SPJ on the identity column: no Exchange under the join
+      val j = spark.sql(s"SELECT l.doc_id AS id, r.boost AS b " +
+        s"FROM $cat.db.dl l JOIN $cat.db.dr r ON l.lang = r.lang")
+      val plan = executedPlan(j)
+      assert(!plan.contains("Exchange"),
+        s"identity storage-partitioned join shuffled:\n$plan")
+      assert(j.count() === docs.count())
+      assert(j.agg(sum("id"), sum("b")).head() ===
+        docs.select(col("doc_id").as("id"),
+          length(col("lang")).cast("double").as("b"))
+          .agg(sum("id"), sum("b")).head())
+    }
+  }
 }
