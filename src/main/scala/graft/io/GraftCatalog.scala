@@ -477,19 +477,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     override def newScanBuilder(options: CaseInsensitiveStringMap)
         : ScanBuilder = {
       // DSv2 scan path for every table with no live delete files,
-      // gated on the v2-bucketing flag (Spark 4 default on):
-      // bucket-only and identity-only layouts report
-      // KeyGroupedPartitioning, so two tables partitioned alike on
-      // the join key join with no Exchange (storage-partitioned
-      // joins); identity values attach per input partition (the
-      // parquet reader reconstructs directory-borne columns); bare
-      // COUNT/integral MIN/MAX answer from the manifest as a one-row
-      // scan. Tables with live delete files keep the V1 fallback
-      // (its read plan applies the positional/equality anti-joins).
+      // gated ONLY on the store's own opt-out (default ON): the scan
+      // is correct with or without Spark's v2-bucketing flag — when
+      // that flag is off Spark simply treats the reported
+      // KeyGroupedPartitioning as unknown and plans its own
+      // Exchanges, while manifest pruning, aggregate pushdown and
+      // runtime filtering still apply. (The previous routing read
+      // `spark.sql.sources.v2.bucketing.enabled` with a "false"
+      // fallback — conf.get ignores the registered ConfigEntry
+      // default, so the whole DSv2 path silently never activated on
+      // stock sessions.) Bucket-only and identity-only layouts
+      // report KeyGroupedPartitioning, so two tables partitioned
+      // alike on the join key join with no Exchange
+      // (storage-partitioned joins); identity values attach per
+      // input partition (the parquet reader reconstructs
+      // directory-borne columns); bare COUNT/integral MIN/MAX answer
+      // from the manifest as a one-row scan. Tables with live delete
+      // files keep the V1 fallback (its read plan applies the
+      // positional/equality anti-joins).
       val (sch, pc, entries, dvs, cm) = pinnedState
       val v2Ready = dvs.isEmpty &&
-        spark.conf.get(
-          "spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+        spark.conf.get("spark.graft.snapshot.v2.enabled", "true")
+          .toBoolean
       if (v2Ready)
         new SnapshotScanBuilder(spark, path, pinnedV, sch, pc, cm,
           entries)

@@ -864,6 +864,12 @@ object Snapshots {
       if (blocks.isEmpty) return ""
       val acc = scala.collection.mutable.LinkedHashMap
         .empty[String, (Char, Double, Double)]
+      // integral bounds accumulate as LONGS end to end: folding an
+      // INT64 bound through Double would round |values| >= 2^53
+      // (snowflake-style IDs), and aggregate pushdown serves these
+      // bounds as EXACT answers ([[longStatsOf]])
+      val lacc = scala.collection.mutable.LinkedHashMap
+        .empty[String, (Long, Long)]
       val sacc = scala.collection.mutable.LinkedHashMap
         .empty[String, (Array[Byte], Array[Byte])]
       val dead = scala.collection.mutable.Set.empty[String]
@@ -896,19 +902,26 @@ object Snapshots {
         if (tag != ' ' && plainNumeric && nameOk) {
           val st = c.getStatistics
           if (st == null || !st.hasNonNullValue) dead += name
-          else {
-            val (mn, mx) = tag match {
-              case 'L' => (st.genericGetMin.asInstanceOf[java.lang.Long]
-                .toDouble, st.genericGetMax.asInstanceOf[java.lang.Long]
-                .toDouble)
-              case 'I' =>
+          else if (tag == 'L' || tag == 'I') {
+            val (mn, mx) =
+              if (tag == 'L')
+                (st.genericGetMin.asInstanceOf[java.lang.Long]
+                  .longValue(), st.genericGetMax
+                  .asInstanceOf[java.lang.Long].longValue())
+              else
                 (st.genericGetMin.asInstanceOf[java.lang.Integer]
-                  .toDouble, st.genericGetMax
-                  .asInstanceOf[java.lang.Integer].toDouble)
-              case _ => (st.genericGetMin.asInstanceOf[java.lang.Double]
-                .toDouble, st.genericGetMax.asInstanceOf[java.lang.Double]
-                .toDouble)
+                  .longValue(), st.genericGetMax
+                  .asInstanceOf[java.lang.Integer].longValue())
+            lacc.get(name) match {
+              case Some((lo, hi)) =>
+                lacc(name) = (math.min(lo, mn), math.max(hi, mx))
+              case None => lacc(name) = (mn, mx)
             }
+          } else {
+            val mn = st.genericGetMin.asInstanceOf[java.lang.Double]
+              .toDouble
+            val mx = st.genericGetMax.asInstanceOf[java.lang.Double]
+              .toDouble
             // a NaN min/max (doubles; some writers emit them) would
             // compare false against ANY range and wrongly PRUNE the
             // file — drop the column's stats instead (kept, not
@@ -917,8 +930,7 @@ object Snapshots {
             else acc.get(name) match {
               case Some((t, lo, hi)) =>
                 acc(name) = (t, math.min(lo, mn), math.max(hi, mx))
-              case None =>
-                acc(name) = (if (tag == 'I') 'L' else tag, mn, mx)
+              case None => acc(name) = (tag, mn, mx)
             }
           }
         } else if (isString && nameOk) {
@@ -941,12 +953,9 @@ object Snapshots {
           }
         } else dead += name
       })
-      val numeric = (acc -- dead).map { case (n, (t, mn, mx)) =>
-        val (a, b) =
-          if (t == 'L') (mn.toLong.toString, mx.toLong.toString)
-          else (mn.toString, mx.toString)
-        s"$n:$t:$a:$b"
-      }
+      val numeric =
+        (lacc -- dead).map { case (n, (mn, mx)) => s"$n:L:$mn:$mx" } ++
+        (acc -- dead).map { case (n, (t, mn, mx)) => s"$n:$t:$mn:$mx" }
       // truncated-prefix bounds, Parquet's own rule: the min bound is
       // the first 16 bytes verbatim (truncation only lowers); the max
       // bound increments the last non-0xFF byte of the 16-byte prefix
@@ -1154,14 +1163,19 @@ object Snapshots {
                           onConflict: OnConflict,
                           op: String,
                           baseProps: Map[String, String],
-                          ownTxn: Option[(String, Long)] = None): Long = {
+                          ownTxn: Option[(String, Long)] = None,
+                          writeOpts: Map[String, String] = Map.empty)
+      : Long = {
     val f = fs(spark, path)
     // table PROPERTIES ride along like txn markers: the writer
     // consults them (bloom filters) and every commit carries them
     // forward (callers pass the base version's - no extra manifest
     // read); a rebase adopts the winner's (last-writer-wins)
+    // `writeOpts` steer THIS write only (e.g. compact's rebalance
+    // opt-out) — they are never folded into the committed properties
     val (commitDir, fresh) =
-      writeBatchFiles(spark, df, path, partCols, colMap, baseProps)
+      writeBatchFiles(spark, df, path, partCols, colMap,
+        baseProps ++ writeOpts)
     // an empty PARTITIONED write emits no files at all (dynamic
     // partitioning writes nothing for zero rows) — that is LEGAL
     // here: v3 manifests carry the schema, so a carried-only commit
@@ -1627,6 +1641,88 @@ object Snapshots {
           d.join(keys, logicalCols, "left_anti")
         }
       }.reduce(_ unionByName _)
+    }
+  }
+
+  /** One equality delete prepared for the DSv2 in-scan apply: key
+    * columns (PHYSICAL names), the collected key tuples (catalyst
+    * values, floats normalized, null-bearing tuples dropped — SQL
+    * anti-join semantics), and the base version's entry set that
+    * scopes which files it kills.
+    */
+  private[graft] final case class V2EqDelete(physCols: Seq[String],
+                                             keys: Array[Array[Any]],
+                                             baseRels: Set[String])
+
+  /** Total bytes of a manifest's delete files — the DSv2 routing
+    * guard: the in-scan apply ships the delete sliver to every task,
+    * so a table whose deletes outgrew sliver size (pathological MoR
+    * backlog; compaction is overdue anyway) stays on the V1 plan,
+    * which anti-joins distributedly.
+    */
+  private[graft] def v2DeleteBytes(spark: SparkSession, path: String,
+                                   dvs: Seq[String]): Long = {
+    val f = fs(spark, path)
+    dvs.map(d => f.getFileStatus(new Path(s"$path/${dvRelOf(d)}"))
+      .getLen).sum
+  }
+
+  /** Positional delete positions grouped per data file (store-rel
+    * path → SORTED ascending positions) — the DSv2 reader walks them
+    * with a cursor while counting row indices. Driver-side collect,
+    * bounded by [[v2DeleteBytes]] before this is called.
+    */
+  private[graft] def v2PosDeletes(spark: SparkSession, path: String,
+                                  dvs: Seq[String])
+      : Map[String, Array[Long]] = {
+    val pos = dvs.filterNot(_.startsWith("eq:"))
+    if (pos.isEmpty) Map.empty
+    else dvRows(spark, path, pos)
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (rel, rows) =>
+        rel -> rows.map(_.getLong(1)).distinct.sorted
+      }
+  }
+
+  /** Spark join-key float semantics for the in-scan eq-delete set
+    * probe: -0.0 folds to +0.0 (boxed equals would split them); NaN
+    * needs no folding (boxed equals already unifies NaNs, matching
+    * SQL's NaN-equals-NaN join rule).
+    */
+  private[graft] def v2NormKey(v: Any): Any = v match {
+    case d: java.lang.Double if d.doubleValue() == 0.0 =>
+      java.lang.Double.valueOf(0.0)
+    case f: java.lang.Float if f.floatValue() == 0.0f =>
+      java.lang.Float.valueOf(0.0f)
+    case x => x
+  }
+
+  /** Equality deletes prepared for the DSv2 scan, base-ascending
+    * (the order [[liveWithId]] applies them in). Key values are
+    * collected as CATALYST values (UTF8String etc.) so the reader
+    * compares them directly against parquet-materialized rows.
+    */
+  private[graft] def v2EqDeletes(spark: SparkSession, path: String,
+                                 dvs: Seq[String])
+      : Seq[V2EqDelete] = {
+    val eqs = dvs.flatMap(eqOf).sortBy(_.base)
+    if (eqs.isEmpty) return Nil
+    val f = fs(spark, path)
+    eqs.map { e =>
+      val keysDf = spark.read.parquet(s"$path/${e.rel}")
+        .select(e.cols.map(col): _*)
+      val dts = keysDf.schema.fields.map(_.dataType)
+      val keys = keysDf.queryExecution.toRdd
+        .map(_.copy()).collect()
+        .flatMap { r =>
+          // a null in any key column matches nothing (anti-join)
+          if (dts.indices.exists(r.isNullAt)) None
+          else Some(dts.indices
+            .map(i => v2NormKey(r.get(i, dts(i)))).toArray)
+        }
+      V2EqDelete(e.cols, keys,
+        manifest(f, path, e.base).entries.map(relOf).toSet)
     }
   }
 
@@ -3562,7 +3658,13 @@ object Snapshots {
     writeCommit(spark, packed, path, carried, schema, partCols, dropped,
       txns, outDvs, colMap, Some(v),
       RebaseRewrite("compacting", selected.map(relOf).toSet, dvs),
-      "compact", st.props)
+      "compact", st.props,
+      // compact already laid the data out (repartitionByRange +
+      // within-partition sort, partition columns leading) — the
+      // writer's AQE rebalance hint would RE-shuffle on the directory
+      // columns and destroy the disjoint per-file key ranges the
+      // clustering exists to produce
+      writeOpts = Map("write.rebalance" -> "false"))
   }
 
   /** METADATA-ONLY column drop: a new version whose manifest carries
@@ -4576,9 +4678,21 @@ object Snapshots {
       require(latestVersion(spark, bPath).contains(bv),
         s"snapshot: branch '$name' advanced while fast-forwarding - " +
           "re-read its head and retry")
-      toMove.foreach { d =>
+      // move with COMPENSATION: if rename k of N fails, the k-1
+      // already-moved dirs must return to the branch before the
+      // throw — otherwise they sit under main unreferenced (vacuum
+      // bait) while the branch manifest points at missing dirs and
+      // the branch becomes unreadable
+      val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+      try toMove.foreach { d =>
         require(f.rename(new Path(s"$bPath/$d"), new Path(s"$path/$d")),
           s"snapshot: failed to move branch commit dir $d into $path")
+        moved += d
+      } catch {
+        case e: Throwable =>
+          moved.reverseIterator.foreach(d =>
+            f.rename(new Path(s"$path/$d"), new Path(s"$bPath/$d")))
+          throw e
       }
       val lines = manifestLines(schema, bm.partCols, bm.dropped,
         s"fast-forward(branch=$name, head=v$bv)",
@@ -4638,6 +4752,13 @@ object Snapshots {
             f.delete(st.getPath, false)
         }
       }
+    // HOLD THE TABLE MONITOR for the reference computation AND the
+    // sweep: fastForward renames branch commit dirs into main BEFORE
+    // claiming the manifest that references them (old mtimes, so the
+    // grace window gives no cover) — an unsynchronized vacuum could
+    // list them as unreferenced and delete data mid-promote. Same
+    // monitor as every publish/promote/drop on this table path.
+    monitorFor(f, path).synchronized {
     val referenced = (allManifestVersions(f, path)
       .flatMap { v =>
         val m = manifest(f, path, v)
@@ -4693,5 +4814,6 @@ object Snapshots {
       }
     }
     removed
+    }
   }
 }

@@ -213,6 +213,79 @@ class SnapshotBranchSpec extends SparkSpec {
     assert(Snapshots.read(spark, path).count() === docs.count() + 3)
   }
 
+  test("fast-forward compensation: a PARTIAL rename failure moves completed renames back") {
+    val path = newStore
+    Snapshots.commit(docs, path)
+    Snapshots.createBranch(spark, path, "partial")
+    val bp = Snapshots.branchPath(path, "partial")
+    // two branch commits = two commit dirs to move; sabotage the
+    // SECOND rename by planting a file at its main-side target
+    Snapshots.commitAppend(docs.limit(3)
+      .withColumn("doc_id", col("doc_id") + 6100000L), bp)
+    Snapshots.commitAppend(docs.limit(2)
+      .withColumn("doc_id", col("doc_id") + 6200000L), bp)
+    val bDirs = new java.io.File(s"$bp/data").listFiles()
+      .filter(_.getName.startsWith("c-")).map(_.getName).sorted
+    assert(bDirs.length === 2)
+    // renaming a DIRECTORY onto an existing plain FILE fails on
+    // every fs; plant one at the lexicographically-last dir's target
+    // (the move list preserves manifest order, but either order
+    // proves the compensation: >=1 rename succeeds before one fails)
+    val victim = bDirs.last
+    val blocker = new java.io.File(s"$path/data/$victim")
+    assert(blocker.createNewFile())
+    intercept[Exception](Snapshots.fastForward(spark, path, "partial"))
+    // main untouched, branch INTACT: every moved dir returned, both
+    // branch commits still readable
+    assert(Snapshots.read(spark, path).count() === docs.count())
+    assert(Snapshots.read(spark, bp).count() === docs.count() + 5)
+    // clear the conflict and the retry promotes cleanly
+    assert(blocker.delete())
+    Snapshots.fastForward(spark, path, "partial")
+    assert(Snapshots.read(spark, path).count() === docs.count() + 5)
+  }
+
+  test("vacuum blocks on the table monitor mid-promote: moved dirs are never swept") {
+    val path = newStore
+    Snapshots.commit(docs, path)
+    Snapshots.createBranch(spark, path, "sweeprace")
+    val bp = Snapshots.branchPath(path, "sweeprace")
+    Snapshots.commitAppend(docs.limit(4)
+      .withColumn("doc_id", col("doc_id") + 6300000L), bp)
+    // age every branch data file past any grace window: the moved
+    // dirs arrive under main with OLD mtimes, exactly the advisor's
+    // race (grace elapsed, no manifest references them yet)
+    def ageAll(dir: java.io.File): Unit = {
+      dir.listFiles().foreach { f =>
+        f.setLastModified(System.currentTimeMillis() - 86400000L)
+        if (f.isDirectory) ageAll(f)
+      }
+    }
+    ageAll(new java.io.File(bp))
+    ageAll(new java.io.File(path))
+    val vacuumed = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val t = new java.util.concurrent.atomic.AtomicReference[Thread]()
+    Snapshots.onBeforePromoteClaim = () => {
+      Snapshots.onBeforePromoteClaim = () => ()
+      // fire a zero-grace vacuum from ANOTHER thread while the
+      // promote holds the monitor with dirs moved but unclaimed -
+      // the fix makes it BLOCK until the promote publishes
+      val th = new Thread(() =>
+        vacuumed.set(Snapshots.vacuum(spark, path, graceMs = 0L)))
+      th.start()
+      t.set(th)
+      Thread.sleep(300) // give an unsynchronized vacuum time to race
+    }
+    try Snapshots.fastForward(spark, path, "sweeprace")
+    finally Snapshots.onBeforePromoteClaim = () => ()
+    t.get().join(30000)
+    // the promote landed with every row intact - the vacuum (which
+    // ran to completion after the monitor released) swept nothing
+    // the new manifest references
+    assert(vacuumed.get() === 0)
+    assert(Snapshots.read(spark, path).count() === docs.count() + 4)
+  }
+
   test("branch name traversal refuses: '..' cannot address (or delete) the table") {
     val path = newStore
     Snapshots.commit(docs, path)

@@ -94,10 +94,45 @@ class SnapshotSpjSpec extends SparkSpec {
     }
   }
 
-  test("same tables with v2 bucketing OFF read via the V1 path and still answer exactly") {
+  test("v2 bucketing OFF keeps the DSv2 scan (Spark just plans its own shuffle) and answers exactly") {
     val (cat, _) = freshCatalog()
     setupTables(cat)
     withConfs("spark.sql.sources.v2.bucketing.enabled" -> "false") {
+      val df = spark.sql(joinSql(cat))
+      val p = df.queryExecution.executedPlan.toString
+      // routing no longer depends on the bucketing flag — the scan
+      // path itself (manifest pruning, agg pushdown) stays active;
+      // only the reported partitioning goes unexploited
+      assert(p.contains("graft-snapshot spj"), p)
+      assert(df.count() ===
+        Tables.t(spark, sf, "orders").count())
+    }
+  }
+
+  test("stock session (no bucketing confs set) still routes through the DSv2 scan") {
+    val (cat, _) = freshCatalog()
+    setupTables(cat)
+    // the regression this pins: conf.get("...v2.bucketing.enabled",
+    // "false") ignored the registered default, so stock sessions
+    // silently fell back to V1 forever
+    val unset = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+    val olds = unset.map(k => k -> spark.conf.getOption(k))
+    unset.foreach(spark.conf.unset)
+    try {
+      val df = spark.sql(s"SELECT * FROM $cat.db.ord")
+      assert(df.queryExecution.executedPlan.toString
+        .contains("graft-snapshot spj"))
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case _ => ()
+    }
+  }
+
+  test("spark.graft.snapshot.v2.enabled=false opts back into the V1 read path") {
+    val (cat, _) = freshCatalog()
+    setupTables(cat)
+    withConfs("spark.graft.snapshot.v2.enabled" -> "false") {
       val df = spark.sql(joinSql(cat))
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("graft-snapshot spj"), p)
@@ -237,7 +272,7 @@ class SnapshotSpjSpec extends SparkSpec {
       df.collect().toSeq
     }
     val v1 = withConfs(
-      "spark.sql.sources.v2.bucketing.enabled" -> "false") {
+      "spark.graft.snapshot.v2.enabled" -> "false") {
       val df = spark.sql(q)
       assert(!df.queryExecution.executedPlan.toString
         .contains("graft-snapshot spj"))
@@ -455,5 +490,42 @@ class SnapshotSpjSpec extends SparkSpec {
           length(col("lang")).cast("double").as("b"))
           .agg(sum("id"), sum("b")).head())
     }
+  }
+
+  test("aggregate pushdown is EXACT past 2^53: snowflake-scale bigint bounds never transit Double") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.big (id BIGINT, v BIGINT)")
+    // 2^62 + odd offsets: any Double transit rounds these to the
+    // nearest multiple of 512 and the manifest silently serves a
+    // wrong MIN/MAX (the advisor's round-12 'high' finding)
+    val base = 1L << 62
+    val lo = base + 1L
+    val hi = base + 1023L
+    spark.range(0, 1023)
+      .selectExpr(s"id + ${lo}L AS id", "id AS v")
+      .createOrReplaceTempView("spj_big_src")
+    spark.sql(s"INSERT INTO $cat.db.big SELECT * FROM spj_big_src")
+    withConfs("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val df = spark.sql(
+        s"SELECT count(*) AS n, min(id) AS mn, max(id) AS mx " +
+          s"FROM $cat.db.big")
+      assert(df.queryExecution.executedPlan.toString
+        .contains("manifest-agg"), df.queryExecution.executedPlan)
+      val r = df.head()
+      assert(r.getLong(0) === 1023L)
+      assert(r.getLong(1) === lo, s"MIN rounded: ${r.getLong(1)} != $lo")
+      assert(r.getLong(2) === hi, s"MAX rounded: ${r.getLong(2)} != $hi")
+    }
+    // the manifest bounds themselves are exact longs (file skipping
+    // on such IDs also depends on this)
+    val tbl = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") +
+      "/db/big"
+    val v = Snapshots.latestVersion(spark, tbl).get
+    val entries = Snapshots.stateAt(spark, tbl, v)._3
+    val bounds = entries.flatMap(e => Snapshots.longStatsOf(e).get("id"))
+    assert(bounds.nonEmpty)
+    assert(bounds.map(_._1).min === lo)
+    assert(bounds.map(_._2).max === hi)
   }
 }

@@ -987,6 +987,41 @@ class SnapshotsSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"), e.getMessage)
   }
 
+  test("clustered compaction of a PARTITIONED table keeps disjoint per-file ranges (no rebalance re-shuffle)") {
+    val path = newStore
+    // partition by lang, interleave appends so every file spans the
+    // doc_id range within each lang dir
+    Snapshots.commit(docs.filter(col("doc_id") % 4 === 0), path,
+      partitionBy = Seq("lang"))
+    (1 until 4).foreach(q =>
+      Snapshots.commitAppend(docs.filter(col("doc_id") % 4 === q), path))
+    Snapshots.compact(spark, path, targetFileBytes = 8L << 10,
+      sortBy = Seq("doc_id"))
+    val got = Snapshots.read(spark, path)
+    assert(got.count() === docs.count())
+    // within EVERY partition dir, file key ranges must be disjoint -
+    // the writer's AQE rebalance hint used to re-shuffle on the dir
+    // columns after the range partitioning and destroy this
+    val perLang = got
+      .select(col("lang"), col("doc_id"), input_file_name().as("f"))
+      .groupBy("lang", "f")
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .collect().groupBy(_.getString(0))
+    val multi = perLang.filter(_._2.length > 1)
+    assert(multi.nonEmpty,
+      s"want a lang with several files: ${perLang.view.mapValues(_.length).toMap}")
+    multi.foreach { case (lang, rows) =>
+      val ranges = rows.map(r => (r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) =>
+          assert(hi1 < lo2,
+            s"$lang: overlapping file ranges ${ranges.toSeq}")
+        case _ =>
+      }
+    }
+  }
+
   test("deleteKeys removes by distributed key set; copy-on-write; idempotent no-op") {
     val path = newStore
     // evens and odds land in different commits → different files
