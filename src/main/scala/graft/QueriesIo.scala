@@ -1025,17 +1025,35 @@ private[graft] object QueriesIo {
     * zero-rewrites property and physical apply at compact.
     */
   def snapshotDv(s: SparkSession, dir: String): DataFrame = {
-    val path = scratch(dir, "snap_dv")
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val wh = scratch(dir, "snap_dv_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = "gdv_" + math.abs(wh.hashCode).toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     val docs = t(s, dir, "documents")
-    graft.io.Snapshots.commit(docs, path)
+    docs.createOrReplaceTempView("graft_dv_src")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+      "lang STRING, source STRING, n_chars BIGINT)")
+    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, text, lang, " +
+      "source, n_chars FROM graft_dv_src")
+    val path = s"$wh/db/docs"
     graft.io.Snapshots.deleteWhere(s, path, col("n_chars") < 300,
       mode = "mor")
     graft.io.Snapshots.deleteKeys(s, path,
       docs.filter(col("doc_id") % 7 === 0).select("doc_id"),
       Seq("doc_id"), mode = "mor")
-    graft.io.Snapshots.read(s, path)
-      .select("doc_id", "text", "lang", "source", "n_chars")
+    // the READ routes through the DSv2 scan WITH live positional
+    // delete files applied in-reader (merge-on-read tables keep
+    // SPJ/runtime-filtering/manifest pruning) - asserted in-gate
+    val df = s.sql(s"SELECT doc_id, text, lang, source, n_chars " +
+      s"FROM $cat.db.docs")
+    require(df.queryExecution.executedPlan.toString
+        .contains("graft-snapshot spj"),
+      "q_snapshot_dv: the DV-bearing table did not read through the " +
+        s"DSv2 scan:\n${df.queryExecution.executedPlan}")
+    df
   }
 
   /** Metadata-only column RENAME via column mapping
@@ -1095,17 +1113,36 @@ private[graft] object QueriesIo {
     * replays the same history relationally.
     */
   def snapshotEqDelete(s: SparkSession, dir: String): DataFrame = {
-    val path = scratch(dir, "snap_eq")
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val wh = scratch(dir, "snap_eq_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = "geq_" + math.abs(wh.hashCode).toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     val docs = t(s, dir, "documents")
-    graft.io.Snapshots.commit(docs, path)
+    docs.createOrReplaceTempView("graft_eq_src")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+      "lang STRING, source STRING, n_chars BIGINT)")
+    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, text, lang, " +
+      "source, n_chars FROM graft_eq_src")
+    val path = s"$wh/db/docs"
     graft.io.Snapshots.deleteKeysEq(s, path,
       docs.filter(col("doc_id") % 5 === 0).select("doc_id"),
       Seq("doc_id"))
-    graft.io.Snapshots.commitAppend(
-      docs.filter(col("doc_id") % 10 === 0), path)
-    graft.io.Snapshots.read(s, path)
-      .select("doc_id", "text", "lang", "source", "n_chars")
+    // a later append RE-INSERTS two of the deleted keys and survives
+    // (files newer than the delete's base escape the kill)
+    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, text, lang, " +
+      "source, n_chars FROM graft_eq_src WHERE doc_id % 10 = 0")
+    // the READ routes through the DSv2 scan with the equality-delete
+    // key set probed in-reader, base-scoped - asserted in-gate
+    val df = s.sql(s"SELECT doc_id, text, lang, source, n_chars " +
+      s"FROM $cat.db.docs")
+    require(df.queryExecution.executedPlan.toString
+        .contains("graft-snapshot spj"),
+      "q_snapshot_eq: the eq-delete table did not read through the " +
+        s"DSv2 scan:\n${df.queryExecution.executedPlan}")
+    df
   }
 
   /** DELTA-LOG manifests (Delta's commit-JSON + checkpoint shape):
@@ -1430,6 +1467,51 @@ private[graft] object QueriesIo {
     joined
   }
 
+  /** MIXED-LAYOUT storage-partitioned join gate: two tables laid out
+    * `(lang, bucket(4, doc_id))` — the standard 100 TB fact shape,
+    * identity date/tenant dir THEN a bucket transform — join on BOTH
+    * keys with ZERO Exchange nodes ([[graft.io.SnapshotBatchScan]]
+    * reporting the combined transform tuple as
+    * `KeyGroupedPartitioning`), asserted in-gate; rows hash-match the
+    * plain relational oracle.
+    */
+  def snapshotSpjMixed(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "snap_spjm_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = "gspjm_" + math.abs(wh.hashCode).toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "true")
+    val docs = t(s, dir, "documents")
+    docs.select("doc_id", "n_chars", "lang")
+      .createOrReplaceTempView("graft_spjm_l_src")
+    docs.select(col("doc_id"),
+      (col("n_chars") % 97).cast("double").as("quality"), col("lang"))
+      .createOrReplaceTempView("graft_spjm_r_src")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.ml (doc_id BIGINT, n_chars BIGINT, " +
+      "lang STRING) PARTITIONED BY (lang, bucket(4, doc_id))")
+    s.sql(s"CREATE TABLE $cat.db.mr (doc_id BIGINT, quality DOUBLE, " +
+      "lang STRING) PARTITIONED BY (lang, bucket(4, doc_id))")
+    s.sql(s"INSERT INTO $cat.db.ml SELECT * FROM graft_spjm_l_src")
+    s.sql(s"INSERT INTO $cat.db.mr SELECT * FROM graft_spjm_r_src")
+    val joined = s.sql(
+      s"SELECT /*+ MERGE(l) */ l.doc_id AS doc_id, " +
+        s"l.n_chars AS n_chars, r.quality AS quality " +
+        s"FROM $cat.db.ml l JOIN $cat.db.mr r " +
+        "ON l.lang = r.lang AND l.doc_id = r.doc_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    require(!plan.contains("ShuffleExchange"),
+      s"q_snapshot_spj_mixed: the aligned join planned a shuffle:\n$plan")
+    require(plan.contains("graft-snapshot spj"),
+      s"q_snapshot_spj_mixed: the DSv2 key-grouped scan was not " +
+        s"used:\n$plan")
+    joined
+  }
+
   /** SQL UPDATE on a snapshot catalog table
     * ([[graft.plans.GraftDmlStrategy]] lowering `UPDATE` onto
     * [[graft.io.Snapshots.updateWhere]]'s copy-on-write commit):
@@ -1557,6 +1639,7 @@ private[graft] object QueriesIo {
     "q_snapshot_changefeed" -> (snapshotStreamChangeFeed _),
     "q_snapshot_catalog" -> (snapshotCatalog _),
     "q_snapshot_spj" -> (snapshotSpj _),
+    "q_snapshot_spj_mixed" -> (snapshotSpjMixed _),
     "q_snapshot_clone" -> (snapshotClone _),
     "q_snapshot_merge_evolve" -> (snapshotMergeEvolve _),
     "q_snapshot_agg_push" -> (snapshotAggPush _),
@@ -1739,6 +1822,13 @@ private[graft] object QueriesIo {
       """SELECT o.o_orderkey AS o_orderkey, c.c_custkey AS c_custkey,
            c.c_mktsegment AS seg
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+    "q_snapshot_spj_mixed" ->
+      """SELECT l.doc_id AS doc_id, l.n_chars AS n_chars,
+           r.quality AS quality
+         FROM documents l
+         JOIN (SELECT doc_id, CAST(n_chars % 97 AS DOUBLE) AS quality,
+                 lang FROM documents) r
+           ON l.lang = r.lang AND l.doc_id = r.doc_id""",
     "q_snapshot_clone" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          UNION ALL

@@ -493,15 +493,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // input partition (the parquet reader reconstructs
       // directory-borne columns); bare COUNT/integral MIN/MAX answer
       // from the manifest as a one-row scan. Tables with live delete
-      // files keep the V1 fallback (its read plan applies the
-      // positional/equality anti-joins).
+      // files (merge-on-read) ALSO route here — the scan applies the
+      // positional/equality deletes inside each reader, so the
+      // CDC-heavy tables keep SPJ, runtime filtering and manifest
+      // pruning — as long as the delete sliver fits the per-task
+      // shipping budget; past it (compaction overdue) the V1 plan's
+      // distributed anti-joins take over.
       val (sch, pc, entries, dvs, cm) = pinnedState
-      val v2Ready = dvs.isEmpty &&
+      val v2Ready =
         spark.conf.get("spark.graft.snapshot.v2.enabled", "true")
-          .toBoolean
+          .toBoolean &&
+        (dvs.isEmpty ||
+          Snapshots.v2DeleteBytes(spark, path, dvs) <=
+            spark.conf.get("spark.graft.snapshot.v2.maxDeleteBytes",
+              (64L << 20).toString).toLong)
       if (v2Ready)
         new SnapshotScanBuilder(spark, path, pinnedV, sch, pc, cm,
-          entries)
+          entries, dvs)
       else v1ScanBuilder
     }
 

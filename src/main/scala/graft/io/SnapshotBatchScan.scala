@@ -14,11 +14,12 @@ import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StructField, StructType}
 
-/** DSv2 batch read path for snapshot tables without identity
-  * partition columns (unpartitioned, or hidden-transform-only —
-  * transform sources live in the data files, so the parquet rows are
-  * complete without directory reconstruction). Three scan shapes,
-  * decided at build time:
+/** DSv2 batch read path for snapshot tables — every layout:
+  * unpartitioned, hidden-transform (bucket/days/truncate — sources
+  * live in the data files), and identity-partitioned (values live in
+  * directory names and attach per input partition; the reader
+  * reconstructs the columns). Three scan shapes, decided at build
+  * time:
   *
   *   - '''Aggregate pushdown''': a bare `COUNT(*)` / integral
   *     `MIN/MAX(col)` with no filters and no grouping answers from
@@ -33,6 +34,9 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   *     both sides to the same canonical transform, two tables
   *     bucketed alike on the join key join with ZERO Exchange nodes
   *     — the write-time layout IS the join distribution.
+  *     Identity-only layouts report the same way (identity is the
+  *     one transform Spark resolves without a function catalog), so
+  *     date/tenant-partitioned tables join partition-vs-partition.
   *   - '''Plain key-complete scan''': everything else reads one
   *     input partition per file (the 128 MB-target layout the store
   *     compacts toward makes a file the natural task unit).
@@ -47,9 +51,9 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   * ([[org.apache.spark.sql.graft.ScanBridge]]), so type promotion
   * (widening) and rebase rules behave identically to every other
   * read path. [[GraftCatalog.GraftTable.newScanBuilder]] routes here
-  * only when no identity partition field and no live delete files
-  * exist and v2 bucketing is on; everything else keeps the V1
-  * fallback.
+  * by default (opt-out: `spark.graft.snapshot.v2.enabled=false`);
+  * tables with live delete files keep the V1 fallback (its plan
+  * applies the positional/equality anti-joins).
   */
 object SnapshotBatchScan {
 
@@ -106,7 +110,8 @@ object SnapshotBatchScan {
 private[graft] final class SnapshotScanBuilder(
     spark: SparkSession, path: String, pinnedV: Long,
     tableSchema: StructType, partCols: Seq[String],
-    colMap: Map[String, String], entries: Seq[String])
+    colMap: Map[String, String], entries: Seq[String],
+    dvs: Seq[String] = Nil)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters with SupportsPushDownAggregates {
 
@@ -143,6 +148,9 @@ private[graft] final class SnapshotScanBuilder(
 
   private def planAgg(agg: Aggregation)
       : Option[(StructType, Array[Any])] = {
+    // live delete files: manifest pseudo-stats still count the
+    // DELETED rows, so no metadata answer is exact - scan
+    if (dvs.nonEmpty) return None
     if (agg.groupByExpressions.nonEmpty || filters.nonEmpty) return None
     val l2p = colMap.map(_.swap)
     def singleCol(e: VExpression): Option[String] = e match {
@@ -201,7 +209,8 @@ private[graft] final class SnapshotScanBuilder(
     case Some((aggSchema, values)) =>
       new ManifestAggScan(path, pinnedV, aggSchema, values)
     case None => new SnapshotBatchScan(spark, path, pinnedV,
-      tableSchema, required, partCols, colMap, entries, filters.toSeq)
+      tableSchema, required, partCols, colMap, entries, filters.toSeq,
+      dvs)
   }
 }
 
@@ -209,7 +218,8 @@ private[graft] final class SnapshotBatchScan(
     spark: SparkSession, path: String, pinnedV: Long,
     tableSchema: StructType, required: StructType,
     partCols: Seq[String], colMap: Map[String, String],
-    entries: Seq[String], filters: Seq[Filter])
+    entries: Seq[String], filters: Seq[Filter],
+    dvs: Seq[String] = Nil)
   extends Scan with Batch with SupportsReportPartitioning
   with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -217,21 +227,25 @@ private[graft] final class SnapshotBatchScan(
   import SnapshotBatchScan._
 
   private val fields = partCols.map(Snapshots.parsePartField)
-  private val bucketFields: Seq[Snapshots.PBucket] =
-    fields.collect { case b: Snapshots.PBucket => b }
-  private val bucketOnly =
-    fields.nonEmpty && bucketFields.length == fields.length
   // IDENTITY partition columns live in directory names, not in the
   // files: their values attach to each input partition and the
   // parquet reader reconstructs them (the FileScanRDD contract).
-  // All-identity layouts ALSO report KeyGroupedPartitioning - two
-  // tables partitioned by the same column (date, lang, tenant) join
-  // partition-against-partition with no Exchange, identity being the
-  // one transform Spark resolves without a function catalog.
   private val idFields: Seq[Snapshots.PIdentity] =
     fields.collect { case i: Snapshots.PIdentity => i }
-  private val identityOnly =
-    fields.nonEmpty && idFields.length == fields.length
+
+  /** ANY mix of bucket and identity fields is KEY-GROUPED — one
+    * input partition per distinct (bucket numbers × identity values)
+    * tuple, the tuple the partition key, transforms reported in
+    * field order. Two tables laid out alike on the join keys — the
+    * standard 100 TB fact shape `(date, bucket(id))` included — join
+    * partition-against-partition with ZERO Exchange: bucket resolves
+    * through [[GraftCatalog]]'s V2 function, identity is the one
+    * transform Spark resolves bare. Layouts carrying time/truncate
+    * transforms stay per-file (`UnknownPartitioning`).
+    */
+  private val keyGrouped = fields.nonEmpty && fields.forall(f =>
+    f.isInstanceOf[Snapshots.PBucket] ||
+      f.isInstanceOf[Snapshots.PIdentity])
 
   private def logicalName(phys: String): String =
     colMap.getOrElse(phys, phys)
@@ -242,6 +256,33 @@ private[graft] final class SnapshotBatchScan(
   private def idRowOf(rel: String): InternalRow =
     Snapshots.identityValuesRow(spark, rel,
       idFields.map(_.source), idTypes)
+
+  /** Catalyst type of each partition-KEY tuple slot, field order:
+    * bucket numbers are ints, identity slots their column type. */
+  private val keyTypes: Seq[DataType] = fields.map {
+    case _: Snapshots.PBucket => IntegerType
+    case f: Snapshots.PIdentity =>
+      tableSchema(logicalName(f.source)).dataType
+    case _ => org.apache.spark.sql.types.NullType // never key-grouped
+  }
+
+  /** The partition-key tuple of one file's directory chain, field
+    * order — bucket numbers parsed from the transform dirs, identity
+    * values through the same typed parse the reader reconstructs
+    * with (so the key can never disagree with the rows). */
+  private def keyRowOf(rel: String): InternalRow = {
+    val vals = Snapshots.partValsOf(rel)
+    val idRow =
+      if (idFields.isEmpty) InternalRow.empty else idRowOf(rel)
+    var idIdx = -1
+    InternalRow.fromSeq(fields.map {
+      case b: Snapshots.PBucket => vals(b.dirName).toInt
+      case _: Snapshots.PIdentity =>
+        idIdx += 1
+        idRow.get(idIdx, idTypes(idIdx))
+      case _ => null
+    })
+  }
 
   /** Manifest-level pruning: each conjunctive equality prunes through
     * [[Snapshots.prunedEntriesEquals]] — hidden-transform directories
@@ -262,31 +303,33 @@ private[graft] final class SnapshotBatchScan(
   /** RUNTIME FILTERING (DSv2 dynamic partition pruning): in a star
     * join against a filtered dimension, Spark collects the dim side's
     * join-key values at execution and calls [[filter]] with an
-    * IN/equality predicate over a bucket SOURCE column — every
-    * value's bucket is recomputed with the exact write-time hash, and
-    * whole bucket directories whose number cannot match are dropped
+    * IN/equality predicate over a partition SOURCE column. Bucket
+    * fields recompute every value's bucket with the exact write-time
+    * hash; identity fields compare the values directly — either way
+    * whole partition directories that cannot match are dropped
     * before any file opens. At 100 TB this is the difference between
-    * scanning the fact table and scanning the handful of buckets the
-    * dimension filter actually touches. Unknown predicate shapes
-    * prune nothing (always sound — pruning is an IO optimization;
-    * Spark re-applies the join above).
+    * scanning the fact table and scanning the handful of
+    * buckets/dates the dimension filter actually touches. Unknown
+    * predicate shapes prune nothing (always sound — pruning is an IO
+    * optimization; Spark re-applies the join above).
     */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (bucketOnly)
-      bucketFields.map(b => Expressions.column(logicalName(b.source)))
+    if (keyGrouped)
+      fields.map(f => Expressions.column(logicalName(f.source)))
         .toArray
     else Array.empty
 
-  // bucket keys allowed per bucket-field index; None = no constraint
-  private var runtimeAllowed: Map[Int, Set[Int]] = Map.empty
+  // allowed KEY-slot values per field index; absent = no constraint
+  // (bucket slots hold Ints, identity slots catalyst values)
+  private var runtimeAllowed: Map[Int, Set[Any]] = Map.empty
 
   override def filter(
       predicates: Array[
         org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Unit = {
-    val srcIdx = bucketFields.zipWithIndex
-      .map { case (b, i) => logicalName(b.source) -> i }.toMap
+    val srcIdx = fields.zipWithIndex
+      .map { case (f, i) => logicalName(f.source) -> i }.toMap
     predicates.foreach { p =>
       val kids = p.children()
       def colIdx: Option[Int] = kids.headOption.collect {
@@ -300,17 +343,52 @@ private[graft] final class SnapshotBatchScan(
       }
       (p.name(), colIdx, lits) match {
         case (("IN" | "="), Some(i), Some(vs)) if vs.nonEmpty =>
-          val n = bucketFields(i).n
-          val bound = new GraftBucketBound(
-            tableSchema(logicalName(bucketFields(i).source)).dataType)
-          val buckets = vs.map(v => bound.produceResult(
-            InternalRow(n, v.value())).intValue()).toSet
+          val allowed: Set[Any] = fields(i) match {
+            case b: Snapshots.PBucket =>
+              val bound = new GraftBucketBound(
+                tableSchema(logicalName(b.source)).dataType)
+              vs.map(v => bound.produceResult(
+                InternalRow(b.n, v.value())).intValue(): Any).toSet
+            case _ =>
+              // identity: the literal IS the key-slot value; a NULL
+              // key slot never equals a literal, so it prunes
+              vs.map(v => Snapshots.v2NormKey(v.value()): Any).toSet
+          }
           runtimeAllowed = runtimeAllowed.updated(i,
-            runtimeAllowed.get(i).map(_ intersect buckets)
-              .getOrElse(buckets))
+            runtimeAllowed.get(i).map(_ intersect allowed)
+              .getOrElse(allowed))
         case _ => () // unknown shape: prune nothing
       }
     }
+  }
+
+  /** MERGE-ON-READ deletes applied IN-SCAN (the Iceberg/Delta v2
+    * posture): the positional and equality delete slivers are read
+    * once on the driver (bounded by the routing guard) and ride to
+    * each task inside its input partition / the reader factory. A
+    * delete-bearing file is read WHOLE with no parquet filter
+    * pushdown — the reader counts row positions, so skipping row
+    * groups would desynchronize positional deletes — while clean
+    * files keep row-group pruning and range splits. Deletes only
+    * REMOVE rows, so the reported KeyGroupedPartitioning, runtime
+    * bucket pruning and manifest point-lookup pruning all stay
+    * sound; only aggregate pushdown and numRows refuse (their
+    * manifest stats count deleted rows).
+    */
+  private lazy val posDeletes: Map[String, Array[Long]] =
+    Snapshots.v2PosDeletes(spark, path, dvs)
+  private lazy val eqDeletes: Seq[Snapshots.V2EqDelete] =
+    Snapshots.v2EqDeletes(spark, path, dvs)
+
+  /** Equality deletes applicable to a file: the file groups with the
+    * FIRST delete whose base version contains it and is subject to
+    * that one and every later delete ([[Snapshots.liveWithId]]'s
+    * nested-bases rule); files newer than every base escape.
+    */
+  private def eqIdxFor(rel: String): Array[Int] = {
+    val first = eqDeletes.indexWhere(_.baseRels.contains(rel))
+    if (first < 0) Array.empty
+    else (first until eqDeletes.size).toArray
   }
 
   private lazy val partitions: Array[SnapshotInputPartition] = {
@@ -321,47 +399,43 @@ private[graft] final class SnapshotBatchScan(
       val (rel, len, _) = Snapshots.entryMeta(spark, path, e)
       val p = if (Snapshots.isForeignRel(rel)) new Path(rel)
               else new Path(s"$path/$rel")
-      FileSlice(f.makeQualified(p).toString, 0L, len, len)
+      FileSlice(f.makeQualified(p).toString, 0L, len, len,
+        posDeletes.getOrElse(rel, Array.empty), eqIdxFor(rel))
     }
-    if (bucketOnly)
-      keptEntries.groupBy { e =>
-        val vals = Snapshots.partValsOf(Snapshots.relOfEntry(e))
-        bucketFields.map(b => vals(b.dirName).toInt)
-      }.toSeq.sortBy(_._1.mkString(","))
-        .map { case (key, es) =>
-          // one partition per bucket: splitting within a bucket would
-          // not parallelize further (Spark groups same-key partitions
-          // into one task to preserve the key-grouped distribution)
-          SnapshotInputPartition(key.toArray, empty,
-            es.map(sliceOf).toArray)
-        }.toArray
-    else if (identityOnly)
-      // one partition per identity tuple, its values the partition key
+    if (keyGrouped)
+      // one partition per distinct key tuple (bucket numbers ×
+      // identity values, field order): splitting within one would
+      // not parallelize further (Spark groups same-key partitions
+      // into one task to preserve the key-grouped distribution)
       keptEntries.groupBy(e =>
-        idRowOf(Snapshots.relOfEntry(e)).toSeq(
-          org.apache.spark.sql.types.StructType(
-            idFields.zip(idTypes).map { case (fld, dt) =>
-              org.apache.spark.sql.types.StructField(fld.source, dt) })))
-        .toSeq.sortBy(_._1.mkString("\u0001"))
+        keyRowOf(Snapshots.relOfEntry(e)).toSeq(keyTypes))
+        .toSeq.sortBy(_._1.mkString(""))
         .map { case (_, es) =>
-          SnapshotInputPartition(Array.empty,
-            idRowOf(Snapshots.relOfEntry(es.head)),
+          val rel0 = Snapshots.relOfEntry(es.head)
+          SnapshotInputPartition(keyRowOf(rel0),
+            if (idFields.isEmpty) empty else idRowOf(rel0),
             es.map(sliceOf).toArray)
         }.toArray
     else {
       // split at maxPartitionBytes boundaries, FileSourceScanExec's
       // granularity: each range reads the row groups whose midpoints
       // fall inside it, so an oversized file (pre-compaction ingest,
-      // foreign clone refs) parallelizes instead of pinning one task
+      // foreign clone refs) parallelizes instead of pinning one task.
+      // Delete-bearing files stay WHOLE: positional apply counts row
+      // indices from the file start
       val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
       keptEntries.iterator.flatMap { e =>
         val s = sliceOf(e)
         val rel = Snapshots.relOfEntry(e)
         val idRow = if (idFields.isEmpty) empty else idRowOf(rel)
-        (0L until s.fileSize by maxSplit).map(off =>
-          SnapshotInputPartition(Array.empty, idRow, Array(FileSlice(
-            s.path, off, math.min(maxSplit, s.fileSize - off),
-            s.fileSize))))
+        if (s.hasDeletes)
+          Seq(SnapshotInputPartition(InternalRow.empty, idRow,
+            Array(s)))
+        else (0L until s.fileSize by maxSplit).map(off =>
+          SnapshotInputPartition(InternalRow.empty, idRow,
+            Array(FileSlice(
+              s.path, off, math.min(maxSplit, s.fileSize - off),
+              s.fileSize))))
       }.toArray
     }
   }
@@ -375,22 +449,22 @@ private[graft] final class SnapshotBatchScan(
       s"[${partCols.mkString(", ")}]"
 
   override def outputPartitioning(): Partitioning =
-    if (bucketOnly)
+    if (keyGrouped)
       new KeyGroupedPartitioning(
-        bucketFields.map(b => Expressions.bucket(b.n,
-          logicalName(b.source)): VExpression).toArray,
-        partitions.length)
-    else if (identityOnly)
-      new KeyGroupedPartitioning(
-        idFields.map(f => Expressions.identity(
-          logicalName(f.source)): VExpression).toArray,
+        fields.map {
+          case b: Snapshots.PBucket =>
+            Expressions.bucket(b.n, logicalName(b.source)): VExpression
+          case f => Expressions.identity(
+            logicalName(f.source)): VExpression
+        }.toArray,
         partitions.length)
     else new UnknownPartitioning(partitions.length)
 
   override def planInputPartitions(): Array[InputPartition] =
     if (runtimeAllowed.isEmpty) partitions.toArray[InputPartition]
     else partitions.filter(p => runtimeAllowed.forall {
-      case (i, ok) => ok(p.key(i))
+      case (i, ok) =>
+        ok(Snapshots.v2NormKey(p.keyRow.get(i, keyTypes(i))))
     }).toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -400,8 +474,18 @@ private[graft] final class SnapshotBatchScan(
     // values, and a positional projection restores the required order
     val dataTable = StructType(
       tableSchema.fields.filterNot(f => idLogical(f.name)))
+    // equality-delete key columns must be readable even when the
+    // query pruned them away: extend the DATA projection (extras sit
+    // after the required data columns; the output projection below
+    // never selects them)
+    val eqLogical = eqDeletes.flatMap(_.physCols).map(logicalName)
+      .distinct
+    val requiredNames = required.fieldNames.toSet
+    val eqExtra = eqLogical
+      .filterNot(requiredNames).filterNot(idLogical)
+      .map(n => tableSchema(n))
     val dataRequired = StructType(
-      required.fields.filterNot(f => idLogical(f.name)))
+      required.fields.filterNot(f => idLogical(f.name)) ++ eqExtra)
     val physData = Snapshots.physicalSchemaOf(dataTable, colMap)
     val physRequired = Snapshots.physicalSchemaOf(dataRequired, colMap)
     val partSchema = StructType(idFields.zip(idTypes).map {
@@ -414,16 +498,33 @@ private[graft] final class SnapshotBatchScan(
     // reader emits dataRequired ++ idFields; required wants its own
     // order - map each required ordinal to the reader's layout
     val nData = dataRequired.fields.length
-    val ordinals = required.fields.map { f =>
-      if (idLogical(f.name))
-        nData + idFields.indexWhere(i => logicalName(i.source) == f.name)
-      else dataRequired.fieldIndex(f.name)
-    }
+    def readerOrdinal(name: String): Int =
+      if (idLogical(name))
+        nData + idFields.indexWhere(i => logicalName(i.source) == name)
+      else dataRequired.fieldIndex(name)
+    val ordinals = required.fields.map(f => readerOrdinal(f.name))
+    // per-equality-delete apply spec: key ordinals in the reader
+    // layout (identity-borne keys read from the appended partition
+    // values) + the key-tuple set, Seq-wrapped for structural
+    // equality with the probe side
+    val eqApplies = eqDeletes.map { e =>
+      val names = e.physCols.map(logicalName)
+      val ords = names.map(readerOrdinal).toArray
+      val dts = names.map(n => tableSchema(n).dataType).toArray
+      EqApply(ords, dts, e.keys.map(_.toSeq).toSet)
+    }.toArray
+    val conf = spark.sessionState.newHadoopConf()
     new SnapshotReaderFactory(
       ScanBridge.parquetReadFunc(spark, physData, physRequired,
-        physFilters, spark.sessionState.newHadoopConf(), partSchema),
+        physFilters, conf, partSchema),
+      // delete-bearing files read FILTERLESS (row-group skipping
+      // would desynchronize position counting); Spark re-applies
+      // every filter above the scan, so this costs IO only
+      ScanBridge.parquetReadFunc(spark, physData, physRequired,
+        Nil, conf, partSchema),
       ordinals,
-      required.fields.map(_.dataType))
+      required.fields.map(_.dataType),
+      eqApplies)
   }
 
   /** Size/rows from the manifest pseudo-stats (post-prune): join
@@ -439,8 +540,11 @@ private[graft] final class SnapshotBatchScan(
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(metas.map(_._2).sum)
+      // with live deletes the manifest counts are an OVER-estimate
+      // (deleted rows included): sizeInBytes stays (a safe upper
+      // bound for broadcast decisions) but no exact row count exists
       override def numRows(): java.util.OptionalLong =
-        if (rows.nonEmpty && rows.forall(_.isDefined))
+        if (dvs.isEmpty && rows.nonEmpty && rows.forall(_.isDefined))
           java.util.OptionalLong.of(rows.map(_.get).sum)
         else java.util.OptionalLong.empty()
     }
@@ -485,15 +589,32 @@ private[graft] final class ManifestAggReaderFactory
 
 /** One bucket directory's files (or a byte range of a single file
   * for per-file partitions); the bucket number(s) are the partition
-  * key Spark groups and aligns join sides by. */
-private[graft] final case class FileSlice(path: String, start: Long,
-                                          len: Long, fileSize: Long)
+  * key Spark groups and aligns join sides by. `delPos` (sorted
+  * ascending) and `eqIdx` (indices into the factory's eq-delete
+  * specs) carry the file's merge-on-read deletes; either non-empty
+  * forces a whole-file, filterless read so row positions count true.
+  */
+private[graft] final case class FileSlice(
+    path: String, start: Long, len: Long, fileSize: Long,
+    delPos: Array[Long] = Array.empty,
+    eqIdx: Array[Int] = Array.empty) {
+  def hasDeletes: Boolean = delPos.nonEmpty || eqIdx.nonEmpty
+}
+
+/** One equality delete ready to apply in-reader: key ordinals in the
+  * reader's (data ++ partition-values) layout, their types, and the
+  * key-tuple set (Seq-wrapped catalyst values). */
+private[graft] final case class EqApply(
+    ordinals: Array[Int],
+    dts: Array[org.apache.spark.sql.types.DataType],
+    keys: Set[Seq[Any]])
 
 private[graft] final case class SnapshotInputPartition(
-    key: Array[Int], idRow: InternalRow, files: Array[FileSlice])
+    keyRow: InternalRow, idRow: InternalRow, files: Array[FileSlice])
   extends InputPartition with HasPartitionKey {
-  override def partitionKey(): InternalRow =
-    if (key.nonEmpty) InternalRow.fromSeq(key.toIndexedSeq) else idRow
+  // the key tuple in FIELD order (bucket ints + identity values) -
+  // must match the transform order outputPartitioning reports
+  override def partitionKey(): InternalRow = keyRow
 }
 
 private[graft] object SnapshotReaderFactory {
@@ -507,9 +628,48 @@ private[graft] object SnapshotReaderFactory {
 private[graft] final class SnapshotReaderFactory(
     readFunc: (String, Long, Long, Long, InternalRow)
       => Iterator[InternalRow],
+    plainReadFunc: (String, Long, Long, Long, InternalRow)
+      => Iterator[InternalRow],
     ordinals: Array[Int],
-    outTypes: Array[org.apache.spark.sql.types.DataType])
+    outTypes: Array[org.apache.spark.sql.types.DataType],
+    eqApplies: Array[EqApply] = Array.empty)
   extends PartitionReaderFactory {
+
+  /** Rows of one delete-bearing file, MoR deletes applied: the file
+    * is read whole and filterless (`plainReadFunc`), so the running
+    * index IS the row's position — a cursor over the sorted deleted
+    * positions skips positional kills in O(1) each; surviving rows
+    * probe the applicable equality-delete key sets (null keys keep
+    * the row, SQL anti-join semantics).
+    */
+  private def liveRows(fs: FileSlice, idRow: InternalRow)
+      : Iterator[InternalRow] = {
+    val applies = fs.eqIdx.map(eqApplies)
+    var pos = 0L
+    var di = 0
+    plainReadFunc(fs.path, 0L, fs.fileSize, fs.fileSize, idRow)
+      .filter { row =>
+        val p = pos
+        pos += 1
+        if (di < fs.delPos.length && fs.delPos(di) == p) {
+          di += 1
+          false
+        } else if (applies.isEmpty) true
+        else !applies.exists { a =>
+          var i = 0
+          var anyNull = false
+          val key = new Array[Any](a.ordinals.length)
+          while (i < a.ordinals.length && !anyNull) {
+            if (row.isNullAt(a.ordinals(i))) anyNull = true
+            else key(i) =
+              Snapshots.v2NormKey(row.get(a.ordinals(i), a.dts(i)))
+            i += 1
+          }
+          !anyNull && a.keys.contains(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(key))
+        }
+      }
+  }
 
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = {
@@ -525,7 +685,9 @@ private[graft] final class SnapshotReaderFactory(
       private val it = slice.files.iterator
         .flatMap { fs =>
           SnapshotReaderFactory.filesOpened.incrementAndGet()
-          readFunc(fs.path, fs.start, fs.len, fs.fileSize, slice.idRow)
+          if (fs.hasDeletes) liveRows(fs, slice.idRow)
+          else readFunc(fs.path, fs.start, fs.len, fs.fileSize,
+            slice.idRow)
         }
       private var cur: InternalRow = _
       override def next(): Boolean =

@@ -492,6 +492,172 @@ class SnapshotSpjSpec extends SparkSpec {
     }
   }
 
+  test("MIXED layout (identity + bucket) reports KeyGroupedPartitioning: join on both keys, zero Exchange") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    // the standard 100 TB fact layout: identity date/tenant dir THEN
+    // a bucket transform - previously this fell to UnknownPartitioning
+    spark.sql(s"CREATE TABLE $cat.db.ml (doc_id BIGINT, " +
+      "n_chars BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang, bucket(4, doc_id))")
+    spark.sql(s"CREATE TABLE $cat.db.mr (doc_id BIGINT, " +
+      "quality DOUBLE, lang STRING) " +
+      "PARTITIONED BY (lang, bucket(4, doc_id))")
+    val docs = Tables.t(spark, sf, "documents")
+    docs.select("doc_id", "n_chars", "lang")
+      .createOrReplaceTempView("spj_mx_l")
+    docs.select(col("doc_id"), (col("n_chars") % 97).cast("double")
+      .as("quality"), col("lang"))
+      .createOrReplaceTempView("spj_mx_r")
+    spark.sql(s"INSERT INTO $cat.db.ml SELECT * FROM spj_mx_l")
+    spark.sql(s"INSERT INTO $cat.db.mr SELECT * FROM spj_mx_r")
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(s"SELECT l.doc_id AS id, l.n_chars AS nc, " +
+        s"r.quality AS q FROM $cat.db.ml l JOIN $cat.db.mr r " +
+        "ON l.lang = r.lang AND l.doc_id = r.doc_id")
+      val plan = executedPlan(j)
+      assert(plan.contains("graft-snapshot spj"), plan)
+      assert(!plan.contains("Exchange"),
+        s"mixed-layout storage-partitioned join shuffled:\n$plan")
+      assert(j.count() === docs.count())
+      assert(j.agg(sum("id"), sum("nc"), sum("q")).head() ===
+        docs.select(col("doc_id").as("id"), col("n_chars").as("nc"),
+          (col("n_chars") % 97).cast("double").as("q"))
+          .agg(sum("id"), sum("nc"), sum("q")).head())
+      // point lookups prune through BOTH layers: identity dir + stats
+      val one = spark.sql(s"SELECT count(*) FROM $cat.db.ml " +
+        "WHERE lang = 'en'")
+      assert(one.head.getLong(0) ===
+        docs.filter(col("lang") === "en").count())
+    }
+  }
+
+  test("runtime filtering on IDENTITY partitions: a dim-filtered join opens fewer fact files") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.fact (doc_id BIGINT, " +
+      "n_chars BIGINT, lang STRING) PARTITIONED BY (lang)")
+    spark.sql(s"CREATE TABLE $cat.db.dim (lang STRING, tier INT)")
+    val docs = Tables.t(spark, sf, "documents")
+    docs.select("doc_id", "n_chars", "lang")
+      .createOrReplaceTempView("spj_rf_fact")
+    docs.select("lang").distinct()
+      .withColumn("tier", length(col("lang")))
+      .createOrReplaceTempView("spj_rf_dim")
+    spark.sql(s"INSERT INTO $cat.db.fact SELECT * FROM spj_rf_fact")
+    spark.sql(s"INSERT INTO $cat.db.dim SELECT * FROM spj_rf_dim")
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true") {
+      val expect = docs.filter(col("lang") === "en").count()
+      graft.io.SnapshotReaderFactory.filesOpened.set(0L)
+      val fullOpened = {
+        spark.sql(s"SELECT doc_id FROM $cat.db.fact").collect()
+        graft.io.SnapshotReaderFactory.filesOpened.get()
+      }
+      graft.io.SnapshotReaderFactory.filesOpened.set(0L)
+      val got = spark.sql(
+        s"SELECT f.doc_id FROM $cat.db.fact f JOIN $cat.db.dim d " +
+          "ON f.lang = d.lang WHERE d.lang = 'en'").count()
+      val joinOpened = graft.io.SnapshotReaderFactory.filesOpened.get()
+      assert(got === expect)
+      // the fact side must open fewer files than the full scan: the
+      // dim's runtime IN-set drops whole identity partitions
+      assert(joinOpened < fullOpened,
+        s"identity runtime filter pruned nothing: $joinOpened vs $fullOpened")
+    }
+  }
+
+  test("merge-on-read tables keep SPJ: a DV-bearing bucketed table joins Exchange-free, rows exact") {
+    val (cat, wh) = freshCatalog()
+    setupTables(cat)
+    // kill some order rows via positional (mor) deletes AND an
+    // equality delete - the table now carries live delete files
+    val ordPath = s"$wh/db/ord"
+    Snapshots.deleteWhere(spark, ordPath,
+      col("o_totalprice") < 50000.0, mode = "mor")
+    Snapshots.deleteKeysEq(spark, ordPath,
+      Tables.t(spark, sf, "orders")
+        .filter(col("o_orderkey") % 9 === 0).select("o_orderkey"),
+      Seq("o_orderkey"))
+    val expect = Tables.t(spark, sf, "orders")
+      .filter(!(col("o_totalprice") < 50000.0) &&
+        col("o_orderkey") % 9 =!= 0)
+      .join(Tables.t(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)), sum("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(28,2)"))).head()
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(joinSql(cat))
+      val p = executedPlan(df)
+      assert(p.contains("graft-snapshot spj"), p)
+      assert(!p.contains("Exchange"),
+        s"DV-bearing storage-partitioned join planned a shuffle:\n$p")
+      val got = spark.sql(
+        s"SELECT count(*), sum(o.o_orderkey), " +
+          s"sum(CAST(o.o_totalprice AS DECIMAL(28,2))) " +
+          s"FROM $cat.db.ord o JOIN $cat.db.cust c " +
+          "ON o.o_custkey = c.c_custkey").head()
+      assert(got === expect)
+    }
+    // aggregate pushdown REFUSES on delete-bearing tables (manifest
+    // stats count deleted rows) - yet answers exactly from the scan
+    val agg = spark.sql(s"SELECT count(*) AS n FROM $cat.db.ord")
+    assert(!agg.queryExecution.executedPlan.toString
+      .contains("manifest-agg"))
+    assert(agg.head.getLong(0) === Tables.t(spark, sf, "orders")
+      .filter(!(col("o_totalprice") < 50000.0) &&
+        col("o_orderkey") % 9 =!= 0).count())
+  }
+
+  test("delete sliver past the shipping budget falls back to V1 (distributed anti-joins), rows exact") {
+    val (cat, wh) = freshCatalog()
+    setupTables(cat)
+    Snapshots.deleteWhere(spark, s"$wh/db/ord",
+      col("o_totalprice") < 50000.0, mode = "mor")
+    val expected = Tables.t(spark, sf, "orders")
+      .filter(!(col("o_totalprice") < 50000.0)).count()
+    withConfs("spark.graft.snapshot.v2.maxDeleteBytes" -> "1") {
+      val df = spark.sql(s"SELECT * FROM $cat.db.ord")
+      assert(!df.queryExecution.executedPlan.toString
+        .contains("graft-snapshot spj"))
+      assert(df.count() === expected)
+    }
+    // and within budget the SAME table reads via DSv2, same answer
+    val v2 = spark.sql(s"SELECT * FROM $cat.db.ord")
+    assert(v2.queryExecution.executedPlan.toString
+      .contains("graft-snapshot spj"))
+    assert(v2.count() === expected)
+  }
+
+  test("in-scan deletes compose with column pruning and filters (key columns pruned away)") {
+    val (cat, wh) = freshCatalog()
+    setupTables(cat)
+    // equality delete keyed on o_orderkey; the query then SELECTs
+    // only o_custkey with a filter - the scan must still read the
+    // key column internally and never leak it into the output
+    Snapshots.deleteKeysEq(spark, s"$wh/db/ord",
+      Tables.t(spark, sf, "orders")
+        .filter(col("o_orderkey") % 3 === 0).select("o_orderkey"),
+      Seq("o_orderkey"))
+    val df = spark.sql(s"SELECT o_custkey FROM $cat.db.ord " +
+      "WHERE o_totalprice > 1000.0")
+    assert(df.queryExecution.executedPlan.toString
+      .contains("graft-snapshot spj"))
+    assert(df.columns.toSeq === Seq("o_custkey"))
+    val expect = Tables.t(spark, sf, "orders")
+      .filter(col("o_orderkey") % 3 =!= 0 &&
+        col("o_totalprice") > 1000.0)
+      .agg(count(lit(1)), sum("o_custkey")).head()
+    assert(df.agg(count(lit(1)), sum("o_custkey")).head() === expect)
+  }
+
   test("aggregate pushdown is EXACT past 2^53: snowflake-scale bigint bounds never transit Double") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")
