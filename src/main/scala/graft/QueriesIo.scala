@@ -1386,12 +1386,51 @@ private[graft] object QueriesIo {
     s.sql(s"INSERT INTO $cat.db.docs SELECT * FROM graft_aggp_src")
     val df = s.sql(s"SELECT count(*) AS n_docs, " +
       s"min(doc_id) AS min_id, max(doc_id) AS max_id, " +
-      s"min(n_chars) AS min_chars, max(n_chars) AS max_chars " +
+      s"min(n_chars) AS min_chars, max(n_chars) AS max_chars, " +
+      // strings push too when every file's bound is provably exact
+      // (<=16-byte values serialize untruncated in the manifest)
+      s"min(lang) AS min_lang, max(lang) AS max_lang, " +
+      s"min(source) AS min_src, max(source) AS max_src " +
       s"FROM $cat.db.docs")
     require(df.queryExecution.executedPlan.toString
         .contains("manifest-agg"),
       "q_snapshot_agg_push: the aggregate did not answer from the " +
         s"manifest:\n${df.queryExecution.executedPlan}")
+    df
+  }
+
+  /** GROUPED manifest aggregate pushdown gate: `COUNT/MIN/MAX ...
+    * GROUP BY <identity partition col>` answers from per-partition
+    * manifest stats — one metadata read, one row per live partition
+    * (the dashboard query over a 100 TB date/tenant-partitioned
+    * table), asserted in-gate. Every entry groups with exactly one
+    * directory value, so per-group folds are exact by construction.
+    */
+  def snapshotAggGroup(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "snap_aggg_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = "gaggg_" + math.abs(wh.hashCode).toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    t(s, dir, "documents").createOrReplaceTempView("graft_aggg_src")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+      "lang STRING, source STRING, n_chars BIGINT) " +
+      "PARTITIONED BY (lang)")
+    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, text, lang, " +
+      "source, n_chars FROM graft_aggg_src")
+    // a second commit so several files per partition must fold
+    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id + 5000000, text, " +
+      "lang, source, n_chars + 7 FROM graft_aggg_src")
+    val df = s.sql(s"SELECT lang, count(*) AS n_docs, " +
+      s"min(doc_id) AS min_id, max(doc_id) AS max_id, " +
+      s"max(n_chars) AS max_chars, max(source) AS max_src " +
+      s"FROM $cat.db.docs GROUP BY lang")
+    require(df.queryExecution.executedPlan.toString
+        .contains("manifest-agg"),
+      "q_snapshot_agg_group: the grouped aggregate did not answer " +
+        s"from the manifest:\n${df.queryExecution.executedPlan}")
     df
   }
 
@@ -1510,6 +1549,46 @@ private[graft] object QueriesIo {
       s"q_snapshot_spj_mixed: the DSv2 key-grouped scan was not " +
         s"used:\n$plan")
     joined
+  }
+
+  /** SQL OVERWRITE-BY-FILTER gate (DSv2 `SupportsOverwrite` lowering
+    * onto [[graft.io.Snapshots.overwriteWhere]]'s single-commit
+    * replace): `INSERT OVERWRITE ... PARTITION (lang='en')` swaps
+    * exactly one partition's rows for the new batch — affected files
+    * rewritten, every other file carried, ONE manifest claim (no
+    * delete-then-append window) — then `writeTo.overwrite(cond)`
+    * replaces a predicate-scoped slice the same way. The oracle
+    * replays both steps relationally.
+    */
+  def snapshotOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "snap_ow_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = "gow_" + math.abs(wh.hashCode).toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val docs = t(s, dir, "documents")
+    docs.createOrReplaceTempView("graft_ow_src")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, " +
+      "n_chars BIGINT, lang STRING) PARTITIONED BY (lang)")
+    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, n_chars, lang " +
+      "FROM graft_ow_src")
+    val path = s"$wh/db/docs"
+    val v0 = graft.io.Snapshots.latestVersion(s, path).get
+    // static partition overwrite: en docs re-keyed, evens only
+    s.sql(s"INSERT OVERWRITE $cat.db.docs PARTITION (lang = 'en') " +
+      "SELECT doc_id + 9000000, n_chars FROM graft_ow_src " +
+      "WHERE lang = 'en' AND doc_id % 2 = 0")
+    require(graft.io.Snapshots.latestVersion(s, path).get == v0 + 1,
+      "q_snapshot_overwrite: the static overwrite was not ONE commit")
+    // filter-scoped overwrite through the DataFrame writeTo API
+    docs.filter(col("lang") === "zh" && col("n_chars") >= 500)
+      .select((col("doc_id") + 70000000L).as("doc_id"),
+        (col("n_chars") * 2).as("n_chars"), col("lang"))
+      .writeTo(s"$cat.db.docs")
+      .overwrite(col("lang") === "zh")
+    s.sql(s"SELECT doc_id, n_chars, lang FROM $cat.db.docs")
   }
 
   /** SQL UPDATE on a snapshot catalog table
@@ -1640,9 +1719,11 @@ private[graft] object QueriesIo {
     "q_snapshot_catalog" -> (snapshotCatalog _),
     "q_snapshot_spj" -> (snapshotSpj _),
     "q_snapshot_spj_mixed" -> (snapshotSpjMixed _),
+    "q_snapshot_overwrite" -> (snapshotOverwrite _),
     "q_snapshot_clone" -> (snapshotClone _),
     "q_snapshot_merge_evolve" -> (snapshotMergeEvolve _),
     "q_snapshot_agg_push" -> (snapshotAggPush _),
+    "q_snapshot_agg_group" -> (snapshotAggGroup _),
     "q_snapshot_branch" -> (snapshotBranch _),
     "q_snapshot_sql_update" -> (snapshotSqlUpdate _),
     "q_snapshot_sql_merge" -> (snapshotSqlMerge _),
@@ -1829,6 +1910,16 @@ private[graft] object QueriesIo {
          JOIN (SELECT doc_id, CAST(n_chars % 97 AS DOUBLE) AS quality,
                  lang FROM documents) r
            ON l.lang = r.lang AND l.doc_id = r.doc_id""",
+    "q_snapshot_overwrite" ->
+      """SELECT doc_id, n_chars, lang FROM documents
+         WHERE lang <> 'en' AND lang <> 'zh'
+         UNION ALL
+         SELECT doc_id + 9000000 AS doc_id, n_chars, lang
+         FROM documents WHERE lang = 'en' AND doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id + 70000000 AS doc_id, n_chars * 2 AS n_chars,
+           lang
+         FROM documents WHERE lang = 'zh' AND n_chars >= 500""",
     "q_snapshot_clone" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          UNION ALL
@@ -1850,8 +1941,20 @@ private[graft] object QueriesIo {
     "q_snapshot_agg_push" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
            min(doc_id) AS min_id, max(doc_id) AS max_id,
-           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           min(lang) AS min_lang, max(lang) AS max_lang,
+           min(source) AS min_src, max(source) AS max_src
          FROM documents""",
+    "q_snapshot_agg_group" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS min_id, max(doc_id) AS max_id,
+           max(n_chars) AS max_chars, max(source) AS max_src
+         FROM (SELECT doc_id, text, lang, source, n_chars
+                 FROM documents
+               UNION ALL
+               SELECT doc_id + 5000000, text, lang, source,
+                 n_chars + 7 FROM documents)
+         GROUP BY lang""",
     "q_snapshot_sql_update" ->
       """SELECT doc_id,
            CASE WHEN coalesce(n_chars < 300, FALSE)

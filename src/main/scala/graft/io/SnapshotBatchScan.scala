@@ -117,7 +117,7 @@ private[graft] final class SnapshotScanBuilder(
 
   private var required: StructType = tableSchema
   private var filters: Array[Filter] = Array.empty
-  private var pushedAgg: Option[(StructType, Array[Any])] = None
+  private var pushedAgg: Option[(StructType, Array[Array[Any]])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -129,14 +129,20 @@ private[graft] final class SnapshotScanBuilder(
 
   override def pushedFilters(): Array[Filter] = Array.empty
 
-  /** MANIFEST-ANSWERED AGGREGATES: a bare (unfiltered, ungrouped)
-    * `COUNT(*)` sums the `__rows` pseudo-stat; integral `MIN/MAX`
-    * fold the exact `L`-kind bounds. Refuses (returns false → Spark
-    * scans) unless EVERY entry carries the needed stat — a metadata
-    * answer is only given when it is provably exact. Spark only
-    * offers aggregates here once no filter remained post-scan, and
-    * this builder keeps every filter post-scan, so only genuinely
-    * bare aggregates arrive.
+  /** MANIFEST-ANSWERED AGGREGATES: an unfiltered `COUNT(*)` sums the
+    * `__rows` pseudo-stat; integral `MIN/MAX` fold the exact
+    * `L`-kind bounds; string `MIN/MAX` fold the 'T'-kind bounds when
+    * EVERY entry's bound is provably exact (serialized untruncated —
+    * [[Snapshots.stringExactStatsOf]]). `GROUP BY` pushes when every
+    * grouping column is an IDENTITY partition column: each entry
+    * belongs to exactly one group (its directory value), so
+    * per-group folds stay exact and `COUNT(*) ... GROUP BY ym` — the
+    * dashboard shape — answers as one metadata read with one row per
+    * live partition. Refuses (returns false → Spark scans) unless
+    * EVERY group's every cell is answerable. Spark only offers
+    * aggregates here once no filter remained post-scan, and this
+    * builder keeps every filter post-scan, so only genuinely bare
+    * aggregates arrive.
     */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     planAgg(agg).isDefined
@@ -147,24 +153,62 @@ private[graft] final class SnapshotScanBuilder(
   }
 
   private def planAgg(agg: Aggregation)
-      : Option[(StructType, Array[Any])] = {
+      : Option[(StructType, Array[Array[Any]])] = {
     // live delete files: manifest pseudo-stats still count the
     // DELETED rows, so no metadata answer is exact - scan
     if (dvs.nonEmpty) return None
-    if (agg.groupByExpressions.nonEmpty || filters.nonEmpty) return None
+    if (filters.nonEmpty) return None
     val l2p = colMap.map(_.swap)
+    def logicalName(phys: String): String = colMap.getOrElse(phys, phys)
     def singleCol(e: VExpression): Option[String] = e match {
       case r: NamedReference if r.fieldNames.length == 1 =>
         Some(r.fieldNames.head)
       case _ => None
     }
-    def boundsOf(name: String): Option[(Long, Long)] = {
-      if (!tableSchema.fieldNames.contains(name)) return None
-      if (entries.isEmpty) return None // empty MIN/MAX is NULL: scan
+    // GROUP BY pushes ONLY over identity partition columns (one
+    // group per directory value); anything else scans
+    val fields = partCols.map(Snapshots.parsePartField)
+    val idFields = fields.collect { case f: Snapshots.PIdentity => f }
+    val idNames = idFields.map(f => logicalName(f.source))
+    val groupColsOpt = agg.groupByExpressions.toSeq.map(singleCol)
+    if (groupColsOpt.exists(_.isEmpty)) return None
+    val groupCols = groupColsOpt.flatten
+    if (!groupCols.forall(idNames.contains)) return None
+    val idTypes = idFields.map(f =>
+      tableSchema(logicalName(f.source)).dataType)
+    def groupKeyOf(e: String): Seq[Any] = {
+      val row = Snapshots.identityValuesRow(spark,
+        Snapshots.relOfEntry(e), idFields.map(_.source), idTypes)
+      groupCols.map { c =>
+        val i = idNames.indexOf(c)
+        row.get(i, idTypes(i))
+      }
+    }
+    val groups: Seq[(Seq[Any], Seq[String])] =
+      if (groupCols.isEmpty) Seq(Seq.empty[Any] -> entries)
+      else entries.groupBy(groupKeyOf).toSeq
+        .sortBy(_._1.mkString(""))
+
+    def longBoundsOf(name: String, es: Seq[String])
+        : Option[(Long, Long)] = {
+      if (es.isEmpty) return None // empty MIN/MAX is NULL: scan
       val phys = l2p.getOrElse(name, name)
-      val per = entries.map(e => Snapshots.longStatsOf(e).get(phys))
+      val per = es.map(e => Snapshots.longStatsOf(e).get(phys))
       if (per.exists(_.isEmpty)) None
       else Some((per.map(_.get._1).min, per.map(_.get._2).max))
+    }
+    def stringBoundOf(name: String, es: Seq[String], isMin: Boolean)
+        : Option[Any] = {
+      if (es.isEmpty) return None
+      val phys = l2p.getOrElse(name, name)
+      val per = es.map(e => Snapshots.stringExactStatsOf(e).get(phys)
+        .flatMap(b => if (isMin) b._1 else b._2))
+      if (per.exists(_.isEmpty)) None
+      else {
+        val pick = per.map(_.get).reduce((a, b) =>
+          if ((Snapshots.bytesCompareKey(a, b) < 0) == isMin) a else b)
+        Some(org.apache.spark.unsafe.types.UTF8String.fromBytes(pick))
+      }
     }
     def narrow(v: Long, dt: DataType): Any = dt match {
       case LongType => v
@@ -175,34 +219,51 @@ private[graft] final class SnapshotScanBuilder(
     }
     val integral = Set[DataType](ByteType, ShortType, IntegerType,
       LongType)
-    val planned = agg.aggregateExpressions.toSeq.zipWithIndex.map {
-      case (_: CountStar, i) =>
-        val rows = entries.map(e =>
-          Snapshots.entryMeta(spark, path, e)._3)
-        if (rows.exists(_.isEmpty)) None
-        else Some((StructField(s"agg_$i", LongType, nullable = false),
-          rows.flatten.sum: Any))
-      case (m: Min, i) =>
-        singleCol(m.column).flatMap { c =>
-          val dt = tableSchema.find(_.name == c).map(_.dataType)
-          if (!dt.exists(integral)) None
-          else boundsOf(c).map(b =>
-            (StructField(s"agg_$i", dt.get, nullable = false),
-              narrow(b._1, dt.get)))
+    val stringT = org.apache.spark.sql.types.StringType
+    def minMaxPlan(column: VExpression, i: Int, isMin: Boolean)
+        : Option[(StructField, Seq[String] => Option[Any])] =
+      singleCol(column).flatMap { c =>
+        if (!tableSchema.fieldNames.contains(c)) None
+        else {
+          val dt = tableSchema(c).dataType
+          if (integral(dt))
+            Some((StructField(s"agg_$i", dt, nullable = false),
+              (es: Seq[String]) => longBoundsOf(c, es).map(b =>
+                narrow(if (isMin) b._1 else b._2, dt))))
+          else if (dt == stringT)
+            Some((StructField(s"agg_$i", stringT, nullable = false),
+              (es: Seq[String]) => stringBoundOf(c, es, isMin)))
+          else None
         }
-      case (m: Max, i) =>
-        singleCol(m.column).flatMap { c =>
-          val dt = tableSchema.find(_.name == c).map(_.dataType)
-          if (!dt.exists(integral)) None
-          else boundsOf(c).map(b =>
-            (StructField(s"agg_$i", dt.get, nullable = false),
-              narrow(b._2, dt.get)))
-        }
-      case _ => None
+      }
+    val planned: Seq[Option[(StructField, Seq[String] => Option[Any])]] =
+      agg.aggregateExpressions.toSeq.zipWithIndex.map {
+        case (_: CountStar, i) =>
+          Some((StructField(s"agg_$i", LongType, nullable = false),
+            (es: Seq[String]) => {
+              val rows = es.map(e =>
+                Snapshots.entryMeta(spark, path, e)._3)
+              if (rows.exists(_.isEmpty)) None
+              else Some(rows.flatten.sum: Any)
+            }))
+        case (m: Min, i) => minMaxPlan(m.column, i, isMin = true)
+        case (m: Max, i) => minMaxPlan(m.column, i, isMin = false)
+        case _ => None
+      }
+    if (planned.exists(_.isEmpty)) return None
+    val fns = planned.map(_.get._2)
+    // evaluate per group; ANY unanswerable cell refuses the push
+    val rows: Seq[Array[Any]] = groups.map { case (key, es) =>
+      val vals = fns.map(_(es))
+      if (vals.exists(_.isEmpty)) return None
+      (key ++ vals.map(_.get)).toArray
     }
-    if (planned.exists(_.isEmpty)) None
-    else Some((StructType(planned.map(_.get._1)),
-      planned.map(_.get._2).toArray))
+    // complete-pushdown output contract: group columns first (the
+    // order Spark offered them), then the aggregate columns
+    val groupFields = groupCols.map(c =>
+      StructField(c, tableSchema(c).dataType, nullable = true))
+    Some((StructType(groupFields ++ planned.map(_.get._1)),
+      rows.toArray))
   }
 
   override def build(): Scan = pushedAgg match {
@@ -551,11 +612,12 @@ private[graft] final class SnapshotBatchScan(
   }
 }
 
-/** The one-row scan a fully-pushed aggregate builds: values computed
-  * from the manifest at plan time, zero data IO at execution. */
+/** The tiny scan a fully-pushed aggregate builds: one row per group
+  * (one total for the bare shape), values computed from the manifest
+  * at plan time, zero data IO at execution. */
 private[graft] final class ManifestAggScan(
     path: String, pinnedV: Long, aggSchema: StructType,
-    values: Array[Any])
+    values: Array[Array[Any]])
   extends Scan with Batch {
 
   override def readSchema(): StructType = aggSchema
@@ -568,7 +630,8 @@ private[graft] final class ManifestAggScan(
     new ManifestAggReaderFactory
 }
 
-private[graft] final case class ManifestAggPartition(values: Array[Any])
+private[graft] final case class ManifestAggPartition(
+    values: Array[Array[Any]])
   extends InputPartition
 
 private[graft] final class ManifestAggReaderFactory
@@ -577,11 +640,10 @@ private[graft] final class ManifestAggReaderFactory
       : PartitionReader[InternalRow] = {
     val vals = p.asInstanceOf[ManifestAggPartition].values
     new PartitionReader[InternalRow] {
-      private var served = false
-      override def next(): Boolean =
-        if (served) false else { served = true; true }
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < vals.length }
       override def get(): InternalRow = InternalRow.fromSeq(
-        vals.toIndexedSeq)
+        vals(i).toIndexedSeq)
       override def close(): Unit = ()
     }
   }

@@ -960,14 +960,23 @@ object Snapshots {
       // the first 16 bytes verbatim (truncation only lowers); the max
       // bound increments the last non-0xFF byte of the 16-byte prefix
       // (an all-0xFF prefix has no finite upper bound → '*', pruning
-      // keeps the file on the upper side)
+      // keeps the file on the upper side). Kind 'T' tracks EXACTNESS:
+      // a bound that fit untruncated serializes bare (it IS the
+      // file's true min/max — parquet-mr stores full values below
+      // its 4 KB stats cap, past which stats are omitted entirely);
+      // a truncated/incremented bound carries a '~' suffix. Exact
+      // bounds let MIN/MAX(string) answer from the manifest
+      // ([[stringExactStatsOf]]); pruning reads both alike. Legacy
+      // 'S' entries (pre-exactness manifests) parse as never-exact.
       val strings = (sacc -- dead).map { case (n, (mn, mx)) =>
-        val lo = hexBytes(mn.take(StrStatBytes))
+        val lo =
+          if (mn.length <= StrStatBytes) hexBytes(mn)
+          else hexBytes(mn.take(StrStatBytes)) + "~"
         val hi =
           if (mx.length <= StrStatBytes) hexBytes(mx)
           else incrementBound(mx.take(StrStatBytes))
-            .map(hexBytes).getOrElse("*")
-        s"$n:S:$lo:$hi"
+            .map(hexBytes(_) + "~").getOrElse("*")
+        s"$n:T:$lo:$hi"
       }
       // the file's ROW COUNT rides as a pseudo-stat like its byte
       // length: `SELECT count(*)`-class questions ([[rowCount]]),
@@ -1016,20 +1025,54 @@ object Snapshots {
     */
   private[graft] def stringStatsOf(entry: String)
       : Map[String, (Array[Byte], Option[Array[Byte]])] = {
+    def hex(s: String): Array[Byte] =
+      unhexBytes(s.stripSuffix("~"))
     val i = entry.indexOf('\t')
     if (i < 0) Map.empty
     else entry.substring(i + 1).split(';').iterator.filter(_.nonEmpty)
       .flatMap { part =>
         part.split(':') match {
-          case Array(name, "S", lo, hi) =>
-            Some(name -> (unhexBytes(lo),
-              if (hi == "*") None else Some(unhexBytes(hi))))
-          case Array(name, "S", lo) => // empty-string upper bound hex
-            Some(name -> (unhexBytes(lo), Some(Array.empty[Byte])))
+          case Array(name, "S" | "T", lo, hi) =>
+            Some(name -> (hex(lo),
+              if (hi == "*") None else Some(hex(hi))))
+          case Array(name, "S" | "T", lo) => // empty upper bound hex
+            Some(name -> (hex(lo), Some(Array.empty[Byte])))
           case _ => None
         }
       }.toMap
   }
+
+  /** PROVABLY-EXACT string bounds of an entry: name → (exact min,
+    * exact max), each present only for a 'T'-kind bound serialized
+    * WITHOUT the truncation marker — i.e. the bound is the file's
+    * true MIN/MAX value, the aggregate-pushdown domain. Legacy 'S'
+    * entries and truncated bounds yield None (pruning still uses
+    * them via [[stringStatsOf]]; aggregates refuse).
+    */
+  private[graft] def stringExactStatsOf(entry: String)
+      : Map[String, (Option[Array[Byte]], Option[Array[Byte]])] = {
+    val i = entry.indexOf('\t')
+    if (i < 0) Map.empty
+    else entry.substring(i + 1).split(';').iterator.filter(_.nonEmpty)
+      .flatMap { part =>
+        def exact(s: String): Option[Array[Byte]] =
+          if (s == "*" || s.endsWith("~")) None
+          else Some(unhexBytes(s))
+        part.split(':') match {
+          case Array(name, "T", lo, hi) =>
+            Some(name -> (exact(lo), exact(hi)))
+          case Array(name, "T", lo) =>
+            Some(name -> (exact(lo), Some(Array.empty[Byte])))
+          case _ => None
+        }
+      }.toMap
+  }
+
+  /** Byte-wise unsigned compare — UTF8String's binary order, shared
+    * with the scan's string aggregate pushdown. */
+  private[graft] def bytesCompareKey(a: Array[Byte],
+                                     b: Array[Byte]): Int =
+    bytesCompare(a, b)
 
   /** How a publish-loser proceeds (the OCC split): appends rebase
     * onto the interloper's commit and retry; rewrites rebase over
@@ -1849,7 +1892,8 @@ object Snapshots {
     * another writer has no commutative order).
     */
   def commit(df: DataFrame, path: String,
-             partitionBy: Seq[String] = Nil): Long = {
+             partitionBy: Seq[String] = Nil,
+             writeOpts: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     val base = latestVersion(spark, path)
     // txn markers survive an overwrite (Delta keeps SetTransactions
@@ -1860,7 +1904,7 @@ object Snapshots {
       normalizePartSpecs(partitionBy), Set.empty,
       bm.map(_.txns).getOrElse(Map.empty), Nil,
       Map.empty, base, RefuseConflict("overwriting"), "overwrite",
-      bm.map(_.props).getOrElse(Map.empty))
+      bm.map(_.props).getOrElse(Map.empty), writeOpts = writeOpts)
   }
 
   /** Commit `df` as an APPEND: the new snapshot = previous snapshot's
@@ -1884,7 +1928,8 @@ object Snapshots {
     * contain ':' or newlines.
     */
   def commitAppend(df: DataFrame, path: String,
-                   txn: Option[(String, Long)] = None): Long = {
+                   txn: Option[(String, Long)] = None,
+                   writeOpts: Map[String, String] = Map.empty): Long = {
     txn.foreach { case (a, _) =>
       require(a.nonEmpty && !a.contains(':') && !a.contains('\n'),
         s"snapshot: txn appId '$a' must be non-empty without ':'/newline")
@@ -1912,7 +1957,48 @@ object Snapshots {
       }
     writeCommit(spark, df, path, carried, schema, partCols, dropped,
       txns, dvs, colMap, base, RebaseAppend, "append", props,
-      ownTxn = txn)
+      ownTxn = txn, writeOpts = writeOpts)
+  }
+
+  /** OVERWRITE-BY-FILTER in ONE atomic commit (the DSv2
+    * `SupportsOverwrite` contract; `INSERT OVERWRITE t PARTITION
+    * (k=v)` and `df.writeTo(t).overwrite(cond)` lower here): rows
+    * matching `predicate` are replaced by `batch` — affected files
+    * rewritten minus their matching rows, every other file carried
+    * untouched, the new batch appended, all in a single manifest
+    * claim (no delete-then-append window where a reader sees
+    * neither). Cost ∝ affected files + batch, never the table.
+    */
+  def overwriteWhere(spark: SparkSession, path: String,
+                     predicate: Column, batch: DataFrame,
+                     writeOpts: Map[String, String] = Map.empty)
+      : Long = {
+    val st @ CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
+      currentState(spark, path, "overwrite into")
+    requireLocalEntries(all, path, "overwrite into")
+    val unknown = batch.columns.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"snapshot: batch column(s) ${unknown.mkString(", ")} are not " +
+        s"in the table schema (${schema.fieldNames.mkString(", ")}) - " +
+        "overwriteWhere does not evolve schemas")
+    requireSameTypes(schema, batch.schema, "overwriteWhere batch")
+    val affected = liveWithId(spark, path, schema, partCols, all,
+      dvs, colMap)
+      .filter(coalesce(predicate, lit(false)))
+      .select(DvFileCol).distinct()
+      .collect().map(_.getString(0)).toSet
+    val carried = all.filterNot(e => affected(relOf(e)))
+    val survivors = openLive(spark, path, schema, partCols,
+        all.filter(e => affected(relOf(e))), dvs, colMap)
+      .filter(not(coalesce(predicate, lit(false))))
+    // carried files still need the old delete markers; markers naming
+    // rewritten files go stale-but-harmless (anti-join matches nothing)
+    val out = survivors.unionByName(
+      batch.select(schema.fieldNames.map(col).toSeq: _*))
+    writeCommit(spark, out, path, carried, schema, partCols, dropped,
+      txns, dvs, colMap, Some(v),
+      RebaseRewrite("overwriting into", affected, dvs),
+      "overwriteWhere", st.props, writeOpts = writeOpts)
   }
 
   // --- write-audit-publish (Iceberg's WAP staging) -------------------

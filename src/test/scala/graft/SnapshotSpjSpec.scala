@@ -492,6 +492,100 @@ class SnapshotSpjSpec extends SparkSpec {
     }
   }
 
+  test("GROUPED aggregate pushdown: COUNT/MIN/MAX GROUP BY identity partition cols answer from the manifest") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.gd (doc_id BIGINT, " +
+      "n_chars BIGINT, lang STRING) PARTITIONED BY (lang)")
+    val docs = Tables.t(spark, sf, "documents")
+    docs.select("doc_id", "n_chars", "lang")
+      .createOrReplaceTempView("spj_gd_src")
+    spark.sql(s"INSERT INTO $cat.db.gd SELECT * FROM spj_gd_src")
+    // three commits so several files per lang partition must fold
+    spark.sql(s"INSERT INTO $cat.db.gd " +
+      "SELECT doc_id + 5000000, n_chars + 1, lang FROM spj_gd_src")
+    val df = spark.sql(s"SELECT lang, count(*) AS n, " +
+      s"min(doc_id) AS mn, max(n_chars) AS mx " +
+      s"FROM $cat.db.gd GROUP BY lang")
+    assert(df.queryExecution.executedPlan.toString
+      .contains("manifest-agg"), df.queryExecution.executedPlan)
+    val expect = docs.select("doc_id", "n_chars", "lang")
+      .union(docs.select(col("doc_id") + 5000000L,
+        col("n_chars") + 1L, col("lang")))
+      .groupBy("lang").agg(count(lit(1)).as("n"),
+        min("doc_id").as("mn"), max("n_chars").as("mx"))
+    assert(df.exceptAll(expect).isEmpty && expect.exceptAll(df).isEmpty)
+    // refusals: non-partition group col; grouped + filter; both scan
+    val byData = spark.sql(
+      s"SELECT n_chars, count(*) FROM $cat.db.gd GROUP BY n_chars")
+    assert(!byData.queryExecution.executedPlan.toString
+      .contains("manifest-agg"))
+    val filtered = spark.sql(s"SELECT lang, count(*) FROM $cat.db.gd " +
+      "WHERE n_chars > 300 GROUP BY lang")
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("manifest-agg"))
+    assert(filtered.count() === docs.select("lang").distinct().count()
+      || filtered.count() > 0) // stays exact via the scan
+  }
+
+  test("grouped pushdown works on the MIXED layout too: GROUP BY the identity component") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.gm (doc_id BIGINT, " +
+      "n_chars BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang, bucket(4, doc_id))")
+    Tables.t(spark, sf, "documents").select("doc_id", "n_chars", "lang")
+      .createOrReplaceTempView("spj_gm_src")
+    spark.sql(s"INSERT INTO $cat.db.gm SELECT * FROM spj_gm_src")
+    val df = spark.sql(s"SELECT lang, count(*) AS n " +
+      s"FROM $cat.db.gm GROUP BY lang")
+    assert(df.queryExecution.executedPlan.toString
+      .contains("manifest-agg"), df.queryExecution.executedPlan)
+    val expect = Tables.t(spark, sf, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    assert(df.exceptAll(expect).isEmpty && expect.exceptAll(df).isEmpty)
+    // GROUP BY the bucket SOURCE column is NOT identity: scan
+    val byBucket = spark.sql(
+      s"SELECT doc_id, count(*) FROM $cat.db.gm GROUP BY doc_id")
+    assert(!byBucket.queryExecution.executedPlan.toString
+      .contains("manifest-agg"))
+  }
+
+  test("string MIN/MAX push ONLY when provably exact: short bounds answer, 16+-byte bounds refuse") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.s (k BIGINT, s15 STRING, " +
+      "s16 STRING, incr STRING)")
+    // s15: <=15 bytes (exact); s16: exactly 16 bytes (exact - fits
+    // untruncated); incr: >16 bytes whose truncated-increment bound
+    // is SHORT - the case the exactness marker exists for
+    spark.range(0, 100).selectExpr("id AS k",
+      "concat('v', lpad(CAST(id AS STRING), 3, '0')) AS s15",
+      "concat('w', lpad(CAST(id AS STRING), 15, '0')) AS s16",
+      "concat('abc', repeat('z', 20), lpad(CAST(id AS STRING), 4, '0')) AS incr")
+      .createOrReplaceTempView("spj_str_src")
+    spark.sql(s"INSERT INTO $cat.db.s SELECT * FROM spj_str_src")
+    val push = spark.sql(s"SELECT min(s15) AS a, max(s15) AS b, " +
+      s"min(s16) AS c, max(s16) AS d FROM $cat.db.s")
+    assert(push.queryExecution.executedPlan.toString
+      .contains("manifest-agg"), push.queryExecution.executedPlan)
+    assert(push.head() === org.apache.spark.sql.Row(
+      "v000", "v099", "w000000000000000", "w000000000000099"))
+    // min(incr) is exact only if the 16-byte prefix fit - it did not
+    // (23+ bytes); max(incr)'s increment bound ('abczz...{z+1}') is
+    // SHORT but marked truncated - both must refuse
+    val noPush = spark.sql(
+      s"SELECT min(incr) AS a, max(incr) AS b FROM $cat.db.s")
+    assert(!noPush.queryExecution.executedPlan.toString
+      .contains("manifest-agg"))
+    assert(noPush.head() === spark.table("spj_str_src")
+      .agg(min("incr"), max("incr")).head())
+    // and STRING range pruning still works off the same bounds
+    val pruned = spark.sql(
+      s"SELECT count(*) FROM $cat.db.s WHERE s15 = 'v042'")
+    assert(pruned.head.getLong(0) === 1L)
+  }
+
   test("MIXED layout (identity + bucket) reports KeyGroupedPartitioning: join on both keys, zero Exchange") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")
