@@ -106,6 +106,54 @@ object SpjProbe {
       s""""aligned_sec":$aSec,"shuffled_sec":$sSec,""" +
       s""""aligned_shuffle_bytes":$aBytes,""" +
       s""""shuffled_shuffle_bytes":$sBytes}""")
+
+    // --- SKEW phase: one hot key holds ~1/3 of the fact rows, so
+    // one bucket dwarfs the others. partiallyClusteredDistribution
+    // keeps the hot bucket's FILES as separate tasks (the scan emits
+    // per-file partitions with size/row stats) and replicates the
+    // other side over them - the skewed SPJ parallelizes instead of
+    // pinning one task, still with zero join Exchange.
+    spark.sql(s"CREATE TABLE $cat.db.skf (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"CREATE TABLE $cat.db.skd (k BIGINT, w DOUBLE) " +
+      "PARTITIONED BY (bucket(8, k))")
+    val n = Tables.t(spark, dir, "orders").count()
+    // four commits => four files per touched bucket (the split grain)
+    (0 until 4).foreach { i =>
+      spark.range(n / 8).selectExpr("CAST(7 AS BIGINT) AS k",
+          s"CAST(id + $i AS DOUBLE) AS v")
+        .union(spark.range(n / 8).selectExpr(
+          s"CAST(id % 1000 AS BIGINT) AS k",
+          s"CAST(id * 2 + $i AS DOUBLE) AS v"))
+        .createOrReplaceTempView("spjp_skf_src")
+      spark.sql(s"INSERT INTO $cat.db.skf SELECT * FROM spjp_skf_src")
+    }
+    spark.range(1000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS w")
+      .createOrReplaceTempView("spjp_skd_src")
+    spark.sql(s"INSERT INTO $cat.db.skd SELECT * FROM spjp_skd_src")
+    val skq = s"SELECT count(*) AS n, sum(f.v + d.w) AS s " +
+      s"FROM $cat.db.skf f JOIN $cat.db.skd d ON f.k = d.k"
+    def runSkew(partial: Boolean): (Double, Long, String) = {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing." +
+        "partiallyClusteredDistribution.enabled", partial.toString)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = spark.sql(skq)
+      val (row, sec) = timed(df.head())
+      (sec, row.getLong(0), df.queryExecution.executedPlan.toString)
+    }
+    val _ = runSkew(partial = false) // warm
+    val (offSec, offRows, offPlan) = runSkew(partial = false)
+    val (onSec, onRows, onPlan) = runSkew(partial = true)
+    require(offRows == onRows,
+      s"skew row mismatch: $offRows vs $onRows")
+    require(!offPlan.contains("ShuffleExchange") &&
+      !onPlan.contains("ShuffleExchange"),
+      "skewed SPJ planned a join shuffle")
+    println(s"""{"probe":"spj_skew","sf":"$dir","rows":$offRows,""" +
+      s""""grouped_sec":$offSec,"partially_clustered_sec":$onSec}""")
     spark.stop()
   }
 }

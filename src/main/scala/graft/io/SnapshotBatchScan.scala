@@ -464,19 +464,24 @@ private[graft] final class SnapshotBatchScan(
         posDeletes.getOrElse(rel, Array.empty), eqIdxFor(rel))
     }
     if (keyGrouped)
-      // one partition per distinct key tuple (bucket numbers ×
-      // identity values, field order): splitting within one would
-      // not parallelize further (Spark groups same-key partitions
-      // into one task to preserve the key-grouped distribution)
-      keptEntries.groupBy(e =>
-        keyRowOf(Snapshots.relOfEntry(e)).toSeq(keyTypes))
-        .toSeq.sortBy(_._1.mkString(""))
-        .map { case (_, es) =>
-          val rel0 = Snapshots.relOfEntry(es.head)
-          SnapshotInputPartition(keyRowOf(rel0),
-            if (idFields.isEmpty) empty else idRowOf(rel0),
-            es.map(sliceOf).toArray)
-        }.toArray
+      // one partition PER FILE, each carrying its key tuple (bucket
+      // numbers x identity values, field order): Spark groups
+      // same-key partitions into one task for the key-grouped
+      // distribution, and - under the partiallyClusteredDistribution
+      // conf - may instead keep a HOT key's files apart and
+      // replicate the other join side over them, so one skewed
+      // bucket no longer pins a single task at 100x. Per-partition
+      // size/row statistics ride along to inform that choice.
+      keptEntries.sortBy { e =>
+        val rel = Snapshots.relOfEntry(e)
+        keyRowOf(rel).toSeq(keyTypes).mkString("\u0001") + " " + rel
+      }.map { e =>
+        val rel = Snapshots.relOfEntry(e)
+        SnapshotInputPartition(keyRowOf(rel),
+          if (idFields.isEmpty) empty else idRowOf(rel),
+          Array(sliceOf(e)),
+          rowCount = Snapshots.entryMeta(spark, path, e)._3)
+      }.toArray
     else {
       // split at maxPartitionBytes boundaries, FileSourceScanExec's
       // granularity: each range reads the row groups whose midpoints
@@ -672,11 +677,22 @@ private[graft] final case class EqApply(
     keys: Set[Seq[Any]])
 
 private[graft] final case class SnapshotInputPartition(
-    keyRow: InternalRow, idRow: InternalRow, files: Array[FileSlice])
-  extends InputPartition with HasPartitionKey {
+    keyRow: InternalRow, idRow: InternalRow, files: Array[FileSlice],
+    rowCount: Option[Long] = None)
+  extends InputPartition with HasPartitionKey
+  with org.apache.spark.sql.connector.read.HasPartitionStatistics {
   // the key tuple in FIELD order (bucket ints + identity values) -
   // must match the transform order outputPartitioning reports
   override def partitionKey(): InternalRow = keyRow
+  // per-partition statistics feed the partially-clustered planner's
+  // skew decisions (which side's groups to keep apart)
+  override def sizeInBytes(): java.util.OptionalLong =
+    java.util.OptionalLong.of(files.map(_.len).sum)
+  override def numRows(): java.util.OptionalLong =
+    rowCount.map(java.util.OptionalLong.of)
+      .getOrElse(java.util.OptionalLong.empty())
+  override def filesCount(): java.util.OptionalLong =
+    java.util.OptionalLong.of(files.length.toLong)
 }
 
 private[graft] object SnapshotReaderFactory {

@@ -752,6 +752,56 @@ class SnapshotSpjSpec extends SparkSpec {
     assert(df.agg(count(lit(1)), sum("o_custkey")).head() === expect)
   }
 
+  test("partially-clustered distribution: a SKEWED bucketed join splits the hot bucket, stays exact, no Exchange") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.skf (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"CREATE TABLE $cat.db.skd (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    // hot key 7: half of all fact rows; three commits => three files
+    // in the hot bucket (the grain partially-clustered splits at)
+    (0 until 3).foreach { i =>
+      spark.range(0, 2000)
+        .selectExpr("CAST(7 AS BIGINT) AS k", s"id + $i AS v")
+        .union(spark.range(0, 2000)
+          .selectExpr("id % 40 AS k", s"id * 3 + $i AS v"))
+        .createOrReplaceTempView("spj_skf_src")
+      spark.sql(s"INSERT INTO $cat.db.skf SELECT * FROM spj_skf_src")
+    }
+    spark.range(0, 40).selectExpr("id AS k", "id * 7 AS w")
+      .createOrReplaceTempView("spj_skd_src")
+    spark.sql(s"INSERT INTO $cat.db.skd SELECT * FROM spj_skd_src")
+    val expect = {
+      val f = (0 until 3).map(i =>
+        spark.range(0, 2000)
+          .selectExpr("CAST(7 AS BIGINT) AS k", s"id + $i AS v")
+          .union(spark.range(0, 2000)
+            .selectExpr("id % 40 AS k", s"id * 3 + $i AS v")))
+        .reduce(_ union _)
+      val d = spark.range(0, 40).selectExpr("id AS k", "id * 7 AS w")
+      f.join(d, "k").agg(count(lit(1)), sum(expr("v + w"))).head()
+    }
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing." +
+        "partiallyClusteredDistribution.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(s"SELECT f.k AS k, f.v AS v, d.w AS w " +
+        s"FROM $cat.db.skf f JOIN $cat.db.skd d ON f.k = d.k")
+      val plan = executedPlan(j)
+      assert(plan.contains("graft-snapshot spj"), plan)
+      assert(!plan.contains("Exchange"),
+        s"partially-clustered skewed SPJ shuffled:\n$plan")
+      assert(j.agg(count(lit(1)), sum(expr("v + w"))).head() === expect)
+      // the hot bucket's files stay apart: strictly more input
+      // partitions than the 4 bucket groups
+      assert(j.rdd.getNumPartitions > 4,
+        s"hot bucket not split: ${j.rdd.getNumPartitions} partitions")
+    }
+  }
+
   test("aggregate pushdown is EXACT past 2^53: snowflake-scale bigint bounds never transit Double") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")
