@@ -376,14 +376,51 @@ private[graft] final class SnapshotBatchScan(
     */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (keyGrouped)
-      fields.map(f => Expressions.column(logicalName(f.source)))
-        .toArray
-    else Array.empty
+    // EVERY partitioned layout exposes its source columns: key-
+    // grouped scans prune typed key slots; time/truncate layouts
+    // prune through the manifest point-lookup (the same hidden-
+    // transform directory + stats machinery static filters use), so
+    // a dim-filtered join on a days(ts)/truncate(src) fact opens
+    // only the partitions the dim values can touch. Only columns the
+    // scan actually OUTPUTS qualify - Spark resolves these against
+    // the pruned schema (a join key is always in the output)
+    fields.map(f => logicalName(f.source))
+      .filter(required.fieldNames.contains)
+      .map(Expressions.column).toArray
 
   // allowed KEY-slot values per field index; absent = no constraint
   // (bucket slots hold Ints, identity slots catalyst values)
   private var runtimeAllowed: Map[Int, Set[Any]] = Map.empty
+  // non-key-grouped layouts: file rels surviving the manifest
+  // point-lookup over the runtime IN-set; None = no constraint
+  private var runtimeKeptRels: Option[Set[String]] = None
+
+  /** Runtime IN-sets past this size skip pruning (the manifest
+    * point-lookup runs once per value — at some point scanning wins). */
+  private val MaxRuntimeInSet = 256
+
+  /** Catalyst literal → the external value the manifest point-lookup
+    * expects (it builds `lit(v)` plans); None = unconvertible type,
+    * prune nothing. */
+  private def externalValue(v: Any, dt: DataType): Option[Any] =
+    v match {
+      case null => None
+      case u: org.apache.spark.unsafe.types.UTF8String =>
+        Some(u.toString)
+      case l: java.lang.Long
+          if dt == org.apache.spark.sql.types.TimestampType =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .microsToInstant(l))
+      case i: java.lang.Integer
+          if dt == org.apache.spark.sql.types.DateType =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .daysToLocalDate(i))
+      case n @ (_: java.lang.Long | _: java.lang.Integer |
+                _: java.lang.Short | _: java.lang.Byte |
+                _: java.lang.Double | _: java.lang.Float |
+                _: java.lang.Boolean) => Some(n)
+      case _ => None
+    }
 
   override def filter(
       predicates: Array[
@@ -403,7 +440,8 @@ private[graft] final class SnapshotBatchScan(
         else None
       }
       (p.name(), colIdx, lits) match {
-        case (("IN" | "="), Some(i), Some(vs)) if vs.nonEmpty =>
+        case (("IN" | "="), Some(i), Some(vs))
+            if vs.nonEmpty && keyGrouped =>
           val allowed: Set[Any] = fields(i) match {
             case b: Snapshots.PBucket =>
               val bound = new GraftBucketBound(
@@ -418,6 +456,21 @@ private[graft] final class SnapshotBatchScan(
           runtimeAllowed = runtimeAllowed.updated(i,
             runtimeAllowed.get(i).map(_ intersect allowed)
               .getOrElse(allowed))
+        case (("IN" | "="), Some(i), Some(vs))
+            if vs.nonEmpty && vs.size <= MaxRuntimeInSet =>
+          // time/truncate layout: each dim value re-plans through the
+          // manifest point-lookup (hidden-transform dirs + stats) -
+          // the union of survivors is the runtime keep-set
+          val dt = tableSchema(logicalName(fields(i).source)).dataType
+          val ext = vs.map(v => externalValue(v.value(), dt))
+          if (ext.forall(_.isDefined)) {
+            val col = logicalName(fields(i).source)
+            val kept = ext.flatMap(_.toSeq).flatMap(v =>
+              Snapshots.prunedEntriesEquals(spark, path, col, v,
+                Some(pinnedV))._1.map(Snapshots.relOfEntry)).toSet
+            runtimeKeptRels = Some(
+              runtimeKeptRels.map(_ intersect kept).getOrElse(kept))
+          }
         case _ => () // unknown shape: prune nothing
       }
     }
@@ -480,7 +533,8 @@ private[graft] final class SnapshotBatchScan(
         SnapshotInputPartition(keyRowOf(rel),
           if (idFields.isEmpty) empty else idRowOf(rel),
           Array(sliceOf(e)),
-          rowCount = Snapshots.entryMeta(spark, path, e)._3)
+          rowCount = Snapshots.entryMeta(spark, path, e)._3,
+          rel = rel)
       }.toArray
     else {
       // split at maxPartitionBytes boundaries, FileSourceScanExec's
@@ -496,12 +550,12 @@ private[graft] final class SnapshotBatchScan(
         val idRow = if (idFields.isEmpty) empty else idRowOf(rel)
         if (s.hasDeletes)
           Seq(SnapshotInputPartition(InternalRow.empty, idRow,
-            Array(s)))
+            Array(s), rel = rel))
         else (0L until s.fileSize by maxSplit).map(off =>
           SnapshotInputPartition(InternalRow.empty, idRow,
             Array(FileSlice(
               s.path, off, math.min(maxSplit, s.fileSize - off),
-              s.fileSize))))
+              s.fileSize)), rel = rel))
       }.toArray
     }
   }
@@ -526,12 +580,17 @@ private[graft] final class SnapshotBatchScan(
         partitions.length)
     else new UnknownPartitioning(partitions.length)
 
-  override def planInputPartitions(): Array[InputPartition] =
-    if (runtimeAllowed.isEmpty) partitions.toArray[InputPartition]
-    else partitions.filter(p => runtimeAllowed.forall {
-      case (i, ok) =>
-        ok(Snapshots.v2NormKey(p.keyRow.get(i, keyTypes(i))))
-    }).toArray[InputPartition]
+  override def planInputPartitions(): Array[InputPartition] = {
+    val relKept = runtimeKeptRels match {
+      case Some(keep) => partitions.filter(p => keep(p.rel))
+      case None => partitions
+    }
+    (if (runtimeAllowed.isEmpty) relKept
+     else relKept.filter(p => runtimeAllowed.forall {
+       case (i, ok) =>
+         ok(Snapshots.v2NormKey(p.keyRow.get(i, keyTypes(i))))
+     })).toArray[InputPartition]
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val idLogical = idFields.map(f => logicalName(f.source)).toSet
@@ -678,7 +737,7 @@ private[graft] final case class EqApply(
 
 private[graft] final case class SnapshotInputPartition(
     keyRow: InternalRow, idRow: InternalRow, files: Array[FileSlice],
-    rowCount: Option[Long] = None)
+    rowCount: Option[Long] = None, rel: String = "")
   extends InputPartition with HasPartitionKey
   with org.apache.spark.sql.connector.read.HasPartitionStatistics {
   // the key tuple in FIELD order (bucket ints + identity values) -

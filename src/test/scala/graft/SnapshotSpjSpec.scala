@@ -665,6 +665,49 @@ class SnapshotSpjSpec extends SparkSpec {
     }
   }
 
+  test("runtime filtering on TIME/TRUNCATE layouts: dim IN-set prunes via the manifest point-lookup") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    // the 100 TB event-fact shape: day dirs + a truncate transform -
+    // NOT key-grouped, so pruning must go through the manifest's
+    // hidden-transform directory machinery
+    spark.sql(s"CREATE TABLE $cat.db.ev (k BIGINT, src STRING, " +
+      "ts TIMESTAMP) PARTITIONED BY (days(ts), truncate(4, src))")
+    spark.sql(s"CREATE TABLE $cat.db.sd (src STRING, tier INT)")
+    spark.range(0, 3000).selectExpr("id AS k",
+      "concat('src', CAST(id % 3 AS STRING), 'x') AS src",
+      "timestampadd(DAY, CAST(id % 5 AS INT), " +
+        "TIMESTAMP '2024-03-01 00:00:00') AS ts")
+      .createOrReplaceTempView("spj_tt_fact")
+    spark.sql(s"INSERT INTO $cat.db.ev SELECT * FROM spj_tt_fact")
+    spark.range(0, 3).selectExpr(
+      "concat('src', CAST(id AS STRING), 'x') AS src",
+      "CAST(id AS INT) AS tier")
+      .createOrReplaceTempView("spj_tt_dim")
+    spark.sql(s"INSERT INTO $cat.db.sd SELECT * FROM spj_tt_dim")
+    withConfs(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true") {
+      val expect = spark.table("spj_tt_fact")
+        .filter(col("src") === "src1x").count()
+      graft.io.SnapshotReaderFactory.filesOpened.set(0L)
+      val fullOpened = {
+        spark.sql(s"SELECT k FROM $cat.db.ev").collect()
+        graft.io.SnapshotReaderFactory.filesOpened.get()
+      }
+      graft.io.SnapshotReaderFactory.filesOpened.set(0L)
+      val got = spark.sql(
+        s"SELECT f.k FROM $cat.db.ev f JOIN $cat.db.sd d " +
+          "ON f.src = d.src WHERE d.tier = 1").count()
+      val joinOpened = graft.io.SnapshotReaderFactory.filesOpened.get()
+      assert(got === expect)
+      // the fact side opened fewer files: the dim's runtime value
+      // pruned the other truncate-dir slivers before any IO
+      assert(joinOpened < fullOpened,
+        s"time/truncate runtime filter pruned nothing: " +
+          s"$joinOpened vs $fullOpened")
+    }
+  }
+
   test("merge-on-read tables keep SPJ: a DV-bearing bucketed table joins Exchange-free, rows exact") {
     val (cat, wh) = freshCatalog()
     setupTables(cat)
