@@ -1390,7 +1390,9 @@ private[graft] object QueriesIo {
       // strings push too when every file's bound is provably exact
       // (<=16-byte values serialize untruncated in the manifest)
       s"min(lang) AS min_lang, max(lang) AS max_lang, " +
-      s"min(source) AS min_src, max(source) AS max_src " +
+      s"min(source) AS min_src, max(source) AS max_src, " +
+      // COUNT(col) = rows - nulls from the 'N' pseudo-stats
+      s"count(text) AS n_text, count(n_chars) AS n_nchars " +
       s"FROM $cat.db.docs")
     require(df.queryExecution.executedPlan.toString
         .contains("manifest-agg"),
@@ -1943,7 +1945,9 @@ private[graft] object QueriesIo {
            min(doc_id) AS min_id, max(doc_id) AS max_id,
            min(n_chars) AS min_chars, max(n_chars) AS max_chars,
            min(lang) AS min_lang, max(lang) AS max_lang,
-           min(source) AS min_src, max(source) AS max_src
+           min(source) AS min_src, max(source) AS max_src,
+           CAST(count(text) AS BIGINT) AS n_text,
+           CAST(count(n_chars) AS BIGINT) AS n_nchars
          FROM documents""",
     "q_snapshot_agg_group" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

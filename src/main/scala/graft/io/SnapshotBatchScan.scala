@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, XxHash64}
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Expression => VExpression, Literal => VLiteral}
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.graft.ScanBridge
@@ -246,6 +246,26 @@ private[graft] final class SnapshotScanBuilder(
               if (rows.exists(_.isEmpty)) None
               else Some(rows.flatten.sum: Any)
             }))
+        case (c: Count, i) if !c.isDistinct =>
+          // COUNT(col) = rows - nulls, exact when EVERY entry carries
+          // both pseudo-stats (identity-borne columns have no file
+          // stats and refuse)
+          singleCol(c.column).flatMap { cn =>
+            if (!tableSchema.fieldNames.contains(cn)) None
+            else {
+              val phys = l2p.getOrElse(cn, cn)
+              Some((StructField(s"agg_$i", LongType, nullable = false),
+                (es: Seq[String]) => {
+                  val per = es.map { e =>
+                    (Snapshots.entryMeta(spark, path, e)._3,
+                      Snapshots.nullCountOf(e).get(phys))
+                  }
+                  if (per.exists(p => p._1.isEmpty || p._2.isEmpty))
+                    None
+                  else Some(per.map(p => p._1.get - p._2.get).sum: Any)
+                }))
+            }
+          }
         case (m: Min, i) => minMaxPlan(m.column, i, isMin = true)
         case (m: Max, i) => minMaxPlan(m.column, i, isMin = false)
         case _ => None

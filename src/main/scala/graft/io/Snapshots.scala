@@ -872,6 +872,12 @@ object Snapshots {
         .empty[String, (Long, Long)]
       val sacc = scala.collection.mutable.LinkedHashMap
         .empty[String, (Array[Byte], Array[Byte])]
+      // per-column NULL counts ('N' kind): `COUNT(col)` answers from
+      // the manifest as rows - nulls ([[nullCountOf]]); any chunk
+      // with unknown null count kills the column's entry
+      val nacc = scala.collection.mutable.LinkedHashMap
+        .empty[String, Long]
+      val nDead = scala.collection.mutable.Set.empty[String]
       val dead = scala.collection.mutable.Set.empty[String]
       blocks.foreach(_.getColumns.asScala.foreach { c =>
         val name = c.getPath.toDotString
@@ -899,6 +905,12 @@ object Snapshots {
           !name.contains(':') &&
           !name.contains(';') && !name.contains('\t') &&
           !name.contains('.')
+        if (nameOk) {
+          val st0 = c.getStatistics
+          if (st0 == null || !st0.isNumNullsSet || st0.getNumNulls < 0)
+            nDead += name
+          else nacc(name) = nacc.getOrElse(name, 0L) + st0.getNumNulls
+        }
         if (tag != ' ' && plainNumeric && nameOk) {
           val st = c.getStatistics
           if (st == null || !st.hasNonNullValue) dead += name
@@ -978,12 +990,13 @@ object Snapshots {
             .map(hexBytes(_) + "~").getOrElse("*")
         s"$n:T:$lo:$hi"
       }
+      val nulls = (nacc -- nDead).map { case (n, c) => s"$n:N:$c:$c" }
       // the file's ROW COUNT rides as a pseudo-stat like its byte
       // length: `SELECT count(*)`-class questions ([[rowCount]]),
       // compaction diagnostics and the files() metadata table answer
       // from the manifest alone - zero footer reads after commit
       val rows = blocks.map(_.getRowCount).sum
-      (Seq(s"$RowsStat:L:$rows:$rows") ++ numeric ++ strings)
+      (Seq(s"$RowsStat:L:$rows:$rows") ++ numeric ++ strings ++ nulls)
         .mkString(";")
     } finally reader.close()
   }
@@ -1073,6 +1086,22 @@ object Snapshots {
   private[graft] def bytesCompareKey(a: Array[Byte],
                                      b: Array[Byte]): Int =
     bytesCompare(a, b)
+
+  /** An entry's per-column NULL count ('N' kind), when the footer
+    * recorded one for every chunk — the `COUNT(col)` pushdown domain
+    * (rows − nulls). Absent for pre-r13 manifests and for chunks
+    * with unknown null counts. */
+  private[graft] def nullCountOf(entry: String): Map[String, Long] = {
+    val i = entry.indexOf('\t')
+    if (i < 0) Map.empty
+    else entry.substring(i + 1).split(';').iterator.filter(_.nonEmpty)
+      .flatMap { part =>
+        part.split(':') match {
+          case Array(name, "N", n, _) => Some(name -> n.toLong)
+          case _ => None
+        }
+      }.toMap
+  }
 
   /** How a publish-loser proceeds (the OCC split): appends rebase
     * onto the interloper's commit and retry; rewrites rebase over
@@ -1982,19 +2011,26 @@ object Snapshots {
         s"in the table schema (${schema.fieldNames.mkString(", ")}) - " +
         "overwriteWhere does not evolve schemas")
     requireSameTypes(schema, batch.schema, "overwriteWhere batch")
-    val affected = liveWithId(spark, path, schema, partCols, all,
-      dvs, colMap)
-      .filter(coalesce(predicate, lit(false)))
-      .select(DvFileCol).distinct()
-      .collect().map(_.getString(0)).toSet
+    val affected =
+      if (all.isEmpty) Set.empty[String]
+      else liveWithId(spark, path, schema, partCols, all,
+          dvs, colMap)
+        .filter(coalesce(predicate, lit(false)))
+        .select(DvFileCol).distinct()
+        .collect().map(_.getString(0)).toSet
     val carried = all.filterNot(e => affected(relOf(e)))
-    val survivors = openLive(spark, path, schema, partCols,
-        all.filter(e => affected(relOf(e))), dvs, colMap)
-      .filter(not(coalesce(predicate, lit(false))))
-    // carried files still need the old delete markers; markers naming
-    // rewritten files go stale-but-harmless (anti-join matches nothing)
-    val out = survivors.unionByName(
-      batch.select(schema.fieldNames.map(col).toSeq: _*))
+    val aligned = batch.select(schema.fieldNames.map(col).toSeq: _*)
+    // nothing matched: the overwrite degenerates to a pure append of
+    // the batch (no empty-entry read plan to build)
+    val out =
+      if (affected.isEmpty) aligned
+      else openLive(spark, path, schema, partCols,
+          all.filter(e => affected(relOf(e))), dvs, colMap)
+        .filter(not(coalesce(predicate, lit(false))))
+        // carried files still need the old delete markers; markers
+        // naming rewritten files go stale-but-harmless (the
+        // anti-join matches nothing)
+        .unionByName(aligned)
     writeCommit(spark, out, path, carried, schema, partCols, dropped,
       txns, dvs, colMap, Some(v),
       RebaseRewrite("overwriting into", affected, dvs),

@@ -551,6 +551,35 @@ class SnapshotSpjSpec extends SparkSpec {
       .contains("manifest-agg"))
   }
 
+  test("COUNT(col) pushes via null-count pseudo-stats: rows minus nulls, exact; COUNT(DISTINCT) scans") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.nc (k BIGINT, v BIGINT, " +
+      "s STRING)")
+    // v null on multiples of 3, s null on multiples of 7
+    spark.range(0, 1000).selectExpr("id AS k",
+      "CASE WHEN id % 3 = 0 THEN NULL ELSE id END AS v",
+      "CASE WHEN id % 7 = 0 THEN NULL ELSE CAST(id AS STRING) END AS s")
+      .createOrReplaceTempView("spj_nc_src")
+    spark.sql(s"INSERT INTO $cat.db.nc SELECT * FROM spj_nc_src")
+    spark.sql(s"INSERT INTO $cat.db.nc " +
+      "SELECT k + 1000, v, s FROM spj_nc_src")
+    val df = spark.sql(s"SELECT count(*) AS n, count(v) AS nv, " +
+      s"count(s) AS ns FROM $cat.db.nc")
+    assert(df.queryExecution.executedPlan.toString
+      .contains("manifest-agg"), df.queryExecution.executedPlan)
+    val exp = spark.table("spj_nc_src")
+      .agg(count(lit(1)) * 2, count("v") * 2, count("s") * 2).head()
+    assert(df.head() === org.apache.spark.sql.Row(
+      exp.getLong(0), exp.getLong(1), exp.getLong(2)))
+    // DISTINCT cannot answer from counts: scan, still exact
+    val d = spark.sql(s"SELECT count(DISTINCT v) FROM $cat.db.nc")
+    assert(!d.queryExecution.executedPlan.toString
+      .contains("manifest-agg"))
+    assert(d.head.getLong(0) === spark.table("spj_nc_src")
+      .select("v").distinct().filter(col("v").isNotNull).count())
+  }
+
   test("string MIN/MAX push ONLY when provably exact: short bounds answer, 16+-byte bounds refuse") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")

@@ -188,5 +188,10 @@ class SnapshotWriteSpec extends SparkSpec {
     assert(Snapshots.latestVersion(spark, path).get === v0 + 1)
     assert(Snapshots.read(spark, path).count() ===
       docs.filter(col("lang") =!= "en").count() + 3)
+    // nothing-matched overwrite degenerates to a pure append
+    val before = Snapshots.read(spark, path).count()
+    Snapshots.overwriteWhere(spark, path,
+      col("lang") === "no_such_lang", docs.limit(2))
+    assert(Snapshots.read(spark, path).count() === before + 2)
   }
 }
