@@ -9,11 +9,10 @@ import org.apache.spark.sql.{Column => SqlColumn, DataFrame, SQLContext, SparkSe
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
-import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RequiresDistributionAndOrdering, SupportsDynamicOverwrite, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, PrunedFilteredScan, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, PrunedFilteredScan, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -35,14 +34,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * API reads), so SQL and code share tables with no registration
   * step beyond the catalog conf.
   *
-  * Reads go through a V1 fallback relation that forwards column
-  * pruning and the common filters into the manifest-backed scan
-  * (the inner plan is the same [[SnapshotFileIndex]] read every
-  * other path uses — pruning and pushdown reach parquet); unhandled
-  * filters are re-applied by Spark above, so pushdown is an
-  * IO optimization, never a correctness dependency. Writes go
-  * through the V1 `InsertableRelation` fallback onto
-  * [[Snapshots.commitAppend]] / [[Snapshots.commit]] — every SQL
+  * Reads go through the DSv2 manifest-backed scan
+  * ([[SnapshotBatchScan]]: column pruning, manifest/aggregate
+  * pushdown, storage-partitioned joins, in-reader merge-on-read
+  * deletes), falling back to a V1 relation only when a table's
+  * delete sliver outgrows the shipping budget; unhandled filters are
+  * re-applied by Spark above, so pushdown is an IO optimization,
+  * never a correctness dependency. Writes go through the DSv2
+  * `BatchWrite` ([[SnapshotBatchWrite]]) — Spark plans the
+  * layout-aligned rebalance+sort the write declares, and every SQL
   * write is an atomic, time-travelable commit with the same OCC
   * semantics as the programmatic API.
   */
@@ -92,20 +92,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * storage-partitioned-join planner loads `bucket` from here to
     * resolve two scans' reported `bucket(n, col)` partitionings into
     * comparable expressions (same canonical function + same count ⇒
-    * the join needs no Exchange).
+    * the join needs no Exchange), and the WRITE planner loads every
+    * transform to turn [[SnapshotWrite]]'s declared clustering into
+    * the rebalance+sort it plans ([[GraftTimeFunction]],
+    * [[GraftTruncateFunction]]).
     */
+  private val transformFunctionNames =
+    Seq("bucket", "years", "months", "days", "hours", "truncate")
+
   override def listFunctions(namespace: Array[String])
       : Array[Identifier] =
     if (namespace.isEmpty)
-      Array(Identifier.of(Array.empty[String], "bucket"))
+      transformFunctionNames
+        .map(n => Identifier.of(Array.empty[String], n)).toArray
     else Array.empty
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.namespace().isEmpty && ident.name() == "bucket")
-      GraftBucketFunction
-    else throw new org.apache.spark.sql.catalyst.analysis
-      .NoSuchFunctionException(ident)
+    if (ident.namespace().nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    else ident.name() match {
+      case "bucket" => GraftBucketFunction
+      case k @ ("years" | "months" | "days" | "hours") =>
+        new GraftTimeFunction(k)
+      case "truncate" => GraftTruncateFunction
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
 
   /** Identifier segments become path components: '..', '.', empty,
     * '/'-bearing or NUL-bearing segments would escape the warehouse
@@ -385,10 +399,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  /** A snapshot store as a DSv2 Table: reads through a V1 fallback
-    * relation that forwards pruning/filters into the manifest-backed
-    * scan; writes through the V1 InsertableRelation fallback onto
-    * append/overwrite commits.
+  /** A snapshot store as a DSv2 Table: reads through the
+    * manifest-backed DSv2 scan (V1 fallback only past the
+    * merge-on-read shipping budget); writes through the DSv2
+    * `BatchWrite` onto append/overwrite/dynamic-replace commits.
     */
   private[graft] class GraftTable(path: String, ident: String,
                                   version: Option[Long],
@@ -463,16 +477,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
 
     override def capabilities(): util.Set[TableCapability] =
-      Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
         TableCapability.TRUNCATE,
         // filter-scoped overwrites (static PARTITION (k=v) /
         // writeTo.overwrite(cond)) lower onto
-        // Snapshots.overwriteWhere in one atomic manifest claim.
-        // OVERWRITE_DYNAMIC is NOT advertised: Spark has no V1
-        // fallback exec for OverwritePartitionsDynamic, so dynamic
-        // conf degrades to the whole-table overwrite; the
-        // programmatic dynamic path is Snapshots.replacePartitions
+        // Snapshots.overwriteWhere semantics in one atomic manifest
+        // claim; OVERWRITE_DYNAMIC routes INSERT OVERWRITE under
+        // partitionOverwriteMode=dynamic (and writeTo
+        // .overwritePartitions()) onto replacePartitions semantics —
+        // only the batch's partitions replaced, one commit
         TableCapability.OVERWRITE_BY_FILTER,
+        TableCapability.OVERWRITE_DYNAMIC,
         // MERGE WITH SCHEMA EVOLUTION: Spark's analyzer turns the
         // source's extra columns into alterTable ADD COLUMNS against
         // this catalog (metadata-only here), then resolves the merge
@@ -485,8 +500,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
     override def newScanBuilder(options: CaseInsensitiveStringMap)
         : ScanBuilder = {
-      // DSv2 scan path for every table with no live delete files,
-      // gated ONLY on the store's own opt-out (default ON): the scan
+      // DSv2 scan path for every table — merge-on-read tables
+      // included, as long as their delete sliver fits the shipping
+      // budget (see below) — gated ONLY on the store's own opt-out
+      // (default ON): the scan
       // is correct with or without Spark's v2-bucketing flag — when
       // that flag is off Spark simply treats the reported
       // KeyGroupedPartitioning as unknown and plans its own
@@ -564,144 +581,60 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     }
 
-    /** DSv2 WRITE path: the `Write` DECLARES
-      * `RequiresDistributionAndOrdering` — clustering by the table's
-      * own transforms (identity dirs, `bucket(n, col)` through this
-      * catalog's V2 bucket function). Spark 4.1's V1 fallback exec
-      * does not apply the declaration (probed; see insert() below),
-      * so the committer's AQE rebalance on the directory columns
-      * carries the clustering: an `INSERT INTO` a bucketed table
-      * still lands bucket-aligned files in ONE shuffle, and a
-      * storage-partitioned join reads them back Exchange-free.
-      * Overwrites: `truncate` → whole-table commit;
-      * `SupportsOverwrite` filters (static `PARTITION (k=v)` /
-      * `writeTo.overwrite(cond)`) → [[Snapshots.overwriteWhere]]'s
-      * single-commit replace; `SupportsDynamicOverwrite`
-      * (`partitionOverwriteMode=dynamic`) →
-      * [[Snapshots.replacePartitions]]. Every shape is one atomic,
-      * time-travelable manifest claim with the usual OCC.
+    /** TRUE DSv2 WRITE path ([[SnapshotWriteBuilder]]): the `Write`
+      * declares `RequiresDistributionAndOrdering` over the table's
+      * own transforms and Spark PLANS it — an AQE rebalance on the
+      * derived directory values plus a per-task sort — so an
+      * `INSERT INTO` a bucketed table lands bucket-aligned files in
+      * one Spark-planned shuffle and a storage-partitioned join reads
+      * them back Exchange-free. Overwrites: `truncate` → whole-table
+      * commit; `SupportsOverwrite` filters (static `PARTITION (k=v)`
+      * / `writeTo.overwrite(cond)`) → single-commit filter-scoped
+      * replace; `SupportsDynamicOverwrite`
+      * (`partitionOverwriteMode=dynamic` / `overwritePartitions()`) →
+      * [[Snapshots.replacePartitions]] semantics. Every shape is one
+      * atomic, time-travelable manifest claim with the usual OCC.
       */
-    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-      new WriteBuilder with SupportsOverwrite {
-        private var mode: String = "append"
-        private var owFilters: Array[Filter] = Array.empty
-        override def truncate(): WriteBuilder = {
-          mode = "truncate"; this
-        }
-        override def overwrite(fs: Array[Filter]): WriteBuilder = {
-          if (fs.isEmpty ||
-              fs.forall(_.isInstanceOf[sources.AlwaysTrue])) {
-            mode = "truncate"
-          } else { mode = "filter"; owFilters = fs }
-          this
-        }
-
-        override def build(): Write = new V1Write
-          with RequiresDistributionAndOrdering {
-          // cluster by the table's transforms when every field is
-          // identity/bucket (the transforms Spark can resolve: bare
-          // identity + this catalog's bucket function); time and
-          // truncate layouts keep the committer's AQE rebalance
-          private val (distExprs, distributed) = {
-            val (_, pc, _, _, cm) = pinnedState
-            def logical(phys: String) = cm.getOrElse(phys, phys)
-            val fields = pc.map(Snapshots.parsePartField)
-            val ok = fields.nonEmpty && fields.forall(f =>
-              f.isInstanceOf[Snapshots.PBucket] ||
-                f.isInstanceOf[Snapshots.PIdentity])
-            if (!ok)
-              (Array.empty[org.apache.spark.sql.connector
-                .expressions.Expression], false)
-            else (fields.map {
-              case b: Snapshots.PBucket =>
-                Expressions.bucket(b.n, logical(b.source))
-                  : org.apache.spark.sql.connector.expressions.Expression
-              case f =>
-                Expressions.identity(logical(f.source))
-                  : org.apache.spark.sql.connector.expressions.Expression
-            }.toArray, true)
-          }
-          override def requiredDistribution(): Distribution =
-            if (distributed) Distributions.clustered(distExprs)
-            else Distributions.unspecified()
-          override def requiredOrdering()
-              : Array[org.apache.spark.sql.connector.expressions
-                .SortOrder] = Array.empty
-          override def requiredNumPartitions(): Int = 0
-          override def distributionStrictlyRequired(): Boolean = false
-
-          override def toInsertableRelation: InsertableRelation =
-            new InsertableRelation {
-              override def insert(data: DataFrame,
-                                  legacyOverwrite: Boolean): Unit = {
-                val sess = data.sparkSession
-                // PROBED (round 13): Spark 4.1's V1 fallback exec
-                // (AppendDataExecV1) hands the query over WITHOUT
-                // applying the declared distribution — the committer
-                // keeps its own AQE rebalance on the directory
-                // columns, which yields the same one-shuffle
-                // clustered write (and additionally size-splits hot
-                // partitions). The declaration above stays: it is
-                // the documented contract, and a Spark that honors
-                // it plans the identical exchange.
-                val ro: Map[String, String] = Map.empty
-                val m =
-                  if (legacyOverwrite && mode == "append") "truncate"
-                  else mode
-                m match {
-                  case "append" =>
-                    Snapshots.commitAppend(data, path, writeOpts = ro)
-                    ()
-                  case "truncate" =>
-                    val v = Snapshots.latestVersion(sess, path).get
-                    val (_, pc2, _, _, cm2) =
-                      Snapshots.stateAt(sess, path, v)
-                    Snapshots.commit(data, path,
-                      partitionBy =
-                        Snapshots.logicalPartSpecs(pc2, cm2),
-                      writeOpts = ro)
-                    ()
-                  case _ =>
-                    // every overwrite filter must translate EXACTLY:
-                    // a dropped conjunct would silently replace MORE
-                    // rows than the caller named
-                    val conds = owFilters.map(f =>
-                      translateFilterExact(f).getOrElse(
-                        throw new UnsupportedOperationException(
-                          s"graft: cannot overwrite by filter $f - " +
-                            "predicate not translatable")))
-                    Snapshots.overwriteWhere(sess, path,
-                      conds.reduce(_ && _), data, writeOpts = ro)
-                    ()
-                }
-              }
-            }
-        }
-      }
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+      require(mutable,
+        "graft catalog: cannot write to a time-travelled table")
+      new SnapshotWriteBuilder(path, ident, info)
+    }
   }
 
-  /** The v1 `Filter` subset worth forwarding (equality, ranges, IN,
-    * null tests, conjunction); everything else stays NULL and relies
-    * on Spark's re-filter above the relation.
-    */
-  /** EXACT translation for the DELETE path: every node must
-    * translate — the scan path's lenient And (push whichever half
-    * translates) is an IO optimization there but would over-delete
-    * here, since nothing re-applies the untranslated half.
-    */
   private def translateFilterExact(f: Filter): Option[SqlColumn] =
+    FilterTranslate.exact(f)
+
+  private def translateFilter(f: Filter): Option[SqlColumn] =
+    FilterTranslate.lenient(f)
+}
+
+/** The v1 `Filter` subset worth forwarding (equality, ranges, IN,
+  * null tests, conjunction); everything else stays NULL and relies
+  * on Spark's re-filter above the relation. Shared by the catalog's
+  * V1 scan/DELETE paths and the DSv2 write's overwrite-filter
+  * translation ([[SnapshotWriteBuilder]]).
+  */
+private[graft] object FilterTranslate {
+  import org.apache.spark.sql.functions.col
+
+  /** EXACT translation (DELETE / overwrite-by-filter): every node
+    * must translate — the scan path's lenient And (push whichever
+    * half translates) is an IO optimization there but would
+    * over-delete or over-replace here, since nothing re-applies the
+    * untranslated half.
+    */
+  def exact(f: Filter): Option[SqlColumn] =
     f match {
       case sources.And(l, r) =>
-        for { a <- translateFilterExact(l); b <- translateFilterExact(r) }
-          yield a && b
+        for { a <- exact(l); b <- exact(r) } yield a && b
       case sources.Or(l, r) =>
-        for { a <- translateFilterExact(l); b <- translateFilterExact(r) }
-          yield a || b
-      case sources.Not(c) => translateFilterExact(c).map(!_)
-      case leaf => translateFilter(leaf)
+        for { a <- exact(l); b <- exact(r) } yield a || b
+      case sources.Not(c) => exact(c).map(!_)
+      case leaf => lenient(leaf)
     }
 
-  private def translateFilter(f: Filter): Option[SqlColumn] = f match {
+  def lenient(f: Filter): Option[SqlColumn] = f match {
     case sources.AlwaysTrue() =>
       Some(org.apache.spark.sql.functions.lit(true))
     case sources.AlwaysFalse() =>
@@ -718,12 +651,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     case sources.IsNotNull(a) => Some(col(a).isNotNull)
     case sources.StringStartsWith(a, p) => Some(col(a).startsWith(p))
     case sources.And(l, r) =>
-      (translateFilter(l), translateFilter(r)) match {
+      (lenient(l), lenient(r)) match {
         case (Some(a), Some(b)) => Some(a && b)
         case (a, b) => a.orElse(b) // AND halves push independently
       }
     case sources.Or(l, r) =>
-      for { a <- translateFilter(l); b <- translateFilter(r) }
+      for { a <- lenient(l); b <- lenient(r) }
         yield a || b
     case _ => None
   }

@@ -1238,7 +1238,6 @@ object Snapshots {
                           ownTxn: Option[(String, Long)] = None,
                           writeOpts: Map[String, String] = Map.empty)
       : Long = {
-    val f = fs(spark, path)
     // table PROPERTIES ride along like txn markers: the writer
     // consults them (bloom filters) and every commit carries them
     // forward (callers pass the base version's - no extra manifest
@@ -1254,6 +1253,38 @@ object Snapshots {
     // (a delete emptying every affected file's rows) or even a fully
     // empty snapshot reads back correctly as zero rows; the fresh
     // list is simply empty
+    publishLoop(spark, path, Seq(commitDir), fresh, carried, schema,
+      partCols, dropped, txns, dvs, colMap, base, onConflict, op,
+      baseProps, ownTxn, df.schema, df.columns.toSeq)
+  }
+
+  /** The OCC publish half of a commit, over ALREADY-WRITTEN files:
+    * claim base+1; on a lost claim rebase (appends / append-only
+    * rewrites) or delete every commit dir and refuse. `batchSchema` /
+    * `batchColumns` describe the written batch for the rebase-time
+    * schema re-evolution and physical-name drift check (the files are
+    * on disk — a concurrent rename that re-maps a batch column makes
+    * them WRONG, not stale). Shared by [[writeCommit]] (V1 data
+    * write) and [[commitWrittenV2]] (DSv2 task-written files).
+    */
+  private def publishLoop(spark: SparkSession, path: String,
+                          commitDirs: Seq[String],
+                          fresh: Seq[String], carried: Seq[String],
+                          schema: StructType, partCols: Seq[String],
+                          dropped: Set[String],
+                          txns: Map[String, Long],
+                          dvs: Seq[String],
+                          colMap: Map[String, String],
+                          base: Option[Long],
+                          onConflict: OnConflict,
+                          op: String,
+                          baseProps: Map[String, String],
+                          ownTxn: Option[(String, Long)],
+                          batchSchema: StructType,
+                          batchColumns: Seq[String]): Long = {
+    val f = fs(spark, path)
+    def dropFresh(): Unit = commitDirs.foreach(d =>
+      f.delete(new Path(s"$path/$d"), true))
     onBeforePublish()
     var curCarried = carried
     var curSchema = schema
@@ -1274,7 +1305,7 @@ object Snapshots {
         committed = v
       } else onConflict match {
         case RefuseConflict(what) =>
-          f.delete(new Path(s"$path/$commitDir"), true)
+          dropFresh()
           throw new java.util.ConcurrentModificationException(
             s"snapshot: concurrent commit detected while $what $path " +
               s"(version $v was claimed by another writer after this " +
@@ -1283,7 +1314,7 @@ object Snapshots {
           val newBase = allManifestVersions(f, path).last
           val m = manifest(f, path, newBase)
           def refuse(reason: String): Nothing = {
-            f.delete(new Path(s"$path/$commitDir"), true)
+            dropFresh()
             throw new java.util.ConcurrentModificationException(
               s"snapshot: concurrent commit detected while $what $path " +
                 s"and it cannot be rebased over ($reason) - re-read " +
@@ -1323,7 +1354,7 @@ object Snapshots {
           // winner already carries this txn — committing again would
           // double-append; drop the fresh files and no-op instead
           if (ownTxn.exists { case (a, b) => m.txns.get(a).exists(_ >= b) }) {
-            f.delete(new Path(s"$path/$commitDir"), true)
+            dropFresh()
             committed = newBase
           } else {
             require(m.partCols == partCols,
@@ -1333,7 +1364,7 @@ object Snapshots {
             // drift check re-runs against the WINNER's schema; a
             // genuine type conflict still refuses loudly mid-rebase
             val (s2, map2) = evolvedSchemaAndMap(
-              resolveSchema(spark, path, m), nullableAll(df.schema),
+              resolveSchema(spark, path, m), nullableAll(batchSchema),
               path, m.dropped, m.colMap, reuse = colMap,
               partCols = m.partCols)
             // the data files are ALREADY written under this commit's
@@ -1342,9 +1373,9 @@ object Snapshots {
             // rename/drop touched it), the written bytes are stale -
             // refuse rather than publish files under the wrong names
             val oldP = l2p(colMap); val newP = l2p(map2)
-            if (df.columns.exists(c =>
+            if (batchColumns.exists(c =>
                 oldP.getOrElse(c, c) != newP.getOrElse(c, c))) {
-              f.delete(new Path(s"$path/$commitDir"), true)
+              dropFresh()
               throw new java.util.ConcurrentModificationException(
                 s"snapshot: a concurrent schema change (rename/drop) " +
                   s"on $path invalidated this append's column mapping " +
@@ -1362,6 +1393,178 @@ object Snapshots {
       }
     }
     committed
+  }
+
+  // --- DSv2 write commit surface ([[SnapshotBatchWrite]]) ------------
+
+  /** What a DSv2 write commits as, decided at ANALYSIS
+    * ([[SnapshotWriteBuilder]]) and executed on the driver after the
+    * tasks wrote their files. */
+  private[graft] sealed trait V2CommitMode
+  private[graft] case object V2Append extends V2CommitMode
+  private[graft] case object V2Truncate extends V2CommitMode
+  private[graft] final case class V2OverwriteFilter(cond: Column)
+      extends V2CommitMode
+  private[graft] case object V2DynamicOverwrite extends V2CommitMode
+
+  /** Write-planning state for [[SnapshotWrite]]: the version, evolved
+    * logical schema, partition spec, column mapping and properties the
+    * task files are written under. */
+  private[graft] final case class V2WriteState(
+      version: Long, schema: StructType, partCols: Seq[String],
+      colMap: Map[String, String], props: Map[String, String])
+
+  private[graft] def v2WriteState(spark: SparkSession, path: String,
+                                  batchSchema: StructType)
+      : V2WriteState = {
+    val st = currentState(spark, path, "plan a DSv2 write into")
+    val (s2, map2) = evolvedSchemaAndMap(st.schema,
+      nullableAll(batchSchema), path, st.dropped, st.colMap,
+      partCols = st.partCols)
+    V2WriteState(st.v, s2, st.partCols, map2, st.props)
+  }
+
+  /** Stats-bearing manifest entries for task-written files — the same
+    * footer fold [[writeBatchFiles]] runs, from an explicit rel list
+    * (commit messages) instead of a directory listing, so orphan
+    * files from failed task attempts never enter the manifest. */
+  private def v2EntryLines(spark: SparkSession, path: String,
+                           rels: Seq[String]): Seq[String] = {
+    val f = fs(spark, path)
+    val conf = spark.sessionState.newHadoopConf()
+    rels.sorted.map { rel =>
+      val p = new Path(s"$path/$rel")
+      val stats = footerStats(conf, p)
+      val bytes = f.getFileStatus(p).getLen
+      val len = s"$LenStat:L:$bytes:$bytes"
+      s"$rel\t" + (if (stats.isEmpty) len else s"$len;$stats")
+    }
+  }
+
+  /** Fold a DSv2 write's task-written files into ONE atomic manifest
+    * claim. Re-reads the table at commit time and refuses loudly when
+    * anything that would make the written bytes WRONG changed since
+    * planning (partition-spec evolution; a rename/drop that re-maps a
+    * batch column's physical name); mere interleaved appends rebase
+    * (append mode) or refuse (overwrite modes) exactly like the
+    * DataFrame commit paths.
+    */
+  private[graft] def commitWrittenV2(spark: SparkSession, path: String,
+                                     commitDir: String,
+                                     rels: Seq[String],
+                                     mode: V2CommitMode,
+                                     batchSchema: StructType,
+                                     buildColMap: Map[String, String],
+                                     buildPartCols: Seq[String])
+      : Long = {
+    val f = fs(spark, path)
+    def refuse(reason: String): Nothing = {
+      f.delete(new Path(s"$path/$commitDir"), true)
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot: concurrent commit detected while writing into " +
+          s"$path and the written files cannot be published ($reason) " +
+          "- re-read the table and retry")
+    }
+    val st =
+      try currentState(spark, path, "commit a DSv2 write into")
+      catch { case e: Throwable =>
+        f.delete(new Path(s"$path/$commitDir"), true); throw e }
+    if (st.partCols != buildPartCols)
+      refuse("a partition-spec change since write planning")
+    val (s2, map2) =
+      try evolvedSchemaAndMap(st.schema, nullableAll(batchSchema),
+        path, st.dropped, st.colMap, reuse = buildColMap,
+        partCols = st.partCols)
+      catch { case e: Throwable =>
+        f.delete(new Path(s"$path/$commitDir"), true); throw e }
+    val oldP = l2p(buildColMap); val newP = l2p(map2)
+    if (batchSchema.fieldNames.exists(c =>
+        oldP.getOrElse(c, c) != newP.getOrElse(c, c)))
+      refuse("a schema change re-mapped a batch column's physical " +
+        "name since write planning")
+    val fresh = v2EntryLines(spark, path, rels)
+    val batchCols = batchSchema.fieldNames.toSeq
+    mode match {
+      case V2Append =>
+        publishLoop(spark, path, Seq(commitDir), fresh, st.entries,
+          s2, st.partCols, st.dropped, st.txns, st.dvs, map2,
+          Some(st.v), RebaseAppend, "append", st.props, None,
+          batchSchema, batchCols)
+      case V2Truncate =>
+        // whole-table replace: txn markers and properties survive
+        // (the streaming-dedup contract), delete files die with the
+        // files they referenced
+        publishLoop(spark, path, Seq(commitDir), fresh, Nil, s2,
+          st.partCols, st.dropped, st.txns, Nil, map2, Some(st.v),
+          RefuseConflict("overwriting"), "overwrite", st.props, None,
+          batchSchema, batchCols)
+      case V2DynamicOverwrite if st.partCols.isEmpty =>
+        // dynamic overwrite of an unpartitioned table IS a truncate
+        publishLoop(spark, path, Seq(commitDir), fresh, Nil, s2,
+          st.partCols, st.dropped, st.txns, Nil, map2, Some(st.v),
+          RefuseConflict("overwriting"), "overwrite", st.props, None,
+          batchSchema, batchCols)
+      case V2DynamicOverwrite =>
+        val fields = st.partCols.map(parsePartField)
+        // pre-spec-evolution files carry no directory values for the
+        // current layout: "replace this partition" cannot bound the
+        // replacement - same refusal as replacePartitions
+        val stale = st.entries.filterNot(e => fields.forall(fld =>
+          partValsOf(relOf(e)).contains(fld.dirName)))
+        if (stale.nonEmpty) {
+          f.delete(new Path(s"$path/$commitDir"), true)
+          throw new IllegalArgumentException(
+            s"snapshot: ${stale.size} file(s) of $path predate the " +
+              s"current partition spec (${st.partCols.mkString(", ")}) " +
+              "and carry no directory values for it - dynamic " +
+              "overwrite cannot bound the replacement; compact to " +
+              "migrate the layout first")
+        }
+        // the replaced partition tuples are EXACTLY the directory
+        // strings the tasks wrote - no re-derivation can disagree
+        val default = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        def tupleOf(rel: String): Seq[String] = {
+          val vals = partValsOf(rel)
+          fields.map(fld => vals.getOrElse(fld.dirName, default))
+        }
+        val doomed: Set[Seq[String]] = rels.map(tupleOf).toSet
+        val carried =
+          st.entries.filterNot(e => doomed.contains(tupleOf(relOf(e))))
+        publishLoop(spark, path, Seq(commitDir), fresh, carried, s2,
+          st.partCols, st.dropped, st.txns, st.dvs, map2, Some(st.v),
+          RefuseConflict("replacing partitions of"),
+          "replacePartitions", st.props, None, batchSchema, batchCols)
+      case V2OverwriteFilter(cond) =>
+        try requireLocalEntries(st.entries, path, "overwrite into")
+        catch { case e: Throwable =>
+          f.delete(new Path(s"$path/$commitDir"), true); throw e }
+        val affected =
+          if (st.entries.isEmpty) Set.empty[String]
+          else liveWithId(spark, path, s2, st.partCols, st.entries,
+              st.dvs, map2)
+            .filter(coalesce(cond, lit(false)))
+            .select(DvFileCol).distinct()
+            .collect().map(_.getString(0)).toSet
+        val carried = st.entries.filterNot(e => affected(relOf(e)))
+        // affected files rewritten minus their matching rows - a
+        // second (driver-launched) data write into its own commit dir
+        val (dirs2, fresh2) =
+          if (affected.isEmpty) (Nil, Nil)
+          else {
+            val survivors = openLive(spark, path, s2, st.partCols,
+              st.entries.filter(e => affected(relOf(e))), st.dvs, map2)
+              .filter(not(coalesce(cond, lit(false))))
+            val (d2, f2) = writeBatchFiles(spark, survivors, path,
+              st.partCols, map2, st.props)
+            (Seq(d2), f2)
+          }
+        publishLoop(spark, path, commitDir +: dirs2, fresh ++ fresh2,
+          carried, s2, st.partCols, st.dropped, st.txns, st.dvs, map2,
+          Some(st.v),
+          RebaseRewrite("overwriting into", affected, st.dvs),
+          "overwriteWhere", st.props, None, batchSchema, batchCols)
+    }
   }
 
   /** The stored form of a snapshot schema: every field nullable, so a

@@ -146,7 +146,7 @@ class SnapshotWriteSpec extends SparkSpec {
       s"rows=${got.count()} want=${expect.count()}")
   }
 
-  test("dynamic-partition overwrite: SQL degrades to whole-table (no V1 fallback exec); replacePartitions is the dynamic path") {
+  test("SQL dynamic-partition overwrite: only the batch's partitions replaced, untouched files carried BY REFERENCE, one commit") {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")
     spark.sql(s"CREATE TABLE $cat.db.dy (doc_id BIGINT, " +
@@ -155,14 +155,29 @@ class SnapshotWriteSpec extends SparkSpec {
       .select("doc_id", "n_chars", "lang")
     docs.createOrReplaceTempView("wr_dy_src")
     spark.sql(s"INSERT INTO $cat.db.dy SELECT * FROM wr_dy_src")
-    // programmatic dynamic overwrite: only the batch's partitions
-    // replaced, others untouched, one commit
     val v0 = Snapshots.latestVersion(spark, s"$wh/db/dy").get
-    Snapshots.replacePartitions(
-      docs.filter(col("lang") === "en")
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          col("n_chars"), col("lang")), s"$wh/db/dy")
+    val untouchedBefore = dataFiles(s"$wh/db/dy")
+      .filterNot(_.getParentFile.getName == "lang=en").map(_.getPath)
+    val old = spark.conf.getOption(
+      "spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+      "dynamic")
+    try spark.sql(s"INSERT OVERWRITE $cat.db.dy " +
+      "SELECT doc_id + 1000000, n_chars, lang FROM wr_dy_src " +
+      "WHERE lang = 'en'")
+    finally old match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset(
+        "spark.sql.sources.partitionOverwriteMode")
+    }
+    // exactly ONE new version; untouched partitions' files carried
+    // by reference, not rewritten
     assert(Snapshots.latestVersion(spark, s"$wh/db/dy").get === v0 + 1)
+    val untouchedAfter = dataFiles(s"$wh/db/dy")
+      .filterNot(_.getParentFile.getName == "lang=en").map(_.getPath)
+    assert(untouchedAfter.sorted === untouchedBefore.sorted,
+      "untouched partitions were rewritten, not carried")
     val got = spark.sql(s"SELECT doc_id, n_chars, lang FROM $cat.db.dy")
     val expect = docs.filter(col("lang") =!= "en").unionByName(
       docs.filter(col("lang") === "en")
@@ -170,6 +185,57 @@ class SnapshotWriteSpec extends SparkSpec {
           col("n_chars"), col("lang")))
     assert(got.exceptAll(expect).isEmpty &&
       expect.exceptAll(got).isEmpty)
+    // the programmatic twin stays equivalent: same semantics, one
+    // more commit
+    Snapshots.replacePartitions(
+      docs.filter(col("lang") === "en")
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          col("n_chars"), col("lang")), s"$wh/db/dy")
+    assert(Snapshots.latestVersion(spark, s"$wh/db/dy").get === v0 + 2)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.dy WHERE " +
+      "doc_id >= 2000000").head.getLong(0)
+      === docs.filter(col("lang") === "en").count())
+  }
+
+  test("the write DECLARES clustering and Spark PLANS it: the INSERT's physical plan carries the rebalance exchange + transform sort") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.pp (o_orderkey BIGINT, " +
+      "o_custkey BIGINT) PARTITIONED BY (bucket(8, o_custkey))")
+    Tables.t(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey").repartition(16)
+      .createOrReplaceTempView("wr_pp_src")
+    @volatile var writePlan: Option[String] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        val s = qe.executedPlan.toString
+        if (s.contains("AppendData")) writePlan = Some(s)
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      spark.sql(s"INSERT INTO $cat.db.pp SELECT * FROM wr_pp_src")
+      org.apache.spark.graft.ListenerFlush
+        .waitUntilEmpty(spark.sparkContext)
+    } finally spark.listenerManager.unregister(listener)
+    val plan = writePlan.getOrElse(fail("no AppendData plan captured"))
+    // Spark planned the DECLARED distribution (a rebalance exchange
+    // on the bucket transform) and the DECLARED per-task ordering (a
+    // sort on the same transform) - not a committer-side shuffle
+    assert(plan.contains("REBALANCE_PARTITIONS_BY_COL"),
+      s"no write-requested rebalance exchange in the plan:\n$plan")
+    assert(plan.contains("Sort ["),
+      s"no write-requested sort in the plan:\n$plan")
+    // both the exchange and the sort key ON the resolved bucket
+    // transform (the catalog's V2 function), not a raw column
+    assert(plan.contains("applyfunctionexpression") &&
+      plan.contains("GraftBucketBound"),
+      s"the exchange does not cluster on the bucket transform:\n$plan")
   }
 
   test("overwriteWhere refuses untranslatable batches and unknown columns loudly") {
