@@ -1398,7 +1398,17 @@ private[graft] object QueriesIo {
         .contains("manifest-agg"),
       "q_snapshot_agg_push: the aggregate did not answer from the " +
         s"manifest:\n${df.queryExecution.executedPlan}")
-    df
+    // MERGE-ON-READ phase: kill rows positionally - COUNT(*) must
+    // STILL answer from metadata (sum(__rows) minus the per-file
+    // positional-delete counts from the driver-bounded sliver)
+    graft.io.Snapshots.deleteWhere(s, s"$wh/db/docs",
+      col("doc_id") % 9 === 0, mode = "mor")
+    val live = s.sql(s"SELECT count(*) AS n_live FROM $cat.db.docs")
+    require(live.queryExecution.executedPlan.toString
+        .contains("manifest-agg"),
+      "q_snapshot_agg_push: the delete-bearing COUNT(*) did not " +
+        s"answer from the manifest:\n${live.queryExecution.executedPlan}")
+    df.crossJoin(live)
   }
 
   /** GROUPED manifest aggregate pushdown gate: `COUNT/MIN/MAX ...
@@ -1433,6 +1443,45 @@ private[graft] object QueriesIo {
         .contains("manifest-agg"),
       "q_snapshot_agg_group: the grouped aggregate did not answer " +
         s"from the manifest:\n${df.queryExecution.executedPlan}")
+    df
+  }
+
+  /** MANIFEST-ABSORBED FILTER aggregate gate
+    * ([[graft.io.SnapshotScanBuilder.pushFilters]]): over a
+    * `(source, lang)` identity layout, `COUNT(*) ... WHERE source =
+    * 'src3' GROUP BY lang` — the dashboard-on-a-partition query —
+    * still answers from the manifest: the equality on the identity
+    * partition column is CONSUMED by the kept entry set (Spark plans
+    * no Filter node), so the per-group folds stay exact and the scan
+    * reads zero data files, asserted in-gate. `count(lang)` rides
+    * along answered from directory values alone (identity-borne
+    * columns have no file stats).
+    */
+  def snapshotAggWhere(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "snap_aggw_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = "gaggw_" + math.abs(wh.hashCode).toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    t(s, dir, "documents").createOrReplaceTempView("graft_aggw_src")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+      "lang STRING, source STRING, n_chars BIGINT) " +
+      "PARTITIONED BY (source, lang)")
+    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, text, lang, " +
+      "source, n_chars FROM graft_aggw_src")
+    // a second commit so several files per partition must fold
+    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id + 5000000, text, " +
+      "lang, source, n_chars + 7 FROM graft_aggw_src")
+    val df = s.sql(s"SELECT lang, count(*) AS n_docs, " +
+      s"count(lang) AS n_lang, min(doc_id) AS min_id, " +
+      s"max(doc_id) AS max_id FROM $cat.db.docs " +
+      s"WHERE source = 'src3' GROUP BY lang")
+    require(df.queryExecution.executedPlan.toString
+        .contains("manifest-agg"),
+      "q_snapshot_agg_where: the filtered grouped aggregate did not " +
+        s"answer from the manifest:\n${df.queryExecution.executedPlan}")
     df
   }
 
@@ -1593,6 +1642,63 @@ private[graft] object QueriesIo {
     s.sql(s"SELECT doc_id, n_chars, lang FROM $cat.db.docs")
   }
 
+  /** SQL DYNAMIC-PARTITION OVERWRITE gate (the reference's monthly
+    * rerun, conte-etl-step-2-manager.py:817-821, as plain SQL):
+    * `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic` plans
+    * through the DSv2 write ([[graft.io.SnapshotBatchWrite]],
+    * `SupportsDynamicOverwrite`) and lands as
+    * [[graft.io.Snapshots.replacePartitions]] semantics — ONLY the
+    * batch's partitions replaced, untouched partitions' files carried
+    * BY REFERENCE (asserted in-gate on physical paths), ONE atomic
+    * manifest claim (asserted in-gate on the version counter). The
+    * oracle replays the replacement relationally.
+    */
+  def snapshotDynOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "snap_dyow_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = "gdyow_" + math.abs(wh.hashCode).toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val docs = t(s, dir, "documents")
+    docs.createOrReplaceTempView("graft_dyow_src")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, " +
+      "n_chars BIGINT, lang STRING) PARTITIONED BY (lang)")
+    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, n_chars, lang " +
+      "FROM graft_dyow_src")
+    val path = s"$wh/db/docs"
+    val v0 = graft.io.Snapshots.latestVersion(s, path).get
+    def files(except: String): Set[String] = {
+      val root = new java.io.File(path)
+      Option(root.listFiles()).toSeq.flatten
+        .filter(d => d.isDirectory && d.getName.startsWith("lang="))
+        .filterNot(_.getName == s"lang=$except")
+        .flatMap(d => Option(d.listFiles()).toSeq.flatten)
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+    }
+    val untouchedBefore = files(except = "en")
+    val old =
+      s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try s.sql(s"INSERT OVERWRITE $cat.db.docs " +
+      "SELECT doc_id + 4000000, n_chars + 11, lang " +
+      "FROM graft_dyow_src WHERE lang = 'en'")
+    finally old match {
+      case Some(v) =>
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    require(graft.io.Snapshots.latestVersion(s, path).get == v0 + 1,
+      "q_snapshot_dyn_overwrite: the dynamic overwrite was not ONE " +
+        "commit")
+    require(files(except = "en") == untouchedBefore,
+      "q_snapshot_dyn_overwrite: untouched partitions were " +
+        "rewritten, not carried by reference")
+    s.sql(s"SELECT doc_id, n_chars, lang FROM $cat.db.docs")
+  }
+
   /** SQL UPDATE on a snapshot catalog table
     * ([[graft.plans.GraftDmlStrategy]] lowering `UPDATE` onto
     * [[graft.io.Snapshots.updateWhere]]'s copy-on-write commit):
@@ -1722,10 +1828,12 @@ private[graft] object QueriesIo {
     "q_snapshot_spj" -> (snapshotSpj _),
     "q_snapshot_spj_mixed" -> (snapshotSpjMixed _),
     "q_snapshot_overwrite" -> (snapshotOverwrite _),
+    "q_snapshot_dyn_overwrite" -> (snapshotDynOverwrite _),
     "q_snapshot_clone" -> (snapshotClone _),
     "q_snapshot_merge_evolve" -> (snapshotMergeEvolve _),
     "q_snapshot_agg_push" -> (snapshotAggPush _),
     "q_snapshot_agg_group" -> (snapshotAggGroup _),
+    "q_snapshot_agg_where" -> (snapshotAggWhere _),
     "q_snapshot_branch" -> (snapshotBranch _),
     "q_snapshot_sql_update" -> (snapshotSqlUpdate _),
     "q_snapshot_sql_merge" -> (snapshotSqlMerge _),
@@ -1922,6 +2030,13 @@ private[graft] object QueriesIo {
          SELECT doc_id + 70000000 AS doc_id, n_chars * 2 AS n_chars,
            lang
          FROM documents WHERE lang = 'zh' AND n_chars >= 500""",
+    "q_snapshot_dyn_overwrite" ->
+      """SELECT doc_id, n_chars, lang FROM documents
+         WHERE lang <> 'en'
+         UNION ALL
+         SELECT doc_id + 4000000 AS doc_id, n_chars + 11 AS n_chars,
+           lang
+         FROM documents WHERE lang = 'en'""",
     "q_snapshot_clone" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          UNION ALL
@@ -1947,8 +2062,18 @@ private[graft] object QueriesIo {
            min(lang) AS min_lang, max(lang) AS max_lang,
            min(source) AS min_src, max(source) AS max_src,
            CAST(count(text) AS BIGINT) AS n_text,
-           CAST(count(n_chars) AS BIGINT) AS n_nchars
+           CAST(count(n_chars) AS BIGINT) AS n_nchars,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+            WHERE doc_id % 9 <> 0) AS n_live
          FROM documents""",
+    "q_snapshot_agg_where" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(lang) AS BIGINT) AS n_lang,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM (SELECT doc_id, lang, source FROM documents
+               UNION ALL
+               SELECT doc_id + 5000000, lang, source FROM documents)
+         WHERE source = 'src3' GROUP BY lang""",
     "q_snapshot_agg_group" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
            min(doc_id) AS min_id, max(doc_id) AS max_id,

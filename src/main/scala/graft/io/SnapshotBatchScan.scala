@@ -117,17 +117,96 @@ private[graft] final class SnapshotScanBuilder(
 
   private var required: StructType = tableSchema
   private var filters: Array[Filter] = Array.empty
+  private var absorbed: Array[Filter] = Array.empty
+  private var kept: Seq[String] = entries
   private var pushedAgg: Option[(StructType, Array[Array[Any]])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** MANIFEST-ABSORBED FILTERS: a conjunct the manifest answers
+    * EXACTLY — `c = v` / `c IS NOT NULL` on an identity partition
+    * column whose directory value every entry carries — is CONSUMED
+    * here (reported via [[pushedFilters]], so Spark plans no Filter
+    * node above the scan): the kept entry set contains exactly the
+    * matching files, and every row of a kept file satisfies the
+    * conjunct because identity rows EQUAL their directory value.
+    * Everything else stays post-scan (returned), keeping pushdown
+    * IO-only there. The payoff beyond one less Filter: with no
+    * residual filter, Spark offers AGGREGATE pushdown — `COUNT(*)
+    * WHERE lang = 'en' GROUP BY ym` answers from metadata
+    * ([[planAgg]] folds over the absorbed-kept entries).
+    */
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
-    filters = fs
-    fs // ALL filters stay post-scan: pushdown below is IO-only
+    val planned = fs.map(f => f -> absorb(f))
+    absorbed = planned.collect { case (f, Some(_)) => f }
+    kept = planned.collect { case (_, Some(t)) => t }
+      .foldLeft(entries)((es, t) => t(es))
+    filters = planned.collect { case (f, None) => f }
+    filters
   }
 
-  override def pushedFilters(): Array[Filter] = Array.empty
+  override def pushedFilters(): Array[Filter] = absorbed
+
+  private val idByLogical: Map[String, Snapshots.PIdentity] =
+    partCols.map(Snapshots.parsePartField)
+      .collect { case f: Snapshots.PIdentity => f }
+      .map(f => colMap.getOrElse(f.source, f.source) -> f).toMap
+
+  /** The exact entry-set transformer for an absorbable conjunct, or
+    * None (conjunct stays post-scan). Exactness requirements, checked
+    * here: the column is identity-partitioned; EVERY entry carries
+    * the directory key (a pre-spec-evolution file holds arbitrary
+    * values — absorbing would drop its matching rows); for equality,
+    * the value's directory string is a real value (not the
+    * null/empty sentinel, which collides null with '') and the
+    * column's type round-trips cast-to-string INJECTIVELY (string,
+    * integral, date, boolean — timestamps excluded: their directory
+    * strings bake in the writing session's timezone).
+    */
+  private def absorb(f: Filter): Option[Seq[String] => Seq[String]] = {
+    val default = org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+    def fieldOf(c: String): Option[Snapshots.PIdentity] =
+      idByLogical.get(c).filter(fld => entries.forall(e =>
+        Snapshots.partValsOf(Snapshots.relOfEntry(e))
+          .contains(fld.dirName)))
+    def injective(dt: DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.StringType | ByteType |
+           ShortType | IntegerType | LongType |
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.BooleanType => true
+      case _ => false
+    }
+    f match {
+      case sources.EqualTo(c, v) if v != null =>
+        fieldOf(c).flatMap { fld =>
+          val dt = tableSchema(c).dataType
+          if (!injective(dt)) None
+          else {
+            // the SAME derive + cast-to-string rule the writer named
+            // the directory with, so the comparison cannot skew
+            val row = spark.range(1).select(
+              fld.derive(org.apache.spark.sql.functions.lit(v)
+                .cast(dt), dt).cast("string").as("d")).head()
+            if (row.isNullAt(0) || row.getString(0).isEmpty) None
+            else {
+              val expect = row.getString(0)
+              Some((es: Seq[String]) => es.filter(e =>
+                Snapshots.partValsOf(Snapshots.relOfEntry(e))
+                  .get(fld.dirName).contains(expect)))
+            }
+          }
+        }
+      case sources.IsNotNull(c) =>
+        fieldOf(c).map { fld =>
+          (es: Seq[String]) => es.filter(e =>
+            !Snapshots.partValsOf(Snapshots.relOfEntry(e))
+              .get(fld.dirName).contains(default))
+        }
+      case _ => None
+    }
+  }
 
   /** MANIFEST-ANSWERED AGGREGATES: an unfiltered `COUNT(*)` sums the
     * `__rows` pseudo-stat; integral `MIN/MAX` fold the exact
@@ -138,11 +217,15 @@ private[graft] final class SnapshotScanBuilder(
     * belongs to exactly one group (its directory value), so
     * per-group folds stay exact and `COUNT(*) ... GROUP BY ym` — the
     * dashboard shape — answers as one metadata read with one row per
-    * live partition. Refuses (returns false → Spark scans) unless
-    * EVERY group's every cell is answerable. Spark only offers
-    * aggregates here once no filter remained post-scan, and this
-    * builder keeps every filter post-scan, so only genuinely bare
-    * aggregates arrive.
+    * live partition. POSITIONAL deletes subtract exactly (per-file
+    * counts from the driver-bounded delete sliver) from every COUNT;
+    * equality deletes and MIN/MAX-under-deletes refuse. Refuses
+    * (returns false → Spark scans) unless EVERY group's every cell is
+    * answerable. Spark offers aggregates here only when no filter
+    * remained post-scan: either the query was bare, or every filter
+    * was manifest-ABSORBED ([[pushFilters]]) — the folds then run
+    * over the absorbed-kept entries, so `COUNT(*) WHERE lang = 'en'
+    * GROUP BY ym` is still one exact metadata read.
     */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     planAgg(agg).isDefined
@@ -152,12 +235,25 @@ private[graft] final class SnapshotScanBuilder(
     pushedAgg.isDefined
   }
 
+  /** Per-file POSITIONAL-delete counts, driver-side — bounded by the
+    * catalog's v2DeleteBytes routing budget before this builder ever
+    * exists, and read lazily (only aggregate pushdown over a
+    * delete-bearing table pays the small job).
+    */
+  private lazy val posDelCounts: Map[String, Long] =
+    Snapshots.v2PosDeletes(spark, path, dvs)
+      .map { case (rel, ps) => rel -> ps.length.toLong }
+
   private def planAgg(agg: Aggregation)
       : Option[(StructType, Array[Array[Any]])] = {
-    // live delete files: manifest pseudo-stats still count the
-    // DELETED rows, so no metadata answer is exact - scan
-    if (dvs.nonEmpty) return None
+    // EQUALITY deletes kill an unknowable number of rows per file
+    // (matching is by value) - no metadata answer is exact: scan.
+    // POSITIONAL deletes are exactly countable per file from the
+    // (driver-bounded) delete sliver, so COUNT stays answerable;
+    // MIN/MAX refuse below (a deleted row may hold the bound).
+    if (dvs.exists(_.startsWith("eq:"))) return None
     if (filters.nonEmpty) return None
+    val hasDeletes = dvs.nonEmpty
     val l2p = colMap.map(_.swap)
     def logicalName(phys: String): String = colMap.getOrElse(phys, phys)
     def singleCol(e: VExpression): Option[String] = e match {
@@ -185,9 +281,19 @@ private[graft] final class SnapshotScanBuilder(
       }
     }
     val groups: Seq[(Seq[Any], Seq[String])] =
-      if (groupCols.isEmpty) Seq(Seq.empty[Any] -> entries)
-      else entries.groupBy(groupKeyOf).toSeq
+      if (groupCols.isEmpty) Seq(Seq.empty[Any] -> kept)
+      else kept.groupBy(groupKeyOf).toSeq
         .sortBy(_._1.mkString(""))
+
+    /** Live rows of a group's entries: `__rows` minus each file's
+      * positional-delete count; None when any entry lacks the stat. */
+    def liveRowsOf(es: Seq[String]): Option[Long] = {
+      val per = es.map { e =>
+        val (rel, _, rows) = Snapshots.entryMeta(spark, path, e)
+        rows.map(_ - posDelCounts.getOrElse(rel, 0L))
+      }
+      if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+    }
 
     def longBoundsOf(name: String, es: Seq[String])
         : Option[(Long, Long)] = {
@@ -240,19 +346,41 @@ private[graft] final class SnapshotScanBuilder(
       agg.aggregateExpressions.toSeq.zipWithIndex.map {
         case (_: CountStar, i) =>
           Some((StructField(s"agg_$i", LongType, nullable = false),
-            (es: Seq[String]) => {
-              val rows = es.map(e =>
-                Snapshots.entryMeta(spark, path, e)._3)
-              if (rows.exists(_.isEmpty)) None
-              else Some(rows.flatten.sum: Any)
-            }))
+            (es: Seq[String]) => liveRowsOf(es).map(identity[Any])))
         case (c: Count, i) if !c.isDistinct =>
-          // COUNT(col) = rows - nulls, exact when EVERY entry carries
-          // both pseudo-stats (identity-borne columns have no file
-          // stats and refuse)
           singleCol(c.column).flatMap { cn =>
             if (!tableSchema.fieldNames.contains(cn)) None
-            else {
+            else if (idNames.contains(cn)) {
+              // IDENTITY-BORNE column: the directory value IS the
+              // column value for every row of the file (deleted rows
+              // included), so nulls are ALL rows when the directory
+              // value is null and 0 otherwise — answerable with no
+              // file stats at all. A pre-spec-evolution entry with no
+              // directory key holds arbitrary values: refuse.
+              val idx = idNames.indexOf(cn)
+              val fld = idFields(idx)
+              Some((StructField(s"agg_$i", LongType, nullable = false),
+                (es: Seq[String]) => {
+                  val per = es.map { e =>
+                    val (rel, _, rows) =
+                      Snapshots.entryMeta(spark, path, e)
+                    if (!Snapshots.partValsOf(rel).contains(fld.dirName))
+                      None
+                    else if (Snapshots.identityValuesRow(spark, rel,
+                        Seq(fld.source), Seq(idTypes(idx))).isNullAt(0))
+                      Some(0L)
+                    else rows.map(_ - posDelCounts.getOrElse(rel, 0L))
+                  }
+                  if (per.exists(_.isEmpty)) None
+                  else Some(per.flatten.sum: Any)
+                }))
+            } else if (hasDeletes) {
+              // a deleted row's null-ness in `cn` is unknowable from
+              // the per-file null counts: scan
+              None
+            } else {
+              // COUNT(col) = rows - nulls, exact when EVERY entry
+              // carries both pseudo-stats
               val phys = l2p.getOrElse(cn, cn)
               Some((StructField(s"agg_$i", LongType, nullable = false),
                 (es: Seq[String]) => {
@@ -266,14 +394,27 @@ private[graft] final class SnapshotScanBuilder(
                 }))
             }
           }
-        case (m: Min, i) => minMaxPlan(m.column, i, isMin = true)
-        case (m: Max, i) => minMaxPlan(m.column, i, isMin = false)
+        // a deleted row may hold the bound: MIN/MAX refuse under any
+        // live delete file
+        case (m: Min, i) if !hasDeletes =>
+          minMaxPlan(m.column, i, isMin = true)
+        case (m: Max, i) if !hasDeletes =>
+          minMaxPlan(m.column, i, isMin = false)
         case _ => None
       }
     if (planned.exists(_.isEmpty)) return None
     val fns = planned.map(_.get._2)
+    // under deletes a group may have lost EVERY row - a real scan
+    // emits no row for it, so neither may the metadata answer; a
+    // group whose liveness is unprovable refuses the whole push
+    val liveGroups =
+      if (!hasDeletes || groupCols.isEmpty) groups
+      else groups.map { case g @ (_, es) => liveRowsOf(es) match {
+        case Some(n) => Some(g).filter(_ => n > 0)
+        case None => return None
+      }}.flatten
     // evaluate per group; ANY unanswerable cell refuses the push
-    val rows: Seq[Array[Any]] = groups.map { case (key, es) =>
+    val rows: Seq[Array[Any]] = liveGroups.map { case (key, es) =>
       val vals = fns.map(_(es))
       if (vals.exists(_.isEmpty)) return None
       (key ++ vals.map(_.get)).toArray
@@ -289,8 +430,10 @@ private[graft] final class SnapshotScanBuilder(
   override def build(): Scan = pushedAgg match {
     case Some((aggSchema, values)) =>
       new ManifestAggScan(path, pinnedV, aggSchema, values)
+    // `kept`, not `entries`: absorbed filters are ENFORCED by the
+    // entry set (Spark plans no Filter node for them)
     case None => new SnapshotBatchScan(spark, path, pinnedV,
-      tableSchema, required, partCols, colMap, entries, filters.toSeq,
+      tableSchema, required, partCols, colMap, kept, filters.toSeq,
       dvs)
   }
 }

@@ -772,8 +772,9 @@ class SnapshotSpjSpec extends SparkSpec {
           "ON o.o_custkey = c.c_custkey").head()
       assert(got === expect)
     }
-    // aggregate pushdown REFUSES on delete-bearing tables (manifest
-    // stats count deleted rows) - yet answers exactly from the scan
+    // aggregate pushdown REFUSES once an EQUALITY delete is live (its
+    // matched-row count is unknowable without a scan; pure-positional
+    // tables push - see the dedicated spec) - yet answers exactly
     val agg = spark.sql(s"SELECT count(*) AS n FROM $cat.db.ord")
     assert(!agg.queryExecution.executedPlan.toString
       .contains("manifest-agg"))
@@ -909,5 +910,177 @@ class SnapshotSpjSpec extends SparkSpec {
     assert(bounds.nonEmpty)
     assert(bounds.map(_._1).min === lo)
     assert(bounds.map(_._2).max === hi)
+  }
+
+  /** An identity-partitioned docs table with a NULL partition and
+    * several files per partition (two inserts), for the absorbed-
+    * filter and identity-COUNT specs. */
+  private def setupLangTable(cat: String): DataFrame = {
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, " +
+      "text STRING, lang STRING, n_chars BIGINT) " +
+      "PARTITIONED BY (lang)")
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") % 50 === 0, lit(null: String))
+          .otherwise(col("lang")).as("lang"), col("n_chars"))
+    docs.createOrReplaceTempView("spj_lang_src")
+    spark.sql(s"INSERT INTO $cat.db.docs SELECT * FROM spj_lang_src")
+    spark.sql(s"INSERT INTO $cat.db.docs SELECT doc_id + 5000000, " +
+      "text, lang, n_chars FROM spj_lang_src")
+    docs.union(docs.select(col("doc_id") + 5000000, col("text"),
+      col("lang"), col("n_chars")).toDF(docs.columns: _*))
+  }
+
+  test("manifest-absorbed filters: equality on an identity partition column pushes the FILTERED aggregate") {
+    val (cat, _) = freshCatalog()
+    val expect = setupLangTable(cat)
+    withConfs("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      // WHERE on the identity column is absorbed by the kept entry
+      // set -> Spark sees no residual filter -> the grouped count
+      // still answers from the manifest
+      val df = spark.sql(s"SELECT count(*) AS n, min(doc_id) AS mn " +
+        s"FROM $cat.db.docs WHERE lang = 'en'")
+      assert(df.queryExecution.executedPlan.toString
+        .contains("manifest-agg"), df.queryExecution.executedPlan)
+      val want = expect.filter(col("lang") === "en")
+        .agg(count(lit(1)), min("doc_id")).head()
+      assert(df.head() === want)
+      // a value matching NO partition: zero, still metadata-only
+      val none = spark.sql(
+        s"SELECT count(*) AS n FROM $cat.db.docs WHERE lang = 'xx'")
+      assert(none.queryExecution.executedPlan.toString
+        .contains("manifest-agg"))
+      assert(none.head.getLong(0) === 0L)
+      // non-partition residual filter: refuses, answers from the scan
+      val res = spark.sql(s"SELECT count(*) FROM $cat.db.docs " +
+        "WHERE lang = 'en' AND n_chars > 400")
+      assert(!res.queryExecution.executedPlan.toString
+        .contains("manifest-agg"))
+      assert(res.head.getLong(0) === expect.filter(
+        col("lang") === "en" && col("n_chars") > 400).count())
+    }
+  }
+
+  test("absorbed equality is ENFORCED by the kept entry set: plain scans stay exact, null partition excluded") {
+    val (cat, _) = freshCatalog()
+    val expect = setupLangTable(cat)
+    val q = s"SELECT doc_id, n_chars FROM $cat.db.docs WHERE lang = 'zh'"
+    val df = spark.sql(q)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("graft-snapshot spj"))
+    // rows exact vs the relational replay - in particular the NULL
+    // partition's rows must NOT leak (nothing above the scan
+    // re-applies the absorbed equality)
+    val want = expect.filter(col("lang") === "zh")
+      .agg(count(lit(1)), sum("doc_id"), sum("n_chars")).head()
+    assert(df.agg(count(lit(1)), sum("doc_id"), sum("n_chars"))
+      .head() === want)
+    // IS NOT NULL alone absorbs too
+    val nn = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.db.docs WHERE lang IS NOT NULL")
+    assert(nn.queryExecution.executedPlan.toString
+      .contains("manifest-agg"), nn.queryExecution.executedPlan)
+    assert(nn.head.getLong(0) ===
+      expect.filter(col("lang").isNotNull).count())
+    // and the V1 path agrees on the equality read
+    val v1 = withConfs("spark.graft.snapshot.v2.enabled" -> "false") {
+      spark.sql(q).agg(count(lit(1)), sum("doc_id"), sum("n_chars"))
+        .head()
+    }
+    assert(v1 === want)
+  }
+
+  test("absorption is IDENTITY-only: hidden-transform source filters stay post-scan (dir value != row value)") {
+    val (cat, _) = freshCatalog()
+    setupTables(cat) // ord: PARTITIONED BY (bucket(8, o_custkey))
+    // bucket(o_custkey)=b keeps many custkeys: absorbing o_custkey=7
+    // would be wrong - it must stay a residual filter, so the
+    // aggregate must NOT push, yet the answer stays exact (manifest
+    // pruning remains an IO optimization)
+    val df = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.db.ord WHERE o_custkey = 7")
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("manifest-agg"))
+    assert(df.head.getLong(0) === Tables.t(spark, sf, "orders")
+      .filter(col("o_custkey") === 7).count())
+  }
+
+  test("merge-on-read COUNT pushdown: positional deletes subtract exactly; MIN/MAX and COUNT(col) refuse") {
+    val (cat, wh) = freshCatalog()
+    setupTables(cat)
+    Snapshots.deleteWhere(spark, s"$wh/db/ord",
+      col("o_totalprice") < 50000.0, mode = "mor")
+    val live = Tables.t(spark, sf, "orders")
+      .filter(!(col("o_totalprice") < 50000.0))
+    withConfs("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      // COUNT(*) = sum(__rows) - per-file positional-delete counts,
+      // answered from metadata + the driver-bounded delete sliver
+      val c = spark.sql(s"SELECT count(*) AS n FROM $cat.db.ord")
+      assert(c.queryExecution.executedPlan.toString
+        .contains("manifest-agg"), c.queryExecution.executedPlan)
+      assert(c.head.getLong(0) === live.count())
+      // a deleted row may hold the bound: MIN/MAX must scan (BIGINT,
+      // so only the deletes - not the type - force the refusal)
+      val m = spark.sql(s"SELECT min(o_orderkey) AS mn " +
+        s"FROM $cat.db.ord")
+      assert(!m.queryExecution.executedPlan.toString
+        .contains("manifest-agg"))
+      assert(m.head.getLong(0) ===
+        live.agg(min("o_orderkey")).head.getLong(0))
+      // a deleted row's null-ness is unknowable: COUNT(col) must scan
+      val cc = spark.sql(
+        s"SELECT count(o_totalprice) AS n FROM $cat.db.ord")
+      assert(!cc.queryExecution.executedPlan.toString
+        .contains("manifest-agg"))
+      assert(cc.head.getLong(0) === live.count())
+    }
+  }
+
+  test("COUNT(identity col) answers from directory values: the NULL partition counts zero, even under deletes") {
+    val (cat, wh) = freshCatalog()
+    val expect = setupLangTable(cat)
+    withConfs("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val df = spark.sql(s"SELECT count(lang) AS n FROM $cat.db.docs")
+      assert(df.queryExecution.executedPlan.toString
+        .contains("manifest-agg"), df.queryExecution.executedPlan)
+      assert(df.head.getLong(0) ===
+        expect.filter(col("lang").isNotNull).count())
+      // now kill some rows positionally: COUNT(lang) still pushes
+      // (directory value known for deleted rows too) and subtracts
+      Snapshots.deleteWhere(spark, s"$wh/db/docs",
+        col("doc_id") % 7 === 0, mode = "mor")
+      val after = spark.sql(s"SELECT count(lang) AS n FROM $cat.db.docs")
+      assert(after.queryExecution.executedPlan.toString
+        .contains("manifest-agg"), after.queryExecution.executedPlan)
+      assert(after.head.getLong(0) === expect.filter(
+        col("lang").isNotNull && col("doc_id") % 7 =!= 0).count())
+    }
+  }
+
+  test("grouped pushdown under positional deletes: fully-deleted partitions emit NO group row") {
+    val (cat, wh) = freshCatalog()
+    val expect = setupLangTable(cat)
+    // kill EVERY row of one partition and some of another
+    Snapshots.deleteWhere(spark, s"$wh/db/docs",
+      col("lang") === "de", mode = "mor")
+    Snapshots.deleteWhere(spark, s"$wh/db/docs",
+      col("lang") === "en" && col("doc_id") % 3 === 0, mode = "mor")
+    val live = expect.filter(col("lang") =!= "de" || col("lang").isNull)
+      .filter(!(col("lang") === "en" && col("doc_id") % 3 === 0) ||
+        col("lang").isNull)
+    withConfs("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val df = spark.sql(s"SELECT lang, count(*) AS n " +
+        s"FROM $cat.db.docs GROUP BY lang")
+      assert(df.queryExecution.executedPlan.toString
+        .contains("manifest-agg"), df.queryExecution.executedPlan)
+      val got = df.collect().map(r =>
+        Option(r.getString(0)) -> r.getLong(1)).toMap
+      val want = live.groupBy("lang").agg(count(lit(1)))
+        .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+      assert(got === want)
+      assert(!got.contains(Some("de")),
+        "the fully-deleted partition leaked a group row")
+    }
   }
 }
