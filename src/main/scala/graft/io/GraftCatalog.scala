@@ -408,7 +408,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                                   version: Option[Long],
                                   mutable: Boolean = true)
       extends Table with SupportsRead with SupportsWrite
-      with SupportsDelete {
+      with SupportsDelete with SupportsMetadataColumns
+      with SupportsRowLevelOperations {
 
     /** The snapshot store's base path — [[graft.plans.GraftDmlStrategy]]
       * routes SQL UPDATE / MERGE INTO through [[Snapshots]] with it. */
@@ -497,6 +498,74 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
     override def properties(): util.Map[String, String] =
       Snapshots.properties(spark, path, Some(pinnedV)).asJava
+
+    /** Row-identity METADATA COLUMNS: the store-relative data-file
+      * path and the row's physical position in it — the same
+      * (file, pos) identity every merge-on-read delete names. Queries
+      * may select them (`SELECT __graft_file, ...`), and Spark's
+      * row-level framework resolves them as the delta rowId
+      * ([[GraftRowLevelOperation]]).
+      */
+    override def metadataColumns(): Array[MetadataColumn] = Array(
+      new MetadataColumn {
+        override def name(): String = SnapshotBatchScan.MetaFileCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "store-relative path of the row's data file"
+      },
+      new MetadataColumn {
+        override def name(): String = SnapshotBatchScan.MetaPosCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "physical row position within the data file"
+      })
+
+    /** Spark-NATIVE row-level SQL DML (`SupportsRowLevelOperations`):
+      * DELETE / UPDATE / MERGE rewrite through Spark's own
+      * `RewriteDeleteFromTable` / `RewriteUpdateTable` /
+      * `RewriteMergeIntoTable` into a delta plan over the (file, pos)
+      * rowId — matched rows become positional delete entries, new and
+      * updated rows become ordinary data files, ONE atomic manifest
+      * claim pinned to the version the scan read (any concurrent
+      * commit refuses: the named positions would be stale). This is
+      * the merge-on-read twin of the copy-on-write programmatic API;
+      * simple DELETE predicates still take the metadata-only
+      * [[SupportsDelete]] path above (Spark's
+      * `OptimizeMetadataOnlyDeleteFromTable` prefers it).
+      */
+    override def newRowLevelOperationBuilder(
+        info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+        : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+      require(mutable,
+        "graft catalog: cannot UPDATE/MERGE/DELETE a time-travelled " +
+          "table - DML mutates the live table only")
+      () => new GraftRowLevelOperation(this, info.command)
+    }
+
+    /** The DSv2 scan builder for row-level DML — the one scan shape
+      * that can emit the (file, pos) rowId. Refuses (rather than
+      * falling back to V1, which cannot) when the delete sliver
+      * outgrew the shipping budget.
+      */
+    private[graft] def rowLevelScanBuilder(): ScanBuilder = {
+      val (sch, pc, entries, dvs, cm) = pinnedState
+      require(dvs.isEmpty ||
+        Snapshots.v2DeleteBytes(spark, path, dvs) <=
+          spark.conf.get("spark.graft.snapshot.v2.maxDeleteBytes",
+            (64L << 20).toString).toLong,
+        s"graft catalog: $ident carries more delete-file bytes than " +
+          "the row-level DML scan can ship per task " +
+          "(spark.graft.snapshot.v2.maxDeleteBytes) - run CALL " +
+          "compact first to apply the backlog")
+      new SnapshotScanBuilder(spark, path, pinnedV, sch, pc, cm,
+        entries, dvs)
+    }
+
+    private[graft] def pinnedVersion: Long = pinnedV
 
     override def newScanBuilder(options: CaseInsensitiveStringMap)
         : ScanBuilder = {

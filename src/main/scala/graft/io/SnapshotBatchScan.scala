@@ -57,6 +57,18 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   */
 object SnapshotBatchScan {
 
+  /** Row-identity METADATA COLUMNS ([[GraftCatalog.GraftTable]]
+    * `SupportsMetadataColumns`): the store-relative data-file path and
+    * the row's physical position — the exact (file, pos) identity the
+    * store's positional delete files name, so Spark's row-level DML
+    * framework can use them as the delta rowId. Requesting either
+    * forces whole-file, filterless reads (positions must count every
+    * physical row).
+    */
+  val MetaFileCol = "__graft_file"
+  val MetaPosCol = "__graft_pos"
+  private[io] val MetaNames: Set[String] = Set(MetaFileCol, MetaPosCol)
+
   /** Collect top-level / AND-nested equality filters — the shapes the
     * manifest point-lookup can prune on EXACTLY. An `EqualTo` under
     * an OR must not prune (the other branch may keep the file).
@@ -246,6 +258,10 @@ private[graft] final class SnapshotScanBuilder(
 
   private def planAgg(agg: Aggregation)
       : Option[(StructType, Array[Array[Any]])] = {
+    // metadata-column reads (row-level DML scans) never answer from
+    // the manifest
+    if (required.fields.exists(f =>
+        SnapshotBatchScan.MetaNames(f.name))) return None
     // EQUALITY deletes kill an unknowable number of rows per file
     // (matching is by value) - no metadata answer is exact: scan.
     // POSITIONAL deletes are exactly countable per file from the
@@ -449,6 +465,19 @@ private[graft] final class SnapshotBatchScan(
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   import SnapshotBatchScan._
+
+  /** Metadata-column request ([[SnapshotBatchScan.MetaFileCol]] /
+    * [[SnapshotBatchScan.MetaPosCol]] in the pruned schema): rows
+    * must carry their (file, pos) identity, so every file reads
+    * WHOLE and FILTERLESS (row-group skipping or range splits would
+    * desynchronize position counting) and the reader appends the
+    * two values per row. `reqData` is the pruned schema minus the
+    * metadata columns — what actually reads from parquet.
+    */
+  private val withMeta =
+    required.fields.exists(f => MetaNames(f.name))
+  private val reqData =
+    StructType(required.fields.filterNot(f => MetaNames(f.name)))
 
   private val fields = partCols.map(Snapshots.parsePartField)
   // IDENTITY partition columns live in directory names, not in the
@@ -711,7 +740,7 @@ private[graft] final class SnapshotBatchScan(
         val s = sliceOf(e)
         val rel = Snapshots.relOfEntry(e)
         val idRow = if (idFields.isEmpty) empty else idRowOf(rel)
-        if (s.hasDeletes)
+        if (s.hasDeletes || withMeta)
           Seq(SnapshotInputPartition(InternalRow.empty, idRow,
             Array(s), rel = rel))
         else (0L until s.fileSize by maxSplit).map(off =>
@@ -768,12 +797,12 @@ private[graft] final class SnapshotBatchScan(
     // never selects them)
     val eqLogical = eqDeletes.flatMap(_.physCols).map(logicalName)
       .distinct
-    val requiredNames = required.fieldNames.toSet
+    val requiredNames = reqData.fieldNames.toSet
     val eqExtra = eqLogical
       .filterNot(requiredNames).filterNot(idLogical)
       .map(n => tableSchema(n))
     val dataRequired = StructType(
-      required.fields.filterNot(f => idLogical(f.name)) ++ eqExtra)
+      reqData.fields.filterNot(f => idLogical(f.name)) ++ eqExtra)
     val physData = Snapshots.physicalSchemaOf(dataTable, colMap)
     val physRequired = Snapshots.physicalSchemaOf(dataRequired, colMap)
     val partSchema = StructType(idFields.zip(idTypes).map {
@@ -781,13 +810,17 @@ private[graft] final class SnapshotBatchScan(
         .StructField(f.source, dt, nullable = true) })
     val l2p = colMap.map(_.swap)
     val physFilters =
-      filters.flatMap(toPhysicalFilter(l2p))
+      if (withMeta) Nil // whole-file filterless: positions count true
+      else filters.flatMap(toPhysicalFilter(l2p))
         .filter(_.references.forall(physData.fieldNames.contains))
-    // reader emits dataRequired ++ idFields; required wants its own
-    // order - map each required ordinal to the reader's layout
+    // reader emits dataRequired ++ idFields (++ file, pos when
+    // metadata is requested); required wants its own order - map
+    // each required ordinal to the reader's layout
     val nData = dataRequired.fields.length
     def readerOrdinal(name: String): Int =
-      if (idLogical(name))
+      if (name == MetaFileCol) nData + idFields.length
+      else if (name == MetaPosCol) nData + idFields.length + 1
+      else if (idLogical(name))
         nData + idFields.indexWhere(i => logicalName(i.source) == name)
       else dataRequired.fieldIndex(name)
     val ordinals = required.fields.map(f => readerOrdinal(f.name))
@@ -812,7 +845,8 @@ private[graft] final class SnapshotBatchScan(
         Nil, conf, partSchema),
       ordinals,
       required.fields.map(_.dataType),
-      eqApplies)
+      eqApplies,
+      withMeta)
   }
 
   /** Size/rows from the manifest pseudo-stats (post-prune): join
@@ -932,15 +966,33 @@ private[graft] final class SnapshotReaderFactory(
       => Iterator[InternalRow],
     ordinals: Array[Int],
     outTypes: Array[org.apache.spark.sql.types.DataType],
-    eqApplies: Array[EqApply] = Array.empty)
+    eqApplies: Array[EqApply] = Array.empty,
+    withMeta: Boolean = false)
   extends PartitionReaderFactory {
+
+  /** Does any applicable equality delete kill this row? Null keys
+    * keep the row — SQL anti-join semantics. */
+  private def eqKilled(applies: Array[EqApply], row: InternalRow)
+      : Boolean =
+    applies.nonEmpty && applies.exists { a =>
+      var i = 0
+      var anyNull = false
+      val key = new Array[Any](a.ordinals.length)
+      while (i < a.ordinals.length && !anyNull) {
+        if (row.isNullAt(a.ordinals(i))) anyNull = true
+        else key(i) =
+          Snapshots.v2NormKey(row.get(a.ordinals(i), a.dts(i)))
+        i += 1
+      }
+      !anyNull && a.keys.contains(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(key))
+    }
 
   /** Rows of one delete-bearing file, MoR deletes applied: the file
     * is read whole and filterless (`plainReadFunc`), so the running
     * index IS the row's position — a cursor over the sorted deleted
     * positions skips positional kills in O(1) each; surviving rows
-    * probe the applicable equality-delete key sets (null keys keep
-    * the row, SQL anti-join semantics).
+    * probe the applicable equality-delete key sets.
     */
   private def liveRows(fs: FileSlice, idRow: InternalRow)
       : Iterator[InternalRow] = {
@@ -954,19 +1006,39 @@ private[graft] final class SnapshotReaderFactory(
         if (di < fs.delPos.length && fs.delPos(di) == p) {
           di += 1
           false
-        } else if (applies.isEmpty) true
-        else !applies.exists { a =>
-          var i = 0
-          var anyNull = false
-          val key = new Array[Any](a.ordinals.length)
-          while (i < a.ordinals.length && !anyNull) {
-            if (row.isNullAt(a.ordinals(i))) anyNull = true
-            else key(i) =
-              Snapshots.v2NormKey(row.get(a.ordinals(i), a.dts(i)))
-            i += 1
+        } else !eqKilled(applies, row)
+      }
+  }
+
+  /** Same, but every surviving row carries its (file, pos) identity
+    * appended after the data + partition-value columns — the delta
+    * rowId of Spark's row-level DML. Positions are PHYSICAL (deleted
+    * rows advance the counter), so a positional delete written
+    * against them composes with existing delete files exactly.
+    */
+  private def metaRows(fs: FileSlice, idRow: InternalRow, rel: String)
+      : Iterator[InternalRow] = {
+    val applies = fs.eqIdx.map(eqApplies)
+    val meta = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(2)
+    meta.update(0,
+      org.apache.spark.unsafe.types.UTF8String.fromString(rel))
+    val joined =
+      new org.apache.spark.sql.catalyst.expressions.JoinedRow
+    var pos = 0L
+    var di = 0
+    plainReadFunc(fs.path, 0L, fs.fileSize, fs.fileSize, idRow)
+      .flatMap { row =>
+        val p = pos
+        pos += 1
+        val posKilled =
+          di < fs.delPos.length && fs.delPos(di) == p && {
+            di += 1; true
           }
-          !anyNull && a.keys.contains(
-            scala.collection.immutable.ArraySeq.unsafeWrapArray(key))
+        if (posKilled || eqKilled(applies, row)) None
+        else {
+          meta.setLong(1, p)
+          Some(joined(row, meta))
         }
       }
   }
@@ -985,7 +1057,8 @@ private[graft] final class SnapshotReaderFactory(
       private val it = slice.files.iterator
         .flatMap { fs =>
           SnapshotReaderFactory.filesOpened.incrementAndGet()
-          if (fs.hasDeletes) liveRows(fs, slice.idRow)
+          if (withMeta) metaRows(fs, slice.idRow, slice.rel)
+          else if (fs.hasDeletes) liveRows(fs, slice.idRow)
           else readFunc(fs.path, fs.start, fs.len, fs.fileSize,
             slice.idRow)
         }

@@ -89,15 +89,18 @@ private[graft] final class SnapshotWriteBuilder(
   */
 private[graft] final class SnapshotWrite(
     path: String, ident: String, inputSchema: StructType,
-    mode: Snapshots.V2CommitMode)
+    mode: Snapshots.V2CommitMode,
+    at: Option[Long] = None)
   extends Write with RequiresDistributionAndOrdering {
 
   private def spark: SparkSession = SparkSession.active
 
-  // table state AT PLANNING: the physical names, layout and props the
-  // task files are written under; commitWrittenV2 re-reads at commit
-  // and refuses if a concurrent schema/layout change invalidated them
-  private val st = Snapshots.v2WriteState(spark, path, inputSchema)
+  // table state AT PLANNING (pinned to `at` for the row-level DML
+  // path, whose files must match the version its scan read): the
+  // physical names, layout and props the task files are written
+  // under; commitWrittenV2 re-reads at commit and refuses if a
+  // concurrent schema/layout change invalidated them
+  private val st = Snapshots.v2WriteState(spark, path, inputSchema, at)
   private val fields = st.partCols.map(Snapshots.parsePartField)
   private val l2p: Map[String, String] = st.colMap.map(_.swap)
   private def logicalName(phys: String): String =
@@ -207,7 +210,15 @@ private[graft] final class SnapshotWrite(
   override def description(): String =
     s"graft-snapshot write $ident [${st.partCols.mkString(", ")}]"
 
-  override def toBatch: BatchWrite = {
+  /** The table's transforms as V2 expressions — shared with the
+    * row-level delta write's distribution/ordering declarations. */
+  private[graft] def transformExprs: Array[VExpression] = transforms
+
+  /** The serializable per-task writer factory for `commitDir` — the
+    * SAME data-file writing the append path uses, reused by the
+    * row-level delta write for its inserted/updated rows. */
+  private[graft] def writerFactory(commitDir: String)
+      : SnapshotWriterFactory = {
     val bloomConf: Map[String, String] =
       st.props.get("write.bloom.columns").toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
@@ -215,26 +226,27 @@ private[graft] final class SnapshotWrite(
           l2p.getOrElse(c, c) -> "true").toMap
     val support =
       WriteBridge.parquetWriteSupport(spark, dataSchemaPhys, bloomConf)
+    SnapshotWriterFactory(path, commitDir, support, dataExprs,
+      dataSchemaPhys, dirExprs, dirNames)
+  }
+
+  override def toBatch: BatchWrite = {
     val commitDir = s"data/c-${java.util.UUID.randomUUID()}"
-    new SnapshotBatchWrite(path, commitDir, support, dataExprs,
-      dataSchemaPhys, dirExprs, dirNames, mode, inputSchema,
+    new SnapshotBatchWrite(path, commitDir,
+      writerFactory(commitDir), mode, inputSchema,
       st.colMap, st.partCols)
   }
 }
 
 private[graft] final class SnapshotBatchWrite(
     path: String, commitDir: String,
-    support: WriteBridge.TaskWriteSupport,
-    dataExprs: Seq[Expression], dataSchemaPhys: StructType,
-    dirExprs: Seq[Expression], dirNames: Seq[String],
+    factory: SnapshotWriterFactory,
     mode: Snapshots.V2CommitMode, batchSchema: StructType,
     buildColMap: Map[String, String], buildPartCols: Seq[String])
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : DataWriterFactory =
-    SnapshotWriterFactory(path, commitDir, support, dataExprs,
-      dataSchemaPhys, dirExprs, dirNames)
+      : DataWriterFactory = factory
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rels = messages.flatMap {

@@ -1415,9 +1415,10 @@ object Snapshots {
       colMap: Map[String, String], props: Map[String, String])
 
   private[graft] def v2WriteState(spark: SparkSession, path: String,
-                                  batchSchema: StructType)
+                                  batchSchema: StructType,
+                                  at: Option[Long] = None)
       : V2WriteState = {
-    val st = currentState(spark, path, "plan a DSv2 write into")
+    val st = stateCur(spark, path, "plan a DSv2 write into", at)
     val (s2, map2) = evolvedSchemaAndMap(st.schema,
       nullableAll(batchSchema), path, st.dropped, st.colMap,
       partCols = st.partCols)
@@ -1565,6 +1566,52 @@ object Snapshots {
           RebaseRewrite("overwriting into", affected, st.dvs),
           "overwriteWhere", st.props, None, batchSchema, batchCols)
     }
+  }
+
+  /** Publish a ROW-LEVEL DML delta ([[GraftDeltaBatchWrite]]): the
+    * tasks' new data files plus their positional-delete files fold
+    * into ONE manifest claim against `expectedBase` — the version the
+    * operation's scan READ. Strictly pinned OCC: the delete rows name
+    * physical (file, pos) identities of that version's files, so ANY
+    * concurrent commit (even a plain append, whose rebase would be
+    * safe for the deletes but not for the statement's read-your-
+    * writes semantics) refuses loudly rather than publish against a
+    * moved table. No matches and no inserts = no commit (idempotent).
+    */
+  private[graft] def commitDeltaV2(spark: SparkSession, path: String,
+                                   commitDir: String,
+                                   dataRels: Seq[String],
+                                   deleteRels: Seq[String],
+                                   expectedBase: Long,
+                                   batchSchema: StructType,
+                                   op: String): Long = {
+    val f = fs(spark, path)
+    if (dataRels.isEmpty && deleteRels.isEmpty) {
+      f.delete(new Path(s"$path/$commitDir"), true)
+      return expectedBase
+    }
+    val st = stateCur(spark, path, "commit a row-level delta into",
+      Some(expectedBase))
+    if (deleteRels.nonEmpty)
+      try requireLocalEntries(st.entries, path,
+        "row-level delete from")
+      catch { case e: Throwable =>
+        f.delete(new Path(s"$path/$commitDir"), true); throw e }
+    // the data files were written under the PINNED version's schema
+    // and mapping (the write state was built at expectedBase), so no
+    // drift re-check is needed beyond the strict claim below
+    val (s2, map2) =
+      if (batchSchema.fields.isEmpty) (st.schema, st.colMap)
+      else
+        try evolvedSchemaAndMap(st.schema, nullableAll(batchSchema),
+          path, st.dropped, st.colMap, partCols = st.partCols)
+        catch { case e: Throwable =>
+          f.delete(new Path(s"$path/$commitDir"), true); throw e }
+    val fresh = v2EntryLines(spark, path, dataRels)
+    publishLoop(spark, path, Seq(commitDir), fresh, st.entries, s2,
+      st.partCols, st.dropped, st.txns, st.dvs ++ deleteRels, map2,
+      Some(st.v), RefuseConflict(op), op, st.props, None,
+      batchSchema, batchSchema.fieldNames.toSeq)
   }
 
   /** The stored form of a snapshot schema: every field nullable, so a
@@ -1818,6 +1865,10 @@ object Snapshots {
       org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("__pos",
       org.apache.spark.sql.types.LongType)))
+
+  /** The positional-delete file schema, for writers outside this
+    * object ([[GraftDeltaWriter]]). */
+  private[graft] def dvWriteSchema: StructType = DvSchema
 
   /** The scanned file's store-relative path, in-plan — the same
     * `data/c-<uuid>/...` suffix [[relativize]] extracts, computed
@@ -3074,8 +3125,15 @@ object Snapshots {
   }
 
   private def currentState(spark: SparkSession, path: String,
-                           what: String): CurState = {
-    val v = latestVersion(spark, path).getOrElse(
+                           what: String): CurState =
+    stateCur(spark, path, what, None)
+
+  /** [[currentState]] pinned at a version when given — the row-level
+    * DML path plans and validates against the EXACT version its scan
+    * read, then refuses at commit if anyone moved the table. */
+  private def stateCur(spark: SparkSession, path: String,
+                       what: String, at: Option[Long]): CurState = {
+    val v = at.orElse(latestVersion(spark, path)).getOrElse(
       throw new IllegalArgumentException(
         s"snapshot: no committed version under $path to $what"))
     val m = manifest(fs(spark, path), path, v)

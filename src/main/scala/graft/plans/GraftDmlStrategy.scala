@@ -17,20 +17,24 @@ import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation,
 
 import graft.io.{GraftCatalog, Snapshots}
 
-/** SQL `UPDATE` and `MERGE INTO` for snapshot-store catalog tables.
+/** LEGACY fallback for SQL `UPDATE` and `MERGE INTO` on snapshot
+  * catalog tables.
   *
-  * Spark's analyzer resolves both statements fully (assignments
-  * aligned and cast by `ResolveRowLevelCommandAssignments`), but its
-  * built-in rewrite applies only to `SupportsRowLevelOperations`
-  * tables — anything else reaches `BasicOperators` and throws
-  * "does not support UPDATE/MERGE INTO TABLE" at planning. This
-  * strategy intercepts the two commands ahead of the built-ins
-  * (extension strategies run first) when the target is a
-  * [[graft.io.GraftCatalog]] table and lowers them onto the store's
-  * native copy-on-write commits — [[Snapshots.updateWhere]] and
-  * [[Snapshots.mergeInto]] — keeping their economics: key-only
-  * discovery, affected-files-only rewrite, OCC conflict refusal,
-  * history/time-travel/CDC intact.
+  * Since [[graft.io.GraftCatalog.GraftTable]] implements
+  * `SupportsRowLevelOperations`, Spark's OWN analyzer rewrites
+  * (`RewriteUpdateTable` / `RewriteMergeIntoTable`) turn both
+  * statements into delta plans over the store's (file, pos) rowId
+  * ([[graft.io.GraftRowLevelOperation]]) DURING ANALYSIS — so the
+  * raw `UpdateTable` / `MergeIntoTable` nodes this strategy matches
+  * never reach planning for catalog tables, and the native path
+  * additionally supports the shapes this strategy refuses
+  * (subqueries in DML expressions, non-equi MERGE conditions). The
+  * strategy stays registered as the documented safety net: any
+  * command shape a future Spark declines to rewrite still lowers
+  * onto the store's copy-on-write commits —
+  * [[Snapshots.updateWhere]] and [[Snapshots.mergeInto]] — keeping
+  * their economics: key-only discovery, affected-files-only rewrite,
+  * OCC conflict refusal, history/time-travel/CDC intact.
   *
   * Expression handoff: the analyzer's expressions reference the
   * command's relation by `exprId`; the store executes against a fresh

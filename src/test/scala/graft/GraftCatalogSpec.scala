@@ -222,17 +222,23 @@ class GraftCatalogSpec extends SparkSpec {
     // the delete is a versioned commit: v1 still reads complete
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.d VERSION AS OF 1")
       .collect()(0).getLong(0) === docs.count())
-    // a DELETE whose predicate cannot translate exactly must refuse
-    // at analysis, never partially delete (the lenient scan-path
-    // translation would drop the untranslatable conjunct here)
+    // a DELETE whose predicate cannot translate to the metadata-only
+    // path routes through the ROW-LEVEL framework
+    // ([[graft.io.GraftRowLevelOperation]]) and stays exact - here it
+    // matches nothing, so nothing is deleted and (idempotently) no
+    // version is committed
     val nBefore = spark.sql(s"SELECT count(*) FROM $cat.db.d")
       .collect()(0).getLong(0)
-    intercept[Exception](spark.sql(
+    val wh2 = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val vBefore = Snapshots.latestVersion(spark, s"$wh2/db/d").get
+    spark.sql(
       s"DELETE FROM $cat.db.d WHERE (n_chars = 1 AND text LIKE '%x%') " +
-        "OR doc_id = -1"))
+        "OR doc_id = -1")
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.d")
       .collect()(0).getLong(0) === nBefore,
-      "an untranslatable DELETE must delete nothing")
+      "a nothing-matching DELETE must delete nothing")
+    assert(Snapshots.latestVersion(spark, s"$wh2/db/d").get === vBefore,
+      "a nothing-matching DELETE must not commit a version")
     spark.sql(s"TRUNCATE TABLE $cat.db.d")
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.d")
       .collect()(0).getLong(0) === 0L)
@@ -479,15 +485,17 @@ class GraftCatalogSpec extends SparkSpec {
     // UPDATE against a time-travelled load refuses
     val e = intercept[Exception](spark.sql(
       s"UPDATE $cat.db.u VERSION AS OF 2 SET text = 'x'"))
-    // (either the parser refuses the clause or the strategy refuses
-    // the immutable relation — both are loud failures)
+    // (either the parser refuses the clause or the row-level builder
+    // refuses the immutable relation — both are loud failures)
     assert(e != null)
-    // a subquery inside UPDATE refuses loudly, never mis-executes
-    val e2 = intercept[Exception](spark.sql(
-      s"UPDATE $cat.db.u SET n_chars = " +
-        s"(SELECT max(n_chars) FROM $cat.db.u) WHERE doc_id = 0"))
-    assert(e2.getMessage.contains("subquer") ||
-      e2.getMessage.toLowerCase.contains("unsupported"), e2.getMessage)
+    // a subquery inside UPDATE executes exactly through the native
+    // row-level framework (the old custom strategy refused these)
+    spark.sql(s"UPDATE $cat.db.u SET n_chars = " +
+      s"(SELECT max(n_chars) FROM $cat.db.u) WHERE doc_id = 0")
+    val mx = spark.sql(s"SELECT max(n_chars) FROM $cat.db.u")
+      .head.getLong(0)
+    assert(spark.sql(s"SELECT n_chars FROM $cat.db.u WHERE doc_id = 0")
+      .head.getLong(0) === mx)
   }
 
   test("SQL MERGE INTO: update/delete/insert clauses, star forms, refusals") {
@@ -520,25 +528,23 @@ class GraftCatalogSpec extends SparkSpec {
     val got2 = spark.sql(s"SELECT id, name FROM $cat.db.m ORDER BY id")
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(got2.toSeq === Seq((1L, "kept"), (2L, "b"), (3L, "c")))
-    // non-equi ON refuses with the lowering error, not silent data
-    val e = intercept[Exception](spark.sql(
-      s"""MERGE INTO $cat.db.m t USING (SELECT 1L AS sid) s
-         |ON t.id >= s.sid
-         |WHEN MATCHED THEN DELETE""".stripMargin))
-    assert(e.getMessage.contains("conjunction of") ||
-      e.getMessage.contains("equalities"), e.getMessage)
-    // duplicate source keys for one target row = SQL cardinality error
+    // duplicate source keys for one target row = SQL cardinality
+    // error, enforced by Spark's native merge plan (UPDATE clause -
+    // an unconditional DELETE alone is exempt by design)
     val e2 = intercept[Exception](spark.sql(
       s"""MERGE INTO $cat.db.m t USING (SELECT * FROM VALUES
-         |  (2L), (2L) AS s(sid)) s
+         |  (2L, 'p'), (2L, 'q') AS s(sid, sname)) s
          |ON t.id = s.sid
-         |WHEN MATCHED THEN DELETE""".stripMargin))
-    assert(e2.getMessage.contains("cardinality"), e2.getMessage)
-    // the two merges and the refusals left exactly the committed
-    // history: create, insert, merge, merge (no partial commits)
+         |WHEN MATCHED THEN UPDATE SET name = s.sname""".stripMargin))
+    assert(e2.getMessage.toUpperCase.contains("CARDINALITY"),
+      e2.getMessage)
+    // the two merges and the refusal left exactly the committed
+    // history: create, insert, merge, merge (no partial commits) -
+    // merges ride the native row-level delta path
     val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
     val ops = Snapshots.history(spark, s"$wh/db/m")
       .orderBy("version").collect().map(_.getString(2)).toSeq
-    assert(ops === Seq("create", "append", "mergeInto", "mergeInto"))
+    assert(ops ===
+      Seq("create", "append", "rowLevelMerge", "rowLevelMerge"))
   }
 }

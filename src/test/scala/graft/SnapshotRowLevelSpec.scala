@@ -1,0 +1,252 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.io.Snapshots
+
+/** Spark-NATIVE row-level SQL DML ([[graft.io.GraftRowLevelOperation]]):
+  * DELETE / UPDATE / MERGE plan through Spark's own rewrite rules over
+  * the store's (file, pos) merge-on-read rowId — positional-delete
+  * entries for matched rows, ordinary data files for new/updated
+  * rows, one strictly-pinned OCC commit. This suite pins the routing
+  * (which statements go row-level vs metadata-only), the delta plan
+  * shape, and exactness against relational replays — including shapes
+  * the old strategy refused (subqueries, non-equi MERGE).
+  */
+class SnapshotRowLevelSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables.t(spark, sf, "documents")
+
+  private def freshCatalog(): (String, String) = {
+    val wh = Files.createTempDirectory("graft_rl").toString
+    val name = s"grl${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    (name, wh)
+  }
+
+  private def makeDocs(cat: String, table: String): String = {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    docs.createOrReplaceTempView("rl_src")
+    spark.sql(s"CREATE TABLE $cat.db.$table (doc_id BIGINT, " +
+      "text STRING, lang STRING, source STRING, n_chars BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.$table SELECT * FROM rl_src")
+    table
+  }
+
+  test("metadata columns: __graft_file/__graft_pos select directly, positions are physical") {
+    val (cat, wh) = freshCatalog()
+    makeDocs(cat, "m")
+    val rows = spark.sql(s"SELECT __graft_file AS f, __graft_pos AS p, " +
+      s"doc_id FROM $cat.db.m")
+    val collected = rows.collect()
+    assert(collected.length === docs.count())
+    // every file's positions are dense 0..n-1 (whole-file reads)
+    val byFile = collected.groupBy(_.getString(0))
+    byFile.foreach { case (f, rs) =>
+      assert(f.startsWith("data/c-"), f)
+      val ps = rs.map(_.getLong(1)).sorted
+      assert(ps.toSeq === (0L until ps.length).toSeq,
+        s"positions of $f are not dense physical indices")
+    }
+    // on a MoR table the killed positions disappear but survivors
+    // KEEP their physical positions (gaps, not renumbering)
+    Snapshots.deleteWhere(spark, s"$wh/db/m",
+      col("doc_id") % 2 === 0, mode = "mor")
+    val after = spark.sql(s"SELECT __graft_file AS f, __graft_pos AS p " +
+      s"FROM $cat.db.m").collect()
+    assert(after.length === docs.filter(col("doc_id") % 2 =!= 0).count())
+    val beforeSet = collected.map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after.forall(r => beforeSet((r.getString(0), r.getLong(1)))),
+      "a surviving row changed its (file, pos) identity")
+  }
+
+  test("row-level DELETE: untranslatable predicate plans WriteDelta, commits positional deletes, zero rewrites") {
+    val (cat, wh) = freshCatalog()
+    makeDocs(cat, "d")
+    val path = s"$wh/db/d"
+    val v0 = Snapshots.latestVersion(spark, path).get
+    val (_, _, entriesBefore, dvsBefore, _) =
+      Snapshots.stateAt(spark, path, v0)
+    assert(dvsBefore.isEmpty)
+    // modulo does not translate to a V1 filter, so the metadata-only
+    // delete cannot take it: Spark routes through the row-level path
+    spark.sql(s"DELETE FROM $cat.db.d WHERE doc_id % 7 = 0")
+    val v1 = Snapshots.latestVersion(spark, path).get
+    assert(v1 === v0 + 1)
+    val (_, _, entriesAfter, dvsAfter, _) =
+      Snapshots.stateAt(spark, path, v1)
+    assert(entriesAfter === entriesBefore,
+      "a row-level delete rewrote data files")
+    assert(dvsAfter.size === 1, s"expected ONE delete file: $dvsAfter")
+    assert(Snapshots.history(spark, path).orderBy("version")
+      .collect().last.getString(2) === "rowLevelDelete")
+    val got = spark.sql(s"SELECT doc_id, text, lang, source, n_chars " +
+      s"FROM $cat.db.d")
+    val want = docs.filter(!(col("doc_id") % 7 === 0))
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+    // a matching-nothing row-level delete commits NOTHING (idempotent)
+    spark.sql(s"DELETE FROM $cat.db.d WHERE doc_id % 7 = 0")
+    assert(Snapshots.latestVersion(spark, path).get === v1)
+  }
+
+  test("row-level DELETE with a subquery predicate (the shape the old strategy refused)") {
+    val (cat, wh) = freshCatalog()
+    makeDocs(cat, "ds")
+    spark.sql(s"DELETE FROM $cat.db.ds WHERE n_chars > " +
+      s"(SELECT avg(n_chars) FROM $cat.db.ds)")
+    val cut = docs.agg(avg("n_chars")).head.getDouble(0)
+    val want = docs.filter(!(col("n_chars") > cut))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.ds")
+      .head.getLong(0) === want.count())
+    assert(Snapshots.history(spark, s"$wh/db/ds").orderBy("version")
+      .collect().last.getString(2) === "rowLevelDelete")
+  }
+
+  test("simple translatable DELETE still takes the metadata-only path (no scan, no delta)") {
+    val (cat, wh) = freshCatalog()
+    makeDocs(cat, "dm")
+    spark.sql(s"DELETE FROM $cat.db.dm WHERE doc_id < 50")
+    val op = Snapshots.history(spark, s"$wh/db/dm").orderBy("version")
+      .collect().last.getString(2)
+    assert(op === "deleteWhere",
+      s"a translatable DELETE should stay metadata-routed, got $op")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.dm")
+      .head.getLong(0) === docs.filter(col("doc_id") >= 50).count())
+  }
+
+  test("native SQL UPDATE: delta plan, subquery assignments work, exactness, one pinned commit") {
+    val (cat, wh) = freshCatalog()
+    makeDocs(cat, "u")
+    val path = s"$wh/db/u"
+    val v0 = Snapshots.latestVersion(spark, path).get
+    spark.sql(s"UPDATE $cat.db.u SET n_chars = n_chars + doc_id, " +
+      "text = upper(text) WHERE n_chars < 300")
+    assert(Snapshots.latestVersion(spark, path).get === v0 + 1)
+    assert(Snapshots.history(spark, path).orderBy("version")
+      .collect().last.getString(2) === "rowLevelUpdate")
+    val got = spark.sql(s"SELECT doc_id, text, n_chars FROM $cat.db.u")
+    val want = docs.select(col("doc_id"),
+      when(col("n_chars") < 300, upper(col("text")))
+        .otherwise(col("text")).as("text"),
+      when(col("n_chars") < 300, col("n_chars") + col("doc_id"))
+        .otherwise(col("n_chars")).as("n_chars"))
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+    // subquery in SET: supported by the native framework
+    spark.sql(s"UPDATE $cat.db.u SET n_chars = " +
+      s"(SELECT max(n_chars) FROM $cat.db.u) WHERE doc_id = 0")
+    val mx = spark.sql(s"SELECT max(n_chars) FROM $cat.db.u")
+      .head.getLong(0)
+    assert(spark.sql(
+      s"SELECT n_chars FROM $cat.db.u WHERE doc_id = 0")
+      .head.getLong(0) === mx)
+    // time travel: the pre-update version still serves originals
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.u VERSION AS OF 2 " +
+      "WHERE text = upper(text)").head.getLong(0) ===
+      docs.filter(col("text") === upper(col("text"))).count())
+  }
+
+  test("native SQL MERGE: all clause kinds exact; non-equi ON now works; cardinality still refuses") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.createDataFrame(Seq((1L, "a", 10L), (2L, "b", 20L),
+      (3L, "c", 30L))).toDF("id", "name", "n")
+      .createOrReplaceTempView("rl_mrg_base")
+    spark.sql(s"CREATE TABLE $cat.db.m (id BIGINT, name STRING, " +
+      "n BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.m SELECT * FROM rl_mrg_base")
+    spark.sql(
+      s"""MERGE INTO $cat.db.m t USING (SELECT * FROM VALUES
+         |  (1L, 'x', 100L), (4L, 'd', 40L) AS s(id, name, n)) s
+         |ON t.id = s.id
+         |WHEN MATCHED AND t.n < 15 THEN UPDATE SET *
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql(s"SELECT id, name, n FROM $cat.db.m ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, "x", 100L), (2L, "b", 20L),
+      (3L, "c", 30L), (4L, "d", 40L)))
+    assert(Snapshots.history(spark, s"$wh/db/m").orderBy("version")
+      .collect().last.getString(2) === "rowLevelMerge")
+    // NON-EQUI ON - the shape the old strategy refused - now
+    // executes with standard SQL semantics
+    spark.sql(
+      s"""MERGE INTO $cat.db.m t USING (SELECT 35L AS cut) s
+         |ON t.n >= s.cut
+         |WHEN MATCHED THEN UPDATE SET name = 'big'""".stripMargin)
+    assert(spark.sql(s"SELECT id FROM $cat.db.m WHERE name = 'big' " +
+      "ORDER BY id").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 4L))
+    // duplicate source matches for one target row: SQL cardinality
+    // violation, enforced by Spark's own merge plan. (An
+    // unconditional MATCHED DELETE alone is exempt by design -
+    // deleting the same row twice is unambiguous - so the check is
+    // pinned on an UPDATE clause.)
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO $cat.db.m t USING (SELECT * FROM VALUES
+         |  (2L, 'p'), (2L, 'q') AS s(sid, sname)) s
+         |ON t.id = s.sid
+         |WHEN MATCHED THEN UPDATE SET name = s.sname""".stripMargin))
+    assert(e.getMessage.toUpperCase.contains("CARDINALITY"),
+      e.getMessage)
+  }
+
+  test("row-level DML composes with existing MoR deletes and with partitioned layouts, plan carries the file clustering") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    docs.createOrReplaceTempView("rl_part_src")
+    spark.sql(s"CREATE TABLE $cat.db.p (doc_id BIGINT, text STRING, " +
+      "lang STRING, n_chars BIGINT) PARTITIONED BY (lang)")
+    spark.sql(s"INSERT INTO $cat.db.p SELECT doc_id, text, lang, " +
+      "n_chars FROM rl_part_src")
+    val path = s"$wh/db/p"
+    // pre-existing MoR deletes: the DML scan must see only live rows
+    Snapshots.deleteWhere(spark, path,
+      col("doc_id") % 5 === 0, mode = "mor")
+    val live = docs.filter(col("doc_id") % 5 =!= 0)
+    // an update that touches two partitions
+    spark.sql(s"UPDATE $cat.db.p SET n_chars = -1 " +
+      "WHERE doc_id % 3 = 0 AND lang IN ('en', 'zh')")
+    val want = live.select(col("doc_id"), col("text"), col("lang"),
+      when(col("doc_id") % 3 === 0 && col("lang").isin("en", "zh"),
+        lit(-1L)).otherwise(col("n_chars")).as("n_chars"))
+    val got = spark.sql(
+      s"SELECT doc_id, text, lang, n_chars FROM $cat.db.p")
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+    // updated rows moved into fresh files of their OWN partitions;
+    // the untouched partitions' files were never rewritten
+    val hist = Snapshots.history(spark, path).orderBy("version")
+      .collect().map(_.getString(2)).toSeq
+    assert(hist.last === "rowLevelUpdate")
+  }
+
+  test("row-level commit refuses when a concurrent writer moved the table (positions would be stale)") {
+    val (cat, wh) = freshCatalog()
+    makeDocs(cat, "cc")
+    val path = s"$wh/db/cc"
+    // interloper: land an append between the DML's scan and commit
+    Snapshots.onBeforePublish = () => {
+      Snapshots.onBeforePublish = () => ()
+      Snapshots.commitAppend(
+        docs.limit(5).select(docs.columns.map(col).toSeq: _*), path)
+      ()
+    }
+    try {
+      val e = intercept[Exception](spark.sql(
+        s"DELETE FROM $cat.db.cc WHERE doc_id % 11 = 0"))
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(
+        _.isInstanceOf[java.util.ConcurrentModificationException]),
+        s"expected a concurrent-commit refusal, got $e")
+    } finally Snapshots.onBeforePublish = () => ()
+    // nothing was deleted; the interloper's append is intact
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.cc")
+      .head.getLong(0) === docs.count() + 5)
+  }
+}
