@@ -1699,6 +1699,44 @@ private[graft] object QueriesIo {
     s.sql(s"SELECT doc_id, n_chars, lang FROM $cat.db.docs")
   }
 
+  /** SQL ROW-LEVEL DELETE gate ([[graft.io.GraftRowLevelOperation]]
+    * — Spark's own `RewriteDeleteFromTable` over the store's
+    * (file, pos) rowId): a predicate the metadata-only path cannot
+    * take (modulo + a scalar subquery) deletes as ONE positional-
+    * delete commit — zero data files rewritten (asserted in-gate on
+    * the entry list), op recorded as `rowLevelDelete` — then the
+    * table reads back live rows only. The oracle replays the delete
+    * relationally with SQL's delete-on-TRUE semantics (NULL
+    * predicates keep the row).
+    */
+  def snapshotSqlRowLevel(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "snap_rl_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = "grl_" + math.abs(wh.hashCode).toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    t(s, dir, "documents").createOrReplaceTempView("graft_rl_src")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+      "lang STRING, source STRING, n_chars BIGINT)")
+    s.sql(s"INSERT INTO $cat.db.docs SELECT * FROM graft_rl_src")
+    val path = s"$wh/db/docs"
+    val v0 = graft.io.Snapshots.latestVersion(s, path).get
+    val entriesBefore = graft.io.Snapshots.stateAt(s, path, v0)._3
+    s.sql(s"DELETE FROM $cat.db.docs WHERE doc_id % 7 = 0 " +
+      s"OR n_chars > (SELECT max(n_chars) FROM $cat.db.docs) / 2")
+    val v1 = graft.io.Snapshots.latestVersion(s, path).get
+    require(v1 == v0 + 1,
+      "q_snapshot_sql_rowlevel: the row-level delete was not ONE commit")
+    val (_, _, entriesAfter, dvs, _) = graft.io.Snapshots.stateAt(s, path, v1)
+    require(entriesAfter == entriesBefore,
+      "q_snapshot_sql_rowlevel: a row-level delete rewrote data files")
+    require(dvs.nonEmpty,
+      "q_snapshot_sql_rowlevel: no positional-delete file landed")
+    s.sql(s"SELECT doc_id, text, lang, source, n_chars FROM $cat.db.docs")
+  }
+
   /** SQL UPDATE on a snapshot catalog table
     * ([[graft.plans.GraftDmlStrategy]] lowering `UPDATE` onto
     * [[graft.io.Snapshots.updateWhere]]'s copy-on-write commit):
@@ -1836,6 +1874,7 @@ private[graft] object QueriesIo {
     "q_snapshot_agg_where" -> (snapshotAggWhere _),
     "q_snapshot_branch" -> (snapshotBranch _),
     "q_snapshot_sql_update" -> (snapshotSqlUpdate _),
+    "q_snapshot_sql_rowlevel" -> (snapshotSqlRowLevel _),
     "q_snapshot_sql_merge" -> (snapshotSqlMerge _),
     "q_snapshot_call" -> (snapshotSqlCall _),
     "q_snapshot_str_skip" -> (snapshotStrSkip _),
@@ -2092,6 +2131,11 @@ private[graft] object QueriesIo {
            CASE WHEN coalesce(n_chars < 300, FALSE)
                 THEN n_chars + 1 ELSE n_chars END AS n_chars
          FROM documents""",
+    "q_snapshot_sql_rowlevel" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         WHERE NOT coalesce(doc_id % 7 = 0
+           OR n_chars > (SELECT max(n_chars) FROM documents) / 2,
+           FALSE)""",
     "q_snapshot_sql_merge" ->
       """SELECT doc_id,
            CASE WHEN doc_id % 10 = 0 THEN upper(text) ELSE text END

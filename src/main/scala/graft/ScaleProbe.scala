@@ -93,6 +93,10 @@ object ScaleProbe {
       sys.env.getOrElse("SPARK_GRAFT_PROBE_FACTOR", "10").toInt
     val passes =
       sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "2").toInt
+    // args override the default probe list — e.g. the snapshot/DSv2
+    // gate family, whose cost is dominated by the catalog-table
+    // build + scan machinery the default list never touches
+    val probes = if (args.nonEmpty) args.toSeq else Probes
     val spark = GraftSession.build("graft-scale-probe")
     val dst = s"/tmp/graft_sf_probe_x$factor"
     buildIfMissing(spark, src, dst, factor)
@@ -105,7 +109,7 @@ object ScaleProbe {
     def run(dir: String): Map[String, (Double, Long, Long, Long)] = {
       def pass() = {
         spark.catalog.clearCache()
-        Probes.map { name =>
+        probes.map { name =>
           org.apache.spark.graft.ListenerFlush.waitUntilEmpty(
             spark.sparkContext)
           metrics.reset()
@@ -118,7 +122,7 @@ object ScaleProbe {
         }
       }
       val ps = (1 to passes).map(_ => pass())
-      Probes.map { n =>
+      probes.map { n =>
         val runs = ps.map(_.toMap.apply(n))
         val best = runs.minBy(_._1)
         n -> ((math.rint(best._1 * 1000) / 1000, best._2._1,
@@ -127,7 +131,7 @@ object ScaleProbe {
     }
     val base = run(src)
     val scaled = run(dst)
-    val qs = Probes.map { n =>
+    val qs = probes.map { n =>
       val (t0, _, _, _) = base(n)
       val (t1, sr, sw, pm) = scaled(n)
       s""""$n":{"sf01_sec":$t0,"x${factor}_sec":$t1,""" +

@@ -154,6 +154,30 @@ object SpjProbe {
       "skewed SPJ planned a join shuffle")
     println(s"""{"probe":"spj_skew","sf":"$dir","rows":$offRows,""" +
       s""""grouped_sec":$offSec,"partially_clustered_sec":$onSec}""")
+
+    // --- SKEW x MERGE-ON-READ phase: positional deletes land on the
+    // skewed fact table (the realistic CDC shape - a hot partition
+    // accumulates deletes between compactions). The DV-bearing hot
+    // bucket must still split under partiallyClusteredDistribution
+    // (deletes force whole-FILE reads, not whole-bucket tasks) and
+    // the join must stay Exchange-free and exact.
+    graft.io.Snapshots.deleteWhere(spark, s"$wh/db/skf",
+      org.apache.spark.sql.functions.col("v") % 5 === 0L, mode = "mor")
+    val _2 = runSkew(partial = false) // warm the delete sliver
+    val (moffSec, moffRows, moffPlan) = runSkew(partial = false)
+    val (monSec, monRows, monPlan) = runSkew(partial = true)
+    require(moffRows == monRows,
+      s"skew-mor row mismatch: $moffRows vs $monRows")
+    require(moffRows < offRows,
+      "the mor deletes removed no joined rows - probe is not testing " +
+        "the DV path")
+    require(!moffPlan.contains("ShuffleExchange") &&
+      !monPlan.contains("ShuffleExchange"),
+      "skewed DV-bearing SPJ planned a join shuffle")
+    require(monPlan.contains("graft-snapshot spj"),
+      "skewed DV-bearing SPJ fell off the DSv2 scan")
+    println(s"""{"probe":"spj_skew_mor","sf":"$dir","rows":$moffRows,""" +
+      s""""grouped_sec":$moffSec,"partially_clustered_sec":$monSec}""")
     spark.stop()
   }
 }

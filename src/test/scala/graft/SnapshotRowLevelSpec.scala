@@ -225,6 +225,39 @@ class SnapshotRowLevelSpec extends SparkSpec {
     assert(hist.last === "rowLevelUpdate")
   }
 
+  test("the delta write DECLARES clustering by rowId file and Spark PLANS it") {
+    val (cat, _) = freshCatalog()
+    makeDocs(cat, "pp")
+    @volatile var deltaPlan: Option[String] = None
+    val listener =
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          val s = qe.executedPlan.toString
+          if (s.contains("WriteDelta")) deltaPlan = Some(s)
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+    spark.listenerManager.register(listener)
+    try {
+      spark.sql(s"DELETE FROM $cat.db.pp WHERE doc_id % 13 = 0")
+      org.apache.spark.graft.ListenerFlush
+        .waitUntilEmpty(spark.sparkContext)
+    } finally spark.listenerManager.unregister(listener)
+    val plan = deltaPlan.getOrElse(fail("no WriteDelta plan captured"))
+    // Spark planned the DECLARED distribution: an exchange clustering
+    // delete rows by their target file, so each positional-delete
+    // file is written by few tasks, not sprayed across all of them
+    assert(plan.contains("REBALANCE_PARTITIONS_BY_COL") ||
+      plan.contains("hashpartitioning"),
+      s"no write-requested clustering exchange in the delta plan:\n$plan")
+    assert(plan.contains(graft.io.SnapshotBatchScan.MetaFileCol),
+      s"the delta exchange does not cluster on the rowId file:\n$plan")
+  }
+
   test("row-level commit refuses when a concurrent writer moved the table (positions would be stale)") {
     val (cat, wh) = freshCatalog()
     makeDocs(cat, "cc")

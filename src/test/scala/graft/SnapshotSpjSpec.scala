@@ -875,6 +875,59 @@ class SnapshotSpjSpec extends SparkSpec {
     }
   }
 
+  test("skew SPJ x MoR: a DV-bearing hot bucket still splits, joins Exchange-free, rows exact") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.skf (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"CREATE TABLE $cat.db.skd (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    (0 until 3).foreach { i =>
+      spark.range(0, 2000)
+        .selectExpr("CAST(7 AS BIGINT) AS k", s"id + $i AS v")
+        .union(spark.range(0, 2000)
+          .selectExpr("id % 40 AS k", s"id * 3 + $i AS v"))
+        .createOrReplaceTempView("spj_skm_src")
+      spark.sql(s"INSERT INTO $cat.db.skf SELECT * FROM spj_skm_src")
+    }
+    spark.range(0, 40).selectExpr("id AS k", "id * 7 AS w")
+      .createOrReplaceTempView("spj_skm_dsrc")
+    spark.sql(s"INSERT INTO $cat.db.skd SELECT * FROM spj_skm_dsrc")
+    // the realistic CDC shape: positional deletes land INSIDE the hot
+    // bucket (and elsewhere) after the layout was written
+    Snapshots.deleteWhere(spark, s"$wh/db/skf",
+      col("v") % 3 === 0, mode = "mor")
+    val expect = {
+      val f = (0 until 3).map(i =>
+        spark.range(0, 2000)
+          .selectExpr("CAST(7 AS BIGINT) AS k", s"id + $i AS v")
+          .union(spark.range(0, 2000)
+            .selectExpr("id % 40 AS k", s"id * 3 + $i AS v")))
+        .reduce(_ union _)
+        .filter(col("v") % 3 =!= 0)
+      val d = spark.range(0, 40).selectExpr("id AS k", "id * 7 AS w")
+      f.join(d, "k").agg(count(lit(1)), sum(expr("v + w"))).head()
+    }
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing." +
+        "partiallyClusteredDistribution.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(s"SELECT f.k AS k, f.v AS v, d.w AS w " +
+        s"FROM $cat.db.skf f JOIN $cat.db.skd d ON f.k = d.k")
+      val plan = executedPlan(j)
+      assert(plan.contains("graft-snapshot spj"), plan)
+      assert(!plan.contains("Exchange"),
+        s"DV-bearing partially-clustered skewed SPJ shuffled:\n$plan")
+      assert(j.agg(count(lit(1)), sum(expr("v + w"))).head() === expect)
+      // the DV-bearing hot bucket's files STILL stay apart (deletes
+      // force whole-file reads, not whole-bucket tasks)
+      assert(j.rdd.getNumPartitions > 4,
+        s"hot DV bucket not split: ${j.rdd.getNumPartitions} partitions")
+    }
+  }
+
   test("aggregate pushdown is EXACT past 2^53: snowflake-scale bigint bounds never transit Double") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")
