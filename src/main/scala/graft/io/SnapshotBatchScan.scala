@@ -21,12 +21,14 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   * reconstructs the columns). Three scan shapes, decided at build
   * time:
   *
-  *   - '''Aggregate pushdown''': a bare `COUNT(*)` / integral
-  *     `MIN/MAX(col)` with no filters and no grouping answers from
-  *     the MANIFEST's pseudo-stats (`__rows`, exact `L`-kind column
-  *     bounds) as a one-row scan — at 100 TB that is one metadata
-  *     read instead of a million-file scan (the Delta/Iceberg
-  *     log-count headline, in pure SQL).
+  *   - '''Aggregate pushdown''': `COUNT(*)` / `COUNT(col)` /
+  *     integral-and-exact-string `MIN/MAX(col)` answer from the
+  *     MANIFEST's pseudo-stats (`__rows`, null counts, exact column
+  *     bounds) — grouped by identity partition columns, filtered by
+  *     manifest-ABSORBED conjuncts, positional deletes subtracted —
+  *     as a rows-per-group scan with zero data IO: at 100 TB that is
+  *     one metadata read instead of a million-file scan (the
+  *     Delta/Iceberg log-count headline, in pure SQL).
   *   - '''Storage-partitioned joins''' (SPARK-37375): bucket-only
   *     layouts report `KeyGroupedPartitioning` (one input partition
   *     per bucket directory, the bucket number as the partition
@@ -52,8 +54,9 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   * (widening) and rebase rules behave identically to every other
   * read path. [[GraftCatalog.GraftTable.newScanBuilder]] routes here
   * by default (opt-out: `spark.graft.snapshot.v2.enabled=false`);
-  * tables with live delete files keep the V1 fallback (its plan
-  * applies the positional/equality anti-joins).
+  * tables whose delete sliver outgrew the shipping budget keep the
+  * V1 fallback (its plan applies the positional/equality anti-joins
+  * distributedly).
   */
 object SnapshotBatchScan {
 
@@ -137,12 +140,13 @@ private[graft] final class SnapshotScanBuilder(
     required = requiredSchema
 
   /** MANIFEST-ABSORBED FILTERS: a conjunct the manifest answers
-    * EXACTLY — `c = v` / `c IS NOT NULL` on an identity partition
-    * column whose directory value every entry carries — is CONSUMED
-    * here (reported via [[pushedFilters]], so Spark plans no Filter
-    * node above the scan): the kept entry set contains exactly the
-    * matching files, and every row of a kept file satisfies the
-    * conjunct because identity rows EQUAL their directory value.
+    * EXACTLY — `c = v` / `c <=> v` / `c IN (...)` / `c IS [NOT]
+    * NULL` on an identity partition column whose directory value
+    * every entry carries — is CONSUMED here (reported via
+    * [[pushedFilters]], so Spark plans no Filter node above the
+    * scan): the kept entry set contains exactly the matching files,
+    * and every row of a kept file satisfies the conjunct because
+    * identity rows EQUAL their directory value.
     * Everything else stays post-scan (returned), keeping pushdown
     * IO-only there. The payoff beyond one less Filter: with no
     * residual filter, Spark offers AGGREGATE pushdown — `COUNT(*)
@@ -190,30 +194,55 @@ private[graft] final class SnapshotScanBuilder(
            org.apache.spark.sql.types.BooleanType => true
       case _ => false
     }
+    // the SAME derive + cast-to-string rule the writer named the
+    // directories with, so the comparison cannot skew; None when any
+    // value's string is the null/empty sentinel (it would collide
+    // null with '' in the DEFAULT directory)
+    def dirStrings(c: String, vs: Seq[Any]): Option[Set[String]] = {
+      val dt = tableSchema(c).dataType
+      if (!injective(dt) || vs.exists(_ == null)) None
+      else {
+        val fld = idByLogical(c)
+        val row = spark.range(1).select(vs.zipWithIndex.map {
+          case (v, i) =>
+            fld.derive(org.apache.spark.sql.functions.lit(v)
+              .cast(dt), dt).cast("string").as(s"d$i")
+        }: _*).head()
+        val ss = vs.indices.map(i =>
+          if (row.isNullAt(i)) "" else row.getString(i))
+        if (ss.exists(_.isEmpty)) None else Some(ss.toSet)
+      }
+    }
+    def keepIn(fld: Snapshots.PIdentity, expect: Set[String])
+        : Seq[String] => Seq[String] =
+      (es: Seq[String]) => es.filter(e =>
+        Snapshots.partValsOf(Snapshots.relOfEntry(e))
+          .get(fld.dirName).exists(expect))
     f match {
       case sources.EqualTo(c, v) if v != null =>
-        fieldOf(c).flatMap { fld =>
-          val dt = tableSchema(c).dataType
-          if (!injective(dt)) None
-          else {
-            // the SAME derive + cast-to-string rule the writer named
-            // the directory with, so the comparison cannot skew
-            val row = spark.range(1).select(
-              fld.derive(org.apache.spark.sql.functions.lit(v)
-                .cast(dt), dt).cast("string").as("d")).head()
-            if (row.isNullAt(0) || row.getString(0).isEmpty) None
-            else {
-              val expect = row.getString(0)
-              Some((es: Seq[String]) => es.filter(e =>
-                Snapshots.partValsOf(Snapshots.relOfEntry(e))
-                  .get(fld.dirName).contains(expect)))
-            }
-          }
-        }
+        fieldOf(c).flatMap(fld =>
+          dirStrings(c, Seq(v)).map(keepIn(fld, _)))
+      case sources.EqualNullSafe(c, v) if v != null =>
+        fieldOf(c).flatMap(fld =>
+          dirStrings(c, Seq(v)).map(keepIn(fld, _)))
+      case sources.In(c, vs) if vs.nonEmpty =>
+        fieldOf(c).flatMap(fld =>
+          dirStrings(c, vs.toSeq).map(keepIn(fld, _)))
       case sources.IsNotNull(c) =>
         fieldOf(c).map { fld =>
           (es: Seq[String]) => es.filter(e =>
             !Snapshots.partValsOf(Snapshots.relOfEntry(e))
+              .get(fld.dirName).contains(default))
+        }
+      case sources.IsNull(c) =>
+        // sound only for NON-STRING injective types: the DEFAULT
+        // directory holds null rows alone (a string '' also lands
+        // there and is NOT null)
+        fieldOf(c).filter(_ => injective(tableSchema(c).dataType) &&
+          tableSchema(c).dataType !=
+            org.apache.spark.sql.types.StringType).map { fld =>
+          (es: Seq[String]) => es.filter(e =>
+            Snapshots.partValsOf(Snapshots.relOfEntry(e))
               .get(fld.dirName).contains(default))
         }
       case _ => None
@@ -678,8 +707,9 @@ private[graft] final class SnapshotBatchScan(
     * files keep row-group pruning and range splits. Deletes only
     * REMOVE rows, so the reported KeyGroupedPartitioning, runtime
     * bucket pruning and manifest point-lookup pruning all stay
-    * sound; only aggregate pushdown and numRows refuse (their
-    * manifest stats count deleted rows).
+    * sound; numRows refuses (manifest counts include deleted rows),
+    * and aggregate pushdown subtracts positional deletes exactly /
+    * refuses on equality deletes and MIN/MAX ([[planAgg]]).
     */
   private lazy val posDeletes: Map[String, Array[Long]] =
     Snapshots.v2PosDeletes(spark, path, dvs)

@@ -1044,6 +1044,71 @@ class SnapshotSpjSpec extends SparkSpec {
     assert(v1 === want)
   }
 
+  test("absorbed IN-lists and IS NULL: filtered aggregates stay metadata-only, null semantics exact") {
+    val (cat, _) = freshCatalog()
+    val expect = setupLangTable(cat)
+    withConfs("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      // IN over the identity partition column: kept set = union of
+      // the named partitions, aggregate still answers from metadata
+      val in = spark.sql(s"SELECT count(*) AS n, max(doc_id) AS mx " +
+        s"FROM $cat.db.docs WHERE lang IN ('en', 'fr', 'xx')")
+      assert(in.queryExecution.executedPlan.toString
+        .contains("manifest-agg"), in.queryExecution.executedPlan)
+      val want = expect.filter(col("lang").isin("en", "fr", "xx"))
+        .agg(count(lit(1)), max("doc_id")).head()
+      assert(in.head() === want)
+      // IS NULL on a STRING identity column must NOT absorb (the
+      // default directory collides null with '') - stays exact via
+      // the scan
+      val isn = spark.sql(
+        s"SELECT count(*) AS n FROM $cat.db.docs WHERE lang IS NULL")
+      assert(!isn.queryExecution.executedPlan.toString
+        .contains("manifest-agg"))
+      assert(isn.head.getLong(0) ===
+        expect.filter(col("lang").isNull).count())
+      // plain IN scan (no aggregate): rows exact, null partition and
+      // unnamed partitions never leak
+      val rows = spark.sql(s"SELECT doc_id, n_chars FROM $cat.db.docs " +
+        "WHERE lang IN ('de', 'zh')")
+      val wantRows = expect.filter(col("lang").isin("de", "zh"))
+      assert(rows.count() === wantRows.count())
+      assert(rows.agg(sum("doc_id")).head.getLong(0) ===
+        wantRows.agg(sum("doc_id")).head.getLong(0))
+    }
+  }
+
+  test("IS NULL absorption on a NON-STRING identity column: metadata answer, exact") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    // bigint partition column with some null values
+    Tables.t(spark, sf, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, lit(null: java.lang.Long))
+          .otherwise(col("doc_id") % 4).as("shard"),
+        col("n_chars"))
+      .createOrReplaceTempView("spj_isn_src")
+    spark.sql(s"CREATE TABLE $cat.db.sh (doc_id BIGINT, " +
+      "shard BIGINT, n_chars BIGINT) PARTITIONED BY (shard)")
+    spark.sql(s"INSERT INTO $cat.db.sh SELECT * FROM spj_isn_src")
+    withConfs("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val df = spark.sql(
+        s"SELECT count(*) AS n FROM $cat.db.sh WHERE shard IS NULL")
+      assert(df.queryExecution.executedPlan.toString
+        .contains("manifest-agg"), df.queryExecution.executedPlan)
+      assert(df.head.getLong(0) ===
+        Tables.t(spark, sf, "documents")
+          .filter(col("doc_id") % 10 === 0).count())
+      val eq = spark.sql(
+        s"SELECT count(*) AS n FROM $cat.db.sh WHERE shard = 2")
+      assert(eq.queryExecution.executedPlan.toString
+        .contains("manifest-agg"))
+      assert(eq.head.getLong(0) ===
+        Tables.t(spark, sf, "documents")
+          .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 4 === 2)
+          .count())
+    }
+  }
+
   test("absorption is IDENTITY-only: hidden-transform source filters stay post-scan (dir value != row value)") {
     val (cat, _) = freshCatalog()
     setupTables(cat) // ord: PARTITIONED BY (bucket(8, o_custkey))

@@ -197,6 +197,36 @@ class SnapshotWriteSpec extends SparkSpec {
       === docs.filter(col("lang") === "en").count())
   }
 
+  test("write.sort.columns: every written file arrives sorted by the property's columns") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.ws (doc_id BIGINT, " +
+      "n_chars BIGINT, lang STRING) PARTITIONED BY (lang) " +
+      "TBLPROPERTIES ('write.sort.columns' = 'doc_id')")
+    // shuffled input: without the declared ordering the files would
+    // arrive in arrival order
+    Tables.t(spark, sf, "documents")
+      .select("doc_id", "n_chars", "lang")
+      .orderBy(org.apache.spark.sql.functions.rand(7)).repartition(16)
+      .createOrReplaceTempView("wr_ws_src")
+    spark.sql(s"INSERT INTO $cat.db.ws SELECT * FROM wr_ws_src")
+    val files = dataFiles(s"$wh/db/ws")
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ids = spark.read.parquet(f.getPath)
+        .select("doc_id").collect().map(_.getLong(0))
+      assert(ids.sameElements(ids.sorted),
+        s"${f.getName} is not sorted by doc_id - the declared " +
+          "write ordering was not applied")
+    }
+    // a property naming a non-column refuses at write planning
+    spark.sql(s"ALTER TABLE $cat.db.ws SET TBLPROPERTIES " +
+      "('write.sort.columns' = 'nope')")
+    val e = intercept[Exception](spark.sql(
+      s"INSERT INTO $cat.db.ws SELECT * FROM wr_ws_src"))
+    assert(e.getMessage.contains("write.sort.columns"), e.getMessage)
+  }
+
   test("the write DECLARES clustering and Spark PLANS it: the INSERT's physical plan carries the rebalance exchange + transform sort") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")
