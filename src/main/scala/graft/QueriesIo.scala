@@ -1670,14 +1670,21 @@ private[graft] object QueriesIo {
     val path = s"$wh/db/docs"
     val v0 = graft.io.Snapshots.latestVersion(s, path).get
     def files(except: String): Set[String] = {
-      val root = new java.io.File(path)
-      Option(root.listFiles()).toSeq.flatten
-        .filter(d => d.isDirectory && d.getName.startsWith("lang="))
-        .filterNot(_.getName == s"lang=$except")
-        .flatMap(d => Option(d.listFiles()).toSeq.flatten)
-        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).toSeq.flatten.flatMap(f =>
+          if (f.isDirectory) walk(f) else Seq(f))
+      // data files live under data/c-<uuid>/lang=<v>/... - key the
+      // partition on the parquet file's PARENT directory name
+      walk(new java.io.File(s"$path/data"))
+        .filter(f => f.getName.endsWith(".parquet") &&
+          f.getParentFile.getName.startsWith("lang="))
+        .filterNot(_.getParentFile.getName == s"lang=$except")
+        .map(_.getPath).toSet
     }
     val untouchedBefore = files(except = "en")
+    require(untouchedBefore.nonEmpty,
+      "q_snapshot_dyn_overwrite: the carried-by-reference check " +
+        "found no untouched-partition files to compare")
     val old =
       s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

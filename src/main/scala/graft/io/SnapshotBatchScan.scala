@@ -169,6 +169,20 @@ private[graft] final class SnapshotScanBuilder(
       .collect { case f: Snapshots.PIdentity => f }
       .map(f => colMap.getOrElse(f.source, f.source) -> f).toMap
 
+  /** Identity columns whose directory key EVERY entry carries — the
+    * absorbability precondition (a pre-spec-evolution file holds
+    * arbitrary values). One manifest pass, lazily, however many
+    * conjuncts ask. */
+  private lazy val dirKeyComplete: Set[String] =
+    if (idByLogical.isEmpty) Set.empty
+    else {
+      val keySets = entries.map(e =>
+        Snapshots.partValsOf(Snapshots.relOfEntry(e)).keySet)
+      idByLogical.collect {
+        case (c, fld) if keySets.forall(_.contains(fld.dirName)) => c
+      }.toSet
+    }
+
   /** The exact entry-set transformer for an absorbable conjunct, or
     * None (conjunct stays post-scan). Exactness requirements, checked
     * here: the column is identity-partitioned; EVERY entry carries
@@ -184,9 +198,7 @@ private[graft] final class SnapshotScanBuilder(
     val default = org.apache.spark.sql.catalyst.catalog
       .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
     def fieldOf(c: String): Option[Snapshots.PIdentity] =
-      idByLogical.get(c).filter(fld => entries.forall(e =>
-        Snapshots.partValsOf(Snapshots.relOfEntry(e))
-          .contains(fld.dirName)))
+      idByLogical.get(c).filter(_ => dirKeyComplete(c))
     def injective(dt: DataType): Boolean = dt match {
       case org.apache.spark.sql.types.StringType | ByteType |
            ShortType | IntegerType | LongType |
@@ -194,23 +206,33 @@ private[graft] final class SnapshotScanBuilder(
            org.apache.spark.sql.types.BooleanType => true
       case _ => false
     }
-    // the SAME derive + cast-to-string rule the writer named the
-    // directories with, so the comparison cannot skew; None when any
-    // value's string is the null/empty sentinel (it would collide
-    // null with '' in the DEFAULT directory)
+    // the SAME cast-to-string rule the writer named the directories
+    // with (identity derive IS the value — idByLogical holds identity
+    // fields only), evaluated DIRECTLY through catalyst (no Spark
+    // job at planning). None when any value's string is empty or the
+    // DEFAULT sentinel: the null directory holds null rows (and ''
+    // collides with it), so a literal '__HIVE_DEFAULT_PARTITION__'
+    // value is indistinguishable on disk from NULL — absorption must
+    // refuse it, exactly like the typed read reconstructs it as NULL
     def dirStrings(c: String, vs: Seq[Any]): Option[Set[String]] = {
       val dt = tableSchema(c).dataType
       if (!injective(dt) || vs.exists(_ == null)) None
       else {
-        val fld = idByLogical(c)
-        val row = spark.range(1).select(vs.zipWithIndex.map {
-          case (v, i) =>
-            fld.derive(org.apache.spark.sql.functions.lit(v)
-              .cast(dt), dt).cast("string").as(s"d$i")
-        }: _*).head()
-        val ss = vs.indices.map(i =>
-          if (row.isNullAt(i)) "" else row.getString(i))
-        if (ss.exists(_.isEmpty)) None else Some(ss.toSet)
+        val tz = spark.sessionState.conf.sessionLocalTimeZone
+        val ss = vs.map { v =>
+          val litE = org.apache.spark.sql.catalyst.expressions
+            .Literal.create(v)
+          val typed: org.apache.spark.sql.catalyst.expressions
+            .Expression =
+            if (litE.dataType == dt) litE
+            else org.apache.spark.sql.catalyst.expressions
+              .Cast(litE, dt, Option(tz))
+          Option(org.apache.spark.sql.catalyst.expressions
+            .Cast(typed, org.apache.spark.sql.types.StringType,
+              Option(tz)).eval(null)).map(_.toString).getOrElse("")
+        }
+        if (ss.exists(s => s.isEmpty || s == default)) None
+        else Some(ss.toSet)
       }
     }
     def keepIn(fld: Snapshots.PIdentity, expect: Set[String])
@@ -268,11 +290,26 @@ private[graft] final class SnapshotScanBuilder(
     * over the absorbed-kept entries, so `COUNT(*) WHERE lang = 'en'
     * GROUP BY ym` is still one exact metadata read.
     */
+  // Spark probes supportCompletePushDown then pushes the SAME
+  // Aggregation instance: memoize so the per-entry manifest folds run
+  // once per query, not twice
+  private var aggMemo
+      : Option[(Aggregation, Option[(StructType, Array[Array[Any]])])] =
+    None
+  private def planAggMemo(agg: Aggregation)
+      : Option[(StructType, Array[Array[Any]])] = aggMemo match {
+    case Some((a, r)) if a eq agg => r
+    case _ =>
+      val r = planAgg(agg)
+      aggMemo = Some((agg, r))
+      r
+  }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    planAgg(agg).isDefined
+    planAggMemo(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    pushedAgg = planAgg(agg)
+    pushedAgg = planAggMemo(agg)
     pushedAgg.isDefined
   }
 
@@ -331,14 +368,19 @@ private[graft] final class SnapshotScanBuilder(
         .sortBy(_._1.mkString(""))
 
     /** Live rows of a group's entries: `__rows` minus each file's
-      * positional-delete count; None when any entry lacks the stat. */
-    def liveRowsOf(es: Seq[String]): Option[Long] = {
-      val per = es.map { e =>
-        val (rel, _, rows) = Snapshots.entryMeta(spark, path, e)
-        rows.map(_ - posDelCounts.getOrElse(rel, 0L))
-      }
-      if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
-    }
+      * positional-delete count; None when any entry lacks the stat.
+      * Memoized per group — the liveness gate below and a CountStar
+      * cell would otherwise fold the same entries twice. */
+    val liveMemo =
+      scala.collection.mutable.HashMap.empty[Seq[String], Option[Long]]
+    def liveRowsOf(es: Seq[String]): Option[Long] =
+      liveMemo.getOrElseUpdate(es, {
+        val per = es.map { e =>
+          val (rel, _, rows) = Snapshots.entryMeta(spark, path, e)
+          rows.map(_ - posDelCounts.getOrElse(rel, 0L))
+        }
+        if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+      })
 
     def longBoundsOf(name: String, es: Seq[String])
         : Option[(Long, Long)] = {

@@ -305,7 +305,11 @@ private[graft] final class SnapshotDataWriter(
     if (dirExprs.isEmpty) null else UnsafeProjection.create(dirExprs)
   private val uuid = java.util.UUID.randomUUID().toString
 
-  private var curDirs: Seq[String] = null
+  // partition-switch detection compares the projected key row's
+  // BYTES (copied only on a roll) - the hot path never builds
+  // directory strings or Seqs per row
+  private var curKey
+      : org.apache.spark.sql.catalyst.expressions.UnsafeRow = null
   private var writer
       : org.apache.spark.sql.execution.datasources.OutputWriter = null
   private var fileCount = 0
@@ -313,7 +317,6 @@ private[graft] final class SnapshotDataWriter(
 
   private def roll(dirs: Seq[String]): Unit = {
     if (writer != null) writer.close()
-    curDirs = dirs
     val name =
       f"part-$partitionId%05d-$uuid-c$fileCount%03d$ext"
     fileCount += 1
@@ -325,14 +328,16 @@ private[graft] final class SnapshotDataWriter(
   override def write(row: InternalRow): Unit = {
     if (dirNames.nonEmpty) {
       val dr = dirProj(row)
-      val dirs: Seq[String] = dirNames.indices.map { i =>
+      if (curKey == null || dr != curKey) {
+        curKey = dr.copy()
         // the exact dynamic-partition naming rule Spark's own writer
         // uses: cast-to-string value, null/empty -> the default
         // sentinel, Hive path escaping
-        ExternalCatalogUtils.getPartitionPathString(dirNames(i),
-          if (dr.isNullAt(i)) null else dr.getUTF8String(i).toString)
+        roll(dirNames.indices.map { i =>
+          ExternalCatalogUtils.getPartitionPathString(dirNames(i),
+            if (dr.isNullAt(i)) null else dr.getUTF8String(i).toString)
+        })
       }
-      if (dirs != curDirs) roll(dirs)
     } else if (writer == null) roll(Nil)
     writer.write(dataProj(row))
   }

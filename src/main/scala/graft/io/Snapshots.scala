@@ -1442,6 +1442,19 @@ object Snapshots {
     }
   }
 
+  /** Run `body`; on ANY failure delete the commit dir(s) FIRST (task
+    * files must never outlive a refused commit as invisible orphans
+    * waiting for vacuum), then rethrow. The publish loops' own
+    * conflict cleanup composes (re-deleting a gone dir is a no-op).
+    */
+  private def orDropCommit[A](f: FileSystem, path: String,
+                              dirs: Seq[String])(body: => A): A =
+    try body
+    catch { case e: Throwable =>
+      dirs.foreach(d => f.delete(new Path(s"$path/$d"), true))
+      throw e
+    }
+
   /** Fold a DSv2 write's task-written files into ONE atomic manifest
     * claim. Re-reads the table at commit time and refuses loudly when
     * anything that would make the written bytes WRONG changed since
@@ -1459,25 +1472,19 @@ object Snapshots {
                                      buildPartCols: Seq[String])
       : Long = {
     val f = fs(spark, path)
-    def refuse(reason: String): Nothing = {
-      f.delete(new Path(s"$path/$commitDir"), true)
+    orDropCommit(f, path, Seq(commitDir)) {
+    def refuse(reason: String): Nothing =
       throw new java.util.ConcurrentModificationException(
         s"snapshot: concurrent commit detected while writing into " +
           s"$path and the written files cannot be published ($reason) " +
           "- re-read the table and retry")
-    }
-    val st =
-      try currentState(spark, path, "commit a DSv2 write into")
-      catch { case e: Throwable =>
-        f.delete(new Path(s"$path/$commitDir"), true); throw e }
+    val st = currentState(spark, path, "commit a DSv2 write into")
     if (st.partCols != buildPartCols)
       refuse("a partition-spec change since write planning")
     val (s2, map2) =
-      try evolvedSchemaAndMap(st.schema, nullableAll(batchSchema),
+      evolvedSchemaAndMap(st.schema, nullableAll(batchSchema),
         path, st.dropped, st.colMap, reuse = buildColMap,
         partCols = st.partCols)
-      catch { case e: Throwable =>
-        f.delete(new Path(s"$path/$commitDir"), true); throw e }
     val oldP = l2p(buildColMap); val newP = l2p(map2)
     if (batchSchema.fieldNames.exists(c =>
         oldP.getOrElse(c, c) != newP.getOrElse(c, c)))
@@ -1512,15 +1519,13 @@ object Snapshots {
         // replacement - same refusal as replacePartitions
         val stale = st.entries.filterNot(e => fields.forall(fld =>
           partValsOf(relOf(e)).contains(fld.dirName)))
-        if (stale.nonEmpty) {
-          f.delete(new Path(s"$path/$commitDir"), true)
+        if (stale.nonEmpty)
           throw new IllegalArgumentException(
             s"snapshot: ${stale.size} file(s) of $path predate the " +
               s"current partition spec (${st.partCols.mkString(", ")}) " +
               "and carry no directory values for it - dynamic " +
               "overwrite cannot bound the replacement; compact to " +
               "migrate the layout first")
-        }
         // the replaced partition tuples are EXACTLY the directory
         // strings the tasks wrote - no re-derivation can disagree
         val default = org.apache.spark.sql.catalyst.catalog
@@ -1537,9 +1542,7 @@ object Snapshots {
           RefuseConflict("replacing partitions of"),
           "replacePartitions", st.props, None, batchSchema, batchCols)
       case V2OverwriteFilter(cond) =>
-        try requireLocalEntries(st.entries, path, "overwrite into")
-        catch { case e: Throwable =>
-          f.delete(new Path(s"$path/$commitDir"), true); throw e }
+        requireLocalEntries(st.entries, path, "overwrite into")
         val affected =
           if (st.entries.isEmpty) Set.empty[String]
           else liveWithId(spark, path, s2, st.partCols, st.entries,
@@ -1566,6 +1569,7 @@ object Snapshots {
           RebaseRewrite("overwriting into", affected, st.dvs),
           "overwriteWhere", st.props, None, batchSchema, batchCols)
     }
+    }
   }
 
   /** Publish a ROW-LEVEL DML delta ([[GraftDeltaBatchWrite]]): the
@@ -1590,28 +1594,24 @@ object Snapshots {
       f.delete(new Path(s"$path/$commitDir"), true)
       return expectedBase
     }
+    orDropCommit(f, path, Seq(commitDir)) {
     val st = stateCur(spark, path, "commit a row-level delta into",
       Some(expectedBase))
     if (deleteRels.nonEmpty)
-      try requireLocalEntries(st.entries, path,
-        "row-level delete from")
-      catch { case e: Throwable =>
-        f.delete(new Path(s"$path/$commitDir"), true); throw e }
+      requireLocalEntries(st.entries, path, "row-level delete from")
     // the data files were written under the PINNED version's schema
     // and mapping (the write state was built at expectedBase), so no
     // drift re-check is needed beyond the strict claim below
     val (s2, map2) =
       if (batchSchema.fields.isEmpty) (st.schema, st.colMap)
-      else
-        try evolvedSchemaAndMap(st.schema, nullableAll(batchSchema),
-          path, st.dropped, st.colMap, partCols = st.partCols)
-        catch { case e: Throwable =>
-          f.delete(new Path(s"$path/$commitDir"), true); throw e }
+      else evolvedSchemaAndMap(st.schema, nullableAll(batchSchema),
+        path, st.dropped, st.colMap, partCols = st.partCols)
     val fresh = v2EntryLines(spark, path, dataRels)
     publishLoop(spark, path, Seq(commitDir), fresh, st.entries, s2,
       st.partCols, st.dropped, st.txns, st.dvs ++ deleteRels, map2,
       Some(st.v), RefuseConflict(op), op, st.props, None,
       batchSchema, batchSchema.fieldNames.toSeq)
+    }
   }
 
   /** The stored form of a snapshot schema: every field nullable, so a

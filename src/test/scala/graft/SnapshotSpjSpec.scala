@@ -1074,6 +1074,17 @@ class SnapshotSpjSpec extends SparkSpec {
       assert(rows.count() === wantRows.count())
       assert(rows.agg(sum("doc_id")).head.getLong(0) ===
         wantRows.agg(sum("doc_id")).head.getLong(0))
+      // the null-sentinel value must NOT absorb: a literal
+      // '__HIVE_DEFAULT_PARTITION__' is indistinguishable on disk
+      // from the NULL directory, so absorbing it would wrongly count
+      // the null partition's rows - it scans instead and matches
+      // nothing (the typed read reconstructs that directory as NULL)
+      val sentinel = spark.sql(s"SELECT count(*) AS n FROM " +
+        s"$cat.db.docs WHERE lang = '__HIVE_DEFAULT_PARTITION__'")
+      assert(!sentinel.queryExecution.executedPlan.toString
+        .contains("manifest-agg"),
+        "the null-sentinel equality was wrongly absorbed")
+      assert(sentinel.head.getLong(0) === 0L)
     }
   }
 
