@@ -225,6 +225,40 @@ class SnapshotRowLevelSpec extends SparkSpec {
     assert(hist.last === "rowLevelUpdate")
   }
 
+  test("the DML scan prunes at the manifest: a partition-scoped DELETE opens only that partition's files") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    docs.createOrReplaceTempView("rl_prune_src")
+    spark.sql(s"CREATE TABLE $cat.db.pr (doc_id BIGINT, text STRING, " +
+      "lang STRING, n_chars BIGINT) PARTITIONED BY (lang)")
+    spark.sql(s"INSERT INTO $cat.db.pr SELECT doc_id, text, lang, " +
+      "n_chars FROM rl_prune_src")
+    val path = s"$wh/db/pr"
+    val allFiles = Snapshots.stateAt(spark, path,
+      Snapshots.latestVersion(spark, path).get)._3.size
+    def walk(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).toSeq.flatten.flatMap(f =>
+        if (f.isDirectory) walk(f) else Seq(f))
+    val enFiles = walk(new java.io.File(s"$path/data"))
+      .count(f => f.getParentFile.getName == "lang=en" &&
+        f.getName.endsWith(".parquet"))
+    assert(enFiles > 0)
+    graft.io.SnapshotReaderFactory.filesOpened.set(0L)
+    // modulo forces the row-level path; the lang equality is absorbed
+    // into the kept entry set, so the whole-file DML scan reads ONE
+    // partition, not the table
+    spark.sql(s"DELETE FROM $cat.db.pr " +
+      "WHERE lang = 'en' AND doc_id % 2 = 0")
+    val opened = graft.io.SnapshotReaderFactory.filesOpened.get()
+    assert(opened <= enFiles && opened < allFiles,
+      s"the partition-scoped DELETE opened $opened files " +
+        s"(en partition has $enFiles of $allFiles)")
+    val got = spark.sql(s"SELECT count(*) FROM $cat.db.pr")
+      .head.getLong(0)
+    assert(got === docs.filter(
+      !(col("lang") === "en" && col("doc_id") % 2 === 0)).count())
+  }
+
   test("the delta write DECLARES clustering by rowId file and Spark PLANS it") {
     val (cat, _) = freshCatalog()
     makeDocs(cat, "pp")
