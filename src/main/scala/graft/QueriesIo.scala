@@ -1744,6 +1744,44 @@ private[graft] object QueriesIo {
     s.sql(s"SELECT doc_id, text, lang, source, n_chars FROM $cat.db.docs")
   }
 
+  /** COPY-ON-WRITE row-level SQL DML gate (table property
+    * `dml.mode = 'copy-on-write'` → [[graft.io.GraftCowRowLevelOperation]],
+    * Spark's group-based `ReplaceData` plan): an UPDATE rewrites the
+    * matched files whole — NO delete files accumulate (asserted
+    * in-gate), op recorded as `rowLevelUpdateCow`, one commit — the
+    * read-optimized twin of the merge-on-read default. Oracle replays
+    * the update relationally.
+    */
+  def snapshotSqlCow(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "snap_cow_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = "gcow_" + math.abs(wh.hashCode).toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    t(s, dir, "documents").createOrReplaceTempView("graft_cow_src")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+      "lang STRING, source STRING, n_chars BIGINT) " +
+      "TBLPROPERTIES ('dml.mode' = 'copy-on-write')")
+    s.sql(s"INSERT INTO $cat.db.docs SELECT * FROM graft_cow_src")
+    val path = s"$wh/db/docs"
+    val v0 = graft.io.Snapshots.latestVersion(s, path).get
+    s.sql(s"UPDATE $cat.db.docs SET n_chars = n_chars + 100, " +
+      "source = upper(source) WHERE doc_id % 4 = 1")
+    val v1 = graft.io.Snapshots.latestVersion(s, path).get
+    require(v1 == v0 + 1,
+      "q_snapshot_sql_cow: the copy-on-write update was not ONE commit")
+    val (_, _, _, dvs, _) = graft.io.Snapshots.stateAt(s, path, v1)
+    require(dvs.isEmpty,
+      "q_snapshot_sql_cow: copy-on-write DML accumulated delete files")
+    require(graft.io.Snapshots.history(s, path).orderBy("version")
+      .collect().last.getString(2) == "rowLevelUpdateCow",
+      "q_snapshot_sql_cow: the update did not ride the group-based " +
+        "row-level path")
+    s.sql(s"SELECT doc_id, text, lang, source, n_chars FROM $cat.db.docs")
+  }
+
   /** SQL UPDATE on a snapshot catalog table
     * ([[graft.plans.GraftDmlStrategy]] lowering `UPDATE` onto
     * [[graft.io.Snapshots.updateWhere]]'s copy-on-write commit):
@@ -1882,6 +1920,7 @@ private[graft] object QueriesIo {
     "q_snapshot_branch" -> (snapshotBranch _),
     "q_snapshot_sql_update" -> (snapshotSqlUpdate _),
     "q_snapshot_sql_rowlevel" -> (snapshotSqlRowLevel _),
+    "q_snapshot_sql_cow" -> (snapshotSqlCow _),
     "q_snapshot_sql_merge" -> (snapshotSqlMerge _),
     "q_snapshot_call" -> (snapshotSqlCall _),
     "q_snapshot_str_skip" -> (snapshotStrSkip _),
@@ -2143,6 +2182,13 @@ private[graft] object QueriesIo {
          WHERE NOT coalesce(doc_id % 7 = 0
            OR n_chars > (SELECT max(n_chars) FROM documents) / 2,
            FALSE)""",
+    "q_snapshot_sql_cow" ->
+      """SELECT doc_id, text, lang,
+           CASE WHEN doc_id % 4 = 1 THEN upper(source)
+                ELSE source END AS source,
+           CASE WHEN doc_id % 4 = 1 THEN n_chars + 100
+                ELSE n_chars END AS n_chars
+         FROM documents""",
     "q_snapshot_sql_merge" ->
       """SELECT doc_id,
            CASE WHEN doc_id % 10 = 0 THEN upper(text) ELSE text END

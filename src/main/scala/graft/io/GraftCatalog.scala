@@ -543,7 +543,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(mutable,
         "graft catalog: cannot UPDATE/MERGE/DELETE a time-travelled " +
           "table - DML mutates the live table only")
-      () => new GraftRowLevelOperation(this, info.command)
+      // the dml.mode table property picks the physical strategy:
+      // 'merge-on-read' (default) commits positional deletes +
+      // fresh rows; 'copy-on-write' rewrites the matched files
+      // whole (read-optimized; no delete files accumulate)
+      val mode = Snapshots.properties(spark, path)
+        .getOrElse("dml.mode", "merge-on-read")
+      mode match {
+        case "merge-on-read" =>
+          () => new GraftRowLevelOperation(this, info.command)
+        case "copy-on-write" =>
+          () => new GraftCowRowLevelOperation(this, info.command)
+        case other => throw new IllegalArgumentException(
+          s"graft catalog: table property dml.mode must be " +
+            s"'merge-on-read' or 'copy-on-write', got '$other'")
+      }
     }
 
     /** The DSv2 scan builder for row-level DML — the one scan shape
@@ -551,7 +565,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       * falling back to V1, which cannot) when the delete sliver
       * outgrew the shipping budget.
       */
-    private[graft] def rowLevelScanBuilder(): ScanBuilder = {
+    private[graft] def rowLevelScanBuilder(
+        onBuild: SnapshotBatchScan => Unit = _ => ()): ScanBuilder = {
       val (sch, pc, entries, dvs, cm) = pinnedState
       require(dvs.isEmpty ||
         Snapshots.v2DeleteBytes(spark, path, dvs) <=
@@ -562,7 +577,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "(spark.graft.snapshot.v2.maxDeleteBytes) - run CALL " +
           "compact first to apply the backlog")
       new SnapshotScanBuilder(spark, path, pinnedV, sch, pc, cm,
-        entries, dvs)
+        entries, dvs, onBuild)
     }
 
     private[graft] def pinnedVersion: Long = pinnedV

@@ -126,7 +126,8 @@ private[graft] final class SnapshotScanBuilder(
     spark: SparkSession, path: String, pinnedV: Long,
     tableSchema: StructType, partCols: Seq[String],
     colMap: Map[String, String], entries: Seq[String],
-    dvs: Seq[String] = Nil)
+    dvs: Seq[String] = Nil,
+    onBuild: SnapshotBatchScan => Unit = _ => ())
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters with SupportsPushDownAggregates {
 
@@ -519,9 +520,12 @@ private[graft] final class SnapshotScanBuilder(
       new ManifestAggScan(path, pinnedV, aggSchema, values)
     // `kept`, not `entries`: absorbed filters are ENFORCED by the
     // entry set (Spark plans no Filter node for them)
-    case None => new SnapshotBatchScan(spark, path, pinnedV,
-      tableSchema, required, partCols, colMap, kept, filters.toSeq,
-      dvs)
+    case None =>
+      val s = new SnapshotBatchScan(spark, path, pinnedV,
+        tableSchema, required, partCols, colMap, kept, filters.toSeq,
+        dvs)
+      onBuild(s)
+      s
   }
 }
 
@@ -647,8 +651,14 @@ private[graft] final class SnapshotBatchScan(
     // only the partitions the dim values can touch. Only columns the
     // scan actually OUTPUTS qualify - Spark resolves these against
     // the pruned schema (a join key is always in the output)
-    fields.map(f => logicalName(f.source))
-      .filter(required.fieldNames.contains)
+    (fields.map(f => logicalName(f.source))
+      .filter(required.fieldNames.contains) ++
+      // the rowId file column, when requested (row-level DML scans):
+      // Spark's runtime GROUP filtering prunes unmatched files
+      // before the copy-on-write rewrite reads them
+      (if (withMeta && required.fieldNames.contains(MetaFileCol))
+         Seq(MetaFileCol)
+       else Nil))
       .map(Expressions.column).toArray
 
   // allowed KEY-slot values per field index; absent = no constraint
@@ -693,14 +703,27 @@ private[graft] final class SnapshotBatchScan(
       .map { case (f, i) => logicalName(f.source) -> i }.toMap
     predicates.foreach { p =>
       val kids = p.children()
-      def colIdx: Option[Int] = kids.headOption.collect {
-        case r: NamedReference if r.fieldNames.length == 1 => r
-      }.flatMap(r => srcIdx.get(r.fieldNames.head))
+      def refName: Option[String] = kids.headOption.collect {
+        case r: NamedReference if r.fieldNames.length == 1 =>
+          r.fieldNames.head
+      }
+      def colIdx: Option[Int] = refName.flatMap(srcIdx.get)
       def lits: Option[Seq[VLiteral[_]]] = {
         val rest = kids.drop(1).toSeq
         if (rest.forall(_.isInstanceOf[VLiteral[_]]))
           Some(rest.map(_.asInstanceOf[VLiteral[_]]))
         else None
+      }
+      // runtime GROUP filter on the rowId file metadata column
+      // (Spark's RowLevelOperationRuntimeGroupFiltering for
+      // copy-on-write DML): only the matched files get rewritten
+      if (refName.contains(MetaFileCol) &&
+          (p.name() == "IN" || p.name() == "=")) {
+        lits.filter(_.nonEmpty).foreach { vs =>
+          val keep = vs.map(_.value().toString).toSet
+          runtimeKeptRels = Some(
+            runtimeKeptRels.map(_ intersect keep).getOrElse(keep))
+        }
       }
       (p.name(), colIdx, lits) match {
         case (("IN" | "="), Some(i), Some(vs))
@@ -844,16 +867,25 @@ private[graft] final class SnapshotBatchScan(
         partitions.length)
     else new UnknownPartitioning(partitions.length)
 
+  /** The store-relative data-file paths of the LAST planned partition
+    * set (post runtime filtering) — the group identity a copy-on-write
+    * row-level commit replaces ([[GraftCowRowLevelOperation]]). */
+  @volatile private[graft] var plannedRelsSnapshot: Array[String] =
+    Array.empty
+
   override def planInputPartitions(): Array[InputPartition] = {
     val relKept = runtimeKeptRels match {
       case Some(keep) => partitions.filter(p => keep(p.rel))
       case None => partitions
     }
-    (if (runtimeAllowed.isEmpty) relKept
-     else relKept.filter(p => runtimeAllowed.forall {
-       case (i, ok) =>
-         ok(Snapshots.v2NormKey(p.keyRow.get(i, keyTypes(i))))
-     })).toArray[InputPartition]
+    val planned =
+      if (runtimeAllowed.isEmpty) relKept
+      else relKept.filter(p => runtimeAllowed.forall {
+        case (i, ok) =>
+          ok(Snapshots.v2NormKey(p.keyRow.get(i, keyTypes(i))))
+      })
+    plannedRelsSnapshot = planned.map(_.rel).distinct.toArray
+    planned.toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

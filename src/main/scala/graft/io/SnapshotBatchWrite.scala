@@ -118,16 +118,20 @@ private[graft] final class SnapshotWrite(
       s"graft: partition source column $ln is missing from the " +
         s"write batch (${inputSchema.fieldNames.mkString(", ")})")
   }
-  inputSchema.fields.foreach { f =>
-    val t = st.schema.find(_.name == f.name).getOrElse(
-      throw new IllegalArgumentException(
-        s"graft: batch column ${f.name} is not in the table schema " +
-          s"of $ident"))
-    require(t.dataType == f.dataType,
-      s"graft: batch column ${f.name} arrives as " +
-        s"${f.dataType.catalogString} but $ident stores " +
-        s"${t.dataType.catalogString} - cast before writing")
-  }
+  // rowId metadata columns may ride along in a copy-on-write DML
+  // batch ([[GraftReplaceWrite]]) - they are not data, skip them
+  inputSchema.fields
+    .filterNot(f => SnapshotBatchScan.MetaNames(f.name))
+    .foreach { f =>
+      val t = st.schema.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft: batch column ${f.name} is not in the table schema " +
+            s"of $ident"))
+      require(t.dataType == f.dataType,
+        s"graft: batch column ${f.name} arrives as " +
+          s"${f.dataType.catalogString} but $ident stores " +
+          s"${t.dataType.catalogString} - cast before writing")
+    }
 
   /** Data-file columns: the TABLE schema minus identity sources
     * (their values live in directory names — the exact complement the

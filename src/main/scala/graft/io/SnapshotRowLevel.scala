@@ -70,6 +70,123 @@ private[graft] final class GraftRowLevelOperation(
     Expressions.column(SnapshotBatchScan.MetaPosCol))
 }
 
+/** COPY-ON-WRITE row-level operation (table property
+  * `dml.mode = 'copy-on-write'`): no `SupportsDelta`, so Spark's
+  * rewrites plan a group-based `ReplaceData` — the operation's scan
+  * reads the MATCHED files (runtime group filtering on the
+  * `__graft_file` metadata column prunes unmatched ones before any
+  * rewrite IO), the write lands those groups' surviving + updated
+  * rows as fresh files, and the commit REPLACES exactly the scanned
+  * files ([[Snapshots.commitReplaceV2]], pinned OCC). The
+  * read-optimized posture: no delete files accumulate, at the cost
+  * of rewriting matched files — choose per table, exactly the
+  * Iceberg/Delta mode split.
+  */
+private[graft] final class GraftCowRowLevelOperation(
+    table: GraftCatalog#GraftTable,
+    cmd: RowLevelOperation.Command)
+  extends RowLevelOperation {
+
+  /** The DSv2 scan this operation planned — its final (post runtime
+    * group filtering) file set IS the replaced-group set at commit. */
+  @volatile private var scanRef: Option[SnapshotBatchScan] = None
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"graft-row-level-cow ${cmd.toString.toLowerCase} ${table.name()}"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = table.rowLevelScanBuilder(s => scanRef = Some(s))
+
+  /** The group identity: requesting the rowId file column keeps it in
+    * the plan so Spark's runtime group filtering can prune on it. */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(SnapshotBatchScan.MetaFileCol))
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build()
+          : org.apache.spark.sql.connector.write.Write =
+        new GraftReplaceWrite(table.snapshotPath, table.name(), cmd,
+          table.pinnedVersion, info,
+          () => scanRef.map(_.plannedRelsSnapshot)
+            .getOrElse(Array.empty))
+    }
+}
+
+/** The planned copy-on-write rewrite: data rows write through the
+  * append path's factory (metadata columns in the batch are skipped),
+  * clustered/sorted like any insert; commit replaces the scanned
+  * groups.
+  */
+private[graft] final class GraftReplaceWrite(
+    path: String, ident: String, cmd: RowLevelOperation.Command,
+    pinnedV: Long, info: LogicalWriteInfo,
+    scannedRels: () => Array[String])
+  extends org.apache.spark.sql.connector.write.Write
+  with RequiresDistributionAndOrdering {
+
+  private val inner = new SnapshotWrite(path, ident, info.schema(),
+    Snapshots.V2Append, at = Some(pinnedV))
+
+  override def requiredDistribution(): Distribution =
+    inner.requiredDistribution()
+  override def requiredOrdering(): Array[VSortOrder] =
+    inner.requiredOrdering()
+  override def requiredNumPartitions(): Int = 0
+  override def distributionStrictlyRequired(): Boolean = false
+
+  override def description(): String =
+    s"graft-row-level-cow ${cmd.toString.toLowerCase} $ident"
+
+  private def opName: String = cmd match {
+    case RowLevelOperation.Command.DELETE => "rowLevelDeleteCow"
+    case RowLevelOperation.Command.UPDATE => "rowLevelUpdateCow"
+    case _ => "rowLevelMergeCow"
+  }
+
+  override def toBatch
+      : org.apache.spark.sql.connector.write.BatchWrite = {
+    val commitDir = s"data/c-${java.util.UUID.randomUUID()}"
+    new GraftReplaceBatchWrite(path, commitDir,
+      inner.writerFactory(commitDir), pinnedV,
+      StructType(info.schema().fields.filterNot(f =>
+        SnapshotBatchScan.MetaNames(f.name))),
+      opName, scannedRels)
+  }
+}
+
+private[graft] final class GraftReplaceBatchWrite(
+    path: String, commitDir: String, factory: SnapshotWriterFactory,
+    pinnedV: Long, rowSchema: StructType, opName: String,
+    scannedRels: () => Array[String])
+  extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    factory
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dataRels = messages.flatMap {
+      case m: SnapshotWriteMessage => m.rels
+      case other => throw new IllegalStateException(
+        s"graft: unexpected rewrite commit message $other")
+    }.toSeq
+    Snapshots.commitReplaceV2(SparkSession.active, path, commitDir,
+      dataRels, scannedRels().toSeq, pinnedV, rowSchema, opName)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val p = new org.apache.hadoop.fs.Path(s"$path/$commitDir")
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (f.exists(p)) { f.delete(p, true); () }
+  }
+}
+
 /** The planned delta write: clusters by the table's transforms plus
   * the rowId file (deletes group per target file, inserts per target
   * partition), writes inserts through the append path's factory and

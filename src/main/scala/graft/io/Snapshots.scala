@@ -1614,6 +1614,46 @@ object Snapshots {
     }
   }
 
+  /** Publish a COPY-ON-WRITE row-level rewrite
+    * ([[GraftReplaceBatchWrite]]): the scanned groups' files are
+    * REPLACED by the tasks' rewritten files (surviving + updated
+    * rows), everything else carried, one manifest claim strictly
+    * pinned to the version the operation's scan read — the group-
+    * based twin of [[commitDeltaV2]], same refusal posture. Delete
+    * markers carry unchanged: replaced files simply stop being
+    * referenced, so their delete entries go dead (vacuum reclaims
+    * both together).
+    */
+  private[graft] def commitReplaceV2(spark: SparkSession, path: String,
+                                     commitDir: String,
+                                     dataRels: Seq[String],
+                                     replacedRels: Seq[String],
+                                     expectedBase: Long,
+                                     batchSchema: StructType,
+                                     op: String): Long = {
+    val f = fs(spark, path)
+    if (dataRels.isEmpty && replacedRels.isEmpty) {
+      f.delete(new Path(s"$path/$commitDir"), true)
+      return expectedBase
+    }
+    orDropCommit(f, path, Seq(commitDir)) {
+    val st = stateCur(spark, path,
+      "commit a row-level rewrite into", Some(expectedBase))
+    requireLocalEntries(st.entries, path, "row-level rewrite of")
+    val (s2, map2) =
+      if (batchSchema.fields.isEmpty) (st.schema, st.colMap)
+      else evolvedSchemaAndMap(st.schema, nullableAll(batchSchema),
+        path, st.dropped, st.colMap, partCols = st.partCols)
+    val replaced = replacedRels.toSet
+    val fresh = v2EntryLines(spark, path, dataRels)
+    val carried = st.entries.filterNot(e => replaced(relOf(e)))
+    publishLoop(spark, path, Seq(commitDir), fresh, carried, s2,
+      st.partCols, st.dropped, st.txns, st.dvs, map2, Some(st.v),
+      RefuseConflict(op), op, st.props, None, batchSchema,
+      batchSchema.fieldNames.toSeq)
+    }
+  }
+
   /** The stored form of a snapshot schema: every field nullable, so a
     * file written before a column existed (or after a writer stopped
     * supplying one) legally null-fills on read.

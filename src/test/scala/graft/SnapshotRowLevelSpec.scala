@@ -292,6 +292,122 @@ class SnapshotRowLevelSpec extends SparkSpec {
       s"the delta exchange does not cluster on the rowId file:\n$plan")
   }
 
+  test("copy-on-write mode: DELETE rewrites only matched files, no delete files accumulate") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    docs.createOrReplaceTempView("rl_cow_src")
+    spark.sql(s"CREATE TABLE $cat.db.c (doc_id BIGINT, text STRING, " +
+      "lang STRING, n_chars BIGINT) PARTITIONED BY (lang) " +
+      "TBLPROPERTIES ('dml.mode' = 'copy-on-write')")
+    spark.sql(s"INSERT INTO $cat.db.c SELECT doc_id, text, lang, " +
+      "n_chars FROM rl_cow_src")
+    val path = s"$wh/db/c"
+    val v0 = Snapshots.latestVersion(spark, path).get
+    val before = Snapshots.stateAt(spark, path, v0)._3
+      .map(graft.io.Snapshots.relOfEntry).toSet
+    // partition-scoped + modulo: row-level path, only the en
+    // partition's files may be replaced
+    spark.sql(s"DELETE FROM $cat.db.c " +
+      "WHERE lang = 'en' AND doc_id % 2 = 0")
+    val v1 = Snapshots.latestVersion(spark, path).get
+    assert(v1 === v0 + 1)
+    val (_, _, entriesAfter, dvs, _) = Snapshots.stateAt(spark, path, v1)
+    assert(dvs.isEmpty, "copy-on-write DML must not add delete files")
+    assert(Snapshots.history(spark, path).orderBy("version")
+      .collect().last.getString(2) === "rowLevelDeleteCow")
+    val after = entriesAfter.map(graft.io.Snapshots.relOfEntry).toSet
+    val untouchedBefore = before.filterNot(_.contains("lang=en"))
+    assert(untouchedBefore.subsetOf(after),
+      "a file outside the matched partition was rewritten")
+    assert((after -- before).forall(_.contains("lang=en")),
+      "a fresh file landed outside the matched partition")
+    val got = spark.sql(s"SELECT doc_id, text, lang, n_chars " +
+      s"FROM $cat.db.c")
+    val want = docs.select("doc_id", "text", "lang", "n_chars")
+      .filter(!(col("lang") === "en" && col("doc_id") % 2 === 0))
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+  }
+
+  test("copy-on-write UPDATE and MERGE: exact rows, replaced groups only, no dvs") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    docs.createOrReplaceTempView("rl_cowu_src")
+    spark.sql(s"CREATE TABLE $cat.db.u (doc_id BIGINT, text STRING, " +
+      "lang STRING, n_chars BIGINT) " +
+      "TBLPROPERTIES ('dml.mode' = 'copy-on-write')")
+    spark.sql(s"INSERT INTO $cat.db.u SELECT doc_id, text, lang, " +
+      "n_chars FROM rl_cowu_src")
+    val path = s"$wh/db/u"
+    spark.sql(s"UPDATE $cat.db.u SET n_chars = n_chars * 2 " +
+      "WHERE doc_id % 5 = 0")
+    assert(Snapshots.history(spark, path).orderBy("version")
+      .collect().last.getString(2) === "rowLevelUpdateCow")
+    val wantU = docs.select(col("doc_id"), col("text"), col("lang"),
+      when(col("doc_id") % 5 === 0, col("n_chars") * 2)
+        .otherwise(col("n_chars")).as("n_chars"))
+    val gotU = spark.sql(
+      s"SELECT doc_id, text, lang, n_chars FROM $cat.db.u")
+    assert(gotU.exceptAll(wantU).count() === 0L)
+    assert(wantU.exceptAll(gotU).count() === 0L)
+    // MERGE: update + insert through the group-based plan
+    spark.sql(
+      s"""MERGE INTO $cat.db.u t
+         |USING (SELECT doc_id AS sid, n_chars AS sn FROM rl_cowu_src
+         |       WHERE doc_id % 7 = 0) s
+         |ON t.doc_id = s.sid
+         |WHEN MATCHED THEN UPDATE SET text = 'merged'
+         |WHEN NOT MATCHED THEN INSERT
+         |  (doc_id, text, lang, n_chars)
+         |  VALUES (s.sid + 9000000, 'new', 'xx', s.sn)""".stripMargin)
+    assert(Snapshots.history(spark, path).orderBy("version")
+      .collect().last.getString(2) === "rowLevelMergeCow")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.u " +
+      "WHERE text = 'merged'").head.getLong(0) ===
+      docs.filter(col("doc_id") % 7 === 0).count())
+    assert(Snapshots.stateAt(spark, path,
+      Snapshots.latestVersion(spark, path).get)._4.isEmpty,
+      "copy-on-write merge added delete files")
+    // an unknown mode refuses loudly at DML time
+    spark.sql(s"ALTER TABLE $cat.db.u SET TBLPROPERTIES " +
+      "('dml.mode' = 'nope')")
+    val e = intercept[Exception](spark.sql(
+      s"DELETE FROM $cat.db.u WHERE doc_id % 3 = 0"))
+    assert(e.getMessage.contains("dml.mode"), e.getMessage)
+  }
+
+  test("copy-on-write runtime group filtering: unmatched files inside the scanned set are not rewritten") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.g (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('dml.mode' = 'copy-on-write')")
+    // four separate inserts => four files, disjoint key ranges
+    (0 until 4).foreach { i =>
+      spark.range(i * 1000, (i + 1) * 1000).coalesce(1)
+        .selectExpr("id AS k", "id * 2 AS v")
+        .createOrReplaceTempView("rl_cowg_src")
+      spark.sql(s"INSERT INTO $cat.db.g SELECT * FROM rl_cowg_src")
+    }
+    val path = s"$wh/db/g"
+    val v0 = Snapshots.latestVersion(spark, path).get
+    val before = Snapshots.stateAt(spark, path, v0)._3
+      .map(graft.io.Snapshots.relOfEntry).toSet
+    assert(before.size === 4)
+    // matches rows in exactly ONE file (k in [1000, 2000))
+    spark.sql(s"DELETE FROM $cat.db.g WHERE k % 2 = 1 " +
+      "AND k >= 1200 AND k < 1300")
+    val after = Snapshots.stateAt(spark, path,
+      Snapshots.latestVersion(spark, path).get)._3
+      .map(graft.io.Snapshots.relOfEntry).toSet
+    val replaced = before -- after
+    assert(replaced.size === 1,
+      s"expected ONE rewritten file, got ${replaced.size}: the " +
+        "runtime group filter (or manifest stats pruning) did not " +
+        "bound the rewrite")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.g")
+      .head.getLong(0) === 4000 - 50)
+  }
+
   test("row-level commit refuses when a concurrent writer moved the table (positions would be stale)") {
     val (cat, wh) = freshCatalog()
     makeDocs(cat, "cc")
