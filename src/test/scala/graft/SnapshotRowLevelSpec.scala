@@ -408,6 +408,55 @@ class SnapshotRowLevelSpec extends SparkSpec {
       .head.getLong(0) === 4000 - 50)
   }
 
+  test("copy-on-write DML composes with EXISTING MoR deletes: rewritten groups carry live rows only") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    docs.createOrReplaceTempView("rl_cowm_src")
+    spark.sql(s"CREATE TABLE $cat.db.cm (doc_id BIGINT, text STRING, " +
+      "lang STRING, n_chars BIGINT) " +
+      "TBLPROPERTIES ('dml.mode' = 'copy-on-write')")
+    spark.sql(s"INSERT INTO $cat.db.cm SELECT doc_id, text, lang, " +
+      "n_chars FROM rl_cowm_src")
+    val path = s"$wh/db/cm"
+    // a positional-delete backlog lands first (programmatic mor)
+    Snapshots.deleteWhere(spark, path,
+      col("doc_id") % 3 === 0, mode = "mor")
+    val live = docs.filter(col("doc_id") % 3 =!= 0)
+    // the cow update must see only live rows AND not resurrect the
+    // mor-deleted ones when it rewrites the matched files
+    spark.sql(s"UPDATE $cat.db.cm SET n_chars = -7 " +
+      "WHERE doc_id % 4 = 2")
+    val want = live.select(col("doc_id"), col("text"), col("lang"),
+      when(col("doc_id") % 4 === 2, lit(-7L))
+        .otherwise(col("n_chars")).as("n_chars"))
+    val got = spark.sql(
+      s"SELECT doc_id, text, lang, n_chars FROM $cat.db.cm")
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+  }
+
+  test("row-level DML refuses when the delete sliver outgrew the shipping budget (compact first)") {
+    val (cat, wh) = freshCatalog()
+    makeDocs(cat, "bb")
+    Snapshots.deleteWhere(spark, s"$wh/db/bb",
+      col("doc_id") % 2 === 0, mode = "mor")
+    val old = spark.conf.getOption("spark.graft.snapshot.v2.maxDeleteBytes")
+    spark.conf.set("spark.graft.snapshot.v2.maxDeleteBytes", "1")
+    try {
+      val e = intercept[Exception](spark.sql(
+        s"DELETE FROM $cat.db.bb WHERE doc_id % 7 = 0"))
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: chain(t.getCause)
+      assert(chain(e).exists(m => m != null && m.contains("compact")),
+        s"expected the compact-first refusal, got $e")
+    } finally old match {
+      case Some(v) =>
+        spark.conf.set("spark.graft.snapshot.v2.maxDeleteBytes", v)
+      case None =>
+        spark.conf.unset("spark.graft.snapshot.v2.maxDeleteBytes")
+    }
+  }
+
   test("row-level commit refuses when a concurrent writer moved the table (positions would be stale)") {
     val (cat, wh) = freshCatalog()
     makeDocs(cat, "cc")
