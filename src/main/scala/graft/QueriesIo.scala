@@ -1486,6 +1486,96 @@ private[graft] object QueriesIo {
   }
 
 
+  /** LIMIT-pushdown gate ([[graft.io.SnapshotScanBuilder.pushLimit]]):
+    * `SELECT * FROM t LIMIT k` on a multi-file snapshot table plans
+    * only a file PREFIX whose guaranteed live rows cover k (asserted
+    * in-gate via the reader-factory file counter — fewer files OPEN
+    * than the table holds) and still returns exactly k rows. The
+    * aggregate above the limit forces every scan partition to run,
+    * so the IO bound is the pushdown's, not executeTake's.
+    */
+  def snapshotLimit(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "snap_limit_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = "glim_" + math.abs(wh.hashCode).toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    t(s, dir, "documents").createOrReplaceTempView("graft_lim_src")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+      "lang STRING, source STRING, n_chars BIGINT)")
+    (0 until 4).foreach { i =>
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id + ${i}000000, " +
+        "text, lang, source, n_chars FROM graft_lim_src")
+    }
+    graft.io.SnapshotReaderFactory.filesOpened.set(0L)
+    val total = {
+      s.sql(s"SELECT sum(doc_id * 2) FROM $cat.db.docs").collect()
+      graft.io.SnapshotReaderFactory.filesOpened.get()
+    }
+    val q = s.sql(s"SELECT CAST(count(*) AS BIGINT) AS n_limited " +
+      s"FROM (SELECT * FROM $cat.db.docs LIMIT 60)")
+    graft.io.SnapshotReaderFactory.filesOpened.set(0L)
+    val rows = q.collect()
+    val io = graft.io.SnapshotReaderFactory.filesOpened.get()
+    require(q.queryExecution.executedPlan.toString
+        .contains("pushedLimit=60"),
+      "q_snapshot_limit: the limit was not pushed to the scan:\n" +
+        q.queryExecution.executedPlan)
+    require(io < total,
+      s"q_snapshot_limit: the pushed limit still opened $io of " +
+        s"$total files")
+    import s.implicits._
+    rows.map(_.getLong(0)).toSeq.toDF("n_limited")
+  }
+
+  /** TOP-N-pushdown gate ([[graft.io.SnapshotScanBuilder.pushTopN]]):
+    * `ORDER BY doc_id LIMIT 20` over two commits with DISJOINT id
+    * ranges prunes the high-range files via the manifest min/max
+    * stats (file counter asserted in-gate, both directions) and each
+    * task ships only its k-row heap — the interactive "newest 20
+    * rows" probe at 100 TB reads the tail files, not the table.
+    */
+  def snapshotTopN(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "snap_topn_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = "gtopn_" + math.abs(wh.hashCode).toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    t(s, dir, "documents").createOrReplaceTempView("graft_topn_src")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, lang STRING, " +
+      "n_chars BIGINT)")
+    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, lang, n_chars " +
+      "FROM graft_topn_src")
+    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id + 5000000, lang, " +
+      "n_chars + 7 FROM graft_topn_src")
+    graft.io.SnapshotReaderFactory.filesOpened.set(0L)
+    val total = {
+      s.sql(s"SELECT sum(doc_id * 2) FROM $cat.db.docs").collect()
+      graft.io.SnapshotReaderFactory.filesOpened.get()
+    }
+    def leg(dirn: String): DataFrame = {
+      val q = s.sql(s"SELECT doc_id, n_chars, '$dirn' AS dirn " +
+        s"FROM $cat.db.docs ORDER BY doc_id $dirn LIMIT 20")
+      graft.io.SnapshotReaderFactory.filesOpened.set(0L)
+      val out = q.collect()
+      val io = graft.io.SnapshotReaderFactory.filesOpened.get()
+      require(q.queryExecution.executedPlan.toString
+          .contains(s"pushedTopN=[doc_id $dirn]"),
+        s"q_snapshot_topn: ORDER BY $dirn was not pushed:\n" +
+          q.queryExecution.executedPlan)
+      require(io < total,
+        s"q_snapshot_topn: pushed $dirn top-N still opened $io of " +
+          s"$total files")
+      s.createDataFrame(
+        s.sparkContext.parallelize(out.toIndexedSeq, 1), q.schema)
+    }
+    leg("ASC").unionAll(leg("DESC"))
+  }
+
   /** BRANCH gate ([[graft.io.Snapshots.createBranch]] /
     * [[graft.io.Snapshots.fastForward]]): fork the table, land two
     * commits on the branch while main provably serves the original,
@@ -1917,6 +2007,8 @@ private[graft] object QueriesIo {
     "q_snapshot_agg_push" -> (snapshotAggPush _),
     "q_snapshot_agg_group" -> (snapshotAggGroup _),
     "q_snapshot_agg_where" -> (snapshotAggWhere _),
+    "q_snapshot_limit" -> (snapshotLimit _),
+    "q_snapshot_topn" -> (snapshotTopN _),
     "q_snapshot_branch" -> (snapshotBranch _),
     "q_snapshot_sql_update" -> (snapshotSqlUpdate _),
     "q_snapshot_sql_rowlevel" -> (snapshotSqlRowLevel _),
@@ -2159,6 +2251,21 @@ private[graft] object QueriesIo {
                UNION ALL
                SELECT doc_id + 5000000, lang, source FROM documents)
          WHERE source = 'src3' GROUP BY lang""",
+    "q_snapshot_limit" ->
+      """SELECT CAST(least(60, 4 * (SELECT count(*) FROM documents))
+           AS BIGINT) AS n_limited""",
+    "q_snapshot_topn" ->
+      """WITH both_commits AS (
+           SELECT doc_id, n_chars FROM documents
+           UNION ALL
+           SELECT doc_id + 5000000, n_chars + 7 FROM documents)
+         SELECT * FROM (
+           SELECT doc_id, n_chars, 'ASC' AS dirn FROM both_commits
+           ORDER BY doc_id ASC LIMIT 20)
+         UNION ALL
+         SELECT * FROM (
+           SELECT doc_id, n_chars, 'DESC' AS dirn FROM both_commits
+           ORDER BY doc_id DESC LIMIT 20)""",
     "q_snapshot_agg_group" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
            min(doc_id) AS min_id, max(doc_id) AS max_id,

@@ -7,12 +7,13 @@ import org.apache.spark.sql.catalyst.expressions.{BoundReference, XxHash64}
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Expression => VExpression, Literal => VLiteral}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection, SortOrder => VSortOrder}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.graft.ScanBridge
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StructField, StructType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** DSv2 batch read path for snapshot tables — every layout:
   * unpartitioned, hidden-transform (bucket/days/truncate — sources
@@ -72,6 +73,66 @@ object SnapshotBatchScan {
   val MetaPosCol = "__graft_pos"
   private[io] val MetaNames: Set[String] = Set(MetaFileCol, MetaPosCol)
 
+  /** Largest ORDER BY ... LIMIT k the scan accepts as a pushed top-N:
+    * each task holds a bounded heap of k row copies, so k must stay
+    * task-memory-sized (100k rows of a fat table is still ≤ tens of
+    * MB; beyond that the plain sort wins anyway). */
+  private[io] val MaxPushedTopN = 100000
+
+  /** Sort-key types the per-task top-N heap can order (the atomic
+    * types with a total interpreted ordering). */
+  private[io] def heapOrderable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType | BooleanType | DateType |
+         TimestampType | TimestampNTZType | BinaryType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** One pushed ORDER BY key: column name, direction, null order. */
+  private[graft] final case class TopNKey(col: String, asc: Boolean,
+                                          nullsFirst: Boolean)
+
+  /** One top-N sort key bound to the reader's OUTPUT row layout. */
+  private[graft] final case class TopNOrder(ordinal: Int, dt: DataType,
+                                            asc: Boolean,
+                                            nullsFirst: Boolean)
+
+  /** The per-task bounded-heap spec of a pushed top-N: every task
+    * emits at most k rows (its local top-k; Spark re-sorts and
+    * re-limits above — partial pushdown), so a 1000-task ORDER BY
+    * ... LIMIT 10 ships 10,000 rows to the driver-side sort instead
+    * of the whole table. */
+  private[graft] final case class TopNReadSpec(orders: Array[TopNOrder],
+                                               k: Int) {
+    def comparator: java.util.Comparator[InternalRow] =
+      new java.util.Comparator[InternalRow] with Serializable {
+        private val vcmp: Array[Ordering[Any]] = orders.map(o =>
+          org.apache.spark.sql.catalyst.util.TypeUtils
+            .getInterpretedOrdering(o.dt))
+        override def compare(a: InternalRow, b: InternalRow): Int = {
+          var i = 0
+          while (i < orders.length) {
+            val o = orders(i)
+            val an = a.isNullAt(o.ordinal)
+            val bn = b.isNullAt(o.ordinal)
+            val c =
+              if (an && bn) 0
+              else if (an) { if (o.nullsFirst) -1 else 1 }
+              else if (bn) { if (o.nullsFirst) 1 else -1 }
+              else {
+                val v = vcmp(i).compare(a.get(o.ordinal, o.dt),
+                  b.get(o.ordinal, o.dt))
+                if (o.asc) v else -v
+              }
+            if (c != 0) return c
+            i += 1
+          }
+          0
+        }
+      }
+  }
+
   /** Collect top-level / AND-nested equality filters — the shapes the
     * manifest point-lookup can prune on EXACTLY. An `EqualTo` under
     * an OR must not prune (the other branch may keep the file).
@@ -129,13 +190,66 @@ private[graft] final class SnapshotScanBuilder(
     dvs: Seq[String] = Nil,
     onBuild: SnapshotBatchScan => Unit = _ => ())
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownFilters with SupportsPushDownAggregates {
+  with SupportsPushDownFilters with SupportsPushDownAggregates
+  with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var required: StructType = tableSchema
   private var filters: Array[Filter] = Array.empty
   private var absorbed: Array[Filter] = Array.empty
   private var kept: Seq[String] = entries
   private var pushedAgg: Option[(StructType, Array[Array[Any]])] = None
+  private var pushedLimit: Option[Int] = None
+  private var pushedTopN: Option[(Seq[SnapshotBatchScan.TopNKey], Int)] =
+    None
+
+  /** LIMIT pushdown, PARTIAL semantics (Spark keeps its own limit
+    * above): the scan plans only a PREFIX of files whose guaranteed
+    * live rows cover the limit and every reader stops after `limit`
+    * rows — `SELECT * FROM t LIMIT 10` on a million-file table opens
+    * one file instead of a million. Residual filters refuse (Spark
+    * never offers that shape — a Filter node blocks the push — but
+    * the guard keeps the invariant local); a completely-pushed
+    * aggregate already answers from metadata, nothing to cap.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    if (limit <= 0 || pushedAgg.isDefined || filters.nonEmpty)
+      return false
+    pushedLimit = Some(limit)
+    true
+  }
+
+  /** ORDER BY ... LIMIT k pushdown, PARTIAL semantics
+    * ([[isPartiallyPushed]] — Spark re-sorts and re-limits above, so
+    * each task may emit its local top-k in any order): accepted when
+    * every sort key is a plain column of an ordered atomic type and
+    * k is task-memory-sized. The scan then (a) PRUNES files the
+    * manifest min/max/null-count stats prove cannot reach the top-k
+    * ([[SnapshotBatchScan.topNPrune]]) and (b) caps every reader at
+    * a k-row bounded heap, so the sort above receives tasks×k rows,
+    * not the table.
+    */
+  override def isPartiallyPushed(): Boolean = true
+
+  override def pushTopN(orders: Array[VSortOrder], limit: Int)
+      : Boolean = {
+    if (limit <= 0 || limit > SnapshotBatchScan.MaxPushedTopN ||
+        pushedAgg.isDefined || filters.nonEmpty) return false
+    val keys = orders.toSeq.map { o =>
+      o.expression() match {
+        case r: NamedReference if r.fieldNames.length == 1 &&
+            tableSchema.fieldNames.contains(r.fieldNames.head) &&
+            SnapshotBatchScan.heapOrderable(
+              tableSchema(r.fieldNames.head).dataType) =>
+          Some(SnapshotBatchScan.TopNKey(r.fieldNames.head,
+            o.direction() == SortDirection.ASCENDING,
+            o.nullOrdering() == NullOrdering.NULLS_FIRST))
+        case _ => None
+      }
+    }
+    if (keys.isEmpty || keys.exists(_.isEmpty)) return false
+    pushedTopN = Some((keys.flatten, limit))
+    true
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -523,7 +637,7 @@ private[graft] final class SnapshotScanBuilder(
     case None =>
       val s = new SnapshotBatchScan(spark, path, pinnedV,
         tableSchema, required, partCols, colMap, kept, filters.toSeq,
-        dvs)
+        dvs, pushedLimit, pushedTopN)
       onBuild(s)
       s
   }
@@ -534,7 +648,9 @@ private[graft] final class SnapshotBatchScan(
     tableSchema: StructType, required: StructType,
     partCols: Seq[String], colMap: Map[String, String],
     entries: Seq[String], filters: Seq[Filter],
-    dvs: Seq[String] = Nil)
+    dvs: Seq[String] = Nil,
+    pushedLimit: Option[Int] = None,
+    pushedTopN: Option[(Seq[SnapshotBatchScan.TopNKey], Int)] = None)
   extends Scan with Batch with SupportsReportPartitioning
   with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -792,6 +908,131 @@ private[graft] final class SnapshotBatchScan(
     else (first until eqDeletes.size).toArray
   }
 
+  /** Guaranteed LIVE rows of one entry, a lower bound: exact manifest
+    * rows minus its positional deletes; 0 (no guarantee) when the
+    * stat is missing or an equality delete applies (its kill count is
+    * unknowable without a scan). Lower bounds keep limit-prefix
+    * planning sound: an entry that might be empty contributes
+    * nothing, so the prefix only ever EXTENDS. */
+  private def guaranteedLive(e: String): Long = {
+    val (rel, _, rows) = Snapshots.entryMeta(spark, path, e)
+    if (eqIdxFor(rel).nonEmpty) 0L
+    else rows.map(r => math.max(0L,
+      r - posDeletes.getOrElse(rel, Array.empty[Long]).length))
+      .getOrElse(0L)
+  }
+
+  /** The minimal file PREFIX whose guaranteed live rows cover a
+    * pushed LIMIT — the rest of the table never opens. Entries with
+    * no guarantee ride along (they may hold the only rows) but count
+    * zero, so under-delivery is impossible. */
+  private def limitPrefix(es: Seq[String], k: Int): Seq[String] = {
+    var cum = 0L
+    val b = Seq.newBuilder[String]
+    val it = es.iterator
+    while (it.hasNext && cum < k) {
+      val e = it.next()
+      b += e
+      cum += guaranteedLive(e)
+    }
+    b.result()
+  }
+
+  /** Files that can still reach a pushed top-k, from manifest stats
+    * alone: with B the smallest first-key bound such that the
+    * guaranteed rows ranking at-or-before B reach k, any file whose
+    * every row ranks strictly after B is outranked by ≥ k rows and
+    * never opens — `ORDER BY ts DESC LIMIT 100` on a time-clustered
+    * 100 TB table reads the newest few files. Sound only when counts
+    * are exact: any delete file, missing stat, or a first key that is
+    * not a stats-bearing long/exact-string column keeps every file
+    * (the per-reader heap still caps what ships). Nulls rank via the
+    * per-file null counts ('N' pseudo-stats): NULLS-FIRST nulls count
+    * toward the cover and keep their files; NULLS-LAST nulls are
+    * outranked by any k covered values.
+    */
+  private def topNPrune(es: Seq[String],
+                        key: SnapshotBatchScan.TopNKey, k: Int)
+      : Seq[String] = {
+    if (dvs.nonEmpty) return es
+    val dt = tableSchema(key.col).dataType
+    val integral = dt == ByteType || dt == ShortType ||
+      dt == IntegerType || dt == LongType
+    val isStr = dt == org.apache.spark.sql.types.StringType
+    if (!integral && !isStr) return es
+    val phys = colMap.map(_.swap).getOrElse(key.col, key.col)
+    // (entry, nonNullRows, nulls, valueBounds); bounds may be absent
+    // only for an all-null file (nonNull == 0)
+    final case class M(e: String, nonNull: Long, nulls: Long,
+                       lo: Any, hi: Any)
+    val metas = es.map { e =>
+      val rows = Snapshots.entryMeta(spark, path, e)._3
+      val nulls = Snapshots.nullCountOf(e).get(phys)
+      val bounds: Option[(Any, Any)] =
+        if (integral) Snapshots.longStatsOf(e).get(phys)
+          .map(b => (b._1: Any, b._2: Any))
+        else Snapshots.stringExactStatsOf(e).get(phys).flatMap {
+          case (Some(mn), Some(mx)) => Some((mn: Any, mx: Any))
+          case _ => None
+        }
+      (rows, nulls) match {
+        case (Some(r), Some(n)) =>
+          if (r - n == 0) Some(M(e, 0L, n, null, null))
+          else bounds.map(b => M(e, r - n, n, b._1, b._2))
+        case _ => None
+      }
+    }
+    if (metas.exists(_.isEmpty)) return es
+    val ms = metas.flatten
+    def cmpV(a: Any, b: Any): Int =
+      if (integral) java.lang.Long.compare(a.asInstanceOf[Long],
+        b.asInstanceOf[Long])
+      else Snapshots.bytesCompareKey(a.asInstanceOf[Array[Byte]],
+        b.asInstanceOf[Array[Byte]])
+    // rank space: ascending reads bounds as-is, descending swaps
+    // them and inverts the comparison; nullsFirst is already
+    // relative to the final order, i.e. to rank space
+    def rcmp(a: Any, b: Any): Int =
+      if (key.asc) cmpV(a, b) else -cmpV(a, b)
+    def rlo(m: M): Any = if (key.asc) m.lo else m.hi
+    def rhi(m: M): Any = if (key.asc) m.hi else m.lo
+    val totalNulls = ms.map(_.nulls).sum
+    var cum = if (key.nullsFirst) totalNulls else 0L
+    if (cum >= k)
+      // the top-k is nulls alone: only null-bearing files can serve
+      return ms.filter(_.nulls > 0).map(_.e)
+    val sorted = ms.filter(_.nonNull > 0)
+      .sortWith((a, b) => rcmp(rhi(a), rhi(b)) < 0)
+    var bound: Any = null
+    val it = sorted.iterator
+    while (it.hasNext && cum < k) {
+      val m = it.next()
+      cum += m.nonNull
+      bound = rhi(m)
+    }
+    if (cum < k || bound == null) return es // not enough guaranteed
+    val keep = ms.filter(m =>
+      (m.nonNull > 0 && rcmp(rlo(m), bound) <= 0) ||
+        (key.nullsFirst && m.nulls > 0)).map(_.e).toSet
+    es.filter(keep)
+  }
+
+  /** The entries the scan actually plans: the kept set, narrowed by a
+    * pushed top-N's stat pruning and/or a pushed limit's guaranteed
+    * prefix. Computed BEFORE [[partitions]] so every consumer —
+    * [[outputPartitioning]]'s reported partition count included —
+    * agrees on one file set. */
+  private lazy val scanEntries: Seq[String] = {
+    val t = pushedTopN match {
+      case Some((keys, k)) => topNPrune(keptEntries, keys.head, k)
+      case None => keptEntries
+    }
+    pushedLimit match {
+      case Some(k) => limitPrefix(t, k)
+      case None => t
+    }
+  }
+
   private lazy val partitions: Array[SnapshotInputPartition] = {
     val f = new Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
@@ -812,7 +1053,7 @@ private[graft] final class SnapshotBatchScan(
       // replicate the other join side over them, so one skewed
       // bucket no longer pins a single task at 100x. Per-partition
       // size/row statistics ride along to inform that choice.
-      keptEntries.sortBy { e =>
+      scanEntries.sortBy { e =>
         val rel = Snapshots.relOfEntry(e)
         keyRowOf(rel).toSeq(keyTypes).mkString("\u0001") + " " + rel
       }.map { e =>
@@ -831,7 +1072,7 @@ private[graft] final class SnapshotBatchScan(
       // Delete-bearing files stay WHOLE: positional apply counts row
       // indices from the file start
       val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-      keptEntries.iterator.flatMap { e =>
+      scanEntries.iterator.flatMap { e =>
         val s = sliceOf(e)
         val rel = Snapshots.relOfEntry(e)
         val idRow = if (idFields.isEmpty) empty else idRowOf(rel)
@@ -853,7 +1094,13 @@ private[graft] final class SnapshotBatchScan(
 
   override def description(): String =
     s"graft-snapshot spj $path v$pinnedV " +
-      s"[${partCols.mkString(", ")}]"
+      s"[${partCols.mkString(", ")}]" +
+      pushedLimit.map(k => s" pushedLimit=$k").getOrElse("") +
+      pushedTopN.map { case (ks, k) =>
+        val keys = ks.map(x =>
+          x.col + (if (x.asc) " ASC" else " DESC")).mkString(",")
+        s" pushedTopN=[$keys] limit=$k"
+      }.getOrElse("")
 
   override def outputPartitioning(): Partitioning =
     if (keyGrouped)
@@ -950,7 +1197,20 @@ private[graft] final class SnapshotBatchScan(
       ordinals,
       required.fields.map(_.dataType),
       eqApplies,
-      withMeta)
+      withMeta,
+      readCap = pushedLimit,
+      topN = pushedTopN.flatMap { case (keys, k) =>
+        // heap keys index the OUTPUT row (post-projection, `required`
+        // order); a key the query somehow pruned away disables the
+        // heap (file pruning above still holds)
+        if (keys.forall(x => required.fieldNames.contains(x.col)))
+          Some(SnapshotBatchScan.TopNReadSpec(
+            keys.map(x => SnapshotBatchScan.TopNOrder(
+              required.fieldIndex(x.col),
+              required(x.col).dataType, x.asc, x.nullsFirst)).toArray,
+            k))
+        else None
+      })
   }
 
   /** Size/rows from the manifest pseudo-stats (post-prune): join
@@ -958,7 +1218,7 @@ private[graft] final class SnapshotBatchScan(
     * can still broadcast.
     */
   private lazy val statsMetas =
-    keptEntries.map(e => Snapshots.entryMeta(spark, path, e))
+    scanEntries.map(e => Snapshots.entryMeta(spark, path, e))
 
   override def estimateStatistics(): Statistics = {
     val metas = statsMetas
@@ -968,9 +1228,12 @@ private[graft] final class SnapshotBatchScan(
         java.util.OptionalLong.of(metas.map(_._2).sum)
       // with live deletes the manifest counts are an OVER-estimate
       // (deleted rows included): sizeInBytes stays (a safe upper
-      // bound for broadcast decisions) but no exact row count exists
+      // bound for broadcast decisions) but no exact row count exists.
+      // A pushed limit/top-N caps rows per READER, so the planned
+      // files' counts stop being the scan's output count: refuse too
       override def numRows(): java.util.OptionalLong =
-        if (dvs.isEmpty && rows.nonEmpty && rows.forall(_.isDefined))
+        if (dvs.isEmpty && rows.nonEmpty && rows.forall(_.isDefined) &&
+            pushedLimit.isEmpty && pushedTopN.isEmpty)
           java.util.OptionalLong.of(rows.map(_.get).sum)
         else java.util.OptionalLong.empty()
     }
@@ -1071,7 +1334,9 @@ private[graft] final class SnapshotReaderFactory(
     ordinals: Array[Int],
     outTypes: Array[org.apache.spark.sql.types.DataType],
     eqApplies: Array[EqApply] = Array.empty,
-    withMeta: Boolean = false)
+    withMeta: Boolean = false,
+    readCap: Option[Int] = None,
+    topN: Option[SnapshotBatchScan.TopNReadSpec] = None)
   extends PartitionReaderFactory {
 
   /** Does any applicable equality delete kill this row? Null keys
@@ -1158,7 +1423,7 @@ private[graft] final class SnapshotReaderFactory(
           .BoundReference(i, dt, nullable = true)
       }.toIndexedSeq)
     new PartitionReader[InternalRow] {
-      private val it = slice.files.iterator
+      private val raw = slice.files.iterator
         .flatMap { fs =>
           SnapshotReaderFactory.filesOpened.incrementAndGet()
           if (withMeta) metaRows(fs, slice.idRow, slice.rel)
@@ -1166,9 +1431,35 @@ private[graft] final class SnapshotReaderFactory(
           else readFunc(fs.path, fs.start, fs.len, fs.fileSize,
             slice.idRow)
         }
+      // pushed LIMIT: this reader contributes at most `cap` rows
+      // (counted POST merge-on-read deletes — `raw` is already live
+      // rows); Spark's own limit sits above
+      private val capped = readCap match {
+        case Some(k) => raw.take(k)
+        case None => raw
+      }
+      // pushed TOP-N: a bounded max-heap of k OUTPUT-row copies —
+      // emit this task's local top-k (any order; Spark re-sorts) so
+      // the sort above receives tasks×k rows, not the partition
+      private val it: Iterator[InternalRow] = topN match {
+        case Some(spec) =>
+          val cmp = spec.comparator
+          val heap = new java.util.PriorityQueue[InternalRow](
+            math.max(1, math.min(spec.k, 1024)), cmp.reversed())
+          while (capped.hasNext) {
+            val r = proj(capped.next()).copy()
+            if (heap.size < spec.k) heap.add(r)
+            else if (cmp.compare(r, heap.peek) < 0) {
+              heap.poll(); heap.add(r)
+            }
+          }
+          import scala.jdk.CollectionConverters._
+          heap.iterator.asScala
+        case None => capped.map(proj)
+      }
       private var cur: InternalRow = _
       override def next(): Boolean =
-        if (it.hasNext) { cur = proj(it.next()); true } else false
+        if (it.hasNext) { cur = it.next(); true } else false
       override def get(): InternalRow = cur
       override def close(): Unit = ()
     }
