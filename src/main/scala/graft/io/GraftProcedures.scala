@@ -39,7 +39,7 @@ private[graft] object GraftProcedures {
   val Names: Seq[String] = Seq("compact", "vacuum", "expire_versions",
     "rollback", "tag", "drop_tag", "maintain", "publish_staged",
     "drop_staged", "list_staged", "clone", "create_branch",
-    "fast_forward", "drop_branch", "list_branches")
+    "fast_forward", "drop_branch", "list_branches", "rewrite_deletes")
 
   def identifiers: Array[Identifier] =
     Names.map(n => Identifier.of(Array("system"), n)).toArray
@@ -61,6 +61,7 @@ private[graft] object GraftProcedures {
       case "fast_forward" => new FastForward(warehouse)
       case "drop_branch" => new DropBranch(warehouse)
       case "list_branches" => new ListBranches(warehouse)
+      case "rewrite_deletes" => new RewriteDeletes(warehouse)
       case other => throw new IllegalArgumentException(
         s"graft catalog: unknown procedure system.$other " +
           s"(have: ${Names.mkString(", ")})")
@@ -164,6 +165,24 @@ private[graft] object GraftProcedures {
       Array[Any](
         if (input.getBoolean(2)) Snapshots.vacuumDryRun(spark, path, ms)
         else Snapshots.vacuum(spark, path, graceMs = ms))
+    }
+  }
+
+  /** `CALL cat.system.rewrite_deletes(table => 'db.docs',
+    * convert_equality_deletes => true)` —
+    * [[Snapshots.rewriteDeletes]]: consolidate merge-on-read delete
+    * files (and optionally convert equality deletes to positional),
+    * the scheduled antidote to CDC delete-sliver accretion. */
+  private final class RewriteDeletes(wh: String) extends Base(
+    "rewrite_deletes",
+    Seq(in("table", StringType),
+      inDefault("convert_equality_deletes", BooleanType, "false")),
+    StructType(Seq(StructField("version", LongType, nullable = false)))) {
+    override protected def invoke(spark: SparkSession,
+                                  input: InternalRow): Array[Any] = {
+      val path = pathOf(wh, input.getUTF8String(0).toString)
+      Array[Any](Snapshots.rewriteDeletes(spark, path,
+        convertEq = input.getBoolean(1)))
     }
   }
 

@@ -3965,6 +3965,166 @@ object Snapshots {
     committed
   }
 
+  /** DELETE-FILE MAINTENANCE (Iceberg's `rewrite_position_deletes`
+    * procedure, plus the equality→positional conversion its
+    * `convert-equality-deletes` option performs): streaming CDC
+    * lands one tiny positional delete file per commit, so a
+    * long-running merge-on-read table accretes hundreds of delete
+    * slivers — eventually tripping the DSv2 routing budget
+    * ([[v2DeleteBytes]]) and degrading every read to the V1
+    * anti-join plan. This rewrite:
+    *
+    *   - CONSOLIDATES all positional delete files into one commit's
+    *     worth, dropping stale tombstones that name files no longer
+    *     in the manifest (rewritten by compaction/DML — their rows
+    *     anti-join nothing but still cost budget and IO every scan);
+    *   - with `convertEq = true`, additionally CONVERTS equality
+    *     deletes to positional form: one scan of just the files each
+    *     equality delete can touch (its base version's survivors)
+    *     finds the matched (file, pos) identities, after which the
+    *     table is positional-only — `COUNT(*)` aggregate pushdown
+    *     and exact `numRows` statistics come back
+    *     ([[SnapshotBatchScan]] refuses both under equality deletes).
+    *
+    * ZERO data-file rewrites either way (conversion reads, never
+    * writes, data files); the commit carries the SAME data entries
+    * with the delete-marker list replaced. Racing appends rebase
+    * (appended files carry no deletes); racing anything that touched
+    * the delete set or rewrote files refuses. Old delete files fall
+    * out of the referenced set and [[vacuum]] reclaims them after
+    * [[expire]]. No-op (current version returned) when there is
+    * nothing to consolidate: at most one positional file, no stale
+    * tombstones, and no conversion requested or no equality deletes.
+    */
+  def rewriteDeletes(spark: SparkSession, path: String,
+                     convertEq: Boolean = false): Long = {
+    val st = currentState(spark, path, "rewriteDeletes")
+    val f = fs(spark, path)
+    val posRels = st.dvs.filterNot(_.startsWith("eq:"))
+    val eqs = st.dvs.flatMap(eqOf).sortBy(_.base)
+    val eqMarkers = st.dvs.filter(_.startsWith("eq:"))
+    val convert = convertEq && eqs.nonEmpty
+    if (posRels.isEmpty && !convert) return st.v
+    val liveRels = st.entries.map(relOf)
+    val liveDf = spark.createDataset(liveRels)(
+      org.apache.spark.sql.Encoders.STRING).toDF(DvFileCol)
+    // surviving tombstones: positional rows whose target file is
+    // still in the manifest (the rest are stale — harmless but paid
+    // for on every read)
+    val keptPos: Option[DataFrame] =
+      if (posRels.isEmpty) None
+      else Some(dvRows(spark, path, posRels)
+        .join(liveDf, Seq(DvFileCol), "left_semi"))
+    if (!convert && posRels.size <= 1) {
+      // one file, nothing to merge — rewrite only if it carries
+      // stale tombstones
+      val total = dvRows(spark, path, posRels).count()
+      val kept = keptPos.get.count()
+      if (kept == total) return st.v
+    }
+    // equality deletes → matched (file, pos) identities: group each
+    // entry by the FIRST delete whose base contains it (the same
+    // nested-bases rule [[liveWithId]] applies), semi-join the
+    // group's rows against every applicable delete's key file
+    val converted: Option[DataFrame] = if (!convert) None else {
+      val phys = toPhysicalSchema(st.schema, st.colMap)
+      def idOf(es: Seq[String]): DataFrame = spark
+        .baseRelationToDataFrame(
+          entriesRelation(spark, path, phys, st.partCols, es))
+        .select(phys.fields.zip(st.schema.fields).map {
+          case (p, l) => col(p.name).as(l.name) } ++ Seq(
+          relPathExpr.as(DvFileCol),
+          col("_metadata.row_index").as(DvPosCol)): _*)
+      val baseRels: Seq[Set[String]] =
+        eqs.map(e => manifest(f, path, e.base).entries.map(relOf).toSet)
+      val groups = st.entries.groupBy { en =>
+        val i = baseRels.indexWhere(_.contains(relOf(en)))
+        if (i < 0) eqs.size else i
+      }.toSeq.filter(_._1 < eqs.size)
+      if (groups.isEmpty) None
+      else Some(groups.map { case (i, es) =>
+        val ids = idOf(es)
+        eqs.drop(i).map { e =>
+          val logicalCols = e.cols.map(c => st.colMap.getOrElse(c, c))
+          val keys = spark.read.parquet(s"$path/${e.rel}")
+            .select(e.cols.map(col): _*).toDF(logicalCols: _*)
+          ids.join(keys, logicalCols, "left_semi")
+            .select(col(DvFileCol), col(DvPosCol))
+        }.reduce(_ unionByName _)
+      }.reduce(_ unionByName _))
+    }
+    val doomed = (keptPos.toSeq ++ converted.toSeq)
+      .map(_.select(col(DvFileCol), col(DvPosCol)))
+      .reduceOption(_ unionByName _).map(_.distinct())
+    val commitDir = s"data/c-${java.util.UUID.randomUUID()}"
+    val markers: Seq[String] = doomed match {
+      case None => Nil
+      case Some(d) =>
+        // one output file: a delete sliver is routing-budget-sized
+        // by construction (the budget is why this rewrite exists),
+        // and ONE file is the consolidation the scan pays for
+        d.repartition(1)
+          .select(col(DvFileCol).as("__file"), col(DvPosCol).as("__pos"))
+          .write.parquet(s"$path/$commitDir")
+        val files = listCommitFiles(f, path, commitDir)
+        val any = spark.read.schema(DvSchema)
+          .parquet(s"$path/$commitDir").limit(1).count() > 0L
+        if (!any) { f.delete(new Path(s"$path/$commitDir"), true); Nil }
+        else files
+    }
+    val newDvs = (if (convert) Nil else eqMarkers) ++ markers
+    onBeforePublish()
+    var curEntries = st.entries
+    var curTxns = st.txns
+    var curProps = st.props
+    var curBase = st.v
+    var committed = -1L
+    while (committed < 0L) {
+      val next = curBase + 1L
+      if (tryPublishManifest(f, path, next,
+          manifestLines(st.schema, st.partCols, st.dropped,
+            "rewriteDeletes", curEntries, curTxns, newDvs, st.colMap,
+            curProps))) {
+        bumpLatestHint(f, path, next)
+        committed = next
+      } else {
+        val newBase = allManifestVersions(f, path).last
+        val m = manifest(f, path, newBase)
+        def refuse(reason: String): Nothing = {
+          if (markers.nonEmpty)
+            f.delete(new Path(s"$path/$commitDir"), true)
+          throw new java.util.ConcurrentModificationException(
+            "snapshot: concurrent commit detected while rewriting " +
+              s"delete files on $path and it cannot be rebased over " +
+              s"($reason) - re-read and retry")
+        }
+        val wSchema = resolveSchema(spark, path, m)
+        if (m.partCols != st.partCols) refuse("a partition-spec change")
+        if (!wSchema.fieldNames.sameElements(st.schema.fieldNames) ||
+            !wSchema.fields.map(_.dataType.catalogString)
+              .sameElements(st.schema.fields
+                .map(_.dataType.catalogString)))
+          refuse("a schema change")
+        if (m.colMap != st.colMap) refuse("a column-mapping change")
+        if (m.dropped != st.dropped) refuse("a dropped-column change")
+        // the rewritten tombstones were computed against st.dvs: any
+        // concurrent delete-file change would be silently dropped
+        if (m.dvs.toSet != st.dvs.toSet)
+          refuse("a concurrent delete-file change")
+        // appends are safe (new files carry no deletes); anything
+        // that removed or rewrote files invalidates (file, pos) rows
+        if (!curEntries.map(relOf).toSet
+            .subsetOf(m.entries.map(relOf).toSet))
+          refuse("a non-append commit")
+        curEntries = m.entries
+        curTxns = m.txns
+        curProps = m.props
+        curBase = newBase
+      }
+    }
+    committed
+  }
+
   /** Bin-pack the current snapshot into ~`targetFileBytes` files — the
     * answer to the small-files problem streaming ingestion creates
     * (every [[commitAppend]] micro-batch lands its own files; a
