@@ -1576,6 +1576,62 @@ private[graft] object QueriesIo {
     leg("ASC").unionAll(leg("DESC"))
   }
 
+  /** ANALYZE gate ([[graft.io.Snapshots.analyzeNdv]] +
+    * [[graft.io.SnapshotBatchScan]] column statistics): per-file NDV
+    * sketches committed into the manifest feed `distinctCount` (and
+    * the always-on null counts / exact min-max) into Catalyst's
+    * `attributeStats` under CBO — ANALYZE-free join estimation. The
+    * gate emits tolerance booleans against exact distinct counts
+    * (the `q_hll_store` posture: estimates gate as within-bound
+    * TRUEs the oracle expects).
+    */
+  def snapshotAnalyze(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "snap_ndv_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = "gndv_" + math.abs(wh.hashCode).toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    t(s, dir, "documents").createOrReplaceTempView("graft_ndv_src")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, lang STRING, " +
+      "n_chars BIGINT)")
+    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, lang, n_chars " +
+      "FROM graft_ndv_src")
+    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id + 5000000, lang, " +
+      "n_chars FROM graft_ndv_src")
+    s.sql(s"CALL $cat.system.analyze_ndv(table => 'db.docs', " +
+      "columns => 'doc_id,lang')")
+    val old = s.conf.getOption("spark.sql.cbo.enabled")
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = s.sql(s"SELECT doc_id, lang FROM $cat.db.docs")
+        .queryExecution.optimizedPlan.stats
+      val byName = stats.attributeStats.toSeq
+        .map { case (a, cs) => a.name -> cs }.toMap
+      def ndv(c: String): Long = byName.get(c)
+        .flatMap(_.distinctCount.map(_.toLong)).getOrElse(
+          throw new IllegalStateException(
+            s"q_snapshot_analyze: no distinctCount for $c in " +
+              s"${stats.attributeStats}"))
+      val exact = s.sql(s"SELECT count(*) AS n_docs, " +
+        s"count(DISTINCT doc_id) AS exact_ids, " +
+        s"count(DISTINCT lang) AS exact_langs FROM $cat.db.docs")
+        .collect().head
+      import s.implicits._
+      Seq((exact.getLong(0), exact.getLong(1), exact.getLong(2),
+        math.abs(ndv("doc_id") - exact.getLong(1)) <=
+          exact.getLong(1) * 0.40 + 4,
+        math.abs(ndv("lang") - exact.getLong(2)) <=
+          exact.getLong(2) * 0.40 + 4))
+        .toDF("n_docs", "exact_ids", "exact_langs", "ndv_ids_ok",
+          "ndv_langs_ok")
+    } finally old match {
+      case Some(v) => s.conf.set("spark.sql.cbo.enabled", v)
+      case None => s.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
   /** BRANCH gate ([[graft.io.Snapshots.createBranch]] /
     * [[graft.io.Snapshots.fastForward]]): fork the table, land two
     * commits on the branch while main provably serves the original,
@@ -2009,6 +2065,7 @@ private[graft] object QueriesIo {
     "q_snapshot_agg_where" -> (snapshotAggWhere _),
     "q_snapshot_limit" -> (snapshotLimit _),
     "q_snapshot_topn" -> (snapshotTopN _),
+    "q_snapshot_analyze" -> (snapshotAnalyze _),
     "q_snapshot_branch" -> (snapshotBranch _),
     "q_snapshot_sql_update" -> (snapshotSqlUpdate _),
     "q_snapshot_sql_rowlevel" -> (snapshotSqlRowLevel _),
@@ -2266,6 +2323,12 @@ private[graft] object QueriesIo {
          SELECT * FROM (
            SELECT doc_id, n_chars, 'DESC' AS dirn FROM both_commits
            ORDER BY doc_id DESC LIMIT 20)""",
+    "q_snapshot_analyze" ->
+      """SELECT CAST(2 * count(*) AS BIGINT) AS n_docs,
+           CAST(2 * count(DISTINCT doc_id) AS BIGINT) AS exact_ids,
+           CAST(count(DISTINCT lang) AS BIGINT) AS exact_langs,
+           TRUE AS ndv_ids_ok, TRUE AS ndv_langs_ok
+         FROM documents""",
     "q_snapshot_agg_group" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
            min(doc_id) AS min_id, max(doc_id) AS max_id,

@@ -39,7 +39,8 @@ private[graft] object GraftProcedures {
   val Names: Seq[String] = Seq("compact", "vacuum", "expire_versions",
     "rollback", "tag", "drop_tag", "maintain", "publish_staged",
     "drop_staged", "list_staged", "clone", "create_branch",
-    "fast_forward", "drop_branch", "list_branches", "rewrite_deletes")
+    "fast_forward", "drop_branch", "list_branches", "rewrite_deletes",
+    "analyze_ndv")
 
   def identifiers: Array[Identifier] =
     Names.map(n => Identifier.of(Array("system"), n)).toArray
@@ -62,6 +63,7 @@ private[graft] object GraftProcedures {
       case "drop_branch" => new DropBranch(warehouse)
       case "list_branches" => new ListBranches(warehouse)
       case "rewrite_deletes" => new RewriteDeletes(warehouse)
+      case "analyze_ndv" => new AnalyzeNdv(warehouse)
       case other => throw new IllegalArgumentException(
         s"graft catalog: unknown procedure system.$other " +
           s"(have: ${Names.mkString(", ")})")
@@ -183,6 +185,23 @@ private[graft] object GraftProcedures {
       val path = pathOf(wh, input.getUTF8String(0).toString)
       Array[Any](Snapshots.rewriteDeletes(spark, path,
         convertEq = input.getBoolean(1)))
+    }
+  }
+
+  /** `CALL cat.system.analyze_ndv(table => 'db.docs', columns =>
+    * 'doc_id,lang')` — [[Snapshots.analyzeNdv]]: per-file NDV
+    * sketches into the manifest, feeding `distinctCount` column
+    * statistics (CBO join estimation) for any planned file subset. */
+  private final class AnalyzeNdv(wh: String) extends Base(
+    "analyze_ndv",
+    Seq(in("table", StringType), in("columns", StringType)),
+    StructType(Seq(StructField("version", LongType, nullable = false)))) {
+    override protected def invoke(spark: SparkSession,
+                                  input: InternalRow): Array[Any] = {
+      val path = pathOf(wh, input.getUTF8String(0).toString)
+      val cols = input.getUTF8String(1).toString.split(',')
+        .map(_.trim).filter(_.nonEmpty).toSeq
+      Array[Any](Snapshots.analyzeNdv(spark, path, cols))
     }
   }
 

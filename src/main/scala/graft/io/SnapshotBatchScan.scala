@@ -1220,12 +1220,177 @@ private[graft] final class SnapshotBatchScan(
   private lazy val statsMetas =
     scanEntries.map(e => Snapshots.entryMeta(spark, path, e))
 
+  /** CATALYST-TYPED COLUMN STATISTICS from the manifest pseudo-stats
+    * — ANALYZE-free CBO (join reorder, filter selectivity, broadcast
+    * sizing) straight off the commit path: null counts ('N') for
+    * every data column, exact min/max for integrals ('L') and
+    * provably-untruncated strings ('T'). A column's bound is offered
+    * only when EVERY planned entry either carries the stat or is
+    * all-null in that column (null count == rows — parquet records
+    * no value bound there, and an all-null file cannot hold one);
+    * anything else refuses the cell. Refused wholesale under delete
+    * files (a deleted row may hold the bound / the null) and under a
+    * pushed limit/top-N (per-reader caps break the fold). Values are
+    * narrowed to the column's catalyst type — FilterEstimation
+    * rebuilds `Literal(value, attr.dataType)` from them.
+    */
+  private lazy val v2ColumnStats: java.util.Map[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+    computeColumnStats()
+
+  private def computeColumnStats(): java.util.Map[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    val out = new java.util.HashMap[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]
+    // only the cost-based estimator consumes these: with CBO off
+    // (the default) the fold below is pure planning overhead — skip
+    val refuseAll = !spark.sessionState.conf.cboEnabled ||
+      dvs.nonEmpty || pushedLimit.isDefined || pushedTopN.isDefined ||
+      scanEntries.isEmpty
+    if (refuseAll) return out
+    val l2p = colMap.map(_.swap)
+    val idLogical = idFields.map(f => logicalName(f.source)).toSet
+    def narrow(v: Long, dt: DataType): Any = dt match {
+      case LongType => java.lang.Long.valueOf(v)
+      case IntegerType => java.lang.Integer.valueOf(v.toInt)
+      case ShortType => java.lang.Short.valueOf(v.toShort)
+      case ByteType => java.lang.Byte.valueOf(v.toByte)
+      case _ => java.lang.Long.valueOf(v)
+    }
+    val cols = required.fields.toSeq
+      .filterNot(f => SnapshotBatchScan.MetaNames(f.name))
+      .filterNot(f => idLogical(f.name))
+      .filter(f => tableSchema.fieldNames.contains(f.name))
+      .map(f => f -> l2p.getOrElse(f.name, f.name))
+    if (cols.isEmpty) return out
+    // per-column fold state, filled in ONE pass over the entries
+    // (each entry's stat string parses once per KIND, not once per
+    // column — planning time stays O(entries × stats), not × columns)
+    final class Acc {
+      var nulls = 0L; var nullsOk = true
+      var nValued = 0; var valuedRows = 0L; var valuedNulls = 0L
+      var valuedRowsOk = true
+      var loL = Long.MaxValue; var hiL = Long.MinValue; var lOk = true
+      var loS: Array[Byte] = null; var hiS: Array[Byte] = null
+      var sOk = true
+      var regs: Array[Int] = null; var vOk = true
+    }
+    val accs = cols.map(_ => new Acc)
+    scanEntries.foreach { e =>
+      val rows = Snapshots.entryMeta(spark, path, e)._3
+      val ncs = Snapshots.nullCountOf(e)
+      val lss = Snapshots.longStatsOf(e)
+      val sss = Snapshots.stringExactStatsOf(e)
+      val vss = Snapshots.ndvSketchOf(e)
+      cols.zip(accs).foreach { case ((fld, phys), a) =>
+        ncs.get(phys) match {
+          case None =>
+            // unknown null count: the total refuses, and all-null
+            // exemption is unprovable, so every valued fold refuses
+            a.nullsOk = false; a.lOk = false; a.sOk = false
+            a.vOk = false
+          case Some(n) =>
+            a.nulls += n
+            val exempt = rows.contains(n) // provably all-null here
+            if (!exempt) {
+              a.nValued += 1
+              a.valuedNulls += n
+              rows match {
+                case Some(r) => a.valuedRows += r
+                case None => a.valuedRowsOk = false
+              }
+              fld.dataType match {
+                case ByteType | ShortType | IntegerType | LongType =>
+                  lss.get(phys) match {
+                    case Some((mn, mx)) =>
+                      a.loL = math.min(a.loL, mn)
+                      a.hiL = math.max(a.hiL, mx)
+                    case None => a.lOk = false
+                  }
+                case StringType =>
+                  sss.get(phys) match {
+                    case Some((Some(mn), Some(mx))) =>
+                      if (a.loS == null ||
+                          Snapshots.bytesCompareKey(mn, a.loS) < 0)
+                        a.loS = mn
+                      if (a.hiS == null ||
+                          Snapshots.bytesCompareKey(mx, a.hiS) > 0)
+                        a.hiS = mx
+                    case _ => a.sOk = false
+                  }
+                case _ => ()
+              }
+              vss.get(phys) match {
+                case Some(r) =>
+                  a.regs =
+                    if (a.regs == null) r
+                    else Snapshots.ndvMerge(a.regs, r)
+                case None => a.vOk = false
+              }
+            }
+        }
+      }
+    }
+    cols.zip(accs).foreach { case ((fld, _), a) =>
+      val ncOpt: Option[Long] = if (a.nullsOk) Some(a.nulls) else None
+      val mm: Option[(Any, Any)] = fld.dataType match {
+        case ByteType | ShortType | IntegerType | LongType
+            if a.lOk && a.nValued > 0 && a.loL <= a.hiL =>
+          Some((narrow(a.loL, fld.dataType), narrow(a.hiL, fld.dataType)))
+        case StringType if a.sOk && a.nValued > 0 && a.loS != null =>
+          Some((org.apache.spark.unsafe.types.UTF8String
+              .fromBytes(a.loS),
+            org.apache.spark.unsafe.types.UTF8String
+              .fromBytes(a.hiS)))
+        case _ => None
+      }
+      // NDV from the per-file 'V' sketches ([[Snapshots.analyzeNdv]]):
+      // element-wise-max union over exactly the planned files, so a
+      // pruned sliver reports ITS distinct count, not the table's.
+      // Any valued entry missing its sketch (appended after the last
+      // analyze) refuses; clamp to the known non-null row count (a
+      // 13% over-estimate above numRows would confuse the estimator)
+      val ndvOpt: Option[Long] =
+        if (a.vOk && a.nValued > 0 && a.regs != null) {
+          val est = Snapshots.ndvEstimate(a.regs)
+          if (a.valuedRowsOk)
+            Some(math.min(est,
+              math.max(1L, a.valuedRows - a.valuedNulls)))
+          else Some(est)
+        } else None
+      if (ncOpt.isDefined || mm.isDefined || ndvOpt.isDefined) {
+        out.put(Expressions.column(fld.name),
+          new org.apache.spark.sql.connector.read.colstats
+            .ColumnStatistics {
+            override def nullCount(): java.util.OptionalLong =
+              ncOpt.map(java.util.OptionalLong.of(_))
+                .getOrElse(java.util.OptionalLong.empty())
+            override def distinctCount(): java.util.OptionalLong =
+              ndvOpt.map(java.util.OptionalLong.of(_))
+                .getOrElse(java.util.OptionalLong.empty())
+            override def min(): java.util.Optional[Object] =
+              mm.map(v => java.util.Optional.of(
+                v._1.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty[Object]())
+            override def max(): java.util.Optional[Object] =
+              mm.map(v => java.util.Optional.of(
+                v._2.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty[Object]())
+          })
+      }
+    }
+    out
+  }
+
   override def estimateStatistics(): Statistics = {
     val metas = statsMetas
     val rows = metas.map(_._3)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(metas.map(_._2).sum)
+      override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats
+            .ColumnStatistics] = v2ColumnStats
       // with live deletes the manifest counts are an OVER-estimate
       // (deleted rows included): sizeInBytes stays (a safe upper
       // bound for broadcast decisions) but no exact row count exists.

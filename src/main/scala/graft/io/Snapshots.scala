@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.functions.{coalesce, col, lit, not, when}
+import org.apache.spark.sql.functions.{coalesce, col, lit, log, not, pmod, round, when}
 import org.apache.spark.sql.types.{ByteType, DataType, DoubleType,
   FloatType, IntegerType, LongType, ShortType, StructType}
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
@@ -3960,6 +3960,161 @@ object Snapshots {
         curDvs = m.dvs
         curProps = m.props
         curBase = newBase
+      }
+    }
+    committed
+  }
+
+  /** NDV ANALYZE ([[analyzeNdv]]) register count: 64 registers ≈ 13%
+    * standard error — the CBO-estimate grade (join-order decisions
+    * flip on order-of-magnitude differences, not 10%), at 128 hex
+    * chars per column per file in the manifest. */
+  private val NdvRegisters = 64
+
+  /** Parse an entry's 'V'-kind NDV sketches: physical column name →
+    * register array ([[analyzeNdv]] wrote them; missing = never
+    * analyzed or appended after the last analyze). */
+  private[graft] def ndvSketchOf(entry: String)
+      : Map[String, Array[Int]] = {
+    val i = entry.indexOf('\t')
+    if (i < 0) Map.empty
+    else entry.substring(i + 1).split(';').iterator.filter(_.nonEmpty)
+      .flatMap { part =>
+        part.split(':') match {
+          case Array(name, "V", hex)
+              if hex.length == 2 * NdvRegisters =>
+            Some(name -> hex.grouped(2)
+              .map(Integer.parseInt(_, 16)).toArray)
+          case _ => None
+        }
+      }.toMap
+  }
+
+  /** Standard HLL estimate over one (merged) register array, with
+    * the small-range linear-counting correction. */
+  private[graft] def ndvEstimate(regs: Array[Int]): Long = {
+    val m = regs.length.toDouble
+    val alpha = 0.709 // the HLL constant for m = 64
+    val sum = regs.map(r => math.pow(2.0, -r)).sum
+    var e = alpha * m * m / sum
+    val zeros = regs.count(_ == 0)
+    if (e <= 2.5 * m && zeros > 0) e = m * math.log(m / zeros)
+    math.max(1L, math.round(e))
+  }
+
+  /** Merge per-file sketches (element-wise max — HLL union). */
+  private[graft] def ndvMerge(a: Array[Int], b: Array[Int])
+      : Array[Int] =
+    a.zip(b).map { case (x, y) => math.max(x, y) }
+
+  /** ANALYZE for the cost-based optimizer: compute a tiny mergeable
+    * HLL sketch (64 registers, one byte each) PER FILE PER COLUMN
+    * and commit a new manifest whose entries carry them as 'V'-kind
+    * pseudo-stats — after which [[SnapshotBatchScan]] serves
+    * `distinctCount` column statistics for ANY subset of files (a
+    * point-lookup's pruned sliver included: per-file sketches union
+    * to exactly the planned scan). The Iceberg-puffin/Delta-ANALYZE
+    * role, but the sketch rides the manifest, so no side files and
+    * no staleness window — a file's sketch describes its immutable
+    * content, valid for as long as the file is referenced.
+    *
+    * One distributed pass per analyzed column (bucket = 32-bit
+    * murmur3 mod 64; rank = trailing zeros of the independent
+    * xxhash64 — both exact integer arithmetic in-plan, no UDF);
+    * driver state is one 64-byte array per (file, column). Files
+    * appended AFTER the analyze carry no sketch, so the scan's
+    * distinctCount REFUSES until the next analyze (exactness posture:
+    * absent beats stale). Racing commits rebase universally — the
+    * amendments key on immutable file content, so they graft onto
+    * whatever entry set won (amended rels that were rewritten away
+    * simply lose their sketch).
+    */
+  def analyzeNdv(spark: SparkSession, path: String,
+                 columns: Seq[String]): Long = {
+    require(columns.nonEmpty, "snapshot: analyzeNdv needs columns")
+    val st = currentState(spark, path, "analyzeNdv")
+    columns.foreach(c => require(st.schema.fieldNames.contains(c),
+      s"snapshot: analyzeNdv column $c is not in the table schema " +
+        s"(${st.schema.fieldNames.mkString(", ")})"))
+    val idCols = st.partCols.map(parsePartField)
+      .collect { case PIdentity(s) => st.colMap.getOrElse(s, s) }
+    columns.foreach(c => require(!idCols.contains(c),
+      s"snapshot: analyzeNdv column $c is identity-partitioned - " +
+        "its per-file NDV is 1 by construction; analyze the " +
+        "data-borne columns instead"))
+    if (st.entries.isEmpty) return st.v
+    val phys = toPhysicalSchema(st.schema, st.colMap)
+    val df = spark.baseRelationToDataFrame(
+      entriesRelation(spark, path, phys, st.partCols, st.entries))
+      .select(relPathExpr.as("__rel") +: phys.fields.map(f =>
+        col(f.name)): _*)
+    // trailing-zero rank of the xxhash64: lsb = h & -h is a power of
+    // two, which doubles represent EXACTLY, so round(log2(lsb)) is
+    // the true bit index; h == 0 and the sign bit get the max rank
+    def rankOf(h: Column): Column = {
+      val lsb = h.bitwiseAND(-h)
+      when(h === 0L, lit(NdvRegisters))
+        .when(lsb === Long.MinValue, lit(NdvRegisters))
+        .otherwise(round(log(2.0, lsb.cast("double"))) + 1.0)
+        .cast("int")
+    }
+    val sketches: Map[String, Map[String, Array[Int]]] =
+      columns.map { c =>
+        val pc = toPhysicalName(st.colMap, c)
+        val rows = df.filter(col(pc).isNotNull)
+          .select(col("__rel"),
+            pmod(org.apache.spark.sql.functions.hash(col(pc)),
+              lit(NdvRegisters)).as("__b"),
+            rankOf(org.apache.spark.sql.functions.xxhash64(col(pc)))
+              .as("__r"))
+          .groupBy(col("__rel"), col("__b"))
+          .agg(org.apache.spark.sql.functions.max(col("__r")).as("__r"))
+          .collect()
+        pc -> rows.groupBy(_.getString(0)).map { case (rel, rs) =>
+          val regs = new Array[Int](NdvRegisters)
+          rs.foreach(r => regs(r.getInt(1)) =
+            math.max(regs(r.getInt(1)), r.getInt(2)))
+          rel -> regs
+        }
+      }.toMap
+    def amend(entry: String): String = {
+      val rel = relOf(entry)
+      val adds = sketches.toSeq.sortBy(_._1).flatMap { case (pc, m) =>
+        m.get(rel).map(regs =>
+          s"$pc:V:${regs.map(r => f"$r%02x").mkString}")
+      }
+      if (adds.isEmpty) entry
+      else {
+        val i = entry.indexOf('\t')
+        val analyzed = sketches.keySet
+        val keptStats =
+          if (i < 0) Nil
+          else entry.substring(i + 1).split(';').toSeq
+            .filter(_.nonEmpty).filterNot { part =>
+              val ps = part.split(':')
+              ps.length == 3 && ps(1) == "V" && analyzed(ps(0))
+            }
+        rel + "\t" + (keptStats ++ adds).mkString(";")
+      }
+    }
+    val f = fs(spark, path)
+    onBeforePublish()
+    var m = manifest(f, path, st.v)
+    var curBase = st.v
+    var committed = -1L
+    while (committed < 0L) {
+      val next = curBase + 1L
+      if (tryPublishManifest(f, path, next,
+          manifestLines(resolveSchema(spark, path, m), m.partCols,
+            m.dropped, "analyze", m.entries.map(amend), m.txns,
+            m.dvs, m.colMap, m.props))) {
+        bumpLatestHint(f, path, next)
+        committed = next
+      } else {
+        // universal rebase: sketches describe immutable file content,
+        // so they graft onto WHATEVER entry set won the race
+        curBase = allManifestVersions(f, path).last
+        m = manifest(f, path, curBase)
       }
     }
     committed
