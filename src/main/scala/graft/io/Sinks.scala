@@ -121,7 +121,28 @@ object Sinks {
                 amax: org.apache.spark.sql.Column,
                 bmin: org.apache.spark.sql.Column,
                 bmax: org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column =
+    zOrderKeyN(Seq(a, b), Seq(amin, bmin), Seq(amax, bmax))
+
+  /** N-dimensional z-key (2 ≤ d ≤ 4 dimensions): each column
+    * normalizes to 16 bits against its global min/max, then the bits
+    * interleave round-robin (bit i of dimension j lands at position
+    * d·i + j — the d = 2 case reproduces the original 2-D key
+    * exactly), so files cover compact hyper-rectangles of the key
+    * space and per-file min/max stats prune selective scans on ANY
+    * clustered dimension. 16 bits per dimension keeps the key inside
+    * one long at d = 4; past 4 dimensions the curve's locality decays
+    * to uselessness anyway (each dimension would get ≤ 12 bits), so
+    * the arity is a refusal, not a truncation. */
+  def zOrderKeyN(cols: Seq[org.apache.spark.sql.Column],
+                 mins: Seq[org.apache.spark.sql.Column],
+                 maxs: Seq[org.apache.spark.sql.Column]):
       org.apache.spark.sql.Column = {
+    val d = cols.size
+    require(d >= 2 && d <= 4,
+      s"zOrderKeyN takes two to four dimensions, got $d")
+    require(mins.size == d && maxs.size == d,
+      "zOrderKeyN: one min and one max per dimension")
     def norm(x: org.apache.spark.sql.Column,
              mn: org.apache.spark.sql.Column,
              mx: org.apache.spark.sql.Column) =
@@ -129,11 +150,10 @@ object Sinks {
         floor((x.cast("double") - mn.cast("double")) * 65535.0 /
           (mx.cast("double") - mn.cast("double")) + 0.5).cast("long"))
         .otherwise(lit(0L))
-    val (na, nb) = (norm(a, amin, amax), norm(b, bmin, bmax))
-    (0 until 16).map(i =>
-      shiftleft(shiftright(na, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(nb, i).bitwiseAND(lit(1L)), 2 * i + 1))
-      .reduce(_ + _)
+    val ns = cols.indices.map(j => norm(cols(j), mins(j), maxs(j)))
+    (0 until 16).flatMap(i => ns.zipWithIndex.map { case (n, j) =>
+      shiftleft(shiftright(n, i).bitwiseAND(lit(1L)), d * i + j)
+    }).reduce(_ + _)
   }
 
   /** Z-order clustered layout sink: compute [[zOrderKey]] over two

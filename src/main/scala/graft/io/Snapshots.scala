@@ -4315,9 +4315,11 @@ object Snapshots {
               scope: Seq[(String, Any)] = Nil): Long = {
     require(targetFileBytes > 0, "snapshot: targetFileBytes must be positive")
     require(sortBy.isEmpty || zorderBy.isEmpty,
-      "snapshot: pick ONE of sortBy (1-D clustering) and zorderBy (2-D)")
-    require(zorderBy.isEmpty || zorderBy.size == 2,
-      s"snapshot: zorderBy takes exactly two columns, got " +
+      "snapshot: pick ONE of sortBy (1-D clustering) and zorderBy " +
+        "(multi-dimensional)")
+    require(zorderBy.isEmpty ||
+        (zorderBy.size >= 2 && zorderBy.size <= 4),
+      s"snapshot: zorderBy takes two to four columns, got " +
         s"${zorderBy.mkString(",")}")
     val st @ CurState(v, schema, partCols, dropped, txns, dvs, colMap, all) =
       currentState(spark, path, "compact")
@@ -4360,26 +4362,30 @@ object Snapshots {
     if (selected.isEmpty) return v
     val table = openLive(spark, path, schema, partCols, selected, dvs,
       colMap)
-    // 2-D clustering: files cover compact rectangle-ish regions of
-    // (a, b) space via the bit-interleaved z key, so the per-file
-    // min/max stats the commit records prune selective scans on
-    // EITHER dimension — Delta/Iceberg OPTIMIZE ZORDER over this
-    // store (the 1-D sortBy is the degenerate case). The z key is
-    // computed in-plan against one broadcast min/max row and dropped
-    // before the write: it orders the layout, it is not data.
+    // multi-dimensional clustering: files cover compact
+    // hyper-rectangles of the key space via the bit-interleaved z
+    // key, so the per-file min/max stats the commit records prune
+    // selective scans on ANY clustered dimension — Delta/Iceberg
+    // OPTIMIZE ZORDER over this store, 2 to 4 columns (the 1-D
+    // sortBy is the degenerate case). The z key is computed in-plan
+    // against one broadcast min/max row and dropped before the
+    // write: it orders the layout, it is not data.
     val (clustered, clusterCols) =
       if (zorderBy.isEmpty) (table, st.lPartCols ++ sortBy)
       else {
-        val Seq(ca, cb) = zorderBy
-        val mm = table.agg(
-          org.apache.spark.sql.functions.min(col(ca)).as("__amin"),
-          org.apache.spark.sql.functions.max(col(ca)).as("__amax"),
-          org.apache.spark.sql.functions.min(col(cb)).as("__bmin"),
-          org.apache.spark.sql.functions.max(col(cb)).as("__bmax"))
+        val aggs = zorderBy.zipWithIndex.flatMap { case (c, i) => Seq(
+          org.apache.spark.sql.functions.min(col(c)).as(s"__zmn$i"),
+          org.apache.spark.sql.functions.max(col(c)).as(s"__zmx$i"))
+        }
+        val mm = table.agg(aggs.head, aggs.tail: _*)
+        val helper = zorderBy.indices
+          .flatMap(i => Seq(s"__zmn$i", s"__zmx$i"))
         (table.crossJoin(org.apache.spark.sql.functions.broadcast(mm))
-          .withColumn("__graft_z", Sinks.zOrderKey(col(ca), col(cb),
-            col("__amin"), col("__amax"), col("__bmin"), col("__bmax")))
-          .drop("__amin", "__amax", "__bmin", "__bmax"),
+          .withColumn("__graft_z", Sinks.zOrderKeyN(
+            zorderBy.map(col),
+            zorderBy.indices.map(i => col(s"__zmn$i")),
+            zorderBy.indices.map(i => col(s"__zmx$i"))))
+          .drop(helper: _*),
           st.lPartCols :+ "__graft_z")
       }
     val packed =

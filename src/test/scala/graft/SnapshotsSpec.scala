@@ -1725,10 +1725,39 @@ class SnapshotsSpec extends SparkSpec {
     assert(e1.getMessage.contains("ONE of"), e1.getMessage)
     val e2 = intercept[IllegalArgumentException](
       Snapshots.compact(spark, path, zorderBy = Seq("doc_id")))
-    assert(e2.getMessage.contains("exactly two"), e2.getMessage)
+    assert(e2.getMessage.contains("two to four"), e2.getMessage)
     val e3 = intercept[IllegalArgumentException](
       Snapshots.compact(spark, path, zorderBy = Seq("doc_id", "nope")))
     assert(e3.getMessage.contains("nope"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException](Snapshots.compact(
+      spark, path, zorderBy = Seq("doc_id", "k2", "doc_id", "k2",
+        "doc_id")))
+    assert(e4.getMessage.contains("two to four"), e4.getMessage)
+  }
+
+  test("z-order compaction: 3-D layout prunes selective scans on every dimension") {
+    val path = newStore
+    // three mutually-scrambled keys: a file clustered on any ONE of
+    // them would span the other two's full ranges
+    val keyed = docs.select(col("doc_id"),
+      (col("doc_id") * 37 % 1000).as("k2"),
+      (col("doc_id") * 101 % 1000).as("k3"), col("text"))
+    (0 until 4).foreach(q =>
+      Snapshots.commitAppend(keyed.filter(col("doc_id") % 4 === q), path))
+    Snapshots.compact(spark, path, targetFileBytes = 8L << 10,
+      zorderBy = Seq("doc_id", "k2", "k3"))
+    val got = Snapshots.read(spark, path)
+    assert(got.count() === docs.count())
+    Seq("doc_id", "k2", "k3").foreach { c =>
+      val (kept, total) = Snapshots.prunedEntries(spark, path, c, 0, 40)
+      assert(total > 2, s"want a multi-file table, got $total")
+      assert(kept.size < total, s"$c prune kept ${kept.size}/$total")
+    }
+    // exactness survives the re-layout on a non-leading dimension
+    val want = keyed.filter(col("k3").between(100, 199))
+    val scan = Snapshots.readBetween(spark, path, "k3", 100, 199)
+    assert(scan.count() === want.count())
+    assert(scan.exceptAll(want).count() === 0L)
   }
 
   test("replacePartitions: atomic single-partition rerun, untouched partitions carried") {
