@@ -1186,6 +1186,19 @@ private[graft] final class SnapshotBatchScan(
       EqApply(ords, dts, e.keys.map(_.toSeq).toSet)
     }.toArray
     val conf = spark.sessionState.newHadoopConf()
+    // COLUMNAR hand-off for clean scans (no deletes anywhere in the
+    // table, no row identity, no per-reader limit/heap): batches flow
+    // straight into Spark's codegen'd ColumnarToRow instead of
+    // draining a row iterator — the FileSourceScanExec posture. A
+    // single delete file anywhere keeps the WHOLE scan row-based
+    // (Spark refuses mixed-mode partitions), which is also the only
+    // correct choice: batch readers cannot count positions
+    val batchRead =
+      if (dvs.isEmpty && !withMeta && pushedLimit.isEmpty &&
+          pushedTopN.isEmpty)
+        ScanBridge.parquetBatchReadFunc(spark, physData, physRequired,
+          physFilters, conf, partSchema)
+      else None
     new SnapshotReaderFactory(
       ScanBridge.parquetReadFunc(spark, physData, physRequired,
         physFilters, conf, partSchema),
@@ -1198,6 +1211,7 @@ private[graft] final class SnapshotBatchScan(
       required.fields.map(_.dataType),
       eqApplies,
       withMeta,
+      batchReadFunc = batchRead,
       readCap = pushedLimit,
       topN = pushedTopN.flatMap { case (keys, k) =>
         // heap keys index the OUTPUT row (post-projection, `required`
@@ -1500,9 +1514,46 @@ private[graft] final class SnapshotReaderFactory(
     outTypes: Array[org.apache.spark.sql.types.DataType],
     eqApplies: Array[EqApply] = Array.empty,
     withMeta: Boolean = false,
+    batchReadFunc: Option[(String, Long, Long, Long, InternalRow)
+      => Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] =
+      None,
     readCap: Option[Int] = None,
     topN: Option[SnapshotBatchScan.TopNReadSpec] = None)
   extends PartitionReaderFactory {
+
+  /** Columnar hand-off when the scan qualified ([[batchReadFunc]]
+    * present — uniform across partitions, as Spark requires). */
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    batchReadFunc.isDefined
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val slice = p.asInstanceOf[SnapshotInputPartition]
+    val read = batchReadFunc.getOrElse(throw new IllegalStateException(
+      "graft: columnar read requested on a row-based scan"))
+    // the reader emits data-then-partition columns; `ordinals` remaps
+    // to the required order by PERMUTING the vector references — no
+    // per-row work (identity permutations skip even the wrapper)
+    val identityOrder = ordinals.zipWithIndex.forall {
+      case (o, i) => o == i
+    }
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private val it = slice.files.iterator.flatMap { fs =>
+        SnapshotReaderFactory.filesOpened.incrementAndGet()
+        read(fs.path, fs.start, fs.len, fs.fileSize, slice.idRow)
+      }.map { b =>
+        if (identityOrder && b.numCols == ordinals.length) b
+        else new org.apache.spark.sql.vectorized.ColumnarBatch(
+          ordinals.map(b.column), b.numRows())
+      }
+      private var cur: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get()
+          : org.apache.spark.sql.vectorized.ColumnarBatch = cur
+      override def close(): Unit = ()
+    }
+  }
 
   /** Does any applicable equality delete kill this row? Null keys
     * keep the row — SQL anti-join semantics. */

@@ -60,4 +60,40 @@ object ScanBridge {
           case r => Iterator.single(r)
         }
   }
+
+  /** The COLUMNAR twin of [[parquetReadFunc]]: `ColumnarBatch`es
+    * handed through whole (`returning_batch=true`), for the DSv2
+    * scan's `createColumnarReader` — Spark then plans the codegen'd
+    * `ColumnarToRow` (or operates on batches directly) instead of
+    * draining a row iterator, the same hand-off `FileSourceScanExec`
+    * gives vectorized parquet. None when the result schema cannot
+    * batch (nested types, vectorization off) — callers fall back to
+    * the row path.
+    */
+  def parquetBatchReadFunc(spark: SparkSession, dataSchema: StructType,
+                           requiredSchema: StructType,
+                           filters: Seq[Filter],
+                           hadoopConf: Configuration,
+                           partitionSchema: StructType =
+                             new StructType())
+      : Option[(String, Long, Long, Long, InternalRow)
+        => Iterator[ColumnarBatch]] = {
+    val result =
+      StructType(requiredSchema.fields ++ partitionSchema.fields)
+    val fmt = new ParquetFileFormat()
+    if (!fmt.supportBatch(spark, result)) return None
+    val f = fmt.buildReaderWithPartitionValues(
+      spark, dataSchema, partitionSchema, requiredSchema, filters,
+      Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> "true"), hadoopConf)
+    Some((abs: String, start: Long, length: Long, fileSize: Long,
+          partValues: InternalRow) =>
+      // cast the ITERATOR (erased, no per-element work): an
+      // element-level asInstanceOf lambda would first checkcast its
+      // input to InternalRow — the iterator's static element type —
+      // and throw on every batch
+      f(PartitionedFile(partValues,
+        SparkPath.fromPathString(abs), start, length, Array.empty, 0L,
+        fileSize)).asInstanceOf[Iterator[ColumnarBatch]])
+  }
 }
