@@ -387,4 +387,38 @@ class PlanRegressionSpec extends SparkSpec {
     // and the pruned scan still answers exactly
     assert(df.count() === docs.filter(col("doc_id") % 4 === 2).count())
   }
+
+  test("snapshot DSv2 scan: clean tables read COLUMNAR, delete-bearing tables row-based") {
+    import org.apache.spark.sql.functions.col
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_colnr").toString
+    val cat = s"gcolnr${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (v BIGINT, s STRING)")
+    spark.range(0L, 1000L).toDF("v").selectExpr("v", "'x' AS s")
+      .createOrReplaceTempView("colnr_src")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM colnr_src")
+    def planOf(): String = {
+      val df = spark.sql(s"SELECT v, s FROM $cat.db.t WHERE v >= 10")
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // clean table: batches hand off into the codegen'd ColumnarToRow
+    val clean = planOf()
+    assert(clean.contains("ColumnarToRow"),
+      s"clean snapshot scan should read columnar:\n$clean")
+    // a single delete file anywhere flips the WHOLE scan row-based
+    // (batch readers cannot count positions for the MoR apply)
+    graft.io.Snapshots.deleteWhere(spark, s"$wh/db/t",
+      col("v") === 0L, mode = "mor")
+    val mor = planOf()
+    assert(!mor.contains("ColumnarToRow"),
+      s"delete-bearing snapshot scan must stay row-based:\n$mor")
+    // results exact either way
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t")
+      .head().getLong(0) === 999L)
+  }
 }
