@@ -596,11 +596,47 @@ object Snapshots {
       deltaBase: Option[Long] = None, depth: Int = 0,
       props: Map[String, String] = Map.empty)
 
+  /** Parsed-manifest cache. A published manifest file is IMMUTABLE
+    * ([[tryPublishManifest]] is an atomic create-if-absent; no code
+    * path rewrites a version file), so caching the parse is safe —
+    * the key still carries (mtime, length) so anything that DID
+    * replace the file out-of-band (a test fixture, manual surgery)
+    * reads fresh. Bounded LRU: at 100 TB a manifest is most of the
+    * driver's per-query planning input; re-reading and re-parsing it
+    * for every query on a hot table is pure waste, while 64 parsed
+    * manifests are bounded memory (the entries Seq the parse yields
+    * is the same data the caller would hold anyway).
+    */
+  private val manifestCache =
+    new java.util.LinkedHashMap[(String, Long, Long), SnapManifest](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), SnapManifest])
+          : Boolean = size() > 64
+    }
+
   private def manifest(f: FileSystem, base: String, v: Long): SnapManifest = {
     val p = manifestPath(base, v)
-    if (!f.exists(p)) throw new IllegalArgumentException(
-      s"snapshot: version $v does not exist under $base " +
-        s"(have: ${allManifestVersions(f, base).mkString(", ")})")
+    val st =
+      try f.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(
+          s"snapshot: version $v does not exist under $base " +
+            s"(have: ${allManifestVersions(f, base).mkString(", ")})")
+      }
+    val key = (f.makeQualified(p).toString, st.getModificationTime,
+      st.getLen)
+    manifestCache.synchronized {
+      val hit = manifestCache.get(key)
+      if (hit != null) return hit
+    }
+    val m = manifestUncached(f, base, v, p)
+    manifestCache.synchronized { manifestCache.put(key, m) }
+    m
+  }
+
+  private def manifestUncached(f: FileSystem, base: String, v: Long,
+                               p: Path): SnapManifest = {
     val lines = readLines(f, p)
     def schemaAt(i: Int): StructType = {
       require(lines.size > i,
