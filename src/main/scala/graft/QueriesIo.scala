@@ -1632,6 +1632,47 @@ private[graft] object QueriesIo {
     }
   }
 
+  /** ATOMIC CTAS/RTAS gate ([[graft.io.GraftCatalog]]'s
+    * `StagingTableCatalog` → [[graft.io.Snapshots.publishStagedTable]]):
+    * `CREATE TABLE ... PARTITIONED BY (hidden transform) AS SELECT`
+    * publishes as ONE version whose layout point-lookups prune;
+    * `REPLACE TABLE ... AS SELECT` is one more version with the old
+    * table still time-travelable — both asserted in-gate. The result
+    * is the replaced table plus the version-1 row count recovered
+    * through time travel.
+    */
+  def snapshotCtas(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "snap_ctas_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = "gctas_" + math.abs(wh.hashCode).toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    t(s, dir, "documents").createOrReplaceTempView("graft_ctas_src")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.docs " +
+      "PARTITIONED BY (truncate(4, source)) AS " +
+      "SELECT doc_id, lang, source, n_chars FROM graft_ctas_src " +
+      "WHERE n_chars >= 100")
+    require(graft.io.Snapshots.versions(s, s"$wh/db/docs") == Seq(1L),
+      "q_snapshot_ctas: CTAS must publish exactly ONE version")
+    val (kept, total) = graft.io.Snapshots.prunedEntriesEquals(
+      s, s"$wh/db/docs", "source", "src3")
+    require(total > 1 && kept.size < total,
+      s"q_snapshot_ctas: the CTAS layout should prune a point " +
+        s"lookup, kept ${kept.size}/$total")
+    s.sql(s"REPLACE TABLE $cat.db.docs AS " +
+      "SELECT doc_id, lang, n_chars + 1 AS n_chars " +
+      "FROM graft_ctas_src WHERE lang <> 'zh'")
+    require(
+      graft.io.Snapshots.versions(s, s"$wh/db/docs") == Seq(1L, 2L),
+      "q_snapshot_ctas: RTAS must be exactly one new version")
+    val v1 = s.sql(s"SELECT CAST(count(*) AS BIGINT) AS n_v1 " +
+      s"FROM $cat.db.docs VERSION AS OF 1")
+    s.sql(s"SELECT doc_id, lang, n_chars FROM $cat.db.docs")
+      .crossJoin(v1)
+  }
+
   /** BRANCH gate ([[graft.io.Snapshots.createBranch]] /
     * [[graft.io.Snapshots.fastForward]]): fork the table, land two
     * commits on the branch while main provably serves the original,
@@ -2066,6 +2107,7 @@ private[graft] object QueriesIo {
     "q_snapshot_limit" -> (snapshotLimit _),
     "q_snapshot_topn" -> (snapshotTopN _),
     "q_snapshot_analyze" -> (snapshotAnalyze _),
+    "q_snapshot_ctas" -> (snapshotCtas _),
     "q_snapshot_branch" -> (snapshotBranch _),
     "q_snapshot_sql_update" -> (snapshotSqlUpdate _),
     "q_snapshot_sql_rowlevel" -> (snapshotSqlRowLevel _),
@@ -2329,6 +2371,11 @@ private[graft] object QueriesIo {
            CAST(count(DISTINCT lang) AS BIGINT) AS exact_langs,
            TRUE AS ndv_ids_ok, TRUE AS ndv_langs_ok
          FROM documents""",
+    "q_snapshot_ctas" ->
+      """SELECT doc_id, lang, n_chars + 1 AS n_chars,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+            WHERE n_chars >= 100) AS n_v1
+         FROM documents WHERE lang <> 'zh'""",
     "q_snapshot_agg_group" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
            min(doc_id) AS min_id, max(doc_id) AS max_id,

@@ -47,7 +47,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * semantics as the programmatic API.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with FunctionCatalog {
+    with ProcedureCatalog with FunctionCatalog
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -214,6 +215,130 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // partitioned CREATEs included (no empty parquet write needed)
     val v = Snapshots.createEmpty(spark, path, schema, partCols, props)
     new GraftTable(path, ident.toString, Some(v), mutable = true)
+  }
+
+  /** ATOMIC `CREATE TABLE ... AS SELECT` / `[CREATE OR] REPLACE
+    * TABLE ... AS SELECT` (`StagingTableCatalog`): the staged write
+    * lands its data files under the table path with NO manifest —
+    * invisible to every reader — and `commitStagedChanges` publishes
+    * the whole statement as ONE manifest claim
+    * ([[Snapshots.publishStagedTable]]): version 1 for CREATE, the
+    * next version (history preserved — the pre-REPLACE table stays
+    * time-travelable and rollback-able) for REPLACE. A failed or
+    * aborted statement deletes the staged files and the table never
+    * (dis)appears — no create-then-drop-on-error window.
+    */
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String])
+      : StagedTable = {
+    val path = tablePath(ident)
+    if (isTable(path))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    staged(path, ident, schema, partitions, properties,
+      allowCreate = true, allowReplace = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String])
+      : StagedTable = {
+    val path = tablePath(ident)
+    if (!isTable(path))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    staged(path, ident, schema, partitions, properties,
+      allowCreate = false, allowReplace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+                                    schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String])
+      : StagedTable =
+    staged(tablePath(ident), ident, schema, partitions, properties,
+      allowCreate = true, allowReplace = true)
+
+  private def staged(path: String, ident: Identifier,
+                     schema: StructType,
+                     partitions: Array[Transform],
+                     properties: util.Map[String, String],
+                     allowCreate: Boolean, allowReplace: Boolean)
+      : StagedTable = {
+    val partCols = partitions.toSeq.map(transformToSpec)
+    val props = properties.asScala.toMap -- Seq("provider", "location",
+      "owner", "external", "comment")
+    new GraftStagedTable(path, ident.toString, schema, partCols,
+      props, allowCreate, allowReplace)
+  }
+
+  /** The staged side of an atomic CTAS/RTAS: collects the write's
+    * commit dirs + file rels (the data lands invisible — no manifest)
+    * and publishes or deletes them wholesale. */
+  private final class GraftStagedTable(path: String, ident: String,
+                                       schema0: StructType,
+                                       partCols: Seq[String],
+                                       props: Map[String, String],
+                                       allowCreate: Boolean,
+                                       allowReplace: Boolean)
+      extends Table with SupportsWrite with StagedTable {
+
+    private val commitDirs = scala.collection.mutable.ArrayBuffer
+      .empty[String]
+    private val rels = scala.collection.mutable.ArrayBuffer
+      .empty[String]
+
+    override def name(): String = ident
+    override def schema(): StructType = schema0
+    override def partitioning(): Array[Transform] =
+      partCols.map(spec => Snapshots.parsePartField(spec) match {
+        case Snapshots.PIdentity(s) => Expressions.identity(s)
+        case Snapshots.PTime("years", s) => Expressions.years(s)
+        case Snapshots.PTime("months", s) => Expressions.months(s)
+        case Snapshots.PTime("days", s) => Expressions.days(s)
+        case Snapshots.PTime(_, s) => Expressions.hours(s)
+        case Snapshots.PBucket(n, s) => Expressions.bucket(n, s)
+        case Snapshots.PTruncate(w, s) => Expressions.apply(
+          "truncate", Expressions.literal(w), Expressions.column(s))
+      }).toArray
+    override def properties(): util.Map[String, String] =
+      props.asJava
+    override def capabilities(): util.Set[TableCapability] =
+      Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+
+    override def newWriteBuilder(info: LogicalWriteInfo)
+        : WriteBuilder =
+      new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+        // a staged table is empty by definition: truncate-before-
+        // write (the RTAS shape) is the append it already is
+        override def truncate(): WriteBuilder = this
+        override def build()
+            : org.apache.spark.sql.connector.write.Write =
+          new SnapshotWrite(path, ident, info.schema(),
+            Snapshots.V2Append,
+            stagedState = Some(Snapshots.V2WriteState(0L, schema0,
+              partCols, Map.empty, props)),
+            stagedCollect = Some((dir, rs) =>
+              GraftStagedTable.this.synchronized {
+                commitDirs += dir
+                rels ++= rs
+              }))
+      }
+
+    override def commitStagedChanges(): Unit = {
+      Snapshots.publishStagedTable(spark, path, schema0, partCols,
+        props, commitDirs.toSeq, rels.toSeq, allowCreate, allowReplace)
+      ()
+    }
+
+    override def abortStagedChanges(): Unit = {
+      val f = new Path(path).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      commitDirs.foreach(d =>
+        f.delete(new Path(s"$path/$d"), true))
+    }
   }
 
   /** A DSv2 `PARTITIONED BY` transform as the store's partition-spec

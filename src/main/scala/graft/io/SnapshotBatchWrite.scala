@@ -90,7 +90,9 @@ private[graft] final class SnapshotWriteBuilder(
 private[graft] final class SnapshotWrite(
     path: String, ident: String, inputSchema: StructType,
     mode: Snapshots.V2CommitMode,
-    at: Option[Long] = None)
+    at: Option[Long] = None,
+    stagedState: Option[Snapshots.V2WriteState] = None,
+    stagedCollect: Option[(String, Seq[String]) => Unit] = None)
   extends Write with RequiresDistributionAndOrdering {
 
   private def spark: SparkSession = SparkSession.active
@@ -99,8 +101,12 @@ private[graft] final class SnapshotWrite(
   // path, whose files must match the version its scan read): the
   // physical names, layout and props the task files are written
   // under; commitWrittenV2 re-reads at commit and refuses if a
-  // concurrent schema/layout change invalidated them
-  private val st = Snapshots.v2WriteState(spark, path, inputSchema, at)
+  // concurrent schema/layout change invalidated them. A STAGED
+  // CTAS/RTAS write has no committed table to read - its state is
+  // the staged declaration, and commit defers to the staged table's
+  // one-manifest publish ([[Snapshots.publishStagedTable]])
+  private val st = stagedState.getOrElse(
+    Snapshots.v2WriteState(spark, path, inputSchema, at))
   private val fields = st.partCols.map(Snapshots.parsePartField)
   private val l2p: Map[String, String] = st.colMap.map(_.swap)
   private def logicalName(phys: String): String =
@@ -238,7 +244,7 @@ private[graft] final class SnapshotWrite(
     val commitDir = s"data/c-${java.util.UUID.randomUUID()}"
     new SnapshotBatchWrite(path, commitDir,
       writerFactory(commitDir), mode, inputSchema,
-      st.colMap, st.partCols)
+      st.colMap, st.partCols, stagedCollect)
   }
 }
 
@@ -246,7 +252,8 @@ private[graft] final class SnapshotBatchWrite(
     path: String, commitDir: String,
     factory: SnapshotWriterFactory,
     mode: Snapshots.V2CommitMode, batchSchema: StructType,
-    buildColMap: Map[String, String], buildPartCols: Seq[String])
+    buildColMap: Map[String, String], buildPartCols: Seq[String],
+    stagedCollect: Option[(String, Seq[String]) => Unit] = None)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
@@ -258,9 +265,16 @@ private[graft] final class SnapshotBatchWrite(
       case other => throw new IllegalStateException(
         s"graft: unexpected commit message $other")
     }.toSeq
-    Snapshots.commitWrittenV2(SparkSession.active, path, commitDir,
-      rels, mode, batchSchema, buildColMap, buildPartCols)
-    ()
+    stagedCollect match {
+      // staged CTAS/RTAS: the files exist but stay INVISIBLE (no
+      // manifest names them) until the staged table's
+      // commitStagedChanges publishes the whole statement atomically
+      case Some(collect) => collect(commitDir, rels)
+      case None =>
+        Snapshots.commitWrittenV2(SparkSession.active, path, commitDir,
+          rels, mode, batchSchema, buildColMap, buildPartCols)
+        ()
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -1491,6 +1491,65 @@ object Snapshots {
       throw e
     }
 
+  /** ATOMIC CTAS/RTAS publish ([[GraftCatalog]]'s
+    * `StagingTableCatalog`): the staged write landed its data files
+    * under the (not-yet- or already-) existing table path with NO
+    * manifest — invisible to every reader — and this claim makes the
+    * whole statement appear at once: version 1 for CREATE ... AS
+    * SELECT, or the next version listing ONLY the new entries (new
+    * schema, new layout, txns/deletes/column-map reset — but history
+    * preserved: time travel and rollback still reach the pre-REPLACE
+    * versions) for REPLACE. `allowCreate`/`allowReplace` re-check the
+    * table's existence AT COMMIT: a table that appeared under a
+    * staged CREATE (or vanished under a staged REPLACE) refuses and
+    * the staged files are deleted — never half a statement.
+    */
+  private[graft] def publishStagedTable(spark: SparkSession,
+                                        path: String,
+                                        schema: StructType,
+                                        partCols: Seq[String],
+                                        props: Map[String, String],
+                                        commitDirs: Seq[String],
+                                        rels: Seq[String],
+                                        allowCreate: Boolean,
+                                        allowReplace: Boolean): Long = {
+    props.foreach { case (k, v) => requirePropPair(k, v) }
+    val specs = normalizePartSpecs(partCols)
+    specs.map(parsePartField).foreach(fld =>
+      require(schema.fieldNames.contains(fld.source),
+        s"snapshot: partition source column ${fld.source} is not in " +
+          s"the schema (${schema.fieldNames.mkString(", ")})"))
+    specs.foreach(c => require(!c.contains(',') && !c.contains('/'),
+      s"snapshot: illegal partition column name '$c'"))
+    val f = fs(spark, path)
+    onBeforePublish()
+    orDropCommit(f, path, commitDirs) {
+      val entries = v2EntryLines(spark, path, rels)
+      var committed = -1L
+      while (committed < 0L) {
+        val cur = latestVersion(spark, path)
+        if (cur.isDefined && !allowReplace)
+          throw new java.util.ConcurrentModificationException(
+            s"snapshot: $path gained committed versions while a " +
+              "staged CREATE TABLE AS SELECT was writing - refusing " +
+              "to replace it (use CREATE OR REPLACE)")
+        if (cur.isEmpty && !allowCreate)
+          throw new java.util.ConcurrentModificationException(
+            s"snapshot: $path was dropped while a staged REPLACE " +
+              "TABLE AS SELECT was writing - refusing to recreate it")
+        val next = cur.getOrElse(0L) + 1L
+        if (tryPublishManifest(f, path, next,
+            manifestLines(nullableAll(schema), specs, Set.empty,
+              if (cur.isDefined) "replaceTable" else "ctas",
+              entries, props = props))) {
+          bumpLatestHint(f, path, next)
+          committed = next
+        }
+      }
+      committed
+    }
+  }
+
   /** Fold a DSv2 write's task-written files into ONE atomic manifest
     * claim. Re-reads the table at commit time and refuses loudly when
     * anything that would make the written bytes WRONG changed since
