@@ -125,8 +125,12 @@ object PushdownProbe {
         "ORDER BY l_orderkey DESC LIMIT 100")
 
     def j(v: Any): String = v match {
-      case s: String => "\"" + s + "\""
-      case d: Double => f"$d%.3f"
+      case s: String => "\"" +
+        s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      // Locale.ROOT: the f-interpolator is locale-sensitive and a
+      // comma-decimal default locale would emit unparseable JSON
+      case d: Double => String.format(java.util.Locale.ROOT,
+        "%.3f", Double.box(d))
       case x => x.toString
     }
     println(out.map { case (k, v) => s""""$k":${j(v)}""" }

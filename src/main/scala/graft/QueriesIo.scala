@@ -1632,6 +1632,57 @@ private[graft] object QueriesIo {
     }
   }
 
+  /** DELETE-FILE MAINTENANCE gate
+    * ([[graft.io.Snapshots.rewriteDeletes]]): three merge-on-read
+    * positional delete commits plus one equality delete accrete
+    * many slivers; `CALL system.rewrite_deletes(convert_equality_
+    * deletes => true)` consolidates them into ONE positional file —
+    * asserted in-gate along with COUNT(*) aggregate pushdown
+    * RETURNING (it refuses under equality deletes) — and the live
+    * rows hash-match the relational oracle exactly.
+    */
+  def snapshotRewriteDv(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "snap_rwdv_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = "grwdv_" + math.abs(wh.hashCode).toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    t(s, dir, "documents").createOrReplaceTempView("graft_rwdv_src")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, lang STRING, " +
+      "n_chars BIGINT) TBLPROPERTIES ('delete.mode' = 'mor')")
+    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, lang, n_chars " +
+      "FROM graft_rwdv_src")
+    val path = s"$wh/db/docs"
+    // three positional delete commits + one equality delete
+    (3 to 5).foreach(k => graft.io.Snapshots.deleteWhere(s, path,
+      col("doc_id") % 17 === k, mode = "mor"))
+    graft.io.Snapshots.deleteKeysEq(s, path,
+      s.range(0L, 25L).toDF("doc_id"), Seq("doc_id"))
+    val dvsBefore = graft.io.Snapshots
+      .stateAt(s, path, graft.io.Snapshots.latestVersion(s, path).get)
+      ._4
+    require(dvsBefore.size > 2 && dvsBefore.exists(_.startsWith("eq:")),
+      s"q_snapshot_rewrite_dv: setup wrong: $dvsBefore")
+    s.sql(s"CALL $cat.system.rewrite_deletes(table => 'db.docs', " +
+      "convert_equality_deletes => true)")
+    val dvsAfter = graft.io.Snapshots
+      .stateAt(s, path, graft.io.Snapshots.latestVersion(s, path).get)
+      ._4
+    require(dvsAfter.size == 1 && !dvsAfter.head.startsWith("eq:"),
+      s"q_snapshot_rewrite_dv: expected ONE positional delete file " +
+        s"after the rewrite, got $dvsAfter")
+    // equality deletes gone -> COUNT(*) answers from the manifest
+    val n = s.sql(s"SELECT count(*) AS n_live FROM $cat.db.docs")
+    require(n.queryExecution.executedPlan.toString
+        .contains("manifest-agg"),
+      "q_snapshot_rewrite_dv: COUNT(*) should answer from metadata " +
+        s"once deletes are positional:\n${n.queryExecution.executedPlan}")
+    s.sql(s"SELECT doc_id, lang, n_chars FROM $cat.db.docs")
+      .crossJoin(n)
+  }
+
   /** ATOMIC CTAS/RTAS gate ([[graft.io.GraftCatalog]]'s
     * `StagingTableCatalog` → [[graft.io.Snapshots.publishStagedTable]]):
     * `CREATE TABLE ... PARTITIONED BY (hidden transform) AS SELECT`
@@ -2108,6 +2159,7 @@ private[graft] object QueriesIo {
     "q_snapshot_topn" -> (snapshotTopN _),
     "q_snapshot_analyze" -> (snapshotAnalyze _),
     "q_snapshot_ctas" -> (snapshotCtas _),
+    "q_snapshot_rewrite_dv" -> (snapshotRewriteDv _),
     "q_snapshot_branch" -> (snapshotBranch _),
     "q_snapshot_sql_update" -> (snapshotSqlUpdate _),
     "q_snapshot_sql_rowlevel" -> (snapshotSqlRowLevel _),
@@ -2371,6 +2423,13 @@ private[graft] object QueriesIo {
            CAST(count(DISTINCT lang) AS BIGINT) AS exact_langs,
            TRUE AS ndv_ids_ok, TRUE AS ndv_langs_ok
          FROM documents""",
+    "q_snapshot_rewrite_dv" ->
+      """WITH live AS (
+           SELECT doc_id, lang, n_chars FROM documents
+           WHERE doc_id % 17 NOT IN (3, 4, 5) AND doc_id >= 25)
+         SELECT doc_id, lang, n_chars,
+           (SELECT CAST(count(*) AS BIGINT) FROM live) AS n_live
+         FROM live""",
     "q_snapshot_ctas" ->
       """SELECT doc_id, lang, n_chars + 1 AS n_chars,
            (SELECT CAST(count(*) AS BIGINT) FROM documents

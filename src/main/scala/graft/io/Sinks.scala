@@ -125,15 +125,18 @@ object Sinks {
     zOrderKeyN(Seq(a, b), Seq(amin, bmin), Seq(amax, bmax))
 
   /** N-dimensional z-key (2 ≤ d ≤ 4 dimensions): each column
-    * normalizes to 16 bits against its global min/max, then the bits
-    * interleave round-robin (bit i of dimension j lands at position
-    * d·i + j — the d = 2 case reproduces the original 2-D key
-    * exactly), so files cover compact hyper-rectangles of the key
-    * space and per-file min/max stats prune selective scans on ANY
-    * clustered dimension. 16 bits per dimension keeps the key inside
-    * one long at d = 4; past 4 dimensions the curve's locality decays
-    * to uselessness anyway (each dimension would get ≤ 12 bits), so
-    * the arity is a refusal, not a truncation. */
+    * normalizes against its global min/max, then the bits interleave
+    * round-robin (bit i of dimension j lands at position d·i + j —
+    * the d = 2 case reproduces the original 2-D key exactly), so
+    * files cover compact hyper-rectangles of the key space and
+    * per-file min/max stats prune selective scans on ANY clustered
+    * dimension. 16 bits per dimension at d ≤ 3; d = 4 drops to 15
+    * bits so the top interleaved bit (d·(bits−1)+d−1 = 63 at 16
+    * bits) never lands on the LONG SIGN BIT — a signed key would
+    * sort half the key space before the other half and split the
+    * curve at the wrong point. Past 4 dimensions the curve's
+    * locality decays to uselessness anyway, so the arity is a
+    * refusal, not a truncation. */
   def zOrderKeyN(cols: Seq[org.apache.spark.sql.Column],
                  mins: Seq[org.apache.spark.sql.Column],
                  maxs: Seq[org.apache.spark.sql.Column]):
@@ -143,15 +146,17 @@ object Sinks {
       s"zOrderKeyN takes two to four dimensions, got $d")
     require(mins.size == d && maxs.size == d,
       "zOrderKeyN: one min and one max per dimension")
+    val bits = if (d == 4) 15 else 16
+    val scale = ((1L << bits) - 1).toDouble
     def norm(x: org.apache.spark.sql.Column,
              mn: org.apache.spark.sql.Column,
              mx: org.apache.spark.sql.Column) =
       when(mx > mn,
-        floor((x.cast("double") - mn.cast("double")) * 65535.0 /
+        floor((x.cast("double") - mn.cast("double")) * scale /
           (mx.cast("double") - mn.cast("double")) + 0.5).cast("long"))
         .otherwise(lit(0L))
     val ns = cols.indices.map(j => norm(cols(j), mins(j), maxs(j)))
-    (0 until 16).flatMap(i => ns.zipWithIndex.map { case (n, j) =>
+    (0 until bits).flatMap(i => ns.zipWithIndex.map { case (n, j) =>
       shiftleft(shiftright(n, i).bitwiseAND(lit(1L)), d * i + j)
     }).reduce(_ + _)
   }

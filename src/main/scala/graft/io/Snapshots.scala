@@ -630,9 +630,24 @@ object Snapshots {
       val hit = manifestCache.get(key)
       if (hit != null) return hit
     }
-    val m = manifestUncached(f, base, v, p)
+    // cache (and return) WITHOUT the raw line Seq: only rollback's
+    // format-preserving copy needs it ([[manifestRawLines]]), and
+    // retaining it would double every cached manifest's footprint
+    val m = manifestUncached(f, base, v, p).copy(raw = Nil)
     manifestCache.synchronized { manifestCache.put(key, m) }
     m
+  }
+
+  /** The VERBATIM stored lines of one version's manifest file —
+    * rollback republishes them format-preservingly. Uncached (one
+    * caller, once per rollback). */
+  private def manifestRawLines(f: FileSystem, base: String, v: Long)
+      : Seq[String] = {
+    val p = manifestPath(base, v)
+    if (!f.exists(p)) throw new IllegalArgumentException(
+      s"snapshot: version $v does not exist under $base " +
+        s"(have: ${allManifestVersions(f, base).mkString(", ")})")
+    readLines(f, p)
   }
 
   private def manifestUncached(f: FileSystem, base: String, v: Long,
@@ -4137,6 +4152,10 @@ object Snapshots {
       s"snapshot: analyzeNdv column $c is identity-partitioned - " +
         "its per-file NDV is 1 by construction; analyze the " +
         "data-borne columns instead"))
+    // sketch keys are STORE-RELATIVE rels (relPathExpr); a shallow
+    // clone's foreign URIs would never match and the commit would
+    // silently add nothing - refuse loudly instead
+    requireLocalEntries(st.entries, path, "analyze NDV sketches for")
     if (st.entries.isEmpty) return st.v
     val phys = toPhysicalSchema(st.schema, st.colMap)
     val df = spark.baseRelationToDataFrame(
@@ -4267,10 +4286,13 @@ object Snapshots {
         .join(liveDf, Seq(DvFileCol), "left_semi"))
     if (!convert && posRels.size <= 1) {
       // one file, nothing to merge — rewrite only if it carries
-      // stale tombstones
-      val total = dvRows(spark, path, posRels).count()
-      val kept = keptPos.get.count()
-      if (kept == total) return st.v
+      // stale tombstones: ONE early-out job (left join against the
+      // live set, first orphan wins), not two counts
+      val stale = dvRows(spark, path, posRels)
+        .join(liveDf.withColumn("__live", lit(1)),
+          Seq(DvFileCol), "left")
+        .filter(col("__live").isNull).limit(1).count()
+      if (stale == 0L) return st.v
     }
     // equality deletes → matched (file, pos) identities: group each
     // entry by the FIRST delete whose base contains it (the same
@@ -4309,18 +4331,23 @@ object Snapshots {
     val commitDir = s"data/c-${java.util.UUID.randomUUID()}"
     val markers: Seq[String] = doomed match {
       case None => Nil
-      case Some(d) =>
+      case Some(d0) =>
+        // count BEFORE writing (the empty case then writes nothing,
+        // instead of writing a schema-only file and re-reading it);
         // one output file: a delete sliver is routing-budget-sized
         // by construction (the budget is why this rewrite exists),
         // and ONE file is the consolidation the scan pays for
-        d.repartition(1)
-          .select(col(DvFileCol).as("__file"), col(DvPosCol).as("__pos"))
-          .write.parquet(s"$path/$commitDir")
-        val files = listCommitFiles(f, path, commitDir)
-        val any = spark.read.schema(DvSchema)
-          .parquet(s"$path/$commitDir").limit(1).count() > 0L
-        if (!any) { f.delete(new Path(s"$path/$commitDir"), true); Nil }
-        else files
+        val d = d0.persist()
+        try {
+          if (d.limit(1).count() == 0L) Nil
+          else {
+            d.repartition(1)
+              .select(col(DvFileCol).as("__file"),
+                col(DvPosCol).as("__pos"))
+              .write.parquet(s"$path/$commitDir")
+            listCommitFiles(f, path, commitDir)
+          }
+        } finally { d.unpersist(); () }
     }
     val newDvs = (if (convert) Nil else eqMarkers) ++ markers
     onBeforePublish()
@@ -5124,7 +5151,7 @@ object Snapshots {
     */
   def rollback(spark: SparkSession, path: String, toVersion: Long): Long = {
     val f = fs(spark, path)
-    val m = manifest(f, path, toVersion)
+    val raw = manifestRawLines(f, path, toVersion)
     val base = allManifestVersions(f, path).last
     val v = base + 1L
     // format-preserving copy, except the operation marker: history
@@ -5133,14 +5160,14 @@ object Snapshots {
     // resolves against the same historical base — retention pins it)
     // and only its forced `+#op=` edit line is rewritten.
     val lines =
-      if (m.raw.headOption.contains(Header))
-        m.raw.filterNot(_.startsWith("#op=")).patch(3,
+      if (raw.headOption.contains(Header))
+        raw.filterNot(_.startsWith("#op=")).patch(3,
           Seq(s"#op=rollback(to=$toVersion)"), 0)
-      else if (m.raw.headOption.contains(HeaderDelta))
-        m.raw.map(l =>
+      else if (raw.headOption.contains(HeaderDelta))
+        raw.map(l =>
           if (l.startsWith("+#op=")) s"+#op=rollback(to=$toVersion)"
           else l)
-      else m.raw
+      else raw
     if (!tryPublishManifest(f, path, v, lines))
       throw new java.util.ConcurrentModificationException(
         s"snapshot: concurrent commit detected while rolling back $path " +

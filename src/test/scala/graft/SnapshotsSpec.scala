@@ -1760,6 +1760,50 @@ class SnapshotsSpec extends SparkSpec {
     assert(scan.exceptAll(want).count() === 0L)
   }
 
+  test("z-order compaction: 4-D key stays non-negative (no sign-bit split) and prunes") {
+    val path = newStore
+    // enough rows that ~30 files give each dimension >1 interleaved
+    // prefix bit (9 doc files would leave <1 bit/dim in 4-D — no
+    // pruning guarantee exists at that granularity)
+    val keyed = spark.range(0L, 8000L).toDF("doc_id").select(
+      col("doc_id"),
+      (col("doc_id") * 37 % 1000).as("k2"),
+      (col("doc_id") * 101 % 1000).as("k3"),
+      (col("doc_id") * 211 % 1000).as("k4"),
+      org.apache.spark.sql.functions.expr(
+        "repeat('t', 40)").as("text"))
+    (0 until 4).foreach(q =>
+      Snapshots.commitAppend(keyed.filter(col("doc_id") % 4 === q), path))
+    // the 4th dimension's top bit would land on long bit 63 at 16
+    // bits/dim: verify the key itself never goes negative (a signed
+    // key would sort half the space before the other half)
+    val mm = keyed.agg(
+      org.apache.spark.sql.functions.min(col("doc_id")),
+      org.apache.spark.sql.functions.max(col("doc_id")),
+      org.apache.spark.sql.functions.min(col("k2")),
+      org.apache.spark.sql.functions.max(col("k2")),
+      org.apache.spark.sql.functions.min(col("k3")),
+      org.apache.spark.sql.functions.max(col("k3")),
+      org.apache.spark.sql.functions.min(col("k4")),
+      org.apache.spark.sql.functions.max(col("k4"))).head()
+    val z = keyed.select(graft.io.Sinks.zOrderKeyN(
+      Seq(col("doc_id"), col("k2"), col("k3"), col("k4")),
+      Seq(lit(mm.getLong(0)), lit(mm.getLong(2)), lit(mm.getLong(4)),
+        lit(mm.getLong(6))),
+      Seq(lit(mm.getLong(1)), lit(mm.getLong(3)), lit(mm.getLong(5)),
+        lit(mm.getLong(7)))).as("z"))
+    assert(z.filter(col("z") < 0L).count() === 0L,
+      "4-D z-keys must never be negative")
+    Snapshots.compact(spark, path, targetFileBytes = 8L << 10,
+      zorderBy = Seq("doc_id", "k2", "k3", "k4"))
+    assert(Snapshots.read(spark, path).count() === 8000L)
+    Seq("doc_id", "k2", "k3", "k4").foreach { c =>
+      val (kept, total) = Snapshots.prunedEntries(spark, path, c, 0, 30)
+      assert(total > 2, s"want a multi-file table, got $total")
+      assert(kept.size < total, s"$c prune kept ${kept.size}/$total")
+    }
+  }
+
   test("replacePartitions: atomic single-partition rerun, untouched partitions carried") {
     val path = newStore
     val parted = docs.withColumn("bucket", col("doc_id") % 4)
