@@ -4175,6 +4175,8 @@ object Snapshots {
     val sketches: Map[String, Map[String, Array[Int]]] =
       columns.map { c =>
         val pc = toPhysicalName(st.colMap, c)
+        // two-level fold so the driver collects ONE row per file
+        // (its ≤64-entry register list), never files × registers
         val rows = df.filter(col(pc).isNotNull)
           .select(col("__rel"),
             pmod(org.apache.spark.sql.functions.hash(col(pc)),
@@ -4183,13 +4185,19 @@ object Snapshots {
               .as("__r"))
           .groupBy(col("__rel"), col("__b"))
           .agg(org.apache.spark.sql.functions.max(col("__r")).as("__r"))
+          .groupBy(col("__rel"))
+          .agg(org.apache.spark.sql.functions.collect_list(
+            org.apache.spark.sql.functions.struct(
+              col("__b"), col("__r"))).as("__regs"))
           .collect()
-        pc -> rows.groupBy(_.getString(0)).map { case (rel, rs) =>
+        pc -> rows.map { row =>
           val regs = new Array[Int](NdvRegisters)
-          rs.foreach(r => regs(r.getInt(1)) =
-            math.max(regs(r.getInt(1)), r.getInt(2)))
-          rel -> regs
-        }
+          row.getSeq[org.apache.spark.sql.Row](1).foreach { br =>
+            val b = br.getInt(0)
+            regs(b) = math.max(regs(b), br.getInt(1))
+          }
+          row.getString(0) -> regs
+        }.toMap
       }.toMap
     def amend(entry: String): String = {
       val rel = relOf(entry)
