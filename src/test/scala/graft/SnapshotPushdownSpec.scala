@@ -213,6 +213,29 @@ class SnapshotPushdownSpec extends SparkSpec {
       s"top-N under MoR deletes wrong: $got")
   }
 
+  test("top-N composes with a manifest-absorbed WHERE: filtered ORDER BY LIMIT still pushes") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (v BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang)")
+    spark.range(0L, 600L).toDF("v")
+      .selectExpr("v", "CASE WHEN v % 3 = 0 THEN 'en' ELSE 'fr' END " +
+        "AS lang")
+      .createOrReplaceTempView("push_absorb_src")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM push_absorb_src")
+    // the equality on the identity partition column is CONSUMED by
+    // the kept entry set (no Filter node), so Spark still offers the
+    // top-N — which then prunes/heaps over the absorbed slice only
+    val q = spark.sql(s"SELECT v FROM $cat.db.t WHERE lang = 'en' " +
+      "ORDER BY v DESC LIMIT 4")
+    val got = q.collect().map(_.getLong(0)).toSeq
+    assert(q.queryExecution.executedPlan.toString
+        .contains("pushedTopN=[v DESC]"),
+      s"absorbed-WHERE top-N not pushed:\n${q.queryExecution.executedPlan}")
+    assert(got == Seq(597L, 594L, 591L, 588L),
+      s"absorbed-WHERE top-N wrong: $got")
+  }
+
   test("ties at the pruning bound survive: equal values across files all qualify") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")
