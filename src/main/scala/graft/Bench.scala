@@ -50,7 +50,33 @@ object Bench {
     // without a re-run (four rounds of adjudication taught this).
     def loadAvg(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // the 5-min load too (/proc/loadavg): a 1-min figure alone let a
+    // "quiet box" claim hide a 5-min load of 14 decaying from the
+    // test suite — record both so the ledger can't be accidentally
+    // optimistic
+    def load5(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split("\\s+")(1).toDouble
+      catch { case _: Throwable => -1.0 }
+    // SELF-CALIBRATION: a fixed CPU-bound probe on the same execution
+    // substrate the queries use (parallel whole-stage-codegen sum over
+    // range), min-of-3. Round-over-round, the ratio of calib_sec IS
+    // the box-drift factor: a query that slows by the same ratio is
+    // the machine, one that slows more is a plan regression — two
+    // consecutive rounds burned full adjudication cycles recompiling
+    // old code to prove exactly this distinction.
+    // (id*id stays < 2^63 for id < 4e8; the %97 keeps the SUM inside
+    // long range under ANSI arithmetic)
+    def calibrate(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(400000000L).selectExpr("sum((id * id) % 97)")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val calibSec = calibrate()
     val loadStart = loadAvg()
+    val load5Start = load5()
     val metrics = new QueryMetricsListener
     spark.sparkContext.addSparkListener(metrics)
     def pass(): Seq[(String, Double, Option[String], (Long, Long, Long))] = {
@@ -138,6 +164,8 @@ object Bench {
       s""""n_stream":${stream.size},""" +
       s""""min_of":2,"load_start":${fmt(loadStart)},""" +
       s""""load_end":${fmt(loadEnd)},""" +
+      s""""load_5min":${fmt(load5Start)},""" +
+      s""""calib_sec":${fmt(calibSec)},""" +
       s""""n_errors":${errors.size},"errors":$errJson,""" +
       s""""metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}"""
     println(line)
@@ -159,6 +187,7 @@ object Bench {
           s""""stream_sec":${stream.map(_._2).sum},""" +
           s""""n_stream":${stream.size},""" +
           s""""min_of":2,"load_start":$loadStart,"load_end":$loadEnd,""" +
+          s""""load_5min":$load5Start,"calib_sec":$calibSec,""" +
           s""""n_errors":${errors.size},"errors":$errJson,""" +
           s""""queries":$full}""" + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // bench output is the contract; the file is best-effort

@@ -1576,6 +1576,59 @@ private[graft] object QueriesIo {
     leg("ASC").unionAll(leg("DESC"))
   }
 
+  /** RANGE file-skipping gate on the SQL (DSv2) read path
+    * ([[graft.io.SnapshotBatchScan]] `keptEntries` ×
+    * [[graft.io.Snapshots.prunedEntriesBound]]): eight shifted
+    * commits build a 40M-wide doc_id domain, a z-order compact
+    * re-clusters it, and `WHERE doc_id BETWEEN 2000 AND 5002000`
+    * — a boundary-STRADDLING window covering ~1/8 of the domain —
+    * must open strictly fewer files than the table holds (asserted
+    * in-gate via the reader-factory counter) while returning the
+    * exact row set (hash-equal to the DuckDB oracle; the residual
+    * BETWEEN stays in-plan, so pruning coarseness can never change
+    * the answer). This is the reference's month-windowing
+    * (conte-etl-step-2-manager.py:817-821) as plain SQL on a
+    * clustered catalog table.
+    */
+  def snapshotRangeSkip(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "snap_range_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = "grng_" + math.abs(wh.hashCode).toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    t(s, dir, "documents").createOrReplaceTempView("graft_rng_src")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+      "lang STRING, n_chars BIGINT)")
+    (0 until 8).foreach { i =>
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id + ${i} * 5000000" +
+        ", text, lang, n_chars FROM graft_rng_src")
+    }
+    // z-order re-cluster into small files so the range predicate has
+    // a real multi-file layout to prune against
+    graft.io.Snapshots.compact(s, s"$wh/db/docs",
+      targetFileBytes = 32L << 10, zorderBy = Seq("doc_id", "n_chars"))
+    graft.io.SnapshotReaderFactory.filesOpened.set(0L)
+    val total = {
+      s.sql(s"SELECT sum(doc_id * 2) FROM $cat.db.docs").collect()
+      graft.io.SnapshotReaderFactory.filesOpened.get()
+    }
+    val q = s.sql(s"SELECT doc_id, text, lang, n_chars " +
+      s"FROM $cat.db.docs WHERE doc_id BETWEEN 2000 AND 5002000")
+    graft.io.SnapshotReaderFactory.filesOpened.set(0L)
+    val rows = q.collect()
+    val io = graft.io.SnapshotReaderFactory.filesOpened.get()
+    require(total >= 4,
+      s"q_snapshot_range_skip: z-order compact produced only $total " +
+        "files - the prune assertion needs a multi-file layout")
+    require(io < total,
+      s"q_snapshot_range_skip: the BETWEEN still opened $io of " +
+        s"$total files - manifest range pruning did not engage")
+    s.createDataFrame(
+      s.sparkContext.parallelize(rows.toIndexedSeq, 1), q.schema)
+  }
+
   /** ANALYZE gate ([[graft.io.Snapshots.analyzeNdv]] +
     * [[graft.io.SnapshotBatchScan]] column statistics): per-file NDV
     * sketches committed into the manifest feed `distinctCount` (and
@@ -2157,6 +2210,7 @@ private[graft] object QueriesIo {
     "q_snapshot_agg_where" -> (snapshotAggWhere _),
     "q_snapshot_limit" -> (snapshotLimit _),
     "q_snapshot_topn" -> (snapshotTopN _),
+    "q_snapshot_range_skip" -> (snapshotRangeSkip _),
     "q_snapshot_analyze" -> (snapshotAnalyze _),
     "q_snapshot_ctas" -> (snapshotCtas _),
     "q_snapshot_rewrite_dv" -> (snapshotRewriteDv _),
@@ -2417,6 +2471,12 @@ private[graft] object QueriesIo {
          SELECT * FROM (
            SELECT doc_id, n_chars, 'DESC' AS dirn FROM both_commits
            ORDER BY doc_id DESC LIMIT 20)""",
+    "q_snapshot_range_skip" ->
+      """SELECT doc_id, text, lang, n_chars FROM documents
+         WHERE doc_id >= 2000
+         UNION ALL
+         SELECT doc_id + 5000000, text, lang, n_chars FROM documents
+         WHERE doc_id <= 2000""",
     "q_snapshot_analyze" ->
       """SELECT CAST(2 * count(*) AS BIGINT) AS n_docs,
            CAST(2 * count(DISTINCT doc_id) AS BIGINT) AS exact_ids,

@@ -144,6 +144,121 @@ object SnapshotBatchScan {
     case _ => Nil
   }
 
+  /** Flatten top-level / AND-nested conjuncts. Each LEAF may prune
+    * the file set independently (intersection of survivors); a leaf
+    * under an OR must not prune — it never reaches this list.
+    */
+  private[io] def conjunctiveLeaves(fs: Seq[Filter]): Seq[Filter] =
+    fs.flatMap {
+      case sources.And(l, r) => conjunctiveLeaves(Seq(l, r))
+      case f => Seq(f)
+    }
+
+  /** Static IN-lists past this size skip manifest pruning (one
+    * point-lookup pass per value — at some size scanning wins;
+    * mirrors the runtime-filtering cap). */
+  private[io] val MaxStaticInSet = 64
+
+  /** Equi-height histogram bin count served to CBO — coarser than
+    * Spark's ANALYZE default (254) because the per-file summaries
+    * carry 17 points each; more bins than source points per file
+    * would manufacture fake resolution. */
+  private[io] val HistogramBins = 64
+
+  /** Fold per-file quantile summaries into one equi-height
+    * histogram, in the BOUNDARY-BASED shape Spark's own ANALYZE
+    * emits and its `FilterEstimation` asserts on: `nbins + 1`
+    * non-decreasing boundaries, bin k = [b_k, b_k+1], CONTIGUOUS
+    * and covering exactly [colMin, colMax] (the exact manifest
+    * bounds served beside it — the estimator clamps query literals
+    * to that range and must always land inside a bin). Each file's
+    * 17 points carry rows/17 mass; interior boundaries are the
+    * merged cloud's equal-mass quantiles, so a heavy value repeated
+    * across files collapses a run of bins to lo==hi==v with ndv 1 —
+    * which is what lets a skewed predicate estimate at its true
+    * selectivity instead of the uniform min/max guess. Per-bin ndv
+    * is the DISTINCT point values falling in the bin (≥ 1):
+    * under-counting ndv only over-estimates equality selectivity,
+    * the safe direction for plan choice.
+    */
+  private[io] def buildHistogram(
+      perFile: List[(Array[Double], Long)], colMin: Double,
+      colMax: Double, ndvOpt: Option[Long])
+      : Option[org.apache.spark.sql.connector.read.colstats
+        .Histogram] = {
+    val totalRows = perFile.map(_._2).sum
+    if (totalRows <= 0 || colMin > colMax ||
+        colMin.isNaN || colMax.isNaN) return None
+    val pts = perFile.iterator.flatMap { case (qs, n) =>
+      val w = n.toDouble / qs.length
+      // approx percentiles are real data values, but clamp anyway:
+      // a point outside [colMin, colMax] would break the coverage
+      // invariant the estimator asserts
+      qs.iterator.map(v =>
+        (math.min(colMax, math.max(colMin, v)), w))
+    }.toArray.sortBy(_._1)
+    if (pts.isEmpty || pts.exists(p => p._1.isNaN)) return None
+    val nbins = math.min(HistogramBins, pts.length)
+    val totalW = pts.map(_._2).sum
+    val bounds = new Array[Double](nbins + 1)
+    bounds(0) = colMin
+    bounds(nbins) = colMax
+    var i = 0
+    var cum = 0.0
+    var k = 1
+    while (k < nbins) {
+      val level = k * totalW / nbins
+      while (i < pts.length && cum + pts(i)._2 < level) {
+        cum += pts(i)._2
+        i += 1
+      }
+      bounds(k) = if (i < pts.length) pts(i)._1 else colMax
+      k += 1
+    }
+    // enforce non-decreasing boundaries inside [colMin, colMax]
+    k = 1
+    while (k <= nbins) {
+      bounds(k) = math.min(colMax, math.max(bounds(k), bounds(k - 1)))
+      k += 1
+    }
+    // distinct point values per bin (a point belongs to the first
+    // bin whose upper boundary reaches it; one sorted sweep)
+    val distinct = new Array[Long](nbins)
+    var bi = 0
+    var prev = Double.NaN
+    i = 0
+    while (i < pts.length) {
+      val v = pts(i)._1
+      while (bi < nbins - 1 && v > bounds(bi + 1)) { bi += 1; prev = Double.NaN }
+      if (v != prev) { distinct(bi) += 1; prev = v }
+      i += 1
+    }
+    val heightRows = totalRows.toDouble / nbins
+    val built = (0 until nbins).map { b =>
+      val lo = bounds(b)
+      val hi = bounds(b + 1)
+      val ndv =
+        if (lo == hi) 1L
+        else math.max(1L, math.min(distinct(b),
+          math.min(heightRows.toLong + 1L,
+            ndvOpt.getOrElse(Long.MaxValue))))
+      (lo, hi, ndv)
+    }
+    Some(new org.apache.spark.sql.connector.read.colstats.Histogram {
+      override def height(): Double = heightRows
+      override def bins(): Array[
+          org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+        built.map { case (l, h, n) =>
+          new org.apache.spark.sql.connector.read.colstats
+            .HistogramBin {
+            override def lo(): Double = l
+            override def hi(): Double = h
+            override def ndv(): Long = n
+          }: org.apache.spark.sql.connector.read.colstats.HistogramBin
+        }.toArray
+    })
+  }
+
   /** Rename a filter's attributes logical → physical for the parquet
     * reader (row-group pruning reads physical column names). Filters
     * that do not fully translate are dropped — Spark re-applies every
@@ -728,19 +843,66 @@ private[graft] final class SnapshotBatchScan(
     })
   }
 
-  /** Manifest-level pruning: each conjunctive equality prunes through
-    * [[Snapshots.prunedEntriesEquals]] — hidden-transform directories
-    * (bucket/days/truncate) AND committed column stats, the exact
-    * write-time expressions, so a point lookup reads one sliver.
+  /** Manifest-level pruning over the residual filters' conjunctive
+    * LEAVES: equalities prune through
+    * [[Snapshots.prunedEntriesEquals]] (hidden-transform directories
+    * AND committed column stats — a point lookup reads one sliver);
+    * `IN` unions the per-value point lookups; range predicates
+    * (`>[=]`/`<[=]` — a SQL `BETWEEN` arrives as the two one-sided
+    * leaves) prune through [[Snapshots.prunedEntriesBound]]'s
+    * committed min/max stats, so `WHERE ts BETWEEN a AND b` on a
+    * z-ordered/clustered table opens the overlapping sliver instead
+    * of every file — at millions of files the footer-open pass IS
+    * the planning bottleneck these stats exist to kill; `LIKE 'p%'`
+    * prunes via the prefix byte range. Every leaf is prune-on-proof
+    * (stats-less files/columns/value-types keep) and every leaf
+    * STAYS in-plan — this narrows IO only, exactness never depends
+    * on it.
     */
   private lazy val keptEntries: Seq[String] = {
-    val eqs = conjunctiveEquals(filters)
-      .filter { case (c, _) => tableSchema.fieldNames.contains(c) }
-    eqs.foldLeft(entries) { case (acc, (c, v)) =>
-      val (kept, _) =
-        Snapshots.prunedEntriesEquals(spark, path, c, v, Some(pinnedV))
-      val keptSet = kept.map(Snapshots.relOfEntry).toSet
-      acc.filter(e => keptSet(Snapshots.relOfEntry(e)))
+    def relsOf(r: (Seq[String], Int)): Set[String] =
+      r._1.map(Snapshots.relOfEntry).toSet
+    val inSchema = tableSchema.fieldNames.toSet
+    conjunctiveLeaves(filters).foldLeft(entries) { (acc, f) =>
+      val keep: Option[Set[String]] = f match {
+        case sources.EqualTo(c, v) if v != null && inSchema(c) =>
+          Some(relsOf(Snapshots.prunedEntriesEquals(
+            spark, path, c, v, Some(pinnedV))))
+        case sources.EqualNullSafe(c, v) if v != null && inSchema(c) =>
+          Some(relsOf(Snapshots.prunedEntriesEquals(
+            spark, path, c, v, Some(pinnedV))))
+        case sources.In(c, vs)
+            if inSchema(c) && vs.nonEmpty &&
+              vs.length <= MaxStaticInSet && vs.exists(_ != null) =>
+          // a NULL in the list matches nothing (three-valued IN):
+          // the non-null values' union covers every matchable row
+          Some(vs.filter(_ != null).map(v =>
+            relsOf(Snapshots.prunedEntriesEquals(
+              spark, path, c, v, Some(pinnedV)))).reduce(_ union _))
+        case sources.GreaterThan(c, v) if v != null && inSchema(c) =>
+          Some(relsOf(Snapshots.prunedEntriesBound(
+            spark, path, c, v, lower = true, Some(pinnedV))))
+        case sources.GreaterThanOrEqual(c, v)
+            if v != null && inSchema(c) =>
+          Some(relsOf(Snapshots.prunedEntriesBound(
+            spark, path, c, v, lower = true, Some(pinnedV))))
+        case sources.LessThan(c, v) if v != null && inSchema(c) =>
+          Some(relsOf(Snapshots.prunedEntriesBound(
+            spark, path, c, v, lower = false, Some(pinnedV))))
+        case sources.LessThanOrEqual(c, v)
+            if v != null && inSchema(c) =>
+          Some(relsOf(Snapshots.prunedEntriesBound(
+            spark, path, c, v, lower = false, Some(pinnedV))))
+        case sources.StringStartsWith(c, p)
+            if p != null && inSchema(c) =>
+          Some(relsOf(Snapshots.prunedEntriesPrefix(
+            spark, path, c, p, Some(pinnedV))))
+        case _ => None // unknown leaf shape: prune nothing
+      }
+      keep match {
+        case Some(ks) => acc.filter(e => ks(Snapshots.relOfEntry(e)))
+        case None => acc
+      }
     }
   }
 
@@ -1186,18 +1348,31 @@ private[graft] final class SnapshotBatchScan(
       EqApply(ords, dts, e.keys.map(_.toSeq).toSet)
     }.toArray
     val conf = spark.sessionState.newHadoopConf()
-    // COLUMNAR hand-off for clean scans (no deletes anywhere in the
-    // table, no row identity, no per-reader limit/heap): batches flow
-    // straight into Spark's codegen'd ColumnarToRow instead of
-    // draining a row iterator — the FileSourceScanExec posture. A
-    // single delete file anywhere keeps the WHOLE scan row-based
-    // (Spark refuses mixed-mode partitions), which is also the only
-    // correct choice: batch readers cannot count positions
+    // COLUMNAR hand-off for clean and POSITIONAL-delete scans (no
+    // row identity, no per-reader limit/heap, no equality deletes):
+    // batches flow straight into Spark's codegen'd ColumnarToRow
+    // instead of draining a row iterator — the FileSourceScanExec
+    // posture. Positional deletes apply as a zero-copy SELECTION
+    // view over each batch ([[SelectedColumnVector]]); the
+    // delete-bearing files read whole and filterless through the
+    // second func below so positions count true, while clean files
+    // keep row-group pruning and range splits. Equality deletes
+    // stay row-based: their kill test probes row VALUES, which a
+    // batch would have to materialize row-by-row anyway.
+    val canBatch = !withMeta && pushedLimit.isEmpty &&
+      pushedTopN.isEmpty && !dvs.exists(_.startsWith("eq:"))
     val batchRead =
-      if (dvs.isEmpty && !withMeta && pushedLimit.isEmpty &&
-          pushedTopN.isEmpty)
+      if (canBatch)
         ScanBridge.parquetBatchReadFunc(spark, physData, physRequired,
           physFilters, conf, partSchema)
+      else None
+    // the filterless twin for positional-delete files (row-group
+    // skipping would desynchronize position counting); only built
+    // when the scan both batches and carries deletes
+    val plainBatchRead =
+      if (batchRead.isDefined && dvs.nonEmpty)
+        ScanBridge.parquetBatchReadFunc(spark, physData, physRequired,
+          Nil, conf, partSchema)
       else None
     new SnapshotReaderFactory(
       ScanBridge.parquetReadFunc(spark, physData, physRequired,
@@ -1212,6 +1387,7 @@ private[graft] final class SnapshotBatchScan(
       eqApplies,
       withMeta,
       batchReadFunc = batchRead,
+      plainBatchReadFunc = plainBatchRead,
       readCap = pushedLimit,
       topN = pushedTopN.flatMap { case (keys, k) =>
         // heap keys index the OUTPUT row (post-projection, `required`
@@ -1288,6 +1464,9 @@ private[graft] final class SnapshotBatchScan(
       var loS: Array[Byte] = null; var hiS: Array[Byte] = null
       var sOk = true
       var regs: Array[Int] = null; var vOk = true
+      // per-file (quantile summary, non-null rows) for the histogram
+      // fold; refused wholesale when any valued entry lacks its 'Q'
+      var qList: List[(Array[Double], Long)] = Nil; var qOk = true
     }
     val accs = cols.map(_ => new Acc)
     scanEntries.foreach { e =>
@@ -1296,6 +1475,7 @@ private[graft] final class SnapshotBatchScan(
       val lss = Snapshots.longStatsOf(e)
       val sss = Snapshots.stringExactStatsOf(e)
       val vss = Snapshots.ndvSketchOf(e)
+      val qss = Snapshots.quantSketchOf(e)
       cols.zip(accs).foreach { case ((fld, phys), a) =>
         ncs.get(phys) match {
           case None =>
@@ -1341,6 +1521,10 @@ private[graft] final class SnapshotBatchScan(
                     else Snapshots.ndvMerge(a.regs, r)
                 case None => a.vOk = false
               }
+              (qss.get(phys), rows) match {
+                case (Some(q), Some(r)) => a.qList ::= (q, r - n)
+                case _ => a.qOk = false
+              }
             }
         }
       }
@@ -1372,7 +1556,28 @@ private[graft] final class SnapshotBatchScan(
               math.max(1L, a.valuedRows - a.valuedNulls)))
           else Some(est)
         } else None
-      if (ncOpt.isDefined || mm.isDefined || ndvOpt.isDefined) {
+      // EQUI-HEIGHT HISTOGRAM from the per-file 'Q' quantile
+      // summaries: the per-file 17-point summaries merge as weighted
+      // empirical distributions (each point carries rows/17 mass)
+      // into 64 equal-mass bins over exactly the planned files —
+      // heavy values collapse to lo==hi bins with ndv 1, which is
+      // what lets FilterEstimation see a skewed predicate's true
+      // selectivity instead of the uniform min/max guess. Refused
+      // when any valued entry lacks its summary (absent beats
+      // stale, same as distinctCount).
+      // served only beside exact integral min/max: the estimator
+      // clamps literals to [min, max] and asserts the clamped value
+      // lands in a bin, so coverage must anchor on the same bounds
+      val histOpt = fld.dataType match {
+        case ByteType | ShortType | IntegerType | LongType
+            if a.qOk && a.qList.nonEmpty && a.lOk &&
+              a.nValued > 0 && a.loL <= a.hiL =>
+          SnapshotBatchScan.buildHistogram(a.qList,
+            a.loL.toDouble, a.hiL.toDouble, ndvOpt)
+        case _ => None
+      }
+      if (ncOpt.isDefined || mm.isDefined || ndvOpt.isDefined ||
+          histOpt.isDefined) {
         out.put(Expressions.column(fld.name),
           new org.apache.spark.sql.connector.read.colstats
             .ColumnStatistics {
@@ -1390,6 +1595,13 @@ private[graft] final class SnapshotBatchScan(
               mm.map(v => java.util.Optional.of(
                 v._2.asInstanceOf[Object]))
                 .getOrElse(java.util.Optional.empty[Object]())
+            override def histogram(): java.util.Optional[
+                org.apache.spark.sql.connector.read.colstats
+                  .Histogram] =
+              histOpt.map(java.util.Optional.of(_))
+                .getOrElse(java.util.Optional.empty[
+                  org.apache.spark.sql.connector.read.colstats
+                    .Histogram]())
           })
       }
     }
@@ -1505,6 +1717,67 @@ private[graft] object SnapshotReaderFactory {
   val filesOpened = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
+/** A zero-copy SELECTION view over one batch column: `sel` maps the
+  * surviving row index to the base vector's physical row, so
+  * positional merge-on-read deletes apply to a `ColumnarBatch`
+  * WITHOUT materializing a filtered copy — the Iceberg
+  * `ColumnVectorWithFilter` posture. Every accessor is one extra
+  * array index on top of the base vector's read; `hasNull` may
+  * over-report (the deleted rows might have held the only nulls),
+  * which only costs the consumer a per-row null check, while
+  * `numNulls` counts exactly over the selection. Lifecycle: the
+  * underlying parquet reader owns (and recycles) the base vectors,
+  * so `close()` must not free them.
+  */
+private[graft] final class SelectedColumnVector(
+    base: org.apache.spark.sql.vectorized.ColumnVector,
+    sel: Array[Int])
+  extends org.apache.spark.sql.vectorized.ColumnVector(base.dataType) {
+  private var nullsCnt = -1
+  override def close(): Unit = () // base is reader-owned
+  override def hasNull: Boolean = base.hasNull
+  override def numNulls(): Int = {
+    if (nullsCnt < 0) {
+      var c = 0; var i = 0
+      while (i < sel.length) {
+        if (base.isNullAt(sel(i))) c += 1
+        i += 1
+      }
+      nullsCnt = c
+    }
+    nullsCnt
+  }
+  override def isNullAt(i: Int): Boolean = base.isNullAt(sel(i))
+  override def getBoolean(i: Int): Boolean = base.getBoolean(sel(i))
+  override def getByte(i: Int): Byte = base.getByte(sel(i))
+  override def getShort(i: Int): Short = base.getShort(sel(i))
+  override def getInt(i: Int): Int = base.getInt(sel(i))
+  override def getLong(i: Int): Long = base.getLong(sel(i))
+  override def getFloat(i: Int): Float = base.getFloat(sel(i))
+  override def getDouble(i: Int): Double = base.getDouble(sel(i))
+  override def getArray(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnarArray =
+    base.getArray(sel(i))
+  override def getMap(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnarMap =
+    base.getMap(sel(i))
+  override def getDecimal(i: Int, p: Int, s: Int)
+      : org.apache.spark.sql.types.Decimal =
+    base.getDecimal(sel(i), p, s)
+  override def getUTF8String(i: Int)
+      : org.apache.spark.unsafe.types.UTF8String =
+    base.getUTF8String(sel(i))
+  override def getBinary(i: Int): Array[Byte] = base.getBinary(sel(i))
+  // nested children index by CHILD row ids, which a row-level
+  // selection cannot remap (array/map elements fan out); batching is
+  // refused for nested result schemas upstream (supportBatch), so
+  // this is only reachable through getInterval-style struct access —
+  // wrap with the same selection for flat children
+  override def getChild(ordinal: Int)
+      : org.apache.spark.sql.vectorized.ColumnVector =
+    new SelectedColumnVector(base.getChild(ordinal), sel)
+}
+
 private[graft] final class SnapshotReaderFactory(
     readFunc: (String, Long, Long, Long, InternalRow)
       => Iterator[InternalRow],
@@ -1515,6 +1788,9 @@ private[graft] final class SnapshotReaderFactory(
     eqApplies: Array[EqApply] = Array.empty,
     withMeta: Boolean = false,
     batchReadFunc: Option[(String, Long, Long, Long, InternalRow)
+      => Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] =
+      None,
+    plainBatchReadFunc: Option[(String, Long, Long, Long, InternalRow)
       => Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] =
       None,
     readCap: Option[Int] = None,
@@ -1537,10 +1813,51 @@ private[graft] final class SnapshotReaderFactory(
     val identityOrder = ordinals.zipWithIndex.forall {
       case (o, i) => o == i
     }
+    /** POSITIONAL deletes on the columnar path: the file reads WHOLE
+      * and FILTERLESS (positions must count true — same rule as the
+      * row path), a cursor walks the sorted deleted positions once,
+      * and each batch emits through a [[SelectedColumnVector]]
+      * selection view — no row materialization, no batch copy; a
+      * delete-free batch (the overwhelmingly common case on a big
+      * file with few deletes) passes through untouched.
+      */
+    def deletedBatches(fs: FileSlice)
+        : Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+      val plain = plainBatchReadFunc.getOrElse(
+        throw new IllegalStateException(
+          "graft: columnar MoR read without a filterless batch func"))
+      var pos = 0L
+      var di = 0
+      plain(fs.path, 0L, fs.fileSize, fs.fileSize, slice.idRow)
+        .map { b =>
+          val n = b.numRows()
+          val start = pos
+          pos += n
+          // deleted positions inside [start, start+n), batch-relative
+          val selB = new Array[Int](n)
+          var k = 0
+          var i = 0
+          while (i < n) {
+            if (di < fs.delPos.length && fs.delPos(di) == start + i)
+              di += 1
+            else { selB(k) = i; k += 1 }
+            i += 1
+          }
+          if (k == n) b
+          else {
+            val sel = java.util.Arrays.copyOf(selB, k)
+            new org.apache.spark.sql.vectorized.ColumnarBatch(
+              Array.tabulate(b.numCols)(j =>
+                new SelectedColumnVector(b.column(j), sel)
+                  : org.apache.spark.sql.vectorized.ColumnVector), k)
+          }
+        }
+    }
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       private val it = slice.files.iterator.flatMap { fs =>
         SnapshotReaderFactory.filesOpened.incrementAndGet()
-        read(fs.path, fs.start, fs.len, fs.fileSize, slice.idRow)
+        if (fs.hasDeletes) deletedBatches(fs)
+        else read(fs.path, fs.start, fs.len, fs.fileSize, slice.idRow)
       }.map { b =>
         if (identityOrder && b.numCols == ordinals.length) b
         else new org.apache.spark.sql.vectorized.ColumnarBatch(

@@ -943,9 +943,17 @@ object Snapshots {
           case _ => ' '
         }
         val logical = c.getPrimitiveType.getLogicalTypeAnnotation
+        // DATE rides the INT32 path: its stats are epoch DAYS, exact
+        // longs — the unit range pruning coerces date literals to
+        // ([[prunedEntriesBound]]). Catalyst-typed consumers
+        // (aggregate pushdown, CBO min/max) key on integral CATALYST
+        // types, so a DateType column never mis-serves as a long.
         val plainNumeric = logical == null ||
           logical.isInstanceOf[org.apache.parquet.schema
-            .LogicalTypeAnnotation.IntLogicalTypeAnnotation]
+            .LogicalTypeAnnotation.IntLogicalTypeAnnotation] ||
+          (tpe == PrimitiveTypeName.INT32 &&
+            logical.isInstanceOf[org.apache.parquet.schema
+              .LogicalTypeAnnotation.DateLogicalTypeAnnotation])
         val isString = tpe == PrimitiveTypeName.BINARY &&
           logical.isInstanceOf[org.apache.parquet.schema
             .LogicalTypeAnnotation.StringLogicalTypeAnnotation]
@@ -1336,6 +1344,26 @@ object Snapshots {
     val f = fs(spark, path)
     def dropFresh(): Unit = commitDirs.foreach(d =>
       f.delete(new Path(s"$path/$d"), true))
+    // AUTO-ANALYZE at commit (`stats.ndv.auto` table property): the
+    // just-written files get their per-file NDV registers computed
+    // NOW — one distributed pass over the DELTA only, O(commit) not
+    // O(table) — so `distinctCount` keeps serving under CBO across
+    // appends, CTAS, compaction and DML rewrites without a manual
+    // `CALL system.analyze_ndv` (whose absence after any append
+    // makes the scan REFUSE the stat — absent beats stale, but a
+    // live-ingest table would refuse forever). Opt-in: the default
+    // commit pays nothing. Amended before the OCC loop — sketches
+    // describe immutable file content, so a rebase carries them
+    // unchanged.
+    val freshStats = {
+      val cols = autoNdvColumns(baseProps, schema, partCols, colMap)
+      if (cols.isEmpty || fresh.isEmpty) fresh
+      else {
+        val sk = ndvSketchPass(spark, path,
+          toPhysicalSchema(schema, colMap), partCols, fresh, cols)
+        fresh.map(e => amendNdvEntry(e, sk))
+      }
+    }
     onBeforePublish()
     var curCarried = carried
     var curSchema = schema
@@ -1350,7 +1378,7 @@ object Snapshots {
       val v = curBase.getOrElse(0L) + 1L
       if (tryPublishManifest(f, path, v,
           manifestLines(curSchema, partCols, curDropped, op,
-            curCarried ++ fresh, curTxns ++ ownTxn, curDvs,
+            curCarried ++ freshStats, curTxns ++ ownTxn, curDvs,
             curColMap, curProps))) {
         bumpLatestHint(f, path, v)
         committed = v
@@ -3022,6 +3050,13 @@ object Snapshots {
       // coerce so stats pruning still proves for numeric columns
       case (_: org.apache.spark.sql.types.NumericType, s: String) =>
         s.toDoubleOption
+      // DATE stats commit as epoch days ([[footerStats]]); coerce the
+      // literal to the same unit so point lookups on date columns
+      // stat-prune too
+      case (org.apache.spark.sql.types.DateType, d: java.sql.Date) =>
+        Some(d.toLocalDate.toEpochDay.toDouble)
+      case (org.apache.spark.sql.types.DateType,
+            d: java.time.LocalDate) => Some(d.toEpochDay.toDouble)
       case _ => None
     }
     val strVal: Option[Array[Byte]] = (dt, value) match {
@@ -3070,6 +3105,123 @@ object Snapshots {
       else openLive(spark, path, schema, m.partCols, kept, m.dvs,
         m.colMap)
     base.filter(col(column) === lit(value).cast(schema(column).dataType))
+  }
+
+  /** ONE-SIDED range file-skipping decision for `column >[=] value`
+    * (`lower = true`) / `column <[=] value` (`lower = false`) — the
+    * DSv2 scan's manifest prune for SQL range predicates
+    * ([[SnapshotScanBuilder]] `keptEntries`): an entry survives when
+    * its committed stats — numeric/date 'L'/'D' bounds, string
+    * truncated-prefix bounds, or an identity partition-directory
+    * value — cannot disprove that some row satisfies the bound.
+    * Strictness is deliberately IGNORED (a `>` prunes like `>=`):
+    * the residual predicate stays in-plan, so keeping a boundary
+    * file costs one extra footer read, while a strict compare
+    * through double-widened bounds could wrongly skip at the 2^53
+    * edge. Prune only on proof: unconvertible value types, stats-less
+    * columns and stats-less files always keep. DATE values coerce to
+    * epoch days — the unit their INT32 footer stats commit in.
+    * Reference shape: conte-etl-step-2-manager.py:817-821 (month
+    * windowing) generalized to arbitrary SQL ranges.
+    */
+  private[graft] def prunedEntriesBound(spark: SparkSession,
+                                        path: String, column: String,
+                                        value: Any, lower: Boolean,
+                                        version: Option[Long] = None)
+      : (Seq[String], Int) = {
+    val f = fs(spark, path)
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot: no committed version under $path"))
+    val m = manifest(f, path, v)
+    val schema = resolveSchema(spark, path, m)
+    if (!schema.fieldNames.contains(column))
+      return (m.entries, m.entries.size)
+    val dt = schema(column).dataType
+    val phys = toPhysicalName(m.colMap, column)
+    import org.apache.spark.sql.types._
+    val numVal: Option[Double] = (dt, value) match {
+      case (ByteType | ShortType | IntegerType | LongType |
+            FloatType | DoubleType, n: Number) => Some(n.doubleValue())
+      case (DateType, d: java.sql.Date) =>
+        Some(d.toLocalDate.toEpochDay.toDouble)
+      case (DateType, d: java.time.LocalDate) =>
+        Some(d.toEpochDay.toDouble)
+      case _ => None
+    }
+    val strVal: Option[Array[Byte]] = (dt, value) match {
+      case (StringType, s: String) =>
+        Some(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case _ => None
+    }
+    if (numVal.isEmpty && strVal.isEmpty)
+      return (m.entries, m.entries.size)
+    val kept = m.entries.filter { e =>
+      val numOk = numVal.forall { d =>
+        val range = statsOf(e).get(phys).orElse(
+          partValsOf(relOf(e)).get(phys).flatMap { s =>
+            if (dt == DateType)
+              scala.util.Try(java.time.LocalDate.parse(s).toEpochDay
+                .toDouble).toOption.map(x => (x, x))
+            else s.toDoubleOption.map(x => (x, x))
+          })
+        range.forall { case (mn, mx) =>
+          if (lower) mx >= d else mn <= d }
+      }
+      val strOk = strVal.forall { b =>
+        val range: Option[(Array[Byte], Option[Array[Byte]])] =
+          stringStatsOf(e).get(phys).orElse(
+            partValsOf(relOf(e)).get(phys).map { s =>
+              val sb =
+                s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              (sb, Some(sb))
+            })
+        range.forall { case (mn, mxOpt) =>
+          if (lower) mxOpt.forall(mx => bytesCompare(mx, b) >= 0)
+          else bytesCompare(mn, b) <= 0 }
+      }
+      numOk && strOk
+    }
+    (kept, m.entries.size)
+  }
+
+  /** PREFIX file-skipping decision for `column LIKE 'p%'`
+    * (StringStartsWith): matching strings occupy exactly the byte
+    * range [p, incrementBound(p)), so an entry is kept only when its
+    * string bounds overlap it. Same prune-only-on-proof posture as
+    * [[prunedEntriesBound]]. */
+  private[graft] def prunedEntriesPrefix(spark: SparkSession,
+                                         path: String, column: String,
+                                         prefix: String,
+                                         version: Option[Long] = None)
+      : (Seq[String], Int) = {
+    val f = fs(spark, path)
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot: no committed version under $path"))
+    val m = manifest(f, path, v)
+    val schema = resolveSchema(spark, path, m)
+    if (!schema.fieldNames.contains(column) ||
+        schema(column).dataType !=
+          org.apache.spark.sql.types.StringType)
+      return (m.entries, m.entries.size)
+    val phys = toPhysicalName(m.colMap, column)
+    val pB = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val upB = incrementBound(pB) // None: no finite upper bound
+    val kept = m.entries.filter { e =>
+      val range: Option[(Array[Byte], Option[Array[Byte]])] =
+        stringStatsOf(e).get(phys).orElse(
+          partValsOf(relOf(e)).get(phys).map { s =>
+            val sb = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            (sb, Some(sb))
+          })
+      range.forall { case (mn, mxOpt) =>
+        // overlap with [pB, upB): file max >= pB and file min < upB
+        mxOpt.forall(mx => bytesCompare(mx, pB) >= 0) &&
+          upB.forall(up => bytesCompare(mn, up) < 0)
+      }
+    }
+    (kept, m.entries.size)
   }
 
   /** The rows ADDED between two committed versions: the files in
@@ -4081,6 +4233,33 @@ object Snapshots {
     * chars per column per file in the manifest. */
   private val NdvRegisters = 64
 
+  /** Quantile summary width ('Q' kind): 17 points = 16 equal-mass
+    * segments per file — enough resolution for a 64-bin global
+    * equi-height histogram to catch order-of-magnitude skew, at
+    * ~300 chars per column per file. */
+  private[graft] val QuantilePoints = 17
+
+  /** Parse an entry's 'Q'-kind quantile summaries: physical column
+    * name → ascending per-file quantile points (doubles; DATE as
+    * epoch days). Missing = never analyzed, appended after the last
+    * analyze, or a non-numeric column. */
+  private[graft] def quantSketchOf(entry: String)
+      : Map[String, Array[Double]] = {
+    val i = entry.indexOf('\t')
+    if (i < 0) Map.empty
+    else entry.substring(i + 1).split(';').iterator.filter(_.nonEmpty)
+      .flatMap { part =>
+        part.split(':') match {
+          case Array(name, "Q", vals) =>
+            scala.util.Try(
+              vals.split(',').map(_.toDouble)).toOption
+              .filter(_.length == QuantilePoints)
+              .map(name -> _)
+          case _ => None
+        }
+      }.toMap
+  }
+
   /** Parse an entry's 'V'-kind NDV sketches: physical column name →
     * register array ([[analyzeNdv]] wrote them; missing = never
     * analyzed or appended after the last analyze). */
@@ -4139,6 +4318,168 @@ object Snapshots {
     * whatever entry set won (amended rels that were rewritten away
     * simply lose their sketch).
     */
+  /** The distributed NDV sketch pass, factored so [[analyzeNdv]]
+    * (whole-table ANALYZE) and the `stats.ndv.auto` write path
+    * (delta-only, at commit) run the IDENTICAL arithmetic — sketches
+    * from either source must merge, so the hash, bucketing and rank
+    * rule may never fork. Returns physCol → (rel → 64 registers);
+    * one Spark job per column over exactly `entries`, driver state
+    * ONE row per (file, column) — register lists assemble
+    * distributed via collect_list, never files × registers rows.
+    */
+  private def ndvSketchPass(spark: SparkSession, path: String,
+                            phys: StructType, partCols: Seq[String],
+                            entries: Seq[String],
+                            physCols: Seq[String])
+      : Map[String, Map[String, (Array[Int], Option[Array[Double]])]] = {
+    val df = spark.baseRelationToDataFrame(
+      entriesRelation(spark, path, phys, partCols, entries))
+      .select(relPathExpr.as("__rel") +: phys.fields.map(f =>
+        col(f.name)): _*)
+    // trailing-zero rank of the xxhash64: lsb = h & -h is a power of
+    // two, which doubles represent EXACTLY, so round(log2(lsb)) is
+    // the true bit index; h == 0 and the sign bit get the max rank
+    def rankOf(h: Column): Column = {
+      val lsb = h.bitwiseAND(-h)
+      when(h === 0L, lit(NdvRegisters))
+        .when(lsb === Long.MinValue, lit(NdvRegisters))
+        .otherwise(round(log(2.0, lsb.cast("double"))) + 1.0)
+        .cast("int")
+    }
+    physCols.map { pc =>
+      val dt = phys(pc).dataType
+      // numeric-ish columns additionally fold a 17-point per-file
+      // QUANTILE summary ('Q' kind) — the raw material for
+      // equi-height CBO histograms ([[SnapshotBatchScan]] merges
+      // per-file summaries into the planned sliver's histogram at
+      // plan time); DATE rides as epoch days, matching its 'L' stats
+      val quantile = dt match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.FloatType |
+             org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.DateType => true
+        case _ => false
+      }
+      val base = df.filter(col(pc).isNotNull)
+      // two-level fold so the driver collects ONE row per file
+      // (its ≤64-entry register list), never files × registers
+      val rows = base
+        .select(col("__rel"),
+          pmod(org.apache.spark.sql.functions.hash(col(pc)),
+            lit(NdvRegisters)).as("__b"),
+          rankOf(org.apache.spark.sql.functions.xxhash64(col(pc)))
+            .as("__r"))
+        .groupBy(col("__rel"), col("__b"))
+        .agg(org.apache.spark.sql.functions.max(col("__r")).as("__r"))
+        .groupBy(col("__rel"))
+        .agg(org.apache.spark.sql.functions.collect_list(
+          org.apache.spark.sql.functions.struct(
+            col("__b"), col("__r"))).as("__regs"))
+        .collect()
+      val quants: Map[String, Array[Double]] =
+        if (!quantile) Map.empty
+        else base.select(col("__rel"),
+            (if (dt == org.apache.spark.sql.types.DateType)
+               col(pc).cast("int").cast("double")
+             else col(pc).cast("double")).as("__v"))
+          .groupBy(col("__rel"))
+          .agg(org.apache.spark.sql.functions.percentile_approx(
+            col("__v"), org.apache.spark.sql.functions.typedlit(
+              (0 until QuantilePoints).map(_.toDouble /
+                (QuantilePoints - 1))), lit(10000)).as("__q"))
+          .collect().flatMap { row =>
+            if (row.isNullAt(1)) None
+            else Some(row.getString(0) ->
+              row.getSeq[Double](1).toArray)
+          }.toMap
+      pc -> rows.map { row =>
+        val regs = new Array[Int](NdvRegisters)
+        row.getSeq[org.apache.spark.sql.Row](1).foreach { br =>
+          val b = br.getInt(0)
+          regs(b) = math.max(regs(b), br.getInt(1))
+        }
+        row.getString(0) -> ((regs, quants.get(row.getString(0))))
+      }.toMap
+    }.toMap
+  }
+
+  /** Graft a sketch pass's registers (and quantile summaries, when
+    * present) onto one manifest entry as 'V'/'Q'-kind pseudo-stats,
+    * replacing any prior sketch for the same columns (re-analyze
+    * refreshes; other columns' sketches ride). Quantile doubles
+    * serialize via Double.toString — locale-independent, exact
+    * round-trip. */
+  private def amendNdvEntry(entry: String,
+                            sketches: Map[String,
+                              Map[String,
+                                (Array[Int], Option[Array[Double]])]])
+      : String = {
+    val rel = relOf(entry)
+    val adds = sketches.toSeq.sortBy(_._1).flatMap { case (pc, m) =>
+      m.get(rel).toSeq.flatMap { case (regs, qs) =>
+        Seq(s"$pc:V:${regs.map(r => f"$r%02x").mkString}") ++
+          qs.map(q => s"$pc:Q:${q.mkString(",")}")
+      }
+    }
+    if (adds.isEmpty) entry
+    else {
+      val i = entry.indexOf('\t')
+      val analyzed = sketches.keySet
+      val keptStats =
+        if (i < 0) Nil
+        else entry.substring(i + 1).split(';').toSeq
+          .filter(_.nonEmpty).filterNot { part =>
+            val ps = part.split(':')
+            ps.length == 3 && (ps(1) == "V" || ps(1) == "Q") &&
+              analyzed(ps(0))
+          }
+      rel + "\t" + (keptStats ++ adds).mkString(";")
+    }
+  }
+
+  /** AUTO-ANALYZE column set of a commit, from the `stats.ndv.auto`
+    * table property: absent/"false" → none (the manual-ANALYZE
+    * posture, zero write cost); "true" → every atomic data-borne
+    * column; a CSV → exactly those (logical) columns. PHYSICAL
+    * names out. Identity partition sources are excluded either way —
+    * their per-file NDV is 1 by construction ([[analyzeNdv]]'s
+    * refusal, silent here because "true" must not fail on a
+    * partitioned table).
+    */
+  private def autoNdvColumns(props: Map[String, String],
+                             schema: StructType,
+                             partCols: Seq[String],
+                             colMap: Map[String, String])
+      : Seq[String] = {
+    val spec = props.getOrElse("stats.ndv.auto", "").trim
+    if (spec.isEmpty || spec.equalsIgnoreCase("false")) return Nil
+    val idPhys = partCols.map(parsePartField)
+      .collect { case PIdentity(s) => s }.toSet
+    def atomic(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType |
+             org.apache.spark.sql.types.BinaryType |
+             org.apache.spark.sql.types.NullType => false
+        case _ => true
+      }
+    if (spec.equalsIgnoreCase("true"))
+      toPhysicalSchema(schema, colMap).fields.toSeq
+        .filter(f => atomic(f.dataType))
+        .map(_.name).filterNot(idPhys)
+    else {
+      val named = spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      named.foreach(c => require(schema.fieldNames.contains(c),
+        s"snapshot: stats.ndv.auto column $c is not in the table " +
+          s"schema (${schema.fieldNames.mkString(", ")})"))
+      named.map(c => toPhysicalName(colMap, c)).filterNot(idPhys)
+    }
+  }
+
   def analyzeNdv(spark: SparkSession, path: String,
                  columns: Seq[String]): Long = {
     require(columns.nonEmpty, "snapshot: analyzeNdv needs columns")
@@ -4158,67 +4499,9 @@ object Snapshots {
     requireLocalEntries(st.entries, path, "analyze NDV sketches for")
     if (st.entries.isEmpty) return st.v
     val phys = toPhysicalSchema(st.schema, st.colMap)
-    val df = spark.baseRelationToDataFrame(
-      entriesRelation(spark, path, phys, st.partCols, st.entries))
-      .select(relPathExpr.as("__rel") +: phys.fields.map(f =>
-        col(f.name)): _*)
-    // trailing-zero rank of the xxhash64: lsb = h & -h is a power of
-    // two, which doubles represent EXACTLY, so round(log2(lsb)) is
-    // the true bit index; h == 0 and the sign bit get the max rank
-    def rankOf(h: Column): Column = {
-      val lsb = h.bitwiseAND(-h)
-      when(h === 0L, lit(NdvRegisters))
-        .when(lsb === Long.MinValue, lit(NdvRegisters))
-        .otherwise(round(log(2.0, lsb.cast("double"))) + 1.0)
-        .cast("int")
-    }
-    val sketches: Map[String, Map[String, Array[Int]]] =
-      columns.map { c =>
-        val pc = toPhysicalName(st.colMap, c)
-        // two-level fold so the driver collects ONE row per file
-        // (its ≤64-entry register list), never files × registers
-        val rows = df.filter(col(pc).isNotNull)
-          .select(col("__rel"),
-            pmod(org.apache.spark.sql.functions.hash(col(pc)),
-              lit(NdvRegisters)).as("__b"),
-            rankOf(org.apache.spark.sql.functions.xxhash64(col(pc)))
-              .as("__r"))
-          .groupBy(col("__rel"), col("__b"))
-          .agg(org.apache.spark.sql.functions.max(col("__r")).as("__r"))
-          .groupBy(col("__rel"))
-          .agg(org.apache.spark.sql.functions.collect_list(
-            org.apache.spark.sql.functions.struct(
-              col("__b"), col("__r"))).as("__regs"))
-          .collect()
-        pc -> rows.map { row =>
-          val regs = new Array[Int](NdvRegisters)
-          row.getSeq[org.apache.spark.sql.Row](1).foreach { br =>
-            val b = br.getInt(0)
-            regs(b) = math.max(regs(b), br.getInt(1))
-          }
-          row.getString(0) -> regs
-        }.toMap
-      }.toMap
-    def amend(entry: String): String = {
-      val rel = relOf(entry)
-      val adds = sketches.toSeq.sortBy(_._1).flatMap { case (pc, m) =>
-        m.get(rel).map(regs =>
-          s"$pc:V:${regs.map(r => f"$r%02x").mkString}")
-      }
-      if (adds.isEmpty) entry
-      else {
-        val i = entry.indexOf('\t')
-        val analyzed = sketches.keySet
-        val keptStats =
-          if (i < 0) Nil
-          else entry.substring(i + 1).split(';').toSeq
-            .filter(_.nonEmpty).filterNot { part =>
-              val ps = part.split(':')
-              ps.length == 3 && ps(1) == "V" && analyzed(ps(0))
-            }
-        rel + "\t" + (keptStats ++ adds).mkString(";")
-      }
-    }
+    val sketches = ndvSketchPass(spark, path, phys, st.partCols,
+      st.entries, columns.map(c => toPhysicalName(st.colMap, c)))
+    def amend(entry: String): String = amendNdvEntry(entry, sketches)
     val f = fs(spark, path)
     onBeforePublish()
     var m = manifest(f, path, st.v)

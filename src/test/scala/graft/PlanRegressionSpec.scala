@@ -410,15 +410,25 @@ class PlanRegressionSpec extends SparkSpec {
     val clean = planOf()
     assert(clean.contains("ColumnarToRow"),
       s"clean snapshot scan should read columnar:\n$clean")
-    // a single delete file anywhere flips the WHOLE scan row-based
-    // (batch readers cannot count positions for the MoR apply)
+    // POSITIONAL deletes stay columnar: the MoR apply is a zero-copy
+    // selection view per batch ([[graft.io.SelectedColumnVector]]),
+    // so a CDC-heavy table keeps vectorized reads
     graft.io.Snapshots.deleteWhere(spark, s"$wh/db/t",
       col("v") === 0L, mode = "mor")
     val mor = planOf()
-    assert(!mor.contains("ColumnarToRow"),
-      s"delete-bearing snapshot scan must stay row-based:\n$mor")
+    assert(mor.contains("ColumnarToRow"),
+      s"positional-delete snapshot scan should read columnar:\n$mor")
     // results exact either way
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.t")
       .head().getLong(0) === 999L)
+    // EQUALITY deletes flip the scan row-based (their kill test
+    // probes row values)
+    graft.io.Snapshots.deleteKeysEq(spark, s"$wh/db/t",
+      spark.range(1L, 2L).toDF("v"), Seq("v"))
+    val eq = planOf()
+    assert(!eq.contains("ColumnarToRow"),
+      s"equality-delete snapshot scan must stay row-based:\n$eq")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t")
+      .head().getLong(0) === 998L)
   }
 }

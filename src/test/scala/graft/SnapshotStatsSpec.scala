@@ -220,4 +220,152 @@ class SnapshotStatsSpec extends SparkSpec {
         s"pruned stats ($pruned) should be below full-table ($all)")
     }
   }
+
+  private def ndvOf(sql: String, colName: String): Option[Long] =
+    spark.sql(sql).queryExecution.optimizedPlan.stats
+      .attributeStats.toSeq
+      .collectFirst { case (a, cs) if a.name == colName => cs }
+      .flatMap(_.distinctCount.map(_.toLong))
+
+  test("stats.ndv.auto: appends keep distinctCount serving, no manual CALL") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (v BIGINT, s STRING) " +
+      "TBLPROPERTIES ('stats.ndv.auto' = 'true')")
+    spark.range(0L, 1000L).toDF("i")
+      .selectExpr("i % 250 AS v", "concat('g', i % 10) AS s")
+      .createOrReplaceTempView("ndv_auto_src")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM ndv_auto_src")
+    withCbo {
+      val n = ndvOf(s"SELECT v FROM $cat.db.t", "v")
+        .getOrElse(fail("first auto-analyzed commit served no NDV"))
+      assert(math.abs(n - 250) <= 100, s"NDV estimate off: $n vs 250")
+    }
+    // the r14 posture this property exists to fix: an APPEND after
+    // analysis used to refuse distinctCount until a manual
+    // `CALL system.analyze_ndv`; with auto on, the new files carry
+    // their sketches from the commit itself
+    spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM ndv_auto_src")
+    withCbo {
+      val n = ndvOf(s"SELECT v FROM $cat.db.t", "v")
+        .getOrElse(fail("append under stats.ndv.auto lost the NDV"))
+      assert(math.abs(n - 250) <= 100, s"NDV estimate off: $n vs 250")
+      val s = ndvOf(s"SELECT s FROM $cat.db.t", "s")
+        .getOrElse(fail("string column lost the NDV"))
+      assert(s >= 5 && s <= 20, s"s NDV estimate off: $s vs 10")
+    }
+    // auto sketches and a manual analyze must MERGE (identical
+    // arithmetic): re-analyzing changes nothing material
+    Snapshots.analyzeNdv(spark, s"$wh/db/t", Seq("v"))
+    withCbo {
+      val n = ndvOf(s"SELECT v FROM $cat.db.t", "v").getOrElse(
+        fail("manual analyze over auto sketches served no NDV"))
+      assert(math.abs(n - 250) <= 100, s"NDV estimate off: $n")
+    }
+  }
+
+  test("stats.ndv.auto: CSV column list sketches exactly those columns") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (v BIGINT, w BIGINT) " +
+      "TBLPROPERTIES ('stats.ndv.auto' = 'v')")
+    spark.range(0L, 500L).toDF("i")
+      .selectExpr("i % 100 AS v", "i AS w")
+      .createOrReplaceTempView("ndv_csv_src")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM ndv_csv_src")
+    withCbo {
+      assert(ndvOf(s"SELECT v, w FROM $cat.db.t", "v").isDefined,
+        "listed column v served no NDV")
+      assert(ndvOf(s"SELECT v, w FROM $cat.db.t", "w").isEmpty,
+        "unlisted column w must not carry an NDV sketch")
+    }
+  }
+
+  test("stats.ndv.auto: compaction re-sketches the rewritten files") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (v BIGINT, s STRING) " +
+      "TBLPROPERTIES ('stats.ndv.auto' = 'v')")
+    spark.range(0L, 400L).toDF("i")
+      .selectExpr("i % 80 AS v", "'x' AS s")
+      .createOrReplaceTempView("ndv_cp_src")
+    (0 until 3).foreach { _ =>
+      spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM ndv_cp_src")
+    }
+    Snapshots.compact(spark, s"$wh/db/t", targetFileBytes = 1L << 20)
+    withCbo {
+      val n = ndvOf(s"SELECT v FROM $cat.db.t", "v")
+        .getOrElse(fail("compaction dropped the auto NDV sketches"))
+      assert(math.abs(n - 80) <= 40, s"NDV estimate off: $n vs 80")
+    }
+  }
+
+  test("equi-height histogram: skewed-predicate selectivity within 2x of truth") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (v BIGINT)")
+    // 90% of rows hold v = 500; the rest spread uniformly over
+    // 0..9999 — the shape where the uniform min/max guess is off by
+    // 15x (estimates ~6% for v <= 600, truth ~91%)
+    spark.range(0L, 10000L).toDF("i")
+      .selectExpr(
+        "CASE WHEN i % 10 < 9 THEN 500 ELSE (i * 7919) % 10000 END " +
+          "AS v")
+      .createOrReplaceTempView("hist_src")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM hist_src")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM hist_src")
+    Snapshots.analyzeNdv(spark, s"$wh/db/t", Seq("v"))
+    val truth = spark.sql(
+      s"SELECT count(*) FROM $cat.db.t WHERE v <= 600")
+      .head().getLong(0).toDouble
+    withCbo {
+      val est = spark.sql(s"SELECT v FROM $cat.db.t WHERE v <= 600")
+        .queryExecution.optimizedPlan.stats.rowCount
+        .getOrElse(fail("no CBO row estimate")).toDouble
+      assert(est >= truth / 2 && est <= truth * 2,
+        s"histogram estimate $est vs truth $truth (20000 rows total)")
+      // and it must have beaten the uniform-range guess (~6%): the
+      // histogram is load-bearing, not the min/max interpolation
+      val uniform = 20000.0 * 601.0 / 10000.0
+      assert(est > uniform * 4,
+        s"estimate $est looks like the uniform guess ($uniform) - " +
+          "histogram not consulted")
+    }
+    // CBO off: zero planning cost, zero stats served
+    val off = spark.sql(s"SELECT v FROM $cat.db.t WHERE v <= 600")
+      .queryExecution.optimizedPlan.stats
+    assert(off.attributeStats.isEmpty,
+      "column stats must not compute with CBO off")
+  }
+
+  test("histogram refuses after an unanalyzed append (absent beats stale)") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (v BIGINT)")
+    spark.range(0L, 1000L).toDF("v")
+      .createOrReplaceTempView("hist_ref_src")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM hist_ref_src")
+    Snapshots.analyzeNdv(spark, s"$wh/db/t", Seq("v"))
+    spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM hist_ref_src")
+    withCbo {
+      val cs = spark.sql(s"SELECT v FROM $cat.db.t")
+        .queryExecution.optimizedPlan.stats.attributeStats.toSeq
+        .collectFirst { case (a, s) if a.name == "v" => s }
+      assert(cs.forall(_.histogram.isEmpty),
+        s"histogram must refuse after an unanalyzed append: $cs")
+    }
+  }
+
+  test("without stats.ndv.auto the refusal posture is unchanged") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (v BIGINT)")
+    spark.range(0L, 100L).toDF("v")
+      .createOrReplaceTempView("ndv_off_src")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM ndv_off_src")
+    withCbo {
+      assert(ndvOf(s"SELECT v FROM $cat.db.t", "v").isEmpty,
+        "un-opted-in table must not serve distinctCount")
+    }
+  }
 }

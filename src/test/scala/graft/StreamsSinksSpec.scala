@@ -23,6 +23,40 @@ class StreamsSinksSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streaming state lives in the RocksDB state store") {
+    // the conf is the contract (GraftSession and SparkSpec both pin
+    // it): the default HDFS-backed provider keeps every key on the
+    // executor HEAP — at 100x state sizes (stream-stream join
+    // buffers, dedup key sets) that OOMs long before the box runs
+    // out of memory, while RocksDB spills to local disk and
+    // checkpoints incrementally
+    assert(spark.conf.get(
+      "spark.sql.streaming.stateStore.providerClass")
+      .endsWith("RocksDBStateStoreProvider"))
+    // and a stateful query actually RUNS on it: progress metrics
+    // expose RocksDB-specific counters only that provider emits
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    val src = MemoryStream[(String, Int)]
+    src.addData(("a", 1), ("a", 2), ("b", 3))
+    val q = src.toDF().toDF("k", "v")
+      .groupBy("k").count()
+      .writeStream.format("memory").queryName("rocks_probe")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val ops = q.lastProgress.stateOperators
+      assert(ops.nonEmpty, "no stateful operator in progress")
+      val custom = ops.head.customMetrics
+      assert(custom.containsKey("rocksdbFilesCopied") ||
+        custom.containsKey("rocksdbTotalCompactLatencyMs"),
+        s"state-store metrics are not RocksDB's: $custom")
+      assert(ops.head.numRowsTotal == 2L)
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER join == batch left join (outer rows flushed)") {
     val streamed = Streams.runToTable(
       Streams.purchaseClickLeftJoin(
