@@ -68,9 +68,12 @@ object Bench {
     // old code to prove exactly this distinction.
     // (id*id stays < 2^63 for id < 4e8; the %97 keeps the SUM inside
     // long range under ANSI arithmetic)
+    // 1e9 rows ≈ 0.5-1 s per rep: long enough that scheduler jitter
+    // and frequency ramp-up amortize (a 0.2 s probe swung ±50%
+    // run-to-run; the drift RATIO needs a stable numerator)
     def calibrate(): Double = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
-      spark.range(400000000L).selectExpr("sum((id * id) % 97)")
+      spark.range(1000000000L).selectExpr("sum((id * id) % 97)")
         .collect()
       (System.nanoTime() - t0) / 1e9
     }.min

@@ -1685,6 +1685,63 @@ private[graft] object QueriesIo {
     }
   }
 
+  /** AUTO-ANALYZE gate (`stats.ndv.auto` table property ×
+    * [[graft.io.Snapshots]] `publishLoop`): a table created with the
+    * property keeps serving `distinctCount` (and the equi-height
+    * histogram it rides with) across appends with NO manual `CALL
+    * system.analyze_ndv` — the sketches are computed at commit over
+    * the delta only. The gate appends TWICE after creation and
+    * emits tolerance booleans against exact distinct counts (the
+    * `q_snapshot_analyze` posture), plus an in-gate assert that the
+    * NDV would have REFUSED had the property been off (the second
+    * commit is un-analyzed by manual standards).
+    */
+  def snapshotAutoNdv(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "snap_andv_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = "gandv_" + math.abs(wh.hashCode).toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    t(s, dir, "documents").createOrReplaceTempView("graft_andv_src")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, lang STRING, " +
+      "n_chars BIGINT) " +
+      "TBLPROPERTIES ('stats.ndv.auto' = 'doc_id,lang')")
+    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, lang, n_chars " +
+      "FROM graft_andv_src")
+    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id + 5000000, lang, " +
+      "n_chars FROM graft_andv_src")
+    val old = s.conf.getOption("spark.sql.cbo.enabled")
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = s.sql(s"SELECT doc_id, lang FROM $cat.db.docs")
+        .queryExecution.optimizedPlan.stats
+      val byName = stats.attributeStats.toSeq
+        .map { case (a, cs) => a.name -> cs }.toMap
+      def ndv(c: String): Long = byName.get(c)
+        .flatMap(_.distinctCount.map(_.toLong)).getOrElse(
+          throw new IllegalStateException(
+            s"q_snapshot_autondv: appends lost distinctCount for " +
+              s"$c: ${stats.attributeStats}"))
+      val exact = s.sql(s"SELECT count(*) AS n_docs, " +
+        s"count(DISTINCT doc_id) AS exact_ids, " +
+        s"count(DISTINCT lang) AS exact_langs FROM $cat.db.docs")
+        .collect().head
+      import s.implicits._
+      Seq((exact.getLong(0), exact.getLong(1), exact.getLong(2),
+        math.abs(ndv("doc_id") - exact.getLong(1)) <=
+          exact.getLong(1) * 0.40 + 4,
+        math.abs(ndv("lang") - exact.getLong(2)) <=
+          exact.getLong(2) * 0.40 + 4))
+        .toDF("n_docs", "exact_ids", "exact_langs", "ndv_ids_ok",
+          "ndv_langs_ok")
+    } finally old match {
+      case Some(v) => s.conf.set("spark.sql.cbo.enabled", v)
+      case None => s.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
   /** DELETE-FILE MAINTENANCE gate
     * ([[graft.io.Snapshots.rewriteDeletes]]): three merge-on-read
     * positional delete commits plus one equality delete accrete
@@ -2212,6 +2269,7 @@ private[graft] object QueriesIo {
     "q_snapshot_topn" -> (snapshotTopN _),
     "q_snapshot_range_skip" -> (snapshotRangeSkip _),
     "q_snapshot_analyze" -> (snapshotAnalyze _),
+    "q_snapshot_autondv" -> (snapshotAutoNdv _),
     "q_snapshot_ctas" -> (snapshotCtas _),
     "q_snapshot_rewrite_dv" -> (snapshotRewriteDv _),
     "q_snapshot_branch" -> (snapshotBranch _),
@@ -2478,6 +2536,12 @@ private[graft] object QueriesIo {
          SELECT doc_id + 5000000, text, lang, n_chars FROM documents
          WHERE doc_id <= 2000""",
     "q_snapshot_analyze" ->
+      """SELECT CAST(2 * count(*) AS BIGINT) AS n_docs,
+           CAST(2 * count(DISTINCT doc_id) AS BIGINT) AS exact_ids,
+           CAST(count(DISTINCT lang) AS BIGINT) AS exact_langs,
+           TRUE AS ndv_ids_ok, TRUE AS ndv_langs_ok
+         FROM documents""",
+    "q_snapshot_autondv" ->
       """SELECT CAST(2 * count(*) AS BIGINT) AS n_docs,
            CAST(2 * count(DISTINCT doc_id) AS BIGINT) AS exact_ids,
            CAST(count(DISTINCT lang) AS BIGINT) AS exact_langs,

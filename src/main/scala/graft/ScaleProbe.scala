@@ -61,12 +61,26 @@ object ScaleProbe {
     })
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val md = docs.agg(max("doc_id")).collect()(0).getLong(0) + 1L
+    // per-copy LETTER TRANSLATION (rotate the 10 most common English
+    // letters), not a suffix: a one-token suffix left cross-copy
+    // Jaccard ≈ 1, so every doc gained 9 near-copies and the
+    // candidate-pair graph grew ~45× while rows grew 10× — the
+    // r15 probe measured that fixture artifact as a 12.8× dedup
+    // ratio. Translation rewrites nearly every character trigram,
+    // so cross-copy similarity collapses below any threshold while
+    // WITHIN-copy dup structure (the same mapping applied to both
+    // members of a real dup pair) is preserved exactly — a 10×
+    // corpus with the 1× corpus's dup RATE, which is what a real
+    // 10× crawl looks like.
     save("documents", copies(docs) { (d, i) =>
       val shifted = d.withColumn("doc_id", col("doc_id") + lit(i * md))
       if (i == 0) shifted
-      else shifted
-        .withColumn("text", concat(col("text"), lit(s" probecopy$i")))
-        .withColumn("n_chars", length(col("text")).cast("long"))
+      else {
+        val alpha = "etaoinsrhl"
+        val perm = alpha.substring(i) + alpha.substring(0, i)
+        shifted.withColumn("text",
+          translate(col("text"), alpha, perm))
+      }
     })
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val mv = emb.agg(max("vec_id")).collect()(0).getLong(0) + 1L

@@ -163,7 +163,7 @@ object SnapshotBatchScan {
     * Spark's ANALYZE default (254) because the per-file summaries
     * carry 17 points each; more bins than source points per file
     * would manufacture fake resolution. */
-  private[io] val HistogramBins = 64
+  private[graft] val HistogramBins = 64
 
   /** Fold per-file quantile summaries into one equi-height
     * histogram, in the BOUNDARY-BASED shape Spark's own ANALYZE
@@ -181,7 +181,7 @@ object SnapshotBatchScan {
     * under-counting ndv only over-estimates equality selectivity,
     * the safe direction for plan choice.
     */
-  private[io] def buildHistogram(
+  private[graft] def buildHistogram(
       perFile: List[(Array[Double], Long)], colMin: Double,
       colMax: Double, ndvOpt: Option[Long])
       : Option[org.apache.spark.sql.connector.read.colstats
@@ -643,6 +643,14 @@ private[graft] final class SnapshotScanBuilder(
     val integral = Set[DataType](ByteType, ShortType, IntegerType,
       LongType)
     val stringT = org.apache.spark.sql.types.StringType
+    def tsBoundsOf(name: String, es: Seq[String])
+        : Option[(Long, Long)] = {
+      if (es.isEmpty) return None
+      val phys = l2p.getOrElse(name, name)
+      val per = es.map(e => Snapshots.tsStatsOf(e).get(phys))
+      if (per.exists(_.isEmpty)) None
+      else Some((per.map(_.get._1).min, per.map(_.get._2).max))
+    }
     def minMaxPlan(column: VExpression, i: Int, isMin: Boolean)
         : Option[(StructField, Seq[String] => Option[Any])] =
       singleCol(column).flatMap { c =>
@@ -656,6 +664,20 @@ private[graft] final class SnapshotScanBuilder(
           else if (dt == stringT)
             Some((StructField(s"agg_$i", stringT, nullable = false),
               (es: Seq[String]) => stringBoundOf(c, es, isMin)))
+          else if (dt == org.apache.spark.sql.types.DateType)
+            // DATE bounds ride the 'L' stats as epoch days; the
+            // catalyst-internal date IS the day count (Int)
+            Some((StructField(s"agg_$i", dt, nullable = false),
+              (es: Seq[String]) => longBoundsOf(c, es).map(b =>
+                Int.box((if (isMin) b._1 else b._2).toInt): Any)))
+          else if (dt == org.apache.spark.sql.types.TimestampType ||
+              dt == org.apache.spark.sql.types.TimestampNTZType)
+            // TIMESTAMP bounds ride the 'U' stats as micros — the
+            // catalyst-internal timestamp value; `SELECT max(ts)`
+            // (the table-freshness probe) answers from the manifest
+            Some((StructField(s"agg_$i", dt, nullable = false),
+              (es: Seq[String]) => tsBoundsOf(c, es).map(b =>
+                Long.box(if (isMin) b._1 else b._2): Any)))
           else None
         }
       }
@@ -1118,8 +1140,15 @@ private[graft] final class SnapshotBatchScan(
       : Seq[String] = {
     if (dvs.nonEmpty) return es
     val dt = tableSchema(key.col).dataType
+    // DATE bounds ride the 'L' stats as epoch days; TIMESTAMP the
+    // 'U' stats as micros — both compare as longs, so `ORDER BY ts
+    // DESC LIMIT k` (the "newest rows" probe) prunes to the tail
+    // files exactly like an integral key
+    val isDate = dt == org.apache.spark.sql.types.DateType
+    val isTs = dt == org.apache.spark.sql.types.TimestampType ||
+      dt == org.apache.spark.sql.types.TimestampNTZType
     val integral = dt == ByteType || dt == ShortType ||
-      dt == IntegerType || dt == LongType
+      dt == IntegerType || dt == LongType || isDate || isTs
     val isStr = dt == org.apache.spark.sql.types.StringType
     if (!integral && !isStr) return es
     val phys = colMap.map(_.swap).getOrElse(key.col, key.col)
@@ -1131,7 +1160,9 @@ private[graft] final class SnapshotBatchScan(
       val rows = Snapshots.entryMeta(spark, path, e)._3
       val nulls = Snapshots.nullCountOf(e).get(phys)
       val bounds: Option[(Any, Any)] =
-        if (integral) Snapshots.longStatsOf(e).get(phys)
+        if (isTs) Snapshots.tsStatsOf(e).get(phys)
+          .map(b => (b._1: Any, b._2: Any))
+        else if (integral) Snapshots.longStatsOf(e).get(phys)
           .map(b => (b._1: Any, b._2: Any))
         else Snapshots.stringExactStatsOf(e).get(phys).flatMap {
           case (Some(mn), Some(mx)) => Some((mn: Any, mx: Any))
@@ -1359,8 +1390,12 @@ private[graft] final class SnapshotBatchScan(
     // keep row-group pruning and range splits. Equality deletes
     // stay row-based: their kill test probes row VALUES, which a
     // batch would have to materialize row-by-row anyway.
+    // `graft.scan.forceRowRead` is a PROBE seam (MorProbe times the
+    // columnar MoR path against the row path it replaced); never set
+    // in production
     val canBatch = !withMeta && pushedLimit.isEmpty &&
-      pushedTopN.isEmpty && !dvs.exists(_.startsWith("eq:"))
+      pushedTopN.isEmpty && !dvs.exists(_.startsWith("eq:")) &&
+      !sys.props.get("graft.scan.forceRowRead").contains("true")
     val batchRead =
       if (canBatch)
         ScanBridge.parquetBatchReadFunc(spark, physData, physRequired,

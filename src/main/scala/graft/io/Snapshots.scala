@@ -421,6 +421,24 @@ object Snapshots {
       }.toMap
   }
 
+  /** TIMESTAMP(MICROS) bounds of an entry ('U' kind): name →
+    * (min, max) micros since epoch — the timestamp range-pruning
+    * domain ([[prunedEntriesBound]] coerces literals to the same
+    * unit). Kept apart from 'L': the unit belongs to the write-time
+    * parquet annotation, and only MICROS files commit it. */
+  private[graft] def tsStatsOf(entry: String): Map[String, (Long, Long)] = {
+    val i = entry.indexOf('\t')
+    if (i < 0) Map.empty
+    else entry.substring(i + 1).split(';').iterator.filter(_.nonEmpty)
+      .flatMap { part =>
+        part.split(':') match {
+          case Array(name, "U", mn, mx) =>
+            Some(name -> (mn.toLong, mx.toLong))
+          case _ => None
+        }
+      }.toMap
+  }
+
   /** Exact integral (kind 'L') stats of an entry: name → (min, max)
     * as LONGS — the aggregate-pushdown domain, where [[statsOf]]'s
     * double widening would lose exactness past 2^53. */
@@ -923,6 +941,9 @@ object Snapshots {
         .empty[String, (Long, Long)]
       val sacc = scala.collection.mutable.LinkedHashMap
         .empty[String, (Array[Byte], Array[Byte])]
+      // TIMESTAMP(MICROS) bounds ('U' kind): micros since epoch
+      val uacc = scala.collection.mutable.LinkedHashMap
+        .empty[String, (Long, Long)]
       // per-column NULL counts ('N' kind): `COUNT(col)` answers from
       // the manifest as rows - nulls ([[nullCountOf]]); any chunk
       // with unknown null count kills the column's entry
@@ -954,6 +975,20 @@ object Snapshots {
           (tpe == PrimitiveTypeName.INT32 &&
             logical.isInstanceOf[org.apache.parquet.schema
               .LogicalTypeAnnotation.DateLogicalTypeAnnotation])
+        // TIMESTAMP(MICROS) INT64 (what [[graft.GraftSession]]'s
+        // outputTimestampType writes): bounds commit as 'U'-kind
+        // micros — a DISTINCT kind because the unit is the
+        // annotation's, not the column's; a MILLIS/NANOS-annotated
+        // import must never serve micros pruning, so only MICROS
+        // qualifies (others stay stat-less: kept, never skipped)
+        val isMicrosTs = tpe == PrimitiveTypeName.INT64 &&
+          (logical match {
+            case t: org.apache.parquet.schema.LogicalTypeAnnotation
+                .TimestampLogicalTypeAnnotation =>
+              t.getUnit == org.apache.parquet.schema
+                .LogicalTypeAnnotation.TimeUnit.MICROS
+            case _ => false
+          })
         val isString = tpe == PrimitiveTypeName.BINARY &&
           logical.isInstanceOf[org.apache.parquet.schema
             .LogicalTypeAnnotation.StringLogicalTypeAnnotation]
@@ -1004,6 +1039,20 @@ object Snapshots {
               case None => acc(name) = (tag, mn, mx)
             }
           }
+        } else if (isMicrosTs && nameOk) {
+          val st = c.getStatistics
+          if (st == null || !st.hasNonNullValue) dead += name
+          else {
+            val mn = st.genericGetMin.asInstanceOf[java.lang.Long]
+              .longValue()
+            val mx = st.genericGetMax.asInstanceOf[java.lang.Long]
+              .longValue()
+            uacc.get(name) match {
+              case Some((lo, hi)) =>
+                uacc(name) = (math.min(lo, mn), math.max(hi, mx))
+              case None => uacc(name) = (mn, mx)
+            }
+          }
         } else if (isString && nameOk) {
           // string columns: UTF-8 byte-wise min/max (the order Spark's
           // UTF8String comparisons use), truncated to bounds at
@@ -1026,7 +1075,8 @@ object Snapshots {
       })
       val numeric =
         (lacc -- dead).map { case (n, (mn, mx)) => s"$n:L:$mn:$mx" } ++
-        (acc -- dead).map { case (n, (t, mn, mx)) => s"$n:$t:$mn:$mx" }
+        (acc -- dead).map { case (n, (t, mn, mx)) => s"$n:$t:$mn:$mx" } ++
+        (uacc -- dead).map { case (n, (mn, mx)) => s"$n:U:$mn:$mx" }
       // truncated-prefix bounds, Parquet's own rule: the min bound is
       // the first 16 bytes verbatim (truncation only lowers); the max
       // bound increments the last non-0xFF byte of the 16-byte prefix
@@ -1267,7 +1317,20 @@ object Snapshots {
       .map(c => toPhysicalName(colMap, c))
       .foldLeft(writer)((w, phys) =>
         w.option(s"parquet.bloom.filter.enabled#$phys", "true"))
-    withBloom.parquet(s"$path/$commitDir")
+    // store files write timestamps as INT64 MICROS (matching the
+    // DSv2 task-write path in WriteBridge): legacy INT96 has no
+    // usable statistics, and the 'U'-kind manifest bounds that let
+    // `ts BETWEEN` prune come from these footers. Scoped to this
+    // write via set/restore — Verify dumps and user sinks keep the
+    // session default
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try withBloom.parquet(s"$path/$commitDir")
+    finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
     val conf = spark.sessionState.newHadoopConf()
     val fresh = listCommitFiles(f, path, commitDir).map { rel =>
       val p = new Path(s"$path/$rel")
@@ -3004,10 +3067,22 @@ object Snapshots {
     * An entry none of them can disprove is kept — prune only on
     * proof.
     */
+  /** `useFileStats = false` prefers partition-DIRECTORY proof
+    * (hidden transforms + identity) over file stats — what scoped
+    * compaction wants: `scope = ("ts" -> someTimestamp)` on a
+    * days(ts) layout means "the partition sliver this value lands
+    * in" (ALL of that day's fragments), and file min/max stats
+    * would narrow it to the one file holding that exact value,
+    * turning the bin-pack into a no-op. When the column derives NO
+    * partition field, stats remain the only proof and stay on
+    * (scoping a non-layout column to an absent value must still
+    * select nothing). Reads always keep stats pruning on.
+    */
   private[graft] def prunedEntriesEquals(spark: SparkSession,
                                          path: String, column: String,
                                          value: Any,
-                                         version: Option[Long] = None)
+                                         version: Option[Long] = None,
+                                         useFileStats: Boolean = true)
       : (Seq[String], Int) = {
     require(value != null,
       "snapshot: readEquals needs a non-null value (col = NULL " +
@@ -3064,16 +3139,38 @@ object Snapshots {
         Some(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       case _ => None
     }
+    // timestamp point lookups prune through the 'U' micros bounds
+    val tsVal: Option[Long] = (dt, value) match {
+      case (org.apache.spark.sql.types.TimestampType,
+            t: java.sql.Timestamp) =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .fromJavaTimestamp(t))
+      case (org.apache.spark.sql.types.TimestampType,
+            t: java.time.Instant) =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .instantToMicros(t))
+      case (org.apache.spark.sql.types.TimestampNTZType,
+            t: java.time.LocalDateTime) =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .localDateTimeToMicros(t))
+      case _ => None
+    }
     val kept = m.entries.filter { e =>
       val vals = partValsOf(relOf(e))
       val dirOk = expect.forall { case (k, exp) =>
         vals.get(k).forall(_ == exp) }
-      val statOk = numVal.forall(d => statsOf(e).get(phys).forall {
-        case (mn, mx) => mx >= d && mn <= d })
-      val sOk = strVal.forall(b => stringStatsOf(e).get(phys).forall {
-        case (mn, mxOpt) => bytesCompare(mn, b) <= 0 &&
-          mxOpt.forall(mx => bytesCompare(mx, b) >= 0) })
-      dirOk && statOk && sOk
+      val statsApply = useFileStats || fields.isEmpty
+      val statOk = !statsApply ||
+        numVal.forall(d => statsOf(e).get(phys).forall {
+          case (mn, mx) => mx >= d && mn <= d })
+      val sOk = !statsApply ||
+        strVal.forall(b => stringStatsOf(e).get(phys).forall {
+          case (mn, mxOpt) => bytesCompare(mn, b) <= 0 &&
+            mxOpt.forall(mx => bytesCompare(mx, b) >= 0) })
+      val tsOk = !statsApply ||
+        tsVal.forall(u => tsStatsOf(e).get(phys).forall {
+          case (mn, mx) => mx >= u && mn <= u })
+      dirOk && statOk && sOk && tsOk
     }
     (kept, m.entries.size)
   }
@@ -3154,7 +3251,22 @@ object Snapshots {
         Some(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       case _ => None
     }
-    if (numVal.isEmpty && strVal.isEmpty)
+    // timestamp literals coerce to MICROS — the 'U' stat unit; both
+    // external spellings (java.sql vs java.time) and both catalyst
+    // timestamp types arrive here depending on session conf
+    val tsVal: Option[Long] = (dt, value) match {
+      case (TimestampType, t: java.sql.Timestamp) =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .fromJavaTimestamp(t))
+      case (TimestampType, t: java.time.Instant) =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .instantToMicros(t))
+      case (TimestampNTZType, t: java.time.LocalDateTime) =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .localDateTimeToMicros(t))
+      case _ => None
+    }
+    if (numVal.isEmpty && strVal.isEmpty && tsVal.isEmpty)
       return (m.entries, m.entries.size)
     val kept = m.entries.filter { e =>
       val numOk = numVal.forall { d =>
@@ -3180,7 +3292,11 @@ object Snapshots {
           if (lower) mxOpt.forall(mx => bytesCompare(mx, b) >= 0)
           else bytesCompare(mn, b) <= 0 }
       }
-      numOk && strOk
+      val tsOk = tsVal.forall { u =>
+        tsStatsOf(e).get(phys).forall { case (mn, mx) =>
+          if (lower) mx >= u else mn <= u }
+      }
+      numOk && strOk && tsOk
     }
     (kept, m.entries.size)
   }
@@ -4751,7 +4867,11 @@ object Snapshots {
     val selected =
       if (scope.isEmpty) all
       else scope.map { case (c, value) =>
-        prunedEntriesEquals(spark, path, c, value, Some(v))._1.toSet
+        // directory-only proof: the scope means "this value's
+        // partition sliver" — every fragment of the day/bucket —
+        // not "the one file whose stats contain this exact value"
+        prunedEntriesEquals(spark, path, c, value, Some(v),
+          useFileStats = false)._1.toSet
       }.reduce(_ intersect _).toSeq.sortBy(identity[String])
     val carried = all.filterNot(selected.toSet)
     // a scoped compact must keep the manifest's delete files: carried

@@ -66,6 +66,18 @@ object WriteBridge {
     val factory =
       new ParquetFileFormat().prepareWrite(spark, job, Map.empty,
         dataSchema)
+    // snapshot-store files always write timestamps as INT64 MICROS,
+    // whatever the session writes elsewhere: legacy INT96 carries no
+    // usable min/max statistics (its ordering is deprecated), so a
+    // store written with it could never commit the 'U'-kind bounds
+    // that make `WHERE ts BETWEEN a AND b` prune at the manifest.
+    // ParquetWriteSupport reads this key from the TASK-side hadoop
+    // conf prepareWrite populated — overriding here scopes the
+    // choice to store files only (Verify result dumps and user
+    // sinks keep the session default, which external readers
+    // interpret as tz-naive).
+    job.getConfiguration.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
     TaskWriteSupport(factory,
       new SerializableConfiguration(job.getConfiguration))
   }

@@ -146,6 +146,40 @@ class SnapshotPushdownSpec extends SparkSpec {
       Seq("k000000", "k000001", "k000002"))
   }
 
+  test("pushed top-N over TIMESTAMP and DATE keys prunes via 'U'/'L' bounds") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (v BIGINT, ts TIMESTAMP, " +
+      "d DATE)")
+    (0 until 4).foreach { i =>
+      spark.range(i * 1000L, (i + 1) * 1000L).toDF("v")
+        .selectExpr("v", "timestamp_seconds(1700000000 + v) AS ts",
+          "date_add(DATE'2020-01-01', cast(v AS INT)) AS d")
+        .createOrReplaceTempView("push_ts_src")
+      spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM push_ts_src")
+    }
+    val (_, total) = opened(
+      spark.sql(s"SELECT sum(v * 2) FROM $cat.db.t").collect())
+    // newest-rows probe: DESC top-k must read only the tail files
+    val qTs = spark.sql(
+      s"SELECT v FROM $cat.db.t ORDER BY ts DESC LIMIT 3")
+    val (planTs, ioTs) = opened(planOf(qTs))
+    assert(planTs.contains("pushedTopN=[ts DESC]"),
+      s"timestamp top-N not pushed:\n$planTs")
+    assert(ioTs < total,
+      s"timestamp top-N still opened $ioTs of $total files")
+    assert(qTs.collect().map(_.getLong(0)).toSeq ==
+      Seq(3999L, 3998L, 3997L))
+    val qD = spark.sql(
+      s"SELECT v FROM $cat.db.t ORDER BY d ASC LIMIT 3")
+    val (planD, ioD) = opened(planOf(qD))
+    assert(planD.contains("pushedTopN=[d ASC]"),
+      s"date top-N not pushed:\n$planD")
+    assert(ioD < total,
+      s"date top-N still opened $ioD of $total files")
+    assert(qD.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("top-N null ordering: NULLS FIRST keeps null-bearing files, NULLS LAST outranks them") {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")

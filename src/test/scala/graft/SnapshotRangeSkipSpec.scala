@@ -28,19 +28,22 @@ class SnapshotRangeSkipSpec extends SparkSpec {
 
   /** Four commits of 1,000 rows each with DISJOINT v ranges
     * (i*1000 until (i+1)*1000); `s` mirrors v as a sortable string
-    * ("k000000".."k003999"); `ts` is a TIMESTAMP (no manifest stats
-    * — the refusal fixture); `d` a DATE mirroring v as days. */
+    * ("k000000".."k003999"); `ts` a TIMESTAMP mirroring v as
+    * seconds (INT64-micros stats — prunes); `d` a DATE mirroring v
+    * as days; `dec` a DECIMAL (no manifest stats — the refusal
+    * fixture). */
   private def rangedTable(): (String, String) = {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")
     spark.sql(s"CREATE TABLE $cat.db.t (v BIGINT, s STRING, " +
-      "ts TIMESTAMP, d DATE, payload STRING)")
+      "ts TIMESTAMP, d DATE, dec DECIMAL(12,2), payload STRING)")
     (0 until 4).foreach { i =>
       spark.range(i * 1000L, (i + 1) * 1000L).toDF("v")
         .selectExpr("v",
           "concat('k', lpad(cast(v AS STRING), 6, '0')) AS s",
           "timestamp_seconds(1700000000 + v) AS ts",
           "date_add(DATE'2020-01-01', cast(v AS INT)) AS d",
+          "cast(v AS DECIMAL(12,2)) AS dec",
           "repeat('x', 20) AS payload")
         .createOrReplaceTempView("rskip_src")
       spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM rskip_src")
@@ -132,16 +135,34 @@ class SnapshotRangeSkipSpec extends SparkSpec {
     assert(io < total, s"date BETWEEN opened $io of $total files")
   }
 
+  test("TIMESTAMP ranges prune via the micros 'U' bounds") {
+    val (cat, _) = rangedTable()
+    val total = totalFiles(cat)
+    // the reference's month-windowing shape: a BETWEEN on the time
+    // column opens only the overlapping commit's files
+    val (vs, io) = runLongs(spark.sql(s"SELECT v FROM $cat.db.t " +
+      "WHERE ts BETWEEN timestamp_seconds(1700000100) " +
+      "AND timestamp_seconds(1700000199)"))
+    assert(vs == (100L to 199L).toSeq)
+    assert(io < total,
+      s"timestamp BETWEEN opened $io of $total files")
+    val (hi, ioHi) = runLongs(spark.sql(s"SELECT v FROM $cat.db.t " +
+      "WHERE ts >= timestamp_seconds(1700003500)"))
+    assert(hi == (3500L to 3999L).toSeq)
+    assert(ioHi < total,
+      s"timestamp >= opened $ioHi of $total files")
+  }
+
   test("stats-less column types refuse pruning but stay exact") {
     val (cat, _) = rangedTable()
     val total = totalFiles(cat)
-    // TIMESTAMP columns carry no manifest stats and the literal is
+    // DECIMAL columns carry no manifest stats and the literal is
     // never coerced: every file must open (prune only on proof)
     val (vs, io) = runLongs(spark.sql(s"SELECT v FROM $cat.db.t " +
-      "WHERE ts >= timestamp_seconds(1700003500)"))
+      "WHERE dec >= 3500.00"))
     assert(vs == (3500L to 3999L).toSeq)
     assert(io == total,
-      s"timestamp range wrongly pruned ($io of $total files)")
+      s"decimal range wrongly pruned ($io of $total files)")
   }
 
   test("null-bearing commits never lose rows to range pruning") {
@@ -151,8 +172,8 @@ class SnapshotRangeSkipSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $cat.db.t " +
       "SELECT CASE WHEN id % 2 = 0 THEN 150 + id END AS v, " +
       "'k-null' AS s, CAST(NULL AS TIMESTAMP) AS ts, " +
-      "CAST(NULL AS DATE) AS d, 'p' AS payload " +
-      "FROM range(0, 10)")
+      "CAST(NULL AS DATE) AS d, CAST(NULL AS DECIMAL(12,2)) AS dec, " +
+      "'p' AS payload FROM range(0, 10)")
     val (vs, _) = runLongs(spark.sql(
       s"SELECT v FROM $cat.db.t WHERE v BETWEEN 100 AND 199"))
     // 100..199 from commit 0 plus the five even-id null-commit rows

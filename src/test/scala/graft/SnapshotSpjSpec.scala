@@ -226,6 +226,41 @@ class SnapshotSpjSpec extends SparkSpec {
     }
   }
 
+  test("MIN/MAX(timestamp|date) answer from the manifest 'U'/'L' bounds") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.tl (v BIGINT, ts TIMESTAMP, " +
+      "d DATE)")
+    (0 until 3).foreach { i =>
+      spark.range(i * 100L, (i + 1) * 100L).toDF("v")
+        .selectExpr("v", "timestamp_seconds(1700000000 + v * 60) AS ts",
+          "date_add(DATE'2021-06-01', cast(v AS INT)) AS d")
+        .createOrReplaceTempView("spj_ts_src")
+      spark.sql(s"INSERT INTO $cat.db.tl SELECT * FROM spj_ts_src")
+    }
+    // the table-freshness probe: answers as one metadata row
+    val df = spark.sql(s"SELECT min(ts) AS mn_ts, max(ts) AS mx_ts, " +
+      s"min(d) AS mn_d, max(d) AS mx_d FROM $cat.db.tl")
+    assert(df.queryExecution.executedPlan.toString
+      .contains("manifest-agg"), df.queryExecution.executedPlan)
+    val r = df.head()
+    assert(r.getTimestamp(0) ===
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        1700000000L)))
+    assert(r.getTimestamp(1) ===
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        1700000000L + 299 * 60)))
+    assert(r.getDate(2).toString === "2021-06-01")
+    assert(r.getDate(3).toString === "2022-03-27") // +299 days
+    // metadata-only: hide the data dir, the answer must still serve
+    val dataDir = new java.io.File(s"$wh/db/tl/data")
+    val hidden = new java.io.File(s"$wh/db/tl/data_hidden")
+    assert(dataDir.renameTo(hidden))
+    try assert(spark.sql(s"SELECT max(ts) FROM $cat.db.tl")
+      .head.getTimestamp(0) === r.getTimestamp(1))
+    finally { hidden.renameTo(dataDir); () }
+  }
+
   test("aggregate pushdown refuses when it cannot be exact: filters, strings, grouping") {
     val (cat, _) = freshCatalog()
     setupTables(cat)

@@ -3289,8 +3289,13 @@ class SnapshotsSpec extends SparkSpec {
     assert(m0.count() === ev.count())
     val day3 = ev.filter(dayofmonth(col("ts")) === 3)
       .select("ts").head.getTimestamp(0)
+    // dir-only prune = "how many files does day 3's sliver hold"
+    // (the 'U' micros stats would narrow the stats-on variant to
+    // the ONE file containing this exact timestamp — correct for
+    // reads, wrong for counting fragments)
     val (day3Before, totalBefore) =
-      Snapshots.prunedEntriesEquals(spark, path, "ts", day3)
+      Snapshots.prunedEntriesEquals(spark, path, "ts", day3,
+        useFileStats = false)
     assert(day3Before.size > 1, s"${day3Before.size}")
     // a mor delete pending on a CARRIED day must survive the scoped
     // compact (delete files are preserved, not applied)
@@ -3344,14 +3349,23 @@ class SnapshotsSpec extends SparkSpec {
     assert(got.count() === ev.filter(dayofmonth(col("ts")) <= 4).count())
     assert(got.exceptAll(ev.filter(dayofmonth(col("ts")) <= 4))
       .count() === 0L)
-    // a day-4 probe keeps the new day file plus the old-layout files
-    // (they carry no day key - kept, never wrongly pruned)
+    // a day-4 probe: the old month-grain files carry no day KEY,
+    // but their 'U' micros value stats prove day 4 is outside their
+    // range (they hold days 1-3) — the probe narrows to the new day
+    // file alone; a day-3 probe keeps the old files (value inside
+    // their bounds) and drops the day-4 file
     val day4 = ev.filter(dayofmonth(col("ts")) === 4)
       .select("ts").head.getTimestamp(0)
     val (kept, total) = Snapshots.prunedEntriesEquals(
       spark, path, "ts", day4)
     assert(kept.exists(_.contains("ts_day=20240104")))
-    assert(kept.size === total) // old files are conservative keeps
+    assert(kept.size < total, s"${kept.size}/$total")
+    val day3probe = ev.filter(dayofmonth(col("ts")) === 3)
+      .select("ts").head.getTimestamp(0)
+    val (kept3, _) = Snapshots.prunedEntriesEquals(
+      spark, path, "ts", day3probe)
+    assert(kept3.nonEmpty)
+    assert(kept3.forall(!_.contains("ts_day=20240104")), kept3)
     // replacePartitions refuses while old-layout files remain
     val e = intercept[IllegalArgumentException](
       Snapshots.replacePartitions(
