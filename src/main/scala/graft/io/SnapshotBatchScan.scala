@@ -1508,6 +1508,7 @@ private[graft] final class SnapshotBatchScan(
       val rows = Snapshots.entryMeta(spark, path, e)._3
       val ncs = Snapshots.nullCountOf(e)
       val lss = Snapshots.longStatsOf(e)
+      val tss = Snapshots.tsStatsOf(e)
       val sss = Snapshots.stringExactStatsOf(e)
       val vss = Snapshots.ndvSketchOf(e)
       val qss = Snapshots.quantSketchOf(e)
@@ -1529,8 +1530,22 @@ private[graft] final class SnapshotBatchScan(
                 case None => a.valuedRowsOk = false
               }
               fld.dataType match {
-                case ByteType | ShortType | IntegerType | LongType =>
+                // DATE rides the 'L' stats as epoch days — the
+                // catalyst-internal date value, so the same long
+                // fold serves both
+                case ByteType | ShortType | IntegerType | LongType |
+                     org.apache.spark.sql.types.DateType =>
                   lss.get(phys) match {
+                    case Some((mn, mx)) =>
+                      a.loL = math.min(a.loL, mn)
+                      a.hiL = math.max(a.hiL, mx)
+                    case None => a.lOk = false
+                  }
+                // TIMESTAMP bounds come from the 'U' micros stats —
+                // the catalyst-internal timestamp value
+                case org.apache.spark.sql.types.TimestampType |
+                     org.apache.spark.sql.types.TimestampNTZType =>
+                  tss.get(phys) match {
                     case Some((mn, mx)) =>
                       a.loL = math.min(a.loL, mn)
                       a.hiL = math.max(a.hiL, mx)
@@ -1570,6 +1585,18 @@ private[graft] final class SnapshotBatchScan(
         case ByteType | ShortType | IntegerType | LongType
             if a.lOk && a.nValued > 0 && a.loL <= a.hiL =>
           Some((narrow(a.loL, fld.dataType), narrow(a.hiL, fld.dataType)))
+        // internal representations, as the estimator rebuilds
+        // Literal(value, dataType): dates are Int days, timestamps
+        // Long micros
+        case org.apache.spark.sql.types.DateType
+            if a.lOk && a.nValued > 0 && a.loL <= a.hiL =>
+          Some((java.lang.Integer.valueOf(a.loL.toInt),
+            java.lang.Integer.valueOf(a.hiL.toInt)))
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType
+            if a.lOk && a.nValued > 0 && a.loL <= a.hiL =>
+          Some((java.lang.Long.valueOf(a.loL),
+            java.lang.Long.valueOf(a.hiL)))
         case StringType if a.sOk && a.nValued > 0 && a.loS != null =>
           Some((org.apache.spark.unsafe.types.UTF8String
               .fromBytes(a.loS),
@@ -1604,7 +1631,12 @@ private[graft] final class SnapshotBatchScan(
       // clamps literals to [min, max] and asserts the clamped value
       // lands in a bin, so coverage must anchor on the same bounds
       val histOpt = fld.dataType match {
-        case ByteType | ShortType | IntegerType | LongType
+        // bounds and quantiles share units by construction:
+        // integrals raw, DATE epoch days, TIMESTAMP micros (NTZ has
+        // no 'Q' pass — refuses here, min/max still serve)
+        case ByteType | ShortType | IntegerType | LongType |
+             org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType
             if a.qOk && a.qList.nonEmpty && a.lOk &&
               a.nValued > 0 && a.loL <= a.hiL =>
           SnapshotBatchScan.buildHistogram(a.qList,

@@ -3266,9 +3266,64 @@ object Snapshots {
           .localDateTimeToMicros(t))
       case _ => None
     }
-    if (numVal.isEmpty && strVal.isEmpty && tsVal.isEmpty)
+    // HIDDEN-TRANSFORM directory range pruning: years/months/days/
+    // hours derive a dir value that is MONOTONE in the source
+    // (year*10000+month*100+day grows with the timestamp for any
+    // fixed session tz), and truncate floors (integers) or prefixes
+    // (strings) — also monotone. Every row of a file shares its dir
+    // value, so a file can hold a row ≥ lo only when its dir value
+    // ≥ derive(lo) (≤ for upper bounds). The bound's dir value is
+    // computed with the EXACT write-time expression (1-row local
+    // plan, the prunedEntriesEquals posture), so the comparison can
+    // never skew from the layout. This is the only range proof a
+    // legacy store (stat-less INT96 timestamps) has. Buckets hash —
+    // never range-prunable. Compare domain is type-directed: time
+    // and integral-truncate dirs compare as longs, string-truncate
+    // prefixes as UTF-8 bytes ("123" < "99" lexically is CORRECT
+    // for a string column).
+    val dirChecks: Seq[(String, String => Boolean)] =
+      m.partCols.map(parsePartField).filter(_.source == phys)
+        .flatMap { fld =>
+          def derived: Option[String] =
+            scala.util.Try(spark.range(1).select(
+              fld.derive(lit(value).cast(dt), dt).cast("string")
+                .as("d")).head()).toOption
+              .flatMap(r => if (r.isNullAt(0)) None
+                            else Some(r.getString(0)))
+          fld match {
+            case _: PTime =>
+              derived.flatMap(_.toLongOption).map { b =>
+                fld.dirName -> ((dv: String) =>
+                  dv.toLongOption.forall(x =>
+                    if (lower) x >= b else x <= b))
+              }
+            case PTruncate(_, _) if dt ==
+                org.apache.spark.sql.types.StringType =>
+              derived.map { s =>
+                val b = s.getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8)
+                fld.dirName -> ((dv: String) => {
+                  val dvb = dv.getBytes(
+                    java.nio.charset.StandardCharsets.UTF_8)
+                  if (lower) bytesCompare(dvb, b) >= 0
+                  else bytesCompare(dvb, b) <= 0
+                })
+              }
+            case PTruncate(_, _) =>
+              derived.flatMap(_.toLongOption).map { b =>
+                fld.dirName -> ((dv: String) =>
+                  dv.toLongOption.forall(x =>
+                    if (lower) x >= b else x <= b))
+              }
+            case _ => None // bucket/identity: no monotone dir proof
+          }
+        }
+    if (numVal.isEmpty && strVal.isEmpty && tsVal.isEmpty &&
+        dirChecks.isEmpty)
       return (m.entries, m.entries.size)
     val kept = m.entries.filter { e =>
+      val dirRangeOk = dirChecks.forall { case (key, ok) =>
+        partValsOf(relOf(e)).get(key).forall(ok) }
       val numOk = numVal.forall { d =>
         val range = statsOf(e).get(phys).orElse(
           partValsOf(relOf(e)).get(phys).flatMap { s =>
@@ -3296,7 +3351,7 @@ object Snapshots {
         tsStatsOf(e).get(phys).forall { case (mn, mx) =>
           if (lower) mx >= u else mn <= u }
       }
-      numOk && strOk && tsOk
+      dirRangeOk && numOk && strOk && tsOk
     }
     (kept, m.entries.size)
   }
@@ -4476,7 +4531,8 @@ object Snapshots {
              org.apache.spark.sql.types.LongType |
              org.apache.spark.sql.types.FloatType |
              org.apache.spark.sql.types.DoubleType |
-             org.apache.spark.sql.types.DateType => true
+             org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType => true
         case _ => false
       }
       val base = df.filter(col(pc).isNotNull)
@@ -4498,8 +4554,16 @@ object Snapshots {
       val quants: Map[String, Array[Double]] =
         if (!quantile) Map.empty
         else base.select(col("__rel"),
+            // units must match the min/max anchors the histogram
+            // covers: DATE in epoch days ('L'), TIMESTAMP in micros
+            // ('U' — double loses sub-micro exactness past 2^53,
+            // irrelevant for selectivity estimates)
             (if (dt == org.apache.spark.sql.types.DateType)
-               col(pc).cast("int").cast("double")
+               org.apache.spark.sql.functions.unix_date(col(pc))
+                 .cast("double")
+             else if (dt == org.apache.spark.sql.types.TimestampType)
+               org.apache.spark.sql.functions.unix_micros(col(pc))
+                 .cast("double")
              else col(pc).cast("double")).as("__v"))
           .groupBy(col("__rel"))
           .agg(org.apache.spark.sql.functions.percentile_approx(

@@ -153,6 +153,60 @@ class SnapshotRangeSkipSpec extends SparkSpec {
       s"timestamp >= opened $ioHi of $total files")
   }
 
+  test("legacy stat-less timestamps range-prune via days(ts) directories") {
+    // a store written by a pre-'U' writer (or imported INT96 files)
+    // carries NO timestamp stats: the hidden-transform directory is
+    // then the ONLY range proof. Simulated by republishing the
+    // manifest with every 'U' segment stripped — byte-identical
+    // otherwise, exactly what a legacy manifest looks like.
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (v BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    (0 until 4).foreach { d =>
+      spark.range(d * 100L, (d + 1) * 100L).toDF("v")
+        .selectExpr("v",
+          s"timestamp_seconds(1700000000 + $d * 86400 + v % 100) " +
+            "AS ts")
+        .createOrReplaceTempView("rskip_leg_src")
+      spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM rskip_leg_src")
+    }
+    val mdir = new java.io.File(s"$wh/db/t/_manifests")
+    val latest = mdir.listFiles()
+      .map(_.getName).filter(_.endsWith(".manifest")).max
+    val vNum = latest.stripPrefix("v").stripSuffix(".manifest").toLong
+    val src = java.nio.file.Paths.get(mdir.toString, latest)
+    import scala.jdk.CollectionConverters._
+    val doctored = java.nio.file.Files.readAllLines(src).asScala
+      .map { l =>
+        val i = l.indexOf('\t')
+        if (i < 0) l
+        else {
+          val kept = l.substring(i + 1).split(';')
+            .filterNot(_.split(':') match {
+              case Array(_, "U", _, _) => true
+              case _ => false
+            })
+          l.substring(0, i) + "\t" + kept.mkString(";")
+        }
+      }
+    assert(doctored.mkString != java.nio.file.Files
+      .readAllLines(src).asScala.mkString,
+      "fixture must actually strip 'U' stats")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(mdir.toString,
+        f"v${vNum + 1}%09d.manifest"),
+      doctored.mkString("\n").getBytes("UTF-8"))
+    val total = totalFiles(cat)
+    // day-2 window: only that day's directory may open
+    val (vs, io) = runLongs(spark.sql(s"SELECT v FROM $cat.db.t " +
+      "WHERE ts BETWEEN timestamp_seconds(1700000000 + 2 * 86400) " +
+      "AND timestamp_seconds(1700000000 + 2 * 86400 + 99)"))
+    assert(vs == (200L to 299L).toSeq)
+    assert(io < total,
+      s"dir-only timestamp range opened $io of $total files")
+  }
+
   test("stats-less column types refuse pruning but stay exact") {
     val (cat, _) = rangedTable()
     val total = totalFiles(cat)

@@ -356,6 +356,46 @@ class SnapshotStatsSpec extends SparkSpec {
     }
   }
 
+  test("timestamp and date columns serve min/max and histogram to CBO") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (ts TIMESTAMP, d DATE)")
+    // 90% of rows in one hour, 10% spread over a year — the uniform
+    // min/max guess under-estimates a one-day window ~90x
+    spark.range(0L, 10000L).toDF("i")
+      .selectExpr(
+        "CASE WHEN i % 10 < 9 THEN timestamp_seconds(1700000000 + " +
+          "i % 3600) ELSE timestamp_seconds(1700000000 + " +
+          "(i * 7919) % 31536000) END AS ts",
+        "date_add(DATE'2024-01-01', cast(i % 300 AS INT)) AS d")
+      .createOrReplaceTempView("ts_hist_src")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM ts_hist_src")
+    Snapshots.analyzeNdv(spark, s"$wh/db/t", Seq("ts", "d"))
+    val truth = spark.sql(s"SELECT count(*) FROM $cat.db.t " +
+      "WHERE ts <= timestamp_seconds(1700086400)") // +1 day
+      .head().getLong(0).toDouble
+    withCbo {
+      val stats = spark.sql(s"SELECT ts, d FROM $cat.db.t")
+        .queryExecution.optimizedPlan.stats
+      val byName = stats.attributeStats.toSeq
+        .map { case (a, cs) => a.name -> cs }.toMap
+      assert(byName("ts").min.isDefined && byName("ts").max.isDefined,
+        s"ts min/max missing: ${byName("ts")}")
+      assert(byName("d").min.isDefined && byName("d").max.isDefined,
+        s"d min/max missing: ${byName("d")}")
+      assert(byName("ts").histogram.isDefined,
+        s"ts histogram missing: ${byName("ts")}")
+      assert(byName("d").histogram.isDefined,
+        s"d histogram missing: ${byName("d")}")
+      val est = spark.sql(s"SELECT ts FROM $cat.db.t " +
+        "WHERE ts <= timestamp_seconds(1700086400)")
+        .queryExecution.optimizedPlan.stats.rowCount
+        .getOrElse(fail("no CBO row estimate")).toDouble
+      assert(est >= truth / 2 && est <= truth * 2,
+        s"ts-window estimate $est vs truth $truth")
+    }
+  }
+
   test("without stats.ndv.auto the refusal posture is unchanged") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")
