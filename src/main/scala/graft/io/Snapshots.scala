@@ -1630,7 +1630,21 @@ object Snapshots {
     val f = fs(spark, path)
     onBeforePublish()
     orDropCommit(f, path, commitDirs) {
-      val entries = v2EntryLines(spark, path, rels)
+      val entries0 = v2EntryLines(spark, path, rels)
+      // `stats.ndv.auto` at CTAS: the staged table is born analyzed
+      // (same delta-only sketch pass the append path runs in
+      // publishLoop — a CTAS's delta IS the whole table, once)
+      val entries = {
+        val cols = autoNdvColumns(props, nullableAll(schema), specs,
+          Map.empty)
+        if (cols.isEmpty || entries0.isEmpty) entries0
+        else {
+          val sk = ndvSketchPass(spark, path,
+            toPhysicalSchema(nullableAll(schema), Map.empty), specs,
+            entries0, cols)
+          entries0.map(e => amendNdvEntry(e, sk))
+        }
+      }
       var committed = -1L
       while (committed < 0L) {
         val cur = latestVersion(spark, path)

@@ -396,6 +396,21 @@ class SnapshotStatsSpec extends SparkSpec {
     }
   }
 
+  test("stats.ndv.auto rides atomic CTAS: the staged commit is born analyzed") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.range(0L, 800L).toDF("i").selectExpr("i % 160 AS v")
+      .createOrReplaceTempView("ndv_ctas_src")
+    spark.sql(s"CREATE TABLE $cat.db.t " +
+      "TBLPROPERTIES ('stats.ndv.auto' = 'v') " +
+      "AS SELECT v FROM ndv_ctas_src")
+    withCbo {
+      val n = ndvOf(s"SELECT v FROM $cat.db.t", "v")
+        .getOrElse(fail("CTAS under stats.ndv.auto served no NDV"))
+      assert(math.abs(n - 160) <= 80, s"NDV estimate off: $n vs 160")
+    }
+  }
+
   test("without stats.ndv.auto the refusal posture is unchanged") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")
