@@ -133,27 +133,6 @@ object SnapshotBatchScan {
       }
   }
 
-  /** Collect top-level / AND-nested equality filters — the shapes the
-    * manifest point-lookup can prune on EXACTLY. An `EqualTo` under
-    * an OR must not prune (the other branch may keep the file).
-    */
-  private[io] def conjunctiveEquals(fs: Seq[Filter])
-      : Seq[(String, Any)] = fs.flatMap {
-    case sources.EqualTo(a, v) if v != null => Seq(a -> v)
-    case sources.And(l, r) => conjunctiveEquals(Seq(l, r))
-    case _ => Nil
-  }
-
-  /** Flatten top-level / AND-nested conjuncts. Each LEAF may prune
-    * the file set independently (intersection of survivors); a leaf
-    * under an OR must not prune — it never reaches this list.
-    */
-  private[io] def conjunctiveLeaves(fs: Seq[Filter]): Seq[Filter] =
-    fs.flatMap {
-      case sources.And(l, r) => conjunctiveLeaves(Seq(l, r))
-      case f => Seq(f)
-    }
-
   /** Static IN-lists past this size skip manifest pruning (one
     * point-lookup pass per value — at some size scanning wins;
     * mirrors the runtime-filtering cap). */
@@ -881,52 +860,88 @@ private[graft] final class SnapshotBatchScan(
     * STAYS in-plan — this narrows IO only, exactness never depends
     * on it.
     */
-  private lazy val keptEntries: Seq[String] = {
+  /** Survivor-set PROOF for one filter tree, or None (no proof —
+    * prune nothing). AND intersects whatever proofs its sides offer
+    * (a side with no proof simply contributes nothing); OR unions
+    * and needs BOTH sides proved — a file one branch's stats skip
+    * may still match the other, so `ym = 202401 OR ym = 202402`
+    * (the month-window disjunction) keeps exactly the two months'
+    * files while `x = 1 OR unknowable(y)` keeps everything. NOT
+    * offers no proof: min/max can prove "no row matches", never
+    * "every row matches", which is what a sound negation would
+    * need.
+    */
+  private def pruneProof(f: Filter): Option[Set[String]] = {
+    val inSchema = tableSchema.fieldNames.toSet
     def relsOf(r: (Seq[String], Int)): Set[String] =
       r._1.map(Snapshots.relOfEntry).toSet
-    val inSchema = tableSchema.fieldNames.toSet
-    conjunctiveLeaves(filters).foldLeft(entries) { (acc, f) =>
-      val keep: Option[Set[String]] = f match {
-        case sources.EqualTo(c, v) if v != null && inSchema(c) =>
-          Some(relsOf(Snapshots.prunedEntriesEquals(
-            spark, path, c, v, Some(pinnedV))))
-        case sources.EqualNullSafe(c, v) if v != null && inSchema(c) =>
-          Some(relsOf(Snapshots.prunedEntriesEquals(
-            spark, path, c, v, Some(pinnedV))))
-        case sources.In(c, vs)
-            if inSchema(c) && vs.nonEmpty &&
-              vs.length <= MaxStaticInSet && vs.exists(_ != null) =>
-          // a NULL in the list matches nothing (three-valued IN):
-          // the non-null values' union covers every matchable row
-          Some(vs.filter(_ != null).map(v =>
-            relsOf(Snapshots.prunedEntriesEquals(
-              spark, path, c, v, Some(pinnedV)))).reduce(_ union _))
-        case sources.GreaterThan(c, v) if v != null && inSchema(c) =>
-          Some(relsOf(Snapshots.prunedEntriesBound(
-            spark, path, c, v, lower = true, Some(pinnedV))))
-        case sources.GreaterThanOrEqual(c, v)
-            if v != null && inSchema(c) =>
-          Some(relsOf(Snapshots.prunedEntriesBound(
-            spark, path, c, v, lower = true, Some(pinnedV))))
-        case sources.LessThan(c, v) if v != null && inSchema(c) =>
-          Some(relsOf(Snapshots.prunedEntriesBound(
-            spark, path, c, v, lower = false, Some(pinnedV))))
-        case sources.LessThanOrEqual(c, v)
-            if v != null && inSchema(c) =>
-          Some(relsOf(Snapshots.prunedEntriesBound(
-            spark, path, c, v, lower = false, Some(pinnedV))))
-        case sources.StringStartsWith(c, p)
-            if p != null && inSchema(c) =>
-          Some(relsOf(Snapshots.prunedEntriesPrefix(
-            spark, path, c, p, Some(pinnedV))))
-        case _ => None // unknown leaf shape: prune nothing
-      }
-      keep match {
+    f match {
+      case sources.And(l, r) =>
+        (pruneProof(l), pruneProof(r)) match {
+          case (Some(a), Some(b)) => Some(a intersect b)
+          case (a, None) => a
+          case (None, b) => b
+        }
+      case sources.Or(l, r) =>
+        for { a <- pruneProof(l); b <- pruneProof(r) }
+          yield a union b
+      case sources.EqualTo(c, v) if v != null && inSchema(c) =>
+        Some(relsOf(Snapshots.prunedEntriesEquals(
+          spark, path, c, v, Some(pinnedV))))
+      case sources.EqualNullSafe(c, v) if v != null && inSchema(c) =>
+        Some(relsOf(Snapshots.prunedEntriesEquals(
+          spark, path, c, v, Some(pinnedV))))
+      case sources.EqualNullSafe(c, null) if inSchema(c) =>
+        // `c <=> NULL` IS `c IS NULL`: null-bearing files only
+        Some(relsOf(Snapshots.prunedEntriesNull(
+          spark, path, c, isNull = true, Some(pinnedV))))
+      case sources.In(c, vs)
+          if inSchema(c) && vs.nonEmpty &&
+            vs.length <= SnapshotBatchScan.MaxStaticInSet &&
+            vs.exists(_ != null) =>
+        // a NULL in the list matches nothing (three-valued IN):
+        // the non-null values' union covers every matchable row
+        Some(vs.filter(_ != null).map(v =>
+          relsOf(Snapshots.prunedEntriesEquals(
+            spark, path, c, v, Some(pinnedV)))).reduce(_ union _))
+      case sources.GreaterThan(c, v) if v != null && inSchema(c) =>
+        Some(relsOf(Snapshots.prunedEntriesBound(
+          spark, path, c, v, lower = true, Some(pinnedV))))
+      case sources.GreaterThanOrEqual(c, v)
+          if v != null && inSchema(c) =>
+        Some(relsOf(Snapshots.prunedEntriesBound(
+          spark, path, c, v, lower = true, Some(pinnedV))))
+      case sources.LessThan(c, v) if v != null && inSchema(c) =>
+        Some(relsOf(Snapshots.prunedEntriesBound(
+          spark, path, c, v, lower = false, Some(pinnedV))))
+      case sources.LessThanOrEqual(c, v)
+          if v != null && inSchema(c) =>
+        Some(relsOf(Snapshots.prunedEntriesBound(
+          spark, path, c, v, lower = false, Some(pinnedV))))
+      case sources.StringStartsWith(c, p)
+          if p != null && inSchema(c) =>
+        Some(relsOf(Snapshots.prunedEntriesPrefix(
+          spark, path, c, p, Some(pinnedV))))
+      case sources.IsNull(c) if inSchema(c) =>
+        Some(relsOf(Snapshots.prunedEntriesNull(
+          spark, path, c, isNull = true, Some(pinnedV))))
+      case sources.IsNotNull(c) if inSchema(c) =>
+        // Catalyst conjoins IsNotNull onto nearly every predicate:
+        // this is what skips a sparse column's all-null files on
+        // every query that touches it
+        Some(relsOf(Snapshots.prunedEntriesNull(
+          spark, path, c, isNull = false, Some(pinnedV))))
+      case _ => None // unknown shape: prune nothing
+    }
+  }
+
+  private lazy val keptEntries: Seq[String] =
+    filters.foldLeft(entries) { (acc, f) =>
+      pruneProof(f) match {
         case Some(ks) => acc.filter(e => ks(Snapshots.relOfEntry(e)))
         case None => acc
       }
     }
-  }
 
   /** RUNTIME FILTERING (DSv2 dynamic partition pruning): in a star
     * join against a filtered dimension, Spark collects the dim side's

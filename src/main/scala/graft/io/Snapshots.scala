@@ -3370,6 +3370,41 @@ object Snapshots {
     (kept, m.entries.size)
   }
 
+  /** NULL-count file-skipping decision for `column IS [NOT] NULL`,
+    * from the exact per-file 'N' pseudo-stats: `IS NULL` keeps only
+    * null-BEARING files (nullCount > 0, or unknown); `IS NOT NULL`
+    * drops provably ALL-null files (nullCount == rows). The second
+    * shape matters more than it looks: Catalyst conjoins
+    * `IsNotNull(c)` onto nearly every predicate on `c`, so sparse
+    * columns (an optional field populated in 1% of a corpus) get
+    * their all-null files skipped on every query that touches them.
+    * Prune only on proof: missing stats keep.
+    */
+  private[graft] def prunedEntriesNull(spark: SparkSession,
+                                       path: String, column: String,
+                                       isNull: Boolean,
+                                       version: Option[Long] = None)
+      : (Seq[String], Int) = {
+    val f = fs(spark, path)
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot: no committed version under $path"))
+    val m = manifest(f, path, v)
+    val schema = resolveSchema(spark, path, m)
+    if (!schema.fieldNames.contains(column))
+      return (m.entries, m.entries.size)
+    val phys = toPhysicalName(m.colMap, column)
+    val kept = m.entries.filter { e =>
+      val nulls = nullCountOf(e).get(phys)
+      if (isNull) nulls.forall(_ > 0L)
+      else {
+        val rows = entryMeta(spark, path, e)._3
+        !(nulls.isDefined && rows.isDefined && nulls == rows)
+      }
+    }
+    (kept, m.entries.size)
+  }
+
   /** PREFIX file-skipping decision for `column LIKE 'p%'`
     * (StringStartsWith): matching strings occupy exactly the byte
     * range [p, incrementBound(p)), so an entry is kept only when its

@@ -239,6 +239,64 @@ class SnapshotRangeSkipSpec extends SparkSpec {
     assert(n == 5L, s"expected 5 null rows, saw $n")
   }
 
+  test("OR of provable branches prunes to the union of survivors") {
+    val (cat, _) = rangedTable()
+    val total = totalFiles(cat)
+    // two disjoint windows in one disjunction: only their files open
+    val (vs, io) = runLongs(spark.sql(s"SELECT v FROM $cat.db.t " +
+      "WHERE (v BETWEEN 100 AND 149) OR (v BETWEEN 3800 AND 3849)"))
+    assert(vs == ((100L to 149L) ++ (3800L to 3849L)).toSeq)
+    assert(io < total, s"OR of ranges opened $io of $total files")
+    // an OR with an unprovable branch must NOT prune (the unknowable
+    // side may match anywhere) — and stays exact
+    val (vs2, io2) = runLongs(spark.sql(s"SELECT v FROM $cat.db.t " +
+      "WHERE (v BETWEEN 100 AND 149) OR (payload != 'nope' " +
+      "AND v BETWEEN 3800 AND 3849)"))
+    assert(vs2 == ((100L to 149L) ++ (3800L to 3849L)).toSeq)
+    assert(io2 >= io, s"unprovable OR branch over-pruned ($io2)")
+  }
+
+  test("IS NULL / IS NOT NULL prune via exact null counts") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (v BIGINT, sparse BIGINT)")
+    // commit 1+2: sparse fully null; commit 3: populated
+    (0 until 2).foreach { i =>
+      spark.range(i * 1000L, (i + 1) * 1000L).toDF("v")
+        .selectExpr("v", "CAST(NULL AS BIGINT) AS sparse")
+        .createOrReplaceTempView("rskip_null_src")
+      spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM rskip_null_src")
+    }
+    spark.range(2000L, 3000L).toDF("v")
+      .selectExpr("v", "v * 3 AS sparse")
+      .createOrReplaceTempView("rskip_null_src")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM rskip_null_src")
+    val total = totalFiles(cat)
+    // a predicate on the sparse column implies IsNotNull(sparse):
+    // the two all-null files never open
+    val q1 = spark.sql(
+      s"SELECT v FROM $cat.db.t WHERE sparse > 0")
+    val (rows1, io1) = opened(q1.collect())
+    assert(rows1.map(_.getLong(0)).toSeq.sorted ==
+      (2000L to 2999L).toSeq)
+    assert(io1 < total,
+      s"IsNotNull on a sparse column opened $io1 of $total files")
+    // IS NULL keeps only the null-bearing files
+    val q2 = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.db.t WHERE sparse IS NULL")
+    val (rows2, io2) = opened(q2.collect())
+    assert(rows2.head.getLong(0) == 2000L)
+    assert(io2 < total,
+      s"IS NULL opened $io2 of $total files")
+    // `<=> NULL` is the same predicate in null-safe spelling
+    val q3 = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.db.t WHERE sparse <=> NULL")
+    val (rows3, io3) = opened(q3.collect())
+    assert(rows3.head.getLong(0) == 2000L)
+    assert(io3 < total,
+      s"<=> NULL opened $io3 of $total files")
+  }
+
   test("range pruning composes with manifest-absorbed partition filters") {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")
