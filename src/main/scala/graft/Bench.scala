@@ -77,9 +77,13 @@ object Bench {
         .collect()
       (System.nanoTime() - t0) / 1e9
     }.min
-    val calibSec = calibrate()
+    // sample load BEFORE calibrate(): the calibration burn saturates
+    // all cores for seconds, so sampling after it would inflate
+    // load_start/load_5min with the probe's own noise — exactly the
+    // accidental pessimism these fields exist to remove
     val loadStart = loadAvg()
     val load5Start = load5()
+    val calibSec = calibrate()
     val metrics = new QueryMetricsListener
     spark.sparkContext.addSparkListener(metrics)
     def pass(): Seq[(String, Double, Option[String], (Long, Long, Long))] = {
@@ -161,6 +165,16 @@ object Bench {
       s""""shuffle_read":${physJson(_._1)},""" +
       s""""shuffle_write":${physJson(_._2)},""" +
       s""""peak_mem":${physJson(_._3)},"""
+    // CALIB-NORMALIZED comparison: `calib_ratio` = this box-state's
+    // calib over the PINNED round-15 quiet-box reference, and
+    // `value_normalized` = raw total / ratio — so comparing two
+    // rounds is one field compare instead of shuffle-byte forensics
+    // whenever the machine drifted (same-day calib has swung 1.5x).
+    // The reference constant only moves when the probe itself
+    // changes; per-query normalized times ride in bench_local.json.
+    val RefCalibSec = 0.406 // r15 committed quiet-box calibration
+    val calibRatio = calibSec / RefCalibSec
+    val ccRounds = graft.dedup.Dedup.lastClusterRounds.get()
     val line = s"""{$shuffleJson"queries":$qs,"n_queries":$nAttempted,""" +
       s""""batch_sec":${fmt(total - stream.map(_._2).sum)},""" +
       s""""stream_sec":${fmt(stream.map(_._2).sum)},""" +
@@ -169,6 +183,10 @@ object Bench {
       s""""load_end":${fmt(loadEnd)},""" +
       s""""load_5min":${fmt(load5Start)},""" +
       s""""calib_sec":${fmt(calibSec)},""" +
+      s""""calib_ref":$RefCalibSec,""" +
+      s""""calib_ratio":${fmt(calibRatio)},""" +
+      s""""value_normalized":${fmt(total / calibRatio)},""" +
+      s""""cc_rounds":$ccRounds,""" +
       s""""n_errors":${errors.size},"errors":$errJson,""" +
       s""""metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}"""
     println(line)
@@ -176,6 +194,9 @@ object Bench {
     // when the captured tail clips the front of the line above
     try {
       val full = results.map { case (k, v) => s"\"$k\":$v" }
+        .mkString("{", ",", "}")
+      val fullNorm = results
+        .map { case (k, v) => s"\"$k\":${v / calibRatio}" }
         .mkString("{", ",", "}")
       // resolve against the working directory (overridable via
       // -Dgraft.bench.out) instead of a hardcoded machine layout
@@ -191,8 +212,12 @@ object Bench {
           s""""n_stream":${stream.size},""" +
           s""""min_of":2,"load_start":$loadStart,"load_end":$loadEnd,""" +
           s""""load_5min":$load5Start,"calib_sec":$calibSec,""" +
+          s""""calib_ref":$RefCalibSec,"calib_ratio":$calibRatio,""" +
+          s""""value_normalized":${total / calibRatio},""" +
+          s""""cc_rounds":$ccRounds,""" +
           s""""n_errors":${errors.size},"errors":$errJson,""" +
-          s""""queries":$full}""" + "\n").getBytes("UTF-8"))
+          s""""queries":$full,""" +
+          s""""queries_normalized":$fullNorm}""" + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // bench output is the contract; the file is best-effort
     spark.stop()
   }

@@ -1629,6 +1629,124 @@ private[graft] object QueriesIo {
       s.sparkContext.parallelize(rows.toIndexedSeq, 1), q.schema)
   }
 
+  /** MANIFEST-BLOOM gate ([[graft.io.Snapshots.bloomStatsOf]] /
+    * `bloomSketchPass` × [[graft.io.Snapshots.prunedEntriesEquals]]):
+    * eight commits whose string job-ids INTERLEAVE (id ≡ commit mod
+    * 8), so every file's min/max bounds span the whole key range and
+    * 'T'-stat pruning can prove nothing — the exact shape where a
+    * point lookup on an unclustered high-NDV column otherwise opens
+    * every file. `stats.bloom.columns` + `analyze_ndv` commit
+    * per-file 'B' bloom blocks, and the equality scan must open
+    * strictly fewer files than the table holds (bloom ABSENCE is an
+    * exact proof; presence is the maybe side, so the residual
+    * equality keeps the answer exact at any false-positive rate).
+    * Z-order/clustering deliberately NOT used.
+    */
+  def snapshotBloomSkip(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "snap_bloom_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = "gblm_" + math.abs(wh.hashCode).toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    t(s, dir, "documents").createOrReplaceTempView("graft_blm_src")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.docs (jid STRING, n_chars BIGINT)")
+    (0 until 8).foreach { i =>
+      s.sql(s"INSERT INTO $cat.db.docs SELECT concat('JOB', " +
+        s"lpad(cast(doc_id * 8 + $i AS STRING), 9, '0')), n_chars " +
+        "FROM graft_blm_src")
+    }
+    val tbl = s"$wh/db/docs"
+    graft.io.Snapshots.setProperties(s, tbl,
+      Map("stats.bloom.columns" -> "jid"))
+    s.sql(s"CALL $cat.system.analyze_ndv(table => 'db.docs', " +
+      "columns => 'jid')")
+    graft.io.SnapshotReaderFactory.filesOpened.set(0L)
+    val total = {
+      s.sql(s"SELECT sum(n_chars) FROM $cat.db.docs").collect()
+      graft.io.SnapshotReaderFactory.filesOpened.get()
+    }
+    require(total >= 8,
+      s"q_snapshot_bloom_skip: expected >= 8 data files, got $total")
+    val q = s.sql(s"SELECT jid, n_chars FROM $cat.db.docs " +
+      "WHERE jid = 'JOB000000338'")
+    graft.io.SnapshotReaderFactory.filesOpened.set(0L)
+    val rows = q.collect()
+    val io = graft.io.SnapshotReaderFactory.filesOpened.get()
+    require(rows.nonEmpty,
+      "q_snapshot_bloom_skip: the probe key must exist")
+    require(io < total,
+      s"q_snapshot_bloom_skip: the point lookup still opened $io " +
+        s"of $total files - bloom pruning did not engage (min/max " +
+        "cannot prove anything on this interleaved layout)")
+    s.createDataFrame(
+      s.sparkContext.parallelize(rows.toIndexedSeq, 1), q.schema)
+  }
+
+  /** SHARDED-manifest (v4) gate ([[graft.io.Snapshots]] `renderV4` /
+    * `pruneCandidates` × [[graft.io.SnapshotBatchScan]]): eight
+    * doc_id-disjoint commits shard the manifest (shard size pinned
+    * small in-gate), and a boundary-straddling BETWEEN must (a) SKIP
+    * whole shards from their merged pseudo-stats without reading a
+    * single entry of them (asserted via the shardsSkipped counter),
+    * (b) open strictly fewer data files than the table holds, and
+    * (c) return the exact row set (hash-equal to the DuckDB oracle —
+    * the residual BETWEEN stays in-plan). This is the driver-side
+    * scale fix for million-file tables: planning cost O(shards) +
+    * O(matching shards), not O(files).
+    */
+  def snapshotShardSkip(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "snap_shard_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = "gshrd_" + math.abs(wh.hashCode).toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    t(s, dir, "documents").createOrReplaceTempView("graft_shrd_src")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+      "lang STRING, n_chars BIGINT)")
+    val prevShard = graft.io.Snapshots.shardSizeOverride
+    graft.io.Snapshots.shardSizeOverride = Some(2)
+    try {
+      (0 until 8).foreach { i =>
+        s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id + ${i} * " +
+          "5000000, text, lang, n_chars FROM graft_shrd_src")
+      }
+      val tbl = s"$wh/db/docs"
+      val refs = graft.io.Snapshots.shardRefsAt(s, tbl,
+        graft.io.Snapshots.latestVersion(s, tbl).get)
+      require(refs.size >= 8,
+        s"q_snapshot_shard_skip: expected a sharded (v4) manifest " +
+          s"with >= 8 shards, got ${refs.size}")
+      graft.io.SnapshotReaderFactory.filesOpened.set(0L)
+      val total = {
+        s.sql(s"SELECT sum(doc_id * 2) FROM $cat.db.docs").collect()
+        graft.io.SnapshotReaderFactory.filesOpened.get()
+      }
+      val q = s.sql(s"SELECT doc_id, text, lang, n_chars " +
+        s"FROM $cat.db.docs " +
+        "WHERE doc_id BETWEEN 10000100 AND 15000100")
+      graft.io.SnapshotReaderFactory.filesOpened.set(0L)
+      graft.io.Snapshots.shardsSkipped.set(0L)
+      graft.io.Snapshots.shardsLoaded.set(0L)
+      val rows = q.collect()
+      val io = graft.io.SnapshotReaderFactory.filesOpened.get()
+      val skipped = graft.io.Snapshots.shardsSkipped.get()
+      require(skipped > 0L,
+        "q_snapshot_shard_skip: no whole-shard skip was proven - " +
+          "the prune walked every shard's entries")
+      require(io < total,
+        s"q_snapshot_shard_skip: the BETWEEN still opened $io of " +
+          s"$total files")
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows.toIndexedSeq, 1), q.schema)
+    } finally {
+      graft.io.Snapshots.shardSizeOverride = prevShard
+    }
+  }
+
   /** ANALYZE gate ([[graft.io.Snapshots.analyzeNdv]] +
     * [[graft.io.SnapshotBatchScan]] column statistics): per-file NDV
     * sketches committed into the manifest feed `distinctCount` (and
@@ -2268,6 +2386,8 @@ private[graft] object QueriesIo {
     "q_snapshot_limit" -> (snapshotLimit _),
     "q_snapshot_topn" -> (snapshotTopN _),
     "q_snapshot_range_skip" -> (snapshotRangeSkip _),
+    "q_snapshot_shard_skip" -> (snapshotShardSkip _),
+    "q_snapshot_bloom_skip" -> (snapshotBloomSkip _),
     "q_snapshot_analyze" -> (snapshotAnalyze _),
     "q_snapshot_autondv" -> (snapshotAutoNdv _),
     "q_snapshot_ctas" -> (snapshotCtas _),
@@ -2535,6 +2655,16 @@ private[graft] object QueriesIo {
          UNION ALL
          SELECT doc_id + 5000000, text, lang, n_chars FROM documents
          WHERE doc_id <= 2000""",
+    "q_snapshot_shard_skip" ->
+      """SELECT doc_id + 10000000 AS doc_id, text, lang, n_chars
+         FROM documents WHERE doc_id >= 100
+         UNION ALL
+         SELECT doc_id + 15000000, text, lang, n_chars FROM documents
+         WHERE doc_id <= 100""",
+    "q_snapshot_bloom_skip" ->
+      """SELECT concat('JOB', lpad(cast(doc_id * 8 + 2 AS VARCHAR),
+           9, '0')) AS jid, n_chars
+         FROM documents WHERE doc_id = 42""",
     "q_snapshot_analyze" ->
       """SELECT CAST(2 * count(*) AS BIGINT) AS n_docs,
            CAST(2 * count(DISTINCT doc_id) AS BIGINT) AS exact_ids,

@@ -340,13 +340,33 @@ object Dedup {
     * distance ALREADY covered by its parent each round, so chains
     * converge in O(log diameter) rounds instead of O(diameter) — while
     * the overwhelmingly common case (tiny cliques, converged in 2
-    * pull-only rounds) never pays the compression join at all. Each
-    * round is 1-2 shuffle joins + one hash aggregate, all partitioned
-    * on doc id; results are checkpointed per round and the loop stops
-    * when no label changes (one cheap count per round — driver-side
-    * control flow only, never data). `maxIter` bounds pathological
-    * graphs; the fixpoint check makes the common case cheap.
+    * pull-only rounds) never pays the compression join at all.
+    *
+    * Execution shape — ONE materialization job per round, by design:
+    * the convergence check is FOLDED into the round itself. Each
+    * node's pre-round label rides the pull aggregate as
+    * `min(cluster_id) over the self row` (`old_label`), so a
+    * `changed` flag falls out of the round's own columns, the round
+    * localCheckpoints, and the fixpoint probe is a trivial aggregate
+    * over the already-materialized blocks. The previous cadence
+    * design (checkpoint every 3rd round, probe via a join against
+    * the lazy tail) re-executed up to two rounds of joins per probe
+    * — and the interplay of those replays with AQE made the round's
+    * SHUFFLE BYTES run-variant, breaking the repo's own
+    * "shuffle bytes are the plan tripwire" methodology on its most
+    * expensive gate. One eager job per round is both cheaper (no
+    * replay) and byte-deterministic (fixed inputs → fixed plan →
+    * fixed shuffle). The executed round count is published at
+    * [[lastClusterRounds]] for gates/bench to record. `maxIter`
+    * bounds pathological graphs.
     */
+  /** Executed round count of the most recent [[clusters]] call in
+    * this JVM — published so gates and bench runs can record the
+    * iteration depth next to the timing (a convergence regression
+    * shows as a round-count jump even when wall-time noise hides it).
+    */
+  val lastClusterRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def clusters(docs: DataFrame, pairs: DataFrame,
                idCol: String = "doc_id", maxIter: Int = 20,
                reliable: Boolean = false): DataFrame = {
@@ -359,34 +379,32 @@ object Dedup {
     // endpoints are a sliver of the corpus, so every round's join and
     // aggregate run on the sliver, not the full document set;
     // singletons join back labeled with their own id at the end.
-    // Lineage is cut (not cached) each cadence point: iterative
-    // self-reference otherwise grows the logical plan exponentially
-    // with the round count; `reliable` picks durable checkpoints over
-    // executor-lifetime blocks (see [[graft.graph.Graph.cut]])
-    var labels = cut(edges.select(col("src").as("doc_id")).distinct()
+    // Lineage is cut per round: iterative self-reference otherwise
+    // grows the logical plan exponentially with the round count;
+    // `reliable` picks durable checkpoints over executor-lifetime
+    // blocks (see [[graft.graph.Graph.cut]])
+    var labelsCkpt = cut(edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")), reliable)
-    // checkpoint CADENCE, not every round: a localCheckpoint is an
-    // extra materialization job + block write per round, and the
-    // common tiny-clique graph converges before the first cadence
-    // point ever fires. Letting the plan stay lazy for up to
-    // CkptEvery-1 rounds re-runs at most two rounds of sliver-sized
-    // joins from the last checkpoint (bounded plan growth), which is
-    // cheaper than materializing every round. The PREVIOUS checkpoint
-    // is only unpersisted after the next one is materialized — a
-    // localCheckpoint truncates lineage, so its blocks must outlive
-    // every lazy plan built on them.
-    val CkptEvery = 3
-    var lastCkpt = labels
+    var labels = labelsCkpt
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // each node pulls the min label over itself and its neighbors
+      // each node pulls the min label over itself and its neighbors;
+      // the self row is TAGGED so the node's pre-round label rides
+      // the same aggregate (`old_label = min over the unique self
+      // row`) — the convergence check then needs no extra join and
+      // no lazy-plan replay, just a flag comparison on the round's
+      // own output
       val viaEdges = edges
         .join(labels.withColumnsRenamed(
           Map("doc_id" -> "dst", "cluster_id" -> "nbr")), "dst")
-        .select(col("src").as("doc_id"), col("nbr").as("cluster_id"))
-      val pulled = labels.unionByName(viaEdges)
-        .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
+        .select(col("src").as("doc_id"), col("nbr").as("cluster_id"),
+          lit(false).as("is_self"))
+      val pulled = labels.withColumn("is_self", lit(true))
+        .unionByName(viaEdges)
+        .groupBy("doc_id")
+        .agg(min(col("cluster_id")).as("cluster_id"),
+          min(when(col("is_self"), col("cluster_id"))).as("old_label"))
       // pointer-jump from round 3 on: a node labeled L adopts L's own
       // (already lower or equal) label. Labels are always member ids
       // of the same component, so the jump stays inside the component
@@ -402,29 +420,29 @@ object Dedup {
       // join, not an extra materialization job per round.
       val stepped = if (i < 2) pulled
       else {
-        val lm = pulled.withColumnsRenamed(
-          Map("doc_id" -> "lbl", "cluster_id" -> "lbl_root"))
+        val lm = pulled.select(col("doc_id").as("lbl"),
+          col("cluster_id").as("lbl_root"))
         pulled.join(lm, pulled("cluster_id") === lm("lbl"), "left")
           .select(pulled("doc_id"),
             coalesce(col("lbl_root"), pulled("cluster_id"))
-              .as("cluster_id"))
+              .as("cluster_id"),
+            pulled("old_label"))
       }
-      val doCkpt = i % CkptEvery == CkptEvery - 1
-      val next = if (doCkpt) cut(stepped, reliable) else stepped
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
-        "doc_id").filter(col("cluster_id") < col("old")).limit(1).count()
-      if (doCkpt) { lastCkpt.unpersist(); lastCkpt = next }
-      labels = next
-      converged = changed == 0L
+      // ONE job per round: materialize the round (checkpoint cuts
+      // lineage), then probe convergence on the materialized blocks —
+      // a column compare, no join, no replay, byte-deterministic
+      val next = cut(stepped.select(col("doc_id"), col("cluster_id"),
+        (col("cluster_id") < col("old_label")).as("changed")), reliable)
+      val anyChanged = next.filter(col("changed")).limit(1).count() > 0L
+      // the previous round's blocks are only released AFTER the next
+      // checkpoint materialized — its lazy consumers are gone now
+      labelsCkpt.unpersist()
+      labelsCkpt = next
+      labels = next.select(col("doc_id"), col("cluster_id"))
+      converged = !anyChanged
       i += 1
     }
-    // the final labels may be lazy (between cadence points): checkpoint
-    // once so the singleton join below and the caller's actions read
-    // materialized blocks instead of replaying the tail rounds
-    if (!(labels eq lastCkpt)) {
-      labels = cut(labels, reliable)
-      lastCkpt.unpersist()
-    }
+    lastClusterRounds.set(i)
     edges.unpersist()
     // a silent exit via maxIter would return partially-propagated
     // (wrong) cluster labels; fail loudly instead — a component with

@@ -702,7 +702,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "(spark.graft.snapshot.v2.maxDeleteBytes) - run CALL " +
           "compact first to apply the backlog")
       new SnapshotScanBuilder(spark, path, pinnedV, sch, pc, cm,
-        entries, dvs, onBuild)
+        entries, dvs, onBuild,
+        shardRefs = Snapshots.shardRefsAt(spark, path, pinnedV))
     }
 
     private[graft] def pinnedVersion: Long = pinnedV
@@ -744,7 +745,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               (64L << 20).toString).toLong)
       if (v2Ready)
         new SnapshotScanBuilder(spark, path, pinnedV, sch, pc, cm,
-          entries, dvs)
+          entries, dvs,
+          shardRefs = Snapshots.shardRefsAt(spark, path, pinnedV))
       else v1ScanBuilder
     }
 

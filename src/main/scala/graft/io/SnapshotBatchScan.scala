@@ -282,7 +282,8 @@ private[graft] final class SnapshotScanBuilder(
     tableSchema: StructType, partCols: Seq[String],
     colMap: Map[String, String], entries: Seq[String],
     dvs: Seq[String] = Nil,
-    onBuild: SnapshotBatchScan => Unit = _ => ())
+    onBuild: SnapshotBatchScan => Unit = _ => (),
+    shardRefs: Seq[Snapshots.ShardRef] = Nil)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters with SupportsPushDownAggregates
   with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -291,6 +292,10 @@ private[graft] final class SnapshotScanBuilder(
   private var filters: Array[Filter] = Array.empty
   private var absorbed: Array[Filter] = Array.empty
   private var kept: Seq[String] = entries
+  // true while `kept` is still the UNTOUCHED lazy entry list of a
+  // sharded manifest — the scan then plans through shard-level
+  // pruning instead of forcing the full list
+  private var keptIsFullSharded: Boolean = shardRefs.nonEmpty
   private var pushedAgg: Option[(StructType, Array[Array[Any]])] = None
   private var pushedLimit: Option[Int] = None
   private var pushedTopN: Option[(Seq[SnapshotBatchScan.TopNKey], Int)] =
@@ -365,8 +370,22 @@ private[graft] final class SnapshotScanBuilder(
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
     val planned = fs.map(f => f -> absorb(f))
     absorbed = planned.collect { case (f, Some(_)) => f }
-    kept = planned.collect { case (_, Some(t)) => t }
-      .foldLeft(entries)((es, t) => t(es))
+    val ts = planned.collect { case (_, Some(t)) => t }
+    kept =
+      if (ts.isEmpty) entries
+      else {
+        // shard-aware absorption: every transformer is an exact
+        // per-entry directory predicate, and a shard's members all
+        // share its pseudo-entry's directory — so a transformer that
+        // drops the pseudo drops every member, and only matching
+        // shards ever load
+        val base =
+          if (shardRefs.isEmpty) entries
+          else Snapshots.loadWhere(spark, path, shardRefs,
+            sr => ts.forall(t => t(Seq(sr.pseudo)).nonEmpty))
+        ts.foldLeft(base)((es, t) => t(es))
+      }
+    if (ts.nonEmpty) keptIsFullSharded = false
     filters = planned.collect { case (f, None) => f }
     filters
   }
@@ -385,8 +404,15 @@ private[graft] final class SnapshotScanBuilder(
   private lazy val dirKeyComplete: Set[String] =
     if (idByLogical.isEmpty) Set.empty
     else {
-      val keySets = entries.map(e =>
-        Snapshots.partValsOf(Snapshots.relOfEntry(e)).keySet)
+      // sharded manifests answer from the shard pseudo-entries (a
+      // shard's members all share its directory chain) — O(shards),
+      // never forcing the entry list
+      val keySets =
+        if (shardRefs.nonEmpty) shardRefs.map(sr =>
+          Snapshots.partValsOf(
+            Snapshots.relOfEntry(sr.pseudo)).keySet)
+        else entries.map(e =>
+          Snapshots.partValsOf(Snapshots.relOfEntry(e)).keySet)
       idByLogical.collect {
         case (c, fld) if keySets.forall(_.contains(fld.dirName)) => c
       }.toSet
@@ -753,7 +779,7 @@ private[graft] final class SnapshotScanBuilder(
     case None =>
       val s = new SnapshotBatchScan(spark, path, pinnedV,
         tableSchema, required, partCols, colMap, kept, filters.toSeq,
-        dvs, pushedLimit, pushedTopN)
+        dvs, pushedLimit, pushedTopN, keptIsFullSharded)
       onBuild(s)
       s
   }
@@ -766,7 +792,11 @@ private[graft] final class SnapshotBatchScan(
     entries: Seq[String], filters: Seq[Filter],
     dvs: Seq[String] = Nil,
     pushedLimit: Option[Int] = None,
-    pushedTopN: Option[(Seq[SnapshotBatchScan.TopNKey], Int)] = None)
+    pushedTopN: Option[(Seq[SnapshotBatchScan.TopNKey], Int)] = None,
+    // `entries` is a sharded manifest's UNFORCED lazy list: when
+    // filters offer prune proofs, plan from the proofs' own entries
+    // (already shard-pruned) instead of forcing the full list
+    shardLazy: Boolean = false)
   extends Scan with Batch with SupportsReportPartitioning
   with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -871,10 +901,20 @@ private[graft] final class SnapshotBatchScan(
     * "every row matches", which is what a sound negation would
     * need.
     */
+  /** Entry lines seen at prune-proof LEAVES, by rel — for sharded
+    * manifests the final kept set assembles from these (the leaves
+    * already loaded exactly the matching shards), never from the
+    * full entry list. */
+  private val leafEntryByRel =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def pruneProof(f: Filter): Option[Set[String]] = {
     val inSchema = tableSchema.fieldNames.toSet
-    def relsOf(r: (Seq[String], Int)): Set[String] =
+    def relsOf(r: (Seq[String], Int)): Set[String] = {
+      r._1.foreach(e =>
+        leafEntryByRel.put(Snapshots.relOfEntry(e), e))
       r._1.map(Snapshots.relOfEntry).toSet
+    }
     f match {
       case sources.And(l, r) =>
         (pruneProof(l), pruneProof(r)) match {
@@ -935,13 +975,26 @@ private[graft] final class SnapshotBatchScan(
     }
   }
 
-  private lazy val keptEntries: Seq[String] =
-    filters.foldLeft(entries) { (acc, f) =>
-      pruneProof(f) match {
-        case Some(ks) => acc.filter(e => ks(Snapshots.relOfEntry(e)))
-        case None => acc
-      }
+  private lazy val keptEntries: Seq[String] = {
+    val proofs = filters.flatMap(pruneProof)
+    if (proofs.isEmpty) entries
+    else {
+      val rels = proofs.reduce(_ intersect _)
+      if (shardLazy)
+        // every surviving rel was recorded by a leaf (AND intersects
+        // subsets of leaf-kept sets; OR unions two leaf-kept sets) —
+        // assemble from there so the full lazy list is never forced.
+        // Sorted by rel: deterministic plan order across runs.
+        rels.toSeq.sorted.map { r =>
+          val e = leafEntryByRel.get(r)
+          require(e != null,
+            s"snapshot scan: pruned rel $r has no recorded entry - " +
+              "a prune proof produced a rel outside its leaf sets")
+          e
+        }
+      else entries.filter(e => rels(Snapshots.relOfEntry(e)))
     }
+  }
 
   /** RUNTIME FILTERING (DSv2 dynamic partition pruning): in a star
     * join against a filtered dimension, Spark collects the dim side's

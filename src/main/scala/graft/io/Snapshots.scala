@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.functions.{coalesce, col, lit, log, not, pmod, round, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, lit, log, not, pmod, round, when}
 import org.apache.spark.sql.types.{ByteType, DataType, DoubleType,
   FloatType, IntegerType, LongType, ShortType, StructType}
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
@@ -90,8 +90,320 @@ object Snapshots {
     */
   private val HeaderDelta = "graft-snapshot-delta-1"
 
+  /** SHARDED manifest header (v4) — the metadata layer's own
+    * partition pruning. Past [[shardSize]] entries, a full manifest
+    * stops inlining its entry list: entries group by their partition
+    * DIRECTORY (then chunk to `shardSize`), each group writes an
+    * immutable, content-addressed SHARD FILE under
+    * `_manifests/shards/`, and the manifest body carries one
+    * `#shard=<file>|<count>|<pseudo-entry>` line per shard — where
+    * the pseudo-entry is an entry-SHAPED line (`<dir>/_` + merged
+    * min/max/null/rows stats over the shard's members) the existing
+    * prune predicates evaluate directly. Scan planning then proves
+    * whole-shard skips BEFORE reading any entry: a point lookup on a
+    * million-file table costs O(shards) driver CPU + O(matching
+    * shards) memory, not O(files) — the same month-windowing the
+    * reference applies to data (conte-etl-step-2-manager.py:817-821),
+    * applied to the metadata itself. Content-hash naming makes shard
+    * files REUSABLE across commits: an append re-derives identical
+    * shards for every untouched directory group (same sorted
+    * members → same hash → no write), so commit-time metadata IO
+    * stays O(changed groups), replacing the delta-manifest chain
+    * (whose read-side resolution was O(table files) per query) for
+    * large tables. v1-v3 manifests remain readable; a table crossing
+    * the threshold switches encodings transparently.
+    */
+  private val HeaderV4 = "graft-snapshot-v4"
+  private val ShardHeader = "graft-snapshot-shard-1"
+
+  /** One shard reference parsed from a v4 manifest: the shard file
+    * name (under `_manifests/shards/`), its entry count, and the
+    * pseudo-entry the prune predicates test for whole-shard skips.
+    */
+  private[graft] final case class ShardRef(file: String, count: Int,
+                                           pseudo: String)
+
+  /** Entries per shard block; a full manifest shards when it holds
+    * at least two blocks' worth. Deployment knob
+    * `graft.snapshot.manifestShardSize` (Hadoop conf, fixed at
+    * FileSystem creation); the var is the test seam.
+    */
+  private[graft] var shardSizeOverride: Option[Int] = None
+  private def shardSize(f: FileSystem): Int = {
+    val s = shardSizeOverride.getOrElse(
+      f.getConf.getInt("graft.snapshot.manifestShardSize", 1024))
+    require(s >= 1, s"snapshot: manifestShardSize must be >= 1: $s")
+    s
+  }
+
+  /** Observability counters for shard-level pruning (gates/specs
+    * assert skips actually happen): a prune DESCENDING into a shard
+    * (loading its entries) bumps `shardsLoaded`; a whole-shard skip
+    * proven from the pseudo-entry alone bumps `shardsSkipped`.
+    */
+  private[graft] val shardsLoaded =
+    new java.util.concurrent.atomic.AtomicLong
+  private[graft] val shardsSkipped =
+    new java.util.concurrent.atomic.AtomicLong
+
+  private def shardPath(base: String, name: String): Path =
+    new Path(s"$base/_manifests/shards/$name")
+
+  /** Parsed-shard LRU (shard files are immutable and content-named;
+    * 256 shards ≈ a few hundred thousand cached entry lines max).
+    */
+  private val shardCache =
+    new java.util.LinkedHashMap[String, Seq[String]](
+      256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[String]]): Boolean =
+        size() > 256
+    }
+
+  private def loadShard(f: FileSystem, base: String, name: String)
+      : Seq[String] = {
+    val key = f.makeQualified(shardPath(base, name)).toString
+    shardCache.synchronized {
+      val hit = shardCache.get(key)
+      if (hit != null) return hit
+    }
+    val lines = readLines(f, shardPath(base, name))
+    require(lines.headOption.contains(ShardHeader),
+      s"snapshot: $name is not a graft shard file")
+    val entries = lines.drop(1).filter(_.nonEmpty)
+    shardCache.synchronized { shardCache.put(key, entries) }
+    entries
+  }
+
+  /** Write one shard block, content-addressed: identical content →
+    * identical name → the write is skipped (this is what makes an
+    * append's untouched directory groups free). A racing identical
+    * writer is benign for the same reason — whoever wins the rename
+    * wrote the same bytes.
+    */
+  private def writeShardFile(f: FileSystem, base: String,
+                             entries: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val digest = md.digest(entries.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(10).map(b => f"$b%02x").mkString
+    val name = s"s-$digest-${entries.size}.shard"
+    val target = shardPath(base, name)
+    if (!f.exists(target)) {
+      f.mkdirs(target.getParent)
+      val tmp = new Path(target.getParent,
+        s"_tmp_${java.util.UUID.randomUUID()}_$name")
+      val os = f.create(tmp, false)
+      try os.write(((ShardHeader +: entries) :+ "").mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+      try org.apache.hadoop.fs.FileContext
+        .getFileContext(target.toUri, f.getConf).rename(tmp, target)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException =>
+          f.delete(tmp, false) // identical content already landed
+        case e: java.io.IOException =>
+          val landed = f.exists(target)
+          f.delete(tmp, false)
+          if (!landed) throw e
+      }
+    }
+    name
+  }
+
+  /** The directory group key of one entry line (everything up to the
+    * file name) — shard grouping is per partition directory, so a
+    * shard's pseudo-entry carries the group's exact `k=v` values and
+    * the dir-based prune predicates apply to it verbatim.
+    */
+  private def dirKeyOf(entryLine: String): String = {
+    val rel = relOf(entryLine)
+    val i = rel.lastIndexOf('/')
+    if (i < 0) "" else rel.substring(0, i)
+  }
+
+  /** Merge member entries' stat suffixes into the shard's
+    * pseudo-stats — every merged stat is a SOUND whole-shard bound
+    * (true for some member ⇒ true for the merge), and a (column,
+    * kind) absent from ANY member is dropped (unknown keeps, the
+    * prune-only-on-proof posture). Bounds kinds (L/U min-of-min,
+    * max-of-max as exact longs; D doubles; T byte bounds, always
+    * serialized inexact) merge as ranges; the additive pseudo-stats
+    * (`__rows`, `__len`, 'N' null counts) SUM — which keeps the
+    * all-null shard proof (`nulls == rows`) exact. Sketch kinds
+    * (V/Q/B) don't merge here: per-file consumers descend anyway.
+    */
+  private def mergeShardStats(entries: Seq[String]): String = {
+    type K = (String, Char)
+    def partsOf(e: String): Map[K, (String, String)] = {
+      val i = e.indexOf('\t')
+      if (i < 0) Map.empty
+      else e.substring(i + 1).split(';').iterator.filter(_.nonEmpty)
+        .flatMap { part =>
+          part.split(':') match {
+            case Array(n, k, a, b)
+                if k.length == 1 && "LDUTN".contains(k) =>
+              Some((n, k.head) -> ((a, b)))
+            case _ => None
+          }
+        }.toMap
+    }
+    val maps = entries.map(partsOf)
+    if (maps.exists(_.isEmpty)) return ""
+    val shared = maps.map(_.keySet).reduce(_ intersect _)
+    def hexOf(s: String): Array[Byte] =
+      s.stripSuffix("~").sliding(2, 2)
+        .map(h => Integer.parseInt(h, 16).toByte).toArray
+    def hexStr(b: Array[Byte]): String =
+      b.map(x => f"$x%02x").mkString
+    shared.toSeq.sortBy(k => (k._1, k._2)).flatMap { case (n, k) =>
+      val vs = maps.map(_((n, k)))
+      k match {
+        case 'L' | 'U' if n == RowsStat || n == LenStat =>
+          val s = vs.map(_._1.toLong).sum
+          Some(s"$n:$k:$s:$s")
+        case 'L' | 'U' =>
+          scala.util.Try {
+            val lo = vs.map(_._1.toLong).min
+            val hi = vs.map(_._2.toLong).max
+            s"$n:$k:$lo:$hi"
+          }.toOption
+        case 'D' =>
+          scala.util.Try {
+            val lo = vs.map(_._1.toDouble).min
+            val hi = vs.map(_._2.toDouble).max
+            if (lo.isNaN || hi.isNaN) throw new NumberFormatException
+            s"$n:$k:$lo:$hi"
+          }.toOption
+        case 'N' =>
+          scala.util.Try {
+            val s = vs.map(_._1.toLong).sum
+            s"$n:N:$s:$s"
+          }.toOption
+        case 'T' =>
+          scala.util.Try {
+            val lo = vs.map(v => hexOf(v._1))
+              .reduce((a, b) => if (bytesCompare(a, b) <= 0) a else b)
+            // any unbounded member ('*') leaves the shard unbounded
+            val hi =
+              if (vs.exists(_._2 == "*")) "*"
+              else hexStr(vs.map(v => hexOf(v._2))
+                .reduce((a, b) =>
+                  if (bytesCompare(a, b) >= 0) a else b)) + "~"
+            // always inexact ('~'): shard bounds prune, never answer
+            s"$n:T:${hexStr(lo)}~:$hi"
+          }.toOption
+        case _ => None
+      }
+    }.mkString(";")
+  }
+
+  /** Encode a full v3 rendering as a v4 SHARDED manifest: write (or
+    * reuse) the shard files, return the v4 lines. Group order and
+    * within-group order are deterministic (sorted), so an unchanged
+    * directory group re-derives the identical shard file name.
+    */
+  private def renderV4(f: FileSystem, base: String,
+                       fullLines: Seq[String], sSize: Int)
+      : Seq[String] = {
+    val body = fullLines.drop(3).filter(_.nonEmpty)
+    val markers = body.filter(_.startsWith("#"))
+    val entryLines = body.filterNot(_.startsWith("#"))
+    val shardLines = entryLines.groupBy(dirKeyOf).toSeq.sortBy(_._1)
+      .flatMap { case (dir, es) =>
+        es.sorted.grouped(sSize).map { chunk =>
+          val file = writeShardFile(f, base, chunk)
+          val stats = mergeShardStats(chunk)
+          val pseudo = (if (dir.isEmpty) "_" else s"$dir/_") +
+            (if (stats.isEmpty) "" else s"\t$stats")
+          s"#shard=$file|${chunk.size}|$pseudo"
+        }
+      }
+    Seq(HeaderV4, fullLines(1), fullLines(2)) ++ markers ++ shardLines
+  }
+
+  /** Total entry count without forcing a sharded manifest's lazy
+    * entry list. */
+  private def entryCountOf(m: SnapManifest): Int =
+    if (m.shardRefs.nonEmpty) m.shardRefs.map(_.count).sum
+    else m.entries.size
+
+  /** The prune-candidate entries for a per-entry predicate `keep`:
+    * sharded manifests test each shard's pseudo-entry first and load
+    * only the shards the predicate cannot disprove — the whole-shard
+    * skip that keeps point-lookup planning O(shards). Sound because
+    * every pseudo-stat is a merged bound (member-true ⇒ pseudo-true)
+    * and every pseudo dir value is group-exact; callers still apply
+    * `keep` per entry afterwards.
+    */
+  private def pruneCandidates(f: FileSystem, base: String,
+                              m: SnapManifest)
+                             (keep: String => Boolean): Seq[String] =
+    if (m.shardRefs.isEmpty) m.entries
+    else m.shardRefs.flatMap { sr =>
+      if (keep(sr.pseudo)) {
+        shardsLoaded.incrementAndGet()
+        loadShard(f, base, sr.file)
+      } else {
+        shardsSkipped.incrementAndGet()
+        Nil
+      }
+    }
+
+  /** Shard refs of a committed version (empty for v1-v3 manifests) —
+    * for the DSv2 scan builder's shard-aware planning. */
+  private[graft] def shardRefsAt(spark: SparkSession, path: String,
+                                 v: Long): Seq[ShardRef] =
+    manifest(fs(spark, path), path, v).shardRefs
+
+  /** Load exactly the shards a ref-level predicate keeps — the scan
+    * builder's counted descend/skip primitive. */
+  private[graft] def loadWhere(spark: SparkSession, path: String,
+                               refs: Seq[ShardRef],
+                               keepRef: ShardRef => Boolean)
+      : Seq[String] = {
+    val f = fs(spark, path)
+    refs.flatMap { sr =>
+      if (keepRef(sr)) {
+        shardsLoaded.incrementAndGet()
+        loadShard(f, path, sr.file)
+      } else {
+        shardsSkipped.incrementAndGet()
+        Nil
+      }
+    }
+  }
+
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Cached per-parent-session CLONES with store-pinned conf — the
+    * conf-scoping that used to be set/restore on the SHARED session
+    * conf (a data race against every concurrent query on it).
+    * [[storeWriteSession]] pins TIMESTAMP_MICROS parquet output and
+    * UTC (directory derivation); [[utcDeriveSession]] pins UTC for
+    * the read-side 1-row derive plans, so prune-time directory
+    * bounds are computed under the SAME zone the write-time layout
+    * used — a reader session in any tz prunes correctly. Values are
+    * session clones (shared SparkContext, snapshot of the parent's
+    * runtime conf at first use).
+    */
+  private val storeWriteSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def storeWriteSession(spark: SparkSession): SparkSession =
+    storeWriteSessions.computeIfAbsent(spark, s =>
+      org.apache.spark.sql.graft.Bridge.cloneWithConf(s,
+        "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+        "spark.sql.session.timeZone" -> "UTC"))
+
+  private val utcDeriveSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private[graft] def utcDeriveSession(spark: SparkSession): SparkSession =
+    if (spark.conf.get("spark.sql.session.timeZone", "") == "UTC") spark
+    else utcDeriveSessions.computeIfAbsent(spark, s =>
+      org.apache.spark.sql.graft.Bridge.cloneWithConf(s,
+        "spark.sql.session.timeZone" -> "UTC"))
 
   private def manifestPath(base: String, v: Long) =
     new Path(f"$base/_manifests/v$v%09d.manifest")
@@ -313,7 +625,18 @@ object Snapshots {
     */
   private def renderForPublish(f: FileSystem, base: String, v: Long,
                                lines: Seq[String]): Seq[String] = {
-    if (v <= 1L || !lines.headOption.contains(Header)) return lines
+    if (!lines.headOption.contains(Header)) return lines
+    // SHARDED (v4) encoding beats the delta chain past the shard
+    // threshold: a delta keeps the COMMIT cheap but every read still
+    // resolves the full O(files) entry list, while v4 makes both the
+    // commit (only changed directory groups rewrite their shards)
+    // and the read (shard-level pruning) O(shards). Applies to v1
+    // too — a huge CTAS shards its very first manifest.
+    val sSize = shardSize(f)
+    if (lines.drop(3).count(l => l.nonEmpty && !l.startsWith("#")) >=
+        sSize * 2)
+      return renderV4(f, base, lines, sSize)
+    if (v <= 1L) return lines
     // Hadoop FileSystem instances are cached with the Configuration
     // they were first created with, so the conf knob is
     // deployment-time; the var is the test seam
@@ -605,6 +928,12 @@ object Snapshots {
     * mapping). Physical names are assigned at column birth and never
     * change; renames move only the logical name.
     */
+  /** `entries` is eager for v1-v3 manifests; for a SHARDED (v4)
+    * manifest it is a memoizing LazyList over the shard files, so
+    * mutation paths and full scans see the complete list unchanged
+    * while prune paths ([[pruneCandidates]]) go through `shardRefs`
+    * and never force it.
+    */
   private[graft] final case class SnapManifest(
       schema: Option[StructType], partCols: Seq[String],
       dropped: Set[String], op: String,
@@ -612,7 +941,8 @@ object Snapshots {
       colMap: Map[String, String],
       entries: Seq[String], raw: Seq[String],
       deltaBase: Option[Long] = None, depth: Int = 0,
-      props: Map[String, String] = Map.empty)
+      props: Map[String, String] = Map.empty,
+      shardRefs: Seq[ShardRef] = Nil)
 
   /** Parsed-manifest cache. A published manifest file is IMMUTABLE
     * ([[tryPublishManifest]] is an atomic create-if-absent; no code
@@ -682,6 +1012,29 @@ object Snapshots {
           s"snapshot: ${p.getName} is missing its partition line")
         parseV3Body(p, schemaAt(1), lines(2),
           lines.drop(3).filter(_.nonEmpty), lines)
+      case Some(HeaderV4) =>
+        require(lines.size >= 3,
+          s"snapshot: ${p.getName} is missing its partition line")
+        val body = lines.drop(3).filter(_.nonEmpty)
+        val refs = body.filter(_.startsWith("#shard=")).map { l =>
+          val s = l.stripPrefix("#shard=")
+          val i = s.indexOf('|')
+          val j = if (i < 0) -1 else s.indexOf('|', i + 1)
+          require(i > 0 && j > i,
+            s"snapshot: ${p.getName} has a corrupt #shard line '$l'")
+          val cnt = s.substring(i + 1, j)
+          require(cnt.nonEmpty && cnt.forall(_.isDigit),
+            s"snapshot: ${p.getName} has a corrupt #shard count in '$l'")
+          ShardRef(s.substring(0, i), cnt.toInt, s.substring(j + 1))
+        }
+        // marker lines parse exactly like v3 (unknown '#' lines are
+        // ignored there); the entry list resolves LAZILY from the
+        // shard files, memoized — only full-table consumers pay it
+        val m0 = parseV3Body(p, schemaAt(1), lines(2),
+          body.filterNot(_.startsWith("#shard=")), lines)
+        val ents: Seq[String] =
+          refs.to(LazyList).flatMap(r => loadShard(f, base, r.file))
+        m0.copy(entries = ents, shardRefs = refs)
       case Some(HeaderDelta) =>
         // delta resolution: reconstruct this version's body from the
         // base version's CANONICAL rendering (parse -> manifestLines
@@ -1275,7 +1628,30 @@ object Snapshots {
     // the column mapping at the write boundary (identity when no
     // rename ever happened), and partition directories use the
     // physical partition names so old and new files agree
-    val pdf = toPhysicalDf(df, colMap)
+    // STORE-WRITE SESSION: the physical write (and everything derived
+    // below it — hidden-transform directory values, identity
+    // partition-dir rendering, parquet timestamp encoding) runs on a
+    // cached CLONE of the caller's session with exactly two overrides:
+    //   - parquet.outputTimestampType=TIMESTAMP_MICROS: store files
+    //     need INT64 MICROS footers (legacy INT96 has no usable
+    //     statistics; the 'U'-kind manifest bounds that let
+    //     `ts BETWEEN` prune come from these). Scoped to the clone so
+    //     Verify dumps and user sinks on the PARENT session keep the
+    //     session default — the previous set/restore on the shared
+    //     conf raced concurrent writes on the same session.
+    //   - session.timeZone=UTC: time-transform directory values
+    //     (years/months/days/hours) and identity timestamp partition
+    //     dirs derive under a PINNED zone, so the read-side prune
+    //     (prunedEntriesEquals/Bound, which derives bounds under the
+    //     same pinned UTC) can never skew from the layout however the
+    //     reader's session tz is set. Timestamps INSIDE the data are
+    //     tz-agnostic micros; only directory NAMING is affected, and
+    //     the caller's own expressions keep their already-resolved
+    //     session zone (the plan below was analyzed on the parent).
+    val ws = storeWriteSession(spark)
+    val pdf = org.apache.spark.sql.graft.Bridge.ofRows(ws,
+      org.apache.spark.sql.graft.Bridge.logicalPlan(
+        toPhysicalDf(df, colMap)))
     val fields = partCols.map(parsePartField)
     val writer = if (fields.isEmpty) pdf.write else {
       fields.foreach(fld => require(pdf.columns.contains(fld.source),
@@ -1317,20 +1693,10 @@ object Snapshots {
       .map(c => toPhysicalName(colMap, c))
       .foldLeft(writer)((w, phys) =>
         w.option(s"parquet.bloom.filter.enabled#$phys", "true"))
-    // store files write timestamps as INT64 MICROS (matching the
-    // DSv2 task-write path in WriteBridge): legacy INT96 has no
-    // usable statistics, and the 'U'-kind manifest bounds that let
-    // `ts BETWEEN` prune come from these footers. Scoped to this
-    // write via set/restore — Verify dumps and user sinks keep the
-    // session default
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val prevTs = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try withBloom.parquet(s"$path/$commitDir")
-    finally prevTs match {
-      case Some(v) => spark.conf.set(tsKey, v)
-      case None => spark.conf.unset(tsKey)
-    }
+    // timestamps write as INT64 MICROS and dirs derive under UTC via
+    // the clone's conf (see storeWriteSession above) — no shared-conf
+    // mutation anywhere in the write
+    withBloom.parquet(s"$path/$commitDir")
     val conf = spark.sessionState.newHadoopConf()
     val fresh = listCommitFiles(f, path, commitDir).map { rel =>
       val p = new Path(s"$path/$rel")
@@ -1424,7 +1790,14 @@ object Snapshots {
       else {
         val sk = ndvSketchPass(spark, path,
           toPhysicalSchema(schema, colMap), partCols, fresh, cols)
-        fresh.map(e => amendNdvEntry(e, sk))
+        val bloomPhys = bloomColumnsOf(baseProps, colMap, cols)
+        val bl =
+          if (bloomPhys.isEmpty)
+            Map.empty[String, Map[String, (Int, Int, Array[Long])]]
+          else bloomSketchPass(spark, path,
+            toPhysicalSchema(schema, colMap), partCols, fresh,
+            bloomPhys, sk)
+        fresh.map(e => amendBloomEntry(amendNdvEntry(e, sk), bl))
       }
     }
     onBeforePublish()
@@ -2923,7 +3296,7 @@ object Snapshots {
     val m = manifest(f, path, v)
     // stats and partition-path values are keyed by PHYSICAL name
     val phys = toPhysicalName(m.colMap, column)
-    val kept = m.entries.filter { e =>
+    def keep(e: String): Boolean = {
       val range = statsOf(e).get(phys).orElse(
         partValsOf(relOf(e)).get(phys)
           .flatMap(s => scala.util.Try(s.toDouble).toOption)
@@ -2933,7 +3306,7 @@ object Snapshots {
         case None => true
       }
     }
-    (kept, m.entries.size)
+    (pruneCandidates(f, path, m)(keep).filter(keep), entryCountOf(m))
   }
 
   /** Range scan with MANIFEST-LEVEL file skipping: files whose
@@ -3012,7 +3385,7 @@ object Snapshots {
     val phys = toPhysicalName(m.colMap, column)
     val loB = lo.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val hiB = hi.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val kept = m.entries.filter { e =>
+    def keep(e: String): Boolean = {
       val range: Option[(Array[Byte], Option[Array[Byte]])] =
         stringStatsOf(e).get(phys).orElse(
           partValsOf(relOf(e)).get(phys).map { s =>
@@ -3026,7 +3399,7 @@ object Snapshots {
         case None => true
       }
     }
-    (kept, m.entries.size)
+    (pruneCandidates(f, path, m)(keep).filter(keep), entryCountOf(m))
   }
 
   /** [[readBetween]] for STRING columns: manifest-level file skipping
@@ -3117,11 +3490,14 @@ object Snapshots {
     // one LOCAL 1-row plan derives every relevant field's directory
     // string for `value` — same expressions, same cast-to-string the
     // dynamic-partition writer used to name the directories, so the
-    // comparison can never skew from the layout
+    // comparison can never skew from the layout. Derived under the
+    // PINNED UTC session ([[utcDeriveSession]]) — the zone the write
+    // path lays directories out in — so a reader session in any tz
+    // derives the same dir values the writer did
     val expect: Map[String, String] =
       if (fields.isEmpty) Map.empty
       else {
-        val row = spark.range(1).select(fields.map(fld =>
+        val row = utcDeriveSession(spark).range(1).select(fields.map(fld =>
           fld.derive(lit(value).cast(dt), dt).cast("string")
             .as(fld.dirName)): _*).head()
         fields.zipWithIndex.map { case (fld, i) =>
@@ -3169,7 +3545,21 @@ object Snapshots {
           .localDateTimeToMicros(t))
       case _ => None
     }
-    val kept = m.entries.filter { e =>
+    // lookup-literal hashes for the 'B' bloom blocks, derived
+    // through a 1-row local plan with the SAME codegen'd hash
+    // functions the sketch pass folded with (xxhash64 + murmur3) —
+    // computed lazily, only when a kept entry actually carries a
+    // bloom for this column
+    lazy val bloomHashes: Option[(Long, Long)] = scala.util.Try {
+      val r = spark.range(1).select(
+        org.apache.spark.sql.functions.xxhash64(
+          lit(value).cast(dt)).as("h1"),
+        org.apache.spark.sql.functions.hash(
+          lit(value).cast(dt)).cast("long").as("h2")).head()
+      if (r.isNullAt(0) || r.isNullAt(1)) None
+      else Some((r.getLong(0), r.getLong(1)))
+    }.toOption.flatten
+    def keep(e: String): Boolean = {
       val vals = partValsOf(relOf(e))
       val dirOk = expect.forall { case (k, exp) =>
         vals.get(k).forall(_ == exp) }
@@ -3184,9 +3574,21 @@ object Snapshots {
       val tsOk = !statsApply ||
         tsVal.forall(u => tsStatsOf(e).get(phys).forall {
           case (mn, mx) => mx >= u && mn <= u })
-      dirOk && statOk && sOk && tsOk
+      // bloom proof: a committed 'B' block whose k positions are not
+      // all set PROVES the file lacks the value (modulo nothing —
+      // absence is exact; presence is the maybe side). Shard
+      // pseudo-entries never carry 'B', so shards keep and the
+      // per-file test runs after descend.
+      val bloomOk = !statsApply ||
+        (bloomStatsOf(e).get(phys) match {
+          case Some((mb, k, words)) =>
+            bloomHashes.forall { case (h1, h2) =>
+              bloomMightContain(mb, k, words, h1, h2) }
+          case None => true
+        })
+      dirOk && statOk && sOk && tsOk && bloomOk
     }
-    (kept, m.entries.size)
+    (pruneCandidates(f, path, m)(keep).filter(keep), entryCountOf(m))
   }
 
   /** Point lookup with MANIFEST-LEVEL file skipping: `column =
@@ -3299,7 +3701,7 @@ object Snapshots {
       m.partCols.map(parsePartField).filter(_.source == phys)
         .flatMap { fld =>
           def derived: Option[String] =
-            scala.util.Try(spark.range(1).select(
+            scala.util.Try(utcDeriveSession(spark).range(1).select(
               fld.derive(lit(value).cast(dt), dt).cast("string")
                 .as("d")).head()).toOption
               .flatMap(r => if (r.isNullAt(0)) None
@@ -3334,8 +3736,8 @@ object Snapshots {
         }
     if (numVal.isEmpty && strVal.isEmpty && tsVal.isEmpty &&
         dirChecks.isEmpty)
-      return (m.entries, m.entries.size)
-    val kept = m.entries.filter { e =>
+      return (m.entries, entryCountOf(m))
+    def keep(e: String): Boolean = {
       val dirRangeOk = dirChecks.forall { case (key, ok) =>
         partValsOf(relOf(e)).get(key).forall(ok) }
       val numOk = numVal.forall { d =>
@@ -3367,7 +3769,7 @@ object Snapshots {
       }
       dirRangeOk && numOk && strOk && tsOk
     }
-    (kept, m.entries.size)
+    (pruneCandidates(f, path, m)(keep).filter(keep), entryCountOf(m))
   }
 
   /** NULL-count file-skipping decision for `column IS [NOT] NULL`,
@@ -3394,15 +3796,18 @@ object Snapshots {
     if (!schema.fieldNames.contains(column))
       return (m.entries, m.entries.size)
     val phys = toPhysicalName(m.colMap, column)
-    val kept = m.entries.filter { e =>
+    def keep(e: String): Boolean = {
       val nulls = nullCountOf(e).get(phys)
       if (isNull) nulls.forall(_ > 0L)
       else {
-        val rows = entryMeta(spark, path, e)._3
+        // row count from the entry's own `__rows` pseudo-stat — never
+        // a filesystem stat (shard pseudo-entries have no file; the
+        // SUMMED rows/nulls keep the all-null-shard proof exact)
+        val rows = entryRows(e)
         !(nulls.isDefined && rows.isDefined && nulls == rows)
       }
     }
-    (kept, m.entries.size)
+    (pruneCandidates(f, path, m)(keep).filter(keep), entryCountOf(m))
   }
 
   /** PREFIX file-skipping decision for `column LIKE 'p%'`
@@ -3428,7 +3833,7 @@ object Snapshots {
     val phys = toPhysicalName(m.colMap, column)
     val pB = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val upB = incrementBound(pB) // None: no finite upper bound
-    val kept = m.entries.filter { e =>
+    def keep(e: String): Boolean = {
       val range: Option[(Array[Byte], Option[Array[Byte]])] =
         stringStatsOf(e).get(phys).orElse(
           partValsOf(relOf(e)).get(phys).map { s =>
@@ -3441,7 +3846,7 @@ object Snapshots {
           upB.forall(up => bytesCompare(mn, up) < 0)
       }
     }
-    (kept, m.entries.size)
+    (pruneCandidates(f, path, m)(keep).filter(keep), entryCountOf(m))
   }
 
   /** The rows ADDED between two committed versions: the files in
@@ -4573,13 +4978,16 @@ object Snapshots {
       // equi-height CBO histograms ([[SnapshotBatchScan]] merges
       // per-file summaries into the planned sliver's histogram at
       // plan time); DATE rides as epoch days, matching its 'L' stats
+      // quantiles commit ONLY for the types the scan-side histogram
+      // can actually serve (it anchors coverage on exact 'L'/'U'
+      // bounds — integrals, DATE, TIMESTAMP). Float/double columns
+      // never get those anchors, so their summaries would be dead
+      // manifest weight (~300 chars per column per file).
       val quantile = dt match {
         case org.apache.spark.sql.types.ByteType |
              org.apache.spark.sql.types.ShortType |
              org.apache.spark.sql.types.IntegerType |
              org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.FloatType |
-             org.apache.spark.sql.types.DoubleType |
              org.apache.spark.sql.types.DateType |
              org.apache.spark.sql.types.TimestampType => true
         case _ => false
@@ -4633,6 +5041,183 @@ object Snapshots {
         row.getString(0) -> ((regs, quants.get(row.getString(0))))
       }.toMap
     }.toMap
+  }
+
+  /** MANIFEST BLOOM BLOCKS ('B' kind): per-file bloom filters over a
+    * column's values, committed beside the NDV registers — the
+    * point-lookup proof min/max can't give on UNCLUSTERED
+    * high-cardinality columns (`jid = 'JOB123'` on an
+    * interleaved-ingest corpus: every file's string bounds span the
+    * whole key range, so 'T' stats keep everything; the bloom skips
+    * every file whose set provably lacks the value). Sized from the
+    * SAME pass's per-file NDV estimate (~10 bits/key, power-of-two,
+    * capped at [[BloomMaxBits]] so manifest weight stays bounded —
+    * past the cap the FPR degrades gracefully, pruning weakens but
+    * never breaks). Hashes are Spark's own codegen'd xxhash64 (h1)
+    * and murmur3 hash (h2), double-hashed to k positions — computed
+    * IN-PLAN during the sketch pass and re-derived for the lookup
+    * literal through a 1-row local plan, so the two sides can never
+    * disagree. Prune-only-on-proof: a file without a 'B' stat for
+    * the column is kept.
+    */
+  private val BloomBitsPerKey = 10
+  private[graft] val BloomMaxBits = 32768 // 8 KB hex per (file, col)
+  private val BloomMinBits = 64
+
+  /** (m bits, k hashes) for an expected key count. */
+  private[graft] def bloomParams(ndv: Long): (Int, Int) = {
+    val want = math.max(BloomMinBits.toLong,
+      math.min(ndv * BloomBitsPerKey, BloomMaxBits.toLong)).toInt
+    val m =
+      if (Integer.bitCount(want) == 1) want
+      else Integer.highestOneBit(want) * 2
+    val k = math.max(1, math.min(16,
+      math.round(0.693 * m / math.max(1L, ndv)).toInt))
+    (m, k)
+  }
+
+  /** Parse an entry's 'B'-kind bloom blocks: physical column →
+    * (m, k, bit words). Malformed blocks are ignored (kept, never
+    * skipped). */
+  private[graft] def bloomStatsOf(entry: String)
+      : Map[String, (Int, Int, Array[Long])] = {
+    val i = entry.indexOf('\t')
+    if (i < 0) Map.empty
+    else entry.substring(i + 1).split(';').iterator.filter(_.nonEmpty)
+      .flatMap { part =>
+        part.split(':') match {
+          case Array(name, "B", mk, hex) =>
+            scala.util.Try {
+              val mks = mk.split('_')
+              val m = mks(0).toInt
+              val k = mks(1).toInt
+              val words = hex.sliding(16, 16)
+                .map(java.lang.Long.parseUnsignedLong(_, 16)).toArray
+              require(m >= BloomMinBits && k >= 1 &&
+                words.length == m / 64)
+              name -> ((m, k, words))
+            }.toOption
+          case _ => None
+        }
+      }.toMap
+  }
+
+  /** The exact membership test the sketch pass's bit-set answers:
+    * position_i = pmod(h1 + i*h2, m) — identical long arithmetic to
+    * the in-plan fold (JVM wraparound included). */
+  private[graft] def bloomMightContain(m: Int, k: Int,
+                                       words: Array[Long],
+                                       h1: Long, h2: Long): Boolean = {
+    var i = 0
+    while (i < k) {
+      val pos =
+        java.lang.Math.floorMod(h1 + i.toLong * h2, m.toLong).toInt
+      if (((words(pos >> 6) >>> (pos & 63)) & 1L) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Distributed bloom fold: one job per column over exactly
+    * `entries`, bits assembled as (file, word) longs via bit_or (so
+    * the driver collects ≤ m/64 rows per file, never one row per
+    * value), sized per file from the NDV registers just computed.
+    * Returns physCol → (rel → (m, k, words)).
+    */
+  private def bloomSketchPass(spark: SparkSession, path: String,
+                              phys: StructType, partCols: Seq[String],
+                              entries: Seq[String],
+                              physCols: Seq[String],
+                              ndvRegs: Map[String,
+                                Map[String,
+                                  (Array[Int], Option[Array[Double]])]])
+      : Map[String, Map[String, (Int, Int, Array[Long])]] = {
+    import spark.implicits._
+    val df = spark.baseRelationToDataFrame(
+      entriesRelation(spark, path, phys, partCols, entries))
+      .select(relPathExpr.as("__rel") +: phys.fields.map(f =>
+        col(f.name)): _*)
+    physCols.flatMap { pc =>
+      ndvRegs.get(pc).filter(_.nonEmpty).map { regsByRel =>
+        val params = regsByRel.view.mapValues(r =>
+          bloomParams(ndvEstimate(r._1))).toMap
+        val paramDf = params.toSeq
+          .map { case (rel, (m, k)) => (rel, m.toLong, k) }
+          .toDF("__rel", "__m", "__k")
+        val rows = df.filter(col(pc).isNotNull)
+          .select(col("__rel"),
+            org.apache.spark.sql.functions.xxhash64(col(pc))
+              .as("__h1"),
+            org.apache.spark.sql.functions.hash(col(pc)).cast("long")
+              .as("__h2"))
+          .join(broadcast(paramDf), "__rel")
+          .select(col("__rel"), col("__m"), col("__h1"), col("__h2"),
+            expr("explode(sequence(0, __k - 1))").as("__i"))
+          .select(col("__rel"),
+            expr("pmod(__h1 + CAST(__i AS BIGINT) * __h2, __m)")
+              .as("__pos"))
+          .select(col("__rel"), expr("__pos div 64").as("__w"),
+            expr("shiftleft(CAST(1 AS BIGINT), " +
+              "CAST(__pos % 64 AS INT))").as("__bit"))
+          .groupBy(col("__rel"), col("__w"))
+          .agg(expr("bit_or(__bit)").as("__v"))
+          .groupBy(col("__rel"))
+          .agg(org.apache.spark.sql.functions.collect_list(
+            org.apache.spark.sql.functions.struct(
+              col("__w"), col("__v"))).as("__words"))
+          .collect()
+        pc -> rows.flatMap { row =>
+          val rel = row.getString(0)
+          params.get(rel).map { case (m, k) =>
+            val words = new Array[Long](m / 64)
+            row.getSeq[org.apache.spark.sql.Row](1).foreach { wr =>
+              words(wr.getLong(0).toInt) |= wr.getLong(1)
+            }
+            rel -> ((m, k, words))
+          }
+        }.toMap
+      }
+    }.toMap
+  }
+
+  /** Graft bloom blocks onto one manifest entry as 'B'-kind
+    * pseudo-stats, replacing any prior block for the same columns
+    * (re-analyze refreshes; other columns' blocks ride). */
+  private def amendBloomEntry(entry: String,
+                              blooms: Map[String,
+                                Map[String, (Int, Int, Array[Long])]])
+      : String = {
+    val rel = relOf(entry)
+    val adds = blooms.toSeq.sortBy(_._1).flatMap { case (pc, m) =>
+      m.get(rel).map { case (mb, k, words) =>
+        s"$pc:B:${mb}_$k:" + words.map(w => f"$w%016x").mkString
+      }
+    }
+    if (adds.isEmpty) entry
+    else {
+      val i = entry.indexOf('\t')
+      val analyzed = blooms.keySet
+      val keptStats =
+        if (i < 0) Nil
+        else entry.substring(i + 1).split(';').toSeq
+          .filter(_.nonEmpty).filterNot { part =>
+            val ps = part.split(':')
+            ps.length == 4 && ps(1) == "B" && analyzed(ps(0))
+          }
+      rel + "\t" + (keptStats ++ adds).mkString(";")
+    }
+  }
+
+  /** The PHYSICAL columns the `stats.bloom.columns` property asks
+    * bloom blocks for, intersected with the columns an NDV pass just
+    * sized (blooms ride the analyze — sizing needs the registers). */
+  private def bloomColumnsOf(props: Map[String, String],
+                             colMap: Map[String, String],
+                             analyzedPhys: Seq[String]): Seq[String] = {
+    val want = props.getOrElse("stats.bloom.columns", "")
+      .split(',').map(_.trim).filter(_.nonEmpty)
+      .map(c => toPhysicalName(colMap, c)).toSet
+    analyzedPhys.filter(want)
   }
 
   /** Graft a sketch pass's registers (and quantile summaries, when
@@ -4728,9 +5313,20 @@ object Snapshots {
     requireLocalEntries(st.entries, path, "analyze NDV sketches for")
     if (st.entries.isEmpty) return st.v
     val phys = toPhysicalSchema(st.schema, st.colMap)
+    val analyzedPhys = columns.map(c => toPhysicalName(st.colMap, c))
     val sketches = ndvSketchPass(spark, path, phys, st.partCols,
-      st.entries, columns.map(c => toPhysicalName(st.colMap, c)))
-    def amend(entry: String): String = amendNdvEntry(entry, sketches)
+      st.entries, analyzedPhys)
+    // bloom blocks ride the analyze for the columns the
+    // `stats.bloom.columns` property names (sizing needs the NDV
+    // registers this pass just computed)
+    val bloomPhys = bloomColumnsOf(st.props, st.colMap, analyzedPhys)
+    val blooms =
+      if (bloomPhys.isEmpty)
+        Map.empty[String, Map[String, (Int, Int, Array[Long])]]
+      else bloomSketchPass(spark, path, phys, st.partCols,
+        st.entries, bloomPhys, sketches)
+    def amend(entry: String): String =
+      amendBloomEntry(amendNdvEntry(entry, sketches), blooms)
     val f = fs(spark, path)
     onBeforePublish()
     var m = manifest(f, path, st.v)
@@ -5387,11 +5983,13 @@ object Snapshots {
     props.foreach { case (k, v) => requirePropPair(k, v) }
     val st @ CurState(v, schema, partCols, dropped, txns, dvs, colMap,
       all) = currentState(spark, path, "set properties of")
-    props.get("write.bloom.columns").foreach(_.split(',').map(_.trim)
-      .filter(_.nonEmpty).foreach(c =>
-        require(schema.fieldNames.contains(c),
-          s"snapshot: write.bloom.columns names '$c', which is not " +
-            s"in the table schema (${schema.fieldNames.mkString(", ")})")))
+    Seq("write.bloom.columns", "stats.bloom.columns").foreach(key =>
+      props.get(key).foreach(_.split(',').map(_.trim)
+        .filter(_.nonEmpty).foreach(c =>
+          require(schema.fieldNames.contains(c),
+            s"snapshot: $key names '$c', which is not " +
+              s"in the table schema " +
+              s"(${schema.fieldNames.mkString(", ")})"))))
     val f = fs(spark, path)
     val next = v + 1L
     if (!tryPublishManifest(f, path, next,
@@ -5684,7 +6282,11 @@ object Snapshots {
     // resolves against the same historical base — retention pins it)
     // and only its forced `+#op=` edit line is rewritten.
     val lines =
-      if (raw.headOption.contains(Header))
+      if (raw.headOption.contains(Header) ||
+          raw.headOption.contains(HeaderV4))
+        // v4 republishes verbatim too: its shard refs are
+        // content-addressed and immutable, so the rollback reuses
+        // them untouched (vacuum keeps every referenced shard alive)
         raw.filterNot(_.startsWith("#op=")).patch(3,
           Seq(s"#op=rollback(to=$toVersion)"), 0)
       else if (raw.headOption.contains(HeaderDelta))
@@ -6149,7 +6751,14 @@ object Snapshots {
     // list them as unreferenced and delete data mid-promote. Same
     // monitor as every publish/promote/drop on this table path.
     monitorFor(f, path).synchronized {
-    val referenced = (allManifestVersions(f, path)
+    val liveVersions = allManifestVersions(f, path)
+    // shard files referenced by ANY surviving manifest must outlive
+    // it (a version's entries resolve through them); everything else
+    // under _manifests/shards is orphaned by expire/compaction churn
+    // and sweeps here (same grace window as data files)
+    val referencedShards = liveVersions
+      .flatMap(v => manifest(f, path, v).shardRefs.map(_.file)).toSet
+    val referenced = (liveVersions
       .flatMap { v =>
         val m = manifest(f, path, v)
         m.entries.map(relOf) ++ m.dvs.map(dvRelOf)
@@ -6169,6 +6778,14 @@ object Snapshots {
     if (!dryRun && f.exists(mdir)) f.listStatus(mdir).foreach { st =>
       if (st.isFile && st.getPath.getName.startsWith("_tmp_") &&
           st.getModificationTime <= cutoff)
+        f.delete(st.getPath, false)
+    }
+    val sdir = new Path(s"$path/_manifests/shards")
+    if (!dryRun && f.exists(sdir)) f.listStatus(sdir).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && st.getModificationTime <= cutoff &&
+          (n.startsWith("_tmp_") ||
+            (n.endsWith(".shard") && !referencedShards.contains(n))))
         f.delete(st.getPath, false)
     }
     f.listStatus(dataDir).foreach { commit =>

@@ -26,6 +26,22 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** A cloned session (shared SparkContext/SharedState, cloned
+    * SessionState incl. runtime conf and temp views) with the given
+    * conf overrides applied to the CLONE only — the per-write /
+    * per-plan conf-scoping primitive: mutating a shared session's
+    * conf around a write (set/restore) races every concurrent query
+    * on that session, while a clone scopes the override to exactly
+    * the plans executed through it.
+    */
+  def cloneWithConf(spark: SparkSession,
+                    overrides: (String, String)*): SparkSession = {
+    val c = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .cloneSession()
+    overrides.foreach { case (k, v) => c.conf.set(k, v) }
+    c
+  }
+
   /** Apply a SparkSessionExtensions bundle to an already-running
     * session (builder-time `.withExtensions` is ignored by
     * `getOrCreate` when a session exists): registers injected
