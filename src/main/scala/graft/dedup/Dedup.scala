@@ -371,10 +371,18 @@ object Dedup {
                idCol: String = "doc_id", maxIter: Int = 20,
                reliable: Boolean = false): DataFrame = {
     import graft.graph.Graph.cut
+    // sortWithinPartitions before caching: a shuffle's reduce side
+    // emits rows in map-block ARRIVAL order (genuinely
+    // nondeterministic), so the cached edge blocks — read by every
+    // round's join map side — would carry run-variant row order,
+    // and compressed shuffle BYTES would jitter run-to-run. The
+    // in-partition sort pins block content, which pins every
+    // downstream map output: shuffle bytes become the exact plan
+    // tripwire the bench methodology assumes.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(
         pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().cache()
+      .distinct().sortWithinPartitions("src", "dst").cache()
     // iterate ONLY over nodes with at least one edge — near-dup
     // endpoints are a sliver of the corpus, so every round's join and
     // aggregate run on the sliver, not the full document set;
@@ -384,7 +392,8 @@ object Dedup {
     // `reliable` picks durable checkpoints over executor-lifetime
     // blocks (see [[graft.graph.Graph.cut]])
     var labelsCkpt = cut(edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id")), reliable)
+      .withColumn("cluster_id", col("doc_id"))
+      .sortWithinPartitions("doc_id"), reliable)
     var labels = labelsCkpt
     var converged = false
     var i = 0
@@ -395,9 +404,17 @@ object Dedup {
       // row`) — the convergence check then needs no extra join and
       // no lazy-plan replay, just a flag comparison on the round's
       // own output
+      // the pull join is PINNED to sort-merge: AQE would otherwise
+      // pick broadcast-vs-shuffle from runtime map-output sizes,
+      // which sit near the threshold for sliver-sized label sets —
+      // the one strategy flip that made CC shuffle bytes run-variant
+      // (a cold first run broadcast, warm runs shuffled). SMJ also
+      // emits sorted output, so every downstream map side sees a
+      // deterministic row order.
       val viaEdges = edges
         .join(labels.withColumnsRenamed(
-          Map("doc_id" -> "dst", "cluster_id" -> "nbr")), "dst")
+          Map("doc_id" -> "dst", "cluster_id" -> "nbr"))
+          .hint("merge"), "dst")
         .select(col("src").as("doc_id"), col("nbr").as("cluster_id"),
           lit(false).as("is_self"))
       val pulled = labels.withColumn("is_self", lit(true))
@@ -421,7 +438,7 @@ object Dedup {
       val stepped = if (i < 2) pulled
       else {
         val lm = pulled.select(col("doc_id").as("lbl"),
-          col("cluster_id").as("lbl_root"))
+          col("cluster_id").as("lbl_root")).hint("merge")
         pulled.join(lm, pulled("cluster_id") === lm("lbl"), "left")
           .select(pulled("doc_id"),
             coalesce(col("lbl_root"), pulled("cluster_id"))
@@ -430,9 +447,13 @@ object Dedup {
       }
       // ONE job per round: materialize the round (checkpoint cuts
       // lineage), then probe convergence on the materialized blocks —
-      // a column compare, no join, no replay, byte-deterministic
+      // a column compare, no join, no replay. sortWithinPartitions
+      // pins the checkpointed block content (see the edges note), so
+      // the next round's map outputs — and with them the gate's
+      // total shuffle bytes — are run-deterministic.
       val next = cut(stepped.select(col("doc_id"), col("cluster_id"),
-        (col("cluster_id") < col("old_label")).as("changed")), reliable)
+        (col("cluster_id") < col("old_label")).as("changed"))
+        .sortWithinPartitions("doc_id"), reliable)
       val anyChanged = next.filter(col("changed")).limit(1).count() > 0L
       // the previous round's blocks are only released AFTER the next
       // checkpoint materialized — its lazy consumers are gone now
