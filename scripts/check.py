@@ -38,7 +38,12 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
-        if os.path.exists(p):
+        # Spark-written tables are DIRECTORIES of part files (the 10x
+        # scale-probe dirs); the shipped testdata tables are single
+        # files — glob accordingly
+        if os.path.isdir(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0

@@ -102,7 +102,7 @@ private[graft] object QueriesLlm {
   private def dupDocs(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     d.unionByName(d.filter(col("doc_id") % 5 === 0)
-      .withColumn("doc_id", col("doc_id") + 10000))
+      .withColumn("doc_id", col("doc_id") + 100000000L))
   }
 
   def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -1216,7 +1216,7 @@ private[graft] object QueriesLlm {
   private lazy val SpanCtes: String =
     s"""dup AS (SELECT doc_id, text FROM documents
             UNION ALL
-            SELECT doc_id + 10000, text FROM documents
+            SELECT doc_id + 100000000, text FROM documents
             WHERE doc_id % 5 = 0),
           tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM dup),
           wins AS (SELECT doc_id, unnest(list_transform(
@@ -2416,7 +2416,7 @@ private[graft] object QueriesLlm {
       """WITH dup AS (
            SELECT doc_id, text FROM documents
            UNION ALL
-           SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0)
+           SELECT doc_id + 100000000, text FROM documents WHERE doc_id % 5 = 0)
          SELECT md5(lower(text)) AS fp, min(doc_id) AS canonical_id,
            count(*) AS n_copies
          FROM dup GROUP BY 1""",
@@ -2438,7 +2438,7 @@ private[graft] object QueriesLlm {
     "q_containment_pairs" ->
       s"""WITH dup AS (SELECT doc_id, text FROM documents
             UNION ALL
-            SELECT doc_id + 10000, text FROM documents
+            SELECT doc_id + 100000000, text FROM documents
             WHERE doc_id % 5 = 0),
           sh AS (SELECT doc_id, list_distinct(
               [w[i] || ' ' || w[i+1] || ' ' || w[i+2]

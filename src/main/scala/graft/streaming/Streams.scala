@@ -59,15 +59,39 @@ object Streams {
     * directory (arriving-files semantics), so the single test file is
     * staged into a scratch dir once.
     */
+  /** Stage a parquet table into the file-source directory: a
+    * single-file table copies as itself; a DIRECTORY table (the
+    * normal Spark-written layout) copies its part files —
+    * `Files.copy` on a directory would copy it EMPTY and the stream
+    * would silently read zero rows.
+    */
+  private def stageParquet(src: java.nio.file.Path,
+                           staged: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.isDirectory(src)) {
+      val it = java.nio.file.Files.list(src).iterator()
+      var n = 0
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.copy(p,
+            staged.resolve(p.getFileName.toString),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          n += 1
+        }
+      }
+      require(n > 0,
+        s"streams: $src is a directory with no parquet part files")
+    } else java.nio.file.Files.copy(src,
+      staged.resolve(src.getFileName.toString),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+
   def eventsStream(spark: SparkSession, dir: String,
                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val raw = graft.schema.Conform.physicalReadSchema(
       spark, s"$dir/events.parquet", contractOf("events"), "events")
     val staged = stagingDir("graft_stream_src_")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      staged.resolve("events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    stageParquet(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged)
     graft.schema.Conform.conform(
       fileStream(spark, staged.toString, raw, maxFilesPerTrigger),
       contractOf("events"), "events")
@@ -87,10 +111,8 @@ object Streams {
       spark, s"$dir/documents.parquet", contractOf("documents"),
       "documents")
     val staged = stagingDir("graft_stream_docs_")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/documents.parquet"),
-      staged.resolve("documents.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    stageParquet(java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      staged)
     graft.schema.Conform.conform(
       fileStream(spark, staged.toString, raw),
       contractOf("documents"), "documents")
@@ -194,10 +216,8 @@ object Streams {
     val raw = graft.schema.Conform.physicalReadSchema(
       spark, s"$dir/events.parquet", contractOf("events"), "events")
     val staged = stagingDir("graft_stream_tie_src_")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      staged.resolve("events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    stageParquet(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged)
     graft.io.Scratch.stageSingleParquetFile(
       graft.Tables.SessionTie.rawDf(spark, raw), staged, "tie.parquet")
     graft.schema.Conform.conform(
