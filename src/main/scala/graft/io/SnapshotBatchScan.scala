@@ -597,10 +597,27 @@ private[graft] final class SnapshotScanBuilder(
         row.get(i, idTypes(i))
       }
     }
-    val groups: Seq[(Seq[Any], Seq[String])] =
+    // entry-level groups force a sharded manifest's full lazy list -
+    // built lazily; the SHARD-level groups below answer first when
+    // they can (their pseudo-entries carry summed __rows/__len/N and
+    // exact merged L/U bounds in the same stat grammar, so every
+    // fold below evaluates over them unchanged - a bare COUNT(*) on
+    // a million-file table is then O(shards) driver work)
+    lazy val entryGroups: Seq[(Seq[Any], Seq[String])] =
       if (groupCols.isEmpty) Seq(Seq.empty[Any] -> kept)
       else kept.groupBy(groupKeyOf).toSeq
         .sortBy(_._1.mkString(""))
+    val pseudoGroups: Option[Seq[(Seq[Any], Seq[String])]] =
+      if (!keptIsFullSharded || hasDeletes || shardRefs.isEmpty) None
+      else {
+        val ps = shardRefs.map(_.pseudo)
+        Some(
+          if (groupCols.isEmpty) Seq(Seq.empty[Any] -> ps)
+          // shards group per partition directory, so a pseudo's dir
+          // chain carries the group key exactly like an entry's
+          else ps.groupBy(groupKeyOf).toSeq
+            .sortBy(_._1.mkString("")))
+      }
 
     /** Live rows of a group's entries: `__rows` minus each file's
       * positional-delete count; None when any entry lacks the stat.
@@ -748,21 +765,38 @@ private[graft] final class SnapshotScanBuilder(
       }
     if (planned.exists(_.isEmpty)) return None
     val fns = planned.map(_.get._2)
-    // under deletes a group may have lost EVERY row - a real scan
-    // emits no row for it, so neither may the metadata answer; a
-    // group whose liveness is unprovable refuses the whole push
-    val liveGroups =
-      if (!hasDeletes || groupCols.isEmpty) groups
-      else groups.map { case g @ (_, es) => liveRowsOf(es) match {
-        case Some(n) => Some(g).filter(_ => n > 0)
-        case None => return None
-      }}.flatten
-    // evaluate per group; ANY unanswerable cell refuses the push
-    val rows: Seq[Array[Any]] = liveGroups.map { case (key, es) =>
-      val vals = fns.map(_(es))
-      if (vals.exists(_.isEmpty)) return None
-      (key ++ vals.map(_.get)).toArray
+    /** Evaluate every group's cells over one candidate grouping —
+      * None when ANY cell is unanswerable there (the caller then
+      * falls back to the next tier, or refuses the push).
+      */
+    def evalOver(gs: Seq[(Seq[Any], Seq[String])])
+        : Option[Seq[Array[Any]]] = {
+      // under deletes a group may have lost EVERY row - a real scan
+      // emits no row for it, so neither may the metadata answer; a
+      // group whose liveness is unprovable refuses
+      val liveGroups: Seq[(Seq[Any], Seq[String])] =
+        if (!hasDeletes || groupCols.isEmpty) gs
+        else {
+          val per = gs.map { case g @ (_, es) =>
+            liveRowsOf(es).map(n => (g, n)) }
+          if (per.exists(_.isEmpty)) return None
+          per.flatten.collect { case (g, n) if n > 0 => g }
+        }
+      val rows = liveGroups.map { case (key, es) =>
+        val vals = fns.map(_(es))
+        if (vals.exists(_.isEmpty)) None
+        else Some((key ++ vals.map(_.get)).toArray)
+      }
+      if (rows.exists(_.isEmpty)) None else Some(rows.map(_.get))
     }
+    // SHARD tier first (O(shards), pseudo-entries carry the same
+    // grammar); anything a pseudo can't answer exactly — a string
+    // MIN/MAX needs exact 'T' bounds, which shard merges never are —
+    // falls back to the per-entry tier before refusing the push
+    val rows: Seq[Array[Any]] =
+      pseudoGroups.flatMap(evalOver)
+        .orElse(evalOver(entryGroups))
+        .getOrElse(return None)
     // complete-pushdown output contract: group columns first (the
     // order Spark offered them), then the aggregate columns
     val groupFields = groupCols.map(c =>

@@ -138,6 +138,65 @@ class SnapshotShardSpec extends SparkSpec {
     }
   }
 
+  test("aggregate pushdown answers from SHARD pseudo-stats: bare and " +
+      "grouped COUNT/MIN/MAX without touching entries; string MIN " +
+      "falls back to the entry tier and still answers") {
+    withShardSize(2) {
+      val wh = Files.createTempDirectory("graft_shard_agg").toString
+      val cat = "gshagg" + math.abs(wh.hashCode).toString
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.io.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      docs.createOrReplaceTempView("shard_agg_src")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      spark.sql(s"CREATE TABLE $cat.db.d (doc_id BIGINT, " +
+        "lang STRING, source STRING, n_chars BIGINT) " +
+        "PARTITIONED BY (lang)")
+      (0 until 3).foreach { i =>
+        spark.sql(s"INSERT INTO $cat.db.d SELECT doc_id + ${i}000000," +
+          " lang, source, n_chars FROM shard_agg_src")
+      }
+      val tbl = s"$wh/db/d"
+      assert(Snapshots.shardRefsAt(spark, tbl,
+        Snapshots.latestVersion(spark, tbl).get).nonEmpty,
+        "fixture must shard")
+      val n = docs.count()
+      // bare COUNT(*): a one-row metadata scan, exact
+      val cnt = spark.sql(s"SELECT count(*) AS n FROM $cat.db.d")
+      assert(cnt.queryExecution.executedPlan.toString
+        .contains("manifest-agg"), "COUNT(*) must push to metadata")
+      assert(cnt.head().getLong(0) === 3 * n)
+      // grouped COUNT over the identity partition column: one row
+      // per live lang, counts exact (shard groups are dir-grouped)
+      val grouped = spark.sql(s"SELECT lang, count(*) AS n " +
+        s"FROM $cat.db.d GROUP BY lang")
+      assert(grouped.queryExecution.executedPlan.toString
+        .contains("manifest-agg"), "grouped COUNT must push")
+      val got = grouped.collect().map(r =>
+        r.getString(0) -> r.getLong(1)).toMap
+      val want = docs.groupBy(col("lang")).count().collect()
+        .map(r => r.getString(0) -> 3 * r.getLong(1)).toMap
+      assert(got === want)
+      // integral MIN/MAX: exact from the shard-merged 'L' bounds
+      val mm = spark.sql(s"SELECT min(doc_id) AS lo, max(doc_id) " +
+        s"AS hi FROM $cat.db.d")
+      assert(mm.queryExecution.executedPlan.toString
+        .contains("manifest-agg"))
+      val (lo, hi) = (mm.head().getLong(0), mm.head().getLong(1))
+      assert(lo === docs.agg(min("doc_id")).head().getLong(0))
+      assert(hi === docs.agg(max("doc_id")).head().getLong(0) + 2000000)
+      // string MIN on a DATA column: shard 'T' bounds are never
+      // exact, so the push falls back to the ENTRY tier — and still
+      // answers from metadata (exact untruncated per-file bounds)
+      val sm = spark.sql(s"SELECT min(source) AS lo FROM $cat.db.d")
+      assert(sm.queryExecution.executedPlan.toString
+        .contains("manifest-agg"), "string MIN must still push " +
+        "(entry tier)")
+      assert(sm.head().getString(0) ===
+        docs.agg(min("source")).head().getString(0))
+    }
+  }
+
   test("threshold crossing mid-history: v3 versions stay readable " +
       "beside v4 ones; SQL scans prune through shards") {
     withShardSize(2) {
