@@ -86,3 +86,139 @@ object ManifestScaleProbe {
       s""""v4_shards_loaded":$loaded,"v4_shards_skipped":$skipped}""")
   }
 }
+
+/** EXECUTED manifest-scale probe (`sbt "runMain graft.ManifestExecProbe
+  * [nFiles]"`) — the end-to-end companion to [[ManifestScaleProbe]]:
+  * where that probe proves PLAN-time pruning over fabricated entries,
+  * this one builds a REAL table of `nFiles` (default 100k) small
+  * parquet files (100 rows each, doc_id-clustered so file stats are
+  * selective), publishes the same snapshot in both the v3 (inline
+  * entry list) and v4 (sharded) encodings, and runs a selective
+  * aggregation through the DSv2 catalog scan at each — measuring
+  * what planning-only probes cannot: FileIndex hand-off, task launch
+  * at pruned file count, executed files-opened, task count, and
+  * driver-heap peak. The kept results are asserted equal, so every
+  * delta between the two encodings is metadata-layer cost. NOT part
+  * of the driver contract.
+  */
+object ManifestExecProbe {
+  def main(args: Array[String]): Unit = {
+    val nFiles = args.headOption.map(_.toInt).getOrElse(100000)
+    val spark: SparkSession = GraftSession.build("graft-exec-probe")
+    import graft.io.Snapshots
+    val wh = s"/tmp/graft_exec_probe_$nFiles"
+    val tbl = s"$wh/db/t"
+    val cat = "gexecprobe"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val rows = nFiles * 100L
+    // fixture is content-stable and cached across runs: version 2 is
+    // the v3-encoded snapshot of all rows, version 3 the v4-encoded
+    // republish of the SAME snapshot
+    val ready =
+      try Snapshots.latestVersion(spark, tbl).exists(_ >= 3L)
+      catch { case _: Exception => false }
+    var buildSec = 0.0
+    if (!ready) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      spark.sql(s"CREATE TABLE $cat.db.t (doc_id BIGINT, n_chars BIGINT)")
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "100")
+      val t0 = System.nanoTime()
+      val prevShard = Snapshots.shardSizeOverride
+      Snapshots.shardSizeOverride = Some(Int.MaxValue / 4) // v3 at v2
+      try {
+        spark.range(rows)
+          .selectExpr("id AS doc_id", "(id % 5000) + 1 AS n_chars")
+          .repartitionByRange(32, org.apache.spark.sql.functions
+            .col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .writeTo(s"$cat.db.t").append()
+      } finally Snapshots.shardSizeOverride = prevShard
+      // organic republish of the identical snapshot, sharded
+      val v4v = Snapshots.setProperties(spark, tbl,
+        Map("probe" -> "exec"))
+      require(Snapshots.shardRefsAt(spark, tbl, v4v).nonEmpty,
+        "exec probe: republish must shard")
+      spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      buildSec = (System.nanoTime() - t0) / 1e9
+    }
+    val v3v = 2L
+    val v4v = Snapshots.latestVersion(spark, tbl).get
+    require(Snapshots.shardRefsAt(spark, tbl, v3v).isEmpty,
+      "exec probe: version 2 must be the inline (v3) encoding")
+    // selective band: ~0.5% of the doc_id domain, mid-table
+    val lo = rows / 2
+    val hi = lo + rows / 200
+    val taskCount = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        taskCount.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def heapPools =
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+        .asInstanceOf[java.util.List[
+          java.lang.management.MemoryPoolMXBean]]
+    def resetPeaks(): Unit = {
+      System.gc()
+      heapPools.forEach(p =>
+        if (p.getType ==
+            java.lang.management.MemoryType.HEAP) p.resetPeakUsage())
+    }
+    def peakMb: Long = {
+      var s = 0L
+      heapPools.forEach(p =>
+        if (p.getType == java.lang.management.MemoryType.HEAP)
+          s += p.getPeakUsage.getUsed)
+      s >> 20
+    }
+    case class Run(planMs: Double, execMs: Double, opened: Long,
+                   tasks: Long, peakMb: Long, result: Long)
+    def run(v: Long): Run = {
+      org.apache.spark.graft.ListenerFlush.waitUntilEmpty(
+        spark.sparkContext)
+      resetPeaks()
+      taskCount.set(0L)
+      graft.io.SnapshotReaderFactory.filesOpened.set(0L)
+      val q = s"SELECT sum(doc_id * 2) AS s FROM $cat.db.t " +
+        s"VERSION AS OF $v WHERE doc_id BETWEEN $lo AND $hi"
+      val t0 = System.nanoTime()
+      val df = spark.sql(q)
+      df.queryExecution.executedPlan // force analysis+planning+prune
+      val t1 = System.nanoTime()
+      val res = df.collect()(0).getLong(0)
+      val t2 = System.nanoTime()
+      org.apache.spark.graft.ListenerFlush.waitUntilEmpty(
+        spark.sparkContext)
+      Run((t1 - t0) / 1e6, (t2 - t1) / 1e6,
+        graft.io.SnapshotReaderFactory.filesOpened.get(),
+        taskCount.get(), peakMb, res)
+    }
+    // cold = first touch in this JVM (manifest read + parse included)
+    val v3cold = run(v3v)
+    val v3warm = run(v3v)
+    val v4cold = run(v4v)
+    val v4warm = run(v4v)
+    require(v3cold.result == v4cold.result &&
+      v3warm.result == v4warm.result,
+      s"exec probe: results diverge (${v3cold.result} vs " +
+        s"${v4cold.result})")
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def j(tag: String, r: Run): String =
+      s""""${tag}_plan_ms":${fmt(r.planMs)},""" +
+        s""""${tag}_exec_ms":${fmt(r.execMs)},""" +
+        s""""${tag}_files_opened":${r.opened},""" +
+        s""""${tag}_tasks":${r.tasks},""" +
+        s""""${tag}_driver_peak_mb":${r.peakMb}"""
+    println(s"""{"metric":"manifest_exec_probe","n_files":$nFiles,""" +
+      s""""rows":$rows,"build_sec":${fmt(buildSec)},""" +
+      s""""band_rows":${hi - lo + 1},""" +
+      j("v3_cold", v3cold) + "," + j("v3_warm", v3warm) + "," +
+      j("v4_cold", v4cold) + "," + j("v4_warm", v4warm) + "}")
+  }
+}

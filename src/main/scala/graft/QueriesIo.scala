@@ -550,10 +550,13 @@ private[graft] object QueriesIo {
     val path = scratch(dir, "snap_tt")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     val docs = t(s, dir, "documents")
-    val v1 = graft.io.Snapshots.commit(
-      docs.filter(col("doc_id") % 2 === 0), path)
-    graft.io.Snapshots.commitAppend(
-      docs.filter(col("doc_id") % 2 === 1), path)
+    val v1 = BenchSetup.section {
+      val v = graft.io.Snapshots.commit(
+        docs.filter(col("doc_id") % 2 === 0), path)
+      graft.io.Snapshots.commitAppend(
+        docs.filter(col("doc_id") % 2 === 1), path)
+      v
+    }
     graft.io.Snapshots.read(s, path, Some(v1))
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
@@ -566,8 +569,11 @@ private[graft] object QueriesIo {
     val path = scratch(dir, "snap_rb")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     val docs = t(s, dir, "documents")
-    val v1 = graft.io.Snapshots.commit(docs, path)
-    graft.io.Snapshots.commit(docs.filter(col("n_chars") > 500), path)
+    val v1 = BenchSetup.section {
+      val v = graft.io.Snapshots.commit(docs, path)
+      graft.io.Snapshots.commit(docs.filter(col("n_chars") > 500), path)
+      v
+    }
     graft.io.Snapshots.rollback(s, path, v1)
     graft.io.Snapshots.read(s, path)
       .select("doc_id", "text", "lang", "source", "n_chars")
@@ -582,10 +588,12 @@ private[graft] object QueriesIo {
   def streamSnapshot(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val staged = graft.io.Scratch.dir("graft_stream_snap_docs_")
-    Seq(("even", col("doc_id") % 2 === 0),
-        ("odd", col("doc_id") % 2 === 1)).foreach { case (name, pred) =>
-      graft.io.Scratch.stageSingleParquetFile(
-        docs.filter(pred), staged, s"$name.parquet")
+    BenchSetup.section {
+      Seq(("even", col("doc_id") % 2 === 0),
+          ("odd", col("doc_id") % 2 === 1)).foreach { case (name, pred) =>
+        graft.io.Scratch.stageSingleParquetFile(
+          docs.filter(pred), staged, s"$name.parquet")
+      }
     }
     val store =
       graft.io.Scratch.dir("graft_stream_snap_store_").toString + "/tbl"
@@ -610,7 +618,7 @@ private[graft] object QueriesIo {
     val path = scratch(dir, "snap_mg")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     val docs = t(s, dir, "documents")
-    graft.io.Snapshots.commit(docs, path)
+    BenchSetup.section { graft.io.Snapshots.commit(docs, path) }
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
     val updates = docs.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), upper(col("text")).as("text"), col("lang"),
@@ -634,7 +642,7 @@ private[graft] object QueriesIo {
     val path = scratch(dir, "snap_mc")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     val docs = t(s, dir, "documents")
-    graft.io.Snapshots.commit(docs, path)
+    BenchSetup.section { graft.io.Snapshots.commit(docs, path) }
     val updates = docs.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), upper(col("text")).as("text"))
       .unionByName(docs.filter(col("doc_id") % 10 === 5)
@@ -662,7 +670,8 @@ private[graft] object QueriesIo {
     val ev = events(s, dir).select(col("event_id"), col("user_id"),
       col("value"),
       (year(col("ts")) * 100 + month(col("ts"))).cast("long").as("ym"))
-    graft.io.Snapshots.commit(ev, path, partitionBy = Seq("ym"))
+    BenchSetup.section {
+      graft.io.Snapshots.commit(ev, path, partitionBy = Seq("ym")) }
     val first = ev.agg(min("ym")).collect()(0).getLong(0)
     graft.io.Snapshots.readBetween(s, path, "ym",
       first.toDouble, first.toDouble)
@@ -684,7 +693,8 @@ private[graft] object QueriesIo {
     val ev = events(s, dir).select(col("event_id"), col("user_id"),
       col("value"),
       (year(col("ts")) * 100 + month(col("ts"))).cast("long").as("ym"))
-    graft.io.Snapshots.commit(ev, path, partitionBy = Seq("ym"))
+    BenchSetup.section {
+      graft.io.Snapshots.commit(ev, path, partitionBy = Seq("ym")) }
     val first = ev.agg(min("ym")).collect()(0).getLong(0)
     val corrected = ev.filter(col("ym") === first)
       .withColumn("value", col("value") * 2.0)
@@ -704,7 +714,7 @@ private[graft] object QueriesIo {
     val path = scratch(dir, "snap_del")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     val docs = t(s, dir, "documents")
-    graft.io.Snapshots.commit(docs, path)
+    BenchSetup.section { graft.io.Snapshots.commit(docs, path) }
     graft.io.Snapshots.deleteWhere(s, path, col("n_chars") < 300)
     graft.io.Snapshots.read(s, path)
       .select("doc_id", "text", "lang", "source", "n_chars")
@@ -723,9 +733,11 @@ private[graft] object QueriesIo {
     val path = scratch(dir, "snap_cp")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     val docs = t(s, dir, "documents")
-    (0 until 4).foreach(q =>
-      graft.io.Snapshots.commitAppend(
-        docs.filter(col("doc_id") % 4 === q), path))
+    BenchSetup.section {
+      (0 until 4).foreach(q =>
+        graft.io.Snapshots.commitAppend(
+          docs.filter(col("doc_id") % 4 === q), path))
+    }
     graft.io.Snapshots.compact(s, path, targetFileBytes = 1L << 30)
     graft.io.Snapshots.read(s, path)
       .select("doc_id", "text", "lang", "source", "n_chars")
@@ -742,9 +754,11 @@ private[graft] object QueriesIo {
     val path = scratch(dir, "snap_cl")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     val docs = t(s, dir, "documents")
-    (0 until 4).foreach(q =>
-      graft.io.Snapshots.commitAppend(
-        docs.filter(col("doc_id") % 4 === q), path))
+    BenchSetup.section {
+      (0 until 4).foreach(q =>
+        graft.io.Snapshots.commitAppend(
+          docs.filter(col("doc_id") % 4 === q), path))
+    }
     graft.io.Snapshots.compact(s, path, targetFileBytes = 64L << 10,
       sortBy = Seq("doc_id"))
     graft.io.Snapshots.read(s, path)
@@ -761,11 +775,15 @@ private[graft] object QueriesIo {
     val path = scratch(dir, "snap_sk")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     val docs = t(s, dir, "documents")
-    (0 until 4).foreach(q =>
-      graft.io.Snapshots.commitAppend(
-        docs.filter(col("doc_id") % 4 === q), path))
-    graft.io.Snapshots.compact(s, path, targetFileBytes = 64L << 10,
-      sortBy = Seq("doc_id"))
+    // the clustered layout is FIXTURE here: the gate measures the
+    // pruned range read, not the compaction that stages it
+    BenchSetup.section {
+      (0 until 4).foreach(q =>
+        graft.io.Snapshots.commitAppend(
+          docs.filter(col("doc_id") % 4 === q), path))
+      graft.io.Snapshots.compact(s, path, targetFileBytes = 64L << 10,
+        sortBy = Seq("doc_id"))
+    }
     graft.io.Snapshots.readBetween(s, path, "doc_id", 100, 199)
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
@@ -781,7 +799,8 @@ private[graft] object QueriesIo {
     val path = scratch(dir, "snap_tag")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     val docs = t(s, dir, "documents")
-    graft.io.Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path)
+    BenchSetup.section { graft.io.Snapshots.commit(
+      docs.filter(col("doc_id") % 2 === 0), path) }
     graft.io.Snapshots.tag(s, path, "train-v1")
     graft.io.Snapshots.commit(docs, path)
     graft.io.Snapshots.expire(s, path, keepLast = 1)
@@ -803,18 +822,20 @@ private[graft] object QueriesIo {
     val docs = t(s, dir, "documents")
     val store =
       graft.io.Scratch.dir("graft_stream_upsert_store_").toString + "/tbl"
-    graft.io.Snapshots.commit(docs, store)
     val staged = graft.io.Scratch.dir("graft_stream_upsert_docs_")
-    graft.io.Scratch.stageSingleParquetFile(
-      docs.filter(col("doc_id") % 10 === 0)
-        .withColumn("text", upper(col("text")))
-        .select(docs.columns.map(col).toSeq: _*),
-      staged, "updates.parquet")
-    graft.io.Scratch.stageSingleParquetFile(
-      docs.filter(col("doc_id") % 10 === 5)
-        .withColumn("doc_id", -col("doc_id") - 1)
-        .select(docs.columns.map(col).toSeq: _*),
-      staged, "inserts.parquet")
+    BenchSetup.section {
+      graft.io.Snapshots.commit(docs, store)
+      graft.io.Scratch.stageSingleParquetFile(
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("text", upper(col("text")))
+          .select(docs.columns.map(col).toSeq: _*),
+        staged, "updates.parquet")
+      graft.io.Scratch.stageSingleParquetFile(
+        docs.filter(col("doc_id") % 10 === 5)
+          .withColumn("doc_id", -col("doc_id") - 1)
+          .select(docs.columns.map(col).toSeq: _*),
+        staged, "inserts.parquet")
+    }
     Streams.snapshotUpsertStream(
       Streams.fileStream(s, staged.toString, Streams.DocsRawSchema,
         maxFilesPerTrigger = Some(1)), store, Seq("doc_id"))
@@ -834,11 +855,13 @@ private[graft] object QueriesIo {
     val path = scratch(dir, "snap_ev")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     val docs = t(s, dir, "documents")
-    graft.io.Snapshots.commit(
-      docs.filter(col("doc_id") % 2 === 0)
-        .select("doc_id", "text", "lang", "source"), path)
-    graft.io.Snapshots.commitAppend(
-      docs.filter(col("doc_id") % 2 === 1), path)
+    BenchSetup.section {
+      graft.io.Snapshots.commit(
+        docs.filter(col("doc_id") % 2 === 0)
+          .select("doc_id", "text", "lang", "source"), path)
+      graft.io.Snapshots.commitAppend(
+        docs.filter(col("doc_id") % 2 === 1), path)
+    }
     graft.io.Snapshots.read(s, path)
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
@@ -855,7 +878,7 @@ private[graft] object QueriesIo {
     val docs = t(s, dir, "documents")
     val store =
       graft.io.Scratch.dir("graft_stream_cdc_store_").toString + "/tbl"
-    graft.io.Snapshots.commit(docs, store)
+    BenchSetup.section { graft.io.Snapshots.commit(docs, store) }
     val staged = graft.io.Scratch.dir("graft_stream_cdc_docs_")
     val upserts = docs.filter(col("doc_id") % 10 === 0)
       .withColumn("text", upper(col("text")))
@@ -890,7 +913,7 @@ private[graft] object QueriesIo {
     val docs = t(s, dir, "documents")
     val store =
       graft.io.Scratch.dir("graft_stream_cdceq_store_").toString + "/tbl"
-    graft.io.Snapshots.commit(docs, store)
+    BenchSetup.section { graft.io.Snapshots.commit(docs, store) }
     val staged = graft.io.Scratch.dir("graft_stream_cdceq_docs_")
     val upserts = docs.filter(col("doc_id") % 10 === 0)
       .withColumn("text", upper(col("text")))
@@ -927,9 +950,12 @@ private[graft] object QueriesIo {
     val docs = t(s, dir, "documents")
     val store =
       graft.io.Scratch.dir("graft_snap_source_").toString + "/tbl"
-    graft.io.Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), store)
-    graft.io.Snapshots.commitAppend(
-      docs.filter(col("doc_id") % 2 === 1), store)
+    BenchSetup.section {
+      graft.io.Snapshots.commit(
+        docs.filter(col("doc_id") % 2 === 0), store)
+      graft.io.Snapshots.commitAppend(
+        docs.filter(col("doc_id") % 2 === 1), store)
+    }
     Streams.runToTable(Streams.snapshotSource(s, store),
       tableName(dir, "strm_snapsrc"), OutputMode.Append())
       .select("doc_id", "text", "lang", "source", "n_chars")
@@ -945,7 +971,7 @@ private[graft] object QueriesIo {
     val path = scratch(dir, "snap_dc")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     val docs = t(s, dir, "documents")
-    graft.io.Snapshots.commit(docs, path)
+    BenchSetup.section { graft.io.Snapshots.commit(docs, path) }
     graft.io.Snapshots.dropColumns(s, path, Seq("lang"))
     graft.io.Snapshots.read(s, path)
       .select("doc_id", "text", "source", "n_chars")
@@ -962,10 +988,12 @@ private[graft] object QueriesIo {
   def snapshotPipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val staged = graft.io.Scratch.dir("graft_snap_pipe_docs_")
-    Seq(("even", col("doc_id") % 2 === 0),
-        ("odd", col("doc_id") % 2 === 1)).foreach { case (name, pred) =>
-      graft.io.Scratch.stageSingleParquetFile(
-        docs.filter(pred), staged, s"$name.parquet")
+    BenchSetup.section {
+      Seq(("even", col("doc_id") % 2 === 0),
+          ("odd", col("doc_id") % 2 === 1)).foreach { case (name, pred) =>
+        graft.io.Scratch.stageSingleParquetFile(
+          docs.filter(pred), staged, s"$name.parquet")
+      }
     }
     val store =
       graft.io.Scratch.dir("graft_snap_pipe_store_").toString + "/tbl"
@@ -988,11 +1016,15 @@ private[graft] object QueriesIo {
     val path = scratch(dir, "snap_hist")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     val docs = t(s, dir, "documents")
-    graft.io.Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path)
-    graft.io.Snapshots.commitAppend(
-      docs.filter(col("doc_id") % 2 === 1), path)
-    graft.io.Snapshots.deleteWhere(s, path, col("n_chars") < 300)
-    graft.io.Snapshots.compact(s, path, targetFileBytes = 1L << 30)
+    // the four-op lifecycle is FIXTURE; the gate measures history()
+    BenchSetup.section {
+      graft.io.Snapshots.commit(
+        docs.filter(col("doc_id") % 2 === 0), path)
+      graft.io.Snapshots.commitAppend(
+        docs.filter(col("doc_id") % 2 === 1), path)
+      graft.io.Snapshots.deleteWhere(s, path, col("n_chars") < 300)
+      graft.io.Snapshots.compact(s, path, targetFileBytes = 1L << 30)
+    }
     graft.io.Snapshots.history(s, path)
       .select(col("version"), col("operation"),
         (col("n_files") > 0).as("has_files"))
@@ -1006,10 +1038,12 @@ private[graft] object QueriesIo {
     val path = scratch(dir, "snap_ch")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     val docs = t(s, dir, "documents")
-    val v1 = graft.io.Snapshots.commit(
-      docs.filter(col("doc_id") % 2 === 0), path)
-    val v2 = graft.io.Snapshots.commitAppend(
-      docs.filter(col("doc_id") % 2 === 1), path)
+    val (v1, v2) = BenchSetup.section {
+      (graft.io.Snapshots.commit(
+        docs.filter(col("doc_id") % 2 === 0), path),
+       graft.io.Snapshots.commitAppend(
+        docs.filter(col("doc_id") % 2 === 1), path))
+    }
     graft.io.Snapshots.changes(s, path, v1, v2)
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
@@ -1034,10 +1068,12 @@ private[graft] object QueriesIo {
     val docs = t(s, dir, "documents")
     docs.createOrReplaceTempView("graft_dv_src")
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
-      "lang STRING, source STRING, n_chars BIGINT)")
-    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, text, lang, " +
-      "source, n_chars FROM graft_dv_src")
+    BenchSetup.section {
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+        "lang STRING, source STRING, n_chars BIGINT)")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, text, lang, " +
+        "source, n_chars FROM graft_dv_src")
+    }
     val path = s"$wh/db/docs"
     graft.io.Snapshots.deleteWhere(s, path, col("n_chars") < 300,
       mode = "mor")
@@ -1070,7 +1106,8 @@ private[graft] object QueriesIo {
     val path = scratch(dir, "snap_rn")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     val docs = t(s, dir, "documents")
-    graft.io.Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path)
+    BenchSetup.section { graft.io.Snapshots.commit(
+      docs.filter(col("doc_id") % 2 === 0), path) }
     graft.io.Snapshots.renameColumn(s, path, "n_chars", "length")
     graft.io.Snapshots.commitAppend(
       docs.filter(col("doc_id") % 2 === 1)
@@ -1093,11 +1130,15 @@ private[graft] object QueriesIo {
     val path = scratch(dir, "snap_ss")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     val docs = t(s, dir, "documents")
-    (0 until 4).foreach(q =>
-      graft.io.Snapshots.commitAppend(
-        docs.filter(col("doc_id") % 4 === q), path))
-    graft.io.Snapshots.compact(s, path, targetFileBytes = 16L << 10,
-      sortBy = Seq("source"))
+    // the clustered layout is FIXTURE; the gate measures the pruned
+    // string-range read
+    BenchSetup.section {
+      (0 until 4).foreach(q =>
+        graft.io.Snapshots.commitAppend(
+          docs.filter(col("doc_id") % 4 === q), path))
+      graft.io.Snapshots.compact(s, path, targetFileBytes = 16L << 10,
+        sortBy = Seq("source"))
+    }
     graft.io.Snapshots.readBetweenStrings(s, path, "source",
       "src10", "src13")
       .select("doc_id", "text", "lang", "source", "n_chars")
@@ -1122,10 +1163,12 @@ private[graft] object QueriesIo {
     val docs = t(s, dir, "documents")
     docs.createOrReplaceTempView("graft_eq_src")
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
-      "lang STRING, source STRING, n_chars BIGINT)")
-    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, text, lang, " +
-      "source, n_chars FROM graft_eq_src")
+    BenchSetup.section {
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+        "lang STRING, source STRING, n_chars BIGINT)")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, text, lang, " +
+        "source, n_chars FROM graft_eq_src")
+    }
     val path = s"$wh/db/docs"
     graft.io.Snapshots.deleteKeysEq(s, path,
       docs.filter(col("doc_id") % 5 === 0).select("doc_id"),
@@ -1157,8 +1200,8 @@ private[graft] object QueriesIo {
     val path = scratch(dir, "snap_dlog")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     val docs = t(s, dir, "documents")
-    graft.io.Snapshots.commit(
-      docs.filter(col("doc_id") % 4 =!= 0).repartition(40), path)
+    BenchSetup.section { graft.io.Snapshots.commit(
+      docs.filter(col("doc_id") % 4 =!= 0).repartition(40), path) }
     graft.io.Snapshots.commitAppend(
       docs.filter(col("doc_id") % 12 === 0).coalesce(1), path)
     graft.io.Snapshots.commitAppend(
@@ -1181,7 +1224,8 @@ private[graft] object QueriesIo {
     val path = scratch(dir, "snap_wap")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     val docs = t(s, dir, "documents")
-    graft.io.Snapshots.commit(docs.filter(col("doc_id") % 3 =!= 0), path)
+    BenchSetup.section { graft.io.Snapshots.commit(
+      docs.filter(col("doc_id") % 3 =!= 0), path) }
     graft.io.Snapshots.stageAppend(
       docs.filter(col("doc_id") % 3 === 0), path, "audit-good")
     graft.io.Snapshots.stageAppend(
@@ -1209,9 +1253,9 @@ private[graft] object QueriesIo {
     val path = scratch(dir, "snap_widen")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     val docs = t(s, dir, "documents")
-    graft.io.Snapshots.commit(
+    BenchSetup.section { graft.io.Snapshots.commit(
       docs.filter(col("doc_id") % 2 === 0)
-        .withColumn("n_chars", col("n_chars").cast("int")), path)
+        .withColumn("n_chars", col("n_chars").cast("int")), path) }
     graft.io.Snapshots.commitAppend(
       docs.filter(col("doc_id") % 2 =!= 0), path)
     graft.io.Snapshots.read(s, path)
@@ -1228,11 +1272,14 @@ private[graft] object QueriesIo {
     val path = scratch(dir, "snap_count")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     val docs = t(s, dir, "documents")
-    graft.io.Snapshots.commit(docs.filter(col("doc_id") % 3 === 0), path)
-    graft.io.Snapshots.commitAppend(
-      docs.filter(col("doc_id") % 3 === 1), path)
-    graft.io.Snapshots.commitAppend(
-      docs.filter(col("doc_id") % 3 === 2), path)
+    BenchSetup.section {
+      graft.io.Snapshots.commit(
+        docs.filter(col("doc_id") % 3 === 0), path)
+      graft.io.Snapshots.commitAppend(
+        docs.filter(col("doc_id") % 3 === 1), path)
+      graft.io.Snapshots.commitAppend(
+        docs.filter(col("doc_id") % 3 === 2), path)
+    }
     import s.implicits._
     Seq(graft.io.Snapshots.rowCount(s, path)).toDF("n_rows")
   }
@@ -1250,7 +1297,8 @@ private[graft] object QueriesIo {
     val path = scratch(dir, "snap_props")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     val docs = t(s, dir, "documents")
-    graft.io.Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), path)
+    BenchSetup.section { graft.io.Snapshots.commit(
+      docs.filter(col("doc_id") % 2 === 0), path) }
     graft.io.Snapshots.setProperties(s, path,
       Map("write.bloom.columns" -> "doc_id"))
     graft.io.Snapshots.commitAppend(
@@ -1278,8 +1326,8 @@ private[graft] object QueriesIo {
     val path = scratch(dir, "snap_hid")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     val docs = t(s, dir, "documents")
-    graft.io.Snapshots.commit(docs, path,
-      partitionBy = Seq("bucket(8, doc_id)", "truncate(4, source)"))
+    BenchSetup.section { graft.io.Snapshots.commit(docs, path,
+      partitionBy = Seq("bucket(8, doc_id)", "truncate(4, source)")) }
     graft.io.Snapshots.readEquals(s, path, "source", "src12")
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
@@ -1324,7 +1372,7 @@ private[graft] object QueriesIo {
     Seq(src, dst).foreach(p =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
     val docs = t(s, dir, "documents")
-    graft.io.Snapshots.commit(docs, src)
+    BenchSetup.section { graft.io.Snapshots.commit(docs, src) }
     graft.io.Snapshots.cloneTable(s, src, dst)
     require(!new java.io.File(s"$dst/data").exists(),
       "q_snapshot_clone: the shallow clone copied data bytes")
@@ -1350,7 +1398,7 @@ private[graft] object QueriesIo {
     val path = scratch(dir, "snap_mev")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     val docs = t(s, dir, "documents")
-    Snapshots.commit(docs, path)
+    BenchSetup.section { Snapshots.commit(docs, path) }
     val source = docs.filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"),
         (col("n_chars") * lit(2)).cast("double").as("quality"))
@@ -1381,9 +1429,11 @@ private[graft] object QueriesIo {
     s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     t(s, dir, "documents").createOrReplaceTempView("graft_aggp_src")
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
-      "lang STRING, source STRING, n_chars BIGINT)")
-    s.sql(s"INSERT INTO $cat.db.docs SELECT * FROM graft_aggp_src")
+    BenchSetup.section {
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+        "lang STRING, source STRING, n_chars BIGINT)")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT * FROM graft_aggp_src")
+    }
     val df = s.sql(s"SELECT count(*) AS n_docs, " +
       s"min(doc_id) AS min_id, max(doc_id) AS max_id, " +
       s"min(n_chars) AS min_chars, max(n_chars) AS max_chars, " +
@@ -1427,14 +1477,16 @@ private[graft] object QueriesIo {
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     t(s, dir, "documents").createOrReplaceTempView("graft_aggg_src")
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
-      "lang STRING, source STRING, n_chars BIGINT) " +
-      "PARTITIONED BY (lang)")
-    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, text, lang, " +
-      "source, n_chars FROM graft_aggg_src")
-    // a second commit so several files per partition must fold
-    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id + 5000000, text, " +
-      "lang, source, n_chars + 7 FROM graft_aggg_src")
+    BenchSetup.section {
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+        "lang STRING, source STRING, n_chars BIGINT) " +
+        "PARTITIONED BY (lang)")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, text, lang, " +
+        "source, n_chars FROM graft_aggg_src")
+      // a second commit so several files per partition must fold
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id + 5000000, text, " +
+        "lang, source, n_chars + 7 FROM graft_aggg_src")
+    }
     val df = s.sql(s"SELECT lang, count(*) AS n_docs, " +
       s"min(doc_id) AS min_id, max(doc_id) AS max_id, " +
       s"max(n_chars) AS max_chars, max(source) AS max_src " +
@@ -1466,14 +1518,16 @@ private[graft] object QueriesIo {
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     t(s, dir, "documents").createOrReplaceTempView("graft_aggw_src")
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
-      "lang STRING, source STRING, n_chars BIGINT) " +
-      "PARTITIONED BY (source, lang)")
-    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, text, lang, " +
-      "source, n_chars FROM graft_aggw_src")
-    // a second commit so several files per partition must fold
-    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id + 5000000, text, " +
-      "lang, source, n_chars + 7 FROM graft_aggw_src")
+    BenchSetup.section {
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+        "lang STRING, source STRING, n_chars BIGINT) " +
+        "PARTITIONED BY (source, lang)")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, text, lang, " +
+        "source, n_chars FROM graft_aggw_src")
+      // a second commit so several files per partition must fold
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id + 5000000, text, " +
+        "lang, source, n_chars + 7 FROM graft_aggw_src")
+    }
     val df = s.sql(s"SELECT lang, count(*) AS n_docs, " +
       s"count(lang) AS n_lang, min(doc_id) AS min_id, " +
       s"max(doc_id) AS max_id FROM $cat.db.docs " +
@@ -1503,14 +1557,16 @@ private[graft] object QueriesIo {
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     t(s, dir, "documents").createOrReplaceTempView("graft_lim_src")
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
-      "lang STRING, source STRING, n_chars BIGINT)")
-    (0 until 4).foreach { i =>
-      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id + ${i}000000, " +
-        "text, lang, source, n_chars FROM graft_lim_src")
+    BenchSetup.section {
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+        "lang STRING, source STRING, n_chars BIGINT)")
+      (0 until 4).foreach { i =>
+        s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id + ${i}000000, " +
+          "text, lang, source, n_chars FROM graft_lim_src")
+      }
     }
     graft.io.SnapshotReaderFactory.filesOpened.set(0L)
-    val total = {
+    val total = BenchSetup.section {
       s.sql(s"SELECT sum(doc_id * 2) FROM $cat.db.docs").collect()
       graft.io.SnapshotReaderFactory.filesOpened.get()
     }
@@ -1546,14 +1602,16 @@ private[graft] object QueriesIo {
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     t(s, dir, "documents").createOrReplaceTempView("graft_topn_src")
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, lang STRING, " +
-      "n_chars BIGINT)")
-    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, lang, n_chars " +
-      "FROM graft_topn_src")
-    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id + 5000000, lang, " +
-      "n_chars + 7 FROM graft_topn_src")
+    BenchSetup.section {
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, lang STRING, " +
+        "n_chars BIGINT)")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, lang, n_chars " +
+        "FROM graft_topn_src")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id + 5000000, lang, " +
+        "n_chars + 7 FROM graft_topn_src")
+    }
     graft.io.SnapshotReaderFactory.filesOpened.set(0L)
-    val total = {
+    val total = BenchSetup.section {
       s.sql(s"SELECT sum(doc_id * 2) FROM $cat.db.docs").collect()
       graft.io.SnapshotReaderFactory.filesOpened.get()
     }
@@ -1599,18 +1657,23 @@ private[graft] object QueriesIo {
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     t(s, dir, "documents").createOrReplaceTempView("graft_rng_src")
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
-      "lang STRING, n_chars BIGINT)")
-    (0 until 8).foreach { i =>
-      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id + ${i} * 5000000" +
-        ", text, lang, n_chars FROM graft_rng_src")
+    // the staged corpus AND its z-order re-cluster are FIXTURE —
+    // the gate measures the pruned BETWEEN scan (at sf1 the build
+    // dominated the gate 10:1 and polluted every perf adjudication)
+    BenchSetup.section {
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+        "lang STRING, n_chars BIGINT)")
+      (0 until 8).foreach { i =>
+        s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id + ${i} * 5000000" +
+          ", text, lang, n_chars FROM graft_rng_src")
+      }
+      // z-order re-cluster into small files so the range predicate
+      // has a real multi-file layout to prune against
+      graft.io.Snapshots.compact(s, s"$wh/db/docs",
+        targetFileBytes = 32L << 10, zorderBy = Seq("doc_id", "n_chars"))
     }
-    // z-order re-cluster into small files so the range predicate has
-    // a real multi-file layout to prune against
-    graft.io.Snapshots.compact(s, s"$wh/db/docs",
-      targetFileBytes = 32L << 10, zorderBy = Seq("doc_id", "n_chars"))
     graft.io.SnapshotReaderFactory.filesOpened.set(0L)
-    val total = {
+    val total = BenchSetup.section {
       s.sql(s"SELECT sum(doc_id * 2) FROM $cat.db.docs").collect()
       graft.io.SnapshotReaderFactory.filesOpened.get()
     }
@@ -1651,19 +1714,23 @@ private[graft] object QueriesIo {
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     t(s, dir, "documents").createOrReplaceTempView("graft_blm_src")
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-    s.sql(s"CREATE TABLE $cat.db.docs (jid STRING, n_chars BIGINT)")
-    (0 until 8).foreach { i =>
-      s.sql(s"INSERT INTO $cat.db.docs SELECT concat('JOB', " +
-        s"lpad(cast(doc_id * 8 + $i AS STRING), 9, '0')), n_chars " +
-        "FROM graft_blm_src")
-    }
     val tbl = s"$wh/db/docs"
-    graft.io.Snapshots.setProperties(s, tbl,
-      Map("stats.bloom.columns" -> "jid"))
-    s.sql(s"CALL $cat.system.analyze_ndv(table => 'db.docs', " +
-      "columns => 'jid')")
+    // corpus staging + the bloom-committing analyze are FIXTURE;
+    // the gate measures the bloom-pruned point lookup
+    BenchSetup.section {
+      s.sql(s"CREATE TABLE $cat.db.docs (jid STRING, n_chars BIGINT)")
+      (0 until 8).foreach { i =>
+        s.sql(s"INSERT INTO $cat.db.docs SELECT concat('JOB', " +
+          s"lpad(cast(doc_id * 8 + $i AS STRING), 9, '0')), n_chars " +
+          "FROM graft_blm_src")
+      }
+      graft.io.Snapshots.setProperties(s, tbl,
+        Map("stats.bloom.columns" -> "jid"))
+      s.sql(s"CALL $cat.system.analyze_ndv(table => 'db.docs', " +
+        "columns => 'jid')")
+    }
     graft.io.SnapshotReaderFactory.filesOpened.set(0L)
-    val total = {
+    val total = BenchSetup.section {
       s.sql(s"SELECT sum(n_chars) FROM $cat.db.docs").collect()
       graft.io.SnapshotReaderFactory.filesOpened.get()
     }
@@ -1710,18 +1777,23 @@ private[graft] object QueriesIo {
     val prevShard = graft.io.Snapshots.shardSizeOverride
     graft.io.Snapshots.shardSizeOverride = Some(2)
     try {
-      (0 until 8).foreach { i =>
-        s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id + ${i} * " +
-          "5000000, text, lang, n_chars FROM graft_shrd_src")
+      BenchSetup.section {
+        (0 until 8).foreach { i =>
+          s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id + ${i} * " +
+            "5000000, text, lang, n_chars FROM graft_shrd_src")
+        }
       }
       val tbl = s"$wh/db/docs"
       val refs = graft.io.Snapshots.shardRefsAt(s, tbl,
         graft.io.Snapshots.latestVersion(s, tbl).get)
-      require(refs.size >= 8,
+      // 8 appends under tuple-grouped sharding: the first chunks at
+      // the v4 threshold, later ones accrete one tail shard each —
+      // >= 4 proves a sharded manifest with skippable structure
+      require(refs.size >= 4,
         s"q_snapshot_shard_skip: expected a sharded (v4) manifest " +
-          s"with >= 8 shards, got ${refs.size}")
+          s"with >= 4 shards, got ${refs.size}")
       graft.io.SnapshotReaderFactory.filesOpened.set(0L)
-      val total = {
+      val total = BenchSetup.section {
         s.sql(s"SELECT sum(doc_id * 2) FROM $cat.db.docs").collect()
         graft.io.SnapshotReaderFactory.filesOpened.get()
       }
@@ -1747,6 +1819,90 @@ private[graft] object QueriesIo {
     }
   }
 
+  /** RUNTIME-FILTER × SHARDED-MANIFEST gate: a dim-driven join on a
+    * v4-sharded fact table with NO static fact filter — the case
+    * where planning cannot prune anything and only Spark's runtime
+    * V2 filtering (the dim's IN-set, delivered at execution start)
+    * scopes the fact scan. The IN-set path re-plans each dim value
+    * through the manifest point-lookup
+    * ([[graft.io.Snapshots.prunedEntriesEquals]]), which must SKIP
+    * whole shards from their pseudo-entries rather than load every
+    * shard's entry list — asserted via the `shardsSkipped` counter —
+    * and the executed scan must open strictly fewer files than the
+    * table holds. This is the composition the v4 work exists for: a
+    * streaming-scale fact (million files, sharded metadata) probed
+    * by dimension values with zero static predicates.
+    */
+  def snapshotRuntimeSkip(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "snap_rts_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = "grts_" + math.abs(wh.hashCode).toString
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.io.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    t(s, dir, "documents").createOrReplaceTempView("graft_rts_src")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    val prevShard = graft.io.Snapshots.shardSizeOverride
+    graft.io.Snapshots.shardSizeOverride = Some(2)
+    try {
+      BenchSetup.section {
+        s.sql(s"CREATE TABLE $cat.db.fact (doc_id BIGINT, " +
+          "source STRING, n_chars BIGINT) " +
+          "PARTITIONED BY (truncate(4, source))")
+        (0 until 2).foreach { i =>
+          s.sql(s"INSERT INTO $cat.db.fact SELECT doc_id + " +
+            s"${i}000000, source, n_chars FROM graft_rts_src")
+        }
+        s.sql(s"CREATE TABLE $cat.db.dim (source STRING, tier INT)")
+        s.sql(s"INSERT INTO $cat.db.dim SELECT DISTINCT source, " +
+          "CAST(CAST(substring(source, 4) AS INT) % 3 AS INT) " +
+          "FROM graft_rts_src")
+      }
+      val tbl = s"$wh/db/fact"
+      require(graft.io.Snapshots.shardRefsAt(s, tbl,
+        graft.io.Snapshots.latestVersion(s, tbl).get).size >= 4,
+        "q_snapshot_runtime_skip: the fact manifest must shard")
+      graft.io.SnapshotReaderFactory.filesOpened.set(0L)
+      val total = BenchSetup.section {
+        s.sql(s"SELECT sum(n_chars) FROM $cat.db.fact WHERE " +
+          "doc_id >= 0").collect()
+        graft.io.SnapshotReaderFactory.filesOpened.get()
+      }
+      val prevDpp = s.conf.getOption(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled")
+      s.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+      try {
+        val q = s.sql(s"SELECT f.doc_id, f.source, f.n_chars " +
+          s"FROM $cat.db.fact f JOIN $cat.db.dim d " +
+          "ON f.source = d.source WHERE d.tier = 1")
+        graft.io.SnapshotReaderFactory.filesOpened.set(0L)
+        graft.io.Snapshots.shardsSkipped.set(0L)
+        val rows = q.collect()
+        val io = graft.io.SnapshotReaderFactory.filesOpened.get()
+        val skipped = graft.io.Snapshots.shardsSkipped.get()
+        require(rows.nonEmpty,
+          "q_snapshot_runtime_skip: the dim-driven join matched " +
+            "nothing - fixture wrong")
+        require(skipped > 0L,
+          "q_snapshot_runtime_skip: the runtime IN-set prune walked " +
+            "every shard's entries - no whole-shard skip was proven")
+        require(io < total,
+          s"q_snapshot_runtime_skip: the dim-driven join still " +
+            s"opened $io of $total fact files")
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows.toIndexedSeq, 1), q.schema)
+      } finally prevDpp match {
+        case Some(v) => s.conf.set(
+          "spark.sql.optimizer.dynamicPartitionPruning.enabled", v)
+        case None => s.conf.unset(
+          "spark.sql.optimizer.dynamicPartitionPruning.enabled")
+      }
+    } finally {
+      graft.io.Snapshots.shardSizeOverride = prevShard
+    }
+  }
+
   /** ANALYZE gate ([[graft.io.Snapshots.analyzeNdv]] +
     * [[graft.io.SnapshotBatchScan]] column statistics): per-file NDV
     * sketches committed into the manifest feed `distinctCount` (and
@@ -1765,12 +1921,14 @@ private[graft] object QueriesIo {
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     t(s, dir, "documents").createOrReplaceTempView("graft_ndv_src")
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, lang STRING, " +
-      "n_chars BIGINT)")
-    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, lang, n_chars " +
-      "FROM graft_ndv_src")
-    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id + 5000000, lang, " +
-      "n_chars FROM graft_ndv_src")
+    BenchSetup.section {
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, lang STRING, " +
+        "n_chars BIGINT)")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, lang, n_chars " +
+        "FROM graft_ndv_src")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id + 5000000, lang, " +
+        "n_chars FROM graft_ndv_src")
+    }
     s.sql(s"CALL $cat.system.analyze_ndv(table => 'db.docs', " +
       "columns => 'doc_id,lang')")
     val old = s.conf.getOption("spark.sql.cbo.enabled")
@@ -1878,16 +2036,20 @@ private[graft] object QueriesIo {
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     t(s, dir, "documents").createOrReplaceTempView("graft_rwdv_src")
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, lang STRING, " +
-      "n_chars BIGINT) TBLPROPERTIES ('delete.mode' = 'mor')")
-    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, lang, n_chars " +
-      "FROM graft_rwdv_src")
     val path = s"$wh/db/docs"
-    // three positional delete commits + one equality delete
-    (3 to 5).foreach(k => graft.io.Snapshots.deleteWhere(s, path,
-      col("doc_id") % 17 === k, mode = "mor"))
-    graft.io.Snapshots.deleteKeysEq(s, path,
-      s.range(0L, 25L).toDF("doc_id"), Seq("doc_id"))
+    // staging the sliver-accreted table is FIXTURE; the gate
+    // measures the rewrite_deletes consolidation
+    BenchSetup.section {
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, lang STRING, " +
+        "n_chars BIGINT) TBLPROPERTIES ('delete.mode' = 'mor')")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, lang, n_chars " +
+        "FROM graft_rwdv_src")
+      // three positional delete commits + one equality delete
+      (3 to 5).foreach(k => graft.io.Snapshots.deleteWhere(s, path,
+        col("doc_id") % 17 === k, mode = "mor"))
+      graft.io.Snapshots.deleteKeysEq(s, path,
+        s.range(0L, 25L).toDF("doc_id"), Seq("doc_id"))
+    }
     val dvsBefore = graft.io.Snapshots
       .stateAt(s, path, graft.io.Snapshots.latestVersion(s, path).get)
       ._4
@@ -1963,7 +2125,7 @@ private[graft] object QueriesIo {
     val path = scratch(dir, "snap_branch")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     val docs = t(s, dir, "documents")
-    Snapshots.commit(docs, path)
+    BenchSetup.section { Snapshots.commit(docs, path) }
     Snapshots.createBranch(s, path, "campaign")
     val bp = Snapshots.branchPath(path, "campaign")
     Snapshots.commitAppend(docs.filter(col("doc_id") % 11 === 0)
@@ -2004,12 +2166,14 @@ private[graft] object QueriesIo {
     t(s, dir, "customer").select("c_custkey", "c_mktsegment")
       .createOrReplaceTempView("graft_spj_cust_src")
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-    s.sql(s"CREATE TABLE $cat.db.ord (o_orderkey BIGINT, " +
-      "o_custkey BIGINT) PARTITIONED BY (bucket(8, o_custkey))")
-    s.sql(s"CREATE TABLE $cat.db.cust (c_custkey BIGINT, " +
-      "c_mktsegment STRING) PARTITIONED BY (bucket(8, c_custkey))")
-    s.sql(s"INSERT INTO $cat.db.ord SELECT * FROM graft_spj_ord_src")
-    s.sql(s"INSERT INTO $cat.db.cust SELECT * FROM graft_spj_cust_src")
+    BenchSetup.section {
+      s.sql(s"CREATE TABLE $cat.db.ord (o_orderkey BIGINT, " +
+        "o_custkey BIGINT) PARTITIONED BY (bucket(8, o_custkey))")
+      s.sql(s"CREATE TABLE $cat.db.cust (c_custkey BIGINT, " +
+        "c_mktsegment STRING) PARTITIONED BY (bucket(8, c_custkey))")
+      s.sql(s"INSERT INTO $cat.db.ord SELECT * FROM graft_spj_ord_src")
+      s.sql(s"INSERT INTO $cat.db.cust SELECT * FROM graft_spj_cust_src")
+    }
     val joined = s.sql(
       s"SELECT /*+ MERGE(o) */ o.o_orderkey AS o_orderkey, " +
         s"c.c_custkey AS c_custkey, c.c_mktsegment AS seg " +
@@ -2048,12 +2212,14 @@ private[graft] object QueriesIo {
       (col("n_chars") % 97).cast("double").as("quality"), col("lang"))
       .createOrReplaceTempView("graft_spjm_r_src")
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-    s.sql(s"CREATE TABLE $cat.db.ml (doc_id BIGINT, n_chars BIGINT, " +
-      "lang STRING) PARTITIONED BY (lang, bucket(4, doc_id))")
-    s.sql(s"CREATE TABLE $cat.db.mr (doc_id BIGINT, quality DOUBLE, " +
-      "lang STRING) PARTITIONED BY (lang, bucket(4, doc_id))")
-    s.sql(s"INSERT INTO $cat.db.ml SELECT * FROM graft_spjm_l_src")
-    s.sql(s"INSERT INTO $cat.db.mr SELECT * FROM graft_spjm_r_src")
+    BenchSetup.section {
+      s.sql(s"CREATE TABLE $cat.db.ml (doc_id BIGINT, n_chars BIGINT, " +
+        "lang STRING) PARTITIONED BY (lang, bucket(4, doc_id))")
+      s.sql(s"CREATE TABLE $cat.db.mr (doc_id BIGINT, quality DOUBLE, " +
+        "lang STRING) PARTITIONED BY (lang, bucket(4, doc_id))")
+      s.sql(s"INSERT INTO $cat.db.ml SELECT * FROM graft_spjm_l_src")
+      s.sql(s"INSERT INTO $cat.db.mr SELECT * FROM graft_spjm_r_src")
+    }
     val joined = s.sql(
       s"SELECT /*+ MERGE(l) */ l.doc_id AS doc_id, " +
         s"l.n_chars AS n_chars, r.quality AS quality " +
@@ -2087,10 +2253,12 @@ private[graft] object QueriesIo {
     val docs = t(s, dir, "documents")
     docs.createOrReplaceTempView("graft_ow_src")
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, " +
-      "n_chars BIGINT, lang STRING) PARTITIONED BY (lang)")
-    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, n_chars, lang " +
-      "FROM graft_ow_src")
+    BenchSetup.section {
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, " +
+        "n_chars BIGINT, lang STRING) PARTITIONED BY (lang)")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, n_chars, lang " +
+        "FROM graft_ow_src")
+    }
     val path = s"$wh/db/docs"
     val v0 = graft.io.Snapshots.latestVersion(s, path).get
     // static partition overwrite: en docs re-keyed, evens only
@@ -2129,10 +2297,12 @@ private[graft] object QueriesIo {
     val docs = t(s, dir, "documents")
     docs.createOrReplaceTempView("graft_dyow_src")
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, " +
-      "n_chars BIGINT, lang STRING) PARTITIONED BY (lang)")
-    s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, n_chars, lang " +
-      "FROM graft_dyow_src")
+    BenchSetup.section {
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, " +
+        "n_chars BIGINT, lang STRING) PARTITIONED BY (lang)")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, n_chars, lang " +
+        "FROM graft_dyow_src")
+    }
     val path = s"$wh/db/docs"
     val v0 = graft.io.Snapshots.latestVersion(s, path).get
     def files(except: String): Set[String] = {
@@ -2191,9 +2361,11 @@ private[graft] object QueriesIo {
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     t(s, dir, "documents").createOrReplaceTempView("graft_rl_src")
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
-      "lang STRING, source STRING, n_chars BIGINT)")
-    s.sql(s"INSERT INTO $cat.db.docs SELECT * FROM graft_rl_src")
+    BenchSetup.section {
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+        "lang STRING, source STRING, n_chars BIGINT)")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT * FROM graft_rl_src")
+    }
     val path = s"$wh/db/docs"
     val v0 = graft.io.Snapshots.latestVersion(s, path).get
     val entriesBefore = graft.io.Snapshots.stateAt(s, path, v0)._3
@@ -2227,10 +2399,12 @@ private[graft] object QueriesIo {
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     t(s, dir, "documents").createOrReplaceTempView("graft_cow_src")
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
-      "lang STRING, source STRING, n_chars BIGINT) " +
-      "TBLPROPERTIES ('dml.mode' = 'copy-on-write')")
-    s.sql(s"INSERT INTO $cat.db.docs SELECT * FROM graft_cow_src")
+    BenchSetup.section {
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+        "lang STRING, source STRING, n_chars BIGINT) " +
+        "TBLPROPERTIES ('dml.mode' = 'copy-on-write')")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT * FROM graft_cow_src")
+    }
     val path = s"$wh/db/docs"
     val v0 = graft.io.Snapshots.latestVersion(s, path).get
     s.sql(s"UPDATE $cat.db.docs SET n_chars = n_chars + 100, " +
@@ -2264,9 +2438,11 @@ private[graft] object QueriesIo {
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     t(s, dir, "documents").createOrReplaceTempView("graft_sqlupd_src")
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
-      "lang STRING, source STRING, n_chars BIGINT)")
-    s.sql(s"INSERT INTO $cat.db.docs SELECT * FROM graft_sqlupd_src")
+    BenchSetup.section {
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+        "lang STRING, source STRING, n_chars BIGINT)")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT * FROM graft_sqlupd_src")
+    }
     s.sql(s"UPDATE $cat.db.docs SET text = upper(text), " +
       "n_chars = n_chars + 1 WHERE n_chars < 300")
     s.sql(s"SELECT doc_id, text, lang, source, n_chars FROM $cat.db.docs")
@@ -2289,9 +2465,11 @@ private[graft] object QueriesIo {
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     t(s, dir, "documents").createOrReplaceTempView("graft_sqlmrg_src")
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
-      "lang STRING, source STRING, n_chars BIGINT)")
-    s.sql(s"INSERT INTO $cat.db.docs SELECT * FROM graft_sqlmrg_src")
+    BenchSetup.section {
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+        "lang STRING, source STRING, n_chars BIGINT)")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT * FROM graft_sqlmrg_src")
+    }
     s.sql(
       s"""MERGE INTO $cat.db.docs d USING (
          |  SELECT doc_id, text, lang FROM graft_sqlmrg_src
@@ -2325,11 +2503,13 @@ private[graft] object QueriesIo {
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     t(s, dir, "documents").createOrReplaceTempView("graft_call_src")
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-    s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
-      "lang STRING, source STRING, n_chars BIGINT)")
-    (0 until 4).foreach(q => s.sql(
-      s"INSERT INTO $cat.db.docs SELECT * FROM graft_call_src " +
-        s"WHERE doc_id % 4 = $q"))
+    BenchSetup.section {
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+        "lang STRING, source STRING, n_chars BIGINT)")
+      (0 until 4).foreach(q => s.sql(
+        s"INSERT INTO $cat.db.docs SELECT * FROM graft_call_src " +
+          s"WHERE doc_id % 4 = $q"))
+    }
     s.sql(s"CALL $cat.system.compact(table => 'db.docs', " +
       "target_file_mb => 1)")
     s.sql(s"CALL $cat.system.tag(table => 'db.docs', name => 'gold')")
@@ -2350,7 +2530,8 @@ private[graft] object QueriesIo {
     val docs = t(s, dir, "documents")
     val store =
       graft.io.Scratch.dir("graft_snap_cdf_").toString + "/tbl"
-    graft.io.Snapshots.commit(docs, store) // v1
+    BenchSetup.section {
+      graft.io.Snapshots.commit(docs, store) } // v1
     val cols = docs.columns.map(col).toSeq
     val upd = docs.filter(col("doc_id") % 10 === 0)
       .withColumn("text", concat(col("text"), lit("!")))
@@ -2387,6 +2568,7 @@ private[graft] object QueriesIo {
     "q_snapshot_topn" -> (snapshotTopN _),
     "q_snapshot_range_skip" -> (snapshotRangeSkip _),
     "q_snapshot_shard_skip" -> (snapshotShardSkip _),
+    "q_snapshot_runtime_skip" -> (snapshotRuntimeSkip _),
     "q_snapshot_bloom_skip" -> (snapshotBloomSkip _),
     "q_snapshot_analyze" -> (snapshotAnalyze _),
     "q_snapshot_autondv" -> (snapshotAutoNdv _),
@@ -2665,6 +2847,17 @@ private[graft] object QueriesIo {
       """SELECT concat('JOB', lpad(cast(doc_id * 8 + 2 AS VARCHAR),
            9, '0')) AS jid, n_chars
          FROM documents WHERE doc_id = 42""",
+    "q_snapshot_runtime_skip" ->
+      """WITH f AS (
+           SELECT doc_id AS doc_id, source, n_chars FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, source, n_chars FROM documents),
+         d AS (
+           SELECT DISTINCT source,
+             CAST(CAST(substring(source, 4) AS INT) % 3 AS INT) AS tier
+           FROM documents)
+         SELECT f.doc_id, f.source, f.n_chars
+         FROM f JOIN d ON f.source = d.source WHERE d.tier = 1""",
     "q_snapshot_analyze" ->
       """SELECT CAST(2 * count(*) AS BIGINT) AS n_docs,
            CAST(2 * count(DISTINCT doc_id) AS BIGINT) AS exact_ids,

@@ -548,22 +548,51 @@ private[graft] object Queries {
         "n_nationkey", "lo", "hi")
   }
 
-  /** As-of join (composition b of the custom-operator preference
-    * order): each event matches the latest order of its user with
-    * `o_orderdate <= ts` — equi-join + interval filter + top-1 per
-    * event via the bounded-heap TopKPerKey operator (same semantics as
-    * a rank-1 window including the tie-break, without sorting every
-    * event's full candidate list).
+  /** As-of join, SORT-MERGE formulation: events and orders UNION
+    * into one per-user timeline — orders sort BEFORE events at the
+    * same instant (`<=` is inclusive) and equal-date orders sort
+    * best-last (o_orderkey desc, so the tie-break winner is the
+    * smallest key) — then each event reads the latest preceding
+    * order via `last(..., ignoreNulls)` over a rows-frame window.
+    * ONE shuffle (hash by user) + one sort per user, O(n log n),
+    * with NO join-product intermediate: the previous equi-join +
+    * top-1 formulation materialized every (event, earlier-order)
+    * pair per user — quadratic in per-user density, the suite's
+    * worst 10x scale ratio (9.8x), and a hot-user skew bomb at
+    * 100x. Same result set as the rank-1 oracle, tie-break
+    * included.
     */
   def asofJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir).select(col("event_id"), col("user_id"),
-      col("ts").cast("timestamp_ntz").as("ts"))
-    val joined = ev.join(t(s, dir, "orders"),
-      col("user_id") === col("o_custkey") &&
-        col("o_orderdate") <= col("ts"))
-    graft.plans.TopK.perKey(joined, Seq(col("event_id")),
-      Seq(col("o_orderdate").desc, col("o_orderkey")), 1)
-      .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, dir).select(
+      col("user_id"),
+      col("ts").cast("timestamp_ntz").as("tval"),
+      lit(1).as("is_event"),
+      col("event_id"),
+      lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("timestamp").as("o_orderdate"))
+    val ord = t(s, dir, "orders").select(
+      col("o_custkey").cast("long").as("user_id"),
+      col("o_orderdate").cast("timestamp_ntz").as("tval"),
+      lit(0).as("is_event"),
+      lit(null).cast("long").as("event_id"),
+      col("o_orderkey"),
+      col("o_orderdate"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tval"), col("is_event"), col("o_orderkey").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      // the struct must be NULL (not a struct of nulls) on event
+      // rows, or last(ignoreNulls) would treat the event's own
+      // timeline row as a "latest order" and null the result
+      .withColumn("best", last(
+        when(col("is_event") === 0,
+          struct(col("o_orderkey"), col("o_orderdate"))),
+        ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1 && col("best").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("best").getField("o_orderkey").as("o_orderkey"),
+        col("best").getField("o_orderdate").as("o_orderdate"))
   }
 
 }

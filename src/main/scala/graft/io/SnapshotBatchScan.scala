@@ -628,7 +628,9 @@ private[graft] final class SnapshotScanBuilder(
     def liveRowsOf(es: Seq[String]): Option[Long] =
       liveMemo.getOrElseUpdate(es, {
         val per = es.map { e =>
-          val (rel, _, rows) = Snapshots.entryMeta(spark, path, e)
+          // stat-only: `es` may be shard PSEUDO-entries with no
+          // backing file — a getFileStatus fallback would throw
+          val (rel, rows) = Snapshots.entryMetaStat(e)
           rows.map(_ - posDelCounts.getOrElse(rel, 0L))
         }
         if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
@@ -723,8 +725,7 @@ private[graft] final class SnapshotScanBuilder(
               Some((StructField(s"agg_$i", LongType, nullable = false),
                 (es: Seq[String]) => {
                   val per = es.map { e =>
-                    val (rel, _, rows) =
-                      Snapshots.entryMeta(spark, path, e)
+                    val (rel, rows) = Snapshots.entryMetaStat(e)
                     if (!Snapshots.partValsOf(rel).contains(fld.dirName))
                       None
                     else if (Snapshots.identityValuesRow(spark, rel,
@@ -746,7 +747,7 @@ private[graft] final class SnapshotScanBuilder(
               Some((StructField(s"agg_$i", LongType, nullable = false),
                 (es: Seq[String]) => {
                   val per = es.map { e =>
-                    (Snapshots.entryMeta(spark, path, e)._3,
+                    (Snapshots.entryMetaStat(e)._2,
                       Snapshots.nullCountOf(e).get(phys))
                   }
                   if (per.exists(p => p._1.isEmpty || p._2.isEmpty))

@@ -92,26 +92,27 @@ object Snapshots {
 
   /** SHARDED manifest header (v4) — the metadata layer's own
     * partition pruning. Past [[shardSize]] entries, a full manifest
-    * stops inlining its entry list: entries group by their partition
-    * DIRECTORY (then chunk to `shardSize`), each group writes an
-    * immutable, content-addressed SHARD FILE under
-    * `_manifests/shards/`, and the manifest body carries one
-    * `#shard=<file>|<count>|<pseudo-entry>` line per shard — where
-    * the pseudo-entry is an entry-SHAPED line (`<dir>/_` + merged
-    * min/max/null/rows stats over the shard's members) the existing
-    * prune predicates evaluate directly. Scan planning then proves
-    * whole-shard skips BEFORE reading any entry: a point lookup on a
-    * million-file table costs O(shards) driver CPU + O(matching
-    * shards) memory, not O(files) — the same month-windowing the
-    * reference applies to data (conte-etl-step-2-manager.py:817-821),
-    * applied to the metadata itself. Content-hash naming makes shard
-    * files REUSABLE across commits: an append re-derives identical
-    * shards for every untouched directory group (same sorted
-    * members → same hash → no write), so commit-time metadata IO
-    * stays O(changed groups), replacing the delta-manifest chain
-    * (whose read-side resolution was O(table files) per query) for
-    * large tables. v1-v3 manifests remain readable; a table crossing
-    * the threshold switches encodings transparently.
+    * stops inlining its entry list: entries group by their
+    * PARTITION-VALUE tuple ([[shardGroupKey]]; then chunk to
+    * `shardSize`), each group writes an immutable, content-addressed
+    * SHARD FILE under `_manifests/shards/`, and the manifest body
+    * carries one `#shard=<file>|<count>|<pseudo-entry>` line per
+    * shard — where the pseudo-entry is an entry-SHAPED line
+    * (`<k=v tuple>/_` + merged min/max/null/rows stats over the
+    * shard's members) the existing prune predicates evaluate
+    * directly. Scan planning then proves whole-shard skips BEFORE
+    * reading any entry: a point lookup on a million-file table costs
+    * O(shards) driver CPU + O(matching shards) memory, not
+    * O(files) — the same month-windowing the reference applies to
+    * data (conte-etl-step-2-manager.py:817-821), applied to the
+    * metadata itself. Shard files are REUSED across commits
+    * ([[renderV4]]): an unchanged group's refs carry over verbatim
+    * and an appended-to group reuses its prior shards plus a tail
+    * shard for just the fresh entries, so commit-time metadata IO
+    * stays O(delta) — replacing the delta-manifest chain (whose
+    * read-side resolution was O(table files) per query) for large
+    * tables. v1-v3 manifests remain readable; a table crossing the
+    * threshold switches encodings transparently.
     */
   private val HeaderV4 = "graft-snapshot-v4"
   private val ShardHeader = "graft-snapshot-shard-1"
@@ -126,13 +127,44 @@ object Snapshots {
   /** Entries per shard block; a full manifest shards when it holds
     * at least two blocks' worth. Deployment knob
     * `graft.snapshot.manifestShardSize` (Hadoop conf, fixed at
-    * FileSystem creation); the var is the test seam.
+    * FileSystem creation); the accessor pair below is the test
+    * seam — THREAD-LOCAL (inheritable), so gates/specs running on a
+    * parallel runner can't race each other's set/restore windows.
     */
-  private[graft] var shardSizeOverride: Option[Int] = None
+  private val shardSizeOverrideTl =
+    new InheritableThreadLocal[Option[Int]] {
+      override def initialValue(): Option[Int] = None
+    }
+  private[graft] def shardSizeOverride: Option[Int] =
+    shardSizeOverrideTl.get()
+  private[graft] def shardSizeOverride_=(v: Option[Int]): Unit =
+    shardSizeOverrideTl.set(v)
   private def shardSize(f: FileSystem): Int = {
     val s = shardSizeOverride.getOrElse(
       f.getConf.getInt("graft.snapshot.manifestShardSize", 1024))
     require(s >= 1, s"snapshot: manifestShardSize must be >= 1: $s")
+    s
+  }
+
+  /** Max shards one directory group may accrete (append-reused
+    * shards + tail shards) before a commit re-chunks the group
+    * inline; [[reshard]]/[[maintain]] heal lazily below this hard
+    * bound. Bounds per-dir planning fan-out AND per-append write
+    * amplification: amortized, each entry is rewritten into a shard
+    * O(1) times per fanout-window instead of once per commit.
+    */
+  private val shardFanoutOverrideTl =
+    new InheritableThreadLocal[Option[Int]] {
+      override def initialValue(): Option[Int] = None
+    }
+  private[graft] def shardFanoutOverride: Option[Int] =
+    shardFanoutOverrideTl.get()
+  private[graft] def shardFanoutOverride_=(v: Option[Int]): Unit =
+    shardFanoutOverrideTl.set(v)
+  private def shardFanout(f: FileSystem): Int = {
+    val s = shardFanoutOverride.getOrElse(
+      f.getConf.getInt("graft.snapshot.manifestShardFanout", 64))
+    require(s >= 2, s"snapshot: manifestShardFanout must be >= 2: $s")
     s
   }
 
@@ -148,6 +180,28 @@ object Snapshots {
 
   private def shardPath(base: String, name: String): Path =
     new Path(s"$base/_manifests/shards/$name")
+
+  /** Order-preserving parallel map over driver-side metadata work
+    * (footer stats, file status probes). Fixed-bound pool per call:
+    * enough to hide per-file IO latency, bounded so object stores
+    * aren't hit with unbounded concurrent connections. Exceptions
+    * propagate to the caller like a plain map.
+    */
+  private def parMapOrdered[A, B](xs: Seq[A])(fn: A => B): Seq[B] = {
+    if (xs.size <= 4) return xs.map(fn)
+    val n = math.min(32, Runtime.getRuntime.availableProcessors())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = xs.map(x => new java.util.concurrent.Callable[B] {
+        override def call(): B = fn(x)
+      })
+      pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+    } catch {
+      case e: java.util.concurrent.ExecutionException =>
+        throw e.getCause
+    } finally pool.shutdown()
+  }
 
   /** Parsed-shard LRU (shard files are immutable and content-named;
     * 256 shards ≈ a few hundred thousand cached entry lines max).
@@ -221,6 +275,30 @@ object Snapshots {
     val rel = relOf(entryLine)
     val i = rel.lastIndexOf('/')
     if (i < 0) "" else rel.substring(0, i)
+  }
+
+  /** The shard-grouping key of one entry (or pseudo-entry) line: the
+    * PARTITION-VALUE tuple — the `k=v` path segments in path order,
+    * physical prefixes (`data/c-<uuid>`) dropped. Grouping by tuple
+    * rather than physical directory lets appends LAND IN the same
+    * group as prior commits' files for the same partition (each
+    * commit writes under a fresh uuid dir, so physical dirs never
+    * repeat): the group's prior shards reuse verbatim and only a
+    * tail shard writes, and an unpartitioned table converges to
+    * ceil(files/shardSize) shards instead of one-plus per commit.
+    * Sound for every pseudo consumer because all of them read the
+    * pseudo rel through [[partValsOf]]/stat grammar — and a group's
+    * members share EXACTLY the tuple the pseudo carries, same as
+    * the per-dir invariant before. Old per-dir refs key to the same
+    * tuple (their `k=v` chain is a suffix), so pre-tuple manifests
+    * migrate through the ordinary append-reuse path.
+    */
+  private def shardGroupKey(entryLine: String): String = {
+    val rel = relOf(entryLine)
+    val i = rel.lastIndexOf('/')
+    if (i < 0) ""
+    else rel.substring(0, i).split('/')
+      .filter(_.contains('=')).mkString("/")
   }
 
   /** Merge member entries' stat suffixes into the shard's
@@ -300,24 +378,66 @@ object Snapshots {
   }
 
   /** Encode a full v3 rendering as a v4 SHARDED manifest: write (or
-    * reuse) the shard files, return the v4 lines. Group order and
-    * within-group order are deterministic (sorted), so an unchanged
-    * directory group re-derives the identical shard file name.
+    * reuse) the shard files, return the v4 lines.
+    *
+    * Commit-time metadata IO scales with the DELTA, not the group:
+    * a directory whose prior shards are a strict subset of its new
+    * entries (a pure append) reuses every prior shard line VERBATIM
+    * and writes only tail shard(s) for the fresh entries — at a
+    * million files per partition a small append writes one shard,
+    * not ~a thousand. An unchanged group reuses verbatim too (no
+    * re-hash). The price is ACCRETION: repeated small appends grow
+    * sub-size tail shards per directory, so past
+    * `graft.snapshot.manifestShardFanout` shards in one directory
+    * the group re-chunks inline (sorted, `sSize`-sized — the
+    * canonical layout), and [[reshard]] / [[maintain]] heal lazily
+    * below that bound. Any non-append change to a group (compact,
+    * delete, rewrite) re-chunks it outright, so removals
+    * self-heal. Reused pseudo-stats stay sound because the member
+    * entries they bound are byte-identical.
     */
   private def renderV4(f: FileSystem, base: String,
-                       fullLines: Seq[String], sSize: Int)
+                       fullLines: Seq[String], sSize: Int,
+                       prevRefs: Seq[ShardRef] = Nil,
+                       forceRechunk: Boolean = false)
       : Seq[String] = {
     val body = fullLines.drop(3).filter(_.nonEmpty)
     val markers = body.filter(_.startsWith("#"))
     val entryLines = body.filterNot(_.startsWith("#"))
-    val shardLines = entryLines.groupBy(dirKeyOf).toSeq.sortBy(_._1)
+    val fanout = shardFanout(f)
+    val prevByDir: Map[String, Seq[ShardRef]] =
+      if (forceRechunk) Map.empty
+      else prevRefs.groupBy(r => shardGroupKey(r.pseudo))
+    def chunkLines(dir: String, es: Seq[String]): Seq[String] =
+      es.grouped(sSize).map { chunk =>
+        val file = writeShardFile(f, base, chunk)
+        val stats = mergeShardStats(chunk)
+        val pseudo = (if (dir.isEmpty) "_" else s"$dir/_") +
+          (if (stats.isEmpty) "" else s"\t$stats")
+        s"#shard=$file|${chunk.size}|$pseudo"
+      }.toSeq
+    def refLine(r: ShardRef): String =
+      s"#shard=${r.file}|${r.count}|${r.pseudo}"
+    val shardLines = entryLines.groupBy(shardGroupKey).toSeq
+      .sortBy(_._1)
       .flatMap { case (dir, es) =>
-        es.sorted.grouped(sSize).map { chunk =>
-          val file = writeShardFile(f, base, chunk)
-          val stats = mergeShardStats(chunk)
-          val pseudo = (if (dir.isEmpty) "_" else s"$dir/_") +
-            (if (stats.isEmpty) "" else s"\t$stats")
-          s"#shard=$file|${chunk.size}|$pseudo"
+        def rechunk = chunkLines(dir, es.sorted)
+        val prior = prevByDir.getOrElse(dir, Nil)
+        if (prior.isEmpty || prior.size >= fanout) rechunk
+        else {
+          val priorEntries =
+            prior.flatMap(r => loadShard(f, base, r.file))
+          val priorSet = priorEntries.toSet
+          if (priorSet.size != priorEntries.size) rechunk
+          else if (priorSet.size == es.size && es.forall(priorSet))
+            prior.map(refLine) // unchanged group: free
+          else if (es.size > priorSet.size && {
+            val newSet = es.toSet
+            priorEntries.forall(newSet)
+          }) // pure append: prior shards verbatim + fresh tail(s)
+            prior.map(refLine) ++
+              chunkLines(dir, es.filterNot(priorSet).sorted)
+          else rechunk // removal / rewrite: re-chunk, heals accretion
         }
       }
     Seq(HeaderV4, fullLines(1), fullLines(2)) ++ markers ++ shardLines
@@ -378,32 +498,75 @@ object Snapshots {
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** Cached per-parent-session CLONES with store-pinned conf — the
-    * conf-scoping that used to be set/restore on the SHARED session
-    * conf (a data race against every concurrent query on it).
-    * [[storeWriteSession]] pins TIMESTAMP_MICROS parquet output and
-    * UTC (directory derivation); [[utcDeriveSession]] pins UTC for
-    * the read-side 1-row derive plans, so prune-time directory
-    * bounds are computed under the SAME zone the write-time layout
-    * used — a reader session in any tz prunes correctly. Values are
-    * session clones (shared SparkContext, snapshot of the parent's
-    * runtime conf at first use).
+  /** Session CLONES with store-pinned conf — the conf-scoping that
+    * used to be set/restore on the SHARED session conf (a data race
+    * against every concurrent query on it). [[storeWriteSession]]
+    * pins TIMESTAMP_MICROS parquet output and UTC (directory
+    * derivation); [[utcDeriveSession]] pins UTC for the read-side
+    * 1-row derive plans, so prune-time directory bounds are computed
+    * under the SAME zone the write-time layout used — a reader
+    * session in any tz prunes correctly. Clones share the parent's
+    * SparkContext.
+    *
+    * MIGRATION NOTE: tables whose time-transform / identity-
+    * timestamp directories were written by a pre-UTC-pinning embed
+    * under a non-UTC session tz have directory names derived under
+    * that zone; the UTC reader could mis-prune them. New commits
+    * stamp `graft.layout.timezone=UTC` as a table property; readers
+    * DISABLE directory-derivation pruning when the property is
+    * present and names a different zone (correct, just unpruned) —
+    * re-layout (compact) such tables to restore pruning.
     */
-  private val storeWriteSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  // write-side: a FRESH clone per store write (a clone is cheap
+  // relative to any parquet write) — a cached clone would snapshot
+  // the parent's runtime conf at FIRST use, silently freezing later
+  // user changes (shuffle partitions, maxRecordsPerFile, codec) out
+  // of every subsequent snapshot write, and pin the parent session
+  // in a never-evicted map
   private def storeWriteSession(spark: SparkSession): SparkSession =
-    storeWriteSessions.computeIfAbsent(spark, s =>
-      org.apache.spark.sql.graft.Bridge.cloneWithConf(s,
-        "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
-        "spark.sql.session.timeZone" -> "UTC"))
+    org.apache.spark.sql.graft.Bridge.cloneWithConf(spark,
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+      "spark.sql.session.timeZone" -> "UTC")
 
+  // read-side derive plans are HOT (per prune) so the clone is
+  // cached — but weak-keyed, so short-lived parent sessions are not
+  // leaked. Only the pinned timeZone matters to a 1-row local plan,
+  // so the first-use conf snapshot is harmless here.
   private val utcDeriveSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
   private[graft] def utcDeriveSession(spark: SparkSession): SparkSession =
     if (spark.conf.get("spark.sql.session.timeZone", "") == "UTC") spark
-    else utcDeriveSessions.computeIfAbsent(spark, s =>
-      org.apache.spark.sql.graft.Bridge.cloneWithConf(s,
-        "spark.sql.session.timeZone" -> "UTC"))
+    else utcDeriveSessions.synchronized {
+      utcDeriveSessions.computeIfAbsent(spark, s =>
+        org.apache.spark.sql.graft.Bridge.cloneWithConf(s,
+          "spark.sql.session.timeZone" -> "UTC"))
+    }
+
+  /** Table property recording the session zone directory layouts
+    * were derived under. Commits stamp "UTC" (the pinned write
+    * zone) when absent; absent on read means a legacy table,
+    * ASSUMED UTC (this repo's writers always pinned UTC — external
+    * embedders migrating a non-UTC-derived layout must set the
+    * property, which turns OFF tz-sensitive directory pruning:
+    * correct results, just unpruned, until a re-layout). */
+  private[graft] val LayoutTzProp = "graft.layout.timezone"
+
+  /** Is a derived directory value trustworthy for pruning under the
+    * UTC derive session? False only when the table declares a
+    * NON-UTC layout zone AND the field's derivation is tz-sensitive
+    * (time transforms; identity/truncate over session-tz
+    * timestamps — their dir strings depend on the writer zone;
+    * buckets hash internal micros and integer/string identities
+    * cast zone-free). */
+  private def dirDeriveTrusted(props: Map[String, String],
+                               fld: PartField, dt: DataType): Boolean =
+    props.getOrElse(LayoutTzProp, "UTC") == "UTC" || {
+      val tzSensitive = fld.isInstanceOf[PTime] ||
+        (dt == org.apache.spark.sql.types.TimestampType &&
+          !fld.isInstanceOf[PBucket])
+      !tzSensitive
+    }
 
   private def manifestPath(base: String, v: Long) =
     new Path(f"$base/_manifests/v$v%09d.manifest")
@@ -634,8 +797,17 @@ object Snapshots {
     // too — a huge CTAS shards its very first manifest.
     val sSize = shardSize(f)
     if (lines.drop(3).count(l => l.nonEmpty && !l.startsWith("#")) >=
-        sSize * 2)
-      return renderV4(f, base, lines, sSize)
+        sSize * 2) {
+      // prior version's shard refs feed the append-reuse fast path
+      // (refs parse eagerly; entries stay lazy — only groups that
+      // CHANGED load their prior shards, from the LRU if warm)
+      val prevRefs =
+        if (v <= 1L) Nil
+        else
+          try manifest(f, base, v - 1L).shardRefs
+          catch { case _: IllegalArgumentException => Nil }
+      return renderV4(f, base, lines, sSize, prevRefs)
+    }
     if (v <= 1L) return lines
     // Hadoop FileSystem instances are cached with the Configuration
     // they were first created with, so the conf knob is
@@ -1698,16 +1870,22 @@ object Snapshots {
     // mutation anywhere in the write
     withBloom.parquet(s"$path/$commitDir")
     val conf = spark.sessionState.newHadoopConf()
-    val fresh = listCommitFiles(f, path, commitDir).map { rel =>
-      val p = new Path(s"$path/$rel")
-      val stats = footerStats(conf, p)
-      // the file's byte length rides as a pseudo-stat so planning
-      // (split sizing, compaction budgets, relation sizeInBytes)
-      // never stats files - the manifest is the only metadata read
-      val bytes = f.getFileStatus(p).getLen
-      val len = s"$LenStat:L:$bytes:$bytes"
-      val all = if (stats.isEmpty) len else s"$len;$stats"
-      s"$rel\t$all"
+    // footer stats in PARALLEL (order-preserving): a commit of 100k
+    // small files would otherwise serialize ~100k footer reads on
+    // the driver — minutes of wall clock where the write itself took
+    // seconds. Hadoop FileSystem reads are thread-safe; bounded pool
+    // so an object store isn't hammered with unbounded connections
+    val fresh = parMapOrdered(listCommitFiles(f, path, commitDir)) {
+      rel =>
+        val p = new Path(s"$path/$rel")
+        val stats = footerStats(conf, p)
+        // the file's byte length rides as a pseudo-stat so planning
+        // (split sizing, compaction budgets, relation sizeInBytes)
+        // never stats files - the manifest is the only metadata read
+        val bytes = f.getFileStatus(p).getLen
+        val len = s"$LenStat:L:$bytes:$bytes"
+        val all = if (stats.isEmpty) len else s"$len;$stats"
+        s"$rel\t$all"
     }
     (commitDir, fresh)
   }
@@ -1797,7 +1975,8 @@ object Snapshots {
           else bloomSketchPass(spark, path,
             toPhysicalSchema(schema, colMap), partCols, fresh,
             bloomPhys, sk)
-        fresh.map(e => amendBloomEntry(amendNdvEntry(e, sk), bl))
+        fresh.map(e => amendBloomEntry(amendNdvEntry(e, sk), bl,
+          toPhysicalSchema(schema, colMap)))
       }
     }
     onBeforePublish()
@@ -1807,7 +1986,12 @@ object Snapshots {
     var curTxns = txns
     var curDvs = dvs
     var curColMap = colMap
-    var curProps = baseProps
+    // stamp the zone directory layouts are derived under (the write
+    // path pins UTC) so readers can detect foreign-zone legacy
+    // layouts; an explicitly-set value is never overridden
+    var curProps =
+      if (baseProps.contains(LayoutTzProp)) baseProps
+      else baseProps + (LayoutTzProp -> "UTC")
     var curBase = base
     var committed = -1L
     while (committed < 0L) {
@@ -2367,6 +2551,15 @@ object Snapshots {
   private def entryRows(e: String): Option[Long] =
     statsOf(e).get(RowsStat).map(_._1.toLong)
 
+  /** Stat-only entry meta: (relative path, row count) with ZERO
+    * filesystem access — the aggregate-pushdown pseudo tier folds
+    * over shard pseudo-entries (`<dir>/_`, no backing file), where
+    * [[entryMeta]]'s `__len` fallback to `getFileStatus` would throw
+    * FileNotFoundException instead of letting `evalOver` fall back
+    * to the entry tier. Absent stats answer None, never guess. */
+  private[graft] def entryMetaStat(e: String): (String, Option[Long]) =
+    (relOf(e), entryRows(e))
+
   private def entryLen(f: FileSystem, path: String, e: String): Long =
     statsOf(e).get(LenStat).map(_._1.toLong)
       .getOrElse(f.getFileStatus(entryFilePath(path, relOf(e))).getLen)
@@ -2746,21 +2939,54 @@ object Snapshots {
       : (StructType, Seq[String], Seq[String], Map[String, String]) = {
     val f = fs(spark, path)
     val mFrom = manifest(f, path, fromVersion)
-    val before = mFrom.entries.map(relOf)
     val mTo = manifest(f, path, toVersion)
-    val beforeSet = before.toSet
-    val dropped = beforeSet -- mTo.entries.map(relOf).toSet
-    require(dropped.isEmpty,
-      s"snapshot: versions $fromVersion..$toVersion are not append-only " +
-        s"(${dropped.size} files dropped out - an overwrite, rollback " +
-        "or retention pass in the range); read the versions directly " +
-        "and diff rows instead")
     require(mFrom.dvs.toSet == mTo.dvs.toSet,
       s"snapshot: versions $fromVersion..$toVersion are not append-only " +
         "(a merge-on-read delete landed in the range - rows were " +
         "removed); read the versions directly and diff rows instead")
-    (resolveSchema(spark, path, mTo), mTo.partCols,
-      mTo.entries.filterNot(e => beforeSet(relOf(e))), mTo.colMap)
+    // SHARD-LEVEL set difference when both sides are v4: shard files
+    // are content-addressed, so a shard named in BOTH manifests holds
+    // byte-identical entries and contributes nothing to the delta —
+    // only the CHANGED shards load, O(delta) not O(files). A
+    // streaming consumer ([[graft.streaming.SnapshotSource]]) runs
+    // this diff every trigger; forcing both versions' full lazy
+    // entry lists would be the same per-trigger driver tax the v4
+    // format removed from batch planning. (Unpartitioned tables
+    // re-chunk their single directory group on every append, so the
+    // win is dir-partitioned tables — the streaming-fact shape.)
+    val delta: Seq[String] =
+      if (mFrom.shardRefs.nonEmpty && mTo.shardRefs.nonEmpty) {
+        val fromNames = mFrom.shardRefs.map(_.file).toSet
+        val toNames = mTo.shardRefs.map(_.file).toSet
+        // shared shards are whole-shard SKIPS (observable through
+        // the same counters the prune paths report)
+        shardsSkipped.addAndGet(
+          mTo.shardRefs.count(r => fromNames(r.file)).toLong)
+        val oldRels = mFrom.shardRefs.filterNot(r => toNames(r.file))
+          .flatMap { r => shardsLoaded.incrementAndGet()
+            loadShard(f, path, r.file) }.map(relOf).toSet
+        val newEntries = mTo.shardRefs.filterNot(r => fromNames(r.file))
+          .flatMap { r => shardsLoaded.incrementAndGet()
+            loadShard(f, path, r.file) }
+        val newRels = newEntries.map(relOf).toSet
+        val dropped = oldRels -- newRels
+        require(dropped.isEmpty,
+          s"snapshot: versions $fromVersion..$toVersion are not " +
+            s"append-only (${dropped.size} files dropped out - an " +
+            "overwrite, rollback or retention pass in the range); " +
+            "read the versions directly and diff rows instead")
+        newEntries.filterNot(e => oldRels(relOf(e)))
+      } else {
+        val beforeSet = mFrom.entries.map(relOf).toSet
+        val dropped = beforeSet -- mTo.entries.map(relOf).toSet
+        require(dropped.isEmpty,
+          s"snapshot: versions $fromVersion..$toVersion are not " +
+            s"append-only (${dropped.size} files dropped out - an " +
+            "overwrite, rollback or retention pass in the range); " +
+            "read the versions directly and diff rows instead")
+        mTo.entries.filterNot(e => beforeSet(relOf(e)))
+      }
+    (resolveSchema(spark, path, mTo), mTo.partCols, delta, mTo.colMap)
   }
 
   /** CREATE an EMPTY table: version 1 is a zero-entry manifest
@@ -3485,8 +3711,15 @@ object Snapshots {
         s"schema (${schema.fieldNames.mkString(", ")})")
     val dt = schema(column).dataType
     val phys = toPhysicalName(m.colMap, column)
-    val fields = m.partCols.map(parsePartField)
+    val allFields = m.partCols.map(parsePartField)
       .filter(_.source == phys)
+    // tz-distrusted fields derive nothing (foreign-zone legacy
+    // layout), but still count as "the column HAS partition fields"
+    // for the stats-scoping decision below — a scoped compaction
+    // (useFileStats=false) must not silently fall back to stats
+    // narrowing just because the dirs are unprovable
+    val fields = allFields
+      .filter(fld => dirDeriveTrusted(m.props, fld, dt))
     // one LOCAL 1-row plan derives every relevant field's directory
     // string for `value` — same expressions, same cast-to-string the
     // dynamic-partition writer used to name the directories, so the
@@ -3563,7 +3796,7 @@ object Snapshots {
       val vals = partValsOf(relOf(e))
       val dirOk = expect.forall { case (k, exp) =>
         vals.get(k).forall(_ == exp) }
-      val statsApply = useFileStats || fields.isEmpty
+      val statsApply = useFileStats || allFields.isEmpty
       val statOk = !statsApply ||
         numVal.forall(d => statsOf(e).get(phys).forall {
           case (mn, mx) => mx >= d && mn <= d })
@@ -3581,10 +3814,16 @@ object Snapshots {
       // per-file test runs after descend.
       val bloomOk = !statsApply ||
         (bloomStatsOf(e).get(phys) match {
-          case Some((mb, k, words)) =>
+          // only a block whose hashed-type tag MATCHES the current
+          // column type is probative: after a schema widening
+          // (int→long) the committed bits hash the old type while
+          // the lookup literal hashes the new — a mismatched or
+          // untagged block is skipped (file kept), never trusted
+          case Some((mb, k, words, Some(tag)))
+              if tag == dt.catalogString =>
             bloomHashes.forall { case (h1, h2) =>
               bloomMightContain(mb, k, words, h1, h2) }
-          case None => true
+          case _ => true
         })
       dirOk && statOk && sOk && tsOk && bloomOk
     }
@@ -3699,6 +3938,7 @@ object Snapshots {
     // for a string column).
     val dirChecks: Seq[(String, String => Boolean)] =
       m.partCols.map(parsePartField).filter(_.source == phys)
+        .filter(fld => dirDeriveTrusted(m.props, fld, dt))
         .flatMap { fld =>
           def derived: Option[String] =
             scala.util.Try(utcDeriveSession(spark).range(1).select(
@@ -5077,10 +5317,18 @@ object Snapshots {
   }
 
   /** Parse an entry's 'B'-kind bloom blocks: physical column →
-    * (m, k, bit words). Malformed blocks are ignored (kept, never
-    * skipped). */
+    * (m, k, bit words, hashed-type tag). Malformed blocks are
+    * ignored (kept, never skipped). The tag (`m_k_<catalogString>`,
+    * joined back across '_' so `timestamp_ntz` survives) records the
+    * Spark type the sketch pass hashed at — xxhash64/murmur3 hash an
+    * int and a long DIFFERENTLY, so after a legal int→long schema
+    * widening ([[widens]]) a pre-widening bloom probed with
+    * long-typed hashes would falsely prove absence on every file.
+    * Consumers must skip blocks whose tag differs from the current
+    * column type; legacy untagged blocks are unusable for the same
+    * reason (their hashed type is unknowable). */
   private[graft] def bloomStatsOf(entry: String)
-      : Map[String, (Int, Int, Array[Long])] = {
+      : Map[String, (Int, Int, Array[Long], Option[String])] = {
     val i = entry.indexOf('\t')
     if (i < 0) Map.empty
     else entry.substring(i + 1).split(';').iterator.filter(_.nonEmpty)
@@ -5091,11 +5339,14 @@ object Snapshots {
               val mks = mk.split('_')
               val m = mks(0).toInt
               val k = mks(1).toInt
+              val tag =
+                if (mks.length > 2) Some(mks.drop(2).mkString("_"))
+                else None
               val words = hex.sliding(16, 16)
                 .map(java.lang.Long.parseUnsignedLong(_, 16)).toArray
               require(m >= BloomMinBits && k >= 1 &&
                 words.length == m / 64)
-              name -> ((m, k, words))
+              name -> ((m, k, words, tag))
             }.toOption
           case _ => None
         }
@@ -5103,15 +5354,22 @@ object Snapshots {
   }
 
   /** The exact membership test the sketch pass's bit-set answers:
-    * position_i = pmod(h1 + i*h2, m) — identical long arithmetic to
-    * the in-plan fold (JVM wraparound included). */
+    * position_i = pmod(pmod(h1,m) + i*pmod(h2,m), m) — the nested
+    * form keeps every intermediate below 17·2^15 so the in-plan fold
+    * never overflows (ANSI-mode sessions would otherwise THROW on
+    * the near-certain 64-bit wraparound of h1 + i*h2). Because m is
+    * a power of two (2^64 ≡ 0 mod m), this equals the plain
+    * wraparound formula bit-for-bit, so blocks committed either way
+    * agree. */
   private[graft] def bloomMightContain(m: Int, k: Int,
                                        words: Array[Long],
                                        h1: Long, h2: Long): Boolean = {
+    val b1 = java.lang.Math.floorMod(h1, m.toLong)
+    val b2 = java.lang.Math.floorMod(h2, m.toLong)
     var i = 0
     while (i < k) {
       val pos =
-        java.lang.Math.floorMod(h1 + i.toLong * h2, m.toLong).toInt
+        java.lang.Math.floorMod(b1 + i.toLong * b2, m.toLong).toInt
       if (((words(pos >> 6) >>> (pos & 63)) & 1L) == 0L) return false
       i += 1
     }
@@ -5154,7 +5412,12 @@ object Snapshots {
           .select(col("__rel"), col("__m"), col("__h1"), col("__h2"),
             expr("explode(sequence(0, __k - 1))").as("__i"))
           .select(col("__rel"),
-            expr("pmod(__h1 + CAST(__i AS BIGINT) * __h2, __m)")
+            // nested pmod: every intermediate < 17*2^15 — the plain
+            // h1 + i*h2 wraps 64-bit long arithmetic, which ANSI
+            // sessions turn into an overflow THROW; power-of-two m
+            // makes the two formulas bit-identical
+            expr("pmod(pmod(__h1, __m) + CAST(__i AS BIGINT) * " +
+              "pmod(__h2, __m), __m)")
               .as("__pos"))
           .select(col("__rel"), expr("__pos div 64").as("__w"),
             expr("shiftleft(CAST(1 AS BIGINT), " +
@@ -5185,12 +5448,19 @@ object Snapshots {
     * (re-analyze refreshes; other columns' blocks ride). */
   private def amendBloomEntry(entry: String,
                               blooms: Map[String,
-                                Map[String, (Int, Int, Array[Long])]])
+                                Map[String, (Int, Int, Array[Long])]],
+                              types: StructType)
       : String = {
     val rel = relOf(entry)
+    val typeTag = types.fields.map(f =>
+      f.name -> f.dataType.catalogString).toMap
     val adds = blooms.toSeq.sortBy(_._1).flatMap { case (pc, m) =>
       m.get(rel).map { case (mb, k, words) =>
-        s"$pc:B:${mb}_$k:" + words.map(w => f"$w%016x").mkString
+        // tag the HASHED type: a later schema widening makes these
+        // bits non-probative (xxhash64(int) != xxhash64(long)) and
+        // the lookup side skips tag-mismatched blocks
+        s"$pc:B:${mb}_${k}_${typeTag.getOrElse(pc, "?")}:" +
+          words.map(w => f"$w%016x").mkString
       }
     }
     if (adds.isEmpty) entry
@@ -5326,7 +5596,7 @@ object Snapshots {
       else bloomSketchPass(spark, path, phys, st.partCols,
         st.entries, bloomPhys, sketches)
     def amend(entry: String): String =
-      amendBloomEntry(amendNdvEntry(entry, sketches), blooms)
+      amendBloomEntry(amendNdvEntry(entry, sketches), blooms, phys)
     val f = fs(spark, path)
     onBeforePublish()
     var m = manifest(f, path, st.v)
@@ -6230,9 +6500,42 @@ object Snapshots {
     val before = latestVersion(spark, path)
     val after = compact(spark, path, targetFileBytes)
     val compacted = !before.contains(after)
+    val resharded = reshard(spark, path).nonEmpty
     val expired = expire(spark, path, keepVersions)
     val vacuumed = vacuum(spark, path, graceMs)
-    (compacted, expired, vacuumed)
+    (compacted || resharded, expired, vacuumed)
+  }
+
+  /** Re-chunk every directory group of the current v4 manifest to
+    * the canonical sorted layout — a METADATA-only commit (zero data
+    * IO) healing the sub-size tail shards [[renderV4]]'s
+    * append-reuse accretes. No-op (None) when every group is
+    * already canonical-count (ceil(groupEntries/shardSize) shards),
+    * so the scheduler can run it every cycle; orphaned pre-reshard
+    * shard files age out through [[vacuum]] like any other
+    * unreferenced metadata. Part of [[maintain]].
+    */
+  def reshard(spark: SparkSession, path: String): Option[Long] = {
+    val f = fs(spark, path)
+    val v = latestVersion(spark, path).getOrElse(return None)
+    val m = manifest(f, path, v)
+    if (m.shardRefs.isEmpty || m.schema.isEmpty) return None
+    val sSize = shardSize(f)
+    val accreted = m.shardRefs.groupBy(r => shardGroupKey(r.pseudo))
+      .exists { case (_, rs) =>
+        rs.size > (rs.map(_.count.toLong).sum + sSize - 1) / sSize }
+    if (!accreted) return None
+    val full = manifestLines(m.schema.get, m.partCols, m.dropped,
+      "reshard", m.entries, m.txns, m.dvs, m.colMap, m.props)
+    val lines = renderV4(f, path, full, sSize, forceRechunk = true)
+    val next = v + 1L
+    if (!tryPublishManifest(f, path, next, lines))
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot: concurrent commit detected while resharding " +
+          s"$path (version $next was claimed by another writer) - " +
+          "re-read and retry")
+    bumpLatestHint(f, path, next)
+    Some(next)
   }
 
   /** Rerun `op` when it loses an optimistic-concurrency race

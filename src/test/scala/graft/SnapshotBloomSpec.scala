@@ -96,4 +96,58 @@ class SnapshotBloomSpec extends SparkSpec {
     assert(QueriesIo.snapshotBloomSkip(spark, sf).count() >= 1L)
     assert(QueriesIo.snapshotShardSkip(spark, sf).count() > 0L)
   }
+
+  test("type widening does not weaponize stale blooms: int-hashed " +
+      "blocks are skipped after int->long promotion, never trusted") {
+    val path = newStore
+    val base = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    // two int-typed files with interleaved values (min/max useless)
+    (0 until 2).foreach { i =>
+      val part = base.select(
+        (col("doc_id") * 2 + i).cast("int").as("v"),
+        col("n_chars")).coalesce(1)
+      if (i == 0) Snapshots.commit(part, path)
+      else Snapshots.commitAppend(part, path)
+    }
+    Snapshots.setProperties(spark, path,
+      Map("stats.bloom.columns" -> "v"))
+    Snapshots.analyzeNdv(spark, path, Seq("v"))
+    // blooms probative at the analyzed type: an even value lives in
+    // file 0 only; the odd file's bloom proves absence
+    val (keptInt, totalInt) = Snapshots.prunedEntriesEquals(
+      spark, path, "v", 42)
+    assert(totalInt === 2 && keptInt.size === 1,
+      s"int-typed bloom should prune 1 of 2, kept ${keptInt.size}")
+    // WIDEN: a long batch promotes v to bigint (metadata-only).
+    // xxhash64(42L) != xxhash64(42: Int), so every committed bloom
+    // block is now non-probative for lookups — the type tag must
+    // make the pruner SKIP them (files kept), not falsely prune
+    Snapshots.commitAppend(base.limit(50).select(
+      ((col("doc_id") + 1000000L) * 2).cast("long").as("v"),
+      col("n_chars")).coalesce(1), path)
+    assert(Snapshots.read(spark, path).schema("v").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val (keptWide, totalWide) = Snapshots.prunedEntriesEquals(
+      spark, path, "v", 42L)
+    // stats (type-agnostic doubles) may still prune the new far-range
+    // file, but BOTH pre-widening files must survive: their blooms
+    // are tag-mismatched and prove nothing
+    assert(totalWide === 3)
+    assert(keptWide.size >= 1 &&
+      keptWide.exists(e => keptInt.exists(_.startsWith(
+        e.takeWhile(_ != '\t')))),
+      "pre-widening file holding the value must be kept")
+    // the actual read stays EXACT - this is the wrong-results bug
+    assert(Snapshots.readEquals(spark, path, "v", 42L).count() === 1L)
+    assert(Snapshots.readEquals(spark, path, "v", 43L).count() === 1L)
+    // re-analyze under the widened schema: blocks re-tagged bigint,
+    // pruning resumes (odd/even separation proves absence again)
+    Snapshots.analyzeNdv(spark, path, Seq("v"))
+    val (keptRe, totalRe) = Snapshots.prunedEntriesEquals(
+      spark, path, "v", 42L)
+    assert(totalRe === 3 && keptRe.size === 1,
+      s"re-analyzed blooms should prune 2 of 3, kept ${keptRe.size}")
+    assert(Snapshots.readEquals(spark, path, "v", 42L).count() === 1L)
+  }
 }

@@ -214,4 +214,170 @@ class SnapshotShardSpec extends SparkSpec {
       assert(Snapshots.read(spark, path).count() === 2 * docs.count())
     }
   }
+
+  test("aggregate pushdown never stats a pseudo-entry: a stat-less " +
+      "shard member degrades through the tiers to a real scan, not " +
+      "a FileNotFoundException on '<dir>/_'") {
+    withShardSize(2) {
+      import scala.jdk.CollectionConverters._
+      val wh = Files.createTempDirectory("graft_shard_legacy").toString
+      val cat = "gshleg" + math.abs(wh.hashCode).toString
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.io.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      docs.createOrReplaceTempView("shard_legacy_src")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      spark.sql(s"CREATE TABLE $cat.db.d (doc_id BIGINT, " +
+        "n_chars BIGINT)")
+      (0 until 5).foreach { i =>
+        spark.sql(s"INSERT INTO $cat.db.d SELECT doc_id + " +
+          s"${i}000000, n_chars FROM shard_legacy_src")
+      }
+      val tbl = s"$wh/db/d"
+      val v = Snapshots.latestVersion(spark, tbl).get
+      assert(Snapshots.shardRefsAt(spark, tbl, v).nonEmpty,
+        "fixture must shard")
+      val n = docs.count()
+      // TAMPER the store into the legacy shape: strip every stat
+      // from one shard member (a v1/v2-era entry carried into a v4
+      // manifest has none) and from its shard's pseudo-entry (one
+      // stat-less member drops ALL merged pseudo-stats). The agg
+      // pushdown's pseudo tier must answer None here — never hand
+      // the bare '<dir>/_' rel to getFileStatus
+      val mp = java.nio.file.Paths.get(tbl, "_manifests",
+        f"v$v%09d.manifest")
+      val lines = java.nio.file.Files.readAllLines(mp)
+        .asScala.toList
+      val idx = lines.indexWhere(_.startsWith("#shard="))
+      assert(idx >= 0, "v4 manifest must carry shard lines")
+      val parts = lines(idx).stripPrefix("#shard=").split("\\|", 3)
+      val (sName, sCnt, pseudo) = (parts(0), parts(1), parts(2))
+      val sp = java.nio.file.Paths.get(tbl, "_manifests", "shards",
+        sName)
+      val members = java.nio.file.Files.readAllLines(sp)
+        .asScala.toList.drop(1).filter(_.nonEmpty)
+      val tampered =
+        members.head.takeWhile(_ != '\t') +: members.tail
+      val newShard = s"s-legacy0000deadbeef00-${members.size}.shard"
+      java.nio.file.Files.write(sp.getParent.resolve(newShard),
+        (("graft-snapshot-shard-1" +: tampered) :+ "")
+          .mkString("\n").getBytes("UTF-8"))
+      val newLine =
+        s"#shard=$newShard|$sCnt|${pseudo.takeWhile(_ != '\t')}"
+      java.nio.file.Files.write(mp,
+        lines.updated(idx, newLine).mkString("\n").getBytes("UTF-8"))
+      // the raw rewrite bypassed Hadoop's ChecksumFileSystem: drop
+      // the stale .crc sidecar or the next read fails its checksum
+      java.nio.file.Files.deleteIfExists(
+        mp.getParent.resolve("." + mp.getFileName.toString + ".crc"))
+      // bare COUNT(*): pseudo tier unanswerable (no __rows), entry
+      // tier unanswerable (the tampered member), so the push is
+      // REFUSED and a real scan answers — exactly, with no throw
+      val cnt = spark.sql(s"SELECT count(*) AS n FROM $cat.db.d")
+      assert(cnt.head().getLong(0) === 5 * n)
+      assert(!cnt.queryExecution.executedPlan.toString
+        .contains("manifest-agg"),
+        "an unanswerable push must refuse, not guess")
+      // COUNT(col) and MIN/MAX walk the same tiers
+      val mm = spark.sql(s"SELECT count(n_chars) AS c, " +
+        s"min(doc_id) AS lo FROM $cat.db.d")
+      assert(mm.head().getLong(0) === 5 * n)
+    }
+  }
+
+  test("small appends write only TAIL shards (O(delta) commit " +
+      "metadata IO) and accrete; reshard()/maintain() heal back to " +
+      "canonical with reads identical") {
+    withShardSize(2) {
+      val path = newStore
+      val base = docs
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val v1 = Snapshots.commit(base, path,
+        partitionBy = Seq("lang"))
+      val refs1 = Snapshots.shardRefsAt(spark, path, v1)
+      assert(refs1.nonEmpty, "fixture must shard")
+      // five sliver appends to ONE partition: each commit's manifest
+      // must carry every prior shard BY NAME plus tail shard(s) for
+      // just the fresh entries — commit IO scales with the sliver
+      val oneLang = base.agg(min("lang")).head().getString(0)
+      var prevNames = refs1.map(_.file).toSet
+      var v = v1
+      (1 to 5).foreach { i =>
+        v = Snapshots.commitAppend(
+          base.filter(col("lang") === oneLang).limit(2)
+            .withColumn("doc_id", col("doc_id") + i * 100000000L),
+          path)
+        val names = Snapshots.shardRefsAt(spark, path, v)
+          .map(_.file).toSet
+        assert(prevNames.subsetOf(names),
+          s"append $i rewrote a prior shard instead of reusing it")
+        val fresh = names -- prevNames
+        assert(fresh.size === 1,
+          s"a 2-row append must write exactly one tail shard, " +
+            s"wrote ${fresh.size}")
+        prevNames = names
+      }
+      val expect = Snapshots.read(spark, path)
+        .orderBy("doc_id").collect().toSeq
+      // the touched partition accreted five sub-size tails
+      val refsBefore = Snapshots.shardRefsAt(spark, path, v)
+      assert(refsBefore.size >= refs1.size + 5)
+      // maintain (via reshard) heals: per-group shard count drops to
+      // canonical ceil(entries/shardSize), reads byte-identical
+      val healed = Snapshots.reshard(spark, path)
+      assert(healed.nonEmpty, "accreted table must reshard")
+      val refsAfter =
+        Snapshots.shardRefsAt(spark, path, healed.get)
+      assert(refsAfter.size < refsBefore.size,
+        s"reshard must drop shard count " +
+          s"(${refsBefore.size} -> ${refsAfter.size})")
+      val total = refsAfter.map(_.count.toLong).sum
+      assert(refsAfter.size <= (total / 2 + 1 +
+        base.select("lang").distinct().count()).toInt,
+        "healed layout must be near-canonical per partition")
+      assert(Snapshots.read(spark, path)
+        .orderBy("doc_id").collect().toSeq === expect)
+      // healed table is canonical: a second reshard is a no-op
+      assert(Snapshots.reshard(spark, path).isEmpty)
+    }
+  }
+
+  test("appendDelta answers from SHARD refs: an append touching one " +
+      "partition loads only that partition's changed shards — the " +
+      "per-trigger streaming diff is O(delta), not O(files)") {
+    withShardSize(2) {
+      val path = newStore
+      val base = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      val v1 = Snapshots.commit(base, path, partitionBy = Seq("lang"))
+      assert(Snapshots.shardRefsAt(spark, path, v1).size >= 4,
+        "fixture must shard with one group per lang dir")
+      val oneLang = base.agg(min("lang")).head().getString(0)
+      val appended = base.filter(col("lang") === oneLang)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val v2 = Snapshots.commitAppend(appended, path)
+      val totalShards = Snapshots.shardRefsAt(spark, path, v2).size
+      Snapshots.shardsLoaded.set(0L)
+      Snapshots.shardsSkipped.set(0L)
+      // changes() runs through appendDelta — the same diff the
+      // streaming source polls every trigger
+      val delta = Snapshots.changes(spark, path, v1, v2)
+      assert(delta.count() === appended.count())
+      assert(delta.agg(min("doc_id")).head().getLong(0) >= 1000000L)
+      val loaded = Snapshots.shardsLoaded.get()
+      val skipped = Snapshots.shardsSkipped.get()
+      assert(skipped > 0L,
+        "the version diff proved no whole-shard skips - it walked " +
+          "every shard")
+      assert(loaded < totalShards,
+        s"the version diff loaded $loaded of $totalShards shards - " +
+          "untouched partitions' shards should never load")
+      // and the refusal posture survives the shard path: an
+      // overwrite in the range still refuses loudly
+      val v3 = Snapshots.commit(base.limit(10).coalesce(1), path)
+      val e = intercept[IllegalArgumentException] {
+        Snapshots.changes(spark, path, v2, v3).count()
+      }
+      assert(e.getMessage.contains("not append-only"))
+    }
+  }
 }

@@ -3058,10 +3058,15 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.commit(docs.filter(col("doc_id") < 400), path)
     Snapshots.setProperties(spark, path,
       Map("write.bloom.columns" -> "doc_id", "owner.team" -> "data"))
+    // every commit stamps graft.layout.timezone (readers use it to
+    // distrust foreign-zone legacy dir layouts) alongside user props
     assert(Snapshots.properties(spark, path) ===
-      Map("write.bloom.columns" -> "doc_id", "owner.team" -> "data"))
-    // v1 predates the properties; time travel shows each version's own
-    assert(Snapshots.properties(spark, path, Some(1L)) === Map.empty)
+      Map("write.bloom.columns" -> "doc_id", "owner.team" -> "data",
+        "graft.layout.timezone" -> "UTC"))
+    // v1 predates the user properties; time travel shows each
+    // version's own (the tz stamp rides every data commit)
+    assert(Snapshots.properties(spark, path, Some(1L)) ===
+      Map("graft.layout.timezone" -> "UTC"))
     // an append AFTER the property writes bloom filters on doc_id
     val before = dataFiles(path).toSet
     Snapshots.commitAppend(docs.filter(col("doc_id") >= 400), path)
@@ -3139,7 +3144,8 @@ class SnapshotsSpec extends SparkSpec {
     assert(d.getAs[Seq[String]]("staged") === Seq("pending"))
     assert(d.getAs[Map[String, String]]("tags") === Map("gold" -> "2"))
     assert(d.getAs[Map[String, String]]("properties") ===
-      Map("owner.team" -> "data"))
+      Map("owner.team" -> "data",
+        "graft.layout.timezone" -> "UTC"))
     // a live delete file nulls the metadata row count (an entry sum
     // would overcount) and shows up in n_delete_files
     Snapshots.deleteWhere(spark, path, col("doc_id") === 5L,
