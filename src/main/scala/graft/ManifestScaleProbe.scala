@@ -124,18 +124,22 @@ object ManifestExecProbe {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
       spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
       spark.sql(s"CREATE TABLE $cat.db.t (doc_id BIGINT, n_chars BIGINT)")
+      // direct path commit: the v1 DataFrameWriter honors
+      // maxRecordsPerFile (the store-write clone snapshots this
+      // session conf), so 100-row files land doc_id-clustered
       spark.conf.set("spark.sql.files.maxRecordsPerFile", "100")
       val t0 = System.nanoTime()
       val prevShard = Snapshots.shardSizeOverride
       Snapshots.shardSizeOverride = Some(Int.MaxValue / 4) // v3 at v2
-      try {
-        spark.range(rows)
-          .selectExpr("id AS doc_id", "(id % 5000) + 1 AS n_chars")
-          .repartitionByRange(32, org.apache.spark.sql.functions
-            .col("doc_id"))
-          .sortWithinPartitions("doc_id")
-          .writeTo(s"$cat.db.t").append()
-      } finally Snapshots.shardSizeOverride = prevShard
+      try
+        Snapshots.commitAppend(
+          spark.range(rows)
+            .selectExpr("id AS doc_id", "(id % 5000) + 1 AS n_chars")
+            .repartitionByRange(32, org.apache.spark.sql.functions
+              .col("doc_id"))
+            .sortWithinPartitions("doc_id"),
+          tbl)
+      finally Snapshots.shardSizeOverride = prevShard
       // organic republish of the identical snapshot, sharded
       val v4v = Snapshots.setProperties(spark, tbl,
         Map("probe" -> "exec"))

@@ -936,98 +936,95 @@ private[graft] final class SnapshotBatchScan(
     * "every row matches", which is what a sound negation would
     * need.
     */
-  /** Entry lines seen at prune-proof LEAVES, by rel — for sharded
-    * manifests the final kept set assembles from these (the leaves
-    * already loaded exactly the matching shards), never from the
-    * full entry list. */
-  private val leafEntryByRel =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def pruneProof(f: Filter): Option[Set[String]] = {
+  /** The per-entry KEEP predicate of one filter, composed
+    * structurally over And/Or (And of an unknown side keeps the
+    * known side; Or with an unknown side proves nothing). Leaves
+    * delegate to the manifest prune predicates, every one of which
+    * is sound on shard pseudo-entries too — so the WHOLE tree
+    * becomes one predicate and [[keptEntries]] makes one
+    * shard-aware walk, instead of materializing a rel-set per leaf
+    * (each O(that leaf's survivors) — a mid-table BETWEEN at 100k
+    * files enumerated two ~50k-entry sets per query to keep 500)
+    * and intersecting.
+    */
+  private def leafKeep(f: Filter): Option[String => Boolean] = {
     val inSchema = tableSchema.fieldNames.toSet
-    def relsOf(r: (Seq[String], Int)): Set[String] = {
-      r._1.foreach(e =>
-        leafEntryByRel.put(Snapshots.relOfEntry(e), e))
-      r._1.map(Snapshots.relOfEntry).toSet
-    }
     f match {
       case sources.And(l, r) =>
-        (pruneProof(l), pruneProof(r)) match {
-          case (Some(a), Some(b)) => Some(a intersect b)
+        (leafKeep(l), leafKeep(r)) match {
+          case (Some(a), Some(b)) =>
+            Some((e: String) => a(e) && b(e))
           case (a, None) => a
           case (None, b) => b
         }
       case sources.Or(l, r) =>
-        for { a <- pruneProof(l); b <- pruneProof(r) }
-          yield a union b
+        for { a <- leafKeep(l); b <- leafKeep(r) }
+          yield (e: String) => a(e) || b(e)
       case sources.EqualTo(c, v) if v != null && inSchema(c) =>
-        Some(relsOf(Snapshots.prunedEntriesEquals(
-          spark, path, c, v, Some(pinnedV))))
+        Snapshots.equalsKeepFn(spark, path, c, v, Some(pinnedV))
       case sources.EqualNullSafe(c, v) if v != null && inSchema(c) =>
-        Some(relsOf(Snapshots.prunedEntriesEquals(
-          spark, path, c, v, Some(pinnedV))))
+        Snapshots.equalsKeepFn(spark, path, c, v, Some(pinnedV))
       case sources.EqualNullSafe(c, null) if inSchema(c) =>
         // `c <=> NULL` IS `c IS NULL`: null-bearing files only
-        Some(relsOf(Snapshots.prunedEntriesNull(
-          spark, path, c, isNull = true, Some(pinnedV))))
+        Snapshots.nullKeepFn(
+          spark, path, c, isNull = true, Some(pinnedV))
       case sources.In(c, vs)
           if inSchema(c) && vs.nonEmpty &&
             vs.length <= SnapshotBatchScan.MaxStaticInSet &&
             vs.exists(_ != null) =>
         // a NULL in the list matches nothing (three-valued IN):
         // the non-null values' union covers every matchable row
-        Some(vs.filter(_ != null).map(v =>
-          relsOf(Snapshots.prunedEntriesEquals(
-            spark, path, c, v, Some(pinnedV)))).reduce(_ union _))
+        val fns = vs.filter(_ != null).toSeq.map(v =>
+          Snapshots.equalsKeepFn(spark, path, c, v, Some(pinnedV)))
+        if (fns.exists(_.isEmpty)) None
+        else fns.flatten.reduceOption((a, b) =>
+          (e: String) => a(e) || b(e))
       case sources.GreaterThan(c, v) if v != null && inSchema(c) =>
-        Some(relsOf(Snapshots.prunedEntriesBound(
-          spark, path, c, v, lower = true, Some(pinnedV))))
+        Snapshots.boundKeepFn(
+          spark, path, c, v, lower = true, Some(pinnedV))
       case sources.GreaterThanOrEqual(c, v)
           if v != null && inSchema(c) =>
-        Some(relsOf(Snapshots.prunedEntriesBound(
-          spark, path, c, v, lower = true, Some(pinnedV))))
+        Snapshots.boundKeepFn(
+          spark, path, c, v, lower = true, Some(pinnedV))
       case sources.LessThan(c, v) if v != null && inSchema(c) =>
-        Some(relsOf(Snapshots.prunedEntriesBound(
-          spark, path, c, v, lower = false, Some(pinnedV))))
+        Snapshots.boundKeepFn(
+          spark, path, c, v, lower = false, Some(pinnedV))
       case sources.LessThanOrEqual(c, v)
           if v != null && inSchema(c) =>
-        Some(relsOf(Snapshots.prunedEntriesBound(
-          spark, path, c, v, lower = false, Some(pinnedV))))
+        Snapshots.boundKeepFn(
+          spark, path, c, v, lower = false, Some(pinnedV))
       case sources.StringStartsWith(c, p)
           if p != null && inSchema(c) =>
-        Some(relsOf(Snapshots.prunedEntriesPrefix(
-          spark, path, c, p, Some(pinnedV))))
+        Snapshots.prefixKeepFn(spark, path, c, p, Some(pinnedV))
       case sources.IsNull(c) if inSchema(c) =>
-        Some(relsOf(Snapshots.prunedEntriesNull(
-          spark, path, c, isNull = true, Some(pinnedV))))
+        Snapshots.nullKeepFn(
+          spark, path, c, isNull = true, Some(pinnedV))
       case sources.IsNotNull(c) if inSchema(c) =>
         // Catalyst conjoins IsNotNull onto nearly every predicate:
-        // this is what skips a sparse column's all-null files on
-        // every query that touches it
-        Some(relsOf(Snapshots.prunedEntriesNull(
-          spark, path, c, isNull = false, Some(pinnedV))))
+        // this skips a sparse column's all-null files on every query
+        // that touches it, and answers None straight from the shard
+        // pseudos on the (common) no-nulls tables
+        Snapshots.nullKeepFn(
+          spark, path, c, isNull = false, Some(pinnedV))
       case _ => None // unknown shape: prune nothing
     }
   }
 
   private lazy val keptEntries: Seq[String] = {
-    val proofs = filters.flatMap(pruneProof)
-    if (proofs.isEmpty) entries
+    val keeps = filters.flatMap(leafKeep)
+    if (keeps.isEmpty) entries
     else {
-      val rels = proofs.reduce(_ intersect _)
+      val all = keeps.reduce((a, b) => (e: String) => a(e) && b(e))
       if (shardLazy)
-        // every surviving rel was recorded by a leaf (AND intersects
-        // subsets of leaf-kept sets; OR unions two leaf-kept sets) —
-        // assemble from there so the full lazy list is never forced.
-        // Sorted by rel: deterministic plan order across runs.
-        rels.toSeq.sorted.map { r =>
-          val e = leafEntryByRel.get(r)
-          require(e != null,
-            s"snapshot scan: pruned rel $r has no recorded entry - " +
-              "a prune proof produced a rel outside its leaf sets")
-          e
-        }
-      else entries.filter(e => rels(Snapshots.relOfEntry(e)))
+        // `entries` is the UNFORCED full lazy list: one walk tests
+        // each shard's pseudo against the whole tree, loads only the
+        // surviving shards, filters members — O(matching shards)
+        Snapshots.pruneWith(spark, path, pinnedV, all)
+      else
+        // the builder already materialized (and possibly absorbed
+        // down) `entries`: enforce the composed predicate per entry
+        // so absorbed narrowing is never widened back
+        entries.filter(all)
     }
   }
 

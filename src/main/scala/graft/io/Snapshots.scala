@@ -3709,6 +3709,31 @@ object Snapshots {
     require(schema.fieldNames.contains(column),
       s"snapshot: readEquals column $column is not in the table " +
         s"schema (${schema.fieldNames.mkString(", ")})")
+    val keep = equalsKeepFn(spark, path, column, value, Some(v),
+      useFileStats).get // non-null value + column checked above
+    (pruneCandidates(f, path, m)(keep).filter(keep), entryCountOf(m))
+  }
+
+  /** The per-entry KEEP predicate for `column = value` — directory
+    * derivation (hidden transforms included), file stats and typed
+    * bloom blocks, identical to [[prunedEntriesEquals]]'s walk (it
+    * delegates here). None only for a null value or unknown column.
+    * Sound on shard pseudo-entries (blooms never ride pseudos), so
+    * the DSv2 scan composes it into its one-walk tree predicate.
+    */
+  private[graft] def equalsKeepFn(spark: SparkSession,
+                                  path: String, column: String,
+                                  value: Any,
+                                  version: Option[Long] = None,
+                                  useFileStats: Boolean = true)
+      : Option[String => Boolean] = {
+    if (value == null) return None
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot: no committed version under $path"))
+    val m = manifest(fs(spark, path), path, v)
+    val schema = resolveSchema(spark, path, m)
+    if (!schema.fieldNames.contains(column)) return None
     val dt = schema(column).dataType
     val phys = toPhysicalName(m.colMap, column)
     val allFields = m.partCols.map(parsePartField)
@@ -3827,7 +3852,7 @@ object Snapshots {
         })
       dirOk && statOk && sOk && tsOk && bloomOk
     }
-    (pruneCandidates(f, path, m)(keep).filter(keep), entryCountOf(m))
+    Some(keep)
   }
 
   /** Point lookup with MANIFEST-LEVEL file skipping: `column =
@@ -3876,19 +3901,29 @@ object Snapshots {
     * Reference shape: conte-etl-step-2-manager.py:817-821 (month
     * windowing) generalized to arbitrary SQL ranges.
     */
-  private[graft] def prunedEntriesBound(spark: SparkSession,
-                                        path: String, column: String,
-                                        value: Any, lower: Boolean,
-                                        version: Option[Long] = None)
-      : (Seq[String], Int) = {
+  /** The per-entry KEEP predicate for this bound, or None when the
+    * proof provably cannot drop any file (no comparable domain, or
+    * every shard's merged pseudo-stats prove all members satisfy
+    * the bound). The closure is sound on entry lines AND shard
+    * pseudo-entries alike (merged bounds, group-exact dirs), so the
+    * scan composes one predicate per filter TREE and makes a single
+    * shard-aware walk ([[pruneWith]]) instead of materializing one
+    * O(survivors) rel-set per leaf and intersecting — at 100k files
+    * a `BETWEEN` mid-table was two ~50k-entry enumerations per
+    * query for a 500-file scan.
+    */
+  private[graft] def boundKeepFn(spark: SparkSession,
+                                 path: String, column: String,
+                                 value: Any, lower: Boolean,
+                                 version: Option[Long] = None)
+      : Option[String => Boolean] = {
     val f = fs(spark, path)
     val v = version.orElse(latestVersion(spark, path)).getOrElse(
       throw new IllegalArgumentException(
         s"snapshot: no committed version under $path"))
     val m = manifest(f, path, v)
     val schema = resolveSchema(spark, path, m)
-    if (!schema.fieldNames.contains(column))
-      return (m.entries, m.entries.size)
+    if (!schema.fieldNames.contains(column)) return None
     val dt = schema(column).dataType
     val phys = toPhysicalName(m.colMap, column)
     import org.apache.spark.sql.types._
@@ -3976,7 +4011,7 @@ object Snapshots {
         }
     if (numVal.isEmpty && strVal.isEmpty && tsVal.isEmpty &&
         dirChecks.isEmpty)
-      return (m.entries, entryCountOf(m))
+      return None // no comparable domain: nothing can prune
     def keep(e: String): Boolean = {
       val dirRangeOk = dirChecks.forall { case (key, ok) =>
         partValsOf(relOf(e)).get(key).forall(ok) }
@@ -4009,7 +4044,33 @@ object Snapshots {
       }
       dirRangeOk && numOk && strOk && tsOk
     }
-    (pruneCandidates(f, path, m)(keep).filter(keep), entryCountOf(m))
+    // SHARD FAST PATH — the whole proof is a NO-OP when every
+    // shard's merged pseudo-stats prove the bound keeps all members:
+    // member ranges nest inside merged ranges, so mergedMin >= v
+    // (lower) / mergedMax <= v (upper) means no member's own range
+    // can fall outside the bound; a pseudo's dir values are
+    // group-exact, so a passing dir check covers every member. Sound
+    // under conservative merged bounds (wider merged range only
+    // makes the proof FAIL, falling through to the full walk). A
+    // wide open-ended predicate (`doc_id >= 0`) would otherwise
+    // enumerate the entire entry list just to prune nothing.
+    if (m.shardRefs.nonEmpty && m.shardRefs.forall { sr =>
+      val e = sr.pseudo
+      val dirOk = dirChecks.forall { case (key, ok) =>
+        partValsOf(relOf(e)).get(key).exists(ok) }
+      val numOk = numVal.forall { d =>
+        statsOf(e).get(phys).exists { case (mn, mx) =>
+          if (lower) mn >= d else mx <= d } }
+      val strOk = strVal.forall { b =>
+        stringStatsOf(e).get(phys).exists { case (mn, mxOpt) =>
+          if (lower) bytesCompare(mn, b) >= 0
+          else mxOpt.exists(mx => bytesCompare(mx, b) <= 0) } }
+      val tsOk = tsVal.forall { u =>
+        tsStatsOf(e).get(phys).exists { case (mn, mx) =>
+          if (lower) mn >= u else mx <= u } }
+      dirOk && numOk && strOk && tsOk
+    }) return None
+    Some(keep)
   }
 
   /** NULL-count file-skipping decision for `column IS [NOT] NULL`,
@@ -4022,20 +4083,33 @@ object Snapshots {
     * their all-null files skipped on every query that touches them.
     * Prune only on proof: missing stats keep.
     */
-  private[graft] def prunedEntriesNull(spark: SparkSession,
-                                       path: String, column: String,
-                                       isNull: Boolean,
-                                       version: Option[Long] = None)
-      : (Seq[String], Int) = {
+  /** The per-entry KEEP predicate for IS [NOT] NULL pruning, or
+    * None when it provably cannot drop any file (see
+    * [[boundKeepFn]] — same contract). */
+  private[graft] def nullKeepFn(spark: SparkSession,
+                                path: String, column: String,
+                                isNull: Boolean,
+                                version: Option[Long] = None)
+      : Option[String => Boolean] = {
     val f = fs(spark, path)
     val v = version.orElse(latestVersion(spark, path)).getOrElse(
       throw new IllegalArgumentException(
         s"snapshot: no committed version under $path"))
     val m = manifest(f, path, v)
     val schema = resolveSchema(spark, path, m)
-    if (!schema.fieldNames.contains(column))
-      return (m.entries, m.entries.size)
+    if (!schema.fieldNames.contains(column)) return None
     val phys = toPhysicalName(m.colMap, column)
+    // SHARD FAST PATH for `IS NOT NULL` — Catalyst conjoins it onto
+    // nearly every predicate, and on a table with no nulls in the
+    // column it prunes NOTHING: a shard whose summed 'N' pseudo-stat
+    // is exactly 0 has no null-bearing member, hence no all-null
+    // member with rows > 0. (A 0-row member would still be "all
+    // null" by the entry test; keeping such an empty file costs one
+    // empty task, not correctness — the O(files) identity set it
+    // avoids costs more than the whole scan at 100k+ files.)
+    if (!isNull && m.shardRefs.nonEmpty && m.shardRefs.forall(sr =>
+        nullCountOf(sr.pseudo).get(phys).contains(0L)))
+      return None
     def keep(e: String): Boolean = {
       val nulls = nullCountOf(e).get(phys)
       if (isNull) nulls.forall(_ > 0L)
@@ -4047,7 +4121,7 @@ object Snapshots {
         !(nulls.isDefined && rows.isDefined && nulls == rows)
       }
     }
-    (pruneCandidates(f, path, m)(keep).filter(keep), entryCountOf(m))
+    Some(keep)
   }
 
   /** PREFIX file-skipping decision for `column LIKE 'p%'`
@@ -4055,21 +4129,20 @@ object Snapshots {
     * range [p, incrementBound(p)), so an entry is kept only when its
     * string bounds overlap it. Same prune-only-on-proof posture as
     * [[prunedEntriesBound]]. */
-  private[graft] def prunedEntriesPrefix(spark: SparkSession,
-                                         path: String, column: String,
-                                         prefix: String,
-                                         version: Option[Long] = None)
-      : (Seq[String], Int) = {
-    val f = fs(spark, path)
+  private[graft] def prefixKeepFn(spark: SparkSession,
+                                  path: String, column: String,
+                                  prefix: String,
+                                  version: Option[Long] = None)
+      : Option[String => Boolean] = {
     val v = version.orElse(latestVersion(spark, path)).getOrElse(
       throw new IllegalArgumentException(
         s"snapshot: no committed version under $path"))
-    val m = manifest(f, path, v)
+    val m = manifest(fs(spark, path), path, v)
     val schema = resolveSchema(spark, path, m)
     if (!schema.fieldNames.contains(column) ||
         schema(column).dataType !=
           org.apache.spark.sql.types.StringType)
-      return (m.entries, m.entries.size)
+      return None
     val phys = toPhysicalName(m.colMap, column)
     val pB = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val upB = incrementBound(pB) // None: no finite upper bound
@@ -4086,7 +4159,23 @@ object Snapshots {
           upB.forall(up => bytesCompare(mn, up) < 0)
       }
     }
-    (pruneCandidates(f, path, m)(keep).filter(keep), entryCountOf(m))
+    Some(keep)
+  }
+
+  /** ONE shard-aware walk applying a composed keep predicate: test
+    * each shard's pseudo-entry (skip whole shards the WHOLE filter
+    * tree disproves), load survivors, filter members. The scan's
+    * prune path — O(matching shards) driver work however many
+    * conjuncts, where per-leaf rel-set intersection was O(each
+    * leaf's survivors).
+    */
+  private[graft] def pruneWith(spark: SparkSession, path: String,
+                               version: Long,
+                               keep: String => Boolean)
+      : Seq[String] = {
+    val f = fs(spark, path)
+    val m = manifest(f, path, version)
+    pruneCandidates(f, path, m)(keep).filter(keep)
   }
 
   /** The rows ADDED between two committed versions: the files in
