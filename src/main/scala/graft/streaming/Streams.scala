@@ -43,6 +43,75 @@ object Streams {
   private def stagingDir(prefix: String): java.nio.file.Path =
     graft.io.Scratch.dir(prefix)
 
+  /** SCALE-ADAPTIVE state-partition count for stateful streaming
+    * queries. A stateful operator instantiates one state store per
+    * shuffle partition per trigger (a stream-stream join runs FOUR),
+    * and each RocksDB store lifecycle (open → commit → changelog
+    * fsync) costs real wall time regardless of how little state it
+    * holds — measured on the stream-stream join gates, 32 partitions
+    * (128 stores) cost ~11 s where 8 partitions cost ~3.5 s on the
+    * SAME data. Sizing the state partitioning to the SOURCE VOLUME
+    * instead of a fixed constant is the same posture the batch side
+    * gets from AQE coalescing (guide §2.2: fewer, larger partitions),
+    * which streaming cannot use (AQE is disabled in stateful
+    * workloads). The count grows with staged bytes up to the
+    * session's shuffle parallelism, so a 100 TB stream still fans out
+    * to the full cluster while a megabyte micro-batch stops paying
+    * hundreds of store lifecycles per trigger.
+    *
+    * Tunables (documented local defaults, production values in
+    * OPTIMIZATION_r17.md): `spark.graft.stream.statePartitionBytes`
+    * — source bytes per state partition (default 16 MiB);
+    * `spark.graft.stream.statePartitionsMin` — floor (default 8, so
+    * local runs keep meaningful parallelism). The cap is always the
+    * session's `spark.sql.shuffle.partitions`, i.e. this only ever
+    * LOWERS the count for small sources, never changes the at-scale
+    * fan-out.
+    */
+  private[graft] def adaptiveStatePartitions(
+      spark: SparkSession, sourceBytes: Long): Int = {
+    val per = spark.conf
+      .getOption("spark.graft.stream.statePartitionBytes")
+      .map(_.toLong).getOrElse(16L << 20)
+    val floor = spark.conf
+      .getOption("spark.graft.stream.statePartitionsMin")
+      .map(_.toInt).getOrElse(8)
+    val cap = spark.sessionState.conf.numShufflePartitions
+    math.min(cap,
+      math.max(math.min(floor, cap),
+        (sourceBytes / math.max(1L, per)).toInt + 1))
+  }
+
+  /** The staged-source byte size most recently observed by a source
+    * builder in this thread — [[runToTable]] consumes it to size the
+    * query's state partitioning. Thread-local because bench/verify
+    * run gates sequentially per thread while tests may run suites in
+    * parallel sessions.
+    */
+  private val lastStagedBytes = new ThreadLocal[Long] {
+    override def initialValue(): Long = -1L
+  }
+
+  /** Consume-and-clear the staged-bytes marker. The foreachBatch
+    * helpers call this at entry even though they run no stateful
+    * operators, so a source staged for THEM can never leak its size
+    * into a later [[runToTable]] query on the same thread.
+    */
+  private def consumeStagedBytes(): Long = {
+    val b = lastStagedBytes.get(); lastStagedBytes.set(-1L); b
+  }
+
+  private def recordStagedBytes(staged: java.nio.file.Path): Unit = {
+    val it = java.nio.file.Files.list(staged).iterator()
+    var b = 0L
+    while (it.hasNext) {
+      val p = it.next()
+      if (java.nio.file.Files.isRegularFile(p))
+        b += java.nio.file.Files.size(p)
+    }
+    lastStagedBytes.set(math.max(lastStagedBytes.get(), b))
+  }
+
   /** Generic parquet file-source stream with optional T6 backpressure —
     * the single wiring point every streaming entry (and the T6 spec)
     * goes through.
@@ -92,6 +161,7 @@ object Streams {
     val staged = stagingDir("graft_stream_src_")
     stageParquet(java.nio.file.Paths.get(s"$dir/events.parquet"),
       staged)
+    recordStagedBytes(staged)
     graft.schema.Conform.conform(
       fileStream(spark, staged.toString, raw, maxFilesPerTrigger),
       contractOf("events"), "events")
@@ -113,6 +183,7 @@ object Streams {
     val staged = stagingDir("graft_stream_docs_")
     stageParquet(java.nio.file.Paths.get(s"$dir/documents.parquet"),
       staged)
+    recordStagedBytes(staged)
     graft.schema.Conform.conform(
       fileStream(spark, staged.toString, raw),
       contractOf("documents"), "documents")
@@ -220,6 +291,7 @@ object Streams {
       staged)
     graft.io.Scratch.stageSingleParquetFile(
       graft.Tables.SessionTie.rawDf(spark, raw), staged, "tie.parquet")
+    recordStagedBytes(staged)
     graft.schema.Conform.conform(
       fileStream(spark, staged.toString, raw, None),
       contractOf("events"), "events")
@@ -261,6 +333,7 @@ object Streams {
       .unionByName(graft.Tables.rawConform(sentinels, raw))
     graft.io.Scratch.stageSingleParquetFile(
       combined, staged, "events.parquet")
+    recordStagedBytes(staged)
     graft.schema.Conform.conform(
       fileStream(spark, staged.toString, raw, None),
       contractOf("events"), "events")
@@ -271,9 +344,22 @@ object Streams {
     */
   def runToTable(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // size the query's state partitioning to the staged source (see
+    // [[adaptiveStatePartitions]]); the session conf is restored after
+    // the query terminates so downstream BATCH plans are untouched.
+    // The partition count is pinned at the query's FIRST batch by the
+    // state checkpoint anyway — these one-shot AvailableNow runs start
+    // fresh, so the derived value applies cleanly each run.
+    val staged = consumeStagedBytes()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if (staged >= 0L)
+      spark.conf.set("spark.sql.shuffle.partitions",
+        adaptiveStatePartitions(spark, staged).toString)
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 
@@ -434,6 +520,7 @@ object Streams {
     */
   def incrementalMergeDedup(stream: DataFrame, storePath: String,
                             partitionCol: String): Unit = {
+    consumeStagedBytes()
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.io.Sinks.mergeDedup(batch.sparkSession, batch, storePath,
@@ -481,6 +568,7 @@ object Streams {
                                 checkpoint: Option[String])(
       build: DataFrame => Unit, update: DataFrame => Unit):
       org.apache.spark.sql.streaming.StreamingQuery = {
+    consumeStagedBytes()
     val writer = docs.writeStream
     checkpoint.foreach(c => writer.option("checkpointLocation", c))
     val q = writer
@@ -554,6 +642,7 @@ object Streams {
     import graft.functions.TextAnalysis
     val addOps = Set("a", "add", "i", "insert", "u", "upsert")
     val deleteOps = Set("d", "delete")
+    consumeStagedBytes()
     val writer = docs.writeStream
     checkpoint.foreach(c => writer.option("checkpointLocation", c))
     val q = writer
@@ -615,6 +704,7 @@ object Streams {
     val appId = txnAppId
       .orElse(checkpoint.map(c => "ckpt-" + c.replace(":", "_")))
       .getOrElse("run-" + java.util.UUID.randomUUID())
+    consumeStagedBytes()
     val writer = data.writeStream
     checkpoint.foreach(c => writer.option("checkpointLocation", c))
     val q = writer
@@ -646,6 +736,7 @@ object Streams {
                            keyCols: Seq[String],
                            checkpoint: Option[String] = None):
       org.apache.spark.sql.streaming.StreamingQuery = {
+    consumeStagedBytes()
     val writer = data.writeStream
     checkpoint.foreach(c => writer.option("checkpointLocation", c))
     val q = writer
@@ -717,6 +808,7 @@ object Streams {
       s"cdc: deleteMode must be 'cow', 'mor' or 'eq': '$deleteMode'")
     val upsertOps = Set("u", "c", "i", "insert", "update", "upsert")
     val deleteOps = Set("d", "delete")
+    consumeStagedBytes()
     val writer = data.writeStream
     checkpoint.foreach(c => writer.option("checkpointLocation", c))
     val q = writer
@@ -890,6 +982,7 @@ object Streams {
     */
   def cdcApplyStream(changes: DataFrame, storePath: String,
                      key: String): Unit = {
+    consumeStagedBytes()
     val q = changes.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
