@@ -379,10 +379,20 @@ object Dedup {
     // in-partition sort pins block content, which pins every
     // downstream map output: shuffle bytes become the exact plan
     // tripwire the bench methodology assumes.
+    // partitioned by dst — the pull join's key — and in-partition
+    // sorted by it: the SMJ-pinned pull join below then reads the
+    // cached edge blocks with NO per-round exchange and NO per-round
+    // sort (InMemoryRelation preserves partitioning and ordering),
+    // where the previous (src, dst)-clustered cache re-shuffled and
+    // re-sorted the whole edge table every round (guide §2.4: two
+    // operations keyed the same way share one exchange). The sort
+    // still pins block content, so shuffle bytes stay
+    // run-deterministic — the bench tripwire this cache exists for.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(
         pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().sortWithinPartitions("src", "dst").cache()
+      .distinct().repartition(col("dst"))
+      .sortWithinPartitions("dst", "src").cache()
     // iterate ONLY over nodes with at least one edge — near-dup
     // endpoints are a sliver of the corpus, so every round's join and
     // aggregate run on the sliver, not the full document set;

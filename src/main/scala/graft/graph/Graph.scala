@@ -24,7 +24,26 @@ object Graph {
     * loudly when no checkpoint dir is configured rather than
     * silently degrading durability.
     */
-  private[graft] def cut(df: DataFrame, reliable: Boolean): DataFrame =
+  /** When true, [[cut]] records each pre-cut superstep plan
+    * (`explain("formatted")`) into [[stepPlans]] — the final plan of
+    * an iterative query is just a projection over the last
+    * checkpoint's LogicalRDD, so the per-superstep plan (the thing
+    * that actually repeats at scale) is otherwise invisible to plan
+    * audits. Off by default: explainString re-plans the tree, which
+    * is pure overhead outside audits.
+    */
+  @volatile private[graft] var captureStepPlans = false
+  private[graft] val stepPlans =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]
+
+  private[graft] def cut(df: DataFrame, reliable: Boolean): DataFrame = {
+    if (captureStepPlans)
+      stepPlans.add(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    cutNoCapture(df, reliable)
+  }
+
+  private def cutNoCapture(df: DataFrame, reliable: Boolean): DataFrame =
     if (!reliable) df.localCheckpoint()
     else {
       require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
@@ -67,26 +86,40 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-    val nodes = cut(e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct(), reliable)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // materialize the superstep probe side ONCE: edge rows with their
+    // source's out-degree folded in, hash-partitioned by the join key
+    // and sorted within partitions (sort pins block content, so
+    // shuffle bytes stay run-deterministic — the bench tripwire).
+    // Before this cut, EVERY superstep re-derived it from the source
+    // table: two scans, a distinct, an aggregate and two broadcast
+    // builds per iteration, all recomputed because checkpointed
+    // lineage cannot share stages across jobs. After: each superstep
+    // reads these blocks with no exchange (localCheckpoint preserves
+    // the partitioning), and the iteration's only shuffle is the
+    // contribution sum by destination — the data movement PageRank
+    // fundamentally requires (guide §1.2/§2.4).
+    val eDeg = cut(e.join(deg, "src")
+      .repartition(col("src")).sortWithinPartitions("src", "dst"),
+      reliable)
+    val nodes = cut(eDeg.select(col("src").as("id"))
+      .union(eDeg.select(col("dst").as("id"))).distinct(), reliable)
     val n = nodes.count()
     require(n > 0, "pageRank: the edge table has no nodes")
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val unit = 1000000000L
     val base = (dampingDen - dampingNum) * unit / dampingDen / n
     val r0 = nodes.select(col("id"), lit(unit / n).as("rank_q"))
-    runPageRank(e, nodes, deg, r0, iters, base, dampingNum, dampingDen,
+    runPageRank(eDeg, nodes, r0, iters, base, dampingNum, dampingDen,
       reliable)
   }
 
-  private def runPageRank(e: DataFrame, nodes: DataFrame, deg: DataFrame,
+  private def runPageRank(eDeg: DataFrame, nodes: DataFrame,
                           r0: DataFrame, iters: Int, base: Long,
                           dampingNum: Long, dampingDen: Long,
                           reliable: Boolean): DataFrame = {
     var r = r0
     for (_ <- 0 until iters) {
-      val contribs = e.join(r, e("src") === r("id"))
-        .join(deg, "src")
+      val contribs = eDeg.join(r, eDeg("src") === r("id"))
         .select(col("dst").as("id"),
           F.expr("rank_q div outdeg").as("c"))
         .groupBy("id").agg(sum("c").as("s"))
@@ -119,9 +152,17 @@ object Graph {
     require(iters >= 0, s"iters must be >= 0: $iters")
     val Inf = 1000000L
     require(iters < Inf - 1, s"iters must be < ${Inf - 1}")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // materialize the deduped edge table ONCE, partitioned by the
+    // frontier join key and in-partition sorted (deterministic
+    // blocks): previously every superstep re-scanned the source table
+    // and re-ran the distinct — checkpointed lineage cannot share
+    // stages across jobs — so a 4-superstep BFS paid the edge
+    // preparation five times (guide §1.2/§2.4)
+    val e = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      .repartition(col("src")).sortWithinPartitions("src", "dst"),
+      reliable)
     val nodes = cut(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct(), reliable)
     val s = sources.select(col(sourceIdCol).as("id")).distinct()
@@ -171,11 +212,17 @@ object Graph {
         "integer sentinel arithmetic cannot overflow)")
     val Inf = 1000000000000000L // 1e15 > 1000 supersteps × 1e9 max w
     val MaxW = 1000000000L
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+    // materialize the collapsed weighted edge table ONCE, partitioned
+    // by the frontier join key (same rationale as [[shortestHops]]);
+    // the weight-range guard below then reads the materialized blocks
+    // instead of forcing an extra full derivation
+    val e = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(weightCol).cast("long").as("w"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("w").isNotNull)
       .groupBy("src", "dst").agg(F.min("w").as("w")) // cheapest parallel edge
+      .repartition(col("src")).sortWithinPartitions("src", "dst"),
+      reliable)
     val bad = e.filter(col("w") < 0L || col("w") > MaxW).limit(1).count()
     require(bad == 0L,
       s"shortestPaths: edge weights must sit in [0, $MaxW] - negative " +
