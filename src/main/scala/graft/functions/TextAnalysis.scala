@@ -582,12 +582,27 @@ object TextAnalysis {
                      pbuckets: Int = 64, idCol: String = "doc_id",
                      textCol: String = "text"): Unit = {
     require(pbuckets >= 1, s"pbuckets must be >= 1, got $pbuckets")
+    // explicit partition count: a bare repartition(col) is subject to
+    // AQE coalescing, which at gate scale folds the clustered write
+    // into ONE task — the session's shuffle parallelism keeps the
+    // write parallel while still producing one file per bucket (every
+    // bucket hashes to exactly one task)
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
     // persist the tokenized batch: postings, doclens and stats each
     // action it, and an expensive (or nondeterministic) upstream plan
     // must not run three times or let the three tables disagree
     val toks = bm25Toks(docs, idCol, textCol).persist()
     try {
+      // cluster by bucket before the write (guide §6): a dynamic-
+      // partition write straight off the aggregate has every task
+      // writing into every touched bucket directory — O(tasks ×
+      // buckets) small files per build, paid again at every serve
+      // (footer reads, task setup). One shuffle here writes one file
+      // per bucket, word-sorted within it — the exact layout
+      // [[compactBm25Index]] restores, now produced from the start.
       bm25PostingsOf(toks, pbuckets.toLong)
+        .repartition(nPart, col("pb"))
+        .sortWithinPartitions("pb", "word", "doc_id")
         .write.mode("overwrite").partitionBy("pb")
         .parquet(s"$path/postings")
       val dl = bm25DoclensOf(toks)
@@ -634,6 +649,7 @@ object TextAnalysis {
                       idCol: String = "doc_id",
                       textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
     val stats0 = spark.read.parquet(s"$path/stats").head()
     val pbuckets = stats0.getAs[Long]("pbuckets")
     val toks = bm25Toks(docs, idCol, textCol).persist()
@@ -664,7 +680,13 @@ object TextAnalysis {
               "compactBm25Index first")
       }
       dl.write.mode("append").parquet(s"$path/doclens")
+      // same bucket-clustered layout as the build: the append adds at
+      // most ONE file per touched bucket instead of one per task per
+      // bucket, so incremental maintenance degrades the store's file
+      // count as slowly as possible between compactions
       bm25PostingsOf(toks, pbuckets)
+        .repartition(nPart, col("pb"))
+        .sortWithinPartitions("pb", "word", "doc_id")
         .write.mode("append").partitionBy("pb")
         .parquet(s"$path/postings")
     } finally { toks.unpersist(); () }
@@ -732,6 +754,7 @@ object TextAnalysis {
     */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
+    val nPart = spark.sessionState.conf.numShufflePartitions
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -757,7 +780,7 @@ object TextAnalysis {
           "compaction would leave an unreadable empty store; delete " +
           "the store directory (or rebuild) instead")
       survivors
-        .repartition(col("pb"))
+        .repartition(nPart, col("pb"))
         .sortWithinPartitions("pb", "word", "doc_id")
         .write.mode("overwrite").partitionBy("pb").parquet(tmp)
     }

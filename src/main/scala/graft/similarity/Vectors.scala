@@ -429,9 +429,19 @@ object Vectors {
                     vecCol: String = "embedding"): Unit = {
     def prep(df: DataFrame) = df.select(col(idCol).as("vec_id"),
       toDouble(col(vecCol)).as("v"))
+    // explicit count: AQE would coalesce a bare repartition(col) to one
+    // task at small scale, serializing the write (see buildBm25Index)
+    val nPart =
+      corpus.sparkSession.sessionState.conf.numShufflePartitions
     val cen = prep(centroids)
     cen.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // cluster-before-write (guide §6, as in the BM25 postings build):
+    // one file per inverted list instead of one per task per list —
+    // serving reads the probed lists with minimal task/footer overhead
+    // and the build's commit handles 16 files, not hundreds
     ivfAssign(prep(corpus), cen)
+      .repartition(nPart, col("cluster"))
+      .sortWithinPartitions("cluster", "vec_id")
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/lists")
   }
@@ -448,6 +458,7 @@ object Vectors {
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): Unit = {
     val spark = vectors.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
     val prepped = vectors.select(col(idCol).as("vec_id"),
       toDouble(col(vecCol)).as("v")).persist()
     try {
@@ -466,7 +477,10 @@ object Vectors {
             .join(d, Seq("vec_id"), "left_semi").limit(1).count() == 0L,
           "updateIvfIndex batch contains tombstoned vec_ids - run " +
             "compactIvfIndex first"))
+      // one appended file per touched list, as in the build
       ivfAssign(prepped, spark.read.parquet(s"$path/centroids"))
+        .repartition(nPart, col("cluster"))
+        .sortWithinPartitions("cluster", "vec_id")
         .write.mode("append").partitionBy("cluster")
         .parquet(s"$path/lists")
     } finally { prepped.unpersist(); () }
@@ -495,6 +509,7 @@ object Vectors {
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String): Unit = {
+    val nPart = spark.sessionState.conf.numShufflePartitions
     val dels = graft.io.Sinks.optionalTable(spark, s"$path/deletes")
     graft.io.Sinks.swapInRewrite(spark, path, "lists") { (live, tmp) =>
       val survivors = dels.fold(spark.read.parquet(live))(d =>
@@ -509,7 +524,7 @@ object Vectors {
           "compaction would leave an unreadable empty store; delete " +
           "the store directory (or rebuild) instead")
       survivors
-        .repartition(col("cluster"))
+        .repartition(nPart, col("cluster"))
         .sortWithinPartitions("cluster", "vec_id")
         .write.mode("overwrite").partitionBy("cluster").parquet(tmp)
     }
@@ -1015,6 +1030,7 @@ object Vectors {
                       vecCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val nPart = spark.sessionState.conf.numShufflePartitions
     val cb = trainPqCodebooks(corpus, m, ksub, dims, iters, idCol, vecCol)
     centroids.select(col(idCol).as("centroid_id"),
         toDouble(col(vecCol)).as("cv"))
@@ -1022,8 +1038,11 @@ object Vectors {
     cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     Seq((m, ksub, dims)).toDF("m", "ksub", "dims").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta")
+    // one code file per cluster (see [[buildIvfIndex]])
     encodePq(corpus, cb, m, dims, idCol, vecCol)
       .join(ivfAssignL2(corpus, centroids, idCol, vecCol), "vec_id")
+      .repartition(nPart, col("cluster"))
+      .sortWithinPartitions("cluster", "vec_id")
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/codes")
   }
