@@ -111,11 +111,12 @@ private[graft] object QueriesIo {
   /** Watermarked stream-stream inner join (purchase × prior-hour
     * clicks per user).
     */
-  def streamStreamJoin(s: SparkSession, dir: String): DataFrame =
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val (l, r) = Streams.eventsStreamPair(s, dir)
     Streams.runToTable(
-      Streams.purchaseClickJoin(Streams.eventsStream(s, dir),
-        Streams.eventsStream(s, dir)),
+      Streams.purchaseClickJoin(l, r),
       tableName(dir, "strm_join"), OutputMode.Append())
+  }
 
   /** Watermarked stream-stream LEFT OUTER join: every purchase emits,
     * click-less ones with a NULL click_id — but only after the
@@ -125,11 +126,10 @@ private[graft] object QueriesIo {
     * filter drops the sentinels themselves. Oracle: the plain batch
     * LEFT JOIN.
     */
-  def streamLeftJoin(s: SparkSession, dir: String): DataFrame =
+  def streamLeftJoin(s: SparkSession, dir: String): DataFrame = {
+    val (l, r) = Streams.eventsWithFlushSentinelStreamPair(s, dir)
     Streams.runToTable(
-      Streams.purchaseClickLeftJoin(
-        Streams.eventsWithFlushSentinelStream(s, dir),
-        Streams.eventsWithFlushSentinelStream(s, dir)),
+      Streams.purchaseClickLeftJoin(l, r),
       tableName(dir, "strm_ljoin"), OutputMode.Append())
       // sentinel exclusion on the BATCH result, never on the streaming
       // plan: a user_id predicate there pushes through the join into
@@ -141,6 +141,7 @@ private[graft] object QueriesIo {
       // excluded; a NULL-keyed outer row (were the fixture ever to
       // carry one) survives, matching the batch oracle
       .filter(!(col("user_id") < 0))
+  }
 
   /** Watermarked stream-stream FULL OUTER join
     * ([[Streams.purchaseClickFullJoin]]): unmatched purchases AND
@@ -149,14 +150,14 @@ private[graft] object QueriesIo {
     * [[streamLeftJoin]] — a streaming-side predicate would push
     * through the join and delete the sentinels pre-watermark).
     */
-  def streamFullJoin(s: SparkSession, dir: String): DataFrame =
+  def streamFullJoin(s: SparkSession, dir: String): DataFrame = {
+    val (l, r) = Streams.eventsWithFlushSentinelStreamPair(s, dir)
     Streams.runToTable(
-      Streams.purchaseClickFullJoin(
-        Streams.eventsWithFlushSentinelStream(s, dir),
-        Streams.eventsWithFlushSentinelStream(s, dir)),
+      Streams.purchaseClickFullJoin(l, r),
       tableName(dir, "strm_fjoin"), OutputMode.Append())
       // NULL-preserving sentinel exclusion — see [[streamLeftJoin]]
       .filter(!(col("user_id") < 0))
+  }
 
   /** Z-order clustered layout: events written sorted by the
     * bit-interleaved (user_id, time) key, read back with the z key

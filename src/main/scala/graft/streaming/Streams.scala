@@ -312,6 +312,19 @@ object Streams {
     */
   def eventsWithFlushSentinelStream(spark: SparkSession,
                                     dir: String): DataFrame = {
+    val (staged, raw) = stageFlushSentinelSource(spark, dir)
+    graft.schema.Conform.conform(
+      fileStream(spark, staged, raw, None),
+      contractOf("events"), "events")
+  }
+
+  /** Stage the flush-sentinel source once; returns (staged dir, raw
+    * schema) so callers needing TWO streams over the same data (the
+    * outer-join gates) pay the staging job once.
+    */
+  private def stageFlushSentinelSource(spark: SparkSession,
+                                       dir: String):
+      (String, StructType) = {
     import spark.implicits._
     val raw = graft.schema.Conform.physicalReadSchema(
       spark, s"$dir/events.parquet", contractOf("events"), "events")
@@ -334,9 +347,41 @@ object Streams {
     graft.io.Scratch.stageSingleParquetFile(
       combined, staged, "events.parquet")
     recordStagedBytes(staged)
-    graft.schema.Conform.conform(
+    (staged.toString, raw)
+  }
+
+  /** TWO independent streams over ONE staged flush-sentinel source —
+    * what a stream-stream self-join gate needs. Staging (a Spark
+    * read + union + write job) is a per-gate fixed cost worth
+    * halving: both sides read the same staged file through separate
+    * file-source instances, which is semantically identical to two
+    * separately staged copies of the same data.
+    */
+  def eventsWithFlushSentinelStreamPair(spark: SparkSession,
+                                        dir: String):
+      (DataFrame, DataFrame) = {
+    val (staged, raw) = stageFlushSentinelSource(spark, dir)
+    def one() = graft.schema.Conform.conform(
+      fileStream(spark, staged, raw, None), contractOf("events"), "events")
+    (one(), one())
+  }
+
+  /** TWO independent plain event streams over one staged source —
+    * the inner-join gate's analogue of
+    * [[eventsWithFlushSentinelStreamPair]].
+    */
+  def eventsStreamPair(spark: SparkSession, dir: String):
+      (DataFrame, DataFrame) = {
+    val raw = graft.schema.Conform.physicalReadSchema(
+      spark, s"$dir/events.parquet", contractOf("events"), "events")
+    val staged = stagingDir("graft_stream_src_")
+    stageParquet(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged)
+    recordStagedBytes(staged)
+    def one() = graft.schema.Conform.conform(
       fileStream(spark, staged.toString, raw, None),
       contractOf("events"), "events")
+    (one(), one())
   }
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a
