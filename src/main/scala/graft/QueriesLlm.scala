@@ -585,10 +585,13 @@ private[graft] object QueriesLlm {
   def streamIvfQ(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val staged = graft.io.Scratch.dir("graft_stream_ivf_")
-    Seq(("even", col("vec_id") % 2 === 0),
-        ("odd", col("vec_id") % 2 === 1)).foreach { case (name, pred) =>
-      graft.io.Scratch.stageSingleParquetFile(
-        emb.filter(pred), staged, s"$name.parquet")
+    // staged arriving files are FIXTURE (see streamIndexQ)
+    BenchSetup.section {
+      Seq(("even", col("vec_id") % 2 === 0),
+          ("odd", col("vec_id") % 2 === 1)).foreach { case (name, pred) =>
+        graft.io.Scratch.stageSingleParquetFile(
+          emb.filter(pred), staged, s"$name.parquet")
+      }
     }
     val idx = graft.io.Scratch.dir("graft_stream_ivf_idx_").toString
     Streams.ivfIndexStream(
@@ -610,10 +613,13 @@ private[graft] object QueriesLlm {
   def streamIvfDeleteQ(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val staged = graft.io.Scratch.dir("graft_stream_ivfdel_")
-    Seq(("even", col("vec_id") % 2 === 0),
-        ("odd", col("vec_id") % 2 === 1)).foreach { case (name, pred) =>
-      graft.io.Scratch.stageSingleParquetFile(
-        emb.filter(pred), staged, s"$name.parquet")
+    // staged arriving files are FIXTURE (see streamIndexQ)
+    BenchSetup.section {
+      Seq(("even", col("vec_id") % 2 === 0),
+          ("odd", col("vec_id") % 2 === 1)).foreach { case (name, pred) =>
+        graft.io.Scratch.stageSingleParquetFile(
+          emb.filter(pred), staged, s"$name.parquet")
+      }
     }
     val idx = graft.io.Scratch.dir("graft_stream_ivfdel_idx_").toString
     Streams.ivfIndexStream(
@@ -649,10 +655,14 @@ private[graft] object QueriesLlm {
     import s.implicits._
     val docs = t(s, dir, "documents")
     val staged = graft.io.Scratch.dir("graft_stream_idx_docs_")
-    Seq(("even", col("doc_id") % 2 === 0),
-        ("odd", col("doc_id") % 2 === 1)).foreach { case (name, pred) =>
-      graft.io.Scratch.stageSingleParquetFile(
-        docs.filter(pred), staged, s"$name.parquet")
+    // staging the arriving files is FIXTURE; the gate measures the
+    // streaming build/update ingestion
+    BenchSetup.section {
+      Seq(("even", col("doc_id") % 2 === 0),
+          ("odd", col("doc_id") % 2 === 1)).foreach { case (name, pred) =>
+        graft.io.Scratch.stageSingleParquetFile(
+          docs.filter(pred), staged, s"$name.parquet")
+      }
     }
     val idx = graft.io.Scratch.dir("graft_stream_idx_").toString
     Streams.bm25IndexStream(
@@ -676,10 +686,13 @@ private[graft] object QueriesLlm {
     import s.implicits._
     val docs = t(s, dir, "documents")
     val staged = graft.io.Scratch.dir("graft_stream_idxdel_docs_")
-    Seq(("even", col("doc_id") % 2 === 0),
-        ("odd", col("doc_id") % 2 === 1)).foreach { case (name, pred) =>
-      graft.io.Scratch.stageSingleParquetFile(
-        docs.filter(pred), staged, s"$name.parquet")
+    // staged arriving files are FIXTURE (see streamIndexQ)
+    BenchSetup.section {
+      Seq(("even", col("doc_id") % 2 === 0),
+          ("odd", col("doc_id") % 2 === 1)).foreach { case (name, pred) =>
+        graft.io.Scratch.stageSingleParquetFile(
+          docs.filter(pred), staged, s"$name.parquet")
+      }
     }
     val idx = graft.io.Scratch.dir("graft_stream_idxdel_").toString
     Streams.bm25IndexStream(
